@@ -1,0 +1,250 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Text-analysis building blocks for the training-data pipeline operators
+  * (SURVEY.md §7 phase 5): tokenization, normalization, shingling, MinHash
+  * signatures, SimHash, language-ID and quality scoring — all expressed as
+  * Catalyst `Column` compositions (codegen'd, UDF-free) except SimHash,
+  * which is a small native `Expression` (a 64-bit bit-vote fold that would
+  * need 64 aggregate columns otherwise).
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non [a-z0-9 ] chars, collapse whitespace, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** BPE-ish subword count: alnum runs + individual punctuation marks each
+    * count as one token (an approximation of byte-pair tokenizer output used
+    * for corpus token accounting — no tokenizer model needed). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles (default n=3) over the normalized tokens. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct 64-bit shingle hashes — the set representation used by
+    * MinHash and Jaccard near-dup. */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(c, n), s => xxhash64(s)))
+
+  // MinHash: k independent permutations h_i(x) = (a_i * x + b_i) mod p over
+  // a 61-bit Mersenne prime; constants from a fixed split-mix sequence so
+  // signatures are deterministic across runs/executors.
+  val MinhashPrime: Long = (1L << 61) - 1
+  def minhashCoefficients(k: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    var x = seed
+    def next(): Long = { // splitmix64, public-domain mixing constants
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // coefficients bounded to 31 bits so a*h + b (h folded to 31 bits) stays
+    // under 2^62 — no Long overflow under ANSI mode, no 128-bit mulmod needed
+    val a = Array.fill(k)(math.floorMod(next(), 2147483646L) + 1)
+    val b = Array.fill(k)(math.floorMod(next(), 2147483647L))
+    (a, b)
+  }
+
+  /** k-element MinHash signature of an ARRAY<BIGINT> of element hashes.
+    * Pure column composition: `transform(0..k-1, i -> min(map(hashes)))` —
+    * stays in codegen, no UDF, no shuffle. */
+  def minhashSignature(hashes: Column, k: Int = 128, seed: Long = 42L): Column = {
+    val (a, b) = minhashCoefficients(k, seed)
+    val ab = array(a.indices.map(i =>
+      struct(lit(a(i)).as("a"), lit(b(i)).as("b"))): _*)
+    // Single pass over `hashes` with the k minima carried in the aggregate
+    // accumulator. Shape matters: higher-order-function *arguments* are
+    // re-evaluated each time the enclosing lambda runs, so the naive
+    // `transform(perms, p -> array_min(transform(hashes, …)))` re-evaluates
+    // the whole upstream shingle/hash expression once per permutation
+    // (k× per row — measured 100×+ slower when the caller's projection gets
+    // collapse-inlined). Here `hashes` is the aggregate input: evaluated
+    // exactly once per row no matter what Catalyst inlines into it.
+    aggregate(
+      hashes,
+      array_repeat(lit(MinhashPrime), k),
+      (acc, h) => zip_with(acc, ab, (m, p) =>
+        // a,b < 2^31 and h folded to [0, 2^31) → a*h + b < 2^62: no overflow
+        least(m, pmod(p.getField("a") * pmod(h, lit(2147483647L)) + p.getField("b"),
+                      lit(MinhashPrime)))))
+  }
+
+  /** LSH band keys from a MinHash signature: split into `bands` bands of
+    * `rows` rows, hash each band; docs sharing any band key are candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, concat_ws(",", transform(slice(signature, b * lit(rows) + 1, lit(rows)),
+                                           v => v.cast("string")))))
+
+  /** 64-bit SimHash of an array of 64-bit element hashes (native expression,
+    * see `SimHash64`). */
+  def simhash64(hashes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(SimHash64(expression(hashes)))
+  }
+
+  /** Number of 1-bits in (a XOR b) — Hamming distance between simhashes. */
+  def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- language ID ------------------------------------------------------
+  /** Tiny per-language stopword inventories (public common function words).
+    * An n-gram/stopword-membership heuristic: score = |tokens ∩ stopwords|,
+    * prediction = argmax with deterministic lexicographic tie-break. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "with", "on", "as", "at"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "al"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "des", "dem", "ein", "eine", "zu", "im", "auf"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "en", "un", "une", "du", "pour", "que", "dans", "sur"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe", "men", "zhong", "dao", "he", "ni"))
+
+  def langScore(c: Column, lang: String): Column =
+    size(array_intersect(tokens(c), array(Stopwords(lang).map(lit(_)): _*)))
+
+  /** Predicted language code; `und` when no stopword hits at all. */
+  def langId(c: Column): Column = {
+    val langs = Stopwords.keys.toSeq.sorted
+    // array of (score, lang) structs → array_max picks max score then max
+    // lang lexicographically; we want deterministic ties → use max lang.
+    val scored = array(langs.map(l => struct(langScore(c, l).as("s"), lit(l).as("l"))): _*)
+    val best = array_max(scored)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring --------------------------------------------------
+  /** Heuristic quality components (all integer-scaled for cross-engine
+    * determinism): doc length, word count, mean word length ‰, punctuation
+    * ratio ‰, stopword ratio ‰. */
+  def qualityComponents(c: Column): Seq[(String, Column)] = {
+    val toks = tokens(c)
+    val nTok = size(toks)
+    val nChar = length(c)
+    val nPunct = size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0)))
+    val enStop = array(Stopwords("en").map(lit(_)): _*)
+    val nStop = size(array_intersect(toks, enStop)) // distinct-membership proxy
+    Seq(
+      "n_chars_m"      -> nChar.cast(LongType),
+      "n_tokens"       -> nTok.cast(LongType),
+      "mean_word_len_pm" -> when(nTok > 0,
+          (sum_words_len(toks) * 1000L) / nTok).otherwise(lit(0L)).cast(LongType),
+      "punct_pm"       -> when(nChar > 0, (nPunct * 1000L) / nChar).otherwise(lit(0L)).cast(LongType),
+      "stop_hits"      -> nStop.cast(LongType))
+  }
+
+  private def sum_words_len(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Composite 0-1000 quality score (integer arithmetic only). */
+  def qualityScore(c: Column): Column = {
+    val comps = qualityComponents(c).toMap
+    val lenScore  = least(comps("n_tokens"), lit(200L)) * 2L        // 0..400
+    val punctOk   = when(comps("punct_pm") <= 80L, lit(300L)).otherwise(lit(100L))
+    val stopScore = least(comps("stop_hits") * 30L, lit(300L))      // 0..300
+    (lenScore + punctOk + stopScore).cast(LongType)
+  }
+
+  /** Content-defined fingerprint: md5 of the normalized text (stable,
+    * cross-engine). A rolling Karp-Rabin variant is `RollingHash64`. */
+  def fingerprint(c: Column): Column = md5(to_binary(normText(c), lit("utf-8")))
+
+  def rollingHash(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(RollingHash64(expression(c)))
+  }
+}
+
+/** 64-bit SimHash: for each of 64 bit positions, majority vote of the
+  * element hashes' bits (+1 if set, −1 if clear); result bit = vote > 0.
+  * Native expression: one pass over the array, primitive `long` ops,
+  * whole-stage codegen via `doGenCode`.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) if ($votes[$b] > 0) $out |= (1L << $b);
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Karp-Rabin polynomial rolling hash of a UTF8 string:
+  * h = Σ byte_i * B^(n-1-i) mod 2^61-1, B = 257. Deterministic document
+  * fingerprint usable for content-defined chunking. */
+case class RollingHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  private val P = (1L << 61) - 1
+  private val B = 257L
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L; var i = 0
+    while (i < bytes.length) {
+      // h = (h * B + byte) mod P; h*B < 2^61 * 2^9 = 2^70 → use Math.multiplyHigh-free
+      // reduction: split h = hi*2^32 + lo.
+      h = mulmodP(h, B)
+      h += (bytes(i) & 0xFF)
+      if (h >= P) h -= P
+      i += 1
+    }
+    h
+  }
+  private def mulmodP(a: Long, b: Long): Long = {
+    // a < 2^61, b small (257): a*b fits in 2^70 → reduce via 128-bit split.
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // x mod 2^61-1: (x & P) + (x >>> 61) folded, with hi contributing 2^64 ≡ 2^3
+    var r = (lo & P) + ((lo >>> 61) | (hi << 3))
+    if (r >= P) r -= P
+    if (r >= P) r -= P
+    r
+  }
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
+  override def prettyName: String = "rolling_hash64"
+}

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Embedding-vector kernels for the similarity-search / near-dup operators
+  * (SURVEY.md §7 phase 5; `embeddings.parquet` is `ARRAY<FLOAT>` 64-dim).
+  *
+  * These are native Catalyst expressions with `doGenCode` — the dot-product
+  * loop stays inside whole-stage codegen on primitive `ArrayData.getFloat`
+  * accesses, no boxing, no UDF serialization. At 100 TB scale the
+  * brute-force kernel is the inner loop of a (candidates × queries) join, so
+  * this is the hottest code path the engine has; `zip_with`+`aggregate`
+  * compositions allocate per-row, this does not.
+  */
+object VectorExpressions {
+
+  /** dot(a, b) over ARRAY<FLOAT> → DOUBLE (accumulated in double,
+    * sequential order — deterministic). */
+  case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_f"
+  }
+
+  /** cosine(a, b) over ARRAY<FLOAT> → DOUBLE; 0.0 when either norm is 0. */
+  case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.getFloat($i);
+           |  double $yv = (double) $b.getFloat($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimF =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim_f"
+  }
+
+  /** Euclidean (L2) norm of ARRAY<FLOAT> → DOUBLE. */
+  case class NormF(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0.0; var i = 0
+      while (i < x.numElements()) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val s = ctx.freshName("s"); val v = ctx.freshName("v")
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = (double) $a.getFloat($i); $s += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): NormF = copy(c)
+    override def prettyName: String = "norm_f"
+  }
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def dotF(a: Column, b: Column): Column =
+    column(VectorExpressions.DotF(expression(a), expression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    column(VectorExpressions.CosineSimF(expression(a), expression(b)))
+  def normF(a: Column): Column =
+    column(VectorExpressions.NormF(expression(a)))
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §7 phase 5). All variants follow the same contract:
+  *
+  *   - pair finders return the dup-candidate pair list `(id_a, id_b, score)`
+  *     with `id_a < id_b` (deterministic orientation, no double counting);
+  *   - `survivors*` reduce pairs to the kept set with the greedy rule
+  *     "drop any doc that duplicates a smaller id" — deterministic,
+  *     single-pass, and at scale a semi-join instead of an iterative
+  *     connected-components (which would need O(diameter) shuffles).
+  *
+  * Scale design (100 TB): every method is built so the pair space is pruned
+  * *before* any shuffle — exact dedup groups on a 128-bit hash (no full-text
+  * shuffle), MinHash/SimHash block on LSH band keys / hash fragments so the
+  * candidate join is equi-join-able and skew-bounded, and verification runs
+  * only on candidates. No method materializes the O(n²) pair matrix.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical text. Grouping is on
+    * `md5(text)` so at scale the shuffle carries a 128-bit key + id, not the
+    * document body (the body column is pruned from the exchange). A false
+    * positive requires an md5 collision on the *same corpus*; acceptable for
+    * training-data dedup (and the same trade the reference corpus tooling
+    * makes). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Exact near-dup on *normalized* text (case/punct/whitespace-insensitive). */
+  def normalizedSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(to_binary(TF.normText(col(textCol)), lit("utf-8"))).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup candidates: shingle → 64-bit hash set → k-perm
+    * MinHash signature → banded LSH keys → equi-join on (band, key) →
+    * estimated Jaccard from signature agreement. Only bucket-mates are ever
+    * paired; with b bands of r rows the match probability is the standard
+    * `1-(1-s^r)^b` S-curve. Returns pairs with `est_jaccard >= threshold`.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, bands: Int = 16,
+                      threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    // persist() is load-bearing: without it CollapseProject inlines the full
+    // 128-perm signature expression into the band-key lambda (evaluated per
+    // band) and again into both join sides — measured 500× slower. One
+    // materialization, reused by the explode and both sides of the join.
+    val sigs = df.select(
+        col(idCol).as("id"),
+        TF.minhashSignature(TF.shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
+      .persist()
+      .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rows)))
+    // docs sharing >=1 band key; distinct before the (expensive) sig compare
+    val cands = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("agree", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      .withColumn("est_jaccard", col("agree").cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup: 64-bit simhash over token hashes; Hamming distance ≤
+    * `maxHamming` found by the pigeonhole blocking trick — split the 64 bits
+    * into `maxHamming+1` fragments; any pair within distance k must agree
+    * exactly on ≥1 fragment, so candidates come from an equi-join on
+    * (fragment_idx, fragment_bits), never a cross join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    val hashed = df.select(col(idCol).as("id"),
+      TF.simhash64(transform(TF.tokens(col(textCol)), t => xxhash64(t))).as("sh"))
+      .persist() // reused by both join sides — see minhashLshPairs note
+    val blocked = hashed.withColumn("blk", explode(
+      transform(sequence(lit(0), lit(nBlocks - 1)), i =>
+        struct(i.as("i"),
+               call_function("shiftrightunsigned", col("sh"), i * bitsPer)
+                 .bitwiseAND(lit((1L << bitsPer) - 1)).as("bits")))))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              TF.hammingDist64(col("a.sh"), col("b.sh")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
+    * shingle hashes, equi-join on shingle, count shared shingles per pair,
+    * Jaccard = |∩| / (|A|+|B|−|∩|). Exact (not estimated) — the candidate
+    * space is bounded by shared-shingle pairs, which is the inverted-index
+    * bound, not n². Hot shingles can be skew — at scale cap them
+    * (`maxDocFreq`) exactly like IR posting-list pruning. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Long = 1000L): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+                         TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .persist() // shingle sets reused by both join sides
+    val posting = sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    // prune pathological shingles (stopword-only n-grams at corpus scale)
+    val rare = posting.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .where(col("df") <= maxDocFreq).drop("df")
+    rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate generation
+    * via random-hyperplane LSH buckets (see `Similarity.hyperplaneBuckets`)
+    * keeps it off the n² path; `bruteForce = true` skips blocking (exact,
+    * for small corpora / oracle verification). */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.95,
+                           bruteForce: Boolean = false,
+                           lshBits: Int = 8, dim: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cands =
+      if (bruteForce)
+        v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      else {
+        val bucketed = v.withColumn("bucket",
+          Similarity.hyperplaneBucket(col("vec"), lshBits, dim)).persist()
+        bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      }
+    cands.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+                 VF.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Greedy survivor reduction: drop every id that appears as the *larger*
+    * member of a dup pair; keep the rest. One anti-join — no iteration. */
+  def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

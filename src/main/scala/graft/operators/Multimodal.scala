@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads are opaque
+  * `BINARY` columns with a typed metadata struct beside them. The
+  * Spark-side plumbing — schema, partition sizing, batch-shaped decode API —
+  * is real and tested; the codec itself is a clearly-marked deterministic
+  * STUB (`StubCodec`) because no image/audio libraries exist in this
+  * environment. Swapping in a real decoder is a one-function change that
+  * does not touch the distributed plan.
+  *
+  * Scale design: payload bytes dominate row size, so the decode stage
+  * (a) runs `mapPartitions` (one codec init per partition, not per row),
+  * (b) never shuffles the binary column (metadata is extracted first,
+  * payloads are dropped before any wide stage), and (c) callers should size
+  * `spark.sql.files.maxPartitionBytes` so a partition of payloads fits the
+  * executor (documented, not hard-coded).
+  */
+object Multimodal {
+
+  /** Typed media-metadata row produced by decode. */
+  final case class MediaMeta(id: Long, kind: String, byteLen: Long,
+                             width: Int, height: Int, sampleRateHz: Int,
+                             nFrames: Int, sha: String)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  /** ==== STUB ====
+    * Deterministic fake decoder: derives plausible media properties purely
+    * from the payload bytes (so tests and oracles are reproducible). A real
+    * implementation would call an image/audio codec here — the signature
+    * (bytes in, metadata out, one call per record, codec state reusable
+    * across a partition) is the real contract. */
+  object StubCodec {
+    def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
+      val len = payload.length.toLong
+      val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      val sha = h.map("%02x".format(_)).mkString
+      MediaMeta(id, kind, len,
+        width = (math.abs(len) % 640).toInt + 16,
+        height = (math.abs(len * 31) % 480).toInt + 16,
+        sampleRateHz = if (kind == "audio") 16000 else 0,
+        nFrames = if (kind == "video") (len % 300).toInt + 1 else 1,
+        sha = sha)
+    }
+  }
+
+  /** Attach a binary payload column to any table (here: utf-8 bytes of a
+    * text column — the plumbing stand-in for real image/audio bytes). */
+  def withBinaryPayload(df: DataFrame, idCol: String, textCol: String,
+                        kind: String = "image"): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
+              to_binary(col(textCol), lit("utf-8")).as("payload"),
+              map(lit("origin"), col(idCol).cast("string")).as("meta"))
+
+  /** Batch-shaped decode: mapPartitions over the typed Dataset — one codec
+    * instance per partition, rows streamed through it. Output drops the
+    * payload (never carry bytes past the decode stage). */
+  def decodeMeta(df: DataFrame): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    df.select("id", "kind", "payload").as(Encoders.row(StructType(mediaSchema.take(3))))
+      .mapPartitions { rows =>
+        // real codecs would init native state here, once per partition
+        rows.map { r =>
+          StubCodec.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+        }
+      }
+  }
+
+  /** Frame sampling plumbing: expand each video row into every `everyN`-th
+    * frame index (no bytes attached in the stub; a real impl would emit one
+    * decoded frame per row). Demonstrates the explode-then-process batch
+    * shape without carrying payloads through the explode. */
+  def sampleFrames(meta: Dataset[MediaMeta], everyN: Int = 10): DataFrame =
+    meta.toDF.where(col("kind") === "video")
+      .select(col("id"), col("nFrames"),
+        explode(sequence(lit(0), col("nFrames") - 1, lit(everyN))).as("frame_idx"))
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`). Two paths:
+  *
+  *  - `bruteForceTopK` — exact cosine top-k. The query side is
+  *    `broadcast()`: the corpus (the 100 TB side) streams through one
+  *    narrow stage, never shuffles; ranking shuffles only
+  *    (n_queries × k-bounded) candidate rows after a per-partition
+  *    pre-prune. This is the correctness baseline the approximate paths are
+  *    judged against.
+  *  - `lshTopK` — random-hyperplane (SimHash-for-vectors) bucketing; only
+  *    bucket-mates are scored. At scale this is the path: candidate
+  *    generation is an equi-join on bucket id; recall is tuned with
+  *    `bits` (bucket granularity) and `probes` (multi-probe: flip 1 bit).
+  *
+  * Hyperplanes are generated from a fixed splitmix64 seed so bucket ids are
+  * deterministic across runs and executors (no `Math.random` anywhere).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane matrix: `bits` rows × `dim`. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(bits, dim)((next().toDouble / Long.MaxValue)) // uniform [-1,1]
+  }
+
+  /** Bucket id = sign bits of the `bits` hyperplane dot products:
+    * Σ 2^i · [h_i·v > 0]. Expressed with higher-order functions over a
+    * literal hyperplane matrix — the plan is O(1) nodes regardless of
+    * bits×dim (an earlier unrolled form produced 512-node trees and
+    * megabyte task binaries). */
+  def hyperplaneBucket(vec: Column, bits: Int = 8, dim: Int = 64,
+                       seed: Long = 7L): Column = {
+    val hp = hyperplanes(bits, dim, seed)
+    val hpCol = array(hp.map(row => array(row.map(lit(_)): _*)): _*) // bits × dim
+    aggregate(
+      zip_with(hpCol, sequence(lit(0), lit(bits - 1)), (row, i) =>
+        when(aggregate(zip_with(vec, row, (x, h) => x * h), lit(0.0d), _ + _) > 0,
+             call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), _ + _)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`: (qid, vec); `corpus`: (id, vec). Output: qid, id, cosine,
+    * rank. Broadcast-joins the (small) query side against the corpus. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int = 10): DataFrame = {
+    val scored = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+      .join(broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))))
+      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .where(col("qid") =!= col("id"))
+    // rank: deterministic tie-break on id
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: score only bucket-mates (with 1-bit
+    * multi-probe when `probes > 0` to recover near-boundary neighbors). */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int = 10, bits: Int = 8, dim: Int = 64,
+              probes: Int = 1): DataFrame = {
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+      .withColumn("bucket", hyperplaneBucket(col("cvec"), bits, dim))
+    val qBase = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+      .withColumn("bucket0", hyperplaneBucket(col("qvec"), bits, dim))
+    // multi-probe: original bucket + the `probes` single-bit flips
+    val probeBuckets = array((0 to math.min(probes, bits)).map {
+      case 0 => col("bucket0")
+      case i => col("bucket0").bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
+    val q = qBase.withColumn("bucket", explode(probeBuckets)).drop("bucket0")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .where(col("qid") =!= col("id"))
+      .dropDuplicates("qid", "id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Text top-k by n-gram Jaccard against a query string (inverted-index
+    * candidate join, same shape as `Dedup.ngramJaccardPairs`). */
+  def textTopK(corpus: DataFrame, idCol: String, textCol: String,
+               queryText: String, k: Int = 10, shingleN: Int = 3): DataFrame = {
+    val sets = corpus.select(col(idCol).as("id"),
+                             TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val q = sets.sparkSession.range(1).select(
+      TF.shingleHashes(lit(queryText), shingleN).as("qhs"))
+    val scored = sets.join(broadcast(q))
+      .withColumn("inter", size(array_intersect(col("hs"), col("qhs"))))
+      .where(col("inter") > 0)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n") + size(col("qhs")) - col("inter")))
+      .select(col("id"), col("jaccard"))
+    scored.orderBy(col("jaccard").desc, col("id").asc).limit(k)
+  }
+}

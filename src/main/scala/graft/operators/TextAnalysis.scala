@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document-corpus text analysis: language ID, quality scoring, token
+  * accounting, fingerprinting (SURVEY.md §7 phase 5). One narrow
+  * projection — no shuffle, whole-stage codegen'd column expressions only —
+  * so at 100 TB it is scan-bound and embarrassingly parallel. */
+object TextAnalysis {
+
+  /** Full per-document profile. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      TF.langId(t).as("lang_pred"),
+      TF.qualityScore(t).as("quality"),
+      size(TF.tokens(t)).cast("long").as("n_words"),
+      TF.bpeishTokenCount(t).cast("long").as("n_tokens_bpe"),
+      length(t).cast("long").as("n_chars"),
+      TF.fingerprint(t).as("fingerprint"))
+  }
+
+  /** Corpus token accounting per source/lang — the "how much training data
+    * do we have" report. */
+  def tokenReport(df: DataFrame, textCol: String, byCols: String*): DataFrame =
+    df.groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(TF.tokens(col(textCol))).cast("long")).as("total_words"),
+           sum(TF.bpeishTokenCount(col(textCol)).cast("long")).as("total_tokens_bpe"),
+           sum(length(col(textCol)).cast("long")).as("total_chars"))
+
+  /** Quality filter: keep docs above a score threshold with a predicted
+    * language in `langs` (empty = any). */
+  def qualityFilter(df: DataFrame, textCol: String, minScore: Long,
+                    langs: Seq[String] = Seq.empty): DataFrame = {
+    val base = df.where(TF.qualityScore(col(textCol)) >= minScore)
+    if (langs.isEmpty) base
+    else base.where(TF.langId(col(textCol)).isin(langs: _*))
+  }
+}

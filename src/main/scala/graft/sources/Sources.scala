@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.config.GraftConfig
+import graft.event.Event
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source operators (SURVEY.md §2.1). Each reference source maps to a
+  * Structured Streaming built-in; what the reference hand-rolls (offset
+  * tracking, commit cadence, rebalance handling, seek flags, per-file read
+  * state) is subsumed by Spark's checkpointed offset management, so the
+  * code here is thin: option mapping + the event-shape projection.
+  */
+object Sources {
+
+  private implicit val eventEnc = Encoders.product[Event]
+
+  /** Project any 2-column (`body`, `headers`) DataFrame to `Dataset[Event]`. */
+  def asEvents(df: DataFrame): Dataset[Event] = df.as[Event]
+
+  /** DevZero synthetic generator (reference
+    * `core/src/main/scala/atiesh/source/DevZero.scala:38-41`: emits
+    * `batch-size` events `"0"` per cycle). Streaming form: the rate source
+    * with `rowsPerSecond = batch-size` (one "cycle" per second). */
+  def devZero(spark: SparkSession, batchSize: Int = 1024): Dataset[Event] =
+    asEvents(spark.readStream.format("rate")
+      .option("rowsPerSecond", batchSize.toLong)
+      .load()
+      .select(lit("0").as("body"),
+              map(lit("seq"), col("value").cast("string")).as("headers")))
+
+  /** Batch twin of devZero for offline tests/oracle (`n` events "0"). */
+  def devZeroBatch(spark: SparkSession, n: Long = 1024L): Dataset[Event] =
+    asEvents(spark.range(n)
+      .select(lit("0").as("body"),
+              map(lit("seq"), col("id").cast("string")).as("headers")))
+
+  /** Directory-watch tailing source (reference
+    * `DirectoryWatchSourceSemantics.scala:204-278`): Spark's file stream
+    * does the new-file discovery + per-file offsets; the reference's
+    * per-cycle line cap becomes `maxFilesPerTrigger`, the max-line-length
+    * guard (truncate-or-drop, reference `:224-244`) and the optional
+    * filename header (`fn`, reference `:50-53,219-223`) are projections.
+    * Offset-within-file (`off`) has no built-in equivalent — file
+    * granularity is what Spark's recovery tracks (documented trade). */
+  def directoryWatch(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 16,
+                     maxLineLength: Int = 512 * 1024,
+                     truncateOverLength: Boolean = true,
+                     fileHeaders: Boolean = false): Dataset[Event] = {
+    val raw = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
+      .load(dir)
+    val guarded =
+      if (truncateOverLength) raw.select(substring(col("value"), 1, maxLineLength).as("body"))
+      else raw.where(length(col("value")) <= maxLineLength).select(col("value").as("body"))
+    val withHeaders =
+      if (fileHeaders)
+        guarded.select(col("body"),
+          map(lit(Event.Headers.FileName), input_file_name()).as("headers"))
+      else guarded.select(col("body"), map().cast("map<string,string>").as("headers"))
+    asEvents(withHeaders)
+  }
+
+  /** Batch twin of the directory source (Trigger.AvailableNow-style tests
+    * and the oracle gate read the same projection as a plain scan). */
+  def directoryBatch(spark: SparkSession, dir: String,
+                     maxLineLength: Int = 512 * 1024,
+                     truncateOverLength: Boolean = true): Dataset[Event] = {
+    val raw = spark.read.format("text").load(dir)
+    val guarded =
+      if (truncateOverLength) raw.select(substring(col("value"), 1, maxLineLength).as("body"))
+      else raw.where(length(col("value")) <= maxLineLength).select(col("value").as("body"))
+    asEvents(guarded.select(col("body"), map().cast("map<string,string>").as("headers")))
+  }
+
+  /** Kafka consumer source option mapping (reference
+    * `KafkaSourceSenmantics.scala` — poll loop, commit cadence, rebalance
+    * listener, seek flags are all replaced by Spark's checkpointed offsets).
+    * Returns (format, options) for `spark.readStream.format(fmt).options(o)`;
+    * execution requires the spark-sql-kafka connector on the cluster
+    * classpath (not present in this offline environment — option mapping is
+    * unit-tested, execution is integration-gated). */
+  def kafkaSourceOptions(cfg: GraftConfig): (String, Map[String, String]) = {
+    val topics = cfg.getStringList("topics")
+    require(topics.nonEmpty, "kafka source needs <topics>")
+    val seekBeginning = cfg.getBoolean("seek-to-beginning", default = false)
+    val seekEnd = cfg.getBoolean("seek-to-end", default = false)
+    require(!(seekBeginning && seekEnd),
+      "cannot set both <seek-to-beginning> and <seek-to-end>") // reference KafkaSourceSenmantics.scala:245-251
+    val starting = if (seekBeginning) "earliest" else "latest"
+    ("kafka", Map(
+      "kafka.bootstrap.servers" -> cfg.getString("bootstrap-servers"),
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> cfg.getString("starting-offsets", starting),
+      // reference poll batching → trigger rate limit (backpressure parity)
+      "maxOffsetsPerTrigger" -> cfg.getLong("max-offsets-per-trigger", 10000L).toString,
+      "failOnDataLoss" -> cfg.getString("fail-on-data-loss", "false")))
+  }
+
+  /** Kafka record → Event projection (reference wraps record value with
+    * topic/partition headers and skips null values,
+    * `KafkaSourceSenmantics.scala:147-156`). Input: the kafka connector's
+    * fixed output schema (key, value, topic, partition, offset, ...). */
+  def kafkaRecordsAsEvents(df: DataFrame): Dataset[Event] =
+    asEvents(df
+      .where(col("value").isNotNull) // skip null values, reference :148-156
+      .select(col("value").cast("string").as("body"),
+        map(lit(Event.Headers.KafkaTopic), col("topic"),
+            lit(Event.Headers.KafkaPartition), col("partition").cast("string"))
+          .as("headers")))
+
+  /** The driver corpus `events` table reinterpreted as the event stream
+    * fixture (FIXTURES.md §4): body = props JSON, typed fields become
+    * headers. Used by the oracle gate and the e2e pipeline tests. */
+  def eventsTableAsEvents(df: DataFrame): Dataset[Event] =
+    asEvents(df.select(col("props").as("body"),
+      map(lit("event_type"), col("event_type"),
+          lit("user_id"), col("user_id").cast("string"),
+          lit("event_id"), col("event_id").cast("string")).as("headers")))
+
+  /** Streaming read of a parquet table directory (file-source). */
+  def parquetStream(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
+      .parquet(path)
+  }
+}

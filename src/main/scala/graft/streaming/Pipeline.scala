@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.config.GraftConfig
+import graft.event.Event
+import graft.interceptor.InterceptorChain
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Config-driven pipeline assembly — the engine's "query lifecycle"
+  * (SURVEY.md §3). The reference boots an actor graph from HOCON sections
+  * (`AtieshServer.scala:116-164`); here the same declaration builds one
+  * Structured Streaming query per source:
+  *
+  * {{{
+  * graft {
+  *   source      { s1 { type = directory, path = "/in", interceptors = [i1], sinks = [k1] } }
+  *   interceptor { i1 { fqcn = "graft.interceptor.Transparent", priority = 90 } }
+  *   sink        { k1 { type = file, path = "/out" } }
+  * }
+  * }}}
+  *
+  * Start order is sinks-before-sources like the reference (`AtieshServer
+  * .scala:133,151-152`) — trivially satisfied because sinks are passive
+  * writers; shutdown = `query.stop()` per source, offsets checkpointed, so
+  * the reference's graceful-drain/dump machinery reduces to "uncommitted
+  * offsets replay on restart" (at-least-once, same contract).
+  */
+object Pipeline {
+
+  final case class SinkSpec(name: String, accept: Option[String],
+                            writer: DataFrame => Unit)
+
+  final case class SourcePipeline(name: String, query: StreamingQuery)
+
+  /** Assemble and start every `graft.source.*` pipeline in the config. */
+  def start(spark: SparkSession, cfg: GraftConfig,
+            checkpointRoot: String): Seq[SourcePipeline] = {
+    val srcSection = cfg.getSection("graft.source").getOrElse(
+      throw new IllegalArgumentException("missing <graft.source> section"))
+    srcSection.sectionKeys.map { name =>
+      val sc = srcSection.getSection(name).get
+      SourcePipeline(name, startOne(spark, cfg, name, sc, s"$checkpointRoot/$name"))
+    }
+  }
+
+  private[streaming] def buildSource(spark: SparkSession, sc: GraftConfig)
+      : Dataset[Event] = sc.getString("type", "devzero") match {
+    case "devzero"   => Sources.devZero(spark, sc.getInt("batch-size", 1024))
+    case "directory" => Sources.directoryWatch(spark, sc.getString("path"),
+                          sc.getInt("max-files-per-trigger", 16),
+                          sc.getBytes("max-line-length", 512L * 1024).toInt,
+                          truncateOverLength = sc.getBoolean("truncate-over-length", default = true),
+                          fileHeaders = sc.getBoolean("enable-file-headers", default = false))
+    case "kafka"     =>
+      val (fmt, opts) = Sources.kafkaSourceOptions(sc)
+      Sources.kafkaRecordsAsEvents(
+        spark.readStream.format(fmt).options(opts).load())
+    case "events-parquet" => // the driver corpus replayed as a stream
+      Sources.eventsTableAsEvents(
+        Sources.parquetStream(spark, sc.getString("path"),
+                              sc.getInt("max-files-per-trigger", 4)))
+    case other => throw new IllegalArgumentException(s"unknown source type <$other>")
+  }
+
+  private[streaming] def buildSink(sc: GraftConfig): DataFrame => Unit =
+    sc.getString("type", "devnull") match {
+      case "devnull" | "noop" => Sinks.noopWriter
+      case "file"   => Sinks.fileWriter(sc.getString("path"),
+                                        sc.getString("format", "parquet"))
+      case "http"   => Sinks.httpWriter(Sinks.HttpSinkConfig.fromConfig(sc),
+                                        sc.getInt("batch-size", 128))
+      case "syslog" => Sinks.syslogWriter(sc.getString("remote-host"),
+                         sc.getInt("remote-port", 514),
+                         sc.getInt("facility", 1), sc.getInt("severity", 6),
+                         sc.getString("app", "graft"),
+                         useTcp = sc.getString("transport", "tcp") == "tcp")
+      case "kafka"  =>
+        val topic = sc.getStringOpt("topic")
+        val header = sc.getStringOpt("topic-header")
+        val opts = Sinks.kafkaSinkOptions(sc)
+        batch => { Sinks.kafkaRecords(batch, topic, header)
+          .write.format("kafka").options(opts).save(); () }
+      case other => throw new IllegalArgumentException(s"unknown sink type <$other>")
+    }
+
+  private def startOne(spark: SparkSession, root: GraftConfig, name: String,
+                       sc: GraftConfig, checkpoint: String): StreamingQuery = {
+    val events = buildSource(spark, sc)
+    val chain = InterceptorChain.fromConfig(root, sc.getStringList("interceptors"))
+    val transformed = chain(events)
+
+    val sinkSection = root.getSection("graft.sink").getOrElse(GraftConfig.empty)
+    val sinkNames = sc.getStringList("sinks")
+    require(sinkNames.nonEmpty, s"source <$name> declares no sinks")
+    val routes = sinkNames.map { sn =>
+      val scfg = sinkSection.getSection(sn).getOrElse(
+        throw new IllegalArgumentException(s"undeclared sink <$sn>"))
+      // acceptance predicate: SQL expression over (body, headers); default accept-all
+      Sinks.Route(sn, scfg.getStringOpt("accept").map(expr).getOrElse(lit(true)))
+    }
+    val writers = sinkNames.map { sn =>
+      sn -> buildSink(sinkSection.getSection(sn).get)
+    }.toMap
+
+    val trigger = sc.getDurationOpt("trigger-interval") match {
+      case Some(d) => Trigger.ProcessingTime(d)
+      case None if sc.getBoolean("available-now", default = false) => Trigger.AvailableNow()
+      case None => Trigger.ProcessingTime(0L)
+    }
+
+    transformed.toDF.writeStream
+      .queryName(s"graft-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.fanout(batch, routes, writers,
+          skipAcceptCheckOnSingle =
+            sc.getString("sink-select-strategy", "skip-accept-check-on-single") ==
+              "skip-accept-check-on-single")
+      }
+      .start()
+  }
+}

@@ -1,0 +1,109 @@
+package graft.tools
+
+import graft.config.GraftConfig
+import graft.functions.{Compressor, DumpCodec, TextFunctions => TF, VectorFunctions => VF}
+import graft.event.Event
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end smoke driver: exercises the public library surface against
+  * the driver corpus + a real config-assembled streaming pipeline.
+  * Run: `sbt "runMain graft.tools.Smoke"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = {
+      println(f"[time] $tag: ${(System.nanoTime() - t0) / 1e9}%.1fs"); t0 = System.nanoTime()
+    }
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    lap("startup")
+
+    // 1. streaming pipeline from config: directory source -> interceptor -> file sink
+    val work = java.nio.file.Files.createTempDirectory("graft-smoke")
+    val inDir = work.resolve("in"); val outDir = work.resolve("out")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.write(inDir.resolve("a.txt"),
+      "hello world\nERROR bad line\nanother event\n".getBytes)
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = directory, path = "$inDir",
+                      interceptors = [keep], sinks = [f1] } }
+        interceptor { keep { fqcn = "graft.interceptor.Transparent", priority = 90 } }
+        sink { f1 { type = file, path = "$outDir" } }
+      }""")
+    val pipelines = Pipeline.start(spark, conf, work.resolve("ckpt").toString)
+    pipelines.foreach(_.query.processAllAvailable())
+    pipelines.foreach(_.query.stop())
+    val delivered = spark.read.parquet(outDir.toString)
+    println(s"[smoke] pipeline delivered rows=${delivered.count()}")
+    delivered.show(5, truncate = false)
+    lap("pipeline")
+
+    // 2. interceptor chain semantics (drop + fail-open) via typed path
+    import graft.interceptor._
+    val chain = InterceptorChain(Seq(
+      RegexFilter("noerr", "^(?!ERROR).*", priority = 90),
+      Transparent("t", priority = 10)))
+    println(s"[smoke] chain drops ERROR line: ${chain.interceptOne(Event("ERROR x"))}")
+    println(s"[smoke] chain keeps normal:     ${chain.interceptOne(Event("fine"))}")
+
+    // 3. gzip + dump codec round trips
+    val gz = Compressor.gzipDecompress(Compressor.gzipCompress("payload ü".getBytes("UTF-8")))
+    println(s"[smoke] gzip roundtrip: ${new String(gz, "UTF-8")}")
+    val ev = Event("body;x", Map("k,1" -> "v;2"))
+    println(s"[smoke] dump roundtrip ok: ${DumpCodec.decode(DumpCodec.encode(ev)) == ev}")
+
+    // 4. operators on the driver corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    println("[smoke] text profile:")
+    TextAnalysis.profile(docs, "doc_id", "text").show(3, truncate = false)
+    lap("profile")
+
+    println("[smoke] minhash LSH near-dup pairs (threshold .7):")
+    Dedup.minhashLshPairs(docs, "doc_id", "text").show(5)
+    lap("minhash")
+
+    println("[smoke] simhash pairs (hamming<=8):")
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8).show(5)
+    lap("simhash")
+
+    println("[smoke] ngram jaccard pairs (threshold .2):")
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2).show(5)
+    lap("ngram")
+
+    println("[smoke] brute-force cosine top-3 for first 2 vectors:")
+    val queries = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 3).show()
+    lap("brute")
+
+    println("[smoke] LSH ANN top-3 (same queries):")
+    Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 3).show()
+    lap("lsh")
+
+    println("[smoke] multimodal stub decode:")
+    val media = Multimodal.withBinaryPayload(docs.limit(5), "doc_id", "text", "video")
+    Multimodal.decodeMeta(media).show(truncate = false)
+    lap("multimodal")
+
+    println("[smoke] cosine expression plan (codegen check):")
+    emb.limit(1).select(VF.cosineSim(col("embedding"), col("embedding")).as("c"))
+      .explain("codegen")
+
+    spark.stop()
+    println("[smoke] DONE")
+  }
+}
