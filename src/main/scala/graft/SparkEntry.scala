@@ -1,13 +1,649 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.event.Event
+import graft.functions.{Backoff, Base64Functions => B64, DumpCodec,
+  GzipFunctions => GZ, TextFunctions => TF}
+import graft.interceptor.{HeaderEnrich, InterceptorChain, RegexFilter, Transparent, DevNull => DevNullItp}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.streaming.BatchSemantics
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the §7-phase-5 training-data operators), with `oracleSql`
+  * giving the DuckDB-equivalent for every SQL-expressible one.
+  *
+  * Cross-engine determinism rules used throughout (verified empirically):
+  *  - money/sum aggregates go through DECIMAL casts (double sums are
+  *    order-dependent); counts cast to BIGINT in DuckDB (its SUM(BIGINT)
+  *    is HUGEINT);
+  *  - integer-ratio outputs use floor() in both engines (Spark's
+  *    double→long cast truncates, DuckDB's rounds);
+  *  - raw `ts` values never escape (parquet ns vs µs) — epoch millis or
+  *    date_trunc only;
+  *  - base64 uses graft's basic codec (Spark's builtin is MIME-chunked);
+  *  - every query ends in an explicit ORDER BY on a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` (int64 nanos under nanosAsLong — Spark has no ns
+    * timestamp type) projected to exact epoch-millis via integer division;
+    * `/` on longs would go through double and lose precision above 2^53. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ==== reference-parity pipeline queries =================================
+
+  private def pipeTransform(s: SparkSession, dir: String): DataFrame = {
+    // interceptor chain over the event stream: regex keep-filter (columnar
+    // path) + header enrichment, then a stable projection
+    val events = Sources.eventsTableAsEvents(t(s, dir, "events"))
+    val chain = InterceptorChain(Seq(
+      RegexFilter("keep8x", "\"k\": 8\\d", priority = 90),
+      HeaderEnrich("tag", Map("source" -> "graft"), priority = 50)))
+    chain(events).toDF
+      .select(element_at(col("headers"), "event_id").cast("long").as("event_id"),
+              col("body"),
+              element_at(col("headers"), "source").as("source"))
+      .orderBy("event_id")
+  }
+
+  private def pipeRoute(s: SparkSession, dir: String): DataFrame = {
+    val events = Sources.eventsTableAsEvents(t(s, dir, "events")).toDF
+    val et = element_at(col("headers"), "event_type")
+    val routes = Seq(
+      Sinks.Route("kafka_sink", et === "purchase"),
+      Sinks.Route("syslog_sink", et === "error"),
+      Sinks.Route("http_sink", lit(true)))
+    Sinks.assign(events, routes, skipAcceptCheckOnSingle = false)
+      .groupBy(col("__sink").as("sink")).agg(count(lit(1)).as("n"))
+      .orderBy("sink")
+  }
+
+  private def pipeSplitWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  private def pipeB64(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+        col("event_id"),
+        B64.b64(to_binary(col("props"), lit("utf-8"))).as("b64"),
+        (decode(B64.unb64(B64.b64(to_binary(col("props"), lit("utf-8")))), "utf-8")
+          === col("props")).as("roundtrip_ok"))
+      .orderBy("event_id")
+
+  private def pipeBatchAssembly(s: SparkSession, dir: String): DataFrame =
+    BatchSemantics.batchByTagStatic(t(s, dir, "events"),
+        tagCol = "event_type", bodyCol = "props", orderCol = "event_id",
+        batchSize = 100)
+      .select(col("tag"), col("batch_idx"), col("batch_n"),
+              md5(to_binary(col("batch_body"), lit("utf-8"))).as("batch_md5"))
+      .orderBy("tag", "batch_idx")
+
+  private def pipeBackoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(20).map(n => (n, Backoff.delayMillis(n.toDouble)))
+      .toDF("attempt", "delay_ms").orderBy("attempt")
+  }
+
+  private def pipeDevZero(s: SparkSession, dir: String): DataFrame =
+    Sources.devZeroBatch(s, 1024).toDF
+      .select(element_at(col("headers"), "seq").cast("long").as("seq"), col("body"))
+      .orderBy("seq")
+
+  private def pipeHeaders(s: SparkSession, dir: String): DataFrame = {
+    val events = Sources.eventsTableAsEvents(t(s, dir, "events"))
+    val enriched = InterceptorChain(Seq(HeaderEnrich("t", Map("source" -> "graft"))))(events)
+    enriched.toDF.select(
+        element_at(col("headers"), "event_id").cast("long").as("event_id"),
+        array_join(sort_array(transform(map_entries(col("headers")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+          .as("headers_flat"))
+      .orderBy("event_id")
+  }
+
+  private def pipeDumpCodec(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[(Long, String)]
+    t(s, dir, "events").select(col("event_id"), col("props"), col("event_type"))
+      .as(Encoders.product[(Long, String, String)])
+      .map { case (id, props, et) =>
+        (id, DumpCodec.encode(Event(props, Map("et" -> et)))) }
+      .toDF("event_id", "dump").orderBy("event_id")
+  }
+
+  private def pipeGzip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        (decode(GZ.gunzip(GZ.gzip(to_binary(col("text"), lit("utf-8")))), "utf-8")
+          === col("text")).as("roundtrip_ok"),
+        length(GZ.gzip(to_binary(col("text"), lit("utf-8")))).as("gz_len"))
+      .orderBy("doc_id")
+
+  // ==== streaming-semantics queries (batch twins) =========================
+
+  private def streamHourWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy((expr("ts_ms DIV 3600000") * 3600000L).as("hour_ms"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .orderBy("hour_ms", "event_type")
+
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+             col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private def streamDedupEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+
+  // ==== relational queries (Catalyst built-ins; bench headliners) =========
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q3TopK(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), o("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") &&
+               c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(18,4)").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.where(col("c_acctbal") > 5000).select("c_custkey")
+    val inter = building.intersect(rich).select(lit("intersect").as("op"), col("c_custkey"))
+    val exc = building.except(rich).select(lit("except").as("op"), col("c_custkey"))
+    inter.unionByName(exc).orderBy("op", "c_custkey")
+  }
+
+  private def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+      .limit(100)
+
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+    withOrders.unionByName(withoutOrders).orderBy("kind")
+  }
+
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(countDistinct(col("s_suppkey")).as("n_suppliers"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("n_name")
+  }
+
+  // ==== LLM-data-pipeline operators ======================================
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSurvivors(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("text_hash")
+
+  private def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedSurvivors(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("text_hash")
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+      .orderBy("id_a", "id_b")
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bruteForce = true)
+      .orderBy("id_a", "id_b")
+
+  private def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  private def simLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, bits = 8, probes = 2)
+      .orderBy("qid", "rank")
+  }
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_words"),
+        TF.bpeishTokenCount(col("text")).cast("long").as("n_tokens_bpe"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.langScore(c, "de").cast("long").as("s_de"),
+        TF.langScore(c, "en").cast("long").as("s_en"),
+        TF.langScore(c, "es").cast("long").as("s_es"),
+        TF.langScore(c, "fr").cast("long").as("s_fr"),
+        TF.langScore(c, "zh").cast("long").as("s_zh"),
+        TF.langId(c).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val comps = TF.qualityComponents(col("text"))
+    t(s, dir, "documents").select(
+        (col("doc_id") +: comps.map { case (n, c) => c.as(n) } :+
+          TF.qualityScore(col("text")).as("quality")): _*)
+      .orderBy("doc_id")
+  }
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private def textRollhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"), TF.rollingHash(col("text")).as("rollhash"))
+      .orderBy("doc_id")
+
+  private def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("kind",
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", col("kind"))
+    Multimodal.decodeMeta(media).toDF.orderBy("id")
+  }
+
+  private def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("kind", lit("video"))
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", col("kind"))
+    Multimodal.sampleFrames(Multimodal.decodeMeta(media), everyN = 10)
+      .orderBy("id", "frame_idx")
+  }
+
+  private def eventsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  // ======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pipeline parity (SURVEY §2.1-2.4)
+    "pipe_transform"      -> pipeTransform _,
+    "pipe_drop_all"       -> ((s, dir) =>
+      InterceptorChain(Seq(DevNullItp("dn")))(
+        Sources.eventsTableAsEvents(t(s, dir, "events"))).toDF.select("body")),
+    "pipe_route"          -> pipeRoute _,
+    "pipe_split_words"    -> pipeSplitWords _,
+    "pipe_b64"            -> pipeB64 _,
+    "pipe_batch_assembly" -> pipeBatchAssembly _,
+    "pipe_backoff"        -> pipeBackoff _,
+    "pipe_devzero"        -> pipeDevZero _,
+    "pipe_headers"        -> pipeHeaders _,
+    "pipe_dump_codec"     -> pipeDumpCodec _,
+    "pipe_gzip"           -> pipeGzip _,
+    // streaming semantics (batch twins; live-stream path covered in tests)
+    "stream_hour_window"  -> streamHourWindow _,
+    "stream_sessionize"   -> streamSessionize _,
+    "stream_dedup_events" -> streamDedupEvents _,
+    // relational
+    "q1_agg"              -> q1Agg _,
+    "q3_topk"             -> q3TopK _,
+    "q5_join"             -> q5Join _,
+    "q_window_rank"       -> qWindowRank _,
+    "q_setops"            -> qSetOps _,
+    "q_sort_limit"        -> qSortLimit _,
+    "q_semi_anti"         -> qSemiAnti _,
+    "q_distinct_agg"      -> qDistinctAgg _,
+    // LLM-data-pipeline operators
+    "dedup_exact"         -> dedupExact _,
+    "dedup_normalized"    -> dedupNormalized _,
+    "dedup_minhash"       -> dedupMinhash _,
+    "dedup_simhash"       -> dedupSimhash _,
+    "dedup_ngram"         -> dedupNgram _,
+    "dedup_embedding"     -> dedupEmbedding _,
+    "sim_topk"            -> simTopK _,
+    "sim_lsh_topk"        -> simLshTopK _,
+    "text_stats"          -> textStats _,
+    "text_langid"         -> textLangId _,
+    "text_quality"        -> textQuality _,
+    "text_fingerprint"    -> textFingerprint _,
+    "text_rollhash"       -> textRollhash _,
+    "mm_decode"           -> mmDecode _,
+    "mm_frames"           -> mmFrames _,
+    "events_json"         -> eventsJson _)
+
+  // ==== DuckDB oracles ====================================================
+
+  /** Normalized-token expression shared by several oracles (DuckDB SQL
+    * equivalent of TextFunctions.normText/tokens). */
+  private val sqlToks =
+    """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
+
+  private def langScoreSql(lang: String): String = {
+    val words = TF.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_intersect(list_distinct($sqlToks), $words))::BIGINT"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_transform" -> """
+      SELECT event_id, props AS body, 'graft' AS source
+      FROM events WHERE regexp_matches(props, '"k": 8\d')
+      ORDER BY event_id""",
+    "pipe_drop_all" -> "SELECT props AS body FROM events WHERE 1 = 0",
+    "pipe_route" -> """
+      SELECT CASE WHEN event_type = 'purchase' THEN 'kafka_sink'
+                  WHEN event_type = 'error' THEN 'syslog_sink'
+                  ELSE 'http_sink' END AS sink,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1 ORDER BY sink""",
+    "pipe_split_words" -> s"""
+      WITH w AS (SELECT unnest($sqlToks) AS word FROM documents)
+      SELECT word, count(*)::BIGINT AS n FROM w WHERE word <> ''
+      GROUP BY word ORDER BY word""",
+    "pipe_b64" -> """
+      SELECT event_id, to_base64(encode(props)) AS b64, true AS roundtrip_ok
+      FROM events ORDER BY event_id""",
+    "pipe_batch_assembly" -> """
+      WITH rn AS (
+        SELECT event_type AS tag, props, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS r
+        FROM events)
+      SELECT tag, r // 100 AS batch_idx, count(*)::BIGINT AS batch_n,
+             md5(string_agg(props, chr(10) ORDER BY r)) AS batch_md5
+      FROM rn GROUP BY tag, r // 100 ORDER BY tag, batch_idx""",
+    "pipe_backoff" -> """
+      SELECT range AS attempt,
+             least((pow(2, least(range, 16)) * 1000)::BIGINT, 32000)::BIGINT AS delay_ms
+      FROM range(20) ORDER BY attempt""",
+    "pipe_devzero" -> """
+      SELECT range AS seq, '0' AS body FROM range(1024) ORDER BY seq""",
+    "pipe_headers" -> """
+      SELECT event_id,
+             'event_id=' || event_id || ',event_type=' || event_type ||
+             ',source=graft,user_id=' || user_id AS headers_flat
+      FROM events ORDER BY event_id""",
+    "pipe_dump_codec" -> """
+      SELECT event_id,
+             to_base64(encode(props)) || ';' || to_base64(encode('et')) || ',' ||
+             to_base64(encode(event_type)) AS dump
+      FROM events ORDER BY event_id""",
+    "stream_hour_window" -> """
+      SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+             count(*)::BIGINT AS n,
+             sum(value::DECIMAL(18,2))::DECIMAL(18,2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+    "stream_sessionize" -> """
+      WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+             count(*)::BIGINT AS n_events
+      FROM g GROUP BY user_id ORDER BY user_id""",
+    "stream_dedup_events" -> """
+      SELECT user_id, event_type, min(event_id) AS first_event_id,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty,
+             sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(18,2) AS sum_base_price,
+             sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS sum_disc_price,
+             count(*)::BIGINT AS count_order
+      FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q3_topk" -> """
+      SELECT l_orderkey, o_orderdate::DATE AS o_orderdate,
+             sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q5_join" -> """
+      SELECT n_name,
+             sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name""",
+    "q_window_rank" -> """
+      WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders)
+      SELECT o_custkey, rk::INT AS rk, o_orderkey, o_totalprice FROM r
+      WHERE rk <= 2 ORDER BY o_custkey, rk""",
+    "q_setops" -> """
+      WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+      UNION ALL
+      SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+      ORDER BY op, c_custkey""",
+    "q_sort_limit" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_semi_anti" -> """
+      SELECT 'with_orders' AS kind, count(*)::BIGINT AS n FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'without_orders' AS kind, count(*)::BIGINT AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY kind""",
+    "q_distinct_agg" -> """
+      SELECT n_name, count(DISTINCT s_suppkey)::BIGINT AS n_suppliers,
+             count(*)::BIGINT AS n_rows
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "dedup_exact" -> """
+      SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+             count(*)::BIGINT AS n_copies
+      FROM documents GROUP BY 1 ORDER BY text_hash""",
+    "dedup_normalized" -> """
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS text_hash,
+             min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+      FROM documents GROUP BY 1 ORDER BY text_hash""",
+    "dedup_ngram" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
+      FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+      ORDER BY id_a, id_b""",
+    "dedup_embedding" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      ORDER BY id_a, id_b""",
+    "sim_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank""",
+    "text_stats" -> s"""
+      SELECT doc_id, len($sqlToks)::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
+             length(text)::BIGINT AS n_chars
+      FROM documents ORDER BY doc_id""",
+    "text_langid" -> s"""
+      WITH s AS (
+        SELECT doc_id,
+               ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+               ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+               ${langScoreSql("zh")} AS s_zh
+        FROM documents)
+      SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM s ORDER BY doc_id""",
+    "text_quality" -> s"""
+      WITH c AS (
+        SELECT doc_id, length(text)::BIGINT AS n_chars_m,
+               len($sqlToks)::BIGINT AS n_tokens,
+               CASE WHEN len($sqlToks) > 0 THEN
+                 floor(list_aggregate(list_transform($sqlToks, x -> len(x)), 'sum') * 1000.0 / len($sqlToks))::BIGINT
+               ELSE 0 END AS mean_word_len_pm,
+               CASE WHEN length(text) > 0 THEN
+                 floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
+               ELSE 0 END AS punct_pm,
+               ${langScoreSql("en")} AS stop_hits
+        FROM documents)
+      SELECT doc_id, n_chars_m, n_tokens, mean_word_len_pm, punct_pm, stop_hits,
+             (least(n_tokens, 200) * 2 +
+              CASE WHEN punct_pm <= 80 THEN 300 ELSE 100 END +
+              least(stop_hits * 30, 300))::BIGINT AS quality
+      FROM c ORDER BY doc_id""",
+    "text_fingerprint" -> """
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents ORDER BY doc_id""",
+    "mm_decode" -> """
+      WITH m AS (
+        SELECT doc_id AS id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text))::BIGINT AS byteLen, md5(text) AS sha
+        FROM documents)
+      SELECT id, kind, byteLen,
+             (byteLen % 640 + 16)::INT AS width,
+             ((byteLen * 31) % 480 + 16)::INT AS height,
+             CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END::INT AS sampleRateHz,
+             CASE WHEN kind = 'video' THEN (byteLen % 300 + 1) ELSE 1 END::INT AS nFrames,
+             sha
+      FROM m ORDER BY id""",
+    "mm_frames" -> """
+      WITH m AS (
+        SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS len
+        FROM documents),
+      f AS (SELECT id, (len % 300 + 1)::INT AS nFrames FROM m)
+      SELECT id, nFrames, unnest(range(0, nFrames, 10))::INT AS frame_idx
+      FROM f ORDER BY id, frame_idx""",
+    "events_json" -> """
+      SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+      FROM events ORDER BY event_id""")
 }

@@ -57,7 +57,9 @@ object VectorExpressions {
         val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
         dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
       }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      // dot / (sqrt(na)*sqrt(nb)) — matches DuckDB list_cosine_similarity
+      // bit-for-bit (sqrt(na*nb) differs in the last ulp)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -72,7 +74,7 @@ object VectorExpressions {
            |  double $yv = (double) $b.getFloat($i);
            |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |}
-           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimF =

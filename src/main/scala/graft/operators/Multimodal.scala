@@ -55,8 +55,12 @@ object Multimodal {
   /** Attach a binary payload column to any table (here: utf-8 bytes of a
     * text column — the plumbing stand-in for real image/audio bytes). */
   def withBinaryPayload(df: DataFrame, idCol: String, textCol: String,
-                        kind: String = "image"): DataFrame =
-    df.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
+                        kind: String): DataFrame =
+    withBinaryPayload(df, idCol, textCol, lit(kind))
+
+  def withBinaryPayload(df: DataFrame, idCol: String, textCol: String,
+                        kind: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), kind.as("kind"),
               to_binary(col(textCol), lit("utf-8")).as("payload"),
               map(lit("origin"), col(idCol).cast("string")).as("meta"))
 
