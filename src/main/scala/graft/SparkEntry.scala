@@ -270,7 +270,7 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =

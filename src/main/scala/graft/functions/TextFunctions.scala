@@ -38,9 +38,13 @@ object TextFunctions {
   }
 
   /** Distinct 64-bit shingle hashes — the set representation used by
-    * MinHash and Jaccard near-dup. */
-  def shingleHashes(c: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(c, n), s => xxhash64(s)))
+    * MinHash and Jaccard near-dup. Native single-pass expression over the
+    * normalized text (see [[ShingleHashes]] for why not a HOF composition).
+    */
+  def shingleHashes(c: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(ShingleHashes(expression(normText(c)), n))
+  }
 
   // MinHash: k independent permutations h_i(x) = (a_i * x + b_i) mod p over
   // a 61-bit Mersenne prime; constants from a fixed split-mix sequence so
@@ -65,25 +69,14 @@ object TextFunctions {
   /** k-element MinHash signature of an ARRAY<BIGINT> of element hashes.
     * Pure column composition: `transform(0..k-1, i -> min(map(hashes)))` —
     * stays in codegen, no UDF, no shuffle. */
+  /** Native expression (see [[MinHashSig]]): one tight primitive loop per
+    * row, whole-stage codegen'd. An earlier higher-order-function
+    * composition was 30×+ slower — HOF arguments re-evaluate per enclosing
+    * lambda element, and the interpreted lambda path allocates per element.
+    */
   def minhashSignature(hashes: Column, k: Int = 128, seed: Long = 42L): Column = {
-    val (a, b) = minhashCoefficients(k, seed)
-    val ab = array(a.indices.map(i =>
-      struct(lit(a(i)).as("a"), lit(b(i)).as("b"))): _*)
-    // Single pass over `hashes` with the k minima carried in the aggregate
-    // accumulator. Shape matters: higher-order-function *arguments* are
-    // re-evaluated each time the enclosing lambda runs, so the naive
-    // `transform(perms, p -> array_min(transform(hashes, …)))` re-evaluates
-    // the whole upstream shingle/hash expression once per permutation
-    // (k× per row — measured 100×+ slower when the caller's projection gets
-    // collapse-inlined). Here `hashes` is the aggregate input: evaluated
-    // exactly once per row no matter what Catalyst inlines into it.
-    aggregate(
-      hashes,
-      array_repeat(lit(MinhashPrime), k),
-      (acc, h) => zip_with(acc, ab, (m, p) =>
-        // a,b < 2^31 and h folded to [0, 2^31) → a*h + b < 2^62: no overflow
-        least(m, pmod(p.getField("a") * pmod(h, lit(2147483647L)) + p.getField("b"),
-                      lit(MinhashPrime)))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(MinHashSig(expression(hashes), k, seed))
   }
 
   /** LSH band keys from a MinHash signature: split into `bands` bands of
@@ -167,6 +160,62 @@ object TextFunctions {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(RollingHash64(expression(c)))
   }
+}
+
+/** k-permutation MinHash signature of an ARRAY<BIGINT> of element hashes:
+  * sig[j] = min over h of (a_j · fold(h) + b_j) mod (2^61−1), with
+  * fold(h) = h mod (2^31−1) ≥ 0 and a_j, b_j < 2^31 (so the product stays
+  * under 2^62 — no overflow under ANSI mode, no 128-bit reduction).
+  * Coefficients come from [[TextFunctions.minhashCoefficients]] (fixed
+  * splitmix64 seed → signatures deterministic across executors/runs).
+  */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val P = TextFunctions.MinhashPrime
+  @transient private lazy val coeffs = TextFunctions.minhashCoefficients(k, seed)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val (a, b) = coeffs
+    val acc = Array.fill(k)(P)
+    var i = 0
+    while (i < arr.numElements()) {
+      val hh = java.lang.Math.floorMod(arr.getLong(i), 2147483647L)
+      var j = 0
+      while (j < k) {
+        val v2 = (a(j) * hh + b(j)) % P
+        if (v2 < acc(j)) acc(j) = v2
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", coeffs._1, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", coeffs._2, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val hh = ctx.freshName("hh")
+      val v2 = ctx.freshName("v2")
+      s"""
+         |long[] $acc = new long[$k];
+         |java.util.Arrays.fill($acc, ${P}L);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $hh = java.lang.Math.floorMod($c.getLong($i), 2147483647L);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v2 = ($aRef[$j] * $hh + $bRef[$j]) % ${P}L;
+         |    if ($v2 < $acc[$j]) $acc[$j] = $v2;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($acc);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
 }
 
 /** 64-bit SimHash: for each of 64 bit positions, majority vote of the

@@ -111,10 +111,14 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       .persist() // shingle sets reused by both join sides
     val posting = sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
-    // prune pathological shingles (stopword-only n-grams at corpus scale)
-    val rare = posting.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .where(col("df") <= maxDocFreq).drop("df")
+    // prune pathological shingles (stopword-only n-grams at corpus scale);
+    // skipped entirely when unbounded so the exact/oracle config pays no
+    // extra shuffle for the doc-frequency window
+    val rare =
+      if (maxDocFreq == Long.MaxValue) posting
+      else posting.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .where(col("df") <= maxDocFreq).drop("df")
     rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -14,7 +14,7 @@ object MinhashDebug {
     def lap(tag: String): Unit = {
       println(f"[dbg] $tag: ${(System.nanoTime() - t0) / 1e9}%.1fs"); t0 = System.nanoTime()
     }
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sys.env.getOrElse("MHDBG_SF", "/root/testdata/sf0.001") + "/documents.parquet")
     println("shingle count: " + docs.select(size(TF.shingleHashes(col("text"), 3)).as("n"))
       .agg(sum("n"), avg("n")).collect().mkString)
     lap("shingles")
