@@ -35,7 +35,10 @@ object DumpCodec {
     val parts = line.split(';')
     val body = new String(dec.decode(parts.head), UTF_8)
     val headers = parts.tail.foldLeft(Map.empty[String, String]) { (hs, p) =>
-      val Array(k, v) = p.split(',')
+      // split with limit -1: an empty header value encodes as "key," and a
+      // plain split(',') would drop the trailing empty field (the reference
+      // decoder crashes on this input — deliberate robustness divergence)
+      val Array(k, v) = p.split(",", -1)
       hs + (new String(dec.decode(k), UTF_8) -> new String(dec.decode(v), UTF_8))
     }
     Event(body, headers)

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+  private lazy val emb = spark.read.parquet(sf("embeddings"))
+
+  test("exact dedup keeps min id per duplicate text") {
+    val df = spark.createDataFrame(Seq(
+      (10L, "same text"), (3L, "same text"), (7L, "other"), (8L, "same text")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSurvivors(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(3L -> 3L, 7L -> 1L))
+  }
+
+  test("ngram jaccard pairs match brute-force jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.3, maxDocFreq = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // brute force on the driver over the same corpus
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ").trim.split(" ", -1).toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val expected = (for {
+      (ia, sa) <- local; (ib, sb) <- local if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.3
+    } yield (ia, ib) -> j).toMap
+    assert(pairs.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(math.abs(pairs(k) - v) < 1e-12, k) }
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " aa bb cc"
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs: planted near-dup found, blocking finds all close pairs") {
+    val base = (1 to 64).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 62).map(i => s"w$i") ++ Seq("xx", "yy")).mkString(" ")
+    val df = spark.createDataFrame(Seq((1L, base), (2L, near))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 16).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L)
+  }
+
+  test("embedding cosine pairs: LSH candidates are a subset of brute force") {
+    val brute = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.35, bruteForce = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.35, bruteForce = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(brute.nonEmpty)
+  }
+
+  test("survivors drops the larger id of every dup pair") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))).toDF("doc_id", "text")
+    val pairs = spark.createDataFrame(Seq((1L, 2L), (3L, 4L))).toDF("id_a", "id_b")
+    val out = Dedup.survivors(df, pairs, "doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 5L))
+  }
+
+  test("bruteForceTopK matches a driver-side computation") {
+    val queries = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank")))
+
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.map(_._1).toSeq == expected.toSeq)
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, bits = 6, probes = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.1, s"recall=$recall") // loose: random vectors, coarse buckets
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.config.GraftConfig
+import graft.streaming.{BatchSemantics, Pipeline}
+
+import java.nio.file.Files
+
+class PipelineStreamingSpec extends SparkSpec {
+
+  test("config-assembled pipeline: directory source → chain → file sink") {
+    val work = Files.createTempDirectory("graft-pipe")
+    val in = work.resolve("in"); Files.createDirectories(in)
+    Files.write(in.resolve("a.txt"), "one\nERROR two\nthree\n".getBytes)
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = directory, path = "$in",
+                      interceptors = [noerr], sinks = [out] } }
+        interceptor { noerr { fqcn = "graft.interceptor.Transparent" } }
+        sink { out { type = file, path = "${work.resolve("out")}" } }
+      }""")
+    val ps = Pipeline.start(spark, conf, work.resolve("ck").toString)
+    ps.foreach(_.query.processAllAvailable())
+    ps.foreach(_.query.stop())
+    val out = spark.read.parquet(work.resolve("out").toString)
+    assert(out.count() == 3)
+    assert(out.columns.toSet == Set("body", "headers"))
+  }
+
+  test("multi-sink routing fan-out delivers disjoint slices") {
+    val work = Files.createTempDirectory("graft-route")
+    val in = work.resolve("in"); Files.createDirectories(in)
+    Files.write(in.resolve("a.txt"), "apple\nbanana\navocado\ncherry\n".getBytes)
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = directory, path = "$in", sinks = [a_sink, rest] } }
+        sink {
+          a_sink { type = file, path = "${work.resolve("a")}",
+                   accept = "body LIKE 'a%'" }
+          rest   { type = file, path = "${work.resolve("rest")}" }
+        }
+      }""")
+    val ps = Pipeline.start(spark, conf, work.resolve("ck").toString)
+    ps.foreach(_.query.processAllAvailable())
+    ps.foreach(_.query.stop())
+    val a = spark.read.parquet(work.resolve("a").toString)
+      .collect().map(_.getString(0)).toSet
+    val rest = spark.read.parquet(work.resolve("rest").toString)
+      .collect().map(_.getString(0)).toSet
+    assert(a == Set("apple", "avocado"))
+    assert(rest == Set("banana", "cherry"))
+  }
+
+  test("restart from checkpoint processes only new files (at-least-once recovery)") {
+    val work = Files.createTempDirectory("graft-recover")
+    val in = work.resolve("in"); Files.createDirectories(in)
+    Files.write(in.resolve("a.txt"), "a1\na2\n".getBytes)
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = directory, path = "$in", sinks = [out] } }
+        sink { out { type = file, path = "${work.resolve("out")}" } }
+      }""")
+    val ck = work.resolve("ck").toString
+    val p1 = Pipeline.start(spark, conf, ck)
+    p1.foreach(_.query.processAllAvailable())
+    p1.foreach(_.query.stop())
+    // second batch of input arrives while the query is down
+    Files.write(in.resolve("b.txt"), "b1\n".getBytes)
+    val p2 = Pipeline.start(spark, conf, ck)
+    p2.foreach(_.query.processAllAvailable())
+    p2.foreach(_.query.stop())
+    val bodies = spark.read.parquet(work.resolve("out").toString)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(bodies == Seq("a1", "a2", "b1")) // no loss, no duplication
+  }
+
+  test("batch semantics config validation (reference parity)") {
+    intercept[IllegalArgumentException](BatchSemantics.Config(1, 1000))
+    intercept[IllegalArgumentException](BatchSemantics.Config(0, 0))
+    BatchSemantics.Config(0, 1000) // timeout-only ok
+    BatchSemantics.Config(16, 0)   // size-only ok
+  }
+
+  test("static batching splits per tag at the size boundary in order") {
+    val df = spark.createDataFrame(
+      (1 to 7).map(i => ("A", s"a$i", i)) ++ (1 to 3).map(i => ("B", s"b$i", i)))
+      .toDF("tag", "body", "ord")
+    val out = BatchSemantics.batchByTagStatic(df, "tag", "body", "ord", batchSize = 3)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[Long]("batch_idx")) ->
+        (r.getAs[Long]("batch_n"), r.getAs[String]("batch_body"))).toMap
+    assert(out(("A", 0L)) == (3L, "a1\na2\na3"))
+    assert(out(("A", 1L)) == (3L, "a4\na5\na6"))
+    assert(out(("A", 2L)) == (1L, "a7"))
+    assert(out(("B", 0L)) == (3L, "b1\nb2\nb3"))
+  }
+
+  test("unknown source/sink names fail at assembly (reference parity)") {
+    val conf = GraftConfig.parse("""
+      graft { source { s1 { type = devzero, sinks = [nope] } } sink { } }""")
+    intercept[IllegalArgumentException](
+      Pipeline.start(spark, conf, Files.createTempDirectory("x").toString))
+  }
+
+  test("kafka source option mapping (seek flags, rate limit, validation)") {
+    import graft.sources.Sources
+    val (fmt, opts) = Sources.kafkaSourceOptions(GraftConfig.parse("""
+      topics = [t1, t2]
+      bootstrap-servers = "b:9092"
+      seek-to-beginning = true
+      max-offsets-per-trigger = 5000"""))
+    assert(fmt == "kafka")
+    assert(opts("subscribe") == "t1,t2")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("maxOffsetsPerTrigger") == "5000")
+    intercept[IllegalArgumentException](Sources.kafkaSourceOptions(GraftConfig.parse(
+      """topics = [t], bootstrap-servers = "b", seek-to-beginning = true, seek-to-end = true""")))
+  }
+}

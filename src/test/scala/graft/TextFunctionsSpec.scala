@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+
+  /** Reference (slow, obviously-correct) shingle set builder. */
+  private def refShingles(text: String, n: Int): Set[String] = {
+    val norm = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+      .replaceAll("\\s+", " ").trim
+    val toks = norm.split(" ", -1).toSeq
+    if (toks.size < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("shingleHashes: native expression count matches reference set builder") {
+    val got = docs.select(col("doc_id"), col("text"),
+        size(TF.shingleHashes(col("text"), 3)).as("n")).collect()
+    got.foreach { case Row(id: Long, text: String, n: Int) =>
+      assert(n == refShingles(text, 3).size, s"doc $id")
+    }
+  }
+
+  test("shingleHashes: identical texts get identical sets; distinct order sorted") {
+    val df = spark.range(2).select(lit("a b c d e").as("t"))
+    val hs = df.select(TF.shingleHashes(col("t"), 3)).collect()
+      .map(_.getSeq[Long](0))
+    assert(hs(0) == hs(1))
+    assert(hs(0).size == 3) // "a b c","b c d","c d e"
+    assert(hs(0) == hs(0).sorted)
+  }
+
+  test("minhash signature: deterministic, k-length, permutation-invariant bound") {
+    val one = spark.range(1)
+    val sig = one.select(TF.minhashSignature(
+      TF.shingleHashes(lit("the quick brown fox jumps over the lazy dog"), 3), 128))
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 128)
+    assert(sig.forall(v => v >= 0 && v < TF.MinhashPrime))
+    // identical text ⇒ identical signature (cross-run determinism)
+    val sig2 = one.select(TF.minhashSignature(
+      TF.shingleHashes(lit("the quick brown fox jumps over the lazy dog"), 3), 128))
+      .collect()(0).getSeq[Long](0)
+    assert(sig == sig2)
+  }
+
+  test("minhash estimates correlate with true jaccard") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 xx yy"  // high overlap
+    val c = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12" // no overlap
+    def sig(t: String) = spark.range(1)
+      .select(TF.minhashSignature(TF.shingleHashes(lit(t), 3), 128))
+      .collect()(0).getSeq[Long](0)
+    val (sa, sb, sc) = (sig(a), sig(b), sig(c))
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(agree(sa, sb) > 40)  // true jaccard ≈ 7/13
+    assert(agree(sa, sc) == 0)  // disjoint shingles
+  }
+
+  test("simhash: equal texts distance 0; near texts closer than far texts") {
+    def sh(t: String) = spark.range(1)
+      .select(TF.simhash64(transform(TF.tokens(lit(t)), x => xxhash64(x))))
+      .collect()(0).getLong(0)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    assert(ham(sh(base), sh(base)) == 0)
+    val near = ham(sh(base), sh("alpha beta gamma delta epsilon zeta eta iota"))
+    val far = ham(sh(base), sh("one two three four five six seven eight"))
+    assert(near < far)
+  }
+
+  test("langId picks the language with most stopword hits; und when none") {
+    val rows = spark.createDataFrame(Seq(
+      (1, "the cat and the dog was in the house"),
+      (2, "el perro y la casa de los gatos"),
+      (3, "der hund und die katze ist von dem haus"),
+      (4, "qqq www zzz"))).toDF("id", "t")
+      .select(col("id"), TF.langId(col("t")).as("lang"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows(1) == "en")
+    assert(rows(2) == "es")
+    assert(rows(3) == "de")
+    assert(rows(4) == "und")
+  }
+
+  test("quality score: integer-scaled, 0..1000, empty text safe") {
+    val out = spark.createDataFrame(Seq((1, ""), (2, "the cat and the dog was here")))
+      .toDF("id", "t")
+      .select(col("id"), TF.qualityScore(col("t")).as("q")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(q => q >= 0 && q <= 1000))
+    assert(out(2) > out(1))
+  }
+
+  test("rolling hash: deterministic, differs on permuted content") {
+    val out = spark.createDataFrame(Seq((1, "abc def"), (2, "abc def"), (3, "def abc")))
+      .toDF("id", "t").select(TF.rollingHash(col("t"))).collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+}
