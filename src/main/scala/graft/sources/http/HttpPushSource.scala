@@ -1,0 +1,273 @@
+package graft.sources.http
+
+import graft.functions.Compressor
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+import java.util.concurrent.{ConcurrentHashMap, Semaphore, TimeUnit}
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTTP push source — the one reference operator with no Spark built-in
+  * (SURVEY.md §2.1 HttpSource, §7 phase 4): an embedded HTTP endpoint that
+  * turns request bodies into events, with the reference's semantics:
+  *
+  *  - body split on a single-char delimiter (default `\n`) into events
+  *    (reference `HttpSource.scala:117`);
+  *  - `Content-Encoding: gzip` bodies are decompressed, bad gzip → 400
+  *    (reference `HttpSource.scala:100-115`);
+  *  - prefixed request-header capture into event headers
+  *    (reference `HttpSource.scala:118-127`);
+  *  - admission control: at most `max-connections` requests in flight,
+  *    overload → 503 (reference `HttpSourceSemantics.scala:266-270`);
+  *  - **request-coupled ack**: the client gets its 201 only after the
+  *    micro-batch containing its events has been durably committed
+  *    (reference `HttpSourceSemantics.scala:273-280` chains the response on
+  *    the pipeline transaction; here the response future completes in
+  *    `MicroBatchStream.commit`, i.e. after the epoch's sink writes + WAL
+  *    commit succeeded — the same at-least-once contract).
+  *
+  * Architecture: the server and its event log live on the driver (a
+  * JVM-local registry keyed by port — `MicroBatchStream` instances run
+  * driver-side). Each micro-batch serializes its slice of the log into the
+  * `InputPartition`s shipped to executors, so executors never talk to the
+  * server. At 100 TB scale an HTTP *push* endpoint is inherently a
+  * single-ingest-point design (same as the reference); the scale path is
+  * many parallel pipelines (one per endpoint) or handing off to Kafka —
+  * this source exists for protocol parity, not bulk throughput.
+  */
+object HttpPushRegistry {
+  final case class PendingAck(endOffset: Long, exchange: HttpExchange,
+                              nEvents: Int)
+
+  final class Endpoint(val port: Int, delimiter: Char, maxConnections: Int,
+                       headerPrefix: Option[String]) {
+    private val log = new util.ArrayList[(String, Map[String, String])]()
+    private val pending = new util.ArrayList[PendingAck]()
+    private val inflight = new Semaphore(maxConnections)
+    @volatile private var committed = 0L
+
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, maxConnections)))
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = handleExchange(ex)
+    })
+    server.start()
+
+    def boundPort: Int = server.getAddress.getPort
+
+    private def handleExchange(ex: HttpExchange): Unit = {
+      if (!inflight.tryAcquire()) { respond(ex, 503); return } // shed load
+      try {
+        val raw = ex.getRequestBody.readAllBytes()
+        val isGzip = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.equalsIgnoreCase("gzip"))
+        val bodyBytes =
+          if (isGzip)
+            try Compressor.gzipDecompress(raw)
+            catch { case _: Exception => respond(ex, 400); return }
+          else raw
+        val captured = headerPrefix.map { p =>
+          import scala.jdk.CollectionConverters._
+          ex.getRequestHeaders.asScala.collect {
+            case (k, vs) if k.toLowerCase.startsWith(p.toLowerCase) && !vs.isEmpty =>
+              k.toLowerCase -> vs.get(0)
+          }.toMap
+        }.getOrElse(Map.empty[String, String])
+        val events = new String(bodyBytes, UTF_8)
+          .split(delimiter).toSeq.filter(_.nonEmpty)
+        if (events.isEmpty) { respond(ex, 400); return }
+        val end = synchronized {
+          events.foreach(b => log.add((b, captured)))
+          val e = log.size.toLong
+          pending.add(PendingAck(e, ex, events.size))
+          e
+        }
+        // ack deferred to commit(end' >= end) — do NOT respond here
+        if (committed >= end) drainAcks() // races with an already-advanced commit
+      } finally inflight.release()
+    }
+
+    private def respond(ex: HttpExchange, status: Int): Unit = {
+      ex.sendResponseHeaders(status, -1); ex.close()
+    }
+
+    def latest: Long = synchronized(log.size.toLong)
+
+    def slice(from: Long, until: Long): Array[(String, Map[String, String])] =
+      synchronized {
+        (from until until).map(i => log.get(i.toInt)).toArray
+      }
+
+    /** Epoch commit: complete every request fully covered by `offset`. */
+    def commitUpTo(offset: Long): Unit = { committed = offset; drainAcks() }
+
+    private def drainAcks(): Unit = {
+      val acks = synchronized {
+        import scala.jdk.CollectionConverters._
+        val (done, rest) = pending.asScala.toVector.partition(_.endOffset <= committed)
+        pending.clear(); rest.foreach(pending.add)
+        done
+      }
+      acks.foreach { a =>
+        try { a.exchange.sendResponseHeaders(201, -1); a.exchange.close() }
+        catch { case _: Exception => () }
+      }
+    }
+
+    def stop(): Unit = server.stop(0)
+  }
+
+  private val endpoints = new ConcurrentHashMap[Int, Endpoint]()
+  private val listenerInstalled = new ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+
+  /** Acks are driven by query progress, not `MicroBatchStream.commit`:
+    * the engine only invokes commit(N) while constructing batch N+1, so
+    * with no further incoming data the last batch's acks would hang
+    * forever. `onQueryProgress` fires once per completed (committed)
+    * micro-batch with each source's endOffset — the durable point the
+    * reference couples its HTTP 201 to. */
+  def ensureProgressListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    listenerInstalled.computeIfAbsent(spark, { _ =>
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        private val descRe = """HttpPushSource\(port=(\d+)\)""".r
+        override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(event: QueryProgressEvent): Unit =
+          event.progress.sources.foreach { sp =>
+            Option(sp.description).flatMap(descRe.findFirstMatchIn) match {
+              case Some(m) =>
+                val port = m.group(1).toInt
+                Option(sp.endOffset).filter(_ != "null").foreach { off =>
+                  lookup(port).foreach(_.commitUpTo(off.trim.toLong))
+                }
+              case None => ()
+            }
+          }
+      })
+      java.lang.Boolean.TRUE
+    })
+
+  def getOrCreate(port: Int, delimiter: Char, maxConnections: Int,
+                  headerPrefix: Option[String]): Endpoint =
+    endpoints.computeIfAbsent(port,
+      _ => new Endpoint(port, delimiter, maxConnections, headerPrefix))
+
+  def lookup(port: Int): Option[Endpoint] = Option(endpoints.get(port))
+
+  def remove(port: Int): Unit = {
+    Option(endpoints.remove(port)).foreach(_.stop())
+  }
+}
+
+/** `spark.readStream.format("http-push").option("port", 8080)` */
+class HttpPushProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "http-push"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // install the ack listener here: inferSchema runs on the caller's
+    // thread during load(), where an active session exists (the stream
+    // execution thread later does NOT expose one)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(HttpPushRegistry.ensureProgressListener)
+    graft.event.Event.schema
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new HttpPushTable(new CaseInsensitiveStringMap(properties))
+}
+
+class HttpPushTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"http-push:${options.getInt("port", 0)}"
+  override def schema(): StructType = graft.event.Event.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = graft.event.Event.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new HttpPushMicroBatchStream(
+            port = options.getInt("port", 0),
+            delimiter = options.getOrDefault("delimiter", "\n").charAt(0),
+            maxConnections = options.getInt("max-connections", 8),
+            headerPrefix = Option(options.get("request-header-capture-prefix")))
+      }
+    }
+}
+
+case class HttpPushOffset(offset: Long) extends Offset {
+  override def json(): String = offset.toString
+}
+
+class HttpPushMicroBatchStream(port: Int, delimiter: Char, maxConnections: Int,
+                               headerPrefix: Option[String])
+    extends MicroBatchStream {
+  private val endpoint =
+    HttpPushRegistry.getOrCreate(port, delimiter, maxConnections, headerPrefix)
+  // ack release rides on query-progress events (see ensureProgressListener,
+  // installed by the provider at load() time)
+  org.apache.spark.sql.SparkSession.getActiveSession
+    .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    .foreach(HttpPushRegistry.ensureProgressListener)
+
+  override def toString: String = s"HttpPushSource(port=$port)"
+
+  /** The actual port (useful when `port = 0` picks an ephemeral one). */
+  def boundPort: Int = endpoint.boundPort
+
+  override def latestOffset(): Offset = HttpPushOffset(endpoint.latest)
+  override def initialOffset(): Offset = HttpPushOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    HttpPushOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HttpPushOffset].offset
+    val e = end.asInstanceOf[HttpPushOffset].offset
+    if (e <= s) Array.empty
+    else Array(HttpPushPartition(endpoint.slice(s, e)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[HttpPushPartition].events
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = {
+            val (body, headers) = rows(i)
+            InternalRow(UTF8String.fromString(body),
+              ArrayBasedMapData(headers.map { case (k, v) =>
+                UTF8String.fromString(k) -> UTF8String.fromString(v) }))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  /** Epoch commit — releases the 201 responses of every request whose
+    * events are fully contained in the committed range. */
+  override def commit(end: Offset): Unit =
+    endpoint.commitUpTo(end.asInstanceOf[HttpPushOffset].offset)
+
+  override def stop(): Unit = HttpPushRegistry.remove(port)
+}
+
+case class HttpPushPartition(events: Array[(String, Map[String, String])])
+    extends InputPartition

@@ -59,6 +59,14 @@ object Pipeline {
       val (fmt, opts) = Sources.kafkaSourceOptions(sc)
       Sources.kafkaRecordsAsEvents(
         spark.readStream.format(fmt).options(opts).load())
+    case "http-push" => // embedded HTTP endpoint, DSv2 micro-batch source
+      Sources.asEvents(spark.readStream.format("http-push")
+        .option("port", sc.getInt("listen-port", 0).toString)
+        .option("delimiter", sc.getString("delimiter", "\n"))
+        .option("max-connections", sc.getInt("max-connections", 8).toString)
+        .options(sc.getStringOpt("request-header-capture-prefix")
+          .map("request-header-capture-prefix" -> _).toMap)
+        .load())
     case "events-parquet" => // the driver corpus replayed as a stream
       Sources.eventsTableAsEvents(
         Sources.parquetStream(spark, sc.getString("path"),

@@ -1,0 +1,106 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.streaming.Trigger
+
+class HttpPushSpec extends SparkSpec {
+
+  test("http-push DSv2 source: events flow, 201 arrives only after commit") {
+    val port = { // pick a free port deterministically
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft-httppush")
+    val stream = spark.readStream.format("http-push")
+      .option("port", port.toString)
+      .option("request-header-capture-prefix", "x-graft-")
+      .load()
+    val query = stream.writeStream
+      .format("memory").queryName("httppush_out")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      // server is up once the first micro-batch planning has run; poke until open
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = client.sendAsync(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+          .header("x-graft-tenant", "acme")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.discarding())
+
+      var up = false
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+      while (!up && System.nanoTime() < deadline) {
+        try {
+          val f = post("e1\ne2\ne3")
+          // response must NOT resolve before the batch commits; wait for it
+          val resp = f.get(30, TimeUnit.SECONDS)
+          assert(resp.statusCode() == 201)
+          up = true
+        } catch {
+          case e: java.util.concurrent.ExecutionException
+              if e.getCause.isInstanceOf[java.net.ConnectException] =>
+            Thread.sleep(200) // server not started yet
+        }
+      }
+      assert(up, "http-push endpoint never came up")
+      query.processAllAvailable()
+      val rows = spark.sql("select * from httppush_out").collect()
+      assert(rows.map(_.getString(0)).toSet == Set("e1", "e2", "e3"))
+      // captured prefix header present on every event
+      assert(rows.forall(_.getMap[String, String](1).get("x-graft-tenant")
+        .contains("acme")))
+    } finally {
+      query.stop()
+      graft.sources.http.HttpPushRegistry.remove(port)
+    }
+  }
+
+  test("gzip body accepted; corrupt gzip rejected with 400") {
+    val port = { val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close() }
+    val work = java.nio.file.Files.createTempDirectory("graft-httppush2")
+    val query = spark.readStream.format("http-push")
+      .option("port", port.toString).load()
+      .writeStream.format("memory").queryName("httppush_gz")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def send(body: Array[Byte], gzip: Boolean) = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        if (gzip) b.header("Content-Encoding", "gzip")
+        client.sendAsync(b.build(), HttpResponse.BodyHandlers.discarding())
+      }
+      // wait for server
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        try {
+          val f = send(graft.functions.Compressor.gzipCompress("g1\ng2".getBytes), gzip = true)
+          assert(f.get(30, TimeUnit.SECONDS).statusCode() == 201)
+          ok = true
+        } catch {
+          case e: java.util.concurrent.ExecutionException
+              if e.getCause.isInstanceOf[java.net.ConnectException] =>
+            Thread.sleep(200)
+        }
+      }
+      assert(ok)
+      // corrupt gzip → immediate 400 (no commit involved)
+      val bad = send("not gzip at all".getBytes, gzip = true).get(10, TimeUnit.SECONDS)
+      assert(bad.statusCode() == 400)
+      query.processAllAvailable()
+      val rows = spark.sql("select body from httppush_gz").collect().map(_.getString(0)).toSet
+      assert(rows == Set("g1", "g2"))
+    } finally {
+      query.stop()
+      graft.sources.http.HttpPushRegistry.remove(port)
+    }
+  }
+}
