@@ -300,6 +300,15 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  private def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, nCentroids = 16, nProbe = 4)
+      .orderBy("qid", "rank")
+  }
+
   private def textStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
         col("doc_id"),
@@ -399,6 +408,7 @@ object SparkEntry {
     "dedup_embedding"     -> dedupEmbedding _,
     "sim_topk"            -> simTopK _,
     "sim_lsh_topk"        -> simLshTopK _,
+    "sim_ivf_topk"        -> simIvfTopK _,
     "text_stats"          -> textStats _,
     "text_langid"         -> textLangId _,
     "text_quality"        -> textQuality _,

@@ -118,3 +118,50 @@ object VectorFunctions {
   def normF(a: Column): Column =
     column(VectorExpressions.NormF(expression(a)))
 }
+
+/** Static kernels shared by expressions and driver-side training. */
+object VectorKernels {
+  def l2Sq(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           c: Array[Float]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a.getFloat(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Indices of the `probes` nearest centroids by L2, nearest first
+    * (deterministic tie-break on index). */
+  def nearestCentroids(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                       cents: Array[Array[Float]], probes: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = cents.length
+    val d = new Array[Double](k)
+    var i = 0
+    while (i < k) { d(i) = l2Sq(vec, cents(i)); i += 1 }
+    val idx = Array.range(0, k).sortBy(j => (d(j), j)).take(math.min(probes, k))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(idx)
+  }
+}
+
+/** `probes` nearest centroid ids for an ARRAY<FLOAT> vector — the IVF
+  * coarse quantizer. Centroids ride along as a codegen reference object;
+  * evaluation is one primitive pass, no boxing. */
+case class NearestCentroids(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                            centroids: Array[Array[Float]], probes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroids(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids, probes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCentroids($c, $cRef, $probes)")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroids =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroids"
+}

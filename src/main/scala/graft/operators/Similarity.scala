@@ -93,6 +93,69 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Deterministic mini k-means (Lloyd) on a driver-side sample — the IVF
+    * coarse quantizer trainer. Sample = first `sampleN` rows by id
+    * (deterministic), init = evenly-strided sample points, `iters`
+    * iterations. k is small (≤ a few hundred), so driver training is the
+    * right altitude: the expensive part — assigning the 100 TB corpus —
+    * stays distributed and codegen'd (see `NearestCentroids`). */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5, sampleN: Int = 2048)
+      : Array[Array[Float]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    var cents = Array.tabulate(math.min(k, sample.length))(i =>
+      sample((i.toLong * sample.length / math.min(k, sample.length)).toInt).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        cents.indices.foreach { c =>
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+    }
+    cents
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    * (one narrow codegen'd pass); each query probes its `nProbe` nearest
+    * cells. Candidate generation is an equi-join on cluster id — at scale
+    * the corpus side can additionally be partitioned/bucketed by cluster
+    * so repeated query batches co-locate. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+              iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val cents = trainCentroids(corpus, corpusId, corpusVec, nCentroids, iters)
+    def nearest(c: Column, probes: Int): Column =
+      column(graft.functions.NearestCentroids(expression(c), cents, probes))
+    val bucketed = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+      .withColumn("cluster", element_at(nearest(col("cvec"), 1), 1))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+      .withColumn("cluster", explode(nearest(col("qvec"), nProbe)))
+    val scored = bucketed.join(broadcast(q), Seq("cluster"))
+      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .where(col("qid") =!= col("id"))
+      .dropDuplicates("qid", "id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Text top-k by n-gram Jaccard against a query string (inverted-index
     * candidate join, same shape as `Dedup.ngramJaccardPairs`). */
   def textTopK(corpus: DataFrame, idCol: String, textCol: String,

@@ -103,6 +103,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq == expected.toSeq)
   }
 
+  test("ivfTopK: deterministic centroids, candidates subset, decent recall") {
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val c2 = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"ivf recall=$recall")
+  }
+
   test("lshTopK achieves reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
