@@ -101,6 +101,7 @@ object Sinks {
       url: String,
       method: String = "POST",
       contentType: String = "text/plain",
+      basicAuth: Option[(String, String)] = None, // reference HttpSink.scala:86-93
       gzipBody: Boolean = false,
       batchJoin: String = "\n",     // reference assembleBatchBody HttpSink.scala:151-154
       maxRetries: Int = 3,          // reference HttpSink.scala:37-38
@@ -114,6 +115,9 @@ object Sinks {
       url = c.getString("remote-url"),
       method = c.getString("http-method", "POST"),
       contentType = c.getString("content-type", "text/plain"),
+      basicAuth = for {
+        u <- c.getStringOpt("auth-username"); p <- c.getStringOpt("auth-password")
+      } yield (u, p),
       gzipBody = c.getBoolean("gzip-body", default = false),
       maxRetries = c.getInt("max-retries", 3),
       backoffCapMillis = c.getDuration("request-retry-backoff",
@@ -143,12 +147,28 @@ object Sinks {
       else Left(true)                                     // 5xx → retry
 
     def sendBody(body: Array[Byte]): Int = {
-      val b = if (cfg.gzipBody) graft.functions.Compressor.gzipCompress(body) else body
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(cfg.url))
-        .header("Content-Type", cfg.contentType)
-        .method(cfg.method,
-          java.net.http.HttpRequest.BodyPublishers.ofByteArray(b))
-      if (cfg.gzipBody) req.header("Content-Encoding", "gzip")
+      // GET carries the payload as query parameter `record` (reference
+      // HttpSink.scala:150-171); other methods send it as the request body
+      val req =
+        if (cfg.method.equalsIgnoreCase("GET")) {
+          val rec = java.net.URLEncoder.encode(
+            new String(body, java.nio.charset.StandardCharsets.UTF_8), "UTF-8")
+          val sep = if (cfg.url.contains("?")) "&" else "?"
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"${cfg.url}${sep}record=$rec")).GET()
+        } else {
+          val b = if (cfg.gzipBody) graft.functions.Compressor.gzipCompress(body) else body
+          val r = java.net.http.HttpRequest.newBuilder(java.net.URI.create(cfg.url))
+            .header("Content-Type", cfg.contentType)
+            .method(cfg.method,
+              java.net.http.HttpRequest.BodyPublishers.ofByteArray(b))
+          if (cfg.gzipBody) r.header("Content-Encoding", "gzip")
+          r
+        }
+      cfg.basicAuth.foreach { case (u, p) =>
+        req.header("Authorization", "Basic " + java.util.Base64.getEncoder
+          .encodeToString(s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
       client.send(req.build(),
         java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
     }

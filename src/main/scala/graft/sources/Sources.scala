@@ -48,10 +48,17 @@ object Sources {
                      maxFilesPerTrigger: Int = 16,
                      maxLineLength: Int = 512 * 1024,
                      truncateOverLength: Boolean = true,
-                     fileHeaders: Boolean = false): Dataset[Event] = {
-    val raw = spark.readStream.format("text")
+                     fileHeaders: Boolean = false,
+                     archiveDir: Option[String] = None): Dataset[Event] = {
+    // archiveDir = the reference's doneFile hook (consumed files moved
+    // aside, DirectoryWatchSourceSemantics.scala:297-319) via the file
+    // source's native cleanSource/sourceArchiveDir options
+    val reader = spark.readStream.format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
-      .load(dir)
+    archiveDir.foreach { d =>
+      reader.option("cleanSource", "archive").option("sourceArchiveDir", d)
+    }
+    val raw = reader.load(dir)
     val guarded =
       if (truncateOverLength) raw.select(substring(col("value"), 1, maxLineLength).as("body"))
       else raw.where(length(col("value")) <= maxLineLength).select(col("value").as("body"))
@@ -120,12 +127,17 @@ object Sources {
           lit("user_id"), col("user_id").cast("string"),
           lit("event_id"), col("event_id").cast("string")).as("headers")))
 
-  /** Streaming read of a parquet table directory (file-source). */
+  /** Streaming read of a parquet table (file-source). The streaming file
+    * source only accepts directories; a single-file path is streamed from
+    * its parent directory with a glob filter pinned to that file. */
   def parquetStream(spark: SparkSession, path: String,
                     maxFilesPerTrigger: Int = 4): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema)
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
-      .parquet(path)
+    if (f.isFile)
+      reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
   }
 }

@@ -73,6 +73,25 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(bodies == Seq("a1", "a2", "b1")) // no loss, no duplication
   }
 
+  test("events-parquet source type replays the driver corpus as a stream") {
+    val work = Files.createTempDirectory("graft-events-src")
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = events-parquet,
+                      path = "/root/testdata/sf0.001/events.parquet",
+                      sinks = [out] } }
+        sink { out { type = file, path = "${work.resolve("out")}" } }
+      }""")
+    val ps = Pipeline.start(spark, conf, work.resolve("ck").toString)
+    ps.foreach(_.query.processAllAvailable())
+    ps.foreach(_.query.stop())
+    val out = spark.read.parquet(work.resolve("out").toString)
+    assert(out.count() == 1000) // sf0.001 events rows
+    val sample = out.limit(1).collect()(0)
+    assert(sample.getMap[String, String](1).keys.toSet ==
+      Set("event_type", "user_id", "event_id"))
+  }
+
   test("batch semantics config validation (reference parity)") {
     intercept[IllegalArgumentException](BatchSemantics.Config(1, 1000))
     intercept[IllegalArgumentException](BatchSemantics.Config(0, 0))

@@ -105,6 +105,25 @@ class SinksSpec extends SparkSpec {
     assert(recovered == Set(Event("ev1", Map("k" -> "v"))))
   }
 
+  test("http GET mode carries payload as record query param; basic auth header") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    withServer((_, ex) => {
+      seen.add((ex.getRequestURI.toString,
+                Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")))
+      200
+    }) { port =>
+      val c = new HttpConnector(HttpSinkConfig(
+        url = s"http://127.0.0.1:$port/ingest", method = "GET",
+        basicAuth = Some(("user", "pa:ss"))))
+      assert(c.deliver("hello world&x=1".getBytes, _ => ()))
+      val (uri, auth) = seen.poll()
+      assert(uri == "/ingest?record=hello+world%26x%3D1")
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("user:pa:ss".getBytes)
+      assert(auth == expected)
+    }
+  }
+
   // ---- kafka projection -------------------------------------------------
 
   test("kafka record projection: per-event topic header beats static topic") {
