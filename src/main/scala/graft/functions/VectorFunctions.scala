@@ -165,3 +165,39 @@ case class NearestCentroids(child: org.apache.spark.sql.catalyst.expressions.Exp
     copy(child = c)
   override def prettyName: String = "nearest_centroids"
 }
+
+/** Number of positions where two ARRAY<BIGINT> signatures agree — the
+  * MinHash similarity estimator (est_jaccard = agree / k). Native because
+  * the zip_with+aggregate composition allocates a boxed intermediate array
+  * per pair on the LSH verify path. */
+case class SigAgree(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): SigAgree =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_agree"
+}

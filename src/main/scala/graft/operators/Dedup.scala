@@ -64,9 +64,11 @@ object Dedup {
               col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
     cands
-      .withColumn("agree", aggregate(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v))
+      .withColumn("agree", {
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        column(graft.functions.SigAgree(expression(col("sig_a")),
+                                        expression(col("sig_b"))))
+      })
       .withColumn("est_jaccard", col("agree").cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")

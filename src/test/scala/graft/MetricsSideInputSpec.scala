@@ -51,10 +51,12 @@ class MetricsSideInputSpec extends SparkSpec {
         .mapPartitions(it => it.map(_ => bc.value("version")))(Encoders.scalaInt)
         .reduce(_ + _)
       assert(summed == 10)
-      // wait past ≥2 refresh ticks: one fails (stale kept), next succeeds
-      val deadline = System.nanoTime() + 10e9.toLong
+      // wait past ≥2 refresh ticks: one fails (stale kept), next succeeds.
+      // Generous deadline: under full-suite load the broadcast inside a
+      // refresh can serialize behind other suites' Spark jobs for seconds.
+      val deadline = System.nanoTime() + 60e9.toLong
       while (calls.get() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(calls.get() >= 3)
+      assert(calls.get() >= 3, s"refresh never advanced; lastError=${side.lastRefreshError}")
       assert(side.current().value("version") >= 3) // advanced past the failure
     } finally CachedSideInput.remove("dims")
   }
@@ -92,6 +94,31 @@ class MetricsSideInputSpec extends SparkSpec {
       assert(rows(0).getAs[String]("tag") == "A")
       assert(rows(0).getAs[scala.collection.Seq[String]]("bodies").toSeq == Seq("a1", "a2", "a3"))
       assert(rows(0).getAs[Boolean]("sizeFlush"))
+    } finally q.stop()
+  }
+
+  test("streaming batching flushes a partial buffer when the timeout fires") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Event)]
+    val input = MemoryStream[(String, Event)]
+    val batches = BatchSemantics.batchByTag(input.toDS(),
+      BatchSemantics.Config(batchSize = 100, batchTimeoutMillis = 1500))
+    val work = Files.createTempDirectory("graft-batchtimer")
+    val q = batches.writeStream.format("memory").queryName("batch_timer_out")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(("T", Event("t1")), ("T", Event("t2")))
+      // well below batchSize — only the processing-time timer can flush
+      val deadline = System.nanoTime() + 30e9.toLong
+      def rows() = spark.sql("select * from batch_timer_out").collect()
+      while (rows().isEmpty && System.nanoTime() < deadline) Thread.sleep(250)
+      val out = rows()
+      assert(out.length == 1)
+      assert(out(0).getAs[String]("tag") == "T")
+      assert(out(0).getAs[scala.collection.Seq[String]]("bodies").toSeq == Seq("t1", "t2"))
+      assert(!out(0).getAs[Boolean]("sizeFlush")) // timer flush, not size
     } finally q.stop()
   }
 }
