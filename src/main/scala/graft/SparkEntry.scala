@@ -348,6 +348,25 @@ object SparkEntry {
         col("doc_id"), TF.rollingHash(col("text")).as("rollhash"))
       .orderBy("doc_id")
 
+  private def textTokenReport(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenReport(t(s, dir, "documents"), "text", "lang")
+      .orderBy("lang")
+
+  private def textQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(t(s, dir, "documents"), "text", 450L,
+        langs = Seq("en", "fr"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private def dedupNgramSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+    Dedup.survivors(docs, pairs, "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("kind",
       when(col("doc_id") % 3 === 0, "image")
@@ -414,6 +433,9 @@ object SparkEntry {
     "text_quality"        -> textQuality _,
     "text_fingerprint"    -> textFingerprint _,
     "text_rollhash"       -> textRollhash _,
+    "text_token_report"   -> textTokenReport _,
+    "text_quality_filter" -> textQualityFilter _,
+    "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
     "events_json"         -> eventsJson _)
@@ -632,6 +654,59 @@ object SparkEntry {
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents ORDER BY doc_id""",
+    "text_token_report" -> s"""
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(len($sqlToks))::BIGINT AS total_words,
+             sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens_bpe,
+             sum(length(text))::BIGINT AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "text_quality_filter" -> s"""
+      WITH c AS (
+        SELECT doc_id, lang, source,
+               len($sqlToks)::BIGINT AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                 floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
+               ELSE 0 END AS punct_pm,
+               ${langScoreSql("en")} AS stop_hits,
+               ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+               ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+               ${langScoreSql("zh")} AS s_zh
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, source,
+               (least(n_tokens, 200) * 2 +
+                CASE WHEN punct_pm <= 80 THEN 300 ELSE 100 END +
+                least(stop_hits * 30, 300)) AS quality,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM c)
+      SELECT doc_id, lang, source FROM scored
+      WHERE quality >= 450 AND lang_pred IN ('en', 'fr')
+      ORDER BY doc_id""",
+    "dedup_ngram_survivors" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dups AS (
+        SELECT DISTINCT id_b FROM pairs
+        WHERE inter::DOUBLE / (na + nb - inter) >= 0.5)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT id_b FROM dups)
+      ORDER BY doc_id""",
     "mm_decode" -> """
       WITH m AS (
         SELECT doc_id AS id,
