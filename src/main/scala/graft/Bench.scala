@@ -1,10 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Queries are materialized with a noop-format write
-  * (a bare count() would let Catalyst prune most of the computation). */
+  * prints ONE bare JSON line on stdout (sbt is configured with
+  * StdoutOutput so no logger prefix corrupts it), plus writes the same
+  * line to BENCH_LOCAL.json as a file-channel fallback.
+  *
+  * Each query is materialized with a noop-format write (a bare count()
+  * would let Catalyst prune most of the computation) and executed TWICE:
+  * the first pass pays JIT/codegen/IO warm-up, the reported number is the
+  * second, steady-state pass — per-round numbers would otherwise book
+  * first-call compilation against whichever queries run early
+  * (round-1 bench: q1_agg 18.3s cold vs 1.3s warm). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,24 +27,32 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warm-up on the smallest corpus so per-query numbers
-    // measure the operator, not first-call compilation
-    try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val wall0 = System.nanoTime()
+    names.foreach(runOnce) // warm-up pass: JIT, codegen cache, page cache
+    val results = names.map(n => n -> runOnce(n)) // steady-state pass
+    val wall = (System.nanoTime() - wall0) / 1e9
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"wall_both_passes_sec":$wall%.3f}"""
+    println(line)
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

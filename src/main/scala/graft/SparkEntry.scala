@@ -140,7 +140,7 @@ object SparkEntry {
       .groupBy((expr("ts_ms DIV 3600000") * 3600000L).as("hour_ms"),
                col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+           sum(cents(col("value"))).as("sum_value_c"))
       .orderBy("hour_ms", "event_type")
 
   private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -163,15 +163,29 @@ object SparkEntry {
 
   // ==== relational queries (Catalyst built-ins; bench headliners) =========
 
+  /** Exact money-to-integer canonicalization: double → DECIMAL(18,2) (exact
+    * round of the 2-dec source value) → scaled BIGINT, applied PER ROW before
+    * any sum so the aggregate is pure long arithmetic. DECIMAL never appears
+    * in an output schema: fixed-scale decimals render with trailing zeros
+    * ("570.00") on one engine and shortest-float ("570.0") on the other,
+    * which is representation-hash poison even when every cell is equal. */
+  private def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  /** revenue term l_extendedprice*(1-l_discount) has 4 exact decimals →
+    * ten-thousandths as BIGINT. */
+  private def revenueTm(price: Column, discount: Column): Column =
+    ((price.cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))) * 10000)
+      .cast("long")
+
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)").as("sum_disc_price"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+        sum(revenueTm(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price_tm"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -181,11 +195,10 @@ object SparkEntry {
     val l = t(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy(col("l_orderkey"), o("o_orderdate").cast("date").as("o_orderdate"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(18,4)").as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .groupBy(col("l_orderkey"),
+               date_format(o("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(revenueTm(col("l_extendedprice"), col("l_discount"))).as("revenue_tm"))
+      .orderBy(col("revenue_tm").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
@@ -203,9 +216,7 @@ object SparkEntry {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(18,4)").as("revenue"))
+      .agg(sum(revenueTm(col("l_extendedprice"), col("l_discount"))).as("revenue_tm"))
       .orderBy("n_name")
   }
 
@@ -498,7 +509,7 @@ object SparkEntry {
     "stream_hour_window" -> """
       SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
              count(*)::BIGINT AS n,
-             sum(value::DECIMAL(18,2))::DECIMAL(18,2) AS sum_value
+             sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_c
       FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
     "stream_sessionize" -> """
       WITH g AS (
@@ -516,21 +527,21 @@ object SparkEntry {
       FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty,
-             sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(18,2) AS sum_base_price,
-             sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS sum_disc_price,
+             sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
+             sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_base_price_c,
+             sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS sum_disc_price_tm,
              count(*)::BIGINT AS count_order
       FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
     "q3_topk" -> """
-      SELECT l_orderkey, o_orderdate::DATE AS o_orderdate,
-             sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS revenue
+      SELECT l_orderkey, strftime(o_orderdate::DATE, '%Y-%m-%d') AS o_orderdate,
+             sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS revenue_tm
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
-      GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+      GROUP BY 1, 2 ORDER BY revenue_tm DESC, l_orderkey ASC LIMIT 10""",
     "q5_join" -> """
       SELECT n_name,
-             sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS revenue
+             sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS revenue_tm
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey

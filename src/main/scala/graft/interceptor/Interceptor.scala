@@ -146,6 +146,12 @@ object ComponentLoader {
           Seq[AnyRef](name)))
   }
 
+  /** Reflective plugin construction for sources/sinks (reference loads all
+    * component types this way, not only interceptors): constructor
+    * injection `(cfg: GraftConfig)` with a no-arg fallback. */
+  def createPlugin[T](fqcn: String, cfg: GraftConfig): T =
+    createInstance[T](fqcn, Seq(Seq[AnyRef](cfg), Seq.empty[AnyRef]))
+
   /** Try each candidate arg list against the class's constructors. */
   def createInstance[T](fqcn: String, candidates: Seq[Seq[AnyRef]]): T = {
     val cls = Class.forName(fqcn)

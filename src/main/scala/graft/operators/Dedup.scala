@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators for large-scale training-data pipelines
@@ -18,8 +19,11 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): every method is built so the pair space is pruned
   * *before* any shuffle — exact dedup groups on a 128-bit hash (no full-text
   * shuffle), MinHash/SimHash block on LSH band keys / hash fragments so the
-  * candidate join is equi-join-able and skew-bounded, and verification runs
-  * only on candidates. No method materializes the O(n²) pair matrix.
+  * candidate join is equi-join-able, and verification runs only on
+  * candidates. No method materializes the O(n²) pair matrix: oversized
+  * blocking buckets (boilerplate/empty docs sharing a band key — the classic
+  * skew killer) degrade to linear star-pairing instead of quadratic
+  * all-pairs (see `cappedBucketJoin`).
   */
 object Dedup {
 
@@ -38,15 +42,72 @@ object Dedup {
     df.groupBy(md5(to_binary(TF.normText(col(textCol)), lit("utf-8"))).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Eagerly materialize `out` (a distributed job — nothing is collected to
+    * the driver) and release the persisted intermediates that back it.
+    * `localCheckpoint` blocks live outside the CacheManager and are freed by
+    * the ContextCleaner when the result is GC'd, so repeated operator
+    * invocations neither leak cached blocks nor warn "already cached". The
+    * eager cut is also the point where the persist()-barrier intermediates
+    * become safely releasable — unpersisting *lazily*-consumed caches would
+    * re-expose the CollapseProject blowup the barrier exists to prevent. */
+  private def materializeAndRelease(out: DataFrame, cached: DataFrame*): DataFrame = {
+    val mat = out.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    mat
+  }
+
+  /** Skew-capped blocked self-join. Input must have an `id` column and the
+    * blocking key `key`; emits the a/b pair join (all original columns under
+    * aliases `a` and `b`) with `a.id < b.id`, restricted per bucket:
+    *
+    *   - buckets with ≤ `cap` members: exact all-pairs (unchanged output on
+    *     a normal corpus);
+    *   - oversized buckets: star-pairing — only the bucket's MIN id pairs
+    *     with the rest. Linear in bucket size instead of quadratic, and
+    *     sufficient for survivor reduction: every member still meets a
+    *     smaller id, and two genuine dup-cluster members that straddle a
+    *     polluted bucket still meet through the bucket of some other
+    *     band/fragment where their cluster is alone. Downstream score
+    *     verification (sig agreement / Hamming / cosine) discards any
+    *     false positives the star introduces.
+    *
+    * The two regimes are split BEFORE the join so the hot bucket's
+    * quadratic match set is never generated inside the join operator.
+    * Returns (candidate pairs, the persisted window-sized intermediate) —
+    * the caller hands the latter to `materializeAndRelease`. */
+  private def cappedBucketJoinWithCache(blocked: DataFrame, key: String,
+                                        cap: Long): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(key))
+    val sized = blocked
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("id")).over(w))
+      .persist()
+    // each side packed into one struct column so the small/star unions have
+    // a clean 2-column schema; `col("a.id")` etc. resolve as struct fields
+    val a = sized.select(struct(col("*")).as("a"))
+    val b = sized.select(struct(col("*")).as("b"))
+    val cond = col(s"a.$key") === col(s"b.$key") && col("a.id") < col("b.id")
+    val smallPairs = a.where(col("a.__bsz") <= cap)
+      .join(b.where(col("b.__bsz") <= cap), cond)
+    val bigPairs = a.where(col("a.__bsz") > cap && col("a.id") === col("a.__bmin"))
+      .join(b.where(col("b.__bsz") > cap), cond)
+    (smallPairs.unionByName(bigPairs), sized)
+  }
+
   /** MinHash+LSH near-dup candidates: shingle → 64-bit hash set → k-perm
     * MinHash signature → banded LSH keys → equi-join on (band, key) →
     * estimated Jaccard from signature agreement. Only bucket-mates are ever
     * paired; with b bands of r rows the match probability is the standard
     * `1-(1-s^r)^b` S-curve. Returns pairs with `est_jaccard >= threshold`.
-    */
+    * `maxBucketSize` caps per-band-bucket join fan-out (skew guard) — see
+    * `cappedBucketJoin`. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 128, bands: Int = 16,
-                      threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+                      threshold: Double = 0.7, shingleN: Int = 3,
+                      maxBucketSize: Long = 4096L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — a " +
+      "truncated signature tail would silently weaken the LSH S-curve")
     val rows = numHashes / bands
     // persist() is load-bearing: without it CollapseProject inlines the full
     // 128-perm signature expression into the band-key lambda (evaluated per
@@ -56,14 +117,12 @@ object Dedup {
         col(idCol).as("id"),
         TF.minhashSignature(TF.shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
       .persist()
-      .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rows)))
-    // docs sharing >=1 band key; distinct before the (expensive) sig compare
-    val cands = sigs.as("a").join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    val banded = sigs.withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rows)))
+    val (cands0, sizedCache) = cappedBucketJoinWithCache(banded, "band", maxBucketSize)
+    val out = cands0
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
       .withColumn("agree", {
         import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
         column(graft.functions.SigAgree(expression(col("sig_a")),
@@ -72,15 +131,18 @@ object Dedup {
       .withColumn("est_jaccard", col("agree").cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+    materializeAndRelease(out, sigs, sizedCache)
   }
 
   /** SimHash near-dup: 64-bit simhash over token hashes; Hamming distance ≤
     * `maxHamming` found by the pigeonhole blocking trick — split the 64 bits
     * into `maxHamming+1` fragments; any pair within distance k must agree
     * exactly on ≥1 fragment, so candidates come from an equi-join on
-    * (fragment_idx, fragment_bits), never a cross join. */
+    * (fragment_idx, fragment_bits), never a cross join. Oversized fragment
+    * blocks (near-identical boilerplate) are skew-capped the same way as
+    * the minhash band buckets. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Long = 4096L): DataFrame = {
     val nBlocks = maxHamming + 1
     val bitsPer = 64 / nBlocks
     val hashed = df.select(col(idCol).as("id"),
@@ -91,12 +153,13 @@ object Dedup {
         struct(i.as("i"),
                call_function("shiftrightunsigned", col("sh"), i * bitsPer)
                  .bitwiseAND(lit((1L << bitsPer) - 1)).as("bits")))))
-    blocked.as("a").join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val (cands0, sizedCache) = cappedBucketJoinWithCache(blocked, "blk", maxBucketSize)
+    val out = cands0
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               TF.hammingDist64(col("a.sh"), col("b.sh")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
+    materializeAndRelease(out, hashed, sizedCache)
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
@@ -119,9 +182,9 @@ object Dedup {
     val rare =
       if (maxDocFreq == Long.MaxValue) posting
       else posting.withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+          Window.partitionBy(col("h"))))
         .where(col("df") <= maxDocFreq).drop("df")
-    rare.as("a").join(rare.as("b"),
+    val out = rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"),
@@ -130,29 +193,35 @@ object Dedup {
         (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(out, sets)
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate generation
     * via random-hyperplane LSH buckets (see `Similarity.hyperplaneBuckets`)
-    * keeps it off the n² path; `bruteForce = true` skips blocking (exact,
-    * for small corpora / oracle verification). */
+    * keeps it off the n² path, with the same oversized-bucket star-pairing
+    * guard as the other LSH variants; `bruteForce = true` skips blocking
+    * (exact, for small corpora / oracle verification). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.95,
                            bruteForce: Boolean = false,
-                           lshBits: Int = 8, dim: Int = 64): DataFrame = {
+                           lshBits: Int = 8, dim: Int = 64,
+                           maxBucketSize: Long = 4096L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val cands =
-      if (bruteForce)
-        v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      else {
-        val bucketed = v.withColumn("bucket",
-          Similarity.hyperplaneBucket(col("vec"), lshBits, dim)).persist()
-        bucketed.as("a").join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      }
-    cands.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-                 VF.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
-      .where(col("cosine") >= threshold)
+    if (bruteForce) {
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+                VF.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    } else {
+      val bucketed = v.withColumn("bucket",
+        Similarity.hyperplaneBucket(col("vec"), lshBits, dim)).persist()
+      val (cands0, sizedCache) = cappedBucketJoinWithCache(bucketed, "bucket", maxBucketSize)
+      val out = cands0
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+                VF.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+        .where(col("cosine") >= threshold)
+      materializeAndRelease(out, bucketed, sizedCache)
+    }
   }
 
   /** Greedy survivor reduction: drop every id that appears as the *larger*

@@ -127,18 +127,62 @@ object Sinks {
       dumpDir = c.getStringOpt("event-dump-path"))
   }
 
+  /** Final fate of one delivery attempt sequence (reference response policy,
+    * `HttpSink.scala:270-310`): `Dropped` = 4xx permanent rejection — the
+    * reference drops these WITHOUT dumping; `Exhausted` = 5xx/transport
+    * retries used up — the only spill-worthy outcome (re-ingesting a dumped
+    * 4xx would be re-rejected forever). */
+  sealed trait Delivery
+  case object Delivered extends Delivery
+  case object Dropped extends Delivery
+  case object Exhausted extends Delivery
+
+  object HttpConnector {
+    /** Per-JVM shared transport state, keyed by sink config — all partitions
+      * of an executor share ONE wire-concurrency pool and ONE in-flight
+      * window per sink, like the reference's single host-connection-pool
+      * per sink instance (`HttpSinkSemantics.scala:130-190`). */
+    private final case class Shared(
+        exec: java.util.concurrent.ExecutorService,
+        window: java.util.concurrent.Semaphore)
+    private val shared =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Shared]()
+    private def sharedFor(cfg: HttpSinkConfig): Shared =
+      shared.computeIfAbsent((cfg.url, cfg.maxConnections, cfg.requestLimits), _ => {
+        val tf = new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-http-${n.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }
+        // a fixed pool of maxConnections threads doing BLOCKING sends bounds
+        // wire concurrency structurally — exactly `max-connections` requests
+        // on the wire (reference HttpSinkSemantics.scala:38-39)
+        Shared(java.util.concurrent.Executors.newFixedThreadPool(cfg.maxConnections, tf),
+               new java.util.concurrent.Semaphore(cfg.requestLimits))
+      })
+  }
+
   /** HTTP sink connector: runs inside `foreachPartition` on executors with a
-    * bounded-concurrency JDK HttpClient per partition (the reference's
-    * akka host-connection-pool + request queue, `HttpSinkSemantics.scala:130-190`,
-    * becomes a semaphore-bounded async client). Undeliverable events after
-    * `maxRetries` are spilled with `DumpCodec` to `dumpDir` (reference dump,
-    * `HttpLimitRequestSinkSemantics.scala:314-349`) for re-ingestion as a
-    * retry stream — or dropped when no dumpDir, matching 4xx policy. */
+    * bounded-concurrency JDK HttpClient (the reference's akka
+    * host-connection-pool + request queue, `HttpSinkSemantics.scala:130-190`).
+    * `deliverAsync` enforces BOTH knobs: `requestLimits` (512) gates the
+    * submitter — `deliverAsync` blocks when that many deliveries are
+    * un-completed, which is the reference's upstream backpressure
+    * (`HttpLimitRequestSinkSemantics.scala:29-30,295-305`) — and
+    * `maxConnections` (32) bounds concurrent wire requests. Retry backoff is
+    * scheduled on a delayed executor, so a backing-off delivery holds its
+    * window slot (as in the reference) but never a connection thread.
+    * Undeliverable events after `maxRetries` are spilled with `DumpCodec` to
+    * `dumpDir` (reference dump, `HttpLimitRequestSinkSemantics.scala:314-349`)
+    * for re-ingestion as a retry stream; 4xx rejections are dropped. */
   final class HttpConnector(cfg: HttpSinkConfig) extends Serializable {
     @transient private lazy val client: java.net.http.HttpClient =
       java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofSeconds(10))
         .build()
+    @transient private lazy val sharedState = HttpConnector.sharedFor(cfg)
 
     /** Response policy: Right(()) done; Left(true) retry; Left(false) drop. */
     def classify(status: Int): Either[Boolean, Unit] =
@@ -173,31 +217,68 @@ object Sinks {
         java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
     }
 
-    /** Deliver one assembled batch body with the retry/backoff policy.
-      * Returns true when delivered, false when dropped/spilled. */
-    def deliver(body: Array[Byte], sleeper: Long => Unit = Thread.sleep): Boolean = {
+    /** Synchronous single-delivery with the retry/backoff policy — the
+      * simple path for tests and driver-side use. */
+    def deliverOutcome(body: Array[Byte],
+                       sleeper: Long => Unit = Thread.sleep): Delivery = {
       var attempt = 0
       while (attempt <= cfg.maxRetries) {
         val outcome =
           try classify(sendBody(body))
           catch { case _: java.io.IOException => Left(true) } // transport error → retry
         outcome match {
-          case Right(())   => return true
-          case Left(false) => return false
+          case Right(())   => return Delivered
+          case Left(false) => return Dropped
           case Left(true)  =>
             if (attempt < cfg.maxRetries)
               sleeper(Backoff.randomDelayMillis(attempt.toDouble, cfg.backoffCapMillis))
             attempt += 1
         }
       }
-      false
+      Exhausted
+    }
+
+    def deliver(body: Array[Byte], sleeper: Long => Unit = Thread.sleep): Boolean =
+      deliverOutcome(body, sleeper) == Delivered
+
+    /** Asynchronous bounded delivery. BLOCKS the caller while `requestLimits`
+      * deliveries are in flight (upstream gating); each attempt runs on the
+      * shared `maxConnections`-thread pool; retries are re-scheduled after
+      * backoff without occupying a connection slot. The returned future
+      * completes with the delivery's final fate and frees the window slot. */
+    def deliverAsync(body: Array[Byte]): java.util.concurrent.CompletableFuture[Delivery] = {
+      import java.util.concurrent.{CompletableFuture, TimeUnit}
+      val st = sharedState
+      st.window.acquire()
+      val done = new CompletableFuture[Delivery]()
+      def attempt(n: Int): Unit =
+        st.exec.execute { () =>
+          val outcome =
+            try classify(sendBody(body))
+            catch { case _: java.io.IOException => Left(true) }
+          outcome match {
+            case Right(())   => done.complete(Delivered); ()
+            case Left(false) => done.complete(Dropped); ()
+            case Left(true) if n >= cfg.maxRetries => done.complete(Exhausted); ()
+            case Left(true) =>
+              val delay = Backoff.randomDelayMillis(n.toDouble, cfg.backoffCapMillis)
+              CompletableFuture.delayedExecutor(delay, TimeUnit.MILLISECONDS)
+                .execute(() => attempt(n + 1))
+          }
+        }
+      attempt(0)
+      done.whenComplete((_, _) => st.window.release())
     }
   }
 
   /** The `foreachBatch` writer: per partition, events are grouped into
     * bodies of `batchSize` joined with `batchJoin` (reference batch
-    * assembly) and delivered with bounded concurrency. Failed deliveries
-    * are spilled via `DumpCodec` when configured. */
+    * assembly) and delivered via `deliverAsync` — up to `requestLimits`
+    * bodies in flight, `maxConnections` on the wire, the partition thread
+    * blocking when the window fills (reference upstream gating). Only
+    * retry-EXHAUSTED deliveries are spilled via `DumpCodec`; 4xx
+    * rejections are dropped (dumping them would re-reject forever on
+    * recovery). */
   def httpWriter(cfg: HttpSinkConfig, batchSize: Int = 128): DataFrame => Unit = {
     batch =>
       val connector = new HttpConnector(cfg)
@@ -205,14 +286,20 @@ object Sinks {
       val dumpDir = cfg.dumpDir
       batch.select(col("body"), col("headers")).foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
-          val spill = new scala.collection.mutable.ArrayBuffer[Event]()
+          val pending = new scala.collection.mutable.ArrayBuffer[
+            (Seq[Event], java.util.concurrent.CompletableFuture[Delivery])]()
           rows.grouped(batchSize).foreach { group =>
             val events = group.map(r => Event(r.getString(0),
               Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
             val body = events.map(_.body).mkString(join)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            if (!connector.deliver(body)) spill ++= events
+            pending += ((events.toSeq, connector.deliverAsync(body)))
           }
+          // partition (= epoch) barrier: every delivery resolved before the
+          // micro-batch commits — the reference's synchronous-ack semantics
+          val spill = pending.iterator.collect {
+            case (events, fut) if fut.join() == Exhausted => events
+          }.flatten.toVector
           dumpDir.foreach { dir =>
             if (spill.nonEmpty) {
               val p = java.nio.file.Paths.get(dir,
@@ -257,35 +344,65 @@ object Sinks {
                 host: String, app: String, msgId: String, msg: String): String =
       s"<${pri(facility, severity)}>1 $ts $host $app - $msgId - $msg"
 
-    /** RFC 6587 octet-counting framing for TCP transport. */
-    def octetFramed(message: String): String = s"${message.length} $message"
+    /** RFC 6587 / RFC 5425 octet-counting framing. The count is the
+      * UTF-8 BYTE length of the message — the same bytes the TCP/TLS
+      * writer puts on the wire; counting UTF-16 code units would corrupt
+      * framing (and everything after it on the connection) for any
+      * non-ASCII body. */
+    def octetFramed(message: String): String =
+      s"${message.getBytes(java.nio.charset.StandardCharsets.UTF_8).length} $message"
   }
 
-  /** Syslog sink writer: per-partition socket (TCP or UDP) delivery of each
-    * event body as one syslog message. */
+  /** Syslog transport selector (reference `SyslogSinkSemantics.scala:49-135`
+    * supports UDP, TCP, and TLS/RFC 5425 with a custom CA). */
+  sealed trait SyslogTransport
+  case object SyslogUdp extends SyslogTransport
+  case object SyslogTcp extends SyslogTransport
+  /** RFC 5425: syslog over TLS with octet-counted framing. `caPem` = path
+    * to a PEM CA bundle trusted for the server (reference PKI util,
+    * `core/src/main/scala/atiesh/utils/PKI.scala:20-74`); None = JVM default
+    * trust store. */
+  final case class SyslogTls(caPem: Option[String]) extends SyslogTransport
+
+  /** Syslog sink writer: per-partition socket (UDP, TCP, or TLS) delivery of
+    * each event body as one syslog message. TCP/TLS use RFC 5424 messages in
+    * RFC 6587/5425 octet-counted frames; UDP sends bare RFC 3164. */
   def syslogWriter(host: String, port: Int, facility: Int = 1, severity: Int = 6,
-                   app: String = "graft", useTcp: Boolean = true): DataFrame => Unit = {
+                   app: String = "graft", useTcp: Boolean = true,
+                   transport: Option[SyslogTransport] = None): DataFrame => Unit = {
+    val mode = transport.getOrElse(if (useTcp) SyslogTcp else SyslogUdp)
     batch =>
       batch.select(col("body")).foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
-          if (useTcp) {
-            val sock = new java.net.Socket(host, port)
-            val out = new java.io.OutputStreamWriter(sock.getOutputStream,
-              java.nio.charset.StandardCharsets.UTF_8)
-            try rows.foreach { r =>
-              val m = Syslog.rfc5424(facility, severity, java.time.Instant.now(),
-                java.net.InetAddress.getLocalHost.getHostName, app, "-", r.getString(0))
-              out.write(Syslog.octetFramed(m))
-            } finally { out.flush(); sock.close() }
-          } else {
-            val sock = new java.net.DatagramSocket()
-            try rows.foreach { r =>
-              val m = Syslog.rfc3164(facility, severity, java.time.Instant.now(),
-                java.net.InetAddress.getLocalHost.getHostName, app, r.getString(0))
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              sock.send(new java.net.DatagramPacket(m, m.length,
-                java.net.InetAddress.getByName(host), port))
-            } finally sock.close()
+          mode match {
+            case SyslogUdp =>
+              val sock = new java.net.DatagramSocket()
+              try rows.foreach { r =>
+                val m = Syslog.rfc3164(facility, severity, java.time.Instant.now(),
+                  java.net.InetAddress.getLocalHost.getHostName, app, r.getString(0))
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                sock.send(new java.net.DatagramPacket(m, m.length,
+                  java.net.InetAddress.getByName(host), port))
+              } finally sock.close()
+            case tcpLike =>
+              val sock = tcpLike match {
+                case SyslogTls(ca) =>
+                  val ctx = ca.map(p => graft.util.PKI.trustContext(
+                      java.nio.file.Paths.get(p)))
+                    .getOrElse(javax.net.ssl.SSLContext.getDefault)
+                  val s = ctx.getSocketFactory.createSocket(host, port)
+                    .asInstanceOf[javax.net.ssl.SSLSocket]
+                  s.startHandshake()
+                  s
+                case _ => new java.net.Socket(host, port)
+              }
+              val out = sock.getOutputStream
+              try rows.foreach { r =>
+                val m = Syslog.rfc5424(facility, severity, java.time.Instant.now(),
+                  java.net.InetAddress.getLocalHost.getHostName, app, "-", r.getString(0))
+                out.write(Syslog.octetFramed(m)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              } finally { out.flush(); sock.close() }
           }
       }
   }

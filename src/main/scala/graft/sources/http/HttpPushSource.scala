@@ -54,7 +54,13 @@ object HttpPushRegistry {
 
   final class Endpoint(val port: Int, delimiter: Char, maxConnections: Int,
                        headerPrefix: Option[String]) {
+    // event log holds only the UNCOMMITTED tail: entries below `committed`
+    // are compacted away at commit time and `baseOffset` tracks how many
+    // were dropped, so a long-lived endpoint neither grows without bound
+    // nor overflows Int indexing past 2^31 events (absolute offsets are
+    // Long; only the bounded uncommitted window is ever indexed as Int)
     private val log = new util.ArrayList[(String, Map[String, String])]()
+    private var baseOffset = 0L
     private val pending = new util.ArrayList[PendingAck]()
     private val inflight = new Semaphore(maxConnections)
     @volatile private var committed = 0L
@@ -70,7 +76,13 @@ object HttpPushRegistry {
     def boundPort: Int = server.getAddress.getPort
 
     private def handleExchange(ex: HttpExchange): Unit = {
+      // admission control bounds IN-FLIGHT (unacked) requests, as in the
+      // reference: the permit is held until the deferred 201 is drained at
+      // epoch commit, not just while the body is parsed — an early-response
+      // path (503/400) releases in the finally below, a deferred one hands
+      // its permit to drainAcks()
       if (!inflight.tryAcquire()) { respond(ex, 503); return } // shed load
+      var deferred = false
       try {
         val raw = ex.getRequestBody.readAllBytes()
         val isGzip = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
@@ -92,28 +104,41 @@ object HttpPushRegistry {
         if (events.isEmpty) { respond(ex, 400); return }
         val end = synchronized {
           events.foreach(b => log.add((b, captured)))
-          val e = log.size.toLong
+          val e = baseOffset + log.size
           pending.add(PendingAck(e, ex, events.size))
           e
         }
+        deferred = true
         // ack deferred to commit(end' >= end) — do NOT respond here
         if (committed >= end) drainAcks() // races with an already-advanced commit
-      } finally inflight.release()
+      } finally if (!deferred) inflight.release()
     }
 
     private def respond(ex: HttpExchange, status: Int): Unit = {
       ex.sendResponseHeaders(status, -1); ex.close()
     }
 
-    def latest: Long = synchronized(log.size.toLong)
+    def latest: Long = synchronized(baseOffset + log.size)
 
     def slice(from: Long, until: Long): Array[(String, Map[String, String])] =
       synchronized {
-        (from until until).map(i => log.get(i.toInt)).toArray
+        require(from >= baseOffset,
+          s"offset $from already compacted (base=$baseOffset)")
+        ((from - baseOffset).toInt until (until - baseOffset).toInt)
+          .map(log.get).toArray
       }
 
-    /** Epoch commit: complete every request fully covered by `offset`. */
-    def commitUpTo(offset: Long): Unit = { committed = offset; drainAcks() }
+    /** Epoch commit: complete every request fully covered by `offset` and
+      * compact the log below the committed offset (batches never re-read
+      * below it — the next batch starts at the committed end). */
+    def commitUpTo(offset: Long): Unit = {
+      synchronized {
+        committed = math.max(committed, offset)
+        val drop = (math.min(committed, baseOffset + log.size) - baseOffset).toInt
+        if (drop > 0) { log.subList(0, drop).clear(); baseOffset += drop }
+      }
+      drainAcks()
+    }
 
     private def drainAcks(): Unit = {
       val acks = synchronized {
@@ -125,6 +150,7 @@ object HttpPushRegistry {
       acks.foreach { a =>
         try { a.exchange.sendResponseHeaders(201, -1); a.exchange.close() }
         catch { case _: Exception => () }
+        finally inflight.release() // in-flight window spans until the ack
       }
     }
 

@@ -33,23 +33,33 @@ object BatchSemantics {
       "batch-size and batch-timeout cannot both be unbounded")
   }
 
+  /** Buffered state: `firstTs` = processing time when the CURRENT buffer
+    * went empty→non-empty. The reference schedules its flush task once, at
+    * buffer creation (BatchSinkSemantics.scala:169-178) — so the timeout
+    * must measure time since the buffer's first event, not since the last
+    * arrival (re-arming on every arrival defers the flush indefinitely
+    * under a steady trickle). */
+  final case class Buffered(firstTs: Long, events: Vector[Event])
+
   /** Exact count-or-timeout batching over a keyed event stream. */
   def batchByTag(events: Dataset[(String, Event)], cfg: Config)
       : Dataset[Batch] = {
-    implicit val stateEnc = Encoders.kryo[Vector[Event]]
+    implicit val stateEnc = Encoders.kryo[Buffered]
     implicit val batchEnc = Encoders.product[Batch]
     events.groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroupsWithState[Vector[Event], Batch](
+      .flatMapGroupsWithState[Buffered, Batch](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (tag: String, rows: Iterator[(String, Event)],
-         state: GroupState[Vector[Event]]) =>
+         state: GroupState[Buffered]) =>
           if (state.hasTimedOut) {
-            val buffered = state.getOption.getOrElse(Vector.empty)
+            val buffered = state.getOption.map(_.events).getOrElse(Vector.empty)
             state.remove()
             if (buffered.isEmpty) Iterator.empty
             else Iterator(Batch(tag, buffered.map(_.body), sizeFlush = false))
           } else {
-            var buf = state.getOption.getOrElse(Vector.empty) ++ rows.map(_._2)
+            val now = state.getCurrentProcessingTimeMs()
+            val prev = state.getOption
+            var buf = prev.map(_.events).getOrElse(Vector.empty) ++ rows.map(_._2)
             val flushes = Iterator.unfold(buf) { b =>
               if (cfg.batchSize > 0 && b.size >= cfg.batchSize)
                 Some((Batch(tag, b.take(cfg.batchSize).map(_.body), sizeFlush = true),
@@ -59,9 +69,16 @@ object BatchSemantics {
             buf = buf.drop(flushes.size * cfg.batchSize)
             if (buf.isEmpty) state.remove()
             else {
-              state.update(buf)
+              // a size-flush consumed the old buffer head → the leftover
+              // tail is a NEW buffer whose clock starts now (reference: a
+              // fresh flush task per created batch buffer)
+              val firstTs =
+                if (prev.isEmpty || flushes.nonEmpty) now
+                else prev.get.firstTs
+              state.update(Buffered(firstTs, buf))
               if (cfg.batchTimeoutMillis > 0)
-                state.setTimeoutDuration(cfg.batchTimeoutMillis)
+                state.setTimeoutDuration(
+                  math.max(1L, firstTs + cfg.batchTimeoutMillis - now))
             }
             flushes.iterator
           }

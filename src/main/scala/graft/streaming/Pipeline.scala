@@ -47,8 +47,15 @@ object Pipeline {
     }
   }
 
+  /** `fqcn =` with no `type` loads a user [[SourcePlugin]] by class name —
+    * the reference's reflective extensibility story for sources
+    * (`Source.scala:123-149`). */
   private[streaming] def buildSource(spark: SparkSession, sc: GraftConfig)
-      : Dataset[Event] = sc.getString("type", "devzero") match {
+      : Dataset[Event] = (sc.getStringOpt("type"), sc.getStringOpt("fqcn")) match {
+    case (None, Some(fqcn)) =>
+      graft.interceptor.ComponentLoader.createPlugin[SourcePlugin](fqcn, sc)
+        .build(spark, sc)
+    case (t, _) => t.getOrElse("devzero") match {
     case "devzero"   => Sources.devZero(spark, sc.getInt("batch-size", 1024))
     case "directory" => Sources.directoryWatch(spark, sc.getString("path"),
                           sc.getInt("max-files-per-trigger", 16),
@@ -72,20 +79,33 @@ object Pipeline {
         Sources.parquetStream(spark, sc.getString("path"),
                               sc.getInt("max-files-per-trigger", 4)))
     case other => throw new IllegalArgumentException(s"unknown source type <$other>")
+    }
   }
 
+  /** `fqcn =` with no `type` loads a user [[SinkPlugin]] by class name
+    * (reference `Sink.scala:57-77`). */
   private[streaming] def buildSink(sc: GraftConfig): DataFrame => Unit =
-    sc.getString("type", "devnull") match {
+    (sc.getStringOpt("type"), sc.getStringOpt("fqcn")) match {
+      case (None, Some(fqcn)) =>
+        graft.interceptor.ComponentLoader.createPlugin[SinkPlugin](fqcn, sc)
+          .build(sc)
+      case (t, _) => t.getOrElse("devnull") match {
       case "devnull" | "noop" => Sinks.noopWriter
       case "file"   => Sinks.fileWriter(sc.getString("path"),
                                         sc.getString("format", "parquet"))
       case "http"   => Sinks.httpWriter(Sinks.HttpSinkConfig.fromConfig(sc),
                                         sc.getInt("batch-size", 128))
-      case "syslog" => Sinks.syslogWriter(sc.getString("remote-host"),
-                         sc.getInt("remote-port", 514),
-                         sc.getInt("facility", 1), sc.getInt("severity", 6),
-                         sc.getString("app", "graft"),
-                         useTcp = sc.getString("transport", "tcp") == "tcp")
+      case "syslog" =>
+        val transport = sc.getString("transport", "tcp") match {
+          case "udp" => Sinks.SyslogUdp
+          case "tls" => Sinks.SyslogTls(sc.getStringOpt("ssl-ca-file"))
+          case _     => Sinks.SyslogTcp
+        }
+        Sinks.syslogWriter(sc.getString("remote-host"),
+          sc.getInt("remote-port", 514),
+          sc.getInt("facility", 1), sc.getInt("severity", 6),
+          sc.getString("app", "graft"),
+          transport = Some(transport))
       case "kafka"  =>
         val topic = sc.getStringOpt("topic")
         val header = sc.getStringOpt("topic-header")
@@ -93,6 +113,7 @@ object Pipeline {
         batch => { Sinks.kafkaRecords(batch, topic, header)
           .write.format("kafka").options(opts).save(); () }
       case other => throw new IllegalArgumentException(s"unknown sink type <$other>")
+      }
     }
 
   private def startOne(spark: SparkSession, root: GraftConfig, name: String,

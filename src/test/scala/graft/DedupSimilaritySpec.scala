@@ -71,6 +71,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("skew cap: normal-corpus pair output identical with and without the cap") {
+    def pairs(cap: Long) =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.4,
+          maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(4096L) == pairs(Long.MaxValue))
+    def simPairs(cap: Long) =
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
+          maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simPairs(4096L) == simPairs(Long.MaxValue))
+  }
+
+  test("skew cap: adversarial hot buckets stay linear and still dedup fully") {
+    // 1200 near-identical docs (5 variants of one boilerplate) — every LSH
+    // band bucket is hot; uncapped this is ~720k candidate pairs per band.
+    // With the cap the oversized buckets degrade to star-pairing, the run
+    // stays fast, and survivor reduction still collapses the cluster.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = spark.range(1200).selectExpr(
+      "id AS doc_id", s"concat('$base', ' suffix', cast(id % 5 AS string)) AS text")
+    val t0 = System.nanoTime()
+    val mh = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5,
+      maxBucketSize = 64L)
+    val nPairs = mh.count()
+    val nSurvivors = Dedup.survivors(df, mh, "doc_id").count()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(nPairs >= 1199L, s"star-pairing should still cover the cluster ($nPairs)")
+    assert(nSurvivors <= 5L, s"cluster must collapse to its variants ($nSurvivors)")
+    assert(elapsedSec < 120.0, s"adversarial corpus took ${elapsedSec}s")
+
+    val sh = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 12,
+      maxBucketSize = 64L)
+    val shSurvivors = Dedup.survivors(df, sh, "doc_id").count()
+    assert(shSurvivors <= 5L, s"simhash survivors=$shSurvivors")
+  }
+
+  test("minhash rejects numHashes not divisible by bands") {
+    val df = spark.createDataFrame(Seq((1L, "a b c"))).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(df, "doc_id", "text", numHashes = 100, bands = 16)
+    }
+  }
+
   test("survivors drops the larger id of every dup pair") {
     val df = spark.createDataFrame(Seq(
       (1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))).toDF("doc_id", "text")

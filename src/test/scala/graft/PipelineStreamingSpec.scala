@@ -1,11 +1,54 @@
 package graft
 
 import graft.config.GraftConfig
-import graft.streaming.{BatchSemantics, Pipeline}
+import graft.event.Event
+import graft.streaming.{BatchSemantics, Pipeline, SinkPlugin, SourcePlugin}
 
 import java.nio.file.Files
 
+/** FQCN-loadable source: a finite in-memory stream (reference extensibility
+  * contract — any user class reachable on the classpath, Source.scala:123-149). */
+class TestSourcePlugin(cfg: GraftConfig) extends SourcePlugin {
+  override def build(spark: org.apache.spark.sql.SparkSession,
+                     sc: GraftConfig): org.apache.spark.sql.Dataset[Event] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val ms = MemoryStream[Event]
+    val n = sc.getInt("n-events", 3)
+    ms.addData((1 to n).map(i => Event(s"plugin-$i", Map("i" -> i.toString))))
+    ms.toDS()
+  }
+}
+
+/** FQCN-loadable sink: collects bodies into a static buffer. */
+class TestSinkPlugin extends SinkPlugin {
+  override def build(cfg: GraftConfig): org.apache.spark.sql.DataFrame => Unit =
+    batch => TestSinkPlugin.received.addAll(
+      java.util.Arrays.asList(batch.collect().map(_.getString(0)): _*))
+}
+object TestSinkPlugin {
+  val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class PipelineStreamingSpec extends SparkSpec {
+
+  test("FQCN plugin source and sink assemble from config by class name") {
+    TestSinkPlugin.received.clear()
+    val work = Files.createTempDirectory("graft-plugin")
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { fqcn = "graft.TestSourcePlugin", n-events = 4,
+                      sinks = [collector] } }
+        sink { collector { fqcn = "graft.TestSinkPlugin" } }
+      }""")
+    val ps = Pipeline.start(spark, conf, work.resolve("ck").toString)
+    ps.foreach(_.query.processAllAvailable())
+    ps.foreach(_.query.stop())
+    import scala.jdk.CollectionConverters._
+    assert(TestSinkPlugin.received.asScala.toSet ==
+      Set("plugin-1", "plugin-2", "plugin-3", "plugin-4"))
+  }
 
   test("config-assembled pipeline: directory source → chain → file sink") {
     val work = Files.createTempDirectory("graft-pipe")

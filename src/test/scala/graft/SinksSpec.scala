@@ -124,6 +124,34 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("deliverAsync bounds wire concurrency at maxConnections; window at requestLimits") {
+    val active = new AtomicInteger(0)
+    val maxActive = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val a = active.incrementAndGet()
+        maxActive.updateAndGet(m => math.max(m, a))
+        Thread.sleep(80) // slow server so requests pile up
+        active.decrementAndGet()
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val c = new HttpConnector(HttpSinkConfig(url = s"http://127.0.0.1:$port/",
+        maxConnections = 4, requestLimits = 8))
+      val futs = (1 to 32).map(_ => c.deliverAsync("x".getBytes))
+      val outcomes = futs.map(_.join())
+      assert(outcomes.forall(_ == Sinks.Delivered))
+      assert(maxActive.get() <= 4,
+        s"wire concurrency ${maxActive.get()} exceeded maxConnections=4")
+      assert(maxActive.get() >= 2, "delivery should actually be concurrent")
+    } finally server.stop(0)
+  }
+
   // ---- kafka projection -------------------------------------------------
 
   test("kafka record projection: per-event topic header beats static topic") {
@@ -148,5 +176,53 @@ class SinksSpec extends SparkSpec {
     val m5424 = Sinks.Syslog.rfc5424(1, 6, ts, "host1", "app1", "id1", "msg")
     assert(m5424 == "<14>1 2026-03-05T07:08:09Z host1 app1 - id1 - msg")
     assert(Sinks.Syslog.octetFramed("abc") == "3 abc")
+    // octet count is UTF-8 BYTES, not UTF-16 code units — "é" is 1 char, 2 bytes
+    assert(Sinks.Syslog.octetFramed("é") == "2 é")
+    assert(Sinks.Syslog.octetFramed("日本") == "6 日本")
+  }
+
+  test("syslog TLS (RFC 5425) round-trips against a local TLS socket with a custom CA") {
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("server.p12")
+    val pem = dir.resolve("ca.pem")
+    // self-signed server cert via the JDK's own keytool
+    assert(Seq("keytool", "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-storetype", "PKCS12",
+      "-keystore", ks.toString, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1").! == 0)
+    assert(Seq("keytool", "-exportcert", "-rfc", "-alias", "srv",
+      "-keystore", ks.toString, "-storepass", "changeit",
+      "-file", pem.toString).! == 0)
+
+    val ctx = graft.util.PKI.serverContext(ks, "changeit".toCharArray)
+    val ss = ctx.getServerSocketFactory.createServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val acceptor = new Thread(() => {
+      while (!ss.isClosed) {
+        try {
+          val s = ss.accept()
+          val bytes = s.getInputStream.readAllBytes()
+          if (bytes.nonEmpty)
+            received.put(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          s.close()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    try {
+      val batch = spark.createDataFrame(Seq(("héllo wörld", Map.empty[String, String])))
+        .toDF("body", "headers").coalesce(1)
+      Sinks.syslogWriter("127.0.0.1", ss.getLocalPort,
+        transport = Some(Sinks.SyslogTls(Some(pem.toString))))(batch)
+      val frame = received.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+      assert(frame != null, "no TLS frame received")
+      assert(frame.contains("héllo wörld"))
+      // RFC 5425 octet count prefix == UTF-8 byte length of the message
+      val Array(count, msg) = frame.split(" ", 2)
+      assert(count.toInt ==
+        msg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    } finally ss.close()
   }
 }

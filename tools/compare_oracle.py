@@ -8,6 +8,8 @@ Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -22,6 +24,36 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+def repr_mismatch(files, exp: pd.DataFrame):
+    """Strict representation check emulating the driver's hash: the Spark dump
+    is read via pyarrow/pandas (decimals -> Decimal objects with trailing
+    zeros, dates -> datetime.date) while the oracle comes from duckdb .df()
+    (decimals -> float64, dates -> Timestamp). Every cell is str()-rendered,
+    columns sorted by name, rows sorted, then compared. A query whose VALUES
+    match can still fail here — e.g. Decimal('570.60') vs float 570.6 — and
+    that is exactly what the driver's hash_match measures."""
+    got = pd.concat([pq.read_table(f).to_pandas() for f in sorted(files)],
+                    ignore_index=True)
+    def render(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        out = df.astype(object).where(df.notna(), None)
+        for c in out.columns:
+            out[c] = out[c].map(lambda v: None if v is None else str(v))
+        if len(out):
+            out = out.sort_values(by=list(out.columns), kind="mergesort",
+                                  na_position="last").reset_index(drop=True)
+        return out
+    g, e = render(got), render(exp)
+    if list(g.columns) != list(e.columns) or len(g) != len(e):
+        return ["shape"]
+    bad = []
+    for c in g.columns:
+        if not g[c].equals(e[c]):
+            m = ~((g[c].isna() & e[c].isna()) | (g[c] == e[c]))
+            i = m[m].index[0]
+            bad.append(f"{c} (e.g. spark={g[c][i]!r} duck={e[c][i]!r})")
+    return bad
 
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
@@ -74,8 +106,13 @@ def main(out_dir: str, sf_dir: str) -> int:
             for i in idx:
                 print(f"    [{name}] row {i} col {c}: spark={g[c][i]!r} duck={e[c][i]!r}")
         else:
-            results[name] = f"PASS ({len(g)} rows)"
-            n_pass += 1
+            strict = repr_mismatch(files, exp)
+            if strict:
+                results[name] = f"REPR-MISMATCH cols={strict}"
+                n_fail += 1
+            else:
+                results[name] = f"PASS ({len(g)} rows)"
+                n_pass += 1
     for k, v in sorted(results.items()):
         flag = "  OK " if v.startswith("PASS") else ("  ~  " if v.startswith("ROWS-ONLY") else "  FAIL ")
         print(f"{flag}{k}: {v}")
