@@ -284,6 +284,14 @@ object SparkEntry {
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Approximate blocking + EXACT verification — the production dedup shape.
+    * Aggressive banding (64×2) makes candidate recall ≈ 1 at j ≥ 0.5, so the
+    * verified output equals the exact all-pairs oracle. */
+  private def dedupMinhashVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 128, bands = 64, threshold = 0.5, shingleN = 3)
+      .orderBy("id_a", "id_b")
+
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
@@ -319,6 +327,28 @@ object SparkEntry {
         k = 10, nCentroids = 16, nProbe = 4)
       .orderBy("qid", "rank")
   }
+
+  /** IVF with a FIXED deterministic coarse quantizer instead of trained
+    * k-means — same pipeline (assign → probe → exact cosine re-rank), but
+    * the centroid constants can be embedded in the DuckDB oracle, which
+    * replicates the whole approximate operator cell-exactly. */
+  private def simIvfVerified(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, nCentroids = 16, nProbe = 4,
+        centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
+      .orderBy("qid", "rank")
+  }
+
+  private val textTopKQuery =
+    "table scan fast key value row batch window join query"
+
+  private def textTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.textTopK(t(s, dir, "documents"), "doc_id", "text",
+        textTopKQuery, k = 10, shingleN = 2)
+      .orderBy(col("jaccard").desc, col("id").asc)
 
   private def textStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -433,12 +463,15 @@ object SparkEntry {
     "dedup_exact"         -> dedupExact _,
     "dedup_normalized"    -> dedupNormalized _,
     "dedup_minhash"       -> dedupMinhash _,
+    "dedup_minhash_verified" -> dedupMinhashVerified _,
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_ngram"         -> dedupNgram _,
     "dedup_embedding"     -> dedupEmbedding _,
     "sim_topk"            -> simTopK _,
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
+    "sim_ivf_verified"    -> simIvfVerified _,
+    "text_topk"           -> textTopK _,
     "text_stats"          -> textStats _,
     "text_langid"         -> textLangId _,
     "text_quality"        -> textQuality _,
@@ -457,6 +490,77 @@ object SparkEntry {
     * equivalent of TextFunctions.normText/tokens). */
   private val sqlToks =
     """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
+
+  /** DuckDB replica of `Similarity.lshTopK`: same deterministic hyperplanes
+    * (literal-embedded), same sign-bit bucket formula (double arithmetic,
+    * sequential sum — matching Spark's `aggregate` over the array), same
+    * 1-bit multi-probe sequence, same candidate join + exact cosine rank. */
+  private def lshReplicaOracle(bits: Int, probes: Int, k: Int,
+                               dim: Int = 64): String = {
+    val hp = Similarity.hyperplanes(bits, dim)
+    val hLit = hp.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val nProbes = math.min(probes, bits)
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(range(0, $bits), i ->
+                 CASE WHEN list_aggregate(list_transform(range(1, ${dim + 1}),
+                        j -> v[j] * ($hLit)[i + 1][j]), 'sum') > 0
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum') AS bucket
+        FROM e),
+      qp AS (
+        SELECT vec_id AS qid, v AS qv,
+               unnest(list_transform(range(0, ${nProbes + 1}), p ->
+                 CASE WHEN p = 0 THEN bucket
+                      ELSE xor(bucket, (1::BIGINT << (p - 1))) END)) AS bucket
+        FROM cb WHERE vec_id < 5),
+      cand AS (
+        SELECT DISTINCT qp.qid, qp.qv, c.vec_id AS id, c.v AS v
+        FROM qp JOIN cb c USING (bucket) WHERE c.vec_id <> qp.qid),
+      scored AS (SELECT qid, id, list_cosine_similarity(v, qv) AS cosine FROM cand),
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB replica of `Similarity.ivfTopK` with fixed centroids: distance
+    * mirrors `VectorKernels.l2Sq` float arithmetic exactly (FLOAT subtract
+    * and multiply per term — DuckDB FLOAT ops round identically — summed as
+    * DOUBLE), probe order ties break on centroid index like
+    * `nearestCentroids`. */
+  private def ivfReplicaOracle(cents: Array[Array[Float]], nProbe: Int,
+                               k: Int, dim: Int = 64): String = {
+    val cLit = cents.map(_.map(f => s"$f::FLOAT").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val nc = cents.length
+    // nearest-centroid probe list over the raw FLOAT[] embedding `f`
+    def probeList(n: Int): String =
+      s"""list_transform(list_slice(list_sort(list_transform(range(0, $nc), i ->
+            {'d': list_aggregate(list_transform(range(1, ${dim + 1}),
+                    j -> ((f[j] - ($cLit)[i + 1][j]) * (f[j] - ($cLit)[i + 1][j]))::DOUBLE),
+                  'sum'),
+             'i': i})), 1, $n), s -> s.i)"""
+    s"""
+      WITH e AS (SELECT vec_id, embedding AS f, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT vec_id, v, list_extract(${probeList(1)}, 1) AS cluster FROM e),
+      qp AS (
+        SELECT vec_id AS qid, v AS qv, unnest(${probeList(nProbe)}) AS cluster
+        FROM e WHERE vec_id < 5),
+      cand AS (
+        SELECT DISTINCT qp.qid, qp.qv, c.vec_id AS id, c.v AS v
+        FROM qp JOIN cb c USING (cluster) WHERE c.vec_id <> qp.qid),
+      scored AS (SELECT qid, id, list_cosine_similarity(v, qv) AS cosine FROM cand),
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= $k ORDER BY qid, rank"""
+  }
 
   private def langScoreSql(lang: String): String = {
     val words = TF.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -605,6 +709,25 @@ object SparkEntry {
       SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
       FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
       ORDER BY id_a, id_b""",
+    // exact-verified MinHash: candidates from LSH, output = exact n-gram
+    // Jaccard ≥ 0.5 — oracle is the same all-pairs exact computation
+    "dedup_minhash_verified" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
+      FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+      ORDER BY id_a, id_b""",
     "dedup_embedding" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -624,6 +747,48 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= 10 ORDER BY qid, rank""",
+    // full replica of the LSH ANN operator: the deterministic hyperplanes
+    // are embedded as literals, DuckDB recomputes bucket assignment,
+    // multi-probe, the candidate join, and the exact-cosine re-rank —
+    // oracle-checking the APPROXIMATE output itself, not a brute-force proxy
+    "sim_lsh_topk" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
+    "sim_ivf_verified" -> ivfReplicaOracle(
+      Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    "text_topk" -> {
+      // the query string's 2-gram shingles, built with the SAME
+      // normalization the engine applies, as a DuckDB list literal
+      val qtoks = textTopKQuery.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ").trim.split(" ").toSeq
+      val qsh = (if (qtoks.size < 2) Seq(qtoks.mkString(" "))
+                 else qtoks.sliding(2).map(_.mkString(" ")).toSeq).distinct
+      val qlist = qsh.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk)),
+                         i -> array_to_string(list_slice(tk, i, i + 1), ' '))) END AS hs
+        FROM toks),
+      scored AS (
+        SELECT doc_id AS id,
+               len(list_intersect(hs, $qlist)) AS inter,
+               len(hs) AS n, len($qlist) AS nq
+        FROM sh)
+      SELECT id, inter::DOUBLE / (n + nq - inter) AS jaccard
+      FROM scored WHERE inter > 0
+      ORDER BY jaccard DESC, id ASC LIMIT 10"""
+    },
+    "text_rollhash" -> """
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(0::HUGEINT,
+            list_transform(range(0, octet_length(encode(text))),
+              i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1)) * 16
+                    + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)))::HUGEINT)),
+          (h, b) -> (h * 257 + b) % 2305843009213693951::HUGEINT
+        )::BIGINT AS rollhash
+      FROM documents ORDER BY doc_id""",
     "text_stats" -> s"""
       SELECT doc_id, len($sqlToks)::BIGINT AS n_words,
              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,

@@ -134,6 +134,43 @@ object Dedup {
     materializeAndRelease(out, sigs, sizedCache)
   }
 
+  /** MinHash-LSH candidate generation followed by EXACT n-gram Jaccard
+    * verification on the candidates only — the production shape for
+    * "approximate blocking, exact output". The output is SQL-expressible
+    * (it equals the exact all-pairs Jaccard result whenever LSH recall is
+    * complete), unlike the estimate-scored `minhashLshPairs`. Default
+    * 64 bands × 2 rows puts candidate recall at `1-(1-s²)^64` ≈ 1-1e-8 for
+    * s ≥ 0.5 — the exact verify then discards the extra candidates the
+    * aggressive banding lets through. */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 128, bands: Int = 64,
+                           threshold: Double = 0.5, shingleN: Int = 3,
+                           maxBucketSize: Long = 4096L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val sets = df.select(col(idCol).as("id"),
+                         TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .persist() // barrier + reused by signature build and both verify joins
+    val sigs = sets.select(col("id"),
+        TF.minhashSignature(col("hs"), numHashes).as("sig"))
+      .persist()
+    val banded = sigs.withColumn("band",
+      explode(TF.lshBandKeys(col("sig"), bands, numHashes / bands)))
+    val (cands0, sizedCache) = cappedBucketJoinWithCache(banded, "band", maxBucketSize)
+    val cand = cands0.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val out = cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(out, sets, sigs, sizedCache)
+  }
+
   /** SimHash near-dup: 64-bit simhash over token hashes; Hamming distance ≤
     * `maxHamming` found by the pigeonhole blocking trick — split the 64 bits
     * into `maxHamming+1` fragments; any pair within distance k must agree

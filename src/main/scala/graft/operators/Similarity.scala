@@ -131,17 +131,30 @@ object Similarity {
     cents
   }
 
+  /** Deterministic pseudo-random centroids (splitmix64, values in [-1,1]) —
+    * an untrained coarse quantizer. Worse cell balance than k-means but
+    * fully determined by (k, dim, seed), which makes the whole IVF pipeline
+    * expressible in an external oracle (the gate replicates assignment +
+    * probing in DuckDB SQL with these exact constants). */
+  def fixedCentroids(k: Int, dim: Int, seed: Long = 11L): Array[Array[Float]] = {
+    val d = hyperplanes(k, dim, seed) // same deterministic generator
+    d.map(_.map(_.toFloat))
+  }
+
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
     * (one narrow codegen'd pass); each query probes its `nProbe` nearest
     * cells. Candidate generation is an equi-join on cluster id — at scale
     * the corpus side can additionally be partitioned/bucketed by cluster
-    * so repeated query batches co-locate. */
+    * so repeated query batches co-locate. `centroidsOverride` substitutes a
+    * fixed centroid set for the trained one (see [[fixedCentroids]]). */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-              iters: Int = 5): DataFrame = {
+              iters: Int = 5,
+              centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val cents = trainCentroids(corpus, corpusId, corpusVec, nCentroids, iters)
+    val cents = centroidsOverride.getOrElse(
+      trainCentroids(corpus, corpusId, corpusVec, nCentroids, iters))
     def nearest(c: Column, probes: Int): Column =
       column(graft.functions.NearestCentroids(expression(c), cents, probes))
     val bucketed = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
