@@ -1,0 +1,215 @@
+package graft
+
+/** DuckDB-SQL replica of Spark's `xxhash64` (XXH64, seed 42) and the
+  * oracle builders for the two hash-sketch dedup operators.
+  *
+  * Why this exists: `dedup_minhash` and `dedup_simhash` output values
+  * derived from XXH64 token/shingle hashes, so a DuckDB oracle must
+  * reproduce XXH64 bit-exactly or not verify them at all. XXH64 is a
+  * public specification (xxHash, BSD-2) implementable with 128-bit
+  * integer arithmetic: all values live in HUGEINT `[0, 2^64)`, 64-bit
+  * wrap-around multiplication is decomposed into 32-bit limbs, and the
+  * whole mixing schedule (32-byte accumulator blocks, merge, 8/4/1-byte
+  * tail, avalanche) is flattened into ONE `list_reduce` over a uniform
+  * op list.
+  *
+  * Two DuckDB-1.0 quirks shape the generated SQL:
+  *  - every op list is PADDED to a fixed length with no-op entries:
+  *    `list_reduce` mis-scatters results across rows when list lengths
+  *    vary within a vector batch (verified empirically — 5-byte tokens
+  *    receiving 3-byte tokens' hashes);
+  *  - hashes are computed for DISTINCT strings only and joined back,
+  *    both for speed and to keep the reduce batches small.
+  */
+object OracleXX {
+  private val P1 = java.lang.Long.parseUnsignedLong("9E3779B185EBCA87", 16)
+  private val P2 = java.lang.Long.parseUnsignedLong("C2B2AE3D27D4EB4F", 16)
+  private val P3 = java.lang.Long.parseUnsignedLong("165667B19E3779F9", 16)
+  private val P4 = java.lang.Long.parseUnsignedLong("85EBCA77C2B2AE63", 16)
+  private val P5 = java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16)
+  /** Unsigned decimal rendering of a Long holding a u64. */
+  private def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+  private val M = "18446744073709551616::HUGEINT" // 2^64
+
+  private def mask(x: String) = s"(($x) % $M)"
+  private def mul64(a: String, b: String) =
+    s"(((($a)%4294967296)*(($b)%4294967296) + " +
+    s"((((($a)//4294967296)*(($b)%4294967296))%4294967296) + " +
+    s"(((($a)%4294967296)*(($b)//4294967296))%4294967296))*4294967296) % $M)"
+  private def rotl(x: String, r: Int) =
+    s"((($x)*${BigInt(2).pow(r)}::HUGEINT + ($x)//${BigInt(2).pow(64 - r)}::HUGEINT) % $M)"
+  private def shr(x: String, r: Int) = s"(($x)//${BigInt(2).pow(r)}::HUGEINT)"
+  private def xor64(a: String, b: String) = s"xor(($a), ($b))"
+  private def vround(acc: String, lane: String) =
+    mask(mul64(rotl(mask(s"($acc) + ${mul64(lane, s"${u(P2)}::HUGEINT")}"), 31), s"${u(P1)}::HUGEINT"))
+
+  private val pow256 =
+    (0 until 8).map(m => s"${BigInt(256).pow(m)}::HUGEINT").mkString("[", ", ", "]")
+  private def lane8(off: String) =
+    s"(list_aggregate(list_transform(range(0, 8), m -> " +
+    s"list_extract(bl, ($off)+m+1) * ($pow256)[m+1]), 'sum'))::HUGEINT"
+  private def lane4(off: String) =
+    s"(list_aggregate(list_transform(range(0, 4), m -> " +
+    s"list_extract(bl, ($off)+m+1) * ($pow256)[m+1]), 'sum'))::HUGEINT"
+
+  /** XXH64 over a byte-list expression (lambda-bound as `bl`) with a seed
+    * expression (bound as `sd`); result HUGEINT in [0, 2^64). `padLen`
+    * must be ≥ the op count for the longest input this instance hashes
+    * (ops ≈ n/32 blocks + 5 + stripes + 1 + tail + 5). */
+  def xxh64Core(blExpr: String, seedExpr: String, padLen: Int): String = {
+    val N = "len(bl)"
+    val Z = "0::HUGEINT"
+    def op(t: Int, v: String = Z, w: String = Z, x: String = Z, y: String = Z) =
+      s"{'t': $t, 'v': ($v), 'w': ($w), 'x': ($x), 'y': ($y), 'h': 0::HUGEINT}"
+    val blocks = s"list_transform(range(0, ($N)//32), q -> " +
+      op(0, lane8("32*q"), lane8("32*q+8"), lane8("32*q+16"), lane8("32*q+24")) + ")"
+    val converge =
+      s"(CASE WHEN ($N) >= 32 THEN [${op(1)}, ${op(2)}, ${op(3)}, ${op(4)}, ${op(5)}] " +
+      s"ELSE [${op(6, mask(s"sd + ${u(P5)}::HUGEINT"))}] END)"
+    val addlen = s"[${op(7, s"($N)::HUGEINT")}]"
+    val p0 = s"32*(($N)//32)"
+    val stripes = s"list_transform(range(0, (($N)%32)//8), k -> " +
+      op(8, lane8(s"$p0 + 8*k")) + ")"
+    val p1 = s"($p0 + 8*((($N)%32)//8))"
+    val four = s"(CASE WHEN ($N)%8 >= 4 THEN [${op(9, lane4(p1))}] ELSE [] END)"
+    val tail = s"list_transform(list_slice(bl, ($p1) + (CASE WHEN ($N)%8 >= 4 THEN 4 ELSE 0 END) + 1, ($N)), tb -> " +
+      op(10, "tb") + ")"
+    val aval = s"[${op(11)}, ${op(12)}, ${op(13)}, ${op(14)}, ${op(15)}]"
+    val ops0 = s"list_concat(list_concat(list_concat($blocks, $converge), " +
+      s"list_concat($addlen, $stripes)), " +
+      s"list_concat(list_concat($four, $tail), $aval))"
+    // uniform-length padding (see scaladoc) — t=99 is a no-op in the step
+    val ops = s"list_extract(list_transform([$ops0], oo -> list_concat(oo, " +
+      s"list_transform(range(0, $padLen - len(oo)), zz -> ${op(99)}))), 1)"
+    val init =
+      s"{'t': -1, 'v': ${mask(s"sd + ${u(P1 + P2)}::HUGEINT")}, " +
+      s"'w': ${mask(s"sd + ${u(P2)}::HUGEINT")}, " +
+      s"'x': (sd), " +
+      s"'y': ${mask(s"sd + ${u(-P1)}::HUGEINT")}, " +
+      s"'h': 0::HUGEINT}"
+    val (a, b, c, d, h) = ("(acc.v)", "(acc.w)", "(acc.x)", "(acc.y)", "(acc.h)")
+    val fa = s"(CASE WHEN op.t = 0 THEN ${vround(a, "(op.v)")} ELSE $a END)"
+    val fb = s"(CASE WHEN op.t = 0 THEN ${vround(b, "(op.w)")} ELSE $b END)"
+    val fc = s"(CASE WHEN op.t = 0 THEN ${vround(c, "(op.x)")} ELSE $c END)"
+    val fd = s"(CASE WHEN op.t = 0 THEN ${vround(d, "(op.y)")} ELSE $d END)"
+    def round0(v: String) = mask(mul64(rotl(mul64(v, s"${u(P2)}::HUGEINT"), 31), s"${u(P1)}::HUGEINT"))
+    def merge(v: String) = mask(mul64(xor64(h, round0(v)), s"${u(P1)}::HUGEINT") + s" + ${u(P4)}::HUGEINT")
+    val fh = "(CASE op.t " +
+      s"WHEN 1 THEN ${mask(rotl(a, 1) + " + " + rotl(b, 7) + " + " + rotl(c, 12) + " + " + rotl(d, 18))} " +
+      s"WHEN 2 THEN ${merge(a)} " +
+      s"WHEN 3 THEN ${merge(b)} " +
+      s"WHEN 4 THEN ${merge(c)} " +
+      s"WHEN 5 THEN ${merge(d)} " +
+      s"WHEN 6 THEN (op.v) " +
+      s"WHEN 7 THEN ${mask(h + " + (op.v)")} " +
+      s"WHEN 8 THEN ${mask(mul64(rotl(xor64(h, round0("(op.v)")), 27), s"${u(P1)}::HUGEINT") + s" + ${u(P4)}::HUGEINT")} " +
+      s"WHEN 9 THEN ${mask(mul64(rotl(xor64(h, mul64("(op.v)", s"${u(P1)}::HUGEINT")), 23), s"${u(P2)}::HUGEINT") + s" + ${u(P3)}::HUGEINT")} " +
+      s"WHEN 10 THEN ${mask(mul64(rotl(xor64(h, mul64("(op.v)", s"${u(P5)}::HUGEINT")), 11), s"${u(P1)}::HUGEINT"))} " +
+      s"WHEN 11 THEN ${xor64(h, shr(h, 33))} " +
+      s"WHEN 12 THEN ${mul64(h, s"${u(P2)}::HUGEINT")} " +
+      s"WHEN 13 THEN ${xor64(h, shr(h, 29))} " +
+      s"WHEN 14 THEN ${mul64(h, s"${u(P3)}::HUGEINT")} " +
+      s"WHEN 15 THEN ${xor64(h, shr(h, 32))} " +
+      s"ELSE $h END)"
+    val step = s"{'t': -1, 'v': $fa, 'w': $fb, 'x': $fc, 'y': $fd, 'h': ($fh)::HUGEINT}"
+    val expr = s"(list_reduce(list_prepend($init, $ops), (acc, op) -> $step)).h"
+    val bound = s"list_extract(list_transform([($blExpr)], bl -> $expr), 1)"
+    s"list_extract(list_transform([($seedExpr)::HUGEINT], sd -> $bound), 1)"
+  }
+
+  /** Byte-list expr (HUGEINT 0..255) of the UTF-8 bytes of string expr S. */
+  def bytesOf(s: String): String =
+    s"list_transform(range(0, octet_length(encode($s))), i -> " +
+    s"(strpos('123456789ABCDEF', substr(hex(encode($s)), 2*i+1, 1))*16 + " +
+    s"strpos('123456789ABCDEF', substr(hex(encode($s)), 2*i+2, 1)))::HUGEINT)"
+
+  /** Unsigned XXH64 of a string expression (= Spark `xxhash64(col)`). */
+  def xxh64Str(s: String, seed: String = "42", padLen: Int = 48): String =
+    xxh64Core(bytesOf(s), seed, padLen)
+
+  private val pow2 =
+    (0 until 64).map(b => s"${BigInt(2).pow(b)}::HUGEINT").mkString("[", ", ", "]")
+  private val sqlToks =
+    """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
+
+  /** DuckDB replica of `Dedup.simhashPairs` over `documents(doc_id, text)`:
+    * per-token XXH64 → 64-bit majority-vote SimHash → pigeonhole fragment
+    * blocking → Hamming ≤ maxHamming. */
+  def simhashOracle(maxHamming: Int = 3): String = {
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    val xx = xxh64Str("s", padLen = 20)
+    s"""
+      WITH tokrows AS (SELECT doc_id, unnest($sqlToks) AS s FROM documents),
+      dh AS MATERIALIZED (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM tokrows)),
+      th AS (SELECT doc_id, h FROM tokrows JOIN dh USING (s)),
+      votes AS (
+        SELECT doc_id, b, sum(((h // ($pow2)[b+1]) % 2) * 2 - 1) AS vote
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+      sh AS (
+        SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN ($pow2)[b+1] ELSE 0::HUGEINT END)::HUGEINT AS sh
+        FROM votes GROUP BY doc_id),
+      blk AS (SELECT doc_id, sh, unnest(range(0, $nBlocks)) AS i FROM sh),
+      b2 AS MATERIALIZED (SELECT doc_id, sh, i,
+              (sh // ($pow2)[i*$bitsPer+1]) % ${1L << bitsPer} AS bits FROM blk),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+                FROM b2 a JOIN b2 b ON a.i = b.i AND a.bits = b.bits AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, bit_count(xor(sha, shb))::INT AS hamming
+      FROM pairs WHERE bit_count(xor(sha, shb)) <= $maxHamming
+      ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB replica of `Dedup.minhashLshPairs` over `documents`: 3-gram
+    * shingles → XXH64 → 31-bit fold → k-permutation MinHash signature (the
+    * engine's exact coefficients) → banded LSH keys (XXH64 of band idx +
+    * joined slice, like Spark's multi-arg `xxhash64`) → signature-agreement
+    * estimate ≥ threshold. */
+  def minhashOracle(numHashes: Int = 128, bands: Int = 16,
+                    threshold: Double = 0.4): String = {
+    val rows = numHashes / bands
+    val (ca, cb) = graft.functions.TextFunctions.minhashCoefficients(numHashes)
+    val al = ca.mkString("[", ", ", "]")
+    val bl = cb.mkString("[", ", ", "]")
+    val xx = xxh64Str("s", padLen = 20)
+    // per-band seed = XXH64(8-byte LE of band index, 42) — Spark's
+    // multi-column xxhash64 chains the long hash into the string hash
+    val seeds = (0 until bands)
+      .map(bi => u(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(bi.toLong, 42L)))
+      .map(s => s + "::HUGEINT").mkString("[", ", ", "]")
+    val bandKey = xxh64Str("s2", seed = s"($seeds)[bi+1]", padLen = 28)
+    s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh3 AS (SELECT doc_id,
+                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+              FROM toks),
+      shr AS (SELECT doc_id, unnest(hs) AS s FROM sh3),
+      dh AS MATERIALIZED (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM shr)),
+      hr AS (SELECT doc_id, h FROM shr JOIN dh USING (s)),
+      fr AS (SELECT doc_id,
+               (CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN ((h - $M) % 2147483647 + 2147483647) % 2147483647
+                     ELSE h % 2147483647 END)::BIGINT AS f FROM hr),
+      perm AS (
+        SELECT doc_id, j, min((($al)[j+1]*f + ($bl)[j+1]) % 2305843009213693951) AS v
+        FROM fr CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS j)
+        GROUP BY doc_id, j),
+      sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM perm GROUP BY doc_id),
+      bnd AS (SELECT doc_id, sig, unnest(range(0, $bands)) AS bi FROM sig),
+      bs AS (SELECT doc_id, sig, bi,
+               array_to_string(list_slice(sig, bi*$rows+1, bi*$rows+$rows), ',') AS s2
+             FROM bnd),
+      bk AS MATERIALIZED (SELECT doc_id, sig, $bandKey AS band FROM bs),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS siga, b.sig AS sigb
+                FROM bk a JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ag AS (SELECT id_a, id_b,
+               list_aggregate(list_transform(range(0, $numHashes), j ->
+                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
+             FROM pairs)
+      SELECT id_a, id_b, agree::DOUBLE / $numHashes AS est_jaccard
+      FROM ag WHERE agree::DOUBLE / $numHashes >= $threshold
+      ORDER BY id_a, id_b"""
+  }
+}

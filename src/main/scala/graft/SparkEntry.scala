@@ -709,6 +709,13 @@ object SparkEntry {
       SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
       FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
       ORDER BY id_a, id_b""",
+    // full replicas of the hash-sketch dedup operators: XXH64 (the exact
+    // Spark xxhash64 bit mixing) is reproduced in DuckDB HUGEINT
+    // arithmetic, so the estimate-scored MinHash pairs and the SimHash
+    // Hamming pairs are oracle-checked as-is — see OracleXX
+    "dedup_minhash" -> OracleXX.minhashOracle(numHashes = 128, bands = 16,
+      threshold = 0.4),
+    "dedup_simhash" -> OracleXX.simhashOracle(maxHamming = 3),
     // exact-verified MinHash: candidates from LSH, output = exact n-gram
     // Jaccard ≥ 0.5 — oracle is the same all-pairs exact computation
     "dedup_minhash_verified" -> s"""

@@ -70,6 +70,41 @@ object Sources {
     asEvents(withHeaders)
   }
 
+  /** Directory-watch variant with the reference's per-line `off` header
+    * (byte offset of each line within its file,
+    * `DirectoryWatchSourceSemantics.scala:50-53,219-223`). Reads whole
+    * files via the binaryFile source and splits lines with a native
+    * one-pass expression ([[graft.functions.LinesWithOffsets]]) — the
+    * line-oriented text source cannot reconstruct byte offsets. Costs one
+    * whole-file buffer per task versus the plain variant, so it is opt-in
+    * (`line-offsets = true` in the pipeline config). */
+  def directoryWatchWithOffsets(spark: SparkSession, dir: String,
+                                maxFilesPerTrigger: Int = 16,
+                                maxLineLength: Int = 512 * 1024,
+                                truncateOverLength: Boolean = true): Dataset[Event] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // the binaryFile source's fixed schema, required explicitly when streaming
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
+      .load(dir)
+    val lines = raw.select(col("path"),
+        explode(column(graft.functions.LinesWithOffsets(
+          expression(col("content"))))).as("l"))
+      .select(col("l.line").as("body"), col("path"), col("l.off").as("off"))
+    val guarded =
+      if (truncateOverLength)
+        lines.withColumn("body", substring(col("body"), 1, maxLineLength))
+      else lines.where(length(col("body")) <= maxLineLength)
+    asEvents(guarded.select(col("body"),
+      map(lit(Event.Headers.FileName), col("path"),
+          lit(Event.Headers.FileOffset), col("off").cast("string")).as("headers")))
+  }
+
   /** Batch twin of the directory source (Trigger.AvailableNow-style tests
     * and the oracle gate read the same projection as a plain scan). */
   def directoryBatch(spark: SparkSession, dir: String,

@@ -57,11 +57,17 @@ object Pipeline {
         .build(spark, sc)
     case (t, _) => t.getOrElse("devzero") match {
     case "devzero"   => Sources.devZero(spark, sc.getInt("batch-size", 1024))
-    case "directory" => Sources.directoryWatch(spark, sc.getString("path"),
-                          sc.getInt("max-files-per-trigger", 16),
-                          sc.getBytes("max-line-length", 512L * 1024).toInt,
-                          truncateOverLength = sc.getBoolean("truncate-over-length", default = true),
-                          fileHeaders = sc.getBoolean("enable-file-headers", default = false))
+    case "directory" =>
+      if (sc.getBoolean("line-offsets", default = false))
+        Sources.directoryWatchWithOffsets(spark, sc.getString("path"),
+          sc.getInt("max-files-per-trigger", 16),
+          sc.getBytes("max-line-length", 512L * 1024).toInt,
+          truncateOverLength = sc.getBoolean("truncate-over-length", default = true))
+      else Sources.directoryWatch(spark, sc.getString("path"),
+        sc.getInt("max-files-per-trigger", 16),
+        sc.getBytes("max-line-length", 512L * 1024).toInt,
+        truncateOverLength = sc.getBoolean("truncate-over-length", default = true),
+        fileHeaders = sc.getBoolean("enable-file-headers", default = false))
     case "kafka"     =>
       val (fmt, opts) = Sources.kafkaSourceOptions(sc)
       Sources.kafkaRecordsAsEvents(

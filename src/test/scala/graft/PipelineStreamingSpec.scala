@@ -69,6 +69,34 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(out.columns.toSet == Set("body", "headers"))
   }
 
+  test("line-offsets directory source emits per-line byte offset (off) headers") {
+    val work = Files.createTempDirectory("graft-off")
+    val in = work.resolve("in"); Files.createDirectories(in)
+    // multi-byte chars so byte offsets differ from char offsets; CRLF line;
+    // trailing newline must not produce an empty final event
+    val content = "aé\nb\r\n日本語\nlast\n"
+    Files.write(in.resolve("a.txt"), content.getBytes("UTF-8"))
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = directory, path = "$in", line-offsets = true,
+                      sinks = [out] } }
+        sink { out { type = file, path = "${work.resolve("out")}" } }
+      }""")
+    val ps = Pipeline.start(spark, conf, work.resolve("ck").toString)
+    ps.foreach(_.query.processAllAvailable())
+    ps.foreach(_.query.stop())
+    val rows = spark.read.parquet(work.resolve("out").toString)
+      .collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1)("off").toLong)
+      .sortBy(_._2)
+    // "aé" = 3 bytes + \n -> next at 4; "b\r\n" -> next at 4+3=7;
+    // "日本語" = 9 bytes + \n -> next at 7+10=17
+    assert(rows.toSeq == Seq(("aé", 0L), ("b", 4L), ("日本語", 7L), ("last", 17L)))
+    val fn = spark.read.parquet(work.resolve("out").toString)
+      .collect().head.getMap[String, String](1)("fn")
+    assert(fn.endsWith("a.txt"))
+  }
+
   test("multi-sink routing fan-out delivers disjoint slices") {
     val work = Files.createTempDirectory("graft-route")
     val in = work.resolve("in"); Files.createDirectories(in)
