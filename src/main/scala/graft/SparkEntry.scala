@@ -297,7 +297,16 @@ object SparkEntry {
         shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
       .orderBy("id_a", "id_b")
 
+  /** Gate config exercises the LSH-BLOCKED path — the 100 TB shape (the
+    * brute-force config is O(n²) and exists for oracle/spec verification
+    * only, kept as the `dedup_embedding_exact` twin). The oracle replicates
+    * the hyperplane bucketing, so blocking is verified, not approximated. */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bruteForce = false)
+      .orderBy("id_a", "id_b")
+
+  private def dedupEmbeddingExact(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, bruteForce = true)
       .orderBy("id_a", "id_b")
@@ -467,6 +476,7 @@ object SparkEntry {
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_ngram"         -> dedupNgram _,
     "dedup_embedding"     -> dedupEmbedding _,
+    "dedup_embedding_exact" -> dedupEmbeddingExact _,
     "sim_topk"            -> simTopK _,
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
@@ -495,19 +505,25 @@ object SparkEntry {
     * (literal-embedded), same sign-bit bucket formula (double arithmetic,
     * sequential sum — matching Spark's `aggregate` over the array), same
     * 1-bit multi-probe sequence, same candidate join + exact cosine rank. */
+  /** SQL expr: sign-bit hyperplane bucket of DOUBLE[] column `v` — exact
+    * replica of `Similarity.hyperplaneBucket` with the same deterministic
+    * hyperplane constants embedded as literals. */
+  private def hyperplaneBucketSql(bits: Int, dim: Int): String = {
+    val hLit = Similarity.hyperplanes(bits, dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""list_aggregate(list_transform(range(0, $bits), i ->
+                 CASE WHEN list_aggregate(list_transform(range(1, ${dim + 1}),
+                        j -> v[j] * ($hLit)[i + 1][j]), 'sum') > 0
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum')"""
+  }
+
   private def lshReplicaOracle(bits: Int, probes: Int, k: Int,
                                dim: Int = 64): String = {
-    val hp = Similarity.hyperplanes(bits, dim)
-    val hLit = hp.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val nProbes = math.min(probes, bits)
     s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cb AS (
-        SELECT vec_id, v,
-               list_aggregate(list_transform(range(0, $bits), i ->
-                 CASE WHEN list_aggregate(list_transform(range(1, ${dim + 1}),
-                        j -> v[j] * ($hLit)[i + 1][j]), 'sum') > 0
-                      THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum') AS bucket
+        SELECT vec_id, v, ${hyperplaneBucketSql(bits, dim)} AS bucket
         FROM e),
       qp AS (
         SELECT vec_id AS qid, v AS qv,
@@ -558,6 +574,58 @@ object SparkEntry {
         SELECT qid, id, cosine,
                row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
         FROM scored)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB replica of the FULL trained-IVF pipeline (`Similarity.ivfTopK`
+    * with driver k-means): the 5 Lloyd iterations are unrolled as CTE
+    * stages mirroring `trainCentroids` exactly — first-2048-by-id sample,
+    * evenly-strided init, FLOAT subtract/multiply with DOUBLE accumulation
+    * in sample order (sums are ordered-list reductions, not unordered SQL
+    * aggregates, so the float means round identically), ties on centroid
+    * index — then assignment/probing/re-ranking like the fixed-centroid
+    * replica. */
+  private def ivfTrainedOracle(nCentroids: Int = 16, nProbe: Int = 4,
+                               k: Int = 10, iters: Int = 5,
+                               sampleN: Int = 2048, dim: Int = 64): String = {
+    def dist(f: String, ccI: String): String =
+      s"""list_aggregate(list_transform(range(1, ${dim + 1}), j ->
+            ((($f)[j] - ($ccI)[j]) * (($f)[j] - ($ccI)[j]))::DOUBLE), 'sum')"""
+    def probeList(n: Int): String =
+      s"""list_transform(list_slice(list_sort(list_transform(range(0, $nCentroids), i ->
+            {'d': ${dist("f", "cc[i+1]")}, 'i': i})), 1, $n), s -> s.i)"""
+    def lloydIter(t: Int): String = s"""
+      a$t AS (SELECT sid, f, list_extract(${probeList(1)}, 1) AS c
+              FROM smp CROSS JOIN c${t - 1}),
+      g$t AS (SELECT c, count(*) AS n, list(f ORDER BY sid) AS fs FROM a$t GROUP BY c),
+      c$t AS (SELECT list(newv ORDER BY i) AS cc FROM (
+        SELECT t.i AS i,
+               CASE WHEN g.c IS NULL THEN p.cc[t.i+1]
+                    ELSE list_transform(range(1, ${dim + 1}), j ->
+                      (list_aggregate(list_transform(g.fs, v -> v[j]::DOUBLE), 'sum') / g.n)::FLOAT) END AS newv
+        FROM (SELECT unnest(range(0, $nCentroids)) AS i) t
+        CROSS JOIN c${t - 1} p
+        LEFT JOIN g$t g ON g.c = t.i))"""
+    val iterCtes = (1 to iters).map(lloydIter).mkString(",")
+    s"""
+      WITH smp AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, embedding AS f
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN)),
+      c0 AS (SELECT list_transform(range(0, $nCentroids), i -> sl[(i*n)//$nCentroids + 1]) AS cc FROM
+        (SELECT list(f ORDER BY sid) AS sl, count(*) AS n FROM smp)),
+      $iterCtes,
+      e AS (SELECT vec_id, embedding AS f, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS MATERIALIZED (SELECT vec_id, v, list_extract(${probeList(1)}, 1) AS cluster
+            FROM e CROSS JOIN c$iters),
+      qp AS (SELECT vec_id AS qid, v AS qv, unnest(${probeList(nProbe)}) AS cluster
+             FROM e CROSS JOIN c$iters WHERE vec_id < 5),
+      cand AS (SELECT DISTINCT qp.qid, qp.qv, c.vec_id AS id, c.v AS v
+               FROM qp JOIN cb c USING (cluster) WHERE c.vec_id <> qp.qid),
+      scored AS (SELECT qid, id, list_cosine_similarity(v, qv) AS cosine FROM cand),
+      ranked AS (SELECT qid, id, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+                 FROM scored)
       SELECT qid, id, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= $k ORDER BY qid, rank"""
   }
@@ -735,7 +803,17 @@ object SparkEntry {
       SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
       FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
       ORDER BY id_a, id_b""",
-    "dedup_embedding" -> """
+    // LSH-blocked config (the scale path): oracle replicates the
+    // hyperplane bucketing, then exact cosine within buckets
+    "dedup_embedding" -> s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT vec_id, v, ${hyperplaneBucketSql(8, 64)} AS bucket FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cosine
+      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      ORDER BY id_a, id_b""",
+    "dedup_embedding_exact" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_cosine_similarity(a.v, b.v) AS cosine
@@ -759,6 +837,8 @@ object SparkEntry {
     // multi-probe, the candidate join, and the exact-cosine re-rank —
     // oracle-checking the APPROXIMATE output itself, not a brute-force proxy
     "sim_lsh_topk" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
+    // trained-k-means IVF, Lloyd iterations unrolled in SQL
+    "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
     "text_topk" -> {

@@ -45,4 +45,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_semi_anti")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
+
+  test("dedup_embedding gate config: LSH-blocked equi-join, no nested-loop product") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct"),
+      "blocked path must not plan a cartesian product")
+    // the only nested-loop join allowed is none at all — candidate
+    // generation is an equi-join on the bucket key
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocked path must not plan a nested-loop join")
+  }
+
+  test("minhash capped bucket join: equi-join candidates, no cartesian") {
+    Seq("dedup_minhash", "dedup_minhash_verified").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
+    }
+  }
 }
