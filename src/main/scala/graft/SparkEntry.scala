@@ -402,6 +402,16 @@ object SparkEntry {
     TextAnalysis.tokenReport(t(s, dir, "documents"), "text", "lang")
       .orderBy("lang")
 
+  /** Exact distinct counts are oracle-checked; the HLL++ sketch (not
+    * cross-engine reproducible) is validated in-engine as an error-bound
+    * boolean — deterministic for a fixed input, so it hashes stably. */
+  private def textVocabulary(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabularyReport(t(s, dir, "documents"), "text", 0.05, "lang")
+      .select(col("lang"), col("n_distinct_tokens"), col("n_token_occurrences"),
+        (abs(col("n_distinct_approx") - col("n_distinct_tokens")).cast("double") /
+          col("n_distinct_tokens") <= 0.15).as("sketch_ok"))
+      .orderBy("lang")
+
   private def textQualityFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFilter(t(s, dir, "documents"), "text", 450L,
         langs = Seq("en", "fr"))
@@ -488,6 +498,7 @@ object SparkEntry {
     "text_fingerprint"    -> textFingerprint _,
     "text_rollhash"       -> textRollhash _,
     "text_token_report"   -> textTokenReport _,
+    "text_vocabulary"     -> textVocabulary _,
     "text_quality_filter" -> textQualityFilter _,
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "mm_decode"           -> mmDecode _,
@@ -923,6 +934,12 @@ object SparkEntry {
              sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens_bpe,
              sum(length(text))::BIGINT AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""",
+    "text_vocabulary" -> s"""
+      WITH w AS (SELECT lang, unnest($sqlToks) AS tok FROM documents)
+      SELECT lang, count(DISTINCT tok)::BIGINT AS n_distinct_tokens,
+             count(*)::BIGINT AS n_token_occurrences,
+             true AS sketch_ok
+      FROM w WHERE tok <> '' GROUP BY lang ORDER BY lang""",
     "text_quality_filter" -> s"""
       WITH c AS (
         SELECT doc_id, lang, source,

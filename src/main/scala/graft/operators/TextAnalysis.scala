@@ -41,4 +41,22 @@ object TextAnalysis {
     if (langs.isEmpty) base
     else base.where(TF.langId(col(textCol)).isin(langs: _*))
   }
+
+  /** Vocabulary report per group: exact distinct-token count (shuffle
+    * carries (group, token-hash) — 64-bit keys, never the text) plus the
+    * HyperLogLog++ estimate. At 100 TB the exact count is the expensive
+    * truth (one dedup shuffle) and the sketch is the one-pass scan-bound
+    * path (`rsd` controls the size/error trade) — emitting both lets a
+    * pipeline validate its sketch error budget on a sample before trusting
+    * the sketch alone at full scale. */
+  def vocabularyReport(df: DataFrame, textCol: String, rsd: Double,
+                       byCols: String*): DataFrame =
+    df.select((byCols.map(col) :+
+        explode(TF.tokens(col(textCol))).as("__tok")): _*)
+      .where(col("__tok") =!= "")
+      .select((byCols.map(col) :+ xxhash64(col("__tok")).as("__th")): _*)
+      .groupBy(byCols.map(col): _*)
+      .agg(countDistinct(col("__th")).as("n_distinct_tokens"),
+           approx_count_distinct(col("__th"), rsd).as("n_distinct_approx"),
+           count(lit(1)).as("n_token_occurrences"))
 }

@@ -102,4 +102,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0) == out(1))
     assert(out(0) != out(2))
   }
+
+  test("vocabularyReport: exact distinct matches driver-side; HLL inside error bound") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.vocabularyReport(docs, "text", 0.05, "lang")
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_distinct_tokens"), r.getAs[Long]("n_distinct_approx"),
+         r.getAs[Long]("n_token_occurrences"))).toMap
+    // driver-side exact reference
+    val local = docs.select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+        .split(" ", -1).toSeq.filter(_.nonEmpty))
+      .groupBy(_._1)
+    local.foreach { case (lang, rows) =>
+      val toks = rows.flatMap(_._2)
+      val (exact, approx, occ) = out(lang)
+      assert(exact == toks.distinct.size.toLong, s"$lang exact")
+      assert(occ == toks.size.toLong, s"$lang occurrences")
+      assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+        s"$lang sketch error |$approx - $exact|")
+    }
+  }
 }
