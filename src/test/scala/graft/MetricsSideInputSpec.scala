@@ -52,12 +52,17 @@ class MetricsSideInputSpec extends SparkSpec {
         .reduce(_ + _)
       assert(summed == 10)
       // wait past ≥2 refresh ticks: one fails (stale kept), next succeeds.
-      // Generous deadline: under full-suite load the broadcast inside a
-      // refresh can serialize behind other suites' Spark jobs for seconds.
-      val deadline = System.nanoTime() + 60e9.toLong
-      while (calls.get() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      // Wait on the PUBLISHED snapshot, not the fetch counter — the counter
+      // increments before the refreshed broadcast is re-published, so
+      // asserting on current() right after calls>=3 races the in-flight
+      // broadcast. Generous deadline: under full-suite load a broadcast can
+      // serialize behind other suites' Spark jobs for seconds.
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (side.current().value("version") < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
       assert(calls.get() >= 3, s"refresh never advanced; lastError=${side.lastRefreshError}")
-      assert(side.current().value("version") >= 3) // advanced past the failure
+      assert(side.current().value("version") >= 3, // advanced past the failure
+        s"published snapshot stale; lastError=${side.lastRefreshError}")
     } finally CachedSideInput.remove("dims")
   }
 
@@ -119,6 +124,66 @@ class MetricsSideInputSpec extends SparkSpec {
       assert(out(0).getAs[String]("tag") == "T")
       assert(out(0).getAs[scala.collection.Seq[String]]("bodies").toSeq == Seq("t1", "t2"))
       assert(!out(0).getAs[Boolean]("sizeFlush")) // timer flush, not size
+    } finally q.stop()
+  }
+
+  test("batch timer measures from the FIRST buffered event — a steady trickle cannot defer the flush") {
+    // regression for the re-arm-on-every-arrival bug: with events arriving
+    // faster than the timeout, a timer reset on each arrival would buffer
+    // forever; the reference schedules the flush once at buffer creation
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Event)]
+    val input = MemoryStream[(String, Event)]
+    val batches = BatchSemantics.batchByTag(input.toDS(),
+      BatchSemantics.Config(batchSize = 0, batchTimeoutMillis = 2000))
+    val work = Files.createTempDirectory("graft-trickle")
+    val q = batches.writeStream.format("memory").queryName("trickle_out")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .outputMode("append")
+      .start()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val feeder = new Thread(() => {
+      var i = 0
+      while (!stop.get() && i < 60) {
+        input.addData(("K", Event(s"e$i")))
+        i += 1
+        Thread.sleep(500) // always under the 2 s timeout
+      }
+    })
+    feeder.setDaemon(true)
+    try {
+      feeder.start()
+      def rows() = spark.sql("select * from trickle_out").collect()
+      val deadline = System.nanoTime() + 25e9.toLong
+      while (rows().isEmpty && System.nanoTime() < deadline) Thread.sleep(250)
+      val out = rows()
+      assert(out.nonEmpty, "trickle deferred the timeout flush indefinitely")
+      val first = out(0).getAs[scala.collection.Seq[String]]("bodies")
+      assert(first.head == "e0", "flush must start with the first buffered event")
+      assert(!out(0).getAs[Boolean]("sizeFlush"))
+    } finally { stop.set(true); q.stop() }
+  }
+
+  test("streaming dedup: duplicate event ids across micro-batches are dropped within the watermark") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String)]
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val deduped = input.toDS().toDF("event_id", "ts", "body")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val work = Files.createTempDirectory("graft-streamdedup")
+    val q = deduped.writeStream.format("memory").queryName("sdd_out")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-dup"))
+      q.processAllAvailable()
+      input.addData((2L, ts(3), "b-dup"), (3L, ts(4), "c")) // dup arrives in a LATER batch
+      q.processAllAvailable()
+      val ids = spark.sql("select event_id from sdd_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
     } finally q.stop()
   }
 }
