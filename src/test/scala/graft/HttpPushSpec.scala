@@ -60,6 +60,43 @@ class HttpPushSpec extends SparkSpec {
     }
   }
 
+  test("admission window counts UNACKED requests; permits release when acks drain") {
+    import graft.sources.http.HttpPushRegistry
+    // endpoint driven directly (no streaming query): acks only move when
+    // commitUpTo is called, so the unacked window is fully controllable
+    val ep = HttpPushRegistry.getOrCreate(0, '\n', maxConnections = 2, None)
+    try {
+      val port = ep.boundPort
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = client.sendAsync(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.discarding())
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(20)
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(cond, what)
+      }
+      val f1 = post("a")
+      val f2 = post("b")
+      await(ep.latest == 2, "first two requests not registered")
+      assert(!f1.isDone && !f2.isDone, "201 must not arrive before commit")
+      // the permit is held until the deferred ack, not just while parsing:
+      // a third request must shed even though no handler is running
+      val f3 = post("c")
+      assert(f3.get(10, TimeUnit.SECONDS).statusCode() == 503)
+      // commit → both acks drain, permits free
+      ep.commitUpTo(ep.latest)
+      assert(f1.get(10, TimeUnit.SECONDS).statusCode() == 201)
+      assert(f2.get(10, TimeUnit.SECONDS).statusCode() == 201)
+      // window is open again: a new request is admitted (deferred, not 503)
+      val f4 = post("d")
+      await(ep.latest == 3, "post-drain request not admitted")
+      ep.commitUpTo(ep.latest)
+      assert(f4.get(10, TimeUnit.SECONDS).statusCode() == 201)
+    } finally HttpPushRegistry.remove(0)
+  }
+
   test("gzip body accepted; corrupt gzip rejected with 400") {
     val port = { val ss = new java.net.ServerSocket(0)
       try ss.getLocalPort finally ss.close() }
