@@ -52,7 +52,7 @@ object SparkEntry {
     val chain = InterceptorChain(Seq(
       RegexFilter("keep8x", "\"k\": 8\\d", priority = 90),
       HeaderEnrich("tag", Map("source" -> "graft"), priority = 50)))
-    chain(events).toDF
+    chain(events).toDF()
       .select(element_at(col("headers"), "event_id").cast("long").as("event_id"),
               col("body"),
               element_at(col("headers"), "source").as("source"))
@@ -60,7 +60,7 @@ object SparkEntry {
   }
 
   private def pipeRoute(s: SparkSession, dir: String): DataFrame = {
-    val events = Sources.eventsTableAsEvents(t(s, dir, "events")).toDF
+    val events = Sources.eventsTableAsEvents(t(s, dir, "events")).toDF()
     val et = element_at(col("headers"), "event_type")
     val routes = Seq(
       Sinks.Route("kafka_sink", et === "purchase"),
@@ -101,14 +101,14 @@ object SparkEntry {
   }
 
   private def pipeDevZero(s: SparkSession, dir: String): DataFrame =
-    Sources.devZeroBatch(s, 1024).toDF
+    Sources.devZeroBatch(s, 1024).toDF()
       .select(element_at(col("headers"), "seq").cast("long").as("seq"), col("body"))
       .orderBy("seq")
 
   private def pipeHeaders(s: SparkSession, dir: String): DataFrame = {
     val events = Sources.eventsTableAsEvents(t(s, dir, "events"))
     val enriched = InterceptorChain(Seq(HeaderEnrich("t", Map("source" -> "graft"))))(events)
-    enriched.toDF.select(
+    enriched.toDF().select(
         element_at(col("headers"), "event_id").cast("long").as("event_id"),
         array_join(sort_array(transform(map_entries(col("headers")),
           e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
@@ -432,7 +432,7 @@ object SparkEntry {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
     val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", col("kind"))
-    Multimodal.decodeMeta(media).toDF.orderBy("id")
+    Multimodal.decodeMeta(media).toDF().orderBy("id")
   }
 
   private def mmFrames(s: SparkSession, dir: String): DataFrame = {
@@ -455,7 +455,7 @@ object SparkEntry {
     "pipe_transform"      -> pipeTransform _,
     "pipe_drop_all"       -> ((s, dir) =>
       InterceptorChain(Seq(DevNullItp("dn")))(
-        Sources.eventsTableAsEvents(t(s, dir, "events"))).toDF.select("body")),
+        Sources.eventsTableAsEvents(t(s, dir, "events"))).toDF().select("body")),
     "pipe_route"          -> pipeRoute _,
     "pipe_split_words"    -> pipeSplitWords _,
     "pipe_b64"            -> pipeB64 _,

@@ -102,7 +102,7 @@ final case class InterceptorChain(interceptors: Seq[Interceptor]) extends Serial
     val columnarForms = ordered.flatMap(_.columnar)
     if (columnarForms.length == ordered.length) {
       implicit val enc = Encoders.product[Event]
-      columnarForms.foldLeft(ds.toDF)((df, f) => f(df)).as[Event]
+      columnarForms.foldLeft(ds.toDF())((df, f) => f(df)).as[Event]
     } else {
       implicit val enc = Encoders.product[Event]
       ds.flatMap(e => interceptOne(e))

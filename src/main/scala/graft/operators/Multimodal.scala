@@ -83,7 +83,7 @@ object Multimodal {
     * decoded frame per row). Demonstrates the explode-then-process batch
     * shape without carrying payloads through the explode. */
   def sampleFrames(meta: Dataset[MediaMeta], everyN: Int = 10): DataFrame =
-    meta.toDF.where(col("kind") === "video")
+    meta.toDF().where(col("kind") === "video")
       .select(col("id"), col("nFrames"),
         explode(sequence(lit(0), col("nFrames") - 1, lit(everyN))).as("frame_idx"))
 }

@@ -147,7 +147,7 @@ object Pipeline {
       case None => Trigger.ProcessingTime(0L)
     }
 
-    transformed.toDF.writeStream
+    transformed.toDF().writeStream
       .queryName(s"graft-$name")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
