@@ -107,8 +107,21 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "en", "un", "une", "du", "pour", "que", "dans", "sur"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe", "men", "zhong", "dao", "he", "ni"))
 
+  /** All text-scoring inputs in ONE normalization pass (see [[TextProfile]]):
+    * the Column compositions below re-derived each score from `tokens(c)`,
+    * whose two regexes re-ran for EVERY consumer — and because the repeats
+    * sat inside higher-order-function lambdas, codegen's subexpression
+    * elimination could not fold them (measured ~10-16 normalization passes
+    * per row on the quality-filter path). A plain deterministic native
+    * expression repeated across output columns IS eliminated to a single
+    * per-row evaluation. */
+  def textProfile(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(TextProfile(expression(c)))
+  }
+
   def langScore(c: Column, lang: String): Column =
-    size(array_intersect(tokens(c), array(Stopwords(lang).map(lit(_)): _*)))
+    textProfile(c).getField(s"s_$lang")
 
   /** Predicted language code; `und` when no stopword hits at all. */
   def langId(c: Column): Column = {
@@ -123,25 +136,20 @@ object TextFunctions {
   // ---- quality scoring --------------------------------------------------
   /** Heuristic quality components (all integer-scaled for cross-engine
     * determinism): doc length, word count, mean word length ‰, punctuation
-    * ratio ‰, stopword ratio ‰. */
+    * ratio ‰, stopword ratio ‰. Derived from the single-pass profile. */
   def qualityComponents(c: Column): Seq[(String, Column)] = {
-    val toks = tokens(c)
-    val nTok = size(toks)
-    val nChar = length(c)
-    val nPunct = size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0)))
-    val enStop = array(Stopwords("en").map(lit(_)): _*)
-    val nStop = size(array_intersect(toks, enStop)) // distinct-membership proxy
+    val p = textProfile(c)
+    val nTok = p.getField("n_tokens")
+    val nChar = p.getField("n_chars")
+    val nPunct = p.getField("n_punct")
     Seq(
       "n_chars_m"      -> nChar.cast(LongType),
       "n_tokens"       -> nTok.cast(LongType),
       "mean_word_len_pm" -> when(nTok > 0,
-          (sum_words_len(toks) * 1000L) / nTok).otherwise(lit(0L)).cast(LongType),
+          (p.getField("sum_tok_len") * 1000L) / nTok).otherwise(lit(0L)).cast(LongType),
       "punct_pm"       -> when(nChar > 0, (nPunct * 1000L) / nChar).otherwise(lit(0L)).cast(LongType),
-      "stop_hits"      -> nStop.cast(LongType))
+      "stop_hits"      -> p.getField("s_en").cast(LongType))
   }
-
-  private def sum_words_len(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
 
   /** Composite 0-1000 quality score (integer arithmetic only). */
   def qualityScore(c: Column): Column = {
@@ -261,6 +269,144 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   override def prettyName: String = "simhash64"
+}
+
+/** Single-pass text-scoring profile (see `TextFunctions.textProfile`):
+  * normalizes ONCE with exactly the `lower → strip non-[a-z0-9\s] →
+  * collapse \s+ → trim → split(" ", -1)` pipeline the Column composition
+  * used (same `UTF8String.toLowerCase`, same Java regexes — value parity by
+  * construction), then derives every downstream quantity from that one
+  * token array: char count, token count, summed token length, punctuation
+  * count over the RAW text, and the distinct-token stopword hits per
+  * language (matching `array_intersect`'s dedup semantics). */
+object TextProfileUtil {
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9\\s]")
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  val LangsSorted: Seq[String] = TextFunctions.Stopwords.keys.toSeq.sorted
+  private val stopSets: Array[java.util.HashSet[String]] =
+    LangsSorted.map { l =>
+      val s = new java.util.HashSet[String]()
+      TextFunctions.Stopwords(l).foreach(s.add)
+      s
+    }.toArray
+
+  def profile(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val nChars = u.numChars().toLong
+    val raw = u.toString
+    var punct = 0L
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (ch == '.' || ch == ',' || ch == ';' || ch == ':' || ch == '!' || ch == '?')
+        punct += 1
+      i += 1
+    }
+    val lower = u.toLowerCase.toString
+    val norm = Ws.matcher(NonAlnum.matcher(lower).replaceAll(" "))
+      .replaceAll(" ").trim
+    val toks = norm.split(" ", -1)
+    var sumLen = 0L
+    var j = 0
+    while (j < toks.length) { sumLen += toks(j).length; j += 1 }
+    val distinct = new java.util.HashSet[String]()
+    j = 0
+    while (j < toks.length) { distinct.add(toks(j)); j += 1 }
+    val scores = new Array[Int](stopSets.length)
+    val it = distinct.iterator()
+    while (it.hasNext) {
+      val t = it.next()
+      var k = 0
+      while (k < stopSets.length) {
+        if (stopSets(k).contains(t)) scores(k) += 1
+        k += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nChars, toks.length.toLong, sumLen, punct,
+      scores(0), scores(1), scores(2), scores(3), scores(4))
+  }
+
+  /** One-pass evaluation of `qualityScore >= minScore && langId ∈ langs`
+    * (null langSet = no language restriction). Mirrors the Column-composed
+    * arithmetic exactly; see [[graft.functions.QualityLangKeep]]. */
+  def keep(u: org.apache.spark.unsafe.types.UTF8String, minScore: Long,
+           langSet: java.util.HashSet[String]): Boolean = {
+    val row = profile(u)
+    val nChars = row.getLong(0)
+    val nTok = row.getLong(1)
+    val punct = row.getLong(3)
+    val punctPm = if (nChars > 0) punct * 1000L / nChars else 0L
+    val sEn = row.getInt(4 + LangsSorted.indexOf("en"))
+    val score = math.min(nTok, 200L) * 2L +
+      (if (punctPm <= 80L) 300L else 100L) +
+      math.min(sEn.toLong * 30L, 300L)
+    if (score < minScore) return false
+    if (langSet == null) return true
+    // argmax over (score, lang) with max-lang tie-break, like
+    // array_max over struct(s, l); `und` when every score is 0
+    var bestS = -1
+    var bestL = "und"
+    var k = 0
+    while (k < LangsSorted.length) {
+      val s = row.getInt(4 + k)
+      val l = LangsSorted(k)
+      if (s > bestS || (s == bestS && l.compareTo(bestL) > 0)) {
+        bestS = s; bestL = l
+      }
+      k += 1
+    }
+    val pred = if (bestS > 0) bestL else "und"
+    langSet.contains(pred)
+  }
+}
+
+/** One-evaluation quality/language keep-predicate for filter hot paths:
+  * `ProjectExec` folds repeated deterministic subexpressions but
+  * `FilterExec` codegen does NOT — a Column-composed predicate re-evaluates
+  * the profile once per field reference (~10 normalizations/row measured).
+  * Semantics are exactly `qualityScore(c) >= minScore [&& langId(c) ∈
+  * langs]` (same integer arithmetic, same max-(score,lang) tie-break,
+  * `und` when no stopword hits). */
+case class QualityLangKeep(child: Expression, minScore: Long, langs: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.BooleanType
+  override def dataType: DataType = BooleanType
+  @transient private lazy val langSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    langs.foreach(s.add)
+    s
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextProfileUtil.keep(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      minScore, if (langs.isEmpty) null else langSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef =
+      if (langs.isEmpty) "null"
+      else ctx.addReferenceObj("qlkLangs", langSet, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextProfileUtil.keep($c, ${minScore}L, $setRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): QualityLangKeep =
+    copy(child = c)
+  override def prettyName: String = "quality_lang_keep"
+}
+
+case class TextProfile(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(
+    Seq(StructField("n_chars", LongType, nullable = false),
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("sum_tok_len", LongType, nullable = false),
+        StructField("n_punct", LongType, nullable = false)) ++
+    TextProfileUtil.LangsSorted.map(l =>
+      StructField(s"s_$l", IntegerType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    TextProfileUtil.profile(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextProfileUtil.profile($c)")
+  override protected def withNewChildInternal(c: Expression): TextProfile = copy(c)
+  override def prettyName: String = "text_profile"
 }
 
 /** Karp-Rabin polynomial rolling hash of a UTF8 string:

@@ -34,12 +34,15 @@ object TextAnalysis {
            sum(length(col(textCol)).cast("long")).as("total_chars"))
 
   /** Quality filter: keep docs above a score threshold with a predicted
-    * language in `langs` (empty = any). */
+    * language in `langs` (empty = any). One native predicate evaluation per
+    * row — FilterExec codegen does not fold repeated subexpressions, so the
+    * equivalent Column composition re-normalized the text ~10× per row
+    * (see [[graft.functions.QualityLangKeep]]). */
   def qualityFilter(df: DataFrame, textCol: String, minScore: Long,
                     langs: Seq[String] = Seq.empty): DataFrame = {
-    val base = df.where(TF.qualityScore(col(textCol)) >= minScore)
-    if (langs.isEmpty) base
-    else base.where(TF.langId(col(textCol)).isin(langs: _*))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    df.where(column(graft.functions.QualityLangKeep(
+      expression(col(textCol)), minScore, langs)))
   }
 
   /** Vocabulary report per group: exact distinct-token count (shuffle
