@@ -499,6 +499,9 @@ object SparkEntry {
     "text_rollhash"       -> textRollhash _,
     "text_token_report"   -> textTokenReport _,
     "text_vocabulary"     -> textVocabulary _,
+    "text_length_dist"    -> ((s, dir) =>
+      TextAnalysis.lengthDistribution(t(s, dir, "documents"), "text", "lang")
+        .orderBy("lang")),
     "text_quality_filter" -> textQualityFilter _,
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "mm_decode"           -> mmDecode _,
@@ -934,6 +937,20 @@ object SparkEntry {
              sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens_bpe,
              sum(length(text))::BIGINT AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""",
+    // Spark's exact `percentile` and DuckDB's quantile_cont use the same
+    // linear interpolation — verified bit-equal on this corpus
+    "text_length_dist" -> s"""
+      WITH t AS (SELECT lang, length(text) AS nc, len($sqlToks) AS nw FROM documents)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             min(nc)::BIGINT AS chars_min,
+             quantile_cont(nc, 0.25) AS chars_p25,
+             quantile_cont(nc, 0.5) AS chars_p50,
+             quantile_cont(nc, 0.75) AS chars_p75,
+             quantile_cont(nc, 0.95) AS chars_p95,
+             max(nc)::BIGINT AS chars_max,
+             quantile_cont(nw, 0.5) AS words_p50,
+             quantile_cont(nw, 0.95) AS words_p95
+      FROM t GROUP BY lang ORDER BY lang""",
     "text_vocabulary" -> s"""
       WITH w AS (SELECT lang, unnest($sqlToks) AS tok FROM documents)
       SELECT lang, count(DISTINCT tok)::BIGINT AS n_distinct_tokens,

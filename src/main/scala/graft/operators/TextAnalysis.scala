@@ -45,6 +45,27 @@ object TextAnalysis {
       expression(col(textCol)), minScore, langs)))
   }
 
+  /** Corpus length-distribution report per group: exact interpolated
+    * percentiles of character and word counts (Spark's `percentile` — a
+    * sort-based exact aggregate, fine at per-group cardinalities; switch to
+    * `percentile_approx` when a single group exceeds executor memory, same
+    * call shape). Length distributions are the first thing a training-data
+    * pipeline inspects before choosing truncation/packing lengths. */
+  def lengthDistribution(df: DataFrame, textCol: String, byCols: String*): DataFrame = {
+    val nChars = length(col(textCol))
+    val nWords = size(TF.tokens(col(textCol)))
+    df.groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+           min(nChars).cast("long").as("chars_min"),
+           percentile(nChars, lit(0.25)).as("chars_p25"),
+           percentile(nChars, lit(0.5)).as("chars_p50"),
+           percentile(nChars, lit(0.75)).as("chars_p75"),
+           percentile(nChars, lit(0.95)).as("chars_p95"),
+           max(nChars).cast("long").as("chars_max"),
+           percentile(nWords, lit(0.5)).as("words_p50"),
+           percentile(nWords, lit(0.95)).as("words_p95"))
+  }
+
   /** Vocabulary report per group: exact distinct-token count (shuffle
     * carries (group, token-hash) — 64-bit keys, never the text) plus the
     * HyperLogLog++ estimate. At 100 TB the exact count is the expensive

@@ -56,6 +56,16 @@ class PlanSpec extends SparkSpec {
       "blocked path must not plan a nested-loop join")
   }
 
+  test("text_quality_filter: one native keep-predicate, no per-field re-evaluation") {
+    val p = plan("text_quality_filter")
+    assert(p.contains("quality_lang_keep"),
+      "filter must use the single-evaluation native predicate")
+    // the old Column composition left ~10 normalization subtrees in the
+    // Filter (FilterExec does no subexpression elimination)
+    assert(!p.contains("regexp_replace"),
+      "no regex normalization should remain in the filter plan")
+  }
+
   test("minhash capped bucket join: equi-join candidates, no cartesian") {
     Seq("dedup_minhash", "dedup_minhash_verified").foreach { q =>
       val p = plan(q)
