@@ -502,6 +502,10 @@ object SparkEntry {
     "text_length_dist"    -> ((s, dir) =>
       TextAnalysis.lengthDistribution(t(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
+    "text_packing"        -> ((s, dir) =>
+      TextAnalysis.packingOffsets(t(s, dir, "documents"), "doc_id", "text",
+          seqLen = 2048L)
+        .orderBy("doc_id")),
     "text_quality_filter" -> textQualityFilter _,
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "mm_decode"           -> mmDecode _,
@@ -937,6 +941,21 @@ object SparkEntry {
              sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens_bpe,
              sum(length(text))::BIGINT AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""",
+    "text_packing" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+        FROM t)
+      SELECT doc_id, n_tokens, "offset",
+             "offset" // 2048 AS chunk_start,
+             CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 2048
+                  ELSE "offset" // 2048 END AS chunk_end
+      FROM c ORDER BY doc_id""",
     // Spark's exact `percentile` and DuckDB's quantile_cont use the same
     // linear interpolation — verified bit-equal on this corpus
     "text_length_dist" -> s"""

@@ -66,6 +66,54 @@ object TextAnalysis {
            percentile(nWords, lit(0.95)).as("words_p95"))
   }
 
+  /** Sequence-packing layout (concatenate-and-chunk, the GPT-style packing
+    * step): documents in `idCol` order are laid out back-to-back in token
+    * space and cut into fixed `seqLen` chunks; emits each document's global
+    * token offset and the chunk range it lands in.
+    *
+    * The global running sum is computed with a two-pass distributed prefix
+    * sum — per-sort-partition subtotals (one tiny row per partition) are
+    * collected, turned into cumulative bases, and added to a WITHIN-partition
+    * window — because the naive `Window.orderBy(id)` with no partitioning
+    * funnels the whole corpus through ONE task. This is the standard
+    * scale-out shape for any global cumulative quantity. */
+  def packingOffsets(df: DataFrame, idCol: String, textCol: String,
+                     seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, "seqLen must be positive")
+    val sorted = df
+      .select(col(idCol), TF.bpeishTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val persisted = sorted.persist()
+    try {
+      // pass 1: per-partition totals — numPartitions rows, driver-bounded
+      val totals = persisted.groupBy("__pid").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // baseOf(pid) = total tokens in all partitions before pid
+      val baseOf = totals.map(_._1).zip(
+        totals.scanLeft(0L)((acc, pt) => acc + pt._2).dropRight(1)).toMap
+      val baseCol = coalesce(
+        element_at(
+          map(baseOf.toSeq.flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*),
+          col("__pid")),
+        lit(0L))
+      // pass 2: within-partition prefix sum + partition base
+      val w = Window.partitionBy("__pid").orderBy(idCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      persisted
+        .withColumn("offset", baseCol + coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("chunk_start", expr(s"offset DIV $seqLen"))
+        .withColumn("chunk_end",
+          when(col("n_tokens") > 0, expr(s"(offset + n_tokens - 1) DIV $seqLen"))
+            .otherwise(expr(s"offset DIV $seqLen")))
+        .select(col(idCol), col("n_tokens"), col("offset"),
+                col("chunk_start"), col("chunk_end"))
+        .localCheckpoint(true) // materialize before releasing the sort cache
+    } finally { persisted.unpersist(); () }
+  }
+
   /** Vocabulary report per group: exact distinct-token count (shuffle
     * carries (group, token-hash) — 64-bit keys, never the text) plus the
     * HyperLogLog++ estimate. At 100 TB the exact count is the expensive

@@ -103,6 +103,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0) != out(2))
   }
 
+  test("packingOffsets: two-pass distributed prefix sum equals sequential layout") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.packingOffsets(docs, "doc_id", "text", seqLen = 512L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("offset"),
+         r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_end"))).toMap
+    val bpe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> bpe.findAllIn(r.getString(1)).length.toLong)
+      .sortBy(_._1)
+    var off = 0L
+    local.foreach { case (id, n) =>
+      val (gn, goff, cs, ce) = out(id)
+      assert(gn == n, s"doc $id token count")
+      assert(goff == off, s"doc $id offset")
+      assert(cs == off / 512 && ce == (if (n > 0) (off + n - 1) / 512 else off / 512))
+      off += n
+    }
+  }
+
   test("vocabularyReport: exact distinct matches driver-side; HLL inside error bound") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.vocabularyReport(docs, "text", 0.05, "lang")
