@@ -265,6 +265,36 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** As-of (point-in-time) join: each event annotated with the user's most
+    * recent purchase value at or before the event — Spark has no built-in
+    * ASOF JOIN; see `Relational.asofJoin` for the single-shuffle shape. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val probe = ev.select("event_id", "user_id", "ts_ms")
+    val changelog = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms")
+      .agg(max("value").as("last_purchase_value"))
+    graft.operators.Relational.asofJoin(probe, changelog, "user_id", "ts_ms",
+        Seq("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range (interval) join via time binning: events inside the 10-minute
+    * window opened by each 'view' event of the same user. The raw non-equi
+    * join would plan a nested loop; binning makes it an equi-join. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val probe = ev.select(col("event_id"), col("user_id"), col("ts_ms"))
+    val iv = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("iv_id"), col("user_id"),
+              col("ts_ms").as("start_ms"),
+              (col("ts_ms") + 600000L).as("end_ms"))
+    graft.operators.Relational.rangeJoinBinned(probe, "ts_ms", iv,
+        "start_ms", "end_ms", keyCol = Some("user_id"), binWidth = 600000L)
+      .select(col("event_id"), col("iv_id"))
+      .orderBy("event_id", "iv_id")
+  }
+
   // ==== LLM-data-pipeline operators ======================================
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -478,6 +508,8 @@ object SparkEntry {
     "q_sort_limit"        -> qSortLimit _,
     "q_semi_anti"         -> qSemiAnti _,
     "q_distinct_agg"      -> qDistinctAgg _,
+    "q_asof_join"         -> qAsofJoin _,
+    "q_range_join"        -> qRangeJoin _,
     // LLM-data-pipeline operators
     "dedup_exact"         -> dedupExact _,
     "dedup_normalized"    -> dedupNormalized _,
@@ -770,6 +802,23 @@ object SparkEntry {
              count(*)::BIGINT AS n_rows
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
+    "q_asof_join" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+      c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS last_purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts_ms, c.last_purchase_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+      ORDER BY event_id""",
+    "q_range_join" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+      iv AS (SELECT event_id AS iv_id, user_id, epoch_ms(ts) AS start_ms,
+                    epoch_ms(ts) + 600000 AS end_ms
+             FROM events WHERE event_type = 'view')
+      SELECT p.event_id, iv.iv_id
+      FROM p JOIN iv ON p.user_id = iv.user_id
+        AND p.ts_ms >= iv.start_ms AND p.ts_ms < iv.end_ms
+      ORDER BY event_id, iv_id""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
              count(*)::BIGINT AS n_copies

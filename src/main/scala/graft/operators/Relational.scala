@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, in their scale-correct
+  * shapes (SURVEY.md §2.5 names these as the extension surface; neither
+  * exists in the reference, which never joins events at all).
+  */
+object Relational {
+
+  /** Point-in-time (as-of) join: for each probe row, attach the values of
+    * the single most recent changelog row with the same key and
+    * `ts <= probe.ts` (left semantics — probes with no prior state keep
+    * NULL values).
+    *
+    * Spark has no ASOF JOIN. The naive encodings either explode (non-equi
+    * theta join: per-key cross product, then argmax) or serialize (global
+    * sort). This is the scale shape: ONE shuffle by key — both sides
+    * union'd with a side marker, sorted within key by `(ts, marker)`
+    * (changelog first at equal ts, so "at or before" includes same-instant
+    * state), and the changelog payload carried forward with
+    * `last(_, ignoreNulls)` over the running window. Each input row appears
+    * exactly once; the per-key state is one row of carried values.
+    *
+    * The changelog should be unique per (key, ts) — dedup upstream
+    * (e.g. `groupBy(key, ts).agg(max(...))`) for deterministic output. */
+  def asofJoin(probe: DataFrame, changelog: DataFrame, keyCol: String,
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    require(!probeCols.exists(valueCols.contains),
+      s"value columns ${valueCols.intersect(probeCols)} collide with probe columns")
+    val pStructType = org.apache.spark.sql.types.StructType(probe.schema.fields)
+    val vStructType = org.apache.spark.sql.types.StructType(
+      changelog.select(valueCols.map(col): _*).schema.fields)
+    val cl = changelog.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__m"),
+      struct(valueCols.map(col): _*).cast(vStructType).as("__v"),
+      lit(null).cast(pStructType).as("__p"))
+    val pr = probe.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__m"),
+      lit(null).cast(vStructType).as("__v"),
+      struct(probe.columns.map(col).toSeq: _*).as("__p"))
+    val w = Window.partitionBy("__k").orderBy("__ts", "__m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cl.unionByName(pr)
+      .withColumn("__vf", last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__m") === 1)
+      .select(probeCols.map(c => col("__p").getField(c).as(c)) ++
+              valueCols.map(v => col("__vf").getField(v).as(v)): _*)
+  }
+
+  /** Range (interval) join: probe rows matched to every interval
+    * `[startCol, endCol)` of the same key that contains `ts`. Spark plans a
+    * raw non-equi condition as a broadcast-nested-loop or per-key cross
+    * product; binning makes it an EQUI-join — each interval is exploded to
+    * the fixed-width time bins it overlaps (intervals are usually short, so
+    * a handful of rows each), probes join on (key, bin), and the residual
+    * containment predicate filters exact matches. Pick `binWidth` around
+    * the typical interval length: shuffle volume grows with
+    * intervalLength/binWidth, candidate fan-out with binWidth×density. */
+  def rangeJoinBinned(probe: DataFrame, probeTs: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      keyCol: Option[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // integer (DIV) bin arithmetic — float division would lose precision on
+    // large epoch values and mis-bin boundary timestamps
+    val iv = intervals.withColumn("__bin_i", explode(sequence(
+        expr(s"CAST($startCol AS BIGINT) DIV $binWidth"),
+        // end is exclusive: the last overlapped bin is (end-1) DIV width
+        greatest(expr(s"(CAST($endCol AS BIGINT) - 1) DIV $binWidth"),
+                 expr(s"CAST($startCol AS BIGINT) DIV $binWidth")))))
+    val pr = probe.withColumn("__bin_p",
+      expr(s"CAST($probeTs AS BIGINT) DIV $binWidth"))
+    val cond = pr("__bin_p") === iv("__bin_i") &&
+      pr(probeTs) >= iv(startCol) && pr(probeTs) < iv(endCol) &&
+      keyCol.map(k => pr(k) === iv(k)).getOrElse(lit(true))
+    pr.join(iv, cond).drop("__bin_p", "__bin_i")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("asofJoin: latest at-or-before state; equal ts included; no prior state = null") {
+    val changelog = spark.createDataFrame(Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x")))
+      .toDF("k", "ts", "state")
+    val probe = spark.createDataFrame(Seq(
+      (100L, 1L, 5L),   // before any state → null
+      (101L, 1L, 10L),  // equal ts → includes same-instant state "a"
+      (102L, 1L, 19L),  // between → "a"
+      (103L, 1L, 20L),  // equal to second → "b"
+      (104L, 1L, 99L),  // after all → "b"
+      (105L, 2L, 16L),  // other key → "x"
+      (106L, 3L, 50L))) // unseen key → null
+      .toDF("id", "k", "ts")
+    val out = Relational.asofJoin(probe, changelog, "k", "ts", Seq("state"))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("state"))).toMap
+    assert(out == Map(100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> Some("b"), 105L -> Some("x"), 106L -> None))
+  }
+
+  test("rangeJoinBinned equals the direct non-equi join (boundary-inclusive start, exclusive end)") {
+    val ev = spark.read.parquet(sf("events"))
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    val probe = ev.select(col("event_id"), col("user_id"), col("ts_ms"))
+    val iv = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("iv_id"), col("user_id").as("iv_user"),
+              col("ts_ms").as("start_ms"), (col("ts_ms") + 600000L).as("end_ms"))
+    val binned = Relational.rangeJoinBinned(
+        probe, "ts_ms", iv.withColumnRenamed("iv_user", "user_id"),
+        "start_ms", "end_ms", keyCol = Some("user_id"), binWidth = 600000L)
+      .select("event_id", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = probe.join(iv,
+        probe("user_id") === iv("iv_user") &&
+        probe("ts_ms") >= iv("start_ms") && probe("ts_ms") < iv("end_ms"))
+      .select("event_id", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == direct)
+    assert(binned.nonEmpty)
+  }
+
+  test("rangeJoinBinned: intervals spanning multiple bins still match") {
+    val iv = spark.createDataFrame(Seq((7L, 1L, 95L, 305L)))
+      .toDF("iv_id", "k", "s", "e") // spans bins 0..3 at width 100
+    val probe = spark.createDataFrame(Seq(
+      (1L, 1L, 95L), (2L, 1L, 150L), (3L, 1L, 304L), (4L, 1L, 305L), (5L, 2L, 150L)))
+      .toDF("id", "k", "ts")
+    val out = Relational.rangeJoinBinned(probe, "ts", iv, "s", "e",
+        keyCol = Some("k"), binWidth = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L)) // 305 excluded (end-exclusive), key 2 excluded
+  }
+}
