@@ -127,6 +127,27 @@ object OracleXX {
   def xxh64Str(s: String, seed: String = "42", padLen: Int = 48): String =
     xxh64Core(bytesOf(s), seed, padLen)
 
+  /** Unsigned XXH64 of a BIGINT expression hashed as its 8-byte
+    * little-endian encoding (= Spark `xxhash64(longCol)`). Handles negative
+    * longs via two's-complement conversion to the unsigned byte space. */
+  def xxh64Long(l: String, seed: String = "42", padLen: Int = 16): String = {
+    val lu = s"(CASE WHEN ($l) < 0 THEN ($l)::HUGEINT + $M ELSE ($l)::HUGEINT END)"
+    val bl = (0 until 8).map(m =>
+      s"(($lu // ${BigInt(256).pow(m)}::HUGEINT) % 256)").mkString("[", ", ", "]")
+    xxh64Core(bl, seed, padLen)
+  }
+
+  /** Signed Spark-style `pmod(xxhash64(longCol), m)` as SQL: the unsigned
+    * replica value is converted back to Spark's signed hash before the
+    * floor-mod, because `u mod m` and `floorMod(u - 2^64, m)` differ. */
+  def xxh64LongPmod(l: String, m: Long, seed: String = "42"): String = {
+    val h = xxh64Long(l, seed)
+    s"""list_extract(list_transform([($h)], hu ->
+          (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                THEN ((hu - $M) % $m + $m) % $m
+                ELSE hu % $m END)::BIGINT), 1)"""
+  }
+
   private val pow2 =
     (0 until 64).map(b => s"${BigInt(2).pow(b)}::HUGEINT").mkString("[", ", ", "]")
   private val sqlToks =

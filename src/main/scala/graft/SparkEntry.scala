@@ -381,6 +381,19 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Deterministic hash split + sample flags — reproducible corpus
+    * curation (see `Sampling`); the oracle recomputes the same xxhash64
+    * buckets via the OracleXX replica. */
+  private def curationSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"),
+        (graft.operators.Sampling.bucket(col("doc_id"), seed = 7L) < 100000L)
+          .as("in_sample"))
+      .orderBy("doc_id")
+  }
+
   private val textTopKQuery =
     "table scan fast key value row batch window join query"
 
@@ -534,6 +547,7 @@ object SparkEntry {
     "text_length_dist"    -> ((s, dir) =>
       TextAnalysis.lengthDistribution(t(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
+    "curation_split"      -> curationSplit _,
     "text_packing"        -> ((s, dir) =>
       TextAnalysis.packingOffsets(t(s, dir, "documents"), "doc_id", "text",
           seqLen = 2048L)
@@ -990,6 +1004,19 @@ object SparkEntry {
              sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens_bpe,
              sum(length(text))::BIGINT AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""",
+    "curation_split" -> {
+      val b0 = OracleXX.xxh64LongPmod("doc_id", 1000000L)
+      val seed7 = java.lang.Long.toUnsignedString(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(7L, 42L))
+      val b7 = OracleXX.xxh64LongPmod("doc_id", 1000000L, seed = seed7)
+      s"""
+      SELECT doc_id,
+             CASE WHEN $b0 < 800000 THEN 'train'
+                  WHEN $b0 < 900000 THEN 'val'
+                  ELSE 'test' END AS split,
+             ($b7 < 100000) AS in_sample
+      FROM documents ORDER BY doc_id"""
+    },
     "text_packing" -> s"""
       WITH t AS (
         SELECT doc_id,

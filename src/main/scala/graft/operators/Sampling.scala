@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus curation: hash-based splits and samples.
+  *
+  * RNG-based sampling (`df.sample`) is partition-order-dependent and
+  * unreproducible across engines or re-runs with different partitioning;
+  * at corpus scale the right primitive is a pure function of the row
+  * identity — `xxhash64(id)` bucketed into [0, 1e6) — so the same document
+  * always lands in the same split, new data joins splits consistently, and
+  * an external system (or the DuckDB oracle) can reproduce the assignment
+  * bit-exactly. */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** The [0, 1e6) assignment bucket for an id column (seeded — different
+    * seeds give independent assignments). Spark's `xxhash64` is seed-42
+    * XXH64; extra seeding is chained the same way multi-column xxhash64
+    * chains, by hashing the literal seed first. */
+  def bucket(idCol: Column, seed: Long = 0L): Column = {
+    val h = if (seed == 0L) xxhash64(idCol) else xxhash64(lit(seed), idCol)
+    pmod(h, lit(Buckets))
+  }
+
+  /** Add a `split` column assigning each row to the first name whose
+    * cumulative weight bound covers its bucket. Weights must sum to 1
+    * (±1e-9); bounds are exact integer thresholds on the 1e6 bucket space
+    * so the assignment is integer-deterministic. */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.map(_._2).sum}")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Buckets)
+    }.tail
+    val b = bucket(col(idCol), seed)
+    // last split takes any rounding remainder (bound forced to 1e6)
+    val cases = weights.map(_._1).zip(bounds.dropRight(1) :+ Buckets)
+    val expr = cases.init.foldRight(lit(cases.last._1): Column) {
+      case ((name, bound), rest) => when(b < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep a deterministic `fraction` of rows by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 seed: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.where(bucket(col(idCol), seed) < math.round(fraction * Buckets))
+  }
+}

@@ -45,6 +45,29 @@ class RelationalSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("hash split: deterministic, complete, proportional; sample consistent across invocations") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(sf("documents"))
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.hashSplit(docs, "doc_id", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.hashSplit(docs, "doc_id", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "assignment must be deterministic")
+    assert(s1.size == docs.count())
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac off target 0.8")
+    assert(s1.values.toSet == Set("train", "val", "test"))
+    // sample with the default seed selects exactly the sub-threshold buckets
+    val sample = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val resample = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sample == resample && sample.nonEmpty && sample.size < s1.size)
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("rangeJoinBinned: intervals spanning multiple bins still match") {
     val iv = spark.createDataFrame(Seq((7L, 1L, 95L, 305L)))
       .toDF("iv_id", "k", "s", "e") // spans bins 0..3 at width 100
