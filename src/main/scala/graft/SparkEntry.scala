@@ -548,6 +548,13 @@ object SparkEntry {
       TextAnalysis.lengthDistribution(t(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
     "curation_split"      -> curationSplit _,
+    "text_contamination"  -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(
+          docs.where(col("doc_id") >= 20), "text",
+          docs.where(col("doc_id") < 20), "doc_id", "text")
+        .orderBy("bench_id")
+    }),
     "text_packing"        -> ((s, dir) =>
       TextAnalysis.packingOffsets(t(s, dir, "documents"), "doc_id", "text",
           seqLen = 2048L)
@@ -1017,6 +1024,23 @@ object SparkEntry {
              ($b7 < 100000) AS in_sample
       FROM documents ORDER BY doc_id"""
     },
+    "text_contamination" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      corpus AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id >= 20),
+      bench AS (SELECT doc_id AS bench_id, unnest(hs) AS h FROM sh WHERE doc_id < 20),
+      tot AS (SELECT bench_id, count(*)::BIGINT AS n_shingles FROM bench GROUP BY 1),
+      hit AS (SELECT bench_id, count(*)::BIGINT AS n_hits FROM bench
+              WHERE h IN (SELECT h FROM corpus) GROUP BY 1)
+      SELECT t.bench_id, t.n_shingles, coalesce(hit.n_hits, 0)::BIGINT AS n_hits,
+             coalesce(hit.n_hits, 0)::DOUBLE / t.n_shingles AS contamination
+      FROM tot t LEFT JOIN hit ON t.bench_id = hit.bench_id
+      ORDER BY t.bench_id""",
     "text_packing" -> s"""
       WITH t AS (
         SELECT doc_id,

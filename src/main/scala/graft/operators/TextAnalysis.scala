@@ -66,6 +66,48 @@ object TextAnalysis {
            percentile(nWords, lit(0.95)).as("words_p95"))
   }
 
+  /** Eval-set contamination check: for each benchmark document, the
+    * fraction of its distinct n-gram shingles that appear anywhere in the
+    * training corpus. Scale shape: the corpus side reduces to its DISTINCT
+    * shingle-hash set (one dedup shuffle, 64-bit keys only — the text never
+    * moves), the benchmark explodes its shingles, and hits come from a
+    * LEFT SEMI join — no pair materialization, corpus size only enters
+    * through the distinct-set build. */
+  def contamination(corpus: DataFrame, corpusText: String,
+                    benchmark: DataFrame, benchId: String, benchText: String,
+                    shingleN: Int = 3): DataFrame = {
+    val corpusSh = corpus
+      .select(explode(TF.shingleHashes(col(corpusText), shingleN)).as("h"))
+      .distinct()
+    val bench = benchmark.select(col(benchId).as("bench_id"),
+      explode(TF.shingleHashes(col(benchText), shingleN)).as("h"))
+    val totals = bench.groupBy("bench_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = bench.join(corpusSh, Seq("h"), "left_semi")
+      .groupBy("bench_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_shingles"))
+  }
+
+  /** PII redaction: replace email addresses, IPv4 addresses, and
+    * international-format phone numbers with typed placeholder tokens.
+    * Pure narrow projection — scan-bound, codegen'd regexes. Patterns are
+    * deliberately conservative (precision over recall); extend the list
+    * per-corpus. */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{3,4}[ -]?\\d{3,4}" -> "<PHONE>")
+
+  def redact(df: DataFrame, textCol: String,
+             patterns: Seq[(String, String)] = RedactionPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (p, repl)) => regexp_replace(c, p, repl)
+    }
+    df.withColumn(textCol, redacted)
+  }
+
   /** Sequence-packing layout (concatenate-and-chunk, the GPT-style packing
     * step): documents in `idCol` order are laid out back-to-back in token
     * space and cut into fixed `seqLen` chunks; emits each document's global

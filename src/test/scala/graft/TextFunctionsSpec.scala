@@ -124,6 +124,37 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("contamination: duplicated benchmark doc = 1.0, unrelated = 0.0") {
+    import graft.operators.TextAnalysis
+    val corpus = spark.createDataFrame(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven"))).toDF("doc_id", "text")
+    val bench = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // fully contained
+      (2L, "totally unrelated benchmark content here"),
+      (3L, "five six seven and then novel tail words"))).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, "text", bench, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("bench_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("contamination"))).toMap
+    assert(out(1L)._2 == 1.0)
+    assert(out(2L) == (0L, 0.0))
+    assert(out(3L)._1 >= 1 && out(3L)._2 < 1.0) // shares the "five six seven" shingle
+  }
+
+  test("redact replaces emails, IPs, phone numbers with typed placeholders") {
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(Seq(
+      (1L, "mail me at john.doe+x@example.co.uk or call +1 555 123 4567"),
+      (2L, "server 10.0.42.7 responded"),
+      (3L, "clean text stays identical"))).toDF("id", "text")
+    val out = TextAnalysis.redact(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).contains("<EMAIL>") && !out(1L).contains("example"))
+    assert(out(1L).contains("<PHONE>"))
+    assert(out(2L) == "server <IP> responded")
+    assert(out(3L) == "clean text stays identical")
+  }
+
   test("vocabularyReport: exact distinct matches driver-side; HLL inside error bound") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.vocabularyReport(docs, "text", 0.05, "lang")
