@@ -25,6 +25,7 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is ns
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     lap("startup")
@@ -98,6 +99,34 @@ object Smoke {
     val media = Multimodal.withBinaryPayload(docs.limit(5), "doc_id", "text", "video")
     Multimodal.decodeMeta(media).show(truncate = false)
     lap("multimodal")
+
+    println("[smoke] as-of join (latest purchase value per event):")
+    val evts = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    val probe = evts.select("event_id", "user_id", "ts_ms")
+    val changelog = evts.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms").agg(max("value").as("v"))
+    graft.operators.Relational.asofJoin(probe, changelog, "user_id", "ts_ms", Seq("v"))
+      .show(5)
+    lap("asof")
+
+    println("[smoke] binned range join (events inside view windows):")
+    val iv = evts.where(col("event_type") === "view")
+      .select(col("event_id").as("iv_id"), col("user_id"),
+              col("ts_ms").as("s_ms"), (col("ts_ms") + 600000L).as("e_ms"))
+    graft.operators.Relational.rangeJoinBinned(probe, "ts_ms", iv,
+        "s_ms", "e_ms", keyCol = Some("user_id"), binWidth = 600000L)
+      .select("event_id", "iv_id").show(5)
+    lap("range")
+
+    println("[smoke] packing offsets + hash split + contamination:")
+    TextAnalysis.packingOffsets(docs, "doc_id", "text", seqLen = 2048L).show(3)
+    graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().show()
+    TextAnalysis.contamination(docs.where(col("doc_id") >= 10), "text",
+        docs.where(col("doc_id") < 10), "doc_id", "text").show(3)
+    lap("curation")
 
     println("[smoke] cosine expression plan (codegen check):")
     emb.limit(1).select(VF.cosineSim(col("embedding"), col("embedding")).as("c"))
