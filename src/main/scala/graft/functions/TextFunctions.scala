@@ -383,7 +383,9 @@ case class QualityLangKeep(child: Expression, minScore: Long, langs: Seq[String]
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef =
       if (langs.isEmpty) "null"
-      else ctx.addReferenceObj("qlkLangs", langSet, "java.util.HashSet<String>")
+      // raw type: Janino's generics support is partial — a <String> cast can
+      // silently fail codegen and drop the whole stage to interpreted mode
+      else ctx.addReferenceObj("qlkLangs", langSet, "java.util.HashSet")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextProfileUtil.keep($c, ${minScore}L, $setRef)")
   }

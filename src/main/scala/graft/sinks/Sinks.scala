@@ -253,17 +253,24 @@ object Sinks {
       val done = new CompletableFuture[Delivery]()
       def attempt(n: Int): Unit =
         st.exec.execute { () =>
-          val outcome =
-            try classify(sendBody(body))
-            catch { case _: java.io.IOException => Left(true) }
-          outcome match {
-            case Right(())   => done.complete(Delivered); ()
-            case Left(false) => done.complete(Dropped); ()
-            case Left(true) if n >= cfg.maxRetries => done.complete(Exhausted); ()
-            case Left(true) =>
-              val delay = Backoff.randomDelayMillis(n.toDouble, cfg.backoffCapMillis)
-              CompletableFuture.delayedExecutor(delay, TimeUnit.MILLISECONDS)
-                .execute(() => attempt(n + 1))
+          // a non-IO throwable (bad URI, SSL config, interrupt) MUST fail
+          // the future — an incomplete future would leak its window permit
+          // and hang the writer's partition barrier forever
+          try {
+            val outcome =
+              try classify(sendBody(body))
+              catch { case _: java.io.IOException => Left(true) } // transport → retry
+            outcome match {
+              case Right(())   => done.complete(Delivered); ()
+              case Left(false) => done.complete(Dropped); ()
+              case Left(true) if n >= cfg.maxRetries => done.complete(Exhausted); ()
+              case Left(true) =>
+                val delay = Backoff.randomDelayMillis(n.toDouble, cfg.backoffCapMillis)
+                CompletableFuture.delayedExecutor(delay, TimeUnit.MILLISECONDS)
+                  .execute(() => attempt(n + 1))
+            }
+          } catch {
+            case t: Throwable => done.completeExceptionally(t); ()
           }
         }
       attempt(0)
