@@ -29,14 +29,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def runOnce(name: String): Double = {
+    def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -45,11 +49,15 @@ object Bench {
     val results = names.map(n => n -> runOnce(n)) // steady-state pass
     val wall = (System.nanoTime() - wall0) / 1e9
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
+    // a failed query records a near-zero time — without an explicit failure
+    // list a broken run would read as a speedup
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"wall_both_passes_sec":$wall%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"wall_both_passes_sec":$wall%.3f,"failed":$failed}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }

@@ -78,9 +78,14 @@ object OracleXX {
     val ops0 = s"list_concat(list_concat(list_concat($blocks, $converge), " +
       s"list_concat($addlen, $stripes)), " +
       s"list_concat(list_concat($four, $tail), $aval))"
-    // uniform-length padding (see scaladoc) — t=99 is a no-op in the step
-    val ops = s"list_extract(list_transform([$ops0], oo -> list_concat(oo, " +
-      s"list_transform(range(0, $padLen - len(oo)), zz -> ${op(99)}))), 1)"
+    // uniform-length padding (see scaladoc) — t=99 is a no-op in the step.
+    // An op list LONGER than padLen would silently re-expose the
+    // variable-length mis-scatter, so over-length inputs fail loudly.
+    val ops = s"list_extract(list_transform([$ops0], oo -> " +
+      s"CASE WHEN len(oo) > $padLen " +
+      s"THEN error('xxh64 oracle: input needs ' || len(oo) || ' ops but padLen=$padLen') " +
+      s"ELSE list_concat(oo, " +
+      s"list_transform(range(0, $padLen - len(oo)), zz -> ${op(99)})) END), 1)"
     val init =
       s"{'t': -1, 'v': ${mask(s"sd + ${u(P1 + P2)}::HUGEINT")}, " +
       s"'w': ${mask(s"sd + ${u(P2)}::HUGEINT")}, " +
@@ -174,10 +179,14 @@ object OracleXX {
       blk AS (SELECT doc_id, sh, unnest(range(0, $nBlocks)) AS i FROM sh),
       b2 AS MATERIALIZED (SELECT doc_id, sh, i,
               (sh // ($pow2)[i*$bitsPer+1]) % ${1L << bitsPer} AS bits FROM blk),
+      guard AS (SELECT CASE WHEN (SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM b2 GROUP BY i, bits)) > 4096
+                THEN error('simhash oracle models the UNCAPPED fragment join; a block exceeds the engine skew cap (4096) so outputs would diverge')
+                ELSE 1 END AS ok),
       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
                 FROM b2 a JOIN b2 b ON a.i = b.i AND a.bits = b.bits AND a.doc_id < b.doc_id)
       SELECT id_a, id_b, bit_count(xor(sha, shb))::INT AS hamming
-      FROM pairs WHERE bit_count(xor(sha, shb)) <= $maxHamming
+      FROM pairs CROSS JOIN guard WHERE bit_count(xor(sha, shb)) <= $maxHamming
       ORDER BY id_a, id_b"""
   }
 
@@ -223,8 +232,12 @@ object OracleXX {
                array_to_string(list_slice(sig, bi*$rows+1, bi*$rows+$rows), ',') AS s2
              FROM bnd),
       bk AS MATERIALIZED (SELECT doc_id, sig, $bandKey AS band FROM bs),
+      guard AS (SELECT CASE WHEN (SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM bk GROUP BY band)) > 4096
+                THEN error('minhash oracle models the UNCAPPED band join; a bucket exceeds the engine skew cap (4096) so outputs would diverge')
+                ELSE 1 END AS ok),
       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS siga, b.sig AS sigb
-                FROM bk a JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
+                FROM bk a CROSS JOIN guard JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
       ag AS (SELECT id_a, id_b,
                list_aggregate(list_transform(range(0, $numHashes), j ->
                  CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree

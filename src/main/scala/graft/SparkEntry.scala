@@ -895,10 +895,14 @@ object SparkEntry {
     // hyperplane bucketing, then exact cosine within buckets
     "dedup_embedding" -> s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cb AS (SELECT vec_id, v, ${hyperplaneBucketSql(8, 64)} AS bucket FROM e)
+      cb AS (SELECT vec_id, v, ${hyperplaneBucketSql(8, 64)} AS bucket FROM e),
+      guard AS (SELECT CASE WHEN (SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM cb GROUP BY bucket)) > 4096
+                THEN error('embedding oracle models the UNCAPPED bucket join; a bucket exceeds the engine skew cap (4096) so outputs would diverge')
+                ELSE 1 END AS ok)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_cosine_similarity(a.v, b.v) AS cosine
-      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM cb a CROSS JOIN guard JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
       ORDER BY id_a, id_b""",
     "dedup_embedding_exact" -> """

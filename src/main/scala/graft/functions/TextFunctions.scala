@@ -322,9 +322,10 @@ object TextProfileUtil {
         k += 1
       }
     }
-    org.apache.spark.sql.catalyst.InternalRow(
-      nChars, toks.length.toLong, sumLen, punct,
-      scores(0), scores(1), scores(2), scores(3), scores(4))
+    // arity derived from the scores array so adding a language to
+    // Stopwords cannot desynchronize the row from TextProfile.dataType
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      Seq[Any](nChars, toks.length.toLong, sumLen, punct) ++ scores)
   }
 
   /** One-pass evaluation of `qualityScore >= minScore && langId ∈ langs`

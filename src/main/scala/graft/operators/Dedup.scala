@@ -104,7 +104,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 128, bands: Int = 16,
                       threshold: Double = 0.7, shingleN: Int = 3,
-                      maxBucketSize: Long = 4096L): DataFrame = {
+                      maxBucketSize: Long = 4096L,
+                      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — a " +
       "truncated signature tail would silently weaken the LSH S-curve")
@@ -131,7 +132,8 @@ object Dedup {
       .withColumn("est_jaccard", col("agree").cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
-    materializeAndRelease(out, sigs, sizedCache)
+    if (materialize) materializeAndRelease(out, sigs, sizedCache)
+    else out // plan-inspection mode: caller owns the cached intermediates
   }
 
   /** MinHash-LSH candidate generation followed by EXACT n-gram Jaccard
@@ -179,7 +181,8 @@ object Dedup {
     * blocks (near-identical boilerplate) are skew-capped the same way as
     * the minhash band buckets. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Long = 4096L): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Long = 4096L,
+                   materialize: Boolean = true): DataFrame = {
     val nBlocks = maxHamming + 1
     val bitsPer = 64 / nBlocks
     val hashed = df.select(col(idCol).as("id"),
@@ -196,7 +199,8 @@ object Dedup {
               TF.hammingDist64(col("a.sh"), col("b.sh")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
-    materializeAndRelease(out, hashed, sizedCache)
+    if (materialize) materializeAndRelease(out, hashed, sizedCache)
+    else out
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
@@ -242,7 +246,8 @@ object Dedup {
                            threshold: Double = 0.95,
                            bruteForce: Boolean = false,
                            lshBits: Int = 8, dim: Int = 64,
-                           maxBucketSize: Long = 4096L): DataFrame = {
+                           maxBucketSize: Long = 4096L,
+                           materialize: Boolean = true): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     if (bruteForce) {
       v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
@@ -257,7 +262,8 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
                 VF.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
         .where(col("cosine") >= threshold)
-      materializeAndRelease(out, bucketed, sizedCache)
+      if (materialize) materializeAndRelease(out, bucketed, sizedCache)
+      else out
     }
   }
 

@@ -76,6 +76,9 @@ object Relational {
     val cond = pr("__bin_p") === iv("__bin_i") &&
       pr(probeTs) >= iv(startCol) && pr(probeTs) < iv(endCol) &&
       keyCol.map(k => pr(k) === iv(k)).getOrElse(lit(true))
-    pr.join(iv, cond).drop("__bin_p", "__bin_i")
+    val joined = pr.join(iv, cond).drop("__bin_p", "__bin_i")
+    // the interval side's key equals the probe's by the join condition —
+    // drop it so the key is unambiguous for downstream select/groupBy
+    keyCol.map(k => joined.drop(iv(k))).getOrElse(joined)
   }
 }

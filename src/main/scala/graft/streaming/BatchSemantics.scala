@@ -38,7 +38,11 @@ object BatchSemantics {
     * buffer creation (BatchSinkSemantics.scala:169-178) — so the timeout
     * must measure time since the buffer's first event, not since the last
     * arrival (re-arming on every arrival defers the flush indefinitely
-    * under a steady trickle). */
+    * under a steady trickle).
+    *
+    * NOTE: this state class replaced the bare `Vector[Event]` kryo state —
+    * checkpoints written by the earlier encoding cannot restore (kryo class
+    * mismatch); restart such pipelines from a fresh checkpoint. */
   final case class Buffered(firstTs: Long, events: Vector[Event])
 
   /** Exact count-or-timeout batching over a keyed event stream. */

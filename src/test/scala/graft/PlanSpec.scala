@@ -46,16 +46,6 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
 
-  test("dedup_embedding gate config: LSH-blocked equi-join, no nested-loop product") {
-    val p = plan("dedup_embedding")
-    assert(!p.contains("CartesianProduct"),
-      "blocked path must not plan a cartesian product")
-    // the only nested-loop join allowed is none at all — candidate
-    // generation is an equi-join on the bucket key
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "blocked path must not plan a nested-loop join")
-  }
-
   test("text_quality_filter: one native keep-predicate, no per-field re-evaluation") {
     val p = plan("text_quality_filter")
     assert(p.contains("quality_lang_keep"),
@@ -66,11 +56,29 @@ class PlanSpec extends SparkSpec {
       "no regex normalization should remain in the filter plan")
   }
 
-  test("minhash capped bucket join: equi-join candidates, no cartesian") {
-    Seq("dedup_minhash", "dedup_minhash_verified").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
+  // The dedup operators eagerly localCheckpoint their result, which erases
+  // the joins from the returned DataFrame's plan — asserting on the gate
+  // query plan would be vacuous. These pins inspect the operators with
+  // materialize = false: the pre-materialization plan that actually
+  // executes the candidate joins.
+  private def dedupPlan(df: org.apache.spark.sql.DataFrame): String =
+    try df.queryExecution.executedPlan.toString
+    finally spark.sharedState.cacheManager.clearCache() // release plan-mode persists
+
+  test("dedup LSH paths: blocked equi-joins, no cartesian/nested-loop product") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plans = Seq(
+      "minhash" -> dedupPlan(graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.4, materialize = false)),
+      "simhash" -> dedupPlan(graft.operators.Dedup.simhashPairs(
+        docs, "doc_id", "text", maxHamming = 3, materialize = false)),
+      "embedding" -> dedupPlan(graft.operators.Dedup.embeddingCosinePairs(
+        emb, "vec_id", "embedding", threshold = 0.4, materialize = false)))
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name planned a nested-loop join")
+      assert(p.contains("Join"), s"$name plan lost its candidate join entirely")
     }
   }
 }
