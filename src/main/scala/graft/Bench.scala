@@ -43,21 +43,28 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration); unset = all
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(only) => only.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None       => SparkEntry.queries.keys.toSeq.sorted
+    }
     val wall0 = System.nanoTime()
-    names.foreach(runOnce) // warm-up pass: JIT, codegen cache, page cache
+    val cold = names.map(n => n -> runOnce(n)) // warm-up pass: JIT, codegen, page cache
     val results = names.map(n => n -> runOnce(n)) // steady-state pass
     val wall = (System.nanoTime() - wall0) / 1e9
 
-    val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, (Double, Boolean))]): String =
+      rs.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // a failed query records a near-zero time — without an explicit failure
     // list a broken run would read as a speedup
-    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = (results ++ cold).collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .distinct.mkString("[", ",", "]")
+    // queries_cold beside the steady-state map so round-over-round deltas
+    // stop mixing cold and warm numbers (round-2 verdict item 7)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"wall_both_passes_sec":$wall%.3f,"failed":$failed}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(results)},"queries_cold":${qmap(cold)},"sf":"$sfDir","passes":2,"wall_both_passes_sec":$wall%.3f,"failed":$failed}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * candidates. No method materializes the O(n²) pair matrix: oversized
   * blocking buckets (boilerplate/empty docs sharing a band key — the classic
   * skew killer) degrade to linear star-pairing instead of quadratic
-  * all-pairs (see `cappedBucketJoin`).
+  * all-pairs (see `cappedCandidatePairs`).
   */
 object Dedup {
 
@@ -49,16 +49,43 @@ object Dedup {
     * invocations neither leak cached blocks nor warn "already cached". The
     * eager cut is also the point where the persist()-barrier intermediates
     * become safely releasable — unpersisting *lazily*-consumed caches would
-    * re-expose the CollapseProject blowup the barrier exists to prevent. */
-  private def materializeAndRelease(out: DataFrame, cached: DataFrame*): DataFrame = {
-    val mat = out.localCheckpoint(true)
-    cached.foreach(_.unpersist())
-    mat
-  }
+    * re-expose the CollapseProject blowup the barrier exists to prevent.
+    *
+    * Fault-tolerance tradeoff: `localCheckpoint` truncates lineage and keeps
+    * blocks on executors WITHOUT reliable storage — on a multi-executor
+    * cluster, losing one executor after materialization makes the result
+    * unrecoverable (job failure instead of recompute). That is the right
+    * trade for single-node / gate runs (this sandbox) but not for a
+    * 1000-executor job, so the cut strategy is selectable via the session
+    * conf `spark.graft.dedup.materialize`:
+    *
+    *   - `"local"` (default): eager `localCheckpoint` — fastest, lineage
+    *     truncated, not executor-loss-safe;
+    *   - `"reliable"`: eager `checkpoint` to the configured
+    *     `SparkContext.setCheckpointDir` (HDFS/S3) — survives executor loss;
+    *     the cluster-mode setting;
+    *   - `"none"`: return the lazy plan unchanged and KEEP the persisted
+    *     intermediates (unpersisting them lazily would re-expose the
+    *     CollapseProject blowup) — caller owns cache release, e.g. via
+    *     `spark.sharedState.cacheManager.clearCache()`. */
+  private def materializeAndRelease(out: DataFrame, cached: DataFrame*): DataFrame =
+    out.sparkSession.conf.get("spark.graft.dedup.materialize", "local") match {
+      case "local"    => val m = out.localCheckpoint(true); cached.foreach(_.unpersist()); m
+      case "reliable" => val m = out.checkpoint(true);      cached.foreach(_.unpersist()); m
+      case "none"     => out
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedup.materialize must be local|reliable|none, got '$other'")
+    }
 
-  /** Skew-capped blocked self-join. Input must have an `id` column and the
-    * blocking key `key`; emits the a/b pair join (all original columns under
-    * aliases `a` and `b`) with `a.id < b.id`, restricted per bucket:
+  /** Skew-capped blocked self-join over a SLIM `(id, key)` projection.
+    * `blocked` must contain exactly the `id` column and the blocking key
+    * `key` — callers project heavy payloads (signature arrays, vectors) OUT
+    * before blocking and re-join them onto the small candidate set
+    * afterwards. (Round-2 lesson, measured: dragging the 128-long minhash
+    * signature through the bucket-sizing window shuffle and its persist cost
+    * +81% on `dedup_minhash`; the identical capped join over 8-byte simhash
+    * keys ran 7× faster.) Emits DISTINCT `(id_a, id_b)` with `id_a < id_b`,
+    * restricted per bucket:
     *
     *   - buckets with ≤ `cap` members: exact all-pairs (unchanged output on
     *     a normal corpus);
@@ -73,12 +100,12 @@ object Dedup {
     *
     * The two regimes are split BEFORE the join so the hot bucket's
     * quadratic match set is never generated inside the join operator.
-    * Returns (candidate pairs, the persisted window-sized intermediate) —
+    * Returns (candidate id pairs, the persisted window-sized intermediate) —
     * the caller hands the latter to `materializeAndRelease`. */
-  private def cappedBucketJoinWithCache(blocked: DataFrame, key: String,
-                                        cap: Long): (DataFrame, DataFrame) = {
+  private def cappedCandidatePairs(blocked: DataFrame, key: String,
+                                   cap: Long): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col(key))
-    val sized = blocked
+    val sized = blocked.select(col("id"), col(key))
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__bmin", min(col("id")).over(w))
       .persist()
@@ -91,7 +118,10 @@ object Dedup {
       .join(b.where(col("b.__bsz") <= cap), cond)
     val bigPairs = a.where(col("a.__bsz") > cap && col("a.id") === col("a.__bmin"))
       .join(b.where(col("b.__bsz") > cap), cond)
-    (smallPairs.unionByName(bigPairs), sized)
+    val pairs = smallPairs.unionByName(bigPairs)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    (pairs, sized)
   }
 
   /** MinHash+LSH near-dup candidates: shingle → 64-bit hash set → k-perm
@@ -100,7 +130,7 @@ object Dedup {
     * paired; with b bands of r rows the match probability is the standard
     * `1-(1-s^r)^b` S-curve. Returns pairs with `est_jaccard >= threshold`.
     * `maxBucketSize` caps per-band-bucket join fan-out (skew guard) — see
-    * `cappedBucketJoin`. */
+    * `cappedCandidatePairs`. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 128, bands: Int = 16,
                       threshold: Double = 0.7, shingleN: Int = 3,
@@ -118,12 +148,15 @@ object Dedup {
         col(idCol).as("id"),
         TF.minhashSignature(TF.shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
       .persist()
-    val banded = sigs.withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rows)))
-    val (cands0, sizedCache) = cappedBucketJoinWithCache(banded, "band", maxBucketSize)
-    val out = cands0
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    // blocking runs over (id, band) ONLY — signatures re-join onto the small
+    // candidate set below, so the 128-long arrays never transit the sizing
+    // window shuffle or its persist (the round-2 dedup_minhash regression)
+    val banded = sigs.select(col("id"),
+      explode(TF.lshBandKeys(col("sig"), bands, rows)).as("band"))
+    val (cand, sizedCache) = cappedCandidatePairs(banded, "band", maxBucketSize)
+    val out = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("agree", {
         import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
         column(graft.functions.SigAgree(expression(col("sig_a")),
@@ -157,11 +190,9 @@ object Dedup {
     val sigs = sets.select(col("id"),
         TF.minhashSignature(col("hs"), numHashes).as("sig"))
       .persist()
-    val banded = sigs.withColumn("band",
-      explode(TF.lshBandKeys(col("sig"), bands, numHashes / bands)))
-    val (cands0, sizedCache) = cappedBucketJoinWithCache(banded, "band", maxBucketSize)
-    val cand = cands0.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val banded = sigs.select(col("id"),
+      explode(TF.lshBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
+    val (cand, sizedCache) = cappedCandidatePairs(banded, "band", maxBucketSize)
     val out = cand
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("na")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("nb")), "id_b")
@@ -188,16 +219,17 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"),
       TF.simhash64(transform(TF.tokens(col(textCol)), t => xxhash64(t))).as("sh"))
       .persist() // reused by both join sides — see minhashLshPairs note
-    val blocked = hashed.withColumn("blk", explode(
+    val blocked = hashed.select(col("id"), explode(
       transform(sequence(lit(0), lit(nBlocks - 1)), i =>
         struct(i.as("i"),
                call_function("shiftrightunsigned", col("sh"), i * bitsPer)
-                 .bitwiseAND(lit((1L << bitsPer) - 1)).as("bits")))))
-    val (cands0, sizedCache) = cappedBucketJoinWithCache(blocked, "blk", maxBucketSize)
-    val out = cands0
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              TF.hammingDist64(col("a.sh"), col("b.sh")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+                 .bitwiseAND(lit((1L << bitsPer) - 1)).as("bits")))).as("blk"))
+    val (cand, sizedCache) = cappedCandidatePairs(blocked, "blk", maxBucketSize)
+    val out = cand
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+              TF.hammingDist64(col("sh_a"), col("sh_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
     if (materialize) materializeAndRelease(out, hashed, sizedCache)
     else out
@@ -257,10 +289,13 @@ object Dedup {
     } else {
       val bucketed = v.withColumn("bucket",
         Similarity.hyperplaneBucket(col("vec"), lshBits, dim)).persist()
-      val (cands0, sizedCache) = cappedBucketJoinWithCache(bucketed, "bucket", maxBucketSize)
-      val out = cands0
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-                VF.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      val (cand, sizedCache) = cappedCandidatePairs(
+        bucketed.select(col("id"), col("bucket")), "bucket", maxBucketSize)
+      val out = cand
+        .join(bucketed.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+        .join(bucketed.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+                VF.cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
         .where(col("cosine") >= threshold)
       if (materialize) materializeAndRelease(out, bucketed, sizedCache)
       else out
