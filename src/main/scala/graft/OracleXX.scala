@@ -196,7 +196,28 @@ object OracleXX {
     * joined slice, like Spark's multi-arg `xxhash64`) → signature-agreement
     * estimate ≥ threshold. */
   def minhashOracle(numHashes: Int = 128, bands: Int = 16,
-                    threshold: Double = 0.4): String = {
+                    threshold: Double = 0.4): String = s"""
+      WITH ${minhashBandCtes(numHashes, bands)},
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS siga, b.sig AS sigb
+                FROM bk a CROSS JOIN guard JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ag AS (SELECT id_a, id_b,
+               list_aggregate(list_transform(range(0, $numHashes), j ->
+                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
+             FROM pairs)
+      SELECT id_a, id_b, agree::DOUBLE / $numHashes AS est_jaccard
+      FROM ag WHERE agree::DOUBLE / $numHashes >= $threshold
+      ORDER BY id_a, id_b"""
+
+  /** CTE chain (no leading WITH) computing per-doc banded LSH keys over
+    * `documents`: 3-gram shingle strings (`sh3`: doc_id, hs) → XXH64 →
+    * 31-bit fold → k-perm signature (`sig`) → per-band keys
+    * (`bk`: doc_id, sig, band) → `guard`, which `error()`s when any band
+    * bucket exceeds the engine's 4096 skew cap (outputs would diverge from
+    * the capped star-pairing join). Shared by `minhashOracle` and the
+    * verified-pairs oracle so cap-induced divergence always fails loudly
+    * with the explanatory message, never as a bare hash mismatch. Callers
+    * must `CROSS JOIN guard` somewhere to force the guard's evaluation. */
+  def minhashBandCtes(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
     val (ca, cb) = graft.functions.TextFunctions.minhashCoefficients(numHashes)
     val al = ca.mkString("[", ", ", "]")
@@ -208,8 +229,7 @@ object OracleXX {
       .map(bi => u(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(bi.toLong, 42L)))
       .map(s => s + "::HUGEINT").mkString("[", ", ", "]")
     val bandKey = xxh64Str("s2", seed = s"($seeds)[bi+1]", padLen = 28)
-    s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh3 AS (SELECT doc_id,
                 CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
                      ELSE list_distinct(list_transform(range(1, len(tk) - 1),
@@ -235,15 +255,6 @@ object OracleXX {
       guard AS (SELECT CASE WHEN (SELECT max(c) FROM
                   (SELECT count(*) AS c FROM bk GROUP BY band)) > 4096
                 THEN error('minhash oracle models the UNCAPPED band join; a bucket exceeds the engine skew cap (4096) so outputs would diverge')
-                ELSE 1 END AS ok),
-      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS siga, b.sig AS sigb
-                FROM bk a CROSS JOIN guard JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
-      ag AS (SELECT id_a, id_b,
-               list_aggregate(list_transform(range(0, $numHashes), j ->
-                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
-             FROM pairs)
-      SELECT id_a, id_b, agree::DOUBLE / $numHashes AS est_jaccard
-      FROM ag WHERE agree::DOUBLE / $numHashes >= $threshold
-      ORDER BY id_a, id_b"""
+                ELSE 1 END AS ok)"""
   }
 }

@@ -491,6 +491,101 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  private def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.redact(docs, "text")
+      .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("redacted_md5"))
+      .join(docs.select(col("doc_id"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("orig_md5")), "doc_id")
+      .select(col("doc_id"), col("redacted_md5"),
+        (col("redacted_md5") =!= col("orig_md5")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  // ==== live streaming engine under the gate ==============================
+
+  /** The ACTUAL streaming path — `Pipeline.start` → `readStream` over the
+    * events fixture → config-assembled interceptor chain (regex keep +
+    * header enrich) → `foreachBatch` fanout → file sink — driven to
+    * completion with `Trigger.AvailableNow`, then the sink directory is read
+    * back as the gate result. This oracle-checks checkpointing/foreachBatch/
+    * fanout itself, not a batch twin (round-2 verdict item 2). */
+  private def streamPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-e2e")
+    val out = work.resolve("out")
+    val conf = graft.config.GraftConfig.parse(s"""
+      graft {
+        source { ev { type = events-parquet, path = "$dir/events.parquet",
+                      available-now = true, max-files-per-trigger = 4,
+                      interceptors = [keep8x, tag], sinks = [fileout] } }
+        interceptor {
+          keep8x { fqcn = "graft.interceptor.RegexFilter", priority = 90,
+                   pattern = "\\"k\\": 8\\\\d" }
+          tag { fqcn = "graft.interceptor.HeaderEnrich", priority = 50,
+                headers { source = graft } }
+        }
+        sink { fileout { type = file, path = "$out" } }
+      }""")
+    val ps = graft.streaming.Pipeline.start(s, conf, work.resolve("ck").toString)
+    ps.foreach(_.query.awaitTermination())
+    s.read.parquet(out.toString)
+      .select(element_at(col("headers"), "event_id").cast("long").as("event_id"),
+              col("body"),
+              element_at(col("headers"), "source").as("source"))
+      .orderBy("event_id")
+  }
+
+  /** The DSv2 HTTP push source under the gate: a loopback client POSTs
+    * deterministic fixture lines (`doc_id:md5(text)`) to the embedded
+    * endpoint; the pipeline writes them to a file sink; every POST must be
+    * acked 201 (which the source only releases after the epoch containing
+    * the batch commits — so an ack implies the sink write is durable). The
+    * sink directory read back is the gate result (round-2 verdict item 3). */
+  private def httpPushE2e(s: SparkSession, dir: String): DataFrame = {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val work = java.nio.file.Files.createTempDirectory("graft-http-e2e")
+    val out = work.resolve("out")
+    val port = { val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close() }
+    val lines = t(s, dir, "documents")
+      .select(concat_ws(":", col("doc_id"),
+        md5(to_binary(col("text"), lit("utf-8")))).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(0))
+    val conf = graft.config.GraftConfig.parse(s"""
+      graft {
+        source { hp { type = http-push, listen-port = $port,
+                      interceptors = [], sinks = [fileout] } }
+        sink { fileout { type = file, path = "$out" } }
+      }""")
+    val ps = graft.streaming.Pipeline.start(s, conf, work.resolve("ck").toString)
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (graft.sources.http.HttpPushRegistry.lookup(port).isEmpty) {
+        require(System.nanoTime() < deadline, "http-push endpoint never bound")
+        Thread.sleep(50)
+      }
+      val client = HttpClient.newHttpClient()
+      // ≤8 concurrent chunks (the source's default max-connections) so no
+      // POST is 503-shed; each ack waits for its epoch commit
+      val futures = lines.grouped(1000).map { chunk =>
+        client.sendAsync(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+            .POST(HttpRequest.BodyPublishers.ofString(chunk.mkString("\n")))
+            .build(),
+          HttpResponse.BodyHandlers.discarding())
+      }.toSeq
+      futures.foreach { f =>
+        val status = f.get(120, java.util.concurrent.TimeUnit.SECONDS).statusCode()
+        require(status == 201, s"http-push POST not acked: $status")
+      }
+    } finally ps.foreach(_.query.stop())
+    s.read.parquet(out.toString)
+      .select(split(col("body"), ":").getItem(0).cast("long").as("doc_id"),
+              split(col("body"), ":").getItem(1).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   // ======================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -563,7 +658,11 @@ object SparkEntry {
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
-    "events_json"         -> eventsJson _)
+    "events_json"         -> eventsJson _,
+    "text_redact"         -> textRedact _,
+    // live engine paths (readStream → foreachBatch → sink, read back)
+    "stream_pipeline_e2e" -> streamPipelineE2e _,
+    "http_push_e2e"       -> httpPushE2e _)
 
   // ==== DuckDB oracles ====================================================
 
@@ -873,23 +972,20 @@ object SparkEntry {
       threshold = 0.4),
     "dedup_simhash" -> OracleXX.simhashOracle(maxHamming = 3),
     // exact-verified MinHash: candidates from LSH, output = exact n-gram
-    // Jaccard ≥ 0.5 — oracle is the same all-pairs exact computation
+    // Jaccard ≥ 0.5 — oracle is the same all-pairs exact computation, with
+    // the engine's band keys replicated (bands=64) purely to feed the same
+    // skew-cap guard as dedup_minhash: cap-induced divergence fails with the
+    // explanatory error() instead of a bare row/hash mismatch
     "dedup_minhash_verified" -> s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-      sh AS (
-        SELECT doc_id,
-               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
-                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
-        FROM toks),
-      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      WITH ${OracleXX.minhashBandCtes(numHashes = 128, bands = 64)},
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh3),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
                any_value(a.n) AS na, any_value(b.n) AS nb
         FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
-      FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+      FROM pairs CROSS JOIN guard WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
       ORDER BY id_a, id_b""",
     // LSH-blocked config (the scale path): oracle replicates the
     // hyperplane bucketing, then exact cosine within buckets
@@ -1150,5 +1246,27 @@ object SparkEntry {
       FROM f ORDER BY id, frame_idx""",
     "events_json" -> """
       SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
-      FROM events ORDER BY event_id""")
+      FROM events ORDER BY event_id""",
+    // oracle regexes generated from the SAME RedactionPatterns list the
+    // engine applies (Java regex and RE2 agree on these constructs)
+    "text_redact" -> {
+      val redacted = TextAnalysis.RedactionPatterns.foldLeft("text") {
+        case (acc, (p, repl)) => s"regexp_replace($acc, '$p', '$repl', 'g')"
+      }
+      s"""
+      SELECT doc_id, md5($redacted) AS redacted_md5,
+             (md5($redacted) <> md5(text)) AS changed
+      FROM documents ORDER BY doc_id"""
+    },
+    // the live pipeline applies RegexFilter('"k": 8\d') + HeaderEnrich
+    // (source=graft) over the events fixture — same semantics as the
+    // pipe_transform batch chain, so the oracle is the same SQL
+    "stream_pipeline_e2e" -> """
+      SELECT event_id, props AS body, 'graft' AS source
+      FROM events WHERE regexp_matches(props, '"k": 8\d')
+      ORDER BY event_id""",
+    // loopback POSTs carry doc_id:md5(text) lines; the sink must round-trip
+    // every acked line exactly once
+    "http_push_e2e" -> """
+      SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""")
 }

@@ -53,6 +53,9 @@ final case class DevNull(name: String, override val priority: Int = 50)
 final case class RegexFilter(name: String, pattern: String,
                              override val priority: Int = 50)
     extends Interceptor {
+  /** Config-injected form: `{ fqcn = ..., pattern = "...", priority = N }`. */
+  def this(name: String, priority: Int, cfg: graft.config.GraftConfig) =
+    this(name, cfg.getString("pattern"), priority)
   @transient private lazy val re = pattern.r
   def intercept(event: Event): Option[Event] =
     if (re.findFirstIn(event.body).isDefined) Some(event) else None
@@ -66,6 +69,11 @@ final case class RegexFilter(name: String, pattern: String,
 final case class HeaderEnrich(name: String, pairs: Map[String, String],
                               override val priority: Int = 50)
     extends Interceptor {
+  /** Config-injected form: `{ fqcn = ..., headers { k = v, ... } }`. */
+  def this(name: String, priority: Int, cfg: graft.config.GraftConfig) =
+    this(name, cfg.getSection("headers")
+      .map(h => h.keys.map(k => k -> h.getString(k)).toMap)
+      .getOrElse(Map.empty), priority)
   def intercept(event: Event): Option[Event] = Some(event.withHeaders(pairs.toSeq: _*))
   override def columnar: Option[DataFrame => DataFrame] = Some { df =>
     import org.apache.spark.sql.functions._

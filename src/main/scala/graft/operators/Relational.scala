@@ -25,7 +25,16 @@ object Relational {
     * exactly once; the per-key state is one row of carried values.
     *
     * The changelog should be unique per (key, ts) — dedup upstream
-    * (e.g. `groupBy(key, ts).agg(max(...))`) for deterministic output. */
+    * (e.g. `groupBy(key, ts).agg(max(...))`) for deterministic output.
+    *
+    * Hot-key caveat (inherent to ANY per-key ordered carry-forward,
+    * including a native ASOF JOIN): a pathologically hot key funnels that
+    * key's entire history through one task — the window sort is
+    * O(n log n) per key on one core, not parallelized. If one key can hold
+    * a material fraction of rows, pre-split it upstream (e.g. salt the key
+    * and replicate the changelog per salt). The adversarial shape (one key
+    * = 50% of rows) is measured in RelationalSpec to keep the funnel's cost
+    * visible rather than assumed. */
   def asofJoin(probe: DataFrame, changelog: DataFrame, keyCol: String,
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq

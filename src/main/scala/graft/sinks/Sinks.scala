@@ -142,12 +142,26 @@ object Sinks {
       * of an executor share ONE wire-concurrency pool and ONE in-flight
       * window per sink, like the reference's single host-connection-pool
       * per sink instance (`HttpSinkSemantics.scala:130-190`). */
-    private final case class Shared(
+    private[graft] final case class Shared(
         exec: java.util.concurrent.ExecutorService,
         window: java.util.concurrent.Semaphore)
+    /** Registry bound: beyond this many distinct sink configs, the
+      * least-recently-used entry's pool is shut down and evicted (config
+      * churn — e.g. per-tenant URLs cycling — must not accumulate pools for
+      * executor lifetime). Shutdown is graceful: in-flight sends finish; a
+      * retry re-submitted to an evicted pool fails its delivery future
+      * loudly (see `deliverAsync`) instead of hanging the epoch barrier. */
+    private val MaxShared = 64
     private val shared =
-      new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Shared]()
-    private def sharedFor(cfg: HttpSinkConfig): Shared =
+      new java.util.LinkedHashMap[(String, Int, Int), Shared](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int, Int), Shared]): Boolean = {
+          val evict = size() > MaxShared
+          if (evict) e.getValue.exec.shutdown()
+          evict
+        }
+      }
+    private[graft] def sharedFor(cfg: HttpSinkConfig): Shared = shared.synchronized {
       shared.computeIfAbsent((cfg.url, cfg.maxConnections, cfg.requestLimits), _ => {
         val tf = new java.util.concurrent.ThreadFactory {
           private val n = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -162,6 +176,9 @@ object Sinks {
         Shared(java.util.concurrent.Executors.newFixedThreadPool(cfg.maxConnections, tf),
                new java.util.concurrent.Semaphore(cfg.requestLimits))
       })
+    }
+    /** Test hook: number of live pools in the registry. */
+    private[graft] def sharedPoolCount: Int = shared.synchronized(shared.size())
   }
 
   /** HTTP sink connector: runs inside `foreachPartition` on executors with a
@@ -251,7 +268,9 @@ object Sinks {
       val st = sharedState
       st.window.acquire()
       val done = new CompletableFuture[Delivery]()
-      def attempt(n: Int): Unit =
+      // the execute() call itself can throw (pool evicted/shut down by the
+      // LRU registry) — that must fail the future, not leak the window slot
+      def attempt(n: Int): Unit = try {
         st.exec.execute { () =>
           // a non-IO throwable (bad URI, SSL config, interrupt) MUST fail
           // the future — an incomplete future would leak its window permit
@@ -273,6 +292,7 @@ object Sinks {
             case t: Throwable => done.completeExceptionally(t); ()
           }
         }
+      } catch { case t: Throwable => done.completeExceptionally(t); () }
       attempt(0)
       done.whenComplete((_, _) => st.window.release())
     }
@@ -293,27 +313,43 @@ object Sinks {
       val dumpDir = cfg.dumpDir
       batch.select(col("body"), col("headers")).foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
-          val pending = new scala.collection.mutable.ArrayBuffer[
-            (Seq[Event], java.util.concurrent.CompletableFuture[Delivery])]()
+          // memory contract: event references are DROPPED as each delivery
+          // resolves — only retry-Exhausted groups move to the spill queue,
+          // and only when a dumpDir is configured. (Retaining every group
+          // until the barrier held the whole partition's bodies in executor
+          // memory simultaneously — an OOM hazard on large micro-batches.)
+          val futures = new scala.collection.mutable.ArrayBuffer[
+            java.util.concurrent.CompletableFuture[_]]()
+          val spill = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Seq[Event])]()
+          var idx = 0
           rows.grouped(batchSize).foreach { group =>
             val events = group.map(r => Event(r.getString(0),
-              Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
+              Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))).toSeq
             val body = events.map(_.body).mkString(join)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            pending += ((events.toSeq, connector.deliverAsync(body)))
+            val fut = connector.deliverAsync(body)
+            futures += (dumpDir match {
+              case Some(_) =>
+                val i = idx // original submit order, so the dump is stable
+                fut.thenApply[Delivery] { d =>
+                  if (d == Exhausted) spill.add((i, events)); d }
+              case None => fut // nothing to spill — retain no references
+            })
+            idx += 1
           }
           // partition (= epoch) barrier: every delivery resolved before the
-          // micro-batch commits — the reference's synchronous-ack semantics
-          val spill = pending.iterator.collect {
-            case (events, fut) if fut.join() == Exhausted => events
-          }.flatten.toVector
+          // micro-batch commits — the reference's synchronous-ack semantics;
+          // join() rethrows a delivery that failed with a non-IO throwable
+          futures.foreach(_.join())
           dumpDir.foreach { dir =>
-            if (spill.nonEmpty) {
+            import scala.jdk.CollectionConverters._
+            val ordered = spill.asScala.toVector.sortBy(_._1).flatMap(_._2)
+            if (ordered.nonEmpty) {
               val p = java.nio.file.Paths.get(dir,
                 s"dump-${java.util.UUID.randomUUID()}.txt")
               java.nio.file.Files.createDirectories(p.getParent)
               val w = java.nio.file.Files.newBufferedWriter(p)
-              try spill.foreach { e => w.write(DumpCodec.encode(e)); w.newLine() }
+              try ordered.foreach { e => w.write(DumpCodec.encode(e)); w.newLine() }
               finally w.close()
             }
           }

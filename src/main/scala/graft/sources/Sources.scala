@@ -59,9 +59,12 @@ object Sources {
       reader.option("cleanSource", "archive").option("sourceArchiveDir", d)
     }
     val raw = reader.load(dir)
+    // drop-mode bounds BYTES (the config's unit); truncate-mode counts
+    // CHARACTERS (the text source has already decoded — a byte-exact cut
+    // needs the binaryFile variant, `directoryWatchWithOffsets`)
     val guarded =
       if (truncateOverLength) raw.select(substring(col("value"), 1, maxLineLength).as("body"))
-      else raw.where(length(col("value")) <= maxLineLength).select(col("value").as("body"))
+      else raw.where(octet_length(col("value")) <= maxLineLength).select(col("value").as("body"))
     val withHeaders =
       if (fileHeaders)
         guarded.select(col("body"),
@@ -92,14 +95,18 @@ object Sources {
     val raw = spark.readStream.format("binaryFile").schema(binSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
       .load(dir)
+    // truncation happens inside the byte-level line split so the bound is in
+    // BYTES (same unit as the max-line-length config and the `off` header)
+    // and never cuts a UTF-8 character in half — a substring() truncation
+    // counts characters, so a multi-byte line could exceed the byte bound
+    val maxBytes = if (truncateOverLength) maxLineLength else 0
     val lines = raw.select(col("path"),
         explode(column(graft.functions.LinesWithOffsets(
-          expression(col("content"))))).as("l"))
+          expression(col("content")), maxBytes))).as("l"))
       .select(col("l.line").as("body"), col("path"), col("l.off").as("off"))
     val guarded =
-      if (truncateOverLength)
-        lines.withColumn("body", substring(col("body"), 1, maxLineLength))
-      else lines.where(length(col("body")) <= maxLineLength)
+      if (truncateOverLength) lines
+      else lines.where(octet_length(col("body")) <= maxLineLength)
     asEvents(guarded.select(col("body"),
       map(lit(Event.Headers.FileName), col("path"),
           lit(Event.Headers.FileOffset), col("off").cast("string")).as("headers")))
@@ -113,7 +120,7 @@ object Sources {
     val raw = spark.read.format("text").load(dir)
     val guarded =
       if (truncateOverLength) raw.select(substring(col("value"), 1, maxLineLength).as("body"))
-      else raw.where(length(col("value")) <= maxLineLength).select(col("value").as("body"))
+      else raw.where(octet_length(col("value")) <= maxLineLength).select(col("value").as("body"))
     asEvents(guarded.select(col("body"), map().cast("map<string,string>").as("headers")))
   }
 

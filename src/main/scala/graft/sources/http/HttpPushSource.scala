@@ -66,8 +66,14 @@ object HttpPushRegistry {
     @volatile private var committed = 0L
 
     val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(2, maxConnections)))
+    // daemon workers + explicit shutdown in stop(): server.stop() does NOT
+    // stop a user-supplied executor, and a lingering non-daemon worker keeps
+    // the whole JVM alive after query.stop() (bit the Verify main)
+    private val workers = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, maxConnections),
+      (r: Runnable) => { val t = new Thread(r, s"http-push-$port")
+        t.setDaemon(true); t })
+    server.setExecutor(workers)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = handleExchange(ex)
     })
@@ -154,7 +160,7 @@ object HttpPushRegistry {
       }
     }
 
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); workers.shutdown() }
   }
 
   private val endpoints = new ConcurrentHashMap[Int, Endpoint]()

@@ -55,6 +55,11 @@ object Pipeline {
     case (None, Some(fqcn)) =>
       graft.interceptor.ComponentLoader.createPlugin[SourcePlugin](fqcn, sc)
         .build(spark, sc)
+    case (Some(t), Some(fqcn)) =>
+      // in the reference, fqcn is THE component selector — a migrated config
+      // carrying both keys must fail loudly, not silently use the builtin
+      throw new IllegalArgumentException(
+        s"source section declares both type=<$t> and fqcn=<$fqcn>; use exactly one (MIGRATION.md)")
     case (t, _) => t.getOrElse("devzero") match {
     case "devzero"   => Sources.devZero(spark, sc.getInt("batch-size", 1024))
     case "directory" =>
@@ -95,6 +100,9 @@ object Pipeline {
       case (None, Some(fqcn)) =>
         graft.interceptor.ComponentLoader.createPlugin[SinkPlugin](fqcn, sc)
           .build(sc)
+      case (Some(t), Some(fqcn)) =>
+        throw new IllegalArgumentException(
+          s"sink section declares both type=<$t> and fqcn=<$fqcn>; use exactly one (MIGRATION.md)")
       case (t, _) => t.getOrElse("devnull") match {
       case "devnull" | "noop" => Sinks.noopWriter
       case "file"   => Sinks.fileWriter(sc.getString("path"),

@@ -175,4 +175,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (brute & approx).size.toDouble / brute.size
     assert(recall > 0.1, s"recall=$recall") // loose: random vectors, coarse buckets
   }
+
+  test("dedup materialize modes: reliable and none match local; bad value loud") {
+    val df = spark.createDataFrame(Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 38).map(i => s"t$i").mkString(" ") + " x y"),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")))).toDF("doc_id", "text")
+    def run(): Set[(Long, Long)] =
+      Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    spark.conf.set("spark.graft.dedup.materialize", "reliable")
+    try assert(run() == local, "reliable checkpoint changed the result")
+    finally spark.conf.set("spark.graft.dedup.materialize", "local")
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      assert(run() == local, "lazy mode changed the result")
+      // mode none leaves the persist barriers live — caller releases
+      spark.sharedState.cacheManager.clearCache()
+    } finally spark.conf.set("spark.graft.dedup.materialize", "local")
+    spark.conf.set("spark.graft.dedup.materialize", "nope")
+    try intercept[IllegalArgumentException](run())
+    finally spark.conf.set("spark.graft.dedup.materialize", "local")
+  }
 }

@@ -190,6 +190,93 @@ class PipelineStreamingSpec extends SparkSpec {
       Pipeline.start(spark, conf, Files.createTempDirectory("x").toString))
   }
 
+  test("line-offsets source truncates over-length lines in BYTES at a char boundary") {
+    val work = Files.createTempDirectory("graft-trunc")
+    val in = work.resolve("in"); Files.createDirectories(in)
+    // "日本語xyz" = 12 bytes; a 7-byte cap lands INSIDE 語 (bytes 6..8), so
+    // the cut must back up to the char boundary at 6 — not cut mid-char,
+    // and not keep 7 *characters* (which would be 15 bytes here)
+    Files.write(in.resolve("a.txt"), "日本語xyz\nok\n".getBytes("UTF-8"))
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = directory, path = "$in", line-offsets = true,
+                      max-line-length = 7, sinks = [out] } }
+        sink { out { type = file, path = "${work.resolve("out")}" } }
+      }""")
+    val ps = Pipeline.start(spark, conf, work.resolve("ck").toString)
+    ps.foreach(_.query.processAllAvailable())
+    ps.foreach(_.query.stop())
+    val bodies = spark.read.parquet(work.resolve("out").toString)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(bodies == Seq("ok", "日本"))
+    bodies.foreach(b => assert(b.getBytes("UTF-8").length <= 7))
+  }
+
+  test("drop-mode line guard bounds BYTES, not characters") {
+    import graft.sources.Sources
+    val work = Files.createTempDirectory("graft-drop")
+    val in = work.resolve("in"); Files.createDirectories(in)
+    // "日本" = 2 chars but 6 bytes: a 4-byte cap must DROP it
+    Files.write(in.resolve("a.txt"), "日本\nab\n".getBytes("UTF-8"))
+    val kept = Sources.directoryBatch(spark, in.toString,
+        maxLineLength = 4, truncateOverLength = false)
+      .collect().map(_.body).toSeq
+    assert(kept == Seq("ab"))
+  }
+
+  test("a section declaring both type and fqcn fails loudly (fqcn is the selector)") {
+    val srcConf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = devzero, fqcn = "graft.TestSourcePlugin",
+                      sinks = [out] } }
+        sink { out { type = devnull } }
+      }""")
+    val e1 = intercept[IllegalArgumentException](
+      Pipeline.start(spark, srcConf, Files.createTempDirectory("x1").toString))
+    assert(e1.getMessage.contains("both type") && e1.getMessage.contains("fqcn"))
+    val sinkConf = GraftConfig.parse(s"""
+      graft {
+        source { s1 { type = devzero, sinks = [out] } }
+        sink { out { type = devnull, fqcn = "graft.TestSinkPlugin" } }
+      }""")
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.start(spark, sinkConf, Files.createTempDirectory("x2").toString))
+    assert(e2.getMessage.contains("both type") && e2.getMessage.contains("fqcn"))
+  }
+
+  test("kafka projections run inside a live stream: null-value skip + topic routing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Sources
+    import graft.sinks.Sinks
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Array[Byte], Array[Byte], String, Int)]
+    // the kafka connector's output shape (key, value, topic, partition)
+    val ms = MemoryStream[(Array[Byte], Array[Byte], String, Int)]
+    ms.addData(Seq(
+      (null, "v1".getBytes("UTF-8"), "t-a", 0),
+      (null, null, "t-a", 0), // tombstone: null value must be skipped
+      ("k".getBytes("UTF-8"), "v2".getBytes("UTF-8"), "t-b", 1)))
+    val kafkaShaped = ms.toDF().toDF("key", "value", "topic", "partition")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val q = Sources.kafkaRecordsAsEvents(kafkaShaped).toDF().writeStream
+      .option("checkpointLocation", Files.createTempDirectory("kck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // sink-side projection under the same epoch barrier: per-event
+        // topic header beats the static topic; uuid keys fill in
+        Sinks.kafkaRecords(batch, staticTopic = Some("fallback"),
+            topicHeader = Some(Event.Headers.KafkaTopic))
+          .collect().foreach(r => got.add((r.getAs[String]("value"),
+            r.getAs[String]("topic"), r.getAs[String]("key"))))
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toVector.sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)) == Vector("v1" -> "t-a", "v2" -> "t-b"))
+    assert(rows.map(_._3).distinct.size == 2, "uuid keys must be distinct")
+  }
+
   test("kafka source option mapping (seek flags, rate limit, validation)") {
     import graft.sources.Sources
     val (fmt, opts) = Sources.kafkaSourceOptions(GraftConfig.parse("""

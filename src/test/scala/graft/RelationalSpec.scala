@@ -79,4 +79,26 @@ class RelationalSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L, 3L)) // 305 excluded (end-exclusive), key 2 excluded
   }
+
+  test("asofJoin adversarial skew: one key holding 50% of rows, measured bound") {
+    // the documented hot-key funnel (Relational.scala scaladoc): every even
+    // probe shares key 0, so half the union sorts inside ONE task. The spec
+    // bounds the cost so the funnel stays measured, not assumed.
+    val n = 200000L
+    val probe = spark.range(n).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 64).as("k"),
+      col("id").as("ts"), col("id").as("pid"))
+    // (k, ts) unique by construction: ts = 10*id is distinct per row
+    val changelog = spark.range(n / 10).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 64).as("k"),
+      (col("id") * 10).as("ts"), col("id").as("v"))
+    val t0 = System.nanoTime()
+    val out = Relational.asofJoin(probe, changelog, "k", "ts", Seq("v"))
+    assert(out.count() == n) // every probe row exactly once, hot key included
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"hot-key asof took $secs%.1f s — funnel regressed")
+    // spot-check the carried state on the hot key: probe pid=100 (k=0,
+    // ts=100) must see the latest even changelog id with 10*id <= 100 → v=10
+    assert(out.where(col("pid") === 100).select("v").collect()(0).getLong(0) == 10L)
+  }
 }

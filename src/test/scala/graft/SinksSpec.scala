@@ -225,4 +225,16 @@ class SinksSpec extends SparkSpec {
         msg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
     } finally ss.close()
   }
+
+  test("HttpConnector shared registry is LRU-bounded; evicted pools shut down") {
+    val before = HttpConnector.sharedPoolCount
+    // churn far past the 64-entry bound with distinct per-"tenant" urls
+    val pools = (0 until 80).map { i =>
+      HttpConnector.sharedFor(HttpSinkConfig(url = s"http://127.0.0.1:1/tenant-$i"))
+    }
+    assert(HttpConnector.sharedPoolCount <= 64,
+      s"registry grew unbounded: ${HttpConnector.sharedPoolCount} (was $before)")
+    assert(pools.head.exec.isShutdown, "LRU pool must be shut down on eviction")
+    assert(!pools.last.exec.isShutdown, "most-recent pool must stay live")
+  }
 }
