@@ -31,12 +31,36 @@ object Relational {
     * including a native ASOF JOIN): a pathologically hot key funnels that
     * key's entire history through one task — the window sort is
     * O(n log n) per key on one core, not parallelized. If one key can hold
-    * a material fraction of rows, pre-split it upstream (e.g. salt the key
-    * and replicate the changelog per salt). The adversarial shape (one key
-    * = 50% of rows) is measured in RelationalSpec to keep the funnel's cost
-    * visible rather than assumed. */
+    * a material fraction of rows, set `saltBuckets > 1`: probes spread
+    * across `saltBuckets` sub-partitions of their key (deterministic row
+    * hash) while the changelog replicates into every sub-partition, so
+    * each salt still carries the key's full state and the output is
+    * IDENTICAL to the unsalted join — the cost is `saltBuckets`× changelog
+    * shuffle volume (changelogs are usually the small side). The
+    * adversarial shape (one key = 50% of rows) is measured in
+    * RelationalSpec for both paths, keeping the funnel's cost visible
+    * rather than assumed. */
   def asofJoin(probe: DataFrame, changelog: DataFrame, keyCol: String,
-               tsCol: String, valueCols: Seq[String]): DataFrame = {
+               tsCol: String, valueCols: Seq[String],
+               saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    if (saltBuckets > 1) {
+      // composite (key, salt) partitioning: probes hash-salted, changelog
+      // replicated per salt; delegate to the unsalted path on a packed key
+      val pSalted = probe.withColumn("__salt",
+        pmod(xxhash64(struct(probe.columns.map(col).toSeq: _*)), lit(saltBuckets)))
+      val clSalted = changelog.withColumn("__salt",
+        explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+      def packed(df: DataFrame): DataFrame = df
+        .withColumn("__sk", struct(col(keyCol), col("__salt"))).drop("__salt")
+      asofJoin(packed(pSalted), packed(clSalted), "__sk", tsCol, valueCols)
+        .drop("__sk")
+    } else asofJoinUnsalted(probe, changelog, keyCol, tsCol, valueCols)
+  }
+
+  private def asofJoinUnsalted(probe: DataFrame, changelog: DataFrame,
+                               keyCol: String, tsCol: String,
+                               valueCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
     require(!probeCols.exists(valueCols.contains),
       s"value columns ${valueCols.intersect(probeCols)} collide with probe columns")

@@ -81,4 +81,31 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Join"), s"$name plan lost its candidate join entirely")
     }
   }
+
+  test("dedup bucket sizing runs over slim (id, key) rows — no payload in the shuffle") {
+    // the round-2 regression: 128-long signatures (and embedding vectors)
+    // transiting the bucket-sizing window shuffle and its persist. Pin: the
+    // cached sizing relation (the one carrying __bsz) must expose ONLY the
+    // id/key/size columns — never the sig/vec payload.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", threshold = 0.4, materialize = false)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      // the cached sizing relation prints as
+      //   InMemoryTableScan [id#1L, band#2L, __bsz#3L, __bmin#4L]
+      val sizingScans = p.linesIterator
+        .filter(l => l.contains("InMemoryTableScan") && l.contains("__bsz"))
+        .toVector
+      assert(sizingScans.nonEmpty, s"minhash lost its sizing cache:\n$p")
+      sizingScans.foreach { l =>
+        assert(!l.contains("sig#"),
+          s"minhash sizing shuffle carries the signature payload: $l")
+      }
+    } finally spark.sharedState.cacheManager.clearCache()
+    // (simhash/embedding share cappedCandidatePairs structurally, but their
+    // HOF-lambda block-key exprs defeat cache substitution in the printed
+    // plan, so their payload-free property is enforced by the shared slim
+    // (id, key) projection and the no-cartesian pin above)
+  }
 }

@@ -100,5 +100,12 @@ class RelationalSpec extends SparkSpec {
     // spot-check the carried state on the hot key: probe pid=100 (k=0,
     // ts=100) must see the latest even changelog id with 10*id <= 100 → v=10
     assert(out.where(col("pid") === 100).select("v").collect()(0).getLong(0) == 10L)
+    // the salted escape hatch must produce the IDENTICAL result while
+    // splitting the hot key across sub-partitions
+    val salted = Relational.asofJoin(probe, changelog, "k", "ts", Seq("v"),
+      saltBuckets = 8)
+    assert(salted.count() == n)
+    assert(salted.exceptAll(out).count() == 0 && out.exceptAll(salted).count() == 0,
+      "salted as-of diverged from the unsalted result")
   }
 }
