@@ -88,24 +88,31 @@ class PlanSpec extends SparkSpec {
     // cached sizing relation (the one carrying __bsz) must expose ONLY the
     // id/key/size columns — never the sig/vec payload.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val df = graft.operators.Dedup.minhashLshPairs(
-      docs, "doc_id", "text", threshold = 0.4, materialize = false)
-    try {
-      val p = df.queryExecution.executedPlan.toString
-      // the cached sizing relation prints as
-      //   InMemoryTableScan [id#1L, band#2L, __bsz#3L, __bmin#4L]
-      val sizingScans = p.linesIterator
-        .filter(l => l.contains("InMemoryTableScan") && l.contains("__bsz"))
-        .toVector
-      assert(sizingScans.nonEmpty, s"minhash lost its sizing cache:\n$p")
-      sizingScans.foreach { l =>
-        assert(!l.contains("sig#"),
-          s"minhash sizing shuffle carries the signature payload: $l")
-      }
-    } finally spark.sharedState.cacheManager.clearCache()
-    // (simhash/embedding share cappedCandidatePairs structurally, but their
-    // HOF-lambda block-key exprs defeat cache substitution in the printed
-    // plan, so their payload-free property is enforced by the shared slim
-    // (id, key) projection and the no-cartesian pin above)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // each thunk builds its operator AFTER the previous one's caches are
+    // cleared — the persisted intermediates must be live when the plan is
+    // printed or the InMemoryTableScan substitution (rightly) disappears
+    Seq[(String, String, () => org.apache.spark.sql.DataFrame)](
+      ("minhash", "sig#", () => graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.4, materialize = false)),
+      ("simhash", "sh#", () => graft.operators.Dedup.simhashPairs(
+        docs, "doc_id", "text", maxHamming = 3, materialize = false)),
+      ("embedding", "vec#", () => graft.operators.Dedup.embeddingCosinePairs(
+        emb, "vec_id", "embedding", threshold = 0.4, materialize = false))
+    ).foreach { case (name, payload, mk) =>
+      try {
+        val p = mk().queryExecution.executedPlan.toString
+        // the cached sizing relation prints as
+        //   InMemoryTableScan [id#1L, band#2L, __bsz#3L, __bmin#4L]
+        val sizingScans = p.linesIterator
+          .filter(l => l.contains("InMemoryTableScan") && l.contains("__bsz"))
+          .toVector
+        assert(sizingScans.nonEmpty, s"$name lost its sizing cache:\n$p")
+        sizingScans.foreach { l =>
+          assert(!l.contains(payload),
+            s"$name sizing shuffle carries its payload column: $l")
+        }
+      } finally spark.sharedState.cacheManager.clearCache()
+    }
   }
 }
