@@ -470,6 +470,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Transitive dup-cluster labels over the exact n-gram pair graph —
+    * chains (a~b, b~c) collapse into one cluster even when a,c never
+    * paired directly; the oracle computes the same closure with a DuckDB
+    * recursive CTE. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+    Dedup.connectedComponents(docs, pairs, "doc_id")
+      .orderBy("doc_id")
+  }
+
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("kind",
       when(col("doc_id") % 3 === 0, "image")
@@ -656,6 +668,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_quality_filter" -> textQualityFilter _,
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
+    "dedup_clusters"      -> dedupClusters _,
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
     "events_json"         -> eventsJson _,
@@ -1223,6 +1236,33 @@ object SparkEntry {
       SELECT doc_id, lang FROM documents
       WHERE doc_id NOT IN (SELECT id_b FROM dups)
       ORDER BY doc_id""",
+    // transitive closure of the same pair graph via a recursive CTE —
+    // every doc labeled with the MIN doc_id reachable through dup pairs
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS MATERIALIZED (
+        SELECT id_a, id_b FROM pairs
+        WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id)
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+      GROUP BY id ORDER BY doc_id""",
     "mm_decode" -> """
       WITH m AS (
         SELECT doc_id AS id,

@@ -306,4 +306,59 @@ object Dedup {
     * member of a dup pair; keep the rest. One anti-join — no iteration. */
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Transitive dup-cluster labeling (connected components): every doc gets
+    * `cluster_id` = the MIN id reachable through the dup-pair graph
+    * (singletons label themselves). The greedy `survivors` keeps a doc
+    * whenever it beats its *direct* pairs; cluster labeling additionally
+    * collapses chains (a~b, b~c ⇒ one cluster even if a,c never paired),
+    * which is what "keep one per duplicate group" actually means for a
+    * training corpus.
+    *
+    * Scale shape: min-label propagation with POINTER JUMPING — each round
+    * takes the min over direct neighbors' labels, then compresses paths by
+    * looking the label's own label up (`comp ← label[label[x]]`), giving
+    * O(log n) rounds on chains instead of O(diameter). Every round is a
+    * bounded number of equi-join shuffles; labels are re-materialized per
+    * round (localCheckpoint, or reliable checkpoint under
+    * `spark.graft.dedup.materialize = reliable`) so lineage doesn't grow
+    * with the iteration count. The per-round driver action reads ONE
+    * aggregate (the converged flag), never data. Errors loudly if
+    * `maxRounds` is hit (pathological graph, raise the bound). */
+  def connectedComponents(df: DataFrame, pairs: DataFrame, idCol: String,
+                          maxRounds: Int = 25): DataFrame = {
+    val cut: DataFrame => DataFrame = d =>
+      d.sparkSession.conf.get("spark.graft.dedup.materialize", "local") match {
+        case "reliable" => d.checkpoint(true)
+        case _ => d.localCheckpoint(true) // iteration REQUIRES an eager cut
+      }
+    // symmetric edge list; self-loops make singletons fall out naturally
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct())
+    var lab = cut(df.select(col(idCol).as("id"), col(idCol).as("comp")))
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+        "pathological pair graph; raise maxRounds")
+      // min over self + direct neighbors' current labels
+      val viaNbr = edges.join(lab.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nmin"))
+      val stepped = lab.join(viaNbr, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jump: follow the freshly-stepped label one hop
+      // (comp ← label[label[x]]) — the path-compression half of O(log n)
+      val jumped = stepped.join(
+          stepped.select(col("id").as("comp"), col("comp").as("jmin")), Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("jmin"), col("comp"))).as("comp"))
+      val next = cut(jumped)
+      converged = next.join(lab.withColumnRenamed("comp", "prev"), "id")
+        .where(col("comp") =!= col("prev")).isEmpty
+      lab = next
+      rounds += 1
+    }
+    lab.select(col("id").as(idCol), col("comp").as("cluster_id"))
+  }
 }

@@ -176,6 +176,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"recall=$recall") // loose: random vectors, coarse buckets
   }
 
+  test("connected components: chains collapse transitively, singletons self-label") {
+    val docs = spark.range(1, 8).toDF("doc_id")
+    // components: {1,2,3} (chain — 1 and 3 never paired), {5,6}, singletons 4,7
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (5L, 6L))).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+                         5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connected components: a 64-node chain converges within the round bound") {
+    // worst case for plain label propagation (O(diameter) = 63 rounds);
+    // pointer jumping must bring it inside the default 25-round budget
+    val n = 64L
+    val docs = spark.range(1, n + 1).toDF("doc_id")
+    val pairs = spark.range(1, n).select(
+      col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val labels = Dedup.connectedComponents(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.forall(_._2 == 1L), "entire chain must label to the min id")
+  }
+
   test("dedup materialize modes: reliable and none match local; bad value loud") {
     val df = spark.createDataFrame(Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")),
