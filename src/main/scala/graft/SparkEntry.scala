@@ -394,6 +394,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-language rebalancing — the curation move a multilingual corpus
+    * actually needs (downsample the dominant language, keep the rest). */
+  private def curationStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.3, "fr" -> 0.5))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   private val textTopKQuery =
     "table scan fast key value row batch window join query"
 
@@ -655,6 +663,7 @@ object SparkEntry {
       TextAnalysis.lengthDistribution(t(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
     "curation_split"      -> curationSplit _,
+    "curation_stratified" -> curationStratified _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1136,6 +1145,15 @@ object SparkEntry {
                   ELSE 'test' END AS split,
              ($b7 < 100000) AS in_sample
       FROM documents ORDER BY doc_id"""
+    },
+    "curation_stratified" -> {
+      val b0 = OracleXX.xxh64LongPmod("doc_id", 1000000L)
+      s"""
+      SELECT doc_id, lang FROM documents
+      WHERE $b0 < CASE WHEN lang = 'en' THEN 300000
+                       WHEN lang = 'fr' THEN 500000
+                       ELSE 1000000 END
+      ORDER BY doc_id"""
     },
     "text_contamination" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),

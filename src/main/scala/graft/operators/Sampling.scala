@@ -52,4 +52,26 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
     df.where(bucket(col(idCol), seed) < math.round(fraction * Buckets))
   }
+
+  /** Stratified deterministic sampling: a different keep-fraction per
+    * stratum (e.g. per-language rebalancing — downsample English, keep all
+    * low-resource languages). Unlisted strata use `defaultFraction`. Pure
+    * narrow filter — the per-row decision is `bucket(id) < threshold[s]`,
+    * no shuffle, no state, reproducible by any engine with the XXH64
+    * replica; at corpus scale this is a scan-bound predicate pushed to the
+    * reader. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0,
+                       seed: Long = 0L): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0 && f <= 1, s"fractions in [0,1], got $f"))
+    val b = bucket(col(idCol), seed)
+    val threshold = fractions.foldLeft(
+        lit(math.round(defaultFraction * Buckets)): Column) {
+      case (rest, (s, f)) =>
+        when(col(stratumCol) === s, lit(math.round(f * Buckets))).otherwise(rest)
+    }
+    df.where(b < threshold)
+  }
 }

@@ -68,6 +68,28 @@ class RelationalSpec extends SparkSpec {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("stratified sample: per-stratum rates, deterministic, subset of input") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.3, "fr" -> 0.5))
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.3, "fr" -> 0.5))
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted strata keep everything; listed strata land near their rate
+    all.keys.filterNot(Set("en", "fr")).foreach(l => assert(kept(l) == all(l), l))
+    assert(math.abs(kept("en").toDouble / all("en") - 0.3) < 0.15, s"en=$kept")
+    assert(math.abs(kept("fr").toDouble / all("fr") - 0.5) < 0.15, s"fr=$kept")
+    // deterministic: identical invocation → identical set
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+           s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
+  }
+
   test("rangeJoinBinned: intervals spanning multiple bins still match") {
     val iv = spark.createDataFrame(Seq((7L, 1L, 95L, 305L)))
       .toDF("iv_id", "k", "s", "e") // spans bins 0..3 at width 100
