@@ -353,10 +353,12 @@ object Dedup {
       val jumped = stepped.join(
           stepped.select(col("id").as("comp"), col("comp").as("jmin")), Seq("comp"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("jmin"), col("comp"))).as("comp"))
-      val next = cut(jumped)
-      converged = next.join(lab.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev")).isEmpty
-      lab = next
+      // change flag computed INSIDE the round's one materialization — the
+      // convergence probe then reads the checkpoint, no extra join job
+      val next = cut(jumped.join(lab.withColumnRenamed("comp", "prev"), "id")
+        .select(col("id"), col("comp"), (col("comp") =!= col("prev")).as("__chg")))
+      converged = next.where(col("__chg")).isEmpty
+      lab = next.select("id", "comp")
       rounds += 1
     }
     lab.select(col("id").as(idCol), col("comp").as("cluster_id"))

@@ -126,7 +126,16 @@ object Smoke {
       .groupBy("split").count().show()
     TextAnalysis.contamination(docs.where(col("doc_id") >= 10), "text",
         docs.where(col("doc_id") < 10), "doc_id", "text").show(3)
+    graft.operators.Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.3)).groupBy("lang").count().show()
     lap("curation")
+
+    println("[smoke] transitive dup clusters (connected components):")
+    val ccPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    Dedup.connectedComponents(docs, ccPairs, "doc_id")
+      .where(col("doc_id") =!= col("cluster_id")).show(5)
+    lap("clusters")
 
     println("[smoke] cosine expression plan (codegen check):")
     emb.limit(1).select(VF.cosineSim(col("embedding"), col("embedding")).as("c"))
