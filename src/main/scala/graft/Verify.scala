@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's materialization-cut blocks before the next one —
+      // the 58-query dump is exactly the long-session shape that otherwise
+      // accumulates dead checkpoint blocks (round-3 bench pollution)
+      graft.util.Materialize.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -144,15 +144,16 @@ object TextAnalysis {
       // pass 2: within-partition prefix sum + partition base
       val w = Window.partitionBy("__pid").orderBy(idCol)
         .rowsBetween(Window.unboundedPreceding, -1)
-      persisted
-        .withColumn("offset", baseCol + coalesce(sum("n_tokens").over(w), lit(0L)))
-        .withColumn("chunk_start", expr(s"offset DIV $seqLen"))
-        .withColumn("chunk_end",
-          when(col("n_tokens") > 0, expr(s"(offset + n_tokens - 1) DIV $seqLen"))
-            .otherwise(expr(s"offset DIV $seqLen")))
-        .select(col(idCol), col("n_tokens"), col("offset"),
-                col("chunk_start"), col("chunk_end"))
-        .localCheckpoint(true) // materialize before releasing the sort cache
+      graft.util.Materialize.cut( // eager: materialize before releasing the
+        // sort cache; tracked so Materialize.release() frees the blocks
+        persisted
+          .withColumn("offset", baseCol + coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("chunk_start", expr(s"offset DIV $seqLen"))
+          .withColumn("chunk_end",
+            when(col("n_tokens") > 0, expr(s"(offset + n_tokens - 1) DIV $seqLen"))
+              .otherwise(expr(s"offset DIV $seqLen")))
+          .select(col(idCol), col("n_tokens"), col("offset"),
+                  col("chunk_start"), col("chunk_end")))
     } finally { persisted.unpersist(); () }
   }
 

@@ -199,6 +199,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels.forall(_._2 == 1L), "entire chain must label to the min id")
   }
 
+  test("connected components: adversarial graphs converge in O(log n) rounds") {
+    // the shapes hot in real dedup graphs: a long chain (worst case for
+    // plain propagation), a high-degree star (boilerplate cluster), and
+    // two cliques bridged by a single edge (two dup groups that share one
+    // borderline pair). Round count must stay within log2(n) + c — the
+    // pointer-jumping claim, measured rather than asserted in prose.
+    def roundBound(n: Long): Int =
+      (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 3
+
+    // 128-node chain: ids 1..128, edges i—(i+1)
+    val chainDocs = spark.range(1, 129).toDF("doc_id")
+    val chainPairs = spark.range(1, 128).select(
+      col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (chainLab, chainRounds) =
+      Dedup.connectedComponentsWithRounds(chainDocs, chainPairs, "doc_id")
+    assert(chainLab.collect().forall(_.getLong(1) == 1L))
+    assert(chainRounds <= roundBound(128),
+      s"chain-128 took $chainRounds rounds (bound ${roundBound(128)})")
+
+    // star: hub 1 with 200 leaves; cliques: {300..329} and {400..429}
+    // fully connected internally, bridged by the single edge (329, 400)
+    val starPairs = (2L to 201L).map(l => (1L, l))
+    val cliquePairs = for {
+      base <- Seq(300, 400); i <- base until base + 30; j <- i + 1 until base + 30
+    } yield (i.toLong, j.toLong)
+    val bridge = Seq((329L, 400L))
+    val ids = (1L to 201L) ++ (300L to 329L) ++ (400L to 429L)
+    val docs = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
+    val pairs = spark.createDataFrame(starPairs ++ cliquePairs ++ bridge)
+      .toDF("id_a", "id_b")
+    val (lab, rounds) = Dedup.connectedComponentsWithRounds(docs, pairs, "doc_id")
+    val m = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 201L).forall(m(_) == 1L), "star must collapse to the hub-min")
+    assert(((300L to 329L) ++ (400L to 429L)).forall(m(_) == 300L),
+      "bridged cliques must merge into one component")
+    assert(rounds <= roundBound(ids.size),
+      s"star+cliques took $rounds rounds (bound ${roundBound(ids.size)})")
+  }
+
+  test("materialization cuts are released deterministically, not left to GC") {
+    import graft.util.Materialize
+    Materialize.release() // drain anything earlier suites left behind
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    val docs = spark.range(1, 65).toDF("doc_id")
+    val pairs = spark.range(1, 64).select(
+      col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val out = Dedup.connectedComponents(docs, pairs, "doc_id")
+    out.write.format("noop").mode("overwrite").save() // consume the result
+    // in-loop release keeps live cuts O(1); the final release() frees the
+    // result blocks the moment the consuming job is done — no GC involved
+    assert(Materialize.release() >= 1, "final labels should have been tracked")
+    val after = spark.sparkContext.getRDDStorageInfo
+      .count(_.numCachedPartitions > 0)
+    assert(after <= before,
+      s"checkpoint blocks leaked: $before cached RDDs before, $after after")
+  }
+
   test("dedup materialize modes: reliable and none match local; bad value loud") {
     val df = spark.createDataFrame(Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")),
