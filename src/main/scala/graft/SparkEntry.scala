@@ -478,6 +478,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental (crawl-over-crawl) dedup: docs ≥ 250 are the "new batch",
+    * docs < 250 the existing corpus; an incoming doc survives unless it
+    * near-duplicates an existing doc or a smaller-id incoming doc. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalSurvivors(
+        incoming = docs.where(col("doc_id") >= 250),
+        existing = docs.where(col("doc_id") < 250),
+        "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style per-doc repetition signals over word 2- and 3-grams. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionReport(t(s, dir, "documents"), "doc_id", "text",
+        ns = Seq(2, 3))
+      .orderBy("doc_id", "n")
+
   /** Transitive dup-cluster labels over the exact n-gram pair graph —
     * chains (a~b, b~c) collapse into one cluster even when a,c never
     * paired directly; the oracle computes the same closure with a DuckDB
@@ -678,6 +698,8 @@ object SparkEntry {
     "text_quality_filter" -> textQualityFilter _,
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "dedup_clusters"      -> dedupClusters _,
+    "dedup_incremental"   -> dedupIncremental _,
+    "text_repetition"     -> textRepetition _,
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
     "events_json"         -> eventsJson _,
@@ -1254,6 +1276,54 @@ object SparkEntry {
       SELECT doc_id, lang FROM documents
       WHERE doc_id NOT IN (SELECT id_b FROM dups)
       ORDER BY doc_id""",
+    // incremental dedup: same shingle/posting machinery, victims restricted
+    // to the incoming half (doc_id >= 250); existing docs all have smaller
+    // ids here, so "existing OR smaller incoming" collapses to b < a
+    "dedup_incremental" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b
+          ON a.h = b.h AND a.doc_id >= 250 AND b.doc_id < a.doc_id
+        GROUP BY 1, 2),
+      dropped AS (
+        SELECT DISTINCT id_a FROM pairs
+        WHERE inter::DOUBLE / (na + nb - inter) >= 0.5)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_a FROM dropped)
+      ORDER BY doc_id""",
+    // repetition signals: the per-doc aggregates are functions of the
+    // n-gram count multiset, so the oracle groups on gram STRINGS while the
+    // engine groups on xxhash64(gram) — identical integers either way
+    "text_repetition" -> s"""
+      WITH toks AS MATERIALIZED (SELECT doc_id, $sqlToks AS tk FROM documents),
+      ng AS (
+        SELECT doc_id, n,
+               list_transform(range(1, greatest(len(tk) - n + 2, 1)),
+                 i -> array_to_string(list_slice(tk, i, i + n - 1), ' ')) AS gs
+        FROM toks, (SELECT unnest([2, 3]) AS n) nn),
+      p AS (SELECT doc_id, n, unnest(gs) AS g FROM ng),
+      c AS (SELECT doc_id, n, g, count(*)::BIGINT AS cnt FROM p GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT doc_id, n, sum(cnt)::BIGINT AS total,
+               coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0)::BIGINT AS dup,
+               max(cnt)::BIGINT AS top
+        FROM c GROUP BY 1, 2)
+      SELECT t.doc_id, t.n,
+             coalesce(a.total, 0)::BIGINT AS total_ngrams,
+             coalesce(a.dup * 1000000 // a.total, 0)::BIGINT AS dup_ppm,
+             coalesce(a.top * 1000000 // a.total, 0)::BIGINT AS top_ppm
+      FROM (SELECT doc_id, n FROM toks, (SELECT unnest([2, 3]) AS n) nn) t
+      LEFT JOIN agg a USING (doc_id, n)
+      ORDER BY doc_id, n""",
     // transitive closure of the same pair graph via a recursive CTE —
     // every doc labeled with the MIN doc_id reachable through dup pairs
     "dedup_clusters" -> s"""

@@ -314,6 +314,55 @@ object Dedup {
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Incremental (crawl-over-crawl) dedup — the production corpus-refresh
+    * flow: `existing` is the already-curated corpus (never modified),
+    * `incoming` the new batch; keep the incoming docs that are NOT
+    * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of any existing
+    * doc or of a smaller-id incoming doc. Returns the surviving incoming
+    * rows with their original columns.
+    *
+    * One inverted-index equi-join over the union's postings, with the
+    * victim side restricted to incoming BEFORE the join — existing×existing
+    * candidates are never generated, so the cost is the cross-batch and
+    * intra-batch candidates only (at steady state `incoming` ≪ `existing`
+    * and the posting join is bounded by the incoming side's shingles).
+    * `maxDocFreq` prunes pathological shingles exactly as
+    * [[ngramJaccardPairs]]. Ids must be unique across both inputs. */
+  def incrementalSurvivors(incoming: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.5,
+                           maxDocFreq: Long = 1000L): DataFrame = {
+    def shingled(d: DataFrame, isInc: Boolean) =
+      d.select(col(idCol).as("id"),
+               TF.shingleHashes(col(textCol), shingleN).as("hs"),
+               lit(isInc).as("is_inc"))
+    val sets = shingled(incoming, isInc = true)
+      .unionByName(shingled(existing, isInc = false))
+      .withColumn("n", size(col("hs")))
+      .persist() // shingle sets reused by both posting sides
+    val posting = sets.select(col("id"), col("is_inc"), col("n"),
+                              explode(col("hs")).as("h"))
+    val rare =
+      if (maxDocFreq == Long.MaxValue) posting
+      else posting.withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("h"))))
+        .where(col("df") <= maxDocFreq).drop("df")
+    // victim (a) = incoming; source (b) = any existing doc, or an incoming
+    // doc with a smaller id (greedy keep-first within the batch)
+    val dropped = rare.where(col("is_inc")).as("a")
+      .join(rare.as("b"),
+        col("a.h") === col("b.h") &&
+        (!col("b.is_inc") || col("b.id") < col("a.id")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    val out = incoming.join(dropped, Seq(idCol), "left_anti")
+    materializeAndRelease(out, sets)
+  }
+
   /** Transitive dup-cluster labeling (connected components): every doc gets
     * `cluster_id` = the MIN id reachable through the dup-pair graph
     * (singletons label themselves). The greedy `survivors` keeps a doc

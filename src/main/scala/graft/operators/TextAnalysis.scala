@@ -45,6 +45,58 @@ object TextAnalysis {
       expression(col(textCol)), minScore, langs)))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1): per
+    * document and n-gram size, the fraction of n-gram OCCURRENCES belonging
+    * to an n-gram that appears more than once in the doc (`dup_ppm`) and
+    * the fraction claimed by the single most frequent n-gram (`top_ppm`),
+    * both as integer parts-per-million — no float division, so the result
+    * is engine-exact. High duplicate fractions flag the repetitive
+    * boilerplate / degenerate-generation docs every corpus filter drops
+    * before training.
+    *
+    * Scale shape: tokens materialize once behind a persist barrier (HOF
+    * lambda arguments re-evaluate per element otherwise — the measured
+    * CollapseProject trap), n-grams explode to `(doc, xxhash64(gram))` so
+    * the counting shuffle carries 8-byte keys, never gram text (the
+    * md5-dedup trade: a 2⁻⁶⁴ within-doc collision would merge two counts).
+    * The per-doc aggregates are functions of the count multiset — invariant
+    * to the grouping key — so the DuckDB oracle groups on the gram strings
+    * themselves and lands on identical integers. Docs shorter than `n`
+    * tokens report zero n-grams rather than vanishing. */
+  def repetitionReport(df: DataFrame, idCol: String, textCol: String,
+                       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram sizes must be >= 1")
+    val toks = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+      .persist() // barrier: keep tokens() out of the n-gram lambdas
+    val perN = ns.map { n =>
+      val grams = toks.select(col("id"), explode(
+        when(size(col("tk")) >= n,
+            transform(sequence(lit(0), size(col("tk")) - n),
+              i => xxhash64(array_join(slice(col("tk"), i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+      grams.groupBy(col("id"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("total"),
+             sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"),
+             max(col("c")).as("top"))
+        .select(col("id"), lit(n).as("n"), col("total"),
+                expr("dup * 1000000 DIV total").as("dup_ppm"),
+                expr("top * 1000000 DIV total").as("top_ppm"))
+    }
+    // zero-fill (id, n) combinations the explode dropped (docs with < n
+    // tokens) so the report covers the whole corpus
+    val frame = toks.select(col("id"),
+      explode(array(ns.map(n => lit(n)): _*)).as("n"))
+    val out = frame.join(perN.reduce(_.unionByName(_)), Seq("id", "n"), "left")
+      .select(col("id").as(idCol), col("n"),
+              coalesce(col("total"), lit(0L)).as("total_ngrams"),
+              coalesce(col("dup_ppm"), lit(0L)).as("dup_ppm"),
+              coalesce(col("top_ppm"), lit(0L)).as("top_ppm"))
+    val res = graft.util.Materialize.cut(out)
+    toks.unpersist()
+    res
+  }
+
   /** Corpus length-distribution report per group: exact interpolated
     * percentiles of character and word counts (Spark's `percentile` — a
     * sort-based exact aggregate, fine at per-group cardinalities; switch to

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class TextFunctionsSpec extends SparkSpec {
@@ -175,5 +176,41 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(approx - exact).toDouble / exact <= 0.15,
         s"$lang sketch error |$approx - $exact|")
     }
+  }
+
+  test("repetitionReport: hand-computed dup/top fractions; short docs zero-fill") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 "a b a b a": bigrams (a b, b a, a b, b a) → total 4, all
+    // duplicated, top count 2; trigrams (a b a, b a b, a b a) → total 3,
+    // dup occurrences 2, top 2. doc 2 has one token → zero rows for both n.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a b a"), (2L, "solo"))).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionReport(docs, "doc_id", "text", ns = Seq(2, 3))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("total_ngrams"), r.getAs[Long]("dup_ppm"),
+         r.getAs[Long]("top_ppm"))).toMap
+    assert(out((1L, 2)) == ((4L, 1000000L, 500000L)))
+    assert(out((1L, 3)) == ((3L, 666666L, 666666L)))
+    assert(out((2L, 2)) == ((0L, 0L, 0L)))
+    assert(out((2L, 3)) == ((0L, 0L, 0L)))
+    assert(out.size == 4, "one row per (doc, n)")
+  }
+
+  test("incrementalSurvivors: existing always wins; keep-first within batch") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val third = (1 to 40).map(i => s"new$i").mkString(" ")
+    val existing = spark.createDataFrame(Seq((100L, base))).toDF("doc_id", "text")
+    val incoming = spark.createDataFrame(Seq(
+      (10L, base + " tail1 tail2"),   // near-dup of EXISTING 100 (larger id!) → dropped
+      (11L, other),                   // novel → kept
+      (12L, other + " x y"),          // near-dup of incoming 11 (smaller id) → dropped
+      (13L, third)                    // novel → kept
+    )).toDF("doc_id", "text")
+    val kept = Dedup.incrementalSurvivors(incoming, existing, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(11L, 13L),
+      s"expected existing-wins + keep-first semantics, got $kept")
   }
 }
