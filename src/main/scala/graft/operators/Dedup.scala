@@ -447,7 +447,11 @@ object Dedup {
         .join(stepped.select(col("id").as("m"), col("m").as("jmin")), Seq("m"), "left")
         .select(col("id"), jc.as("comp"), (jc =!= col("prev")).as("__chg")))
       converged = next.where(col("__chg")).isEmpty
-      Materialize.releaseNow(lab) // previous round is dead once `next` exists
+      // previous ROUND's cut is dead once `next` exists — but only release
+      // rounds this loop created: on the first iteration `lab` is a
+      // projection of the caller's `df`, and releasing it would free a
+      // checkpointed input the caller still owns (composition trap)
+      if (rounds > 0) Materialize.releaseNow(lab)
       lab = next.select("id", "comp")
       rounds += 1
     }

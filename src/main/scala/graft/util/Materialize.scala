@@ -38,7 +38,14 @@ object Materialize {
     * cluster-mode setting); `none` lazy passthrough where iteration allows. */
   val ConfKey = "spark.graft.dedup.materialize"
 
-  private val tracked = new ConcurrentLinkedQueue[WeakReference[RDD[_]]]()
+  // Each cut is tagged with the registering thread so `release()` is scoped:
+  // a driver running queries on several threads (Spark supports concurrent
+  // jobs) frees only its OWN dead cuts — a release() issued after query A
+  // must never destroy query B's in-flight localCheckpoint blocks, which
+  // are unrecoverable. Single-threaded harnesses (Bench/Verify) see the
+  // old drain-everything behavior unchanged.
+  private final case class Entry(owner: Long, ref: WeakReference[RDD[_]])
+  private val tracked = new ConcurrentLinkedQueue[Entry]()
 
   /** Eagerly cut `df` per `ConfKey` and register the blocks for release.
     * `none` is mapped to `local` — callers that can return a lazy plan
@@ -49,9 +56,12 @@ object Materialize {
       case _          => track(df.localCheckpoint(true))
     }
 
-  /** Register an already-cut DataFrame's backing blocks for release. */
+  /** Register an already-cut DataFrame's backing blocks for release. The
+    * cut is owned by the CURRENT thread — only a `release()` from this
+    * same thread (or GC + ContextCleaner) will free it. */
   def track(df: DataFrame): DataFrame = {
-    RddBridge.backingRdd(df).foreach(r => tracked.add(new WeakReference(r)))
+    RddBridge.backingRdd(df).foreach(r =>
+      tracked.add(Entry(Thread.currentThread().getId, new WeakReference(r))))
     df
   }
 
@@ -61,17 +71,26 @@ object Materialize {
   def releaseNow(df: DataFrame): Unit =
     RddBridge.backingRdd(df).foreach(unpersistRdd)
 
-  /** Free the blocks of every registered cut that is still alive. Call
-    * between driver jobs — after the query consuming the cuts has run.
-    * Returns the number of RDDs unpersisted (instrumentation). */
+  /** Free the blocks of every cut REGISTERED BY THE CALLING THREAD that is
+    * still alive. Call between driver jobs — after the query consuming the
+    * cuts has run. Cuts created by other threads (concurrent queries) are
+    * left untouched; dead entries whose RDD was already GC-collected are
+    * pruned regardless of owner. Returns the number of RDDs unpersisted
+    * (instrumentation). */
   def release(): Int = {
+    val self = Thread.currentThread().getId
     var n = 0
-    var ref = tracked.poll()
-    while (ref != null) {
-      val rdd = ref.get
-      if (rdd != null) { unpersistRdd(rdd); n += 1 }
-      ref = tracked.poll()
+    var entry = tracked.poll()
+    val keep = scala.collection.mutable.ListBuffer.empty[Entry]
+    while (entry != null) {
+      val rdd = entry.ref.get
+      if (rdd != null) {
+        if (entry.owner == self) { unpersistRdd(rdd); n += 1 }
+        else keep += entry
+      } // rdd == null: collected — drop the entry for any owner
+      entry = tracked.poll()
     }
+    keep.foreach(tracked.add)
     n
   }
 

@@ -1,7 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
+import scala.annotation.tailrec
+
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** A Dataset returned by `checkpoint()`/`localCheckpoint()` is a thin
@@ -17,8 +20,18 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object RddBridge {
 
-  /** The materialized RDD backing `df`, if `df` is (a projection of) a
-    * checkpointed Dataset; None for ordinary lazy plans. */
-  def backingRdd(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+  /** The materialized RDD backing `df`, if `df` IS (a column-pruning
+    * projection / alias of) a checkpointed Dataset — i.e. the `LogicalRDD`
+    * sits at the plan ROOT under only `Project`/`SubqueryAlias` wrappers.
+    * None for ordinary lazy plans AND for composite plans (joins/unions)
+    * that merely CONTAIN checkpointed inputs: releasing through such a
+    * frame would free an arbitrary input the caller may not own. */
+  def backingRdd(df: DataFrame): Option[RDD[_]] = rootRdd(df.queryExecution.analyzed)
+
+  @tailrec private def rootRdd(plan: LogicalPlan): Option[RDD[_]] = plan match {
+    case lr: LogicalRDD     => Some(lr.rdd)
+    case p: Project         => rootRdd(p.child)
+    case sa: SubqueryAlias  => rootRdd(sa.child)
+    case _                  => None
+  }
 }

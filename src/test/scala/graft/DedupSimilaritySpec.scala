@@ -241,7 +241,10 @@ class DedupSimilaritySpec extends SparkSpec {
   test("materialization cuts are released deterministically, not left to GC") {
     import graft.util.Materialize
     Materialize.release() // drain anything earlier suites left behind
-    val before = spark.sparkContext.getRDDStorageInfo.length
+    // same filtered metric on both sides — counting ALL entries before but
+    // only cached-partition entries after would let a leak pass vacuously
+    val before = spark.sparkContext.getRDDStorageInfo
+      .count(_.numCachedPartitions > 0)
     val docs = spark.range(1, 65).toDF("doc_id")
     val pairs = spark.range(1, 64).select(
       col("id").as("id_a"), (col("id") + 1).as("id_b"))
@@ -254,6 +257,56 @@ class DedupSimilaritySpec extends SparkSpec {
       .count(_.numCachedPartitions > 0)
     assert(after <= before,
       s"checkpoint blocks leaked: $before cached RDDs before, $after after")
+  }
+
+  test("releaseNow is composition-safe: caller-owned cuts survive CC and joins") {
+    import graft.util.Materialize
+    import org.apache.spark.sql.graftbridge.RddBridge
+    // a checkpointed INPUT (as survivors/materializeAndRelease would return)
+    val input = spark.range(1, 33).toDF("doc_id").localCheckpoint(true)
+    val pairs = spark.range(1, 32).select(
+      col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val out = Dedup.connectedComponents(input, pairs, "doc_id")
+    out.write.format("noop").mode("overwrite").save()
+    // the caller's blocks must still be alive — the first-round label frame
+    // is a projection of `input`, and releasing it would truncate lineage
+    assert(input.count() == 32L,
+      "connectedComponents released a checkpointed input it does not own")
+    // backingRdd is root-only: a frame that merely CONTAINS checkpointed
+    // inputs (join of two cuts) exposes no RDD, so releaseNow is a no-op
+    val cutA = spark.range(0, 10).toDF("k").localCheckpoint(true)
+    val cutB = spark.range(5, 15).toDF("k").localCheckpoint(true)
+    val joined = cutA.join(cutB, "k")
+    assert(RddBridge.backingRdd(joined).isEmpty,
+      "composite plan must not expose an arbitrary input's RDD")
+    Materialize.releaseNow(joined) // must not free cutA or cutB
+    assert(cutA.count() == 10L && cutB.count() == 10L)
+    // but a pruning projection of a cut still resolves (the CC loop shape)
+    assert(RddBridge.backingRdd(cutA.select("k")).isDefined)
+    input.unpersist(); cutA.unpersist(); cutB.unpersist()
+  }
+
+  test("release() is thread-scoped: thread A cannot free thread B's cuts") {
+    import graft.util.Materialize
+    Materialize.release() // drain this thread's leftovers
+    // one long-lived worker thread, so its second call runs under the SAME
+    // thread id that registered the cut
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def onWorker[T](body: => T): T =
+      exec.submit(new java.util.concurrent.Callable[T] { def call(): T = body }).get()
+    try {
+      val otherCut = onWorker(Materialize.track(
+        spark.range(0, 100).toDF("v").localCheckpoint(true)))
+      val mine = Materialize.track(
+        spark.range(0, 50).toDF("v").localCheckpoint(true))
+      assert(Materialize.release() == 1,
+        "this thread owns exactly one live cut")
+      assert(otherCut.count() == 100L,
+        "another thread's in-flight cut must survive this thread's release()")
+      val freed = onWorker(Materialize.release())
+      assert(freed == 1, s"owner thread should free its cut (got $freed)")
+      mine.unpersist()
+    } finally { exec.shutdown(); () }
   }
 
   test("dedup materialize modes: reliable and none match local; bad value loud") {
