@@ -40,6 +40,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // session-age hygiene: the status stores retain 1000 jobs/stages/
+      // executions by default; a 60-query × 2-pass run (plus AQE's
+      // per-stage jobs) crosses those thresholds mid-run, and InMemoryStore
+      // eviction is O(retained) on every event after that — late queries
+      // pay it. Keep the stores small; a bench (or production driver loop)
+      // doesn't serve a UI.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.worker.ui.retainedExecutors", "20")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
