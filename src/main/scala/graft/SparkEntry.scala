@@ -341,6 +341,15 @@ object SparkEntry {
         threshold = 0.4, bruteForce = true)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup over the embeddings table with the FIXED deterministic
+    * coarse quantizer (same one `sim_ivf_verified` uses) so the oracle can
+    * replay centroid assignment, the within-cluster cosine prune, and the
+    * greedy survivor rule cell-exactly. */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticSurvivors(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Similarity.fixedCentroids(16, 64), threshold = 0.4)
+      .orderBy("vec_id")
+
   private def simTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.where(col("vec_id") < 5)
@@ -667,6 +676,7 @@ object SparkEntry {
     "dedup_ngram"         -> dedupNgram _,
     "dedup_embedding"     -> dedupEmbedding _,
     "dedup_embedding_exact" -> dedupEmbeddingExact _,
+    "dedup_semantic"      -> dedupSemantic _,
     "sim_topk"            -> simTopK _,
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
@@ -762,24 +772,68 @@ object SparkEntry {
     * and multiply per term — DuckDB FLOAT ops round identically — summed as
     * DOUBLE), probe order ties break on centroid index like
     * `nearestCentroids`. */
+  /** DuckDB replica of `Dedup.semanticSurvivors` with literal centroids:
+    * nearest-centroid assignment uses the same FLOAT-subtract/multiply +
+    * DOUBLE-accumulate arithmetic as the engine kernel (validated by
+    * `sim_ivf_verified`), then the within-cluster cosine prune and the
+    * greedy drop-larger-id rule. The guard errors if any cluster exceeds
+    * the engine's skew cap — beyond it the engine's star-pairing keeps
+    * survivor semantics but the oracle's all-pairs join would diverge. */
+  private def semanticOracle(cents: Array[Array[Float]], threshold: Double,
+                             maxClusterSize: Long, dim: Int = 64): String = {
+    val cLit = cents.map(_.map(f => s"$f::FLOAT").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val nc = cents.length
+    // the centroid literal is hoisted into a one-row MATERIALIZED CTE and
+    // referenced as a column — inlining it at every [i+1][j] access makes
+    // DuckDB rebuild the 16×64 nested list per element (measured: 236s vs
+    // 0.4s for the identical result at sf0.01)
+    val assign =
+      s"""list_extract(list_transform(list_slice(list_sort(list_transform(range(0, $nc), i ->
+            {'d': list_aggregate(list_transform(range(1, ${dim + 1}),
+                    j -> ((f[j] - cc[i + 1][j]) * (f[j] - cc[i + 1][j]))::DOUBLE),
+                  'sum'),
+             'i': i})), 1, 1), s -> s.i), 1)"""
+    s"""
+      WITH cents AS MATERIALIZED (SELECT $cLit AS cc),
+      e AS (SELECT vec_id, embedding AS f, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS MATERIALIZED (SELECT vec_id, v, ($assign)::BIGINT AS cluster
+                          FROM e CROSS JOIN cents),
+      guard AS (SELECT CASE WHEN (SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM cb GROUP BY cluster)) > $maxClusterSize
+                THEN error('semantic oracle models the UNCAPPED cluster join; a cluster exceeds the engine skew cap ($maxClusterSize) so outputs would diverge')
+                ELSE 1 END AS ok),
+      dups AS (SELECT DISTINCT b.vec_id
+               FROM cb a JOIN cb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= $threshold)
+      SELECT cb.vec_id, cb.cluster FROM cb CROSS JOIN guard
+      WHERE cb.vec_id NOT IN (SELECT vec_id FROM dups)
+      ORDER BY vec_id"""
+  }
+
   private def ivfReplicaOracle(cents: Array[Array[Float]], nProbe: Int,
                                k: Int, dim: Int = 64): String = {
     val cLit = cents.map(_.map(f => s"$f::FLOAT").mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
     val nc = cents.length
-    // nearest-centroid probe list over the raw FLOAT[] embedding `f`
+    // nearest-centroid probe list over the raw FLOAT[] embedding `f`; the
+    // centroid literal is hoisted into a one-row MATERIALIZED CTE (`cc`) —
+    // inlined per-access it made DuckDB rebuild the nested list for every
+    // [i+1][j] element (measured: 215s → <1s for the identical result)
     def probeList(n: Int): String =
       s"""list_transform(list_slice(list_sort(list_transform(range(0, $nc), i ->
             {'d': list_aggregate(list_transform(range(1, ${dim + 1}),
-                    j -> ((f[j] - ($cLit)[i + 1][j]) * (f[j] - ($cLit)[i + 1][j]))::DOUBLE),
+                    j -> ((f[j] - cc[i + 1][j]) * (f[j] - cc[i + 1][j]))::DOUBLE),
                   'sum'),
              'i': i})), 1, $n), s -> s.i)"""
     s"""
-      WITH e AS (SELECT vec_id, embedding AS f, embedding::DOUBLE[] AS v FROM embeddings),
-      cb AS (SELECT vec_id, v, list_extract(${probeList(1)}, 1) AS cluster FROM e),
+      WITH cents AS MATERIALIZED (SELECT $cLit AS cc),
+      e AS (SELECT vec_id, embedding AS f, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT vec_id, v, list_extract(${probeList(1)}, 1) AS cluster
+             FROM e CROSS JOIN cents),
       qp AS (
         SELECT vec_id AS qid, v AS qv, unnest(${probeList(nProbe)}) AS cluster
-        FROM e WHERE vec_id < 5),
+        FROM e CROSS JOIN cents WHERE vec_id < 5),
       cand AS (
         SELECT DISTINCT qp.qid, qp.qv, c.vec_id AS id, c.v AS v
         FROM qp JOIN cb c USING (cluster) WHERE c.vec_id <> qp.qid),
@@ -1052,6 +1106,12 @@ object SparkEntry {
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
       ORDER BY id_a, id_b""",
+    // SemDeDup replica: fixed-centroid assignment (same float-exact
+    // distance arithmetic as the IVF replica), within-cluster cosine
+    // prune, greedy min-id survivor rule — with the skew-cap guard
+    "dedup_semantic" -> semanticOracle(
+      Similarity.fixedCentroids(16, 64), threshold = 0.4,
+      maxClusterSize = 4096L),
     "sim_topk" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

@@ -309,6 +309,44 @@ object Dedup {
     }
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings by nearest k-means centroid, then drop every doc
+    * whose cosine to a SMALLER-id doc in the same cluster meets
+    * `threshold`. Returns the surviving `(idCol, cluster)` rows.
+    *
+    * Scale shape: the cluster id is the blocking key, so candidate
+    * generation is the standard skew-capped equi-join over a slim
+    * `(id, cluster)` projection — vectors re-join onto the candidate set
+    * only (never fan out through the blocking join), and a degenerate
+    * centroid that attracts a huge cluster degrades to linear star-pairing
+    * instead of a quadratic blow-up. Centroids are passed in (fixed
+    * literals for the oracle-checked gate; `Similarity.trainCentroids` for
+    * production) and ride to executors as one broadcast-referenced codegen
+    * object, so assignment is a narrow scan-bound stage. */
+  def semanticSurvivors(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[Array[Float]],
+                        threshold: Double = 0.95,
+                        maxClusterSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cluster", element_at(
+        column(graft.functions.NearestCentroids(expression(col("vec")), centroids, 1)),
+        1).cast("long"))
+      .persist()
+    val (cand, sized) = cappedCandidatePairs(
+      assigned.select(col("id"), col("cluster")), "cluster", maxClusterSize)
+    val dupIds = cand
+      .join(assigned.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(assigned.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .where(VF.cosineSim(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("id"))
+      .distinct()
+    val out = assigned.select(col("id"), col("cluster"))
+      .join(dupIds, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+    materializeAndRelease(out, assigned, sized)
+  }
+
   /** Greedy survivor reduction: drop every id that appears as the *larger*
     * member of a dup pair; keep the rest. One anti-join — no iteration. */
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =

@@ -95,6 +95,11 @@ object Smoke {
     Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 3).show()
     lap("lsh")
 
+    println("[smoke] semantic dedup survivors (SemDeDup, fixed centroids):")
+    Dedup.semanticSurvivors(emb, "vec_id", "embedding",
+      Similarity.fixedCentroids(16, 64), threshold = 0.4).show(5)
+    lap("semantic")
+
     println("[smoke] multimodal stub decode:")
     val media = Multimodal.withBinaryPayload(docs.limit(5), "doc_id", "text", "video")
     Multimodal.decodeMeta(media).show(truncate = false)

@@ -259,6 +259,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"checkpoint blocks leaked: $before cached RDDs before, $after after")
   }
 
+  test("semantic dedup: cluster blocking + cosine prune keeps min-id per near-dup group") {
+    // three orthogonal centroids in dim 4; two near-dups at centroid 0,
+    // one singleton at centroid 1, two same-cluster NON-dups at centroid 2
+    val cents = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = Seq(
+      (1L, Seq(0.99f, 0.01f, 0f, 0f)),   // cluster 0, near-dup of 2
+      (2L, Seq(0.98f, 0.02f, 0f, 0f)),   // cluster 0, dropped (larger id)
+      (3L, Seq(0f, 1f, 0f, 0f)),         // cluster 1, singleton
+      (4L, Seq(0f, 0f, 0.9f, 0.44f)),    // cluster 2, cosine(4,5) ≈ 0.63
+      (5L, Seq(0f, 0f, 0.44f, -0.9f)))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val out = Dedup.semanticSurvivors(df, "vec_id", "embedding", cents,
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 2L),
+      s"unexpected survivors/clusters: $out")
+  }
+
   test("releaseNow is composition-safe: caller-owned cuts survive CC and joins") {
     import graft.util.Materialize
     import org.apache.spark.sql.graftbridge.RddBridge
