@@ -390,6 +390,20 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** PQ ANN with FIXED deterministic codebooks: encode → ADC top-refine →
+    * exact cosine re-rank. Like `sim_ivf_verified`, the codebook constants
+    * are embedded in the DuckDB oracle, which replays encoding, the
+    * lookup-table scoring, the refine cut, and the re-rank cell-exactly —
+    * the approximate pipeline itself is what's verified. */
+  private def simPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, m = 8, codesPerSub = 16, refine = 50)
+      .orderBy("qid", "rank")
+  }
+
   /** Deterministic hash split + sample flags — reproducible corpus
     * curation (see `Sampling`); the oracle recomputes the same xxhash64
     * buckets via the OracleXX replica. */
@@ -681,6 +695,7 @@ object SparkEntry {
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
+    "sim_pq_topk"         -> simPqTopK _,
     "text_topk"           -> textTopK _,
     "text_stats"          -> textStats _,
     "text_langid"         -> textLangId _,
@@ -772,6 +787,66 @@ object SparkEntry {
     * and multiply per term — DuckDB FLOAT ops round identically — summed as
     * DOUBLE), probe order ties break on centroid index like
     * `nearestCentroids`. */
+  /** DuckDB replica of `Similarity.pqTopK` with literal codebooks: per-
+    * subspace encoding uses the same FLOAT-subtract/multiply + DOUBLE-
+    * accumulate arithmetic as the engine kernel; the ADC lookup tables are
+    * DOUBLE dot products in list order (matching Spark's left-fold
+    * `aggregate`); the refine cut and final re-rank break ties on id
+    * exactly like the engine's windows. Codebooks are hoisted into one-row
+    * MATERIALIZED CTEs (FLOAT for encoding, DOUBLE for the LUTs) — see
+    * `semanticOracle` for why inlining them is catastrophic. */
+  private def pqReplicaOracle(cbs: Array[Array[Array[Float]]], k: Int,
+                              refine: Int, dim: Int = 64): String = {
+    val m = cbs.length
+    val nK = cbs(0).length
+    val sub = dim / m
+    def lit3(f: Float => String): String =
+      cbs.map(_.map(_.map(f).mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+    val cbf = lit3(x => s"$x::FLOAT")
+    val cbd = lit3(x => s"${x.toDouble}")
+    s"""
+      WITH cbft AS MATERIALIZED (SELECT $cbf AS cf),
+      cbdt AS MATERIALIZED (SELECT $cbd AS cd),
+      e AS (SELECT vec_id, embedding AS f, embedding::DOUBLE[] AS v FROM embeddings),
+      codes AS MATERIALIZED (
+        SELECT vec_id, v,
+          list_transform(range(0, $m), mi ->
+            list_extract(list_transform(list_slice(list_sort(
+              list_transform(range(0, $nK), ki ->
+                {'d': list_aggregate(list_transform(range(1, ${sub + 1}), j ->
+                        ((f[mi * $sub + j] - cf[mi + 1][ki + 1][j]) *
+                         (f[mi * $sub + j] - cf[mi + 1][ki + 1][j]))::DOUBLE),
+                      'sum'),
+                 'i': ki})), 1, 1), s -> s.i), 1)) AS codes
+        FROM e CROSS JOIN cbft),
+      qluts AS MATERIALIZED (
+        SELECT vec_id AS qid, v AS qv,
+          list_transform(range(0, $m), mi ->
+            list_transform(range(0, $nK), ki ->
+              list_aggregate(list_transform(range(1, ${sub + 1}), j ->
+                v[mi * $sub + j] * cd[mi + 1][ki + 1][j]), 'sum'))) AS luts
+        FROM e CROSS JOIN cbdt WHERE vec_id < 5),
+      cand AS (
+        SELECT qid, qv, c.vec_id AS id, c.v AS cv,
+               list_aggregate(list_transform(range(0, $m), mi ->
+                 luts[mi + 1][codes[mi + 1] + 1]), 'sum') AS approx
+        FROM codes c CROSS JOIN qluts WHERE c.vec_id <> qid),
+      topr AS (
+        SELECT qid, qv, id, cv,
+               row_number() OVER (PARTITION BY qid ORDER BY approx DESC, id ASC) AS arank
+        FROM cand),
+      scored AS (
+        SELECT qid, id, list_cosine_similarity(cv, qv) AS cosine
+        FROM topr WHERE arank <= $refine),
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   /** DuckDB replica of `Dedup.semanticSurvivors` with literal centroids:
     * nearest-centroid assignment uses the same FLOAT-subtract/multiply +
     * DOUBLE-accumulate arithmetic as the engine kernel (validated by
@@ -1133,6 +1208,8 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    "sim_pq_topk" -> pqReplicaOracle(
+      Similarity.fixedCodebooks(8, 16, 8), k = 10, refine = 50),
     "text_topk" -> {
       // the query string's 2-gram shingles, built with the SAME
       // normalization the engine applies, as a DuckDB list literal

@@ -169,6 +169,79 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Deterministic per-subspace PQ codebooks: `m` subspaces × `k` codewords
+    * × `subDim` floats (splitmix64, like [[fixedCentroids]]) — untrained,
+    * but fully determined by the parameters so the whole PQ pipeline is
+    * replicable in the DuckDB oracle. Production would train each subspace
+    * codebook with k-means over subvectors (same [[trainCentroids]] loop). */
+  def fixedCodebooks(m: Int, k: Int, subDim: Int,
+                     seed: Long = 13L): Array[Array[Array[Float]]] =
+    Array.tabulate(m)(mi => fixedCentroids(k, subDim, seed + mi))
+
+  /** Product-quantization approximate top-k (Jégou et al. 2011): each
+    * corpus vector is encoded once into `m` codebook indices (64 floats →
+    * 8 bytes at the default geometry — the memory-compression path that
+    * lets a 100 TB embedding corpus fit a fraction of the footprint);
+    * queries score candidates with an ADC lookup table (one add per
+    * subspace, no float dot product), and the top `refine` candidates per
+    * query are re-ranked by exact cosine to produce the final top-k.
+    *
+    * Scale shape: encoding is a narrow codegen'd pass (the codebooks ride
+    * as reference objects); scoring joins the slim `(id, codes)` projection
+    * against the broadcast query LUTs — the full vectors re-join onto the
+    * `refine`-bounded candidate set only, so the wide payload never fans
+    * out through the scoring join. */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int = 10, m: Int = 8, codesPerSub: Int = 16, dim: Int = 64,
+             refine: Int = 50,
+             codebooksOverride: Option[Array[Array[Array[Float]]]] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cbs = codebooksOverride.getOrElse(fixedCodebooks(m, codesPerSub, sub))
+    // corpus → m-byte codes: nearest codeword per subspace slice (the same
+    // float-exact kernel the IVF quantizer uses, so the oracle replays it)
+    def code(vec: Column, mi: Int): Column = element_at(
+      column(graft.functions.NearestCentroids(
+        expression(slice(vec, mi * sub + 1, sub)), cbs(mi), 1)), 1)
+    val coded = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+      .withColumn("codes", array((0 until m).map(mi => code(col("cvec"), mi)): _*))
+      .persist()
+    // query → ADC lookup table: lut[mi][ki] = <q_sub, codeword> in DOUBLE
+    val cbLit = array(cbs.map(cb => array(cb.map(cw =>
+      array(cw.map(x => lit(x.toDouble)): _*)): _*)): _*)
+    val luts = zip_with(cbLit, sequence(lit(0), lit(m - 1)), (cbm, mi) =>
+      transform(cbm, cw => aggregate(
+        zip_with(slice(col("qvec"), mi * sub + lit(1), lit(sub)), cw, (x, c) => x * c),
+        lit(0.0d), _ + _)))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+      .withColumn("luts", luts)
+    // ADC scoring over the slim (id, codes) projection; vectors stay out
+    val approx = coded.select(col("id"), col("codes"))
+      .join(broadcast(q.select(col("qid"), col("luts"))))
+      .where(col("qid") =!= col("id"))
+      .withColumn("approx", aggregate(
+        zip_with(col("codes"), col("luts"), (c, l) => element_at(l, c + 1)),
+        lit(0.0d), _ + _))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("id").asc)
+    val cand = approx.withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= refine)
+      .select(col("qid"), col("id"))
+    // exact re-rank on the refine-bounded candidate set only
+    val wK = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    val out = cand
+      .join(coded.select(col("id"), col("cvec")), "id")
+      .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+    val materialized = out.localCheckpoint(true)
+    coded.unpersist()
+    graft.util.Materialize.track(materialized)
+  }
+
   /** Text top-k by n-gram Jaccard against a query string (inverted-index
     * candidate join, same shape as `Dedup.ngramJaccardPairs`). */
   def textTopK(corpus: DataFrame, idCol: String, textCol: String,

@@ -95,6 +95,11 @@ object Smoke {
     Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 3).show()
     lap("lsh")
 
+    println("[smoke] PQ ANN top-3 (same queries):")
+    Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 3, refine = 20).show()
+    lap("pq")
+
     println("[smoke] semantic dedup survivors (SemDeDup, fixed centroids):")
     Dedup.semanticSurvivors(emb, "vec_id", "embedding",
       Similarity.fixedCentroids(16, 64), threshold = 0.4).show(5)

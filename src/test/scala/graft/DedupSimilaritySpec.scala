@@ -259,6 +259,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"checkpoint blocks leaked: $before cached RDDs before, $after after")
   }
 
+  test("PQ top-k equals brute force when refine covers the corpus") {
+    val q = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val n = emb.count().toInt
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5, refine = n)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5)
+    assert(key(pq) == key(bf),
+      "with a corpus-covering refine the ADC cut cannot drop true neighbors")
+    // at a tight refine the output is still k rows per query with exact
+    // cosines (the ADC score orders candidates; reported scores are exact)
+    val tight = Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5, refine = 20).collect()
+    assert(tight.length == 10 && tight.forall(_.getInt(3) <= 5))
+  }
+
   test("semantic dedup: cluster blocking + cosine prune keeps min-id per near-dup group") {
     // three orthogonal centroids in dim 4; two near-dups at centroid 0,
     // one singleton at centroid 1, two same-cluster NON-dups at centroid 2
