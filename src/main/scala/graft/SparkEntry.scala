@@ -721,6 +721,10 @@ object SparkEntry {
           seqLen = 2048L)
         .orderBy("doc_id")),
     "text_quality_filter" -> textQualityFilter _,
+    "curation_shards"     -> ((s, dir) =>
+      TextAnalysis.packShards(t(s, dir, "documents"), "doc_id",
+          octet_length(col("text")).cast("long"), shardBytes = 65536L)
+        .orderBy("doc_id")),
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "dedup_clusters"      -> dedupClusters _,
     "dedup_incremental"   -> dedupIncremental _,
@@ -1331,6 +1335,15 @@ object SparkEntry {
              coalesce(hit.n_hits, 0)::DOUBLE / t.n_shingles AS contamination
       FROM tot t LEFT JOIN hit ON t.bench_id = hit.bench_id
       ORDER BY t.bench_id""",
+    "curation_shards" -> """
+      WITH sz AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents),
+      o AS (
+        SELECT doc_id, n_bytes,
+               coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+        FROM sz)
+      SELECT doc_id, n_bytes, "offset", "offset" // 65536 AS shard_id
+      FROM o ORDER BY doc_id""",
     "text_packing" -> s"""
       WITH t AS (
         SELECT doc_id,

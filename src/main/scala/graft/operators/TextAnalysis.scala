@@ -173,33 +173,13 @@ object TextAnalysis {
     * scale-out shape for any global cumulative quantity. */
   def packingOffsets(df: DataFrame, idCol: String, textCol: String,
                      seqLen: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, "seqLen must be positive")
-    val sorted = df
-      .select(col(idCol), TF.bpeishTokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    val persisted = sorted.persist()
+    val (offs, persisted) = withPrefixOffsets(
+      df, idCol, TF.bpeishTokenCount(col(textCol)), "n_tokens")
     try {
-      // pass 1: per-partition totals — numPartitions rows, driver-bounded
-      val totals = persisted.groupBy("__pid").agg(sum("n_tokens").as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      // baseOf(pid) = total tokens in all partitions before pid
-      val baseOf = totals.map(_._1).zip(
-        totals.scanLeft(0L)((acc, pt) => acc + pt._2).dropRight(1)).toMap
-      val baseCol = coalesce(
-        element_at(
-          map(baseOf.toSeq.flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*),
-          col("__pid")),
-        lit(0L))
-      // pass 2: within-partition prefix sum + partition base
-      val w = Window.partitionBy("__pid").orderBy(idCol)
-        .rowsBetween(Window.unboundedPreceding, -1)
       graft.util.Materialize.cut( // eager: materialize before releasing the
         // sort cache; tracked so Materialize.release() frees the blocks
-        persisted
-          .withColumn("offset", baseCol + coalesce(sum("n_tokens").over(w), lit(0L)))
+        offs
           .withColumn("chunk_start", expr(s"offset DIV $seqLen"))
           .withColumn("chunk_end",
             when(col("n_tokens") > 0, expr(s"(offset + n_tokens - 1) DIV $seqLen"))
@@ -207,6 +187,68 @@ object TextAnalysis {
           .select(col(idCol), col("n_tokens"), col("offset"),
                   col("chunk_start"), col("chunk_end")))
     } finally { persisted.unpersist(); () }
+  }
+
+  /** Size-targeted output-shard assignment — the write-layout planner for
+    * exporting a curated corpus as ~`shardBytes` training shards: documents
+    * in `idCol` order are laid out back-to-back and the shard boundary
+    * advances every `shardBytes` bytes, so shard ids are dense, ordered,
+    * and deterministic (a shard may overshoot by at most one document —
+    * size-TARGETED, not a hard cap; documents are never split). The
+    * assignment can drive `df.write.partitionBy("shard_id")` or a
+    * repartition-by-shard writer so each output file lands near the target
+    * size instead of whatever task boundaries produce.
+    *
+    * Same two-pass distributed prefix sum as [[packingOffsets]] — no
+    * single-task global window at any scale. */
+  def packShards(df: DataFrame, idCol: String, size: org.apache.spark.sql.Column,
+                 shardBytes: Long): DataFrame = {
+    require(shardBytes > 0, "shardBytes must be positive")
+    val (offs, persisted) = withPrefixOffsets(df, idCol, size, "n_bytes")
+    try {
+      graft.util.Materialize.cut(
+        offs
+          .withColumn("shard_id", expr(s"offset DIV $shardBytes"))
+          .select(col(idCol), col("n_bytes"), col("offset"), col("shard_id")))
+    } finally { persisted.unpersist(); () }
+  }
+
+  /** Two-pass distributed global prefix sum over `size` in `idCol` order:
+    * per-sort-partition subtotals (one tiny row per partition) are
+    * collected, turned into cumulative bases, and added to a
+    * WITHIN-partition window — the naive `Window.orderBy(id)` with no
+    * partitioning funnels the whole corpus through ONE task. Returns the
+    * frame with `(idCol, sizeName, offset)` columns plus the persisted
+    * intermediate the caller must unpersist after materializing. */
+  private def withPrefixOffsets(df: DataFrame, idCol: String,
+                                size: org.apache.spark.sql.Column,
+                                sizeName: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df
+      .select(col(idCol), size.cast("long").as(sizeName))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val persisted = sorted.persist()
+    // pass 1: per-partition totals — numPartitions rows, driver-bounded
+    val totals = persisted.groupBy("__pid").agg(sum(sizeName).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // baseOf(pid) = total size in all partitions before pid
+    val baseOf = totals.map(_._1).zip(
+      totals.scanLeft(0L)((acc, pt) => acc + pt._2).dropRight(1)).toMap
+    val baseCol =
+      if (baseOf.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(baseOf.toSeq.flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*),
+          col("__pid")),
+        lit(0L))
+    // pass 2: within-partition prefix sum + partition base
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    (persisted.withColumn("offset",
+       baseCol + coalesce(sum(sizeName).over(w), lit(0L))),
+     persisted)
   }
 
   /** Vocabulary report per group: exact distinct-token count (shuffle

@@ -125,6 +125,22 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("packShards: running-byte shard boundaries; docs never split") {
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(Seq(
+      (1L, "a" * 10), (2L, "b" * 10), (3L, "c" * 10),
+      (4L, "d" * 30), (5L, "e")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packShards(df, "doc_id",
+        octet_length(col("text")).cast("long"), shardBytes = 25L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // offsets 0,10,20,30,60: doc 3 overshoots shard 0 (size-targeted, not
+    // hard-capped); the 30-byte doc 4 owns shard 1; doc 5 starts shard 2
+    assert(out == Seq((1L, 10L, 0L, 0L), (2L, 10L, 10L, 0L),
+      (3L, 10L, 20L, 0L), (4L, 30L, 30L, 1L), (5L, 1L, 60L, 2L)), out.toString)
+  }
+
   test("contamination: duplicated benchmark doc = 1.0, unrelated = 0.0") {
     import graft.operators.TextAnalysis
     val corpus = spark.createDataFrame(Seq(
