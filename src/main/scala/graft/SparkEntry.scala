@@ -725,6 +725,10 @@ object SparkEntry {
       TextAnalysis.packShards(t(s, dir, "documents"), "doc_id",
           octet_length(col("text")).cast("long"), shardBytes = 65536L)
         .orderBy("doc_id")),
+    "text_token_ids"      -> ((s, dir) =>
+      TextAnalysis.tokenIds(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 1000)
+        .orderBy("doc_id", "pos")),
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "dedup_clusters"      -> dedupClusters _,
     "dedup_incremental"   -> dedupIncremental _,
@@ -1335,6 +1339,22 @@ object SparkEntry {
              coalesce(hit.n_hits, 0)::DOUBLE / t.n_shingles AS contamination
       FROM tot t LEFT JOIN hit ON t.bench_id = hit.bench_id
       ORDER BY t.bench_id""",
+    // vocab = top-1000 tokens by (count desc, token asc) — a deterministic
+    // total order both engines can reproduce; OOV encodes as 1000 (<unk>)
+    "text_token_ids" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      tf AS (SELECT unnest(tk) AS tok FROM toks),
+      vocab AS MATERIALIZED (
+        SELECT tok, (row_number() OVER (ORDER BY c DESC, tok ASC) - 1)::BIGINT AS tid
+        FROM (SELECT tok, count(*) AS c FROM tf WHERE tok <> '' GROUP BY tok)
+        ORDER BY c DESC, tok ASC LIMIT 1000),
+      flat AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                 i -> {'pos': i - 1, 'tok': tk[i]}), recursive := true)
+        FROM toks)
+      SELECT doc_id, pos::INT AS pos, coalesce(v.tid, 1000)::INT AS token_id
+      FROM flat LEFT JOIN vocab v USING (tok)
+      ORDER BY doc_id, pos""",
     "curation_shards" -> """
       WITH sz AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents),
       o AS (

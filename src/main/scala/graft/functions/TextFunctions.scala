@@ -446,3 +446,48 @@ case class RollingHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
   override def prettyName: String = "rolling_hash64"
 }
+
+/** Token → vocabulary-id encoding over an ARRAY<STRING> input: each token
+  * maps to its dense vocab id, out-of-vocabulary tokens to `unkId`. The
+  * vocabulary rides to executors as a codegen reference object inside the
+  * task binary (the same broadcast-style mechanism as the IVF centroids) —
+  * encoding is one narrow scan-bound pass, no per-token join/shuffle and
+  * no re-assembly aggregation. */
+case class VocabEncode(child: Expression, vocab: Array[String], unkId: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.unsafe.types.UTF8String
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val map: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) { m.put(UTF8String.fromString(vocab(i)), i); i += 1 }
+    m
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    VocabEncodeUtil.encode(v.asInstanceOf[ArrayData], map, unkId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: Janino's generics support is partial (see QualityLangKeep)
+    val mapRef = ctx.addReferenceObj("vocabMap", map, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VocabEncodeUtil.encode($c, $mapRef, $unkId)")
+  }
+  override protected def withNewChildInternal(c: Expression): VocabEncode =
+    copy(child = c)
+  override def prettyName: String = "vocab_encode"
+}
+
+object VocabEncodeUtil {
+  def encode(arr: ArrayData,
+             vocab: java.util.HashMap[_, _], unkId: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val id = vocab.get(arr.getUTF8String(i))
+      out(i) = if (id == null) unkId else id.asInstanceOf[Integer].intValue()
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}

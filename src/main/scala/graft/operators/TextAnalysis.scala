@@ -213,6 +213,36 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Corpus vocabulary: the top `vocabSize` normalized tokens by
+    * (count desc, token asc) — a deterministic total order, so the id
+    * assignment is reproducible across engines and runs. One partial-agg
+    * shuffle over (token, count); the result is `vocabSize`-bounded and
+    * collected to the driver (the same bounded-collect contract as the IVF
+    * k-means trainer). Index in the returned array = dense token id. */
+  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): Array[String] =
+    df.select(explode(TF.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .collect().map(_.getString(0))
+
+  /** Token-id encoding against a corpus (or precomputed) vocabulary — the
+    * tokenize step of a training-data pipeline, flattened to one row per
+    * (doc, position) with OOV tokens mapped to `vocabSize` (the <unk> id).
+    * Encoding is a native expression with the vocab as a codegen reference
+    * object: a narrow scan-bound pass, no per-token join. Pass `vocab` to
+    * reuse a frozen vocabulary across incremental batches (the production
+    * shape — the vocab must not drift between crawls). */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int, vocab: Option[Array[String]] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val v = vocab.getOrElse(buildVocab(df, textCol, vocabSize))
+    val ids = column(graft.functions.VocabEncode(
+      expression(TF.tokens(col(textCol))), v, vocabSize))
+    df.select(col(idCol), posexplode(ids).as(Seq("pos", "token_id")))
+  }
+
   /** Two-pass distributed global prefix sum over `size` in `idCol` order:
     * per-sort-partition subtotals (one tiny row per partition) are
     * collected, turned into cumulative bases, and added to a

@@ -141,6 +141,27 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, 10L, 20L, 0L), (4L, 30L, 30L, 1L), (5L, 1L, 60L, 2L)), out.toString)
   }
 
+  test("tokenIds: frequency-ranked vocab, OOV to unk, frozen-vocab reuse") {
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat")))
+      .toDF("doc_id", "text")
+    // counts: the=3, cat=2, sat=2, dog=1, ran=1 → vocab (V=4, count desc,
+    // token asc): the=0, cat=1, sat=2, dog=3; ran is OOV → 4
+    val out = TextAnalysis.tokenIds(df, "doc_id", "text", vocabSize = 4)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq(
+      (1L, 0, 0), (1L, 1, 1), (1L, 2, 2),
+      (2L, 0, 0), (2L, 1, 1), (2L, 2, 4),
+      (3L, 0, 0), (3L, 1, 3), (3L, 2, 2)), out.toString)
+    // a frozen vocab must be honored verbatim (incremental-batch contract)
+    val frozen = TextAnalysis.tokenIds(df.where(col("doc_id") === 2),
+        "doc_id", "text", vocabSize = 4, vocab = Some(Array("ran", "cat")))
+      .orderBy("pos").collect().map(_.getInt(2)).toSeq
+    assert(frozen == Seq(4, 1, 0), frozen.toString)
+  }
+
   test("contamination: duplicated benchmark doc = 1.0, unrelated = 0.0") {
     import graft.operators.TextAnalysis
     val corpus = spark.createDataFrame(Seq(
