@@ -195,8 +195,8 @@ object Similarity {
              queries: DataFrame, queryId: String, queryVec: String,
              k: Int = 10, m: Int = 8, codesPerSub: Int = 16, dim: Int = 64,
              refine: Int = 50,
-             codebooksOverride: Option[Array[Array[Array[Float]]]] = None)
-      : DataFrame = {
+             codebooksOverride: Option[Array[Array[Array[Float]]]] = None,
+             materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -237,9 +237,11 @@ object Similarity {
       .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
       .withColumn("rank", row_number().over(wK))
       .where(col("rank") <= k)
-    val materialized = out.localCheckpoint(true)
-    coded.unpersist()
-    graft.util.Materialize.track(materialized)
+    if (materialize) {
+      val cut = out.localCheckpoint(true)
+      coded.unpersist()
+      graft.util.Materialize.track(cut)
+    } else out // plan-inspection mode: caller owns cache release
   }
 
   /** Text top-k by n-gram Jaccard against a query string (inverted-index

@@ -250,6 +250,12 @@ object TextAnalysis {
     * partitioning funnels the whole corpus through ONE task. Returns the
     * frame with `(idCol, sizeName, offset)` columns plus the persisted
     * intermediate the caller must unpersist after materializing. */
+  /** Test hook: exposes the pre-materialization prefix-sum plan so PlanSpec
+    * can pin the within-partition window shape. */
+  private[graft] def prefixOffsetsForTest(df: DataFrame, idCol: String,
+      size: org.apache.spark.sql.Column, sizeName: String): (DataFrame, DataFrame) =
+    withPrefixOffsets(df, idCol, size, sizeName)
+
   private def withPrefixOffsets(df: DataFrame, idCol: String,
                                 size: org.apache.spark.sql.Column,
                                 sizeName: String): (DataFrame, DataFrame) = {

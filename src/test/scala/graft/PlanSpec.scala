@@ -82,6 +82,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq ANN: ADC scoring reads slim (id, codes); vectors rejoin on the refine set only") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+              org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val p = dedupPlan(graft.operators.Similarity.pqTopK(
+      emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 3, refine = 20, materialize = false))
+    // the refine cut is a per-partition group limit, not a global sort
+    assert(p.contains("WindowGroupLimit"), s"refine cut lost WindowGroupLimit:\n$p")
+    // the scoring side scans the cached codes WITHOUT the vector payload —
+    // the wide cvec column must be pruned from at least the scoring scan
+    val codeScans = p.linesIterator
+      .filter(l => l.contains("InMemoryTableScan") && l.contains("codes#"))
+      .toVector
+    assert(codeScans.nonEmpty, s"pq lost its cached codes scan:\n$p")
+    assert(codeScans.exists(l => !l.contains("cvec#")),
+      s"every codes scan drags the vector payload through ADC scoring:\n${codeScans.mkString("\n")}")
+  }
+
+  test("semantic dedup: cluster sizing is slim; no cartesian product") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val p = dedupPlan(graft.operators.Dedup.semanticSurvivors(
+        emb, "vec_id", "embedding",
+        graft.operators.Similarity.fixedCentroids(16, 64), threshold = 0.4))
+      assert(!p.contains("CartesianProduct"), "semantic planned a cartesian product")
+      val sizing = p.linesIterator
+        .filter(l => l.contains("InMemoryTableScan") && l.contains("__bsz"))
+        .toVector
+      assert(sizing.nonEmpty, s"semantic lost its sizing cache:\n$p")
+      sizing.foreach(l => assert(!l.contains("vec#"),
+        s"semantic sizing shuffle carries the vector payload: $l"))
+    } finally spark.conf.unset("spark.graft.dedup.materialize")
+  }
+
+  test("token-id encoding: narrow scan-bound plan, no exchange, native expression") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.operators.TextAnalysis.tokenIds(docs, "doc_id", "text",
+        vocabSize = 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("vocab_encode"), "encode must be the native expression")
+    assert(!p.contains("Exchange"),
+      s"token-id encoding must be a narrow pass — no shuffle:\n$p")
+  }
+
+  test("shard packing: global prefix sum windows WITHIN partitions, never one task") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (offs, persisted) = graft.operators.TextAnalysis.prefixOffsetsForTest(
+      docs, "doc_id", org.apache.spark.sql.functions.octet_length(
+        org.apache.spark.sql.functions.col("text")).cast("long"), "n_bytes")
+    try {
+      val p = offs.queryExecution.executedPlan.toString
+      // the running sum must be keyed by the sort partition id — an empty
+      // partition spec would funnel the corpus through a single task
+      assert(p.contains("windowspecdefinition(__pid"),
+        s"prefix-sum window is not partitioned by __pid:\n$p")
+    } finally { persisted.unpersist(); () }
+  }
+
   test("dedup bucket sizing runs over slim (id, key) rows — no payload in the shuffle") {
     // the round-2 regression: 128-long signatures (and embedding vectors)
     // transiting the bucket-sizing window shuffle and its persist. Pin: the
