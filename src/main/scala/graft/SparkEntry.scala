@@ -295,6 +295,27 @@ object SparkEntry {
       .orderBy("event_id", "iv_id")
   }
 
+  /** Co-located join over bucket-materialized tables: both fact tables are
+    * written once as bucketed+sorted parquet (the ingest-time shuffle),
+    * then the join plans with ZERO exchanges — the 100 TB pattern for
+    * repeated joins on a distribution key. The merge hint keeps the demo
+    * honest at gate scale (a broadcast would hide the bucketing); the
+    * plan shape (no Exchange, bucketed scans) is pinned in PlanSpec. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational.bucketMaterialize
+    val l = bucketMaterialize(
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("qty")),
+      "graft_b_lineitem", "l_orderkey", 8, "/tmp/graft_bucketed/lineitem")
+    val o = bucketMaterialize(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", "o_orderkey", 8, "/tmp/graft_bucketed/orders")
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   // ==== LLM-data-pipeline operators ======================================
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -681,6 +702,7 @@ object SparkEntry {
     "q_distinct_agg"      -> qDistinctAgg _,
     "q_asof_join"         -> qAsofJoin _,
     "q_range_join"        -> qRangeJoin _,
+    "q_bucketed_join"     -> qBucketedJoin _,
     // LLM-data-pipeline operators
     "dedup_exact"         -> dedupExact _,
     "dedup_normalized"    -> dedupNormalized _,
@@ -1120,6 +1142,11 @@ object SparkEntry {
       FROM p JOIN iv ON p.user_id = iv.user_id
         AND p.ts_ms >= iv.start_ms AND p.ts_ms < iv.end_ms
       ORDER BY event_id, iv_id""",
+    "q_bucketed_join" -> """
+      SELECT o_orderpriority, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+             count(*)::BIGINT AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
              count(*)::BIGINT AS n_copies

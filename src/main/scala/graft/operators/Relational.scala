@@ -114,4 +114,31 @@ object Relational {
     // drop it so the key is unambiguous for downstream select/groupBy
     keyCol.map(k => joined.drop(iv(k))).getOrElse(joined)
   }
+
+  /** Materialize `df` as a bucketed + per-bucket-sorted parquet table —
+    * the pay-the-shuffle-ONCE half of a co-located join. Two tables
+    * bucketed on their join keys with the same bucket count join with ZERO
+    * exchanges forever after (Spark treats the bucket layout as
+    * pre-shuffled `HashPartitioning`); at 100 TB this converts every
+    * repeated fact-to-fact join on the distribution key from a full-data
+    * shuffle into a scan-local merge. The bucket COUNT is the contract:
+    * pick it once per subject area (e.g. 4096 at production scale) and
+    * reuse it for every table that joins on that key.
+    *
+    * `path` must be a writable location; re-materializing overwrites both
+    * the files and the catalog entry (idempotent refresh). Returns the
+    * catalog-backed frame whose scans carry the bucket metadata. */
+  def bucketMaterialize(df: DataFrame, table: String, key: String,
+                        buckets: Int, path: String): DataFrame = {
+    val spark = df.sparkSession
+    // an existing catalog entry may point at a stale schema/path — drop it
+    // first so overwrite cannot half-apply (saveAsTable validates against
+    // the registered table, not the files)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }

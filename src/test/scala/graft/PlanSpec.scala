@@ -82,6 +82,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join: the join subtree has zero exchanges; scans read buckets") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"bucketed demo lost its merge join:\n$p")
+    // everything BELOW the merge join (both scan sides) must be
+    // exchange-free — the bucket layout IS the partitioning; the
+    // aggregation above the join still shuffles its 5 groups, which is fine
+    val subtree = p.split("SortMergeJoin", 2)(1)
+    assert(!subtree.contains("Exchange"),
+      s"bucketed join re-shuffled a pre-bucketed side:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"scan did not use the bucket layout:\n$p")
+  }
+
   test("pq ANN: ADC scoring reads slim (id, codes); vectors rejoin on the refine set only") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 2)
