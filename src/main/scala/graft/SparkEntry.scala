@@ -513,6 +513,16 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** The composed Gopher A1 filter: quality + language + 2-gram repetition
+    * caps; the narrow predicate runs first so only its survivors pay the
+    * n-gram shuffle. */
+  private def textGopherFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   private def dedupNgramSurvivors(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -743,6 +753,7 @@ object SparkEntry {
           seqLen = 2048L)
         .orderBy("doc_id")),
     "text_quality_filter" -> textQualityFilter _,
+    "text_gopher_filter"  -> textGopherFilter _,
     "curation_shards"     -> ((s, dir) =>
       TextAnalysis.packShards(t(s, dir, "documents"), "doc_id",
           octet_length(col("text")).cast("long"), shardBytes = 65536L)
@@ -1002,6 +1013,37 @@ object SparkEntry {
       SELECT qid, id, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= $k ORDER BY qid, rank"""
   }
+
+  /** Shared CTE chain replicating `QualityLangKeep` (quality score +
+    * language pick) ending in `kept(doc_id, lang, source)` — used by the
+    * quality-filter oracle and composed with repetition caps by the Gopher
+    * oracle. */
+  private def qualityKeptCtes: String = s"""c AS (
+        SELECT doc_id, lang, source,
+               len($sqlToks)::BIGINT AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                 floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
+               ELSE 0 END AS punct_pm,
+               ${langScoreSql("en")} AS stop_hits,
+               ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+               ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+               ${langScoreSql("zh")} AS s_zh
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, source,
+               (least(n_tokens, 200) * 2 +
+                CASE WHEN punct_pm <= 80 THEN 300 ELSE 100 END +
+                least(stop_hits * 30, 300)) AS quality,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM c),
+      kept AS (
+        SELECT doc_id, lang, source FROM scored
+        WHERE quality >= 450 AND lang_pred IN ('en', 'fr'))"""
 
   private def langScoreSql(lang: String): String = {
     val words = TF.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1427,31 +1469,32 @@ object SparkEntry {
              true AS sketch_ok
       FROM w WHERE tok <> '' GROUP BY lang ORDER BY lang""",
     "text_quality_filter" -> s"""
-      WITH c AS (
-        SELECT doc_id, lang, source,
-               len($sqlToks)::BIGINT AS n_tokens,
-               CASE WHEN length(text) > 0 THEN
-                 floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
-               ELSE 0 END AS punct_pm,
-               ${langScoreSql("en")} AS stop_hits,
-               ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
-               ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
-               ${langScoreSql("zh")} AS s_zh
-        FROM documents),
-      scored AS (
-        SELECT doc_id, lang, source,
-               (least(n_tokens, 200) * 2 +
-                CASE WHEN punct_pm <= 80 THEN 300 ELSE 100 END +
-                least(stop_hits * 30, 300)) AS quality,
-               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
-                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                    ELSE 'de' END AS lang_pred
-        FROM c)
-      SELECT doc_id, lang, source FROM scored
-      WHERE quality >= 450 AND lang_pred IN ('en', 'fr')
+      WITH $qualityKeptCtes
+      SELECT doc_id, lang, source FROM kept ORDER BY doc_id""",
+    // the full Gopher composite: quality/language keep AND 2-gram
+    // repetition caps (dup_ppm <= 120000, top_ppm <= 60000), repetition
+    // computed over the kept set only (per-doc signals — order-invariant)
+    "text_gopher_filter" -> s"""
+      WITH $qualityKeptCtes,
+      ktoks AS MATERIALIZED (
+        SELECT doc_id, $sqlToks AS tk FROM documents JOIN kept USING (doc_id)),
+      ng AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(tk), 1)),
+                 i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS gs
+        FROM ktoks),
+      occ AS (SELECT doc_id, unnest(gs) AS g FROM ng),
+      gcnt AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2),
+      ragg AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS total,
+               coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0)::BIGINT AS dup,
+               max(cnt)::BIGINT AS top
+        FROM gcnt GROUP BY 1),
+      bad AS (
+        SELECT doc_id FROM ragg
+        WHERE dup * 1000000 // total > 120000 OR top * 1000000 // total > 60000)
+      SELECT doc_id, lang, source FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
       ORDER BY doc_id""",
     "dedup_ngram_survivors" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),

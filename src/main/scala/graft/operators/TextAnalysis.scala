@@ -45,6 +45,26 @@ object TextAnalysis {
       expression(col(textCol)), minScore, langs)))
   }
 
+  /** The full Gopher-style document filter (Rae et al. 2021, appendix A1):
+    * the native quality/language keep-predicate composed with the
+    * repetition caps — a document survives if its quality score and
+    * language pass AND none of its per-n dup/top n-gram occupancies exceed
+    * the ppm thresholds.
+    *
+    * Order matters at scale: the narrow scan-bound quality predicate runs
+    * FIRST, so only survivors pay the n-gram counting shuffle (repetition
+    * signals are per-document — filtering first cannot change them). */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minScore: Long, langs: Seq[String],
+                   maxDupPpm: Long, maxTopPpm: Long,
+                   ns: Seq[Int] = Seq(2)): DataFrame = {
+    val kept = qualityFilter(df, textCol, minScore, langs)
+    val repetitive = repetitionReport(kept, idCol, textCol, ns)
+      .where(col("dup_ppm") > maxDupPpm || col("top_ppm") > maxTopPpm)
+      .select(col(idCol)).distinct()
+    kept.join(repetitive, Seq(idCol), "left_anti")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1): per
     * document and n-gram size, the fraction of n-gram OCCURRENCES belonging
     * to an n-gram that appears more than once in the doc (`dup_ppm`) and

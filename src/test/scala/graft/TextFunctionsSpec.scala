@@ -141,6 +141,21 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, 10L, 20L, 0L), (4L, 30L, 30L, 1L), (5L, 1L, 60L, 2L)), out.toString)
   }
 
+  test("gopherFilter drops repetitive docs independent of the quality gate") {
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "web"),
+      (2L, "spam spam spam spam spam spam spam spam", "en", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+    // quality gate wide open (minScore 0, no lang set) — only the 2-gram
+    // repetition caps decide: doc 2 is one gram repeated (dup_ppm = 1e6)
+    val out = TextAnalysis.gopherFilter(df, "doc_id", "text",
+        minScore = 0L, langs = Seq.empty,
+        maxDupPpm = 500000L, maxTopPpm = 300000L, ns = Seq(2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"expected only the non-repetitive doc: $out")
+  }
+
   test("tokenIds: frequency-ranked vocab, OOV to unk, frozen-vocab reuse") {
     import graft.operators.TextAnalysis
     val df = spark.createDataFrame(Seq(
