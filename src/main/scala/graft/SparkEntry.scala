@@ -316,6 +316,23 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Partition-pruned scan over a partition-materialized table: events are
+    * written once partitioned by event_type (the filter key), then the
+    * filtered aggregate reads ONLY the matching directory — the scan's
+    * `PartitionFilters` prune at planning time, zero IO for the rest.
+    * PlanSpec pins the pruned scan shape. */
+  private def qPartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.Relational.partitionMaterialize(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("value"), col("event_type")),
+      "graft_p_events", "event_type", "/tmp/graft_partitioned/events")
+    ev.where(col("event_type") === "purchase")
+      .groupBy(expr("user_id DIV 100").as("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("value_cents"))
+      .orderBy("user_bucket")
+  }
+
   // ==== LLM-data-pipeline operators ======================================
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -713,6 +730,7 @@ object SparkEntry {
     "q_asof_join"         -> qAsofJoin _,
     "q_range_join"        -> qRangeJoin _,
     "q_bucketed_join"     -> qBucketedJoin _,
+    "q_partition_pruned"  -> qPartitionPruned _,
     // LLM-data-pipeline operators
     "dedup_exact"         -> dedupExact _,
     "dedup_normalized"    -> dedupNormalized _,
@@ -1184,6 +1202,11 @@ object SparkEntry {
       FROM p JOIN iv ON p.user_id = iv.user_id
         AND p.ts_ms >= iv.start_ms AND p.ts_ms < iv.end_ms
       ORDER BY event_id, iv_id""",
+    "q_partition_pruned" -> """
+      SELECT user_id // 100 AS user_bucket, count(*)::BIGINT AS n,
+             sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS value_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1""",
     "q_bucketed_join" -> """
       SELECT o_orderpriority, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
              count(*)::BIGINT AS n_items

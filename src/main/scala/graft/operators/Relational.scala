@@ -128,6 +128,25 @@ object Relational {
     * `path` must be a writable location; re-materializing overwrites both
     * the files and the catalog entry (idempotent refresh). Returns the
     * catalog-backed frame whose scans carry the bucket metadata. */
+  /** Materialize `df` partitioned by a low-cardinality column — the
+    * directory-layout half of storage design (bucketing handles join keys;
+    * partitioning handles FILTER keys). Queries filtering on `partCol`
+    * prune whole directories at planning time (`PartitionFilters` in the
+    * scan, zero IO for excluded partitions) — at 100 TB, partitioning by
+    * ingest date/source is the difference between scanning a day and
+    * scanning the corpus. Keep `partCol` cardinality bounded (dates,
+    * sources, languages — never ids): each value is a directory. */
+  def partitionMaterialize(df: DataFrame, table: String, partCol: String,
+                           path: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partCol)
+      .option("path", path)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   def bucketMaterialize(df: DataFrame, table: String, key: String,
                         buckets: Int, path: String): DataFrame = {
     val spark = df.sparkSession

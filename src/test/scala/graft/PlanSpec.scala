@@ -95,6 +95,14 @@ class PlanSpec extends SparkSpec {
       s"scan did not use the bucket layout:\n$p")
   }
 
+  test("partition-pruned scan: the filter lands in PartitionFilters, not post-scan") {
+    val p = plan("q_partition_pruned")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [") &&
+           scan.replaceAll(".*PartitionFilters: \\[", "").contains("purchase"),
+      s"event_type filter must prune partitions at the scan:\n$p")
+  }
+
   test("pq ANN: ADC scoring reads slim (id, codes); vectors rejoin on the refine set only") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 2)
