@@ -478,13 +478,18 @@ object Dedup {
              min(when(col("dst") === col("src"), col("dcomp"))).as("prev"))
       // pointer jump: comp ← min(m, this round's label of node m); the
       // lookup side is the same aggregate re-keyed by id (exchange-reused).
-      // The change flag rides in the same projection and is read from the
-      // round's one materialization — no extra join job for convergence
+      // The change flag is OBSERVED during the cut's own materialization
+      // job (CollectMetrics accumulator), so convergence costs zero extra
+      // driver jobs — the eager checkpoint already runs one per round
       val jc = least(col("m"), coalesce(col("jmin"), col("m")))
-      val next = Materialize.cut(stepped
+      val obsName = s"graft_cc_chg_$rounds"
+      val toCut = stepped
         .join(stepped.select(col("id").as("m"), col("m").as("jmin")), Seq("m"), "left")
-        .select(col("id"), jc.as("comp"), (jc =!= col("prev")).as("__chg")))
-      converged = next.where(col("__chg")).isEmpty
+        .select(col("id"), jc.as("comp"), (jc =!= col("prev")).as("__chg"))
+        .observe(obsName, max(col("__chg")).as("any_chg"))
+      val next = Materialize.cut(toCut)
+      converged = !toCut.queryExecution.observedMetrics.get(obsName)
+        .exists(r => Option(r.get(0)).contains(true))
       // previous ROUND's cut is dead once `next` exists — but only release
       // rounds this loop created: on the first iteration `lab` is a
       // projection of the caller's `df`, and releasing it would free a
