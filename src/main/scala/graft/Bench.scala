@@ -39,6 +39,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // session-age hygiene: the status stores retain 1000 jobs/stages/
       // executions by default; a 60-query × 2-pass run (plus AQE's

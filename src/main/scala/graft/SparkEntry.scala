@@ -505,6 +505,27 @@ object SparkEntry {
         col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** The SQL-registration path: the same computations as `text_rollhash` /
+    * `pipe_b64` / `text_quality_filter` / the shingle sizing, but issued
+    * through `spark.sql` against the `graft_*` functions installed by
+    * `GraftExtensions` (Verify/Bench set `spark.sql.extensions`; for
+    * caller-owned sessions `ensureRegistered` installs the same builders).
+    * What this row gates is the registration + analysis path, not the
+    * kernels — those have their own oracled rows. */
+  private def sqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctionRegistry.ensureRegistered(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_sqlfn_documents")
+    s.sql("""
+      SELECT doc_id,
+             graft_rollhash(text) AS rollhash,
+             graft_b64_encode(cast(text AS BINARY)) AS b64,
+             graft_quality_keep(text, 450, array('en', 'fr')) AS keep_en_fr,
+             cast(size(graft_shingles(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '), '\\s+', ' ')),
+               3)) AS BIGINT) AS n_shingles
+      FROM graft_sqlfn_documents ORDER BY doc_id""")
+  }
+
   private def textRollhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
         col("doc_id"), TF.rollingHash(col("text")).as("rollhash"))
@@ -788,6 +809,7 @@ object SparkEntry {
     "mm_frames"           -> mmFrames _,
     "events_json"         -> eventsJson _,
     "text_redact"         -> textRedact _,
+    "sql_functions"       -> sqlFunctions _,
     // live engine paths (readStream → foreachBatch → sink, read back)
     "stream_pipeline_e2e" -> streamPipelineE2e _,
     "http_push_e2e"       -> httpPushE2e _)
@@ -798,6 +820,18 @@ object SparkEntry {
     * equivalent of TextFunctions.normText/tokens). */
   private val sqlToks =
     """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
+
+  /** DuckDB replica of `TextFunctions.rollingHash` (Karp-Rabin over UTF-8
+    * bytes, B=257, mod 2^61-1) on column `text` — shared by the
+    * `text_rollhash` and `sql_functions` oracles. */
+  private val rollhashExprSql = """
+        list_reduce(
+          list_prepend(0::HUGEINT,
+            list_transform(range(0, octet_length(encode(text))),
+              i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1)) * 16
+                    + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)))::HUGEINT)),
+          (h, b) -> (h * 257 + b) % 2305843009213693951::HUGEINT
+        )::BIGINT"""
 
   /** DuckDB replica of `Similarity.lshTopK`: same deterministic hyperplanes
     * (literal-embedded), same sign-bit bucket formula (double arithmetic,
@@ -1335,16 +1369,30 @@ object SparkEntry {
       FROM scored WHERE inter > 0
       ORDER BY jaccard DESC, id ASC LIMIT 10"""
     },
-    "text_rollhash" -> """
-      SELECT doc_id,
-        list_reduce(
-          list_prepend(0::HUGEINT,
-            list_transform(range(0, octet_length(encode(text))),
-              i -> (strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1)) * 16
-                    + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)))::HUGEINT)),
-          (h, b) -> (h * 257 + b) % 2305843009213693951::HUGEINT
-        )::BIGINT AS rollhash
+    "text_rollhash" -> s"""
+      SELECT doc_id, $rollhashExprSql AS rollhash
       FROM documents ORDER BY doc_id""",
+    // sql_functions: the SAME computations as their dedicated rows, but
+    // issued through `spark.sql` against the extensions-registered
+    // functions — what this row verifies is the REGISTRATION path
+    // (GraftExtensions → FunctionRegistry → analysis-time literal checks),
+    // end-to-end through the driver's gate
+    "sql_functions" -> s"""
+      WITH $qualityKeptCtes,
+      shn AS (
+        SELECT doc_id,
+               CASE WHEN len($sqlToks) < 3 THEN 1::BIGINT
+                    ELSE len(list_distinct(list_transform(
+                           range(1, len($sqlToks) - 1),
+                           i -> array_to_string(list_slice($sqlToks, i, i + 2), ' '))))::BIGINT
+               END AS n_shingles
+        FROM documents)
+      SELECT d.doc_id, $rollhashExprSql AS rollhash,
+             to_base64(encode(text)) AS b64,
+             (quality >= 450 AND lang_pred IN ('en', 'fr')) AS keep_en_fr,
+             n_shingles
+      FROM documents d JOIN scored USING (doc_id) JOIN shn USING (doc_id)
+      ORDER BY doc_id""",
     "text_stats" -> s"""
       SELECT doc_id, len($sqlToks)::BIGINT AS n_words,
              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
