@@ -803,6 +803,9 @@ object SparkEntry {
         .orderBy("doc_id", "pos")),
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "dedup_clusters"      -> dedupClusters _,
+    "dedup_spans"         -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy("doc_id", "start_tok")),
     "dedup_incremental"   -> dedupIncremental _,
     "text_repetition"     -> textRepetition _,
     "mm_decode"           -> mmDecode _,
@@ -1393,6 +1396,33 @@ object SparkEntry {
              n_shingles
       FROM documents d JOIN scored USING (doc_id) JOIN shn USING (doc_id)
       ORDER BY doc_id""",
+    // dedup_spans: the oracle groups positional 10-gram windows by their
+    // STRING (the engine groups by xxhash64 of it — identical partitioning
+    // of positions absent a 64-bit collision), drops each window group's
+    // globally-first occurrence, and merges overlapping windows per doc
+    "dedup_spans" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      ge AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 8),
+                 i -> {'pos': i - 1,
+                       'g': array_to_string(list_slice(tk, i, i + 9), ' ')})) AS u
+             FROM toks WHERE len(tk) >= 10),
+      grams AS (SELECT doc_id, (u.pos)::BIGINT AS pos, u.g AS g FROM ge),
+      rk AS (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY g) AS cnt
+             FROM grams),
+      dup AS (SELECT doc_id, pos FROM rk WHERE cnt > 1 AND rn > 1),
+      fl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 10
+                    THEN 1 ELSE 0 END AS brk
+             FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      gr AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+             FROM fl)
+      SELECT doc_id, min(pos)::BIGINT AS start_tok,
+             (max(pos) + 10)::BIGINT AS end_tok, count(*)::BIGINT AS n_windows
+      FROM gr GROUP BY doc_id, gid ORDER BY doc_id, start_tok""",
     "text_stats" -> s"""
       SELECT doc_id, len($sqlToks)::BIGINT AS n_words,
              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,

@@ -366,6 +366,62 @@ object Dedup {
     * and the posting join is bounded by the incoming side's shingles).
     * `maxDocFreq` prunes pathological shingles exactly as
     * [[ngramJaccardPairs]]. Ids must be unique across both inputs. */
+  /** Exact substring-span dedup (the "dedup repeated n-token spans, not
+    * whole documents" shape used for training corpora — boilerplate,
+    * licenses, quoted passages): every token-position window of width `n`
+    * is hashed, windows whose hash occurs more than once ANYWHERE in the
+    * corpus are duplicate spans, and per document the overlapping/adjacent
+    * duplicate windows are merged into maximal spans. The globally-first
+    * occurrence (min `(id, pos)`) of each window is the canonical copy and
+    * is NOT reported — the result is exactly the spans a cleaner would cut.
+    *
+    * Output: `(idCol, start_tok, end_tok, n_windows)` — token-index spans
+    * `[start_tok, end_tok)` over the graft-normalized tokenization, ordered
+    * within each doc.
+    *
+    * Scale design: the positional-window hashes shuffle as `(hash, id,
+    * pos)` — never text. The global first/count reduction is a partial
+    * (map-side combinable) aggregation, NOT a per-hash window sort, so a
+    * boilerplate span occurring 10^6 times costs a combiner merge, not a
+    * single-reducer sort. The only window function runs partitioned by
+    * document (bounded by doc length). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 10): DataFrame = {
+    require(n >= 2, s"span width n must be >= 2, got $n")
+    val toks = TF.tokens(col(textCol))
+    // (id, pos, h): xxhash64 of each n-token window at token index pos
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(
+          when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    // global min-(id,pos) + count per hash: partial agg before the shuffle,
+    // so hot (boilerplate) hashes combine map-side instead of funneling
+    // into one reducer's sort buffer
+    val firsts = grams.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+           count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+    val dup = grams.join(firsts, "h")
+      .where(struct(col("id"), col("pos")) =!= col("first"))
+      .select("id", "pos")
+    // merge overlapping/adjacent windows per doc: break when the gap to the
+    // previous duplicate window exceeds the span width
+    val w = Window.partitionBy("id").orderBy("pos")
+    val flagged = dup.withColumn("brk",
+      when(lag(col("pos"), 1).over(w).isNull ||
+           col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
+    flagged.withColumn("gid", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("gid"))
+      .agg(min(col("pos")).as("start_tok"),
+           (max(col("pos")) + n).as("end_tok"),
+           count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
+              col("n_windows"))
+  }
+
   def incrementalSurvivors(incoming: DataFrame, existing: DataFrame,
                            idCol: String, textCol: String,
                            shingleN: Int = 3, threshold: Double = 0.5,

@@ -17,6 +17,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(3L -> 3L, 7L -> 1L))
   }
 
+  test("duplicate spans: canonical-first kept, overlaps merged, windows counted") {
+    // doc 1 is the canonical source of a 12-token passage; doc 2 embeds it
+    // verbatim mid-document; doc 3 repeats an 11-token passage twice
+    // internally (self-duplication). n=10 windows.
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens
+    val self = (21 to 31).map(i => s"w$i").mkString(" ")     // 11 tokens
+    val df = spark.createDataFrame(Seq(
+      (1L, s"$passage"),
+      (2L, s"alpha beta gamma $passage delta"),
+      (3L, s"$self filler1 filler2 filler3 $self")))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "doc_id", "text", n = 10)
+      .orderBy("doc_id", "start_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: canonical (first occurrence by (id, pos)) — nothing reported.
+    // doc 2: the 12-token passage at token offset 3 → windows at pos 3,4,5
+    //        merged into [3, 15), 3 windows.
+    // doc 3: second copy of the 11-token passage starts at token 14 →
+    //        windows at pos 14,15 merged into [14, 25), 2 windows.
+    assert(out.toSeq == Seq((2L, 3L, 15L, 3L), (3L, 14L, 25L, 2L)))
+  }
+
+  test("duplicate spans: global reduction is a partial aggregation, not a per-hash sort") {
+    val plan = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10)
+      .queryExecution.executedPlan.toString
+    // the hash-group reduction must appear as HashAggregate (map-side
+    // combinable); the only Window may be the per-document merge
+    assert(plan.contains("HashAggregate"), plan.take(600))
+    assert(!plan.contains("windowspecdefinition(h#"), "per-hash window sort leaked into the plan")
+  }
+
   test("ngram jaccard pairs match brute-force jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.3, maxDocFreq = Long.MaxValue)
