@@ -463,6 +463,12 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  private def curationMixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixture(t(s, dir, "documents"),
+        "source", "doc_id", targetRows = 250L, alpha = 0.5)
+      .select("doc_id", "source", "group_rows", "rate_ppm")
+      .orderBy("doc_id")
+
   private val textTopKQuery =
     "table scan fast key value row batch window join query"
 
@@ -780,6 +786,7 @@ object SparkEntry {
         .orderBy("lang")),
     "curation_split"      -> curationSplit _,
     "curation_stratified" -> curationStratified _,
+    "curation_mixture"    -> curationMixture _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1491,6 +1498,27 @@ object SparkEntry {
                        WHEN lang = 'fr' THEN 500000
                        ELSE 1000000 END
       ORDER BY doc_id"""
+    },
+    // temperature mixture: rate_ppm = floor(T*sqrt(c)/S/c*1e6) with the
+    // weight sum S folded in domain-name order — every double op is IEEE
+    // exact-rounded (sqrt, left-assoc mul/div chain, sequential list sum),
+    // so the engine's Scala arithmetic and this SQL agree bit-for-bit
+    "curation_mixture" -> {
+      val b0 = OracleXX.xxh64LongPmod("doc_id", 1000000L)
+      s"""
+      WITH cnt AS (SELECT source, count(*)::BIGINT AS c
+                   FROM documents GROUP BY source),
+      tot AS (SELECT list_aggregate(list(sqrt(c::DOUBLE) ORDER BY source),
+                                    'sum') AS sw FROM cnt),
+      rates AS (SELECT source, c AS group_rows,
+                  least(1000000, floor(250::DOUBLE * sqrt(c::DOUBLE)
+                    / (SELECT sw FROM tot) / c::DOUBLE * 1000000.0)::BIGINT)
+                    AS rate_ppm
+                FROM cnt)
+      SELECT d.doc_id, d.source, r.group_rows, r.rate_ppm
+      FROM documents d JOIN rates r USING (source)
+      WHERE $b0 < r.rate_ppm
+      ORDER BY d.doc_id"""
     },
     "text_contamination" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Deterministic corpus curation: hash-based splits and samples.
   *
@@ -73,5 +74,62 @@ object Sampling {
         when(col(stratumCol) === s, lit(math.round(f * Buckets))).otherwise(rest)
     }
     df.where(b < threshold)
+  }
+
+  /** Temperature-weighted mixture resampling (the `p_g ∝ count_g^alpha`
+    * rebalancing used to flatten training mixtures — alpha = 1 keeps natural
+    * proportions, alpha → 0 approaches uniform-over-domains). Per domain the
+    * keep rate is
+    *
+    *   `r_g = min(1, targetRows * count_g^alpha / Σ_h count_h^alpha / count_g)`
+    *
+    * floored to a ppm threshold on the XXH64 bucket space, so the selection
+    * is a deterministic pure function of row identity (same contract as the
+    * other samplers — reproducible across engines/runs, incremental data
+    * joins the sample consistently). Rates above 1 cap (no upsampling; a
+    * dominant domain downsamples, scarce domains keep everything).
+    *
+    * Scale: the only aggregation is the per-domain count (map-side
+    * combinable; #domains is driver-bounded — a mixture config, not data),
+    * the rate table broadcasts, and the per-row decision is a narrow
+    * filter. Double arithmetic is sequenced identically on both engines
+    * (sqrt and the left-associated `*`/`/` chain are IEEE exact-rounded;
+    * the weight sum folds in domain-name order), so the ppm thresholds are
+    * bit-reproducible — asserted by the DuckDB oracle, not assumed.
+    *
+    * Output: the kept rows with `group_rows` (domain size) and `rate_ppm`
+    * attached. `alpha` = 0.5 uses `sqrt` explicitly on both engines (the
+    * correctly-rounded IEEE op); other alphas use `pow`, which is
+    * high-quality but not guaranteed correctly-rounded across libms — the
+    * gate pins alpha = 0.5. */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+                         targetRows: Long, alpha: Double = 0.5,
+                         seed: Long = 0L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    def w(c: Long): Double =
+      if (alpha == 0.5) math.sqrt(c.toDouble)
+      else if (alpha == 1.0) c.toDouble
+      else math.pow(c.toDouble, alpha)
+    val counts = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    var s = 0.0
+    counts.foreach { case (_, c) => s += w(c) } // sequential, domain order
+    val rates = counts.map { case (g, c) =>
+      val rPpm = math.min(Buckets,
+        math.floor(targetRows.toDouble * w(c) / s / c.toDouble * 1000000.0).toLong)
+      org.apache.spark.sql.Row(g, c, rPpm)
+    }
+    val spark = df.sparkSession
+    val ratesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rates.toSeq, 1),
+      StructType(Seq(StructField("g", StringType, nullable = false),
+                     StructField("group_rows", LongType, nullable = false),
+                     StructField("rate_ppm", LongType, nullable = false))))
+    df.join(broadcast(ratesDf), col(groupCol).cast("string") === col("g"))
+      .where(bucket(col(idCol), seed) < col("rate_ppm"))
+      .drop("g")
   }
 }

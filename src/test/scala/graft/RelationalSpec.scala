@@ -68,6 +68,43 @@ class RelationalSpec extends SparkSpec {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("temperature mixture: alpha flattens domains, caps at keep-all, broadcasts rates") {
+    import graft.operators.Sampling
+    // skewed synthetic corpus: web 400 docs, books 50, wiki 10
+    val rows = (1L to 400L).map(i => (i, "web")) ++
+               (401L to 450L).map(i => (i, "books")) ++
+               (451L to 460L).map(i => (i, "wiki"))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "source")
+    val out = Sampling.temperatureMixture(docs, "source", "doc_id",
+      targetRows = 200L, alpha = 0.5)
+    val rates = out.select("source", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected rates from the published formula, replicated independently
+    val s = math.sqrt(50.0) + math.sqrt(400.0) + math.sqrt(10.0) // name order
+    def ppm(c: Long) = math.min(1000000L,
+      math.floor(200.0 * math.sqrt(c.toDouble) / s / c * 1000000.0).toLong)
+    assert(rates == Map("web" -> ppm(400), "books" -> ppm(50), "wiki" -> ppm(10)),
+      s"rates=$rates")
+    // temperature 0.5 upweights scarce domains: keep RATE must be
+    // monotonically decreasing in domain size
+    assert(ppm(10) > ppm(50) && ppm(50) > ppm(400))
+    // wiki's fair share (200*sqrt(10)/s ≈ 21) exceeds its 10 docs → capped,
+    // keeps every row
+    assert(rates("wiki") == 1000000L && kept("wiki") == 10L)
+    assert(kept.values.sum <= 460L && kept.values.sum > 0L)
+    // deterministic re-run
+    val again = Sampling.temperatureMixture(docs, "source", "doc_id",
+      targetRows = 200L, alpha = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the rate table must broadcast — the per-row decision may not shuffle docs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(docs, "source", "doc_id", 250L, alpha = 0.0))
+  }
+
   test("stratified sample: per-stratum rates, deterministic, subset of input") {
     import graft.operators.Sampling
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
