@@ -815,6 +815,9 @@ object SparkEntry {
         .orderBy("doc_id", "start_tok")),
     "dedup_incremental"   -> dedupIncremental _,
     "text_repetition"     -> textRepetition _,
+    "text_tfidf"          -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
     "events_json"         -> eventsJson _,
@@ -1430,6 +1433,23 @@ object SparkEntry {
       SELECT doc_id, min(pos)::BIGINT AS start_tok,
              (max(pos) + 10)::BIGINT AS end_tok, count(*)::BIGINT AS n_windows
       FROM gr GROUP BY doc_id, gid ORDER BY doc_id, start_tok""",
+    // tf-idf with the non-log idf variant N/df: integer-valued doubles and
+    // one exact-rounded division — bit-identical across engines (ln is not
+    // correctly-rounded and could flip near-tie rankings)
+    "text_tfidf" -> s"""
+      WITH tr AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tr GROUP BY 1, 2),
+      dfr AS (SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY term),
+      scored AS (
+        SELECT doc_id, term, tf, df_docs,
+               tf::DOUBLE * (SELECT count(*)::DOUBLE FROM documents)
+                 / df_docs::DOUBLE AS score
+        FROM tf JOIN dfr USING (term)),
+      rk AS (SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+             FROM scored)
+      SELECT doc_id, term, tf, df_docs, score, rank::BIGINT AS rank
+      FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""",
     "text_stats" -> s"""
       SELECT doc_id, len($sqlToks)::BIGINT AS n_words,
              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,

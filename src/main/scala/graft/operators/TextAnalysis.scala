@@ -239,6 +239,40 @@ object TextAnalysis {
     * shuffle over (token, count); the result is `vocabSize`-bounded and
     * collected to the driver (the same bounded-collect contract as the IVF
     * k-means trainer). Index in the returned array = dense token id. */
+  /** Per-document top-k salient terms by tf-idf. The idf here is the
+    * non-log variant `N / df` (a documented tf-idf family member): every
+    * arithmetic step (integer-valued doubles under 2^53, one division) is
+    * IEEE exact-rounded and therefore bit-identical across engines, which
+    * makes the ranking — and the DuckDB oracle — deterministic. `ln`-idf
+    * would rank almost identically but `log` is not correctly-rounded in
+    * either engine, so near-ties could order differently; a top-k gate
+    * can't carry that risk. Ties break on the term string.
+    *
+    * Scale: the token explode is the inherent tf-idf cost; `(doc, term)`
+    * counts partially aggregate map-side before the shuffle, document
+    * frequencies reduce the same table again (no second scan of the
+    * corpus), and the final per-document top-k is a bounded window over
+    * doc partitions. `nDocs` is one driver-side scalar (the count), not
+    * collected data. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = df.count().toDouble
+    val tf = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val scored = tf.join(dfr, "term")
+      .withColumn("score",
+        col("tf").cast("double") * lit(nDocs) / col("df_docs").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df_docs"),
+              col("score"), col("rank"))
+  }
+
   def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): Array[String] =
     df.select(explode(TF.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")

@@ -194,6 +194,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3L)._1 >= 1 && out(3L)._2 < 1.0) // shares the "five six seven" shingle
   }
 
+  test("tfidfTopK: corpus-wide terms rank below document-specific terms") {
+    import graft.operators.TextAnalysis
+    // "common" appears in every doc (idf = 1); each doc has a distinctive
+    // term repeated twice (tf=2, df=1 → score 2*N) and a unique singleton
+    val docs = spark.createDataFrame(Seq(
+      (1L, "common apple apple pear"),
+      (2L, "common banana banana kiwi"),
+      (3L, "common cherry cherry plum"))).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df_docs")))
+      .toMap
+    // rank 1 everywhere: the doubled distinctive term, tf=2 df=1 score=6.0
+    assert(out((1L, 1L)) == ("apple", 2L, 1L))
+    assert(out((2L, 1L)) == ("banana", 2L, 1L))
+    assert(out((3L, 1L)) == ("cherry", 2L, 1L))
+    // rank 2: the unique singleton (score 3.0) beats "common" (score 1.0)
+    assert(out((1L, 2L))._1 == "pear")
+    assert(out((2L, 2L))._1 == "kiwi")
+    assert(out((3L, 2L))._1 == "plum")
+  }
+
   test("redact replaces emails, IPs, phone numbers with typed placeholders") {
     import graft.operators.TextAnalysis
     val df = spark.createDataFrame(Seq(
