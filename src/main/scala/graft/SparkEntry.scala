@@ -155,6 +155,29 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Batch twin of the watermarked stream-stream interval join, run through
+    * the SAME `StreamJoins.intervalJoin` code path the live engine uses
+    * (withWatermark is a defined no-op in batch): views attributed to each
+    * purchase when they precede it by < 30 minutes for the same user. The
+    * live path (MemoryStream × MemoryStream, state cleanup under advancing
+    * watermark) is covered in PipelineStreamingSpec. */
+  private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              timestamp_millis(col("ts_ms")).as("p_ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+              timestamp_millis(col("ts_ms")).as("v_ts"))
+    graft.streaming.StreamJoins.intervalJoin(
+        purchases, "p_ts", "30 minutes",
+        views, "v_ts", "30 minutes",
+        "user_id", lowerMs = -1800000L, upperMs = 0L)
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+              (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   private def streamDedupEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("user_id", "event_type")
@@ -745,6 +768,7 @@ object SparkEntry {
     "stream_hour_window"  -> streamHourWindow _,
     "stream_sessionize"   -> streamSessionize _,
     "stream_dedup_events" -> streamDedupEvents _,
+    "stream_interval_join" -> streamIntervalJoin _,
     // relational
     "q1_agg"              -> q1Agg _,
     "q3_topk"             -> q3TopK _,
@@ -1177,6 +1201,14 @@ object SparkEntry {
       SELECT user_id, event_type, min(event_id) AS first_event_id,
              count(*)::BIGINT AS n
       FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
+    "stream_interval_join" -> """
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             (epoch_ms(p.ts) - epoch_ms(v.ts))::BIGINT AS gap_ms
+      FROM events p JOIN events v ON p.user_id = v.user_id
+      WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
+        AND epoch_ms(v.ts) < epoch_ms(p.ts)
+      ORDER BY purchase_id, view_id""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream correlation joins.
+  *
+  * The reference processes one event at a time per pipeline, so
+  * cross-stream correlation ("purchases attributed to the views that
+  * preceded them") has no counterpart there; on Spark it is a first-class
+  * Structured Streaming capability and a training-data pipeline needs it
+  * (joining impression and interaction streams, correlating log sources).
+  *
+  * State stays bounded because BOTH sides carry a watermark and the join
+  * condition bounds event-time distance: Spark can discard buffered left
+  * rows once `watermark > leftTs + upper` and right rows once
+  * `watermark > rightTs - lower`, so at 100 TB/day the state store holds
+  * only the interval's worth of data per key, not the stream history.
+  */
+object StreamJoins {
+
+  /** Inner interval join: rows pair when they share `keyCol` and
+    * `rightTs ∈ [leftTs + lowerMs, leftTs + upperMs)` (half-open, event
+    * time). Works identically on batch frames (`withWatermark` is defined
+    * as a no-op in batch queries) — the correctness gate runs the batch
+    * twin through this exact code path while the live path is spec-driven
+    * with MemoryStreams.
+    *
+    * Both timestamp columns must be TIMESTAMP-typed (use
+    * `timestamp_millis` to lift epoch-ms longs). The duplicate right-side
+    * key column is dropped from the output. */
+  def intervalJoin(left: DataFrame, leftTsCol: String, leftDelay: String,
+                   right: DataFrame, rightTsCol: String, rightDelay: String,
+                   keyCol: String, lowerMs: Long, upperMs: Long): DataFrame = {
+    require(lowerMs < upperMs,
+      s"empty interval: lowerMs=$lowerMs must be < upperMs=$upperMs")
+    val l = left.withWatermark(leftTsCol, leftDelay)
+    val r = right.withWatermark(rightTsCol, rightDelay)
+      .withColumnRenamed(keyCol, "__graft_rkey")
+    l.join(r,
+        col(keyCol) === col("__graft_rkey") &&
+        col(rightTsCol) >= col(leftTsCol) +
+          expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+        col(rightTsCol) < col(leftTsCol) +
+          expr(s"INTERVAL $upperMs MILLISECONDS"),
+        "inner")
+      .drop("__graft_rkey")
+  }
+}

@@ -277,6 +277,48 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.size == 2, "uuid keys must be distinct")
   }
 
+  test("stream-stream interval join: live pairing across batches, late rows dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Long, Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val msP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoins.intervalJoin(
+      msP.toDF().toDF("user_id", "purchase_id", "p_ts"), "p_ts", "10 minutes",
+      msV.toDF().toDF("user_id", "view_id", "v_ts"), "v_ts", "10 minutes",
+      "user_id", lowerMs = -1800000L, upperMs = 0L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = joined.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("sjck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => got.add(
+          (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))))
+      }.start()
+    // batch A at ~t=600min: view 15 min before the purchase pairs; a view
+    // 45 min before is outside the 30-minute interval
+    msP.addData(Seq((1L, 100L, ts(600))))
+    msV.addData(Seq((1L, 200L, ts(585)), (1L, 201L, ts(555))))
+    q.processAllAvailable()
+    // batch B at ~t=720min advances the watermark to ~710min
+    msP.addData(Seq((2L, 101L, ts(720))))
+    msV.addData(Seq((2L, 202L, ts(700))))
+    q.processAllAvailable()
+    // batch C: hours behind the watermark on both sides — must be dropped,
+    // even though the pair satisfies the join condition
+    msP.addData(Seq((3L, 102L, ts(100))))
+    msV.addData(Seq((3L, 203L, ts(90))))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == Set(100L -> 200L, 101L -> 202L),
+      s"got ${got.asScala.toSet}")
+  }
+
   test("kafka source option mapping (seek flags, rate limit, validation)") {
     import graft.sources.Sources
     val (fmt, opts) = Sources.kafkaSourceOptions(GraftConfig.parse("""
