@@ -212,6 +212,34 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** ROLLUP grouping sets: per (flag, status), per flag, and grand total in
+    * ONE aggregation pass — Catalyst plans grouping sets as a single Expand
+    * (+3× rows) feeding one partial+final aggregate, not three scans. NULL
+    * group markers are coalesced to 'ALL' and disambiguated by
+    * `grouping_id()` so the output carries no NULL sort-order hazard
+    * (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+           count(lit(1)).as("n"),
+           grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag_g"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus_g"),
+              col("gid"), col("sum_qty_c"), col("n"))
+      .orderBy("gid", "l_returnflag_g", "l_linestatus_g")
+
+  /** Pivot with an EXPLICIT value list: one aggregation pass (no distinct
+    * pre-scan for the pivot domain — at 100 TB the domain is config, not
+    * data). Missing combinations fill 0. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   private def q3TopK(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders")
@@ -781,6 +809,8 @@ object SparkEntry {
     "q_asof_join"         -> qAsofJoin _,
     "q_range_join"        -> qRangeJoin _,
     "q_bucketed_join"     -> qBucketedJoin _,
+    "q_rollup"            -> qRollup _,
+    "q_pivot"             -> qPivot _,
     "q_partition_pruned"  -> qPartitionPruned _,
     // LLM-data-pipeline operators
     "dedup_exact"         -> dedupExact _,
@@ -1216,6 +1246,22 @@ object SparkEntry {
              sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS sum_disc_price_tm,
              count(*)::BIGINT AS count_order
       FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag_g,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus_g,
+             GROUPING_ID(l_returnflag, l_linestatus)::BIGINT AS gid,
+             sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag_g, l_linestatus_g""",
+    "q_pivot" -> """
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click')::BIGINT AS click,
+             count(*) FILTER (event_type = 'error')::BIGINT AS error,
+             count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+             count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+             count(*) FILTER (event_type = 'view')::BIGINT AS view
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "q3_topk" -> """
       SELECT l_orderkey, strftime(o_orderdate::DATE, '%Y-%m-%d') AS o_orderdate,
              sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS revenue_tm
