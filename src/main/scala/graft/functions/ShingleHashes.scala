@@ -64,6 +64,56 @@ object ShingleHashUtil {
       }
     ArrayData.toArrayData(out)
   }
+
+  /** POSITIONAL window hashes: element i = hash of the n-token window at
+    * token index i — no sort, no dedup, EMPTY when the text has fewer than
+    * n tokens (a partial window is not a span). Same in-place byte-range
+    * hashing as `shingleHashes`; feeds `Dedup.duplicateSpans`, where the
+    * position is the payload (the first HOF-composed version re-ran the
+    * tokenizer per window — measured 22 s for the sf0.1 span query vs ~1 s
+    * native). */
+  def positionalShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var m = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') m += 1; i += 1 }
+    if (m < n) ArrayData.toArrayData(Array.emptyLongArray)
+    else {
+      val starts = new Array[Int](m + 1)
+      var ti = 1
+      i = 0
+      while (i < len) { if (bytes(i) == ' ') { starts(ti) = i + 1; ti += 1 }; i += 1 }
+      starts(m) = len + 1
+      val k = m - n + 1
+      val hs = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        val from = starts(j)
+        val until = starts(j + n) - 1
+        hs(j) = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, Seed)
+        j += 1
+      }
+      ArrayData.toArrayData(hs)
+    }
+  }
+}
+
+/** `positionalShingleHashes` as a codegen'd expression (see [[ShingleHashes]]
+  * for why a native expression and not a HOF composition). */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashUtil.positionalShingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashUtil.positionalShingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): PositionalShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "positional_shingle_hashes"
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {

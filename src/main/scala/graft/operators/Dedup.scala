@@ -388,14 +388,15 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 10): DataFrame = {
     require(n >= 2, s"span width n must be >= 2, got $n")
-    val toks = TF.tokens(col(textCol))
-    // (id, pos, h): xxhash64 of each n-token window at token index pos
+    // (id, pos, h): xxhash64 of the n-token window at token index pos —
+    // a native single-pass expression (PositionalShingleHashes): the HOF
+    // spelling (transform(sequence(...), i -> xxhash64(concat_ws(slice))))
+    // re-evaluates the tokenizer per window element and went quadratic
+    // (measured 22 s at sf0.1 vs ~1 s native; verify SKILL.md pitfall #1)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val grams = df.select(col(idCol).as("id"),
-        posexplode(
-          when(size(toks) >= n,
-            transform(sequence(lit(0), size(toks) - n),
-              i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-          .otherwise(array().cast("array<bigint>"))))
+        posexplode(column(graft.functions.PositionalShingleHashes(
+          expression(TF.normText(col(textCol))), n))))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     // global min-(id,pos) + count per hash: partial agg before the shuffle,
     // so hot (boilerplate) hashes combine map-side instead of funneling
