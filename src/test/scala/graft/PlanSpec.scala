@@ -164,6 +164,54 @@ class PlanSpec extends SparkSpec {
     } finally { persisted.unpersist(); () }
   }
 
+  test("q_rollup: grouping sets expand once and aggregate partial+final — one scan") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), "rollup must plan as a single Expand")
+    assert(p.contains("partial_sum"), "map-side combine missing after Expand")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "rollup must not scan the table once per grouping set")
+  }
+
+  test("q_pivot: explicit value list pivots in one aggregation — no distinct pre-scan") {
+    val p = plan("q_pivot")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "pivot domain must come from config, not a distinct scan of the data")
+    assert(p.contains("partial_"), "pivot aggregation lost map-side combine")
+  }
+
+  test("text_tfidf: (doc,term) counts combine map-side; top-k window is per-doc only") {
+    val p = plan("text_tfidf")
+    assert(p.contains("partial_count"), "tf counting lost map-side combine")
+    // the only window partitions by the doc id — never by term (a hot term
+    // would funnel into one reducer's sort)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")),
+      s"tfidf window must partition by doc_id:\n${winLines.mkString("\n")}")
+  }
+
+  test("dedup_spans: window hashing is the native expression inside codegen") {
+    val p = SparkEntry.queries("dedup_spans")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("positional_shingle_hashes"),
+      "span hashing must be the single-pass native expression (the HOF " +
+      "composition re-tokenizes per window — measured 22s vs 1s at sf0.1)")
+  }
+
+  test("sql_functions: registered graft_* expressions stay inside codegen spans") {
+    graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
+    val p = SparkEntry.queries("sql_functions")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the native expressions appear by prettyName in the projection (not
+    // rewritten to UDF wrappers), over ONE pruned scan with no exchange
+    // before the output sort — the SQL path plans identically to the
+    // DataFrame path
+    Seq("shingle_hashes", "quality_lang_keep", "b64_encode", "rolling_hash64")
+      .foreach(fn => assert(p.contains(fn), s"$fn missing from the physical plan"))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      "only the output-order range exchange belongs in this plan")
+  }
+
   test("dedup bucket sizing runs over slim (id, key) rows — no payload in the shuffle") {
     // the round-2 regression: 128-long signatures (and embedding vectors)
     // transiting the bucket-sizing window shuffle and its persist. Pin: the
