@@ -178,6 +178,27 @@ object SparkEntry {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Left-outer variant: every purchase appears; those with no preceding
+    * view in the interval carry NULL view columns. In the live engine the
+    * NULL-padded rows flush when the watermark passes each row's join
+    * window (spec-driven); in batch they appear immediately. */
+  private def streamIntervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              timestamp_millis(col("ts_ms")).as("p_ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+              timestamp_millis(col("ts_ms")).as("v_ts"))
+    graft.streaming.StreamJoins.intervalJoin(
+        purchases, "p_ts", "30 minutes",
+        views, "v_ts", "30 minutes",
+        "user_id", lowerMs = -1800000L, upperMs = 0L, joinType = "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+              (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   private def streamDedupEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("user_id", "event_type")
@@ -797,6 +818,7 @@ object SparkEntry {
     "stream_sessionize"   -> streamSessionize _,
     "stream_dedup_events" -> streamDedupEvents _,
     "stream_interval_join" -> streamIntervalJoin _,
+    "stream_interval_join_left" -> streamIntervalJoinLeft _,
     // relational
     "q1_agg"              -> q1Agg _,
     "q3_topk"             -> q3TopK _,
@@ -1236,6 +1258,15 @@ object SparkEntry {
              (epoch_ms(p.ts) - epoch_ms(v.ts))::BIGINT AS gap_ms
       FROM events p JOIN events v ON p.user_id = v.user_id
       WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
+        AND epoch_ms(v.ts) < epoch_ms(p.ts)
+      ORDER BY purchase_id, view_id""",
+    "stream_interval_join_left" -> """
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             (epoch_ms(p.ts) - epoch_ms(v.ts))::BIGINT AS gap_ms
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
         AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
         AND epoch_ms(v.ts) < epoch_ms(p.ts)
       ORDER BY purchase_id, view_id""",

@@ -19,21 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoins {
 
-  /** Inner interval join: rows pair when they share `keyCol` and
+  /** Interval join: rows pair when they share `keyCol` and
     * `rightTs ∈ [leftTs + lowerMs, leftTs + upperMs)` (half-open, event
     * time). Works identically on batch frames (`withWatermark` is defined
     * as a no-op in batch queries) — the correctness gate runs the batch
-    * twin through this exact code path while the live path is spec-driven
+    * twins through this exact code path while the live path is spec-driven
     * with MemoryStreams.
+    *
+    * `joinType` may be `inner`, `left_outer`, `right_outer`, or
+    * `full_outer` (the types Structured Streaming supports for
+    * stream-stream joins). Outer results for unmatched rows emit only once
+    * the watermark passes the row's join window — the stream must keep
+    * moving for the NULL-padded rows to flush, which is inherent to the
+    * model, not a graft choice.
     *
     * Both timestamp columns must be TIMESTAMP-typed (use
     * `timestamp_millis` to lift epoch-ms longs). The duplicate right-side
-    * key column is dropped from the output. */
+    * key column is dropped from the output (coalesced into the left name
+    * for outer types, so right-only rows keep their key). */
   def intervalJoin(left: DataFrame, leftTsCol: String, leftDelay: String,
                    right: DataFrame, rightTsCol: String, rightDelay: String,
-                   keyCol: String, lowerMs: Long, upperMs: Long): DataFrame = {
+                   keyCol: String, lowerMs: Long, upperMs: Long,
+                   joinType: String = "inner"): DataFrame = {
     require(lowerMs < upperMs,
       s"empty interval: lowerMs=$lowerMs must be < upperMs=$upperMs")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+      s"unsupported stream-stream join type: $joinType")
     val l = left.withWatermark(leftTsCol, leftDelay)
     val r = right.withWatermark(rightTsCol, rightDelay)
       .withColumnRenamed(keyCol, "__graft_rkey")
@@ -43,7 +54,8 @@ object StreamJoins {
           expr(s"INTERVAL $lowerMs MILLISECONDS") &&
         col(rightTsCol) < col(leftTsCol) +
           expr(s"INTERVAL $upperMs MILLISECONDS"),
-        "inner")
+        joinType)
+      .withColumn(keyCol, coalesce(col(keyCol), col("__graft_rkey")))
       .drop("__graft_rkey")
   }
 }

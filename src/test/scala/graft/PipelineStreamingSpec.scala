@@ -319,6 +319,52 @@ class PipelineStreamingSpec extends SparkSpec {
       s"got ${got.asScala.toSet}")
   }
 
+  test("stream-stream LEFT OUTER interval join: null rows flush after the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Long, Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val msP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoins.intervalJoin(
+      msP.toDF().toDF("user_id", "purchase_id", "p_ts"), "p_ts", "10 minutes",
+      msV.toDF().toDF("user_id", "view_id", "v_ts"), "v_ts", "10 minutes",
+      "user_id", lowerMs = -1800000L, upperMs = 0L, joinType = "left_outer")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = joined.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sjlck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val v = if (r.isNullAt(r.fieldIndex("view_id"))) -1L
+                  else r.getAs[Long]("view_id")
+          got.add((r.getAs[Long]("purchase_id"), v))
+        }
+      }.start()
+    // P100 matches V200; P101 has NO view in its window
+    msP.addData(Seq((1L, 100L, ts(600)), (4L, 101L, ts(600))))
+    msV.addData(Seq((1L, 200L, ts(585))))
+    q.processAllAvailable()
+    // advance event time far past P101's window on both streams (watermark
+    // updates at batch end, applies next batch)
+    msP.addData(Seq((5L, 102L, ts(2000))))
+    msV.addData(Seq((5L, 203L, ts(1990))))
+    q.processAllAvailable()
+    // one more batch so the advanced watermark evicts + emits P101's null row
+    msP.addData(Seq((6L, 103L, ts(3000))))
+    msV.addData(Seq((6L, 204L, ts(2990))))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val res = got.asScala.toSet
+    assert(res.contains(100L -> 200L) && res.contains(102L -> 203L),
+      s"matched pairs missing: $res")
+    assert(res.contains(101L -> -1L),
+      s"unmatched purchase must emit a null-padded row after the watermark passes: $res")
+  }
+
   test("kafka source option mapping (seek flags, rate limit, validation)") {
     import graft.sources.Sources
     val (fmt, opts) = Sources.kafkaSourceOptions(GraftConfig.parse("""
