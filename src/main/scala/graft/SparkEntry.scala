@@ -701,6 +701,37 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Corrupt-record handling: ~1/7 of the JSON payloads are deterministically
+    * truncated (closing brace dropped), and the parse must degrade per-row
+    * to NULL + a malformed flag — never fail the job. At 100 TB corrupt
+    * records are a certainty; the pipeline contract is row-level
+    * quarantine, not job-level crash. */
+  private def eventsJsonMalformed(s: SparkSession, dir: String): DataFrame = {
+    val doctored = when(pmod(col("event_id"), lit(7)) === 0,
+        expr("substring(props, 1, length(props) - 1)"))
+      .otherwise(col("props"))
+    t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(doctored, "$.k").cast("long").as("k"))
+      .withColumn("malformed", col("k").isNull)
+      .orderBy("event_id")
+  }
+
+  /** The window-function suite beyond rank: offsets (lag/lead), bucketing
+    * (ntile), and the distribution functions — percent_rank and cume_dist
+    * are exact integer ratios (one correctly-rounded division), so the
+    * doubles compare bit-equal across engines. */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events(s, dir).select(col("user_id"), col("event_id"),
+        lag("event_id", 1).over(w).as("prev_id"),
+        lead("event_id", 1).over(w).as("next_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("user_id", "event_id")
+  }
+
   private def textRedact(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     TextAnalysis.redact(docs, "text")
@@ -897,6 +928,8 @@ object SparkEntry {
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
     "events_json"         -> eventsJson _,
+    "events_json_malformed" -> eventsJsonMalformed _,
+    "q_window_suite"      -> qWindowSuite _,
     "text_redact"         -> textRedact _,
     "sql_functions"       -> sqlFunctions _,
     // live engine paths (readStream → foreachBatch → sink, read back)
@@ -1873,6 +1906,30 @@ object SparkEntry {
     "events_json" -> """
       SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
       FROM events ORDER BY event_id""",
+    "events_json_malformed" -> """
+      WITH d AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS p
+        FROM events)
+      SELECT event_id,
+             CASE WHEN json_valid(p)
+                  THEN json_extract_string(p, '$.k')::BIGINT
+                  ELSE NULL END AS k,
+             (CASE WHEN json_valid(p)
+                   THEN json_extract_string(p, '$.k')
+                   ELSE NULL END) IS NULL AS malformed
+      FROM d ORDER BY event_id""",
+    "q_window_suite" -> """
+      SELECT user_id, event_id,
+             lag(event_id) OVER w AS prev_id,
+             lead(event_id) OVER w AS next_id,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS prank,
+             cume_dist() OVER w AS cdist
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      ORDER BY user_id, event_id""",
     // oracle regexes generated from the SAME RedactionPatterns list the
     // engine applies (Java regex and RE2 agree on these constructs)
     "text_redact" -> {
