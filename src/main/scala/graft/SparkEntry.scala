@@ -351,6 +351,19 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: the NEXT purchase value at-or-after each event (the
+    * mirror of `q_asof_join`; same single-shuffle carry, reversed frame). */
+  private def qAsofJoinFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val probe = ev.select("event_id", "user_id", "ts_ms")
+    val changelog = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms")
+      .agg(max("value").as("next_purchase_value"))
+    graft.operators.Relational.asofJoin(probe, changelog, "user_id", "ts_ms",
+        Seq("next_purchase_value"), direction = "forward")
+      .orderBy("event_id")
+  }
+
   /** Range (interval) join via time binning: events inside the 10-minute
     * window opened by each 'view' event of the same user. The raw non-equi
     * join would plan a nested loop; binning makes it an equi-join. */
@@ -860,6 +873,7 @@ object SparkEntry {
     "q_semi_anti"         -> qSemiAnti _,
     "q_distinct_agg"      -> qDistinctAgg _,
     "q_asof_join"         -> qAsofJoin _,
+    "q_asof_join_fwd"     -> qAsofJoinFwd _,
     "q_range_join"        -> qRangeJoin _,
     "q_bucketed_join"     -> qBucketedJoin _,
     "q_rollup"            -> qRollup _,
@@ -1381,6 +1395,14 @@ object SparkEntry {
       SELECT p.event_id, p.user_id, p.ts_ms, c.last_purchase_value
       FROM p ASOF LEFT JOIN c
         ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+      ORDER BY event_id""",
+    "q_asof_join_fwd" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+      c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS next_purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts_ms, c.next_purchase_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_ms <= c.ts_ms
       ORDER BY event_id""",
     "q_range_join" -> """
       WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),

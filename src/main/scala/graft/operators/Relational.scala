@@ -42,8 +42,11 @@ object Relational {
     * rather than assumed. */
   def asofJoin(probe: DataFrame, changelog: DataFrame, keyCol: String,
                tsCol: String, valueCols: Seq[String],
-               saltBuckets: Int = 1): DataFrame = {
+               saltBuckets: Int = 1,
+               direction: String = "backward"): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     if (saltBuckets > 1) {
       // composite (key, salt) partitioning: probes hash-salted, changelog
       // replicated per salt; delegate to the unsalted path on a packed key
@@ -53,14 +56,17 @@ object Relational {
         explode(sequence(lit(0L), lit(saltBuckets - 1L))))
       def packed(df: DataFrame): DataFrame = df
         .withColumn("__sk", struct(col(keyCol), col("__salt"))).drop("__salt")
-      asofJoin(packed(pSalted), packed(clSalted), "__sk", tsCol, valueCols)
+      asofJoin(packed(pSalted), packed(clSalted), "__sk", tsCol, valueCols,
+          saltBuckets = 1, direction = direction)
         .drop("__sk")
-    } else asofJoinUnsalted(probe, changelog, keyCol, tsCol, valueCols)
+    } else asofJoinUnsalted(probe, changelog, keyCol, tsCol, valueCols,
+        direction)
   }
 
   private def asofJoinUnsalted(probe: DataFrame, changelog: DataFrame,
                                keyCol: String, tsCol: String,
-                               valueCols: Seq[String]): DataFrame = {
+                               valueCols: Seq[String],
+                               direction: String): DataFrame = {
     val probeCols = probe.columns.toSeq
     require(!probeCols.exists(valueCols.contains),
       s"value columns ${valueCols.intersect(probeCols)} collide with probe columns")
@@ -75,10 +81,23 @@ object Relational {
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__m"),
       lit(null).cast(vStructType).as("__v"),
       struct(probe.columns.map(col).toSeq: _*).as("__p"))
-    val w = Window.partitionBy("__k").orderBy("__ts", "__m")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: changelog (__m=0) sorts BEFORE the probe at equal ts, and
+    // the latest prior value carries forward over the preceding frame.
+    // forward: probe sorts BEFORE the changelog at equal ts (so "at or
+    // after" includes same-instant state) and the EARLIEST following value
+    // is taken over the following frame — the mirror image, same single
+    // shuffle, same one-row-per-key state.
+    val (w, carried) =
+      if (direction == "backward") (
+        Window.partitionBy("__k").orderBy(col("__ts").asc, col("__m").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        last(col("__v"), ignoreNulls = true))
+      else (
+        Window.partitionBy("__k").orderBy(col("__ts").asc, col("__m").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        first(col("__v"), ignoreNulls = true))
     cl.unionByName(pr)
-      .withColumn("__vf", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__vf", carried.over(w))
       .where(col("__m") === 1)
       .select(probeCols.map(c => col("__p").getField(c).as(c)) ++
               valueCols.map(v => col("__vf").getField(v).as(v)): _*)

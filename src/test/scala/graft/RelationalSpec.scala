@@ -24,6 +24,29 @@ class RelationalSpec extends SparkSpec {
       103L -> Some("b"), 104L -> Some("b"), 105L -> Some("x"), 106L -> None))
   }
 
+  test("asofJoin forward: earliest at-or-after state; equal ts included; nothing ahead = null") {
+    val changelog = spark.createDataFrame(Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x")))
+      .toDF("k", "ts", "state")
+    val probe = spark.createDataFrame(Seq(
+      (100L, 1L, 5L),   // before any state → "a" (next ahead)
+      (101L, 1L, 10L),  // equal ts → includes same-instant state "a"
+      (102L, 1L, 11L),  // between → "b"
+      (103L, 1L, 20L),  // equal to second → "b"
+      (104L, 1L, 99L),  // after all → null (nothing ahead)
+      (105L, 2L, 14L),  // other key → "x"
+      (106L, 3L, 50L))) // unseen key → null
+      .toDF("id", "k", "ts")
+    val out = Relational.asofJoin(probe, changelog, "k", "ts", Seq("state"),
+        direction = "forward")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("state"))).toMap
+    assert(out == Map(100L -> Some("a"), 101L -> Some("a"), 102L -> Some("b"),
+      103L -> Some("b"), 104L -> None, 105L -> Some("x"), 106L -> None))
+    intercept[IllegalArgumentException](
+      Relational.asofJoin(probe, changelog, "k", "ts", Seq("state"),
+        direction = "sideways"))
+  }
+
   test("rangeJoinBinned equals the direct non-equi join (boundary-inclusive start, exclusive end)") {
     val ev = spark.read.parquet(sf("events"))
       .withColumn("ts_ms", expr("ts DIV 1000000"))
