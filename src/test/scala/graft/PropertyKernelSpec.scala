@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{Base64Functions, GzipFunctions, ShingleHashUtil}
+
+/** Property-style tests for the native kernels: deterministic scalacheck
+  * generators (fixed seed — reproducible failures) feed each property as
+  * ONE DataFrame job rather than a job per sample, so hundreds of cases
+  * cost one Spark round-trip. */
+class PropertyKernelSpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("gzip and base64 expressions round-trip arbitrary byte payloads") {
+    val bytesGen = Gen.chooseNum(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val cases = samples(bytesGen, 200, seed = 42L).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }
+    val df = spark.createDataFrame(cases).toDF("id", "payload")
+    val out = df.select(col("id"), col("payload"),
+        GzipFunctions.gunzip(GzipFunctions.gzip(col("payload"))).as("gz_rt"),
+        Base64Functions.unb64(Base64Functions.b64(col("payload"))).as("b64_rt"),
+        Base64Functions.b64(col("payload")).as("b64"))
+      .collect()
+    out.foreach { r =>
+      val orig = r.getAs[Array[Byte]]("payload")
+      assert(java.util.Arrays.equals(orig, r.getAs[Array[Byte]]("gz_rt")),
+        s"gzip round-trip broke for id=${r.getLong(0)} (${orig.length} bytes)")
+      assert(java.util.Arrays.equals(orig, r.getAs[Array[Byte]]("b64_rt")),
+        s"b64 round-trip broke for id=${r.getLong(0)}")
+      // the encoding itself must be standard unchunked base64
+      assert(r.getAs[String]("b64") ==
+        java.util.Base64.getEncoder.encodeToString(orig),
+        s"b64 encoding diverges from java.util.Base64 for id=${r.getLong(0)}")
+    }
+  }
+
+  test("linesWithOffsets: byte offsets index the original buffer for arbitrary line content") {
+    // mixed ASCII / multi-byte chars, \n and \r\n terminators, empty lines
+    val lineChar = Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.const('é'), 1 -> Gen.const('文'))
+    val lineGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, lineChar).map(_.mkString))
+    val docGen = for {
+      lines <- Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, lineGen))
+      sep <- Gen.oneOf("\n", "\r\n")
+      trail <- Gen.oneOf("", "\n")
+    } yield lines.mkString(sep) + (if (lines.nonEmpty) trail else "")
+    samples(docGen, 150, seed = 7L).foreach { doc =>
+      val bytes = doc.getBytes("UTF-8")
+      val arr = graft.functions.LineOffsetUtil.linesWithOffsets(bytes, 0)
+      (0 until arr.numElements()).foreach { i =>
+        val row = arr.getStruct(i, 2)
+        val line = row.getUTF8String(0).toString
+        val off = row.getLong(1).toInt
+        // the offset must point at the line's own bytes in the buffer
+        val lb = line.getBytes("UTF-8")
+        assert(off + lb.length <= bytes.length &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(bytes, off, off + lb.length), lb),
+          s"offset $off does not index line ${'"'}$line${'"'} in ${'"'}$doc${'"'}")
+        assert(!line.contains("\n") && !line.endsWith("\r"),
+          s"terminator leaked into line ${'"'}$line${'"'}")
+      }
+    }
+  }
+
+  test("positional shingle hashes: sorted-distinct equals the set representation") {
+    val word = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val textGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    samples(textGen, 300, seed = 11L).foreach { norm =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(norm)
+      val pos = ShingleHashUtil.positionalShingleHashes(u, 3)
+      val set = ShingleHashUtil.shingleHashes(u, 3)
+      val tokens = norm.split(" ", -1).length
+      if (tokens < 3) {
+        assert(pos.numElements() == 0,
+          s"short text must yield no positional windows: ${'"'}$norm${'"'}")
+        assert(set.numElements() == 1, "set form hashes the whole short text")
+      } else {
+        assert(pos.numElements() == tokens - 2,
+          s"expected ${tokens - 2} windows for ${'"'}$norm${'"'}")
+        val fromPos = pos.toLongArray().distinct.sorted.toSeq
+        val fromSet = set.toLongArray().toSeq
+        assert(fromPos == fromSet,
+          s"positional and set shingle hashes disagree for ${'"'}$norm${'"'}")
+      }
+    }
+  }
+}
