@@ -365,6 +365,39 @@ class PipelineStreamingSpec extends SparkSpec {
       s"unmatched purchase must emit a null-padded row after the watermark passes: $res")
   }
 
+  test("dropDuplicatesWithinWatermark: dedups inside the delay, state evicts after it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = ms.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = deduped.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ddwck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => got.add(r.getAs[Long]("k")))
+      }.start()
+    // k=1 twice in one batch + k=2: dedup within the batch
+    ms.addData(Seq((1L, ts(600)), (1L, ts(601)), (2L, ts(600))))
+    q.processAllAvailable()
+    // k=1 again within the delay → suppressed; k=3 far ahead advances the
+    // watermark to ~2990, evicting k=1's state (600+10 < 2990)
+    ms.addData(Seq((1L, ts(605)), (3L, ts(3000))))
+    q.processAllAvailable()
+    // same key long after eviction → emits AGAIN: the dedup guarantee is
+    // scoped to the watermark delay, which is what keeps state bounded
+    ms.addData(Seq((1L, ts(3500))))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val counts = got.asScala.toVector.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts == Map(1L -> 2, 2L -> 1, 3L -> 1), s"got $counts")
+  }
+
   test("kafka source option mapping (seek flags, rate limit, validation)") {
     import graft.sources.Sources
     val (fmt, opts) = Sources.kafkaSourceOptions(GraftConfig.parse("""
