@@ -147,6 +147,39 @@ object Smoke {
       .where(col("doc_id") =!= col("cluster_id")).show(5)
     lap("clusters")
 
+    println("[smoke] duplicate spans (exact substring dedup, merged):")
+    Dedup.duplicateSpans(docs, "doc_id", "text", n = 10).show(5)
+    lap("spans")
+
+    println("[smoke] temperature mixture + tf-idf top terms:")
+    graft.operators.Sampling.temperatureMixture(docs, "source", "doc_id",
+        targetRows = 50L).groupBy("source").count().show()
+    TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3).show(6)
+    lap("mixture+tfidf")
+
+    println("[smoke] forward as-of + batch twin of the stream interval join:")
+    graft.operators.Relational.asofJoin(probe, changelog, "user_id", "ts_ms",
+        Seq("v"), direction = "forward").show(3)
+    graft.streaming.StreamJoins.intervalJoin(
+        probe.select(col("user_id"), col("event_id").as("p_id"),
+          timestamp_millis(col("ts_ms")).as("p_ts")), "p_ts", "30 minutes",
+        evts.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"),
+            timestamp_millis(col("ts_ms")).as("v_ts")), "v_ts", "30 minutes",
+        "user_id", -1800000L, 0L)
+      .select("p_id", "v_id").show(3)
+    lap("asof-fwd+interval")
+
+    println("[smoke] SQL surface (graft_* functions via spark.sql):")
+    graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
+    docs.limit(3).createOrReplaceTempView("smoke_docs")
+    spark.sql("""SELECT doc_id, graft_rollhash(text) AS rh,
+                        graft_simhash(graft_shingles(trim(regexp_replace(
+                          regexp_replace(lower(text), '[^a-z0-9\\s]', ' '),
+                          '\\s+', ' ')), 3)) AS sim
+                 FROM smoke_docs""").show()
+    lap("sql-surface")
+
     println("[smoke] cosine expression plan (codegen check):")
     emb.limit(1).select(VF.cosineSim(col("embedding"), col("embedding")).as("c"))
       .explain("codegen")
