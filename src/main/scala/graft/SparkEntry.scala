@@ -939,6 +939,9 @@ object SparkEntry {
     "text_tfidf"          -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")),
+    "text_commonness"     -> ((s, dir) =>
+      TextAnalysis.commonnessReport(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
     "events_json"         -> eventsJson _,
@@ -1614,6 +1617,15 @@ object SparkEntry {
              FROM scored)
       SELECT doc_id, term, tf, df_docs, score, rank::BIGINT AS rank
       FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""",
+    // commonness: BIGINT sums (order-free) + one exact-rounded division
+    "text_commonness" -> s"""
+      WITH tr AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+      tc AS (SELECT term, count(*)::BIGINT AS term_freq FROM tr GROUP BY term)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(term_freq)::BIGINT AS sum_freq,
+             sum(CASE WHEN term_freq = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+             sum(term_freq)::DOUBLE / count(*)::DOUBLE AS mean_freq
+      FROM tr JOIN tc USING (term) GROUP BY doc_id ORDER BY doc_id""",
     "text_stats" -> s"""
       SELECT doc_id, len($sqlToks)::BIGINT AS n_words,
              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,

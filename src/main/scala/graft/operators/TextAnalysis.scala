@@ -273,6 +273,31 @@ object TextAnalysis {
               col("score"), col("rank"))
   }
 
+  /** Token-commonness report: per document, the mean corpus frequency of
+    * its tokens and the count of corpus-hapax tokens (frequency 1). High
+    * mean frequency flags boilerplate/common-word soup; a high hapax share
+    * flags garbled or OCR-damaged text — the frequency-based half of a
+    * quality filter, complementary to [[tfidfTopK]]'s specificity ranking.
+    *
+    * Integer-deterministic by construction: the per-doc aggregates are
+    * sums of BIGINT corpus counts (order-free), and the only double op is
+    * one exact-rounded division — so the oracle compares bit-equal.
+    * Scale shape matches tf-idf: one token explode, term counts reduced
+    * from the same table, partial aggregation on both sides. */
+  def commonnessReport(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+    val termCounts = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("term_freq"))
+    toks.join(termCounts, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("term_freq")).as("sum_freq"),
+           sum(when(col("term_freq") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+  }
+
   def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): Array[String] =
     df.select(explode(TF.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")

@@ -216,6 +216,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out((3L, 2L))._1 == "plum")
   }
 
+  test("commonnessReport: hand-computed corpus frequencies and hapax counts") {
+    import graft.operators.TextAnalysis
+    // corpus counts: the=3, cat=2, sat=1, dog=1, ran=1
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the cat sat"),
+      (2L, "the the cat"),
+      (3L, "dog ran"))).toDF("doc_id", "text")
+    val out = TextAnalysis.commonnessReport(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_freq"),
+         r.getAs[Long]("n_hapax"), r.getAs[Double]("mean_freq"))).toMap
+    assert(out(1L) == (3L, 6L, 1L, 2.0))        // the(3)+cat(2)+sat(1)
+    assert(out(2L) == (3L, 8L, 0L, 8.0 / 3.0))  // the(3)+the(3)+cat(2)
+    assert(out(3L) == (2L, 2L, 2L, 1.0))        // dog(1)+ran(1), both hapax
+  }
+
   test("redact replaces emails, IPs, phone numbers with typed placeholders") {
     import graft.operators.TextAnalysis
     val df = spark.createDataFrame(Seq(
