@@ -380,6 +380,16 @@ object SparkEntry {
       .orderBy("event_id", "iv_id")
   }
 
+  /** Deterministic per-source-dir tag for materialized-layout table/path
+    * names (letters and digits only — valid in both identifiers and
+    * paths). */
+  private def layoutTag(dir: String): String =
+    java.lang.Long.toUnsignedString(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        dir.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        dir.getBytes("UTF-8").length, 42L), 36)
+
   /** Co-located join over bucket-materialized tables: both fact tables are
     * written once as bucketed+sorted parquet (the ingest-time shuffle),
     * then the join plans with ZERO exchanges — the 100 TB pattern for
@@ -388,13 +398,18 @@ object SparkEntry {
     * plan shape (no Exchange, bucketed scans) is pinned in PlanSpec. */
   private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Relational.bucketMaterialize
+    // table/path names carry the source-dir tag: concurrent gate runs at
+    // different SFs must not clobber each other's materialized layouts
+    val tag = layoutTag(dir)
     val l = bucketMaterialize(
       t(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_quantity").cast("long").as("qty")),
-      "graft_b_lineitem", "l_orderkey", 8, "/tmp/graft_bucketed/lineitem")
+      s"graft_b_lineitem_$tag", "l_orderkey", 8,
+      s"/tmp/graft_bucketed_$tag/lineitem")
     val o = bucketMaterialize(
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_b_orders", "o_orderkey", 8, "/tmp/graft_bucketed/orders")
+      s"graft_b_orders_$tag", "o_orderkey", 8,
+      s"/tmp/graft_bucketed_$tag/orders")
     l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_items"))
@@ -407,10 +422,12 @@ object SparkEntry {
     * `PartitionFilters` prune at planning time, zero IO for the rest.
     * PlanSpec pins the pruned scan shape. */
   private def qPartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val tag = layoutTag(dir)
     val ev = graft.operators.Relational.partitionMaterialize(
       t(s, dir, "events").select(col("event_id"), col("user_id"),
         col("value"), col("event_type")),
-      "graft_p_events", "event_type", "/tmp/graft_partitioned/events")
+      s"graft_p_events_$tag", "event_type",
+      s"/tmp/graft_partitioned_$tag/events")
     ev.where(col("event_type") === "purchase")
       .groupBy(expr("user_id DIV 100").as("user_bucket"))
       .agg(count(lit(1)).as("n"),

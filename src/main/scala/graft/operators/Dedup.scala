@@ -386,18 +386,22 @@ object Dedup {
     * single-reducer sort. The only window function runs partitioned by
     * document (bounded by doc length). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 10): DataFrame = {
+                     n: Int = 10, materialize: Boolean = true): DataFrame = {
     require(n >= 2, s"span width n must be >= 2, got $n")
     // (id, pos, h): xxhash64 of the n-token window at token index pos —
     // a native single-pass expression (PositionalShingleHashes): the HOF
     // spelling (transform(sequence(...), i -> xxhash64(concat_ws(slice))))
     // re-evaluates the tokenizer per window element and went quadratic
-    // (measured 22 s at sf0.1 vs ~1 s native; verify SKILL.md pitfall #1)
+    // (measured 22 s at sf0.1 vs ~1 s native; verify SKILL.md pitfall #1).
+    // grams feeds both the global first/count reduction and the join's
+    // probe side — persisted so the scan + normalization + hashing run
+    // once, not twice (the two exchange subtrees differ, no ReuseExchange)
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val grams = df.select(col(idCol).as("id"),
+    val gramsBase = df.select(col(idCol).as("id"),
         posexplode(column(graft.functions.PositionalShingleHashes(
           expression(TF.normText(col(textCol))), n))))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val grams = if (materialize) gramsBase.persist() else gramsBase
     // global min-(id,pos) + count per hash: partial agg before the shuffle,
     // so hot (boilerplate) hashes combine map-side instead of funneling
     // into one reducer's sort buffer
@@ -414,13 +418,14 @@ object Dedup {
     val flagged = dup.withColumn("brk",
       when(lag(col("pos"), 1).over(w).isNull ||
            col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
-    flagged.withColumn("gid", sum(col("brk")).over(w))
+    val out = flagged.withColumn("gid", sum(col("brk")).over(w))
       .groupBy(col("id"), col("gid"))
       .agg(min(col("pos")).as("start_tok"),
            (max(col("pos")) + n).as("end_tok"),
            count(lit(1)).as("n_windows"))
       .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
               col("n_windows"))
+    if (materialize) materializeAndRelease(out, grams) else out
   }
 
   def incrementalSurvivors(incoming: DataFrame, existing: DataFrame,
@@ -545,8 +550,16 @@ object Dedup {
         .select(col("id"), jc.as("comp"), (jc =!= col("prev")).as("__chg"))
         .observe(obsName, max(col("__chg")).as("any_chg"))
       val next = Materialize.cut(toCut)
-      converged = !toCut.queryExecution.observedMetrics.get(obsName)
-        .exists(r => Option(r.get(0)).contains(true))
+      // FAIL LOUDLY if the metric is absent: a missing key (cut strategy no
+      // longer materializing CollectMetrics, a Spark upgrade changing how
+      // observed metrics surface) must not read as "no change" — that would
+      // silently terminate the loop with un-propagated labels
+      val metricRow = toCut.queryExecution.observedMetrics.getOrElse(obsName,
+        sys.error(s"connectedComponents: observed metric $obsName missing " +
+          "from the cut job — convergence cannot be read; the materialize " +
+          "strategy no longer executes CollectMetrics"))
+      // null any_chg (zero-row round: empty graph) counts as converged
+      converged = !Option(metricRow.get(0)).contains(true)
       // previous ROUND's cut is dead once `next` exists — but only release
       // rounds this loop created: on the first iteration `lab` is a
       // projection of the caller's `df`, and releasing it would free a

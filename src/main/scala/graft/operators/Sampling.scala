@@ -111,7 +111,11 @@ object Sampling {
       if (alpha == 0.5) math.sqrt(c.toDouble)
       else if (alpha == 1.0) c.toDouble
       else math.pow(c.toDouble, alpha)
-    val counts = df.groupBy(col(groupCol).cast("string").as("g"))
+    // NULL domains participate as their own deterministic group (a join on
+    // the raw value would silently drop them; a naive sortBy would NPE in
+    // the String comparator) — coalesce to a sentinel on BOTH sides
+    val gKey = coalesce(col(groupCol).cast("string"), lit(NullDomain))
+    val counts = df.groupBy(gKey.as("g"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
@@ -128,8 +132,11 @@ object Sampling {
       StructType(Seq(StructField("g", StringType, nullable = false),
                      StructField("group_rows", LongType, nullable = false),
                      StructField("rate_ppm", LongType, nullable = false))))
-    df.join(broadcast(ratesDf), col(groupCol).cast("string") === col("g"))
+    df.join(broadcast(ratesDf), gKey === col("g"))
       .where(bucket(col(idCol), seed) < col("rate_ppm"))
       .drop("g")
   }
+
+  /** Sentinel domain name for NULL group values in `temperatureMixture`. */
+  val NullDomain = "__graft_null__"
 }

@@ -199,6 +199,9 @@ object Similarity {
              materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(refine >= k,
+      s"refine=$refine < k=$k: the ADC cut would silently return fewer " +
+      "than k results per query")
     val sub = dim / m
     val cbs = codebooksOverride.getOrElse(fixedCodebooks(m, codesPerSub, sub))
     // corpus → m-byte codes: nearest codeword per subspace slice (the same
@@ -238,9 +241,12 @@ object Similarity {
       .withColumn("rank", row_number().over(wK))
       .where(col("rank") <= k)
     if (materialize) {
-      val cut = out.localCheckpoint(true)
+      // Materialize.cut honors spark.graft.dedup.materialize — `reliable`
+      // (cluster mode, executor-loss-safe) must apply here exactly as it
+      // does to the dedup family, not a hardcoded localCheckpoint
+      val cut = graft.util.Materialize.cut(out)
       coded.unpersist()
-      graft.util.Materialize.track(cut)
+      cut
     } else out // plan-inspection mode: caller owns cache release
   }
 

@@ -59,10 +59,16 @@ object TextAnalysis {
                    maxDupPpm: Long, maxTopPpm: Long,
                    ns: Seq[Int] = Seq(2)): DataFrame = {
     val kept = qualityFilter(df, textCol, minScore, langs)
-    val repetitive = repetitionReport(kept, idCol, textCol, ns)
-      .where(col("dup_ppm") > maxDupPpm || col("top_ppm") > maxTopPpm)
-      .select(col(idCol)).distinct()
-    kept.join(repetitive, Seq(idCol), "left_anti")
+    // the repetition report covers every kept id (zero-filled) and is
+    // already materialized, so the final keep-set derives from IT — the
+    // quality predicate runs exactly once (inside the report's token
+    // materialization), never a second time on the anti-join side
+    val rep = repetitionReport(kept, idCol, textCol, ns)
+    val viol = col("dup_ppm") > maxDupPpm || col("top_ppm") > maxTopPpm
+    val goodIds = rep.groupBy(col(idCol))
+      .agg(max(when(viol, 1).otherwise(0)).as("__v"))
+      .where(col("__v") === 0).select(col(idCol))
+    df.join(goodIds, Seq(idCol), "left_semi")
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1): per
@@ -255,22 +261,32 @@ object TextAnalysis {
     * doc partitions. `nDocs` is one driver-side scalar (the count), not
     * collected data. */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
-                k: Int = 5): DataFrame = {
+                k: Int = 5, materialize: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val nDocs = df.count().toDouble
-    val tf = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+    // tf feeds BOTH the document-frequency reduction and the scoring join;
+    // without the persist barrier the scan + explode + first shuffle
+    // execute twice (the two exchange subtrees differ, so ReuseExchange
+    // cannot dedup them)
+    val tfBase = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val tf = if (materialize) tfBase.persist() else tfBase
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val scored = tf.join(dfr, "term")
       .withColumn("score",
         col("tf").cast("double") * lit(nDocs) / col("df_docs").cast("double"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df_docs"),
               col("score"), col("rank"))
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      tf.unpersist()
+      res
+    } else out
   }
 
   /** Token-commonness report: per document, the mean corpus frequency of
@@ -284,18 +300,27 @@ object TextAnalysis {
     * one exact-rounded division — so the oracle compares bit-equal.
     * Scale shape matches tf-idf: one token explode, term counts reduced
     * from the same table, partial aggregation on both sides. */
-  def commonnessReport(df: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+  def commonnessReport(df: DataFrame, idCol: String, textCol: String,
+                       materialize: Boolean = true): DataFrame = {
+    // same double-consumer shape as tfidfTopK's `tf`: the token explode
+    // feeds the term-count reduction AND the scoring join — persist so the
+    // corpus scans once
+    val toksBase = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+    val toks = if (materialize) toksBase.persist() else toksBase
     val termCounts = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("term_freq"))
-    toks.join(termCounts, "term")
+    val out = toks.join(termCounts, "term")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
            sum(col("term_freq")).as("sum_freq"),
            sum(when(col("term_freq") === 1L, 1L).otherwise(0L)).as("n_hapax"))
       .withColumn("mean_freq",
         col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      toks.unpersist()
+      res
+    } else out
   }
 
   def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): Array[String] =
@@ -317,6 +342,12 @@ object TextAnalysis {
                vocabSize: Int, vocab: Option[Array[String]] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val v = vocab.getOrElse(buildVocab(df, textCol, vocabSize))
+    // unk id = vocabSize; a frozen vocab larger than vocabSize would make
+    // its entries beyond vocabSize encode AS the unk id — ambiguous
+    // training data, so reject it at call time
+    require(v.length <= vocabSize,
+      s"supplied vocab has ${v.length} entries > vocabSize=$vocabSize: " +
+      "ids would collide with the unk id; pass vocabSize >= vocab.length")
     val ids = column(graft.functions.VocabEncode(
       expression(TF.tokens(col(textCol))), v, vocabSize))
     df.select(col(idCol), posexplode(ids).as(Seq("pos", "token_id")))

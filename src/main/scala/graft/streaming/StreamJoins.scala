@@ -46,16 +46,25 @@ object StreamJoins {
     require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
       s"unsupported stream-stream join type: $joinType")
     val l = left.withWatermark(leftTsCol, leftDelay)
+    // the right side's key AND timestamp are renamed internally: two
+    // streams sharing a schema (the common case — joining a topic with
+    // itself, or two topics with the same event envelope) would otherwise
+    // die with AMBIGUOUS_REFERENCE at analysis
     val r = right.withWatermark(rightTsCol, rightDelay)
       .withColumnRenamed(keyCol, "__graft_rkey")
-    l.join(r,
+      .withColumnRenamed(rightTsCol, "__graft_rts")
+    val joined = l.join(r,
         col(keyCol) === col("__graft_rkey") &&
-        col(rightTsCol) >= col(leftTsCol) +
+        col("__graft_rts") >= col(leftTsCol) +
           expr(s"INTERVAL $lowerMs MILLISECONDS") &&
-        col(rightTsCol) < col(leftTsCol) +
+        col("__graft_rts") < col(leftTsCol) +
           expr(s"INTERVAL $upperMs MILLISECONDS"),
         joinType)
       .withColumn(keyCol, coalesce(col(keyCol), col("__graft_rkey")))
       .drop("__graft_rkey")
+    // restore the right timestamp's name; when both sides use the same
+    // name the right one comes back suffixed `_r`
+    val rtsOut = if (rightTsCol == leftTsCol) rightTsCol + "_r" else rightTsCol
+    joined.withColumnRenamed("__graft_rts", rtsOut)
   }
 }

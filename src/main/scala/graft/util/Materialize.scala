@@ -80,17 +80,19 @@ object Materialize {
   def release(): Int = {
     val self = Thread.currentThread().getId
     var n = 0
-    var entry = tracked.poll()
-    val keep = scala.collection.mutable.ListBuffer.empty[Entry]
-    while (entry != null) {
+    // in-place iterator removal, never drain-and-requeue: a drain would
+    // make OTHER threads' entries momentarily invisible, so a concurrent
+    // release() on the owning thread would free nothing and its dead
+    // blocks would linger — exactly the multi-threaded-driver case the
+    // ownership tag exists for. ConcurrentLinkedQueue's iterator is
+    // weakly consistent and supports safe concurrent remove().
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val entry = it.next()
       val rdd = entry.ref.get
-      if (rdd != null) {
-        if (entry.owner == self) { unpersistRdd(rdd); n += 1 }
-        else keep += entry
-      } // rdd == null: collected — drop the entry for any owner
-      entry = tracked.poll()
+      if (rdd == null) it.remove() // collected — drop for any owner
+      else if (entry.owner == self) { unpersistRdd(rdd); n += 1; it.remove() }
     }
-    keep.foreach(tracked.add)
     n
   }
 

@@ -40,7 +40,8 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("duplicate spans: global reduction is a partial aggregation, not a per-hash sort") {
-    val plan = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10)
+    val plan = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10,
+        materialize = false)
       .queryExecution.executedPlan.toString
     // the hash-group reduction must appear as HashAggregate (map-side
     // combinable); the only Window may be the per-document merge

@@ -180,7 +180,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text_tfidf: (doc,term) counts combine map-side; top-k window is per-doc only") {
-    val p = plan("text_tfidf")
+    // materialize=false: the plan-inspection mode (the gate row's cut
+    // erases the plan into a LogicalRDD)
+    val p = graft.operators.TextAnalysis.tfidfTopK(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", k = 5, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains("partial_count"), "tf counting lost map-side combine")
     // the only window partitions by the doc id — never by term (a hot term
     // would funnel into one reducer's sort)
@@ -190,7 +195,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_spans: window hashing is the native expression inside codegen") {
-    val p = SparkEntry.queries("dedup_spans")(spark, "/root/testdata/sf0.001")
+    val p = graft.operators.Dedup.duplicateSpans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", n = 10, materialize = false)
       .queryExecution.executedPlan.toString
     assert(p.contains("positional_shingle_hashes"),
       "span hashing must be the single-pass native expression (the HOF " +
