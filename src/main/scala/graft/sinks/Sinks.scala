@@ -375,13 +375,15 @@ object Sinks {
     /** PRI = facility * 8 + severity. */
     def pri(facility: Int, severity: Int): Int = facility * 8 + severity
 
+    // DateTimeFormatter is immutable/thread-safe — built once, not per
+    // message (the writer calls rfc3164 in the per-row hot loop)
+    private val Rfc3164Fmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMM ppd HH:mm:ss", java.util.Locale.US)
+      .withZone(java.time.ZoneOffset.UTC)
+
     def rfc3164(facility: Int, severity: Int, ts: java.time.Instant,
-                host: String, app: String, msg: String): String = {
-      val fmt = java.time.format.DateTimeFormatter
-        .ofPattern("MMM ppd HH:mm:ss", java.util.Locale.US)
-        .withZone(java.time.ZoneOffset.UTC)
-      s"<${pri(facility, severity)}>${fmt.format(ts)} $host $app: $msg"
-    }
+                host: String, app: String, msg: String): String =
+      s"<${pri(facility, severity)}>${Rfc3164Fmt.format(ts)} $host $app: $msg"
 
     def rfc5424(facility: Int, severity: Int, ts: java.time.Instant,
                 host: String, app: String, msgId: String, msg: String): String =
@@ -417,15 +419,18 @@ object Sinks {
     batch =>
       batch.select(col("body")).foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
+          // loop-invariant, hoisted: getLocalHost is a syscall (worst case a
+          // reverse-DNS lookup) and would otherwise run once PER ROW
+          val localHost = java.net.InetAddress.getLocalHost.getHostName
           mode match {
             case SyslogUdp =>
               val sock = new java.net.DatagramSocket()
+              val target = java.net.InetAddress.getByName(host)
               try rows.foreach { r =>
                 val m = Syslog.rfc3164(facility, severity, java.time.Instant.now(),
-                  java.net.InetAddress.getLocalHost.getHostName, app, r.getString(0))
+                  localHost, app, r.getString(0))
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-                sock.send(new java.net.DatagramPacket(m, m.length,
-                  java.net.InetAddress.getByName(host), port))
+                sock.send(new java.net.DatagramPacket(m, m.length, target, port))
               } finally sock.close()
             case tcpLike =>
               val sock = tcpLike match {
@@ -442,10 +447,16 @@ object Sinks {
               val out = sock.getOutputStream
               try rows.foreach { r =>
                 val m = Syslog.rfc5424(facility, severity, java.time.Instant.now(),
-                  java.net.InetAddress.getLocalHost.getHostName, app, "-", r.getString(0))
+                  localHost, app, "-", r.getString(0))
                 out.write(Syslog.octetFramed(m)
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              } finally { out.flush(); sock.close() }
+              } finally {
+                // a flush failure on a broken stream must neither mask the
+                // original write exception nor skip closing the socket
+                try out.flush()
+                catch { case _: java.io.IOException => () }
+                finally sock.close()
+              }
           }
       }
   }

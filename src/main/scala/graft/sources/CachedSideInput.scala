@@ -60,16 +60,26 @@ final class CachedSideInput[T: scala.reflect.ClassTag](
 }
 
 object CachedSideInput {
-  private val registry = new ConcurrentHashMap[String, CachedSideInput[_]]()
+  private val registry =
+    new ConcurrentHashMap[String, (Class[_], CachedSideInput[_])]()
 
-  /** Process-wide singleton per name (reference CachedProxy.scala:49-58). */
+  /** Process-wide singleton per name (reference CachedProxy.scala:49-58).
+    * Reusing a name with a DIFFERENT value type fails here, at
+    * registration, instead of as a ClassCastException inside a running
+    * micro-batch far from the misuse (erasure limits the check to the
+    * top-level class — `Map[A,B]` type args are not distinguished). */
   def getOrCreate[T: scala.reflect.ClassTag](
       name: String, spark: SparkSession,
-      fetch: () => T, refreshEveryMillis: Long): CachedSideInput[T] =
-    registry.computeIfAbsent(name,
-      _ => new CachedSideInput[T](spark, fetch, refreshEveryMillis))
-      .asInstanceOf[CachedSideInput[T]]
+      fetch: () => T, refreshEveryMillis: Long): CachedSideInput[T] = {
+    val cls = implicitly[scala.reflect.ClassTag[T]].runtimeClass
+    val entry = registry.computeIfAbsent(name,
+      _ => (cls, new CachedSideInput[T](spark, fetch, refreshEveryMillis)))
+    require(entry._1 == cls,
+      s"side input '$name' is registered with value type " +
+      s"${entry._1.getName}; requested ${cls.getName} — use a distinct name")
+    entry._2.asInstanceOf[CachedSideInput[T]]
+  }
 
   def remove(name: String): Unit =
-    Option(registry.remove(name)).foreach(_.close())
+    Option(registry.remove(name)).foreach(_._2.close())
 }

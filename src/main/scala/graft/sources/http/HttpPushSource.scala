@@ -53,7 +53,18 @@ object HttpPushRegistry {
                               nEvents: Int)
 
   final class Endpoint(val port: Int, delimiter: Char, maxConnections: Int,
-                       headerPrefix: Option[String]) {
+                       headerPrefix: Option[String],
+                       bindAddress: String = "127.0.0.1") {
+    /** Identifies THIS endpoint's lifetime. Offsets are epoch-qualified:
+      * a restarted query replays checkpointed offsets whose epoch no
+      * longer exists — the log was driver memory, so that data is gone,
+      * but none of it was ever 201-acked (acks ride on commit), so the
+      * clients hold the retry obligation and at-least-once is preserved
+      * END-TO-END. Offsets from a foreign epoch translate to this
+      * endpoint's base (empty replay, nothing falsely acked) instead of
+      * crashing slice() or — worse — letting a checkpointed commit
+      * offset ack brand-new events it never covered. */
+    val epoch: String = java.util.UUID.randomUUID().toString.take(8)
     // event log holds only the UNCOMMITTED tail: entries below `committed`
     // are compacted away at commit time and `baseOffset` tracks how many
     // were dropped, so a long-lived endpoint neither grows without bound
@@ -65,7 +76,7 @@ object HttpPushRegistry {
     private val inflight = new Semaphore(maxConnections)
     @volatile private var committed = 0L
 
-    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
+    val server: HttpServer = HttpServer.create(new InetSocketAddress(bindAddress, port), 64)
     // daemon workers + explicit shutdown in stop(): server.stop() does NOT
     // stop a user-supplied executor, and a lingering non-daemon worker keeps
     // the whole JVM alive after query.stop() (bit the Verify main)
@@ -126,6 +137,15 @@ object HttpPushRegistry {
 
     def latest: Long = synchronized(baseOffset + log.size)
 
+    def base: Long = synchronized(baseOffset)
+
+    /** Translate a possibly-foreign-epoch offset into this endpoint's
+      * offset space: same-epoch values pass through; foreign (pre-restart)
+      * values map to the current base — their data predates this
+      * endpoint's life and can neither be replayed nor acked. */
+    def translate(o: HttpPushOffset): Long =
+      if (o.epoch == epoch) o.offset else base
+
     def slice(from: Long, until: Long): Array[(String, Map[String, String])] =
       synchronized {
         require(from >= baseOffset,
@@ -163,6 +183,10 @@ object HttpPushRegistry {
     def stop(): Unit = { server.stop(0); workers.shutdown() }
   }
 
+  /** Keyed by BOUND port. A configured port of 0 always creates a fresh
+    * endpoint on an ephemeral port — two sources both asking for "any
+    * port" must never silently share one log (cross-consumed events,
+    * cross-paced compaction failing the slower query). */
   private val endpoints = new ConcurrentHashMap[Int, Endpoint]()
   private val listenerInstalled = new ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
 
@@ -185,7 +209,9 @@ object HttpPushRegistry {
               case Some(m) =>
                 val port = m.group(1).toInt
                 Option(sp.endOffset).filter(_ != "null").foreach { off =>
-                  lookup(port).foreach(_.commitUpTo(off.trim.toLong))
+                  lookup(port).foreach { ep =>
+                    ep.commitUpTo(ep.translate(HttpPushOffset.parse(off)))
+                  }
                 }
               case None => ()
             }
@@ -195,9 +221,16 @@ object HttpPushRegistry {
     })
 
   def getOrCreate(port: Int, delimiter: Char, maxConnections: Int,
-                  headerPrefix: Option[String]): Endpoint =
-    endpoints.computeIfAbsent(port,
-      _ => new Endpoint(port, delimiter, maxConnections, headerPrefix))
+                  headerPrefix: Option[String],
+                  bindAddress: String = "127.0.0.1"): Endpoint =
+    if (port == 0) {
+      val ep = new Endpoint(0, delimiter, maxConnections, headerPrefix,
+        bindAddress)
+      endpoints.put(ep.boundPort, ep)
+      ep
+    } else endpoints.computeIfAbsent(port,
+      _ => new Endpoint(port, delimiter, maxConnections, headerPrefix,
+        bindAddress))
 
   def lookup(port: Int): Option[Endpoint] = Option(endpoints.get(port))
 
@@ -233,44 +266,76 @@ class HttpPushTable(options: CaseInsensitiveStringMap)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = graft.event.Event.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // fail at build, not first-batch: an empty delimiter would crash
+          // charAt and a multi-char one would silently split on its first
+          // character — wrong event boundaries with no warning
+          val d = options.getOrDefault("delimiter", "\n")
+          require(d.length == 1,
+            s"http-push delimiter must be exactly one character, got " +
+            s"${d.length} ('${d}')")
           new HttpPushMicroBatchStream(
             port = options.getInt("port", 0),
-            delimiter = options.getOrDefault("delimiter", "\n").charAt(0),
+            delimiter = d.charAt(0),
             maxConnections = options.getInt("max-connections", 8),
-            headerPrefix = Option(options.get("request-header-capture-prefix")))
+            headerPrefix = Option(options.get("request-header-capture-prefix")),
+            bindAddress = options.getOrDefault("listen-address", "127.0.0.1"))
+        }
       }
     }
 }
 
-case class HttpPushOffset(offset: Long) extends Offset {
-  override def json(): String = offset.toString
+/** Epoch-qualified offset: `epoch:offset`. Checkpoints written before a
+  * driver restart carry a dead epoch; the endpoint translates them to its
+  * base so replays are empty (the in-memory log is gone, but nothing in it
+  * was acked) and a stale commit can never ack post-restart events. Plain
+  * numeric strings (pre-epoch checkpoints) parse with an empty epoch,
+  * which is always foreign. */
+case class HttpPushOffset(epoch: String, offset: Long) extends Offset {
+  override def json(): String = s"$epoch:$offset"
+}
+object HttpPushOffset {
+  def parse(s: String): HttpPushOffset = {
+    val t = s.trim.stripPrefix("\"").stripSuffix("\"")
+    t.lastIndexOf(':') match {
+      case -1 => HttpPushOffset("", t.toLong)
+      case i  => HttpPushOffset(t.substring(0, i), t.substring(i + 1).toLong)
+    }
+  }
 }
 
 class HttpPushMicroBatchStream(port: Int, delimiter: Char, maxConnections: Int,
-                               headerPrefix: Option[String])
+                               headerPrefix: Option[String],
+                               bindAddress: String = "127.0.0.1")
     extends MicroBatchStream {
-  private val endpoint =
-    HttpPushRegistry.getOrCreate(port, delimiter, maxConnections, headerPrefix)
+  private val endpoint = HttpPushRegistry.getOrCreate(
+    port, delimiter, maxConnections, headerPrefix, bindAddress)
   // ack release rides on query-progress events (see ensureProgressListener,
   // installed by the provider at load() time)
   org.apache.spark.sql.SparkSession.getActiveSession
     .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
     .foreach(HttpPushRegistry.ensureProgressListener)
 
-  override def toString: String = s"HttpPushSource(port=$port)"
+  // the description (and the ack listener that parses it) carries the
+  // BOUND port — with a configured port of 0 each source gets its own
+  // ephemeral endpoint, and the listener must resolve that one, not 0
+  override def toString: String = s"HttpPushSource(port=${endpoint.boundPort})"
 
   /** The actual port (useful when `port = 0` picks an ephemeral one). */
   def boundPort: Int = endpoint.boundPort
 
-  override def latestOffset(): Offset = HttpPushOffset(endpoint.latest)
-  override def initialOffset(): Offset = HttpPushOffset(0L)
+  override def latestOffset(): Offset =
+    HttpPushOffset(endpoint.epoch, endpoint.latest)
+  // a reused long-lived endpoint may already have compacted below 0 —
+  // a new query starts at the uncommitted tail, never inside compaction
+  override def initialOffset(): Offset =
+    HttpPushOffset(endpoint.epoch, endpoint.base)
   override def deserializeOffset(json: String): Offset =
-    HttpPushOffset(json.trim.toLong)
+    HttpPushOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[HttpPushOffset].offset
-    val e = end.asInstanceOf[HttpPushOffset].offset
+    val s = endpoint.translate(start.asInstanceOf[HttpPushOffset])
+    val e = endpoint.translate(end.asInstanceOf[HttpPushOffset])
     if (e <= s) Array.empty
     else Array(HttpPushPartition(endpoint.slice(s, e)))
   }
@@ -294,11 +359,12 @@ class HttpPushMicroBatchStream(port: Int, delimiter: Char, maxConnections: Int,
     }
 
   /** Epoch commit — releases the 201 responses of every request whose
-    * events are fully contained in the committed range. */
+    * events are fully contained in the committed range. Foreign-epoch
+    * commits translate to the base: they cover nothing from this life. */
   override def commit(end: Offset): Unit =
-    endpoint.commitUpTo(end.asInstanceOf[HttpPushOffset].offset)
+    endpoint.commitUpTo(endpoint.translate(end.asInstanceOf[HttpPushOffset]))
 
-  override def stop(): Unit = HttpPushRegistry.remove(port)
+  override def stop(): Unit = HttpPushRegistry.remove(endpoint.boundPort)
 }
 
 case class HttpPushPartition(events: Array[(String, Map[String, String])])

@@ -41,9 +41,22 @@ object Pipeline {
             checkpointRoot: String): Seq[SourcePipeline] = {
     val srcSection = cfg.getSection("graft.source").getOrElse(
       throw new IllegalArgumentException("missing <graft.source> section"))
-    srcSection.sectionKeys.map { name =>
-      val sc = srcSection.getSection(name).get
-      SourcePipeline(name, startOne(spark, cfg, name, sc, s"$checkpointRoot/$name"))
+    // start queries one by one, but NEVER leak the already-started ones if
+    // a later source's assembly throws: the caller gets no handles from a
+    // thrown start(), so anything left running would be unstoppable
+    val started = scala.collection.mutable.ListBuffer.empty[SourcePipeline]
+    try {
+      srcSection.sectionKeys.foreach { name =>
+        val sc = srcSection.getSection(name).get
+        started += SourcePipeline(name,
+          startOne(spark, cfg, name, sc, s"$checkpointRoot/$name"))
+      }
+      started.toSeq
+    } catch {
+      case e: Throwable =>
+        started.foreach(p =>
+          try p.query.stop() catch { case _: Exception => () })
+        throw e
     }
   }
 
@@ -80,6 +93,7 @@ object Pipeline {
     case "http-push" => // embedded HTTP endpoint, DSv2 micro-batch source
       Sources.asEvents(spark.readStream.format("http-push")
         .option("port", sc.getInt("listen-port", 0).toString)
+        .option("listen-address", sc.getString("listen-address", "127.0.0.1"))
         .option("delimiter", sc.getString("delimiter", "\n"))
         .option("max-connections", sc.getInt("max-connections", 8).toString)
         .options(sc.getStringOpt("request-header-capture-prefix")
@@ -123,6 +137,10 @@ object Pipeline {
       case "kafka"  =>
         val topic = sc.getStringOpt("topic")
         val header = sc.getStringOpt("topic-header")
+        // fail at assembly like every other sink misconfiguration — not
+        // minutes later inside the first non-empty micro-batch
+        require(topic.nonEmpty || header.nonEmpty,
+          "kafka sink needs <topic> or <topic-header>")
         val opts = Sinks.kafkaSinkOptions(sc)
         batch => { Sinks.kafkaRecords(batch, topic, header)
           .write.format("kafka").options(opts).save(); () }

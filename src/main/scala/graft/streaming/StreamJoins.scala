@@ -46,13 +46,24 @@ object StreamJoins {
     require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
       s"unsupported stream-stream join type: $joinType")
     val l = left.withWatermark(leftTsCol, leftDelay)
-    // the right side's key AND timestamp are renamed internally: two
-    // streams sharing a schema (the common case — joining a topic with
-    // itself, or two topics with the same event envelope) would otherwise
-    // die with AMBIGUOUS_REFERENCE at analysis
-    val r = right.withWatermark(rightTsCol, rightDelay)
-      .withColumnRenamed(keyCol, "__graft_rkey")
-      .withColumnRenamed(rightTsCol, "__graft_rts")
+    // EVERY right-side column whose name also exists on the left is
+    // renamed: two streams sharing a schema (the common case — joining a
+    // topic with itself, or two topics with the same event envelope) would
+    // otherwise die with AMBIGUOUS_REFERENCE at the first downstream
+    // reference, or produce duplicate output names no sink can write. The
+    // key and timestamp get internal names (restored/merged below); other
+    // collisions keep a `_r` suffix in the output.
+    val otherCollisions = (right.columns.toSet intersect left.columns.toSet) -
+      keyCol - rightTsCol
+    otherCollisions.foreach(c => require(
+      !left.columns.contains(c + "_r") && !right.columns.contains(c + "_r"),
+      s"cannot disambiguate shared column '$c': '${c}_r' is also taken"))
+    val r = otherCollisions.foldLeft(
+        right.withWatermark(rightTsCol, rightDelay)
+          .withColumnRenamed(keyCol, "__graft_rkey")
+          .withColumnRenamed(rightTsCol, "__graft_rts")) {
+      (df, c) => df.withColumnRenamed(c, c + "_r")
+    }
     val joined = l.join(r,
         col(keyCol) === col("__graft_rkey") &&
         col("__graft_rts") >= col(leftTsCol) +

@@ -60,6 +60,51 @@ class HttpPushSpec extends SparkSpec {
     }
   }
 
+  test("restart safety: foreign-epoch offsets replay empty and never ack live events") {
+    import graft.sources.http.{HttpPushOffset, HttpPushRegistry}
+    val ep = HttpPushRegistry.getOrCreate(0, '\n', 4, None)
+    try {
+      val port = ep.boundPort
+      val client = HttpClient.newHttpClient()
+      val pending = client.sendAsync(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+          .POST(HttpRequest.BodyPublishers.ofString("a\nb")).build(),
+        HttpResponse.BodyHandlers.discarding())
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+      while (ep.latest < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(ep.latest == 2, "events must land in the log")
+      // a checkpoint from a PREVIOUS endpoint life (epoch unknown to ep):
+      val oldStart = HttpPushOffset("deadbeef", 80L)
+      val oldEnd = HttpPushOffset("deadbeef", 100L)
+      // the replayed batch translates to the empty range at base — no
+      // IndexOutOfBounds crash on the compacted/unknown offsets
+      assert(ep.translate(oldStart) == ep.base && ep.translate(oldEnd) == ep.base)
+      assert(ep.slice(ep.translate(oldStart), ep.translate(oldEnd)).isEmpty)
+      // a stale checkpointed COMMIT (offset 100 from the old life) must not
+      // ack the two live events it never covered
+      ep.commitUpTo(ep.translate(oldEnd))
+      assert(!pending.isDone, "stale commit falsely acked live events")
+      assert(ep.latest == 2, "stale commit must not compact live events")
+      // the current-epoch commit acks them properly
+      ep.commitUpTo(ep.latest)
+      assert(pending.get(10, TimeUnit.SECONDS).statusCode() == 201)
+    } finally HttpPushRegistry.remove(ep.boundPort)
+  }
+
+  test("two port-0 sources bind distinct endpoints (no shared log)") {
+    import graft.sources.http.HttpPushRegistry
+    val a = HttpPushRegistry.getOrCreate(0, '\n', 4, None)
+    val b = HttpPushRegistry.getOrCreate(0, '\n', 4, None)
+    try {
+      assert(a ne b, "port-0 endpoints must never share a log")
+      assert(a.boundPort != b.boundPort)
+      assert(a.epoch != b.epoch)
+    } finally {
+      HttpPushRegistry.remove(a.boundPort)
+      HttpPushRegistry.remove(b.boundPort)
+    }
+  }
+
   test("admission window counts UNACKED requests; permits release when acks drain") {
     import graft.sources.http.HttpPushRegistry
     // endpoint driven directly (no streaming query): acks only move when
@@ -94,7 +139,7 @@ class HttpPushSpec extends SparkSpec {
       await(ep.latest == 3, "post-drain request not admitted")
       ep.commitUpTo(ep.latest)
       assert(f4.get(10, TimeUnit.SECONDS).statusCode() == 201)
-    } finally HttpPushRegistry.remove(0)
+    } finally HttpPushRegistry.remove(ep.boundPort)
   }
 
   test("gzip body accepted; corrupt gzip rejected with 400") {
@@ -163,9 +208,9 @@ class HttpPushSpec extends SparkSpec {
       // live: a TCP connect must succeed while the endpoint is up
       val s = new java.net.Socket("127.0.0.1", lastPort)
       s.close()
-      HttpPushRegistry.remove(0)
+      HttpPushRegistry.remove(ep.boundPort)
     }
-    assert(HttpPushRegistry.lookup(0).isEmpty, "registry entry must be gone")
+    assert(HttpPushRegistry.lookup(lastPort).isEmpty, "registry entry must be gone")
     // socket released: connecting to the last endpoint's port now fails
     intercept[java.io.IOException] {
       val s = new java.net.Socket("127.0.0.1", lastPort); s.close()
