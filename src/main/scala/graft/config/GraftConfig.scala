@@ -46,8 +46,16 @@ final class GraftConfig(private val root: Map[String, Any], val path: String = "
   def getString(key: String, default: String): String =
     getStringOpt(key).getOrElse(default)
 
-  def getIntOpt(key: String): Option[Int] = getLongOpt(key).map(_.toInt)
-  def getInt(key: String): Int = getLongOpt(key).map(_.toInt).getOrElse(missing(key, "int"))
+  private def toIntExact(key: String)(l: Long): Int = {
+    // silent .toInt truncation turns a mistyped 2^32 into 0 and
+    // 5_000_000_000 into a wrong positive value — fail like typesafe-config
+    require(l >= Int.MinValue && l <= Int.MaxValue,
+      s"config value <$key> = $l is out of Int range")
+    l.toInt
+  }
+  def getIntOpt(key: String): Option[Int] = getLongOpt(key).map(toIntExact(key))
+  def getInt(key: String): Int =
+    getLongOpt(key).map(toIntExact(key)).getOrElse(missing(key, "int"))
   def getInt(key: String, default: Int): Int = getIntOpt(key).getOrElse(default)
 
   def getLongOpt(key: String): Option[Long] = resolve(key).flatMap {
@@ -197,17 +205,15 @@ object ConfigParser {
           i += 1
           val child = parseObjectBody(topLevel = false)
           expect('}')
-          // merge duplicate sections (HOCON object merge semantics)
-          m = m.updated(key, m.get(key) match {
-            case Some(prev: Map[String @unchecked, Any @unchecked]) =>
-              child.foldLeft(prev) { case (acc, (k, v)) => acc.updated(k, v) }
-            case _ => child
-          })
+          // duplicate sections DEEP-merge (HOCON object merge semantics —
+          // a shallow merge would let a later `graft { source { s2 … } }`
+          // wholesale replace an earlier sibling's s1); dotted keys nest
+          m = mergeEntry(m, key, child)
         } else {
           if (!eof && (peek == '=' || peek == ':')) i += 1
           skipWs()
           val value = parseValue()
-          m = m.updated(key, value)
+          m = mergeEntry(m, key, value)
         }
         skipWs()
         if (!eof && peek == ',') { i += 1; skipWs() }
@@ -221,9 +227,33 @@ object ConfigParser {
       else {
         val start = i
         while (!eof && !peek.isWhitespace && peek != '=' && peek != ':' && peek != '{') i += 1
-        // dotted keys create nested paths only on lookup; store verbatim
         s.substring(start, i)
       }
+    }
+
+    /** Store `key -> value` into `m`: dotted keys nest (every getter
+      * resolves by splitting on '.', so a verbatim `a.b` entry would be
+      * unreachable), and map-vs-map collisions deep-merge. */
+    private def mergeEntry(m: scala.collection.immutable.ListMap[String, Any],
+                           key: String, value: Any)
+        : scala.collection.immutable.ListMap[String, Any] = {
+      val parts = key.split('.').toSeq.filter(_.nonEmpty)
+      def nest(ps: Seq[String], v: Any): Any =
+        if (ps.isEmpty) v
+        else scala.collection.immutable.ListMap(ps.head -> nest(ps.tail, v))
+      val (k0, v0) =
+        if (parts.length <= 1) (key, value)
+        else (parts.head, nest(parts.tail, value))
+      m.updated(k0, m.get(k0).map(deepMerge(_, v0)).getOrElse(v0))
+    }
+
+    private def deepMerge(a: Any, b: Any): Any = (a, b) match {
+      case (am: Map[String @unchecked, Any @unchecked],
+            bm: Map[String @unchecked, Any @unchecked]) =>
+        bm.foldLeft(am) { case (acc, (k, v)) =>
+          acc.updated(k, acc.get(k).map(deepMerge(_, v)).getOrElse(v))
+        }
+      case (_, newer) => newer // scalars: last one wins, as in HOCON
     }
 
     private def parseQuoted(): String = {
@@ -267,7 +297,12 @@ object ConfigParser {
         case _ =>
           val start = i
           while (!eof && peek != '\n' && peek != ',' && peek != ']' && peek != '}' && peek != '#') i += 1
-          val raw = s.substring(start, i).trim
+          val line = s.substring(start, i)
+          // an inline `// comment` after an unquoted value is not part of
+          // the value — but only when preceded by whitespace, so unquoted
+          // `http://x` URLs survive (quoted values never reach this path)
+          val cut = line.indexOf(" //")
+          val raw = (if (cut >= 0) line.substring(0, cut) else line).trim
           coerce(raw)
       }
     }

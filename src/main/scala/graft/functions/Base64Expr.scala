@@ -12,6 +12,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * 321-334` uses `java.util.Base64.getEncoder` = basic) and cross-engine
   * comparison. These expressions use the basic codec and stay codegen'd. */
 case class B64Encode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> BinaryType)
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
     UTF8String.fromBytes(
@@ -24,6 +26,8 @@ case class B64Encode(child: Expression) extends UnaryExpression {
 }
 
 case class B64Decode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> StringType)
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(v: Any): Any =
     java.util.Base64.getDecoder.decode(v.asInstanceOf[UTF8String].getBytes)

@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Analysis-time input-type validation for the native expressions. Spark's
+  * `ImplicitCastInputTypes`/`inputTypes` signature uses the
+  * `private[sql]` `AbstractDataType`, so expressions outside that package
+  * validate through `checkInputDataTypes` instead — same effect: a wrong
+  * argument type (e.g. `graft_simhash(array(1, 2))`, ARRAY<INT> where
+  * ARRAY<BIGINT> is required) fails AT ANALYSIS with a message naming the
+  * argument, never mid-job as a ClassCastException or silently-wrong
+  * codegen read. */
+object GraftTypeCheck {
+
+  def expect(fn: String, args: (Expression, DataType)*): TypeCheckResult =
+    args.zipWithIndex.collectFirst {
+      case ((e, want), i) if !accepts(want, e.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn: argument ${i + 1} expects ${want.simpleString}, " +
+          s"got ${e.dataType.simpleString} — add an explicit CAST")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  private def accepts(want: DataType, got: DataType): Boolean = (want, got) match {
+    case (ArrayType(w, _), ArrayType(g, _)) => accepts(w, g) // any nullability
+    case (w, g)                             => w == g
+  }
+}

@@ -41,6 +41,8 @@ object Compressor {
 
 case class GzipCompress(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> BinaryType)
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(v: Any): Any =
     Compressor.gzipCompress(v.asInstanceOf[Array[Byte]])
@@ -50,6 +52,8 @@ case class GzipCompress(child: Expression)
 
 case class GzipDecompress(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> BinaryType)
   override def dataType: DataType = BinaryType
   override protected def nullSafeEval(v: Any): Any =
     Compressor.gzipDecompress(v.asInstanceOf[Array[Byte]])

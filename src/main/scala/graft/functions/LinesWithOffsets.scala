@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Split a file's raw bytes into lines, each with the BYTE offset of its
@@ -49,6 +49,8 @@ object LineOffsetUtil {
 
 case class LinesWithOffsets(child: Expression, maxLineBytes: Int = 0)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> BinaryType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("line", StringType, nullable = false),
                    StructField("off", LongType, nullable = false))),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct 64-bit hashes of the word n-gram shingles of a *normalized*
@@ -105,6 +105,8 @@ object ShingleHashUtil {
   * for why a native expression and not a HOF composition). */
 case class PositionalShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     ShingleHashUtil.positionalShingleHashes(v.asInstanceOf[UTF8String], n)
@@ -117,6 +119,8 @@ case class PositionalShingleHashes(child: Expression, n: Int)
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     ShingleHashUtil.shingleHashes(v.asInstanceOf[UTF8String], n)

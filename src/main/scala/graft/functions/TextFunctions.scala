@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Text-analysis building blocks for the training-data pipeline operators
   * (SURVEY.md §7 phase 5): tokenization, normalization, shingling, MinHash
@@ -179,6 +179,8 @@ object TextFunctions {
   */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val P = TextFunctions.MinhashPrime
   @transient private lazy val coeffs = TextFunctions.minhashCoefficients(k, seed)
@@ -232,6 +234,8 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   * whole-stage codegen via `doGenCode`.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> ArrayType(LongType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -371,6 +375,8 @@ object TextProfileUtil {
   * `und` when no stopword hits). */
 case class QualityLangKeep(child: Expression, minScore: Long, langs: Seq[String])
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> StringType)
   import org.apache.spark.sql.types.BooleanType
   override def dataType: DataType = BooleanType
   @transient private lazy val langSet: java.util.HashSet[String] = {
@@ -396,6 +402,8 @@ case class QualityLangKeep(child: Expression, minScore: Long, langs: Seq[String]
 }
 
 case class TextProfile(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> StringType)
   import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   override def dataType: DataType = StructType(
     Seq(StructField("n_chars", LongType, nullable = false),
@@ -417,6 +425,8 @@ case class TextProfile(child: Expression) extends UnaryExpression {
   * fingerprint usable for content-defined chunking. */
 case class RollingHash64(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> StringType)
   override def dataType: DataType = LongType
   private val P = (1L << 61) - 1
   private val B = 257L
@@ -455,6 +465,8 @@ case class RollingHash64(child: Expression) extends UnaryExpression
   * no re-assembly aggregation. */
 case class VocabEncode(child: Expression, vocab: Array[String], unkId: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> ArrayType(StringType))
   import org.apache.spark.sql.types.IntegerType
   import org.apache.spark.unsafe.types.UTF8String
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

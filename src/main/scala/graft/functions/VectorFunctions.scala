@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Embedding-vector kernels for the similarity-search / near-dup operators
   * (SURVEY.md §7 phase 5; `embeddings.parquet` is `ARRAY<FLOAT>` 64-dim).
@@ -21,6 +21,8 @@ object VectorExpressions {
   /** dot(a, b) over ARRAY<FLOAT> → DOUBLE (accumulated in double,
     * sequential order — deterministic). */
   case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      GraftTypeCheck.expect(prettyName, left -> ArrayType(FloatType), right -> ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -48,6 +50,8 @@ object VectorExpressions {
 
   /** cosine(a, b) over ARRAY<FLOAT> → DOUBLE; 0.0 when either norm is 0. */
   case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      GraftTypeCheck.expect(prettyName, left -> ArrayType(FloatType), right -> ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -85,6 +89,8 @@ object VectorExpressions {
   /** Euclidean (L2) norm of ARRAY<FLOAT> → DOUBLE. */
   case class NormF(child: Expression)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -149,6 +155,8 @@ object VectorKernels {
 case class NearestCentroids(child: org.apache.spark.sql.catalyst.expressions.Expression,
                             centroids: Array[Array[Float]], probes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> ArrayType(FloatType))
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -173,6 +181,8 @@ case class NearestCentroids(child: org.apache.spark.sql.catalyst.expressions.Exp
 case class SigAgree(left: org.apache.spark.sql.catalyst.expressions.Expression,
                     right: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      GraftTypeCheck.expect(prettyName, left -> ArrayType(LongType), right -> ArrayType(LongType))
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override protected def nullSafeEval(a: Any, b: Any): Any = {

@@ -77,9 +77,15 @@ final case class HeaderEnrich(name: String, pairs: Map[String, String],
   def intercept(event: Event): Option[Event] = Some(event.withHeaders(pairs.toSeq: _*))
   override def columnar: Option[DataFrame => DataFrame] = Some { df =>
     import org.apache.spark.sql.functions._
-    val add = map(pairs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    df.withColumn("headers", map_concat(
-      map_filter(col("headers"), (k, _) => !k.isin(pairs.keys.toSeq.map(lit): _*)), add))
+    // empty enrichment is the identity — map() with zero args types as
+    // MAP<VOID,VOID> and map_concat with the MAP<STRING,STRING> headers
+    // column would fail analysis (the typed path is a no-op here too)
+    if (pairs.isEmpty) df
+    else {
+      val add = map(pairs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      df.withColumn("headers", map_concat(
+        map_filter(col("headers"), (k, _) => !k.isin(pairs.keys.toSeq.map(lit): _*)), add))
+    }
   }
 }
 

@@ -37,7 +37,9 @@ object Metrics {
   def observed(df: DataFrame, name: String): DataFrame =
     df.observe(name,
       count(lit(1)).as("n_events"),
-      sum(length(col("body"))).as("n_bytes"))
+      // octet_length: n_bytes must count BYTES (length() counts chars —
+      // CJK bodies would report ~1/3 of the true volume)
+      sum(octet_length(col("body"))).as("n_bytes"))
 
   /** Install once per session: captures both custom observations and the
     * engine's own progress numbers into the registry. */

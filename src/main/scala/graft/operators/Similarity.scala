@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   *  - `bruteForceTopK` — exact cosine top-k. The query side is
   *    `broadcast()`: the corpus (the 100 TB side) streams through one
   *    narrow stage, never shuffles; ranking shuffles only
-  *    (n_queries × k-bounded) candidate rows after a per-partition
-  *    pre-prune. This is the correctness baseline the approximate paths are
-  *    judged against.
+  *    (n_queries × k-bounded) candidate rows per scan partition, because
+  *    Catalyst plans the `row_number <= k` filter as a PARTIAL
+  *    `WindowGroupLimit` BELOW the exchange (map-side top-k prune —
+  *    pinned in PlanSpec, not assumed). This is the correctness baseline
+  *    the approximate paths are judged against.
   *  - `lshTopK` — random-hyperplane (SimHash-for-vectors) bucketing; only
   *    bucket-mates are scored. At scale this is the path: candidate
   *    generation is an equi-join on bucket id; recall is tuned with
@@ -47,11 +49,17 @@ object Similarity {
                        seed: Long = 7L): Column = {
     val hp = hyperplanes(bits, dim, seed)
     val hpCol = array(hp.map(row => array(row.map(lit(_)): _*)): _*) // bits × dim
-    aggregate(
+    val bucket = aggregate(
       zip_with(hpCol, sequence(lit(0), lit(bits - 1)), (row, i) =>
         when(aggregate(zip_with(vec, row, (x, h) => x * h), lit(0.0d), _ + _) > 0,
              call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), _ + _)
+    // zip_with null-pads a length mismatch, the null dot product falls
+    // into otherwise(0), and EVERY row lands in bucket 0 — the "LSH" join
+    // silently degenerates to a cross product. Fail loudly instead.
+    when(size(vec) === dim, bucket).otherwise(raise_error(concat(
+      lit(s"hyperplaneBucket: vector length "), size(vec).cast("string"),
+      lit(s" != dim $dim"))))
   }
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -209,6 +217,10 @@ object Similarity {
     def code(vec: Column, mi: Int): Column = element_at(
       column(graft.functions.NearestCentroids(
         expression(slice(vec, mi * sub + 1, sub)), cbs(mi), 1)), 1)
+    // NOTE: with materialize=false (plan-inspection mode) the internal
+    // persist is NOT released — the caller owns cache cleanup via
+    // spark.sharedState.cacheManager.clearCache() (the PlanSpec pattern);
+    // the normal path unpersists after the cut below
     val coded = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
       .withColumn("codes", array((0 until m).map(mi => code(col("cvec"), mi)): _*))
       .persist()

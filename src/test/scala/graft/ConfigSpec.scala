@@ -17,6 +17,27 @@ class ConfigSpec extends AnyFunSuite {
       interceptor { i1 { fqcn = "graft.interceptor.Transparent", priority = 90 } }
     }""")
 
+  test("dotted keys nest; duplicate sections deep-merge; inline // strips; Int range checked") {
+    val c = GraftConfig.parse("""
+      graft.sink.s1.url = "http://x"
+      graft { source { a { type = devzero } } }
+      graft { source { b { type = devzero } } }
+      timeout = 5s // tight budget
+      url2 = http://unquoted/ok
+      big = 4294967296
+    """)
+    // a flat dotted key must land in the same nested space the getters read
+    assert(c.getString("graft.sink.s1.url") == "http://x")
+    // the second graft.source block must MERGE with (not replace) the first
+    assert(c.getSection("graft.source").get.sectionKeys.toSet == Set("a", "b"))
+    // inline // comment is not part of the value; unquoted URLs survive
+    assert(c.getDuration("timeout", 0.millis) == 5.seconds)
+    assert(c.getString("url2") == "http://unquoted/ok")
+    // out-of-Int-range values fail loudly instead of truncating to 0
+    assert(c.getLong("big", 0L) == 4294967296L)
+    intercept[IllegalArgumentException](c.getInt("big"))
+  }
+
   test("nested sections and typed getters") {
     val s1 = sample.getSection("graft.source").get.getSection("s1").get
     assert(s1.getString("type") == "directory")

@@ -33,7 +33,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sim_topk: per-partition top-k before the exchange (WindowGroupLimit)") {
-    assert(plan("sim_topk").contains("WindowGroupLimit"))
+    val p = plan("sim_topk")
+    assert(p.contains("WindowGroupLimit"))
+    // the PARTIAL WindowGroupLimit must sit BELOW the exchange: that's the
+    // map-side prune that bounds the shuffle to k rows per (partition, qid)
+    val lines = p.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstExchange >= 0 && partialWgl > firstExchange,
+      "partial WindowGroupLimit below the exchange is missing — the " +
+      "shuffle would carry the full corpus × queries product")
   }
 
   test("pipe_transform: filter pushdown reaches the parquet scan") {

@@ -108,6 +108,18 @@ class SqlFunctionsSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("ARRAY<STRING>"),
       s"expected langs-type message, got: ${e3.getMessage}")
+    // wrong COLUMN type fails at analysis (checkInputDataTypes), not as a
+    // mid-job ClassCastException or silently-wrong codegen read
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(array(1, 2))").collect()
+    }
+    assert(e4.getMessage.contains("array<bigint>"),
+      s"expected analysis-time type error, got: ${e4.getMessage}")
+    val e5 = intercept[Exception] {
+      spark.sql("SELECT graft_rollhash(doc_id) FROM sqlfn_docs").collect()
+    }
+    assert(e5.getMessage.contains("string"),
+      s"expected analysis-time type error, got: ${e5.getMessage}")
   }
 
   test("ensureRegistered is idempotent and GraftExtensions injects cleanly") {
