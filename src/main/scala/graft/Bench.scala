@@ -28,6 +28,14 @@ import java.nio.file.{Files, Paths}
   * run OUTSIDE the per-query timer: they are inter-job bookkeeping any
   * long-lived driver amortizes, not query cost. */
 object Bench {
+  // JSON / README number rendering MUST be locale-independent: the f
+  // interpolator uses the default locale, and a comma-decimal locale
+  // (de_DE, fr_FR, ...) would emit {"value":123,456} — malformed JSON,
+  // which the driver records as parsed: null (the round-1/round-3 failure)
+  private def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      java.lang.Double.valueOf(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,10 +113,10 @@ object Bench {
     // the driver-parsed line: steady-state only, 2-decimal precision —
     // ~1.2 KB for 58 queries, safely inside the stdout tail window
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(results, v => f"$v%.2f")},"sf":"$sfDir","passes":2,"cold_total_sec":$coldTotal%.3f,"wall_both_passes_sec":$wall%.3f,"failed":$failed}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 2))},"sf":"$sfDir","passes":2,"cold_total_sec":${num(coldTotal, 3)},"wall_both_passes_sec":${num(wall, 3)},"failed":$failed}"""
     // the full local record keeps the cold map + ms precision
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(results, v => f"$v%.3f")},"queries_cold":${qmap(cold, v => f"$v%.3f")},"sf":"$sfDir","passes":2,"wall_both_passes_sec":$wall%.3f,"failed":$failed}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 3))},"queries_cold":${qmap(cold, v => num(v, 3))},"sf":"$sfDir","passes":2,"wall_both_passes_sec":${num(wall, 3)},"failed":$failed}"""
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case _: Throwable => () }
     // regenerate the README bench paragraph from this run's record so the
@@ -131,12 +139,12 @@ object Bench {
     val (slowName, (slowSec, _)) = results.maxBy(_._2._1)
     val nFailed = results.count(!_._2._2)
     val block =
-      f"""Latest full run (this block is auto-generated by `graft.Bench` from the
+      s"""Latest full run (this block is auto-generated by `graft.Bench` from the
 run recorded in `BENCH_LOCAL.json` — do not hand-edit): steady-state
-total **$total%.1f s** for $n queries at `$sfDir` on $cpus cores
-(cold pass $coldTotal%.1f s, wall for both passes $wall%.1f s,
+total **${num(total, 1)} s** for $n queries at `$sfDir` on $cpus cores
+(cold pass ${num(coldTotal, 1)} s, wall for both passes ${num(wall, 1)} s,
 failed queries: $nFailed). Slowest steady-state query: `$slowName`
-at $slowSec%.2f s."""
+at ${num(slowSec, 2)} s."""
     val begin = "<!-- BENCH_AUTOGEN_BEGIN -->"
     val end = "<!-- BENCH_AUTOGEN_END -->"
     val text = Files.readString(readme)

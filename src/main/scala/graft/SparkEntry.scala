@@ -837,18 +837,22 @@ object SparkEntry {
         Thread.sleep(50)
       }
       val client = HttpClient.newHttpClient()
-      // ≤8 concurrent chunks (the source's default max-connections) so no
-      // POST is 503-shed; each ack waits for its epoch commit
-      val futures = lines.grouped(1000).map { chunk =>
-        client.sendAsync(
-          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
-            .POST(HttpRequest.BodyPublishers.ofString(chunk.mkString("\n")))
-            .build(),
-          HttpResponse.BodyHandlers.discarding())
-      }.toSeq
-      futures.foreach { f =>
-        val status = f.get(120, java.util.concurrent.TimeUnit.SECONDS).statusCode()
-        require(status == 201, s"http-push POST not acked: $status")
+      // send in WAVES of <= 8 concurrent chunks — the source's default
+      // max-connections admission window sheds the 9th in-flight request
+      // with 503, and grouped().map is eager, so an unbounded fan-out
+      // would break the gate as soon as a fixture exceeds 8000 docs
+      lines.grouped(1000).grouped(8).foreach { wave =>
+        val futures = wave.map { chunk =>
+          client.sendAsync(
+            HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+              .POST(HttpRequest.BodyPublishers.ofString(chunk.mkString("\n")))
+              .build(),
+            HttpResponse.BodyHandlers.discarding())
+        }
+        futures.foreach { f =>
+          val status = f.get(120, java.util.concurrent.TimeUnit.SECONDS).statusCode()
+          require(status == 201, s"http-push POST not acked: $status")
+        }
       }
     } finally ps.foreach(_.query.stop())
     s.read.parquet(out.toString)
@@ -859,7 +863,7 @@ object SparkEntry {
 
   // ======================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pipeline parity (SURVEY §2.1-2.4)
     "pipe_transform"      -> pipeTransform _,
     "pipe_drop_all"       -> ((s, dir) =>
@@ -1258,7 +1262,7 @@ object SparkEntry {
     s"len(list_intersect(list_distinct($sqlToks), $words))::BIGINT"
   }
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "pipe_transform" -> """
       SELECT event_id, props AS body, 'graft' AS source
       FROM events WHERE regexp_matches(props, '"k": 8\d')
@@ -1938,14 +1942,14 @@ object SparkEntry {
         SELECT doc_id AS id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-               octet_length(encode(text))::BIGINT AS byteLen, md5(text) AS sha
+               octet_length(encode(text))::BIGINT AS byteLen, md5(text) AS payload_md5
         FROM documents)
       SELECT id, kind, byteLen,
              (byteLen % 640 + 16)::INT AS width,
              ((byteLen * 31) % 480 + 16)::INT AS height,
              CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END::INT AS sampleRateHz,
              CASE WHEN kind = 'video' THEN (byteLen % 300 + 1) ELSE 1 END::INT AS nFrames,
-             sha
+             payload_md5
       FROM m ORDER BY id""",
     "mm_frames" -> """
       WITH m AS (

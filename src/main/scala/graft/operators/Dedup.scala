@@ -221,6 +221,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Long = 4096L,
                    materialize: Boolean = true): DataFrame = {
+    // pigeonhole blocking needs >= 2 fragments (maxHamming = 0 would give
+    // bitsPer = 64, where (1L << 64) == 1 in JVM shift semantics and the
+    // mask silently becomes 0 — every doc in ONE bucket, recall collapses);
+    // beyond 31 the fragments get too narrow to block on at all
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
     val nBlocks = maxHamming + 1
     val bitsPer = 64 / nBlocks
     val hashed = df.select(col(idCol).as("id"),
@@ -352,20 +358,6 @@ object Dedup {
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
-  /** Incremental (crawl-over-crawl) dedup — the production corpus-refresh
-    * flow: `existing` is the already-curated corpus (never modified),
-    * `incoming` the new batch; keep the incoming docs that are NOT
-    * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of any existing
-    * doc or of a smaller-id incoming doc. Returns the surviving incoming
-    * rows with their original columns.
-    *
-    * One inverted-index equi-join over the union's postings, with the
-    * victim side restricted to incoming BEFORE the join — existing×existing
-    * candidates are never generated, so the cost is the cross-batch and
-    * intra-batch candidates only (at steady state `incoming` ≪ `existing`
-    * and the posting join is bounded by the incoming side's shingles).
-    * `maxDocFreq` prunes pathological shingles exactly as
-    * [[ngramJaccardPairs]]. Ids must be unique across both inputs. */
   /** Exact substring-span dedup (the "dedup repeated n-token spans, not
     * whole documents" shape used for training corpora — boilerplate,
     * licenses, quoted passages): every token-position window of width `n`
@@ -428,6 +420,20 @@ object Dedup {
     if (materialize) materializeAndRelease(out, grams) else out
   }
 
+  /** Incremental (crawl-over-crawl) dedup — the production corpus-refresh
+    * flow: `existing` is the already-curated corpus (never modified),
+    * `incoming` the new batch; keep the incoming docs that are NOT
+    * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of any existing
+    * doc or of a smaller-id incoming doc. Returns the surviving incoming
+    * rows with their original columns.
+    *
+    * One inverted-index equi-join over the union's postings, with the
+    * victim side restricted to incoming BEFORE the join — existing×existing
+    * candidates are never generated, so the cost is the cross-batch and
+    * intra-batch candidates only (at steady state `incoming` ≪ `existing`
+    * and the posting join is bounded by the incoming side's shingles).
+    * `maxDocFreq` prunes pathological shingles exactly as
+    * [[ngramJaccardPairs]]. Ids must be unique across both inputs. */
   def incrementalSurvivors(incoming: DataFrame, existing: DataFrame,
                            idCol: String, textCol: String,
                            shingleN: Int = 3, threshold: Double = 0.5,

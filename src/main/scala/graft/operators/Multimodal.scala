@@ -24,7 +24,7 @@ object Multimodal {
   /** Typed media-metadata row produced by decode. */
   final case class MediaMeta(id: Long, kind: String, byteLen: Long,
                              width: Int, height: Int, sampleRateHz: Int,
-                             nFrames: Int, sha: String)
+                             nFrames: Int, payload_md5: String)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -41,14 +41,16 @@ object Multimodal {
   object StubCodec {
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
       val len = payload.length.toLong
-      val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      val sha = h.map("%02x".format(_)).mkString
+      // the field NAME states the algorithm: a hash column called "sha"
+      // holding an MD5 is a trap for every consumer and future codec
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+        .map("%02x".format(_)).mkString
       MediaMeta(id, kind, len,
-        width = (math.abs(len) % 640).toInt + 16,
-        height = (math.abs(len * 31) % 480).toInt + 16,
+        width = (len % 640).toInt + 16,       // len >= 0: no abs needed
+        height = ((len * 31) % 480).toInt + 16,
         sampleRateHz = if (kind == "audio") 16000 else 0,
         nFrames = if (kind == "video") (len % 300).toInt + 1 else 1,
-        sha = sha)
+        payload_md5 = md5)
     }
   }
 
@@ -82,8 +84,10 @@ object Multimodal {
     * frame index (no bytes attached in the stub; a real impl would emit one
     * decoded frame per row). Demonstrates the explode-then-process batch
     * shape without carrying payloads through the explode. */
-  def sampleFrames(meta: Dataset[MediaMeta], everyN: Int = 10): DataFrame =
+  def sampleFrames(meta: Dataset[MediaMeta], everyN: Int = 10): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     meta.toDF().where(col("kind") === "video")
       .select(col("id"), col("nFrames"),
         explode(sequence(lit(0), col("nFrames") - 1, lit(everyN))).as("frame_idx"))
+  }
 }

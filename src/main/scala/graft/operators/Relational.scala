@@ -114,15 +114,26 @@ object Relational {
     * intervalLength/binWidth, candidate fan-out with binWidth×density. */
   def rangeJoinBinned(probe: DataFrame, probeTs: String,
                       intervals: DataFrame, startCol: String, endCol: String,
-                      keyCol: Option[String], binWidth: Long): DataFrame = {
+                      keyCol: Option[String], binWidth: Long,
+                      maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     // integer (DIV) bin arithmetic — float division would lose precision on
     // large epoch values and mis-bin boundary timestamps
-    val iv = intervals.withColumn("__bin_i", explode(sequence(
-        expr(s"CAST($startCol AS BIGINT) DIV $binWidth"),
-        // end is exclusive: the last overlapped bin is (end-1) DIV width
-        greatest(expr(s"(CAST($endCol AS BIGINT) - 1) DIV $binWidth"),
-                 expr(s"CAST($startCol AS BIGINT) DIV $binWidth")))))
+    val binLo = expr(s"CAST($startCol AS BIGINT) DIV $binWidth")
+    // end is exclusive: the last overlapped bin is (end-1) DIV width
+    val binHi = greatest(expr(s"(CAST($endCol AS BIGINT) - 1) DIV $binWidth"),
+                         expr(s"CAST($startCol AS BIGINT) DIV $binWidth"))
+    // ONE corrupt interval (end = Long.MaxValue, or a nanos-vs-millis unit
+    // mixup) would otherwise ask sequence() for ~2^63/binWidth elements and
+    // kill the whole job deep in an executor; fail loudly with the row's
+    // numbers instead, like the dedup family's bucket caps
+    val guarded = when(binHi - binLo < maxBinsPerInterval, binHi)
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoinBinned: interval spans "), (binHi - binLo + 1).cast("string"),
+        lit(s" bins (> $maxBinsPerInterval) at binWidth=$binWidth — corrupt " +
+            "interval or unit mismatch; raise maxBinsPerInterval if intended"))))
+    val iv = intervals.withColumn("__bin_i", explode(sequence(binLo, guarded)))
     val pr = probe.withColumn("__bin_p",
       expr(s"CAST($probeTs AS BIGINT) DIV $binWidth"))
     val cond = pr("__bin_p") === iv("__bin_i") &&

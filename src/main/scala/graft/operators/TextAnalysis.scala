@@ -239,12 +239,6 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
-  /** Corpus vocabulary: the top `vocabSize` normalized tokens by
-    * (count desc, token asc) — a deterministic total order, so the id
-    * assignment is reproducible across engines and runs. One partial-agg
-    * shuffle over (token, count); the result is `vocabSize`-bounded and
-    * collected to the driver (the same bounded-collect contract as the IVF
-    * k-means trainer). Index in the returned array = dense token id. */
   /** Per-document top-k salient terms by tf-idf. The idf here is the
     * non-log variant `N / df` (a documented tf-idf family member): every
     * arithmetic step (integer-valued doubles under 2^53, one division) is
@@ -323,6 +317,12 @@ object TextAnalysis {
     } else out
   }
 
+  /** Corpus vocabulary: the top `vocabSize` normalized tokens by
+    * (count desc, token asc) — a deterministic total order, so the id
+    * assignment is reproducible across engines and runs. One partial-agg
+    * shuffle over (token, count); the result is `vocabSize`-bounded and
+    * collected to the driver (the same bounded-collect contract as the IVF
+    * k-means trainer). Index in the returned array = dense token id. */
   def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): Array[String] =
     df.select(explode(TF.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
@@ -353,6 +353,12 @@ object TextAnalysis {
     df.select(col(idCol), posexplode(ids).as(Seq("pos", "token_id")))
   }
 
+  /** Test hook: exposes the pre-materialization prefix-sum plan so PlanSpec
+    * can pin the within-partition window shape. */
+  private[graft] def prefixOffsetsForTest(df: DataFrame, idCol: String,
+      size: org.apache.spark.sql.Column, sizeName: String): (DataFrame, DataFrame) =
+    withPrefixOffsets(df, idCol, size, sizeName)
+
   /** Two-pass distributed global prefix sum over `size` in `idCol` order:
     * per-sort-partition subtotals (one tiny row per partition) are
     * collected, turned into cumulative bases, and added to a
@@ -360,12 +366,6 @@ object TextAnalysis {
     * partitioning funnels the whole corpus through ONE task. Returns the
     * frame with `(idCol, sizeName, offset)` columns plus the persisted
     * intermediate the caller must unpersist after materializing. */
-  /** Test hook: exposes the pre-materialization prefix-sum plan so PlanSpec
-    * can pin the within-partition window shape. */
-  private[graft] def prefixOffsetsForTest(df: DataFrame, idCol: String,
-      size: org.apache.spark.sql.Column, sizeName: String): (DataFrame, DataFrame) =
-    withPrefixOffsets(df, idCol, size, sizeName)
-
   private def withPrefixOffsets(df: DataFrame, idCol: String,
                                 size: org.apache.spark.sql.Column,
                                 sizeName: String): (DataFrame, DataFrame) = {
