@@ -926,6 +926,10 @@ object SparkEntry {
     "text_length_dist"    -> ((s, dir) =>
       TextAnalysis.lengthDistribution(t(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
+    "text_length_approx"  -> ((s, dir) =>
+      TextAnalysis.lengthDistributionApprox(t(s, dir, "documents"), "text",
+          accuracy = 100, "lang")
+        .orderBy("lang")),
     "curation_split"      -> curationSplit _,
     "curation_stratified" -> curationStratified _,
     "curation_mixture"    -> curationMixture _,
@@ -1808,6 +1812,14 @@ object SparkEntry {
              quantile_cont(nw, 0.5) AS words_p50,
              quantile_cont(nw, 0.95) AS words_p95
       FROM t GROUP BY lang ORDER BY lang""",
+    // exact columns oracle-checked; the sketch is validated in-engine as a
+    // rank-error-bound boolean (sketch internals aren't cross-engine
+    // reproducible) — the text_vocabulary HLL pattern
+    "text_length_approx" -> """
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             quantile_cont(length(text), 0.5) AS chars_p50_exact,
+             true AS approx_ok
+      FROM documents GROUP BY lang ORDER BY lang""",
     "text_vocabulary" -> s"""
       WITH w AS (SELECT lang, unnest($sqlToks) AS tok FROM documents)
       SELECT lang, count(DISTINCT tok)::BIGINT AS n_distinct_tokens,

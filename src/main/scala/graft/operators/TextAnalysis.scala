@@ -144,6 +144,33 @@ object TextAnalysis {
            percentile(nWords, lit(0.95)).as("words_p95"))
   }
 
+  /** The SCALE path of the length report: `percentile_approx` (a bounded
+    * quantile sketch — one pass, fixed memory) beside the exact sorted
+    * percentile, with the sketch's guarantee CHECKED in-engine: the number
+    * of rows at or below the approximate median must sit within
+    * `n/accuracy` (+1 interpolation slack) of the true median rank. Same
+    * pattern as the HLL vocabulary row — the exact columns are
+    * oracle-checked, the sketch is validated as an error-bound boolean
+    * rather than bit-compared (sketch internals aren't cross-engine
+    * reproducible). Two passes over the grouped data (sketch, then a
+    * rank count against the sketch value): still scan-bound, no sort. */
+  def lengthDistributionApprox(df: DataFrame, textCol: String,
+                               accuracy: Int, byCols: String*): DataFrame = {
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val nChars = length(col(textCol)).cast("long")
+    val approx = df.groupBy(byCols.map(col): _*)
+      .agg(percentile_approx(nChars, lit(0.5), lit(accuracy)).as("p50_approx"))
+    val joined = df.join(broadcast(approx), byCols.toSeq)
+    joined.groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+           percentile(nChars, lit(0.5)).as("chars_p50_exact"),
+           sum(when(nChars <= col("p50_approx"), 1L).otherwise(0L)).as("__le"))
+      .withColumn("approx_ok",
+        abs(col("__le").cast("double") - col("n_docs").cast("double") / 2.0) <=
+        col("n_docs").cast("double") / accuracy + 1.0)
+      .drop("__le")
+  }
+
   /** Eval-set contamination check: for each benchmark document, the
     * fraction of its distinct n-gram shingles that appear anywhere in the
     * training corpus. Scale shape: the corpus side reduces to its DISTINCT

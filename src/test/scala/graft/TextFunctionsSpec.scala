@@ -216,6 +216,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out((3L, 2L))._1 == "plum")
   }
 
+  test("lengthDistributionApprox: sketch median sits within its rank bound") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.lengthDistributionApprox(docs, "text", 100, "lang")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("approx_ok"),
+      s"sketch violated its n/accuracy rank bound for ${r.getAs[String]("lang")}"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lengthDistributionApprox(docs, "text", 0, "lang"))
+  }
+
   test("commonnessReport: hand-computed corpus frequencies and hapax counts") {
     import graft.operators.TextAnalysis
     // corpus counts: the=3, cat=2, sat=1, dog=1, ran=1
