@@ -62,6 +62,16 @@ object GraftFunctionRegistry {
       s"(e.g. array('en', 'fr')), got ${e.sql}")
   }
 
+  /** Lift a NULL literal (NullType) to a typed null so the expression's
+    * codegen stays compilable (`((Object)null).getBytes()` would not) —
+    * the same analysis-time cast Spark's ImplicitCastInputTypes inserts
+    * for builtins, which we cannot mix in from outside `private[sql]`. */
+  private def nn(e: Expression, dt: DataType): Expression =
+    if (e.dataType == NullType) Literal(null, dt) else e
+
+  private val longArray  = ArrayType(LongType)
+  private val floatArray = ArrayType(FloatType)
+
   private def d(name: String, clazz: Class[_])
                (b: (String, Seq[Expression]) => Expression): Desc =
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getCanonicalName, name),
@@ -71,16 +81,16 @@ object GraftFunctionRegistry {
     * public native expression; arity and literal checks in the builder. */
   val all: Seq[Desc] = Seq(
     d("graft_b64_encode", classOf[B64Encode]) { (n, a) =>
-      arity(n, a, 1); B64Encode(a.head)
+      arity(n, a, 1); B64Encode(nn(a.head, BinaryType))
     },
     d("graft_b64_decode", classOf[B64Decode]) { (n, a) =>
-      arity(n, a, 1); B64Decode(a.head)
+      arity(n, a, 1); B64Decode(nn(a.head, StringType))
     },
     d("graft_gzip", classOf[GzipCompress]) { (n, a) =>
-      arity(n, a, 1); GzipCompress(a.head)
+      arity(n, a, 1); GzipCompress(nn(a.head, BinaryType))
     },
     d("graft_gunzip", classOf[GzipDecompress]) { (n, a) =>
-      arity(n, a, 1); GzipDecompress(a.head)
+      arity(n, a, 1); GzipDecompress(nn(a.head, BinaryType))
     },
     // graft_shingles takes graft-NORMALIZED text (TextFunctions.normText —
     // compose with lower/regexp_replace/trim in SQL) and yields the sorted
@@ -88,45 +98,45 @@ object GraftFunctionRegistry {
     // consume that array, so the sketch chain composes in pure SQL:
     //   graft_simhash(graft_shingles(<norm>, 3))
     d("graft_shingles", classOf[ShingleHashes]) { (n, a) =>
-      arity(n, a, 2); ShingleHashes(a(0), intLit(n, "n (shingle width)", a(1)))
+      arity(n, a, 2); ShingleHashes(nn(a(0), StringType), intLit(n, "n (shingle width)", a(1)))
     },
     d("graft_minhash", classOf[MinHashSig]) { (n, a) =>
       arity(n, a, 2, 3)
-      MinHashSig(a(0), intLit(n, "k (signature length)", a(1)),
+      MinHashSig(nn(a(0), longArray), intLit(n, "k (signature length)", a(1)),
         if (a.length > 2) longLit(n, "seed", a(2)) else 42L)
     },
     d("graft_simhash", classOf[SimHash64]) { (n, a) =>
-      arity(n, a, 1); SimHash64(a.head)
+      arity(n, a, 1); SimHash64(nn(a.head, longArray))
     },
     d("graft_text_profile", classOf[TextProfile]) { (n, a) =>
-      arity(n, a, 1); TextProfile(a.head)
+      arity(n, a, 1); TextProfile(nn(a.head, StringType))
     },
     d("graft_quality_keep", classOf[QualityLangKeep]) { (n, a) =>
       arity(n, a, 2, 3)
-      QualityLangKeep(a(0), longLit(n, "minScore", a(1)),
+      QualityLangKeep(nn(a(0), StringType), longLit(n, "minScore", a(1)),
         if (a.length > 2) stringArrayLit(n, "langs", a(2)) else Seq.empty)
     },
     d("graft_rollhash", classOf[RollingHash64]) { (n, a) =>
-      arity(n, a, 1); RollingHash64(a.head)
+      arity(n, a, 1); RollingHash64(nn(a.head, StringType))
     },
     d("graft_lines_offsets", classOf[LinesWithOffsets]) { (n, a) =>
       arity(n, a, 1, 2)
-      LinesWithOffsets(a(0),
+      LinesWithOffsets(nn(a(0), StringType),
         if (a.length > 1) intLit(n, "maxLineBytes", a(1)) else 0)
     },
     d("graft_vocab_encode", classOf[VocabEncode]) { (n, a) =>
       arity(n, a, 3)
-      VocabEncode(a(0), stringArrayLit(n, "vocab", a(1)).toArray,
+      VocabEncode(nn(a(0), ArrayType(StringType)), stringArrayLit(n, "vocab", a(1)).toArray,
         intLit(n, "unkId", a(2)))
     },
     d("graft_dot", classOf[VectorExpressions.DotF]) { (n, a) =>
-      arity(n, a, 2); VectorExpressions.DotF(a(0), a(1))
+      arity(n, a, 2); VectorExpressions.DotF(nn(a(0), floatArray), nn(a(1), floatArray))
     },
     d("graft_cosine", classOf[VectorExpressions.CosineSimF]) { (n, a) =>
-      arity(n, a, 2); VectorExpressions.CosineSimF(a(0), a(1))
+      arity(n, a, 2); VectorExpressions.CosineSimF(nn(a(0), floatArray), nn(a(1), floatArray))
     },
     d("graft_norm", classOf[VectorExpressions.NormF]) { (n, a) =>
-      arity(n, a, 1); VectorExpressions.NormF(a(0))
+      arity(n, a, 1); VectorExpressions.NormF(nn(a(0), floatArray))
     })
 
   /** Install on an EXISTING session (replaces prior registrations — safe to

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, NullType}
 
 /** Analysis-time input-type validation for the native expressions. Spark's
   * `ImplicitCastInputTypes`/`inputTypes` signature uses the
@@ -23,6 +23,10 @@ object GraftTypeCheck {
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   private def accepts(want: DataType, got: DataType): Boolean = (want, got) match {
+    // a NULL literal folds to NULL like every Spark builtin — the null-safe
+    // eval paths never touch the value (the SQL builders additionally lift
+    // NullType args to typed nulls so codegen stays compilable)
+    case (_, NullType)                      => true
     case (ArrayType(w, _), ArrayType(g, _)) => accepts(w, g) // any nullability
     case (w, g)                             => w == g
   }

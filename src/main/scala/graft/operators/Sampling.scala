@@ -111,14 +111,27 @@ object Sampling {
       if (alpha == 0.5) math.sqrt(c.toDouble)
       else if (alpha == 1.0) c.toDouble
       else math.pow(c.toDouble, alpha)
+    // the join key is an internal reserved name (a user frame may well
+    // carry a column literally named "g"); the emitted columns must not
+    // collide either
+    Seq("group_rows", "rate_ppm").foreach(c => require(!df.columns.contains(c),
+      s"temperatureMixture emits column '$c' but the input already has one"))
+    require(!df.columns.contains(GroupKey),
+      s"input may not contain the reserved column '$GroupKey'")
     // NULL domains participate as their own deterministic group (a join on
     // the raw value would silently drop them; a naive sortBy would NPE in
     // the String comparator) — coalesce to a sentinel on BOTH sides
     val gKey = coalesce(col(groupCol).cast("string"), lit(NullDomain))
-    val counts = df.groupBy(gKey.as("g"))
+    // sort by UTF-8 byte order, not String (UTF-16 code unit) order: the
+    // weight sum below is a sequential float fold, and the DuckDB oracle
+    // folds in byte-wise collation — supplementary-plane domain names would
+    // otherwise diverge bit-wise
+    val counts = df.groupBy(gKey.as(GroupKey))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+        a._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
     var s = 0.0
     counts.foreach { case (_, c) => s += w(c) } // sequential, domain order
     val rates = counts.map { case (g, c) =>
@@ -129,14 +142,17 @@ object Sampling {
     val spark = df.sparkSession
     val ratesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rates.toSeq, 1),
-      StructType(Seq(StructField("g", StringType, nullable = false),
+      StructType(Seq(StructField(GroupKey, StringType, nullable = false),
                      StructField("group_rows", LongType, nullable = false),
                      StructField("rate_ppm", LongType, nullable = false))))
-    df.join(broadcast(ratesDf), gKey === col("g"))
+    df.join(broadcast(ratesDf), gKey === col(GroupKey))
       .where(bucket(col(idCol), seed) < col("rate_ppm"))
-      .drop("g")
+      .drop(GroupKey)
   }
 
   /** Sentinel domain name for NULL group values in `temperatureMixture`. */
   val NullDomain = "__graft_null__"
+
+  /** Reserved internal join-key column name in `temperatureMixture`. */
+  val GroupKey = "__graft_g"
 }

@@ -146,12 +146,15 @@ object TextAnalysis {
 
   /** The SCALE path of the length report: `percentile_approx` (a bounded
     * quantile sketch — one pass, fixed memory) beside the exact sorted
-    * percentile, with the sketch's guarantee CHECKED in-engine: the number
-    * of rows at or below the approximate median must sit within
-    * `n/accuracy` (+1 interpolation slack) of the true median rank. Same
-    * pattern as the HLL vocabulary row — the exact columns are
-    * oracle-checked, the sketch is validated as an error-bound boolean
-    * rather than bit-compared (sketch internals aren't cross-engine
+    * percentile, with the sketch's guarantee CHECKED in-engine on the RANK
+    * INTERVAL of the returned element: a value duplicated k times occupies
+    * ranks (count(<v), count(<=v)], and the sketch guarantees that interval
+    * touches the target rank n/2 within `n/accuracy` (+1 interpolation
+    * slack). Counting only `<=` would let ties of the median value both
+    * fake a failure (every duplicate inflates the count past the bound) and
+    * mask a real one. Same pattern as the HLL vocabulary row — the exact
+    * columns are oracle-checked, the sketch is validated as an error-bound
+    * boolean rather than bit-compared (sketch internals aren't cross-engine
     * reproducible). Two passes over the grouped data (sketch, then a
     * rank count against the sketch value): still scan-bound, no sort. */
   def lengthDistributionApprox(df: DataFrame, textCol: String,
@@ -164,11 +167,17 @@ object TextAnalysis {
     joined.groupBy(byCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
            percentile(nChars, lit(0.5)).as("chars_p50_exact"),
+           sum(when(nChars < col("p50_approx"), 1L).otherwise(0L)).as("__lt"),
            sum(when(nChars <= col("p50_approx"), 1L).otherwise(0L)).as("__le"))
-      .withColumn("approx_ok",
-        abs(col("__le").cast("double") - col("n_docs").cast("double") / 2.0) <=
-        col("n_docs").cast("double") / accuracy + 1.0)
-      .drop("__le")
+      .withColumn("approx_ok", {
+        val target = col("n_docs").cast("double") / 2.0
+        val eps    = col("n_docs").cast("double") / accuracy + 1.0
+        // the element's rank interval (__lt, __le] must overlap
+        // [target - eps, target + eps]
+        col("__le").cast("double") >= target - eps &&
+          col("__lt").cast("double") <= target + eps
+      })
+      .drop("__lt", "__le")
   }
 
   /** Eval-set contamination check: for each benchmark document, the

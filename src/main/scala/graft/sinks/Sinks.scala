@@ -445,16 +445,21 @@ object Sinks {
                 case _ => new java.net.Socket(host, port)
               }
               val out = sock.getOutputStream
+              var bodyFailed = false
               try rows.foreach { r =>
                 val m = Syslog.rfc5424(facility, severity, java.time.Instant.now(),
                   localHost, app, "-", r.getString(0))
                 out.write(Syslog.octetFramed(m)
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              } catch {
+                case e: Throwable => bodyFailed = true; throw e
               } finally {
-                // a flush failure on a broken stream must neither mask the
-                // original write exception nor skip closing the socket
+                // when the row loop already threw, a flush failure must not
+                // mask the original exception — but on a clean loop a failed
+                // flush means buffered tail frames were dropped, so it must
+                // fail the task (and retry) rather than silently commit
                 try out.flush()
-                catch { case _: java.io.IOException => () }
+                catch { case e: java.io.IOException => if (!bodyFailed) throw e }
                 finally sock.close()
               }
           }

@@ -73,9 +73,15 @@ object StreamJoins {
         joinType)
       .withColumn(keyCol, coalesce(col(keyCol), col("__graft_rkey")))
       .drop("__graft_rkey")
-    // restore the right timestamp's name; when both sides use the same
-    // name the right one comes back suffixed `_r`
-    val rtsOut = if (rightTsCol == leftTsCol) rightTsCol + "_r" else rightTsCol
+    // restore the right timestamp's name; whenever the LEFT side also
+    // carries a column of that name (its own timestamp, or any other
+    // left column that happens to share it) the right one comes back
+    // suffixed `_r` like every other collision
+    val rtsOut =
+      if (left.columns.contains(rightTsCol)) rightTsCol + "_r" else rightTsCol
+    require(rtsOut == rightTsCol ||
+      (!left.columns.contains(rtsOut) && !right.columns.contains(rtsOut)),
+      s"cannot disambiguate right timestamp '$rightTsCol': '$rtsOut' is also taken")
     joined.withColumnRenamed("__graft_rts", rtsOut)
   }
 }

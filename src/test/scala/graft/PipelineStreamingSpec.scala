@@ -365,6 +365,87 @@ class PipelineStreamingSpec extends SparkSpec {
       s"unmatched purchase must emit a null-padded row after the watermark passes: $res")
   }
 
+  test("interval join: right timestamp colliding with an unrelated LEFT column renames to _r") {
+    import graft.streaming.StreamJoins
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // LEFT carries a column literally named "v_ts" (e.g. a pre-joined frame)
+    // while its own timestamp is "p_ts"; the right frame's timestamp is also
+    // "v_ts". The restore of the internal right-ts name must suffix it.
+    val left = Seq((1L, 100L, ts(600), "noise"))
+      .toDF("user_id", "purchase_id", "p_ts", "v_ts")
+    val right = Seq((1L, 200L, ts(585))).toDF("user_id", "view_id", "v_ts")
+    val out = StreamJoins.intervalJoin(
+      left, "p_ts", "10 minutes", right, "v_ts", "10 minutes",
+      "user_id", lowerMs = -1800000L, upperMs = 0L)
+    assert(out.columns.count(_ == "v_ts") == 1, s"dup names: ${out.columns.toSeq}")
+    assert(out.columns.contains("v_ts_r"), s"cols: ${out.columns.toSeq}")
+    val r = out.collect().head
+    assert(r.getAs[String]("v_ts") == "noise" &&
+           r.getAs[java.sql.Timestamp]("v_ts_r") == ts(585))
+    // and when even the _r fallback is taken, fail loudly instead of
+    // emitting duplicate columns
+    val eLeft = left.withColumn("v_ts_r", lit("also-taken"))
+    val e = intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(eLeft, "p_ts", "10 minutes",
+        right, "v_ts", "10 minutes", "user_id", -1800000L, 0L)
+    }
+    assert(e.getMessage.contains("v_ts_r"), e.getMessage)
+  }
+
+  test("stream-stream FULL OUTER interval join: right-only null rows flush on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Long, Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val msP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoins.intervalJoin(
+      msP.toDF().toDF("user_id", "purchase_id", "p_ts"), "p_ts", "10 minutes",
+      msV.toDF().toDF("user_id", "view_id", "v_ts"), "v_ts", "10 minutes",
+      "user_id", lowerMs = -1800000L, upperMs = 0L, joinType = "full_outer")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = joined.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sjfck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val p = if (r.isNullAt(r.fieldIndex("purchase_id"))) -1L
+                  else r.getAs[Long]("purchase_id")
+          val v = if (r.isNullAt(r.fieldIndex("view_id"))) -1L
+                  else r.getAs[Long]("view_id")
+          got.add((p, v))
+        }
+      }.start()
+    // P100 matches V200; P101 has no view (left-only); V201 has no
+    // purchase (right-only — the case left_outer would drop)
+    msP.addData(Seq((1L, 100L, ts(600)), (4L, 101L, ts(600))))
+    msV.addData(Seq((1L, 200L, ts(585)), (7L, 201L, ts(600))))
+    q.processAllAvailable()
+    // advance the watermark far past both windows, then one more batch so
+    // eviction emits the null-padded rows from both sides
+    msP.addData(Seq((5L, 102L, ts(2000))))
+    msV.addData(Seq((5L, 203L, ts(1990))))
+    q.processAllAvailable()
+    msP.addData(Seq((6L, 103L, ts(3000))))
+    msV.addData(Seq((6L, 204L, ts(2990))))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val res = got.asScala.toSet
+    assert(res.contains(100L -> 200L) && res.contains(102L -> 203L),
+      s"matched pairs missing: $res")
+    assert(res.contains(101L -> -1L),
+      s"left-only purchase must flush null-padded: $res")
+    assert(res.contains(-1L -> 201L),
+      s"right-only view must flush null-padded (full_outer): $res")
+    // right-only rows must keep their join key (coalesced into the left name)
+    assert(!res.contains(-1L -> -1L), s"fully-null row leaked: $res")
+  }
+
   test("dropDuplicatesWithinWatermark: dedups inside the delay, state evicts after it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.DataFrame

@@ -128,6 +128,31 @@ class RelationalSpec extends SparkSpec {
       Sampling.temperatureMixture(docs, "source", "doc_id", 250L, alpha = 0.0))
   }
 
+  test("temperature mixture: user column named 'g' survives; output collisions reject") {
+    import graft.operators.Sampling
+    // a frame carrying a column literally named "g" must not collide with
+    // the internal join key (reserved __graft_g)
+    val rows = (1L to 40L).map(i => (i, if (i <= 30) "web" else "wiki", s"g$i"))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "source", "g")
+    val out = Sampling.temperatureMixture(docs, "source", "doc_id",
+      targetRows = 20L, alpha = 0.5)
+    assert(out.columns.count(_ == "g") == 1)
+    assert(out.select("g").collect().forall(_.getString(0).startsWith("g")),
+      "user 'g' column values must pass through untouched")
+    // pre-existing output-name collisions fail loudly instead of silently
+    // duplicating columns
+    val eGr = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(
+        docs.withColumnRenamed("g", "group_rows"), "source", "doc_id", 20L)
+    }
+    assert(eGr.getMessage.contains("group_rows"), eGr.getMessage)
+    val eRk = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(
+        docs.withColumnRenamed("g", Sampling.GroupKey), "source", "doc_id", 20L)
+    }
+    assert(eRk.getMessage.contains(Sampling.GroupKey), eRk.getMessage)
+  }
+
   test("stratified sample: per-stratum rates, deterministic, subset of input") {
     import graft.operators.Sampling
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

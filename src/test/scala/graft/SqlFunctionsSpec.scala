@@ -122,6 +122,26 @@ class SqlFunctionsSpec extends SparkSpec {
       s"expected analysis-time type error, got: ${e5.getMessage}")
   }
 
+  test("NULL literals fold to NULL like Spark builtins, not analysis failures") {
+    // NullType args are lifted to typed nulls by the builders (codegen
+    // stays compilable); the null-safe eval paths return NULL
+    val r = spark.sql("""
+      SELECT graft_rollhash(NULL)            AS a,
+             graft_b64_encode(NULL)          AS b,
+             graft_simhash(NULL)             AS c,
+             graft_shingles(NULL, 3)         AS d,
+             graft_minhash(NULL, 4)          AS e,
+             graft_text_profile(NULL)        AS f,
+             graft_quality_keep(NULL, 100)   AS g,
+             graft_dot(NULL, array(CAST(1.0 AS FLOAT)))    AS h,
+             graft_cosine(NULL, NULL)        AS i,
+             graft_norm(NULL)                AS j,
+             graft_gzip(NULL)                AS k,
+             graft_vocab_encode(NULL, array('a'), 0) AS l""").collect().head
+    (0 until r.length).foreach(i => assert(r.isNullAt(i),
+      s"column ${r.schema.fieldNames(i)} should be NULL"))
+  }
+
   test("ensureRegistered is idempotent and GraftExtensions injects cleanly") {
     GraftFunctionRegistry.ensureRegistered(spark)
     GraftFunctionRegistry.ensureRegistered(spark) // second call: no-op, no throw

@@ -228,6 +228,22 @@ class TextFunctionsSpec extends SparkSpec {
       TextAnalysis.lengthDistributionApprox(docs, "text", 0, "lang"))
   }
 
+  test("lengthDistributionApprox: heavily tied lengths don't fake a bound violation") {
+    import graft.operators.TextAnalysis
+    // 999 of 1000 docs share one length — count(<= median) is ~n, far past
+    // any n/accuracy band; the RANK-INTERVAL check (the element's ranks
+    // (count(<), count(<=)] must touch n/2 ± n/accuracy) stays true
+    val rows = (1 to 999).map(i => (i.toLong, "x" * 50, "en")) :+
+               (1000L, "x" * 500, "en")
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lengthDistributionApprox(docs, "text", 100, "lang")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Boolean]("approx_ok"),
+      "a correct sketch must not fail the bound just because the median value is tied")
+    assert(out.head.getAs[Double]("chars_p50_exact") == 50.0)
+  }
+
   test("commonnessReport: hand-computed corpus frequencies and hapax counts") {
     import graft.operators.TextAnalysis
     // corpus counts: the=3, cat=2, sat=1, dog=1, ran=1
