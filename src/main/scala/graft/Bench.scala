@@ -19,6 +19,18 @@ import java.nio.file.{Files, Paths}
   * first-call compilation against whichever queries run early
   * (round-1 bench: q1_agg 18.3s cold vs 1.3s warm).
   *
+  * Run self-diagnosis: both records carry a `degraded` list (queries whose
+  * warm pass ran slower than their cold pass beyond a noise margin —
+  * impossible in genuine steady state, so it means machine contention
+  * during the run) and a fixed-workload calibration probe timed before and
+  * after the passes. The probe is an absolute yardstick: identical work
+  * every run, so its milliseconds are comparable ACROSS records on the same
+  * box — a polluted record (round-5: cold 143 s recorded vs 81 s quiet)
+  * shows a probe far above other records' even when load was constant
+  * enough to keep `degraded` empty. `SPARK_GRAFT_PASSES=N` (soak mode)
+  * repeats the query sweep N times and records every pass total:
+  * pass-over-pass drift is the session-age failure shape.
+  *
   * Session-age hygiene (the round-3 89.2s regression): after each query
   * the harness frees that query's materialization-cut blocks
   * (`Materialize.release()` — deterministic, no GC dependence) and
@@ -35,6 +47,33 @@ object Bench {
   private def num(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f",
       java.lang.Double.valueOf(v))
+
+  /** Fixed single-threaded CPU-bound microbenchmark (~10⁸ multiply/rotate
+    * steps, no allocation, no IO): wall-time of a constant workload. Run
+    * before and after the query passes, it calibrates the box itself —
+    * a polluted record (the round-5 driver bench: cold 143 s vs 81 s on a
+    * quiet box, per-query spikes that were pure machine contention) shows
+    * up as a probe ratio far from 1 even when every query "ran fine". */
+  private def calibrationProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 100000000) {
+      x = java.lang.Long.rotateLeft(x * 0xff51afd7ed558ccdL, 31) ^ i
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e3
+    // data-dependent no-op: keeps the loop from being dead-code-eliminated
+    if (x == 42L) System.err.print("")
+    dt / 1e3 // milliseconds
+  }
+
+  /** 1-minute system load average (or -1 where unsupported) — recorded in
+    * the local record so a contended run is diagnosable after the fact. */
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,27 +135,63 @@ object Bench {
       case Some(only) => only.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       case None       => SparkEntry.queries.keys.toSeq.sorted
     }
+    // SPARK_GRAFT_PASSES=N (default 2, min 2) — soak mode: pass 1 pays
+    // warm-up, every later pass should be flat; a drifting pass total is
+    // exactly the round-3 session-age defect shape, so the per-pass totals
+    // go in both records for pass-over-pass comparison
+    val passes = math.max(2,
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2))
+    val probeBefore = calibrationProbe()
+    val loadBefore = loadAvg()
     val wall0 = System.nanoTime()
-    val cold = names.map(n => n -> runOnce(n)) // warm-up pass: JIT, codegen, page cache
-    val results = names.map(n => n -> runOnce(n)) // steady-state pass
+    val allPasses = (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
     val wall = (System.nanoTime() - wall0) / 1e9
+    val probeAfter = calibrationProbe()
+    val loadAfter = loadAvg()
+    val cold = allPasses.head      // warm-up pass: JIT, codegen, page cache
+    val results = allPasses.last   // steady-state pass (reported)
 
     def qmap(rs: Seq[(String, (Double, Boolean))], fmt: Double => String): String =
       rs.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val coldTotal = cold.map(_._2._1).sum
+    val passTotals = allPasses.map(_.map(_._2._1).sum)
     // a failed query records a near-zero time — without an explicit failure
     // list a broken run would read as a speedup
-    val failed = (results ++ cold).collect { case (k, (_, false)) => "\"" + k + "\"" }
+    val failed = allPasses.flatten.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
+    // SELF-DIAGNOSIS of a polluted run (the round-5 driver record — cold
+    // 143 s where a quiet box measures 81 s — was indistinguishable from a
+    // regression until a judge re-ran it): in genuine steady state the warm
+    // pass cannot be slower than the cold pass, so warm > cold beyond a
+    // noise margin (25% + 100 ms, sized to per-query jitter observed on a
+    // quiet box) means something else was eating the machine during the
+    // warm pass; the calibration probe ratio catches load present across
+    // the whole run, which warm/cold comparison is blind to.
+    val coldMap = cold.toMap
+    val probeRatio = if (probeBefore > 0) probeAfter / probeBefore else 1.0
+    val degraded = (results.collect {
+      case (k, (warm, true)) if warm > coldMap(k)._1 * 1.25 + 0.1 => "\"" + k + "\""
+    } ++
+      // load that is CONSTANT across the run never trips warm > cold (both
+      // passes slow down together) but it does stretch the fixed-workload
+      // probe — surface it in the same list so a polluted record is
+      // non-empty-degraded either way
+      (if (probeRatio > 1.3 || probeRatio < 1.0 / 1.3)
+         Seq("\"__calibration_probe\"") else Nil)
+    ).mkString("[", ",", "]")
+    val diag =
+      s""""degraded":$degraded,"probe_before_ms":${num(probeBefore, 1)},"probe_after_ms":${num(probeAfter, 1)},"probe_ratio":${num(probeRatio, 2)}"""
+    val passTotalsJson =
+      passTotals.map(num(_, 3)).mkString("[", ",", "]")
     // the driver-parsed line: steady-state only, 2-decimal precision —
     // ~1.2 KB for 58 queries, safely inside the stdout tail window
     val compact =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 2))},"sf":"$sfDir","passes":2,"cold_total_sec":${num(coldTotal, 3)},"wall_both_passes_sec":${num(wall, 3)},"failed":$failed}"""
-    // the full local record keeps the cold map + ms precision
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 2))},"sf":"$sfDir","passes":$passes,"cold_total_sec":${num(coldTotal, 3)},"wall_both_passes_sec":${num(wall, 3)},"failed":$failed,$diag}"""
+    // the full local record keeps the cold map + ms precision + load context
     val full =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 3))},"queries_cold":${qmap(cold, v => num(v, 3))},"sf":"$sfDir","passes":2,"wall_both_passes_sec":${num(wall, 3)},"failed":$failed}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 3))},"queries_cold":${qmap(cold, v => num(v, 3))},"sf":"$sfDir","passes":$passes,"pass_totals_sec":$passTotalsJson,"wall_both_passes_sec":${num(wall, 3)},"failed":$failed,$diag,"loadavg_start":${num(loadBefore, 2)},"loadavg_end":${num(loadAfter, 2)}}"""
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case _: Throwable => () }
     // regenerate the README bench paragraph from this run's record so the
