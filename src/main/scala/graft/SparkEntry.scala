@@ -199,6 +199,28 @@ object SparkEntry {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Full-outer variant: every purchase AND every view appears; unmatched
+    * rows on either side carry NULLs for the other side's columns (the
+    * key survives via the coalesce in `intervalJoin`). In the live engine
+    * both sides' NULL-padded rows flush as the watermark passes their join
+    * windows (spec-driven in PipelineStreamingSpec); in batch immediately. */
+  private def streamIntervalJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              timestamp_millis(col("ts_ms")).as("p_ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+              timestamp_millis(col("ts_ms")).as("v_ts"))
+    graft.streaming.StreamJoins.intervalJoin(
+        purchases, "p_ts", "30 minutes",
+        views, "v_ts", "30 minutes",
+        "user_id", lowerMs = -1800000L, upperMs = 0L, joinType = "full_outer")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+              (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
   private def streamDedupEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("user_id", "event_type")
@@ -692,6 +714,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup against the PERSISTED bucketed posting index — the
+    * steady-state corpus-refresh shape: the index is built once per refresh
+    * (`buildPostingIndex` → `bucketMaterialize` on the shingle hash) and
+    * every batch joins it with no exchange on the corpus side (PlanSpec
+    * pins the shape). Same semantics and oracle as `dedup_incremental`. */
+  private def dedupIncrementalIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tag = layoutTag(dir)
+    val idx = graft.operators.Relational.bucketMaterialize(
+      graft.operators.Dedup.buildPostingIndex(
+        docs.where(col("doc_id") < 250), "doc_id", "text", shingleN = 3),
+      s"graft_b_postings_$tag", "h", 8,
+      s"/tmp/graft_bucketed_$tag/postings")
+    graft.operators.Dedup.incrementalSurvivorsIndexed(
+        incoming = docs.where(col("doc_id") >= 250), index = idx,
+        idCol = "doc_id", textCol = "text",
+        shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Span-cut application (the Lee-2021 output): report duplicate 10-token
+    * spans, then CUT them — the cleaned corpus as normalized tokens with
+    * duplicate spans removed. Re-running the reporter on the cleaned text
+    * finds nothing (spec-asserted in DedupSimilaritySpec). */
+  private def dedupSpansApplied(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val spans = graft.operators.Dedup.duplicateSpans(
+      docs, "doc_id", "text", n = 10)
+    graft.operators.Dedup.applySpanCuts(docs, spans, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style per-doc repetition signals over word 2- and 3-grams. */
   private def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionReport(t(s, dir, "documents"), "doc_id", "text",
@@ -884,6 +939,7 @@ object SparkEntry {
     "stream_dedup_events" -> streamDedupEvents _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_left" -> streamIntervalJoinLeft _,
+    "stream_interval_join_full" -> streamIntervalJoinFull _,
     // relational
     "q1_agg"              -> q1Agg _,
     "q3_topk"             -> q3TopK _,
@@ -960,6 +1016,8 @@ object SparkEntry {
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
         .orderBy("doc_id", "start_tok")),
     "dedup_incremental"   -> dedupIncremental _,
+    "dedup_incremental_indexed" -> dedupIncrementalIndexed _,
+    "dedup_spans_applied" -> dedupSpansApplied _,
     "text_repetition"     -> textRepetition _,
     "text_tfidf"          -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
@@ -984,6 +1042,37 @@ object SparkEntry {
     * equivalent of TextFunctions.normText/tokens). */
   private val sqlToks =
     """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
+
+  /** Shared CTE chain producing `spans(doc_id, start_tok, end_tok,
+    * n_windows)` — the DuckDB replica of `Dedup.duplicateSpans` (positional
+    * 10-gram windows grouped by their STRING where the engine groups by
+    * xxhash64 of it — identical partitioning of positions absent a 64-bit
+    * collision; each group's globally-first occurrence kept, the rest
+    * merged into maximal spans). Used by the `dedup_spans` report oracle
+    * and the `dedup_spans_applied` cut oracle. */
+  private lazy val sqlSpanCtes = s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      ge AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 8),
+                 i -> {'pos': i - 1,
+                       'g': array_to_string(list_slice(tk, i, i + 9), ' ')})) AS u
+             FROM toks WHERE len(tk) >= 10),
+      grams AS (SELECT doc_id, (u.pos)::BIGINT AS pos, u.g AS g FROM ge),
+      rk AS (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY g) AS cnt
+             FROM grams),
+      dup AS (SELECT doc_id, pos FROM rk WHERE cnt > 1 AND rn > 1),
+      fl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 10
+                    THEN 1 ELSE 0 END AS brk
+             FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      gr AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+             FROM fl),
+      spans AS (SELECT doc_id, min(pos)::BIGINT AS start_tok,
+                       (max(pos) + 10)::BIGINT AS end_tok,
+                       count(*)::BIGINT AS n_windows
+                FROM gr GROUP BY doc_id, gid)"""
 
   /** DuckDB replica of `TextFunctions.rollingHash` (Karp-Rabin over UTF-8
     * bytes, B=257, mod 2^61-1) on column `text` — shared by the
@@ -1345,6 +1434,16 @@ object SparkEntry {
         AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
         AND epoch_ms(v.ts) < epoch_ms(p.ts)
       ORDER BY purchase_id, view_id""",
+    "stream_interval_join_full" -> """
+      SELECT coalesce(p.user_id, v.user_id) AS user_id,
+             p.event_id AS purchase_id, v.event_id AS view_id,
+             (epoch_ms(p.ts) - epoch_ms(v.ts))::BIGINT AS gap_ms
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+        AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
+        AND epoch_ms(v.ts) < epoch_ms(p.ts)
+      ORDER BY user_id, purchase_id, view_id""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
@@ -1603,28 +1702,31 @@ object SparkEntry {
     // of positions absent a 64-bit collision), drops each window group's
     // globally-first occurrence, and merges overlapping windows per doc
     "dedup_spans" -> s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-      ge AS (SELECT doc_id,
-               unnest(list_transform(range(1, len(tk) - 8),
-                 i -> {'pos': i - 1,
-                       'g': array_to_string(list_slice(tk, i, i + 9), ' ')})) AS u
-             FROM toks WHERE len(tk) >= 10),
-      grams AS (SELECT doc_id, (u.pos)::BIGINT AS pos, u.g AS g FROM ge),
-      rk AS (SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
-               count(*) OVER (PARTITION BY g) AS cnt
-             FROM grams),
-      dup AS (SELECT doc_id, pos FROM rk WHERE cnt > 1 AND rn > 1),
-      fl AS (SELECT doc_id, pos,
-               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 10
-                    THEN 1 ELSE 0 END AS brk
-             FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-      gr AS (SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
-             FROM fl)
-      SELECT doc_id, min(pos)::BIGINT AS start_tok,
-             (max(pos) + 10)::BIGINT AS end_tok, count(*)::BIGINT AS n_windows
-      FROM gr GROUP BY doc_id, gid ORDER BY doc_id, start_tok""",
+      WITH $sqlSpanCtes
+      SELECT doc_id, start_tok, end_tok, n_windows
+      FROM spans ORDER BY doc_id, start_tok""",
+    // span-cut application: the token-position complement of the spans CTE,
+    // re-joined in position order — docs whose every token was cut (or that
+    // had no spans) come back via the LEFT JOIN from toks
+    "dedup_spans_applied" -> s"""
+      WITH $sqlSpanCtes,
+      pos AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(tk) + 1),
+                  i -> {'pos': i - 1, 't': tk[i]})) AS u
+              FROM toks),
+      p AS (SELECT doc_id, (u.pos)::BIGINT AS pos, u.t AS tok FROM pos),
+      kept AS (SELECT p.doc_id, p.pos, p.tok FROM p
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = p.doc_id
+                   AND p.pos >= s.start_tok AND p.pos < s.end_tok)),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*)::BIGINT AS n_tokens_kept
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             coalesce(a.n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+             (len(t.tk) - coalesce(a.n_tokens_kept, 0))::BIGINT AS n_tokens_cut
+      FROM toks t LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""",
     // tf-idf with the non-log idf variant N/df: integer-valued doubles and
     // one exact-rounded division — bit-identical across engines (ln is not
     // correctly-rounded and could flip near-tie rankings)
@@ -1878,6 +1980,30 @@ object SparkEntry {
     // to the incoming half (doc_id >= 250); existing docs all have smaller
     // ids here, so "existing OR smaller incoming" collapses to b < a
     "dedup_incremental" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b
+          ON a.h = b.h AND a.doc_id >= 250 AND b.doc_id < a.doc_id
+        GROUP BY 1, 2),
+      dropped AS (
+        SELECT DISTINCT id_a FROM pairs
+        WHERE inter::DOUBLE / (na + nb - inter) >= 0.5)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_a FROM dropped)
+      ORDER BY doc_id""",
+    // the indexed variant computes the SAME answer through a persisted
+    // bucketed posting index (the production steady-state path) — one
+    // oracle text, two engine paths
+    "dedup_incremental_indexed" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh AS (
         SELECT doc_id,

@@ -420,6 +420,44 @@ object Dedup {
     if (materialize) materializeAndRelease(out, grams) else out
   }
 
+  /** Apply the cuts reported by [[duplicateSpans]] — the output half of
+    * Lee-2021-style substring dedup: each document's graft-normalized
+    * tokens with every token position inside a reported
+    * `[start_tok, end_tok)` span removed, re-joined with single spaces.
+    * Documents without spans pass through too, as their normalized re-join,
+    * so cleaned and untouched docs live in one uniformly-normalized column.
+    *
+    * Output: `(idCol, clean_text, n_tokens_kept, n_tokens_cut)`.
+    *
+    * Scale design: spans collapse to one small array per affected doc (a
+    * handful of merged spans) joined onto the corpus — at production scale
+    * the span side is a broadcast. The token filter is a per-row expression
+    * costing tokens × spans-per-doc; nothing but the span join shuffles and
+    * the document body never does. */
+  def applySpanCuts(df: DataFrame, spans: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val spanAgg = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok").cast("long").as("s"),
+                               col("end_tok").cast("long").as("e")))
+             .as("__graft_spans"))
+    // the intermediate aliases below are multi-referenced non-cheap
+    // expressions, so CollapseProject keeps them evaluated once per row
+    df.join(spanAgg, Seq(idCol), "left")
+      .select(col(idCol), TF.tokens(col(textCol)).as("__graft_toks"),
+              col("__graft_spans"))
+      .select(col(idCol), col("__graft_toks"),
+        when(col("__graft_spans").isNull, col("__graft_toks"))
+          .otherwise(filter(col("__graft_toks"),
+            (_, i) => !exists(col("__graft_spans"),
+              s => i >= s("s") && i < s("e"))))
+          .as("__graft_kept"))
+      .select(col(idCol),
+        array_join(col("__graft_kept"), " ").as("clean_text"),
+        size(col("__graft_kept")).cast("long").as("n_tokens_kept"),
+        (size(col("__graft_toks")) - size(col("__graft_kept")))
+          .cast("long").as("n_tokens_cut"))
+  }
+
   /** Incremental (crawl-over-crawl) dedup — the production corpus-refresh
     * flow: `existing` is the already-curated corpus (never modified),
     * `incoming` the new batch; keep the incoming docs that are NOT
@@ -467,6 +505,82 @@ object Dedup {
       .select(col("id_a").as(idCol)).distinct()
     val out = incoming.join(dropped, Seq(idCol), "left_anti")
     materializeAndRelease(out, sets)
+  }
+
+  /** The corpus posting index consumed by [[incrementalSurvivorsIndexed]]:
+    * one row per `(doc, shingle)` with the doc's set size and the shingle's
+    * corpus document frequency baked in. Built ONCE per corpus refresh and
+    * persisted bucketed on `h` (`Relational.bucketMaterialize(idx, table,
+    * "h", buckets, path)`) so every subsequent batch joins against it
+    * without re-shingling or re-shuffling the corpus — the per-batch cost
+    * becomes O(incoming)-shuffle + an exchange-free index-side scan instead
+    * of the O(corpus) re-shuffle [[incrementalSurvivors]] pays. */
+  def buildPostingIndex(existing: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3): DataFrame =
+    existing.select(col(idCol).as("id"),
+        TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .select(col("id"), size(col("hs")).cast("long").as("n"),
+              explode(col("hs")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+
+  /** [[incrementalSurvivors]] against a PERSISTED posting index instead of
+    * the raw corpus — same semantics (keep incoming docs that near-dup
+    * neither a corpus doc nor a smaller-id incoming doc, df computed over
+    * corpus + batch combined), production shape: the corpus side is the
+    * bucketed table from [[buildPostingIndex]], scanned in bucket order
+    * with NO exchange (PlanSpec-pinned); only the incoming batch's postings
+    * shuffle. Ids must be unique across the corpus and the batch. */
+  def incrementalSurvivorsIndexed(incoming: DataFrame, index: DataFrame,
+                                  idCol: String, textCol: String,
+                                  shingleN: Int = 3, threshold: Double = 0.5,
+                                  maxDocFreq: Long = 1000L): DataFrame = {
+    val incBase = incoming.select(col(idCol).as("id"),
+        TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .select(col("id"), size(col("hs")).cast("long").as("n"),
+              explode(col("hs")).as("h"))
+    // batch-side df; combined df for a shingle = dfi + corpus df (exactly
+    // the union-window df of the non-indexed variant). With pruning off the
+    // window (a shuffle over the batch) is skipped entirely.
+    val inc = (if (maxDocFreq == Long.MaxValue) incBase.withColumn("dfi", lit(0L))
+               else incBase.withColumn("dfi",
+                 count(lit(1)).over(Window.partitionBy("h")))).persist()
+    // cross-batch candidates: batch postings probe the bucketed index
+    val crossRaw = inc.as("a").join(index.as("b"), col("a.h") === col("b.h"))
+      .select(col("a.id").as("id_a"), col("a.n").as("na"),
+              col("a.dfi").as("dfi"), col("b.id").as("id_b"),
+              col("b.n").as("nb"), col("b.df").as("dfc"), col("a.h").as("h"))
+    // with pruning on, the raw candidate postings feed two consumers (the
+    // pair aggregation + the per-shingle corpus-df map for intra-batch
+    // pruning) — persist so the index scan runs once (no ReuseExchange
+    // across the two different subtrees; see memory: recurring plan trap)
+    val crossSrc = if (maxDocFreq == Long.MaxValue) crossRaw
+                   else crossRaw.persist()
+    val crossPairs = (if (maxDocFreq == Long.MaxValue) crossSrc
+                      else crossSrc.where(col("dfi") + col("dfc") <= maxDocFreq))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"),
+           first(col("na")).as("na"), first(col("nb")).as("nb"))
+    // intra-batch: smaller-id incoming docs are dedup sources too; both
+    // sides of the self-join see the same combined-df pruning
+    val intraRare =
+      if (maxDocFreq == Long.MaxValue) inc
+      else inc.join(crossSrc.select(col("h"), col("dfc")).distinct(),
+                    Seq("h"), "left")
+        .where(col("dfi") + coalesce(col("dfc"), lit(0L)) <= maxDocFreq)
+        .select("id", "n", "h")
+    val intraPairs = intraRare.as("a")
+      .join(intraRare.as("b"),
+        col("a.h") === col("b.h") && col("b.id") < col("a.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    val dropped = crossPairs.unionByName(intraPairs)
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    val out = incoming.join(dropped, Seq(idCol), "left_anti")
+    if (maxDocFreq == Long.MaxValue) materializeAndRelease(out, inc)
+    else materializeAndRelease(out, inc, crossSrc)
   }
 
   /** Transitive dup-cluster labeling (connected components): every doc gets

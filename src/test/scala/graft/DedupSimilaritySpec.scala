@@ -39,6 +39,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 3L, 15L, 3L), (3L, 14L, 25L, 2L)))
   }
 
+  test("applySpanCuts removes reported spans; re-reporting the cleaned docs finds nothing") {
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val self = (21 to 31).map(i => s"w$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      (1L, s"$passage"),
+      (2L, s"alpha beta gamma $passage delta"),
+      (3L, s"$self filler1 filler2 filler3 $self")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", n = 10)
+    val cleaned = Dedup.applySpanCuts(df, spans, "doc_id", "text")
+    val byId = cleaned.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_kept"),
+        r.getAs[Long]("n_tokens_cut")))).toMap
+    assert(byId(1L) == ((passage, 12L, 0L)), "canonical doc must be untouched")
+    assert(byId(2L) == (("alpha beta gamma delta", 4L, 12L)))
+    assert(byId(3L) == ((s"$self filler1 filler2 filler3", 14L, 11L)))
+    // Lee-2021 idempotence: the cleaned corpus reports zero duplicate spans
+    val again = Dedup.duplicateSpans(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", n = 10)
+    assert(again.count() == 0L)
+  }
+
+  test("applySpanCuts on the corpus fixture: cut accounting exact, re-report empty") {
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10)
+    val cleaned = Dedup.applySpanCuts(docs, spans, "doc_id", "text")
+    // merged spans are disjoint and non-adjacent, so per doc the cut count
+    // must equal the summed span widths, exactly
+    val spanWidth = spans.groupBy("doc_id")
+      .agg(sum(col("end_tok") - col("start_tok")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = cleaned.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens_cut") == spanWidth.getOrElse(id, 0L),
+        s"doc $id cut-count mismatch")
+    }
+    val again = Dedup.duplicateSpans(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", n = 10)
+    assert(again.count() == 0L, "cleaned corpus still reports duplicate spans")
+  }
+
+  test("indexed incremental dedup matches the direct variant, with and without pruning") {
+    val incoming = docs.where(col("doc_id") >= 250)
+    val existing = docs.where(col("doc_id") < 250)
+    // maxDocFreq=2 actually prunes shared shingles at this SF, exercising
+    // the combined-df bookkeeping (batch window df + indexed corpus df)
+    for ((mdf, tag) <- Seq((Long.MaxValue, "noprune"), (2L, "prune"))) {
+      val direct = Dedup.incrementalSurvivors(incoming, existing,
+          "doc_id", "text", shingleN = 3, threshold = 0.5, maxDocFreq = mdf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val idx = graft.operators.Relational.bucketMaterialize(
+        Dedup.buildPostingIndex(existing, "doc_id", "text", shingleN = 3),
+        s"graft_b_postings_spec_$tag", "h", 8,
+        s"/tmp/graft_bucketed_spec_$tag/postings")
+      val viaIndex = Dedup.incrementalSurvivorsIndexed(incoming, idx,
+          "doc_id", "text", shingleN = 3, threshold = 0.5, maxDocFreq = mdf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaIndex == direct, s"maxDocFreq=$mdf: indexed path diverged")
+      assert(viaIndex.nonEmpty)
+    }
+  }
+
   test("duplicate spans: global reduction is a partial aggregation, not a per-hash sort") {
     val plan = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10,
         materialize = false)

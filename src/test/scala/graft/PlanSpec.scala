@@ -104,6 +104,42 @@ class PlanSpec extends SparkSpec {
       s"scan did not use the bucket layout:\n$p")
   }
 
+  test("indexed incremental dedup: the corpus posting index is never re-shuffled") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = graft.operators.Relational.bucketMaterialize(
+      graft.operators.Dedup.buildPostingIndex(
+        docs.where(col("doc_id") < 250), "doc_id", "text"),
+      "graft_b_postings_plan", "h", 8, "/tmp/graft_bucketed_plan/postings")
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path (a broadcast of the tiny spec batch would
+    // hide the bucket layout) and keep the pre-materialization plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val out = graft.operators.Dedup.incrementalSurvivorsIndexed(
+        docs.where(col("doc_id") >= 250), idx, "doc_id", "text",
+        maxDocFreq = Long.MaxValue)
+      val sp = out.queryExecution.sparkPlan
+      val bucketScans = sp.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketScans.nonEmpty, s"index scan lost its bucket layout:\n$sp")
+      // no Exchange may sit anywhere above the bucketed scan: the bucket
+      // layout IS the join partitioning for the corpus side
+      val reshuffled = sp.collect { case e: Exchange
+        if e.collectFirst {
+          case f: FileSourceScanExec if f.bucketedScan => f }.isDefined => e }
+      assert(reshuffled.isEmpty,
+        s"corpus posting index re-shuffled above its bucketed scan:\n$sp")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.conf.unset("spark.graft.dedup.materialize")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("partition-pruned scan: the filter lands in PartitionFilters, not post-scan") {
     val p = plan("q_partition_pruned")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
