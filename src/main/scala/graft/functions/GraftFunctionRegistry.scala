@@ -121,7 +121,7 @@ object GraftFunctionRegistry {
     },
     d("graft_lines_offsets", classOf[LinesWithOffsets]) { (n, a) =>
       arity(n, a, 1, 2)
-      LinesWithOffsets(nn(a(0), StringType),
+      LinesWithOffsets(nn(a(0), BinaryType),
         if (a.length > 1) intLit(n, "maxLineBytes", a(1)) else 0)
     },
     d("graft_vocab_encode", classOf[VocabEncode]) { (n, a) =>

@@ -436,6 +436,9 @@ object Dedup {
     * the document body never does. */
   def applySpanCuts(df: DataFrame, spans: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
+    Seq("__graft_spans", "__graft_toks", "__graft_kept").foreach(c =>
+      require(!df.columns.contains(c) && !spans.columns.contains(c),
+        s"applySpanCuts: input already contains reserved column '$c'"))
     val spanAgg = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("start_tok").cast("long").as("s"),
                                col("end_tok").cast("long").as("e")))

@@ -440,7 +440,14 @@ object Sinks {
                     .getOrElse(javax.net.ssl.SSLContext.getDefault)
                   val s = ctx.getSocketFactory.createSocket(host, port)
                     .asInstanceOf[javax.net.ssl.SSLSocket]
-                  s.startHandshake()
+                  // a failed handshake throws before the try/finally below
+                  // owns the socket — close here or the connected fd leaks
+                  // across task retries
+                  try s.startHandshake()
+                  catch { case e: Throwable =>
+                    try s.close() catch { case _: Throwable => () }
+                    throw e
+                  }
                   s
                 case _ => new java.net.Socket(host, port)
               }

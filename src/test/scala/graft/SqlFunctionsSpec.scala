@@ -137,9 +137,27 @@ class SqlFunctionsSpec extends SparkSpec {
              graft_cosine(NULL, NULL)        AS i,
              graft_norm(NULL)                AS j,
              graft_gzip(NULL)                AS k,
-             graft_vocab_encode(NULL, array('a'), 0) AS l""").collect().head
+             graft_vocab_encode(NULL, array('a'), 0) AS l,
+             graft_lines_offsets(NULL)       AS m""").collect().head
     (0 until r.length).foreach(i => assert(r.isNullAt(i),
       s"column ${r.schema.fieldNames(i)} should be NULL"))
+  }
+
+  test("non-foldable NullType args are rejected at analysis, not left to codegen") {
+    // a foldable NULL constant-folds away before codegen (test above), and
+    // the SQL builders substitute typed nulls for ANY NullType argument
+    // (sound: a NullType expression can only ever evaluate to null). The
+    // DataFrame-API path has neither shield: a NON-foldable NullType child
+    // would reach codegen as an Object-typed value the generated code
+    // cannot compile against — analysis must reject it, naming the argument
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val nonFoldableNull = when(rand() > 0.5, lit(null))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1)
+        .select(column(graft.functions.RollingHash64(expression(nonFoldableNull))))
+        .collect()
+    }
+    assert(e.getMessage.contains("argument 1"), e.getMessage)
   }
 
   test("ensureRegistered is idempotent and GraftExtensions injects cleanly") {
