@@ -593,6 +593,18 @@ object SparkEntry {
       .select("doc_id", "source", "group_rows", "rate_ppm")
       .orderBy("doc_id")
 
+  /** Diversity cap: at most 10 documents per source, preferring the longest
+    * (n_chars desc) with doc_id as the total-order tie-break. The
+    * `row_number <= k` predicate plans as a partial WindowGroupLimit below
+    * the exchange (PlanSpec-pinned) — the map-side prune that keeps a hot
+    * domain from funneling its full row set through the shuffle. */
+  private def curationSourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(t(s, dir, "documents"),
+        "source", maxPerGroup = 10,
+        order = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "source", "n_chars", "group_rank")
+      .orderBy("doc_id")
+
   private val textTopKQuery =
     "table scan fast key value row batch window join query"
 
@@ -989,6 +1001,7 @@ object SparkEntry {
     "curation_split"      -> curationSplit _,
     "curation_stratified" -> curationStratified _,
     "curation_mixture"    -> curationMixture _,
+    "curation_source_cap" -> curationSourceCap _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1843,6 +1856,13 @@ object SparkEntry {
       WHERE $b0 < r.rate_ppm
       ORDER BY d.doc_id"""
     },
+    "curation_source_cap" -> """
+      SELECT doc_id, source, n_chars, group_rank FROM (
+        SELECT doc_id, source, n_chars,
+               (row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id ASC))::BIGINT AS group_rank
+        FROM documents)
+      WHERE group_rank <= 10 ORDER BY doc_id""",
     "text_contamination" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh AS (

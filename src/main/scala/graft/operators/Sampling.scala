@@ -150,6 +150,36 @@ object Sampling {
       .drop(GroupKey)
   }
 
+  /** Per-group document cap — the diversity-capping curation move ("at most
+    * N documents per domain/source"): within each group, rows are ranked by
+    * the caller's deterministic preference order (quality desc, id asc, …)
+    * and everything past `maxPerGroup` is dropped. The survivor set is a
+    * pure function of the data — re-runs and incremental engines agree.
+    *
+    * Scale shape: the `row_number() <= k` filter plans as a PARTIAL
+    * `WindowGroupLimit` BELOW the exchange (PlanSpec-pinned, like the ANN
+    * top-k) — every map task prunes its slice of a group to `maxPerGroup`
+    * rows before the shuffle, so a hot domain contributes at most
+    * `maxPerGroup × mapTasks` rows to the wire instead of its full row
+    * count. The final per-group rank is then a bounded sort. The rank is
+    * emitted as `group_rank` (1-based) so downstream stages can
+    * sub-sample further without re-ranking.
+    *
+    * The preference order must be total (tie-break on a unique id) or the
+    * survivor SET is still deterministic only up to ties — the require on
+    * callers is documented, not enforceable here. */
+  def capPerGroup(df: DataFrame, groupCol: String, maxPerGroup: Int,
+                  order: Seq[Column]): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    require(order.nonEmpty, "need a deterministic preference order")
+    require(!df.columns.contains("group_rank"),
+      "capPerGroup emits column 'group_rank' but the input already has one")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("group_rank", row_number().over(w).cast("long"))
+      .where(col("group_rank") <= maxPerGroup)
+  }
+
   /** Sentinel domain name for NULL group values in `temperatureMixture`. */
   val NullDomain = "__graft_null__"
 

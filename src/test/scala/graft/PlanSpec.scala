@@ -45,6 +45,17 @@ class PlanSpec extends SparkSpec {
       "shuffle would carry the full corpus × queries product")
   }
 
+  test("curation_source_cap: partial WindowGroupLimit below the exchange") {
+    // the map-side prune that keeps a hot domain from funneling its full
+    // row set through the per-group rank task (Sampling.capPerGroup)
+    val p = plan("curation_source_cap")
+    val lines = p.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstExchange >= 0 && partialWgl > firstExchange,
+      s"partial WindowGroupLimit below the exchange is missing:\n$p")
+  }
+
   test("pipe_transform: filter pushdown reaches the parquet scan") {
     val p = plan("pipe_transform")
     assert(p.contains("PushedFilters: [IsNotNull(props)]"))

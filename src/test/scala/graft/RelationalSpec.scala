@@ -175,6 +175,39 @@ class RelationalSpec extends SparkSpec {
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
   }
 
+  test("capPerGroup: deterministic survivors, cap honored, reserved-column guard") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.{col, desc}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Sampling.capPerGroup(docs, "source", 3,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ <= 3L), s"cap violated: $bySrc")
+    // every source with >= 3 docs keeps exactly 3 (the cap binds, never
+    // under-selects)
+    val all = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    all.foreach { case (s, n) => assert(bySrc(s) == math.min(n, 3L), s) }
+    // survivors are the deterministic top-3 by (n_chars desc, doc_id asc) —
+    // replicated independently on the driver
+    val expected = docs.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).values.flatMap(g =>
+        g.sortBy(x => (-x._3, x._1)).take(3)).map(_._1).toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // group_rank is 1-based and dense within each group
+    val ranks = out.where(col("source") === all.keys.head)
+      .orderBy(desc("n_chars")).select("group_rank")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranks == (1L to ranks.length).toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.capPerGroup(out, "source", 3, Seq(col("doc_id").asc)))
+    intercept[IllegalArgumentException](
+      Sampling.capPerGroup(docs, "source", 0, Seq(col("doc_id").asc)))
+  }
+
   test("rangeJoinBinned: intervals spanning multiple bins still match") {
     val iv = spark.createDataFrame(Seq((7L, 1L, 95L, 305L)))
       .toDF("iv_id", "k", "s", "e") // spans bins 0..3 at width 100
