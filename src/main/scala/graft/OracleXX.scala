@@ -153,6 +153,18 @@ object OracleXX {
                 ELSE hu % $m END)::BIGINT), 1)"""
   }
 
+  /** Signed Spark-style `pmod(xxhash64(strCol), m)` as SQL — the string
+    * twin of [[xxh64LongPmod]] (same unsigned→signed conversion before the
+    * floor-mod). */
+  def xxh64StrPmod(s: String, m: Long, seed: String = "42",
+                   padLen: Int = 48): String = {
+    val h = xxh64Str(s, seed, padLen)
+    s"""list_extract(list_transform([($h)], hu ->
+          (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                THEN ((hu - $M) % $m + $m) % $m
+                ELSE hu % $m END)::BIGINT), 1)"""
+  }
+
   private val pow2 =
     (0 until 64).map(b => s"${BigInt(2).pow(b)}::HUGEINT").mkString("[", ", ", "]")
   private val sqlToks =

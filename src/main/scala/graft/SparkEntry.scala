@@ -605,6 +605,14 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "group_rank")
       .orderBy("doc_id")
 
+  /** Hashed linear classifier scoring with the fixed deterministic weight
+    * vector — the oracle replays the XXH64 bucketing and the same literal
+    * weights, so the approximate-model pipeline itself is verified. */
+  private def textClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(t(s, dir, "documents"), "doc_id", "text",
+        TextAnalysis.fixedClassifierWeights(64), bias = 5L)
+      .orderBy("doc_id")
+
   private val textTopKQuery =
     "table scan fast key value row batch window join query"
 
@@ -1002,6 +1010,7 @@ object SparkEntry {
     "curation_stratified" -> curationStratified _,
     "curation_mixture"    -> curationMixture _,
     "curation_source_cap" -> curationSourceCap _,
+    "text_classifier"     -> textClassifier _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1855,6 +1864,25 @@ object SparkEntry {
       FROM documents d JOIN rates r USING (source)
       WHERE $b0 < r.rate_ppm
       ORDER BY d.doc_id"""
+    },
+    // classifier: per-distinct-token XXH64 → pmod bucket → literal weight
+    // lookup, integer sums — the Spark pipeline replayed bit-exactly
+    "text_classifier" -> {
+      val wl = TextAnalysis.fixedClassifierWeights(64).mkString("[", ", ", "]")
+      val bk = OracleXX.xxh64StrPmod("s", 64L, padLen = 20)
+      s"""
+      WITH tokrows AS (SELECT doc_id, unnest($sqlToks) AS s FROM documents),
+      nz AS (SELECT doc_id, s FROM tokrows WHERE s <> ''),
+      dh AS MATERIALIZED (SELECT s, $bk AS bk FROM (SELECT DISTINCT s FROM nz)),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                    sum(($wl)[bk+1])::BIGINT AS ws
+             FROM nz JOIN dh USING (s) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+             (5 + coalesce(sc.ws, 0))::BIGINT AS score,
+             CASE WHEN 5 + coalesce(sc.ws, 0) >= 0
+                  THEN 'keep' ELSE 'drop' END AS label
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id"""
     },
     "curation_source_cap" -> """
       SELECT doc_id, source, n_chars, group_rank FROM (

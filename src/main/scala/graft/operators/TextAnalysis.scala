@@ -353,6 +353,51 @@ object TextAnalysis {
     } else out
   }
 
+  /** Deterministic pseudo-random classifier weights (splitmix64, integers
+    * in [-99, 99]) — a stand-in for a trained model's exported weight
+    * vector, fully determined by (dim, seed) so the whole scoring pipeline
+    * is replicable in the DuckDB oracle (same contract as
+    * [[Similarity.fixedCentroids]]). */
+  def fixedClassifierWeights(dim: Int, seed: Long = 17L): Array[Long] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    var x = seed
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(dim)(java.lang.Math.floorMod(next(), 199L) - 99L)
+  }
+
+  /** fastText-style hashed linear document classifier scoring (Joulin et
+    * al. 2016's hashing trick, inference side): each token indexes a weight
+    * bucket via `pmod(xxhash64(token), dim)` and the document score is the
+    * bias plus the sum of its tokens' bucket weights; `label` thresholds at
+    * 0. This is how production quality/toxicity classifiers run over a
+    * corpus — the trained model exports to a flat weight array and scoring
+    * becomes pure column arithmetic, no model runtime in the executors.
+    *
+    * Scale shape: a narrow scan-bound projection — no shuffle, no join, no
+    * state; the weight table rides into codegen as a plan literal (8·dim
+    * bytes). Integer weights make the score an order-free BIGINT sum, so
+    * the result is engine-exact and the DuckDB oracle (XXH64 replica +
+    * the same literal weights) compares bit-equal. */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      weights: Array[Long], bias: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    val dim = weights.length
+    val w = array(weights.map(lit): _*)
+    val toks = filter(TF.tokens(col(textCol)), t => t =!= "")
+    val score = aggregate(toks, lit(bias), (acc, tk) =>
+      acc + element_at(w, (pmod(xxhash64(tk), lit(dim.toLong)) + 1).cast("int")))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        score.as("score"))
+      .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
+  }
+
   /** Corpus vocabulary: the top `vocabSize` normalized tokens by
     * (count desc, token asc) — a deterministic total order, so the id
     * assignment is reproducible across engines and runs. One partial-agg

@@ -314,6 +314,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.size == 4, "one row per (doc, n)")
   }
 
+  test("classifierScore: hand-replayed hash buckets; empty text scores the bias") {
+    import graft.operators.TextAnalysis
+    val w = TextAnalysis.fixedClassifierWeights(64)
+    assert(w.length == 64 && w.forall(x => x >= -99 && x <= 99))
+    assert(w.sameElements(TextAnalysis.fixedClassifierWeights(64)),
+      "weights must be deterministic in (dim, seed)")
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha beta alpha"), (2L, ""), (3L, "!!!"))).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text", w, bias = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("score"),
+         r.getAs[String]("label"))).toMap
+    // replay the bucketing independently with the catalyst XXH64 kernel
+    def bucket(tok: String): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        tok.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, tok.length, 42L)
+      java.lang.Math.floorMod(h, 64L).toInt
+    }
+    val exp1 = 5L + w(bucket("alpha")) * 2 + w(bucket("beta"))
+    assert(out(1L) == ((3L, exp1, if (exp1 >= 0) "keep" else "drop")))
+    // empty and punctuation-only text scores exactly the bias
+    assert(out(2L) == ((0L, 5L, "keep")))
+    assert(out(3L) == ((0L, 5L, "keep")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierScore(docs, "doc_id", "text", Array.empty[Long]))
+  }
+
   test("incrementalSurvivors: existing always wins; keep-first within batch") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val other = (1 to 40).map(i => s"alt$i").mkString(" ")
