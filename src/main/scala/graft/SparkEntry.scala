@@ -605,6 +605,12 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "group_rank")
       .orderBy("doc_id")
 
+  /** Bigram-LM corpus-fit scoring — integer-ppm MLE transition rates, the
+    * perplexity-filter signal without cross-engine `log` hazards. */
+  private def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Hashed linear classifier scoring with the fixed deterministic weight
     * vector — the oracle replays the XXH64 bucketing and the same literal
     * weights, so the approximate-model pipeline itself is verified. */
@@ -1011,6 +1017,7 @@ object SparkEntry {
     "curation_mixture"    -> curationMixture _,
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
+    "text_lm_score"       -> textLmScore _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1865,6 +1872,30 @@ object SparkEntry {
       WHERE $b0 < r.rate_ppm
       ORDER BY d.doc_id"""
     },
+    // bigram LM: the engine groups/joins on xxhash64 keys, the oracle on
+    // the token strings — identical partitioning absent a 64-bit collision
+    // (the repetitionReport invariance argument); all outputs are integer
+    // ppm floors, so the compare is bit-exact
+    "text_lm_score" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> {'w1': tk[i], 'w2': tk[i+1]}), recursive := true)
+             FROM toks WHERE len(tk) >= 2),
+      c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+      rates AS (SELECT w1, w2,
+                  c2 * 1000000 // (sum(c2) OVER (PARTITION BY w1))::BIGINT AS ppm
+                FROM c2),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                    sum(ppm)::BIGINT AS sum_ppm, min(ppm)::BIGINT AS min_ppm
+             FROM bg JOIN rates USING (w1, w2) GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+             coalesce(sc.sum_ppm, 0)::BIGINT AS sum_ppm,
+             CASE WHEN sc.n_bigrams IS NOT NULL
+                  THEN sc.sum_ppm // sc.n_bigrams ELSE 0 END::BIGINT AS avg_ppm,
+             coalesce(sc.min_ppm, 0)::BIGINT AS min_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id""",
     // classifier: per-distinct-token XXH64 → pmod bucket → literal weight
     // lookup, integer sums — the Spark pipeline replayed bit-exactly
     "text_classifier" -> {

@@ -353,6 +353,73 @@ object TextAnalysis {
     } else out
   }
 
+  /** Corpus-fit scoring against a bigram language model trained on the
+    * corpus itself (the KenLM-style perplexity filter, integer-exact): the
+    * MLE transition rate `p(w2|w1) = c(w1,w2) / c(w1·)` is floored to ppm,
+    * and each document reports its bigram count, ppm sum, ppm mean, and the
+    * minimum (its most surprising transition). Low mean/min flags text
+    * whose transitions don't look like the corpus — garbled, boilerplate,
+    * or wrong-domain documents; the integer ppm floor keeps every value an
+    * order-free BIGINT so the DuckDB oracle compares bit-equal (`log`-space
+    * perplexity would not be correctly-rounded across engines).
+    *
+    * Scale shape (the tf-idf family pattern): tokens materialize once
+    * behind a persist barrier (HOF lambda outer-references re-evaluate per
+    * element otherwise — the measured dedup_spans trap), bigrams explode to
+    * slim `(doc, xxhash64(w1), xxhash64(w1,w2))` rows so the counting
+    * shuffles and the scoring join carry 8-byte keys, never token text (the
+    * per-doc sums are functions of the count multiset, so the oracle groups
+    * on strings and lands on identical integers absent a 2⁻⁶⁴ collision).
+    * Context counts `c(w1·)` reduce the DISTINCT-bigram table, not the
+    * occurrence stream; the scoring join is the only full-width pass over
+    * the bigram occurrences. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              materialize: Boolean = true): DataFrame = {
+    val toksBase = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+    val toks = if (materialize) toksBase.persist() else toksBase
+    // one row per bigram OCCURRENCE: h1 = hash of the context token,
+    // h12 = chained hash of the pair (Spark's multi-arg xxhash64)
+    val bgBase = toks.select(col("id"), explode(
+        when(size(col("tk")) >= 2,
+            transform(sequence(lit(0), size(col("tk")) - 2), i => struct(
+              xxhash64(element_at(col("tk"), i + lit(1))).as("h1"),
+              xxhash64(element_at(col("tk"), i + lit(1)),
+                       element_at(col("tk"), i + lit(2))).as("h12"))))
+          .otherwise(array().cast("array<struct<h1:bigint,h12:bigint>>")))
+        .as("bgs"))
+      .select(col("id"), col("bgs.h1").as("h1"), col("bgs.h12").as("h12"))
+    val bg = if (materialize) bgBase.persist() else bgBase
+    val c2t = bg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c2"))
+    // context counts c(w1·) as a whole-partition window over the DISTINCT
+    // bigram table — one shuffle on h1, no self-join, and c2t feeds exactly
+    // one exchange (the double-consumer re-compute trap); per-context
+    // fan-in is bounded by the vocabulary, not the corpus
+    val rates = c2t
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h1"))))
+      .select(col("h12"), expr("c2 * 1000000 DIV c1").as("ppm"))
+    val perDoc = bg.join(rates, "h12")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("ppm")).as("sum_ppm"),
+           min(col("ppm")).as("min_ppm"))
+    // zero-fill docs with < 2 tokens (the id projection re-reads the
+    // source, deliberately: it needs no tokenization, just one column)
+    val out = df.select(col(idCol)).join(
+        perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"),
+        when(col("n_bigrams").isNotNull, expr("sum_ppm DIV n_bigrams"))
+          .otherwise(lit(0L)).as("avg_ppm"),
+        coalesce(col("min_ppm"), lit(0L)).as("min_ppm"))
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      bg.unpersist(); toks.unpersist()
+      res
+    } else out
+  }
+
   /** Deterministic pseudo-random classifier weights (splitmix64, integers
     * in [-99, 99]) — a stand-in for a trained model's exported weight
     * vector, fully determined by (dim, seed) so the whole scoring pipeline

@@ -342,6 +342,23 @@ class TextFunctionsSpec extends SparkSpec {
       TextAnalysis.classifierScore(docs, "doc_id", "text", Array.empty[Long]))
   }
 
+  test("lmScore: hand-computed MLE ppm rates; short docs zero-fill") {
+    import graft.operators.TextAnalysis
+    // corpus bigrams: "a b" ×2 (docs 1, 2), "b a" ×1, "a c" ×1 →
+    // c(a·)=3, c(b·)=1: ppm(a b)=666666, ppm(b a)=1000000, ppm(a c)=333333
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a c"), (2L, "a b"), (3L, "solo"))).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_ppm"),
+         r.getAs[Long]("avg_ppm"), r.getAs[Long]("min_ppm"))).toMap
+    // doc 1: bigrams (a b, b a, a c) → 666666 + 1000000 + 333333
+    assert(out(1L) == ((3L, 1999999L, 666666L, 333333L)))
+    assert(out(2L) == ((1L, 666666L, 666666L, 666666L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L)), "single-token doc must zero-fill")
+    assert(out.size == 3)
+  }
+
   test("incrementalSurvivors: existing always wins; keep-first within batch") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val other = (1 to 40).map(i => s"alt$i").mkString(" ")
