@@ -605,6 +605,59 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "group_rank")
       .orderBy("doc_id")
 
+  /** Distributed Lloyd k-means over integer-quantized embeddings: the
+    * oracle replays init, every assign/update iteration, and the final
+    * assignment bit-exactly (all-BIGINT arithmetic — see
+    * `Similarity.kmeansAssign`). */
+  private def simKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64)
+      .orderBy("vec_id")
+
+  /** DuckDB replica of `sim_kmeans`: quantize → k-smallest-ids init →
+    * `iters` × (argmin assignment with (dist, cluster) tie-break; per-dim
+    * BIGINT sums with a floor-div centroid update; empty clusters keep
+    * their centroid) → final assignment. All integer — bit-exact. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val distExpr = "list_aggregate(list_transform(range(1, len(qv)+1), " +
+      "j -> (qv[j]-cv[j])*(qv[j]-cv[j])), 'sum')::BIGINT"
+    def assign(i: Int) = s"""a$i AS (
+      SELECT vec_id, qv, cl, dist FROM (
+        SELECT q.vec_id, q.qv, c.cl, $distExpr AS dist,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $distExpr ASC, c.cl ASC) AS rn
+        FROM q CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
+    // centroid update: floor-div via C-style % lifted to floor-mod — the
+    // (s - fm) difference divides exactly, so // carries no rounding
+    def update(i: Int) = s"""u$i AS (
+      SELECT cl, pos, sum(v)::BIGINT AS s, count(*)::BIGINT AS n FROM (
+        SELECT cl, unnest(list_transform(range(1, len(qv)+1),
+          j -> {'pos': j, 'v': qv[j]}), recursive := true) FROM a$i)
+      GROUP BY cl, pos),
+      n$i AS (SELECT cl,
+                list(((s - (((s % n) + n) % n)) // n)::BIGINT ORDER BY pos) AS cv
+              FROM u$i GROUP BY cl),
+      c$i AS (SELECT p.cl, coalesce(x.cv, p.cv) AS cv
+              FROM c${i - 1} p LEFT JOIN n$i x USING (cl))"""
+    val iterCtes = (1 to iters).map(i => s"${assign(i)},\n      ${update(i)}")
+    s"""
+      WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(x::DOUBLE * 1024)::BIGINT) AS qv
+        FROM embeddings),
+      c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cl,
+                    qv AS cv
+             FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+      ${iterCtes.mkString(",\n      ")},
+      fin AS (
+        SELECT vec_id, cl, dist FROM (
+          SELECT q.vec_id, c.cl, $distExpr AS dist,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY $distExpr ASC, c.cl ASC) AS rn
+          FROM q CROSS JOIN c$iters c) WHERE rn = 1)
+      SELECT vec_id, cl AS cluster, dist FROM fin ORDER BY vec_id"""
+  }
+
   /** Bigram-LM corpus-fit scoring — integer-ppm MLE transition rates, the
     * perplexity-filter signal without cross-engine `log` hazards. */
   private def textLmScore(s: SparkSession, dir: String): DataFrame =
@@ -1018,6 +1071,7 @@ object SparkEntry {
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
+    "sim_kmeans"          -> simKmeans _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1872,6 +1926,7 @@ object SparkEntry {
       WHERE $b0 < r.rate_ppm
       ORDER BY d.doc_id"""
     },
+    "sim_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
     // bigram LM: the engine groups/joins on xxhash64 keys, the oracle on
     // the token strings — identical partitioning absent a 64-bit collision
     // (the repetitionReport invariance argument); all outputs are integer

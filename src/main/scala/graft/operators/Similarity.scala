@@ -177,6 +177,88 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** DISTRIBUTED Lloyd k-means over integer-quantized embeddings — the
+    * corpus-scale clustering pass (SemDeDup's prerequisite, IVF training at
+    * full data): unlike [[trainCentroids]] (a bounded driver sample), every
+    * iteration's assignment AND centroid update run over the whole corpus.
+    *
+    * Why integer quantization: a float centroid mean is an order-dependent
+    * reduction — no cross-engine (or even re-run, under AQE re-partitioning)
+    * bit-stability. Quantizing each coordinate to `floor(x · 2^10)` (the
+    * multiplier is a power of two, so the product is EXACT in double; float
+    * → double widening is exact; floor is exact) makes every distance a
+    * BIGINT and every centroid update a `floorDiv(sum, count)` of BIGINTs —
+    * order-free, engine-exact, so the full iterative pipeline (init →
+    * iters × (assign, update) → final assignment) is replayed bit-equally
+    * by the DuckDB oracle. Production k-means quantizes anyway (PQ/IVF);
+    * here the quantization is also the determinism contract.
+    *
+    * Scale shape: per iteration one narrow codegen'd assignment pass
+    * (centroid matrix rides as a plan literal, O(k·dim) per row) and one
+    * `(cluster, pos)` aggregation whose map-side partial sums bound the
+    * shuffle to `k·dim` rows per task; the driver holds only the k×dim
+    * centroid table (the bounded-collect contract). Init = the k smallest
+    * ids' vectors (deterministic, no RNG). Empty clusters keep their
+    * previous centroid. Ties (equal distance) assign the lowest cluster
+    * index on both engines. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 3, dim: Int = 64,
+                   materialize: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val QuantScale = 1024L // 2^10: exact in double for |x| < 2^42
+    val quant = when(size(col(vecCol)) === dim,
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * QuantScale).cast("long")))
+      .otherwise(raise_error(concat(
+        lit("kmeansAssign: vector length "), size(col(vecCol)).cast("string"),
+        lit(s" != dim $dim"))))
+    val qBase = corpus.select(col(idCol), quant.as("qv"))
+    val q = if (materialize) qBase.persist() else qBase
+    def distsCol(cents: Array[Array[Long]]): Column = {
+      val cLit = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+      transform(cLit, cv => aggregate(
+        zip_with(col("qv"), cv, (x, y) => (x - y) * (x - y)), lit(0L), _ + _))
+    }
+    // init: the k smallest ids' quantized vectors, cluster = rank order
+    var cents: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k)
+      .select(col("qv")).collect().map(_.getSeq[Long](0).toArray)
+    require(cents.nonEmpty, "empty corpus")
+    (0 until iters).foreach { _ =>
+      val assigned = q.select(
+        (array_position(distsCol(cents), array_min(distsCol(cents))) - 1)
+          .as("cluster"),
+        col("qv"))
+      // k·dim tiny rows after map-side partial aggregation — the only
+      // shuffle per iteration; collect is bounded by the centroid table
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      cents = cents.indices.map { ci =>
+        upd.get(ci) match {
+          case Some(rows) =>
+            val arr = new Array[Long](dim)
+            rows.foreach { case (_, pos, s, n) => arr(pos) = Math.floorDiv(s, n) }
+            arr
+          case None => cents(ci) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    val out = q.select(col(idCol),
+        (array_position(distsCol(cents), array_min(distsCol(cents))) - 1)
+          .as("cluster"),
+        array_min(distsCol(cents)).as("dist"))
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      q.unpersist()
+      res
+    } else out
+  }
+
   /** Deterministic per-subspace PQ codebooks: `m` subspaces × `k` codewords
     * × `subDim` floats (splitmix64, like [[fixedCentroids]]) — untrained,
     * but fully determined by the parameters so the whole PQ pipeline is

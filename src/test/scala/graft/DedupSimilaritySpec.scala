@@ -376,6 +376,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight.length == 10 && tight.forall(_.getInt(3) <= 5))
   }
 
+  test("kmeansAssign: hand-traced Lloyd iterations on two separated clusters") {
+    // quantized points (×1024): (0,0) (1024,0) near origin; (10240,10240)
+    // (11264,10240) far. init = ids 1,2. After iteration 1 the far pair
+    // defects to cluster 1, and by iteration 2 centroids settle at
+    // c0=(512,0), c1=(10752,10240) — assignment {1,2}→0, {3,4}→1.
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(11.0f, 10.0f)))
+    val df = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 2, iters = 3, dim = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("dist"))).toMap
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // p1's distance to the converged c0=(512,0) is 512²
+    assert(out(1L)._2 == 512L * 512L)
+    assert(out(3L)._2 == 512L * 512L) // symmetric: c1 midpoint offset 512
+    // deterministic re-run
+    val again = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 2, iters = 3, dim = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(again == out.view.mapValues(_._1).toMap)
+    // empty cluster keeps its centroid instead of crashing: k=3 over the
+    // same 4 points leaves init centroid 2 stranded once points defect
+    val k3 = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 3, iters = 3, dim = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(k3.size == 4)
+    // dimension mismatch fails loudly, not as a silent null assignment
+    val bad = spark.createDataFrame(Seq((9L, Array(1.0f)))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.kmeansAssign(bad, "vec_id", "embedding", k = 1, iters = 1, dim = 2)
+    }
+    assert(e.getMessage.contains("kmeansAssign") ||
+      e.getCause != null && e.getCause.getMessage.contains("kmeansAssign"),
+      s"expected the loud dim guard, got: ${e.getMessage}")
+  }
+
   test("semantic dedup: cluster blocking + cosine prune keeps min-id per near-dup group") {
     // three orthogonal centroids in dim 4; two near-dups at centroid 0,
     // one singleton at centroid 1, two same-cluster NON-dups at centroid 2
