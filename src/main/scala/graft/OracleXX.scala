@@ -142,28 +142,25 @@ object OracleXX {
     xxh64Core(bl, seed, padLen)
   }
 
-  /** Signed Spark-style `pmod(xxhash64(longCol), m)` as SQL: the unsigned
-    * replica value is converted back to Spark's signed hash before the
-    * floor-mod, because `u mod m` and `floorMod(u - 2^64, m)` differ. */
-  def xxh64LongPmod(l: String, m: Long, seed: String = "42"): String = {
-    val h = xxh64Long(l, seed)
+  /** Wrap an unsigned-HUGEINT hash expression back to Spark's SIGNED hash
+    * and floor-mod it by `m` — `u mod m` and `floorMod(u - 2^64, m)`
+    * differ, so the conversion must precede the mod. Shared by the long
+    * and string pmod replicas. */
+  private def pmodWrap(h: String, m: Long): String =
     s"""list_extract(list_transform([($h)], hu ->
           (CASE WHEN hu >= 9223372036854775808::HUGEINT
                 THEN ((hu - $M) % $m + $m) % $m
                 ELSE hu % $m END)::BIGINT), 1)"""
-  }
+
+  /** Signed Spark-style `pmod(xxhash64(longCol), m)` as SQL. */
+  def xxh64LongPmod(l: String, m: Long, seed: String = "42"): String =
+    pmodWrap(xxh64Long(l, seed), m)
 
   /** Signed Spark-style `pmod(xxhash64(strCol), m)` as SQL — the string
-    * twin of [[xxh64LongPmod]] (same unsigned→signed conversion before the
-    * floor-mod). */
+    * twin of [[xxh64LongPmod]]. */
   def xxh64StrPmod(s: String, m: Long, seed: String = "42",
-                   padLen: Int = 48): String = {
-    val h = xxh64Str(s, seed, padLen)
-    s"""list_extract(list_transform([($h)], hu ->
-          (CASE WHEN hu >= 9223372036854775808::HUGEINT
-                THEN ((hu - $M) % $m + $m) % $m
-                ELSE hu % $m END)::BIGINT), 1)"""
-  }
+                   padLen: Int = 48): String =
+    pmodWrap(xxh64Str(s, seed, padLen), m)
 
   private val pow2 =
     (0 until 64).map(b => s"${BigInt(2).pow(b)}::HUGEINT").mkString("[", ", ", "]")

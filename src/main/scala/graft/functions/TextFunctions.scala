@@ -51,14 +51,7 @@ object TextFunctions {
   // signatures are deterministic across runs/executors.
   val MinhashPrime: Long = (1L << 61) - 1
   def minhashCoefficients(k: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
-    var x = seed
-    def next(): Long = { // splitmix64, public-domain mixing constants
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    val next = graft.util.SplitMix64.generator(seed)
     // coefficients bounded to 31 bits so a*h + b (h folded to 31 bits) stays
     // under 2^62 — no Long overflow under ANSI mode, no 128-bit mulmod needed
     val a = Array.fill(k)(math.floorMod(next(), 2147483646L) + 1)

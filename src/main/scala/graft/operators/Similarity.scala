@@ -29,14 +29,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane matrix: `bits` rows × `dim`. */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    val next = graft.util.SplitMix64.generator(seed)
     Array.fill(bits, dim)((next().toDouble / Long.MaxValue)) // uniform [-1,1]
   }
 
@@ -207,12 +200,17 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val QuantScale = 1024L // 2^10: exact in double for |x| < 2^42
-    val quant = when(size(col(vecCol)) === dim,
-        transform(col(vecCol), x =>
-          floor(x.cast("double") * QuantScale).cast("long")))
-      .otherwise(raise_error(concat(
+    // both guards fail LOUDLY: a null/NaN element would quantize to a null
+    // coordinate, null out every distance, and the null cluster would
+    // unbox to 0 in the update collect — silently poisoning cluster 0's
+    // centroid (and diverging from the oracle)
+    val quant = when(size(col(vecCol)) =!= dim, raise_error(concat(
         lit("kmeansAssign: vector length "), size(col(vecCol)).cast("string"),
         lit(s" != dim $dim"))))
+      .when(exists(col(vecCol), x => x.isNull || isnan(x)),
+        raise_error(lit("kmeansAssign: embedding contains null or NaN")))
+      .otherwise(transform(col(vecCol), x =>
+        floor(x.cast("double") * QuantScale).cast("long")))
     val qBase = corpus.select(col(idCol), quant.as("qv"))
     val q = if (materialize) qBase.persist() else qBase
     def distsCol(cents: Array[Array[Long]]): Column = {
@@ -225,10 +223,17 @@ object Similarity {
       .select(col("qv")).collect().map(_.getSeq[Long](0).toArray)
     require(cents.nonEmpty, "empty corpus")
     (0 until iters).foreach { _ =>
-      val assigned = q.select(
-        (array_position(distsCol(cents), array_min(distsCol(cents))) - 1)
-          .as("cluster"),
-        col("qv"))
+      // the O(k·dim) distance array is projected ONCE behind an alias —
+      // lambda-bearing expressions are excluded from codegen subexpression
+      // elimination, so inlining it into argmin + min would evaluate the
+      // dominant per-row cost twice (CollapseProject leaves non-cheap
+      // multi-referenced aliases staged; pinned by the plan assertion in
+      // the spec)
+      val assigned = q.select(col("qv"), distsCol(cents).as("__d"))
+        .select(
+          (array_position(col("__d"), array_min(col("__d"))) - 1)
+            .as("cluster"),
+          col("qv"))
       // k·dim tiny rows after map-side partial aggregation — the only
       // shuffle per iteration; collect is bounded by the centroid table
       val upd = assigned
@@ -248,10 +253,10 @@ object Similarity {
         }
       }.toArray
     }
-    val out = q.select(col(idCol),
-        (array_position(distsCol(cents), array_min(distsCol(cents))) - 1)
-          .as("cluster"),
-        array_min(distsCol(cents)).as("dist"))
+    val out = q.select(col(idCol), distsCol(cents).as("__d"))
+      .select(col(idCol),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).as("cluster"),
+        array_min(col("__d")).as("dist"))
     if (materialize) {
       val res = graft.util.Materialize.cut(out)
       q.unpersist()

@@ -427,14 +427,7 @@ object TextAnalysis {
     * [[Similarity.fixedCentroids]]). */
   def fixedClassifierWeights(dim: Int, seed: Long = 17L): Array[Long] = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    var x = seed
-    def next(): Long = {
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    val next = graft.util.SplitMix64.generator(seed)
     Array.fill(dim)(java.lang.Math.floorMod(next(), 199L) - 99L)
   }
 
@@ -456,12 +449,19 @@ object TextAnalysis {
     require(weights.nonEmpty, "need a non-empty weight vector")
     val dim = weights.length
     val w = array(weights.map(lit): _*)
-    val toks = filter(TF.tokens(col(textCol)), t => t =!= "")
-    val score = aggregate(toks, lit(bias), (acc, tk) =>
-      acc + element_at(w, (pmod(xxhash64(tk), lit(dim.toLong)) + 1).cast("int")))
-    df.select(col(idCol),
-        size(toks).cast("long").as("n_tokens"),
-        score.as("score"))
+    // NULL text scores like empty text (0 tokens, score = bias) — matching
+    // the oracle's zero-row unnest + LEFT JOIN zero-fill; the token array
+    // is projected ONCE behind an alias so the regex-heavy normalization
+    // doesn't re-evaluate per output column (lambda-bearing expressions
+    // are excluded from codegen subexpression elimination, and
+    // CollapseProject leaves non-cheap multi-referenced aliases staged)
+    val toks = filter(TF.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
+    df.select(col(idCol), toks.as("__tk"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        aggregate(col("__tk"), lit(bias), (acc, tk) =>
+          acc + element_at(w,
+            (pmod(xxhash64(tk), lit(dim.toLong)) + 1).cast("int"))).as("score"))
       .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
   }
 

@@ -413,6 +413,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("kmeansAssign") ||
       e.getCause != null && e.getCause.getMessage.contains("kmeansAssign"),
       s"expected the loud dim guard, got: ${e.getMessage}")
+    // a NaN coordinate fails loudly too — it would otherwise null the
+    // distance array and unbox the null cluster to 0 in the update collect
+    val nan = spark.createDataFrame(Seq((9L, Array(Float.NaN, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.kmeansAssign(nan, "vec_id", "embedding", k = 1, iters = 1, dim = 2)
+    }
+    assert(e2.getMessage.contains("null or NaN") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("null or NaN"),
+      s"expected the loud NaN guard, got: ${e2.getMessage}")
+    // the O(k·dim) distance array must stay staged behind its alias: one
+    // zip_with chain in the final projection, not one per consumer (the
+    // parquet-backed table — a local relation constant-folds the plan away)
+    val planned = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 2, iters = 0, dim = 64, materialize = false)
+    val proj = planned.queryExecution.optimizedPlan.toString
+    val n = "zip_with".r.findAllIn(proj).length
+    assert(n == 1,
+      s"distance array inlined per consumer ($n zip_with occurrences):\n$proj")
   }
 
   test("semantic dedup: cluster blocking + cosine prune keeps min-id per near-dup group") {

@@ -177,7 +177,7 @@ class RelationalSpec extends SparkSpec {
 
   test("capPerGroup: deterministic survivors, cap honored, reserved-column guard") {
     import graft.operators.Sampling
-    import org.apache.spark.sql.functions.{col, desc}
+    import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val out = Sampling.capPerGroup(docs, "source", 3,
       Seq(col("n_chars").desc, col("doc_id").asc))
@@ -197,9 +197,11 @@ class RelationalSpec extends SparkSpec {
         g.sortBy(x => (-x._3, x._1)).take(3)).map(_._1).toSet
     val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
-    // group_rank is 1-based and dense within each group
+    // group_rank is 1-based and dense within each group (sorted by the
+    // rank itself — re-sorting by n_chars alone is order-nondeterministic
+    // under ties)
     val ranks = out.where(col("source") === all.keys.head)
-      .orderBy(desc("n_chars")).select("group_rank")
+      .orderBy("group_rank").select("group_rank")
       .collect().map(_.getLong(0)).toSeq
     assert(ranks == (1L to ranks.length).toSeq)
     intercept[IllegalArgumentException](

@@ -321,7 +321,8 @@ class TextFunctionsSpec extends SparkSpec {
     assert(w.sameElements(TextAnalysis.fixedClassifierWeights(64)),
       "weights must be deterministic in (dim, seed)")
     val docs = spark.createDataFrame(Seq(
-      (1L, "alpha beta alpha"), (2L, ""), (3L, "!!!"))).toDF("doc_id", "text")
+      (1L, "alpha beta alpha"), (2L, ""), (3L, "!!!"),
+      (4L, null.asInstanceOf[String]))).toDF("doc_id", "text")
     val out = TextAnalysis.classifierScore(docs, "doc_id", "text", w, bias = 5L)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("score"),
@@ -335,9 +336,11 @@ class TextFunctionsSpec extends SparkSpec {
     }
     val exp1 = 5L + w(bucket("alpha")) * 2 + w(bucket("beta"))
     assert(out(1L) == ((3L, exp1, if (exp1 >= 0) "keep" else "drop")))
-    // empty and punctuation-only text scores exactly the bias
+    // empty, punctuation-only, and NULL text all score exactly the bias
+    // (NULL must match the oracle's LEFT-JOIN zero-fill, not null out)
     assert(out(2L) == ((0L, 5L, "keep")))
     assert(out(3L) == ((0L, 5L, "keep")))
+    assert(out(4L) == ((0L, 5L, "keep")))
     intercept[IllegalArgumentException](
       TextAnalysis.classifierScore(docs, "doc_id", "text", Array.empty[Long]))
   }
