@@ -614,11 +614,15 @@ object SparkEntry {
         k = 8, iters = 3, dim = 64)
       .orderBy("vec_id")
 
-  /** DuckDB replica of `sim_kmeans`: quantize → k-smallest-ids init →
-    * `iters` × (argmin assignment with (dist, cluster) tie-break; per-dim
-    * BIGINT sums with a floor-div centroid update; empty clusters keep
-    * their centroid) → final assignment. All integer — bit-exact. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** DuckDB replica of the `Similarity.kmeansAssign` pipeline: quantize →
+    * k-smallest-ids init → `iters` × (argmin assignment with (dist,
+    * cluster) tie-break; per-dim BIGINT sums with a floor-div centroid
+    * update; empty clusters keep their centroid) → final assignment. All
+    * integer — bit-exact. Returns the full `WITH …` chain ending in
+    * `fin(vec_id, cl, dist)`; callers append their final SELECT (the
+    * `sim_kmeans` dump and the `curation_embed_balance` cap both ride the
+    * same chain). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val distExpr = "list_aggregate(list_transform(range(1, len(qv)+1), " +
       "j -> (qv[j]-cv[j])*(qv[j]-cv[j])), 'sum')::BIGINT"
     def assign(i: Int) = s"""a$i AS (
@@ -654,8 +658,23 @@ object SparkEntry {
           SELECT q.vec_id, c.cl, $distExpr AS dist,
                  row_number() OVER (PARTITION BY q.vec_id
                    ORDER BY $distExpr ASC, c.cl ASC) AS rn
-          FROM q CROSS JOIN c$iters c) WHERE rn = 1)
-      SELECT vec_id, cl AS cluster, dist FROM fin ORDER BY vec_id"""
+          FROM q CROSS JOIN c$iters c) WHERE rn = 1)"""
+  }
+
+  /** Embedding-stratified diversity sampling — the operator COMPOSITION a
+    * curation pipeline actually runs: cluster the corpus with the
+    * full-corpus k-means, then keep the `cap` most-central documents per
+    * cluster (`capPerGroup` with (dist asc, id asc) preference). Balances
+    * the embedding space instead of the metadata (domain) space; the whole
+    * two-operator pipeline stays bit-exact, so the oracle replays it
+    * end-to-end. */
+  private def curationEmbedBalance(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.kmeansAssign(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 3, dim = 64)
+    graft.operators.Sampling.capPerGroup(assigned, "cluster", maxPerGroup = 40,
+        order = Seq(col("dist").asc, col("vec_id").asc))
+      .select("vec_id", "cluster", "dist", "group_rank")
+      .orderBy("vec_id")
   }
 
   /** Bigram-LM corpus-fit scoring — integer-ppm MLE transition rates, the
@@ -1072,6 +1091,7 @@ object SparkEntry {
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "sim_kmeans"          -> simKmeans _,
+    "curation_embed_balance" -> curationEmbedBalance _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1926,7 +1946,16 @@ object SparkEntry {
       WHERE $b0 < r.rate_ppm
       ORDER BY d.doc_id"""
     },
-    "sim_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+    "sim_kmeans" -> s"""${kmeansCtes(k = 8, iters = 3)}
+      SELECT vec_id, cl AS cluster, dist FROM fin ORDER BY vec_id""",
+    // composition: the kmeans chain + the per-group cap replayed on top
+    "curation_embed_balance" -> s"""${kmeansCtes(k = 8, iters = 3)}
+      SELECT vec_id, cluster, dist, group_rank FROM (
+        SELECT vec_id, cl AS cluster, dist,
+               (row_number() OVER (PARTITION BY cl
+                  ORDER BY dist ASC, vec_id ASC))::BIGINT AS group_rank
+        FROM fin)
+      WHERE group_rank <= 40 ORDER BY vec_id""",
     // bigram LM: the engine groups/joins on xxhash64 keys, the oracle on
     // the token strings — identical partitioning absent a 64-bit collision
     // (the repetitionReport invariance argument); all outputs are integer
