@@ -677,6 +677,15 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Winnowing fingerprints (Schleimer 2003): the oracle replays the
+    * positional 4-gram hashing (XXH64 replica, converted back to signed so
+    * min-comparisons agree) and the 8-window rightmost-min selection as a
+    * brute-force window join. */
+  private def textWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, window = 8)
+      .orderBy("doc_id", "pos")
+
   /** Bigram-LM corpus-fit scoring — integer-ppm MLE transition rates, the
     * perplexity-filter signal without cross-engine `log` hazards. */
   private def textLmScore(s: SparkSession, dir: String): DataFrame =
@@ -1092,6 +1101,7 @@ object SparkEntry {
     "text_lm_score"       -> textLmScore _,
     "sim_kmeans"          -> simKmeans _,
     "curation_embed_balance" -> curationEmbedBalance _,
+    "text_winnow"         -> textWinnow _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1956,6 +1966,33 @@ object SparkEntry {
                   ORDER BY dist ASC, vec_id ASC))::BIGINT AS group_rank
         FROM fin)
       WHERE group_rank <= 40 ORDER BY vec_id""",
+    // winnowing: the hash VALUES drive the min-selection, so the oracle
+    // must replicate XXH64 (unlike the grouping-invariant rows); unsigned
+    // HUGEINT hashes convert back to signed BIGINT before comparing
+    "text_winnow" -> {
+      val xx = OracleXX.xxh64Str("g", padLen = 48)
+      s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      pg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2), i ->
+               {'pos': i - 1, 'g': array_to_string(list_slice(tk, i, i + 3), ' ')}),
+               recursive := true)
+             FROM toks WHERE len(tk) >= 4),
+      dh AS MATERIALIZED (SELECT g,
+              (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                    THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS h
+            FROM (SELECT g, $xx AS hu FROM (SELECT DISTINCT g FROM pg))),
+      gr AS MATERIALIZED (SELECT doc_id, pos, h FROM pg JOIN dh USING (g)),
+      kk AS (SELECT doc_id, count(*)::BIGINT AS k FROM gr GROUP BY doc_id),
+      win AS (SELECT doc_id, least(8, k) AS ww,
+                     unnest(range(0, k - least(8, k) + 1)) AS t FROM kk),
+      cand AS (SELECT g.doc_id, w.t, g.pos, g.h,
+                 row_number() OVER (PARTITION BY g.doc_id, w.t
+                   ORDER BY g.h ASC, g.pos DESC) AS rn
+               FROM win w JOIN gr g ON g.doc_id = w.doc_id
+                    AND g.pos BETWEEN w.t AND w.t + w.ww - 1)
+      SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS hash
+      FROM cand WHERE rn = 1 ORDER BY doc_id, pos"""
+    },
     // bigram LM: the engine groups/joins on xxhash64 keys, the oracle on
     // the token strings — identical partitioning absent a 64-bit collision
     // (the repetitionReport invariance argument); all outputs are integer

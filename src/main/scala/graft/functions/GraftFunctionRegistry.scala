@@ -108,6 +108,11 @@ object GraftFunctionRegistry {
     d("graft_simhash", classOf[SimHash64]) { (n, a) =>
       arity(n, a, 1); SimHash64(nn(a.head, longArray))
     },
+    d("graft_winnow", classOf[WinnowFingerprints]) { (n, a) =>
+      arity(n, a, 3)
+      WinnowFingerprints(nn(a(0), StringType), intLit(n, "n (gram width)", a(1)),
+        intLit(n, "w (window)", a(2)))
+    },
     d("graft_text_profile", classOf[TextProfile]) { (n, a) =>
       arity(n, a, 1); TextProfile(nn(a.head, StringType))
     },

@@ -420,6 +420,27 @@ object TextAnalysis {
     } else out
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): the robust subset of positional n-gram hashes selected by
+    * a w-window rightmost-min rule, guaranteeing any shared passage of
+    * ≥ w+n-1 tokens shares at least one fingerprint at ~2/(w+1) density —
+    * the storage-bounded alternative to indexing EVERY window that
+    * `Dedup.duplicateSpans` pays for exactness. One narrow codegen'd pass
+    * (native expression — per-position HOF slices would re-evaluate the
+    * tokenization per element); the output explodes to slim
+    * `(id, pos, hash)` rows ready for the standard inverted-index join. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 4, window: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val fps = column(graft.functions.WinnowFingerprints(
+      expression(TF.normText(col(textCol))), n, window))
+    df.select(col(idCol), explode(fps).as("fp"))
+      .select(col(idCol), col("fp.pos").cast("long").as("pos"),
+              col("fp.hash").as("hash"))
+  }
+
   /** Deterministic pseudo-random classifier weights (splitmix64, integers
     * in [-99, 99]) — a stand-in for a trained model's exported weight
     * vector, fully determined by (dim, seed) so the whole scoring pipeline

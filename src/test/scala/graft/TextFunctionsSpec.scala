@@ -314,6 +314,65 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.size == 4, "one row per (doc, n)")
   }
 
+  test("winnowFingerprints: independent replay, window coverage, SQL parity") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents")).limit(50)
+    val out = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+        n = 4, window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replay in plain Scala: normalize, 4-gram hash, winnow
+    def xxh(s: String): Long = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    val expected = docs.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val tk = r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim.split(" ")
+      if (tk.length < 4) Seq.empty
+      else {
+        val hs = (0 to tk.length - 4).map(i => xxh(tk.slice(i, i + 4).mkString(" "))).toArray
+        val k = hs.length
+        val ww = math.min(8, k)
+        var last = -1
+        (0 to k - ww).flatMap { t0 =>
+          var best = t0
+          ((t0 + 1) until (t0 + ww)).foreach(i => if (hs(i) <= hs(best)) best = i)
+          if (best != last) { last = best; Some((id, best.toLong, hs(best))) }
+          else None
+        }
+      }
+    }
+    assert(out.sorted.toSeq == expected.sorted.toSeq)
+    assert(out.nonEmpty)
+    // coverage guarantee: every w-window of every doc contains a selection
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val tk = r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim.split(" ")
+      val k = math.max(0, tk.length - 3)
+      if (k > 0) {
+        val ww = math.min(8, k)
+        val sel = byDoc(r.getLong(0))
+        (0 to k - ww).foreach(t0 => assert(
+          sel.exists(p => p >= t0 && p < t0 + ww),
+          s"doc ${r.getLong(0)} window $t0 has no fingerprint"))
+      }
+    }
+    // SQL surface parity: graft_winnow through spark.sql ≡ the DataFrame op
+    graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
+    docs.createOrReplaceTempView("winnow_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id, CAST(fp.pos AS BIGINT) AS pos, fp.hash AS hash FROM (
+        SELECT doc_id, explode(graft_winnow(
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '), '\\s+', ' ')),
+          4, 8)) AS fp
+        FROM winnow_docs)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("classifierScore: hand-replayed hash buckets; empty text scores the bias") {
     import graft.operators.TextAnalysis
     val w = TextAnalysis.fixedClassifierWeights(64)
