@@ -677,6 +677,37 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Shared oracle chain for the winnow family: DuckDB replica of
+    * `TextAnalysis.winnowFingerprints` (positional 4-gram XXH64 hashes,
+    * converted back to SIGNED before the min-comparisons, 8-window
+    * rightmost-min selection as a brute-force window join). Ends in
+    * `sel(doc_id, pos, hash)`; `text_winnow` dumps it, `dedup_winnow`
+    * builds the overlap pairs on top. */
+  private def winnowCtes(n: Int = 4, w: Int = 8): String = {
+    val xx = OracleXX.xxh64Str("g", padLen = 48)
+    s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      pg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${n - 2}), i ->
+               {'pos': i - 1, 'g': array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')}),
+               recursive := true)
+             FROM toks WHERE len(tk) >= $n),
+      dh AS MATERIALIZED (SELECT g,
+              (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                    THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS h
+            FROM (SELECT g, $xx AS hu FROM (SELECT DISTINCT g FROM pg))),
+      gr AS MATERIALIZED (SELECT doc_id, pos, h FROM pg JOIN dh USING (g)),
+      kk AS (SELECT doc_id, count(*)::BIGINT AS k FROM gr GROUP BY doc_id),
+      win AS (SELECT doc_id, least($w, k) AS ww,
+                     unnest(range(0, k - least($w, k) + 1)) AS t FROM kk),
+      cand AS (SELECT g.doc_id, w.t, g.pos, g.h,
+                 row_number() OVER (PARTITION BY g.doc_id, w.t
+                   ORDER BY g.h ASC, g.pos DESC) AS rn
+               FROM win w JOIN gr g ON g.doc_id = w.doc_id
+                    AND g.pos BETWEEN w.t AND w.t + w.ww - 1),
+      sel AS MATERIALIZED (SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS hash
+             FROM cand WHERE rn = 1)"""
+  }
+
   /** Winnowing fingerprints (Schleimer 2003): the oracle replays the
     * positional 4-gram hashing (XXH64 replica, converted back to signed so
     * min-comparisons agree) and the 8-window rightmost-min selection as a
@@ -685,6 +716,13 @@ object SparkEntry {
     TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
         n = 4, window = 8)
       .orderBy("doc_id", "pos")
+
+  /** Winnow-overlap near-dup candidates (the MOSS report) on the same
+    * fingerprint chain. */
+  private def dedupWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 4, window = 8, minShared = 2L)
+      .orderBy("id_a", "id_b")
 
   /** Bigram-LM corpus-fit scoring — integer-ppm MLE transition rates, the
     * perplexity-filter signal without cross-engine `log` hazards. */
@@ -1102,6 +1140,7 @@ object SparkEntry {
     "sim_kmeans"          -> simKmeans _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
+    "dedup_winnow"        -> dedupWinnow _,
     "text_contamination"  -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.contamination(
@@ -1969,30 +2008,21 @@ object SparkEntry {
     // winnowing: the hash VALUES drive the min-selection, so the oracle
     // must replicate XXH64 (unlike the grouping-invariant rows); unsigned
     // HUGEINT hashes convert back to signed BIGINT before comparing
-    "text_winnow" -> {
-      val xx = OracleXX.xxh64Str("g", padLen = 48)
-      s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-      pg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2), i ->
-               {'pos': i - 1, 'g': array_to_string(list_slice(tk, i, i + 3), ' ')}),
-               recursive := true)
-             FROM toks WHERE len(tk) >= 4),
-      dh AS MATERIALIZED (SELECT g,
-              (CASE WHEN hu >= 9223372036854775808::HUGEINT
-                    THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS h
-            FROM (SELECT g, $xx AS hu FROM (SELECT DISTINCT g FROM pg))),
-      gr AS MATERIALIZED (SELECT doc_id, pos, h FROM pg JOIN dh USING (g)),
-      kk AS (SELECT doc_id, count(*)::BIGINT AS k FROM gr GROUP BY doc_id),
-      win AS (SELECT doc_id, least(8, k) AS ww,
-                     unnest(range(0, k - least(8, k) + 1)) AS t FROM kk),
-      cand AS (SELECT g.doc_id, w.t, g.pos, g.h,
-                 row_number() OVER (PARTITION BY g.doc_id, w.t
-                   ORDER BY g.h ASC, g.pos DESC) AS rn
-               FROM win w JOIN gr g ON g.doc_id = w.doc_id
-                    AND g.pos BETWEEN w.t AND w.t + w.ww - 1)
-      SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS hash
-      FROM cand WHERE rn = 1 ORDER BY doc_id, pos"""
-    },
+    "text_winnow" -> s"""${winnowCtes()}
+      SELECT doc_id, pos, hash FROM sel ORDER BY doc_id, pos""",
+    // MOSS overlap report: distinct fingerprint sets self-joined on the
+    // hash; containment = shared / min-set-size, one exact IEEE division
+    "dedup_winnow" -> s"""${winnowCtes()},
+      st AS (SELECT DISTINCT doc_id, hash FROM sel),
+      nf AS (SELECT doc_id, count(*)::BIGINT AS nf FROM st GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+             FROM st a JOIN st b ON a.hash = b.hash AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT pr.id_a, pr.id_b, pr.shared, na.nf AS na, nb.nf AS nb,
+             pr.shared::DOUBLE / least(na.nf, nb.nf)::DOUBLE AS "overlap"
+      FROM pr JOIN nf na ON pr.id_a = na.doc_id
+              JOIN nf nb ON pr.id_b = nb.doc_id
+      WHERE pr.shared >= 2 ORDER BY pr.id_a, pr.id_b""",
     // bigram LM: the engine groups/joins on xxhash64 keys, the oracle on
     // the token strings — identical partitioning absent a 64-bit collision
     // (the repetitionReport invariance argument); all outputs are integer

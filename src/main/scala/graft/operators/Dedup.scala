@@ -282,6 +282,50 @@ object Dedup {
     materializeAndRelease(out, sets)
   }
 
+  /** Winnow-fingerprint near-dup candidates (what MOSS actually reports):
+    * document pairs sharing ≥ `minShared` DISTINCT winnow fingerprints,
+    * with the shared count, each side's fingerprint-set size, and
+    * `overlap = shared / min(na, nb)` (containment — robust when a short
+    * doc is embedded in a long one; an exact-rounded IEEE division of
+    * BIGINTs, so engine-exact). The winnowing guarantee turns this into a
+    * recall contract: any shared passage of ≥ window+n-1 tokens contributes
+    * at least one shared fingerprint — at ~2/(window+1) of the index size
+    * `ngramJaccardPairs` pays for exact Jaccard. That storage factor is the
+    * 100 TB point: the posting table this joins is winnowed BEFORE the
+    * shuffle, by a narrow codegen'd expression.
+    *
+    * Same scale shape as the n-gram variant: slim `(id, hash)` postings,
+    * `maxDocFreq` pruning of pathological fingerprints, equi-join on the
+    * hash. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 4, window: Int = 8,
+                         minShared: Long = 2L,
+                         maxDocFreq: Long = 1000L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // distinct: a repeated passage can re-select the same hash at several
+    // positions; overlap counting is set semantics (MOSS)
+    val sets = TextAnalysis.winnowFingerprints(df, idCol, textCol, shingleN, window)
+      .select(col(idCol).as("id"), col("hash").as("h")).distinct()
+      .persist() // feeds both join sides + the per-doc set sizes
+    val withN = sets.withColumn("nf",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+    val rare =
+      if (maxDocFreq == Long.MaxValue) withN
+      else withN.withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("h"))))
+        .where(col("df") <= maxDocFreq).drop("df")
+    val out = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+           first(col("a.nf")).as("na"), first(col("b.nf")).as("nb"))
+      .where(col("shared") >= minShared)
+      .withColumn("overlap",
+        col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .select("id_a", "id_b", "shared", "na", "nb", "overlap")
+    materializeAndRelease(out, sets)
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate generation
     * via random-hyperplane LSH buckets (see `Similarity.hyperplaneBuckets`)
     * keeps it off the n² path, with the same oversized-bucket star-pairing

@@ -376,6 +376,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight.length == 10 && tight.forall(_.getInt(3) <= 5))
   }
 
+  test("winnowOverlapPairs: guaranteed detection of long shared passages, no false pairs") {
+    // docs 1 and 2 share a 30-token passage (≥ window+n-1 = 11 tokens →
+    // the winnowing guarantee promises at least one shared fingerprint);
+    // doc 3 is disjoint vocabulary
+    val passage = (1 to 30).map(i => s"p$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"$passage alpha beta gamma delta"),
+      (2L, s"intro words here now $passage"),
+      (3L, (100 to 140).map(i => s"z$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        shingleN = 4, window = 8, minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("shared"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+         r.getAs[Double]("overlap"))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"expected only the passage pair, got $out")
+    val (shared, na, nb, overlap) = out((1L, 2L))
+    assert(shared >= 1L, "the winnowing detection guarantee failed")
+    assert(na > 0 && nb > 0 && shared <= math.min(na, nb))
+    assert(overlap == shared.toDouble / math.min(na, nb))
+    // raising minShared above the observed count drops the pair
+    val strict = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        shingleN = 4, window = 8, minShared = shared + 1)
+      .count()
+    assert(strict == 0L)
+  }
+
   test("kmeansAssign: hand-traced Lloyd iterations on two separated clusters") {
     // quantized points (×1024): (0,0) (1024,0) near origin; (10240,10240)
     // (11264,10240) far. init = ids 1,2. After iteration 1 the far pair
