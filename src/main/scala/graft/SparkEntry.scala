@@ -721,7 +721,9 @@ object SparkEntry {
     * fingerprint chain. */
   private def dedupWinnow(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 4, window = 8, minShared = 2L)
+        shingleN = 4, window = 8, minShared = 2L,
+        // the oracle models the UNPRUNED join (like every dedup gate row)
+        maxDocFreq = Long.MaxValue)
       .orderBy("id_a", "id_b")
 
   /** Bigram-LM corpus-fit scoring — integer-ppm MLE transition rates, the

@@ -168,6 +168,11 @@ case class PositionalShingleHashes(child: Expression, n: Int)
   * rightmost-min winnow. */
 case class WinnowFingerprints(child: Expression, n: Int, w: Int)
     extends UnaryExpression {
+  // constructor guards cover every path (DataFrame API, SQL builder, direct
+  // construction) at analysis time — w = 0 would otherwise index past the
+  // hash array mid-job, n <= 0 a negative byte range
+  require(n >= 1, s"winnow_fingerprints: n (gram width) must be >= 1, got $n")
+  require(w >= 1, s"winnow_fingerprints: w (window) must be >= 1, got $w")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     GraftTypeCheck.expect(prettyName, child -> StringType)
   override def dataType: DataType = ArrayType(

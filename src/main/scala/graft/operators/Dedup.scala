@@ -302,16 +302,22 @@ object Dedup {
                          minShared: Long = 2L,
                          maxDocFreq: Long = 1000L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    // distinct: a repeated passage can re-select the same hash at several
-    // positions; overlap counting is set semantics (MOSS)
-    val sets = TextAnalysis.winnowFingerprints(df, idCol, textCol, shingleN, window)
-      .select(col(idCol).as("id"), col("hash").as("h")).distinct()
-      .persist() // feeds both join sides + the per-doc set sizes
-    val withN = sets.withColumn("nf",
-      count(lit(1)).over(Window.partitionBy(col("id"))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // the distinct fingerprint SET per doc (a repeated passage can
+    // re-select the same hash at several positions; overlap counting is
+    // set semantics, MOSS) — built BEFORE exploding so the set size is
+    // `size(hs)` at zero shuffle cost, the ngramJaccardPairs shape (a
+    // window over the exploded postings would re-shuffle the whole table)
+    val fpArr = column(graft.functions.WinnowFingerprints(
+      expression(TF.normText(col(textCol))), shingleN, window))
+    val sets = df.select(col(idCol).as("id"),
+        array_distinct(transform(fpArr, fp => fp.getField("hash"))).as("hs"))
+      .withColumn("nf", size(col("hs")).cast("long"))
+      .persist() // feeds both join sides
+    val posting = sets.select(col("id"), col("nf"), explode(col("hs")).as("h"))
     val rare =
-      if (maxDocFreq == Long.MaxValue) withN
-      else withN.withColumn("df", count(lit(1)).over(
+      if (maxDocFreq == Long.MaxValue) posting
+      else posting.withColumn("df", count(lit(1)).over(
           Window.partitionBy(col("h"))))
         .where(col("df") <= maxDocFreq).drop("df")
     val out = rare.as("a").join(rare.as("b"),
