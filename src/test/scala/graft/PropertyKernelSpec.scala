@@ -69,6 +69,50 @@ class PropertyKernelSpec extends SparkSpec {
     }
   }
 
+  test("winnow kernel: coverage, monotone positions, and density for arbitrary token streams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // random word-soup documents over a small vocabulary (forces repeated
+    // grams and hash ties — the interesting winnowing cases)
+    val docGen = for {
+      n <- Gen.chooseNum(0, 120)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee", "fff", "zq"))
+    } yield toks.mkString(" ")
+    val cases = samples(docGen, 300, seed = 7L)
+    cases.foreach { text =>
+      val u = UTF8String.fromString(text)
+      val sel = ShingleHashUtil.winnowFingerprints(u, 3, 4)
+      val hs = ShingleHashUtil.positionalShingleHashes(u, 3).toLongArray()
+      val k = hs.length
+      val rows = (0 until sel.numElements()).map { i =>
+        val r = sel.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+      if (k == 0) assert(rows.isEmpty, s"no grams but fingerprints: '$text'")
+      else {
+        val ww = math.min(4, k)
+        // selected hashes are the real hashes at their positions
+        rows.foreach { case (p, h) => assert(p >= 0 && p < k && hs(p) == h) }
+        // strictly increasing positions (the dedup-by-last contract)
+        assert(rows.map(_._1) == rows.map(_._1).distinct.sorted)
+        // every window contains a selection, and each selection is its
+        // window's rightmost minimum for SOME window
+        val ps = rows.map(_._1).toSet
+        (0 to k - ww).foreach { t =>
+          assert((t until t + ww).exists(ps), s"window $t uncovered: '$text'")
+        }
+        rows.foreach { case (p, h) =>
+          val isRightmostMin = (math.max(0, p - ww + 1) to math.min(p, k - ww))
+            .exists { t =>
+              val win = (t until t + ww)
+              win.forall(i => hs(i) > h || (hs(i) == h && i <= p))
+            }
+          assert(isRightmostMin, s"pos $p not a rightmost window min: '$text'")
+        }
+        // density: never more selections than windows
+        assert(rows.length <= k - ww + 1)
+      }
+    }
+  }
+
   test("positional shingle hashes: sorted-distinct equals the set representation") {
     val word = Gen.chooseNum(1, 6).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))

@@ -120,6 +120,18 @@ class SqlFunctionsSpec extends SparkSpec {
     }
     assert(e5.getMessage.contains("string"),
       s"expected analysis-time type error, got: ${e5.getMessage}")
+    // non-positive winnow parameters fail at analysis (the constructor
+    // guard), not as a mid-job index error in the executor
+    val e6 = intercept[Exception] {
+      spark.sql("SELECT graft_winnow(text, 4, 0) FROM sqlfn_docs").collect()
+    }
+    assert(e6.getMessage.contains("must be >= 1"),
+      s"expected positivity message, got: ${e6.getMessage}")
+    val e7 = intercept[Exception] {
+      spark.sql("SELECT graft_winnow(text, 0, 8) FROM sqlfn_docs").collect()
+    }
+    assert(e7.getMessage.contains("must be >= 1"),
+      s"expected positivity message, got: ${e7.getMessage}")
   }
 
   test("NULL literals fold to NULL like Spark builtins, not analysis failures") {
@@ -138,7 +150,8 @@ class SqlFunctionsSpec extends SparkSpec {
              graft_norm(NULL)                AS j,
              graft_gzip(NULL)                AS k,
              graft_vocab_encode(NULL, array('a'), 0) AS l,
-             graft_lines_offsets(NULL)       AS m""").collect().head
+             graft_lines_offsets(NULL)       AS m,
+             graft_winnow(NULL, 4, 8)        AS n""").collect().head
     (0 until r.length).foreach(i => assert(r.isNullAt(i),
       s"column ${r.schema.fieldNames(i)} should be NULL"))
   }
