@@ -170,6 +170,21 @@ object Smoke {
       .select("p_id", "v_id").show(3)
     lap("asof-fwd+interval")
 
+    println("[smoke] round-6 additions: cap/classifier/LM/kmeans/winnow:")
+    graft.operators.Sampling.capPerGroup(docs, "source", 3,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .groupBy("source").count().show(3)
+    TextAnalysis.classifierScore(docs, "doc_id", "text",
+        TextAnalysis.fixedClassifierWeights(64), bias = 5L)
+      .groupBy("label").count().show()
+    TextAnalysis.lmScore(docs, "doc_id", "text").show(3)
+    graft.operators.Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 4, iters = 2, dim = 64)
+      .groupBy("cluster").count().show()
+    TextAnalysis.winnowFingerprints(docs, "doc_id", "text").show(3)
+    Dedup.winnowOverlapPairs(docs, "doc_id", "text", minShared = 1L).show(3)
+    lap("round6-ops")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")
