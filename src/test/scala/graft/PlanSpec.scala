@@ -56,6 +56,21 @@ class PlanSpec extends SparkSpec {
       s"partial WindowGroupLimit below the exchange is missing:\n$p")
   }
 
+  test("text_lm_score: map-side partial counts; context totals via ONE window, no self-join") {
+    // plan-inspection mode: materialize=false skips the persists/cut that
+    // would erase the operator plan (the dedup-family PlanSpec pattern)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.operators.TextAnalysis
+      .lmScore(docs, "doc_id", "text", materialize = false)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"bigram counting lost its map-side combine:\n${p.take(600)}")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1,
+      s"context counts must be ONE window over the distinct-bigram table " +
+      s"(found $windows Window nodes) — a self-join would re-aggregate the postings")
+  }
+
   test("pipe_transform: filter pushdown reaches the parquet scan") {
     val p = plan("pipe_transform")
     assert(p.contains("PushedFilters: [IsNotNull(props)]"))
