@@ -210,7 +210,8 @@ object Bench {
     // documented numbers cannot drift from the artifacts (round-3 item 4);
     // only a full run (all queries) rewrites it
     if (names.sorted == SparkEntry.queries.keys.toSeq.sorted)
-      try updateReadme(names.size, total, coldTotal, wall, sfDir, cpus, results)
+      try updateReadme(names.size, total, coldTotal, wall, sfDir, cpus, results,
+                       passes)
       catch { case e: Throwable =>
         System.err.println(s"[bench] README update skipped: ${e.getMessage}") }
     println(compact) // LAST stdout line — the one the driver parses
@@ -220,7 +221,8 @@ object Bench {
   /** Rewrite README.md between the BENCH_AUTOGEN markers from this run. */
   private def updateReadme(n: Int, total: Double, coldTotal: Double,
                            wall: Double, sfDir: String, cpus: String,
-                           results: Seq[(String, (Double, Boolean))]): Unit = {
+                           results: Seq[(String, (Double, Boolean))],
+                           passes: Int): Unit = {
     val readme = Paths.get("README.md")
     if (!Files.exists(readme)) return
     val (slowName, (slowSec, _)) = results.maxBy(_._2._1)
@@ -229,9 +231,9 @@ object Bench {
       s"""Latest full run (this block is auto-generated by `graft.Bench` from the
 run recorded in `BENCH_LOCAL.json` — do not hand-edit): steady-state
 total **${num(total, 1)} s** for $n queries at `$sfDir` on $cpus cores
-(cold pass ${num(coldTotal, 1)} s, wall for both passes ${num(wall, 1)} s,
-failed queries: $nFailed). Slowest steady-state query: `$slowName`
-at ${num(slowSec, 2)} s."""
+(cold pass ${num(coldTotal, 1)} s, wall for all $passes passes
+${num(wall, 1)} s, failed queries: $nFailed). Slowest steady-state query:
+`$slowName` at ${num(slowSec, 2)} s."""
     val begin = "<!-- BENCH_AUTOGEN_BEGIN -->"
     val end = "<!-- BENCH_AUTOGEN_END -->"
     val text = Files.readString(readme)
