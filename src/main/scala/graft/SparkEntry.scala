@@ -732,6 +732,45 @@ object SparkEntry {
     TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CCNet-style head/middle/tail perplexity buckets per language on the
+    * same bigram-LM chain — the oracle replays the scoring CTEs and the
+    * SQL-standard ntile split over the identical total order. */
+  private def textPplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+        "lang", buckets = 3)
+      .orderBy("doc_id")
+
+  /** GPT-style concat-and-chunk packing manifest: per (document, window)
+    * overlap segments over EOS-terminated token streams cut into
+    * 512-token training windows. */
+  private def textPackManifest(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packManifest(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512L)
+      .orderBy("doc_id", "window_id")
+
+  /** The end-to-end curation pipeline a training-data run actually
+    * executes, as ONE composed query: Gopher quality/repetition filter →
+    * normalized exact dedup (min-id survivor) → per-source diversity cap.
+    * Every stage is individually gate-verified; this row verifies the
+    * COMPOSITION (stage ordering, column threading, survivor semantics)
+    * bit-exactly against the same stages stacked in SQL. */
+  private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text",
+      minScore = 450L, langs = Seq("en", "fr"),
+      maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
+    // survivor ids (+ how many copies each absorbed) among the kept set;
+    // the join back is an id-equi-join — the shuffle carries ids and the
+    // slim survivor table, never document bodies
+    val surv = Dedup.normalizedSurvivors(kept, "doc_id", "text")
+      .select(col("doc_id"), col("n_copies"))
+    val deduped = kept.join(surv, Seq("doc_id"))
+    graft.operators.Sampling.capPerGroup(deduped, "source", maxPerGroup = 25,
+        order = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "lang", "source", "n_copies", "group_rank")
+      .orderBy("doc_id")
+  }
+
   /** Hashed linear classifier scoring with the fixed deterministic weight
     * vector — the oracle replays the XXH64 bucketing and the same literal
     * weights, so the approximate-model pipeline itself is verified. */
@@ -1139,6 +1178,9 @@ object SparkEntry {
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
+    "text_ppl_buckets"    -> textPplBuckets _,
+    "text_pack_manifest"  -> textPackManifest _,
+    "curation_pipeline"   -> curationPipeline _,
     "sim_kmeans"          -> simKmeans _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
@@ -1503,6 +1545,53 @@ object SparkEntry {
       kept AS (
         SELECT doc_id, lang, source FROM scored
         WHERE quality >= 450 AND lang_pred IN ('en', 'fr'))"""
+
+  /** Shared chain for the Gopher-filter family: [[qualityKeptCtes]] plus
+    * the 2-gram repetition caps (dup_ppm <= 120000, top_ppm <= 60000,
+    * computed over the kept set only — per-doc signals, order-invariant),
+    * ending in `gkept(doc_id, lang, source)` — the full Gopher survivor
+    * set. `text_gopher_filter` dumps it; `curation_pipeline` stacks dedup
+    * and the source cap on top. */
+  private def gopherKeptCtes: String = s"""$qualityKeptCtes,
+      ktoks AS MATERIALIZED (
+        SELECT doc_id, $sqlToks AS tk FROM documents JOIN kept USING (doc_id)),
+      ng AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(tk), 1)),
+                 i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS gs
+        FROM ktoks),
+      occ AS (SELECT doc_id, unnest(gs) AS g FROM ng),
+      gcnt AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2),
+      ragg AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS total,
+               coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0)::BIGINT AS dup,
+               max(cnt)::BIGINT AS top
+        FROM gcnt GROUP BY 1),
+      bad AS (
+        SELECT doc_id FROM ragg
+        WHERE dup * 1000000 // total > 120000 OR top * 1000000 // total > 60000),
+      gkept AS (
+        SELECT doc_id, lang, source FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad))"""
+
+  /** Shared CTE chain for the bigram-LM family — the DuckDB replica of
+    * `TextAnalysis.lmScore` (string bigrams where the engine uses xxhash64
+    * keys — identical grouping absent a 64-bit collision; integer-ppm MLE
+    * rates), ending in `sc(doc_id, n_bigrams, sum_ppm, min_ppm)`. Docs
+    * with < 2 tokens are absent from `sc` — callers zero-fill via LEFT
+    * JOIN. `text_lm_score` dumps it; `text_ppl_buckets` adds the ntile
+    * split. */
+  private lazy val lmScoreCtes = s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> {'w1': tk[i], 'w2': tk[i+1]}), recursive := true)
+             FROM toks WHERE len(tk) >= 2),
+      c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+      rates AS (SELECT w1, w2,
+                  c2 * 1000000 // (sum(c2) OVER (PARTITION BY w1))::BIGINT AS ppm
+                FROM c2),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                    sum(ppm)::BIGINT AS sum_ppm, min(ppm)::BIGINT AS min_ppm
+             FROM bg JOIN rates USING (w1, w2) GROUP BY doc_id)"""
 
   private def langScoreSql(lang: String): String = {
     val words = TF.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -2030,17 +2119,7 @@ object SparkEntry {
     // (the repetitionReport invariance argument); all outputs are integer
     // ppm floors, so the compare is bit-exact
     "text_lm_score" -> s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-               i -> {'w1': tk[i], 'w2': tk[i+1]}), recursive := true)
-             FROM toks WHERE len(tk) >= 2),
-      c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
-      rates AS (SELECT w1, w2,
-                  c2 * 1000000 // (sum(c2) OVER (PARTITION BY w1))::BIGINT AS ppm
-                FROM c2),
-      sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                    sum(ppm)::BIGINT AS sum_ppm, min(ppm)::BIGINT AS min_ppm
-             FROM bg JOIN rates USING (w1, w2) GROUP BY doc_id)
+      WITH $lmScoreCtes
       SELECT d.doc_id,
              coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
              coalesce(sc.sum_ppm, 0)::BIGINT AS sum_ppm,
@@ -2049,6 +2128,47 @@ object SparkEntry {
              coalesce(sc.min_ppm, 0)::BIGINT AS min_ppm
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id""",
+    // CCNet head/middle/tail terciles on the lm chain: ntile's equal-tile
+    // split is SQL-standard (first n-mod-k tiles take the extra row) and
+    // the (avg_ppm DESC, doc_id ASC) order is total, so buckets are
+    // engine-exact
+    "text_ppl_buckets" -> s"""
+      WITH $lmScoreCtes,
+      scf AS (SELECT d.doc_id, d.lang,
+                     (CASE WHEN sc.n_bigrams IS NOT NULL
+                           THEN sc.sum_ppm // sc.n_bigrams
+                           ELSE 0 END)::BIGINT AS avg_ppm
+              FROM documents d LEFT JOIN sc USING (doc_id))
+      SELECT doc_id, lang, avg_ppm, bucket,
+             CASE WHEN bucket = 1 THEN 'head'
+                  WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS bucket_label
+      FROM (SELECT doc_id, lang, avg_ppm,
+                   (ntile(3) OVER (PARTITION BY lang
+                      ORDER BY avg_ppm DESC, doc_id ASC))::BIGINT AS bucket
+            FROM scf)
+      ORDER BY doc_id""",
+    // concat-and-chunk manifest: EOS-terminated token counts, the same
+    // prefix-sum layout as text_packing, one row per (doc, window) overlap
+    // segment — pure BIGINT interval arithmetic
+    "text_pack_manifest" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               (len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) + 1)::BIGINT AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        FROM t),
+      seg AS (
+        SELECT doc_id, n_tokens, off,
+               unnest(range(off // 512, (off + n_tokens - 1) // 512 + 1)) AS w
+        FROM c)
+      SELECT doc_id, w::BIGINT AS window_id,
+             (greatest(off, w * 512) - w * 512)::BIGINT AS win_tok_start,
+             (greatest(off, w * 512) - off)::BIGINT AS doc_tok_start,
+             (least(off + n_tokens, (w + 1) * 512) - greatest(off, w * 512))::BIGINT AS seg_len
+      FROM seg ORDER BY doc_id, window_id""",
     // classifier: per-distinct-token XXH64 → pmod bucket → literal weight
     // lookup, integer sums — the Spark pipeline replayed bit-exactly
     "text_classifier" -> {
@@ -2167,27 +2287,29 @@ object SparkEntry {
     // repetition caps (dup_ppm <= 120000, top_ppm <= 60000), repetition
     // computed over the kept set only (per-doc signals — order-invariant)
     "text_gopher_filter" -> s"""
-      WITH $qualityKeptCtes,
-      ktoks AS MATERIALIZED (
-        SELECT doc_id, $sqlToks AS tk FROM documents JOIN kept USING (doc_id)),
-      ng AS (
-        SELECT doc_id,
-               list_transform(range(1, greatest(len(tk), 1)),
-                 i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS gs
-        FROM ktoks),
-      occ AS (SELECT doc_id, unnest(gs) AS g FROM ng),
-      gcnt AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2),
-      ragg AS (
-        SELECT doc_id, sum(cnt)::BIGINT AS total,
-               coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0)::BIGINT AS dup,
-               max(cnt)::BIGINT AS top
-        FROM gcnt GROUP BY 1),
-      bad AS (
-        SELECT doc_id FROM ragg
-        WHERE dup * 1000000 // total > 120000 OR top * 1000000 // total > 60000)
-      SELECT doc_id, lang, source FROM kept
-      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      WITH $gopherKeptCtes
+      SELECT doc_id, lang, source FROM gkept
       ORDER BY doc_id""",
+    // the composed pipeline: Gopher survivors → normalized-text dedup
+    // (min-id survivor, grouped on the normalized STRING where the engine
+    // groups on md5 of it — identical partitioning absent a collision) →
+    // per-source cap ranked (n_chars DESC, doc_id ASC) over survivors
+    "curation_pipeline" -> s"""
+      WITH $gopherKeptCtes,
+      gdocs AS MATERIALIZED (
+        SELECT d.doc_id, g.lang, g.source, d.n_chars, d.text
+        FROM documents d JOIN gkept g USING (doc_id)),
+      nsurv AS (
+        SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+        FROM gdocs
+        GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))),
+      capped AS (
+        SELECT g.doc_id, g.lang, g.source, s.n_copies,
+               (row_number() OVER (PARTITION BY g.source
+                  ORDER BY g.n_chars DESC, g.doc_id ASC))::BIGINT AS group_rank
+        FROM gdocs g JOIN nsurv s USING (doc_id))
+      SELECT doc_id, lang, source, n_copies, group_rank
+      FROM capped WHERE group_rank <= 25 ORDER BY doc_id""",
     "dedup_ngram_survivors" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh AS (

@@ -275,6 +275,55 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Context-window packing manifest — the loader-facing output of GPT-style
+    * pretraining packing: documents in `idCol` order are laid out
+    * back-to-back in token space, each followed by ONE end-of-document
+    * sentinel token, and the stream is cut into fixed `seqLen` training
+    * windows; documents may span window boundaries (no padding, no
+    * discarded tokens — the concat-and-chunk regime, vs [[packingOffsets]]'s
+    * per-document chunk RANGE report and the FFD bin packing that never
+    * splits). Emits one row per (document, window) overlap segment:
+    *
+    *   - `window_id`      — the training window the segment lands in
+    *   - `win_tok_start`  — the segment's first slot within the window
+    *   - `doc_tok_start`  — the segment's first token within the document
+    *                        (the EOS sentinel is the doc's last position)
+    *   - `seg_len`        — tokens in the segment (>= 1)
+    *
+    * Per window, segments tile `[0, seqLen)` exactly (the last window may
+    * be shorter); per document they tile `[0, n_tokens)` — so the manifest
+    * is directly executable by a shard writer: slice each doc's token ids
+    * at (`doc_tok_start`, `seg_len`) and place at (`window_id`,
+    * `win_tok_start`). All arithmetic on exact BIGINT offsets.
+    *
+    * Scale shape: the global offsets come from the same two-pass
+    * distributed prefix sum as [[packingOffsets]] (no single-task global
+    * window); the window explode is narrow — each document emits
+    * `ceil`-bounded segments with no shuffle after the prefix sum. */
+  def packManifest(df: DataFrame, idCol: String, textCol: String,
+                   seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    // n_tokens counts the EOS sentinel, so every document occupies >= 1 slot
+    // and the window span below is never empty
+    val (offs, persisted) = withPrefixOffsets(
+      df, idCol, TF.bpeishTokenCount(col(textCol)) + lit(1L), "n_tokens")
+    try {
+      val wStart = col("window_id") * seqLen
+      val segStart = greatest(col("offset"), wStart)
+      graft.util.Materialize.cut(
+        offs
+          .select(col(idCol), col("n_tokens"), col("offset"),
+            explode(sequence(
+              expr(s"offset DIV $seqLen"),
+              expr(s"(offset + n_tokens - 1) DIV $seqLen"))).as("window_id"))
+          .select(col(idCol), col("window_id"),
+            (segStart - wStart).as("win_tok_start"),
+            (segStart - col("offset")).as("doc_tok_start"),
+            (least(col("offset") + col("n_tokens"), wStart + seqLen) - segStart)
+              .as("seg_len")))
+    } finally { persisted.unpersist(); () }
+  }
+
   /** Per-document top-k salient terms by tf-idf. The idf here is the
     * non-log variant `N / df` (a documented tf-idf family member): every
     * arithmetic step (integer-valued doubles under 2^53, one division) is
@@ -418,6 +467,47 @@ object TextAnalysis {
       bg.unpersist(); toks.unpersist()
       res
     } else out
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): documents
+    * are ranked WITHIN each group (CCNet buckets per language — `groupCol`)
+    * by corpus-fit and split into `buckets` equal tiles; bucket 1 ("head")
+    * holds the best-fitting documents, the last ("tail") the worst. CCNet
+    * keeps head+middle for training and drops the tail — downstream that is
+    * one narrow `bucket_label != 'tail'` filter on this output.
+    *
+    * The fit signal is [[lmScore]]'s integer avg-ppm (descending — high
+    * mean transition rate = most corpus-like), not log-perplexity: `log` is
+    * not correctly-rounded across engines, while the ppm ranking with
+    * `(avg_ppm DESC, id ASC)` is a total order both engines reproduce, so
+    * `ntile` (SQL-standard equal-tile split: the first `n mod buckets`
+    * tiles get the extra row) assigns bit-identical buckets.
+    *
+    * Scale shape: the scoring pipeline is [[lmScore]]'s (slim hashed-bigram
+    * shuffles); bucketing adds one id-equi-join against the score table and
+    * one sort-window partitioned BY GROUP — the per-language sort CCNet
+    * itself runs, parallel across groups. A corpus dominated by one giant
+    * group serializes that group's sort into one task chain; at that
+    * extreme, cut buckets with sampled/approx rank thresholds and a narrow
+    * comparison filter instead of an exact global tile split (the
+    * [[lengthDistributionApprox]] sketch pattern) — exact tiles are the
+    * right default everywhere the group count exceeds the cluster's
+    * parallelism deficit. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, buckets: Int = 3,
+                        materialize: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val scored = lmScore(df, idCol, textCol, materialize)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("avg_ppm").desc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol))
+      .join(scored.select(col(idCol), col("avg_ppm")), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1L, "head")
+          .when(col("bucket") === buckets.toLong, "tail")
+          .otherwise("middle"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS

@@ -183,6 +183,19 @@ object Smoke {
       .groupBy("cluster").count().show()
     TextAnalysis.winnowFingerprints(docs, "doc_id", "text").show(3)
     Dedup.winnowOverlapPairs(docs, "doc_id", "text", minShared = 1L).show(3)
+    TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .groupBy("bucket_label").count().show()
+    TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L).show(3)
+    locally { // the composed curation pipeline: gopher → normalized dedup → cap
+      val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
+      val surv = Dedup.normalizedSurvivors(kept, "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"))
+      graft.operators.Sampling.capPerGroup(kept.join(surv, Seq("doc_id")),
+          "source", 25, Seq(col("n_chars").desc, col("doc_id").asc))
+        .groupBy("source").count().show(3)
+    }
     lap("round6-ops")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -421,6 +421,114 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("perplexityBuckets: equal tiles per group, rank-consistent labels") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang",
+        buckets = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("avg_ppm"), r.getAs[Long]("bucket"),
+        r.getAs[String]("bucket_label")))
+    assert(out.length == docs.count(), "every document must be bucketed")
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      // ntile contract: tile sizes differ by <= 1 and the first (n mod k)
+      // tiles carry the extra row
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      val n = rows.length
+      (1L to 3L).foreach { b =>
+        val expected = n / 3 + (if (b <= n % 3) 1 else 0)
+        assert(sizes.getOrElse(b, 0) == expected,
+          s"$lang bucket $b: ${sizes.getOrElse(b, 0)} != $expected")
+      }
+      // buckets are contiguous ranges of the (avg_ppm DESC, id ASC) order:
+      // a better-fit bucket's worst score never drops below the next one's best
+      (1L to 2L).foreach { b =>
+        val cur = rows.filter(_._4 == b).map(_._3)
+        val next = rows.filter(_._4 == b + 1).map(_._3)
+        if (cur.nonEmpty && next.nonEmpty)
+          assert(cur.min >= next.max, s"$lang bucket $b not rank-contiguous")
+      }
+      rows.foreach { case (_, _, _, b, label) =>
+        val want = if (b == 1L) "head" else if (b == 3L) "tail" else "middle"
+        assert(label == want, s"bucket $b labeled $label")
+      }
+    }
+  }
+
+  test("packManifest: segments tile windows and documents exactly") {
+    import graft.operators.TextAnalysis
+    // hand case first: seqLen 3, EOS-inclusive sizes 4 and 3
+    val small = spark.createDataFrame(Seq((1L, "a b c"), (2L, "d e")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packManifest(small, "doc_id", "text", seqLen = 3L)
+      .orderBy("doc_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 3L), (1L, 1L, 0L, 3L, 1L),
+      (2L, 1L, 1L, 0L, 2L), (2L, 2L, 0L, 2L, 1L)), got.toString)
+
+    // corpus-level tiling invariants at seqLen 512
+    val segs = TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("window_id"),
+        r.getAs[Long]("win_tok_start"), r.getAs[Long]("doc_tok_start"),
+        r.getAs[Long]("seg_len")))
+    segs.foreach { case (_, _, ws, ds, len) =>
+      assert(len >= 1 && ws >= 0 && ds >= 0)
+    }
+    // per document: segments tile [0, n_tokens_with_eos) contiguously
+    val bpe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r
+    val localN = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (bpe.findAllIn(r.getString(1)).length + 1L)).toMap
+    segs.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._5).sum == localN(id), s"doc $id segment sum")
+      sorted.foldLeft(0L) { case (expect, (_, _, _, ds, len)) =>
+        assert(ds == expect, s"doc $id segment gap at $ds"); ds + len
+      }
+    }
+    // per window: segments tile [0, seqLen) exactly (last window may be short)
+    val lastWindow = segs.map(_._2).max
+    segs.groupBy(_._2).foreach { case (w, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"window $w doesn't start at slot 0")
+      sorted.foldLeft(0L) { case (expect, (_, _, ws, _, len)) =>
+        assert(ws == expect, s"window $w slot gap at $ws"); ws + len
+      }
+      if (w != lastWindow)
+        assert(sorted.map(_._5).sum == 512L, s"window $w not full")
+    }
+    // global conservation: every EOS-terminated token placed exactly once
+    assert(segs.map(_._5).sum == localN.values.sum)
+  }
+
+  test("curation pipeline composition: filter ⊆, dedup distinct, cap bound") {
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text",
+      minScore = 450L, langs = Seq("en", "fr"),
+      maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val surv = Dedup.normalizedSurvivors(kept, "doc_id", "text")
+      .select(col("doc_id"), col("n_copies"))
+    val out = Sampling.capPerGroup(kept.join(surv, Seq("doc_id")), "source",
+        maxPerGroup = 25,
+        order = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.nonEmpty, "pipeline must keep something on the spec corpus")
+    assert(out.forall(r => keptIds.contains(r._1)),
+      "cap/dedup must never resurrect a filtered doc")
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= 25, s"source $src over cap: ${rows.length}")
+    }
+    // survivors carry pairwise-distinct normalized text
+    val outIds = out.map(_._1).toSet
+    val norms = docs.where(col("doc_id").isin(outIds.toSeq: _*))
+      .select(graft.functions.TextFunctions.normText(col("text")))
+      .collect().map(_.getString(0))
+    assert(norms.distinct.length == norms.length,
+      "two pipeline survivors share normalized text")
+  }
+
   test("incrementalSurvivors: existing always wins; keep-first within batch") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val other = (1 to 40).map(i => s"alt$i").mkString(" ")
