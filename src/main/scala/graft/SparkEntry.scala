@@ -754,22 +754,13 @@ object SparkEntry {
     * Every stage is individually gate-verified; this row verifies the
     * COMPOSITION (stage ordering, column threading, survivor semantics)
     * bit-exactly against the same stages stacked in SQL. */
-  private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text",
-      minScore = 450L, langs = Seq("en", "fr"),
-      maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
-    // survivor ids (+ how many copies each absorbed) among the kept set;
-    // the join back is an id-equi-join — the shuffle carries ids and the
-    // slim survivor table, never document bodies
-    val surv = Dedup.normalizedSurvivors(kept, "doc_id", "text")
-      .select(col("doc_id"), col("n_copies"))
-    val deduped = kept.join(surv, Seq("doc_id"))
-    graft.operators.Sampling.capPerGroup(deduped, "source", maxPerGroup = 25,
-        order = Seq(col("n_chars").desc, col("doc_id").asc))
+  private def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curationPipeline(t(s, dir, "documents"), "doc_id", "text",
+        groupCol = "source", sizeCol = "n_chars",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, maxPerGroup = 25)
       .select("doc_id", "lang", "source", "n_copies", "group_rank")
       .orderBy("doc_id")
-  }
 
   /** Hashed linear classifier scoring with the fixed deterministic weight
     * vector — the oracle replays the XXH64 bucketing and the same literal
@@ -2153,7 +2144,7 @@ object SparkEntry {
     "text_pack_manifest" -> s"""
       WITH t AS (
         SELECT doc_id,
-               (len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) + 1)::BIGINT AS n_tokens
+               (len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) + 1)::BIGINT AS n_tokens
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,

@@ -71,6 +71,39 @@ object TextAnalysis {
     df.join(goodIds, Seq(idCol), "left_semi")
   }
 
+  /** The end-to-end curation pipeline a training-data run actually
+    * executes, as one composed operator: [[gopherFilter]] (quality/language
+    * predicate + repetition caps) → normalized exact dedup (min-id survivor
+    * among the kept set, via [[Dedup.normalizedSurvivors]]) → per-group
+    * diversity cap ([[Sampling.capPerGroup]], preferring large `sizeCol`).
+    * Output: the filtered set annotated with each survivor's absorbed
+    * `n_copies` and its `group_rank` within `groupCol`.
+    *
+    * The gopher survivor frame feeds BOTH the dedup reduction and the join
+    * back (different exchange subtrees — ReuseExchange cannot dedup them),
+    * so it persists behind a barrier: the corpus scan and the quality
+    * predicate run once, not twice. The survivor join itself carries ids
+    * and slim counts, never document bodies. */
+  def curationPipeline(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, sizeCol: String,
+                       minScore: Long, langs: Seq[String],
+                       maxDupPpm: Long, maxTopPpm: Long,
+                       maxPerGroup: Int, ns: Seq[Int] = Seq(2),
+                       materialize: Boolean = true): DataFrame = {
+    val keptBase = gopherFilter(df, idCol, textCol, minScore, langs,
+      maxDupPpm, maxTopPpm, ns)
+    val kept = if (materialize) keptBase.persist() else keptBase
+    val surv = Dedup.normalizedSurvivors(kept, idCol, textCol)
+      .select(col(idCol), col("n_copies"))
+    val out = Sampling.capPerGroup(kept.join(surv, Seq(idCol)), groupCol,
+      maxPerGroup, order = Seq(col(sizeCol).desc, col(idCol).asc))
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      kept.unpersist()
+      res
+    } else out
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1): per
     * document and n-gram size, the fraction of n-gram OCCURRENCES belonging
     * to an n-gram that appears more than once in the doc (`dup_ppm`) and
@@ -304,9 +337,12 @@ object TextAnalysis {
                    seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     // n_tokens counts the EOS sentinel, so every document occupies >= 1 slot
-    // and the window span below is never empty
+    // and the window span below is never empty; NULL text packs like empty
+    // text (one EOS slot) — unguarded, size(null) would poison the count
     val (offs, persisted) = withPrefixOffsets(
-      df, idCol, TF.bpeishTokenCount(col(textCol)) + lit(1L), "n_tokens")
+      df, idCol,
+      TF.bpeishTokenCount(coalesce(col(textCol), lit(""))) + lit(1L),
+      "n_tokens")
     try {
       val wStart = col("window_id") * seqLen
       val segStart = greatest(col("offset"), wStart)

@@ -186,16 +186,12 @@ object Smoke {
     TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
       .groupBy("bucket_label").count().show()
     TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L).show(3)
-    locally { // the composed curation pipeline: gopher → normalized dedup → cap
-      val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text",
+    // the composed curation pipeline: gopher → normalized dedup → cap
+    TextAnalysis.curationPipeline(docs, "doc_id", "text",
+        groupCol = "source", sizeCol = "n_chars",
         minScore = 450L, langs = Seq("en", "fr"),
-        maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
-      val surv = Dedup.normalizedSurvivors(kept, "doc_id", "text")
-        .select(col("doc_id"), col("n_copies"))
-      graft.operators.Sampling.capPerGroup(kept.join(surv, Seq("doc_id")),
-          "source", 25, Seq(col("n_chars").desc, col("doc_id").asc))
-        .groupBy("source").count().show(3)
-    }
+        maxDupPpm = 120000L, maxTopPpm = 60000L, maxPerGroup = 25)
+      .groupBy("source").count().show(3)
     lap("round6-ops")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -456,8 +456,10 @@ class TextFunctionsSpec extends SparkSpec {
 
   test("packManifest: segments tile windows and documents exactly") {
     import graft.operators.TextAnalysis
-    // hand case first: seqLen 3, EOS-inclusive sizes 4 and 3
-    val small = spark.createDataFrame(Seq((1L, "a b c"), (2L, "d e")))
+    // hand case first: seqLen 3, EOS-inclusive sizes 4, 3, and 1 (a NULL
+    // text packs like empty text — exactly one EOS slot, never dropped)
+    val small = spark.createDataFrame(Seq(
+        (1L, "a b c"), (2L, "d e"), (3L, null.asInstanceOf[String])))
       .toDF("doc_id", "text")
     val got = TextAnalysis.packManifest(small, "doc_id", "text", seqLen = 3L)
       .orderBy("doc_id", "window_id").collect()
@@ -465,7 +467,8 @@ class TextFunctionsSpec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(got == Seq(
       (1L, 0L, 0L, 0L, 3L), (1L, 1L, 0L, 3L, 1L),
-      (2L, 1L, 1L, 0L, 2L), (2L, 2L, 0L, 2L, 1L)), got.toString)
+      (2L, 1L, 1L, 0L, 2L), (2L, 2L, 0L, 2L, 1L),
+      (3L, 2L, 1L, 0L, 1L)), got.toString)
 
     // corpus-level tiling invariants at seqLen 512
     val segs = TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L)
@@ -502,16 +505,17 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("curation pipeline composition: filter ⊆, dedup distinct, cap bound") {
-    import graft.operators.{Dedup, Sampling, TextAnalysis}
-    val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text",
-      minScore = 450L, langs = Seq("en", "fr"),
-      maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
-    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
-    val surv = Dedup.normalizedSurvivors(kept, "doc_id", "text")
-      .select(col("doc_id"), col("n_copies"))
-    val out = Sampling.capPerGroup(kept.join(surv, Seq("doc_id")), "source",
-        maxPerGroup = 25,
-        order = Seq(col("n_chars").desc, col("doc_id").asc))
+    import graft.operators.TextAnalysis
+    // the pipeline under test is a black box; the kept set it must stay
+    // inside is recomputed by an INDEPENDENT gopherFilter execution
+    val keptIds = TextAnalysis.gopherFilter(docs, "doc_id", "text",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, ns = Seq(2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = TextAnalysis.curationPipeline(docs, "doc_id", "text",
+        groupCol = "source", sizeCol = "n_chars",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, maxPerGroup = 25)
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(out.nonEmpty, "pipeline must keep something on the spec corpus")
