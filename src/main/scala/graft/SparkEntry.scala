@@ -770,6 +770,19 @@ object SparkEntry {
         TextAnalysis.fixedClassifierWeights(64), bias = 5L)
       .orderBy("doc_id")
 
+  /** Bloom-prefiltered corpus-side decontamination: the sketch only cuts
+    * pre-shuffle volume (no false negatives; false positives die in the
+    * exact semi-join), so the oracle is the plain exact overlap with the
+    * roles of text_contamination transposed. */
+  private def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.decontaminateReport(
+        docs.where(col("doc_id") >= 20), "doc_id", "text",
+        docs.where(col("doc_id") < 20), "text", shingleN = 3,
+        estimatedBenchShingles = 20000L, numBits = 160000L)
+      .orderBy("doc_id")
+  }
+
   private val textTopKQuery =
     "table scan fast key value row batch window join query"
 
@@ -1170,6 +1183,7 @@ object SparkEntry {
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_ppl_buckets"    -> textPplBuckets _,
+    "text_decontaminate"  -> textDecontaminate _,
     "text_pack_manifest"  -> textPackManifest _,
     "curation_pipeline"   -> curationPipeline _,
     "sim_kmeans"          -> simKmeans _,
@@ -2203,6 +2217,25 @@ object SparkEntry {
              coalesce(hit.n_hits, 0)::DOUBLE / t.n_shingles AS contamination
       FROM tot t LEFT JOIN hit ON t.bench_id = hit.bench_id
       ORDER BY t.bench_id""",
+    // corpus-side decontamination: exact overlap counts (the engine's bloom
+    // prefilter provably cannot change the result, so it isn't modeled)
+    "text_decontaminate" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 20),
+      corp AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 20),
+      tot AS (SELECT doc_id, len(hs)::BIGINT AS n_shingles FROM sh WHERE doc_id >= 20),
+      hit AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM corp
+              WHERE h IN (SELECT h FROM bench) GROUP BY 1)
+      SELECT t.doc_id, t.n_shingles, coalesce(hit.n_hits, 0)::BIGINT AS n_hits,
+             coalesce(hit.n_hits, 0) > 0 AS contaminated
+      FROM tot t LEFT JOIN hit USING (doc_id)
+      ORDER BY t.doc_id""",
     // vocab = top-1000 tokens by (count desc, token asc) — a deterministic
     // total order both engines can reproduce; OOV encodes as 1000 (<unk>)
     "text_token_ids" -> s"""

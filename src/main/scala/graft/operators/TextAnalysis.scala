@@ -237,6 +237,95 @@ object TextAnalysis {
         col("n_hits").cast("double") / col("n_shingles"))
   }
 
+  /** Distributed Bloom-filter build over a column of 64-bit hashes:
+    * Spark's `BloomFilterAggregate` OR-merges per-partition sketches
+    * map-side, so the driver receives ONE `numBits/8`-byte array however
+    * large the input — the build side of a hand-applied runtime filter
+    * (the same machinery Spark's `InjectRuntimeFilter` uses for join
+    * pruning, reached through the catalyst bridge because the SQL surface
+    * keeps `bloom_filter_agg` internal). Returns None on empty input. */
+  def shingleBloom(df: DataFrame, hashCol: String,
+                   estimatedItems: Long, numBits: Long): Option[Array[Byte]] = {
+    require(estimatedItems > 0 && numBits > 0,
+      s"bloom sizing must be positive, got items=$estimatedItems bits=$numBits")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(expression(col(hashCol)),
+      Literal(estimatedItems), Literal(numBits))
+    Option(df.agg(column(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0))
+  }
+
+  /** Membership probe against a [[shingleBloom]] sketch embedded as a plan
+    * constant — a narrow codegen'd predicate with NO false negatives (a
+    * true member always passes); false positives are bounded by the sketch
+    * sizing and must be eliminated downstream by an exact join. */
+  def bloomMightContain(bloom: Array[Byte],
+                        hash: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(Literal(bloom, BinaryType), expression(hash)))
+  }
+
+  /** Corpus-side decontamination report — the transpose of
+    * [[contamination]] (per CORPUS doc: how many of its distinct shingles
+    * appear in the benchmark/clean-room set), for the scale regime where
+    * the clean-room set is itself too large to broadcast (Brown et al.
+    * 2020 appendix C runs exactly this n-gram overlap scrub corpus-side).
+    *
+    * Scale shape: with a non-broadcastable bench set, the exact hit check
+    * is an equi-join that shuffles the FULL corpus shingle stream — at
+    * 100 TB almost all of it clean. The fix is the runtime-filter shape
+    * hand-applied: [[shingleBloom]] builds a fixed-size sketch over the
+    * bench hashes (map-side OR-merge, `numBits/8` bytes at the driver
+    * regardless of input size), and a narrow [[bloomMightContain]]
+    * pre-filter drops ~all clean shingles BEFORE the shuffle, letting only
+    * true hits plus the fpp noise floor reach the exact LEFT SEMI join.
+    * The output is EXACT: no false negatives exist, and every false
+    * positive is eliminated by the join — the sketch only cuts shuffle
+    * volume. The corpus shingle frame persists behind a barrier (it feeds
+    * the per-doc totals AND the probe explode — two consumers), carrying
+    * `(id, hash array)` only; document bodies never move.
+    *
+    * Output per corpus doc: `n_shingles`, `n_hits` (distinct shingles
+    * shared with the bench set), and the `contaminated` flag; dropping
+    * flagged docs downstream is one narrow filter. */
+  def decontaminateReport(corpus: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, benchText: String,
+                          shingleN: Int = 3,
+                          estimatedBenchShingles: Long = 1000000L,
+                          numBits: Long = 8000000L,
+                          materialize: Boolean = true): DataFrame = {
+    val benchShBase = benchmark
+      .select(explode(TF.shingleHashes(col(benchText), shingleN)).as("h"))
+      .distinct()
+    val benchSh = if (materialize) benchShBase.persist() else benchShBase
+    val shBase = corpus.select(col(idCol),
+      TF.shingleHashes(col(textCol), shingleN).as("hs"))
+    val sh = if (materialize) shBase.persist() else shBase
+    val totals = sh.select(col(idCol), size(col("hs")).cast("long").as("n_shingles"))
+    val out = shingleBloom(benchSh, "h", estimatedBenchShingles, numBits) match {
+      case None => // empty bench set: nothing can be contaminated
+        totals.withColumn("n_hits", lit(0L))
+          .withColumn("contaminated", lit(false))
+      case Some(bloom) =>
+        val hits = sh.select(col(idCol), explode(col("hs")).as("h"))
+          .where(bloomMightContain(bloom, col("h")))
+          .join(benchSh, Seq("h"), "left_semi")
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+        totals.join(hits, Seq(idCol), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .withColumn("contaminated", col("n_hits") > 0L)
+    }
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      sh.unpersist(); benchSh.unpersist()
+      res
+    } else out
+  }
+
   /** PII redaction: replace email addresses, IPv4 addresses, and
     * international-format phone numbers with typed placeholder tokens.
     * Pure narrow projection — scan-bound, codegen'd regexes. Patterns are

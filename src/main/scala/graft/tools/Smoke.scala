@@ -186,6 +186,11 @@ object Smoke {
     TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
       .groupBy("bucket_label").count().show()
     TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L).show(3)
+    TextAnalysis.decontaminateReport(
+        docs.where(col("doc_id") >= 20), "doc_id", "text",
+        docs.where(col("doc_id") < 20), "text",
+        estimatedBenchShingles = 20000L, numBits = 160000L)
+      .groupBy("contaminated").count().show()
     // the composed curation pipeline: gopher → normalized dedup → cap
     TextAnalysis.curationPipeline(docs, "doc_id", "text",
         groupCol = "source", sizeCol = "n_chars",

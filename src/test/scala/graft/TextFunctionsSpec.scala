@@ -533,6 +533,51 @@ class TextFunctionsSpec extends SparkSpec {
       "two pipeline survivors share normalized text")
   }
 
+  test("decontaminateReport: bloom prefilter exact vs driver reference; prunes clean shingles") {
+    import graft.operators.TextAnalysis
+    import graft.functions.{TextFunctions => TF}
+    val bench = docs.where(col("doc_id") < 20)
+    // plant one guaranteed-contaminated doc: a verbatim copy of a bench doc
+    val planted = bench.limit(1)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") >= 20)
+      .select("doc_id", "text").union(planted)
+    val out = TextAnalysis.decontaminateReport(corpus, "doc_id", "text",
+        bench, "text", shingleN = 3,
+        estimatedBenchShingles = 20000L, numBits = 160000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hits"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    // independent exact reference: shingle sets intersected driver-side
+    val bset = bench.select(explode(TF.shingleHashes(col("text"), 3)).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    val chs = corpus.select(col("doc_id"),
+        TF.shingleHashes(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(out.size == chs.length, "one report row per corpus doc")
+    chs.foreach { case (id, hs) =>
+      val hits = hs.count(bset.contains).toLong
+      assert(out(id) == ((hs.length.toLong, hits, hits > 0L)), s"doc $id")
+    }
+    val plantedId = planted.head.getLong(0)
+    assert(out(plantedId)._3 && out(plantedId)._2 == out(plantedId)._1,
+      "the planted bench copy must report full contamination")
+    // the sketch's perf contract: no false negatives (bench shingles all
+    // pass) and clean shingles mostly pruned (fpp-bounded, 8 bits/element)
+    val bloom = TextAnalysis.shingleBloom(
+      bench.select(explode(TF.shingleHashes(col("text"), 3)).as("h")).distinct(),
+      "h", 20000L, 160000L).get
+    val cleanHashes = chs.flatMap(_._2).distinct.filterNot(bset.contains)
+    val probe = spark.createDataFrame(
+        cleanHashes.map(Tuple1(_)).toSeq :+ Tuple1(bset.head)).toDF("h")
+    val passed = probe
+      .where(TextAnalysis.bloomMightContain(bloom, col("h")))
+      .collect().map(_.getLong(0)).toSet
+    assert(passed.contains(bset.head), "bloom must never reject a member")
+    val fpRate = cleanHashes.count(passed.contains).toDouble / cleanHashes.length
+    assert(fpRate < 0.10, f"bloom should prune clean shingles, fp rate $fpRate%.3f")
+  }
+
   test("incrementalSurvivors: existing always wins; keep-first within batch") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val other = (1 to 40).map(i => s"alt$i").mkString(" ")
