@@ -770,6 +770,24 @@ object SparkEntry {
         TextAnalysis.fixedClassifierWeights(64), bias = 5L)
       .orderBy("doc_id")
 
+  /** Z-order clustered layout + 2-D box query: events are materialized
+    * sorted along the Morton curve of (user bucket, value bucket), then a
+    * query boxed on BOTH dimensions runs over the layout — each output
+    * file covers a compact rectangle, so its parquet min/max stats skip
+    * everything outside the box (multi-dim data skipping; the oracle
+    * replays the identical shift/mask interleave arithmetic). */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val tag = layoutTag(dir)
+    val ev = t(s, dir, "events").select(col("event_id"),
+      pmod(col("user_id"), lit(4096L)).as("zx"),
+      pmod(floor(col("value") * 100).cast("long"), lit(4096L)).as("zy"))
+    val laid = graft.operators.Relational.zorderMaterialize(ev, "zx", "zy",
+      s"/tmp/graft_zorder_$tag/events", files = 8)
+    laid.where(col("zx").between(0L, 1023L) && col("zy").between(0L, 1023L))
+      .select("event_id", "zx", "zy", "zval")
+      .orderBy("event_id")
+  }
+
   /** Bloom-prefiltered corpus-side decontamination: the sketch only cuts
     * pre-shuffle volume (no false negatives; false positives die in the
     * exact semi-join), so the oracle is the plain exact overlap with the
@@ -1184,6 +1202,7 @@ object SparkEntry {
     "text_lm_score"       -> textLmScore _,
     "text_ppl_buckets"    -> textPplBuckets _,
     "text_decontaminate"  -> textDecontaminate _,
+    "q_zorder_layout"     -> qZorderLayout _,
     "text_pack_manifest"  -> textPackManifest _,
     "curation_pipeline"   -> curationPipeline _,
     "sim_kmeans"          -> simKmeans _,
@@ -1578,6 +1597,20 @@ object SparkEntry {
       gkept AS (
         SELECT doc_id, lang, source FROM kept
         WHERE doc_id NOT IN (SELECT doc_id FROM bad))"""
+
+  /** DuckDB replica of `Relational.part1by1` — the identical magic-mask
+    * shift ladder in integer SQL (masks as decimal literals). */
+  private def sqlPart1by1(e: String): String = {
+    val a = s"(($e) & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val c = s"(($b | ($b << 4)) & 252645135)"
+    val d = s"(($c | ($c << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
+  }
+
+  /** DuckDB replica of `Relational.zorderValue` (2-D Morton interleave). */
+  private def sqlZorder(x: String, y: String): String =
+    s"(${sqlPart1by1(x)} | (${sqlPart1by1(y)} << 1))"
 
   /** Shared CTE chain for the bigram-LM family — the DuckDB replica of
     * `TextAnalysis.lmScore` (string bigrams where the engine uses xxhash64
@@ -2217,6 +2250,18 @@ object SparkEntry {
              coalesce(hit.n_hits, 0)::DOUBLE / t.n_shingles AS contamination
       FROM tot t LEFT JOIN hit ON t.bench_id = hit.bench_id
       ORDER BY t.bench_id""",
+    // z-order layout: the materialized-file clustering cannot change WHICH
+    // rows a box query returns, so the oracle replays the quantization +
+    // interleave arithmetic and the box predicate directly
+    "q_zorder_layout" -> s"""
+      WITH q AS (
+        SELECT event_id,
+               ((user_id % 4096) + 4096) % 4096 AS zx,
+               (((floor(value * 100)::BIGINT) % 4096) + 4096) % 4096 AS zy
+        FROM events)
+      SELECT event_id, zx, zy, ${sqlZorder("zx", "zy")} AS zval
+      FROM q WHERE zx BETWEEN 0 AND 1023 AND zy BETWEEN 0 AND 1023
+      ORDER BY event_id""",
     // corpus-side decontamination: exact overlap counts (the engine's bloom
     // prefilter provably cannot change the result, so it isn't modeled)
     "text_decontaminate" -> s"""

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,6 +175,50 @@ object Relational {
       .option("path", path)
       .saveAsTable(table)
     spark.table(table)
+  }
+
+  /** 16-bit Morton spread — insert a zero bit between each of the low 16
+    * bits via the classic magic-mask ladder. Pure builtin bitwise
+    * expressions: whole-stage codegen compiles it to five shift/mask ops,
+    * and the DuckDB oracle replays the identical integer arithmetic. */
+  private def part1by1(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Z-order (Morton) curve value over the low 16 bits of two
+    * non-negative integer columns: bit-interleaved so that sorting by the
+    * result clusters rows that are close in BOTH dimensions. */
+  def zorderValue(x: Column, y: Column): Column =
+    part1by1(x).bitwiseOR(shiftleft(part1by1(y), 1))
+
+  /** Z-order clustered layout — the third leg of storage design next to
+    * [[partitionMaterialize]] (directory pruning on ONE low-cardinality
+    * key) and [[bucketMaterialize]] (join co-location on ONE distribution
+    * key): rows are sorted along the 2-D Morton curve of `(xCol, yCol)`
+    * and range-partitioned into `files` output files, so each file covers
+    * a compact rectangle of the (x, y) space and its parquet column
+    * min/max footer stats become tight 2-D bounding boxes. A query boxed
+    * on BOTH dimensions then skips the row groups/files whose stats miss
+    * the box — multi-dimensional data skipping where a single-column sort
+    * only helps its leading dimension (the OPTIMIZE ZORDER BY layout of
+    * the lakehouse engines, expressed as plain sort arithmetic).
+    *
+    * Scale shape: one range repartition + within-partition sort — the
+    * same one-off ingest cost as bucketing, amortized over every
+    * subsequent boxed scan. The curve value is five shift/mask ops per
+    * row, codegen'd; no shuffle beyond the layout write itself. */
+  def zorderMaterialize(df: DataFrame, xCol: String, yCol: String,
+                        path: String, files: Int): DataFrame = {
+    require(files > 0, s"files must be positive, got $files")
+    df.withColumn("zval", zorderValue(col(xCol), col(yCol)))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
   }
 
   def bucketMaterialize(df: DataFrame, table: String, key: String,

@@ -250,4 +250,50 @@ class RelationalSpec extends SparkSpec {
     assert(salted.exceptAll(out).count() == 0 && out.exceptAll(salted).count() == 0,
       "salted as-of diverged from the unsalted result")
   }
+
+  test("zorder: interleave matches bit-loop reference; layout files form tight boxes") {
+    // exactness of the magic-mask ladder vs a driver-side bit loop
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val pts = spark.createDataFrame(
+        (0L until 600L).map(i => (i * 37L % 65536L, i * 91L % 65536L)))
+      .toDF("x", "y")
+    pts.select(col("x"), col("y"),
+        Relational.zorderValue(col("x"), col("y")).as("z"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)),
+          s"(${r.getLong(0)}, ${r.getLong(1)})")
+      }
+
+    // clustering quality: each z-ordered file's (zx, zy) bounding box must
+    // be far tighter than an id-sorted layout's (whose boxes span the whole
+    // plane) — this is exactly the property parquet min/max skipping uses
+    val ev = spark.read.parquet(sf("events")).select(col("event_id"),
+      pmod(col("user_id"), lit(4096L)).as("zx"),
+      pmod(floor(col("value") * 100).cast("long"), lit(4096L)).as("zy"))
+    def meanBoxArea(df: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = df.groupBy(input_file_name().as("f"))
+        .agg((max("zx") - min("zx") + 1L).as("w"),
+             (max("zy") - min("zy") + 1L).as("h"))
+        .collect().map(r => r.getLong(1).toDouble * r.getLong(2).toDouble)
+      boxes.sum / boxes.length
+    }
+    val laid = Relational.zorderMaterialize(ev, "zx", "zy",
+      "/tmp/graft_spec_zorder/z", files = 8)
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet("/tmp/graft_spec_zorder/naive")
+    val za = meanBoxArea(laid)
+    val na = meanBoxArea(spark.read.parquet("/tmp/graft_spec_zorder/naive"))
+    assert(za < na / 2.0,
+      f"z-order boxes should be tight: z=$za%.0f vs id-sorted=$na%.0f")
+  }
 }
