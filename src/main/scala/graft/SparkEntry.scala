@@ -973,6 +973,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The fuzzy-dedup pipeline production corpora actually run, end to end
+    * as ONE composed query: MinHash+LSH candidate pairs → transitive
+    * cluster labels (pointer-jumping connected components) → one min-id
+    * survivor per cluster with its absorbed count. The oracle stacks the
+    * XXH64-replica banding chain, the recursive-CTE closure, and the
+    * representative cut. */
+  private def dedupFuzzyPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 128, bands = 16, threshold = 0.4)
+    Dedup.clusterSurvivors(docs, pairs, "doc_id")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_members")
+      .orderBy("doc_id")
+  }
+
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("kind",
       when(col("doc_id") % 3 === 0, "image")
@@ -1232,6 +1248,7 @@ object SparkEntry {
         .orderBy("doc_id", "pos")),
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
     "dedup_clusters"      -> dedupClusters _,
+    "dedup_fuzzy_pipeline" -> dedupFuzzyPipeline _,
     "dedup_spans"         -> ((s, dir) =>
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
         .orderBy("doc_id", "start_tok")),
@@ -2498,6 +2515,34 @@ object SparkEntry {
         SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id)
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach
       GROUP BY id ORDER BY doc_id""",
+    // fuzzy-dedup pipeline: the minhash banding/agreement chain (XXH64
+    // replica, same skew guard) feeding the recursive transitive closure
+    // and the min-id representative cut — the full production composition
+    "dedup_fuzzy_pipeline" -> s"""
+      WITH RECURSIVE ${OracleXX.minhashBandCtes(numHashes = 128, bands = 16)},
+      prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sig AS siga, b.sig AS sigb
+              FROM bk a CROSS JOIN guard
+                   JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ag AS (SELECT id_a, id_b,
+               list_aggregate(list_transform(range(0, 128), j ->
+                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
+             FROM prs),
+      jp AS MATERIALIZED (
+        SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
+      cl AS MATERIALIZED (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      m AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM cl GROUP BY 1)
+      SELECT c.doc_id, d.lang, d.source, m.n_members
+      FROM cl c JOIN m USING (cluster_id) JOIN documents d USING (doc_id)
+      WHERE c.doc_id = c.cluster_id
+      ORDER BY c.doc_id""",
     "mm_decode" -> """
       WITH m AS (
         SELECT doc_id AS id,

@@ -408,6 +408,29 @@ object Dedup {
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Cluster-representative survivor cut over any near-dup pair graph —
+    * the final stage of production fuzzy dedup: label transitive clusters
+    * with [[connectedComponents]] (chains a~b, b~c collapse even when a,c
+    * never paired), keep each cluster's min-id representative, and report
+    * how many documents it absorbed. Unlike the pairwise [[survivors]]
+    * (which can drop BOTH endpoints of a chain's middle links), exactly
+    * one document survives per connected component — the semantics
+    * MinHash-based corpus dedup pipelines ship.
+    *
+    * Scale shape: the clustering is the O(log n)-round pointer-jumping
+    * propagation; this stage adds one count aggregate over the
+    * (id, cluster) label table and one filter+join over the same slim
+    * table — document bodies never move. */
+  def clusterSurvivors(df: DataFrame, pairs: DataFrame,
+                       idCol: String): DataFrame = {
+    val cl = connectedComponents(df, pairs, idCol)
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    cl.where(col(idCol) === col("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("n_members"))
+  }
+
   /** Exact substring-span dedup (the "dedup repeated n-token spans, not
     * whole documents" shape used for training corpora — boilerplate,
     * licenses, quoted passages): every token-position window of width `n`

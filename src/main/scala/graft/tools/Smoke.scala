@@ -186,6 +186,10 @@ object Smoke {
     TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
       .groupBy("bucket_label").count().show()
     TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L).show(3)
+    Dedup.clusterSurvivors(docs,
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 128, bands = 16, threshold = 0.4), "doc_id")
+      .agg(count(lit(1)).as("survivors"), sum("n_members").as("covered")).show()
     TextAnalysis.decontaminateReport(
         docs.where(col("doc_id") >= 20), "doc_id", "text",
         docs.where(col("doc_id") < 20), "text",

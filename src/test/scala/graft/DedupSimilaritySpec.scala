@@ -284,6 +284,19 @@ class DedupSimilaritySpec extends SparkSpec {
                          5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("clusterSurvivors: one min-id representative per component with absorbed counts") {
+    val docs = spark.range(1, 8).toDF("doc_id")
+    // components: {1,2,3} (chain), {5,6}, singletons 4,7 — note the
+    // pairwise `survivors` cut would keep only 1,4,7 here (5 dies as the
+    // larger member of (5,6), and so does chain-middle 2), while the
+    // cluster cut keeps exactly one doc PER COMPONENT
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (5L, 6L))).toDF("id_a", "id_b")
+    val out = Dedup.clusterSurvivors(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L))
+  }
+
   test("connected components: a 64-node chain converges within the round bound") {
     // worst case for plain label propagation (O(diameter) = 63 rounds);
     // pointer jumping must bring it inside the default 25-round budget
