@@ -235,6 +235,48 @@ class PlanSpec extends SparkSpec {
     } finally { persisted.unpersist(); () }
   }
 
+  test("text_ppl_buckets: the tile window is partitioned by group, never global") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.operators.TextAnalysis
+      .perplexityBuckets(docs, "doc_id", "text", "lang", buckets = 3,
+        materialize = false)
+      .queryExecution.sparkPlan.toString
+    // an empty partition spec would funnel the whole corpus through ONE
+    // sort task; CCNet's split is per-language and the plan must stay so
+    assert(p.contains("windowspecdefinition(lang"),
+      s"ntile window must partition by the group column:\n${p.take(800)}")
+  }
+
+  test("text_decontaminate: bloom prefilter filters below the exact semi-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val c = org.apache.spark.sql.functions.col _
+    val p = graft.operators.TextAnalysis.decontaminateReport(
+        docs.where(c("doc_id") >= 20), "doc_id", "text",
+        docs.where(c("doc_id") < 20), "text",
+        estimatedBenchShingles = 20000L, numBits = 160000L,
+        materialize = false)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("might_contain"),
+      s"the bloom prefilter vanished from the plan:\n${p.take(800)}")
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("LeftSemi"))
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"the bloom prefilter must cut volume BELOW the semi-join " +
+      s"(join@$joinIdx, filter@$filterIdx):\n$p")
+  }
+
+  test("q_zorder_layout: the 2-D box predicate pushes into the layout scan") {
+    val p = plan("q_zorder_layout")
+    val scan = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("zval")).getOrElse("")
+    val pushed = scan.replaceAll(".*PushedFilters: \\[", "")
+    assert(scan.contains("PushedFilters: [") &&
+           pushed.contains("zx") && pushed.contains("zy"),
+      s"the zx/zy box must reach the parquet scan as pushed filters " +
+      s"(that is what lets row-group stats skip):\n$p")
+  }
+
   test("q_rollup: grouping sets expand once and aggregate partial+final — one scan") {
     val p = plan("q_rollup")
     assert(p.contains("Expand"), "rollup must plan as a single Expand")
