@@ -206,16 +206,24 @@ object OracleXX {
     * estimate ≥ threshold. */
   def minhashOracle(numHashes: Int = 128, bands: Int = 16,
                     threshold: Double = 0.4): String = s"""
-      WITH ${minhashBandCtes(numHashes, bands)},
-      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS siga, b.sig AS sigb
-                FROM bk a CROSS JOIN guard JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
-      ag AS (SELECT id_a, id_b,
-               list_aggregate(list_transform(range(0, $numHashes), j ->
-                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
-             FROM pairs)
+      WITH ${minhashAgreeCtes(numHashes, bands)}
       SELECT id_a, id_b, agree::DOUBLE / $numHashes AS est_jaccard
       FROM ag WHERE agree::DOUBLE / $numHashes >= $threshold
       ORDER BY id_a, id_b"""
+
+  /** CTE chain (no leading WITH) ending in `ag(id_a, id_b, agree)` — the
+    * banded candidate pairs with signature-agreement counts, on top of
+    * [[minhashBandCtes]]. The single source of truth for the pair/agree
+    * step: [[minhashOracle]] thresholds it into the est-jaccard pair set,
+    * and the fuzzy-pipeline oracle stacks the transitive closure on it —
+    * keeping one replica so a parameter tune cannot drift them apart. */
+  def minhashAgreeCtes(numHashes: Int, bands: Int): String = s"""${minhashBandCtes(numHashes, bands)},
+      prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS siga, b.sig AS sigb
+              FROM bk a CROSS JOIN guard JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ag AS (SELECT id_a, id_b,
+               list_aggregate(list_transform(range(0, $numHashes), j ->
+                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
+             FROM prs)"""
 
   /** CTE chain (no leading WITH) computing per-doc banded LSH keys over
     * `documents`: 3-gram shingle strings (`sh3`: doc_id, hs) → XXH64 →

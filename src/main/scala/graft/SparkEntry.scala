@@ -979,10 +979,16 @@ object SparkEntry {
     * survivor per cluster with its absorbed count. The oracle stacks the
     * XXH64-replica banding chain, the recursive-CTE closure, and the
     * representative cut. */
+  // fuzzy-pipeline LSH parameters — shared by the gate query AND its
+  // oracle so a tune cannot drift them apart
+  private val fuzzyHashes = 128
+  private val fuzzyBands = 16
+  private val fuzzyThreshold = 0.4
+
   private def dedupFuzzyPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      numHashes = 128, bands = 16, threshold = 0.4)
+      numHashes = fuzzyHashes, bands = fuzzyBands, threshold = fuzzyThreshold)
     Dedup.clusterSurvivors(docs, pairs, "doc_id")
       .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .select("doc_id", "lang", "source", "n_members")
@@ -2519,17 +2525,10 @@ object SparkEntry {
     // replica, same skew guard) feeding the recursive transitive closure
     // and the min-id representative cut — the full production composition
     "dedup_fuzzy_pipeline" -> s"""
-      WITH RECURSIVE ${OracleXX.minhashBandCtes(numHashes = 128, bands = 16)},
-      prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.sig AS siga, b.sig AS sigb
-              FROM bk a CROSS JOIN guard
-                   JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
-      ag AS (SELECT id_a, id_b,
-               list_aggregate(list_transform(range(0, 128), j ->
-                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
-             FROM prs),
+      WITH RECURSIVE ${OracleXX.minhashAgreeCtes(fuzzyHashes, fuzzyBands)},
       jp AS MATERIALIZED (
-        SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+        SELECT id_a, id_b FROM ag
+        WHERE agree::DOUBLE / $fuzzyHashes >= $fuzzyThreshold),
       e AS (SELECT id_a AS src, id_b AS dst FROM jp
             UNION SELECT id_b, id_a FROM jp),
       reach AS (

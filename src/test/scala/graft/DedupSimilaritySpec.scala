@@ -286,15 +286,20 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("clusterSurvivors: one min-id representative per component with absorbed counts") {
     val docs = spark.range(1, 8).toDF("doc_id")
-    // components: {1,2,3} (chain), {5,6}, singletons 4,7 — note the
-    // pairwise `survivors` cut would keep only 1,4,7 here (5 dies as the
-    // larger member of (5,6), and so does chain-middle 2), while the
-    // cluster cut keeps exactly one doc PER COMPONENT
+    // components: {1,2,3} (both 1 and 2 pair with 3, never with each
+    // other), {5,6}, singletons 4,7. This is the fixture where the cuts
+    // genuinely differ: pairwise `survivors` drops only id_b members
+    // ({3,6}) and keeps BOTH 1 and 2 from the same near-dup component;
+    // the cluster cut keeps exactly one doc per component
     val pairs = spark.createDataFrame(Seq(
-      (1L, 2L), (2L, 3L), (5L, 6L))).toDF("id_a", "id_b")
+      (1L, 3L), (2L, 3L), (5L, 6L))).toDF("id_a", "id_b")
     val out = Dedup.clusterSurvivors(docs, pairs, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L))
+    val pairwise = Dedup.survivors(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pairwise == Set(1L, 2L, 4L, 5L, 7L),
+      "pairwise keeps two docs of the {1,2,3} component — the cluster cut must not")
   }
 
   test("connected components: a 64-node chain converges within the round bound") {

@@ -270,9 +270,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_zorder_layout")
     val scan = p.linesIterator
       .find(l => l.contains("FileScan") && l.contains("zval")).getOrElse("")
+    // slice the pushed-filter list itself (everything between the bracket
+    // and its close) — matching the raw line tail would also hit the
+    // ReadSchema column list and never fail; note the metadata string is
+    // width-truncated, so assert on the leading IsNotNull/bound entries
     val pushed = scan.replaceAll(".*PushedFilters: \\[", "")
+      .replaceAll("\\].*", "")
     assert(scan.contains("PushedFilters: [") &&
-           pushed.contains("zx") && pushed.contains("zy"),
+           pushed.contains("IsNotNull(zx)") && pushed.contains("IsNotNull(zy)") &&
+           pushed.contains("GreaterThanOrEqual(zx,0)"),
       s"the zx/zy box must reach the parquet scan as pushed filters " +
       s"(that is what lets row-group stats skip):\n$p")
   }
