@@ -566,6 +566,21 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Random-projection ANN with the FIXED deterministic ±1 sign matrix:
+    * integer-quantized JL projection → smallest projected L2 top-refine →
+    * exact cosine re-rank. Like `sim_pq_topk`, the sign constants embed in
+    * the DuckDB oracle, which replays the whole approximate pipeline
+    * cell-exactly (the projection stage is all-BIGINT, so not even a
+    * float-rounding hazard exists before the re-rank). */
+  private def simRpTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.rpTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, outDim = 16, refine = 50)
+      .orderBy("qid", "rank")
+  }
+
   /** Deterministic hash split + sample flags — reproducible corpus
     * curation (see `Sampling`); the oracle recomputes the same xxhash64
     * buckets via the OracleXX replica. */
@@ -1201,6 +1216,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
     "sim_pq_topk"         -> simPqTopK _,
+    "sim_rp_topk"         -> simRpTopK _,
     "text_topk"           -> textTopK _,
     "text_stats"          -> textStats _,
     "text_langid"         -> textLangId _,
@@ -1384,6 +1400,45 @@ object SparkEntry {
     * exactly like the engine's windows. Codebooks are hoisted into one-row
     * MATERIALIZED CTEs (FLOAT for encoding, DOUBLE for the LUTs) — see
     * `semanticOracle` for why inlining them is catastrophic. */
+  /** DuckDB replica of `Similarity.rpTopK` with the literal sign matrix:
+    * quantize → project (all BIGINT — bit-exact) → projected-L2 refine cut
+    * → exact cosine re-rank. */
+  private def rpReplicaOracle(signs: Array[Array[Long]], k: Int,
+                              refine: Int): String = {
+    val outDim = signs.length
+    val sl = signs.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""
+      WITH st AS MATERIALIZED (SELECT $sl AS sg),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(embedding, x -> floor(x::DOUBLE * 1024)::BIGINT) AS qv
+            FROM embeddings),
+      p AS MATERIALIZED (
+        SELECT vec_id, v,
+          list_transform(range(1, ${outDim + 1}), d ->
+            list_aggregate(list_transform(range(1, len(qv) + 1), j ->
+              sg[d][j] * qv[j]), 'sum')::BIGINT) AS pv
+        FROM e CROSS JOIN st),
+      qs AS (SELECT vec_id AS qid, v AS qvec, pv AS pq FROM p WHERE vec_id < 5),
+      cand AS (
+        SELECT qid, qvec, c.vec_id AS id, c.v AS cv,
+               list_aggregate(list_transform(range(1, ${outDim + 1}), d ->
+                 (c.pv[d] - pq[d]) * (c.pv[d] - pq[d])), 'sum')::BIGINT AS pdist
+        FROM p c CROSS JOIN qs WHERE c.vec_id <> qid),
+      topr AS (
+        SELECT qid, qvec, id, cv,
+               row_number() OVER (PARTITION BY qid ORDER BY pdist ASC, id ASC) AS arank
+        FROM cand),
+      scored AS (
+        SELECT qid, id, list_cosine_similarity(cv, qvec) AS cosine
+        FROM topr WHERE arank <= $refine),
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   private def pqReplicaOracle(cbs: Array[Array[Array[Float]]], k: Int,
                               refine: Int, dim: Int = 64): String = {
     val m = cbs.length
@@ -1950,6 +2005,8 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    "sim_rp_topk" -> rpReplicaOracle(
+      Similarity.fixedProjection(16, 64), k = 10, refine = 50),
     "sim_pq_topk" -> pqReplicaOracle(
       Similarity.fixedCodebooks(8, 16, 8), k = 10, refine = 50),
     "text_topk" -> {

@@ -349,6 +349,81 @@ object Similarity {
     } else out // plan-inspection mode: caller owns cache release
   }
 
+  /** Deterministic ±1 sign-projection matrix (`outDim` rows × `dim`,
+    * splitmix64 — the [[fixedCentroids]] contract: fully determined by the
+    * parameters, so the DuckDB oracle embeds the identical literals). */
+  def fixedProjection(outDim: Int, dim: Int, seed: Long = 29L): Array[Array[Long]] = {
+    require(outDim >= 1 && dim >= 1, s"bad projection geometry $outDim×$dim")
+    val next = graft.util.SplitMix64.generator(seed)
+    Array.fill(outDim, dim)(if ((next() & 1L) == 0L) 1L else -1L)
+  }
+
+  /** Random-projection approximate top-k (Johnson–Lindenstrauss via the
+    * Achlioptas 2003 ±1 sign matrix): corpus vectors quantize to integers
+    * (`floor(x·2^10)` — the [[kmeansAssign]] trick that makes every sum an
+    * order-free BIGINT, so the approximate stage itself is bit-exact and
+    * oracle-replicable), project `dim → outDim` against the fixed sign
+    * matrix, and each query's candidates are the `refine` corpus rows with
+    * the smallest PROJECTED L2 distance; exact cosine re-ranks the bounded
+    * set. JL keeps pairwise distances within (1±ε) whp at
+    * `outDim = O(ln n / ε²)`, so the cut loses little recall at 4× fewer
+    * dimensions — the dimensionality-REDUCTION path beside LSH's buckets,
+    * IVF's cells, and PQ's code compression.
+    *
+    * Scale shape (the family contract): projection is one narrow codegen'd
+    * pass; candidate scoring joins the slim `(id, pvec)` projection
+    * (outDim BIGINTs) against broadcast query projections; per-partition
+    * WindowGroupLimit bounds the refine cut; full vectors re-join on the
+    * refine-bounded candidate set only. */
+  def rpTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int = 10, outDim: Int = 16, dim: Int = 64, refine: Int = 50,
+             seed: Long = 29L, materialize: Boolean = true): DataFrame = {
+    require(refine >= k,
+      s"refine=$refine < k=$k: the projected cut would return fewer than k")
+    val QuantScale = 1024L
+    val signs = fixedProjection(outDim, dim, seed)
+    val signsLit = array(signs.map(row => array(row.map(lit): _*)): _*)
+    def quant(vec: Column): Column =
+      transform(vec, x => floor(x.cast("double") * QuantScale).cast("long"))
+    // p[d] = Σ_j sign[d][j] · qv[j] — BIGINT, order-free, exact
+    def project(qv: Column): Column =
+      transform(signsLit, row => aggregate(
+        zip_with(row, qv, (s, v) => s * v), lit(0L), _ + _))
+    // the quantized array is staged behind an alias so the regex-free but
+    // 64-wide quantization isn't re-inlined into each of the outDim lambda
+    // evaluations (HOF args re-evaluate per enclosing-lambda element)
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+      .withColumn("__qv", quant(col("cvec")))
+      .select(col("id"), col("cvec"), project(col("__qv")).as("pvec"))
+      .persist()
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+      .withColumn("__qv", quant(col("qvec")))
+      .select(col("qid"), col("qvec"), project(col("__qv")).as("pq"))
+    val approx = c.select(col("id"), col("pvec"))
+      .join(broadcast(q.select(col("qid"), col("pq"))))
+      .where(col("qid") =!= col("id"))
+      .withColumn("pdist", aggregate(
+        zip_with(col("pvec"), col("pq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("pdist").asc, col("id").asc)
+    val cand = approx.withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= refine)
+      .select(col("qid"), col("id"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    val out = cand
+      .join(c.select(col("id"), col("cvec")), "id")
+      .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+    if (materialize) {
+      val cut = graft.util.Materialize.cut(out)
+      c.unpersist()
+      cut
+    } else out // plan-inspection mode: caller owns cache release
+  }
+
   /** Text top-k by n-gram Jaccard against a query string (inverted-index
     * candidate join, same shape as `Dedup.ngramJaccardPairs`). */
   def textTopK(corpus: DataFrame, idCol: String, textCol: String,

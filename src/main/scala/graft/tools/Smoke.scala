@@ -95,6 +95,10 @@ object Smoke {
     Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 3).show()
     lap("lsh")
 
+    println("[smoke] RP ANN top-3 (same queries):")
+    Similarity.rpTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, outDim = 16, refine = 20)
+      .show(3)
     println("[smoke] PQ ANN top-3 (same queries):")
     Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
       k = 3, refine = 20).show()

@@ -394,6 +394,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight.length == 10 && tight.forall(_.getInt(3) <= 5))
   }
 
+  test("RP top-k equals brute force when refine covers the corpus") {
+    val q = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val n = emb.count().toInt
+    val rp = Similarity.rpTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5, outDim = 16, refine = n)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5)
+    assert(key(rp) == key(bf),
+      "with a corpus-covering refine the projected cut cannot drop true neighbors")
+    // determinism: the fixed sign matrix makes the whole pipeline a pure
+    // function of (corpus, queries, params)
+    val again = Similarity.rpTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5, outDim = 16, refine = n)
+    assert(key(again) == key(rp), "rpTopK must be deterministic")
+    // at a tight refine the output is still k rows per query with exact
+    // cosines (the projection orders candidates; reported scores are exact)
+    val tight = Similarity.rpTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5, outDim = 16, refine = 20).collect()
+    assert(tight.length == 10 && tight.forall(_.getInt(3) <= 5))
+  }
+
   test("winnowOverlapPairs: guaranteed detection of long shared passages, no false pairs") {
     // docs 1 and 2 share a 30-token passage (≥ window+n-1 = 11 tokens →
     // the winnowing guarantee promises at least one shared fingerprint);
