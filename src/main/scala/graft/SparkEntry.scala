@@ -988,18 +988,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** The fuzzy-dedup pipeline production corpora actually run, end to end
-    * as ONE composed query: MinHash+LSH candidate pairs → transitive
-    * cluster labels (pointer-jumping connected components) → one min-id
-    * survivor per cluster with its absorbed count. The oracle stacks the
-    * XXH64-replica banding chain, the recursive-CTE closure, and the
-    * representative cut. */
   // fuzzy-pipeline LSH parameters — shared by the gate query AND its
   // oracle so a tune cannot drift them apart
   private val fuzzyHashes = 128
   private val fuzzyBands = 16
   private val fuzzyThreshold = 0.4
 
+  /** The fuzzy-dedup pipeline production corpora actually run, end to end
+    * as ONE composed query: MinHash+LSH candidate pairs → transitive
+    * cluster labels (pointer-jumping connected components) → one min-id
+    * survivor per cluster with its absorbed count. The oracle stacks the
+    * XXH64-replica banding chain, the recursive-CTE closure, and the
+    * representative cut. */
   private def dedupFuzzyPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",

@@ -384,22 +384,33 @@ object Similarity {
     val QuantScale = 1024L
     val signs = fixedProjection(outDim, dim, seed)
     val signsLit = array(signs.map(row => array(row.map(lit): _*)): _*)
+    // the kmeansAssign fail-loud contract: a short vector would null-pad
+    // through zip_with into a NULL pdist that sorts FIRST (silently topping
+    // every refine cut), and a NaN would quantize to 0 here while erroring
+    // in the oracle's ::BIGINT cast — both must die at the source
     def quant(vec: Column): Column =
-      transform(vec, x => floor(x.cast("double") * QuantScale).cast("long"))
-    // p[d] = Σ_j sign[d][j] · qv[j] — BIGINT, order-free, exact
-    def project(qv: Column): Column =
+      when(size(vec) =!= dim, raise_error(concat(
+          lit("rpTopK: vector length "), size(vec).cast("string"),
+          lit(s" != dim $dim"))))
+        .when(exists(vec, x => x.isNull || isnan(x)),
+          raise_error(lit("rpTopK: embedding contains null or NaN")))
+        .otherwise(transform(vec, x =>
+          floor(x.cast("double") * QuantScale).cast("long")))
+    // p[d] = Σ_j sign[d][j] · qv[j] — BIGINT, order-free, exact. The
+    // quantization is deliberately inlined: a single-referenced alias would
+    // be collapsed back into the outDim-wide lambda anyway (CollapseProject
+    // keeps only non-cheap MULTI-referenced aliases staged), and at 16×64
+    // guard/floor/multiply ops per row the one-time persist build stays
+    // scan-bound — unlike the regex-heavy text kernels, no barrier is
+    // needed
+    def project(vec: Column): Column =
       transform(signsLit, row => aggregate(
-        zip_with(row, qv, (s, v) => s * v), lit(0L), _ + _))
-    // the quantized array is staged behind an alias so the regex-free but
-    // 64-wide quantization isn't re-inlined into each of the outDim lambda
-    // evaluations (HOF args re-evaluate per enclosing-lambda element)
+        zip_with(row, quant(vec), (s, v) => s * v), lit(0L), _ + _))
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
-      .withColumn("__qv", quant(col("cvec")))
-      .select(col("id"), col("cvec"), project(col("__qv")).as("pvec"))
+      .select(col("id"), col("cvec"), project(col("cvec")).as("pvec"))
       .persist()
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
-      .withColumn("__qv", quant(col("qvec")))
-      .select(col("qid"), col("qvec"), project(col("__qv")).as("pq"))
+      .select(col("qid"), col("qvec"), project(col("qvec")).as("pq"))
     val approx = c.select(col("id"), col("pvec"))
       .join(broadcast(q.select(col("qid"), col("pq"))))
       .where(col("qid") =!= col("id"))

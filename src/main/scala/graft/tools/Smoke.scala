@@ -99,6 +99,7 @@ object Smoke {
     Similarity.rpTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 3, outDim = 16, refine = 20)
       .show(3)
+    lap("rp")
     println("[smoke] PQ ANN top-3 (same queries):")
     Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
       k = 3, refine = 20).show()

@@ -194,6 +194,26 @@ class PlanSpec extends SparkSpec {
       s"every codes scan drags the vector payload through ADC scoring:\n${codeScans.mkString("\n")}")
   }
 
+  test("rp ANN: refine cut is a group limit; projected scoring scan drops the vector payload") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+              org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val p = dedupPlan(graft.operators.Similarity.rpTopK(
+      emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 3, outDim = 16, refine = 20, materialize = false))
+    // the refine cut must be a per-partition group limit, not a global sort
+    assert(p.contains("WindowGroupLimit"), s"refine cut lost WindowGroupLimit:\n$p")
+    // the scoring side scans the cached projections WITHOUT the vector
+    // payload — cvec must be pruned from at least the pvec scan
+    val pvecScans = p.linesIterator
+      .filter(l => l.contains("InMemoryTableScan") && l.contains("pvec#"))
+      .toVector
+    assert(pvecScans.nonEmpty, s"rp lost its cached projection scan:\n$p")
+    assert(pvecScans.exists(l => !l.contains("cvec#")),
+      s"every projection scan drags the vector payload through scoring:\n${pvecScans.mkString("\n")}")
+  }
+
   test("semantic dedup: cluster sizing is slim; no cartesian product") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     spark.conf.set("spark.graft.dedup.materialize", "none")
