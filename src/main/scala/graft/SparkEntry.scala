@@ -958,6 +958,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Ingest-loop batch bounds — shared by the gate query AND its oracle so
+    * the batch split cannot drift between them. */
+  private val ingestBounds = Seq((0L, 150L), (150L, 350L), (350L, Long.MaxValue))
+
+  /** Crawl-ingestion dedup loop (batch twin of `streaming.DedupIngest`):
+    * ordered batches, each dedup'd against the corpus ACCEPTED so far via
+    * the bucketed posting index, survivors extending the index before the
+    * next batch probes it. The oracle chains the same steps over string
+    * shingles. */
+  private def dedupIngestLoop(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tag = layoutTag(dir)
+    val batches = ingestBounds.map { case (lo, hi) =>
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi) }
+    Dedup.dedupIngest(batches, "doc_id", "text",
+        s"graft_b_ingest_$tag", s"/tmp/graft_bucketed_$tag/ingest",
+        buckets = 8, shingleN = 3, threshold = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Span-cut application (the Lee-2021 output): report duplicate 10-token
     * spans, then CUT them — the cleaned corpus as normalized tokens with
     * duplicate spans removed. Re-running the reporter on the cleaned text
@@ -1276,6 +1297,7 @@ object SparkEntry {
         .orderBy("doc_id", "start_tok")),
     "dedup_incremental"   -> dedupIncremental _,
     "dedup_incremental_indexed" -> dedupIncrementalIndexed _,
+    "dedup_ingest"        -> dedupIngestLoop _,
     "dedup_spans_applied" -> dedupSpansApplied _,
     "text_repetition"     -> textRepetition _,
     "text_tfidf"          -> ((s, dir) =>
@@ -1675,6 +1697,48 @@ object SparkEntry {
       gkept AS (
         SELECT doc_id, lang, source FROM kept
         WHERE doc_id NOT IN (SELECT doc_id FROM bad))"""
+
+  /** Chained replica of `Dedup.dedupIngest`: per batch, candidates against
+    * the ACCEPTED set so far (`acc{i-1}`) plus smaller-id same-batch docs,
+    * jaccard-thresholded drops, survivors accumulated. The batch split
+    * comes from [[ingestBounds]] — the same constants the gate query uses. */
+  private def ingestOracle(bounds: Seq[(Long, Long)]): String = {
+    val steps = bounds.zipWithIndex.map { case ((lo, hi), i0) =>
+      val i = i0 + 1
+      s"""pairs$i AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h
+        WHERE a.doc_id >= $lo AND a.doc_id < $hi
+          AND (b.doc_id IN (SELECT doc_id FROM acc${i - 1})
+               OR (b.doc_id >= $lo AND b.doc_id < $hi AND b.doc_id < a.doc_id))
+        GROUP BY 1, 2),
+      drop$i AS (
+        SELECT DISTINCT id_a AS doc_id FROM pairs$i
+        WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+      acc$i AS MATERIALIZED (
+        SELECT doc_id FROM acc${i - 1}
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id >= $lo AND doc_id < $hi
+          AND doc_id NOT IN (SELECT doc_id FROM drop$i))"""
+    }
+    s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS MATERIALIZED (
+        SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      acc0 AS (SELECT doc_id FROM documents WHERE 1 = 0),
+      ${steps.mkString(",\n      ")}
+      SELECT d.doc_id, d.lang FROM documents d
+      JOIN acc${bounds.size} a USING (doc_id)
+      ORDER BY d.doc_id"""
+  }
 
   /** DuckDB replica of `Relational.part1by1` — the identical magic-mask
     * shift ladder in integer SQL (masks as decimal literals). */
@@ -2506,6 +2570,7 @@ object SparkEntry {
     // the indexed variant computes the SAME answer through a persisted
     // bucketed posting index (the production steady-state path) — one
     // oracle text, two engine paths
+    "dedup_ingest" -> ingestOracle(ingestBounds),
     "dedup_incremental_indexed" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh AS (

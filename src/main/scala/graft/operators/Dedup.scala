@@ -408,6 +408,64 @@ object Dedup {
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Create a fresh EMPTY bucketed posting index with [[buildPostingIndex]]'s
+    * schema — the starting state of a crawl-ingestion loop ([[dedupIngest]]
+    * and the streaming twin append survivor postings into it). */
+  def initPostingIndex(df: DataFrame, idCol: String, textCol: String,
+                       table: String, path: String, buckets: Int = 8,
+                       shingleN: Int = 3): DataFrame =
+    Relational.bucketMaterialize(
+      buildPostingIndex(df.where(lit(false)), idCol, textCol, shingleN),
+      table, "h", buckets, path)
+
+  /** Append a batch's survivor postings to the bucketed index (bucket spec
+    * must match the [[initPostingIndex]] layout — validated by Spark).
+    * NOTE: the `df` column appended here is the batch-LOCAL document
+    * frequency, not the global one; run the loop with pruning off
+    * (`maxDocFreq = Long.MaxValue`, the default) unless a periodic
+    * compaction refreshes `df` globally — stale df would silently change
+    * which candidate pairs the pruning drops. */
+  def appendPostingIndex(surv: DataFrame, idCol: String, textCol: String,
+                         table: String, buckets: Int = 8,
+                         shingleN: Int = 3): Unit =
+    buildPostingIndex(surv, idCol, textCol, shingleN)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(table)
+
+  /** Crawl-ingestion dedup loop — the static twin of the streaming
+    * ingestion pipeline: batches arrive in order, each batch keeps only
+    * documents that near-duplicate neither the ACCEPTED corpus so far nor
+    * a smaller-id document of the same batch, and each batch's survivors
+    * extend the bucketed posting index before the next batch probes it.
+    * This differs from one-shot [[incrementalSurvivorsIndexed]] in exactly
+    * the way production ingestion does: the corpus a batch dedups against
+    * is the set of documents ACCEPTED so far, not everything ever seen.
+    *
+    * Scale shape: per batch, one zero-exchange probe of the bucketed index
+    * (O(batch) shuffle, never O(corpus) — the `dedup_incremental_indexed`
+    * plan pin) plus one bucketed append of the survivors' postings; the
+    * index pays its ingest shuffle once per batch for exactly the new
+    * postings. */
+  def dedupIngest(batches: Seq[DataFrame], idCol: String, textCol: String,
+                  indexTable: String, indexPath: String, buckets: Int = 8,
+                  shingleN: Int = 3, threshold: Double = 0.5,
+                  maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    val spark = batches.head.sparkSession
+    initPostingIndex(batches.head, idCol, textCol, indexTable, indexPath,
+      buckets, shingleN)
+    batches.map { b =>
+      // survivors are materialized (localCheckpoint) by the incremental
+      // step, so appending their postings AND accumulating them reads the
+      // checkpointed blocks, not a recompute racing the index append
+      val surv = incrementalSurvivorsIndexed(b, spark.table(indexTable),
+        idCol, textCol, shingleN, threshold, maxDocFreq)
+      appendPostingIndex(surv, idCol, textCol, indexTable, buckets, shingleN)
+      surv
+    }.reduce(_ unionByName _)
+  }
+
   /** Cluster-representative survivor cut over any near-dup pair graph —
     * the final stage of production fuzzy dedup: label transitive clusters
     * with [[connectedComponents]] (chains a~b, b~c collapse even when a,c

@@ -191,6 +191,14 @@ object Smoke {
     TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
       .groupBy("bucket_label").count().show()
     TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L).show(3)
+    locally { // crawl-ingestion dedup loop: 3 batches against the growing index
+      val bs = Seq(docs.where(col("doc_id") < 20),
+        docs.where(col("doc_id") >= 20 && col("doc_id") < 40),
+        docs.where(col("doc_id") >= 40))
+      Dedup.dedupIngest(bs, "doc_id", "text",
+          "graft_smoke_ingest", "/tmp/graft_smoke_ingest")
+        .agg(count(lit(1)).as("ingest_survivors")).show()
+    }
     Dedup.clusterSurvivors(docs,
         Dedup.minhashLshPairs(docs, "doc_id", "text",
           numHashes = 128, bands = 16, threshold = 0.4), "doc_id")

@@ -493,4 +493,45 @@ class PipelineStreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sources.kafkaSourceOptions(GraftConfig.parse(
       """topics = [t], bootstrap-servers = "b", seek-to-beginning = true, seek-to-end = true""")))
   }
+
+  test("streaming dedup ingest: live micro-batches match the static batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val third = (1 to 40).map(i => s"new$i").mkString(" ")
+    val fourth = (1 to 40).map(i => s"fin$i").mkString(" ")
+    val b1 = Seq(1L -> base, 2L -> other)
+    val b2 = Seq(10L -> (base + " tail1 tail2"), // near-dup of ACCEPTED 1 → dropped
+                 11L -> third)                   // novel → kept
+    val b3 = Seq(20L -> (other + " x1"),         // near-dup of accepted 2 → dropped
+                 21L -> fourth,                  // novel → kept
+                 22L -> (fourth + " y1"))        // near-dup of smaller-id 21 SAME batch → dropped
+    val tmp = Files.createTempDirectory("graft-ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // the index must exist (empty) before the first micro-batch probes it —
+    // init from a STATIC empty frame (a streaming frame cannot batch-write)
+    graft.operators.Dedup.initPostingIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_ingest_live", s"$tmp/idx_live")
+    val q = graft.streaming.DedupIngest.start(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexTable = "graft_spec_ingest_live",
+      outPath = s"$tmp/out", checkpoint = s"$tmp/ckpt")
+    try {
+      Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val live = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(1L, 2L, 11L, 21L), s"live survivors: $live")
+    // the static twin over the identical batch split lands on the same set
+    val twin = graft.operators.Dedup.dedupIngest(
+        Seq(b1, b2, b3).map(b => b.toDF("doc_id", "text")),
+        "doc_id", "text",
+        indexTable = "graft_spec_ingest_twin", indexPath = s"$tmp/idx_twin")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twin == live, s"twin $twin != live $live")
+  }
 }
