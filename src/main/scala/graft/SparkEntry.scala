@@ -489,6 +489,24 @@ object SparkEntry {
         shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
       .orderBy("id_a", "id_b")
 
+  /** Same exact-Jaccard contract as `dedup_ngram`, through the AllPairs
+    * prefix filter — the gate proves the filter loses nothing (the oracle
+    * is the same brute-force all-pairs SQL, only the threshold differs). */
+  private def dedupNgramPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Which sources near-duplicate which: the exact n-gram pair list rolled
+    * up per unordered source pair. */
+  private def curationOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+    Dedup.sourceOverlapMatrix(docs, pairs, "doc_id", "source")
+      .orderBy("source_a", "source_b")
+  }
+
   /** Gate config exercises the LSH-BLOCKED path — the 100 TB shape (the
     * brute-force config is O(n²) and exists for oracle/spec verification
     * only, kept as the `dedup_embedding_exact` twin). The oracle replicates
@@ -1229,6 +1247,8 @@ object SparkEntry {
     "dedup_minhash_verified" -> dedupMinhashVerified _,
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_ngram"         -> dedupNgram _,
+    "dedup_ngram_prefix"  -> dedupNgramPrefix _,
+    "curation_overlap"    -> curationOverlap _,
     "dedup_embedding"     -> dedupEmbedding _,
     "dedup_embedding_exact" -> dedupEmbeddingExact _,
     "dedup_semantic"      -> dedupSemantic _,
@@ -1323,6 +1343,34 @@ object SparkEntry {
     * equivalent of TextFunctions.normText/tokens). */
   private val sqlToks =
     """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
+
+  /** CTE chain ending in `ok(id_a, id_b, jaccard, ...)` — brute-force exact
+    * all-pairs n-gram Jaccard ≥ `threshold` over the inverted index, the
+    * shared oracle for every exact-Jaccard row (`dedup_ngram`, the
+    * prefix-filtered twin, the source-overlap rollup). DuckDB joins on the
+    * shingle STRING where the engine joins on `xxhash64` of it — identical
+    * pairing absent a 64-bit collision on the same corpus. */
+  private def ngramJaccardCtes(threshold: Double): String = s"""
+      toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ok AS (
+        SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
+        FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= $threshold)"""
+
+  private def ngramJaccardOracle(threshold: Double): String = s"""
+      WITH ${ngramJaccardCtes(threshold)}
+      SELECT id_a, id_b, jaccard FROM ok ORDER BY id_a, id_b"""
 
   /** Shared CTE chain producing `spans(doc_id, start_tok, end_tok,
     * n_windows)` — the DuckDB replica of `Dedup.duplicateSpans` (positional
@@ -1981,23 +2029,26 @@ object SparkEntry {
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS text_hash,
              min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
       FROM documents GROUP BY 1 ORDER BY text_hash""",
-    "dedup_ngram" -> s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-      sh AS (
-        SELECT doc_id,
-               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
-                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
-        FROM toks),
-      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
-               any_value(a.n) AS na, any_value(b.n) AS nb
-        FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
-      FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
-      ORDER BY id_a, id_b""",
+    "dedup_ngram" -> ngramJaccardOracle(0.5),
+    // the prefix-filtered operator promises output IDENTICAL to the plain
+    // inverted-index join, so its oracle is the same brute-force all-pairs
+    // SQL — any pair the filter drops is a hash mismatch here
+    "dedup_ngram_prefix" -> ngramJaccardOracle(0.4),
+    "curation_overlap" -> s"""
+      WITH ${ngramJaccardCtes(0.5)},
+      sel AS (
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b, id_a, id_b
+        FROM ok JOIN documents sa ON ok.id_a = sa.doc_id
+                JOIN documents sb ON ok.id_b = sb.doc_id),
+      np AS (SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+             FROM sel GROUP BY 1, 2),
+      nd AS (SELECT source_a, source_b, count(DISTINCT d)::BIGINT AS n_docs
+             FROM (SELECT source_a, source_b, unnest([id_a, id_b]) AS d
+                   FROM sel) GROUP BY 1, 2)
+      SELECT source_a, source_b, n_pairs, n_docs
+      FROM np JOIN nd USING (source_a, source_b)
+      ORDER BY source_a, source_b""",
     // full replicas of the hash-sketch dedup operators: XXH64 (the exact
     // Spark xxhash64 bit mixing) is reproduced in DuckDB HUGEINT
     // arithmetic, so the estimate-scored MinHash pairs and the SimHash

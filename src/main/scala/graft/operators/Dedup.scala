@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.util.Materialize
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,119 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     materializeAndRelease(out, sets)
+  }
+
+  /** The minimum shingle overlap a partner can have with a size-`n` set
+    * under Jaccard ≥ t: J = I/(nа+nb−I) ≥ t ⟹ I ≥ t·max(na,nb), so any
+    * qualifying partner shares ≥ ⌈t·n⌉ shingles with this doc. The 1e-9
+    * guard protects the UNSAFE rounding direction only: float noise pushing
+    * t·n just *above* an integer would overstate α and shorten the prefix
+    * (lost pairs = lost exactness); noise pushing it below merely lengthens
+    * the prefix (extra candidates, identical output after verification). */
+  private def jaccardMinOverlap(n: Column, threshold: Double): Column =
+    ceil(n * lit(threshold) - lit(1e-9)).cast("int")
+
+  /** Each doc's shingles in GLOBAL rare-first order, truncated to the
+    * AllPairs prefix `|x| − α(x) + 1` where `α(x) = ⌈t·|x|⌉`: if the
+    * rarest `|x| − α + 1` shingles of a doc share nothing with a partner's
+    * full set, the overlap is at most the suffix size `α − 1 < α`, so the
+    * pair cannot reach Jaccard ≥ t. Exposed package-private so specs can
+    * measure the index-size reduction directly. */
+  private[graft] def ngramPrefixPostings(sets: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val posting = sets.select(col("id"), explode(col("hs")).as("h"))
+    // document frequency per shingle — ONE map-side-combinable aggregation
+    // defines the global order; hash value breaks df ties deterministically
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    posting.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .withColumn("n", size(col("ord")))
+      .select(col("id"), explode(slice(
+        transform(col("ord"), s => s.getField("h")),
+        lit(1),
+        col("n") - jaccardMinOverlap(col("n"), threshold) + lit(1))).as("h"))
+  }
+
+  /** Exact n-gram Jaccard pairs with an AllPairs-style PREFIX FILTER
+    * (Bayardo/Ma/Srikant, WWW'07): identical output to
+    * [[ngramJaccardPairs]] with unbounded `maxDocFreq`, from a much
+    * smaller join. Shingles get a global rare-first total order (by corpus
+    * doc-frequency); the inverted index is built over each doc's PREFIX
+    * only — its `|x| − ⌈t·|x|⌉ + 1` rarest shingles — and probed with full
+    * sets. One-sided soundness proof (no reliance on the subtler two-sided
+    * prefix lemma): a qualifying pair (A,B) has overlap ≥ ⌈t·|A|⌉, A's
+    * suffix holds only ⌈t·|A|⌉ − 1 shingles, so some shared shingle sits in
+    * A's prefix and the prefix⋈full join emits the pair.
+    *
+    * The 100 TB arithmetic: the full inverted-index join materializes
+    * Σ_h df(h)² match rows and aggregates them; here the join side that
+    * explodes into candidates is (a) ~(1−t)× smaller overall and (b) made
+    * of each doc's RAREST shingles, so hot boilerplate shingles — the skew
+    * killers with df in the millions — fall out of the index entirely
+    * unless a doc has nothing rarer, without the recall caveat that
+    * `maxDocFreq` pruning carries. Candidates then pass the classic size
+    * filter (`min(na,nb) ≥ t·max(na,nb)`) before the exact
+    * `array_intersect` verification, which touches only surviving pairs. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3,
+                              threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold — the prefix length " +
+      "|x| - ceil(t*|x|) + 1 is only a valid filter there")
+    val sets = df.select(col(idCol).as("id"),
+                         TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .persist() // reused by the prefix build, the probe side and verification
+    val pref = ngramPrefixPostings(sets, threshold)
+    val full = sets.select(col("id"), explode(col("hs")).as("h"))
+    // the guaranteed shared shingle is in ONE side's prefix, so the join is
+    // prefix × full with the pair normalized afterwards (not prefix × prefix,
+    // which would need the two-sided lemma and frequency-aligned truncation)
+    val cand = pref.as("p").join(full.as("f"),
+        col("p.h") === col("f.h") && col("p.id") =!= col("f.id"))
+      .select(least(col("p.id"), col("f.id")).as("id_a"),
+              greatest(col("p.id"), col("f.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val out = cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"),
+                        col("n").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"),
+                        col("n").as("nb")), "id_b")
+      // size filter: J ≥ t forces min(na,nb) ≥ t·max(na,nb); same safe
+      // rounding direction as the prefix (ε only ever ADMITS borderline)
+      .where(least(col("na"), col("nb")).cast("double") >=
+             greatest(col("na"), col("nb")) * lit(threshold) - lit(1e-9))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b")))
+        .cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(out, sets)
+  }
+
+  /** Cross-source near-duplicate OVERLAP MATRIX: given a candidate pair
+    * list from any pair finder, count pairs (and distinct docs involved)
+    * per unordered source pair — the curation question "how much does
+    * source A duplicate source B" that decides which source to drop
+    * content from. The pair list is tiny relative to the corpus, so the
+    * only corpus-sized work is the slim `(id, source)` projection joined
+    * onto it (body columns never shuffle). */
+  def sourceOverlapMatrix(df: DataFrame, pairs: DataFrame,
+                          idCol: String, srcCol: String): DataFrame = {
+    val src = df.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
+    pairs
+      .join(src, col("id_a") === col("__sid"))
+      .withColumnRenamed("__src", "src_a").drop("__sid")
+      .join(src, col("id_b") === col("__sid"))
+      .withColumnRenamed("__src", "src_b").drop("__sid")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+               greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           size(array_distinct(flatten(
+             collect_list(array(col("id_a"), col("id_b"))))))
+             .cast("long").as("n_docs"))
   }
 
   /** Winnow-fingerprint near-dup candidates (what MOSS actually reports):

@@ -214,6 +214,12 @@ object Smoke {
         minScore = 450L, langs = Seq("en", "fr"),
         maxDupPpm = 120000L, maxTopPpm = 60000L, maxPerGroup = 25)
       .groupBy("source").count().show(3)
+    println("[smoke] prefix-filtered exact jaccard + source overlap matrix:")
+    val prefPairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+      threshold = 0.4)
+    prefPairs.agg(count(lit(1)).as("prefix_pairs")).show()
+    Dedup.sourceOverlapMatrix(docs, prefPairs, "doc_id", "source")
+      .orderBy(desc("n_pairs")).show(5)
     lap("round6-ops")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

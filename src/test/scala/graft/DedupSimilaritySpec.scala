@@ -137,6 +137,75 @@ class DedupSimilaritySpec extends SparkSpec {
     expected.foreach { case (k, v) => assert(math.abs(pairs(k) - v) < 1e-12, k) }
   }
 
+  test("prefix-filtered ngram jaccard equals the plain inverted-index join") {
+    // t = 0.3 keeps the prefix long (0.7·|x| shingles indexed) and the pair
+    // set large — the harshest exactness check the fixture offers
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val plain = asMap(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.3, maxDocFreq = Long.MaxValue))
+    val pref = asMap(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.3))
+    assert(pref.keySet == plain.keySet,
+      s"missing=${(plain.keySet -- pref.keySet).take(5)} " +
+      s"extra=${(pref.keySet -- plain.keySet).take(5)}")
+    plain.foreach { case (k, v) => assert(pref(k) == v, k) }
+    assert(plain.nonEmpty)
+  }
+
+  test("prefix-filtered ngram jaccard: random corpora round-trip") {
+    // adversarial-ish shapes the fixture lacks: tiny docs (|hs| 1..4, where
+    // plen rounding matters most), heavy shared boilerplate, exact clones
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 40).map(i => s"v$i")
+    for (trial <- 1 to 3) {
+      val docsR = (1L to 20L).map { i =>
+        val nTok = 1 + rnd.nextInt(12)
+        val body = Seq.fill(nTok)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i, if (i % 7 == 0) "common boiler plate text here" else body)
+      }
+      val df = spark.createDataFrame(docsR).toDF("doc_id", "text")
+      for (t <- Seq(0.34, 0.5, 1.0)) {
+        val plain = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+            shingleN = 3, threshold = t, maxDocFreq = Long.MaxValue)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pref = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text",
+            shingleN = 3, threshold = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pref == plain, s"trial=$trial t=$t")
+      }
+    }
+  }
+
+  test("prefix posting indexes only the rare tail of each doc") {
+    import graft.functions.{TextFunctions => TF}
+    val sets = docs.select(col("doc_id").as("id"),
+        TF.shingleHashes(col("text"), 3).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val fullCount = sets.select(explode(col("hs"))).count()
+    val prefCount = Dedup.ngramPrefixPostings(sets, 0.5).count()
+    // at t=0.5 each doc indexes |x| − ⌈|x|/2⌉ + 1 shingles ≈ half; the
+    // bound below is exact (ceil halves, +1 per doc), not a loose heuristic
+    val nDocs = sets.count()
+    assert(prefCount <= fullCount / 2 + nDocs,
+      s"pref=$prefCount full=$fullCount docs=$nDocs")
+    assert(prefCount < fullCount)
+  }
+
+  test("source overlap matrix accounts for every pair exactly once") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+    val m = Dedup.sourceOverlapMatrix(docs, pairs, "doc_id", "source").collect()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum == pairs.count())
+    m.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a <= b, s"unordered source pair ($a, $b)")
+      val nd = r.getAs[Long]("n_docs")
+      val np = r.getAs[Long]("n_pairs")
+      assert(nd >= 2 && nd <= 2 * np, s"($a,$b): n_docs=$nd n_pairs=$np")
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " aa bb cc"
