@@ -647,6 +647,11 @@ object SparkEntry {
         k = 8, iters = 3, dim = 64)
       .orderBy("vec_id")
 
+  private def simEmbedQa(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingQa(t(s, dir, "embeddings"), "embedding", dim = 64,
+        "label")
+      .orderBy("label")
+
   /** DuckDB replica of the `Similarity.kmeansAssign` pipeline: quantize →
     * k-smallest-ids init → `iters` × (argmin assignment with (dist,
     * cluster) tie-break; per-dim BIGINT sums with a floor-div centroid
@@ -1285,6 +1290,7 @@ object SparkEntry {
     "text_pack_manifest"  -> textPackManifest _,
     "curation_pipeline"   -> curationPipeline _,
     "sim_kmeans"          -> simKmeans _,
+    "sim_embed_qa"        -> simEmbedQa _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -2319,6 +2325,33 @@ object SparkEntry {
       WHERE $b0 < r.rate_ppm
       ORDER BY d.doc_id"""
     },
+    // the QA report's quantized-norm columns reuse the kmeans/pq
+    // floor(x·2^10) contract, so min/max/sum are BIGINT-exact here too
+    "sim_embed_qa" -> """
+      WITH e AS (SELECT label, embedding AS v FROM embeddings),
+      f AS (SELECT label,
+              (v IS NULL) AS is_null,
+              (v IS NOT NULL AND len(v) != 64) AS bad_dim,
+              (v IS NOT NULL AND len(v) = 64 AND
+               len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0) AS nonfin,
+              CASE WHEN v IS NOT NULL AND len(v) = 64 AND
+                        len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+                   THEN len(list_filter(v, x -> x != 0)) = 0
+                   ELSE FALSE END AS is_zero,
+              CASE WHEN v IS NOT NULL AND len(v) = 64 AND
+                        len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+                   THEN list_sum(list_transform(v, x ->
+                          (floor(x::DOUBLE * 1024))::BIGINT *
+                          (floor(x::DOUBLE * 1024))::BIGINT))::BIGINT
+              END AS q2
+            FROM e)
+      SELECT label, count(*)::BIGINT AS n_vecs,
+             sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             sum(CASE WHEN bad_dim THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+             sum(CASE WHEN nonfin THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+             sum(CASE WHEN is_zero THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+             min(q2) AS q2_min, max(q2) AS q2_max, sum(q2)::BIGINT AS q2_sum
+      FROM f GROUP BY 1 ORDER BY label""",
     "sim_kmeans" -> s"""${kmeansCtes(k = 8, iters = 3)}
       SELECT vec_id, cl AS cluster, dist FROM fin ORDER BY vec_id""",
     // composition: the kmeans chain + the per-group cap replayed on top

@@ -435,6 +435,46 @@ object Similarity {
     } else out // plan-inspection mode: caller owns cache release
   }
 
+  /** Embedding-corpus QA report — the validation pass that gates any ANN
+    * index build or semantic-dedup run: per group, counts of DEFECTIVE
+    * vectors (NULL, wrong dimension, NaN/±Inf element, all-zero — the four
+    * ways an upstream embedding job corrupts a corpus without failing) and
+    * the squared-norm distribution of the healthy rest. One
+    * map-side-combinable aggregation over narrow per-row expressions; the
+    * vector column never shuffles.
+    *
+    * Norms use the repo's integer-quantization contract (`floor(x·2^10)`
+    * per coordinate — float→double widening and ×2^10 are IEEE-exact), so
+    * `q2_*` are BIGINTs a cross-engine oracle reproduces bit-for-bit; an
+    * all-zero norm floor is also exactly representable, where a float
+    * `sum(x²)` would be order-dependent. Zero/near-zero vectors matter
+    * operationally: cosine against them is undefined, and every ANN
+    * operator here divides by the norm. */
+  def embeddingQa(df: DataFrame, vecCol: String, dim: Int,
+                  byCols: String*): DataFrame = {
+    val v = col(vecCol)
+    val isNull = v.isNull
+    val badDim = !isNull && size(v) =!= dim
+    val nonFinite = !isNull && !badDim && exists(v, x =>
+      isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+    val healthy = !isNull && !badDim && !nonFinite
+    val isZero = healthy && forall(v, x => x === lit(0.0f))
+    // quantize once per element, then a pure integer fold — lambda args
+    // re-evaluate per reference (see verify skill), so stage via transform
+    val q2 = aggregate(
+      transform(v, x => floor(x.cast("double") * lit(1024L)).cast("long")),
+      lit(0L), (acc, q) => acc + q * q)
+    df.groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n_vecs"),
+           count_if(isNull).as("n_null"),
+           count_if(badDim).as("n_bad_dim"),
+           count_if(nonFinite).as("n_nonfinite"),
+           count_if(isZero).as("n_zero"),
+           min(when(healthy, q2)).as("q2_min"),
+           max(when(healthy, q2)).as("q2_max"),
+           sum(when(healthy, q2)).as("q2_sum"))
+  }
+
   /** Text top-k by n-gram Jaccard against a query string (inverted-index
     * candidate join, same shape as `Dedup.ngramJaccardPairs`). */
   def textTopK(corpus: DataFrame, idCol: String, textCol: String,

@@ -220,6 +220,9 @@ object Smoke {
     prefPairs.agg(count(lit(1)).as("prefix_pairs")).show()
     Dedup.sourceOverlapMatrix(docs, prefPairs, "doc_id", "source")
       .orderBy(desc("n_pairs")).show(5)
+    println("[smoke] embedding QA report:")
+    Similarity.embeddingQa(emb, "embedding", dim = 64, "label")
+      .orderBy("label").show(3)
     lap("round6-ops")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -206,6 +206,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding QA report counts each defect class exactly once") {
+    val rows: Seq[(Int, Seq[Float])] = Seq(
+      (0, Seq.fill(4)(0.5f)),                        // healthy
+      (0, null),                                     // null vector
+      (0, Seq(1f, 2f)),                              // wrong dimension
+      (0, Seq(Float.NaN, 1f, 1f, 1f)),               // NaN element
+      (0, Seq(Float.PositiveInfinity, 0f, 0f, 0f)),  // Inf element
+      (0, Seq(0f, 0f, 0f, 0f)),                      // all-zero (healthy but unusable)
+      (1, Seq(1f, 0f, 0f, 0f)))
+    val df = spark.createDataFrame(rows).toDF("label", "embedding")
+    val out = Similarity.embeddingQa(df, "embedding", dim = 4, "label")
+      .orderBy("label").collect()
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_vecs") == 6)
+    assert(r0.getAs[Long]("n_null") == 1)
+    assert(r0.getAs[Long]("n_bad_dim") == 1)
+    assert(r0.getAs[Long]("n_nonfinite") == 2)
+    assert(r0.getAs[Long]("n_zero") == 1)
+    // healthy: the 0.5-vector (q = floor(0.5·1024) = 512 → q2 = 4·512²)
+    // and the zero vector (q2 = 0); defective vectors contribute nothing
+    assert(r0.getAs[Long]("q2_min") == 0L)
+    assert(r0.getAs[Long]("q2_max") == 4L * 512 * 512)
+    assert(r0.getAs[Long]("q2_sum") == 4L * 512 * 512)
+    assert(out(1).getAs[Long]("q2_sum") == 1024L * 1024)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " aa bb cc"
