@@ -570,6 +570,19 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Epsilon-ball retrieval over the same fixed-centroid IVF index as
+    * `sim_ivf_verified` — the oracle shares the probe CTEs and swaps the
+    * rank window for the threshold filter, exactly like the operators do. */
+  private def simIvfRange(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfRangeSearch(emb, "vec_id", "embedding", q, "qid", "qvec",
+        minCosine = 0.25, nCentroids = 16, nProbe = 4,
+        centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
+      .orderBy("qid", "id")
+  }
+
   /** PQ ANN with FIXED deterministic codebooks: encode → ADC top-refine →
     * exact cosine re-rank. Like `sim_ivf_verified`, the codebook constants
     * are embedded in the DuckDB oracle, which replays encoding, the
@@ -1291,6 +1304,7 @@ object SparkEntry {
     "curation_pipeline"   -> curationPipeline _,
     "sim_kmeans"          -> simKmeans _,
     "sim_embed_qa"        -> simEmbedQa _,
+    "sim_ivf_range"       -> simIvfRange _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -1606,8 +1620,14 @@ object SparkEntry {
       ORDER BY vec_id"""
   }
 
-  private def ivfReplicaOracle(cents: Array[Array[Float]], nProbe: Int,
-                               k: Int, dim: Int = 64): String = {
+  /** Shared CTE chain ending in `scored(qid, id, cosine)` — the DuckDB
+    * replica of the fixed-centroid IVF probe (assignment, nProbe query
+    * cells, candidate join, exact cosine). Consumed by the top-k oracle
+    * (adds the rank window) and the range-search oracle (adds a plain
+    * threshold filter — mirroring exactly the operators' shared/divergent
+    * structure). */
+  private def ivfReplicaCtes(cents: Array[Array[Float]], nProbe: Int,
+                             dim: Int): String = {
     val cLit = cents.map(_.map(f => s"$f::FLOAT").mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
     val nc = cents.length
@@ -1621,8 +1641,7 @@ object SparkEntry {
                     j -> ((f[j] - cc[i + 1][j]) * (f[j] - cc[i + 1][j]))::DOUBLE),
                   'sum'),
              'i': i})), 1, $n), s -> s.i)"""
-    s"""
-      WITH cents AS MATERIALIZED (SELECT $cLit AS cc),
+    s"""cents AS MATERIALIZED (SELECT $cLit AS cc),
       e AS (SELECT vec_id, embedding AS f, embedding::DOUBLE[] AS v FROM embeddings),
       cb AS (SELECT vec_id, v, list_extract(${probeList(1)}, 1) AS cluster
              FROM e CROSS JOIN cents),
@@ -1632,14 +1651,24 @@ object SparkEntry {
       cand AS (
         SELECT DISTINCT qp.qid, qp.qv, c.vec_id AS id, c.v AS v
         FROM qp JOIN cb c USING (cluster) WHERE c.vec_id <> qp.qid),
-      scored AS (SELECT qid, id, list_cosine_similarity(v, qv) AS cosine FROM cand),
+      scored AS (SELECT qid, id, list_cosine_similarity(v, qv) AS cosine FROM cand)"""
+  }
+
+  private def ivfReplicaOracle(cents: Array[Array[Float]], nProbe: Int,
+                               k: Int, dim: Int = 64): String = s"""
+      WITH ${ivfReplicaCtes(cents, nProbe, dim)},
       ranked AS (
         SELECT qid, id, cosine,
                row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
         FROM scored)
       SELECT qid, id, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= $k ORDER BY qid, rank"""
-  }
+
+  private def ivfRangeOracle(cents: Array[Array[Float]], nProbe: Int,
+                             minCosine: Double, dim: Int = 64): String = s"""
+      WITH ${ivfReplicaCtes(cents, nProbe, dim)}
+      SELECT qid, id, cosine FROM scored
+      WHERE cosine >= $minCosine ORDER BY qid, id"""
 
   /** DuckDB replica of the FULL trained-IVF pipeline (`Similarity.ivfTopK`
     * with driver k-means): the 5 Lloyd iterations are unrolled as CTE
@@ -2126,6 +2155,8 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    "sim_ivf_range" -> ivfRangeOracle(
+      Similarity.fixedCentroids(16, 64), nProbe = 4, minCosine = 0.25),
     "sim_rp_topk" -> rpReplicaOracle(
       Similarity.fixedProjection(16, 64), k = 10, refine = 50),
     "sim_pq_topk" -> pqReplicaOracle(

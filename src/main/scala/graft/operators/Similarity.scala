@@ -170,6 +170,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Epsilon-ball (RANGE) similarity search over the IVF index: every
+    * corpus vector with `cosine ≥ minCosine` of each query — the other
+    * retrieval primitive beside top-k ("find EVERYTHING similar", the
+    * shape behind near-dup candidate pulls and contamination sweeps, where
+    * the hit count is data-dependent and a k cutoff would truncate it).
+    * Same scale skeleton as [[ivfTopK]]: one narrow assignment pass over
+    * the corpus, queries broadcast with their `nProbe` nearest cells, an
+    * equi-join on cell id — but NO window: the threshold is a plain filter
+    * pushed below any exchange, so the operator never sorts per query and
+    * the output needs no WindowGroupLimit. Recall is the IVF contract
+    * (bounded by the probed cells); raise `nProbe` toward `nCentroids`
+    * for exhaustive range search. */
+  def ivfRangeSearch(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     minCosine: Double, nCentroids: Int = 16, nProbe: Int = 4,
+                     iters: Int = 5,
+                     centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val cents = centroidsOverride.getOrElse(
+      trainCentroids(corpus, corpusId, corpusVec, nCentroids, iters))
+    def nearest(c: Column, probes: Int): Column =
+      column(graft.functions.NearestCentroids(expression(c), cents, probes))
+    val bucketed = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+      .withColumn("cluster", element_at(nearest(col("cvec"), 1), 1))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+      .withColumn("cluster", explode(nearest(col("qvec"), nProbe)))
+    bucketed.join(broadcast(q), Seq("cluster"))
+      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .where(col("qid") =!= col("id") && col("cosine") >= minCosine)
+      .dropDuplicates("qid", "id")
+  }
+
   /** DISTRIBUTED Lloyd k-means over integer-quantized embeddings — the
     * corpus-scale clustering pass (SemDeDup's prerequisite, IVF training at
     * full data): unlike [[trainCentroids]] (a bounded driver sample), every

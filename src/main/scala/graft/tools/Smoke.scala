@@ -223,6 +223,12 @@ object Smoke {
     println("[smoke] embedding QA report:")
     Similarity.embeddingQa(emb, "embedding", dim = 64, "label")
       .orderBy("label").show(3)
+    println("[smoke] IVF epsilon-ball search (cosine >= 0.25):")
+    Similarity.ivfRangeSearch(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", minCosine = 0.25, nCentroids = 8, nProbe = 4)
+      .groupBy("qid").count().orderBy("qid").show()
     lap("round6-ops")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -355,6 +355,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"ivf recall=$recall")
   }
 
+  test("ivfRangeSearch: exhaustive probing equals the brute-force epsilon ball") {
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val tau = 0.2
+    // nProbe = nCentroids probes every cell — the IVF recall bound becomes
+    // exact, so the result must BE the brute-force threshold filter
+    val full = Similarity.ivfRangeSearch(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", minCosine = tau, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      (qid, qv) <- all if qid < 10
+      (id, v) <- all if id != qid && cos(qv, v) >= tau
+    } yield (qid, id)).toSet
+    assert(full == brute,
+      s"missing=${(brute -- full).take(5)} extra=${(full -- brute).take(5)}")
+    assert(brute.nonEmpty)
+    // partial probing returns a subset, every hit above the threshold
+    val part = Similarity.ivfRangeSearch(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", minCosine = tau, nCentroids = 8, nProbe = 2)
+    assert(part.where(col("cosine") < tau).isEmpty)
+    val partSet = part.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    assert(partSet.subsetOf(full))
+  }
+
   test("lshTopK achieves reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
