@@ -335,8 +335,8 @@ object Dedup {
     * filter (`min(na,nb) ≥ t·max(na,nb)`) before the exact
     * `array_intersect` verification, which touches only surviving pairs. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-                              shingleN: Int = 3,
-                              threshold: Double = 0.5): DataFrame = {
+                              shingleN: Int = 3, threshold: Double = 0.5,
+                              materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold — the prefix length " +
       "|x| - ceil(t*|x|) + 1 is only a valid filter there")
@@ -369,7 +369,8 @@ object Dedup {
         (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materializeAndRelease(out, sets)
+    if (materialize) materializeAndRelease(out, sets)
+    else out // plan-inspection mode: caller owns the cached intermediate
   }
 
   /** Cross-source near-duplicate OVERLAP MATRIX: given a candidate pair

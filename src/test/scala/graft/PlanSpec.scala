@@ -358,6 +358,40 @@ class PlanSpec extends SparkSpec {
       "only the output-order range exchange belongs in this plan")
   }
 
+  test("sim_ivf_range: a pushed filter, never a per-query sort window") {
+    val p = plan("sim_ivf_range")
+    // the whole point vs ivfTopK: range retrieval has no rank, so the plan
+    // must contain NO window operator of any kind (a Window would mean a
+    // per-query sort snuck back in) and must keep the broadcast probe join
+    assert(!p.contains("Window"), p.linesIterator.find(_.contains("Window")).getOrElse(""))
+    assert(p.contains("BroadcastHashJoin"), "query side lost its broadcast")
+  }
+
+  test("sim_embed_qa: defect counts combine map-side; vectors never shuffle") {
+    val p = plan("sim_embed_qa")
+    // partial aggregation proves the group-by combines before the exchange —
+    // the exchange then carries only (label, 8 longs), never the vec column
+    assert(p.contains("partial_count"), "map-side combine missing")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("embedding#")),
+      s"vector column transits an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("dedup_ngram_prefix: doc-frequency order is a partial agg; no nested-loop join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try {
+      val p = graft.operators.Dedup.ngramJaccardPairsPrefix(
+          docs, "doc_id", "text", threshold = 0.5, materialize = false)
+        .queryExecution.executedPlan.toString
+      // the global rare-first order costs ONE map-side-combinable count
+      assert(p.contains("partial_count"), "dfreq lost its map-side combine")
+      // every join in the operator is an equi-join (prefix probe, candidate
+      // re-join); a nested-loop/cartesian would be the O(n^2) failure mode
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "prefix join degenerated to a non-equi join")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("dedup bucket sizing runs over slim (id, key) rows — no payload in the shuffle") {
     // the round-2 regression: 128-long signatures (and embedding vectors)
     // transiting the bucket-sizing window shuffle and its persist. Pin: the
