@@ -2364,13 +2364,13 @@ object SparkEntry {
               (v IS NULL) AS is_null,
               (v IS NOT NULL AND len(v) != 64) AS bad_dim,
               (v IS NOT NULL AND len(v) = 64 AND
-               len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0) AS nonfin,
+               len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0) AS nonfin,
               CASE WHEN v IS NOT NULL AND len(v) = 64 AND
-                        len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+                        len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
                    THEN len(list_filter(v, x -> x != 0)) = 0
                    ELSE FALSE END AS is_zero,
               CASE WHEN v IS NOT NULL AND len(v) = 64 AND
-                        len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+                        len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
                    THEN list_sum(list_transform(v, x ->
                           (floor(x::DOUBLE * 1024))::BIGINT *
                           (floor(x::DOUBLE * 1024))::BIGINT))::BIGINT

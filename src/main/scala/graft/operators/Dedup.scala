@@ -200,16 +200,33 @@ object Dedup {
     val banded = sigs.select(col("id"),
       explode(TF.lshBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
     val (cand, sizedCache) = cappedCandidatePairs(banded, "band", maxBucketSize)
-    val out = cand
-      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("na")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("nb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+    val out = verifyExactJaccard(cand, sets, threshold)
+    materializeAndRelease(out, sets, sigs, sizedCache)
+  }
+
+  /** The verification tail every "approximate candidates, exact output"
+    * dedup shares: join candidate pairs back onto the shingle sets
+    * (`(id, hs, n)`), prune with the classic SIZE FILTER (J ≥ t forces
+    * `min(na,nb) ≥ t·max(na,nb)` — a row-local predicate, so it cuts
+    * before the `array_intersect` touches the arrays), then keep exact
+    * n-gram Jaccard ≥ `threshold`. The ε on the size filter keeps the
+    * rounding direction safe: float noise only ever ADMITS a borderline
+    * pair, and the exact jaccard predicate then decides it. */
+  private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
+                                 threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"),
+                        col("n").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"),
+                        col("n").as("nb")), "id_b")
+      .where(least(col("na"), col("nb")).cast("double") >=
+             greatest(col("na"), col("nb")) * lit(threshold) - lit(1e-9))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b")))
+        .cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materializeAndRelease(out, sets, sigs, sizedCache)
-  }
 
   /** SimHash near-dup: 64-bit simhash over token hashes; Hamming distance ≤
     * `maxHamming` found by the pigeonhole blocking trick — split the 64 bits
@@ -354,21 +371,7 @@ object Dedup {
       .select(least(col("p.id"), col("f.id")).as("id_a"),
               greatest(col("p.id"), col("f.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val out = cand
-      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"),
-                        col("n").as("na")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"),
-                        col("n").as("nb")), "id_b")
-      // size filter: J ≥ t forces min(na,nb) ≥ t·max(na,nb); same safe
-      // rounding direction as the prefix (ε only ever ADMITS borderline)
-      .where(least(col("na"), col("nb")).cast("double") >=
-             greatest(col("na"), col("nb")) * lit(threshold) - lit(1e-9))
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b")))
-        .cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val out = verifyExactJaccard(cand, sets, threshold)
     if (materialize) materializeAndRelease(out, sets)
     else out // plan-inspection mode: caller owns the cached intermediate
   }
@@ -388,12 +391,17 @@ object Dedup {
       .withColumnRenamed("__src", "src_a").drop("__sid")
       .join(src, col("id_b") === col("__sid"))
       .withColumnRenamed("__src", "src_b").drop("__sid")
-      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
-               greatest(col("src_a"), col("src_b")).as("source_b"))
-      .agg(count(lit(1)).as("n_pairs"),
-           size(array_distinct(flatten(
-             collect_list(array(col("id_a"), col("id_b"))))))
-             .cast("long").as("n_docs"))
+      // one row per pair ENDPOINT: n_pairs = rows/2 (exact — the count is
+      // always even), n_docs = distinct endpoints. Keeps the aggregation
+      // state constant-size; a collect_list of ids would hold one
+      // 2·n_pairs array per source pair in a single buffer, which is an
+      // executor OOM when two snapshots share tens of millions of pairs.
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+              greatest(col("src_a"), col("src_b")).as("source_b"),
+              explode(array(col("id_a"), col("id_b"))).as("__d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+           count_distinct(col("__d")).as("n_docs"))
   }
 
   /** Winnow-fingerprint near-dup candidates (what MOSS actually reports):

@@ -148,11 +148,17 @@ object Similarity {
     * the corpus side can additionally be partitioned/bucketed by cluster
     * so repeated query batches co-locate. `centroidsOverride` substitutes a
     * fixed centroid set for the trained one (see [[fixedCentroids]]). */
-  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
-              queries: DataFrame, queryId: String, queryVec: String,
-              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-              iters: Int = 5,
-              centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame = {
+  /** The IVF probe skeleton both retrieval modes share: assignment pass
+    * over the corpus, broadcast queries exploded to their `nProbe` nearest
+    * cells, equi-join on cell id, exact cosine, self-hit filter, candidate
+    * dedup. Top-k adds a rank window on top; range search a threshold
+    * filter — the ONLY divergence (mirrored by the oracle's shared
+    * `ivfReplicaCtes`). */
+  private def ivfScoredCandidates(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      nCentroids: Int, nProbe: Int, iters: Int,
+      centroidsOverride: Option[Array[Array[Float]]]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val cents = centroidsOverride.getOrElse(
       trainCentroids(corpus, corpusId, corpusVec, nCentroids, iters))
@@ -162,10 +168,19 @@ object Similarity {
       .withColumn("cluster", element_at(nearest(col("cvec"), 1), 1))
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
       .withColumn("cluster", explode(nearest(col("qvec"), nProbe)))
-    val scored = bucketed.join(broadcast(q), Seq("cluster"))
+    bucketed.join(broadcast(q), Seq("cluster"))
       .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
       .where(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")
+  }
+
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+              iters: Int = 5,
+              centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame = {
+    val scored = ivfScoredCandidates(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, nCentroids, nProbe, iters, centroidsOverride)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -186,21 +201,10 @@ object Similarity {
                      queries: DataFrame, queryId: String, queryVec: String,
                      minCosine: Double, nCentroids: Int = 16, nProbe: Int = 4,
                      iters: Int = 5,
-                     centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val cents = centroidsOverride.getOrElse(
-      trainCentroids(corpus, corpusId, corpusVec, nCentroids, iters))
-    def nearest(c: Column, probes: Int): Column =
-      column(graft.functions.NearestCentroids(expression(c), cents, probes))
-    val bucketed = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
-      .withColumn("cluster", element_at(nearest(col("cvec"), 1), 1))
-    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
-      .withColumn("cluster", explode(nearest(col("qvec"), nProbe)))
-    bucketed.join(broadcast(q), Seq("cluster"))
-      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
-      .where(col("qid") =!= col("id") && col("cosine") >= minCosine)
-      .dropDuplicates("qid", "id")
-  }
+                     centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame =
+    ivfScoredCandidates(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, nCentroids, nProbe, iters, centroidsOverride)
+      .where(col("cosine") >= minCosine)
 
   /** DISTRIBUTED Lloyd k-means over integer-quantized embeddings — the
     * corpus-scale clustering pass (SemDeDup's prerequisite, IVF training at
@@ -487,8 +491,11 @@ object Similarity {
     val v = col(vecCol)
     val isNull = v.isNull
     val badDim = !isNull && size(v) =!= dim
+    // the NULL-element test comes FIRST in the lambda so exists() can never
+    // return SQL NULL (three-valued logic would otherwise drop the row from
+    // every defect bucket): a null element is itself the nonfinite defect
     val nonFinite = !isNull && !badDim && exists(v, x =>
-      isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+      x.isNull || isnan(x) || abs(x) === lit(Float.PositiveInfinity))
     val healthy = !isNull && !badDim && !nonFinite
     val isZero = healthy && forall(v, x => x === lit(0.0f))
     // quantize once per element, then a pure integer fold — lambda args

@@ -215,14 +215,20 @@ class DedupSimilaritySpec extends SparkSpec {
       (0, Seq(Float.PositiveInfinity, 0f, 0f, 0f)),  // Inf element
       (0, Seq(0f, 0f, 0f, 0f)),                      // all-zero (healthy but unusable)
       (1, Seq(1f, 0f, 0f, 0f)))
+    // a vector with a NULL ELEMENT (legal in parquet list<float>) must land
+    // in n_nonfinite, not vanish through three-valued exists() logic
+    val nullElem = spark.sql(
+      "SELECT 0 AS label, array(cast(0.1 AS float), cast(NULL AS float), " +
+      "cast(0.2 AS float), cast(0.3 AS float)) AS embedding")
     val df = spark.createDataFrame(rows).toDF("label", "embedding")
+      .unionByName(nullElem)
     val out = Similarity.embeddingQa(df, "embedding", dim = 4, "label")
       .orderBy("label").collect()
     val r0 = out(0)
-    assert(r0.getAs[Long]("n_vecs") == 6)
+    assert(r0.getAs[Long]("n_vecs") == 7)
     assert(r0.getAs[Long]("n_null") == 1)
     assert(r0.getAs[Long]("n_bad_dim") == 1)
-    assert(r0.getAs[Long]("n_nonfinite") == 2)
+    assert(r0.getAs[Long]("n_nonfinite") == 3)
     assert(r0.getAs[Long]("n_zero") == 1)
     // healthy: the 0.5-vector (q = floor(0.5·1024) = 512 → q2 = 4·512²)
     // and the zero vector (q2 = 0); defective vectors contribute nothing

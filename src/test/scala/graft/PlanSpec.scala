@@ -369,12 +369,22 @@ class PlanSpec extends SparkSpec {
 
   test("sim_embed_qa: defect counts combine map-side; vectors never shuffle") {
     val p = plan("sim_embed_qa")
-    // partial aggregation proves the group-by combines before the exchange —
-    // the exchange then carries only (label, 8 longs), never the vec column
-    assert(p.contains("partial_count"), "map-side combine missing")
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
-    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("embedding#")),
-      s"vector column transits an exchange:\n${exchanges.mkString("\n")}")
+    // Exchange lines print only the partitioning keys, never the payload,
+    // so "no embedding# in the Exchange line" would be vacuously true. The
+    // real pin: exactly ONE exchange (grouping only — anything extra means
+    // a repartition of raw vectors appeared), sitting ABOVE the partial
+    // aggregate in the tree (= the shuffle input is the combined buffers,
+    // label + 8 longs, not vector rows).
+    // (the gate's orderBy adds a rangepartitioning exchange over the
+    // already-aggregated handful of rows — harmless, excluded here)
+    val lines = p.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partialIdx = lines.indexWhere(_.contains("partial_count"))
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one grouping exchange:\n${lines.filter(_.contains("Exchange")).mkString("\n")}")
+    assert(partialIdx >= 0, "map-side combine missing")
+    assert(exIdx >= 0 && exIdx < partialIdx,
+      "partial aggregate is not the exchange's child — vectors would shuffle")
   }
 
   test("dedup_ngram_prefix: doc-frequency order is a partial agg; no nested-loop join") {
