@@ -570,6 +570,22 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Batch-ingest embedding dedup: the incoming batch (vec_id < 350)
+    * against the accepted corpus (vec_id >= 350), hyperplane-bucket
+    * blocked. The 350 boundary makes the fixture's two same-bucket
+    * qualifying pairs exercise BOTH drop rules: (334, 438) drops 334 via a
+    * corpus source, (197, 318) drops 318 via a smaller-id batch-mate. The
+    * embedding column itself stays out of the gate output — float-array
+    * cell rendering is not comparable across engines. */
+  private def dedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Dedup.incrementalEmbedSurvivors(
+        emb.where(col("vec_id") < 350), emb.where(col("vec_id") >= 350),
+        "vec_id", "embedding", threshold = 0.4)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   /** Epsilon-ball retrieval over the same fixed-centroid IVF index as
     * `sim_ivf_verified` — the oracle shares the probe CTEs and swaps the
     * rank window for the threshold filter, exactly like the operators do. */
@@ -1305,6 +1321,7 @@ object SparkEntry {
     "sim_kmeans"          -> simKmeans _,
     "sim_embed_qa"        -> simEmbedQa _,
     "sim_ivf_range"       -> simIvfRange _,
+    "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -2121,6 +2138,19 @@ object SparkEntry {
       FROM cb a CROSS JOIN guard JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
       ORDER BY id_a, id_b""",
+    // incremental ingest twin: same hyperplane blocking, victim = incoming
+    // (vec_id < 350), source = accepted corpus or smaller-id batch-mate
+    "dedup_embedding_incremental" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT vec_id, label, v, ${hyperplaneBucketSql(8, 64)} AS bucket FROM e),
+      drp AS (
+        SELECT DISTINCT a.vec_id
+        FROM cb a JOIN cb b ON a.bucket = b.bucket
+         AND a.vec_id < 350 AND (b.vec_id >= 350 OR b.vec_id < a.vec_id)
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+      SELECT vec_id, label FROM cb
+      WHERE vec_id < 350 AND vec_id NOT IN (SELECT vec_id FROM drp)
+      ORDER BY vec_id""",
     "dedup_embedding_exact" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

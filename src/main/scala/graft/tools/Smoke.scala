@@ -223,6 +223,11 @@ object Smoke {
     println("[smoke] embedding QA report:")
     Similarity.embeddingQa(emb, "embedding", dim = 64, "label")
       .orderBy("label").show(3)
+    println("[smoke] incremental embedding dedup (batch vs accepted corpus):")
+    Dedup.incrementalEmbedSurvivors(
+        emb.where(col("vec_id") < 30), emb.where(col("vec_id") >= 30),
+        "vec_id", "embedding", threshold = 0.4)
+      .agg(count(lit(1)).as("embed_ingest_survivors")).show()
     println("[smoke] IVF epsilon-ball search (cosine >= 0.25):")
     Similarity.ivfRangeSearch(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 3)

@@ -206,6 +206,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental embedding dedup: corpus dups dropped, greedy keep-first in batch") {
+    def mk(rows: Seq[(Long, Seq[Float])]) =
+      spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val existing = mk(Seq((100L, Seq(1f, 0f, 0f, 0f))))
+    val incoming = mk(Seq(
+      (1L, Seq(1f, 0.0001f, 0f, 0f)),  // ≈ corpus vector → dropped
+      (2L, Seq(0f, 1f, 0f, 0f)),       // first of a batch pair → kept
+      (3L, Seq(0f, 1f, 0.0001f, 0f)),  // ≈ vector 2, larger id → dropped
+      (4L, Seq(0f, 0f, 0f, 1f))))      // unrelated → kept
+    val out = Dedup.incrementalEmbedSurvivors(incoming, existing,
+        "vec_id", "embedding", threshold = 0.95, dim = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out == Set(2L, 4L), s"got $out")
+    // the accepted corpus is never emitted, only filtered against
+    assert(!out.contains(100L))
+  }
+
   test("embedding QA report counts each defect class exactly once") {
     val rows: Seq[(Int, Seq[Float])] = Seq(
       (0, Seq.fill(4)(0.5f)),                        // healthy
