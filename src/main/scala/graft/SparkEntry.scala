@@ -676,6 +676,10 @@ object SparkEntry {
         k = 8, iters = 3, dim = 64)
       .orderBy("vec_id")
 
+  private def textBpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+      .orderBy("rank")
+
   private def simEmbedQa(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingQa(t(s, dir, "embeddings"), "embedding", dim = 64,
         "label")
@@ -1322,6 +1326,7 @@ object SparkEntry {
     "sim_embed_qa"        -> simEmbedQa _,
     "sim_ivf_range"       -> simIvfRange _,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
+    "text_bpe_merges"     -> textBpeMerges _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -1408,6 +1413,63 @@ object SparkEntry {
   private def ngramJaccardOracle(threshold: Double): String = s"""
       WITH ${ngramJaccardCtes(threshold)}
       SELECT id_a, id_b, jaccard FROM ok ORDER BY id_a, id_b"""
+
+  /** DuckDB replica of `TextAnalysis.bpeMerges`: the k merge iterations are
+    * unrolled as staged CTE blocks (the kmeans-oracle pattern). Each block
+    * replays one iteration relationally: pair-weight aggregation → argmax
+    * with the engine's exact `(weight DESC, l, r)` tie-break → the greedy
+    * left-to-right merge, which the engine does as an array fold and the
+    * oracle as islands-and-parity over exploded positions (consecutive
+    * overlapping occurrences — only possible for (a,a) pairs — form an
+    * island; the 1st, 3rd, … members merge, the following position is
+    * consumed). Pure BIGINT weights and `[a-z0-9]` symbol strings, so the
+    * merge table matches bit-for-bit. */
+  private def bpeOracle(numMerges: Int): String = {
+    def iterBlock(k: Int): String = {
+      val p = k - 1
+      s"""
+      p$k AS (
+        SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS weight
+        FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+              FROM s$p WHERE len(syms) >= 2)
+        GROUP BY 1, 2),
+      b$k AS MATERIALIZED (SELECT l, r, weight FROM p$k
+              ORDER BY weight DESC, l ASC, r ASC LIMIT 1),
+      e$k AS (SELECT w, cnt, unnest(range(1, len(syms) + 1)) AS pos, syms
+              FROM s$p),
+      x$k AS (SELECT w, cnt, pos, syms[pos] AS sym,
+                (syms[pos] = (SELECT l FROM b$k) AND
+                 pos < len(syms) AND
+                 syms[pos + 1] = (SELECT r FROM b$k)) AS occ
+              FROM e$k),
+      g$k AS (SELECT *, CASE WHEN occ THEN pos - row_number()
+                OVER (PARTITION BY w, occ ORDER BY pos) END AS isl
+              FROM x$k),
+      sel$k AS (SELECT *, occ AND (row_number()
+                OVER (PARTITION BY w, isl ORDER BY pos) % 2 = 1) AS sel
+              FROM g$k),
+      m$k AS (SELECT *, coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+                false) AS consumed
+              FROM sel$k),
+      s$k AS MATERIALIZED (SELECT w, any_value(cnt) AS cnt,
+                list(CASE WHEN sel THEN sym || (SELECT r FROM b$k) ELSE sym END
+                     ORDER BY pos) AS syms
+              FROM m$k WHERE NOT consumed GROUP BY w)"""
+    }
+    val unions = (1 to numMerges)
+      .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", weight FROM b$k""")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt
+             FROM (SELECT unnest($sqlToks) AS w FROM documents)
+             WHERE len(w) > 0 GROUP BY 1),
+      s0 AS MATERIALIZED (SELECT w, cnt,
+               list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+             FROM w0),
+      ${(1 to numMerges).map(iterBlock).mkString(",")}
+      SELECT * FROM ($unions) ORDER BY rank"""
+  }
 
   /** Shared CTE chain producing `spans(doc_id, start_tok, end_tok,
     * n_windows)` — the DuckDB replica of `Dedup.duplicateSpans` (positional
@@ -2426,6 +2488,7 @@ object SparkEntry {
     // winnowing: the hash VALUES drive the min-selection, so the oracle
     // must replicate XXH64 (unlike the grouping-invariant rows); unsigned
     // HUGEINT hashes convert back to signed BIGINT before comparing
+    "text_bpe_merges" -> bpeOracle(numMerges = 8),
     "text_winnow" -> s"""${winnowCtes()}
       SELECT doc_id, pos, hash FROM sel ORDER BY doc_id, pos""",
     // MOSS overlap report: distinct fingerprint sets self-joined on the

@@ -788,6 +788,85 @@ object TextAnalysis {
     * path (`rsd` controls the size/error trade) — emitting both lets a
     * pipeline validate its sketch error budget on a sample before trusting
     * the sketch alone at full scale. */
+  /** BPE vocabulary induction (Sennrich et al. 2016) — the tokenizer
+    * TRAINING pass, not just application: `numMerges` iterations of "merge
+    * the highest-weight adjacent symbol pair", learned over the WORD
+    * FREQUENCY table. That table is the whole scale story: one corpus scan
+    * builds `(word, count)` (at 100 TB still only O(vocabulary) rows —
+    * tens of millions, not trillions), and every iteration runs over it
+    * alone; the corpus is never touched again. Per iteration: one
+    * map-side-combinable pair-weight aggregation, a single-row bounded
+    * collect (the argmax pair — the only driver traffic), and one narrow
+    * fold rewriting each word's symbol array.
+    *
+    * Determinism contract (gate-grade): weights are BIGINT word-count
+    * sums; the argmax tie-breaks on `(weight DESC, left ASC, right ASC)`
+    * over post-`normText` `[a-z0-9]` symbols, where UTF-16 and byte-wise
+    * collation agree. The merge application is the greedy LEFT-TO-RIGHT
+    * non-overlapping rule: a fold that merges the current symbol into the
+    * accumulator's tail exactly when tail==left ∧ current==right — for an
+    * (a,a) run it takes the 1st, 3rd, … occurrence, which the oracle
+    * reproduces relationally (islands + odd-rank selection). Merged
+    * symbols never cascade within one iteration (tail "ab" ≠ "a" when b
+    * is non-empty), so one pass per iteration IS the full BPE step.
+    *
+    * Returns the learned merge table `(rank, left, right, weight)` —
+    * the artifact a tokenizer trainer ships. Stops early if no pair is
+    * left (every word fully merged). */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    // char split: substr is 1-based; transform over 1..len
+    val charSplit = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var words = df
+      .select(explode(TF.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), charSplit.as("syms"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var prev: DataFrame = null
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      val top = words
+        // single-symbol words have no pairs — and Spark's sequence(1, 0)
+        // would be DESCENDING [1, 0], turning them into an ANSI
+        // out-of-bounds element_at instead of an empty list
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+                      element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // bounded: exactly one row crosses to the driver
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, wt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, wt))
+        val fold = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            // `get` is 0-based and NULL-safe on the empty accumulator (no
+            // ANSI out-of-bounds throw); NULL tail fails the match → append
+            get(acc, size(acc) - 1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+                   array(concat(element_at(acc, size(acc)), s))))
+            .otherwise(concat(acc, array(s))))
+        if (prev != null) prev.unpersist()
+        prev = words
+        words = words.select(col("cnt"), fold.as("syms")).persist()
+        words.count() // materialize this stage so the next argmax does one fold, not rank folds
+      }
+    }
+    if (prev != null) prev.unpersist()
+    words.unpersist()
+    spark.createDataFrame(merges.toSeq)
+      .toDF("rank", "left", "right", "weight")
+  }
+
   def vocabularyReport(df: DataFrame, textCol: String, rsd: Double,
                        byCols: String*): DataFrame =
     df.select((byCols.map(col) :+

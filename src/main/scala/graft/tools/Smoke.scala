@@ -223,6 +223,8 @@ object Smoke {
     println("[smoke] embedding QA report:")
     Similarity.embeddingQa(emb, "embedding", dim = 64, "label")
       .orderBy("label").show(3)
+    println("[smoke] BPE vocabulary induction (merge table):")
+    TextAnalysis.bpeMerges(docs, "text", numMerges = 4).orderBy("rank").show()
     println("[smoke] incremental embedding dedup (batch vs accepted corpus):")
     Dedup.incrementalEmbedSurvivors(
         emb.where(col("vec_id") < 30), emb.where(col("vec_id") >= 30),

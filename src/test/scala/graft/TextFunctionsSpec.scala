@@ -595,4 +595,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kept == Set(11L, 13L),
       s"expected existing-wins + keep-first semantics, got $kept")
   }
+
+  test("bpe merges: hand-traced Sennrich-style corpus, ties break on pair order") {
+    // words: low×3, lower×2, newest×4, widest×1. Traced: (w,e) wins at 6;
+    // then (l,o) ties (s,t) at 5 and wins on left ASC; then (s,t) at 5.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest newest newest widest"))).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, "text", numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "w", "e", 6L), (2, "l", "o", 5L), (3, "s", "t", 5L)))
+  }
+
+  test("bpe merges: (a,a) runs merge greedily left-to-right; trainer stops when exhausted") {
+    // 'aaaa'×3: 3 overlapping (a,a) pairs per word → weight 9; greedy takes
+    // positions 1 and 3 → [aa, aa]; next iteration merges (aa, aa) at 3;
+    // then no pairs remain — 5 requested merges must yield exactly 2
+    val runs = spark.createDataFrame(Seq((1L, "aaaa aaaa aaaa"))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(runs, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
 }
