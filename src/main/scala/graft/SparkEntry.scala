@@ -649,6 +649,35 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Crawl-over-crawl snapshot diff: old = a deterministic ~80% of the
+    * corpus, new = a different ~80%, with ~30% of docs (by a third
+    * independent bucket) carrying mutated text on the new side — all four
+    * statuses fire. */
+  private def curationSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.where(Sampling.bucket(col("doc_id"), 3L) < 800000L)
+    val newSnap = docs.where(Sampling.bucket(col("doc_id"), 5L) < 800000L)
+      .withColumn("text",
+        when(Sampling.bucket(col("doc_id"), 9L) < 300000L,
+             concat(col("text"), lit(" updated"))).otherwise(col("text")))
+    Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Soft quality filter: keep probability proportional to the quality
+    * score (rate_ppm = quality × 1200, clamping at 1e6 — top-quality docs
+    * are near-certain keeps, low-quality ones mostly drop). */
+  private def curationWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rate = TF.qualityScore(col("text")).cast("long") * 1200L
+    graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", rate)
+      .select(col("doc_id"),
+              TF.qualityScore(col("text")).cast("long").as("quality"),
+              least(rate, lit(1000000L)).as("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
   private def curationMixture(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.temperatureMixture(t(s, dir, "documents"),
         "source", "doc_id", targetRows = 250L, alpha = 0.5)
@@ -818,6 +847,13 @@ object SparkEntry {
     TextAnalysis.packManifest(t(s, dir, "documents"), "doc_id", "text",
         seqLen = 512L)
       .orderBy("doc_id", "window_id")
+
+  /** Retrieval-style sliding-window chunking: 16-token windows advancing
+    * by 8 (50% overlap), every token covered, no suffix-subset tail. */
+  private def textChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkManifest(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 16, strideTokens = 8)
+      .orderBy("doc_id", "chunk_idx")
 
   /** The end-to-end curation pipeline a training-data run actually
     * executes, as ONE composed query: Gopher quality/repetition filter →
@@ -1313,6 +1349,8 @@ object SparkEntry {
         .orderBy("lang")),
     "curation_split"      -> curationSplit _,
     "curation_stratified" -> curationStratified _,
+    "curation_weighted"   -> curationWeighted _,
+    "curation_snapshot_diff" -> curationSnapshotDiff _,
     "curation_mixture"    -> curationMixture _,
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
@@ -1321,6 +1359,7 @@ object SparkEntry {
     "text_decontaminate"  -> textDecontaminate _,
     "q_zorder_layout"     -> qZorderLayout _,
     "text_pack_manifest"  -> textPackManifest _,
+    "text_chunks"         -> textChunks _,
     "curation_pipeline"   -> curationPipeline _,
     "sim_kmeans"          -> simKmeans _,
     "sim_embed_qa"        -> simEmbedQa _,
@@ -2427,6 +2466,54 @@ object SparkEntry {
                        ELSE 1000000 END
       ORDER BY doc_id"""
     },
+    // snapshot diff: both sides' membership and the mutation replay on
+    // seeded XXH64 bucket replicas; fingerprints are md5 of the exact
+    // (coalesced) text on both engines
+    "curation_snapshot_diff" -> {
+      def seeded(seed: Long) = OracleXX.xxh64LongPmod("doc_id", 1000000L,
+        seed = java.lang.Long.toUnsignedString(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(seed, 42L)))
+      val (b3, b5, b9) = (seeded(3L), seeded(5L), seeded(9L))
+      s"""
+      WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS old_fp
+                 FROM documents WHERE $b3 < 800000),
+      n AS (SELECT doc_id,
+              md5(coalesce(CASE WHEN $b9 < 300000 THEN text || ' updated'
+                                ELSE text END, '')) AS new_fp
+            FROM documents WHERE $b5 < 800000)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             o.old_fp AS old_fp, n.new_fp AS new_fp
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      ORDER BY doc_id"""
+    },
+    // weighted sampling: the per-row ppm threshold is the quality score
+    // (integer arithmetic, shared with text_quality) scaled and clamped —
+    // the keep decision replays on the XXH64 bucket replica
+    "curation_weighted" -> {
+      val b0 = OracleXX.xxh64LongPmod("doc_id", 1000000L)
+      s"""
+      WITH c AS (
+        SELECT doc_id, len($sqlToks)::BIGINT AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                 floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
+               ELSE 0 END AS punct_pm,
+               ${langScoreSql("en")} AS stop_hits
+        FROM documents),
+      q AS (SELECT doc_id,
+              (least(n_tokens, 200) * 2 +
+               CASE WHEN punct_pm <= 80 THEN 300 ELSE 100 END +
+               least(stop_hits * 30, 300))::BIGINT AS quality
+            FROM c)
+      SELECT d.doc_id, q.quality,
+             least(q.quality * 1200, 1000000)::BIGINT AS rate_ppm
+      FROM documents d JOIN q USING (doc_id)
+      WHERE $b0 < least(q.quality * 1200, 1000000)
+      ORDER BY d.doc_id"""
+    },
     // temperature mixture: rate_ppm = floor(T*sqrt(c)/S/c*1e6) with the
     // weight sum S folded in domain-name order — every double op is IEEE
     // exact-rounded (sqrt, left-assoc mul/div chain, sequential list sum),
@@ -2559,6 +2646,25 @@ object SparkEntry {
              (greatest(off, w * 512) - off)::BIGINT AS doc_tok_start,
              (least(off + n_tokens, (w + 1) * 512) - greatest(off, w * 512))::BIGINT AS seg_len
       FROM seg ORDER BY doc_id, window_id""",
+    // sliding-window chunks: starts = range(0, n, stride) minus windows
+    // that begin after the doc is already covered (s = 0 OR s + stride <
+    // n, with stride 8 / chunk 16 the generic s - stride + chunk < n)
+    "text_chunks" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      st AS (SELECT doc_id, tk, len(tk)::BIGINT AS n,
+               list_filter(range(0, len(tk), 8),
+                           s -> s = 0 OR s + 8 < len(tk)) AS ss
+             FROM toks),
+      ex AS (SELECT doc_id, tk, n,
+               unnest(list_transform(range(1, len(ss) + 1),
+                 i -> {'ci': i - 1, 's': ss[i]})) AS u
+             FROM st)
+      SELECT doc_id, (u.ci)::BIGINT AS chunk_idx, (u.s)::BIGINT AS tok_start,
+             least(u.s + 16, n)::BIGINT AS tok_end,
+             (least(u.s + 16, n) - u.s)::BIGINT AS n_toks,
+             array_to_string(list_slice(tk, u.s + 1, least(u.s + 16, n)), ' ')
+               AS chunk_text
+      FROM ex ORDER BY doc_id, chunk_idx""",
     // classifier: per-distinct-token XXH64 → pmod bucket → literal weight
     // lookup, integer sums — the Spark pipeline replayed bit-exactly
     "text_classifier" -> {

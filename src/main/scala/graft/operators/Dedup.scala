@@ -887,6 +887,40 @@ object Dedup {
     else materializeAndRelease(out, inc, crossSrc)
   }
 
+  /** Snapshot diff — the crawl-over-crawl corpus delta report: classify
+    * every document id across two snapshots of a corpus as `added` (new
+    * side only), `removed` (old side only), `changed` (present in both
+    * with different content fingerprints) or `unchanged`. Content equality
+    * is md5 of the raw text by default; `normalized = true` compares
+    * graft-normalized text instead, so whitespace/case churn doesn't count
+    * as change. NULL text fingerprints like empty text (presence is what
+    * the diff tracks — a NULL fp would misread as absence). Ids must be
+    * unique within each snapshot.
+    *
+    * Output: `(idCol, status, old_fp, new_fp)` — fp NULL on the absent
+    * side only.
+    *
+    * Scale: both snapshots project to slim `(id, fp)` BEFORE the single
+    * full-outer id-equi-join, so document bodies never shuffle; snapshots
+    * kept as bucketed tables on the id ([[graft.operators.Relational]]
+    * `bucketMaterialize`) diff with zero exchanges. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String, normalized: Boolean = false): DataFrame = {
+    def fp(df: DataFrame, out: String) = {
+      val body = coalesce(col(textCol), lit(""))
+      val f = if (normalized) TF.fingerprint(body)
+              else md5(to_binary(body, lit("utf-8")))
+      df.select(col(idCol).as("id"), f.as(out))
+    }
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   /** Transitive dup-cluster labeling (connected components): every doc gets
     * `cluster_id` = the MIN id reachable through the dup-pair graph
     * (singletons label themselves). The greedy `survivors` keeps a doc

@@ -76,6 +76,33 @@ object Sampling {
     df.where(b < threshold)
   }
 
+  /** Score-weighted deterministic sampling — the "keep with probability
+    * proportional to a per-document signal" soft-filter move (quality
+    * scores, classifier confidences, language probabilities): each row is
+    * kept iff its XXH64 bucket falls under a PER-ROW ppm threshold given by
+    * `ratePpm`, an arbitrary integer column expression clamped to
+    * [0, 1e6]. Unlike [[stratifiedSample]] (one rate per stratum) the rate
+    * here varies row by row, so a continuous score maps directly to a keep
+    * probability with no bucketing step. A NULL rate drops the row
+    * (documents with no signal don't pass a sampling gate by accident).
+    *
+    * The decision stays a pure function of (row identity, row signals):
+    * deterministic, engine-reproducible, incremental-safe, and monotone —
+    * a row kept at rate r is kept at every rate ≥ r (same bucket, higher
+    * threshold), so tightening/loosening a policy yields nested samples.
+    *
+    * Scale: a narrow per-row filter, no shuffle, no state; with a
+    * column-backed rate the predicate is scan-bound and whole-stage
+    * codegen'd. */
+  def weightedSample(df: DataFrame, idCol: String, ratePpm: Column,
+                     seed: Long = 0L): DataFrame =
+    // NULL handled explicitly — Spark's least/greatest SKIP nulls, so an
+    // unguarded clamp would promote a NULL rate to the 1e6 ceiling and
+    // keep every signal-less row
+    df.where(bucket(col(idCol), seed) <
+      greatest(lit(0L), least(coalesce(ratePpm.cast("long"), lit(0L)),
+                              lit(Buckets))))
+
   /** Temperature-weighted mixture resampling (the `p_g ∝ count_g^alpha`
     * rebalancing used to flatten training mixtures — alpha = 1 keeps natural
     * proportions, alpha → 0 approaches uniform-over-domains). Per domain the

@@ -449,6 +449,50 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Sliding-window chunk manifest (retrieval / context-window chunking):
+    * each document's graft-normalized token sequence is cut into windows of
+    * `chunkTokens` tokens whose starts advance by `strideTokens` (overlap =
+    * `chunkTokens - strideTokens` when the stride is smaller than the
+    * window). A window that would start after the document is already fully
+    * covered is not emitted — the last chunk is the first one whose end
+    * reaches the document end — so every token is covered and no chunk is a
+    * suffix-subset of its predecessor. The text column is normalized the
+    * same way every other token operator here normalizes, so chunk
+    * boundaries line up with `packingOffsets` / `duplicateSpans` token
+    * indices; an empty (or NULL) document yields one empty chunk (its token
+    * sequence is the single empty token, mirroring `tokens('')` in both
+    * engines).
+    *
+    * Output: `(idCol, chunk_idx, tok_start, tok_end, n_toks, chunk_text)`
+    * with `[tok_start, tok_end)` token-index bounds and `chunk_idx` dense
+    * per document.
+    *
+    * Scale: entirely narrow — tokens are computed once per row (the alias
+    * is multi-referenced, so CollapseProject cannot inline it into the
+    * start-filter lambda), the generate multiplies rows by ~n/stride, and
+    * nothing shuffles; at 100 TB this is a scan-bound map stage whose scan
+    * prunes to (id, text). */
+  def chunkManifest(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1, s"strideTokens must be >= 1, got $strideTokens")
+    val end = least(col("col") + chunkTokens, col("__n"))
+    df.select(col(idCol), TF.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col(idCol), col("__toks"),
+              size(col("__toks")).cast("long").as("__n"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(filter(
+          sequence(lit(0L), col("__n") - 1, lit(strideTokens.toLong)),
+          i => i === 0L || i - strideTokens + chunkTokens < col("__n"))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("tok_start"),
+        end.as("tok_end"),
+        (end - col("col")).as("n_toks"),
+        array_join(slice(col("__toks"), (col("col") + 1).cast("int"),
+                         lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Per-document top-k salient terms by tf-idf. The idf here is the
     * non-log variant `N / df` (a documented tf-idf family member): every
     * arithmetic step (integer-valued doubles under 2^53, one division) is

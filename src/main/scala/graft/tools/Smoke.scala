@@ -191,6 +191,14 @@ object Smoke {
     TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
       .groupBy("bucket_label").count().show()
     TextAnalysis.packManifest(docs, "doc_id", "text", seqLen = 512L).show(3)
+    TextAnalysis.chunkManifest(docs, "doc_id", "text",
+      chunkTokens = 16, strideTokens = 8).show(3)
+    graft.operators.Sampling.weightedSample(docs, "doc_id",
+        TF.qualityScore(col("text")).cast("long") * 1200L)
+      .agg(count(lit(1)).as("weighted_sample_kept")).show()
+    Dedup.snapshotDiff(docs.where(col("doc_id") < 40),
+        docs.where(col("doc_id") >= 20), "doc_id", "text")
+      .groupBy("status").count().show()
     locally { // crawl-ingestion dedup loop: 3 batches against the growing index
       val bs = Seq(docs.where(col("doc_id") < 20),
         docs.where(col("doc_id") >= 20 && col("doc_id") < 40),

@@ -206,6 +206,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: all four statuses, normalized mode, NULL-text presence") {
+    val oldSnap = spark.createDataFrame(Seq(
+        (1L, "gone"), (2L, "same"), (3L, "before"), (5L, "A  b")))
+      .toDF("doc_id", "text")
+    val newSnap = spark.createDataFrame(Seq(
+        (2L, "same"), (3L, "after"), (4L, "fresh"), (5L, "a b")))
+      .toDF("doc_id", "text")
+    def statuses(normalized: Boolean): Map[Long, String] =
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text", normalized)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses(normalized = false) == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added", 5L -> "changed"))
+    // normalized mode: whitespace/case churn is not change
+    assert(statuses(normalized = true)(5L) == "unchanged")
+    // NULL text is presence (fingerprints like empty), not absence
+    val withNull = Dedup.snapshotDiff(
+        spark.createDataFrame(Seq((7L, null.asInstanceOf[String])))
+          .toDF("doc_id", "text"),
+        spark.createDataFrame(Seq((7L, ""))).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+    assert(withNull.length == 1 && withNull.head.getString(1) == "unchanged")
+    // fp columns are NULL exactly on the absent side
+    Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text").collect()
+      .foreach { r =>
+        assert((r.getString(1) == "added") == (r.get(2) == null), r.toString)
+        assert((r.getString(1) == "removed") == (r.get(3) == null), r.toString)
+      }
+  }
+
   test("incremental embedding dedup: corpus dups dropped, greedy keep-first in batch") {
     def mk(rows: Seq[(Long, Seq[Float])]) =
       spark.createDataFrame(rows).toDF("vec_id", "embedding")

@@ -175,6 +175,28 @@ class RelationalSpec extends SparkSpec {
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
   }
 
+  test("weightedSample: per-row rates, monotone nesting, clamp, NULL drops") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // a constant rate is exactly hashSample at the same fraction
+    assert(ids(Sampling.weightedSample(docs, "doc_id", lit(500000L))) ==
+           ids(Sampling.hashSample(docs, "doc_id", 0.5)))
+    // monotone nesting: doubling every row's rate only adds rows
+    val lo = ids(Sampling.weightedSample(docs, "doc_id", col("n_chars") * 1000L))
+    val hi = ids(Sampling.weightedSample(docs, "doc_id", col("n_chars") * 2000L))
+    assert(lo.subsetOf(hi), s"${(lo -- hi).take(3)} kept at low rate only")
+    assert(lo.nonEmpty && hi.size < docs.count(), "rates should discriminate")
+    // rates clamp: >= 1e6 keeps everything, <= 0 (and NULL) keeps nothing
+    assert(Sampling.weightedSample(docs, "doc_id", lit(2000000L)).count() ==
+           docs.count())
+    assert(Sampling.weightedSample(docs, "doc_id", lit(-5L)).count() == 0L)
+    assert(Sampling.weightedSample(docs, "doc_id",
+      lit(null).cast("long")).count() == 0L)
+  }
+
   test("capPerGroup: deterministic survivors, cap honored, reserved-column guard") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions.col

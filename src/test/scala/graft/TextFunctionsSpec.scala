@@ -504,6 +504,50 @@ class TextFunctionsSpec extends SparkSpec {
     assert(segs.map(_._5).sum == localN.values.sum)
   }
 
+  test("chunkManifest: coverage, overlap, no suffix-subset tail") {
+    import graft.operators.TextAnalysis
+    // hand case: 5 tokens, chunk 3 / stride 2 → [0,3) and [2,5); the
+    // would-be start 4 is suppressed (start 2 already reached the end)
+    val small = spark.createDataFrame(Seq(
+        (1L, "a b c d e"), (2L, "a b c"), (3L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkManifest(small, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 3L, 3L, "a b c"), (1L, 1L, 2L, 5L, 3L, "c d e"),
+      (2L, 0L, 0L, 3L, 3L, "a b c"),
+      (3L, 0L, 0L, 1L, 1L, "")), got.toString)
+
+    // corpus invariants at chunk 16 / stride 8
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = TextAnalysis.chunkManifest(docs, "doc_id", "text", 16, 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+        r.getAs[Long]("n_toks"), r.getAs[String]("chunk_text")))
+    chunks.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = toks(id).size.toLong
+      // dense chunk ids, stride-spaced starts, bounded widths
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, ci, s, e, len, text) =>
+        assert(s == ci * 8, s"doc $id chunk $ci start $s")
+        assert(e == math.min(s + 16, n) && len == e - s && len >= 1)
+        assert(text == toks(id).slice(s.toInt, e.toInt).mkString(" "))
+      }
+      // coverage: the last chunk reaches the end, and no chunk is emitted
+      // once the end was reached
+      assert(sorted.last._4 == n, s"doc $id last chunk ends ${sorted.last._4}")
+      sorted.dropRight(1).foreach { case (_, _, _, e, _, _) =>
+        assert(e < n, s"doc $id has a redundant chunk ending at $e")
+      }
+    }
+    assert(chunks.map(_._1).toSet == toks.keySet)
+  }
+
   test("curation pipeline composition: filter ⊆, dedup distinct, cap bound") {
     import graft.operators.TextAnalysis
     // the pipeline under test is a black box; the kept set it must stay
