@@ -649,6 +649,28 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Line-level dedup over synthesized multi-line "pages": the corpus has
+    * no newline structure, so 5 consecutive docs concatenate into one page
+    * per `doc_id DIV 5`, wrapped in the boilerplate a crawled page carries —
+    * a cookie-banner header whose CASE/punctuation varies by page parity
+    * (normalization must unify them), a blank separator line (empty-norm —
+    * never deduplicated), and a constant footer. The operator keeps each
+    * banner's globally-first occurrence and cuts the other 99. */
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val pages = t(s, dir, "documents")
+      .groupBy(expr("doc_id DIV 5").as("page_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+          e => e.getField("text")), "\n").as("body"))
+      .select(col("page_id"), concat_ws("\n",
+        when(pmod(col("page_id"), lit(2L)) === 0L, lit("Cookie Notice: ACCEPT!"))
+          .otherwise(lit("cookie notice accept")),
+        lit(""), col("body"), lit("subscribe to the newsletter"))
+        .as("page_text"))
+    Dedup.lineSurvivors(pages, "page_id", "page_text")
+      .orderBy("page_id")
+  }
+
   /** Crawl-over-crawl snapshot diff: old = a deterministic ~80% of the
     * corpus, new = a different ~80%, with ~30% of docs (by a third
     * independent bucket) carrying mutated text on the new side — all four
@@ -1351,6 +1373,7 @@ object SparkEntry {
     "curation_stratified" -> curationStratified _,
     "curation_weighted"   -> curationWeighted _,
     "curation_snapshot_diff" -> curationSnapshotDiff _,
+    "dedup_lines"         -> dedupLines _,
     "curation_mixture"    -> curationMixture _,
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
@@ -2466,6 +2489,46 @@ object SparkEntry {
                        ELSE 1000000 END
       ORDER BY doc_id"""
     },
+    // line dedup: first-occurrence = min (page_id, pos), encoded as
+    // page_id*1e6+pos (positions are tiny here; the engine compares the
+    // struct directly); dedup keys are the NORMALIZED line strings —
+    // grouping by string is collision-free, the engine's xxhash64 grouping
+    // agrees on any corpus without a 64-bit collision
+    "dedup_lines" -> s"""
+      WITH body AS (SELECT (doc_id // 5) AS page_id,
+                           string_agg(text, chr(10) ORDER BY doc_id) AS body
+                    FROM documents GROUP BY 1),
+      pages AS (SELECT page_id,
+                  (CASE WHEN page_id % 2 = 0 THEN 'Cookie Notice: ACCEPT!'
+                        ELSE 'cookie notice accept' END)
+                  || chr(10) || '' || chr(10) || body
+                  || chr(10) || 'subscribe to the newsletter' AS page_text
+                FROM body),
+      l AS (SELECT page_id, string_split(page_text, chr(10)) AS ls FROM pages),
+      e AS (SELECT page_id, ls, unnest(list_transform(range(1, len(ls) + 1),
+              i -> {'pos': i - 1, 'line': ls[i]})) AS u
+            FROM l),
+      p AS (SELECT page_id, (u.pos)::BIGINT AS pos, u.line AS line,
+              trim(regexp_replace(regexp_replace(lower(u.line), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+            FROM e),
+      nz AS (SELECT * FROM p WHERE norm <> ''),
+      firsts AS (SELECT norm, count(*)::BIGINT AS cnt,
+                        min(page_id * 1000000 + pos) AS firstkey
+                 FROM nz GROUP BY norm),
+      cuts AS (SELECT page_id, pos FROM nz JOIN firsts USING (norm)
+               WHERE cnt >= 2 AND page_id * 1000000 + pos <> firstkey),
+      kept AS (SELECT p.page_id, p.pos, p.line FROM p
+               WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                 WHERE c.page_id = p.page_id AND c.pos = p.pos)),
+      agg AS (SELECT page_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*)::BIGINT AS n_lines_kept
+              FROM kept GROUP BY page_id)
+      SELECT l.page_id, coalesce(a.clean_text, '') AS clean_text,
+             coalesce(a.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+             (len(l.ls) - coalesce(a.n_lines_kept, 0))::BIGINT AS n_lines_cut
+      FROM l LEFT JOIN agg a USING (page_id)
+      ORDER BY page_id""",
     // snapshot diff: both sides' membership and the mutation replay on
     // seeded XXH64 bucket replicas; fingerprints are md5 of the exact
     // (coalesced) text on both engines

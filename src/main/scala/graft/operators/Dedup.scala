@@ -887,6 +887,68 @@ object Dedup {
     else materializeAndRelease(out, inc, crossSrc)
   }
 
+  /** Corpus-wide line-level dedup with reassembly (the RefinedWeb /
+    * CCNet "remove duplicated lines" pass — boilerplate nav bars, cookie
+    * banners, repeated headers): documents split on `delim`, every line
+    * whose graft-NORMALIZED form occurs at least `minRepeats` times across
+    * the whole corpus is removed EXCEPT its globally-first occurrence
+    * (min `(id, position)`), and each document is re-joined from its kept
+    * lines. Lines that normalize to empty (blank/punctuation-only) are
+    * structure, not content — never deduplicated, always kept.
+    *
+    * Output: `(idCol, clean_text, n_lines_kept, n_lines_cut)` — every
+    * input document appears, cut or not.
+    *
+    * Scale: lines shuffle as slim `(xxhash64(norm), id, pos)` rows — never
+    * text; the global first/count reduction is a map-side-combinable
+    * partial aggregate (a banner repeated 10^8 times costs a combiner
+    * merge, not a single-reducer sort — same shape as [[duplicateSpans]]);
+    * cut positions collapse to one small per-doc array re-joined onto the
+    * corpus (broadcastable at production skew), and the line filter is a
+    * per-row expression — document bodies never cross a shuffle. */
+  def lineSurvivors(df: DataFrame, idCol: String, textCol: String,
+                    delim: String = "\n", minRepeats: Long = 2L,
+                    materialize: Boolean = true): DataFrame = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    require(minRepeats >= 2L, s"minRepeats must be >= 2, got $minRepeats")
+    Seq("__graft_lines", "__graft_cuts", "__graft_kept").foreach(c =>
+      require(!df.columns.contains(c),
+        s"lineSurvivors: input already contains reserved column '$c'"))
+    val qdelim = java.util.regex.Pattern.quote(delim)
+    val linesOf = split(coalesce(col(textCol), lit("")), qdelim, -1)
+    // (h, id, pos): normalized-line hashes at their original line index —
+    // empty-norm lines are excluded here (never dedup candidates) but keep
+    // their positions occupied, so cut indices line up with the raw split
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(linesOf))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+              TF.normText(col("col")).as("norm"))
+      .where(length(col("norm")) > 0)
+      .select(col("id"), col("pos"), xxhash64(col("norm")).as("h"))
+    val lines = if (materialize) exploded.persist() else exploded
+    val firsts = lines.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+           count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minRepeats)
+    val cuts = lines.join(firsts, "h")
+      .where(struct(col("id"), col("pos")) =!= col("first"))
+      .groupBy(col("id").as(idCol))
+      .agg(collect_list(col("pos")).as("__graft_cuts"))
+    val out = df.join(cuts, Seq(idCol), "left")
+      .select(col(idCol), linesOf.as("__graft_lines"), col("__graft_cuts"))
+      .select(col(idCol), col("__graft_lines"),
+        when(col("__graft_cuts").isNull, col("__graft_lines"))
+          .otherwise(filter(col("__graft_lines"),
+            (_, i) => !array_contains(col("__graft_cuts"), i.cast("long"))))
+          .as("__graft_kept"))
+      .select(col(idCol),
+        array_join(col("__graft_kept"), delim).as("clean_text"),
+        size(col("__graft_kept")).cast("long").as("n_lines_kept"),
+        (size(col("__graft_lines")) - size(col("__graft_kept")))
+          .cast("long").as("n_lines_cut"))
+    if (materialize) materializeAndRelease(out, lines) else out
+  }
+
   /** Snapshot diff — the crawl-over-crawl corpus delta report: classify
     * every document id across two snapshots of a corpus as `added` (new
     * side only), `removed` (old side only), `changed` (present in both

@@ -199,6 +199,15 @@ object Smoke {
     Dedup.snapshotDiff(docs.where(col("doc_id") < 40),
         docs.where(col("doc_id") >= 20), "doc_id", "text")
       .groupBy("status").count().show()
+    Dedup.lineSurvivors(
+        docs.groupBy(expr("doc_id DIV 5").as("page_id"))
+          .agg(concat_ws("\n", lit("shared banner"),
+            array_join(transform(sort_array(collect_list(
+              struct(col("doc_id"), col("text")))),
+              e => e.getField("text")), "\n")).as("page_text")),
+        "page_id", "page_text")
+      .agg(sum("n_lines_cut").as("lines_cut"),
+           sum("n_lines_kept").as("lines_kept")).show()
     locally { // crawl-ingestion dedup loop: 3 batches against the growing index
       val bs = Seq(docs.where(col("doc_id") < 20),
         docs.where(col("doc_id") >= 20 && col("doc_id") < 40),

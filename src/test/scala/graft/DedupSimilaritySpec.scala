@@ -206,6 +206,47 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lineSurvivors: global first kept, norm unification, blanks immune") {
+    val pagesDf = spark.createDataFrame(Seq(
+        (1L, "Alpha\n\nShared Line!\ndup two"),
+        (2L, "shared line\n\nbeta\nshared line"),
+        (3L, "gamma\nshared line\ndup two")))
+      .toDF("doc_id", "text")
+    def run(minRepeats: Long): Map[Long, (String, Long, Long)] =
+      Dedup.lineSurvivors(pagesDf, "doc_id", "text", minRepeats = minRepeats)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    // "shared line" normalizes equal across case/punct variants (cnt 4,
+    // first = doc 1 pos 2); "dup two" cnt 2 (first = doc 1 pos 3); the
+    // blank separator lines are empty-norm and never cut
+    assert(run(2L) == Map(
+      1L -> (("Alpha\n\nShared Line!\ndup two", 4L, 0L)),
+      2L -> (("\nbeta", 2L, 2L)),
+      3L -> (("gamma", 1L, 2L))))
+    // raising the repeat floor spares the cnt-2 line
+    assert(run(3L) == Map(
+      1L -> (("Alpha\n\nShared Line!\ndup two", 4L, 0L)),
+      2L -> (("\nbeta", 2L, 2L)),
+      3L -> (("gamma\ndup two", 2L, 1L))))
+    // idempotence: re-running on the cleaned corpus cuts nothing
+    val clean = Dedup.lineSurvivors(pagesDf, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(Dedup.lineSurvivors(clean, "doc_id", "text")
+      .agg(sum("n_lines_cut")).collect().head.getLong(0) == 0L)
+    // custom delimiter (regex-special, must be quoted)
+    val piped = spark.createDataFrame(Seq((1L, "x|y"), (2L, "x|z")))
+      .toDF("doc_id", "text")
+    val pipedOut = Dedup.lineSurvivors(piped, "doc_id", "text", delim = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pipedOut == Map(1L -> "x|y", 2L -> "z"))
+    intercept[IllegalArgumentException](
+      Dedup.lineSurvivors(pagesDf, "doc_id", "text", minRepeats = 1L))
+    intercept[IllegalArgumentException](
+      Dedup.lineSurvivors(pagesDf.withColumn("__graft_cuts", lit(1)),
+        "doc_id", "text"))
+  }
+
   test("snapshotDiff: all four statuses, normalized mode, NULL-text presence") {
     val oldSnap = spark.createDataFrame(Seq(
         (1L, "gone"), (2L, "same"), (3L, "before"), (5L, "A  b")))

@@ -333,6 +333,21 @@ class PlanSpec extends SparkSpec {
       s"tfidf window must partition by doc_id:\n${winLines.mkString("\n")}")
   }
 
+  test("dedup_lines: slim line-hash shuffle, partial first/count reduction") {
+    val p = graft.operators.Dedup.lineSurvivors(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", materialize = false)
+      .queryExecution.executedPlan.toString
+    // the global first/count reduction combines map-side — a banner line
+    // repeated 10^8 times must cost a combiner merge, not a reducer sort
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "line first/count reduction lost its map-side combine")
+    // the dedup shuffle is keyed on the 8-byte line hash — line TEXT is
+    // projected out before the exchange
+    assert(p.contains("Exchange hashpartitioning(h#"),
+      "h-keyed exchange missing below the reduction")
+  }
+
   test("dedup_spans: window hashing is the native expression inside codegen") {
     val p = graft.operators.Dedup.duplicateSpans(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
