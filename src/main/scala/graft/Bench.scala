@@ -159,8 +159,12 @@ object Bench {
     val passTotals = allPasses.map(_.map(_._2._1).sum)
     // a failed query records a near-zero time — without an explicit failure
     // list a broken run would read as a speedup
-    val failed = allPasses.flatten.collect { case (k, (_, false)) => "\"" + k + "\"" }
-      .distinct.mkString("[", ",", "]")
+    val failedNames = allPasses.flatten.collect { case (k, (_, false)) => k }.distinct
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // inline-capped twin for the compact line (same budget logic as degraded)
+    val failedCompact =
+      failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      s""","failed_n":${failedNames.size}"""
     // SELF-DIAGNOSIS of a polluted run (the round-5 driver record — cold
     // 143 s where a quiet box measures 81 s — was indistinguishable from a
     // regression until a judge re-ran it): in genuine steady state the warm
@@ -197,10 +201,21 @@ object Bench {
       s""""degraded":${degradedJson(degradedNames)},"degraded_n":${degradedNames.size},$probeDiag"""
     val passTotalsJson =
       passTotals.map(num(_, 3)).mkString("[", ",", "]")
-    // the driver-parsed line: steady-state only, 2-decimal precision —
-    // ~1.2 KB for 58 queries, safely inside the stdout tail window
-    val compact =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 2))},"sf":"$sfDir","passes":$passes,"cold_total_sec":${num(coldTotal, 3)},"wall_both_passes_sec":${num(wall, 3)},"failed":$failed,$compactDiag}"""
+    // the driver-parsed line must fit the driver's 2000-char stdout tail
+    // window MINUS sbt's trailing "[success] Total time..." line (~90 chars).
+    // A full per-query map stopped fitting at 108 queries (round-6:
+    // parsed=null, the round-3 defect again), so the compact line carries
+    // aggregates + only the slowest steady-state queries, trimmed to a hard
+    // byte budget; the full per-query map (both passes, ms precision) is in
+    // the committed BENCH_LOCAL.json.
+    val lineBudget = 1800
+    def compactLine(k: Int): String = {
+      val top = results.sortBy(-_._2._1).take(k).sortBy(_._1)
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(top, v => num(v, 2))},"queries_total_n":${results.size},"queries_inline_n":${top.size},"sf":"$sfDir","passes":$passes,"cold_total_sec":${num(coldTotal, 3)},"wall_both_passes_sec":${num(wall, 3)},"failed":$failedCompact,$compactDiag}"""
+    }
+    val compact = (results.size to 0 by -1).view.map(compactLine)
+      .find(_.length <= lineBudget)
+      .getOrElse(compactLine(0))
     // the full local record keeps the cold map + ms precision + load context
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, v => num(v, 3))},"queries_cold":${qmap(cold, v => num(v, 3))},"sf":"$sfDir","passes":$passes,"pass_totals_sec":$passTotalsJson,"wall_both_passes_sec":${num(wall, 3)},"failed":$failed,$fullDiag,"loadavg_start":${num(loadBefore, 2)},"loadavg_end":${num(loadAfter, 2)}}"""
@@ -211,7 +226,7 @@ object Bench {
     // only a full run (all queries) rewrites it
     if (names.sorted == SparkEntry.queries.keys.toSeq.sorted)
       try updateReadme(names.size, total, coldTotal, wall, sfDir, cpus, results,
-                       passes)
+                       passes, degradedNames.size)
       catch { case e: Throwable =>
         System.err.println(s"[bench] README update skipped: ${e.getMessage}") }
     println(compact) // LAST stdout line — the one the driver parses
@@ -222,18 +237,22 @@ object Bench {
   private def updateReadme(n: Int, total: Double, coldTotal: Double,
                            wall: Double, sfDir: String, cpus: String,
                            results: Seq[(String, (Double, Boolean))],
-                           passes: Int): Unit = {
+                           passes: Int, degradedN: Int): Unit = {
     val readme = Paths.get("README.md")
     if (!Files.exists(readme)) return
     val (slowName, (slowSec, _)) = results.maxBy(_._2._1)
     val nFailed = results.count(!_._2._2)
+    val nDone = n - nFailed
+    // a failed query contributes ~0 s, so the total is only comparable
+    // across records when the completed count is stated beside it; same for
+    // contention (degraded > 0 means the run was polluted — round-6 item 3)
     val block =
       s"""Latest full run (this block is auto-generated by `graft.Bench` from the
 run recorded in `BENCH_LOCAL.json` — do not hand-edit): steady-state
-total **${num(total, 1)} s** for $n queries at `$sfDir` on $cpus cores
-(cold pass ${num(coldTotal, 1)} s, wall for all $passes passes
-${num(wall, 1)} s, failed queries: $nFailed). Slowest steady-state query:
-`$slowName` at ${num(slowSec, 2)} s."""
+total **${num(total, 1)} s** for $nDone completed queries of $n declared
+at `$sfDir` on $cpus cores (cold pass ${num(coldTotal, 1)} s, wall for
+all $passes passes ${num(wall, 1)} s, failed: $nFailed, degraded-flagged:
+$degradedN). Slowest steady-state query: `$slowName` at ${num(slowSec, 2)} s."""
     val begin = "<!-- BENCH_AUTOGEN_BEGIN -->"
     val end = "<!-- BENCH_AUTOGEN_END -->"
     val text = Files.readString(readme)

@@ -33,11 +33,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` (int64 nanos under nanosAsLong — Spark has no ns
-    * timestamp type) projected to exact epoch-millis via integer division;
-    * `/` on longs would go through double and lose precision above 2^53. */
+  /** events with `ts` projected to exact epoch-millis as `ts_ms`,
+    * layout-adaptive (int64-nanos vs timestamp[µs] testdata generations) —
+    * see [[graft.functions.EventTime]] for the exactness argument. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+    graft.functions.EventTime.withEpochMs(t(s, dir, "events"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,13 +21,27 @@ object Verify {
     // driver never sets it, so the gate always runs the full set
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a query that throws must still leave a dump: the driver's compare
+    // keys off the dumped dirs, so a missing dir silently VANISHES from
+    // CORRECTNESS_r{N}.json instead of recording a failure (round 6: nine
+    // broken queries shrank the record unnoticed). On error, dump one row
+    // with a sentinel `__verify_error` schema — guaranteed to mismatch the
+    // oracle and show up as an explicit red row.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg.take(500)).toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // free this query's materialization-cut blocks before the next one —
       // the 58-query dump is exactly the long-session shape that otherwise
@@ -49,6 +63,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable error summary beside the dumps (diagnosis aid; the
+    // per-query sentinel dumps above are what the gate itself sees)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -116,8 +116,8 @@ object Smoke {
     lap("multimodal")
 
     println("[smoke] as-of join (latest purchase value per event):")
-    val evts = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    val evts = graft.functions.EventTime.withEpochMs(
+      spark.read.parquet(s"$sf/events.parquet"))
     val probe = evts.select("event_id", "user_id", "ts_ms")
     val changelog = evts.where(col("event_type") === "purchase")
       .groupBy("user_id", "ts_ms").agg(max("value").as("v"))

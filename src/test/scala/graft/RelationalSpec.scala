@@ -48,8 +48,7 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("rangeJoinBinned equals the direct non-equi join (boundary-inclusive start, exclusive end)") {
-    val ev = spark.read.parquet(sf("events"))
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    val ev = graft.functions.EventTime.withEpochMs(spark.read.parquet(sf("events")))
     val probe = ev.select(col("event_id"), col("user_id"), col("ts_ms"))
     val iv = ev.where(col("event_type") === "view")
       .select(col("event_id").as("iv_id"), col("user_id").as("iv_user"),
