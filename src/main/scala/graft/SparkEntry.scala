@@ -221,6 +221,27 @@ object SparkEntry {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  /** Right-outer variant: every view appears; views attributable to no
+    * purchase in the interval carry NULL purchase columns. Completes the
+    * gate coverage of the four interval-join types (inner/left/full have
+    * rows already); live flush semantics spec'd in PipelineStreamingSpec. */
+  private def streamIntervalJoinRight(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              timestamp_millis(col("ts_ms")).as("p_ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+              timestamp_millis(col("ts_ms")).as("v_ts"))
+    graft.streaming.StreamJoins.intervalJoin(
+        purchases, "p_ts", "30 minutes",
+        views, "v_ts", "30 minutes",
+        "user_id", lowerMs = -1800000L, upperMs = 0L, joinType = "right_outer")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+              (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   private def streamDedupEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("user_id", "event_type")
@@ -489,6 +510,21 @@ object SparkEntry {
         shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
       .orderBy("id_a", "id_b")
 
+  /** Containment dedup over a corpus with PLANTED near-subsets: every 7th
+    * document contributes a 12-token snippet twin (id + 10⁶) — wholesale
+    * quotes that symmetric Jaccard misses (J ≈ 12/|doc| but C ≈ 1). The
+    * snippet text is built from the same normalized tokenizer both engines
+    * share, so the construction replays exactly. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val snippets = docs.where(pmod(col("doc_id"), lit(7L)) === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              array_join(slice(TF.tokens(col("text")), 1, 12), " ").as("text"))
+    Dedup.containmentPairs(docs.union(snippets), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxDocFreq = Long.MaxValue)
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Same exact-Jaccard contract as `dedup_ngram`, through the AllPairs
     * prefix filter — the gate proves the filter loses nothing (the oracle
     * is the same brute-force all-pairs SQL, only the threshold differs). */
@@ -544,6 +580,19 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
         k = 10, bits = 8, probes = 2)
+      .orderBy("qid", "rank")
+  }
+
+  /** Matryoshka truncated-prefix retrieval: candidates ranked on the first
+    * 16 of 64 dims, exact full-dim rerank to top-10. candK=30 gives the
+    * rerank real work to do (prefix order ≠ full order) while keeping the
+    * oracle's window replica small. */
+  private def simMatryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.matryoshkaTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        prefixDims = 16, k = 10, candK = 30)
       .orderBy("qid", "rank")
   }
 
@@ -668,6 +717,33 @@ object SparkEntry {
         lit(""), col("body"), lit("subscribe to the newsletter"))
         .as("page_text"))
     Dedup.lineSurvivors(pages, "page_id", "page_text")
+      .orderBy("page_id")
+  }
+
+  /** Group-conditional boilerplate strip over a synthesized paged corpus
+    * (documents are single-line, so pages are built like `dedup_lines`,
+    * but grouped per source with source-templated boilerplate): every page
+    * of a source opens with that source's banner (boilerplate — cut
+    * everywhere), most close with a shared footer (frequent per source —
+    * cut), and every fifth bucket closes with a bucket-unique ref-code
+    * line instead (one page per source — below minDocs, kept). Body lines
+    * are unique per page and survive. */
+  private def dedupBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val pages = t(s, dir, "documents")
+      .groupBy(col("source"), expr("doc_id DIV 5").as("bucket"))
+      .agg(min("doc_id").as("page_id"),
+           array_join(
+             transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+               e => e.getField("text")), "\n").as("body"))
+      .select(col("page_id"), col("source"), concat_ws("\n",
+          concat(lit("Visit "), col("source"), lit(" for the best content")),
+          col("body"),
+          when(pmod(col("bucket"), lit(5L)) === 0L,
+               concat(lit("ref code "), col("bucket")))
+            .otherwise(lit("subscribe to the newsletter")))
+        .as("page_text"))
+    Dedup.boilerplateSurvivors(pages, "page_id", "page_text", "source",
+        minDocs = 3L)
       .orderBy("page_id")
   }
 
@@ -1320,6 +1396,7 @@ object SparkEntry {
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_left" -> streamIntervalJoinLeft _,
     "stream_interval_join_full" -> streamIntervalJoinFull _,
+    "stream_interval_join_right" -> streamIntervalJoinRight _,
     // relational
     "q1_agg"              -> q1Agg _,
     "q3_topk"             -> q3TopK _,
@@ -1374,6 +1451,9 @@ object SparkEntry {
     "curation_weighted"   -> curationWeighted _,
     "curation_snapshot_diff" -> curationSnapshotDiff _,
     "dedup_lines"         -> dedupLines _,
+    "dedup_boilerplate"   -> dedupBoilerplate _,
+    "dedup_containment"   -> dedupContainment _,
+    "sim_matryoshka_topk" -> simMatryoshkaTopK _,
     "curation_mixture"    -> curationMixture _,
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
@@ -2091,6 +2171,16 @@ object SparkEntry {
         AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
         AND epoch_ms(v.ts) < epoch_ms(p.ts)
       ORDER BY user_id, purchase_id, view_id""",
+    "stream_interval_join_right" -> """
+      SELECT v.user_id AS user_id,
+             p.event_id AS purchase_id, v.event_id AS view_id,
+             (epoch_ms(p.ts) - epoch_ms(v.ts))::BIGINT AS gap_ms
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      RIGHT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+        AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
+        AND epoch_ms(v.ts) < epoch_ms(p.ts)
+      ORDER BY user_id, view_id, purchase_id""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
@@ -2206,6 +2296,33 @@ object SparkEntry {
              min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
       FROM documents GROUP BY 1 ORDER BY text_hash""",
     "dedup_ngram" -> ngramJaccardOracle(0.5),
+    "dedup_containment" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice($sqlToks, 1, 12), ' ') AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      toks AS (SELECT doc_id, $sqlToks AS tk FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ok AS (
+        SELECT CASE WHEN na < nb THEN id_a ELSE id_b END AS contained_id,
+               CASE WHEN na < nb THEN id_b ELSE id_a END AS container_id,
+               inter::DOUBLE / least(na, nb) AS containment
+        FROM pairs WHERE inter::DOUBLE / least(na, nb) >= 0.8)
+      SELECT contained_id, container_id, containment FROM ok
+      ORDER BY contained_id, container_id""",
     // the prefix-filtered operator promises output IDENTICAL to the plain
     // inverted-index join, so its oracle is the same brute-force all-pairs
     // SQL — any pair the filter drops is a hash mismatch here
@@ -2305,6 +2422,28 @@ object SparkEntry {
     // multi-probe, the candidate join, and the exact-cosine re-rank —
     // oracle-checking the APPROXIMATE output itself, not a brute-force proxy
     "sim_lsh_topk" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
+    "sim_matryoshka_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      pre AS (
+        SELECT qid, e.vec_id AS id,
+               list_cosine_similarity(e.v[1:16], q.qv[1:16]) AS prefix_cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      cand AS (
+        SELECT qid, id, prefix_cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY prefix_cosine DESC, id ASC) AS prank
+        FROM pre),
+      rer AS (
+        SELECT c.qid, c.id, list_cosine_similarity(e.v, q.qv) AS cosine,
+               c.prefix_cosine
+        FROM cand c JOIN e ON e.vec_id = c.id JOIN q ON q.qid = c.qid
+        WHERE c.prank <= 30),
+      ranked AS (
+        SELECT qid, id, cosine, prefix_cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM rer)
+      SELECT qid, id, cosine, prefix_cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank""",
     // trained-k-means IVF, Lloyd iterations unrolled in SQL
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
@@ -2517,6 +2656,43 @@ object SparkEntry {
                  FROM nz GROUP BY norm),
       cuts AS (SELECT page_id, pos FROM nz JOIN firsts USING (norm)
                WHERE cnt >= 2 AND page_id * 1000000 + pos <> firstkey),
+      kept AS (SELECT p.page_id, p.pos, p.line FROM p
+               WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                 WHERE c.page_id = p.page_id AND c.pos = p.pos)),
+      agg AS (SELECT page_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*)::BIGINT AS n_lines_kept
+              FROM kept GROUP BY page_id)
+      SELECT l.page_id, coalesce(a.clean_text, '') AS clean_text,
+             coalesce(a.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+             (len(l.ls) - coalesce(a.n_lines_kept, 0))::BIGINT AS n_lines_cut
+      FROM l LEFT JOIN agg a USING (page_id)
+      ORDER BY page_id""",
+    "dedup_boilerplate" -> s"""
+      WITH body AS (SELECT source, (doc_id // 5) AS bucket,
+                           min(doc_id) AS page_id,
+                           string_agg(text, chr(10) ORDER BY doc_id) AS body
+                    FROM documents GROUP BY source, bucket),
+      pages AS (SELECT page_id, source,
+                  'Visit ' || source || ' for the best content' || chr(10)
+                  || body || chr(10)
+                  || (CASE WHEN bucket % 5 = 0 THEN 'ref code ' || bucket
+                           ELSE 'subscribe to the newsletter' END) AS page_text
+                FROM body),
+      l AS (SELECT page_id, source, string_split(page_text, chr(10)) AS ls
+            FROM pages),
+      e AS (SELECT page_id, source, ls,
+                   unnest(list_transform(range(1, len(ls) + 1),
+                     i -> {'pos': i - 1, 'line': ls[i]})) AS u
+            FROM l),
+      p AS (SELECT page_id, source, (u.pos)::BIGINT AS pos, u.line AS line,
+              trim(regexp_replace(regexp_replace(lower(u.line), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+            FROM e),
+      nz AS (SELECT * FROM p WHERE norm <> ''),
+      bp AS (SELECT source, norm FROM (
+               SELECT source, norm, count(DISTINCT page_id) AS docs
+               FROM nz GROUP BY source, norm) WHERE docs >= 3),
+      cuts AS (SELECT page_id, pos FROM nz JOIN bp USING (source, norm)),
       kept AS (SELECT p.page_id, p.pos, p.line FROM p
                WHERE NOT EXISTS (SELECT 1 FROM cuts c
                  WHERE c.page_id = p.page_id AND c.pos = p.pos)),

@@ -299,6 +299,53 @@ object Dedup {
     materializeAndRelease(out, sets)
   }
 
+  /** Asymmetric containment pairs — near-SUBSET duplication, the case
+    * symmetric Jaccard is blind to: a short document quoted wholesale
+    * inside a much longer one has containment |A∩B|/|A| ≈ 1 while
+    * Jaccard |A∩B|/|A∪B| ≈ |A|/|B| → 0. (Syndicated articles inside
+    * aggregator pages, README/licence bodies inside larger files, quoted
+    * posts inside threads.) Emits one row per qualifying pair oriented by
+    * the rule a dedup pass acts on: `contained_id` is the smaller shingle
+    * set (ties: the larger id — keep-first convention), `container_id` the
+    * other, `containment = inter / |contained| ≥ threshold`.
+    *
+    * Scale: identical shape to [[ngramJaccardPairs]] — inverted-index
+    * equi-join over slim `(id, n, h)` postings with the same `maxDocFreq`
+    * stopword-shingle pruning, one count aggregate per candidate pair;
+    * bodies never shuffle. The only change is the scoring formula, which
+    * touches aggregated pair rows only. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Long = 1000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = df.select(col(idCol).as("id"),
+                         TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .persist()
+    val posting = sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    val rare =
+      if (maxDocFreq == Long.MaxValue) posting
+      else posting.withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("h"))))
+        .where(col("df") <= maxDocFreq).drop("df")
+    val out = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= threshold)
+      .select(
+        when(col("na") < col("nb"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"),
+        when(col("na") < col("nb"), col("id_b")).otherwise(col("id_a"))
+          .as("container_id"),
+        col("containment"))
+    materializeAndRelease(out, sets)
+  }
+
   /** The minimum shingle overlap a partner can have with a size-`n` set
     * under Jaccard ≥ t: J = I/(nа+nb−I) ≥ t ⟹ I ≥ t·max(na,nb), so any
     * qualifying partner shares ≥ ⌈t·n⌉ shingles with this doc. The 1e-9
@@ -932,6 +979,72 @@ object Dedup {
       .where(col("cnt") >= minRepeats)
     val cuts = lines.join(firsts, "h")
       .where(struct(col("id"), col("pos")) =!= col("first"))
+      .groupBy(col("id").as(idCol))
+      .agg(collect_list(col("pos")).as("__graft_cuts"))
+    val out = df.join(cuts, Seq(idCol), "left")
+      .select(col(idCol), linesOf.as("__graft_lines"), col("__graft_cuts"))
+      .select(col(idCol), col("__graft_lines"),
+        when(col("__graft_cuts").isNull, col("__graft_lines"))
+          .otherwise(filter(col("__graft_lines"),
+            (_, i) => !array_contains(col("__graft_cuts"), i.cast("long"))))
+          .as("__graft_kept"))
+      .select(col(idCol),
+        array_join(col("__graft_kept"), delim).as("clean_text"),
+        size(col("__graft_kept")).cast("long").as("n_lines_kept"),
+        (size(col("__graft_lines")) - size(col("__graft_kept")))
+          .cast("long").as("n_lines_cut"))
+    if (materialize) materializeAndRelease(out, lines) else out
+  }
+
+  /** Group-conditional boilerplate strip (the CCNet/RefinedWeb per-domain
+    * pass, distinct from [[lineSurvivors]]): a line whose graft-NORMALIZED
+    * form appears in at least `minDocs` DISTINCT documents of the SAME
+    * group (`groupCol` — typically the domain or source) is boilerplate
+    * (nav bars, footers, cookie banners templated across a site) and is
+    * removed from EVERY document of that group, first occurrence included —
+    * boilerplate has no "original" worth keeping, which is exactly where
+    * the semantics diverge from line-level dedup. A line frequent on one
+    * domain but rare on another is cut only where it is template: the
+    * count is per group, so cross-domain coincidences survive. Lines that
+    * normalize to empty are structure, never cut.
+    *
+    * Output: `(idCol, clean_text, n_lines_kept, n_lines_cut)` — every
+    * input document appears.
+    *
+    * Scale: lines shuffle as slim `(group, xxhash64(norm), id, pos)` rows,
+    * never text; the distinct-doc count is a two-level aggregate (the
+    * DISTINCT collapses per-doc repeats map-side before the per-group
+    * count); the boilerplate key set joins back to line occurrences on
+    * `(group, hash)` — skew on a mega-domain stays an equi-join on a key
+    * that the count has already collapsed to one row per distinct line.
+    * Document bodies never cross a shuffle; the final cut is a per-row
+    * array filter like [[lineSurvivors]]. */
+  def boilerplateSurvivors(df: DataFrame, idCol: String, textCol: String,
+                           groupCol: String, minDocs: Long = 3L,
+                           delim: String = "\n",
+                           materialize: Boolean = true): DataFrame = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
+    Seq("__graft_lines", "__graft_cuts", "__graft_kept").foreach(c =>
+      require(!df.columns.contains(c),
+        s"boilerplateSurvivors: input already contains reserved column '$c'"))
+    val qdelim = java.util.regex.Pattern.quote(delim)
+    val linesOf = split(coalesce(col(textCol), lit("")), qdelim, -1)
+    val exploded = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"), posexplode(linesOf))
+      .select(col("id"), col("grp"), col("pos").cast("long").as("pos"),
+              TF.normText(col("col")).as("norm"))
+      .where(length(col("norm")) > 0)
+      .select(col("id"), col("grp"), col("pos"), xxhash64(col("norm")).as("h"))
+    val lines = if (materialize) exploded.persist() else exploded
+    // distinct docs per (group, line): the inner distinct is the map-side
+    // collapse (a line repeated 50× inside one doc contributes one row)
+    val boiler = lines.select("grp", "h", "id").distinct()
+      .groupBy("grp", "h")
+      .agg(count(lit(1)).as("docs"))
+      .where(col("docs") >= minDocs)
+      .select("grp", "h")
+    val cuts = lines.join(boiler, Seq("grp", "h"))
       .groupBy(col("id").as(idCol))
       .agg(collect_list(col("pos")).as("__graft_cuts"))
     val out = df.join(cuts, Seq(idCol), "left")

@@ -94,6 +94,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Matryoshka (MRL-style) two-stage retrieval: candidates are ranked by
+    * cosine over only the FIRST `prefixDims` dimensions — MRL-trained
+    * embeddings front-load information, so the truncated comparison costs
+    * `prefixDims/dim` of the memory bandwidth and arithmetic of a full
+    * scan — then the `candK` best per query are reranked with full-dim
+    * exact cosine to the final `k`. No renormalization is needed anywhere:
+    * cosine divides by the norms of exactly the slices being compared.
+    *
+    * Output: qid, id, cosine (full-dim), prefix_cosine, rank.
+    *
+    * Scale: the corpus streams through one narrow stage (queries are
+    * broadcast); the prefix ranking shuffles candK-bounded rows per scan
+    * partition because the `row_number <= candK` filter plans as a partial
+    * map-side WindowGroupLimit (pinned in PlanSpec). Full vectors are NOT
+    * carried through that shuffle — the rerank re-joins the corpus on the
+    * candidate ids, a (queries × candK)-sized equi-join. */
+  def matryoshkaTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     prefixDims: Int, k: Int = 10, candK: Int = 30): DataFrame = {
+    require(prefixDims > 0, s"prefixDims must be > 0, got $prefixDims")
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+    val pre = c
+      .join(broadcast(q))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        VF.cosineSim(slice(col("cvec"), 1, prefixDims),
+                     slice(col("qvec"), 1, prefixDims)).as("prefix_cosine"))
+    val wPre = Window.partitionBy(col("qid"))
+      .orderBy(col("prefix_cosine").desc, col("id").asc)
+    val cands = pre.withColumn("prank", row_number().over(wPre))
+      .where(col("prank") <= candK)
+      .drop("prank")
+    val reranked = cands
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"),
+              VF.cosineSim(col("cvec"), col("qvec")).as("cosine"),
+              col("prefix_cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Deterministic mini k-means (Lloyd) on a driver-side sample — the IVF
     * coarse quantizer trainer. Sample = first `sampleN` rows by id
     * (deterministic), init = evenly-strided sample points, `iters`

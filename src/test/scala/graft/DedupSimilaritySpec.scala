@@ -247,6 +247,101 @@ class DedupSimilaritySpec extends SparkSpec {
         "doc_id", "text"))
   }
 
+  test("containmentPairs: near-subset found where Jaccard is blind, oriented small→large") {
+    // doc 2 = the first 5 tokens of doc 1 (snippet quote): containment 1.0
+    // but Jaccard 3/13 — below any useful symmetric threshold. docs 3/4 are
+    // identical (tie: larger id is the contained side). doc 5 is unrelated.
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    val docs = spark.createDataFrame(Seq(
+        (1L, long1),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "same twin text here"),
+        (4L, "same twin text here"),
+        (5L, "totally unrelated content words")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxDocFreq = Long.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((2L, 1L, 1.0), (4L, 3L, 1.0)),
+      s"got $out")
+    // the same pair fails symmetric Jaccard at 0.5 — the blind spot the
+    // containment operator exists for
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.0))
+  }
+
+  test("boilerplateSurvivors: group-conditional cut removes ALL occurrences, cross-group survives") {
+    // "footer" is template on site A (3 distinct docs ≥ minDocs=3) but
+    // appears only once on site B: cut from every A doc INCLUDING the
+    // first, kept on B. "promo" repeats twice within one A doc — one
+    // distinct doc, never boilerplate. Blank lines immune.
+    val pages = spark.createDataFrame(Seq(
+        (1L, "A", "one\nFooter!\n\npromo\npromo"),
+        (2L, "A", "two\nfooter"),
+        (3L, "A", "three\nfooter"),
+        (4L, "B", "four\nfooter"),
+        (5L, "B", "five")))
+      .toDF("doc_id", "site", "text")
+    val out = Dedup.boilerplateSurvivors(pages, "doc_id", "text", "site",
+        minDocs = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> (("one\n\npromo\npromo", 4L, 1L)),
+      2L -> (("two", 1L, 1L)),
+      3L -> (("three", 1L, 1L)),
+      4L -> (("four\nfooter", 2L, 0L)),
+      5L -> (("five", 1L, 0L))))
+    // idempotence: the cleaned corpus has no group-frequent lines left
+    val clean = Dedup.boilerplateSurvivors(pages, "doc_id", "text", "site",
+        minDocs = 3L)
+      .join(pages.select("doc_id", "site"), "doc_id")
+      .select(col("doc_id"), col("site"), col("clean_text").as("text"))
+    assert(Dedup.boilerplateSurvivors(clean, "doc_id", "text", "site",
+        minDocs = 3L)
+      .agg(sum("n_lines_cut")).collect().head.getLong(0) == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.boilerplateSurvivors(pages, "doc_id", "text", "site", minDocs = 1L))
+  }
+
+  test("matryoshkaTopK: full-coverage candK equals brute force; rerank uses full dims") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val n = emb.count().toInt
+    // candK covering the whole corpus makes the prefix stage a no-op
+    // filter — the reranked result must equal exact brute force
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 5)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mat = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", prefixDims = 16, k = 5, candK = n)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mat == brute)
+    // narrow candK is genuinely approximate here (random embeddings do not
+    // front-load information), but every returned neighbor must still rank
+    // by FULL cosine and reach k rows per query
+    val narrow = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", prefixDims = 16, k = 5, candK = 8)
+    val rows = narrow.collect()
+    assert(rows.length == 3 * 5)
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "rank must order by full-dim cosine")
+    }
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        prefixDims = 16, k = 5, candK = 4))
+  }
+
   test("snapshotDiff: all four statuses, normalized mode, NULL-text presence") {
     val oldSnap = spark.createDataFrame(Seq(
         (1L, "gone"), (2L, "same"), (3L, "before"), (5L, "A  b")))

@@ -446,6 +446,54 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(!res.contains(-1L -> -1L), s"fully-null row leaked: $res")
   }
 
+  test("stream-stream RIGHT OUTER interval join: right-only flushes, left-only drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Long, Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val msP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoins.intervalJoin(
+      msP.toDF().toDF("user_id", "purchase_id", "p_ts"), "p_ts", "10 minutes",
+      msV.toDF().toDF("user_id", "view_id", "v_ts"), "v_ts", "10 minutes",
+      "user_id", lowerMs = -1800000L, upperMs = 0L, joinType = "right_outer")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = joined.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sjrck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val p = if (r.isNullAt(r.fieldIndex("purchase_id"))) -1L
+                  else r.getAs[Long]("purchase_id")
+          val v = if (r.isNullAt(r.fieldIndex("view_id"))) -1L
+                  else r.getAs[Long]("view_id")
+          got.add((p, v))
+        }
+      }.start()
+    // P100 matches V200; P101 has no view (must NOT flush under
+    // right_outer); V201 has no purchase (must flush null-padded)
+    msP.addData(Seq((1L, 100L, ts(600)), (4L, 101L, ts(600))))
+    msV.addData(Seq((1L, 200L, ts(585)), (7L, 201L, ts(600))))
+    q.processAllAvailable()
+    msP.addData(Seq((5L, 102L, ts(2000))))
+    msV.addData(Seq((5L, 203L, ts(1990))))
+    q.processAllAvailable()
+    msP.addData(Seq((6L, 103L, ts(3000))))
+    msV.addData(Seq((6L, 204L, ts(2990))))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val res = got.asScala.toSet
+    assert(res.contains(100L -> 200L) && res.contains(102L -> 203L),
+      s"matched pairs missing: $res")
+    assert(res.contains(-1L -> 201L),
+      s"right-only view must flush null-padded (right_outer): $res")
+    assert(!res.exists(_._2 == -1L),
+      s"left-only purchase must NOT appear under right_outer: $res")
+  }
+
   test("dropDuplicatesWithinWatermark: dedups inside the delay, state evicts after it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.DataFrame

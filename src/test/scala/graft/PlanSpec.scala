@@ -45,6 +45,41 @@ class PlanSpec extends SparkSpec {
       "shuffle would carry the full corpus × queries product")
   }
 
+  test("sim_matryoshka_topk: prefix stage prunes map-side; no body columns in the rank shuffle") {
+    val p = plan("sim_matryoshka_topk")
+    // the prefix-cosine candidate rank must prune below its exchange like
+    // sim_topk — otherwise the shuffle carries corpus × queries rows
+    val lines = p.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstExchange >= 0 && partialWgl > firstExchange,
+      s"partial WindowGroupLimit below the exchange is missing:\n$p")
+    // full vectors must NOT ride the candidate-rank shuffle: the rerank
+    // re-joins them by id instead (the point of the truncated first pass)
+    val rankExchange = lines.filter(_.contains("Exchange hashpartitioning(qid"))
+    assert(rankExchange.nonEmpty, s"candidate rank exchange not found:\n$p")
+    assert(!rankExchange.exists(_.contains("cvec")),
+      s"full corpus vector crosses the candidate-rank shuffle:\n$p")
+  }
+
+  test("dedup_boilerplate: line reduction shuffles hashes, never page text") {
+    // materialize=false — the operator localCheckpoints its result, which
+    // would erase the reduction plan (dedup-family PlanSpec pattern below)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "source", "text")
+    val p = graft.operators.Dedup
+      .boilerplateSurvivors(docs, "doc_id", "text", "source",
+        minDocs = 3L, materialize = false)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    // the line reduction shuffles slim (grp, h, id, pos) rows — the text
+    // column must never appear in an exchange's carried-attribute list
+    val exchanges = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text crosses a shuffle:\n$p")
+  }
+
   test("curation_source_cap: partial WindowGroupLimit below the exchange") {
     // the map-side prune that keeps a hot domain from funneling its full
     // row set through the per-group rank task (Sampling.capPerGroup)
