@@ -125,13 +125,20 @@ object SparkEntry {
       .toDF("event_id", "dump").orderBy("event_id")
   }
 
-  private def pipeGzip(s: SparkSession, dir: String): DataFrame =
+  private def pipeGzip(s: SparkSession, dir: String): DataFrame = {
+    // Oracle-able on the DECODE side: zlib bytes aren't bit-stable across
+    // engines, but gunzip(gzip(x)) = x is. Project the round-tripped text
+    // (+ its char length and md5 of the utf-8 bytes) so DuckDB can verify
+    // the output equals the original column directly — hash_match proves
+    // the codec round-trips, retiring the rows-only waiver.
+    val plain = GZ.gunzip(GZ.gzip(to_binary(col("text"), lit("utf-8"))))
     t(s, dir, "documents").select(
         col("doc_id"),
-        (decode(GZ.gunzip(GZ.gzip(to_binary(col("text"), lit("utf-8")))), "utf-8")
-          === col("text")).as("roundtrip_ok"),
-        length(GZ.gzip(to_binary(col("text"), lit("utf-8")))).as("gz_len"))
+        decode(plain, "utf-8").as("roundtrip_text"),
+        length(decode(plain, "utf-8")).as("plain_chars"),
+        md5(plain).as("plain_md5"))
       .orderBy("doc_id")
+  }
 
   // ==== streaming-semantics queries (batch twins) =========================
 
@@ -2125,6 +2132,14 @@ object SparkEntry {
              to_base64(encode(props)) || ';' || to_base64(encode('et')) || ',' ||
              to_base64(encode(event_type)) AS dump
       FROM events ORDER BY event_id""",
+    // decode-side gzip oracle: the Spark side round-trips through the real
+    // gzip/gunzip expressions; equality of the decoded projection to the
+    // original column is engine-independent (zlib BYTES are not — hence no
+    // oracle on the compressed form).
+    "pipe_gzip" -> """
+      SELECT doc_id, text AS roundtrip_text,
+             length(text)::INT AS plain_chars, md5(text) AS plain_md5
+      FROM documents ORDER BY doc_id""",
     "stream_hour_window" -> """
       SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
              count(*)::BIGINT AS n,

@@ -27,7 +27,10 @@ object EventTime {
   /** Column expression computing exact epoch millis from `tsCol` of the
     * given type. Fails loud on a type this projection cannot make exact. */
   def epochMs(tsCol: String, dt: DataType): Column = dt match {
-    case LongType                          => expr(s"$tsCol DIV 1000000")
+    case LongType                          =>
+      // floor division (DIV truncates toward zero; pre-epoch instants must
+      // floor to agree with unix_millis and DuckDB's epoch_ms)
+      expr(s"$tsCol DIV 1000000 - (CASE WHEN $tsCol % 1000000 < 0 THEN 1 ELSE 0 END)")
     case TimestampNTZType | TimestampType  => expr(s"unix_millis(cast($tsCol as timestamp))")
     case other => throw new IllegalArgumentException(
       s"EventTime.epochMs: unsupported type $other for column $tsCol " +

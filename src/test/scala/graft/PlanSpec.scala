@@ -65,7 +65,7 @@ class PlanSpec extends SparkSpec {
   test("dedup_boilerplate: line reduction shuffles hashes, never page text") {
     // materialize=false — the operator localCheckpoints its result, which
     // would erase the reduction plan (dedup-family PlanSpec pattern below)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
       .selectExpr("doc_id", "source", "text")
     val p = graft.operators.Dedup
       .boilerplateSurvivors(docs, "doc_id", "text", "source",
@@ -94,7 +94,7 @@ class PlanSpec extends SparkSpec {
   test("text_lm_score: map-side partial counts; context totals via ONE window, no self-join") {
     // plan-inspection mode: materialize=false skips the persists/cut that
     // would erase the operator plan (the dedup-family PlanSpec pattern)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
     val p = graft.operators.TextAnalysis
       .lmScore(docs, "doc_id", "text", materialize = false)
       .queryExecution.sparkPlan.toString
@@ -136,8 +136,8 @@ class PlanSpec extends SparkSpec {
     finally spark.sharedState.cacheManager.clearCache() // release plan-mode persists
 
   test("dedup LSH paths: blocked equi-joins, no cartesian/nested-loop product") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet(sf("documents"))
+    val emb = spark.read.parquet(sf("embeddings"))
     val plans = Seq(
       "minhash" -> dedupPlan(graft.operators.Dedup.minhashLshPairs(
         docs, "doc_id", "text", threshold = 0.4, materialize = false)),
@@ -169,7 +169,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.functions.col
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
     val idx = graft.operators.Relational.bucketMaterialize(
       graft.operators.Dedup.buildPostingIndex(
         docs.where(col("doc_id") < 250), "doc_id", "text"),
@@ -210,7 +210,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pq ANN: ADC scoring reads slim (id, codes); vectors rejoin on the refine set only") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 2)
       .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
               org.apache.spark.sql.functions.col("embedding").as("qvec"))
@@ -230,7 +230,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("rp ANN: refine cut is a group limit; projected scoring scan drops the vector payload") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 2)
       .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
               org.apache.spark.sql.functions.col("embedding").as("qvec"))
@@ -250,7 +250,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("semantic dedup: cluster sizing is slim; no cartesian product") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = spark.read.parquet(sf("embeddings"))
     spark.conf.set("spark.graft.dedup.materialize", "none")
     try {
       val p = dedupPlan(graft.operators.Dedup.semanticSurvivors(
@@ -267,7 +267,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("token-id encoding: narrow scan-bound plan, no exchange, native expression") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
     val p = graft.operators.TextAnalysis.tokenIds(docs, "doc_id", "text",
         vocabSize = 100)
       .queryExecution.executedPlan.toString
@@ -277,7 +277,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("shard packing: global prefix sum windows WITHIN partitions, never one task") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
     val (offs, persisted) = graft.operators.TextAnalysis.prefixOffsetsForTest(
       docs, "doc_id", org.apache.spark.sql.functions.octet_length(
         org.apache.spark.sql.functions.col("text")).cast("long"), "n_bytes")
@@ -291,7 +291,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text_ppl_buckets: the tile window is partitioned by group, never global") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
     val p = graft.operators.TextAnalysis
       .perplexityBuckets(docs, "doc_id", "text", "lang", buckets = 3,
         materialize = false)
@@ -303,7 +303,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text_decontaminate: bloom prefilter filters below the exact semi-join") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
     val c = org.apache.spark.sql.functions.col _
     val p = graft.operators.TextAnalysis.decontaminateReport(
         docs.where(c("doc_id") >= 20), "doc_id", "text",
@@ -357,7 +357,7 @@ class PlanSpec extends SparkSpec {
     // materialize=false: the plan-inspection mode (the gate row's cut
     // erases the plan into a LogicalRDD)
     val p = graft.operators.TextAnalysis.tfidfTopK(
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        spark.read.parquet(sf("documents")),
         "doc_id", "text", k = 5, materialize = false)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_count"), "tf counting lost map-side combine")
@@ -370,7 +370,7 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_lines: slim line-hash shuffle, partial first/count reduction") {
     val p = graft.operators.Dedup.lineSurvivors(
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        spark.read.parquet(sf("documents")),
         "doc_id", "text", materialize = false)
       .queryExecution.executedPlan.toString
     // the global first/count reduction combines map-side — a banner line
@@ -385,7 +385,7 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_spans: window hashing is the native expression inside codegen") {
     val p = graft.operators.Dedup.duplicateSpans(
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        spark.read.parquet(sf("documents")),
         "doc_id", "text", n = 10, materialize = false)
       .queryExecution.executedPlan.toString
     assert(p.contains("positional_shingle_hashes"),
@@ -438,7 +438,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_ngram_prefix: doc-frequency order is a partial agg; no nested-loop join") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(sf("documents"))
     try {
       val p = graft.operators.Dedup.ngramJaccardPairsPrefix(
           docs, "doc_id", "text", threshold = 0.5, materialize = false)
@@ -457,8 +457,8 @@ class PlanSpec extends SparkSpec {
     // transiting the bucket-sizing window shuffle and its persist. Pin: the
     // cached sizing relation (the one carrying __bsz) must expose ONLY the
     // id/key/size columns — never the sig/vec payload.
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet(sf("documents"))
+    val emb = spark.read.parquet(sf("embeddings"))
     // each thunk builds its operator AFTER the previous one's caches are
     // cleared — the persisted intermediates must be live when the plan is
     // printed or the InMemoryTableScan substitution (rightly) disappears
