@@ -103,6 +103,17 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     var ticks = 0
+    // Mid-run contention localization (round-7 item 3): the before/after
+    // probes are blind to a burst confined to the middle of the sweep (the
+    // round-7 record: 21 queries degraded, endpoint probe ratio 0.94). A
+    // probe point every 16 queries — at the existing GC tick, OUTSIDE the
+    // per-query timer — gives a time series that brackets every query to
+    // within ~8 positions; a query whose nearest probe is >1.3× the
+    // quietest probe of the run is flagged into `degraded` alongside the
+    // warm>cold detector.
+    val probeSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    val lastTick = scala.collection.mutable.HashMap.empty[String, Int]
+    def probePoint(): Unit = probeSeries += ((ticks, calibrationProbe(), loadAvg()))
     def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -118,7 +129,8 @@ object Bench {
       // post-query hygiene, outside the timer (see scaladoc)
       val released = graft.util.Materialize.release()
       ticks += 1
-      if (ticks % 16 == 0) System.gc() // drain ContextCleaner weak refs
+      lastTick(name) = ticks
+      if (ticks % 16 == 0) { System.gc(); probePoint() } // drain weak refs + contention sample
       if (debug) {
         val (nRdd, mem, disk) = graft.util.Materialize.storageSummary(spark)
         val rt = Runtime.getRuntime
@@ -143,11 +155,13 @@ object Bench {
       sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2))
     val probeBefore = calibrationProbe()
     val loadBefore = loadAvg()
+    probeSeries += ((0, probeBefore, loadBefore))
     val wall0 = System.nanoTime()
     val allPasses = (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
     val wall = (System.nanoTime() - wall0) / 1e9
     val probeAfter = calibrationProbe()
     val loadAfter = loadAvg()
+    probeSeries += ((ticks, probeAfter, loadAfter))
     val cold = allPasses.head      // warm-up pass: JIT, codegen, page cache
     val results = allPasses.last   // steady-state pass (reported)
 
@@ -175,12 +189,23 @@ object Bench {
     // the whole run, which warm/cold comparison is blind to.
     val coldMap = cold.toMap
     val probeRatio = if (probeBefore > 0) probeAfter / probeBefore else 1.0
+    // mid-run localization: baseline = the QUIETEST probe of the run (robust
+    // to a run that starts contended); a warm-pass query whose nearest
+    // probe point stretched >1.3× past that baseline ran inside a burst
+    val probeBaseline = probeSeries.map(_._2).min
+    def nearestProbeMs(tick: Int): Double =
+      probeSeries.minBy(p => math.abs(p._1 - tick))._2
+    val probeFlagged = results.collect {
+      case (k, (_, true))
+        if lastTick.contains(k) &&
+           nearestProbeMs(lastTick(k)) > probeBaseline * 1.3 => k
+    }
     // a query whose COLD pass failed fast has no meaningful baseline — its
     // successful warm pass is not contention evidence, so require cold ok
-    val degradedNames = results.collect {
+    val degradedNames = (results.collect {
       case (k, (warm, true))
         if coldMap(k)._2 && warm > coldMap(k)._1 * 1.25 + 0.1 => k
-    } ++
+    } ++ probeFlagged).distinct ++
       // load that is CONSTANT across the run never trips warm > cold (both
       // passes slow down together) but it does stretch the fixed-workload
       // probe — surface it in the same list so a polluted record is
@@ -195,10 +220,13 @@ object Bench {
     // tail window even on a heavily-contended run where MOST queries flag —
     // cap the inline list and carry the count; the full list is in
     // BENCH_LOCAL.json
+    val probeSeriesJson = probeSeries.map { case (t, ms, ld) =>
+      s"""{"tick":$t,"ms":${num(ms, 1)},"load":${num(ld, 2)}}"""
+    }.mkString("[", ",", "]")
     val compactDiag =
-      s""""degraded":${degradedJson(degradedNames.take(8))},"degraded_n":${degradedNames.size},$probeDiag"""
+      s""""degraded":${degradedJson(degradedNames.take(8))},"degraded_n":${degradedNames.size},"probe_flagged_n":${probeFlagged.size},$probeDiag"""
     val fullDiag =
-      s""""degraded":${degradedJson(degradedNames)},"degraded_n":${degradedNames.size},$probeDiag"""
+      s""""degraded":${degradedJson(degradedNames)},"degraded_n":${degradedNames.size},"probe_flagged":${degradedJson(probeFlagged)},"probe_series":$probeSeriesJson,"probe_baseline_ms":${num(probeBaseline, 1)},$probeDiag"""
     val passTotalsJson =
       passTotals.map(num(_, 3)).mkString("[", ",", "]")
     // the driver-parsed line must fit the driver's 2000-char stdout tail
