@@ -128,7 +128,12 @@ object Similarity {
     val cands = pre.withColumn("prank", row_number().over(wPre))
       .where(col("prank") <= candK)
       .drop("prank")
-    val reranked = cands
+    // 100×-scale shape of the rerank: the candidate set is bounded by
+    // construction (|queries| × candK rows of slim (qid, id, score)), so it
+    // is ALWAYS the broadcast side — the full-vector corpus must be probed
+    // in place, never hash-repartitioned by id for a sort-merge join
+    // (pinned in PlanSpec: no `Exchange hashpartitioning(id` in the plan).
+    val reranked = broadcast(cands)
       .join(c, Seq("id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("id"),

@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec {
     assert(rankExchange.nonEmpty, s"candidate rank exchange not found:\n$p")
     assert(!rankExchange.exists(_.contains("cvec")),
       s"full corpus vector crosses the candidate-rank shuffle:\n$p")
+    // the rerank joins the bounded candidate set back to the corpus by id:
+    // the candidates must be the BROADCAST side — an `Exchange
+    // hashpartitioning(id` would mean the full-vector corpus is being
+    // repartitioned for a sort-merge/shuffled-hash join, a full corpus
+    // shuffle at 100 TB
+    assert(!lines.exists(_.contains("Exchange hashpartitioning(id")),
+      s"corpus side of the rerank join shuffles by id:\n$p")
   }
 
   test("dedup_boilerplate: line reduction shuffles hashes, never page text") {
