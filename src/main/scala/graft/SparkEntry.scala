@@ -1228,6 +1228,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def mmImageHeaders(s: SparkSession, dir: String): DataFrame =
+    // Real bytes-to-metadata work over committed real image files (encoded
+    // once by ImageIO — see tools/MakeImageFixtures): the oracle is the
+    // fixture spec itself as a VALUES literal, independent knowledge of
+    // what the bytes must parse to.
+    Multimodal.imageHeaders(
+        s.read.format("binaryFile")
+         .load(new java.io.File("fixtures/images").getAbsolutePath))
+      .toDF().orderBy("name")
+
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("kind",
       when(col("doc_id") % 3 === 0, "image")
@@ -1519,6 +1529,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
+    "mm_image_headers"    -> mmImageHeaders _,
     "events_json"         -> eventsJson _,
     "events_json_malformed" -> eventsJsonMalformed _,
     "q_window_suite"      -> qWindowSuite _,
@@ -3246,6 +3257,19 @@ object SparkEntry {
              CASE WHEN kind = 'video' THEN (byteLen % 300 + 1) ELSE 1 END::INT AS nFrames,
              payload_md5
       FROM m ORDER BY id""",
+    // the expected table IS the fixture generation spec
+    // (tools/MakeImageFixtures.scala): ImageIO writes TYPE_INT_RGB PNGs as
+    // truecolor (3ch), TYPE_INT_ARGB as RGBA (4ch), TYPE_BYTE_GRAY as
+    // grayscale (1ch); JPEG SOF declares 3 (YCbCr) / 1 (gray) components
+    "mm_image_headers" -> """
+      SELECT * FROM (VALUES
+        ('img0_rgb.png',  'png',  23, 17, 3, 8),
+        ('img1_rgba.png', 'png',  16, 16, 4, 8),
+        ('img2_gray.png', 'png',  31,  9, 1, 8),
+        ('img3_rgb.jpg',  'jpeg', 40, 25, 3, 8),
+        ('img4_gray.jpg', 'jpeg', 12, 34, 1, 8))
+        AS t(name, format, width, height, channels, bit_depth)
+      ORDER BY name""",
     "mm_frames" -> """
       WITH m AS (
         SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS len

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.ImageHeader
+
 /** Multimodal column handling: image/audio/video payloads are opaque
   * `BINARY` columns with a typed metadata struct beside them. The
   * Spark-side plumbing — schema, partition sizing, batch-shaped decode API —
@@ -68,14 +70,47 @@ object Multimodal {
 
   /** Batch-shaped decode: mapPartitions over the typed Dataset — one codec
     * instance per partition, rows streamed through it. Output drops the
-    * payload (never carry bytes past the decode stage). */
+    * payload (never carry bytes past the decode stage). Payloads that ARE
+    * real images (PNG/JPEG magic) get their true header metadata via
+    * `ImageHeader`; everything else falls back to the stub codec. */
   def decodeMeta(df: DataFrame): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     df.select("id", "kind", "payload").as(Encoders.row(StructType(mediaSchema.take(3))))
       .mapPartitions { rows =>
         // real codecs would init native state here, once per partition
         rows.map { r =>
-          StubCodec.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          val (id, kind, bytes) = (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          ImageHeader.parse(bytes) match {
+            case Some(info) =>
+              val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+                .map("%02x".format(_)).mkString
+              MediaMeta(id, info.format, bytes.length.toLong, info.width,
+                        info.height, sampleRateHz = 0, nFrames = 1,
+                        payload_md5 = md5)
+            case None => StubCodec.decode(id, kind, bytes)
+          }
+        }
+      }
+  }
+
+  /** Parsed header row for real image files; see `mm_image_headers`. */
+  final case class ImageHeaderRow(name: String, format: String, width: Int,
+                                  height: Int, channels: Int, bit_depth: Int)
+
+  /** Header-parse a `binaryFile`-sourced DataFrame (path, content) into
+    * per-file image metadata. Non-image files are dropped. Bytes never
+    * leave the scan stage: the output is a handful of scalar columns. */
+  def imageHeaders(binaryFiles: DataFrame): Dataset[ImageHeaderRow] = {
+    implicit val enc = Encoders.product[ImageHeaderRow]
+    binaryFiles.select(
+        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as(Encoders.row(StructType(Seq(
+        StructField("name", StringType), StructField("content", BinaryType)))))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          ImageHeader.parse(r.getAs[Array[Byte]](1)).map(i =>
+            ImageHeaderRow(r.getString(0), i.format, i.width, i.height,
+                           i.channels, i.bitDepth))
         }
       }
   }
