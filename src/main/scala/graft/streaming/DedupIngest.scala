@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming crawl ingestion with on-the-fly corpus dedup: each micro-batch
   * keeps only documents that near-duplicate neither the ACCEPTED corpus so
@@ -26,10 +26,13 @@ object DedupIngest {
   def start(incoming: DataFrame, idCol: String, textCol: String,
             indexTable: String, outPath: String, checkpoint: String,
             buckets: Int = 8, shingleN: Int = 3,
-            threshold: Double = 0.5): StreamingQuery =
-    incoming.writeStream
+            threshold: Double = 0.5, availableNow: Boolean = false): StreamingQuery = {
+    val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
+    // drain-and-stop mode for gate/backfill runs; the default trigger keeps
+    // the query live for continuous ingestion
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val surv = Dedup.incrementalSurvivorsIndexed(
@@ -41,4 +44,5 @@ object DedupIngest {
         ()
       }
       .start()
+  }
 }
