@@ -416,9 +416,11 @@ object Similarity {
     val cand = approx.withColumn("arank", row_number().over(wA))
       .where(col("arank") <= refine)
       .select(col("qid"), col("id"))
-    // exact re-rank on the refine-bounded candidate set only
+    // exact re-rank on the refine-bounded candidate set only; candidates
+    // are the broadcast side so the full-vector corpus is probed in place,
+    // never repartitioned by id (same 100× shape as the Matryoshka rerank)
     val wK = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
-    val out = cand
+    val out = broadcast(cand)
       .join(coded.select(col("id"), col("cvec")), "id")
       .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
       .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
@@ -506,8 +508,10 @@ object Similarity {
     val cand = approx.withColumn("arank", row_number().over(wA))
       .where(col("arank") <= refine)
       .select(col("qid"), col("id"))
+    // candidate side broadcast: the corpus must never shuffle by id for
+    // this refine-bounded rerank (see matryoshkaTopK / pqTopK)
     val wK = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
-    val out = cand
+    val out = broadcast(cand)
       .join(c.select(col("id"), col("cvec")), "id")
       .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
       .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))

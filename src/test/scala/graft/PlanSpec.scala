@@ -69,6 +69,18 @@ class PlanSpec extends SparkSpec {
       s"corpus side of the rerank join shuffles by id:\n$p")
   }
 
+  test("pq/rp rerank joins probe the corpus in place (no id-shuffle)") {
+    // same 100×-scale shape as the Matryoshka pin: the refine-bounded
+    // candidate set is the broadcast side; an id-hash exchange would mean
+    // the full-vector corpus repartitions for the rerank
+    Seq("sim_pq_topk", "sim_rp_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning(id")),
+        s"$q: corpus side of the rerank join shuffles by id:\n$p")
+    }
+    spark.sharedState.cacheManager.clearCache() // pqTopK plan-mode persist
+  }
+
   test("dedup_boilerplate: line reduction shuffles hashes, never page text") {
     // materialize=false — the operator localCheckpoints its result, which
     // would erase the reduction plan (dedup-family PlanSpec pattern below)
