@@ -783,6 +783,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Token-budget training schedule: 100k-token budget split across sources
+    * by sqrt-temperature weights, with per-source repeat factors capped at
+    * 4 epochs — the inventory→schedule step that precedes mixture sampling. */
+  private def curationEpochPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochPlan(t(s, dir, "documents"), "source",
+        size(TF.tokens(col("text"))).cast("long"),
+        budgetTokens = 100000L, alpha = 0.5, maxEpochsMilli = 4000L)
+      .orderBy("source")
+
   private def curationMixture(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.temperatureMixture(t(s, dir, "documents"),
         "source", "doc_id", targetRows = 250L, alpha = 0.5)
@@ -1507,6 +1516,7 @@ object SparkEntry {
     "dedup_containment"   -> dedupContainment _,
     "sim_matryoshka_topk" -> simMatryoshkaTopK _,
     "curation_mixture"    -> curationMixture _,
+    "curation_epoch_plan" -> curationEpochPlan _,
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
@@ -2817,6 +2827,28 @@ object SparkEntry {
     },
     // temperature mixture: rate_ppm = floor(T*sqrt(c)/S/c*1e6) with the
     // weight sum S folded in domain-name order — every double op is IEEE
+    // the planner's float steps mirror temperatureMixture's determinism
+    // contract (sqrt + left-assoc div chain + name-ordered sequential sum);
+    // the epoch/planned columns are pure integer arithmetic on both engines
+    "curation_epoch_plan" -> s"""
+      WITH toks AS (SELECT source, len($sqlToks)::BIGINT AS tk FROM documents),
+      cnt AS (SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(tk)::BIGINT AS avail
+              FROM toks GROUP BY source),
+      tot AS (SELECT list_aggregate(list(sqrt(avail::DOUBLE) ORDER BY source),
+                                    'sum') AS sw FROM cnt),
+      base AS (SELECT source, n_docs, avail,
+                 floor(sqrt(avail::DOUBLE) / (SELECT sw FROM tot)
+                       * 1000000.0)::BIGINT AS weight_ppm,
+                 floor(100000::DOUBLE * sqrt(avail::DOUBLE)
+                       / (SELECT sw FROM tot))::BIGINT AS target
+               FROM cnt),
+      ep AS (SELECT *, least(4000, (1000 * target) // avail)::BIGINT
+                         AS epochs_milli FROM base)
+      SELECT source, n_docs, avail AS avail_tokens, weight_ppm,
+             target AS target_tokens, epochs_milli,
+             ((avail * epochs_milli) // 1000)::BIGINT AS planned_tokens
+      FROM ep ORDER BY source""",
     // exact-rounded (sqrt, left-assoc mul/div chain, sequential list sum),
     // so the engine's Scala arithmetic and this SQL agree bit-for-bit
     "curation_mixture" -> {

@@ -207,6 +207,69 @@ object Sampling {
       .where(col("group_rank") <= maxPerGroup)
   }
 
+  /** Token-budget epoch planner — the data-mixing step that turns a corpus
+    * inventory into a training schedule: given per-row token counts, a
+    * total token budget, and a temperature `alpha`, compute for each
+    * source the temperature weight (`w_g ∝ avail_g^alpha`), its token
+    * allocation from the budget, and the repeat factor ("epochs", in
+    * millis) needed to fill that allocation from the available tokens —
+    * capped at `maxEpochsMilli` (repeating data beyond a few epochs stops
+    * helping, so a scarce source caps out and the plan reports the
+    * shortfall implicitly via `planned_tokens < target_tokens`).
+    *
+    * Determinism contract (same as [[temperatureMixture]]): the weight sum
+    * folds sequentially in UTF-8 byte order of the source names; alpha =
+    * 0.5 uses IEEE-exact `sqrt`; everything after the two double divisions
+    * is floored into integer space, and the epoch/planned arithmetic is
+    * PURE integer (`1000·target DIV avail`, `avail·epochs DIV 1000`) so
+    * the oracle reproduces every cell bit-exactly.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the corpus
+    * (sum of a narrow token-count expression per source); the plan table
+    * itself is #sources rows — a mixture config, not data. */
+  def epochPlan(df: DataFrame, groupCol: String, tokenCount: Column,
+                budgetTokens: Long, alpha: Double = 0.5,
+                maxEpochsMilli: Long = 4000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochsMilli >= 1000L,
+      s"maxEpochsMilli < 1000 would cap below one pass over the data")
+    def w(c: Long): Double =
+      if (alpha == 0.5) math.sqrt(c.toDouble)
+      else if (alpha == 1.0) c.toDouble
+      else math.pow(c.toDouble, alpha)
+    val gKey = coalesce(col(groupCol).cast("string"), lit(NullDomain))
+    val counts = df.groupBy(gKey.as(GroupKey))
+      .agg(count(lit(1)).as("n"), sum(tokenCount.cast("long")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+        a._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
+    var s = 0.0
+    counts.foreach { case (_, _, t) => s += w(t) } // sequential, name order
+    val rows = counts.map { case (g, n, avail) =>
+      val weightPpm = math.floor(w(avail) / s * 1000000.0).toLong
+      val target = math.floor(budgetTokens.toDouble * w(avail) / s).toLong
+      val epochsMilli =
+        if (avail == 0L) 0L
+        else math.min(maxEpochsMilli, Math.floorDiv(1000L * target, avail))
+      val planned = Math.floorDiv(avail * epochsMilli, 1000L)
+      org.apache.spark.sql.Row(g, n, avail, weightPpm, target, epochsMilli, planned)
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField(GroupKey, StringType, nullable = false),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("avail_tokens", LongType, nullable = false),
+        StructField("weight_ppm", LongType, nullable = false),
+        StructField("target_tokens", LongType, nullable = false),
+        StructField("epochs_milli", LongType, nullable = false),
+        StructField("planned_tokens", LongType, nullable = false))))
+      .withColumnRenamed(GroupKey, groupCol)
+  }
+
   /** Sentinel domain name for NULL group values in `temperatureMixture`. */
   val NullDomain = "__graft_null__"
 

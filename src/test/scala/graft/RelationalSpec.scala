@@ -127,6 +127,42 @@ class RelationalSpec extends SparkSpec {
       Sampling.temperatureMixture(docs, "source", "doc_id", 250L, alpha = 0.0))
   }
 
+  test("epoch plan: budget split by sqrt weights, scarce sources cap at maxEpochs") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.{col, lit}
+    // web: 100 docs × 100 tokens = 10000 avail; wiki: 4 docs × 25 = 100
+    val rows = (1L to 100L).map(i => (i, "web", 100L)) ++
+               (101L to 104L).map(i => (i, "wiki", 25L))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "source", "tk")
+    val out = Sampling.epochPlan(docs, "source", col("tk"),
+        budgetTokens = 20000L, alpha = 0.5, maxEpochsMilli = 4000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6))).toMap
+    // independent replica of the published formula (name-ordered fold)
+    val s = math.sqrt(10000.0) + math.sqrt(100.0)
+    def expect(avail: Long) = {
+      val target = math.floor(20000.0 * math.sqrt(avail.toDouble) / s).toLong
+      val em = math.min(4000L, 1000L * target / avail)
+      (target, em, avail * em / 1000L)
+    }
+    val (tw, ew, pw) = expect(10000L)
+    assert(out("web") == ((100L, 10000L,
+      math.floor(math.sqrt(10000.0) / s * 1000000.0).toLong, tw, ew, pw)))
+    // wiki's fair-share target (20000·10/110 ≈ 1818) is 18× its 100
+    // available tokens → epochs cap at 4.0 and planned < target
+    val (tq, eq, pq2) = expect(100L)
+    assert(eq == 4000L && pq2 < tq, s"wiki: target=$tq epochs=$eq planned=$pq2")
+    assert(out("wiki")._5 == 4000L && out("wiki")._6 == 400L)
+    // weights partition the ppm space (up to flooring)
+    val ppmSum = out.values.map(_._3).sum
+    assert(ppmSum <= 1000000L && ppmSum >= 999998L, s"ppmSum=$ppmSum")
+    intercept[IllegalArgumentException](
+      Sampling.epochPlan(docs, "source", col("tk"), 1000L, maxEpochsMilli = 500L))
+    intercept[IllegalArgumentException](
+      Sampling.epochPlan(docs, "source", lit(1L), -1L))
+  }
+
   test("temperature mixture: user column named 'g' survives; output collisions reject") {
     import graft.operators.Sampling
     // a frame carrying a column literally named "g" must not collide with
