@@ -255,6 +255,17 @@ object Smoke {
       .groupBy("qid").count().orderBy("qid").show()
     lap("round6-ops")
 
+    println("[smoke] round-8 additions: epoch plan + image headers + gzip decode oracle:")
+    graft.operators.Sampling.epochPlan(docs, "source",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"),
+        budgetTokens = 50000L)
+      .orderBy(desc("avail_tokens")).show(3)
+    graft.operators.Multimodal.imageHeaders(
+        spark.read.format("binaryFile")
+          .load(new java.io.File("fixtures/images").getAbsolutePath))
+      .orderBy("name").show()
+    lap("round8-ops")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")
