@@ -156,6 +156,13 @@ object OracleXX {
   def xxh64LongPmod(l: String, m: Long, seed: String = "42"): String =
     pmodWrap(xxh64Long(l, seed), m)
 
+  /** Spark's SIGNED `xxhash64(longCol)` value itself as BIGINT (the raw
+    * hash, no mod) — the list trick evaluates the HUGEINT hash once. */
+  def xxh64LongSigned(l: String, seed: String = "42"): String =
+    s"""list_extract(list_transform([(${xxh64Long(l, seed)})], hu ->
+          (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                THEN hu - $M ELSE hu END)::BIGINT), 1)"""
+
   /** Signed Spark-style `pmod(xxhash64(strCol), m)` as SQL — the string
     * twin of [[xxh64LongPmod]]. */
   def xxh64StrPmod(s: String, m: Long, seed: String = "42",

@@ -792,6 +792,15 @@ object SparkEntry {
         budgetTokens = 100000L, alpha = 0.5, maxEpochsMilli = 4000L)
       .orderBy("source")
 
+  /** Reproducible global shuffle for training order: hash order + the
+    * contiguous shard slices of that order (range-partitioned plan). */
+  private def curationOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicOrder(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", nShards = 64)
+      .select("doc_id", "source", "ord", "shard")
+      .orderBy("ord")
+
   private def curationMixture(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.temperatureMixture(t(s, dir, "documents"),
         "source", "doc_id", targetRows = 250L, alpha = 0.5)
@@ -1517,6 +1526,7 @@ object SparkEntry {
     "sim_matryoshka_topk" -> simMatryoshkaTopK _,
     "curation_mixture"    -> curationMixture _,
     "curation_epoch_plan" -> curationEpochPlan _,
+    "curation_order"      -> curationOrder _,
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
@@ -2827,6 +2837,19 @@ object SparkEntry {
     },
     // temperature mixture: rate_ppm = floor(T*sqrt(c)/S/c*1e6) with the
     // weight sum S folded in domain-name order — every double op is IEEE
+    // raw signed xxhash64 order + explicit floor-div shard (both engines'
+    // native integer division truncates toward zero, so the correction
+    // term is spelled out identically on both sides)
+    "curation_order" -> {
+      val h = OracleXX.xxh64LongSigned("doc_id")
+      s"""
+      WITH h AS (SELECT doc_id, source, ($h) AS ord FROM documents)
+      SELECT doc_id, source, ord,
+             (ord // 288230376151711744 -
+              (CASE WHEN ord % 288230376151711744 < 0 THEN 1 ELSE 0 END)
+              + 32)::BIGINT AS shard
+      FROM h ORDER BY ord"""
+    },
     // the planner's float steps mirror temperatureMixture's determinism
     // contract (sqrt + left-assoc div chain + name-ordered sequential sum);
     // the epoch/planned columns are pure integer arithmetic on both engines

@@ -270,6 +270,39 @@ object Sampling {
       .withColumnRenamed(GroupKey, groupCol)
   }
 
+  /** Deterministic training order — the reproducible global shuffle that
+    * fixes the order documents are fed to training: `ord = xxhash64(id)`
+    * is a pure function of row identity (re-runs, engines, and incremental
+    * appends agree), and `shard` is the contiguous `ord`-range slice
+    * (`floorDiv(ord, 2⁶⁴/nShards) + nShards/2`) so shard s holds exactly
+    * the s-th slice of the global order — a trainer streams shards
+    * sequentially and sorts only within its shard.
+    *
+    * Scale shape: `repartitionByRange(ord) + sortWithinPartitions` is the
+    * distributed total order — a sampled RANGE exchange, never a
+    * single-partition global sort (PlanSpec-pinned). The physical range
+    * boundaries are sampled, so they approximate (not equal) the `shard`
+    * cut points; `shard` is the logical contract, the exchange is the
+    * physical one. Floor division is spelled out explicitly (`DIV` +
+    * negative-remainder correction) because both engines' native integer
+    * division truncates toward zero. */
+  def deterministicOrder(df: DataFrame, idCol: String,
+                         nShards: Int = 64, seed: Long = 0L): DataFrame = {
+    require(nShards >= 2 && (nShards & (nShards - 1)) == 0 && nShards <= (1 << 20),
+      s"nShards must be a power of two >= 2, got $nShards")
+    Seq("ord", "shard").foreach(c => require(!df.columns.contains(c),
+      s"deterministicOrder emits column '$c' but the input already has one"))
+    val h = if (seed == 0L) xxhash64(col(idCol)) else xxhash64(lit(seed), col(idCol))
+    val k = java.lang.Integer.numberOfTrailingZeros(nShards)
+    val w = 1L << (64 - k) // exact: k >= 1 keeps the shift in range
+    df.withColumn("ord", h)
+      .withColumn("shard",
+        expr(s"ord DIV ${w}L - (CASE WHEN ord % ${w}L < 0 THEN 1 ELSE 0 END)")
+          + lit(nShards / 2))
+      .repartitionByRange(nShards, col("ord"))
+      .sortWithinPartitions("ord")
+  }
+
   /** Sentinel domain name for NULL group values in `temperatureMixture`. */
   val NullDomain = "__graft_null__"
 

@@ -163,6 +163,36 @@ class RelationalSpec extends SparkSpec {
       Sampling.epochPlan(docs, "source", lit(1L), -1L))
   }
 
+  test("deterministic order: reproducible shuffle, contiguous shards, range-partitioned plan") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    val docs = spark.createDataFrame((1L to 500L).map(i => (i, s"s$i")))
+      .toDF("doc_id", "txt")
+    val out = Sampling.deterministicOrder(docs, "doc_id", nShards = 8)
+    val rows = out.select("doc_id", "ord", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pure function of identity: re-run identical
+    val again = Sampling.deterministicOrder(docs, "doc_id", nShards = 8)
+      .select("doc_id", "ord", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // shard = the contiguous slice of the global ord order: sorting by ord
+    // must produce non-decreasing shard ids, all within [0, 8)
+    val byOrd = rows.sortBy(_._2)
+    assert(byOrd.map(_._3).sliding(2).forall(w => w(0) <= w(1)),
+      "shard ids not contiguous in ord order")
+    assert(rows.forall { case (_, _, s) => s >= 0 && s < 8 })
+    // a hash shuffle actually shuffles: the ord order must not be id order
+    assert(byOrd.map(_._1).take(20).toSeq != (1L to 20L),
+      "ord order degenerated to id order")
+    // physical plan: a RANGE exchange, never a single-partition global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(500))
+    assert(!plan.contains("SinglePartition"), plan.take(500))
+    intercept[IllegalArgumentException](
+      Sampling.deterministicOrder(docs, "doc_id", nShards = 12))
+  }
+
   test("temperature mixture: user column named 'g' survives; output collisions reject") {
     import graft.operators.Sampling
     // a frame carrying a column literally named "g" must not collide with
