@@ -1362,6 +1362,22 @@ object SparkEntry {
     s.read.parquet(out).select("doc_id", "lang").orderBy("doc_id")
   }
 
+  /** The production ingest configuration: df pruning on (maxDocFreq = 3
+    * bites at this corpus's boilerplate shingles) with a compaction after
+    * every append so each batch prunes against GLOBAL document
+    * frequencies, never stale batch-local ones. */
+  private def dedupIngestCompacted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tag = layoutTag(dir)
+    val batches = ingestBounds.map { case (lo, hi) =>
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi) }
+    Dedup.dedupIngestCompacted(batches, "doc_id", "text",
+        s"graft_b_ingestc_$tag", s"/tmp/graft_bucketed_$tag/ingestc",
+        buckets = 8, shingleN = 3, threshold = 0.5, maxDocFreq = 3L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   private def streamPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft-stream-e2e")
     val out = work.resolve("out")
@@ -1593,6 +1609,7 @@ object SparkEntry {
     // live engine paths (readStream → foreachBatch → sink, read back)
     "stream_pipeline_e2e" -> streamPipelineE2e _,
     "stream_dedup_ingest" -> streamDedupIngest _,
+    "dedup_ingest_compacted" -> dedupIngestCompacted _,
     "http_push_e2e"       -> httpPushE2e _)
 
   // ==== DuckDB oracles ====================================================
@@ -2093,6 +2110,69 @@ object SparkEntry {
         GROUP BY 1, 2),
       drop$i AS (
         SELECT DISTINCT id_a AS doc_id FROM pairs$i
+        WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+      acc$i AS MATERIALIZED (
+        SELECT doc_id FROM acc${i - 1}
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id >= $lo AND doc_id < $hi
+          AND doc_id NOT IN (SELECT doc_id FROM drop$i))"""
+    }
+    s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS MATERIALIZED (
+        SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+      acc0 AS (SELECT doc_id FROM documents WHERE 1 = 0),
+      ${steps.mkString(",\n      ")}
+      SELECT d.doc_id, d.lang FROM documents d
+      JOIN acc${bounds.size} a USING (doc_id)
+      ORDER BY d.doc_id"""
+  }
+
+  /** [[ingestOracle]] with df pruning replayed: at step i a shingle
+    * participates in candidate generation only when its batch-side df plus
+    * its GLOBAL accepted-corpus df (what compaction guarantees the index
+    * carries) is ≤ maxDocFreq; intersections count only surviving
+    * shingles, jaccard denominators keep the FULL set sizes — exactly
+    * `incrementalSurvivorsIndexed`'s semantics. */
+  private def ingestPrunedOracle(bounds: Seq[(Long, Long)], maxDF: Long): String = {
+    val steps = bounds.zipWithIndex.map { case ((lo, hi), i0) =>
+      val i = i0 + 1
+      s"""dfc$i AS MATERIALIZED (
+        SELECT h, count(*)::BIGINT AS dfc FROM posting
+        WHERE doc_id IN (SELECT doc_id FROM acc${i - 1}) GROUP BY h),
+      dfb$i AS MATERIALIZED (
+        SELECT h, count(*)::BIGINT AS dfb FROM posting
+        WHERE doc_id >= $lo AND doc_id < $hi GROUP BY h),
+      cpairs$i AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h
+        JOIN dfb$i fb ON fb.h = a.h
+        JOIN dfc$i fc ON fc.h = a.h
+        WHERE a.doc_id >= $lo AND a.doc_id < $hi
+          AND b.doc_id IN (SELECT doc_id FROM acc${i - 1})
+          AND fb.dfb + fc.dfc <= $maxDF
+        GROUP BY 1, 2),
+      ipairs$i AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM posting a JOIN posting b ON a.h = b.h
+        JOIN dfb$i fb ON fb.h = a.h
+        LEFT JOIN dfc$i fc ON fc.h = a.h
+        WHERE a.doc_id >= $lo AND a.doc_id < $hi
+          AND b.doc_id >= $lo AND b.doc_id < $hi AND b.doc_id < a.doc_id
+          AND fb.dfb + coalesce(fc.dfc, 0) <= $maxDF
+        GROUP BY 1, 2),
+      drop$i AS (
+        SELECT DISTINCT id_a AS doc_id FROM (
+          SELECT * FROM cpairs$i UNION ALL SELECT * FROM ipairs$i)
         WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
       acc$i AS MATERIALIZED (
         SELECT doc_id FROM acc${i - 1}
@@ -3244,6 +3324,7 @@ object SparkEntry {
     // batch/streaming parity: the live AvailableNow ingest must land on the
     // batch twin's exact survivor set
     "stream_dedup_ingest" -> ingestOracle(ingestBounds),
+    "dedup_ingest_compacted" -> ingestPrunedOracle(ingestBounds, maxDF = 3L),
     "dedup_incremental_indexed" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh AS (

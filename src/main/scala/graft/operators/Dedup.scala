@@ -650,6 +650,51 @@ object Dedup {
       .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(table)
 
+  /** Rebuild the bucketed posting index with globally-consistent document
+    * frequencies — the periodic maintenance that makes `maxDocFreq`
+    * pruning safe in the ingest loop ([[appendPostingIndex]] writes
+    * batch-LOCAL df, which goes stale as the accepted corpus grows; see
+    * its NOTE). One window aggregation over the index (a single hash
+    * exchange on `h`) and one bucketed rewrite — O(index), so production
+    * runs it every N batches, not per batch; [[dedupIngestCompacted]]
+    * runs it per batch to keep the gate semantics exact. The input is
+    * lineage-cut before the rewrite so overwriting the table's own path
+    * is safe. */
+  def compactPostingIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, path: String,
+                          buckets: Int = 8): Unit = {
+    val fresh = graft.util.Materialize.cut(
+      spark.table(table).select("id", "n", "h")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("h"))))
+    Relational.bucketMaterialize(fresh, table, "h", buckets, path)
+    ()
+  }
+
+  /** [[dedupIngest]] with `maxDocFreq` pruning ON and a compaction after
+    * every append, so each batch prunes against globally-consistent
+    * document frequencies (batch-side df + corpus-global df ≤ maxDocFreq
+    * keeps the shingle) — the production configuration of the ingestion
+    * loop once boilerplate shingles start dominating posting lists. */
+  def dedupIngestCompacted(batches: Seq[DataFrame], idCol: String,
+                           textCol: String, indexTable: String,
+                           indexPath: String, buckets: Int = 8,
+                           shingleN: Int = 3, threshold: Double = 0.5,
+                           maxDocFreq: Long = 1000L): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    require(maxDocFreq != Long.MaxValue,
+      "pruning off — use dedupIngest, which skips the df machinery entirely")
+    val spark = batches.head.sparkSession
+    initPostingIndex(batches.head, idCol, textCol, indexTable, indexPath,
+      buckets, shingleN)
+    batches.map { b =>
+      val surv = incrementalSurvivorsIndexed(b, spark.table(indexTable),
+        idCol, textCol, shingleN, threshold, maxDocFreq)
+      appendPostingIndex(surv, idCol, textCol, indexTable, buckets, shingleN)
+      compactPostingIndex(spark, indexTable, indexPath, buckets)
+      surv
+    }.reduce(_ unionByName _)
+  }
+
   /** Crawl-ingestion dedup loop — the static twin of the streaming
     * ingestion pipeline: batches arrive in order, each batch keeps only
     * documents that near-duplicate neither the ACCEPTED corpus so far nor

@@ -104,6 +104,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("posting-index compaction replaces stale batch-local df with global df") {
+    val b1 = docs.where(col("doc_id") < 150)
+    val b2 = docs.where(col("doc_id") >= 150 && col("doc_id") < 300)
+    val table = "graft_b_postings_spec_compact"
+    val path = "/tmp/graft_bucketed_spec_compact/postings"
+    Dedup.initPostingIndex(docs.where(lit(false)), "doc_id", "text", table, path)
+    Dedup.appendPostingIndex(b1, "doc_id", "text", table)
+    Dedup.appendPostingIndex(b2, "doc_id", "text", table)
+    // appended df is batch-local: a shingle both batches share understates
+    // its corpus-wide frequency until compaction rewrites it
+    val global = spark.table(table).groupBy("h").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val staleBad = spark.table(table).select("h", "df").collect()
+      .count(r => global(r.getLong(0)) != r.getLong(1))
+    assert(staleBad > 0, "fixture never goes stale — weaken of the test")
+    Dedup.compactPostingIndex(spark, table, path)
+    val fresh = spark.table(table).select("h", "df").collect()
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(r => global(r.getLong(0)) == r.getLong(1)),
+      "compaction left a stale df")
+    // row set unchanged — compaction rewrites frequencies, not postings
+    assert(fresh.length == global.values.sum)
+    graft.util.Materialize.release()
+  }
+
   test("duplicate spans: global reduction is a partial aggregation, not a per-hash sort") {
     val plan = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10,
         materialize = false)
