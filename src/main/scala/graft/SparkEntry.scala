@@ -581,6 +581,20 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Hard negatives against a deterministic label set (id ≡ qid mod 7):
+    * the top non-positive cosines per query — NOT a rank range of the
+    * plain top-k, so the anti-join path is genuinely exercised. */
+  private def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pos = emb.select(col("vec_id").as("id"))
+      .join(broadcast(q.select("qid")), pmod(col("id"), lit(7)) === col("qid"))
+    Similarity.hardNegatives(emb, "vec_id", "embedding", q, "qid", "qvec",
+        pos, k = 10)
+      .orderBy("qid", "rank")
+  }
+
   private def simLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.where(col("vec_id") < 5)
@@ -1028,6 +1042,17 @@ object SparkEntry {
         docs.where(col("doc_id") >= 20), "doc_id", "text",
         docs.where(col("doc_id") < 20), "text", shingleN = 3,
         estimatedBenchShingles = 20000L, numBits = 160000L)
+      .orderBy("doc_id")
+  }
+
+  /** Thresholded variant: drop only ≥30% shingle overlap with the bench. */
+  private def textDecontaminateFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.decontaminateByFraction(
+        docs.where(col("doc_id") >= 20), "doc_id", "text",
+        docs.where(col("doc_id") < 20), "text", minFracPpm = 300000L,
+        shingleN = 3, estimatedBenchShingles = 20000L, numBits = 160000L)
+      .select("doc_id", "lang", "n_shingles", "n_hits")
       .orderBy("doc_id")
   }
 
@@ -1512,6 +1537,7 @@ object SparkEntry {
     "dedup_embedding_exact" -> dedupEmbeddingExact _,
     "dedup_semantic"      -> dedupSemantic _,
     "sim_topk"            -> simTopK _,
+    "sim_hard_negatives"  -> simHardNegatives _,
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
@@ -1548,6 +1574,7 @@ object SparkEntry {
     "text_lm_score"       -> textLmScore _,
     "text_ppl_buckets"    -> textPplBuckets _,
     "text_decontaminate"  -> textDecontaminate _,
+    "text_decontaminate_frac" -> textDecontaminateFrac _,
     "q_zorder_layout"     -> qZorderLayout _,
     "text_pack_manifest"  -> textPackManifest _,
     "text_chunks"         -> textChunks _,
@@ -2567,6 +2594,20 @@ object SparkEntry {
     "dedup_semantic" -> semanticOracle(
       Similarity.fixedCentroids(16, 64), threshold = 0.4,
       maxClusterSize = 4096L),
+    // hard negatives: same exact-cosine replica minus the label pairs
+    "sim_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      neg AS (SELECT * FROM scored WHERE NOT (id % 7 = qid)),
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM neg)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank""",
     "sim_topk" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -3175,6 +3216,27 @@ object SparkEntry {
              coalesce(hit.n_hits, 0) > 0 AS contaminated
       FROM tot t LEFT JOIN hit USING (doc_id)
       ORDER BY t.doc_id""",
+    // thresholded twin: kept rows, integer ppm compare on both engines
+    "text_decontaminate_frac" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 20),
+      corp AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 20),
+      tot AS (SELECT doc_id, len(hs)::BIGINT AS n_shingles FROM sh WHERE doc_id >= 20),
+      hit AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM corp
+              WHERE h IN (SELECT h FROM bench) GROUP BY 1),
+      st AS (SELECT t.doc_id, t.n_shingles,
+                    coalesce(hit.n_hits, 0)::BIGINT AS n_hits
+             FROM tot t LEFT JOIN hit USING (doc_id))
+      SELECT d.doc_id, d.lang, st.n_shingles, st.n_hits
+      FROM documents d JOIN st USING (doc_id)
+      WHERE st.n_shingles = 0 OR st.n_hits * 1000000 < 300000 * st.n_shingles
+      ORDER BY d.doc_id""",
     // vocab = top-1000 tokens by (count desc, token asc) — a deterministic
     // total order both engines can reproduce; OOV encodes as 1000 (<unk>)
     "text_token_ids" -> s"""

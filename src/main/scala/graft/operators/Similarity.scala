@@ -143,6 +143,31 @@ object Similarity {
     reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * highest-cosine corpus items that are NOT labeled positives (and not
+    * the query itself) — the negatives that actually move an InfoNCE/
+    * triplet loss. `positives` carries (`qid`, `id`) label pairs.
+    *
+    * Scale shape: the corpus streams through one scoring stage (queries
+    * broadcast); the positive-label set is broadcast for the anti-join
+    * (training labels are queries × few rows); the rank shuffles only
+    * k-bounded rows per scan partition via the partial WindowGroupLimit —
+    * the whole mine is one corpus pass. */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    positives: DataFrame, k: Int = 10): DataFrame = {
+    require(positives.columns.contains("qid") && positives.columns.contains("id"),
+      s"positives must carry (qid, id), got ${positives.columns.mkString(",")}")
+    val scored = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+      .join(broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))))
+      .where(col("qid") =!= col("id"))
+      .join(broadcast(positives.select(col("qid"), col("id")).distinct()),
+            Seq("qid", "id"), "left_anti")
+      .select(col("qid"), col("id"), VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Deterministic mini k-means (Lloyd) on a driver-side sample — the IVF
     * coarse quantizer trainer. Sample = first `sampleN` rows by id
     * (deterministic), init = evenly-strided sample points, `iters`

@@ -326,6 +326,33 @@ object TextAnalysis {
     } else out
   }
 
+  /** Fraction-thresholded decontamination — the published n-gram-overlap
+    * rule (drop a document only when at least `minFracPpm`/10⁶ of its
+    * distinct shingles appear in the benchmark): any-hit removal
+    * ([[decontaminateReport]]'s `contaminated` flag) over-removes documents
+    * that merely quote one benchmark phrase. Returns the KEPT corpus rows
+    * with the overlap stats attached. The threshold compare is pure
+    * integer (`n_hits·10⁶ ≥ minFracPpm·n_shingles`) so both engines agree
+    * bit-for-bit; shingle-less documents carry no evidence and are kept.
+    *
+    * Scale: identical to the report (slim hash semi-join, map-side agg) +
+    * one broadcastable id anti-join — bodies never shuffle. */
+  def decontaminateByFraction(corpus: DataFrame, idCol: String,
+                              textCol: String, benchmark: DataFrame,
+                              benchText: String, minFracPpm: Long,
+                              shingleN: Int = 3,
+                              estimatedBenchShingles: Long = 1000000L,
+                              numBits: Long = 8000000L): DataFrame = {
+    require(minFracPpm > 0L && minFracPpm <= 1000000L,
+      s"minFracPpm in (0, 1e6], got $minFracPpm")
+    val report = decontaminateReport(corpus, idCol, textCol, benchmark,
+      benchText, shingleN, estimatedBenchShingles, numBits)
+    corpus.join(report.select(col(idCol), col("n_shingles"), col("n_hits")),
+                Seq(idCol))
+      .where(col("n_shingles") === 0L ||
+             col("n_hits") * lit(1000000L) < lit(minFracPpm) * col("n_shingles"))
+  }
+
   /** PII redaction: replace email addresses, IPv4 addresses, and
     * international-format phone numbers with typed placeholder tokens.
     * Pure narrow projection — scan-bound, codegen'd regexes. Patterns are
