@@ -581,6 +581,14 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Leakage audit over a 90/10 train/val hash split at the MinHash-LSH
+    * dedup threshold — the near-dup pairs straddling the split boundary. */
+  private def dedupSplitLeakage(s: SparkSession, dir: String): DataFrame =
+    Dedup.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+        weights = Seq("train" -> 0.9, "val" -> 0.1),
+        numHashes = 128, bands = 16, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
   /** Hard negatives against a deterministic label set (id ≡ qid mod 7):
     * the top non-positive cosines per query — NOT a rank range of the
     * plain top-k, so the anti-join path is genuinely exercised. */
@@ -1538,6 +1546,7 @@ object SparkEntry {
     "dedup_semantic"      -> dedupSemantic _,
     "sim_topk"            -> simTopK _,
     "sim_hard_negatives"  -> simHardNegatives _,
+    "dedup_split_leakage" -> dedupSplitLeakage _,
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
@@ -2537,6 +2546,24 @@ object SparkEntry {
     // Hamming pairs are oracle-checked as-is — see OracleXX
     "dedup_minhash" -> OracleXX.minhashOracle(numHashes = 128, bands = 16,
       threshold = 0.4),
+    // leakage audit = the same banded pair replica + hashSplit's bucket
+    // thresholds replayed on both endpoints, cross-split rows only
+    "dedup_split_leakage" -> {
+      val b = OracleXX.xxh64LongPmod("doc_id", 1000000L)
+      s"""
+      WITH ${OracleXX.minhashAgreeCtes(numHashes = 128, bands = 16)},
+      sp AS (SELECT doc_id,
+               CASE WHEN ($b) < 900000 THEN 'train' ELSE 'val' END AS split
+             FROM documents),
+      lk AS (SELECT id_a, id_b, agree::DOUBLE / 128 AS est_jaccard
+             FROM ag WHERE agree::DOUBLE / 128 >= 0.4)
+      SELECT l.id_a, l.id_b, sa.split AS split_a, sb.split AS split_b,
+             l.est_jaccard
+      FROM lk l JOIN sp sa ON sa.doc_id = l.id_a
+                JOIN sp sb ON sb.doc_id = l.id_b
+      WHERE sa.split <> sb.split
+      ORDER BY l.id_a, l.id_b"""
+    },
     "dedup_simhash" -> OracleXX.simhashOracle(maxHamming = 3),
     // exact-verified MinHash: candidates from LSH, output = exact n-gram
     // Jaccard ≥ 0.5 — oracle is the same all-pairs exact computation, with

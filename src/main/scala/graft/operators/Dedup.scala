@@ -650,6 +650,37 @@ object Dedup {
       .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(table)
 
+  /** Train/val split-leakage audit: near-duplicate pairs that CROSS a
+    * deterministic hash-split boundary — the documents whose val-set twin
+    * would leak train data into evaluation. Candidates come from the same
+    * MinHash-LSH banding as [[minhashLshPairs]]; the split assignment is
+    * [[Sampling.hashSplit]]'s (pure id functions on both sides, so the
+    * audit is reproducible and oracle-replicable end to end).
+    *
+    * Output: (id_a, id_b, split_a, split_b, est_jaccard), cross-split
+    * pairs only.
+    *
+    * Scale shape: the pair table (near-dups) is orders of magnitude
+    * smaller than the corpus — it broadcasts onto the slim (id, split)
+    * projection for both attachments; the corpus never shuffles for the
+    * audit beyond what the LSH banding already does. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   weights: Seq[(String, Double)],
+                   numHashes: Int = 128, bands: Int = 16,
+                   threshold: Double = 0.4, seed: Long = 0L): DataFrame = {
+    val splits = Sampling.hashSplit(
+      df.select(col(idCol)), idCol, weights, seed)
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+    val withA = broadcast(pairs)
+      .join(splits.select(col(idCol).as("id_a"), col("split").as("split_a")),
+            Seq("id_a"))
+    broadcast(withA)
+      .join(splits.select(col(idCol).as("id_b"), col("split").as("split_b")),
+            Seq("id_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
+  }
+
   /** Rebuild the bucketed posting index with globally-consistent document
     * frequencies — the periodic maintenance that makes `maxDocFreq`
     * pruning safe in the ingest loop ([[appendPostingIndex]] writes
