@@ -69,6 +69,31 @@ class PlanSpec extends SparkSpec {
       s"corpus side of the rerank join shuffles by id:\n$p")
   }
 
+  test("hard negatives: map-side rank prune; positives anti-join broadcasts") {
+    val p = plan("sim_hard_negatives")
+    val lines = p.linesIterator.toVector
+    // same contract as sim_topk: the per-query rank must prune below the
+    // exchange, or the shuffle carries corpus × queries rows
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstExchange >= 0 && partialWgl > firstExchange,
+      s"partial WindowGroupLimit below the exchange is missing:\n$p")
+    // the label anti-join must broadcast — a shuffled anti-join would
+    // repartition the scored corpus by (qid, id) at 100 TB
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"positives anti-join is not a broadcast join:\n$p")
+  }
+
+  test("split leakage: pair table broadcasts onto the split projection") {
+    val p = plan("dedup_split_leakage")
+    // both endpoint attachments join the (small) near-dup pair table to the
+    // corpus-size (id, split) projection: the pair side must broadcast —
+    // an id-hash exchange of the corpus for the audit would be a second
+    // corpus shuffle on top of the LSH banding
+    assert(p.contains("BroadcastHashJoin"), s"leakage joins lost broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"leakage join fell back to sort-merge:\n$p")
+  }
+
   test("pq/rp rerank joins probe the corpus in place (no id-shuffle)") {
     // same 100×-scale shape as the Matryoshka pin: the refine-bounded
     // candidate set is the broadcast side; an id-hash exchange would mean
