@@ -734,6 +734,25 @@ object SparkEntry {
     * (normalization must unify them), a blank separator line (empty-norm —
     * never deduplicated), and a constant footer. The operator keeps each
     * banner's globally-first occurrence and cuts the other 99. */
+  /** Intra-document pass over pages that repeat their own banner (in the
+    * OTHER case variant, so the normalized compare is what dedups) and
+    * carry a distinct final line that must survive. */
+  private def dedupLinesIntra(s: SparkSession, dir: String): DataFrame = {
+    val even = pmod(col("page_id"), lit(2L)) === 0L
+    val pages = t(s, dir, "documents")
+      .groupBy(expr("doc_id DIV 5").as("page_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+          e => e.getField("text")), "\n").as("body"))
+      .select(col("page_id"), concat_ws("\n",
+        when(even, lit("Cookie Notice: ACCEPT!")).otherwise(lit("cookie notice accept")),
+        lit(""), col("body"), lit("subscribe to the newsletter"),
+        when(even, lit("cookie notice accept")).otherwise(lit("Cookie Notice: ACCEPT!")),
+        lit("Subscribe, NOW!")).as("page_text"))
+    Dedup.intraDocLineDedup(pages, "page_id", "page_text")
+      .orderBy("page_id")
+  }
+
   private def dedupLines(s: SparkSession, dir: String): DataFrame = {
     val pages = t(s, dir, "documents")
       .groupBy(expr("doc_id DIV 5").as("page_id"))
@@ -1547,6 +1566,7 @@ object SparkEntry {
     "sim_topk"            -> simTopK _,
     "sim_hard_negatives"  -> simHardNegatives _,
     "dedup_split_leakage" -> dedupSplitLeakage _,
+    "dedup_lines_intra"   -> dedupLinesIntra _,
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
@@ -2863,6 +2883,47 @@ object SparkEntry {
     // struct directly); dedup keys are the NORMALIZED line strings —
     // grouping by string is collision-free, the engine's xxhash64 grouping
     // agrees on any corpus without a 64-bit collision
+    // intra-doc twin: first occurrence per (page, norm) survives, empties
+    // always kept; the repeated banner arrives in the other case variant
+    // so the cut proves the normalized compare
+    "dedup_lines_intra" -> s"""
+      WITH body AS (SELECT (doc_id // 5) AS page_id,
+                           string_agg(text, chr(10) ORDER BY doc_id) AS body
+                    FROM documents GROUP BY 1),
+      pages AS (SELECT page_id,
+                  (CASE WHEN page_id % 2 = 0 THEN 'Cookie Notice: ACCEPT!'
+                        ELSE 'cookie notice accept' END)
+                  || chr(10) || '' || chr(10) || body
+                  || chr(10) || 'subscribe to the newsletter'
+                  || chr(10) ||
+                  (CASE WHEN page_id % 2 = 0 THEN 'cookie notice accept'
+                        ELSE 'Cookie Notice: ACCEPT!' END)
+                  || chr(10) || 'Subscribe, NOW!' AS page_text
+                FROM body),
+      l AS (SELECT page_id, string_split(page_text, chr(10)) AS ls FROM pages),
+      e AS (SELECT page_id, ls, unnest(list_transform(range(1, len(ls) + 1),
+              i -> {'pos': i - 1, 'line': ls[i]})) AS u
+            FROM l),
+      p AS (SELECT page_id, (u.pos)::BIGINT AS pos, u.line AS line,
+              trim(regexp_replace(regexp_replace(lower(u.line), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+            FROM e),
+      cuts AS (SELECT page_id, pos FROM (
+                 SELECT page_id, pos,
+                        row_number() OVER (PARTITION BY page_id, norm
+                                           ORDER BY pos) AS rn
+                 FROM p WHERE norm <> '') WHERE rn > 1),
+      kept AS (SELECT p.page_id, p.pos, p.line FROM p
+               WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                 WHERE c.page_id = p.page_id AND c.pos = p.pos)),
+      agg AS (SELECT page_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*)::BIGINT AS n_lines_kept
+              FROM kept GROUP BY page_id)
+      SELECT l.page_id, coalesce(a.clean_text, '') AS clean_text,
+             coalesce(a.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+             (len(l.ls) - coalesce(a.n_lines_kept, 0))::BIGINT AS n_lines_cut
+      FROM l LEFT JOIN agg a USING (page_id)
+      ORDER BY page_id""",
     "dedup_lines" -> s"""
       WITH body AS (SELECT (doc_id // 5) AS page_id,
                            string_agg(text, chr(10) ORDER BY doc_id) AS body

@@ -650,6 +650,43 @@ object Dedup {
       .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(table)
 
+  /** Intra-document repeated-line removal — the within-ONE-document pass
+    * (corpus-wide is [[lineSurvivors]]): every line whose graft-NORMALIZED
+    * form already occurred earlier in the SAME document is dropped; lines
+    * that normalize to empty (blank/punctuation-only) are structure, not
+    * content — always kept. First occurrence survives, original order is
+    * preserved.
+    *
+    * Output: (idCol, clean_text, n_lines_kept, n_lines_cut).
+    *
+    * Scale: a pure NARROW projection — one `aggregate` fold per row over
+    * its own lines, no shuffle anywhere; the whole corpus pass costs
+    * exactly one scan (the fold's seen-set membership is O(distinct lines)
+    * per line, bounded by document size, not corpus size). */
+  def intraDocLineDedup(df: DataFrame, idCol: String, textCol: String,
+                        delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    def norm(c: Column) = graft.functions.TextFunctions.normText(c)
+    val folded = aggregate(
+      split(col(textCol), java.util.regex.Pattern.quote(delim)),
+      struct(array().cast("array<string>").as("seen"),
+             array().cast("array<string>").as("out")),
+      (acc, line) =>
+        when(length(norm(line)) === 0,
+             struct(acc.getField("seen").as("seen"),
+                    concat(acc.getField("out"), array(line)).as("out")))
+        .when(array_contains(acc.getField("seen"), norm(line)), acc)
+        .otherwise(
+             struct(concat(acc.getField("seen"), array(norm(line))).as("seen"),
+                    concat(acc.getField("out"), array(line)).as("out"))))
+    df.select(col(idCol), col(textCol), folded.getField("out").as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), delim).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        (size(split(col(textCol), java.util.regex.Pattern.quote(delim))) -
+          size(col("__kept"))).cast("long").as("n_lines_cut"))
+  }
+
   /** Train/val split-leakage audit: near-duplicate pairs that CROSS a
     * deterministic hash-split boundary — the documents whose val-set twin
     * would leak train data into evaluation. Candidates come from the same

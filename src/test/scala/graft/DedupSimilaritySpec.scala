@@ -104,6 +104,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("intra-doc line dedup: first occurrence survives, empties kept, zero shuffles") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "Cookie: ACCEPT!\n\nbody one\ncookie accept\nbody one\nBody, One!\ntail"),
+      (2L, "only\nlines\nhere")).toDF("id", "text")
+    // page 1: "cookie accept" ~ "Cookie: ACCEPT!" (norm-equal) → cut;
+    // "body one" repeat → cut; "Body, One!" norm-equal → cut; "" kept
+    val out = Dedup.intraDocLineDedup(pages, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("Cookie: ACCEPT!\n\nbody one\ntail", 4L, 3L)), out(1L))
+    assert(out(2L) == (("only\nlines\nhere", 3L, 0L)))
+    // pure narrow projection: the operator itself adds NO exchange
+    val plan = Dedup.intraDocLineDedup(pages, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
   test("posting-index compaction replaces stale batch-local df with global df") {
     val b1 = docs.where(col("doc_id") < 150)
     val b2 = docs.where(col("doc_id") >= 150 && col("doc_id") < 300)
