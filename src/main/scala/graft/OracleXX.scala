@@ -174,6 +174,36 @@ object OracleXX {
   private val sqlToks =
     """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
 
+  /** DuckDB replica of `TextAnalysis.heavyHitters` over `documents(text)`:
+    * every token occurrence hashed into `depth` Count-Min cells with
+    * Spark's chained-seed `pmod(xxhash64(j, token), width)`, per-cell
+    * counts summed, per-token estimate = min over its cells, candidates
+    * thresholded at `minCount`, then exactly re-counted. All-integer, so
+    * the replica is bit-exact (sums and mins are order-independent). */
+  def cmsOracle(depth: Int, width: Int, minCount: Long): String = {
+    val seeds = (0 until depth)
+      .map(j => u(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(j.toLong, 42L)))
+      .map(s => s + "::HUGEINT").mkString("[", ", ", "]")
+    val cell = xxh64StrPmod("tok", width.toLong, seed = s"($seeds)[j+1]", padLen = 20)
+    s"""
+      WITH w AS (SELECT unnest($sqlToks) AS tok FROM documents),
+      tk AS (SELECT tok FROM w WHERE tok <> ''),
+      dt AS (SELECT DISTINCT tok FROM tk),
+      cl AS MATERIALIZED (
+        SELECT tok, j, $cell AS cell
+        FROM dt CROSS JOIN (SELECT unnest(range(0, $depth)) AS j)),
+      sk AS (SELECT j, cell, count(*)::BIGINT AS cnt
+             FROM tk JOIN cl USING (tok) GROUP BY j, cell),
+      est AS (SELECT tok, min(cnt)::BIGINT AS cms_est
+              FROM cl JOIN sk USING (j, cell) GROUP BY tok),
+      hh AS (SELECT tok, cms_est FROM est WHERE cms_est >= $minCount),
+      ex AS (SELECT tok, count(*)::BIGINT AS n_exact
+             FROM tk JOIN hh USING (tok) GROUP BY tok)
+      SELECT h.tok AS token, h.cms_est, e.n_exact,
+             (h.cms_est - e.n_exact)::BIGINT AS overcount
+      FROM hh h JOIN ex e USING (tok) ORDER BY token"""
+  }
+
   /** DuckDB replica of `Dedup.simhashPairs` over `documents(doc_id, text)`:
     * per-token XXH64 → 64-bit majority-vote SimHash → pigeonhole fragment
     * blocking → Hamming ≤ maxHamming. */

@@ -873,6 +873,15 @@ object SparkEntry {
     TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
       .orderBy("rank")
 
+  /** Count-Min heavy hitters: width 32 is deliberately narrow for the gate
+    * corpus (31-token synthetic vocabulary) so cell collisions actually
+    * occur and the min-over-rows estimate + exact-verify correction are
+    * exercised, not vacuously equal. */
+  private def textHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
+        depth = 4, width = 32, minCount = 100L)
+      .orderBy("token")
+
   private def simEmbedQa(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingQa(t(s, dir, "embeddings"), "embedding", dim = 64,
         "label")
@@ -1613,6 +1622,7 @@ object SparkEntry {
     "sim_ivf_range"       -> simIvfRange _,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
     "text_bpe_merges"     -> textBpeMerges _,
+    "text_heavy_hitters"  -> textHeavyHitters _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -3141,6 +3151,8 @@ object SparkEntry {
     // must replicate XXH64 (unlike the grouping-invariant rows); unsigned
     // HUGEINT hashes convert back to signed BIGINT before comparing
     "text_bpe_merges" -> bpeOracle(numMerges = 8),
+    "text_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
+                                               minCount = 100L),
     "text_winnow" -> s"""${winnowCtes()}
       SELECT doc_id, pos, hash FROM sel ORDER BY doc_id, pos""",
     // MOSS overlap report: distinct fingerprint sets self-joined on the

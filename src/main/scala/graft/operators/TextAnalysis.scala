@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-corpus text analysis: language ID, quality scoring, token
@@ -948,4 +948,58 @@ object TextAnalysis {
       .agg(countDistinct(col("__th")).as("n_distinct_tokens"),
            approx_count_distinct(col("__th"), rsd).as("n_distinct_approx"),
            count(lit(1)).as("n_token_occurrences"))
+
+  /** Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005) with an
+    * exact verification pass — the "which tokens dominate the corpus"
+    * report a mixture tuner reads before reweighting.
+    *
+    * Three corpus passes, none of which ever shuffles token text at volume:
+    *
+    *  1. SKETCH BUILD: every occurrence hashes into `depth` (row, cell)
+    *     buckets — `pmod(xxhash64(j, token), width)`, Spark's chained-seed
+    *     multi-arg hash — and a map-side-combinable count aggregates them.
+    *     After partial aggregation at most `depth × width` cells per task
+    *     cross the shuffle, independent of corpus size: THE reason to
+    *     sketch at 100 TB instead of exact-counting 10^9 distinct tokens.
+    *  2. PROBE: each distinct token's estimate is `min` over its `depth`
+    *     cells, read via a broadcast join against the (tiny, aggregated)
+    *     sketch; candidates are those with estimate ≥ `minCount`. CMS never
+    *     under-counts, so this candidate set has NO false negatives.
+    *  3. VERIFY: candidates broadcast back as a semi-join filter and only
+    *     their occurrences are exactly counted — O(heavy tokens), not
+    *     O(vocabulary) — eliminating the sketch's collision over-counts.
+    *
+    * Output per heavy token: the sketch estimate, the exact count, and the
+    * collision overcount (`cms_est - n_exact`, always ≥ 0). All-integer —
+    * bit-exact against the DuckDB oracle replica. */
+  def heavyHitters(df: DataFrame, textCol: String, depth: Int, width: Int,
+                   minCount: Long): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df
+      .select(explode(TF.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    // the depth (row, cell) coordinates of one token, as one array expression
+    def cells(c: Column): Column = array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+             pmod(xxhash64(lit(j.toLong), c), lit(width.toLong)).as("cell"))
+    }: _*)
+    val sketch = toks
+      .select(explode(cells(col("token"))).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val candidates = toks.distinct()
+      .select(col("token"), explode(cells(col("token"))).as("jc"))
+      .select(col("token"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("token")).agg(min(col("cnt")).as("cms_est"))
+      .where(col("cms_est") >= minCount)
+    val exact = toks
+      .join(broadcast(candidates.select("token")), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    candidates.join(exact, Seq("token"))
+      .select(col("token"), col("cms_est"), col("n_exact"),
+              (col("cms_est") - col("n_exact")).as("overcount"))
+  }
 }

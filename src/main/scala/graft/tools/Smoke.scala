@@ -242,6 +242,10 @@ object Smoke {
       .orderBy("label").show(3)
     println("[smoke] BPE vocabulary induction (merge table):")
     TextAnalysis.bpeMerges(docs, "text", numMerges = 4).orderBy("rank").show()
+    println("[smoke] Count-Min heavy hitters (sketch est vs exact):")
+    TextAnalysis.heavyHitters(docs, "text", depth = 4, width = 32,
+        minCount = 20L)
+      .orderBy(desc("n_exact")).show(5)
     println("[smoke] incremental embedding dedup (batch vs accepted corpus):")
     Dedup.incrementalEmbedSurvivors(
         emb.where(col("vec_id") < 30), emb.where(col("vec_id") >= 30),

@@ -496,6 +496,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("text_heavy_hitters: sketch combines map-side; probe and verify broadcast") {
+    val p = plan("text_heavy_hitters")
+    val lines = p.linesIterator.toVector
+    // sketch build: the per-cell count must partially aggregate BEFORE its
+    // exchange — after map-side combine at most depth×width cells per task
+    // cross the shuffle, which is the whole point of sketching at 100 TB
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialCnt = lines.lastIndexWhere(_.contains("partial_count"))
+    assert(firstExchange >= 0 && partialCnt > firstExchange,
+      s"sketch build lost its map-side combine:\n$p")
+    // the probe reads the 4×32-cell sketch and the verify filters on the
+    // candidate set — both tiny, both must broadcast, never sort-merge
+    assert(lines.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"probe/verify joins are not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sketch-side join fell back to sort-merge:\n$p")
+  }
+
   test("dedup bucket sizing runs over slim (id, key) rows — no payload in the shuffle") {
     // the round-2 regression: 128-long signatures (and embedding vectors)
     // transiting the bucket-sizing window shuffle and its persist. Pin: the
