@@ -174,6 +174,60 @@ object OracleXX {
   private val sqlToks =
     """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')"""
 
+  /** DuckDB replica of `TextAnalysis.hllCardinality` over
+    * `documents(lang, text)`: 3-word shingles → XXH64 → HyperLogLog
+    * registers (bucket = top p hash bits, register = max leading-zero rank
+    * of the suffix) → md5 register fingerprint + exact-integer harmonic
+    * denominator + the raw estimate. The denominator is `sum(2^(64-reg))`
+    * in HUGEINT — exact — and the estimate's double arithmetic mirrors the
+    * engine's expression tree operand-for-operand (every literal cast
+    * ::DOUBLE — DuckDB parses bare decimals as DECIMAL), so even the
+    * floating result is bit-identical. */
+  def hllOracle(p: Int): String = {
+    val m = 1 << p
+    val bits = 64 - p
+    // (pow2a)[k+1] = 2^k, k in [0, 64]
+    val pow2a = (0 to 64).map(k => s"${BigInt(2).pow(k)}::HUGEINT")
+      .mkString("[", ", ", "]")
+    val xx = xxh64Str("s", padLen = 20)
+    s"""
+      WITH t AS (SELECT lang, $sqlToks AS tk FROM documents),
+      sh3 AS (SELECT lang, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS hs
+              FROM t),
+      ds AS (SELECT DISTINCT lang, unnest(hs) AS s FROM sh3),
+      dh AS MATERIALIZED (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM ds)),
+      hl AS (SELECT lang, h FROM ds JOIN dh USING (s)),
+      -- bucket = top p bits; rho = 1 + leading zeros of the $bits-bit suffix,
+      -- counted as |{b in [0, $bits) : suffix < 2^b}| (suffix bitlen complement)
+      br AS (SELECT lang,
+               (h // ($pow2a)[$bits + 1])::INT AS bucket,
+               (1 + list_aggregate(list_transform(range(0, $bits), b ->
+                  CASE WHEN h % ($pow2a)[$bits + 1] < ($pow2a)[b + 1]
+                       THEN 1 ELSE 0 END), 'sum'))::INT AS rho
+             FROM hl),
+      rg AS (SELECT lang, bucket, max(rho) AS reg FROM br GROUP BY lang, bucket),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      reg_full AS (SELECT l.lang, gs.bucket, coalesce(rg.reg, 0) AS reg
+                   FROM langs l
+                   CROSS JOIN (SELECT unnest(range(0, $m))::INT AS bucket) gs
+                   LEFT JOIN rg ON rg.lang = l.lang AND rg.bucket = gs.bucket),
+      agg AS (SELECT lang,
+                md5(string_agg(reg::VARCHAR, ',' ORDER BY bucket)) AS regs_md5,
+                sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::INT AS nonzero_regs,
+                sum(($pow2a)[65 - reg])::HUGEINT AS denom
+              FROM reg_full GROUP BY lang),
+      ex AS (SELECT lang, count(DISTINCT s)::BIGINT AS n_exact FROM ds GROUP BY lang)
+      SELECT a.lang, $m::INT AS m, a.regs_md5, a.nonzero_regs,
+             a.denom::VARCHAR AS denom_str,
+             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / ${m}.0::DOUBLE) *
+               ${m.toLong * m}.0::DOUBLE * pow(2.0::DOUBLE, 64.0::DOUBLE) /
+               a.denom::DOUBLE AS est_raw,
+             e.n_exact
+      FROM agg a JOIN ex e USING (lang) ORDER BY lang"""
+  }
+
   /** DuckDB replica of `TextAnalysis.heavyHitters` over `documents(text)`:
     * every token occurrence hashed into `depth` Count-Min cells with
     * Spark's chained-seed `pmod(xxhash64(j, token), width)`, per-cell

@@ -882,6 +882,14 @@ object SparkEntry {
         depth = 4, width = 32, minCount = 100L)
       .orderBy("token")
 
+  /** HLL cardinality at p=8 (m=256): every gate lang has ≳3k distinct
+    * shingles, ≫ 2.5m, so the raw estimator is in-regime and the ln-free
+    * bit-stable path covers the whole output (see
+    * `TextAnalysis.hllCardinality`). */
+  private def textHllCardinality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hllCardinality(t(s, dir, "documents"), "text", p = 8, "lang")
+      .orderBy("lang")
+
   private def simEmbedQa(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingQa(t(s, dir, "embeddings"), "embedding", dim = 64,
         "label")
@@ -1623,6 +1631,7 @@ object SparkEntry {
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
     "text_bpe_merges"     -> textBpeMerges _,
     "text_heavy_hitters"  -> textHeavyHitters _,
+    "text_hll_cardinality" -> textHllCardinality _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -3153,6 +3162,7 @@ object SparkEntry {
     "text_bpe_merges" -> bpeOracle(numMerges = 8),
     "text_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
                                                minCount = 100L),
+    "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "text_winnow" -> s"""${winnowCtes()}
       SELECT doc_id, pos, hash FROM sel ORDER BY doc_id, pos""",
     // MOSS overlap report: distinct fingerprint sets self-joined on the

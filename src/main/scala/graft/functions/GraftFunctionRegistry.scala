@@ -113,6 +113,12 @@ object GraftFunctionRegistry {
       WinnowFingerprints(nn(a(0), StringType), intLit(n, "n (gram width)", a(1)),
         intLit(n, "w (window)", a(2)))
     },
+    // aggregate: HLL registers of a 64-bit-hash column, 2^p buckets —
+    // `graft_hll_regs(xxhash64(tok), 8)`; the analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression like any builtin agg
+    d("graft_hll_regs", classOf[HllRegisters]) { (n, a) =>
+      arity(n, a, 2); HllRegisters(nn(a(0), LongType), intLit(n, "p (log2 buckets)", a(1)))
+    },
     d("graft_text_profile", classOf[TextProfile]) { (n, a) =>
       arity(n, a, 1); TextProfile(nn(a.head, StringType))
     },

@@ -949,6 +949,61 @@ object TextAnalysis {
            approx_count_distinct(col("__th"), rsd).as("n_distinct_approx"),
            count(lit(1)).as("n_token_occurrences"))
 
+  /** Per-group distinct-shingle cardinality via the native HyperLogLog
+    * register aggregate ([[graft.functions.HllRegisters]]) with the exact
+    * count alongside — the scan-bound "how big is each slice's n-gram
+    * space" report. One corpus pass builds the sketch (fixed 2^p bytes per
+    * group per task; merge = element-wise max, so only register arrays
+    * cross the shuffle, never shingles); the exact distinct count is the
+    * validation overlay a pipeline drops at full scale.
+    *
+    * The estimate is the RAW HLL estimator `alpha_m * m^2 / sum(2^-reg)`,
+    * computed ln-free for cross-engine bit-stability: the harmonic
+    * denominator is an exact `DECIMAL(38,0)` integer (`sum(2^(64-reg))`,
+    * i.e. scaled by 2^64), and the one double division happens last, on
+    * IEEE-identical operands in an identical expression tree, so even the
+    * floating-point estimate matches the DuckDB oracle bit-for-bit. The
+    * raw estimator needs n ≳ 2.5m (true here for every gate group); below
+    * that a consumer applies linear counting from the emitted
+    * `nonzero_regs` — the registers carry all the information.
+    *
+    * `regs_md5` fingerprints the full register array (bucket order), the
+    * strongest cross-engine pin: identical hashes, buckets, and rank maxima
+    * or a loud mismatch. */
+  def hllCardinality(df: DataFrame, textCol: String, p: Int,
+                     byCols: String*): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    require(byCols.nonEmpty, "at least one grouping column required")
+    val m = 1 << p
+    val sh = df.select((byCols.map(col) :+
+        explode(TF.shingles(col(textCol))).as("__s")): _*)
+    // element_at(pow2Dec, r + 1) = 2^(64-r), exact
+    val pow2Dec = array((0 to 64).map(k =>
+      lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64 - k)))
+        .cast("decimal(38,0)")): _*)
+    val regs = sh
+      .select((byCols.map(col) :+ xxhash64(col("__s")).as("__h")): _*)
+      .groupBy(byCols.map(col): _*)
+      .agg(graft.functions.Sketches.hllRegisters(col("__h"), p).as("regs"))
+      .withColumn("denom",
+        aggregate(col("regs"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+          (acc, r) => (acc + element_at(pow2Dec, r + 1)).cast("decimal(38,0)")))
+    val est = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble * m.toDouble) * pow(lit(2.0), lit(64.0)) /
+      col("denom").cast("double")
+    val exact = sh.groupBy(byCols.map(col): _*)
+      .agg(countDistinct(col("__s")).as("n_exact"))
+    regs
+      .select(byCols.map(col) ++ Seq(
+        lit(m).as("m"),
+        md5(array_join(transform(col("regs"), r => r.cast("string")), ","))
+          .as("regs_md5"),
+        size(filter(col("regs"), r => r > 0)).as("nonzero_regs"),
+        col("denom").cast("string").as("denom_str"),
+        est.as("est_raw")): _*)
+      .join(exact, byCols)
+  }
+
   /** Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005) with an
     * exact verification pass — the "which tokens dominate the corpus"
     * report a mixture tuner reads before reweighting.

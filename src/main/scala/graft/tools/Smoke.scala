@@ -246,6 +246,9 @@ object Smoke {
     TextAnalysis.heavyHitters(docs, "text", depth = 4, width = 32,
         minCount = 20L)
       .orderBy(desc("n_exact")).show(5)
+    println("[smoke] HLL shingle cardinality (registers + raw estimate):")
+    TextAnalysis.hllCardinality(docs, "text", p = 8, "lang")
+      .orderBy("lang").show(5)
     println("[smoke] incremental embedding dedup (batch vs accepted corpus):")
     Dedup.incrementalEmbedSurvivors(
         emb.where(col("vec_id") < 30), emb.where(col("vec_id") >= 30),

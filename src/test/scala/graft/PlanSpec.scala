@@ -514,6 +514,20 @@ class PlanSpec extends SparkSpec {
       s"a sketch-side join fell back to sort-merge:\n$p")
   }
 
+  test("text_hll_cardinality: register aggregate combines map-side (partial ObjectHashAggregate)") {
+    val p = plan("text_hll_cardinality")
+    val lines = p.linesIterator.toVector
+    // one 2^p-byte register buffer per (task, lang) is built map-side and
+    // only those buffers cross the shuffle — the sketch's 100 TB contract.
+    // TypedImperativeAggregate plans as ObjectHashAggregate with an
+    // explicit partial_ mode below the exchange.
+    assert(p.contains("ObjectHashAggregate"), s"sketch lost its object agg:\n$p")
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialRegs = lines.lastIndexWhere(_.contains("partial_graft_hll_regs"))
+    assert(firstExchange >= 0 && partialRegs > firstExchange,
+      s"partial register aggregation below the exchange is missing:\n$p")
+  }
+
   test("dedup bucket sizing runs over slim (id, key) rows — no payload in the shuffle") {
     // the round-2 regression: 128-long signatures (and embedding vectors)
     // transiting the bucket-sizing window shuffle and its persist. Pin: the

@@ -35,6 +35,33 @@ class SketchSpec extends SparkSpec {
       s"missing true heavy hitters: ${exactHeavy -- reported}")
   }
 
+  test("hllCardinality: estimate in budget; registers shard-order-invariant and mergeable") {
+    import graft.functions.{Sketches, TextFunctions => TF}
+    val rep = TextAnalysis.hllCardinality(docs, "text", p = 8, "lang").collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (est, exact) = (r.getAs[Double]("est_raw"), r.getAs[Long]("n_exact"))
+      // raw-estimator regime + ~6.5% std error at m=256: 3 sigma budget
+      assert(math.abs(est / exact - 1.0) < 0.25,
+        s"HLL estimate off > 25% for ${r.getAs[String]("lang")}: $est vs $exact")
+      assert(r.getAs[Int]("nonzero_regs") <= r.getAs[Int]("m"))
+    }
+    // determinism: the register array must not depend on partitioning
+    // (merge is commutative+associative), pinned via the md5 fingerprint
+    def regsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(TF.shingles(col("text"))).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .agg(Sketches.hllRegisters(col("h"), 8).as("regs"))
+      .collect()(0).getSeq[Int](0)
+    val whole = regsOf(docs.repartition(7))
+    assert(whole == regsOf(docs.repartition(2)), "registers depend on partitioning")
+    // mergeability: element-wise max of two disjoint halves == whole corpus
+    val half1 = regsOf(docs.where(col("doc_id") % 2 === 0))
+    val half2 = regsOf(docs.where(col("doc_id") % 2 =!= 0))
+    val merged = half1.zip(half2).map { case (a, b) => math.max(a, b) }
+    assert(merged == whole, "register union is not element-wise max")
+  }
+
   test("heavyHitters: a collision-free width makes the sketch exact") {
     // 2^14 cells for a ~31-token vocabulary: collisions possible but
     // vanishingly unlikely under 4 independent rows; est == exact for all

@@ -53,6 +53,16 @@ class SqlFunctionsSpec extends SparkSpec {
     assertSameRows("sketch chain", sqlRes, apiRes)
   }
 
+  test("HLL register aggregate via SQL matches the DataFrame API") {
+    docs
+    val sqlRes = spark.sql("""
+      SELECT lang, graft_hll_regs(xxhash64(text), 8) AS regs
+      FROM sqlfn_docs GROUP BY lang""")
+    val apiRes = docs.groupBy(col("lang"))
+      .agg(graft.functions.Sketches.hllRegisters(xxhash64(col("text")), 8).as("regs"))
+    assertSameRows("hll registers", sqlRes, apiRes)
+  }
+
   test("quality/profile/codec functions via SQL match the DataFrame API") {
     docs
     val sqlRes = spark.sql("""
