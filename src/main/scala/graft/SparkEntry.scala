@@ -882,6 +882,50 @@ object SparkEntry {
         depth = 4, width = 32, minCount = 100L)
       .orderBy("token")
 
+  /** PageRank over the near-dup candidate graph (same MinHash-LSH pairs as
+    * `dedup_minhash`): centrality ranks duplicate-hub documents — the
+    * canonical-representative / boilerplate-template signal. Fixed-point
+    * BIGINT arithmetic end-to-end (see `Graph.pageRank`), so the oracle
+    * replays all 5 iterations bit-exactly on top of the banded-pairs CTEs. */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.pageRank(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 128, bands = 16, threshold = 0.4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", iters = 5)
+      .select(col("id").as("doc_id"), col("rank").as("rank_fp"), col("deg"))
+      .orderBy("doc_id")
+
+  /** DuckDB replica of `Graph.pageRank` over the minhash candidate graph:
+    * the shared banded-pairs CTEs → thresholded pairs → symmetric edge
+    * list → 5 unrolled integer-arithmetic iterations. `//` and `DIV` are
+    * both floor division on non-negative BIGINTs and `*`/`//` share
+    * left-associative precedence in both engines, so every intermediate
+    * is identical. */
+  private def pagerankOracle(iters: Int): String = {
+    def it(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.dst AS id,
+             ((150000000000 // (SELECT n FROM nn)) + 85 * sum(r.rank // d.deg) // 100)::BIGINT AS rank
+           FROM ed e JOIN $prev r ON e.src = r.id JOIN dg d ON e.src = d.src
+           GROUP BY e.dst)"""
+    val chain = (1 to iters)
+      .map(i => it(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n      ")
+    s"""
+      WITH ${OracleXX.minhashAgreeCtes(numHashes = 128, bands = 16)},
+      prs2 AS (SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      ed AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM prs2
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs2),
+      dg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM ed GROUP BY src),
+      nn AS MATERIALIZED (SELECT count(DISTINCT src)::BIGINT AS n FROM ed),
+      r0 AS (SELECT DISTINCT src AS id,
+               (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank FROM ed),
+      $chain
+      SELECT i.id AS doc_id, i.rank AS rank_fp, d.deg
+      FROM it$iters i JOIN dg d ON i.id = d.src ORDER BY doc_id"""
+  }
+
   /** HLL cardinality at p=8 (m=256): every gate lang has ≳3k distinct
     * shingles, ≫ 2.5m, so the raw estimator is in-regime and the ln-free
     * bit-stable path covers the whole output (see
@@ -1632,6 +1676,7 @@ object SparkEntry {
     "text_bpe_merges"     -> textBpeMerges _,
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
+    "graph_pagerank"      -> graphPagerank _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -3163,6 +3208,7 @@ object SparkEntry {
     "text_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
                                                minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
+    "graph_pagerank" -> pagerankOracle(iters = 5),
     "text_winnow" -> s"""${winnowCtes()}
       SELECT doc_id, pos, hash FROM sel ORDER BY doc_id, pos""",
     // MOSS overlap report: distinct fingerprint sets self-joined on the

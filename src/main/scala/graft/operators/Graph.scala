@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.util.Materialize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair relations the other operators emit — the
+  * near-dup candidate graph (MinHash-LSH pairs), the containment graph,
+  * the k-NN graph. Connected components (cluster labeling) lives with the
+  * dedup operators (`Dedup.clusterLabels`); this object holds the
+  * centrality side: which documents are HUBS of their duplicate
+  * neighborhood. A curation pipeline ranks dup-cluster members by
+  * centrality to pick canonical representatives, or flags high-centrality
+  * boilerplate templates that near-match thousands of pages.
+  *
+  * Reference has no graph operators (it is a per-event stream framework);
+  * this extends the engine's training-data-pipeline surface the same way
+  * the dedup/similarity families do.
+  */
+object Graph {
+
+  /** Fixed-point-arithmetic PageRank over an undirected pair relation.
+    *
+    * `pairs(idACol, idBCol)` are distinct undirected edges (a < b, the
+    * dedup-family convention); both directions are materialized, so every
+    * node has out-degree ≥ 1 — no dangling-mass special case. Damping is
+    * the classic 0.85 / 0.15 teleport.
+    *
+    * All arithmetic is BIGINT fixed-point at `scale` (default 10^12):
+    * ranks start at `scale DIV n`, a node's contribution is
+    * `rank DIV deg`, and the update is `teleport DIV n + 85 * sum DIV 100`
+    * — integer sums are order-independent, so the result is deterministic
+    * under any task scheduling AND bit-exact against the DuckDB oracle
+    * (float PageRank would diverge ulp-by-ulp with summation order).
+    * Truncation loses < deg ulp of mass per node per iteration —
+    * invisible at scale 10^12 (gate corpus: < 0.3% after 5 rounds).
+    *
+    * Scale shape: the edge relation (the big side) is degree-annotated,
+    * hash-partitioned by `src` and persisted ONCE; each of the `iters`
+    * rounds then shuffles only the (id, rank) table — one slim row per
+    * node — against the co-partitioned cached edges. Node count `n` rides
+    * a broadcast cross join (never a driver collect). */
+  def pageRank(pairs: DataFrame, idACol: String, idBCol: String,
+               iters: Int = 5, scale: Long = 1000000000000L,
+               materialize: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(scale >= 1000000L, s"scale must be >= 10^6, got $scale")
+    val teleport = scale * 15L / 100L // exact for every scale >= 100
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    val nodes = edgesDeg.select(col("src").as("id")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"CAST($scale AS BIGINT) DIV n").as("rank"))
+    for (_ <- 1 to iters) {
+      val sums = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = sums.crossJoin(broadcast(n))
+        .select(col("dst").as("id"),
+                expr(s"CAST($teleport AS BIGINT) DIV n + 85 * s DIV 100")
+                  .as("rank"))
+    }
+    val out = ranks
+      .join(edgesDeg.select(col("src").as("id"), col("deg")).distinct(), "id")
+      .select(col("id"), col("rank"), col("deg"))
+    if (materialize) {
+      val m = Materialize.track(out.localCheckpoint(true))
+      edgesDeg.unpersist()
+      m
+    } else out // plan-inspection mode: caller owns the cached edges
+  }
+}

@@ -3,7 +3,7 @@ package graft.tools
 import graft.config.GraftConfig
 import graft.functions.{Compressor, DumpCodec, TextFunctions => TF, VectorFunctions => VF}
 import graft.event.Event
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Pipeline
 
 import org.apache.spark.sql.SparkSession
@@ -249,6 +249,12 @@ object Smoke {
     println("[smoke] HLL shingle cardinality (registers + raw estimate):")
     TextAnalysis.hllCardinality(docs, "text", p = 8, "lang")
       .orderBy("lang").show(5)
+    println("[smoke] PageRank over the near-dup candidate graph (top hubs):")
+    Graph.pageRank(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 128,
+            bands = 16, threshold = 0.4).select("id_a", "id_b"),
+        "id_a", "id_b", iters = 5)
+      .orderBy(desc("rank")).show(5)
     println("[smoke] incremental embedding dedup (batch vs accepted corpus):")
     Dedup.incrementalEmbedSurvivors(
         emb.where(col("vec_id") < 30), emb.where(col("vec_id") >= 30),

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Graph
+
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants: mass conservation under fixed-point truncation,
+  * symmetry, hub dominance, and the one-shuffle-for-edges plan shape. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("pageRank: regular graphs rank uniformly; mass is conserved minus truncation") {
+    // triangle: all nodes symmetric, ranks must be exactly equal
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Graph.pageRank(tri, "id_a", "id_b", iters = 5).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    assert(r.size == 3)
+    assert(r.values.toSet.size == 1, s"symmetric nodes ranked unequally: $r")
+    val mass = r.values.sum
+    assert(mass <= Scale && mass >= (Scale * 9) / 10,
+      s"rank mass $mass outside [0.9, 1.0] x scale")
+  }
+
+  test("pageRank: star center out-ranks leaves; degree column is correct") {
+    // star: 0 joined to 1..6
+    val star = (1L to 6L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val rows = Graph.pageRank(star, "id_a", "id_b", iters = 5).collect()
+    val byId = rows.map(x => x.getAs[Long]("id") ->
+      (x.getAs[Long]("rank"), x.getAs[Long]("deg"))).toMap
+    assert(byId(0L)._2 == 6L && byId(1L)._2 == 1L)
+    val leafRanks = (1L to 6L).map(byId(_)._1)
+    assert(leafRanks.toSet.size == 1, "symmetric leaves ranked unequally")
+    assert(byId(0L)._1 > leafRanks.head * 3,
+      s"hub not dominant: ${byId(0L)._1} vs leaf ${leafRanks.head}")
+  }
+
+  test("pageRank: result is partitioning-invariant (integer sums)") {
+    val docs = spark.read.parquet(sf("documents"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+    val a = Graph.pageRank(pairs.repartition(7), "id_a", "id_b", iters = 3)
+      .orderBy("id").collect().toSeq
+    val b = Graph.pageRank(pairs.repartition(2), "id_a", "id_b", iters = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b, "pageRank depends on input partitioning")
+  }
+
+  test("pageRank plan: edges shuffled once (cached co-partitioned); iterations shuffle only ranks") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    try {
+      val df = Graph.pageRank(pairs, "id_a", "id_b", iters = 5,
+        materialize = false)
+      val p = df.queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toVector
+      // the degree-annotated edge relation must come from the cache...
+      assert(lines.exists(_.contains("InMemoryTableScan")),
+        s"edges are not cached:\n$p")
+      // ...and never be re-shuffled: an Exchange whose direct child is the
+      // cached edge scan would mean every iteration re-partitions the big
+      // side instead of reusing the persisted hashpartitioning(src) layout
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("InMemoryTableScan")) {
+          val parent = lines.take(i).reverse.find(_.trim.nonEmpty)
+          assert(!parent.exists(_.contains("Exchange hashpartitioning")),
+            s"cached edges re-shuffled by an iteration join:\n$p")
+        }
+      }
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+}
