@@ -873,6 +873,11 @@ object SparkEntry {
     TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
       .orderBy("rank")
 
+  private def textBpeApply(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+        numMerges = 8)
+      .orderBy("doc_id")
+
   /** Count-Min heavy hitters: width 32 is deliberately narrow for the gate
     * corpus (31-token synthetic vocabulary) so cell collisions actually
     * occur and the min-over-rows estimate + exact-verify correction are
@@ -1677,6 +1682,7 @@ object SparkEntry {
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
     "graph_pagerank"      -> graphPagerank _,
+    "text_bpe_apply"      -> textBpeApply _,
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -1777,7 +1783,7 @@ object SparkEntry {
     * island; the 1st, 3rd, … members merge, the following position is
     * consumed). Pure BIGINT weights and `[a-z0-9]` symbol strings, so the
     * merge table matches bit-for-bit. */
-  private def bpeOracle(numMerges: Int): String = {
+  private def bpeCtes(numMerges: Int): String = {
     def iterBlock(k: Int): String = {
       val p = k - 1
       s"""
@@ -1810,18 +1816,58 @@ object SparkEntry {
                      ORDER BY pos) AS syms
               FROM m$k WHERE NOT consumed GROUP BY w)"""
     }
-    val unions = (1 to numMerges)
-      .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", weight FROM b$k""")
-      .mkString(" UNION ALL ")
-    s"""
-      WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt
+    s"""w0 AS (SELECT w, count(*)::BIGINT AS cnt
              FROM (SELECT unnest($sqlToks) AS w FROM documents)
              WHERE len(w) > 0 GROUP BY 1),
       s0 AS MATERIALIZED (SELECT w, cnt,
                list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
              FROM w0),
-      ${(1 to numMerges).map(iterBlock).mkString(",")}
+      ${(1 to numMerges).map(iterBlock).mkString(",")}"""
+  }
+
+  private def bpeOracle(numMerges: Int): String = {
+    val unions = (1 to numMerges)
+      .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", weight FROM b$k""")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH ${bpeCtes(numMerges)}
       SELECT * FROM ($unions) ORDER BY rank"""
+  }
+
+  /** DuckDB replica of `TextAnalysis.bpeEncode`: the learned merge table
+    * (shared `bpeCtes` chain — single source of truth with the
+    * `text_bpe_merges` oracle) collected into rank-ordered pattern/
+    * replacement lists, then applied to every word as the same
+    * `numMerges`-deep chain of literal `replace` calls the engine uses.
+    * `replace` is leftmost-non-overlapping in both engines — exactly the
+    * trainer's greedy fold (see `bpeMerges`) — and an exhausted merge slot
+    * no-ops via a `chr(1)` pattern that cannot occur in `[a-z0-9 ]` text. */
+  private def bpeApplyOracle(numMerges: Int): String = {
+    val chain = (1 to numMerges).foldLeft(
+      "array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')") {
+      (acc, k) =>
+        s"replace($acc, coalesce(pats[$k], chr(1)), coalesce(reps[$k], ''))"
+    }
+    val unions = (1 to numMerges)
+      .map(k => s"SELECT $k AS rank, l, r FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH ${bpeCtes(numMerges)},
+      mg AS MATERIALIZED (
+        SELECT list(l || ' ' || r ORDER BY rank) AS pats,
+               list(l || r ORDER BY rank) AS reps
+        FROM ($unions)),
+      dtk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      enc AS (SELECT doc_id, len(tk)::BIGINT AS n_words,
+                list_transform(tk, w -> $chain) AS ew
+              FROM dtk CROSS JOIN mg),
+      rep AS (SELECT doc_id, n_words,
+                list_aggregate(list_transform(ew, e ->
+                  CASE WHEN e = '' THEN 0 ELSE len(string_split(e, ' ')) END),
+                  'sum')::BIGINT AS n_tokens_bpe,
+                md5(array_to_string(ew, ' | ')) AS enc_md5
+              FROM enc)
+      SELECT doc_id, n_words, n_tokens_bpe, enc_md5 FROM rep ORDER BY doc_id"""
   }
 
   /** Shared CTE chain producing `spans(doc_id, start_tok, end_tok,
@@ -3209,6 +3255,7 @@ object SparkEntry {
                                                minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "graph_pagerank" -> pagerankOracle(iters = 5),
+    "text_bpe_apply" -> bpeApplyOracle(numMerges = 8),
     "text_winnow" -> s"""${winnowCtes()}
       SELECT doc_id, pos, hash FROM sel ORDER BY doc_id, pos""",
     // MOSS overlap report: distinct fingerprint sets self-joined on the

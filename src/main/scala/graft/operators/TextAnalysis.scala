@@ -938,6 +938,46 @@ object TextAnalysis {
       .toDF("rank", "left", "right", "weight")
   }
 
+  /** Tokenizer APPLICATION — the other half of the BPE story: learn the
+    * merge table with [[bpeMerges]] (bounded driver collect, ≤ `numMerges`
+    * rows — the artifact a trainer ships), then ENCODE every document with
+    * it. Each word is char-split and the merges apply in rank order as
+    * literal `replace` calls; `replace` is leftmost-non-overlapping, which
+    * IS the trainer's greedy fold (tail==left ∧ cur==right — see the
+    * [[bpeMerges]] determinism contract), so training and application
+    * tokenize identically — the property that makes token counts from this
+    * pass match what the modeling stack will see.
+    *
+    * Per-document output: word count, post-BPE token count, and an md5 of
+    * the full encoded stream (words joined by ' | ') — the cross-engine
+    * pin that proves every merge landed at the same positions. Encoding is
+    * a pure per-row projection (scan-bound, no shuffle); the encoded-words
+    * array is referenced twice in one projection (token sum + md5), which
+    * CollapseProject evaluates twice — an accepted 2× on a cheap
+    * expression, not a scale hazard. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                numMerges: Int): DataFrame = {
+    val merges = bpeMerges(df, textCol, numMerges)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    def charJoin(w: Column): Column =
+      when(length(w) === 0, lit(""))
+        .otherwise(array_join(
+          transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+          " "))
+    def encWord(w: Column): Column = merges.foldLeft(charJoin(w)) {
+      case (acc, (l, r)) => replace(acc, lit(s"$l $r"), lit(l + r))
+    }
+    df.select(col(idCol), TF.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("n_words"),
+              transform(col("tk"), w => encWord(w)).as("ew"))
+      .select(col(idCol), col("n_words"),
+        aggregate(col("ew"), lit(0L), (acc, e) =>
+          acc + when(length(e) === 0, lit(0))
+            .otherwise(size(split(e, " "))).cast("long")).as("n_tokens_bpe"),
+        md5(array_join(col("ew"), " | ")).as("enc_md5"))
+  }
+
   def vocabularyReport(df: DataFrame, textCol: String, rsd: Double,
                        byCols: String*): DataFrame =
     df.select((byCols.map(col) :+

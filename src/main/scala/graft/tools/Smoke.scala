@@ -242,6 +242,9 @@ object Smoke {
       .orderBy("label").show(3)
     println("[smoke] BPE vocabulary induction (merge table):")
     TextAnalysis.bpeMerges(docs, "text", numMerges = 4).orderBy("rank").show()
+    println("[smoke] BPE application (encode with the learned merges):")
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", numMerges = 4)
+      .orderBy("doc_id").show(3)
     println("[smoke] Count-Min heavy hitters (sketch est vs exact):")
     TextAnalysis.heavyHitters(docs, "text", depth = 4, width = 32,
         minCount = 20L)

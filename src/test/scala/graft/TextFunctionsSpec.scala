@@ -660,4 +660,28 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
+
+  test("bpe encode: hand-traced encoding; token count bounded below by words") {
+    // same Sennrich corpus as the merges test: merges (w,e), (l,o), (s,t).
+    // 'lowest' -> chars l o w e s t -> (w,e): l o we s t -> (l,o): lo we s t
+    // -> (s,t): lo we st => 3 tokens
+    val docs = spark.createDataFrame(Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest newest newest widest"),
+      (3L, "lowest"))).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", numMerges = 3)
+      .orderBy("doc_id").collect()
+    val d3 = enc.find(_.getLong(0) == 3L).get
+    assert(d3.getAs[Long]("n_tokens_bpe") == 3L, s"lowest mis-encoded: $d3")
+    // bounded on the real corpus: merges only ever REDUCE a word's symbol
+    // count toward 1, so the doc token count can never drop below the word
+    // count (losslessness itself is pinned cross-engine by the enc_md5
+    // oracle column)
+    val real = spark.read.parquet(sf("documents"))
+    val r = TextAnalysis.bpeEncode(real, "doc_id", "text", numMerges = 8)
+    val stats = r.agg(
+      sum(when(col("n_tokens_bpe") < col("n_words"), 1).otherwise(0)).as("under"))
+      .collect()(0)
+    assert(stats.getAs[Long]("under") == 0L, "a document encoded to fewer tokens than words")
+  }
 }
