@@ -4,7 +4,7 @@ import graft.event.Event
 import graft.functions.{Backoff, Base64Functions => B64, DumpCodec,
   GzipFunctions => GZ, TextFunctions => TF}
 import graft.interceptor.{HeaderEnrich, InterceptorChain, RegexFilter, Transparent, DevNull => DevNullItp}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sinks.Sinks
 import graft.sources.Sources
 import graft.streaming.BatchSemantics
@@ -254,6 +254,41 @@ object SparkEntry {
       .groupBy("user_id", "event_type")
       .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n"))
       .orderBy("user_id", "event_type")
+
+  // ==== behavioral analytics over the event stream ========================
+
+  /** Conversion funnel signup → view → click → purchase, 7-day bound
+    * between consecutive steps — first-touch semantics; see
+    * [[graft.operators.Analytics.funnel]] for the co-partitioned per-step
+    * chaining that keeps every stage on the `user_id` partitioning. */
+  private def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Analytics.funnel(events(s, dir), "user_id", "event_type", "ts_ms",
+      Seq("signup", "view", "click", "purchase"),
+      windowMs = Some(7L * 86400000L))
+
+  /** Weekly cohort retention matrix over the event stream (cohort = first-
+    * activity week, distinct-user activity per week offset). */
+  private def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    Analytics.retention(events(s, dir), "user_id", "ts_ms")
+
+  /** Fact-to-dim join under key skew via salt replication
+    * ([[graft.operators.Analytics.saltedJoin]]): events scatter across 8
+    * salt copies of the customer dim, pinned to a shuffled-hash join (the
+    * manual skew shape for dims too big to broadcast); the aggregate is
+    * identical to the plain join, which is exactly what the oracle runs. */
+  private def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val dim = t(s, dir, "customer").select(col("c_custkey").as("user_id"),
+      col("c_mktsegment"))
+    Analytics.saltedJoin(ev, dim, "user_id", nSalts = 8,
+        saltSrc = col("event_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           sum(when(col("event_type") === "purchase", cents(col("value")))
+             .otherwise(lit(0L))).as("purchase_cents"))
+      .orderBy("c_mktsegment")
+  }
 
   // ==== relational queries (Catalyst built-ins; bench headliners) =========
 
@@ -1601,7 +1636,11 @@ object SparkEntry {
     "stream_interval_join_left" -> streamIntervalJoinLeft _,
     "stream_interval_join_full" -> streamIntervalJoinFull _,
     "stream_interval_join_right" -> streamIntervalJoinRight _,
+    // behavioral analytics
+    "events_funnel"       -> eventsFunnel _,
+    "events_retention"    -> eventsRetention _,
     // relational
+    "q_skew_salted_join"  -> qSkewSaltedJoin _,
     "q1_agg"              -> q1Agg _,
     "q3_topk"             -> q3TopK _,
     "q5_join"             -> q5Join _,
@@ -2509,6 +2548,57 @@ object SparkEntry {
         AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
         AND epoch_ms(v.ts) < epoch_ms(p.ts)
       ORDER BY user_id, view_id, purchase_id""",
+    // funnel: greedy first-touch chaining — each step's reach time is the
+    // earliest qualifying event strictly after the previous step's, ≤7d
+    // later; a zero-reach step yields no row in both engines
+    "events_funnel" -> """
+      WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t
+                  FROM events),
+      r1 AS (SELECT u, min(t) AS t FROM ev WHERE et = 'signup' GROUP BY u),
+      r2 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r1 ON ev.u = r1.u
+             WHERE ev.et = 'view' AND ev.t > r1.t
+               AND ev.t <= r1.t + 604800000 GROUP BY ev.u),
+      r3 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r2 ON ev.u = r2.u
+             WHERE ev.et = 'click' AND ev.t > r2.t
+               AND ev.t <= r2.t + 604800000 GROUP BY ev.u),
+      r4 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r3 ON ev.u = r3.u
+             WHERE ev.et = 'purchase' AND ev.t > r3.t
+               AND ev.t <= r3.t + 604800000 GROUP BY ev.u),
+      stages AS (
+        SELECT 1 AS step, 'signup' AS step_name, count(*)::BIGINT AS users FROM r1
+        UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM r2
+        UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM r3
+        UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM r4)
+      SELECT step, step_name, users,
+             users::DOUBLE /
+               (max(CASE WHEN step = 1 THEN users END) OVER ())::DOUBLE AS pct
+      FROM stages WHERE users > 0 ORDER BY step""",
+    // weekly cohort retention; offset-0 actives ARE the cohort size
+    "events_retention" -> """
+      WITH ev AS (SELECT user_id AS u, epoch_ms(ts) // 604800000 AS wk
+                  FROM events),
+      f AS (SELECT u, min(wk) AS cohort FROM ev GROUP BY u),
+      a AS (SELECT DISTINCT cohort, ev.wk - cohort AS "offset", ev.u
+            FROM ev JOIN f ON ev.u = f.u),
+      g AS (SELECT cohort, "offset", count(*)::BIGINT AS active_users
+            FROM a GROUP BY 1, 2),
+      sized AS (SELECT cohort, "offset", active_users,
+                max(CASE WHEN "offset" = 0 THEN active_users END)
+                  OVER (PARTITION BY cohort) AS cohort_size FROM g)
+      SELECT cohort, "offset", active_users, cohort_size,
+             active_users::DOUBLE / cohort_size::DOUBLE AS rate
+      FROM sized ORDER BY cohort, "offset"""",
+    // the salted join is result-identical to the plain join — the oracle
+    // runs the unsalted form, so the gate proves salting changes only the
+    // partitioning, never the answer
+    "q_skew_salted_join" -> """
+      SELECT c.c_mktsegment, count(*)::BIGINT AS n_events,
+             count(DISTINCT e.user_id)::BIGINT AS n_users,
+             sum(CASE WHEN e.event_type = 'purchase'
+                      THEN (e.value::DECIMAL(18,2) * 100)::BIGINT
+                      ELSE 0 END)::BIGINT AS purchase_cents
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,

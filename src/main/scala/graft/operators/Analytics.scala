@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams — the OLAP queries a pipeline
+  * operator runs against the `events` firehose the reference ships around
+  * (atiesh routes events; an analytics engine must also answer questions
+  * about them): conversion funnels, cohort retention, and the
+  * skew-resistant join shape those queries need at 100 TB.
+  *
+  * Determinism: every output is counts (exact), integer week/step indices,
+  * or a single IEEE division of two exact longs — no order-dependent float
+  * aggregation anywhere, so the DuckDB oracle matches bit-for-bit.
+  */
+object Analytics {
+
+  /** Multi-step conversion funnel with first-touch semantics: a user
+    * reaches step 1 at their EARLIEST `steps(0)` event; they reach step
+    * i+1 at their earliest `steps(i+1)` event STRICTLY after their step-i
+    * reach time (and within `windowMs` of it, when bounded). Earliest-
+    * qualifying is the standard greedy funnel — it maximizes reach, since
+    * any later step-i time only shrinks the step-i+1 candidate set.
+    *
+    * Output: `step` (1-based), `step_name`, `users`, `pct` (share of the
+    * step-1 cohort). Scale shape: one shuffle of the (narrow) event
+    * projection per step, ALL on the same `user_id` key — each stage is a
+    * groupBy+join chain on the partitioning the previous stage already
+    * produced, so at 1000 executors the funnel is k co-partitioned passes,
+    * never a cross-user exchange. The per-step totals are a few rows.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             windowMs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"))
+    var reach = ev.where(col("et") === steps.head)
+      .groupBy("u").agg(min("t").as("t"))
+    val stages = scala.collection.mutable.ArrayBuffer(
+      reach.select(col("u"), lit(1).as("step"), lit(steps.head).as("step_name")))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = reach.select(col("u"), col("t").as("tp"))
+      val bounded = windowMs.map(w => col("t") <= col("tp") + lit(w))
+        .getOrElse(lit(true))
+      reach = ev.where(col("et") === st)
+        .join(prev, Seq("u"))
+        .where(col("t") > col("tp") && bounded)
+        .groupBy("u").agg(min("t").as("t"))
+      stages += reach.select(col("u"), lit(i + 1).as("step"),
+        lit(st).as("step_name"))
+    }
+    stages.reduce(_.unionByName(_))
+      .groupBy("step", "step_name").agg(count(lit(1)).as("users"))
+      .withColumn("pct", col("users").cast("double") /
+        max(when(col("step") === 1, col("users")))
+          .over(Window.partitionBy()).cast("double"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention matrix: cohort = the user's first-activity bucket
+    * (floor of epoch-ms over `bucketMs`), `offset` = how many buckets after
+    * their cohort a user was active again, `active_users` = distinct users,
+    * `rate` = share of the cohort (offset 0 is the cohort size by
+    * construction — every user is active in their first bucket).
+    *
+    * Scale shape: first-seen is one groupBy on user; the activity join is
+    * co-partitioned on the same key; the distinct collapses to
+    * (cohort, offset, user) BEFORE the count shuffle so the final exchange
+    * carries one row per user-bucket, not one per event.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                bucketMs: Long = 7L * 86400000L): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      expr(s"$tsCol DIV $bucketMs").as("wk"))
+    val first = ev.groupBy("u").agg(min("wk").as("cohort"))
+    ev.join(first, Seq("u"))
+      .select(col("cohort"), (col("wk") - col("cohort")).as("offset"), col("u"))
+      .distinct()
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("active_users"))
+      .withColumn("cohort_size",
+        max(when(col("offset") === 0, col("active_users")))
+          .over(Window.partitionBy("cohort")))
+      .withColumn("rate",
+        col("active_users").cast("double") / col("cohort_size").cast("double"))
+      .orderBy("cohort", "offset")
+  }
+
+  /** Skew-resistant inner equi-join: the build side is replicated across
+    * `nSalts` copies and the probe side scattered by a deterministic
+    * per-row salt, so a hot key's rows land on `nSalts` different tasks
+    * instead of one straggler. The result set is exactly
+    * `probe.join(build, key)` — salting only changes the partitioning.
+    *
+    * This is the manual shape for engines/configs without AQE skew
+    * handling, and for build sides too large to broadcast but small enough
+    * that ×nSalts replication beats one hot partition (the classic
+    * fact-to-mid-size-dim case). The `shuffle_hash` hint pins the build
+    * side out of both broadcast (what local test scale would pick) and
+    * sort-merge (what 100 TB would pick — pointless sort, the salt already
+    * bounds partition size).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 nSalts: Int, saltSrc: Column): DataFrame = {
+    require(nSalts >= 1, "nSalts must be >= 1")
+    val p = probe.withColumn("__salt",
+      pmod(saltSrc.cast("long"), lit(nSalts.toLong)).cast("int"))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    p.join(b.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
+  }
+}

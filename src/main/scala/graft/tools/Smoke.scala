@@ -282,6 +282,20 @@ object Smoke {
       .orderBy("name").show()
     lap("round8-ops")
 
+    println("[smoke] behavioral analytics: funnel + retention + salted join:")
+    val evms = graft.functions.EventTime.withEpochMs(
+      spark.read.parquet(s"$sf/events.parquet"))
+    graft.operators.Analytics.funnel(evms, "user_id", "event_type", "ts_ms",
+      Seq("signup", "view", "click", "purchase"),
+      windowMs = Some(7L * 86400000L)).show()
+    graft.operators.Analytics.retention(evms, "user_id", "ts_ms").show(5)
+    graft.operators.Analytics.saltedJoin(evms,
+        spark.read.parquet(s"$sf/customer.parquet")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        "user_id", nSalts = 8, saltSrc = col("event_id"))
+      .groupBy("c_mktsegment").count().orderBy("c_mktsegment").show()
+    lap("analytics")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")

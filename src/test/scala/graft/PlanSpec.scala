@@ -561,4 +561,21 @@ class PlanSpec extends SparkSpec {
       } finally spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("q_skew_salted_join: salt replication pins a shuffled-hash join") {
+    val p = plan("q_skew_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must stay a shuffled-hash join (the whole point of " +
+      s"the salt is bounded hash partitions, not broadcast):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "replicated build side must not ALSO broadcast")
+  }
+
+  test("events_funnel / events_retention: map-side combine on the user key") {
+    Seq("events_funnel", "events_retention").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_min"),
+        s"$q lost its map-side partial aggregation:\n$p")
+    }
+  }
 }
