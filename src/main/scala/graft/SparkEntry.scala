@@ -712,6 +712,17 @@ object SparkEntry {
       .orderBy("qid", "id")
   }
 
+  /** All-nodes k-NN graph over the embedding corpus (fixed IVF centroids
+    * so the oracle replays assignment + probing for EVERY node — the same
+    * replica machinery as `sim_ivf_verified`, query set = the corpus). */
+  private def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4,
+        centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
+      .orderBy("src", "rank")
+  }
+
   /** PQ ANN with FIXED deterministic codebooks: encode → ADC top-refine →
     * exact cosine re-rank. Like `sim_ivf_verified`, the codebook constants
     * are embedded in the DuckDB oracle, which replays encoding, the
@@ -1716,6 +1727,7 @@ object SparkEntry {
     "sim_kmeans"          -> simKmeans _,
     "sim_embed_qa"        -> simEmbedQa _,
     "sim_ivf_range"       -> simIvfRange _,
+    "sim_knn_graph"       -> simKnnGraph _,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
     "text_bpe_merges"     -> textBpeMerges _,
     "text_heavy_hitters"  -> textHeavyHitters _,
@@ -2144,7 +2156,7 @@ object SparkEntry {
     * threshold filter — mirroring exactly the operators' shared/divergent
     * structure). */
   private def ivfReplicaCtes(cents: Array[Array[Float]], nProbe: Int,
-                             dim: Int): String = {
+                             dim: Int, queryPred: String = "vec_id < 5"): String = {
     val cLit = cents.map(_.map(f => s"$f::FLOAT").mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
     val nc = cents.length
@@ -2164,7 +2176,7 @@ object SparkEntry {
              FROM e CROSS JOIN cents),
       qp AS (
         SELECT vec_id AS qid, v AS qv, unnest(${probeList(nProbe)}) AS cluster
-        FROM e CROSS JOIN cents WHERE vec_id < 5),
+        FROM e CROSS JOIN cents WHERE $queryPred),
       cand AS (
         SELECT DISTINCT qp.qid, qp.qv, c.vec_id AS id, c.v AS v
         FROM qp JOIN cb c USING (cluster) WHERE c.vec_id <> qp.qid),
@@ -2900,6 +2912,18 @@ object SparkEntry {
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
     "sim_ivf_range" -> ivfRangeOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, minCosine = 0.25),
+    // all-nodes variant of the IVF replica: query predicate TRUE, so the
+    // oracle replays assignment/probing/re-rank for every corpus vector
+    "sim_knn_graph" -> s"""
+      WITH ${ivfReplicaCtes(Similarity.fixedCentroids(16, 64), nProbe = 4,
+                            dim = 64, queryPred = "TRUE")},
+      ranked AS (
+        SELECT qid AS src, id AS dst, cosine,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT src, dst, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY src, rank""",
     "sim_rp_topk" -> rpReplicaOracle(
       Similarity.fixedProjection(16, 64), k = 10, refine = 50),
     "sim_pq_topk" -> pqReplicaOracle(

@@ -259,6 +259,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** All-nodes approximate k-NN GRAPH over the corpus itself — the input
+    * to SemDeDup-style clustering, graph-based dedup, kNN-LM retrieval and
+    * embedding-space QA. Unlike the query-based retrieval paths, BOTH
+    * sides of the candidate join are the full corpus, so nothing may be
+    * broadcast: every vector is assigned to its nearest cell in one
+    * codegen'd pass (build side), probe-replicated to its `nProbe` nearest
+    * cells (probe side), and candidates meet in a cell-id equi-join pinned
+    * to sort-merge — at 100 TB the cell id IS the natural partitioning,
+    * each side shuffles once on it, and AQE splits any skewed cell. A
+    * (src, dst) pair meets at most once (the build side assigns each dst
+    * to exactly ONE cell, and a probe list holds distinct cells), so no
+    * dedup shuffle is needed; exact cosine + per-src top-k (partial
+    * WindowGroupLimit bounds the rank shuffle to k rows per partition).
+    * Self-edges are excluded. Output: src, dst, cosine, rank. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4,
+               iters: Int = 5,
+               centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val cents = centroidsOverride.getOrElse(
+      trainCentroids(corpus, idCol, vecCol, nCentroids, iters))
+    def nearest(c: Column, probes: Int): Column =
+      column(graft.functions.NearestCentroids(expression(c), cents, probes))
+    val bucketed = corpus.select(col(idCol).as("dst"), col(vecCol).as("cvec"))
+      .withColumn("cluster", element_at(nearest(col("cvec"), 1), 1))
+    val probes = corpus.select(col(idCol).as("src"), col(vecCol).as("qvec"))
+      .withColumn("cluster", explode(nearest(col("qvec"), nProbe)))
+    val scored = probes.join(bucketed.hint("merge"), Seq("cluster"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Epsilon-ball (RANGE) similarity search over the IVF index: every
     * corpus vector with `cosine ≥ minCosine` of each query — the other
     * retrieval primitive beside top-k ("find EVERYTHING similar", the

@@ -294,6 +294,9 @@ object Smoke {
           .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
         "user_id", nSalts = 8, saltSrc = col("event_id"))
       .groupBy("c_mktsegment").count().orderBy("c_mktsegment").show()
+    println("[smoke] approximate k-NN graph (IVF-blocked, all nodes):")
+    Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+      centroidsOverride = Some(Similarity.fixedCentroids(16, 64))).show(5)
     lap("analytics")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -957,4 +957,29 @@ class DedupSimilaritySpec extends SparkSpec {
     try intercept[IllegalArgumentException](run())
     finally spark.conf.set("spark.graft.dedup.materialize", "local")
   }
+
+  test("knnGraph: every node gets at most k distinct neighbors; top-1 recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val g = graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4,
+      centroidsOverride = Some(graft.operators.Similarity.fixedCentroids(16, 64)))
+      .collect()
+    val n = emb.count()
+    assert(g.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).distinct.length == g.length)
+    val perSrc = g.groupBy(_.getAs[Long]("src")).view.mapValues(_.length)
+    assert(perSrc.values.forall(_ <= 5))
+    assert(perSrc.size == n, "every node must appear as a source")
+    // exact top-1 neighbor (brute force) should land in the approximate
+    // top-5 for the overwhelming majority of nodes at this cell balance
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact1 = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, "qid", "qvec", k = 2)
+      .where(col("id") =!= col("qid")).where(col("rank") <= 2)
+      .groupBy("qid").agg(min_by(col("id"), col("rank")).as("nn"))
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nn")).toMap
+    val hits = g.groupBy(_.getAs[Long]("src")).count { case (s, rows) =>
+      rows.exists(_.getAs[Long]("dst") == exact1(s)) }
+    assert(hits >= (n * 0.8).toLong, s"top-1 recall too low: $hits/$n")
+  }
 }

@@ -578,4 +578,18 @@ class PlanSpec extends SparkSpec {
         s"$q lost its map-side partial aggregation:\n$p")
     }
   }
+
+  test("sim_knn_graph: corpus-vs-corpus candidate join is sort-merge, never broadcast") {
+    val p = plan("sim_knn_graph")
+    assert(p.contains("SortMergeJoin"),
+      s"cell-id join must be sort-merge (both sides are the 100 TB corpus):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "neither corpus side may broadcast in the knn-graph join")
+    val lines = p.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstExchange >= 0 && partialWgl > firstExchange,
+      s"partial WindowGroupLimit below the exchange is missing — the rank " +
+      s"shuffle would carry every scored candidate edge:\n$p")
+  }
 }
