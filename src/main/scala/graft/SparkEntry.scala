@@ -1145,6 +1145,15 @@ object SparkEntry {
       .select("doc_id", "lang", "source", "n_copies", "group_rank")
       .orderBy("doc_id")
 
+  /** Per-source stage accounting of the same pipeline (raw → quality →
+    * dedup → cap) — the corpus data-card table. */
+  private def curationReportQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curationReport(t(s, dir, "documents"), "doc_id", "text",
+        groupCol = "source", sizeCol = "n_chars",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, maxPerGroup = 25)
+      .orderBy("source", "stage")
+
   /** Hashed linear classifier scoring with the fixed deterministic weight
     * vector — the oracle replays the XXH64 bucketing and the same literal
     * weights, so the approximate-model pipeline itself is verified. */
@@ -1724,6 +1733,7 @@ object SparkEntry {
     "text_pack_manifest"  -> textPackManifest _,
     "text_chunks"         -> textChunks _,
     "curation_pipeline"   -> curationPipeline _,
+    "curation_report"     -> curationReportQ _,
     "sim_kmeans"          -> simKmeans _,
     "sim_embed_qa"        -> simEmbedQa _,
     "sim_ivf_range"       -> simIvfRange _,
@@ -3652,6 +3662,37 @@ object SparkEntry {
         FROM gdocs g JOIN nsurv s USING (doc_id))
       SELECT doc_id, lang, source, n_copies, group_rank
       FROM capped WHERE group_rank <= 25 ORDER BY doc_id""",
+    // the same stages re-aggregated as per-source counts (the data-card
+    // table); a source with zero survivors drops out of a stage in both
+    // engines identically (GROUP BY emits no row)
+    "curation_report" -> s"""
+      WITH $gopherKeptCtes,
+      gdocs AS MATERIALIZED (
+        SELECT d.doc_id, g.source, d.n_chars, d.text
+        FROM documents d JOIN gkept g USING (doc_id)),
+      nsurv AS (
+        SELECT min(doc_id) AS doc_id
+        FROM gdocs
+        GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))),
+      dd AS (SELECT g.* FROM gdocs g JOIN nsurv USING (doc_id)),
+      capped AS (
+        SELECT source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS group_rank
+        FROM dd),
+      stages AS (
+        SELECT source, 1 AS stage, 'raw' AS stage_name, count(*)::BIGINT AS docs
+        FROM documents GROUP BY source
+        UNION ALL SELECT source, 2, 'quality', count(*)::BIGINT
+        FROM gdocs GROUP BY source
+        UNION ALL SELECT source, 3, 'dedup', count(*)::BIGINT
+        FROM dd GROUP BY source
+        UNION ALL SELECT source, 4, 'cap', count(*)::BIGINT
+        FROM capped WHERE group_rank <= 25 GROUP BY source)
+      SELECT source, stage, stage_name, docs,
+             docs::DOUBLE / (max(CASE WHEN stage = 1 THEN docs END)
+               OVER (PARTITION BY source))::DOUBLE AS retained_frac
+      FROM stages ORDER BY source, stage""",
     "dedup_ngram_survivors" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh AS (

@@ -104,6 +104,44 @@ object TextAnalysis {
     } else out
   }
 
+  /** Stage-by-stage per-group retention report of [[curationPipeline]] —
+    * the data-card accounting table every corpus release ships: documents
+    * contributed per source and survivors after (1) nothing, (2) the
+    * Gopher quality/language/repetition filter, (3) normalized exact
+    * dedup, (4) the per-group diversity cap. Stages reuse the pipeline's
+    * own operators on one persisted survivor frame, so the report IS the
+    * pipeline's accounting, not a parallel re-implementation that could
+    * drift. Each stage collapses to per-group counts before the union —
+    * four few-row aggregates, one corpus pass. Output: groupCol, stage,
+    * stage_name, docs, retained_frac (share of the stage-1 count). */
+  def curationReport(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, sizeCol: String,
+                     minScore: Long, langs: Seq[String],
+                     maxDupPpm: Long, maxTopPpm: Long,
+                     maxPerGroup: Int, ns: Seq[Int] = Seq(2)): DataFrame = {
+    val kept = gopherFilter(df, idCol, textCol, minScore, langs,
+      maxDupPpm, maxTopPpm, ns).persist()
+    val surv = Dedup.normalizedSurvivors(kept, idCol, textCol)
+      .select(col(idCol))
+    val deduped = kept.join(surv, Seq(idCol), "left_semi")
+    val capped = Sampling.capPerGroup(deduped, groupCol, maxPerGroup,
+      order = Seq(col(sizeCol).desc, col(idCol).asc))
+    def stage(d: DataFrame, i: Int, nm: String): DataFrame =
+      d.groupBy(col(groupCol)).agg(count(lit(1)).as("docs"))
+        .select(col(groupCol), lit(i).as("stage"), lit(nm).as("stage_name"),
+                col("docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val out = stage(df, 1, "raw")
+      .unionByName(stage(kept, 2, "quality"))
+      .unionByName(stage(deduped, 3, "dedup"))
+      .unionByName(stage(capped, 4, "cap"))
+      .withColumn("retained_frac", col("docs").cast("double") /
+        max(when(col("stage") === 1, col("docs"))).over(w).cast("double"))
+    val res = graft.util.Materialize.cut(out)
+    kept.unpersist()
+    res
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1): per
     * document and n-gram size, the fraction of n-gram OCCURRENCES belonging
     * to an n-gram that appears more than once in the doc (`dup_ppm`) and

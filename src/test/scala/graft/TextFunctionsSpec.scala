@@ -577,6 +577,38 @@ class TextFunctionsSpec extends SparkSpec {
       "two pipeline survivors share normalized text")
   }
 
+  test("curationReport: stage counts monotone per source and consistent with the pipeline") {
+    import graft.operators.TextAnalysis
+    val rep = TextAnalysis.curationReport(docs, "doc_id", "text",
+        groupCol = "source", sizeCol = "n_chars",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, maxPerGroup = 25)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("stage"),
+                 r.getAs[Long]("docs"), r.getAs[Double]("retained_frac")))
+    assert(rep.nonEmpty)
+    rep.groupBy(_._1).foreach { case (src, rows) =>
+      val byStage = rows.map(r => r._2 -> r._3).toMap
+      // counts can only shrink down the pipeline; missing stage = zero
+      val seq = (1 to 4).map(byStage.getOrElse(_, 0L))
+      assert(seq.zip(seq.tail).forall { case (a, b) => a >= b },
+        s"$src stage counts not monotone: $seq")
+      assert(seq(3) <= 25, s"$src cap stage over maxPerGroup: ${seq(3)}")
+    }
+    // the cap stage must agree with the pipeline's own survivor count
+    val pipeTotal = TextAnalysis.curationPipeline(docs, "doc_id", "text",
+        groupCol = "source", sizeCol = "n_chars",
+        minScore = 450L, langs = Seq("en", "fr"),
+        maxDupPpm = 120000L, maxTopPpm = 60000L, maxPerGroup = 25).count()
+    assert(rep.filter(_._2 == 4).map(_._3).sum == pipeTotal,
+      "report cap stage disagrees with the pipeline output")
+    // retained_frac is docs / raw
+    rep.groupBy(_._1).foreach { case (_, rows) =>
+      val raw = rows.find(_._2 == 1).get._3.toDouble
+      rows.foreach(r => assert(r._4 == r._3 / raw))
+    }
+  }
+
   test("decontaminateReport: bloom prefilter exact vs driver reference; prunes clean shingles") {
     import graft.operators.TextAnalysis
     import graft.functions.{TextFunctions => TF}
