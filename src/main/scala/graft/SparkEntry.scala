@@ -271,6 +271,18 @@ object SparkEntry {
   private def eventsRetention(s: SparkSession, dir: String): DataFrame =
     Analytics.retention(events(s, dir), "user_id", "ts_ms")
 
+  /** MAD-based robust outliers on purchase values per event type
+    * ([[graft.operators.Analytics.madOutliers]]): money canonicalized to
+    * exact cents first, so both median passes are over longs and the
+    * deviations replay bit-exactly in the oracle. */
+  private def eventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    Analytics.madOutliers(
+        events(s, dir).select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents")),
+        "event_type", "value_cents", nMads = 3.0)
+      .select("event_id", "event_type", "value_cents", "dev", "mad")
+      .orderBy("event_id")
+
   /** Fact-to-dim join under key skew via salt replication
     * ([[graft.operators.Analytics.saltedJoin]]): events scatter across 8
     * salt copies of the customer dim, pinned to a shuffled-hash join (the
@@ -327,6 +339,20 @@ object SparkEntry {
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+           count(lit(1)).as("n"),
+           grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag_g"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus_g"),
+              col("gid"), col("sum_qty_c"), col("n"))
+      .orderBy("gid", "l_returnflag_g", "l_linestatus_g")
+
+  /** Full CUBE over the same keys as `q_rollup` — all four grouping sets,
+    * completing the grouping-sets surface (rollup covers the prefix
+    * chain only). Same single-pass partial-aggregate expansion. */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
            count(lit(1)).as("n"),
            grouping_id().cast("long").as("gid"))
@@ -1659,6 +1685,7 @@ object SparkEntry {
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
+    "events_anomaly"      -> eventsAnomaly _,
     // relational
     "q_skew_salted_join"  -> qSkewSaltedJoin _,
     "q1_agg"              -> q1Agg _,
@@ -1674,6 +1701,7 @@ object SparkEntry {
     "q_range_join"        -> qRangeJoin _,
     "q_bucketed_join"     -> qBucketedJoin _,
     "q_rollup"            -> qRollup _,
+    "q_cube"              -> qCube _,
     "q_pivot"             -> qPivot _,
     "q_partition_pruned"  -> qPartitionPruned _,
     // LLM-data-pipeline operators
@@ -2610,6 +2638,23 @@ object SparkEntry {
       SELECT cohort, "offset", active_users, cohort_size,
              active_users::DOUBLE / cohort_size::DOUBLE AS rate
       FROM sized ORDER BY cohort, "offset"""",
+    // MAD outliers: medians over exact cents (quantile_cont ≡ Spark's
+    // percentile: same 1+(n-1)p linear interpolation), so dev/mad doubles
+    // derive from identical arithmetic on both engines
+    "events_anomaly" -> """
+      WITH e AS (SELECT event_id, event_type,
+                        (value::DECIMAL(18,2) * 100)::BIGINT AS value_cents
+                 FROM events),
+      med AS (SELECT event_type, quantile_cont(value_cents, 0.5) AS med
+              FROM e GROUP BY 1),
+      dev AS (SELECT e.event_id, e.event_type, e.value_cents,
+                     abs(e.value_cents - m.med) AS dev
+              FROM e JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+              FROM dev GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.value_cents, d.dev, m.mad
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE d.dev > 3.0 * m.mad ORDER BY d.event_id""",
     // the salted join is result-identical to the plain join — the oracle
     // runs the unsalted form, so the gate proves salting changes only the
     // partitioning, never the answer
@@ -2635,6 +2680,14 @@ object SparkEntry {
              sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
              count(*)::BIGINT AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag_g, l_linestatus_g""",
+    "q_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag_g,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus_g,
+             GROUPING_ID(l_returnflag, l_linestatus)::BIGINT AS gid,
+             sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY gid, l_returnflag_g, l_linestatus_g""",
     "q_pivot" -> """
       SELECT user_id,

@@ -87,6 +87,32 @@ object Analytics {
       .orderBy("cohort", "offset")
   }
 
+  /** Robust per-group outlier detection via median absolute deviation:
+    * a value is anomalous when |v - median_g(v)| > nMads · MAD_g, the
+    * classic heavy-tail-safe alternative to z-scores (mean/stddev are
+    * themselves dragged by the outliers they're meant to find, and their
+    * float sums are order-dependent — median/MAD of exact longs are not,
+    * which is what makes this gate-verifiable bit-for-bit).
+    *
+    * `valueCol` must be an exact integer column (e.g. money as cents).
+    * Two grouped median passes + two co-partitioned joins, all on
+    * `keyCol`. At 100 TB swap the exact `percentile` for
+    * `approx_percentile` at the same shape — the exact form here is what
+    * the oracle can replay. Output: input columns + `dev` + `mad`,
+    * outliers only. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  nMads: Double = 5.0): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(med, Seq(keyCol))
+      .withColumn("dev", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, Seq(keyCol))
+      .where(col("dev") > lit(nMads) * col("mad"))
+      .drop("__med")
+  }
+
   /** Skew-resistant inner equi-join: the build side is replicated across
     * `nSalts` copies and the probe side scattered by a deterministic
     * per-row salt, so a hot key's rows land on `nSalts` different tasks

@@ -56,6 +56,21 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 0L, 1L, 1L, 1.0)))
   }
 
+  test("madOutliers: flags the planted outlier, spares the bulk; exact medians") {
+    // group A: 1..9 plus a wild point 1000 — median 5.5, MAD 2.5;
+    //   dev(1000) = 994.5 > 5·2.5 — flagged; dev(9) = 3.5 — spared
+    // group B: constant values (MAD 0) — every equal value spared
+    val rows = ((1L to 9L).map(v => ("A", v)) :+ (("A", 1000L))) ++
+      Seq(("B", 7L), ("B", 7L), ("B", 7L))
+    val df = rows.zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val out = Analytics.madOutliers(df, "g", "v", nMads = 5.0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("v") == 1000L)
+    assert(out.head.getAs[Double]("dev") == 994.5) // median of {1..9,1000} = 5.5
+    assert(out.head.getAs[Double]("mad") == 2.5)   // devs {.5,.5,1.5,1.5,2.5,2.5,...} -> p50
+  }
+
   test("saltedJoin: identical result to the plain join; shuffled-hash plan") {
     // skewed probe: one hot key (90% of rows)
     val probe = (1L to 200L).map(i =>
