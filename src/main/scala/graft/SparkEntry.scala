@@ -1561,6 +1561,52 @@ object SparkEntry {
     s.read.parquet(out).select("doc_id", "lang").orderBy("doc_id")
   }
 
+  /** The streaming funnel driven LIVE under the gate: the event projection
+    * arrives as a file stream (one data batch, then two far-future sentinel
+    * events whose only job is to push the watermark past every user's
+    * quiesce timeout and trigger the timed-out state replay in a following
+    * batch), per-user state buffers and replays via
+    * [[graft.streaming.FunnelStream]], and the emitted reach rows aggregate
+    * through the SAME `Analytics.funnelSummary` as the batch funnel — gated
+    * against the identical oracle as `events_funnel`, proving
+    * batch/streaming parity for order-sensitive stateful analytics. */
+  private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      col("ts_ms"))
+    val maxMs = ev.agg(max("ts_ms")).head().getLong(0)
+    import s.implicits._
+    val sentinels = Seq(
+      (-1L, steps.head, maxMs + 10000000L),
+      (-2L, steps.head, maxMs + 20000000L))
+    Seq(("b0", ev), ("b1", Seq(sentinels.head).toDF(ev.columns: _*)),
+        ("b2", Seq(sentinels(1)).toDF(ev.columns: _*)))
+      .zipWithIndex.foreach { case ((name, df), i) =>
+        val part = work.resolve(name)
+        df.coalesce(1).write.parquet(part.toString)
+        val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $part"))
+        val dst = inDir.resolve(s"$name.parquet").toFile
+        require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+      }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val reaches = graft.streaming.FunnelStream.reaches(incoming, steps,
+      windowMs = Some(7L * 86400000L), quiesceMs = 1000L)
+    val out = work.resolve("out").toString
+    val q = reaches.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    Analytics.funnelSummary(
+      s.read.parquet(out).where(col("user_id") >= 0)
+        .select("step", "step_name"))
+  }
+
   /** The production ingest configuration: df pruning on (maxDocFreq = 3
     * bites at this corpus's boilerplate shingles) with a compaction after
     * every append so each batch prunes against GLOBAL document
@@ -1682,6 +1728,7 @@ object SparkEntry {
     "stream_interval_join_left" -> streamIntervalJoinLeft _,
     "stream_interval_join_full" -> streamIntervalJoinFull _,
     "stream_interval_join_right" -> streamIntervalJoinRight _,
+    "stream_funnel"       -> streamFunnel _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
@@ -2348,6 +2395,32 @@ object SparkEntry {
         SELECT doc_id, lang, source FROM kept
         WHERE doc_id NOT IN (SELECT doc_id FROM bad))"""
 
+  /** Funnel oracle (greedy first-touch, 7-day step window) — shared by the
+    * batch funnel and its live streaming twin, which must land on the
+    * identical summary. */
+  private val funnelOracle: String = """
+      WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t
+                  FROM events),
+      r1 AS (SELECT u, min(t) AS t FROM ev WHERE et = 'signup' GROUP BY u),
+      r2 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r1 ON ev.u = r1.u
+             WHERE ev.et = 'view' AND ev.t > r1.t
+               AND ev.t <= r1.t + 604800000 GROUP BY ev.u),
+      r3 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r2 ON ev.u = r2.u
+             WHERE ev.et = 'click' AND ev.t > r2.t
+               AND ev.t <= r2.t + 604800000 GROUP BY ev.u),
+      r4 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r3 ON ev.u = r3.u
+             WHERE ev.et = 'purchase' AND ev.t > r3.t
+               AND ev.t <= r3.t + 604800000 GROUP BY ev.u),
+      stages AS (
+        SELECT 1 AS step, 'signup' AS step_name, count(*)::BIGINT AS users FROM r1
+        UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM r2
+        UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM r3
+        UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM r4)
+      SELECT step, step_name, users,
+             users::DOUBLE /
+               (max(CASE WHEN step = 1 THEN users END) OVER ())::DOUBLE AS pct
+      FROM stages WHERE users > 0 ORDER BY step"""
+
   /** Chained replica of `Dedup.dedupIngest`: per batch, candidates against
     * the ACCEPTED set so far (`acc{i-1}`) plus smaller-id same-batch docs,
     * jaccard-thresholded drops, survivors accumulated. The batch split
@@ -2600,29 +2673,11 @@ object SparkEntry {
       ORDER BY user_id, view_id, purchase_id""",
     // funnel: greedy first-touch chaining — each step's reach time is the
     // earliest qualifying event strictly after the previous step's, ≤7d
-    // later; a zero-reach step yields no row in both engines
-    "events_funnel" -> """
-      WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t
-                  FROM events),
-      r1 AS (SELECT u, min(t) AS t FROM ev WHERE et = 'signup' GROUP BY u),
-      r2 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r1 ON ev.u = r1.u
-             WHERE ev.et = 'view' AND ev.t > r1.t
-               AND ev.t <= r1.t + 604800000 GROUP BY ev.u),
-      r3 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r2 ON ev.u = r2.u
-             WHERE ev.et = 'click' AND ev.t > r2.t
-               AND ev.t <= r2.t + 604800000 GROUP BY ev.u),
-      r4 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN r3 ON ev.u = r3.u
-             WHERE ev.et = 'purchase' AND ev.t > r3.t
-               AND ev.t <= r3.t + 604800000 GROUP BY ev.u),
-      stages AS (
-        SELECT 1 AS step, 'signup' AS step_name, count(*)::BIGINT AS users FROM r1
-        UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM r2
-        UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM r3
-        UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM r4)
-      SELECT step, step_name, users,
-             users::DOUBLE /
-               (max(CASE WHEN step = 1 THEN users END) OVER ())::DOUBLE AS pct
-      FROM stages WHERE users > 0 ORDER BY step""",
+    // later; a zero-reach step yields no row in both engines.
+    // stream_funnel drives the LIVE stateful streaming path over the same
+    // events and must land on the identical summary — same oracle.
+    "stream_funnel" -> funnelOracle,
+    "events_funnel" -> funnelOracle,
     // weekly cohort retention; offset-0 actives ARE the cohort size
     "events_retention" -> """
       WITH ev AS (SELECT user_id AS u, epoch_ms(ts) // 604800000 AS wk

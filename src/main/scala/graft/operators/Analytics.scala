@@ -51,13 +51,20 @@ object Analytics {
       stages += reach.select(col("u"), lit(i + 1).as("step"),
         lit(st).as("step_name"))
     }
-    stages.reduce(_.unionByName(_))
-      .groupBy("step", "step_name").agg(count(lit(1)).as("users"))
+    funnelSummary(stages.reduce(_.unionByName(_)))
+  }
+
+  /** Collapse per-user step-reach rows (`step`, `step_name`, one row per
+    * user per step reached) to the funnel summary: users per step plus the
+    * share of the step-1 cohort. Shared by the batch funnel and the
+    * streaming twin ([[graft.streaming.FunnelStream]]), so both paths
+    * aggregate identically. */
+  def funnelSummary(reaches: DataFrame): DataFrame =
+    reaches.groupBy("step", "step_name").agg(count(lit(1)).as("users"))
       .withColumn("pct", col("users").cast("double") /
         max(when(col("step") === 1, col("users")))
           .over(Window.partitionBy()).cast("double"))
       .orderBy("step")
-  }
 
   /** Cohort retention matrix: cohort = the user's first-activity bucket
     * (floor of epoch-ms over `bucketMs`), `offset` = how many buckets after

@@ -582,4 +582,37 @@ class PipelineStreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(twin == live, s"twin $twin != live $live")
   }
+
+
+  test("streaming funnel: out-of-order buffering, cross-batch chaining, watermark flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String, Long)]
+    val ms = MemoryStream[(Long, String, Long)]
+    val reaches = FunnelStream.reaches(
+      ms.toDF().toDF("user_id", "event_type", "ts_ms"),
+      Seq("A", "B", "C"), windowMs = Some(1000L), quiesceMs = 1000L)
+    val sinkDir = Files.createTempDirectory("funnel-out")
+    val q = reaches.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("funnel-ck").toString)
+      .format("parquet").option("path", sinkDir.toString).start()
+    // batch 1: u1's step events arrive OUT OF ORDER inside the batch
+    ms.addData(Seq((1L, "B", 200L), (1L, "A", 100L)))
+    q.processAllAvailable()
+    // batch 2: u1 completes across batches; u2 only signs up
+    ms.addData(Seq((1L, "C", 300L), (2L, "A", 1000L)))
+    q.processAllAvailable()
+    // two sentinel batches: first pushes the watermark past every real
+    // user's quiesce timeout, second triggers the timed-out replay
+    ms.addData(Seq((99L, "A", 10000000L))); q.processAllAvailable()
+    ms.addData(Seq((98L, "A", 20000000L))); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sinkDir.toString)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step"),
+        r.getAs[String]("step_name")))
+      .filter(_._1 < 90).toSet
+    assert(rows == Set((1L, 1, "A"), (1L, 2, "B"), (1L, 3, "C"), (2L, 1, "A")),
+      s"got $rows")
+  }
 }
