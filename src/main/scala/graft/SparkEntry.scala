@@ -271,6 +271,47 @@ object SparkEntry {
   private def eventsRetention(s: SparkSession, dir: String): DataFrame =
     Analytics.retention(events(s, dir), "user_id", "ts_ms")
 
+  /** Batch sessionization with per-session stats: sessions split on 30-min
+    * inactivity gaps (same rule as `stream_sessionize`, which only counts
+    * them); one ordered window pass per user assigns the running session
+    * sequence, then a co-partitioned aggregate emits start/end/duration/
+    * event mix per session. Deterministic ordering ties break on event_id. */
+  private def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events(s, dir)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+             col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
+           (max("ts_ms") - min("ts_ms")).as("duration_ms"),
+           count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("n_purchases"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Daily/28-day active users and the DAU/MAU stickiness ratio. The
+    * distinct (day, user) collapse happens BEFORE any join; the trailing
+    * window is a broadcast non-equi join against the tiny day dimension
+    * (one row per day — always broadcastable regardless of corpus size). */
+  private def eventsDauMau(s: SparkSession, dir: String): DataFrame = {
+    val pairs = events(s, dir)
+      .select(expr("ts_ms DIV 86400000").as("day"), col("user_id"))
+      .distinct()
+    val days = pairs.select(col("day").as("d")).distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = pairs.join(broadcast(days),
+        col("day") >= col("d") - 27 && col("day") <= col("d"))
+      .groupBy(col("d").as("day")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "day")
+      .withColumn("stickiness", col("dau").cast("double") / col("mau").cast("double"))
+      .orderBy("day")
+  }
+
   /** MAD-based robust outliers on purchase values per event type
     * ([[graft.operators.Analytics.madOutliers]]): money canonicalized to
     * exact cents first, so both median passes are over longs and the
@@ -1312,6 +1353,10 @@ object SparkEntry {
           col("n_distinct_tokens") <= 0.15).as("sketch_ok"))
       .orderBy("lang")
 
+  private def textVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", Seq(100, 1000))
+      .orderBy("top_n")
+
   private def textQualityFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFilter(t(s, dir, "documents"), "text", 450L,
         langs = Seq("en", "fr"))
@@ -1733,6 +1778,9 @@ object SparkEntry {
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
     "events_anomaly"      -> eventsAnomaly _,
+    "events_sessions"     -> eventsSessions _,
+    "events_dau_mau"      -> eventsDauMau _,
+    "text_vocab_coverage" -> textVocabCoverage _,
     // relational
     "q_skew_salted_join"  -> qSkewSaltedJoin _,
     "q1_agg"              -> q1Agg _,
@@ -2678,6 +2726,40 @@ object SparkEntry {
     // events and must land on the identical summary — same oracle.
     "stream_funnel" -> funnelOracle,
     "events_funnel" -> funnelOracle,
+    // batch sessionization: same 30-min gap rule as stream_sessionize,
+    // per-session stats; ties in the ordered window break on event_id
+    "events_sessions" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      seq AS (
+        SELECT user_id, event_type, t,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        FROM s)
+      SELECT user_id, session_seq, min(t) AS start_ms, max(t) AS end_ms,
+             (max(t) - min(t))::BIGINT AS duration_ms,
+             count(*)::BIGINT AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_purchases
+      FROM seq GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+    // DAU / trailing-28-day MAU / stickiness; the day dimension is always
+    // one row per day, so the trailing window is a broadcast range join
+    "events_dau_mau" -> """
+      WITH p AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+                 FROM events),
+      d AS (SELECT DISTINCT day AS d FROM p),
+      dau AS (SELECT day, count(*)::BIGINT AS dau FROM p GROUP BY 1),
+      mau AS (SELECT d.d AS day, count(DISTINCT p.user_id)::BIGINT AS mau
+              FROM d JOIN p ON p.day BETWEEN d.d - 27 AND d.d GROUP BY 1)
+      SELECT day, dau.dau, mau.mau,
+             dau.dau::DOUBLE / mau.mau::DOUBLE AS stickiness
+      FROM dau JOIN mau USING (day) ORDER BY day""",
     // weekly cohort retention; offset-0 actives ARE the cohort size
     "events_retention" -> """
       WITH ev AS (SELECT user_id AS u, epoch_ms(ts) // 604800000 AS wk
@@ -3734,6 +3816,22 @@ object SparkEntry {
              quantile_cont(length(text), 0.5) AS chars_p50_exact,
              true AS approx_ok
       FROM documents GROUP BY lang ORDER BY lang""",
+    // coverage cut is a total order (count desc, token asc) so the LIMIT
+    // boundary is deterministic on both engines
+    "text_vocab_coverage" -> s"""
+      WITH w AS (SELECT unnest($sqlToks) AS tok FROM documents),
+      counts AS (SELECT tok, count(*)::BIGINT AS c FROM w
+                 WHERE tok <> '' GROUP BY tok),
+      total AS (SELECT sum(c)::BIGINT AS total_occ FROM counts),
+      cov AS (
+        SELECT 100 AS top_n, sum(c)::BIGINT AS covered_occ
+        FROM (SELECT c FROM counts ORDER BY c DESC, tok ASC LIMIT 100)
+        UNION ALL
+        SELECT 1000, sum(c)::BIGINT
+        FROM (SELECT c FROM counts ORDER BY c DESC, tok ASC LIMIT 1000))
+      SELECT top_n, covered_occ, total_occ,
+             covered_occ::DOUBLE / total_occ::DOUBLE AS covered_frac
+      FROM cov CROSS JOIN total ORDER BY top_n""",
     "text_vocabulary" -> s"""
       WITH w AS (SELECT lang, unnest($sqlToks) AS tok FROM documents)
       SELECT lang, count(DISTINCT tok)::BIGINT AS n_distinct_tokens,

@@ -104,6 +104,33 @@ object TextAnalysis {
     } else out
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: the share
+    * of token OCCURRENCES covered by the top-N most frequent tokens, for
+    * each N. Token counts aggregate once (one shuffle, map-side combined);
+    * each N's numerator is a distributed top-k (TakeOrderedAndProject over
+    * the vocabulary-sized count table — no global single-task window), tie
+    * broken (count desc, token asc) so the cut is a total order. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    ns: Seq[Int] = Seq(100, 1000)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "coverage sizes must be >= 1")
+    val counts = df.select(explode(TF.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist() // reused by the total and every N's top-k cut
+    val total = counts.agg(sum("c").as("total_occ"))
+    val rows = ns.map { n =>
+      counts.orderBy(col("c").desc, col("tok").asc).limit(n)
+        .agg(sum(col("c")).as("covered_occ"))
+        .select(lit(n).as("top_n"), col("covered_occ"))
+    }.reduce(_.unionByName(_))
+    val out = rows.crossJoin(total)
+      .withColumn("covered_frac",
+        col("covered_occ").cast("double") / col("total_occ").cast("double"))
+    val res = graft.util.Materialize.cut(out)
+    counts.unpersist()
+    res
+  }
+
   /** Stage-by-stage per-group retention report of [[curationPipeline]] —
     * the data-card accounting table every corpus release ships: documents
     * contributed per source and survivors after (1) nothing, (2) the

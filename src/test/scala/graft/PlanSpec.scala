@@ -592,4 +592,19 @@ class PlanSpec extends SparkSpec {
       s"partial WindowGroupLimit below the exchange is missing — the rank " +
       s"shuffle would carry every scored candidate edge:\n$p")
   }
+
+
+  test("events_sessions: window + per-session agg share ONE user-key shuffle") {
+    val p = plan("events_sessions")
+    // HashPartitioning(user_id) satisfies the (user_id, session_seq)
+    // aggregate's clustering, so the groupBy must NOT re-shuffle
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
+  }
+
+  test("events_dau_mau: trailing-window join broadcasts the day dimension") {
+    val p = plan("events_dau_mau")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi day-range join must broadcast the tiny day dim:\n$p")
+  }
 }
