@@ -276,7 +276,20 @@ object SparkEntry {
     * them); one ordered window pass per user assigns the running session
     * sequence, then a co-partitioned aggregate emits start/end/duration/
     * event mix per session. Deterministic ordering ties break on event_id. */
-  private def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+  private def eventsSessions(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
+           (max("ts_ms") - min("ts_ms")).as("duration_ms"),
+           count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("n_purchases"))
+      .orderBy("user_id", "session_seq")
+
+  /** Events with their running `session_seq` (30-min-gap rule, ties on
+    * event_id) — the shared prefix of `events_sessions` and
+    * `events_transitions`. One user-key shuffle, both window passes on it. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     events(s, dir)
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
@@ -285,13 +298,25 @@ object SparkEntry {
              col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
       .withColumn("session_seq", sum("new_session")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_seq")
-      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
-           (max("ts_ms") - min("ts_ms")).as("duration_ms"),
-           count(lit(1)).as("n_events"),
-           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-             .as("n_purchases"))
-      .orderBy("user_id", "session_seq")
+  }
+
+  /** Within-session behavior-path transitions (the Markov matrix product
+    * analytics builds "users go view → click → purchase" funnels from):
+    * ordered lag inside each (user, session), transition counts, and each
+    * source state's outgoing probability. The lag window rides the SAME
+    * user-key shuffle as sessionization. */
+  private def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_ms", "event_id")
+    val trans = sessionized(s, dir)
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.withColumn("p",
+        col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
   }
 
   /** Daily/28-day active users and the DAU/MAU stickiness ratio. The
@@ -1552,6 +1577,20 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Value-based (RANGE) window frames — the frame type `q_window_suite`'s
+    * row-based functions don't touch: trailing-30-minute event count and
+    * exact-cents spend per user. RANGE frames are tie-insensitive (every
+    * row with ts inside the bound joins the frame), so duplicates order-
+    * independently — no tie-break column needed. */
+  private def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-1800000L, 0L)
+    events(s, dir).select(col("user_id"), col("event_id"), col("ts_ms"),
+        count(lit(1)).over(w).as("n_trailing_30m"),
+        sum(cents(col("value"))).over(w).as("cents_trailing_30m"))
+      .orderBy("event_id")
+  }
+
   private def textRedact(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     TextAnalysis.redact(docs, "text")
@@ -1779,6 +1818,8 @@ object SparkEntry {
     "events_retention"    -> eventsRetention _,
     "events_anomaly"      -> eventsAnomaly _,
     "events_sessions"     -> eventsSessions _,
+    "events_transitions"  -> eventsTransitions _,
+    "q_window_range"      -> qWindowRange _,
     "events_dau_mau"      -> eventsDauMau _,
     "text_vocab_coverage" -> textVocabCoverage _,
     // relational
@@ -2748,6 +2789,40 @@ object SparkEntry {
                AS n_purchases
       FROM seq GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""",
+    // within-session transition matrix over the same session assignment
+    "events_transitions" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      seq AS (
+        SELECT user_id, event_id, event_type, t,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM s),
+      tr AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id, session_seq
+                 ORDER BY t, event_id) AS from_type,
+               event_type AS to_type
+        FROM seq),
+      cnt AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM tr
+              WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS p
+      FROM cnt ORDER BY from_type, to_type""",
+    // value-based RANGE frame: trailing 30-minute activity per user
+    "q_window_range" -> """
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             (count(*) OVER w)::BIGINT AS n_trailing_30m,
+             (sum((value::DECIMAL(18,2) * 100)::BIGINT) OVER w)::BIGINT
+               AS cents_trailing_30m
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
     // DAU / trailing-28-day MAU / stickiness; the day dimension is always
     // one row per day, so the trailing window is a broadcast range join
     "events_dau_mau" -> """

@@ -294,6 +294,11 @@ object Smoke {
           .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
         "user_id", nSalts = 8, saltSrc = col("event_id"))
       .groupBy("c_mktsegment").count().orderBy("c_mktsegment").show()
+    graft.operators.Analytics.madOutliers(
+      evms.select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+      "event_type", "cents", nMads = 3.0).show(3)
+    TextAnalysis.vocabCoverage(docs, "text", Seq(100, 1000)).show()
     println("[smoke] approximate k-NN graph (IVF-blocked, all nodes):")
     Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
       centroidsOverride = Some(Similarity.fixedCentroids(16, 64))).show(5)
