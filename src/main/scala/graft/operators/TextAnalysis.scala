@@ -1080,14 +1080,20 @@ object TextAnalysis {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
     require(byCols.nonEmpty, "at least one grouping column required")
     val m = 1 << p
+    // native single-pass shingle hashing (ShingleHashes ≡ xxhash64 of the
+    // token 3-grams — the equivalence the whole MinHash oracle family
+    // already rests on). The HOF `shingles()` composition re-evaluated
+    // tokens() per lambda element here (the CollapseProject trap —
+    // measured 23 s → ~1 s at sf0.1). Per-doc hash dedup doesn't change
+    // the per-group SET, so registers and the distinct count are
+    // unaffected (modulo the standing 2^-64 collision trade).
     val sh = df.select((byCols.map(col) :+
-        explode(TF.shingles(col(textCol))).as("__s")): _*)
+        explode(TF.shingleHashes(col(textCol))).as("__h")): _*)
     // element_at(pow2Dec, r + 1) = 2^(64-r), exact
     val pow2Dec = array((0 to 64).map(k =>
       lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64 - k)))
         .cast("decimal(38,0)")): _*)
     val regs = sh
-      .select((byCols.map(col) :+ xxhash64(col("__s")).as("__h")): _*)
       .groupBy(byCols.map(col): _*)
       .agg(graft.functions.Sketches.hllRegisters(col("__h"), p).as("regs"))
       .withColumn("denom",
@@ -1097,7 +1103,7 @@ object TextAnalysis {
       lit(m.toDouble * m.toDouble) * pow(lit(2.0), lit(64.0)) /
       col("denom").cast("double")
     val exact = sh.groupBy(byCols.map(col): _*)
-      .agg(countDistinct(col("__s")).as("n_exact"))
+      .agg(countDistinct(col("__h")).as("n_exact"))
     regs
       .select(byCols.map(col) ++ Seq(
         lit(m).as("m"),
