@@ -427,6 +427,40 @@ object SparkEntry {
               col("gid"), col("sum_qty_c"), col("n"))
       .orderBy("gid", "l_returnflag_g", "l_linestatus_g")
 
+  /** Min-per-group join-back (the TPC-H Q2 correlated-subquery core,
+    * decorrelated): each order paired with its cheapest lineitem. The
+    * rank-1 window prunes map-side (partial WindowGroupLimit) — never a
+    * self-join of the fact table against a grouped-min subquery, which
+    * would scan it twice. Ties break on linenumber for determinism. */
+  private def qCheapestLineitem(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").asc, col("l_linenumber").asc)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              cents(col("l_extendedprice")).as("price_c"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Per-day top-3 spenders — time-sliced top-k, the leaderboard query.
+    * WindowGroupLimit prunes each day's candidates before the rank
+    * exchange; spend is exact cents. */
+  private def eventsWindowedTopK(s: SparkSession, dir: String): DataFrame = {
+    val spend = events(s, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(expr("ts_ms DIV 86400000").as("day"), col("user_id"))
+      .agg(sum(cents(col("value"))).as("spend_c"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("spend_c").desc, col("user_id").asc)
+    spend.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("day"), col("user_id"), col("spend_c"),
+              col("rank").cast("int").as("rank"))
+      .orderBy("day", "rank")
+  }
+
   /** Pivot with an EXPLICIT value list: one aggregation pass (no distinct
     * pre-scan for the pivot domain — at 100 TB the domain is config, not
     * data). Missing combinations fill 0. */
@@ -1838,6 +1872,8 @@ object SparkEntry {
     "q_bucketed_join"     -> qBucketedJoin _,
     "q_rollup"            -> qRollup _,
     "q_cube"              -> qCube _,
+    "q_cheapest_lineitem" -> qCheapestLineitem _,
+    "events_windowed_topk" -> eventsWindowedTopK _,
     "q_pivot"             -> qPivot _,
     "q_partition_pruned"  -> qPartitionPruned _,
     // LLM-data-pipeline operators
@@ -2901,6 +2937,29 @@ object SparkEntry {
              count(*)::BIGINT AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY gid, l_returnflag_g, l_linestatus_g""",
+    // min-per-group join-back, decorrelated; ties on linenumber
+    "q_cheapest_lineitem" -> """
+      WITH r AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS price_c,
+               row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rn
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, price_c FROM r
+      WHERE rn = 1 ORDER BY l_orderkey""",
+    // per-day purchase-spend leaderboard, exact cents
+    "events_windowed_topk" -> """
+      WITH s AS (
+        SELECT epoch_ms(ts) // 86400000 AS day, user_id,
+               sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS spend_c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      r AS (
+        SELECT day, user_id, spend_c,
+               row_number() OVER (PARTITION BY day
+                 ORDER BY spend_c DESC, user_id ASC) AS rank
+        FROM s)
+      SELECT day, user_id, spend_c, rank::INT AS rank FROM r
+      WHERE rank <= 3 ORDER BY day, rank""",
     "q_pivot" -> """
       SELECT user_id,
              count(*) FILTER (event_type = 'click')::BIGINT AS click,
