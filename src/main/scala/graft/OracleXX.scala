@@ -185,13 +185,53 @@ object OracleXX {
     * floating result is bit-identical. */
   def hllOracle(p: Int): String = {
     val m = 1 << p
+    val pow2a = (0 to 64).map(k => s"${BigInt(2).pow(k)}::HUGEINT")
+      .mkString("[", ", ", "]")
+    s"""
+      WITH ${hllRegisterCtes(p)},
+      agg AS (SELECT lang,
+                md5(string_agg(reg::VARCHAR, ',' ORDER BY bucket)) AS regs_md5,
+                sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::INT AS nonzero_regs,
+                sum(($pow2a)[65 - reg])::HUGEINT AS denom
+              FROM reg_full GROUP BY lang),
+      ex AS (SELECT lang, count(DISTINCT s)::BIGINT AS n_exact FROM ds GROUP BY lang)
+      SELECT a.lang, $m::INT AS m, a.regs_md5, a.nonzero_regs,
+             a.denom::VARCHAR AS denom_str,
+             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / ${m}.0::DOUBLE) *
+               ${m.toLong * m}.0::DOUBLE * pow(2.0::DOUBLE, 64.0::DOUBLE) /
+               a.denom::DOUBLE AS est_raw,
+             e.n_exact
+      FROM agg a JOIN ex e USING (lang) ORDER BY lang"""
+  }
+
+  /** Register merge is exact sketch algebra (element-wise max is
+    * associative/commutative), so the per-lang registers ARE the merged
+    * per-(lang, source) registers — the oracle computes them once and the
+    * engine must land on the same fingerprint via BOTH routes. */
+  def hllRollupOracle(p: Int): String = {
+    val m = 1 << p
+    s"""
+      WITH ${hllRegisterCtes(p)},
+      agg AS (SELECT lang,
+                md5(string_agg(reg::VARCHAR, ',' ORDER BY bucket)) AS regs_md5,
+                sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::INT AS nonzero_regs
+              FROM reg_full GROUP BY lang)
+      SELECT lang, $m::INT AS m, regs_md5 AS merged_md5,
+             regs_md5 AS direct_md5, true AS merged_eq_direct, nonzero_regs
+      FROM agg ORDER BY lang"""
+  }
+
+  /** Shared per-lang HLL register CTE chain (`reg_full(lang, bucket, reg)`
+    * zero-filled over all 2^p buckets, plus `ds(lang, s)` distinct
+    * shingles). */
+  private def hllRegisterCtes(p: Int): String = {
+    val m = 1 << p
     val bits = 64 - p
     // (pow2a)[k+1] = 2^k, k in [0, 64]
     val pow2a = (0 to 64).map(k => s"${BigInt(2).pow(k)}::HUGEINT")
       .mkString("[", ", ", "]")
     val xx = xxh64Str("s", padLen = 20)
-    s"""
-      WITH t AS (SELECT lang, $sqlToks AS tk FROM documents),
+    s"""t AS (SELECT lang, $sqlToks AS tk FROM documents),
       sh3 AS (SELECT lang, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
                    ELSE list_transform(range(1, len(tk) - 1),
                         i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS hs
@@ -212,20 +252,7 @@ object OracleXX {
       reg_full AS (SELECT l.lang, gs.bucket, coalesce(rg.reg, 0) AS reg
                    FROM langs l
                    CROSS JOIN (SELECT unnest(range(0, $m))::INT AS bucket) gs
-                   LEFT JOIN rg ON rg.lang = l.lang AND rg.bucket = gs.bucket),
-      agg AS (SELECT lang,
-                md5(string_agg(reg::VARCHAR, ',' ORDER BY bucket)) AS regs_md5,
-                sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::INT AS nonzero_regs,
-                sum(($pow2a)[65 - reg])::HUGEINT AS denom
-              FROM reg_full GROUP BY lang),
-      ex AS (SELECT lang, count(DISTINCT s)::BIGINT AS n_exact FROM ds GROUP BY lang)
-      SELECT a.lang, $m::INT AS m, a.regs_md5, a.nonzero_regs,
-             a.denom::VARCHAR AS denom_str,
-             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / ${m}.0::DOUBLE) *
-               ${m.toLong * m}.0::DOUBLE * pow(2.0::DOUBLE, 64.0::DOUBLE) /
-               a.denom::DOUBLE AS est_raw,
-             e.n_exact
-      FROM agg a JOIN ex e USING (lang) ORDER BY lang"""
+                   LEFT JOIN rg ON rg.lang = l.lang AND rg.bucket = gs.bucket)"""
   }
 
   /** DuckDB replica of `TextAnalysis.heavyHitters` over `documents(text)`:

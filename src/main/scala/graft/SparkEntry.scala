@@ -1111,6 +1111,13 @@ object SparkEntry {
     TextAnalysis.hllCardinality(t(s, dir, "documents"), "text", p = 8, "lang")
       .orderBy("lang")
 
+  /** Sketch-algebra gate: per-(lang, source) HLL registers merged up to
+    * lang must fingerprint-match the directly-computed lang registers. */
+  private def textHllRollup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hllMergeRollup(t(s, dir, "documents"), "text", p = 8,
+        fineCol = "source", coarseCol = "lang")
+      .orderBy("lang")
+
   private def simEmbedQa(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingQa(t(s, dir, "embeddings"), "embedding", dim = 64,
         "label")
@@ -1942,6 +1949,7 @@ object SparkEntry {
     "text_bpe_merges"     -> textBpeMerges _,
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
+    "text_hll_rollup"     -> textHllRollup _,
     "graph_pagerank"      -> graphPagerank _,
     "text_bpe_apply"      -> textBpeApply _,
     "curation_embed_balance" -> curationEmbedBalance _,
@@ -3702,6 +3710,7 @@ object SparkEntry {
     "text_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
                                                minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
+    "text_hll_rollup" -> OracleXX.hllRollupOracle(p = 8),
     "graph_pagerank" -> pagerankOracle(iters = 5),
     "text_bpe_apply" -> bpeApplyOracle(numMerges = 8),
     "text_winnow" -> s"""${winnowCtes()}

@@ -273,17 +273,33 @@ object Similarity {
     * dedup shuffle is needed; exact cosine + per-src top-k (partial
     * WindowGroupLimit bounds the rank shuffle to k rows per partition).
     * Self-edges are excluded. Output: src, dst, cosine, rank. */
+  /** Skew guard: within-cell candidate cost is QUADRATIC in cell size, so
+    * one hot cell dominates the whole graph build — measured: 10× corpus
+    * under 160 UNTRAINED random centroids ran 147× slower (394 s), because
+    * random centroids in 64-dim leave most vectors in a few cells, while
+    * the same corpus under a trained quantizer scales linearly. The
+    * defense is twofold: (a) size `nCentroids` ∝ corpus and TRAIN the
+    * quantizer (balanced cells are the IVF contract — don't ship
+    * `fixedCentroids` beyond oracle scale); (b) `maxCellSize` hard-caps
+    * the build side of any cell that's hot anyway, keeping a
+    * deterministic hash-ordered subset (bounded recall loss on polluted
+    * cells only — the same trade as the dedup family's bucket caps). The
+    * cap never fires at gate scale, so the oracle stays exact. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4,
                iters: Int = 5,
-               centroidsOverride: Option[Array[Array[Float]]] = None): DataFrame = {
+               centroidsOverride: Option[Array[Array[Float]]] = None,
+               maxCellSize: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val cents = centroidsOverride.getOrElse(
       trainCentroids(corpus, idCol, vecCol, nCentroids, iters))
     def nearest(c: Column, probes: Int): Column =
       column(graft.functions.NearestCentroids(expression(c), cents, probes))
+    val wCell = Window.partitionBy(col("cluster")).orderBy(xxhash64(col("dst")))
     val bucketed = corpus.select(col(idCol).as("dst"), col(vecCol).as("cvec"))
       .withColumn("cluster", element_at(nearest(col("cvec"), 1), 1))
+      .withColumn("__crn", row_number().over(wCell))
+      .where(col("__crn") <= maxCellSize).drop("__crn")
     val probes = corpus.select(col(idCol).as("src"), col(vecCol).as("qvec"))
       .withColumn("cluster", explode(nearest(col("qvec"), nProbe)))
     val scored = probes.join(bucketed.hint("merge"), Seq("cluster"))

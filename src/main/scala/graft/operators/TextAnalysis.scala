@@ -1075,6 +1075,42 @@ object TextAnalysis {
     * `regs_md5` fingerprints the full register array (bucket order), the
     * strongest cross-engine pin: identical hashes, buckets, and rank maxima
     * or a loud mismatch. */
+  /** Mergeable-sketch rollup — the property that makes HLL a STORABLE
+    * column at 100 TB: per-(coarse, fine) register arrays merged by
+    * element-wise max must equal the registers computed directly per
+    * coarse group. The gate emits both fingerprints plus their equality,
+    * so the algebra (merge ∘ partial = direct) is engine-verified, and
+    * the oracle pins both to its own register computation. This is the
+    * pattern a production pipeline uses to maintain per-partition sketch
+    * tables and answer any-granularity distinct counts without rescanning
+    * the corpus. */
+  def hllMergeRollup(df: DataFrame, textCol: String, p: Int,
+                     fineCol: String, coarseCol: String): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val sh = df.select(col(coarseCol), col(fineCol),
+      explode(TF.shingleHashes(col(textCol))).as("__h"))
+    val fine = sh.groupBy(col(coarseCol), col(fineCol))
+      .agg(graft.functions.Sketches.hllRegisters(col("__h"), p).as("regs"))
+    // merge = element-wise max across the fine groups; rebuilt in bucket
+    // order (struct sort on (bucket, reg)) so the fingerprint is canonical
+    val merged = fine
+      .select(col(coarseCol), posexplode(col("regs")).as(Seq("bucket", "reg")))
+      .groupBy(col(coarseCol), col("bucket")).agg(max("reg").as("reg"))
+      .groupBy(col(coarseCol))
+      .agg(transform(array_sort(collect_list(struct(col("bucket"), col("reg")))),
+        s => s.getField("reg")).as("regs_merged"))
+    val direct = sh.groupBy(col(coarseCol))
+      .agg(graft.functions.Sketches.hllRegisters(col("__h"), p).as("regs_direct"))
+    def fp(c: Column): Column =
+      md5(array_join(transform(c, r => r.cast("string")), ","))
+    merged.join(direct, coarseCol)
+      .select(col(coarseCol), lit(1 << p).as("m"),
+        fp(col("regs_merged")).as("merged_md5"),
+        fp(col("regs_direct")).as("direct_md5"),
+        (col("regs_merged") === col("regs_direct")).as("merged_eq_direct"),
+        size(filter(col("regs_direct"), r => r > 0)).as("nonzero_regs"))
+  }
+
   def hllCardinality(df: DataFrame, textCol: String, p: Int,
                      byCols: String*): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")

@@ -33,6 +33,15 @@ object BenchScale {
     "dedup_clusters", "dedup_fuzzy_pipeline", "dedup_spans_applied",
     "dedup_lines", "dedup_boilerplate")
 
+  // behavioral-analytics gate queries that read ONLY the events table;
+  // the synthesized corpus multiplies the USER population (not per-user
+  // history depth), which is how an event firehose actually grows — every
+  // per-user stage should scale linearly
+  val EventQueries = Seq(
+    "events_funnel", "events_retention", "events_sessions",
+    "events_transitions", "events_dau_mau", "events_anomaly",
+    "events_windowed_topk")
+
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
 
@@ -51,6 +60,38 @@ object BenchScale {
     variants.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$ScaleDir/documents.parquet")
+  }
+
+  /** factor× events: disjoint user/event-id ranges per variant (user
+    * population grows, per-user history depth stays constant — the shape
+    * an event firehose actually scales in), timestamps untouched so the
+    * day/cohort dimensions don't grow. */
+  def synthesizeEvents(spark: SparkSession, srcDir: String): Unit = {
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val variants = (0 until Factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    variants.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$ScaleDir/events.parquet")
+  }
+
+  /** factor× embeddings: id-remapped copies (identical vectors — fine for
+    * timing; the knn scale point scales the CELL COUNT with the corpus,
+    * which is the actual IVF contract at 100 TB). */
+  def synthesizeEmbeddings(spark: SparkSession, srcDir: String): Unit = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val variants = (0 until Factor).map { k =>
+      emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }
+    variants.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$ScaleDir/embeddings.parquet")
   }
 
   private def runOnce(spark: SparkSession, name: String, dir: String): Double = {
@@ -93,11 +134,55 @@ object BenchScale {
       System.err.println(f"[scale] $q%-24s sf0.1=$small%6.2fs ${Factor}x=$big%6.2fs ratio=$ratio%5.2f")
       (q, small, big, ratio)
     }
-    val superlinear = rows.collect {
+    // ---- behavioral analytics over a user-scaled event firehose --------
+    synthesizeEvents(spark, sf01)
+    synthesizeEmbeddings(spark, sf01)
+    val evSmall = spark.read.parquet(s"$sf01/events.parquet").count()
+    val evBig = spark.read.parquet(s"$ScaleDir/events.parquet").count()
+    System.err.println(s"[scale] events: $evSmall -> $evBig rows")
+    val evRows = EventQueries.map { q =>
+      val small = steady(q, sf01)
+      val big = steady(q, ScaleDir)
+      val ratio = if (small > 0) big / small else Double.PositiveInfinity
+      System.err.println(f"[scale] $q%-24s sf0.1=$small%6.2fs ${Factor}x=$big%6.2fs ratio=$ratio%5.2f")
+      (q, small, big, ratio)
+    }
+
+    // knn graph: the IVF contract at scale is cells ∝ corpus (constant
+    // expected cell size) with a TRAINED quantizer — balanced cells are
+    // what keeps within-cell candidate cost flat. (The first cut of this
+    // scale point used fixed RANDOM centroids at 160 cells and measured
+    // 394 s / ratio 147×: random centroids in 64-dim leave most vectors
+    // in a few hot cells and the quadratic within-cell cost explodes —
+    // exactly the failure mode knnGraph's scaladoc + maxCellSize guard
+    // now document.) Training cost (driver k-means on a 2048 sample) is
+    // included in the timing.
+    def knnOnce(dir: String, cells: Int): Double = {
+      val t0 = System.nanoTime()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+          nCentroids = cells, nProbe = 4)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.util.Materialize.release()
+      t
+    }
+    def knnSteady(dir: String, cells: Int): Double = {
+      knnOnce(dir, cells); knnOnce(dir, cells)
+    }
+    val knnSmall = knnSteady(sf01, 16)
+    val knnBig = knnSteady(ScaleDir, 160)
+    val knnRatio = if (knnSmall > 0) knnBig / knnSmall else Double.PositiveInfinity
+    System.err.println(f"[scale] sim_knn_graph(cells 16->160) sf0.1=$knnSmall%6.2fs ${Factor}x=$knnBig%6.2fs ratio=$knnRatio%5.2f")
+
+    val allRows = rows ++ evRows ++
+      Seq(("sim_knn_graph_scaled_cells", knnSmall, knnBig, knnRatio))
+    val superlinear = allRows.collect {
       case (q, _, _, r) if r > SuperlinearSlack * Factor => q }
     val json =
-      s"""{"factor":$Factor,"docs_small":$nSmall,"docs_big":$nBig,"slack":${num(SuperlinearSlack, 2)},""" +
-      s""""queries":{${rows.map { case (q, s, b, r) =>
+      s"""{"factor":$Factor,"docs_small":$nSmall,"docs_big":$nBig,""" +
+      s""""events_small":$evSmall,"events_big":$evBig,"slack":${num(SuperlinearSlack, 2)},""" +
+      s""""queries":{${allRows.map { case (q, s, b, r) =>
             s""""$q":{"sf01_sec":${num(s, 3)},"scaled_sec":${num(b, 3)},"ratio":${num(r, 2)}}"""
           }.mkString(",")}},""" +
       s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}]}"""
