@@ -522,6 +522,35 @@ object SparkEntry {
     inter.unionByName(exc).orderBy("op", "c_custkey")
   }
 
+  /** Multiset (ALL) set ops — the bag semantics `q_setops`' distinct
+    * variants don't cover; aggregated to per-key multiplicities so the
+    * gate row count stays compact. */
+  private def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val a = l.where(col("l_returnflag") === "R").select("l_orderkey")
+    val b = l.where(col("l_linestatus") === "F").select("l_orderkey")
+    val interAll = a.intersectAll(b)
+      .select(lit("intersect_all").as("op"), col("l_orderkey"))
+    val excAll = a.exceptAll(b)
+      .select(lit("except_all").as("op"), col("l_orderkey"))
+    interAll.unionByName(excAll)
+      .groupBy("op", "l_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy("op", "l_orderkey")
+  }
+
+  /** Grouped exact quantiles over exact cents (percentile ≡ DuckDB
+    * quantile_cont: same 1+(n-1)p linear interpolation — the equivalence
+    * events_anomaly's medians already rest on). */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(price_c, 0.5)").as("p50"),
+           expr("percentile(price_c, 0.9)").as("p90"),
+           expr("percentile(price_c, 0.99)").as("p99"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   private def qSortLimit(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1366,6 +1395,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Classifier-evaluation confusion matrix: ground-truth `lang` column
+    * vs the engine's `langId` prediction, with per-truth-row recall. */
+  private def textLangIdConfusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), TF.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("lang")).cast("double"))
+      .orderBy("lang", "lang_pred")
+
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
     val comps = TF.qualityComponents(col("text"))
     t(s, dir, "documents").select(
@@ -1880,6 +1919,9 @@ object SparkEntry {
     "q_rollup"            -> qRollup _,
     "q_cube"              -> qCube _,
     "q_cheapest_lineitem" -> qCheapestLineitem _,
+    "q_setops_all"        -> qSetOpsAll _,
+    "q_quantiles"         -> qQuantiles _,
+    "text_langid_confusion" -> textLangIdConfusion _,
     "events_windowed_topk" -> eventsWindowedTopK _,
     "q_pivot"             -> qPivot _,
     "q_partition_pruned"  -> qPartitionPruned _,
@@ -3009,6 +3051,27 @@ object SparkEntry {
       UNION ALL
       SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
       ORDER BY op, c_custkey""",
+    "q_setops_all" -> """
+      WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+           b AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'),
+      u AS (
+        SELECT 'intersect_all' AS op, l_orderkey
+        FROM (SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, l_orderkey
+        FROM (SELECT l_orderkey FROM a EXCEPT ALL SELECT l_orderkey FROM b))
+      SELECT op, l_orderkey, count(*)::BIGINT AS n
+      FROM u GROUP BY 1, 2 ORDER BY op, l_orderkey""",
+    "q_quantiles" -> """
+      WITH c AS (SELECT l_returnflag,
+                        (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS price_c
+                 FROM lineitem)
+      SELECT l_returnflag,
+             quantile_cont(price_c, 0.5) AS p50,
+             quantile_cont(price_c, 0.9) AS p90,
+             quantile_cont(price_c, 0.99) AS p99,
+             count(*)::BIGINT AS n
+      FROM c GROUP BY 1 ORDER BY 1""",
     "q_sort_limit" -> """
       SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
@@ -3395,6 +3458,26 @@ object SparkEntry {
                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
                   ELSE 'de' END AS lang_pred
       FROM s ORDER BY doc_id""",
+    "text_langid_confusion" -> s"""
+      WITH s AS (
+        SELECT lang,
+               ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+               ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+               ${langScoreSql("zh")} AS s_zh
+        FROM documents),
+      p AS (
+        SELECT lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM s),
+      c AS (SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p GROUP BY 1, 2)
+      SELECT lang, lang_pred, n,
+             n::DOUBLE / (sum(n) OVER (PARTITION BY lang))::DOUBLE AS recall
+      FROM c ORDER BY lang, lang_pred""",
     "text_quality" -> s"""
       WITH c AS (
         SELECT doc_id, length(text)::BIGINT AS n_chars_m,
