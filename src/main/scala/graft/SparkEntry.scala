@@ -1140,6 +1140,51 @@ object SparkEntry {
     TextAnalysis.hllCardinality(t(s, dir, "documents"), "text", p = 8, "lang")
       .orderBy("lang")
 
+  /** The HLL sketch maintained by a LIVE streaming aggregation: the
+    * documents table arrives as a file stream, the custom
+    * [[graft.functions.HllRegisters]] buffer aggregates under the
+    * streaming state store (complete mode), and the drained register
+    * table is projected through the SAME report as the batch gate (the
+    * exact overlay is batch-side — distinct aggregation is unsupported in
+    * streaming, and at scale the exact check is the harness's job anyway).
+    * Same oracle as `text_hll_cardinality`: batch/stream parity for
+    * custom TypedImperativeAggregate state. */
+  private def streamHllCardinality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-hll")
+    // testdata tables are single parquet FILES; the file-stream source
+    // wants a directory, so stage a copy
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      inDir.resolve("documents.parquet"))
+    val stream = s.readStream.schema(docs.schema).parquet(inDir.toString)
+    val regs = TextAnalysis.shingleHashRows(stream, "text", Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.Sketches.hllRegisters(col("__h"), 8).as("regs"))
+    val sinkName = s"stream_hll_${layoutTag(dir)}"
+    val q = regs.writeStream.outputMode("complete")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(sinkName).start()
+    q.awaitTermination()
+    val exact = TextAnalysis.shingleHashRows(docs, "text", Seq("lang"))
+      .groupBy(col("lang")).agg(countDistinct(col("__h")).as("n_exact"))
+    TextAnalysis.hllReport(s.table(sinkName), exact, p = 8, Seq("lang"))
+      .orderBy("lang")
+  }
+
+  /** Hour-of-day activity profile per event type — the time-profile
+    * report; pure integer bucket arithmetic. */
+  private def eventsHourlyProfile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(expr("(ts_ms DIV 3600000) % 24").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("event_type")).cast("double"))
+      .orderBy("hour", "event_type")
+
   /** Sketch-algebra gate: per-(lang, source) HLL registers merged up to
     * lang must fingerprint-match the directly-computed lang registers. */
   private def textHllRollup(s: SparkSession, dir: String): DataFrame =
@@ -1992,6 +2037,8 @@ object SparkEntry {
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
+    "stream_hll_cardinality" -> streamHllCardinality _,
+    "events_hourly_profile" -> eventsHourlyProfile _,
     "graph_pagerank"      -> graphPagerank _,
     "text_bpe_apply"      -> textBpeApply _,
     "curation_embed_balance" -> curationEmbedBalance _,
@@ -3794,6 +3841,16 @@ object SparkEntry {
                                                minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "text_hll_rollup" -> OracleXX.hllRollupOracle(p = 8),
+    // live streaming sketch must land on the batch gate's exact bytes
+    "stream_hll_cardinality" -> OracleXX.hllOracle(p = 8),
+    "events_hourly_profile" -> """
+      WITH c AS (
+        SELECT (epoch_ms(ts) // 3600000) % 24 AS hour, event_type,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2)
+      SELECT hour, event_type, n,
+             n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE AS share
+      FROM c ORDER BY hour, event_type""",
     "graph_pagerank" -> pagerankOracle(iters = 5),
     "text_bpe_apply" -> bpeApplyOracle(numMerges = 8),
     "text_winnow" -> s"""${winnowCtes()}

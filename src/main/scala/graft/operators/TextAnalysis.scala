@@ -1123,23 +1123,40 @@ object TextAnalysis {
     // measured 23 s → ~1 s at sf0.1). Per-doc hash dedup doesn't change
     // the per-group SET, so registers and the distinct count are
     // unaffected (modulo the standing 2^-64 collision trade).
-    val sh = df.select((byCols.map(col) :+
-        explode(TF.shingleHashes(col(textCol))).as("__h")): _*)
+    val sh = shingleHashRows(df, textCol, byCols)
+    val regs = sh
+      .groupBy(byCols.map(col): _*)
+      .agg(graft.functions.Sketches.hllRegisters(col("__h"), p).as("regs"))
+    val exact = sh.groupBy(byCols.map(col): _*)
+      .agg(countDistinct(col("__h")).as("n_exact"))
+    hllReport(regs, exact, p, byCols)
+  }
+
+  /** `(byCols..., __h)` — one row per distinct shingle hash per document
+    * (the input both the batch HLL gate and its streaming twin feed to
+    * [[graft.functions.HllRegisters]]). */
+  def shingleHashRows(df: DataFrame, textCol: String,
+                      byCols: Seq[String]): DataFrame =
+    df.select((byCols.map(col) :+
+      explode(TF.shingleHashes(col(textCol))).as("__h")): _*)
+
+  /** Project a `(byCols..., regs)` register table plus the exact overlay
+    * into the gate report (fingerprint, nonzero registers, exact-integer
+    * harmonic denominator, the ln-free raw estimate). Shared by the batch
+    * path and the streaming twin so both land on identical bytes. */
+  def hllReport(regs0: DataFrame, exact: DataFrame, p: Int,
+                byCols: Seq[String]): DataFrame = {
+    val m = 1 << p
     // element_at(pow2Dec, r + 1) = 2^(64-r), exact
     val pow2Dec = array((0 to 64).map(k =>
       lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64 - k)))
         .cast("decimal(38,0)")): _*)
-    val regs = sh
-      .groupBy(byCols.map(col): _*)
-      .agg(graft.functions.Sketches.hllRegisters(col("__h"), p).as("regs"))
-      .withColumn("denom",
-        aggregate(col("regs"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
-          (acc, r) => (acc + element_at(pow2Dec, r + 1)).cast("decimal(38,0)")))
+    val regs = regs0.withColumn("denom",
+      aggregate(col("regs"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+        (acc, r) => (acc + element_at(pow2Dec, r + 1)).cast("decimal(38,0)")))
     val est = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
       lit(m.toDouble * m.toDouble) * pow(lit(2.0), lit(64.0)) /
       col("denom").cast("double")
-    val exact = sh.groupBy(byCols.map(col): _*)
-      .agg(countDistinct(col("__h")).as("n_exact"))
     regs
       .select(byCols.map(col) ++ Seq(
         lit(m).as("m"),
