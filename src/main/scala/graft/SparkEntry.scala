@@ -522,6 +522,44 @@ object SparkEntry {
     inter.unionByName(exc).orderBy("op", "c_custkey")
   }
 
+  /** MERGE INTO semantics without a table format: base ⟗ updates on the
+    * key; matched rows take the update (action `updated`), unmatched
+    * updates insert, unmatched base rows keep. One co-partitioned
+    * full-outer join — the shape every upsert compaction job has; a real
+    * lakehouse MERGE adds file-level pruning on top, the row semantics
+    * are exactly this. */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("base_c"))
+    val updates = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+              (cents(col("o_totalprice")) + 100000L).as("upd_c"))
+    base.join(updates, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("upd_c"), col("base_c")).as("price_c"),
+        when(col("base_c").isNotNull && col("upd_c").isNotNull, "updated")
+          .when(col("base_c").isNull, "inserted")
+          .otherwise("kept").as("action"))
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD Type-2 dimension build from a changelog: each user's purchase
+    * history becomes validity intervals — `valid_to` is the NEXT change's
+    * timestamp (NULL = current row). One lead() pass on the user-key
+    * shuffle; same-timestamp collisions pre-collapsed like the as-of
+    * changelog. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val ch = events(s, dir).where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms")
+      .agg(max(cents(col("value"))).as("value_c"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+    ch.select(col("user_id"), col("value_c"),
+        col("ts_ms").as("valid_from"),
+        lead(col("ts_ms"), 1).over(w).as("valid_to"))
+      .orderBy("user_id", "valid_from")
+  }
+
   /** Multiset (ALL) set ops — the bag semantics `q_setops`' distinct
     * variants don't cover; aggregated to per-key multiplicities so the
     * gate row count stays compact. */
@@ -1966,6 +2004,8 @@ object SparkEntry {
     "q_cheapest_lineitem" -> qCheapestLineitem _,
     "q_setops_all"        -> qSetOpsAll _,
     "q_quantiles"         -> qQuantiles _,
+    "q_upsert"            -> qUpsert _,
+    "q_scd2"              -> qScd2 _,
     "text_langid_confusion" -> textLangIdConfusion _,
     "events_windowed_topk" -> eventsWindowedTopK _,
     "q_pivot"             -> qPivot _,
@@ -3119,6 +3159,30 @@ object SparkEntry {
              quantile_cont(price_c, 0.99) AS p99,
              count(*)::BIGINT AS n
       FROM c GROUP BY 1 ORDER BY 1""",
+    "q_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey, (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS base_c
+        FROM orders WHERE o_orderkey % 3 <> 0),
+      upd AS (
+        SELECT o_orderkey,
+               (o_totalprice::DECIMAL(18,2) * 100)::BIGINT + 100000 AS upd_c
+        FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+             coalesce(u.upd_c, b.base_c)::BIGINT AS price_c,
+             CASE WHEN b.o_orderkey IS NOT NULL AND u.o_orderkey IS NOT NULL
+                  THEN 'updated'
+                  WHEN b.o_orderkey IS NULL THEN 'inserted'
+                  ELSE 'kept' END AS action
+      FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+      ORDER BY o_orderkey""",
+    "q_scd2" -> """
+      WITH ch AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               max((value::DECIMAL(18,2) * 100)::BIGINT) AS value_c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT user_id, value_c, ts_ms AS valid_from,
+             lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS valid_to
+      FROM ch ORDER BY user_id, valid_from""",
     "q_sort_limit" -> """
       SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
