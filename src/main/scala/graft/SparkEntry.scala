@@ -658,6 +658,91 @@ object SparkEntry {
       .orderBy("event_id", "iv_id")
   }
 
+  /** Correlated EXISTS / NOT EXISTS with a non-equi correlated predicate
+    * (`o_totalprice > c_acctbal`): Catalyst rewrites both to left-semi /
+    * left-anti joins with mixed equi + residual conditions — one shuffle
+    * per subquery on the correlation key, no per-row re-execution. */
+  private def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_sq_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_sq_orders")
+    s.sql("""
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM graft_sq_customer c
+      WHERE EXISTS (SELECT 1 FROM graft_sq_orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O'
+                      AND o.o_totalprice > c.c_acctbal)
+        AND NOT EXISTS (SELECT 1 FROM graft_sq_orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  /** Scalar subqueries, uncorrelated and correlated: orders strictly above
+    * the global / per-priority average price. The comparison is cross-
+    * multiplied integer cents (`price_c * n > sum_c`) so no float mean is
+    * ever materialized — partial-sum order can't perturb the answer on
+    * either engine. Catalyst plans the uncorrelated pair as reusable
+    * subquery broadcasts and rewrites the correlated pair to an aggregate
+    * + equi-join — no per-row re-evaluation anywhere. */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_sq_orders2")
+    s.sql("""
+      WITH o AS (SELECT o_orderpriority,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+                 FROM graft_sq_orders2)
+      SELECT 'global' AS kind, o_orderpriority, COUNT(*) AS n
+      FROM o o1
+      WHERE price_c * (SELECT COUNT(*) FROM o) > (SELECT SUM(price_c) FROM o)
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'per_priority' AS kind, o_orderpriority, COUNT(*) AS n
+      FROM o o1
+      WHERE price_c * (SELECT COUNT(*) FROM o o2
+                       WHERE o2.o_orderpriority = o1.o_orderpriority)
+                    > (SELECT SUM(price_c) FROM o o3
+                       WHERE o3.o_orderpriority = o1.o_orderpriority)
+      GROUP BY o_orderpriority
+      ORDER BY kind, o_orderpriority""")
+  }
+
+  /** NOT IN over a subquery with a NULLable projection — SQL's three-valued
+    * trap and Spark's dedicated NullAwareAntiJoin shape. The `nullable`
+    * branch's list contains NULLs (status 'P' rows), so its NOT IN matches
+    * nothing; the `clean` branch is a plain anti join with the real count.
+    * Both engines must agree on both. */
+  private def qNotInNullaware(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_sq_customer3")
+    t(s, dir, "orders").createOrReplaceTempView("graft_sq_orders3")
+    s.sql("""
+      SELECT 'not_in_nullable' AS kind, COUNT(*) AS n FROM graft_sq_customer3
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+         FROM graft_sq_orders3 WHERE o_totalprice > 150000)
+      UNION ALL
+      SELECT 'not_in_clean' AS kind, COUNT(*) AS n FROM graft_sq_customer3
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM graft_sq_orders3
+         WHERE o_totalprice > 150000 AND o_orderstatus <> 'P')
+      ORDER BY kind""")
+  }
+
+  /** LATERAL VIEW posexplode: leading-token (first three positions)
+    * distribution over normalized document text — the generator runs
+    * inside whole-stage codegen, no join against the exploded relation. */
+  private def qLateralExplode(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("graft_sq_documents")
+    s.sql("""
+      SELECT pos, tok, COUNT(*) AS n
+      FROM graft_sq_documents
+      LATERAL VIEW posexplode(split(trim(regexp_replace(regexp_replace(
+        lower(text), '[^a-z0-9\\s]', ' '), '\\s+', ' ')), ' ')) tk AS pos, tok
+      WHERE pos < 3 AND tok <> ''
+      GROUP BY pos, tok
+      HAVING COUNT(*) >= 5
+      ORDER BY pos, n DESC, tok""")
+  }
+
   /** Deterministic per-source-dir tag for materialized-layout table/path
     * names (letters and digits only — valid in both identifiers and
     * paths). */
@@ -2006,6 +2091,10 @@ object SparkEntry {
     "q_quantiles"         -> qQuantiles _,
     "q_upsert"            -> qUpsert _,
     "q_scd2"              -> qScd2 _,
+    "q_exists_subquery"   -> qExistsSubquery _,
+    "q_scalar_subquery"   -> qScalarSubquery _,
+    "q_not_in_nullaware"  -> qNotInNullaware _,
+    "q_lateral_explode"   -> qLateralExplode _,
     "text_langid_confusion" -> textLangIdConfusion _,
     "events_windowed_topk" -> eventsWindowedTopK _,
     "q_pivot"             -> qPivot _,
@@ -3183,6 +3272,55 @@ object SparkEntry {
       SELECT user_id, value_c, ts_ms AS valid_from,
              lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS valid_to
       FROM ch ORDER BY user_id, valid_from""",
+    "q_exists_subquery" -> """
+      SELECT c_mktsegment, COUNT(*)::BIGINT AS n
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O'
+                      AND o.o_totalprice > c.c_acctbal)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_scalar_subquery" -> """
+      WITH o AS (SELECT o_orderpriority,
+                        (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS price_c
+                 FROM orders)
+      SELECT 'global' AS kind, o_orderpriority, COUNT(*)::BIGINT AS n
+      FROM o o1
+      WHERE price_c * (SELECT COUNT(*) FROM o) > (SELECT SUM(price_c) FROM o)
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'per_priority' AS kind, o_orderpriority, COUNT(*)::BIGINT AS n
+      FROM o o1
+      WHERE price_c * (SELECT COUNT(*) FROM o o2
+                       WHERE o2.o_orderpriority = o1.o_orderpriority)
+                    > (SELECT SUM(price_c) FROM o o3
+                       WHERE o3.o_orderpriority = o1.o_orderpriority)
+      GROUP BY o_orderpriority
+      ORDER BY kind, o_orderpriority""",
+    "q_not_in_nullaware" -> """
+      SELECT 'not_in_nullable' AS kind, COUNT(*)::BIGINT AS n FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+         FROM orders WHERE o_totalprice > 150000)
+      UNION ALL
+      SELECT 'not_in_clean' AS kind, COUNT(*)::BIGINT AS n FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders
+         WHERE o_totalprice > 150000 AND o_orderstatus <> 'P')
+      ORDER BY kind""",
+    "q_lateral_explode" -> """
+      WITH toks AS (SELECT string_split(trim(regexp_replace(regexp_replace(
+                      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ts
+                    FROM documents)
+      SELECT i - 1 AS pos, ts[i] AS tok, COUNT(*)::BIGINT AS n
+      FROM toks, unnest(generate_series(1, least(3, len(ts)))) AS g(i)
+      WHERE ts[i] <> ''
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+      ORDER BY pos, n DESC, tok""",
     "q_sort_limit" -> """
       SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",

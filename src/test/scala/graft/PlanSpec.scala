@@ -607,4 +607,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the non-equi day-range join must broadcast the tiny day dim:\n$p")
   }
+
+  test("q_exists_subquery: EXISTS pair rewrites to semi/anti joins, no re-execution") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan a left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"subquery decorrelation lost:\n$p")
+  }
+
+  test("q_scalar_subquery: correlated scalars become one aggregate + join, not per-row") {
+    val p = plan("q_scalar_subquery")
+    // the per-priority branch must NOT appear as an uncorrelated re-executed
+    // subquery per row: correlation rewrites to a grouped aggregate joined in
+    assert(!p.contains("CartesianProduct"), s"correlated scalar decorrelation lost:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"subquery aggregates must combine map-side:\n$p")
+  }
+
+  test("q_not_in_nullaware: NOT IN plans a null-aware anti join, never a nested loop over the big side") {
+    val p = plan("q_not_in_nullaware")
+    assert(p.contains("NAAJ") || p.contains("isNullAwareAntiJoin=true") ||
+           p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"null-aware NOT IN shape missing:\n$p")
+  }
+
+  test("q_lateral_explode: generator inlines (no join), scan prunes to text only") {
+    val p = plan("q_lateral_explode")
+    assert(p.contains("Generate posexplode"), s"generator missing:\n$p")
+    assert(!p.contains("Join"), s"lateral view must not plan a join:\n$p")
+    val scanRe = """FileScan parquet \[text#\d+\]""".r
+    assert(scanRe.findFirstIn(p).isDefined, s"scan must read only `text`:\n$p")
+  }
 }
