@@ -1741,6 +1741,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Triangle census of the Jaccard near-dup graph (same edge relation as
+    * `dedup_clusters`): nodes inside template cliques vs chain-linked
+    * near-dups. */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.triangleCounts(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+          .select("id_a", "id_b"),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("n_triangles"))
+      .orderBy("doc_id")
+
+  /** Component-size histogram of the `dedup_clusters` labeling — the
+    * dup-graph pathology report. */
+  private def graphCcSizes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+    operators.Graph.componentSizeHistogram(
+        Dedup.connectedComponents(docs, pairs, "doc_id"), "cluster_id")
+      .orderBy("cluster_size")
+  }
+
   // fuzzy-pipeline LSH parameters — shared by the gate query AND its
   // oracle so a tune cannot drift them apart
   private val fuzzyHashes = 128
@@ -2169,7 +2192,12 @@ object SparkEntry {
     "stream_hll_cardinality" -> streamHllCardinality _,
     "events_hourly_profile" -> eventsHourlyProfile _,
     "graph_pagerank"      -> graphPagerank _,
+    "graph_triangles"     -> graphTriangles _,
+    "graph_cc_sizes"      -> graphCcSizes _,
     "text_bpe_apply"      -> textBpeApply _,
+    "text_cooccurrence"   -> ((s, dir) =>
+      TextAnalysis.cooccurrenceLift(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("tok_a", "tok_b")),
     "curation_embed_balance" -> curationEmbedBalance _,
     "text_winnow"         -> textWinnow _,
     "dedup_winnow"        -> dedupWinnow _,
@@ -2195,6 +2223,9 @@ object SparkEntry {
           vocabSize = 1000)
         .orderBy("doc_id", "pos")),
     "dedup_ngram_survivors" -> dedupNgramSurvivors _,
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     "dedup_clusters"      -> dedupClusters _,
     "dedup_fuzzy_pipeline" -> dedupFuzzyPipeline _,
     "dedup_spans"         -> ((s, dir) =>
@@ -3380,6 +3411,17 @@ object SparkEntry {
              min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
       FROM documents GROUP BY 1 ORDER BY text_hash""",
     "dedup_ngram" -> ngramJaccardOracle(0.5),
+    "dedup_edit_distance" -> """
+      WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+           s AS (SELECT doc_id, t, length(t) AS l FROM n WHERE length(t) <= 512)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.t, b.t)::INTEGER AS dist
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id AND abs(a.l - b.l) <= 16
+        AND levenshtein(a.t, b.t) <= 16
+      ORDER BY id_a, id_b""",
     "dedup_containment" -> s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
@@ -4054,7 +4096,50 @@ object SparkEntry {
              n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE AS share
       FROM c ORDER BY hour, event_type""",
     "graph_pagerank" -> pagerankOracle(iters = 5),
+    // oriented x<y<z enumeration over the exact-Jaccard edge relation —
+    // each triangle found once, then exploded to its three member nodes
+    "graph_triangles" -> s"""
+      WITH ${ngramJaccardCtes(0.5)},
+      jp AS MATERIALIZED (SELECT id_a, id_b FROM ok)
+      SELECT t.id AS doc_id, count(*)::BIGINT AS n_triangles FROM (
+        SELECT unnest([e1.id_a, e1.id_b, e2.id_b]) AS id
+        FROM jp e1 JOIN jp e2 ON e2.id_a = e1.id_b
+             JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) t
+      GROUP BY 1 ORDER BY 1""",
+    // the dedup_clusters labeling chain, collapsed to its size histogram
+    "graph_cc_sizes" -> s"""
+      WITH RECURSIVE ${ngramJaccardCtes(0.5)},
+      jp AS MATERIALIZED (SELECT id_a, id_b FROM ok),
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
+      cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      szs AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM cl GROUP BY 1)
+      SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+      FROM szs GROUP BY 1 ORDER BY 1""",
     "text_bpe_apply" -> bpeApplyOracle(numMerges = 8),
+    // lift = pair_n·n_docs/(df_a·df_b): int products + one IEEE divide, no
+    // libm log — see TextAnalysis.cooccurrenceLift
+    "text_cooccurrence" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      dt AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
+      dtl AS (SELECT doc_id, tok FROM dt WHERE length(tok) >= 3),
+      dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM dtl GROUP BY 1),
+      kept AS MATERIALIZED (
+        SELECT d.doc_id, d.tok, f.df FROM dtl d JOIN dfreq f USING (tok)
+        WHERE f.df >= 5
+          AND f.df <= floor((SELECT count(*) FROM documents) * 0.9)),
+      pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS pair_n,
+                    any_value(a.df) AS df_a, any_value(b.df) AS df_b
+             FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+             GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT tok_a, tok_b, pair_n, df_a, df_b,
+             pair_n::DOUBLE * (SELECT count(*) FROM documents)
+               / (df_a * df_b)::DOUBLE AS lift
+      FROM pr ORDER BY tok_a, tok_b""",
     "text_winnow" -> s"""${winnowCtes()}
       SELECT doc_id, pos, hash FROM sel ORDER BY doc_id, pos""",
     // MOSS overlap report: distinct fingerprint sets self-joined on the

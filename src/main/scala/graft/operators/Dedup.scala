@@ -346,6 +346,45 @@ object Dedup {
     materializeAndRelease(out, sets)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over SHORT normalized
+    * texts — the dedup tool for titles, queries, and boilerplate lines
+    * where token-set measures are too coarse (a one-word swap is invisible
+    * to 3-gram Jaccard at scale but is exactly distance ≈ word length
+    * here). Docs longer than `maxLen` normalized chars are excluded: O(n·k)
+    * banded DP per candidate pair is a short-string budget by design.
+    *
+    * Scale shape: dist ≤ k implies |len(a) − len(b)| ≤ k, so blocking on
+    * length bands of width `bandWidth > k` is LOSSLESS — every qualifying
+    * pair lands in the same or adjacent band. Each doc emits two block
+    * keys (band, band+1); the equi-join on block key with `id_a < id_b`
+    * plus a distinct collapses the ≤2 co-occurrences; the |Δlen| ≤ k
+    * pre-filter runs before the DP. The DP itself is Spark's thresholded
+    * `levenshtein(a, b, k)` (banded, early-exit −1 above k) — never the
+    * full O(n²) matrix. Candidate volume is bounded by band population,
+    * not corpus size; text does ride the candidate shuffle, which is why
+    * `maxLen` is a hard input contract. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 16, maxLen: Int = 512,
+                        bandWidth: Int = 32): DataFrame = {
+    require(maxDist >= 1 && maxDist < bandWidth,
+      s"need 1 <= maxDist < bandWidth, got maxDist=$maxDist bandWidth=$bandWidth")
+    val s = df.select(col(idCol).as("id"), TF.normText(col(textCol)).as("t"))
+      .withColumn("l", length(col("t")))
+      .where(col("l") <= maxLen)
+      .withColumn("band", (col("l") / bandWidth).cast("int"))
+    val blocks = s.select(col("id"), col("t"), col("l"),
+        explode(array(col("band"), col("band") + 1)).as("blk"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+        abs(col("a.l") - col("b.l")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.t").as("ta"), col("b.t").as("tb"))
+      .distinct() // a pair can meet in both its bands
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .where(col("dist") >= 0) // thresholded form returns -1 above maxDist
+      .select("id_a", "id_b", "dist")
+  }
+
   /** The minimum shingle overlap a partner can have with a size-`n` set
     * under Jaccard ≥ t: J = I/(nа+nb−I) ≥ t ⟹ I ≥ t·max(na,nb), so any
     * qualifying partner shares ≥ ⌈t·n⌉ shingles with this doc. The 1e-9

@@ -74,4 +74,39 @@ object Graph {
       m
     } else out // plan-inspection mode: caller owns the cached edges
   }
+
+  /** Per-node triangle counts over a distinct `a < b` pair relation (the
+    * dedup-family edge convention) — the local-clustering signal that
+    * separates tight template cliques (mirrors, boilerplate families)
+    * from hub-and-spoke near-dup shapes with the same degree.
+    *
+    * Classic oriented enumeration: with every edge stored once as
+    * (lo, hi), a triangle x<y<z is found exactly once as e1=(x,y),
+    * e2=(y,z), e3=(x,z) — two equi-joins, no direction double-count, no
+    * post-hoc dedup. Both joins key on node ids, so the shape is two
+    * hash shuffles of the slim pair relation; worst-case fan-out is
+    * Σ deg(v)², which upstream pair generation already bounds via its
+    * `maxDocFreq`-style skew caps (a true production run would orient
+    * edges low-degree→high-degree to tighten this; id orientation keeps
+    * the relation identical to the dedup outputs it consumes). */
+  def triangleCounts(pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+    val e = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+    val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Component-size histogram over a (member → component) labeling: the
+    * one-page answer to "how pathological is the duplicate graph" (many
+    * pairs vs few giant crawl-template components decide whether
+    * cluster-representative cuts are safe). Two cascaded aggregates,
+    * both map-side combinable; the second one's key space is at most
+    * the distinct sizes — tiny at any scale. */
+  def componentSizeHistogram(labels: DataFrame, compCol: String): DataFrame =
+    labels.groupBy(col(compCol)).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 }

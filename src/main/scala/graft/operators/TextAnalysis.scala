@@ -663,6 +663,62 @@ object TextAnalysis {
     } else out
   }
 
+  /** Token co-occurrence lift — PMI without the logarithm: for tokens a, b
+    * with document frequencies df_a, df_b and pair_n co-occurring docs,
+    * `lift = pair_n · n_docs / (df_a · df_b)` (> 1 ⇔ positive association).
+    * The log is deliberately omitted: log is monotone, so ranking and
+    * thresholding are unchanged, while `lift` stays within IEEE
+    * exact-rounded ops (int-product, one multiply, one divide) and is
+    * bit-identical across engines — libm `log` is not.
+    *
+    * Scale shape: tokens outside [minDf, maxDfFrac·n_docs] never enter the
+    * pair join — the cap is FRACTIONAL (ubiquity, not absolute count) so
+    * the stopword guard holds unchanged from sf0.01 to 100 TB; it is what
+    * bounds the within-doc pair blow-up (near-universal tokens would
+    * otherwise pair with everything), minDf cuts the long noise tail.
+    * The join is doc-keyed over slim (id, tok, df) rows; per-doc fan-out is
+    * (kept tokens choose 2), bounded by document length, never corpus size.
+    * n_docs rides broadcast one-row cross joins — no driver collect. */
+  def cooccurrenceLift(df: DataFrame, idCol: String, textCol: String,
+                       minDf: Long = 5L, maxDfFrac: Double = 0.9,
+                       minPair: Long = 5L, minTokenLen: Int = 3,
+                       materialize: Boolean = true): DataFrame = {
+    require(minDf >= 1L, s"need minDf >= 1, got $minDf")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(minPair >= 1L && minTokenLen >= 1)
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    // distinct tokens per doc feed BOTH the doc-frequency reduction and the
+    // pair join — persist so the corpus scans once (the tfidfTopK shape)
+    val toksBase = df.select(col(idCol).as("id"),
+        explode(array_distinct(TF.tokens(col(textCol)))).as("tok"))
+      .where(length(col("tok")) >= minTokenLen)
+    val toks = if (materialize) toksBase.persist() else toksBase
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .where(col("df") >= minDf &&
+             // floor, not cast: Spark's double→long cast truncates while
+             // DuckDB's rounds — floor is the same function on both
+             col("df") <= floor(col("n_docs") * maxDfFrac))
+      .drop("n_docs")
+    val kept = toks.join(dfreq, "tok")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.id") === col("b.id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("pair_n"),
+           first(col("a.df")).as("df_a"), first(col("b.df")).as("df_b"))
+      .where(col("pair_n") >= minPair)
+    val out = pairs.crossJoin(broadcast(nd))
+      .withColumn("lift", col("pair_n").cast("double") * col("n_docs") /
+        (col("df_a") * col("df_b")).cast("double"))
+      .select("tok_a", "tok_b", "pair_n", "df_a", "df_b", "lift")
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      toks.unpersist()
+      res
+    } else out
+  }
+
   /** Corpus-fit scoring against a bigram language model trained on the
     * corpus itself (the KenLM-style perplexity filter, integer-exact): the
     * MLE transition rate `p(w2|w1) = c(w1,w2) / c(w1·)` is floored to ppm,

@@ -982,4 +982,60 @@ class DedupSimilaritySpec extends SparkSpec {
       rows.exists(_.getAs[Long]("dst") == exact1(s)) }
     assert(hits >= (n * 0.8).toLong, s"top-1 recall too low: $hits/$n")
   }
+
+  test("editDistancePairs: banded blocking is lossless; threshold and maxLen are hard edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),        // d(1,2)=1 substitution
+      (2L, "the quick brown fix"),
+      (3L, "the quick brown foxes jump"), // d(1,3)=7 (" jump" + "es")
+      (4L, "completely different text"),
+      (5L, "x" * 600),                    // over maxLen -> excluded
+      (6L, "x" * 600)                     // its exact twin, also excluded
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.editDistancePairs(
+        docs, "doc_id", "text", maxDist = 8, maxLen = 512, bandWidth = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+                r.getAs[Int]("dist")).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1, s"got $out")
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) == 7,
+      s"cross-band pair (len 19 vs 25 spans a width-16 band edge) lost: $out")
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L), s"got $out")
+    assert(!out.keys.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L),
+      s"maxLen exclusion leaked: $out")
+    // no duplicate pair rows from double band co-occurrence
+    val all = graft.operators.Dedup.editDistancePairs(
+        docs, "doc_id", "text", maxDist = 8, maxLen = 512, bandWidth = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(all.distinct.length == all.length, s"duplicate pairs: ${all.toSeq}")
+  }
+
+  test("cooccurrenceLift: lift is pair_n*n/(df_a*df_b); ubiquitous tokens are capped out") {
+    import spark.implicits._
+    // 10 docs; "alpha beta" co-occur in 4; "noise" everywhere (df=10 -> cut
+    // by the 0.9 fractional cap); "rare" df=1 (cut by minDf)
+    val docs = (1L to 10L).map { i =>
+      val ab = if (i <= 4) "alpha beta " else if (i <= 7) "alpha gamma " else "beta delta "
+      (i, ab + "noise filler" + (if (i == 1) " rare" else ""))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.cooccurrenceLift(
+        docs, "doc_id", "text", minDf = 2, maxDfFrac = 0.9, minPair = 2,
+        minTokenLen = 3)
+      .collect()
+    val byPair = out.map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+      (r.getAs[Long]("pair_n"), r.getAs[Double]("lift"))).toMap
+    assert(!byPair.keys.exists(p => p._1 == "noise" || p._2 == "noise" ||
+                                    p._1 == "filler" || p._2 == "filler"),
+      s"df=10 tokens must be cut by the 0.9 cap: $byPair")
+    assert(!byPair.keys.exists(p => p._1 == "rare" || p._2 == "rare"))
+    // alpha df=7, beta df=7, pair=4, n=10 -> lift = 4*10/49
+    val (pn, lift) = byPair(("alpha", "beta"))
+    assert(pn == 4L && math.abs(lift - 40.0 / 49.0) < 1e-15, s"got $pn $lift")
+    // alpha df=7, gamma df=3, pair=3 -> lift = 3*10/21 (positive association)
+    val (pg, lg) = byPair(("alpha", "gamma"))
+    assert(pg == 3L && math.abs(lg - 30.0 / 21.0) < 1e-15, s"got $pg $lg")
+    assert(byPair.keySet == Set(("alpha", "beta"), ("alpha", "gamma"),
+      ("beta", "delta")), s"got ${byPair.keySet}")
+  }
 }

@@ -71,4 +71,31 @@ class GraphSpec extends SparkSpec {
       }
     } finally spark.sharedState.cacheManager.clearCache()
   }
+
+  test("triangleCounts: 4-clique gives every node 3 triangles; paths give none") {
+    // K4 on {1,2,3,4}: C(3,2)=3 triangles through each node
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val r = Graph.triangleCounts(k4, "id_a", "id_b").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("n_triangles")).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $r")
+
+    // path 1-2-3-4: no triangles at all -> empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Graph.triangleCounts(path, "id_a", "id_b").count() == 0)
+
+    // triangle + pendant edge: pendant node absent, triangle nodes = 1 each
+    val triPlus = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r2 = Graph.triangleCounts(triPlus, "id_a", "id_b").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("n_triangles")).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $r2")
+  }
+
+  test("componentSizeHistogram: sizes aggregate to (size, n) rows") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("id", "comp")
+    val h = Graph.componentSizeHistogram(labels, "comp").collect()
+      .map(x => x.getAs[Long]("cluster_size") -> x.getAs[Long]("n_clusters")).toMap
+    assert(h == Map(3L -> 1L, 1L -> 1L, 2L -> 1L), s"got $h")
+  }
 }
