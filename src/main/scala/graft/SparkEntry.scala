@@ -1741,6 +1741,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Keep-best-quality representative per near-dup cluster (same edge
+    * relation as `dedup_clusters`, `TextFunctions.qualityScore` as the
+    * keep policy — the production cut). */
+  private def dedupBestOfCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+    Dedup.bestOfClusterSurvivors(docs, pairs, "doc_id",
+        TF.qualityScore(col("text")))
+      .orderBy("doc_id")
+  }
+
   /** Triangle census of the Jaccard near-dup graph (same edge relation as
     * `dedup_clusters`): nodes inside template cliques vs chain-linked
     * near-dups. */
@@ -1962,6 +1974,48 @@ object SparkEntry {
         .select("step", "step_name"))
   }
 
+  /** LIVE stream-static enrichment — the canonical streaming dimension
+    * join: the events stream (file source, one file per micro-batch)
+    * joined to the static `customer` dimension. The static side is
+    * broadcast into every micro-batch — stream-static joins are
+    * STATELESS in Structured Streaming (no watermark, no join state),
+    * which is exactly why the enrich-then-sink shape scales to
+    * unbounded streams. The sink is read back and rolled up per
+    * (segment, event_type) so the gate row set is compact; the oracle
+    * is the equivalent batch join + aggregate. */
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-static")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), cents(col("value")).as("value_c"))
+    (0 to 2).foreach { i =>
+      val part = work.resolve(s"b$i")
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(s"b$i.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val dim = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val out = work.resolve("out").toString
+    val q = incoming.join(dim, col("user_id") === col("c_custkey"))
+      .select("event_id", "c_mktsegment", "event_type", "value_c")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   /** The production ingest configuration: df pruning on (maxDocFreq = 3
     * bites at this corpus's boilerplate shingles) with a compaction after
     * every append so each batch prunes against GLOBAL document
@@ -2084,6 +2138,7 @@ object SparkEntry {
     "stream_interval_join_full" -> streamIntervalJoinFull _,
     "stream_interval_join_right" -> streamIntervalJoinRight _,
     "stream_funnel"       -> streamFunnel _,
+    "stream_static_join"  -> streamStaticJoin _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
@@ -2194,6 +2249,7 @@ object SparkEntry {
     "graph_pagerank"      -> graphPagerank _,
     "graph_triangles"     -> graphTriangles _,
     "graph_cc_sizes"      -> graphCcSizes _,
+    "dedup_best_of_cluster" -> dedupBestOfCluster _,
     "text_bpe_apply"      -> textBpeApply _,
     "text_cooccurrence"   -> ((s, dir) =>
       TextAnalysis.cooccurrenceLift(t(s, dir, "documents"), "doc_id", "text")
@@ -2997,6 +3053,11 @@ object SparkEntry {
       SELECT doc_id, text AS roundtrip_text,
              length(text)::INT AS plain_chars, md5(text) AS plain_md5
       FROM documents ORDER BY doc_id""",
+    "stream_static_join" -> """
+      SELECT c_mktsegment, event_type, count(*)::BIGINT AS n,
+             sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_c
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     "stream_hour_window" -> """
       SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
              count(*)::BIGINT AS n,
@@ -4106,6 +4167,36 @@ object SparkEntry {
         FROM jp e1 JOIN jp e2 ON e2.id_a = e1.id_b
              JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) t
       GROUP BY 1 ORDER BY 1""",
+    // clusters chain + quality replica + a deterministic (score DESC, id
+    // ASC) argmax window — the keep-best representative cut
+    "dedup_best_of_cluster" -> s"""
+      WITH RECURSIVE ${ngramJaccardCtes(0.5)},
+      jp AS MATERIALIZED (SELECT id_a, id_b FROM ok),
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
+      cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      qc AS (
+        SELECT doc_id, len($sqlToks)::BIGINT AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                 floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
+               ELSE 0 END AS punct_pm,
+               ${langScoreSql("en")} AS stop_hits
+        FROM documents),
+      q AS (SELECT doc_id,
+               (least(n_tokens, 200) * 2 +
+                CASE WHEN punct_pm <= 80 THEN 300 ELSE 100 END +
+                least(stop_hits * 30, 300))::BIGINT AS score FROM qc),
+      sel AS (SELECT cluster_id, doc_id, score,
+                row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY score DESC, doc_id ASC) AS rn,
+                count(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM cl JOIN q USING (doc_id))
+      SELECT doc_id, cluster_id, n_members::BIGINT AS n_members, score
+      FROM sel WHERE rn = 1 ORDER BY doc_id""",
     // the dedup_clusters labeling chain, collapsed to its size histogram
     "graph_cc_sizes" -> s"""
       WITH RECURSIVE ${ngramJaccardCtes(0.5)},

@@ -858,6 +858,41 @@ object Dedup {
       .select(col(idCol), col("n_members"))
   }
 
+  /** Keep-BEST cluster representative: instead of `clusterSurvivors`'
+    * min-id cut, each duplicate cluster keeps its member with the highest
+    * `scoreCol` (ties → smallest id, so the cut is total and
+    * deterministic). This is the production near-dup policy: when a
+    * syndicated article exists in five crawls, keep the cleanest copy,
+    * not the one with the accidentally-smallest id.
+    *
+    * `score` is any per-doc LONG column expression over `df`'s columns
+    * (e.g. [[graft.functions.TextFunctions.qualityScore]]). Output:
+    * `(idCol, cluster_id, n_members, score)` — one row per kept doc,
+    * singletons included (they are their own best member).
+    *
+    * Scale shape: the argmax is `max_by((id, score) struct)` merged
+    * map-side inside the same cluster-keyed aggregation that counts
+    * members — one shuffle of slim (cluster_id, id, score) rows after the
+    * CC labeling; no window sort, no rejoin against document bodies. */
+  def bestOfClusterSurvivors(df: DataFrame, pairs: DataFrame, idCol: String,
+                             score: Column): DataFrame = {
+    val scored = df.select(col(idCol), score.as("score"))
+    val cl = connectedComponents(df, pairs, idCol)
+      .join(scored, idCol)
+    // one aggregation: member count + argmax by (score DESC, id ASC).
+    // max_by's tie behavior is engine-defined, so instead max() a
+    // (score, -id) struct — lexicographic struct ordering makes the
+    // tie-break part of the key and the result order-insensitive.
+    val best = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           max(struct(col("score"), negate(col(idCol)).as("neg_id")))
+             .as("best"))
+    best.select(
+        negate(col("best.neg_id")).as(idCol),
+        col("cluster_id"), col("n_members"),
+        col("best.score").as("score"))
+  }
+
   /** Exact substring-span dedup (the "dedup repeated n-token spans, not
     * whole documents" shape used for training corpora — boilerplate,
     * licenses, quoted passages): every token-position window of width `n`

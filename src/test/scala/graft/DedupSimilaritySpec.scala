@@ -1011,6 +1011,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(all.distinct.length == all.length, s"duplicate pairs: ${all.toSeq}")
   }
 
+  test("bestOfClusterSurvivors: keeps the argmax-score member; ties break to the smaller id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 90L), (3L, 50L), // cluster {1,2,3}: 2 wins on score
+      (4L, 70L), (5L, 70L),            // cluster {4,5}: tie -> 4 (smaller id)
+      (6L, 5L)                         // singleton keeps itself
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.bestOfClusterSurvivors(
+        docs, pairs, "doc_id", org.apache.spark.sql.functions.col("score"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("score"))).toMap
+    assert(out == Map(2L -> (3L, 90L), 4L -> (2L, 70L), 6L -> (1L, 5L)),
+      s"got $out")
+  }
+
   test("cooccurrenceLift: lift is pair_n*n/(df_a*df_b); ubiquitous tokens are capped out") {
     import spark.implicits._
     // 10 docs; "alpha beta" co-occur in 4; "noise" everywhere (df=10 -> cut
