@@ -2175,6 +2175,11 @@ object SparkEntry {
     "q_lateral_explode"   -> qLateralExplode _,
     "text_langid_confusion" -> textLangIdConfusion _,
     "events_windowed_topk" -> eventsWindowedTopK _,
+    "events_value_histogram" -> ((s, dir) =>
+      Analytics.histogramQuantiles(events(s, dir), "event_type",
+          cents(col("value")), lo = 0L, width = 1000L)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type", "q")),
     "q_pivot"             -> qPivot _,
     "q_partition_pruned"  -> qPartitionPruned _,
     // LLM-data-pipeline operators
@@ -3053,6 +3058,28 @@ object SparkEntry {
       SELECT doc_id, text AS roundtrip_text,
              length(text)::INT AS plain_chars, md5(text) AS plain_md5
       FROM documents ORDER BY doc_id""",
+    // mergeable-histogram quantile replica: same bin math, same cumulative
+    // frame, same interpolation op order — see Analytics.histogramQuantiles
+    "events_value_histogram" -> """
+      WITH v AS (SELECT event_type AS grp,
+                        (value::DECIMAL(18,2) * 100)::BIGINT AS v FROM events),
+      b AS (SELECT grp,
+                   CASE WHEN v >= 0 THEN v // 1000
+                        ELSE -((0 - v + 999) // 1000) END AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM v GROUP BY 1, 2),
+      c AS (SELECT grp, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bin)::BIGINT AS cum,
+                   sum(cnt) OVER (PARTITION BY grp)::BIGINT AS n
+            FROM b),
+      qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+      SELECT grp AS event_type, qq.q,
+             (0 + bin * 1000)::DOUBLE +
+               (qq.q * n - (cum - cnt)::DOUBLE) / cnt::DOUBLE * 1000 AS est,
+             n
+      FROM c, qq
+      WHERE cum >= qq.q * n AND cum - cnt < qq.q * n
+      ORDER BY event_type, q""",
     "stream_static_join" -> """
       SELECT c_mktsegment, event_type, count(*)::BIGINT AS n,
              sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_c

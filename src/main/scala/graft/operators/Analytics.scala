@@ -120,6 +120,53 @@ object Analytics {
       .drop("__med")
   }
 
+  /** Mergeable fixed-bin histogram sketch with interpolated quantiles —
+    * the STREAMING/scale path beside `q_quantiles`' exact percentiles:
+    * exact grouped percentiles need the full value multiset per group on
+    * one reducer, while equi-width bin counts are a pure map-side-
+    * combinable aggregate (and trivially mergeable across shards, days,
+    * or a streaming state store). Estimation error is bounded by
+    * `width`, chosen by the caller from the domain.
+    *
+    * Quantile read-out: per group the cumulative bin counts locate, for
+    * each q, the unique bin with `cum_before < q·n ≤ cum`; the estimate
+    * interpolates linearly inside it. All arithmetic is integer bin
+    * math plus a fixed sequence of IEEE exact-rounded ops — bit-equal
+    * across engines (the lift/PageRank determinism discipline).
+    *
+    * Scale shape: stage 1 is groupBy(grp, bin) count — partial-agg
+    * combining, key space = groups × occupied bins. Stage 2's window
+    * sort runs over occupied BINS per group (bounded by the domain,
+    * never by row count). The quantile explode multiplies only that
+    * tiny bin relation. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, value: Column,
+                         lo: Long, width: Long,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(width >= 1L, s"width must be >= 1, got $width")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles must be in (0, 1), got $qs")
+    // sign-correct floor division in pure integer ops (DIV truncates
+    // toward zero; the negative branch corrects it to floor)
+    val bins = df.select(col(groupCol).as("grp"), value.as("v"))
+      .withColumn("bin", expr(
+        s"CASE WHEN v >= ${lo}L THEN (v - ${lo}L) DIV ${width}L " +
+        s"ELSE -((${lo}L - v + ${width - 1}L) DIV ${width}L) END"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("bin")
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("grp")))
+    val qcol = explode(array(qs.map(lit): _*)).as("q")
+    cum.select(col("grp"), col("bin"), col("cnt"), col("cum"), col("n"), qcol)
+      .where(col("cum") >= col("q") * col("n") &&
+             (col("cum") - col("cnt")) < col("q") * col("n"))
+      .withColumn("est",
+        (lit(lo) + col("bin") * width).cast("double") +
+        (col("q") * col("n") - (col("cum") - col("cnt")).cast("double")) /
+          col("cnt").cast("double") * width)
+      .select(col("grp"), col("q"), col("est"), col("n"))
+  }
+
   /** Skew-resistant inner equi-join: the build side is replicated across
     * `nSalts` copies and the probe side scattered by a deterministic
     * per-row salt, so a hot key's rows land on `nSalts` different tasks

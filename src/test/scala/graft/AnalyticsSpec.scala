@@ -86,4 +86,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled-hash join:\n$p")
     assert(!p.contains("BroadcastHashJoin"), "build side must not broadcast")
   }
+
+  test("histogramQuantiles: interpolation is exact on uniform bins; sketch merges by addition") {
+    import org.apache.spark.sql.functions.col
+    val vals = (0L until 1000L).map(v => ("a", v)).toDF("grp", "v")
+    val out = graft.operators.Analytics.histogramQuantiles(
+        vals, "grp", col("v"), lo = 0L, width = 100L)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    // uniform 0..999, width-100 bins: target q*1000 falls in bin q*10 with
+    // cumb = 100*floor(10q); est = 100*bin + (q*1000 - cumb) -> exactly q*1000
+    assert(out(0.5) == 500.0 && out(0.9) == 900.0 && out(0.99) == 990.0, s"got $out")
+    // exact percentile (1+(n-1)q convention) is within one bin width
+    assert(math.abs(out(0.5) - 499.5) <= 100.0)
+
+    // mergeability: bin counts from two disjoint halves sum to the full
+    // sketch's bins (the property that makes this the streaming path)
+    def binCounts(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), (col("v") / 100).cast("long").as("bin"))
+        .groupBy("grp", "bin").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = binCounts(vals)
+    val h1 = binCounts(vals.where(col("v") < 500))
+    val h2 = binCounts(vals.where(col("v") >= 500))
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged == full)
+  }
 }
