@@ -961,6 +961,33 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** ANN quality measurement as a first-class operator: recall@k of the
+    * IVF retrieval against the brute-force ground truth, per query plus
+    * the zero-overlap guard (a LEFT join from the query set keeps
+    * recall-0 queries visible — the failure mode a report exists to
+    * catch). Both paths share one corpus scan; the hit count is a slim
+    * (qid, id) equi-join of two k-row-per-query relations. */
+  private def simRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, nCentroids = 16, nProbe = 4,
+        centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
+      .select("qid", "id")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10)
+      .select("qid", "id")
+    val hits = approx.join(exact, Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
+                .as("recall_at_10"))
+      .orderBy("qid")
+  }
+
   /** Batch-ingest embedding dedup: the incoming batch (vec_id < 350)
     * against the accepted corpus (vec_id >= 350), hyperplane-bucket
     * blocked. The 350 boundary makes the fixture's two same-bucket
@@ -2180,6 +2207,9 @@ object SparkEntry {
           cents(col("value")), lo = 0L, width = 1000L)
         .withColumnRenamed("grp", "event_type")
         .orderBy("event_type", "q")),
+    "events_activity_bitmap" -> ((s, dir) =>
+      Analytics.activityBitmap(events(s, dir), "user_id", "ts_ms")
+        .orderBy("user_id")),
     "q_pivot"             -> qPivot _,
     "q_partition_pruned"  -> qPartitionPruned _,
     // LLM-data-pipeline operators
@@ -2201,6 +2231,7 @@ object SparkEntry {
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
+    "sim_recall_report"   -> simRecallReport _,
     "sim_pq_topk"         -> simPqTopK _,
     "sim_rp_topk"         -> simRpTopK _,
     "text_topk"           -> textTopK _,
@@ -3058,6 +3089,17 @@ object SparkEntry {
       SELECT doc_id, text AS roundtrip_text,
              length(text)::INT AS plain_chars, md5(text) AS plain_md5
       FROM documents ORDER BY doc_id""",
+    // bit_or the day bits, then shift-AND-popcount — same one-word bit
+    // trick as Analytics.activityBitmap
+    "events_activity_bitmap" -> """
+      WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      b AS (SELECT user_id, (day - (SELECT min(day) FROM d))::INT AS idx FROM d),
+      m AS (SELECT user_id, bit_or(1::BIGINT << idx) AS mask FROM b GROUP BY 1)
+      SELECT user_id, mask,
+             bit_count(mask)::BIGINT AS n_active_days,
+             bit_count(mask & (mask >> 1))::BIGINT AS ret_days_1,
+             bit_count(mask & (mask >> 7))::BIGINT AS ret_days_7
+      FROM m ORDER BY user_id""",
     // mergeable-histogram quantile replica: same bin math, same cumulative
     // frame, same interpolation op order — see Analytics.histogramQuantiles
     "events_value_histogram" -> """
@@ -3694,6 +3736,28 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    // recall@10 of the IVF replica against the brute-force replica — the
+    // `e` CTE from the IVF chain is reused for the exact pass
+    "sim_recall_report" -> s"""
+      WITH ${ivfReplicaCtes(Similarity.fixedCentroids(16, 64), nProbe = 4,
+                            dim = 64)},
+      ivfr AS (SELECT qid, id FROM (
+          SELECT qid, id, row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, id ASC) AS rank FROM scored)
+        WHERE rank <= 10),
+      q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      bscored AS (
+        SELECT q2.qid, e.vec_id AS id, list_cosine_similarity(e.v, q2.qv) AS cosine
+        FROM e CROSS JOIN q2 WHERE e.vec_id <> q2.qid),
+      br AS (SELECT qid, id FROM (
+          SELECT qid, id, row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, id ASC) AS rank FROM bscored)
+        WHERE rank <= 10),
+      h AS (SELECT i.qid, count(*)::BIGINT AS n_hit
+            FROM ivfr i JOIN br USING (qid, id) GROUP BY 1)
+      SELECT q2.qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             coalesce(h.n_hit, 0)::DOUBLE / 10.0 AS recall_at_10
+      FROM q2 LEFT JOIN h USING (qid) ORDER BY qid""",
     "sim_ivf_range" -> ivfRangeOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, minCosine = 0.25),
     // all-nodes variant of the IVF replica: query predicate TRUE, so the

@@ -120,6 +120,46 @@ object Analytics {
       .drop("__med")
   }
 
+  /** Per-user activity bitmaps + bit-trick retention — the roaring-bitmap
+    * idea at its one-word core: a user's month of activity is ONE BIGINT
+    * (bit d = active on day `day0 + d`), built by a `bit_or` aggregate
+    * (map-side combinable, mergeable across shards/days like any
+    * sketch). Day-over-day and week-over-week retention then cost a
+    * shift-AND-popcount per USER ROW — `bit_count(mask & (mask >> o))`
+    * counts exactly the day pairs (d, d+o) both active — instead of the
+    * events-vs-events self-join the naive retention query does (compare
+    * `events_retention`, which shuffles event pairs).
+    *
+    * One-word contract: the observed day span must fit 64 bits; day
+    * indices ≥ 64 raise (fail-loud, never silent truncation). The 100 TB
+    * variant is the same shape with a word-array column. `day0` (the
+    * corpus-min day) rides a broadcast cross join. */
+  def activityBitmap(events: DataFrame, userCol: String, tsMsCol: String,
+                     offsets: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(o => o >= 1 && o <= 62),
+      s"offsets must be in [1, 62], got $offsets")
+    val days = events.select(col(userCol).as("user_id"),
+      expr(s"$tsMsCol DIV 86400000").as("day"))
+    val base = days.agg(min(col("day")).as("day0"))
+    // cap at bit 62: keeping the sign bit clear lets `>>` behave as the
+    // unsigned shift the oracle's BIGINT `>>` is, with no edge case
+    val idx = days.crossJoin(broadcast(base))
+      .select(col("user_id"),
+        when(col("day") - col("day0") <= 62L, col("day") - col("day0"))
+          .otherwise(raise_error(lit(
+            "activityBitmap: day span exceeds one 64-bit word"))).as("idx"))
+    val masks = idx
+      .select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))").as("bit"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(bit)").as("mask"))
+    offsets.foldLeft(
+        masks.withColumn("n_active_days", bit_count(col("mask")).cast("long"))) {
+      case (df, o) => df.withColumn(s"ret_days_$o",
+        bit_count(col("mask").bitwiseAND(shiftright(col("mask"), o))).cast("long"))
+    }
+  }
+
   /** Mergeable fixed-bin histogram sketch with interpolated quantiles —
     * the STREAMING/scale path beside `q_quantiles`' exact percentiles:
     * exact grouped percentiles need the full value multiset per group on

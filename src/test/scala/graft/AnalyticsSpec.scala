@@ -87,6 +87,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), "build side must not broadcast")
   }
 
+  test("activityBitmap: masks, popcounts, and shift-AND retention are exact; >1 word fails loud") {
+    import org.apache.spark.sql.functions.col
+    val day = 86400000L
+    // user 1 active days {0,1,2,9}; user 2 active {3} only
+    val evs = Seq((1L, 0L), (1L, day), (1L, day + 1), (1L, 2 * day), (1L, 9 * day),
+                  (2L, 3 * day))
+      .toDF("user_id", "ts_ms")
+    val out = graft.operators.Analytics.activityBitmap(evs, "user_id", "ts_ms")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("mask"), r.getAs[Long]("n_active_days"),
+         r.getAs[Long]("ret_days_1"), r.getAs[Long]("ret_days_7"))).toMap
+    // user 1: bits {0,1,2,9} -> mask 0b1000000111 = 519; day pairs (0,1),(1,2)
+    // at offset 1; (2,9) at offset 7
+    assert(out(1L) == ((519L, 4L, 2L, 1L)), s"got ${out(1L)}")
+    assert(out(2L) == ((8L, 1L, 0L, 0L)), s"got ${out(2L)}")
+
+    val wide = Seq((1L, 0L), (1L, 70 * day)).toDF("user_id", "ts_ms")
+    val ex = intercept[Exception] {
+      graft.operators.Analytics.activityBitmap(wide, "user_id", "ts_ms").collect()
+    }
+    assert(ex.getMessage.contains("day span exceeds"), s"got ${ex.getMessage}")
+  }
+
   test("histogramQuantiles: interpolation is exact on uniform bins; sketch merges by addition") {
     import org.apache.spark.sql.functions.col
     val vals = (0L until 1000L).map(v => ("a", v)).toDF("grp", "v")
