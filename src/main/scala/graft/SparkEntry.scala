@@ -413,6 +413,25 @@ object SparkEntry {
               col("gid"), col("sum_qty_c"), col("n"))
       .orderBy("gid", "l_returnflag_g", "l_linestatus_g")
 
+  /** EXPLICIT grouping sets — the arbitrary-subset form rollup/cube can't
+    * express: here {(flag, status), (flag), (status)} but NOT the grand
+    * total, i.e. two independent one-key rollups sharing one Expand +
+    * one aggregate pass. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_gs_lineitem")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag_g,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus_g,
+             CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_qty_c,
+             count(*) AS n
+      FROM graft_gs_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY gid, l_returnflag_g, l_linestatus_g""")
+  }
+
   /** Full CUBE over the same keys as `q_rollup` — all four grouping sets,
     * completing the grouping-sets surface (rollup covers the prefix
     * chain only). Same single-pass partial-aggregate expansion. */
@@ -1768,6 +1787,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** LSH blocking quality as a first-class report: precision/recall of
+    * the estimate-thresholded MinHash-LSH pair set against the exact
+    * all-pairs Jaccard ground truth at the same threshold — the number a
+    * pipeline owner needs before trusting banding parameters at scale.
+    * Both relations are slim id pairs; the intersection is one equi-join;
+    * the corpus is scanned once per path. */
+  private def dedupLshQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.4, maxDocFreq = Long.MaxValue)
+      .select("id_a", "id_b")
+    val both = lsh.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_both"))
+    lsh.agg(count(lit(1)).as("n_lsh"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(both)
+      .select(col("n_lsh"), col("n_exact"), col("n_both"),
+              (col("n_both").cast("double") / col("n_lsh").cast("double"))
+                .as("lsh_precision"),
+              (col("n_both").cast("double") / col("n_exact").cast("double"))
+                .as("lsh_recall"))
+  }
+
   /** Keep-best-quality representative per near-dup cluster (same edge
     * relation as `dedup_clusters`, `TextFunctions.qualityScore` as the
     * keep policy — the production cut). */
@@ -2191,6 +2236,7 @@ object SparkEntry {
     "q_bucketed_join"     -> qBucketedJoin _,
     "q_rollup"            -> qRollup _,
     "q_cube"              -> qCube _,
+    "q_grouping_sets"     -> qGroupingSets _,
     "q_cheapest_lineitem" -> qCheapestLineitem _,
     "q_setops_all"        -> qSetOpsAll _,
     "q_quantiles"         -> qQuantiles _,
@@ -2286,6 +2332,7 @@ object SparkEntry {
     "graph_triangles"     -> graphTriangles _,
     "graph_cc_sizes"      -> graphCcSizes _,
     "dedup_best_of_cluster" -> dedupBestOfCluster _,
+    "dedup_lsh_quality"   -> dedupLshQuality _,
     "text_bpe_apply"      -> textBpeApply _,
     "text_cooccurrence"   -> ((s, dir) =>
       TextAnalysis.cooccurrenceLift(t(s, dir, "documents"), "doc_id", "text")
@@ -3308,6 +3355,16 @@ object SparkEntry {
              sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS sum_disc_price_tm,
              count(*)::BIGINT AS count_order
       FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag_g,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus_g,
+             GROUPING_ID(l_returnflag, l_linestatus)::BIGINT AS gid,
+             sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
+             count(*)::BIGINT AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+      ORDER BY gid, l_returnflag_g, l_linestatus_g""",
     "q_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag_g,
              coalesce(l_linestatus, 'ALL') AS l_linestatus_g,
@@ -4258,6 +4315,36 @@ object SparkEntry {
         FROM jp e1 JOIN jp e2 ON e2.id_a = e1.id_b
              JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) t
       GROUP BY 1 ORDER BY 1""",
+    // the LSH estimate-pair chain and the exact-Jaccard chain share the
+    // `toks` CTE (identical text in both helpers); the exact side is
+    // inlined under x-prefixed names to avoid CTE collisions
+    "dedup_lsh_quality" -> s"""
+      WITH ${OracleXX.minhashAgreeCtes(128, 16)},
+      l AS MATERIALIZED (
+        SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      xsh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      xpost AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM xsh),
+      xpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM xpost a JOIN xpost b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      x AS MATERIALIZED (
+        SELECT id_a, id_b FROM xpairs
+        WHERE inter::DOUBLE / (na + nb - inter) >= 0.4),
+      nb2 AS (SELECT count(*)::BIGINT AS n_both
+              FROM l JOIN x USING (id_a, id_b))
+      SELECT (SELECT count(*) FROM l)::BIGINT AS n_lsh,
+             (SELECT count(*) FROM x)::BIGINT AS n_exact,
+             n_both,
+             n_both::DOUBLE / (SELECT count(*) FROM l)::DOUBLE AS lsh_precision,
+             n_both::DOUBLE / (SELECT count(*) FROM x)::DOUBLE AS lsh_recall
+      FROM nb2""",
     // clusters chain + quality replica + a deterministic (score DESC, id
     // ASC) argmax window — the keep-best representative cut
     "dedup_best_of_cluster" -> s"""
