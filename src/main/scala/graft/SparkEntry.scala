@@ -4,7 +4,7 @@ import graft.event.Event
 import graft.functions.{Backoff, Base64Functions => B64, DumpCodec,
   GzipFunctions => GZ, TextFunctions => TF}
 import graft.interceptor.{HeaderEnrich, InterceptorChain, RegexFilter, Transparent, DevNull => DevNullItp}
-import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sinks.Sinks
 import graft.sources.Sources
 import graft.streaming.BatchSemantics
@@ -2306,6 +2306,11 @@ object SparkEntry {
     "curation_mixture"    -> curationMixture _,
     "curation_epoch_plan" -> curationEpochPlan _,
     "curation_order"      -> curationOrder _,
+    "curation_interleave" -> ((s, dir) =>
+      Sampling.interleaveBySource(
+          t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source")
+        .select("doc_id", "source", "rank_in_source", "pos")
+        .orderBy("pos")),
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
@@ -4207,6 +4212,25 @@ object SparkEntry {
               (CASE WHEN ord % 288230376151711744 < 0 THEN 1 ELSE 0 END)
               + 32)::BIGINT AS shard
       FROM h ORDER BY ord"""
+    },
+    // per-source rank window + the closed-form round-robin position
+    // (Σ min(c_s', r-1) + tie count) — see Sampling.interleaveBySource
+    "curation_interleave" -> {
+      val h = OracleXX.xxh64LongSigned("doc_id")
+      s"""
+      WITH h AS (SELECT doc_id, source, ($h) AS ord FROM documents),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY ord, doc_id)::BIGINT AS rank_in_source
+            FROM h),
+      c AS MATERIALIZED (SELECT source, count(*)::BIGINT AS c
+                         FROM documents GROUP BY 1)
+      SELECT r.doc_id, r.source, r.rank_in_source,
+             (1 + (SELECT sum(least(c.c, r.rank_in_source - 1)) FROM c)
+                + (SELECT count(*) FROM c
+                   WHERE c.source < r.source
+                     AND c.c >= r.rank_in_source))::BIGINT AS pos
+      FROM r ORDER BY pos"""
     },
     // the planner's float steps mirror temperatureMixture's determinism
     // contract (sqrt + left-assoc div chain + name-ordered sequential sum);

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -301,6 +302,42 @@ object Sampling {
           + lit(nShards / 2))
       .repartitionByRange(nShards, col("ord"))
       .sortWithinPartitions("ord")
+  }
+
+  /** Source-interleaved deterministic training order: within each source
+    * docs take a hash-shuffled rank, and the global order is
+    * `(rank, source)` — round-robin across sources, so no contiguous run
+    * of one source ever enters training (the batch-homogeneity failure
+    * `deterministicOrder`'s plain global shuffle only makes unlikely,
+    * this makes structural: position i and i+1 differ in source unless a
+    * source is exhausted). Fully seed-reproducible.
+    *
+    * Scale shape: one window per source partition assigns ranks (state
+    * bounded by the largest source); the GLOBAL position is then closed
+    * form, not a global window (a single-partition row_number is the
+    * classic total-order scale killer): rows before (r, s) =
+    * Σ_{s'} min(c_{s'}, r−1) + |{s' < s : c_{s'} ≥ r}|, evaluated
+    * row-locally over the broadcast per-source count list — integer
+    * arithmetic, order-independent, no extra shuffle. */
+  def interleaveBySource(df: DataFrame, idCol: String, srcCol: String,
+                         seed: Long = 0L): DataFrame = {
+    Seq("rank_in_source", "pos", "__src_counts").foreach(c =>
+      require(!df.columns.contains(c),
+        s"interleaveBySource emits column '$c' but the input already has one"))
+    val h = if (seed == 0L) xxhash64(col(idCol))
+            else xxhash64(lit(seed), col(idCol))
+    val w = Window.partitionBy(col(srcCol)).orderBy(h, col(idCol))
+    val counts = df.groupBy(col(srcCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(collect_list(struct(col("__s"), col("__c"))).as("__src_counts"))
+    df.withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(counts))
+      .withColumn("pos", expr(
+        s"""aggregate(__src_counts, CAST(1 AS BIGINT), (acc, x) ->
+              acc + least(x.__c, rank_in_source - 1L) +
+              CASE WHEN x.__s < $srcCol AND x.__c >= rank_in_source
+                   THEN 1L ELSE 0L END)"""))
+      .drop("__src_counts")
   }
 
   /** Sentinel domain name for NULL group values in `temperatureMixture`. */

@@ -608,6 +608,33 @@ class PlanSpec extends SparkSpec {
       s"the non-equi day-range join must broadcast the tiny day dim:\n$p")
   }
 
+  test("events_activity_bitmap: partial bit_or combines map-side; day0 broadcasts") {
+    val p = plan("events_activity_bitmap")
+    assert(p.contains("partial_bit_or") || p.contains("partial_first") ||
+           """HashAggregate.*bit_or""".r.findFirstIn(p).isDefined,
+      s"mask aggregate must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row day0 must broadcast, never shuffle the events:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("events_value_histogram: bin counts partial-agg; both windows share one bin shuffle") {
+    val p = plan("events_value_histogram")
+    assert(p.contains("partial_count"), s"bin count must combine map-side:\n$p")
+    // two hash exchanges total: the (grp,bin) aggregate and the grp window
+    // re-key — the cum and n windows must SHARE the second (the trailing
+    // range exchange is the ORDER BY)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+  }
+
+  test("dedup_edit_distance: equi-join on band blocks, no nested-loop pair scan") {
+    val p = plan("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"banded blocking must plan an equi-join:\n$p")
+  }
+
   test("q_exists_subquery: EXISTS pair rewrites to semi/anti joins, no re-execution") {
     val p = plan("q_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must plan a left-semi join:\n$p")

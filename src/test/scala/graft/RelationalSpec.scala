@@ -383,4 +383,33 @@ class RelationalSpec extends SparkSpec {
     assert(za < na / 2.0,
       f"z-order boxes should be tight: z=$za%.0f vs id-sorted=$na%.0f")
   }
+
+  test("interleaveBySource: pos is a permutation; sources round-robin until exhausted") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // sources with sizes 5 / 3 / 1
+    val rows = ((1L to 5L).map((_, "a")) ++ (6L to 8L).map((_, "b")) ++
+      Seq((9L, "c"))).toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(rows, "doc_id", "source")
+      .collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source"),
+                 r.getAs[Long]("rank_in_source")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 9L), s"pos not a permutation: ${out.toSeq}")
+    // while all three sources are live, order cycles a,b,c by rank then source
+    assert(out.take(3).map(_._2).toSeq == Seq("a", "b", "c"), s"${out.toSeq}")
+    // rank 2: c exhausted -> a,b; ranks 4,5: only a remains
+    assert(out.slice(3, 5).map(_._2).toSeq == Seq("a", "b"), s"${out.toSeq}")
+    assert(out.drop(7).map(_._2).forall(_ == "a"), s"${out.toSeq}")
+    // within each source the ranks appear in order
+    out.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.sortBy(_._1).map(_._3).toSeq == (1L to g.length), s"${g.toSeq}")
+    }
+    // determinism across re-evaluation (repartitioned input, same order)
+    val again = Sampling.interleaveBySource(rows.repartition(7), "doc_id", "source")
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"))).sorted
+    val first = Sampling.interleaveBySource(rows, "doc_id", "source")
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"))).sorted
+    assert(again.toSeq == first.toSeq)
+  }
 }
