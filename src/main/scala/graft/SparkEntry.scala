@@ -1787,6 +1787,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Memorization-risk coverage report: per source, the fraction of
+    * corpus tokens sitting inside corpus-duplicated ≥10-token spans (the
+    * `dedup_spans` relation) — the number that decides whether span
+    * cutting is worth a pipeline stage. Integer ppm floor; spans are
+    * already maximal/disjoint per doc so the sum is exact coverage. */
+  private def dedupSpanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dup = Dedup.duplicateSpans(docs, "doc_id", "text", n = 10)
+      .groupBy("doc_id")
+      .agg(sum(col("end_tok") - col("start_tok")).as("dup_toks"))
+    docs.select(col("doc_id"), col("source"),
+        size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum(col("n_toks")).as("total_tokens"),
+           sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"))
+      .withColumn("coverage_ppm",
+        expr("dup_tokens * 1000000L DIV total_tokens"))
+      .orderBy("source")
+  }
+
   /** LSH blocking quality as a first-class report: precision/recall of
     * the estimate-thresholded MinHash-LSH pair set against the exact
     * all-pairs Jaccard ground truth at the same threshold — the number a
@@ -2338,6 +2359,7 @@ object SparkEntry {
     "graph_cc_sizes"      -> graphCcSizes _,
     "dedup_best_of_cluster" -> dedupBestOfCluster _,
     "dedup_lsh_quality"   -> dedupLshQuality _,
+    "dedup_span_coverage" -> dedupSpanCoverage _,
     "text_bpe_apply"      -> textBpeApply _,
     "text_cooccurrence"   -> ((s, dir) =>
       TextAnalysis.cooccurrenceLift(t(s, dir, "documents"), "doc_id", "text")
@@ -3895,6 +3917,21 @@ object SparkEntry {
       WITH $sqlSpanCtes
       SELECT doc_id, start_tok, end_tok, n_windows
       FROM spans ORDER BY doc_id, start_tok""",
+    // spans rolled up to per-source covered-token ppm — the
+    // memorization-risk report over the same spans CTE
+    "dedup_span_coverage" -> s"""
+      WITH $sqlSpanCtes,
+      sl AS (SELECT doc_id, sum(end_tok - start_tok)::BIGINT AS dup_toks
+             FROM spans GROUP BY 1),
+      dl AS (SELECT doc_id, len(tk)::BIGINT AS n_toks FROM toks),
+      j AS (SELECT d.source, dl.n_toks,
+                   coalesce(sl.dup_toks, 0)::BIGINT AS dup_toks
+            FROM dl JOIN documents d USING (doc_id)
+                 LEFT JOIN sl USING (doc_id))
+      SELECT source, sum(n_toks)::BIGINT AS total_tokens,
+             sum(dup_toks)::BIGINT AS dup_tokens,
+             (sum(dup_toks) * 1000000 // sum(n_toks))::BIGINT AS coverage_ppm
+      FROM j GROUP BY source ORDER BY source""",
     // span-cut application: the token-position complement of the spans CTE,
     // re-joined in position order — docs whose every token was cut (or that
     // had no spans) come back via the LEFT JOIN from toks
