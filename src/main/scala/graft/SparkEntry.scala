@@ -661,6 +661,40 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of: the closest purchase in EITHER direction (ties →
+    * backward, the standard preference) — composed from the backward and
+    * forward single-shuffle as-of passes with the matched timestamps
+    * carried as value columns; the pick is a row-local CASE. Two key
+    * shuffles total, no per-key cross product. */
+  private def qAsofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val probe = ev.select("event_id", "user_id", "ts_ms")
+    val cl = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms")
+      .agg(max(cents(col("value"))).as("pv"))
+    val clB = cl.select(col("user_id"), col("ts_ms"),
+      col("pv").as("pv_b"), col("ts_ms").as("ts_b"))
+    val clF = cl.select(col("user_id"), col("ts_ms"),
+      col("pv").as("pv_f"), col("ts_ms").as("ts_f"))
+    val back = graft.operators.Relational.asofJoin(probe, clB,
+      "user_id", "ts_ms", Seq("pv_b", "ts_b"))
+    val both = graft.operators.Relational.asofJoin(back, clF,
+      "user_id", "ts_ms", Seq("pv_f", "ts_f"), direction = "forward")
+    both.select(col("event_id"), col("user_id"), col("ts_ms"),
+        when(col("ts_b").isNull && col("ts_f").isNull, lit(null))
+          .when(col("ts_f").isNull, col("pv_b"))
+          .when(col("ts_b").isNull, col("pv_f"))
+          .when(col("ts_ms") - col("ts_b") <= col("ts_f") - col("ts_ms"),
+                col("pv_b"))
+          .otherwise(col("pv_f")).as("nearest_value_c"),
+        when(col("ts_b").isNull && col("ts_f").isNull, lit(null))
+          .when(col("ts_f").isNull, col("ts_ms") - col("ts_b"))
+          .when(col("ts_b").isNull, col("ts_f") - col("ts_ms"))
+          .otherwise(least(col("ts_ms") - col("ts_b"),
+                           col("ts_f") - col("ts_ms"))).as("dist_ms"))
+      .orderBy("event_id")
+  }
+
   /** Range (interval) join via time binning: events inside the 10-minute
     * window opened by each 'view' event of the same user. The raw non-equi
     * join would plan a nested loop; binning makes it an equi-join. */
@@ -2109,6 +2143,40 @@ object SparkEntry {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** LIVE streaming twin of `events_value_histogram`: the (grp, bin)
+    * count sketch IS the streaming state — a complete-mode aggregation
+    * whose per-micro-batch merge is exactly the sketch's count addition —
+    * and the quantile read-out runs batch-side over the final state from
+    * the memory sink. Same bin math, same oracle as the batch path. */
+  private def streamValueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-hist")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("event_id"), col("event_type"),
+      cents(col("value")).as("value_c"))
+    (0 to 2).foreach { i =>
+      val part = work.resolve(s"b$i")
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(s"b$i.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val table = s"graft_shist_${layoutTag(dir)}"
+    val q = Analytics.histogramBins(incoming, "event_type", col("value_c"),
+        lo = 0L, width = 1000L)
+      .writeStream.outputMode("complete").format("memory").queryName(table)
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Analytics.quantilesFromBins(s.table(table), lo = 0L, width = 1000L)
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type", "q")
+  }
+
   /** The production ingest configuration: df pruning on (maxDocFreq = 3
     * bites at this corpus's boilerplate shingles) with a compaction after
     * every append so each batch prunes against GLOBAL document
@@ -2232,6 +2300,7 @@ object SparkEntry {
     "stream_interval_join_right" -> streamIntervalJoinRight _,
     "stream_funnel"       -> streamFunnel _,
     "stream_static_join"  -> streamStaticJoin _,
+    "stream_value_histogram" -> streamValueHistogram _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
@@ -2253,6 +2322,7 @@ object SparkEntry {
     "q_distinct_agg"      -> qDistinctAgg _,
     "q_asof_join"         -> qAsofJoin _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _,
+    "q_asof_join_nearest" -> qAsofJoinNearest _,
     "q_range_join"        -> qRangeJoin _,
     "q_bucketed_join"     -> qBucketedJoin _,
     "q_rollup"            -> qRollup _,
@@ -3174,6 +3244,27 @@ object SparkEntry {
              bit_count(mask & (mask >> 1))::BIGINT AS ret_days_1,
              bit_count(mask & (mask >> 7))::BIGINT AS ret_days_7
       FROM m ORDER BY user_id""",
+    // the streaming twin's state is the same bin sketch -> same replica
+    "stream_value_histogram" -> """
+      WITH v AS (SELECT event_type AS grp,
+                        (value::DECIMAL(18,2) * 100)::BIGINT AS v FROM events),
+      b AS (SELECT grp,
+                   CASE WHEN v >= 0 THEN v // 1000
+                        ELSE -((0 - v + 999) // 1000) END AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM v GROUP BY 1, 2),
+      c AS (SELECT grp, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bin)::BIGINT AS cum,
+                   sum(cnt) OVER (PARTITION BY grp)::BIGINT AS n
+            FROM b),
+      qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+      SELECT grp AS event_type, qq.q,
+             (0 + bin * 1000)::DOUBLE +
+               (qq.q * n - (cum - cnt)::DOUBLE) / cnt::DOUBLE * 1000 AS est,
+             n
+      FROM c, qq
+      WHERE cum >= qq.q * n AND cum - cnt < qq.q * n
+      ORDER BY event_type, q""",
     // mergeable-histogram quantile replica: same bin math, same cumulative
     // frame, same interpolation op order — see Analytics.histogramQuantiles
     "events_value_histogram" -> """
@@ -3596,6 +3687,31 @@ object SparkEntry {
       SELECT p.event_id, p.user_id, p.ts_ms, c.next_purchase_value
       FROM p ASOF LEFT JOIN c
         ON p.user_id = c.user_id AND p.ts_ms <= c.ts_ms
+      ORDER BY event_id""",
+    // both ASOF directions + a row-local nearest pick (ties -> backward)
+    "q_asof_join_nearest" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+      c AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+                   max((value::DECIMAL(18,2) * 100)::BIGINT) AS pv
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      b AS (SELECT p.event_id, p.user_id, p.ts_ms,
+                   c.pv AS pv_b, c.ts_ms AS ts_b
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms),
+      f AS (SELECT p.event_id, c.pv AS pv_f, c.ts_ms AS ts_f
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts_ms <= c.ts_ms)
+      SELECT b.event_id, b.user_id, b.ts_ms,
+             CASE WHEN ts_b IS NULL AND ts_f IS NULL THEN NULL
+                  WHEN ts_f IS NULL THEN pv_b
+                  WHEN ts_b IS NULL THEN pv_f
+                  WHEN b.ts_ms - ts_b <= ts_f - b.ts_ms THEN pv_b
+                  ELSE pv_f END AS nearest_value_c,
+             CASE WHEN ts_b IS NULL AND ts_f IS NULL THEN NULL
+                  WHEN ts_f IS NULL THEN b.ts_ms - ts_b
+                  WHEN ts_b IS NULL THEN ts_f - b.ts_ms
+                  ELSE least(b.ts_ms - ts_b, ts_f - b.ts_ms) END AS dist_ms
+      FROM b JOIN f USING (event_id)
       ORDER BY event_id""",
     "q_range_join" -> """
       WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -187,11 +187,32 @@ object Analytics {
       s"quantiles must be in (0, 1), got $qs")
     // sign-correct floor division in pure integer ops (DIV truncates
     // toward zero; the negative branch corrects it to floor)
-    val bins = df.select(col(groupCol).as("grp"), value.as("v"))
+    quantilesFromBins(histogramBins(df, groupCol, value, lo, width),
+      lo, width, qs)
+  }
+
+  /** Stage 1 of [[histogramQuantiles]]: the mergeable (grp, bin, cnt)
+    * sketch itself — the relation a streaming state store or per-shard
+    * rollup maintains (counts merge by addition). */
+  def histogramBins(df: DataFrame, groupCol: String, value: Column,
+                    lo: Long, width: Long): DataFrame = {
+    require(width >= 1L, s"width must be >= 1, got $width")
+    // sign-correct floor division in pure integer ops (DIV truncates
+    // toward zero; the negative branch corrects it to floor)
+    df.select(col(groupCol).as("grp"), value.as("v"))
       .withColumn("bin", expr(
         s"CASE WHEN v >= ${lo}L THEN (v - ${lo}L) DIV ${width}L " +
         s"ELSE -((${lo}L - v + ${width - 1}L) DIV ${width}L) END"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Stage 2 of [[histogramQuantiles]]: quantile read-out over an
+    * already-built (grp, bin, cnt) sketch — shared by the batch path and
+    * the streaming twin reading its state back from a sink. */
+  def quantilesFromBins(bins: DataFrame, lo: Long, width: Long,
+                        qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles must be in (0, 1), got $qs")
     val w = Window.partitionBy("grp").orderBy("bin")
     val cum = bins
       .withColumn("cum", sum(col("cnt")).over(w))
