@@ -2430,6 +2430,9 @@ object SparkEntry {
     "dedup_best_of_cluster" -> dedupBestOfCluster _,
     "dedup_lsh_quality"   -> dedupLshQuality _,
     "dedup_span_coverage" -> dedupSpanCoverage _,
+    "dedup_minhash_bbit"  -> ((s, dir) =>
+      Dedup.minhashBBitPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     "text_bpe_apply"      -> textBpeApply _,
     "text_cooccurrence"   -> ((s, dir) =>
       TextAnalysis.cooccurrenceLift(t(s, dir, "documents"), "doc_id", "text")
@@ -3804,6 +3807,24 @@ object SparkEntry {
     // Hamming pairs are oracle-checked as-is — see OracleXX
     "dedup_minhash" -> OracleXX.minhashOracle(numHashes = 128, bands = 16,
       threshold = 0.4),
+    // 1-bit estimator on the same banded candidates: parity agreement
+    // replayed per permutation, Ĵ = 2·agree/k − 1 (engine packs the
+    // parities into two words and XOR+popcounts — same observable)
+    "dedup_minhash_bbit" -> s"""
+      WITH ${OracleXX.minhashBandCtes(128, 16)},
+      prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sig AS siga, b.sig AS sigb
+              FROM bk a CROSS JOIN guard
+                   JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
+      agp AS (SELECT id_a, id_b,
+                list_aggregate(list_transform(range(0, 128), j ->
+                  CASE WHEN siga[j+1] % 2 = sigb[j+1] % 2 THEN 1 ELSE 0 END),
+                  'sum') AS agree
+              FROM prs)
+      SELECT id_a, id_b,
+             (agree * 2 - 128)::DOUBLE / 128 AS est_jaccard_b1
+      FROM agp WHERE (agree * 2 - 128)::DOUBLE / 128 >= 0.4
+      ORDER BY id_a, id_b""",
     // leakage audit = the same banded pair replica + hashSplit's bucket
     // thresholds replayed on both endpoints, cross-split rows only
     "dedup_split_leakage" -> {

@@ -176,6 +176,49 @@ object Dedup {
     else out // plan-inspection mode: caller owns the cached intermediates
   }
 
+  /** 1-bit (b-bit) MinHash scoring — Li & König's storage-compressed
+    * estimator: each of the 128 permutation minima keeps only its parity
+    * bit, packing the whole signature into TWO 64-bit words (64× smaller
+    * than the long-vector signature a scoring state must otherwise hold).
+    * A bit matches with probability (1+J)/2, so Ĵ = 2·agree/k − 1; the
+    * scoring cost is two XOR+popcounts per candidate pair.
+    *
+    * Candidates still come from the full-signature LSH banding (banding
+    * needs the un-compressed band keys); what the compression buys at
+    * scale is the VERIFY side — the packed words are what ships to the
+    * pair-scoring shuffle, not the 128-long arrays. Output
+    * `(id_a, id_b, est_jaccard_b1)` with the estimator thresholded at
+    * `threshold`. */
+  def minhashBBitPairs(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 128, bands: Int = 16,
+                       threshold: Double = 0.4, shingleN: Int = 3,
+                       maxBucketSize: Long = 4096L): DataFrame = {
+    require(numHashes == 128, "the 2-word packing is specified for k = 128")
+    val sigs = df.select(
+        col(idCol).as("id"),
+        TF.minhashSignature(TF.shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
+      .persist()
+    // pack parity bits: word 0 = perms 0..63, word 1 = perms 64..127
+    def word(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+            acc | shiftleft(element_at(sig, i + ${off + 1}) % 2, CAST(i AS INT)))""")
+    val packed = sigs.select(col("id"), word(0).as("w0"), word(64).as("w1"))
+    val banded = sigs.select(col("id"),
+      explode(TF.lshBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
+    val (cand, sizedCache) = cappedCandidatePairs(banded, "band", maxBucketSize)
+    val out = cand
+      .join(packed.select(col("id").as("id_a"), col("w0").as("a0"), col("w1").as("a1")), "id_a")
+      .join(packed.select(col("id").as("id_b"), col("w0").as("b0"), col("w1").as("b1")), "id_b")
+      .withColumn("agree", lit(numHashes) -
+        bit_count(col("a0").bitwiseXOR(col("b0"))).cast("long") -
+        bit_count(col("a1").bitwiseXOR(col("b1"))).cast("long"))
+      .withColumn("est_jaccard_b1",
+        (col("agree") * 2L - numHashes).cast("double") / numHashes)
+      .where(col("est_jaccard_b1") >= threshold)
+      .select("id_a", "id_b", "est_jaccard_b1")
+    materializeAndRelease(out, sigs, sizedCache)
+  }
+
   /** MinHash-LSH candidate generation followed by EXACT n-gram Jaccard
     * verification on the candidates only — the production shape for
     * "approximate blocking, exact output". The output is SQL-expressible
