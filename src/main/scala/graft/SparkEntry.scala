@@ -1518,6 +1518,10 @@ object SparkEntry {
     TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  private def textKnScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeyScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** CCNet-style head/middle/tail perplexity buckets per language on the
     * same bigram-LM chain — the oracle replays the scoring CTEs and the
     * SQL-standard ntile split over the identical total order. */
@@ -2405,6 +2409,7 @@ object SparkEntry {
     "curation_source_cap" -> curationSourceCap _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
+    "text_kn_score"       -> textKnScore _,
     "text_ppl_buckets"    -> textPplBuckets _,
     "text_decontaminate"  -> textDecontaminate _,
     "text_decontaminate_frac" -> textDecontaminateFrac _,
@@ -3176,6 +3181,29 @@ object SparkEntry {
       rates AS (SELECT w1, w2,
                   c2 * 1000000 // (sum(c2) OVER (PARTITION BY w1))::BIGINT AS ppm
                 FROM c2),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                    sum(ppm)::BIGINT AS sum_ppm, min(ppm)::BIGINT AS min_ppm
+             FROM bg JOIN rates USING (w1, w2) GROUP BY doc_id)"""
+
+  /** Kneser-Ney replica: the lmScore bigram CTEs extended with the two
+    * continuation statistics; all products lifted to HUGEINT (the engine
+    * uses DECIMAL(38)) so the ppm floor is exact at any count scale. */
+  private lazy val knScoreCtes = s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> {'w1': tk[i], 'w2': tk[i+1]}), recursive := true)
+             FROM toks WHERE len(tk) >= 2),
+      c2t AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+      nb AS (SELECT count(*)::BIGINT AS nbi FROM c2t),
+      st AS (SELECT w1, w2, c2,
+               (sum(c2) OVER (PARTITION BY w1))::BIGINT AS c1,
+               (count(*) OVER (PARTITION BY w1))::BIGINT AS n1w1,
+               (count(*) OVER (PARTITION BY w2))::BIGINT AS n1w2
+             FROM c2t),
+      rates AS (SELECT w1, w2,
+          ((1000000::HUGEINT *
+            ((4 * c2 - 3) * nbi::HUGEINT + 3::HUGEINT * n1w1 * n1w2))
+           // (4::HUGEINT * c1 * nbi))::BIGINT AS ppm
+        FROM st CROSS JOIN nb),
       sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
                     sum(ppm)::BIGINT AS sum_ppm, min(ppm)::BIGINT AS min_ppm
              FROM bg JOIN rates USING (w1, w2) GROUP BY doc_id)"""
@@ -4639,6 +4667,16 @@ object SparkEntry {
     // CCNet head/middle/tail terciles on the lm chain: ntile's equal-tile
     // split is SQL-standard (first n-mod-k tiles take the extra row) and
     // the (avg_ppm DESC, doc_id ASC) order is total, so buckets are
+    "text_kn_score" -> s"""
+      WITH $knScoreCtes
+      SELECT d.doc_id,
+             coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+             coalesce(sc.sum_ppm, 0)::BIGINT AS sum_ppm,
+             CASE WHEN sc.n_bigrams IS NOT NULL
+                  THEN sc.sum_ppm // sc.n_bigrams ELSE 0 END::BIGINT AS avg_ppm,
+             coalesce(sc.min_ppm, 0)::BIGINT AS min_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id""",
     // engine-exact
     "text_ppl_buckets" -> s"""
       WITH $lmScoreCtes,

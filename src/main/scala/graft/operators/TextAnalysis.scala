@@ -739,6 +739,75 @@ object TextAnalysis {
     * Context counts `c(w1·)` reduce the DISTINCT-bigram table, not the
     * occurrence stream; the scoring join is the only full-width pass over
     * the bigram occurrences. */
+  /** Kneser-Ney smoothed bigram scoring — the standard fix for [[lmScore]]'s
+    * MLE zeroes and overconfident frequent contexts: absolute discount
+    * D = 3/4 off every seen bigram, mass redistributed by CONTINUATION
+    * probability (how many distinct contexts a word follows, not how often
+    * it occurs — the "San Francisco" correction).
+    *
+    *   p_kn(w2|w1) = max(c12−D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    *
+    * With D = 3/4 everything is rational: over the common denominator
+    * 4·c1·Nbi the seen-bigram numerator is (4·c12−3)·Nbi + 3·N1w1·N1w2,
+    * floored to ppm in DECIMAL(38) intermediates (exact far past the
+    * BIGINT overflow point of c12·Nbi products at corpus scale; DuckDB
+    * mirrors with HUGEINT) — bit-identical across engines, no libm.
+    *
+    * Scale shape follows lmScore: counts reduce on hashed keys; the three
+    * model statistics are two whole-partition windows over the DISTINCT
+    * bigram table (vocabulary-bounded, one shuffle each on h1 / h2) plus
+    * a one-row broadcast for N1+(··); scoring is one equi-join of the
+    * occurrence table against the rate table. */
+  def kneserNeyScore(df: DataFrame, idCol: String, textCol: String,
+                     materialize: Boolean = true): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toksBase = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+    val toks = if (materialize) toksBase.persist() else toksBase
+    val bgBase = toks.select(col("id"), explode(
+        when(size(col("tk")) >= 2,
+            transform(sequence(lit(0), size(col("tk")) - 2), i => struct(
+              xxhash64(element_at(col("tk"), i + lit(1))).as("h1"),
+              xxhash64(element_at(col("tk"), i + lit(2))).as("h2"),
+              xxhash64(element_at(col("tk"), i + lit(1)),
+                       element_at(col("tk"), i + lit(2))).as("h12"))))
+          .otherwise(array().cast("array<struct<h1:bigint,h2:bigint,h12:bigint>>")))
+        .as("bgs"))
+      .select(col("id"), col("bgs.h1").as("h1"), col("bgs.h2").as("h2"),
+              col("bgs.h12").as("h12"))
+    val bg = if (materialize) bgBase.persist() else bgBase
+    val c2t = bg.groupBy(col("h1"), col("h2"), col("h12"))
+      .agg(count(lit(1)).as("c2"))
+    val nb = c2t.agg(count(lit(1)).as("nbi"))
+    val stats = c2t
+      .withColumn("c1", sum(col("c2")).over(W.partitionBy(col("h1"))))
+      .withColumn("n1w1", count(lit(1)).over(W.partitionBy(col("h1"))))
+      .withColumn("n1w2", count(lit(1)).over(W.partitionBy(col("h2"))))
+    val rates = stats.crossJoin(broadcast(nb))
+      .select(col("h12"), expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) *
+             ((4 * c2 - 3) * CAST(nbi AS DECIMAL(38,0)) +
+              3 * CAST(n1w1 AS DECIMAL(38,0)) * n1w2))
+           DIV (4 * CAST(c1 AS DECIMAL(38,0)) * nbi) AS BIGINT)""").as("ppm"))
+    val perDoc = bg.join(rates, "h12")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("ppm")).as("sum_ppm"),
+           min(col("ppm")).as("min_ppm"))
+    val out = df.select(col(idCol)).join(
+        perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"),
+        when(col("n_bigrams").isNotNull, expr("sum_ppm DIV n_bigrams"))
+          .otherwise(lit(0L)).as("avg_ppm"),
+        coalesce(col("min_ppm"), lit(0L)).as("min_ppm"))
+    if (materialize) {
+      val res = graft.util.Materialize.cut(out)
+      bg.unpersist(); toks.unpersist()
+      res
+    } else out
+  }
+
   def lmScore(df: DataFrame, idCol: String, textCol: String,
               materialize: Boolean = true): DataFrame = {
     val toksBase = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))

@@ -421,6 +421,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("kneserNeyScore: hand-computed discount + continuation ppm; seen mass sums to 1M with the unseen backoff") {
+    import graft.operators.TextAnalysis
+    // same corpus as the lmScore test: c(a,b)=2, c(b,a)=1, c(a,c)=1, Nbi=3
+    // context a: c1=3, N1+(a·)=2; context b: c1=1, N1+(b·)=1
+    // continuation: N1+(·b)=N1+(·a)=N1+(·c)=1
+    // ppm(a,b) = 1e6·((4·2−3)·3 + 3·2·1)/(4·3·3) = 1e6·21/36 = 583333
+    // ppm(b,a) = 1e6·(3+3)/12 = 500000;  ppm(a,c) = 1e6·(3+6)/36 = 250000
+    // sanity: p(b|a)+p(c|a)+λ(a)p_cont(a) = 21/36 + 9/36 + (3/4·2/3)(1/3) = 1
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a c"), (2L, "a b"), (3L, "solo"))).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_ppm"),
+         r.getAs[Long]("avg_ppm"), r.getAs[Long]("min_ppm"))).toMap
+    assert(out(1L) == ((3L, 1333333L, 444444L, 250000L)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 583333L, 583333L, 583333L)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, 0L)), "single-token doc must zero-fill")
+  }
+
   test("perplexityBuckets: equal tiles per group, rank-consistent labels") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang",
