@@ -1041,6 +1041,34 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Retriever comparison matrix: recall@10 of every ANN path (IVF, LSH,
+    * PQ, RP, Matryoshka) against the one brute-force ground truth — the
+    * report that picks a retriever for a corpus. The truth relation is
+    * computed once and persisted; each method contributes one slim
+    * (qid, id) equi-join + counts. */
+  private def simRecallMatrix(s: SparkSession, dir: String): DataFrame = {
+    val methods = Seq(
+      "ivf" -> "sim_ivf_verified", "lsh" -> "sim_lsh_topk",
+      "matryoshka" -> "sim_matryoshka_topk", "pq" -> "sim_pq_topk",
+      "rp" -> "sim_rp_topk")
+    val brute = queries("sim_topk")(s, dir).select("qid", "id").persist()
+    val truthN = brute.agg(count(lit(1)).as("n_truth"))
+    val rows = methods.map { case (label, qname) =>
+      val got = queries(qname)(s, dir).select("qid", "id")
+      got.agg(count(lit(1)).as("n_returned"))
+        .crossJoin(got.join(brute, Seq("qid", "id"))
+          .agg(count(lit(1)).as("n_hit")))
+        .crossJoin(truthN)
+        .select(lit(label).as("method"), col("n_returned"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    }
+    val out = rows.reduce(_ unionByName _).orderBy("method")
+    val res = graft.util.Materialize.cut(out)
+    brute.unpersist()
+    res
+  }
+
   /** Batch-ingest embedding dedup: the incoming batch (vec_id < 350)
     * against the accepted corpus (vec_id >= 350), hyperplane-bucket
     * blocked. The 350 boundary makes the fixture's two same-bucket
@@ -2373,6 +2401,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
     "sim_recall_report"   -> simRecallReport _,
+    "sim_recall_matrix"   -> simRecallMatrix _,
     "sim_pq_topk"         -> simPqTopK _,
     "sim_rp_topk"         -> simRpTopK _,
     "text_topk"           -> textTopK _,
@@ -3185,6 +3214,45 @@ object SparkEntry {
                     sum(ppm)::BIGINT AS sum_ppm, min(ppm)::BIGINT AS min_ppm
              FROM bg JOIN rates USING (w1, w2) GROUP BY doc_id)"""
 
+  /** Brute-force cosine top-k replica (the `sim_topk` oracle), shared with
+    * the recall-matrix rollup. */
+  private lazy val simTopkOracleSql = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank"""
+
+  /** Matryoshka prefix-retrieval replica, shared with the recall matrix. */
+  private lazy val matryoshkaOracleSql = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      pre AS (
+        SELECT qid, e.vec_id AS id,
+               list_cosine_similarity(e.v[1:16], q.qv[1:16]) AS prefix_cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      cand AS (
+        SELECT qid, id, prefix_cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY prefix_cosine DESC, id ASC) AS prank
+        FROM pre),
+      rer AS (
+        SELECT c.qid, c.id, list_cosine_similarity(e.v, q.qv) AS cosine,
+               c.prefix_cosine
+        FROM cand c JOIN e ON e.vec_id = c.id JOIN q ON q.qid = c.qid
+        WHERE c.prank <= 30),
+      ranked AS (
+        SELECT qid, id, cosine, prefix_cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        FROM rer)
+      SELECT qid, id, cosine, prefix_cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank"""
+
   /** Kneser-Ney replica: the lmScore bigram CTEs extended with the two
     * continuation statistics; all products lifted to HUGEINT (the engine
     * uses DECIMAL(38)) so the ppm floor is exact at any count scale. */
@@ -3942,45 +4010,13 @@ object SparkEntry {
         FROM neg)
       SELECT qid, id, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= 10 ORDER BY qid, rank""",
-    "sim_topk" -> """
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-      scored AS (
-        SELECT qid, e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cosine
-        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
-      ranked AS (
-        SELECT qid, id, cosine,
-               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
-        FROM scored)
-      SELECT qid, id, cosine, rank::INT AS rank FROM ranked
-      WHERE rank <= 10 ORDER BY qid, rank""",
+    "sim_topk" -> simTopkOracleSql,
     // full replica of the LSH ANN operator: the deterministic hyperplanes
     // are embedded as literals, DuckDB recomputes bucket assignment,
     // multi-probe, the candidate join, and the exact-cosine re-rank —
     // oracle-checking the APPROXIMATE output itself, not a brute-force proxy
     "sim_lsh_topk" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
-    "sim_matryoshka_topk" -> """
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-      pre AS (
-        SELECT qid, e.vec_id AS id,
-               list_cosine_similarity(e.v[1:16], q.qv[1:16]) AS prefix_cosine
-        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
-      cand AS (
-        SELECT qid, id, prefix_cosine,
-               row_number() OVER (PARTITION BY qid ORDER BY prefix_cosine DESC, id ASC) AS prank
-        FROM pre),
-      rer AS (
-        SELECT c.qid, c.id, list_cosine_similarity(e.v, q.qv) AS cosine,
-               c.prefix_cosine
-        FROM cand c JOIN e ON e.vec_id = c.id JOIN q ON q.qid = c.qid
-        WHERE c.prank <= 30),
-      ranked AS (
-        SELECT qid, id, cosine, prefix_cosine,
-               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
-        FROM rer)
-      SELECT qid, id, cosine, prefix_cosine, rank::INT AS rank FROM ranked
-      WHERE rank <= 10 ORDER BY qid, rank""",
+    "sim_matryoshka_topk" -> matryoshkaOracleSql,
     // trained-k-means IVF, Lloyd iterations unrolled in SQL
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
@@ -4009,6 +4045,35 @@ object SparkEntry {
       FROM q2 LEFT JOIN h USING (qid) ORDER BY qid""",
     "sim_ivf_range" -> ivfRangeOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, minCosine = 0.25),
+    // every retriever replica nested as a subquery, each hoisted into a
+    // MATERIALIZED CTE, hits counted against the one brute-force truth
+    "sim_recall_matrix" -> {
+      val reps = Seq(
+        "ivf" -> ivfReplicaOracle(Similarity.fixedCentroids(16, 64),
+          nProbe = 4, k = 10),
+        "lsh" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
+        "matryoshka" -> matryoshkaOracleSql,
+        "pq" -> pqReplicaOracle(Similarity.fixedCodebooks(8, 16, 8),
+          k = 10, refine = 50),
+        "rp" -> rpReplicaOracle(Similarity.fixedProjection(16, 64),
+          k = 10, refine = 50))
+      val ctes = (("bt" -> simTopkOracleSql) +: reps.map { case (l, sql) =>
+        s"g_$l" -> sql
+      }).map { case (n, sql) =>
+        s"$n AS MATERIALIZED (SELECT qid, id FROM ($sql) t)"
+      }.mkString(",\n      ")
+      val rows = reps.map { case (l, _) => s"""
+        SELECT '$l' AS method,
+               (SELECT count(*) FROM g_$l)::BIGINT AS n_returned,
+               (SELECT count(*) FROM g_$l JOIN bt USING (qid, id))::BIGINT AS n_hit,
+               (SELECT count(*) FROM g_$l JOIN bt USING (qid, id))::DOUBLE
+                 / (SELECT count(*) FROM bt)::DOUBLE AS recall"""
+      }.mkString("\n        UNION ALL")
+      s"""
+      WITH $ctes
+      $rows
+      ORDER BY method"""
+    },
     // all-nodes variant of the IVF replica: query predicate TRUE, so the
     // oracle replays assignment/probing/re-rank for every corpus vector
     "sim_knn_graph" -> s"""
