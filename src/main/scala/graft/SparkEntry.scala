@@ -413,6 +413,25 @@ object SparkEntry {
               col("gid"), col("sum_qty_c"), col("n"))
       .orderBy("gid", "l_returnflag_g", "l_linestatus_g")
 
+  /** UNPIVOT — the wide→long inverse of `q_pivot`: a per-status wide
+    * aggregate (one summed column per return flag) melted back to
+    * (status, flag, value) rows. Null cells are coalesced to 0 BEFORE
+    * the melt: Spark's unpivot keeps null value rows while DuckDB's
+    * UNPIVOT drops them, so the contract is pinned by never producing
+    * one. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def qty(flag: String) = coalesce(
+      sum(when(col("l_returnflag") === flag, cents(col("l_quantity")))),
+      lit(0L))
+    val wide = li.groupBy("l_linestatus")
+      .agg(qty("A").as("qty_a"), qty("N").as("qty_n"), qty("R").as("qty_r"))
+    wide.unpivot(Array(col("l_linestatus")),
+        Array(col("qty_a"), col("qty_n"), col("qty_r")),
+        "flag", "sum_qty_c")
+      .orderBy("l_linestatus", "flag")
+  }
+
   /** EXPLICIT grouping sets — the arbitrary-subset form rollup/cube can't
     * express: here {(flag, status), (flag), (status)} but NOT the grand
     * total, i.e. two independent one-key rollups sharing one Expand +
@@ -2360,6 +2379,7 @@ object SparkEntry {
     "q_rollup"            -> qRollup _,
     "q_cube"              -> qCube _,
     "q_grouping_sets"     -> qGroupingSets _,
+    "q_unpivot"           -> qUnpivot _,
     "q_cheapest_lineitem" -> qCheapestLineitem _,
     "q_setops_all"        -> qSetOpsAll _,
     "q_quantiles"         -> qQuantiles _,
@@ -2466,6 +2486,10 @@ object SparkEntry {
     "dedup_span_coverage" -> dedupSpanCoverage _,
     "dedup_minhash_bbit"  -> ((s, dir) =>
       Dedup.minhashBBitPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "dedup_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
     "text_bpe_apply"      -> textBpeApply _,
     "text_cooccurrence"   -> ((s, dir) =>
@@ -3572,6 +3596,19 @@ object SparkEntry {
              sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS sum_disc_price_tm,
              count(*)::BIGINT AS count_order
       FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q_unpivot" -> """
+      WITH wide AS (
+        SELECT l_linestatus,
+               coalesce(sum(CASE WHEN l_returnflag = 'A'
+                 THEN (l_quantity::DECIMAL(18,2) * 100)::BIGINT END), 0)::BIGINT AS qty_a,
+               coalesce(sum(CASE WHEN l_returnflag = 'N'
+                 THEN (l_quantity::DECIMAL(18,2) * 100)::BIGINT END), 0)::BIGINT AS qty_n,
+               coalesce(sum(CASE WHEN l_returnflag = 'R'
+                 THEN (l_quantity::DECIMAL(18,2) * 100)::BIGINT END), 0)::BIGINT AS qty_r
+        FROM lineitem GROUP BY 1)
+      SELECT l_linestatus, flag, sum_qty_c
+      FROM wide UNPIVOT (sum_qty_c FOR flag IN (qty_a, qty_n, qty_r))
+      ORDER BY l_linestatus, flag""",
     "q_grouping_sets" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag_g,
              coalesce(l_linestatus, 'ALL') AS l_linestatus_g,
@@ -3840,6 +3877,35 @@ object SparkEntry {
              min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
       FROM documents GROUP BY 1 ORDER BY text_hash""",
     "dedup_ngram" -> ngramJaccardOracle(0.5),
+    // integer-IDF weights (N DIV df) keep every sum BIGINT/order-free;
+    // the engine joins on xxhash64 of the shingle, the oracle on its
+    // string — identical pairing absent a 64-bit collision
+    "dedup_weighted_jaccard" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      posting AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+      nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+      dfreq AS (SELECT h, count(*)::BIGINT AS dfh FROM posting GROUP BY 1),
+      wp AS MATERIALIZED (
+        SELECT doc_id, p.h, ((SELECT n FROM nd) // dfh)::BIGINT AS w
+        FROM posting p JOIN dfreq USING (h)),
+      docw AS (SELECT doc_id, sum(w)::BIGINT AS wt FROM wp GROUP BY 1),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    sum(a.w)::BIGINT AS shared_w
+             FROM wp a JOIN wp b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT pr.id_a, pr.id_b, pr.shared_w,
+             pr.shared_w::DOUBLE / (wa.wt + wb.wt - pr.shared_w)::DOUBLE
+               AS wjaccard
+      FROM pr JOIN docw wa ON pr.id_a = wa.doc_id
+              JOIN docw wb ON pr.id_b = wb.doc_id
+      WHERE pr.shared_w::DOUBLE / (wa.wt + wb.wt - pr.shared_w)::DOUBLE >= 0.5
+      ORDER BY id_a, id_b""",
     "dedup_edit_distance" -> """
       WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
                    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t

@@ -176,6 +176,50 @@ object Dedup {
     else out // plan-inspection mode: caller owns the cached intermediates
   }
 
+  /** IDF-weighted Jaccard near-dup pairs: shingles weighted by the
+    * integer inverse document frequency `w(h) = N DIV df(h)`, so shared
+    * BOILERPLATE shingles (site chrome, licence lines — high df, weight
+    * ≈ 1..k) barely move the score while shared RARE content dominates —
+    * the fix for unweighted Jaccard's failure mode where two different
+    * articles on the same template look like near-dups. The integer
+    * weight (vs the conventional log-idf) keeps every sum a BIGINT —
+    * order-free, bit-reproducible cross-engine; log-idf would be a
+    * float sum whose value depends on reduction order.
+    *
+    * Score: `Σ_{h∈A∩B} w(h) / (W_A + W_B − Σ_shared)` — weighted
+    * Jaccard over sets. Same inverted-index shape as
+    * [[ngramJaccardPairs]]: slim `(id, h, w)` postings equi-join, one
+    * aggregate per candidate pair, bodies never shuffle; the df
+    * reduction adds one map-side-combinable aggregate over the posting
+    * table and N rides a broadcast. */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.5,
+                           materialize: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    val sets = df.select(col(idCol).as("id"),
+        TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .persist() // posting table consumed by df-reduction AND both join sides
+    val posting = sets.select(col("id"), explode(col("hs")).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val wpost = posting.join(dfreq, "h")
+      .crossJoin(broadcast(nd))
+      .select(col("id"), col("h"), expr("n_docs DIV dfh").as("w"))
+    val docw = wpost.groupBy("id").agg(sum(col("w")).as("wt"))
+    val out = wpost.as("a").join(wpost.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w")).as("shared_w"))
+      .join(docw.select(col("id").as("id_a"), col("wt").as("wa")), "id_a")
+      .join(docw.select(col("id").as("id_b"), col("wt").as("wb")), "id_b")
+      .withColumn("wjaccard", col("shared_w").cast("double") /
+        (col("wa") + col("wb") - col("shared_w")).cast("double"))
+      .where(col("wjaccard") >= threshold)
+      .select("id_a", "id_b", "shared_w", "wjaccard")
+    if (materialize) materializeAndRelease(out, sets) else out
+  }
+
   /** 1-bit (b-bit) MinHash scoring — Li & König's storage-compressed
     * estimator: each of the 128 permutation minima keeps only its parity
     * bit, packing the whole signature into TWO 64-bit words (64× smaller
