@@ -413,6 +413,44 @@ object SparkEntry {
               col("gid"), col("sum_qty_c"), col("n"))
       .orderBy("gid", "l_returnflag_g", "l_linestatus_g")
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other, the semantics a plain equi-join silently drops.
+    * Both sides derive a nullable key (status 'P' → NULL), so the
+    * NULL↔NULL match population is real; Spark still plans this as a
+    * hash join (null-safe equality is hashable), not a nested loop. */
+  private def qJoinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    // price filter keeps the per-key pair fan-out bounded at bench scale
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 450000)
+    def k(c: Column): Column = when(col("o_orderstatus") === "P", lit(null)
+      .cast("string")).otherwise(c)
+    val a = o.select(k(col("o_orderpriority")).as("ka"),
+                     col("o_orderkey").as("key_a"))
+    val b = o.select(k(col("o_orderpriority")).as("kb"),
+                     col("o_orderkey").as("key_b"))
+    a.join(b, col("ka") <=> col("kb"))
+      .groupBy(coalesce(col("ka"), lit("NULLKEY")).as("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("k")
+  }
+
+  /** FULL OUTER equi-join with real unmatched rows on BOTH sides:
+    * high-value customers vs urgent orders — each side keeps its
+    * non-matching population NULL-padded. */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, lit("order_only"))
+          .when(col("o_custkey").isNull, lit("customer_only"))
+          .otherwise(lit("both")).as("side"),
+        coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+        col("c_mktsegment"), col("n_urgent"))
+      .orderBy("side", "key")
+  }
+
   /** UNPIVOT — the wide→long inverse of `q_pivot`: a per-status wide
     * aggregate (one summed column per return flag) melted back to
     * (status, flag, value) rows. Null cells are coalesced to 0 BEFORE
@@ -2380,6 +2418,8 @@ object SparkEntry {
     "q_cube"              -> qCube _,
     "q_grouping_sets"     -> qGroupingSets _,
     "q_unpivot"           -> qUnpivot _,
+    "q_join_null_safe"    -> qJoinNullSafe _,
+    "q_full_outer"        -> qFullOuter _,
     "q_cheapest_lineitem" -> qCheapestLineitem _,
     "q_setops_all"        -> qSetOpsAll _,
     "q_quantiles"         -> qQuantiles _,
@@ -3596,6 +3636,25 @@ object SparkEntry {
              sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * 10000)::BIGINT)::BIGINT AS sum_disc_price_tm,
              count(*)::BIGINT AS count_order
       FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q_join_null_safe" -> """
+      WITH o AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                             ELSE o_orderpriority END AS k, o_orderkey
+                 FROM orders WHERE o_totalprice > 450000)
+      SELECT coalesce(a.k, 'NULLKEY') AS k, count(*)::BIGINT AS n_pairs
+      FROM o a JOIN o b ON a.k IS NOT DISTINCT FROM b.k
+      GROUP BY 1 ORDER BY k""",
+    "q_full_outer" -> """
+      WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+                 WHERE c_acctbal > 9000),
+      o AS (SELECT o_custkey, count(*)::BIGINT AS n_urgent FROM orders
+            WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                  WHEN o_custkey IS NULL THEN 'customer_only'
+                  ELSE 'both' END AS side,
+             coalesce(c_custkey, o_custkey)::BIGINT AS key,
+             c_mktsegment, n_urgent
+      FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+      ORDER BY side, key""",
     "q_unpivot" -> """
       WITH wide AS (
         SELECT l_linestatus,
