@@ -2266,6 +2266,64 @@ object SparkEntry {
       .orderBy("event_type", "q")
   }
 
+  /** LIVE CDC-style streaming upsert — the foreachBatch MERGE pattern:
+    * each micro-batch of purchase events merges into a keyed state
+    * table (latest record per user by (ts, event_id)), written as a new
+    * state version and atomically adopted — the read-side never sees a
+    * half-written merge, and the argmax is a lexicographic struct max
+    * (the bestOfCluster discipline), so arrival order across batches
+    * cannot change the result. The 100 TB shape is the same merge
+    * against a bucketed state table with partition-level rewrites; the
+    * versioned-directory swap here is the single-box stand-in. */
+  private def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+              cents(col("value")).as("value_c"))
+    (0 to 2).foreach { i =>
+      val part = work.resolve(s"b$i")
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(s"b$i.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val statePath = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = incoming.writeStream
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val ss = batch.sparkSession
+        // state rows project back to record shape before the merge union
+        val merged = Option(statePath.get())
+          .map(p => ss.read.parquet(p).select(
+              col("last_event_id").as("event_id"), col("user_id"),
+              col("last_ts_ms").as("ts_ms"),
+              col("last_value_c").as("value_c"))
+            .unionByName(batch.toDF()))
+          .getOrElse(batch.toDF())
+        val best = merged.groupBy("user_id")
+          .agg(max(struct(col("ts_ms"), col("event_id"), col("value_c")))
+            .as("b"))
+          .select(col("user_id"), col("b.ts_ms").as("last_ts_ms"),
+                  col("b.event_id").as("last_event_id"),
+                  col("b.value_c").as("last_value_c"))
+        val next = work.resolve(s"state_$bid").toString
+        best.write.mode("overwrite").parquet(next)
+        statePath.set(next)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath.get())
+      .orderBy("user_id")
+  }
+
   /** The production ingest configuration: df pruning on (maxDocFreq = 3
     * bites at this corpus's boilerplate shingles) with a compaction after
     * every append so each batch prunes against GLOBAL document
@@ -2390,6 +2448,7 @@ object SparkEntry {
     "stream_funnel"       -> streamFunnel _,
     "stream_static_join"  -> streamStaticJoin _,
     "stream_value_histogram" -> streamValueHistogram _,
+    "stream_upsert"       -> streamUpsert _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
@@ -3450,6 +3509,18 @@ object SparkEntry {
       FROM c, qq
       WHERE cum >= qq.q * n AND cum - cnt < qq.q * n
       ORDER BY event_type, q""",
+    // latest purchase per user by (ts, event_id) — the CDC merge result
+    "stream_upsert" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                        (value::DECIMAL(18,2) * 100)::BIGINT AS value_c
+                 FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts_ms AS last_ts_ms, event_id AS last_event_id,
+                   value_c AS last_value_c,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts_ms DESC, event_id DESC) AS rn
+            FROM p)
+      SELECT user_id, last_ts_ms, last_event_id, last_value_c
+      FROM r WHERE rn = 1 ORDER BY user_id""",
     "stream_static_join" -> """
       SELECT c_mktsegment, event_type, count(*)::BIGINT AS n,
              sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_c
