@@ -752,6 +752,35 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Dynamic partition pruning: the fact side is PARTITIONED on the join
+    * key and the selective filter lives on the DIM side only — at plan
+    * time no static partition filter exists, so the fact scan must be
+    * pruned at RUNTIME from the dim side's broadcast (Spark inserts a
+    * `dynamicpruning` subquery on the partition column; PlanSpec pins
+    * it). This is the star-schema scan-elimination pattern: at 100 TB
+    * the fact table only reads the partitions the dimension selects. */
+  private def qDynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val tag = layoutTag(dir)
+    val ev = graft.operators.Relational.partitionMaterialize(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        cents(col("value")).as("value_c"), col("event_type")),
+      s"graft_dpp_events_$tag", "event_type",
+      s"/tmp/graft_partitioned_$tag/events_dpp")
+    // tiny dim DERIVED FROM A SCAN (a local Seq would constant-fold its
+    // filter into the LocalRelation and DPP sees no selective predicate):
+    // distinct event types with a derived billing flag, filtered by a
+    // string equality (isLikelySelective accepts EqualTo, not a bare
+    // boolean attribute).
+    val dim = t(s, dir, "events").select(col("event_type").as("et")).distinct()
+      .withColumn("billable",
+        when(col("et").isin("purchase", "click"), "Y").otherwise("N"))
+    ev.join(broadcast(dim), ev("event_type") === dim("et"))
+      .where(col("billable") === "Y")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+      .orderBy("event_type")
+  }
+
   /** Range (interval) join via time binning: events inside the 10-minute
     * window opened by each 'view' event of the same user. The raw non-equi
     * join would plan a nested loop; binning makes it an equi-join. */
@@ -2479,6 +2508,7 @@ object SparkEntry {
     "q_unpivot"           -> qUnpivot _,
     "q_join_null_safe"    -> qJoinNullSafe _,
     "q_full_outer"        -> qFullOuter _,
+    "q_dynamic_pruning"   -> qDynamicPruning _,
     "q_cheapest_lineitem" -> qCheapestLineitem _,
     "q_setops_all"        -> qSetOpsAll _,
     "q_quantiles"         -> qQuantiles _,
@@ -3714,6 +3744,11 @@ object SparkEntry {
       SELECT coalesce(a.k, 'NULLKEY') AS k, count(*)::BIGINT AS n_pairs
       FROM o a JOIN o b ON a.k IS NOT DISTINCT FROM b.k
       GROUP BY 1 ORDER BY k""",
+    "q_dynamic_pruning" -> """
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_c
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1 ORDER BY event_type""",
     "q_full_outer" -> """
       WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
                  WHERE c_acctbal > 9000),

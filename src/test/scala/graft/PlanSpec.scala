@@ -635,6 +635,13 @@ class PlanSpec extends SparkSpec {
       s"banded blocking must plan an equi-join:\n$p")
   }
 
+  test("q_dynamic_pruning: fact scan carries a runtime dynamicpruning subquery") {
+    val p = plan("q_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"partitioned fact scan must be runtime-pruned from the dim side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+  }
+
   test("q_exists_subquery: EXISTS pair rewrites to semi/anti joins, no re-execution") {
     val p = plan("q_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must plan a left-semi join:\n$p")
