@@ -319,6 +319,26 @@ object SparkEntry {
       .orderBy("from_type", "to_type")
   }
 
+  /** Session path mining: top within-session event-type TRIGRAMS — the
+    * sequence patterns the pairwise transition matrix cannot see
+    * (view→click→purchase vs view→click→view tell different stories
+    * with identical bigram counts). Two lag() reads on the session
+    * window the sessionization already paid for, then one count
+    * aggregate over slim type-triple rows; top-20 via
+    * TakeOrderedAndProject. */
+  private def eventsPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_ms", "event_id")
+    sessionized(s, dir)
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .where(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   /** Daily/28-day active users and the DAU/MAU stickiness ratio. The
     * distinct (day, user) collapse happens BEFORE any join; the trailing
     * window is a broadcast non-equi join against the tiny day dimension
@@ -2484,6 +2504,7 @@ object SparkEntry {
     "events_anomaly"      -> eventsAnomaly _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
+    "events_paths"        -> eventsPaths _,
     "q_window_range"      -> qWindowRange _,
     "events_dau_mau"      -> eventsDauMau _,
     "text_vocab_coverage" -> textVocabCoverage _,
@@ -3642,6 +3663,29 @@ object SparkEntry {
       FROM seq GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""",
     // within-session transition matrix over the same session assignment
+    // same sessionization chain, two lags -> within-session trigrams
+    "events_paths" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      seq AS (
+        SELECT user_id, event_id, event_type, t,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM s),
+      tg AS (
+        SELECT lag(event_type, 2) OVER w2 AS t1,
+               lag(event_type, 1) OVER w2 AS t2,
+               event_type AS t3
+        FROM seq
+        WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY t, event_id))
+      SELECT t1, t2, t3, count(*)::BIGINT AS n FROM tg
+      WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
     "events_transitions" -> """
       WITH s AS (
         SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
