@@ -109,7 +109,7 @@ object Bench {
     // probe point every 16 queries — at the existing GC tick, OUTSIDE the
     // per-query timer — gives a time series that brackets every query to
     // within ~8 positions; a query whose nearest probe is >1.3× the
-    // quietest probe of the run is flagged into `degraded` alongside the
+    // run's MEDIAN probe is flagged into `degraded` alongside the
     // warm>cold detector.
     val probeSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     val lastTick = scala.collection.mutable.HashMap.empty[String, Int]
@@ -189,10 +189,17 @@ object Bench {
     // the whole run, which warm/cold comparison is blind to.
     val coldMap = cold.toMap
     val probeRatio = if (probeBefore > 0) probeAfter / probeBefore else 1.0
-    // mid-run localization: baseline = the QUIETEST probe of the run (robust
-    // to a run that starts contended); a warm-pass query whose nearest
-    // probe point stretched >1.3× past that baseline ran inside a burst
-    val probeBaseline = probeSeries.map(_._2).min
+    // mid-run localization: baseline = the MEDIAN probe of the run. The
+    // first cut used min, and one anomalously-fast probe (a 124 ms point
+    // in a run whose probes otherwise sat at ~160 ± 10 ms) dragged the
+    // 1.3× threshold under normal jitter and flagged 60 queries of a
+    // demonstrably flat series. The median is robust in both directions:
+    // a run that STARTS contended doesn't inflate it (the quiet majority
+    // wins), and a single fast outlier can't deflate it.
+    val probeBaseline = {
+      val sorted = probeSeries.map(_._2).sorted
+      sorted(sorted.size / 2)
+    }
     def nearestProbeMs(tick: Int): Double =
       probeSeries.minBy(p => math.abs(p._1 - tick))._2
     val probeFlagged = results.collect {
