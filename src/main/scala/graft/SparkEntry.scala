@@ -339,6 +339,33 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Churn cohorts over the fixed 30-day window: users bucketed by
+    * which half of the window they were active in — `retained` (both),
+    * `churned` (first half only), `new` (second half only) — plus each
+    * bucket's event volume. Two distinct-collapsed activity flags per
+    * user, one aggregate; no event-pair joins. */
+  private def eventsChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // churn on the RARE signal (high-value purchases): the dense overall
+    // stream has every user active in both halves — a one-cohort report
+    val sig = ev.where(col("event_type") === "purchase" && col("value") > 100)
+    val base = sig.crossJoin(broadcast(ev.agg(min(expr("ts_ms DIV 86400000"))
+      .as("day0"))))
+    val flags = base
+      .withColumn("idx", expr("ts_ms DIV 86400000") - col("day0"))
+      .groupBy("user_id")
+      .agg(max(when(col("idx") < 15, 1L).otherwise(0L)).as("h1"),
+           max(when(col("idx") >= 15, 1L).otherwise(0L)).as("h2"),
+           count(lit(1)).as("n_events"))
+    flags.withColumn("cohort",
+        when(col("h1") === 1 && col("h2") === 1, "retained")
+          .when(col("h1") === 1, "churned")
+          .otherwise("new"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .orderBy("cohort")
+  }
+
   /** Daily/28-day active users and the DAU/MAU stickiness ratio. The
     * distinct (day, user) collapse happens BEFORE any join; the trailing
     * window is a broadcast non-equi join against the tiny day dimension
@@ -1980,6 +2007,31 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** What did dedup actually remove? Kept-vs-dropped quality/size
+    * profile per language over the `dedup_clusters` cut — the report
+    * that catches a dedup pass systematically deleting the GOOD copies
+    * (or all of one language). Slim (id, kept) labels join the per-doc
+    * quality projection; two map-side-combinable aggregates. */
+  private def dedupImpactReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, maxDocFreq = Long.MaxValue)
+    val labels = Dedup.connectedComponents(docs, pairs, "doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("cluster_id"), "kept")
+          .otherwise("dropped").as("fate"))
+    docs.select(col("doc_id"), col("lang"),
+        TF.qualityScore(col("text")).as("q"),
+        size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(labels, "doc_id")
+      .groupBy("fate", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("q")).as("sum_quality"),
+           expr("sum(q) DIV count(1)").as("mean_quality"),
+           sum(col("n_toks")).as("n_tokens"))
+      .orderBy("fate", "lang")
+  }
+
   /** LSH blocking quality as a first-class report: precision/recall of
     * the estimate-thresholded MinHash-LSH pair set against the exact
     * all-pairs Jaccard ground truth at the same threshold — the number a
@@ -2505,6 +2557,7 @@ object SparkEntry {
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
+    "events_churn"        -> eventsChurn _,
     "q_window_range"      -> qWindowRange _,
     "events_dau_mau"      -> eventsDauMau _,
     "text_vocab_coverage" -> textVocabCoverage _,
@@ -2633,6 +2686,7 @@ object SparkEntry {
     "graph_cc_sizes"      -> graphCcSizes _,
     "dedup_best_of_cluster" -> dedupBestOfCluster _,
     "dedup_lsh_quality"   -> dedupLshQuality _,
+    "dedup_impact_report" -> dedupImpactReport _,
     "dedup_span_coverage" -> dedupSpanCoverage _,
     "dedup_minhash_bbit"  -> ((s, dir) =>
       Dedup.minhashBBitPairs(t(s, dir, "documents"), "doc_id", "text")
@@ -3686,6 +3740,19 @@ object SparkEntry {
       SELECT t1, t2, t3, count(*)::BIGINT AS n FROM tg
       WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
       ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    "events_churn" -> """
+      WITH m AS (SELECT min(epoch_ms(ts) // 86400000) AS day0 FROM events),
+      d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+            WHERE event_type = 'purchase' AND value > 100),
+      f AS (SELECT user_id,
+              max(CASE WHEN day - (SELECT day0 FROM m) < 15 THEN 1 ELSE 0 END)::BIGINT AS h1,
+              max(CASE WHEN day - (SELECT day0 FROM m) >= 15 THEN 1 ELSE 0 END)::BIGINT AS h2,
+              count(*)::BIGINT AS n_events
+            FROM d GROUP BY 1)
+      SELECT CASE WHEN h1 = 1 AND h2 = 1 THEN 'retained'
+                  WHEN h1 = 1 THEN 'churned' ELSE 'new' END AS cohort,
+             count(*)::BIGINT AS n_users, sum(n_events)::BIGINT AS n_events
+      FROM f GROUP BY 1 ORDER BY cohort""",
     "events_transitions" -> """
       WITH s AS (
         SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
@@ -4913,6 +4980,37 @@ object SparkEntry {
       FROM nb2""",
     // clusters chain + quality replica + a deterministic (score DESC, id
     // ASC) argmax window — the keep-best representative cut
+    // the clusters chain relabeled kept/dropped + the quality replica,
+    // rolled up per (fate, lang)
+    "dedup_impact_report" -> s"""
+      WITH RECURSIVE ${ngramJaccardCtes(0.5)},
+      jp AS MATERIALIZED (SELECT id_a, id_b FROM ok),
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
+      cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      qc AS (
+        SELECT doc_id, len($sqlToks)::BIGINT AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                 floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
+               ELSE 0 END AS punct_pm,
+               ${langScoreSql("en")} AS stop_hits
+        FROM documents),
+      q AS (SELECT doc_id, n_tokens,
+               (least(n_tokens, 200) * 2 +
+                CASE WHEN punct_pm <= 80 THEN 300 ELSE 100 END +
+                least(stop_hits * 30, 300))::BIGINT AS score FROM qc)
+      SELECT CASE WHEN c.doc_id = c.cluster_id THEN 'kept'
+                  ELSE 'dropped' END AS fate,
+             d.lang, count(*)::BIGINT AS n_docs,
+             sum(q.score)::BIGINT AS sum_quality,
+             (sum(q.score) // count(*))::BIGINT AS mean_quality,
+             sum(q.n_tokens)::BIGINT AS n_tokens
+      FROM cl c JOIN documents d USING (doc_id) JOIN q USING (doc_id)
+      GROUP BY 1, 2 ORDER BY fate, lang""",
     "dedup_best_of_cluster" -> s"""
       WITH RECURSIVE ${ngramJaccardCtes(0.5)},
       jp AS MATERIALIZED (SELECT id_a, id_b FROM ok),
