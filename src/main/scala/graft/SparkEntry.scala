@@ -2425,6 +2425,51 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** LIVE watermark late-data semantics, pinned bit-exactly: the events
+    * stream arrives as three files whose rows INTERLEAVE in event time
+    * (pmod split), so after micro-batch 0 the watermark already sits
+    * near the stream's end and most of batches 1-2 is genuinely late.
+    * A 1-hour watermark + 1-hour tumbling aggregate in append mode then
+    * exercises the DUAL-watermark rules (SPARK-24634, verified against
+    * the offset log and a controlled two-file probe): (1) the late-event
+    * filter of micro-batch N uses batch N−1's watermark — one batch of
+    * lag, so batch 1 still admits everything and batch 2 filters
+    * against max(batch-0 event time) − delay; (2) eviction/emission
+    * uses the CURRENT watermark, so the sink holds exactly the windows
+    * the final watermark passed; (3) still-open windows are held as
+    * state, not emitted, at AvailableNow termination. The oracle
+    * replays this state machine from the same pmod file split. */
+  private def streamLateData(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("event_id"),
+      timestamp_millis(col("ts_ms")).as("ts"), cents(col("value")).as("value_c"))
+    (0 to 2).foreach { i =>
+      val part = work.resolve(s"b$i")
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(s"b$i.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val out = work.resolve("out").toString
+    val q = incoming.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+      .select(unix_millis(col("window.start")).as("wstart_ms"),
+              col("n"), col("sum_value_c"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy("wstart_ms")
+  }
+
   /** The production ingest configuration: df pruning on (maxDocFreq = 3
     * bites at this corpus's boilerplate shingles) with a compaction after
     * every append so each batch prunes against GLOBAL document
@@ -2550,6 +2595,7 @@ object SparkEntry {
     "stream_static_join"  -> streamStaticJoin _,
     "stream_value_histogram" -> streamValueHistogram _,
     "stream_upsert"       -> streamUpsert _,
+    "stream_late_data"    -> streamLateData _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
@@ -3626,6 +3672,31 @@ object SparkEntry {
             FROM p)
       SELECT user_id, last_ts_ms, last_event_id, last_value_c
       FROM r WHERE rn = 1 ORDER BY user_id""",
+    // the DUAL-watermark state machine replayed from the pmod file split
+    // (SPARK-24634 semantics, confirmed against the offset log and a
+    // two-file probe): the LATE-EVENT filter of batch N uses batch N-1's
+    // watermark — so batch 1 filters with W=0 (admits everything) and
+    // batch 2 with W = max(batch-0 ts) - delay — while EVICTION/emission
+    // uses the current watermark, so the emitted set is every window the
+    // FINAL watermark passed, containing exactly the admitted rows
+    "stream_late_data" -> """
+      WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms,
+                        (value::DECIMAL(18,2) * 100)::BIGINT AS value_c,
+                        event_id % 3 AS b
+                 FROM events),
+      mx AS (SELECT b, max(ts_ms) AS mx FROM e GROUP BY 1),
+      adm AS (SELECT e.*, ((ts_ms // 3600000) + 1) * 3600000 AS w_end FROM e),
+      filt AS (SELECT * FROM adm
+               WHERE b <= 1 -- batch 1's late filter lags: still W = 0
+                  OR (b = 2 AND w_end >
+                        (SELECT mx FROM mx WHERE b = 0) - 3600000)),
+      wf AS (SELECT w_end, count(*)::BIGINT AS n,
+                    sum(value_c)::BIGINT AS sum_value_c
+             FROM filt GROUP BY 1)
+      SELECT (w_end - 3600000)::BIGINT AS wstart_ms, n, sum_value_c
+      FROM wf
+      WHERE w_end <= (SELECT max(ts_ms) FROM e) - 3600000
+      ORDER BY wstart_ms""",
     "stream_static_join" -> """
       SELECT c_mktsegment, event_type, count(*)::BIGINT AS n,
              sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_c
