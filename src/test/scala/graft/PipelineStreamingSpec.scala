@@ -615,4 +615,48 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 1, "A"), (1L, 2, "B"), (1L, 3, "C"), (2L, 1, "A")),
       s"got $rows")
   }
+
+  test("dual-watermark semantics: batch N's late filter lags one batch; eviction is current (SPARK-24634)") {
+    // The stream_late_data oracle encodes this exact machine; this spec
+    // pins it against Spark upgrades with a minimal controlled stream:
+    //   batch 0: one row at hour 10      -> watermark after b0 = 9h-ish
+    //   batch 1: rows at hour 1 (deeply late) and hour 10.5
+    // If the late filter used the CURRENT watermark, the hour-1 row
+    // would be dropped. Under the dual-watermark rule it is ADMITTED
+    // (batch 1 filters with batch 0's pre-watermark = 0), then evicted
+    // and EMITTED by batch 1's own eviction watermark, while the
+    // still-open hour-10 window is held as state at termination.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-wm-spec")
+    val in = work.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val h = 3600000L
+    def write(name: String, rows: Seq[Long], mtime: Long): Unit = {
+      val part = work.resolve(name + "_t")
+      rows.toDF("ms").select(timestamp_millis(col("ms")).as("ts"), lit(1L).as("v"))
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      val dst = in.resolve(name + ".parquet").toFile
+      assert(src.renameTo(dst) && dst.setLastModified(mtime))
+    }
+    write("b0", Seq(10 * h + 5), 1700000000000L)
+    write("b1", Seq(1 * h + 5, 10 * h + 1800000), 1700000060000L)
+    val incoming = spark.readStream.schema("ts timestamp, v long")
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val out = work.resolve("out").toString
+    val q = incoming.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("ws"), col("n"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("ws") / h -> r.getAs[Long]("n")).toMap
+    assert(got == Map(1L -> 1L),
+      s"expected only the late hour-1 window emitted (admitted under the " +
+      s"lagged filter, evicted by the current watermark); got $got")
+  }
 }
