@@ -358,12 +358,17 @@ object OracleXX {
     val al = ca.mkString("[", ", ", "]")
     val bl = cb.mkString("[", ", ", "]")
     val xx = xxh64Str("s", padLen = 20)
-    // per-band seed = XXH64(8-byte LE of band index, 42) — Spark's
-    // multi-column xxhash64 chains the long hash into the string hash
-    val seeds = (0 until bands)
-      .map(bi => u(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(bi.toLong, 42L)))
-      .map(s => s + "::HUGEINT").mkString("[", ", ", "]")
-    val bandKey = xxh64Str("s2", seed = s"($seeds)[bi+1]", padLen = 28)
+    // The engine's physical band key is xxhash64(band_idx, joined_slice);
+    // the oracle joins on the RAW (band_idx, slice) string instead. The
+    // two bucketings are equivalent for the output pair set: the hash is
+    // injective on the (bi, s2) pairs absent a 64-bit collision, and a
+    // collision could only ADD an engine-side candidate pair, which the
+    // signature-agreement threshold then re-filters identically on both
+    // sides. Replaying the hash cost ~4 ms per band key in DuckDB (the
+    // padLen=28 reduce over ~160-byte strings) — 33 of dedup_minhash's
+    // 35 s, ×6 minhash-family oracles; the raw key runs the same oracle
+    // in 2.4 s bit-identically (round-9 gate-cost diagnosis).
+    val bandKey = "bi::VARCHAR || '|' || s2"
     s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh3 AS (SELECT doc_id,
                 CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]

@@ -1193,7 +1193,10 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_hit")))
         .crossJoin(truthN)
         .select(lit(label).as("method"), col("n_returned"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+          // NULL on an empty truth set, same rationale as dedupLshQuality
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") /
+                       col("n_truth").cast("double"))
             .as("recall"))
     }
     val out = rows.reduce(_ unionByName _).orderBy("method")
@@ -2051,10 +2054,18 @@ object SparkEntry {
     lsh.agg(count(lit(1)).as("n_lsh"))
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
       .crossJoin(both)
+      // zero-denominator => NULL, not NaN: 0.0/0.0 is engine-dependent
+      // (Spark NaN vs DuckDB version-dependent), so an empty pair set
+      // after a threshold tune must compare bit-identically, not turn
+      // into an oracle mismatch (ADVICE r8)
       .select(col("n_lsh"), col("n_exact"), col("n_both"),
-              (col("n_both").cast("double") / col("n_lsh").cast("double"))
+              when(col("n_lsh") === 0, lit(null).cast("double"))
+                .otherwise(col("n_both").cast("double") /
+                           col("n_lsh").cast("double"))
                 .as("lsh_precision"),
-              (col("n_both").cast("double") / col("n_exact").cast("double"))
+              when(col("n_exact") === 0, lit(null).cast("double"))
+                .otherwise(col("n_both").cast("double") /
+                           col("n_exact").cast("double"))
                 .as("lsh_recall"))
   }
 
@@ -2988,9 +2999,14 @@ object SparkEntry {
   private def hyperplaneBucketSql(bits: Int, dim: Int): String = {
     val hLit = Similarity.hyperplanes(bits, dim)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    // list_dot_product is bit-identical to the explicit sequential
+    // lambda-sum (verified over every pair in the corpus) and indexes the
+    // hyperplane literal once per PLANE instead of once per COMPONENT —
+    // ~50x less literal re-evaluation, which dominated the driver-side
+    // compare cost of every embedding oracle (round-9 diagnosis of the
+    // empty CORRECTNESS_r08 record: a contention-slowed gate timing out)
     s"""list_aggregate(list_transform(range(0, $bits), i ->
-                 CASE WHEN list_aggregate(list_transform(range(1, ${dim + 1}),
-                        j -> v[j] * ($hLit)[i + 1][j]), 'sum') > 0
+                 CASE WHEN list_dot_product(v, ($hLit)[i + 1]) > 0
                       THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum')"""
   }
 
@@ -4240,7 +4256,7 @@ object SparkEntry {
       dfreq AS (SELECT h, count(*)::BIGINT AS dfh FROM posting GROUP BY 1),
       wp AS MATERIALIZED (
         SELECT doc_id, p.h, ((SELECT n FROM nd) // dfh)::BIGINT AS w
-        FROM posting p JOIN dfreq USING (h)),
+        FROM posting p JOIN dfreq USING (h) WHERE dfh <= 1000),
       docw AS (SELECT doc_id, sum(w)::BIGINT AS wt FROM wp GROUP BY 1),
       pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                     sum(a.w)::BIGINT AS shared_w
@@ -4479,8 +4495,10 @@ object SparkEntry {
         SELECT '$l' AS method,
                (SELECT count(*) FROM g_$l)::BIGINT AS n_returned,
                (SELECT count(*) FROM g_$l JOIN bt USING (qid, id))::BIGINT AS n_hit,
-               (SELECT count(*) FROM g_$l JOIN bt USING (qid, id))::DOUBLE
-                 / (SELECT count(*) FROM bt)::DOUBLE AS recall"""
+               CASE WHEN (SELECT count(*) FROM bt) = 0 THEN NULL
+                    ELSE (SELECT count(*) FROM g_$l JOIN bt USING (qid, id))::DOUBLE
+                         / (SELECT count(*) FROM bt)::DOUBLE
+               END AS recall"""
       }.mkString("\n        UNION ALL")
       s"""
       WITH $ctes
@@ -5046,8 +5064,12 @@ object SparkEntry {
       SELECT (SELECT count(*) FROM l)::BIGINT AS n_lsh,
              (SELECT count(*) FROM x)::BIGINT AS n_exact,
              n_both,
-             n_both::DOUBLE / (SELECT count(*) FROM l)::DOUBLE AS lsh_precision,
-             n_both::DOUBLE / (SELECT count(*) FROM x)::DOUBLE AS lsh_recall
+             CASE WHEN (SELECT count(*) FROM l) = 0 THEN NULL
+                  ELSE n_both::DOUBLE / (SELECT count(*) FROM l)::DOUBLE
+             END AS lsh_precision,
+             CASE WHEN (SELECT count(*) FROM x) = 0 THEN NULL
+                  ELSE n_both::DOUBLE / (SELECT count(*) FROM x)::DOUBLE
+             END AS lsh_recall
       FROM nb2""",
     // clusters chain + quality replica + a deterministic (score DESC, id
     // ASC) argmax window — the keep-best representative cut

@@ -27,27 +27,6 @@ object Verify {
     // broken queries shrank the record unnoticed). On error, dump one row
     // with a sentinel `__verify_error` schema — guaranteed to mismatch the
     // oracle and show up as an explicit red row.
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        System.err.println(s"[verify] $name failed: $msg")
-        errors(name) = msg
-        try {
-          import spark.implicits._
-          Seq(msg.take(500)).toDF("__verify_error")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case _: Throwable => () }
-      }
-      // free this query's materialization-cut blocks before the next one —
-      // the 58-query dump is exactly the long-session shape that otherwise
-      // accumulates dead checkpoint blocks (round-3 bench pollution)
-      graft.util.Materialize.release()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -60,14 +39,44 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written FIRST, before any dump: round 8's
+    // CORRECTNESS record came back empty ({}) — consistent with the
+    // harness killing a contention-slowed Verify mid-dump, after which
+    // the compare had no oracle SQL to key on. Writing it up front makes
+    // a partially-killed run degrade to a PARTIAL correctness record
+    // (dumped queries compare; missing ones show as declared-but-not-
+    // dumped) instead of an empty one.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // machine-readable error summary beside the dumps (diagnosis aid; the
-    // per-query sentinel dumps above are what the gate itself sees)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def flushErrors(): Unit = {
+      val errJson = errors
+        .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    }
+    flushErrors() // an empty {} marker so its absence means "killed early"
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        flushErrors() // incremental: survives a mid-run kill
+        try {
+          import spark.implicits._
+          Seq(msg.take(500)).toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
+      }
+      // free this query's materialization-cut blocks before the next one —
+      // the 58-query dump is exactly the long-session shape that otherwise
+      // accumulates dead checkpoint blocks (round-3 bench pollution)
+      graft.util.Materialize.release()
+    }
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -191,9 +191,23 @@ object Dedup {
     * [[ngramJaccardPairs]]: slim `(id, h, w)` postings equi-join, one
     * aggregate per candidate pair, bodies never shuffle; the df
     * reduction adds one map-side-combinable aggregate over the posting
-    * table and N rides a broadcast. */
+    * table and N rides a broadcast.
+    *
+    * `maxDocFreq` prunes postings whose document frequency exceeds the
+    * cap BEFORE the self-join — the same IR posting-list pruning as
+    * [[ngramJaccardPairs]], and load-bearing at scale: a single
+    * boilerplate shingle with df = d produces O(d²) candidate rows in
+    * the equi-join even though its weight `N DIV d` is ~1, so without
+    * the cap the operator's own motivating case (site chrome shared by
+    * millions of pages) is a quadratic shuffle blow-up. The prune is
+    * applied consistently to BOTH the shared sum and the per-doc totals,
+    * so the score is exact weighted Jaccard over the pruned vocabulary;
+    * since a pruned shingle's weight is by construction ≤ N/maxDocFreq,
+    * the score shift vs the unpruned space is bounded and tiny for any
+    * reasonable cap. */
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, threshold: Double = 0.5,
+                           maxDocFreq: Long = 1000L,
                            materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
@@ -204,6 +218,7 @@ object Dedup {
     val posting = sets.select(col("id"), explode(col("hs")).as("h"))
     val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
     val wpost = posting.join(dfreq, "h")
+      .where(col("dfh") <= maxDocFreq)
       .crossJoin(broadcast(nd))
       .select(col("id"), col("h"), expr("n_docs DIV dfh").as("w"))
     val docw = wpost.groupBy("id").agg(sum(col("w")).as("wt"))
@@ -464,7 +479,8 @@ object Dedup {
     * survivors) is what keeps them from reaching the ~16k-op DP. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 16, maxLen: Int = 512,
-                        bandWidth: Int = 32): DataFrame = {
+                        bandWidth: Int = 32,
+                        materialize: Boolean = true): DataFrame = {
     require(maxDist >= 1 && maxDist < bandWidth,
       s"need 1 <= maxDist < bandWidth, got maxDist=$maxDist bandWidth=$bandWidth")
     val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
@@ -504,7 +520,8 @@ object Dedup {
         levenshtein(col("a.t"), col("b.t"), maxDist) >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               levenshtein(col("a.t"), col("b.t"), maxDist).as("dist"))
-    materializeAndRelease(out, blocks)
+    if (materialize) materializeAndRelease(out, blocks)
+    else out // plan-inspection mode: caller owns the cached intermediates
   }
 
   /** The minimum shingle overlap a partner can have with a size-`n` set

@@ -635,6 +635,41 @@ class PlanSpec extends SparkSpec {
       s"banded blocking must plan an equi-join:\n$p")
   }
 
+  test("dedup_edit_distance: histogram reject precedes the Levenshtein DP " +
+       "in the join condition (order tripwire)") {
+    // The measured 13x win (0.6s vs 8.1s at sf0.1) depends on codegen's
+    // left-to-right short-circuit placing the ~19-op histogram L1 bound
+    // before the ~16k-op Levenshtein DP. Catalyst does not contractually
+    // preserve conjunct order, so pin it: on the physical join-condition
+    // line, every histogram conjunct must appear before the first
+    // levenshtein call. A Spark upgrade that reorders predicates fails
+    // here loudly instead of silently regressing the bench (ADVICE r8).
+    // materialize=false: the gate row's localCheckpoint cut collapses the
+    // final plan to Scan ExistingRDD, so inspect the pre-cut plan — the
+    // one the join actually executes with.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.operators.Dedup.editDistancePairs(
+        docs, "doc_id", "text", materialize = false)
+      .queryExecution.executedPlan.toString
+    val condLines = p.linesIterator
+      .filter(l => l.contains("levenshtein") && l.contains("abs("))
+      .toSeq
+    assert(condLines.nonEmpty,
+      s"expected a join-condition line holding both the histogram bound " +
+      s"and levenshtein:\n$p")
+    condLines.foreach { l =>
+      val lev = l.indexOf("levenshtein")
+      // every histogram conjunct (abs(hN..) terms) must sit BEFORE the
+      // first DP call — the last abs( before lev proves at least one is
+      // there, and no abs(h may open after it
+      assert(l.lastIndexOf("abs(", lev) >= 0,
+        s"histogram reject must precede the Levenshtein DP in the join " +
+        s"condition; got:\n$l")
+      assert(l.indexOf("abs(h", lev) < 0,
+        s"histogram conjunct reordered after the DP:\n$l")
+    }
+  }
+
   test("q_dynamic_pruning: fact scan carries a runtime dynamicpruning subquery") {
     val p = plan("q_dynamic_pruning")
     assert(p.contains("dynamicpruning"),
