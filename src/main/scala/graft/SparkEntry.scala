@@ -1469,6 +1469,19 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("rank").as("rank_fp"), col("deg"))
       .orderBy("doc_id")
 
+  /** 2-core of the minhash candidate graph (same edge relation as
+    * `graph_pagerank`): every surviving node keeps >= 2 within-core
+    * neighbors, separating clustered template/mirror families from
+    * isolated accidental pairs. */
+  private def graphKcore(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.kCore(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 128, bands = 16, threshold = 0.4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", k = 2)
+      .select(col("id").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
+
   /** DuckDB replica of `Graph.pageRank` over the minhash candidate graph:
     * the shared banded-pairs CTEs → thresholded pairs → symmetric edge
     * list → 5 unrolled integer-arithmetic iterations. `//` and `DIV` are
@@ -2741,6 +2754,13 @@ object SparkEntry {
     "graph_pagerank"      -> graphPagerank _,
     "graph_triangles"     -> graphTriangles _,
     "graph_cc_sizes"      -> graphCcSizes _,
+    "graph_kcore"         -> graphKcore _,
+    "sim_int8_quant"      -> ((s, dir) =>
+      Similarity.int8QuantReport(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+    "text_lang_mixture"   -> ((s, dir) =>
+      TextAnalysis.langMixtureReport(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "dedup_best_of_cluster" -> dedupBestOfCluster _,
     "dedup_lsh_quality"   -> dedupLshQuality _,
     "dedup_impact_report" -> dedupImpactReport _,
@@ -3566,9 +3586,29 @@ object SparkEntry {
                     sum(ppm)::BIGINT AS sum_ppm, min(ppm)::BIGINT AS min_ppm
              FROM bg JOIN rates USING (w1, w2) GROUP BY doc_id)"""
 
-  private def langScoreSql(lang: String): String = {
+  private def langScoreSql(lang: String, toks: String = null): String = {
     val words = TF.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_intersect(list_distinct($sqlToks), $words))::BIGINT"
+    val tk = if (toks == null) sqlToks else toks
+    s"len(list_intersect(list_distinct($tk), $words))::BIGINT"
+  }
+
+  /** Unrolled k-core peel: `peels` staged (degree filter -> edge restrict)
+    * rounds over the symmetric edge CTE `e0`, with an error() guard that
+    * the last two stages agree (fixpoint actually reached) — the same
+    * unroll-plus-guard discipline as the k-means and PageRank replicas. */
+  private def kcoreOracleStages(k: Int, peels: Int): String = {
+    val rounds = (1 to peels).map { i =>
+      val prev = s"e${i - 1}"
+      s"""k$i AS (SELECT src FROM $prev GROUP BY src HAVING count(*) >= $k),
+      e$i AS MATERIALIZED (SELECT $prev.src, $prev.dst FROM $prev
+        JOIN k$i ka ON $prev.src = ka.src
+        JOIN k$i kb ON $prev.dst = kb.src)"""
+    }.mkString(",\n      ")
+    s"""$rounds,
+      kguard AS (SELECT CASE WHEN (SELECT count(*) FROM e$peels) <>
+                              (SELECT count(*) FROM e${peels - 1})
+                 THEN error('k-core oracle: no fixpoint in $peels unrolled peels — raise the unroll')
+                 ELSE 1 END AS ok)"""
   }
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -5027,6 +5067,85 @@ object SparkEntry {
              n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE AS share
       FROM c ORDER BY hour, event_type""",
     "graph_pagerank" -> pagerankOracle(iters = 5),
+    // iterative peel to the 2-core over the same minhash edge relation
+    "graph_kcore" -> s"""
+      WITH ${OracleXX.minhashAgreeCtes(128, 16)},
+      kp AS (SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      e0 AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM kp
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM kp),
+      ${kcoreOracleStages(k = 2, peels = 4)}
+      SELECT src AS doc_id, count(*)::BIGINT AS core_deg
+      FROM e4 CROSS JOIN kguard GROUP BY src ORDER BY doc_id""",
+    // operation-for-operation replica of Int8QuantUtil.stats: max-abs
+    // scale, floor (not round) codes clamped to +/-127, reconstruct,
+    // sequential-sum dot products (list_dot_product === the JVM loop)
+    "sim_int8_quant" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id, v,
+              list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma
+            FROM e),
+      rw AS (SELECT vec_id, v, ma,
+              CASE WHEN ma = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+                   ELSE list_transform(v, x -> floor(x * 127.0::DOUBLE / ma))
+              END AS raw
+             FROM q),
+      c AS (SELECT vec_id, v, ma,
+              list_transform(raw, r ->
+                greatest(-127.0::DOUBLE, least(127.0::DOUBLE, r))::BIGINT) AS codes,
+              len(list_filter(raw, r ->
+                r > 127.0::DOUBLE OR r < -127.0::DOUBLE))::BIGINT AS n_clamped
+            FROM rw),
+      r AS (SELECT vec_id, v, ma, n_clamped,
+              list_transform(codes, k -> k::DOUBLE * ma / 127.0::DOUBLE) AS rv
+            FROM c),
+      m AS (SELECT vec_id, ma AS max_abs, n_clamped,
+              list_dot_product(v, rv) AS dot,
+              list_dot_product(v, v) AS nv,
+              list_dot_product(rv, rv) AS nr,
+              list_aggregate(list_transform(range(1, len(v) + 1),
+                i -> abs(v[i] - rv[i])), 'max') AS max_abs_err
+            FROM r)
+      SELECT vec_id, max_abs,
+             CASE WHEN max_abs = 0 OR nr = 0 THEN NULL
+                  ELSE dot / (sqrt(nv) * sqrt(nr)) END AS cos_recon,
+             max_abs_err, n_clamped
+      FROM m ORDER BY vec_id""",
+    // 12-token chunking, per-chunk stopword langid (same replica as
+    // text_langid, over the chunk tokens), dominant-language rollup
+    "text_lang_mixture" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      segx AS (SELECT doc_id,
+                 unnest(list_transform(range(0, greatest((len(tk) + 11) // 12, 1)),
+                   i -> array_to_string(list_slice(tk, i*12+1, i*12+12), ' '))) AS seg
+               FROM toks),
+      sc AS (SELECT doc_id,
+               ${langScoreSql("de", "string_split(seg, \' \')")} AS s_de,
+               ${langScoreSql("en", "string_split(seg, \' \')")} AS s_en,
+               ${langScoreSql("es", "string_split(seg, \' \')")} AS s_es,
+               ${langScoreSql("fr", "string_split(seg, \' \')")} AS s_fr,
+               ${langScoreSql("zh", "string_split(seg, \' \')")} AS s_zh
+             FROM segx),
+      pr AS (SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS seg_lang
+             FROM sc),
+      cnt AS (SELECT doc_id, seg_lang, count(*)::BIGINT AS n
+              FROM pr GROUP BY 1, 2),
+      agg AS (SELECT doc_id, seg_lang, n,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY n DESC, seg_lang DESC) AS rk,
+                sum(n) OVER (PARTITION BY doc_id) AS n_seg,
+                count(*) OVER (PARTITION BY doc_id) AS n_langs
+              FROM cnt)
+      SELECT doc_id, n_seg::BIGINT AS n_seg, n_langs::BIGINT AS n_langs,
+             seg_lang AS dom_lang, ((n * 1000000) // n_seg)::BIGINT AS dom_ppm,
+             n_langs > 1 AS mixed
+      FROM agg WHERE rk = 1 ORDER BY doc_id""",
     // oriented x<y<z enumeration over the exact-Jaccard edge relation —
     // each triangle found once, then exploded to its three member nodes
     "graph_triangles" -> s"""

@@ -211,3 +211,71 @@ case class SigAgree(left: org.apache.spark.sql.catalyst.expressions.Expression,
     copy(left = l, right = r)
   override def prettyName: String = "sig_agree"
 }
+
+/** JVM kernel behind [[Int8QuantStats]] — one sequential pass whose
+  * arithmetic the DuckDB oracle replays operation-for-operation (every op
+  * IEEE exact-rounded, fixed element order), so the whole report is
+  * bit-identical cross-engine. */
+object Int8QuantUtil {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def stats(v: ArrayData): GenericInternalRow = {
+    val n = v.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > ma) ma = a
+      i += 1
+    }
+    var dot = 0.0; var nv = 0.0; var nr = 0.0
+    var err = 0.0; var clamped = 0L
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      var c = 0L
+      if (ma != 0.0) {
+        val raw = math.floor(x * 127.0 / ma)
+        if (raw > 127.0 || raw < -127.0) clamped += 1
+        c = math.max(-127.0, math.min(127.0, raw)).toLong
+      }
+      val r = c.toDouble * ma / 127.0
+      dot += x * r; nv += x * x; nr += r * r
+      val e = math.abs(x - r)
+      if (e > err) err = e
+      i += 1
+    }
+    val cos: Any =
+      if (ma == 0.0 || nr == 0.0) null
+      else java.lang.Double.valueOf(dot / (math.sqrt(nv) * math.sqrt(nr)))
+    new GenericInternalRow(Array[Any](ma, cos, err, clamped))
+  }
+}
+
+/** Per-vector int8 symmetric-quantization report over ARRAY<FLOAT>:
+  * scale = max|x| (the standard symmetric max-abs calibration), codes =
+  * clamp(floor(x·127/scale), ±127), and the stats a 100 TB embedding
+  * store needs before committing to 4x-smaller shards — reconstruction
+  * cosine, max absolute error, clamp count. One native pass per row
+  * (struct output, no HOF lambdas — the CollapseProject re-evaluation
+  * trap) with `floor` (not round) so both engines truncate identically.
+  * Returns struct(max_abs DOUBLE, cos_recon DOUBLE nullable — NULL for
+  * the degenerate all-zero vector, max_abs_err DOUBLE, n_clamped LONG). */
+case class Int8QuantStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, child -> ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_abs", DoubleType, nullable = false),
+    StructField("cos_recon", DoubleType, nullable = true),
+    StructField("max_abs_err", DoubleType, nullable = false),
+    StructField("n_clamped", LongType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    Int8QuantUtil.stats(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Int8QuantUtil.stats($c)")
+  override protected def withNewChildInternal(c: Expression): Int8QuantStats = copy(c)
+  override def prettyName: String = "int8_quant_stats"
+}

@@ -99,6 +99,62 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core of an undirected pair relation: the maximal subgraph in which
+    * every node has degree ≥ k, found by iterative peeling — drop all
+    * nodes with degree < k, recompute degrees over the survivors, repeat
+    * to fixpoint. On the near-dup graph the 2-core separates genuinely
+    * clustered template/mirror families from isolated accidental pairs
+    * (a pair's two endpoints have degree 1 and peel immediately), which
+    * is the right edge set to feed the representative-picking cut.
+    *
+    * Determinism: the fixpoint of peeling is unique (independent of
+    * removal order — the standard k-core property), and each round is
+    * integer degree counting, so output is bit-stable under any task
+    * scheduling and replayable cross-engine.
+    *
+    * Scale shape: each round is one map-side-combinable degree aggregate
+    * over the CURRENT edge set plus two left-semi joins restricting the
+    * slim (src, dst) relation to surviving nodes — no bodies, no
+    * windows. The edge set shrinks monotonically, so round cost is
+    * non-increasing; rounds to fixpoint are bounded by the graph's
+    * peeling depth (small for the flat near-dup graphs this consumes;
+    * `maxIters` guards pathological chains with a loud error, matching
+    * `connectedComponents`' non-convergence discipline). Each round's
+    * edge set is cut eagerly ([[Materialize]]) so lineage stays O(1). */
+  def kCore(pairs: DataFrame, idACol: String, idBCol: String, k: Int,
+            maxIters: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1 && maxIters <= 100,
+      s"maxIters must be in [1, 100], got $maxIters")
+    var edges = Materialize.cut(
+      pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))))
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("src")
+      val pruned = Materialize.cut(
+        edges.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+      val n = pruned.count()
+      Materialize.releaseNow(edges)
+      edges = pruned
+      converged = n == nEdges
+      nEdges = n
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach a fixpoint in $maxIters rounds")
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_deg"))
+    val m = Materialize.cut(out)
+    Materialize.releaseNow(edges)
+    m
+  }
+
   /** Component-size histogram over a (member → component) labeling: the
     * one-page answer to "how pathological is the duplicate graph" (many
     * pairs vs few giant crawl-template components decide whether

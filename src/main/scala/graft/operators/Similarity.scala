@@ -643,6 +643,30 @@ object Similarity {
            sum(when(healthy, q2)).as("q2_sum"))
   }
 
+  /** Per-vector int8 symmetric-quantization QA: would storing this corpus
+    * at 4x compression (64 floats → 64 int8 codes + one scale) cost
+    * retrieval quality? Reports per vector the max-abs calibration scale,
+    * the cosine between the vector and its quantize-reconstruct
+    * round-trip, the max absolute element error, and the clamp count —
+    * the decision inputs before rewriting an embedding store. One
+    * codegen'd pass per row ([[graft.functions.Int8QuantStats]]; struct
+    * output so none of the four metrics re-derives the pass), a pure
+    * narrow projection: no shuffle, scan-bound, trivially 100 TB-safe.
+    * Every op is IEEE exact-rounded in a fixed sequence, so the doubles
+    * are bit-identical to the DuckDB replica. */
+  def int8QuantReport(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val st = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.functions.Int8QuantStats(expression(col(vecCol))))
+    }
+    df.select(col(idCol), st.as("q"))
+      .select(col(idCol),
+              col("q.max_abs").as("max_abs"),
+              col("q.cos_recon").as("cos_recon"),
+              col("q.max_abs_err").as("max_abs_err"),
+              col("q.n_clamped").as("n_clamped"))
+  }
+
   /** Text top-k by n-gram Jaccard against a query string (inverted-index
     * candidate join, same shape as `Dedup.ngramJaccardPairs`). */
   def textTopK(corpus: DataFrame, idCol: String, textCol: String,

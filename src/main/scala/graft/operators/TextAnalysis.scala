@@ -1346,4 +1346,49 @@ object TextAnalysis {
       .select(col("token"), col("cms_est"), col("n_exact"),
               (col("cms_est") - col("n_exact")).as("overcount"))
   }
+
+  /** Per-document language-mixture report: the text is segmented into
+    * fixed `window`-token chunks, each chunk language-identified
+    * independently, and the per-doc segment-language histogram is rolled
+    * up into the code-switching signals a multilingual curation pipeline
+    * filters on — dominant language, its segment share (ppm), distinct
+    * language count, and a mixed flag. Catches the documents a whole-doc
+    * langid hides: boilerplate in one language wrapping content in
+    * another, concatenated translations, code-switched forum text.
+    *
+    * Determinism: segmentation is a pure function of the normalized token
+    * sequence; per-segment langid is the deterministic stopword argmax
+    * ([[TF.langId]] — max score, then max language code lexicographically);
+    * the dominant language breaks count ties by max code; the share is
+    * integer ppm. Bit-replayable cross-engine.
+    *
+    * Scale shape: chunking + langid are narrow (scan-bound; the chunk
+    * strings exist only inside the exploded projection, never shuffled
+    * with bodies); the only shuffle carries slim (id, seg_lang, n) rows
+    * — at most one per (doc, language) — and the two per-doc windows
+    * share one partitioning. */
+  def langMixtureReport(df: DataFrame, idCol: String, textCol: String,
+                        window: Int = 12): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val tk = TF.tokens(col(textCol))
+    val nChunks = greatest(
+      floor((size(tk) + lit(window - 1)) / lit(window)).cast("int"), lit(1))
+    val segs = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(tk, i * lit(window) + lit(1), lit(window)), " "))
+    val segLang = df
+      .select(col(idCol).as("id"), explode(segs).as("seg"))
+      .select(col("id"), TF.langId(col("seg")).as("seg_lang"))
+      .groupBy("id", "seg_lang").agg(count(lit(1)).as("n"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val rank = byDoc.orderBy(col("n").desc, col("seg_lang").desc)
+    segLang
+      .withColumn("rk", row_number().over(rank))
+      .withColumn("n_seg", sum(col("n")).over(byDoc))
+      .withColumn("n_langs", count(lit(1)).over(byDoc))
+      .where(col("rk") === 1)
+      .select(col("id").as(idCol), col("n_seg"), col("n_langs"),
+              col("seg_lang").as("dom_lang"),
+              expr("n * 1000000 DIV n_seg").as("dom_ppm"),
+              (col("n_langs") > 1).as("mixed"))
+  }
 }

@@ -304,6 +304,17 @@ object Smoke {
       centroidsOverride = Some(Similarity.fixedCentroids(16, 64))).show(5)
     lap("analytics")
 
+    println("[smoke] round-9 additions: k-core + int8 quant QA + language mixture:")
+    Graph.kCore(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.4, maxDocFreq = Long.MaxValue)
+          .select("id_a", "id_b"),
+        "id_a", "id_b", k = 2).orderBy("id").show(5)
+    Similarity.int8QuantReport(emb, "vec_id", "embedding").show(3)
+    TextAnalysis.langMixtureReport(docs, "doc_id", "text")
+      .where(col("mixed")).show(3)
+    lap("round-9")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")

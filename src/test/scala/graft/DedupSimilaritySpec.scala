@@ -1055,4 +1055,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byPair.keySet == Set(("alpha", "beta"), ("alpha", "gamma"),
       ("beta", "delta")), s"got ${byPair.keySet}")
   }
+
+  test("int8QuantReport: hand-computed codes, reconstruction cosine, clamp and zero-vector edges") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // degenerate: NULL cosine
+      (3L, Array(-0.1f, 0.1f, 0.05f, -0.02f))  // inexact scale path
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .int8QuantReport(vecs, "vec_id", "embedding")
+      .collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    // reference: the same scalar double ops the expression documents
+    def ref(v: Array[Float]) = {
+      val d = v.map(_.toDouble)
+      val ma = d.map(math.abs).max
+      val codes = d.map { x =>
+        if (ma == 0.0) 0L
+        else math.max(-127.0, math.min(127.0, math.floor(x * 127.0 / ma))).toLong
+      }
+      val rv = codes.map(c => c.toDouble * ma / 127.0)
+      val dot = d.zip(rv).map { case (x, y) => x * y }.sum
+      val nv = d.map(x => x * x).sum
+      val nr = rv.map(x => x * x).sum
+      val cos = if (ma == 0.0 || nr == 0.0) None
+                else Some(dot / (math.sqrt(nv) * math.sqrt(nr)))
+      (ma, codes.toSeq, cos, d.zip(rv).map { case (x, y) => math.abs(x - y) }.max)
+    }
+    val (ma1, codes1, cos1, err1) = ref(Array(1.0f, -0.5f, 0.25f, 0.0f))
+    assert(codes1 == Seq(127L, -64L, 31L, 0L)) // floor, not round: -63.5 -> -64
+    val g1 = r(1L)
+    assert(g1.getAs[Double]("max_abs") == ma1)
+    assert(g1.getAs[Double]("cos_recon") == cos1.get)
+    assert(g1.getAs[Double]("max_abs_err") == err1)
+    assert(g1.getAs[Long]("n_clamped") == 0L)
+    val g2 = r(2L)
+    assert(g2.isNullAt(g2.fieldIndex("cos_recon")), "all-zero vector must yield NULL cosine")
+    assert(g2.getAs[Double]("max_abs") == 0.0 && g2.getAs[Long]("n_clamped") == 0L)
+    val (_, _, cos3, err3) = ref(Array(-0.1f, 0.1f, 0.05f, -0.02f))
+    val g3 = r(3L)
+    assert(g3.getAs[Double]("cos_recon") == cos3.get, "bit-exact to the scalar reference")
+    assert(g3.getAs[Double]("max_abs_err") == err3)
+    assert(g3.getAs[Double]("cos_recon") > 0.99, "4x compression should keep cosine high")
+  }
 }

@@ -98,4 +98,46 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getAs[Long]("cluster_size") -> x.getAs[Long]("n_clusters")).toMap
     assert(h == Map(3L -> 1L, 1L -> 1L, 2L -> 1L), s"got $h")
   }
+
+  test("kCore: peels pendant chains, keeps cliques; matches a driver-side reference peel") {
+    // triangle {1,2,3} + pendant chain 3-4-5 + isolated pair (6,7):
+    // the 2-core is exactly the triangle (chain and pair peel away,
+    // the chain in two rounds — exercises the iteration)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val r = Graph.kCore(g, "id_a", "id_b", k = 2).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("core_deg")).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $r")
+    // k=3: triangle nodes have degree 2 < 3 — empty core
+    val r3 = Graph.kCore(g, "id_a", "id_b", k = 3).count()
+    assert(r3 == 0L, s"3-core of a triangle graph must be empty, got $r3")
+  }
+
+  test("kCore: fixpoint is unique regardless of structure (reference peel on the fixture graph)") {
+    val docs = spark.read.parquet(sf("documents"))
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.4,
+        maxDocFreq = Long.MaxValue)
+      .select("id_a", "id_b")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side reference peel
+    def peel(k: Int): Map[Long, Int] = {
+      var e = edges
+      var changed = true
+      while (changed) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val e2 = e.filter(p => keep(p._1) && keep(p._2))
+        changed = e2 != e
+        e = e2
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    }
+    val expect = peel(2)
+    val got = Graph.kCore(pairs, "id_a", "id_b", k = 2).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("core_deg").toInt).toMap
+    assert(got == expect, s"engine ${got.size} nodes vs reference ${expect.size}")
+  }
 }

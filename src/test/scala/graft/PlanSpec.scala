@@ -707,4 +707,30 @@ class PlanSpec extends SparkSpec {
     val scanRe = """FileScan parquet \[text#\d+\]""".r
     assert(scanRe.findFirstIn(p).isDefined, s"scan must read only `text`:\n$p")
   }
+
+  test("sim_int8_quant: pure narrow projection — zero exchanges, single scan") {
+    val p = plan("sim_int8_quant")
+    // the orderBy range exchange is the gate's presentation sort; nothing
+    // else may shuffle — the quantization report itself is scan-bound
+    val ex = p.linesIterator.count(_.contains("Exchange"))
+    assert(ex == 1, s"expected only the presentation-sort exchange, got $ex:\n$p")
+    assert(p.contains("int8_quant_stats"), s"native expression lost:\n$p")
+  }
+
+  test("text_lang_mixture: two slim hash exchanges; histogram combines map-side") {
+    val p = plan("text_lang_mixture")
+    // exchange 1 carries the (id, seg_lang) histogram — map-side combined
+    // to <= n_langs rows per doc BEFORE the shuffle (the partial_count
+    // assert); exchange 2 re-keys those tiny rows by id for the two
+    // per-doc windows, which must SHARE it. Repartitioning by id up
+    // front would collapse to one exchange but carry one row per
+    // SEGMENT (~8% of token count) instead of per (doc, lang) — the
+    // two-exchange shape is the scale-right one.
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2,
+      s"expected histogram + shared-window exchanges only, got $hashEx:\n$p")
+    assert(p.contains("partial_count"), s"histogram must combine map-side:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows <= 2, s"per-doc windows not shared:\n$p")
+  }
 }

@@ -735,4 +735,39 @@ class TextFunctionsSpec extends SparkSpec {
       .collect()(0)
     assert(stats.getAs[Long]("under") == 0L, "a document encoded to fewer tokens than words")
   }
+
+  test("langMixtureReport: chunked langid separates mixed from pure docs; ppm arithmetic exact") {
+    import spark.implicits._
+    val en12 = "the and of to a in is it that was for with"
+    val fr12 = "le la les des et est un une du pour que dans"
+    val df = Seq(
+      (1L, s"$en12 $fr12"),       // 2 segments, en + fr
+      (2L, s"$en12 $en12"),       // 2 segments, both en
+      (3L, "the and of")          // 1 short segment
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .langMixtureReport(df, "doc_id", "text", window = 12)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_seg") == 2L && d1.getAs[Long]("n_langs") == 2L)
+    assert(d1.getAs[Boolean]("mixed"))
+    // count tie between en and fr broken by max language code
+    assert(d1.getAs[String]("dom_lang") == "fr")
+    assert(d1.getAs[Long]("dom_ppm") == 500000L)
+    val d2 = r(2L)
+    assert(d2.getAs[String]("dom_lang") == "en" && !d2.getAs[Boolean]("mixed"))
+    assert(d2.getAs[Long]("dom_ppm") == 1000000L && d2.getAs[Long]("n_seg") == 2L)
+    val d3 = r(3L)
+    assert(d3.getAs[Long]("n_seg") == 1L && d3.getAs[String]("dom_lang") == "en")
+  }
+
+  test("langMixtureReport: segmentation boundaries — 13 tokens = 2 segments, window partial tail") {
+    import spark.implicits._
+    val df = Seq((1L, "the and of to a in is it that was for with le"))
+      .toDF("doc_id", "text") // 12 en + 1 fr token in the tail segment
+    val r = graft.operators.TextAnalysis
+      .langMixtureReport(df, "doc_id", "text", window = 12).collect()(0)
+    assert(r.getAs[Long]("n_seg") == 2L, "13 tokens at window 12 must yield 2 segments")
+    assert(r.getAs[Long]("n_langs") == 2L) // tail "le" classifies fr
+  }
 }
