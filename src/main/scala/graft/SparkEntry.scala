@@ -2755,6 +2755,13 @@ object SparkEntry {
     "graph_triangles"     -> graphTriangles _,
     "graph_cc_sizes"      -> graphCcSizes _,
     "graph_kcore"         -> graphKcore _,
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "text_quality_calibrated" -> ((s, dir) =>
+      TextAnalysis.calibratedQualityFilter(
+          t(s, dir, "documents"), "doc_id", "text", "lang", keepFrac = 0.5)
+        .orderBy("doc_id")),
     "sim_int8_quant"      -> ((s, dir) =>
       Similarity.int8QuantReport(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")),
@@ -5067,6 +5074,50 @@ object SparkEntry {
              n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE AS share
       FROM c ORDER BY hour, event_type""",
     "graph_pagerank" -> pagerankOracle(iters = 5),
+    // SNM: global (normalized-prefix, id) rank, candidates within the
+    // rank window, exact-Jaccard verify on shingle STRINGS (count-multiset
+    // invariance vs the engine's 64-bit hashes, as everywhere)
+    "dedup_sorted_neighborhood" -> s"""
+      WITH nrm AS (SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+             FROM documents),
+      tk AS (SELECT doc_id, substr(t, 1, 24) AS k,
+               string_split(t, ' ') AS tks FROM nrm),
+      sh AS (SELECT doc_id, k,
+               CASE WHEN len(tks) < 3 THEN [array_to_string(tks, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tks) - 1),
+                         i -> array_to_string(list_slice(tks, i, i + 2), ' '))) END AS hs
+             FROM tk),
+      rk AS (SELECT doc_id, hs, len(hs)::BIGINT AS n,
+               row_number() OVER (ORDER BY k, doc_id) - 1 AS rank FROM sh),
+      cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+                 a.n AS na, b.n AS nb
+               FROM rk a JOIN rk b
+                 ON b.rank > a.rank AND b.rank - a.rank <= 8)
+      SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
+             inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard
+      FROM cand
+      WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.3::DOUBLE
+      ORDER BY id_a, id_b""",
+    // same quality replica as text_quality + an exact-integer-ratio
+    // percentile window; the keep cut applies to the percentile
+    "text_quality_calibrated" -> s"""
+      WITH c AS (
+        SELECT doc_id, lang,
+               (least(len($sqlToks), 200) * 2 +
+                CASE WHEN (CASE WHEN length(text) > 0 THEN
+                  floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000.0 / length(text))::BIGINT
+                  ELSE 0 END) <= 80 THEN 300 ELSE 100 END +
+                least(${langScoreSql("en")} * 30, 300))::BIGINT AS quality
+        FROM documents)
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang
+               ORDER BY quality, doc_id) AS pct_rank,
+             percent_rank() OVER (PARTITION BY lang
+               ORDER BY quality, doc_id) >= 0.5::DOUBLE AS kept
+      FROM c ORDER BY doc_id""",
     // iterative peel to the 2-core over the same minhash edge relation
     "graph_kcore" -> s"""
       WITH ${OracleXX.minhashAgreeCtes(128, 16)},

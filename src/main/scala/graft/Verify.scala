@@ -56,27 +56,52 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     }
     flushErrors() // an empty {} marker so its absence means "killed early"
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Dumps run on a small thread pool (SPARK_GRAFT_VERIFY_PAR, default 4):
+    // Spark schedules concurrent jobs fine from one session, the gate
+    // queries share no mutable session state (view/table/checkpoint names
+    // are per-query, no session-conf mutation on any query path), and
+    // Materialize.release() is THREAD-scoped — each worker frees only its
+    // own cuts (the ownership tag exists for exactly this shape). Cuts the
+    // 183-query dump ~2-3x, which matters because the driver's gate has a
+    // wall-time budget that a contended box can blow (round-8's empty
+    // correctness record).
+    val par = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
+    val work = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue(
+      scala.jdk.CollectionConverters.SeqHasAsJava(work).asJava)
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: $msg")
-        errors(name) = msg
-        flushErrors() // incremental: survives a mid-run kill
+        errors.synchronized { errors(name) = msg; flushErrors() }
         try {
           import spark.implicits._
           Seq(msg.take(500)).toDF("__verify_error")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
       }
-      // free this query's materialization-cut blocks before the next one —
-      // the 58-query dump is exactly the long-session shape that otherwise
-      // accumulates dead checkpoint blocks (round-3 bench pollution)
+      // free THIS thread's materialization-cut blocks before its next
+      // query — the long-session shape that otherwise accumulates dead
+      // checkpoint blocks (round-3 bench pollution)
       graft.util.Materialize.release()
+      System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    val threads = (1 to par).map { _ =>
+      val th = new Thread(() => {
+        var next = queue.poll()
+        while (next != null) {
+          runOne(next._1, next._2)
+          next = queue.poll()
+        }
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    threads.foreach(_.join())
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -524,6 +524,81 @@ object Dedup {
     else out // plan-inspection mode: caller owns the cached intermediates
   }
 
+  /** Sorted-neighborhood (SNM, Hernandez & Stolfo 1995) near-dup pairs:
+    * documents are globally ordered by a cheap sort key (the first
+    * `keyLen` chars of the normalized text, id tie-break) and only rows
+    * whose global ranks differ by at most `window` become candidates,
+    * which exact Jaccard then verifies. The classic blocking alternative
+    * to hashing families: near-dups that share a PREFIX (title
+    * boilerplate, versioned copies, OCR rescans) sort adjacent, so the
+    * candidate count is O(n·window) regardless of how hot any one prefix
+    * is — there is no bucket to skew, which is SNM's advantage over
+    * key-equality blocking on template-heavy corpora (and its recall
+    * limit: near-dups whose difference is at the FRONT of the text sort
+    * apart; production runs multi-pass SNM with rotated keys).
+    *
+    * Scale shape: the global rank uses the same two-pass trick as the
+    * packing family — range-repartition by (key, id), per-partition
+    * counts (one tiny row each) become cumulative bases, rank = base +
+    * within-partition row_number; no single-task global window. The
+    * neighborhood join buckets ranks into `window`-sized blocks: a row
+    * joins its own block and the next (rb − ra ≤ window ⇒ blocks differ
+    * by ≤ 1), so every candidate is generated exactly once by an
+    * equi-join whose per-key fan-out is ≤ 2·window. Shuffles carry
+    * `(id, rank, shingle-hash array)` — bounded per row, never bodies. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              window: Int = 8, keyLen: Int = 24,
+                              shingleN: Int = 3, threshold: Double = 0.3,
+                              materialize: Boolean = true): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val keyed = df.select(col(idCol).as("id"),
+        substring(TF.normText(col(textCol)), 1, keyLen).as("k"),
+        TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions(col("k"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist() // two passes: partition counts, then the ranked join
+    // pass 1: per-partition row counts -> cumulative rank bases (one tiny
+    // row per partition, driver-bounded)
+    val counts = keyed.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val baseOf = counts.map(_._1).zip(
+      counts.scanLeft(0L)((acc, pc) => acc + pc._2).dropRight(1)).toMap
+    val baseCol =
+      if (baseOf.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(baseOf.toSeq.flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*),
+          col("__pid")),
+        lit(0L))
+    // pass 2: global 0-based rank = partition base + local row_number
+    val wRank = Window.partitionBy("__pid").orderBy(col("k"), col("id"))
+    val ranked = keyed
+      .withColumn("rank", baseCol + row_number().over(wRank).cast("long") - 1L)
+      .withColumn("bkt", expr(s"rank DIV $window"))
+    val left = ranked
+      .select(col("id").as("id_a"), col("rank").as("ra"),
+              col("hs").as("hs_a"), col("n").as("na"),
+              explode(array(col("bkt"), col("bkt") + 1L)).as("bkt"))
+    val right = ranked
+      .select(col("id").as("id_b"), col("rank").as("rb"),
+              col("hs").as("hs_b"), col("n").as("nb"), col("bkt"))
+    val out = left.join(right, "bkt")
+      .where(col("rb") > col("ra") && col("rb") - col("ra") <= window)
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    if (materialize) materializeAndRelease(out, keyed) else out
+  }
+
   /** The minimum shingle overlap a partner can have with a size-`n` set
     * under Jaccard ≥ t: J = I/(nа+nb−I) ≥ t ⟹ I ≥ t·max(na,nb), so any
     * qualifying partner shares ≥ ⌈t·n⌉ shingles with this doc. The 1e-9

@@ -1347,6 +1347,39 @@ object TextAnalysis {
               (col("cms_est") - col("n_exact")).as("overcount"))
   }
 
+  /** Per-group calibrated quality report: the heuristic quality score is
+    * rank-normalized WITHIN each group (language, source) via
+    * `percent_rank`, and the keep decision applies to the percentile, not
+    * the raw score — fixing the cross-group bias of one global threshold
+    * (the stopword component of the raw score structurally favors the
+    * stopword-table languages, so a global cut would silently skew the
+    * corpus toward them; per-language percentile cuts keep the same
+    * FRACTION of every language). Emits the full decision report
+    * (score, percentile, kept) rather than just survivors, because the
+    * calibration curve itself is what a pipeline owner audits.
+    *
+    * Determinism: percent_rank = (rank−1)/(n−1) is an exact integer
+    * ratio (single IEEE division, bit-equal cross-engine) and the
+    * (score, id) ordering is total. Scale shape: one hash exchange on
+    * the group key; the window input is the slim (id, group, score)
+    * projection, never bodies. Skew note: a group's rows funnel through
+    * one task — groups here are languages/sources (dozens to
+    * thousands), each well under task size at any corpus scale; for
+    * pathological single-group corpora, calibrate on a deterministic
+    * hash-sample instead. */
+  def calibratedQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                              groupCol: String,
+                              keepFrac: Double = 0.5): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("quality"), col(idCol))
+    df.select(col(idCol), col(groupCol),
+        TF.qualityScore(col(textCol)).as("quality"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("kept", col("pct_rank") >= lit(1.0 - keepFrac))
+  }
+
   /** Per-document language-mixture report: the text is segmented into
     * fixed `window`-token chunks, each chunk language-identified
     * independently, and the per-doc segment-language histogram is rolled

@@ -313,6 +313,9 @@ object Smoke {
     Similarity.int8QuantReport(emb, "vec_id", "embedding").show(3)
     TextAnalysis.langMixtureReport(docs, "doc_id", "text")
       .where(col("mixed")).show(3)
+    Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text").show(3)
+    TextAnalysis.calibratedQualityFilter(docs, "doc_id", "text", "lang")
+      .where(!col("kept")).show(3)
     lap("round-9")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

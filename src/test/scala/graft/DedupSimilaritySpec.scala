@@ -1098,4 +1098,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(g3.getAs[Double]("max_abs_err") == err3)
     assert(g3.getAs[Double]("cos_recon") > 0.99, "4x compression should keep cosine high")
   }
+
+  test("sortedNeighborhoodPairs: prefix-adjacent near-dups found, window is a hard edge, matches reference") {
+    import spark.implicits._
+    // shared-prefix family (sorts adjacent) + a pair differing at the
+    // FRONT (sorts apart -> SNM's documented recall limit) + noise rows
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta common tail words here"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta common tail words too"),
+      (3L, "zz totally different front but common tail words here alpha beta gamma"),
+      (4L, "mmm unrelated middle document about nothing shared at all ok"),
+      (5L, "qqq another unrelated document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 1, keyLen = 24, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 and 2 share the sort prefix AND high jaccard -> found
+    assert(got.contains((1L, 2L)), s"prefix-adjacent near-dup missed: $got")
+    // reference check at window 2: every pair within rank distance <= 2
+    // with jaccard >= t, computed driver-side
+    val ref = {
+      def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ").trim
+      def shingles(t: String) = {
+        val tk = norm(t).split(" ").toSeq
+        if (tk.length < 3) Set(tk.mkString(" "))
+        else tk.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val ranked = rows.sortBy { case (id, t) => (norm(t).take(24), id) }
+        .zipWithIndex
+      (for {
+        ((ida, ta), ra) <- ranked; ((idb, tb), rb) <- ranked
+        if rb > ra && rb - ra <= 2
+        sa = shingles(ta); sb = shingles(tb)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.2
+      } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    }
+    val got2 = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 2, keyLen = 24, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == ref, s"engine $got2 vs reference $ref")
+  }
+
+  test("sortedNeighborhoodPairs: candidate generation is exactly-once (no duplicate pairs)") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, "duplicate candidate pairs emitted")
+  }
 }

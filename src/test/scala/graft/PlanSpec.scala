@@ -733,4 +733,26 @@ class PlanSpec extends SparkSpec {
     val windows = p.linesIterator.count(_.contains("Window ["))
     assert(windows <= 2, s"per-doc windows not shared:\n$p")
   }
+
+  test("dedup_sorted_neighborhood: bucket equi-join (no nested loop); text never shuffles") {
+    val docs = spark.read.parquet(sf("documents"))
+    val p = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"rank-window candidates must come from the block equi-join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text crosses a shuffle:\n$p")
+  }
+
+  test("text_quality_calibrated: one group exchange; slim window input") {
+    val p = plan("text_quality_calibrated")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"calibration needs exactly the group exchange, got $hashEx:\n$p")
+    val ex = p.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+    assert(!ex.contains("text#"), s"document text crosses the shuffle:\n$ex")
+  }
 }

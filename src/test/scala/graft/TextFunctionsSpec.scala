@@ -770,4 +770,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_seg") == 2L, "13 tokens at window 12 must yield 2 segments")
     assert(r.getAs[Long]("n_langs") == 2L) // tail "le" classifies fr
   }
+
+  test("calibratedQualityFilter: per-group percentile cut keeps the same fraction of every group") {
+    import spark.implicits._
+    // group "hi" scores strictly above group "lo": a GLOBAL median cut
+    // would keep all of hi and none of lo; the calibrated cut keeps half
+    // of each (the operator's reason to exist)
+    val hi = (1L to 8L).map(i =>
+      (i, "hi", ("the and of to a in is it that was for with " * (i + 4).toInt)))
+    val lo = (101L to 108L).map(i =>
+      (i, "lo", "x" * (i - 100).toInt))
+    val df = (hi ++ lo).toDF("doc_id", "grp", "text")
+    val r = graft.operators.TextAnalysis
+      .calibratedQualityFilter(df, "doc_id", "text", "grp", keepFrac = 0.5)
+      .collect()
+    val keptByGrp = r.filter(_.getAs[Boolean]("kept"))
+      .groupBy(_.getAs[String]("grp")).view.mapValues(_.length).toMap
+    assert(keptByGrp == Map("hi" -> 4, "lo" -> 4),
+      s"calibrated cut must keep half of EACH group, got $keptByGrp")
+    // percent_rank is the exact integer ratio (rank-1)/(n-1)
+    val pr = r.filter(x => x.getAs[String]("grp") == "lo")
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("pct_rank")).toMap
+    (101L to 108L).foreach { id =>
+      val expect = (id - 101).toDouble / 7.0 // scores tie; id breaks the rank
+      assert(pr(id) == expect, s"doc $id pct_rank ${pr(id)} != $expect")
+    }
+  }
 }
