@@ -396,6 +396,20 @@ object SparkEntry {
       .select("event_id", "event_type", "value_cents", "dev", "mad")
       .orderBy("event_id")
 
+  /** Trend-aware volume smoothing per event type
+    * ([[graft.operators.Analytics.holtSmoothing]]): hourly counts folded
+    * through the fixed-point Holt recurrence; the final level/trend state
+    * plus the 1-step forecast, bit-exact vs the oracle's recursive-CTE
+    * replay of the same integer recurrence. */
+  private def eventsHolt(s: SparkSession, dir: String): DataFrame =
+    Analytics.holtSmoothing(
+        events(s, dir)
+          .groupBy(col("event_type"),
+                   expr("ts_ms DIV 3600000").as("hour"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "hour", "y")
+      .orderBy("event_type")
+
   /** Fact-to-dim join under key skew via salt replication
     * ([[graft.operators.Analytics.saltedJoin]]): events scatter across 8
     * salt copies of the customer dim, pinned to a shuffled-hash join (the
@@ -2624,6 +2638,7 @@ object SparkEntry {
     "events_funnel"       -> eventsFunnel _,
     "events_retention"    -> eventsRetention _,
     "events_anomaly"      -> eventsAnomaly _,
+    "events_holt"         -> eventsHolt _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
@@ -5074,6 +5089,32 @@ object SparkEntry {
              n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE AS share
       FROM c ORDER BY hour, event_type""",
     "graph_pagerank" -> pagerankOracle(iters = 5),
+    // the engine's shiftright(x, 1) is floor division by 2 — identical to
+    // DuckDB's BIGINT `>> 1` on negatives too (its `//` TRUNCATES), so the CTE replays the
+    // integer Holt recurrence bit-exactly
+    "events_holt" -> """
+      WITH RECURSIVE ev AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
+      cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
+              FROM ev GROUP BY 1, 2),
+      idx AS (SELECT event_type, h, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+              FROM cnt),
+      sm AS (
+        SELECT event_type, i, (y * 1048576)::BIGINT AS l, 0::BIGINT AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT n.event_type, n.i,
+               ((n.y * 1048576 + s.l + s.b) >> 1)::BIGINT AS l,
+               ((((n.y * 1048576 + s.l + s.b) >> 1) - s.l + s.b) >> 1)::BIGINT AS b
+        FROM sm s JOIN idx n
+          ON n.event_type = s.event_type AND n.i = s.i + 1),
+      fin AS (SELECT event_type, max(i)::BIGINT AS n_buckets FROM sm GROUP BY 1)
+      SELECT f.event_type AS event_type, f.n_buckets, s.l AS level_fp,
+             s.b AS trend_fp, (s.l + s.b)::BIGINT AS forecast_fp
+      FROM fin f JOIN sm s
+        ON s.event_type = f.event_type AND s.i = f.n_buckets
+      ORDER BY f.event_type""",
     // SNM: global (normalized-prefix, id) rank, candidates within the
     // rank window, exact-Jaccard verify on shingle STRINGS (count-multiset
     // invariance vs the engine's 64-bit hashes, as everywhere)

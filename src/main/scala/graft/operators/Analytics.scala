@@ -251,4 +251,58 @@ object Analytics {
       explode(sequence(lit(0), lit(nSalts - 1))))
     p.join(b.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Fixed-point Holt (double-exponential) smoothing over a per-group
+    * time series — the level + trend state a volume-forecasting monitor
+    * keeps per event type, and the third member of the anomaly family
+    * (MAD = distributional outliers, z-score = pointwise spikes, Holt =
+    * TREND-aware drift). alpha = beta = 1/2, so every smoothing step is
+    * an integer halving:
+    *
+    *   l_1 = y_1·Q,  b_1 = 0
+    *   l_t = (y_t·Q + l_{t−1} + b_{t−1}) >> 1
+    *   b_t = (l_t − l_{t−1} + b_{t−1}) >> 1
+    *
+    * with Q = 2^20 fixed-point scale. `shiftright` is an ARITHMETIC
+    * shift — floor division by 2 including on negative trend values —
+    * matching DuckDB's `//` exactly (Spark's `DIV` truncates toward
+    * zero and would diverge the moment a trend goes negative), so the
+    * whole recurrence is bit-exact cross-engine.
+    *
+    * Scale shape: the bucket counting aggregate is map-side combinable;
+    * the recurrence itself is inherently sequential PER GROUP, so each
+    * group's series is assembled with sort_array(collect_list) and
+    * folded in one pass — state is bounded by the series length (time
+    * range / bucket width: ~10k rows per group-year at hourly buckets),
+    * the standard bounded-state contract this engine documents for
+    * per-group sequence folds. Groups fold in parallel. */
+  def holtSmoothing(df: DataFrame, groupCol: String, bucketCol: String,
+                    yCol: String, scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 40,
+      s"scaleBits must be in [0, 40], got $scaleBits")
+    val q = 1L << scaleBits
+    val series = df
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(
+        col(bucketCol).cast("long").as("h"),
+        col(yCol).cast("long").as("y")))).as("s"))
+    def fld(acc: Column, e: Column): Column = {
+      val first = acc.getField("i") === 0L
+      val lNew = shiftright(e.getField("y") * q + acc.getField("l") +
+                            acc.getField("b"), 1)
+      val bNew = shiftright(lNew - acc.getField("l") + acc.getField("b"), 1)
+      when(first, struct((e.getField("y") * q).as("l"), lit(0L).as("b"),
+                         lit(1L).as("i")))
+        .otherwise(struct(lNew.as("l"), bNew.as("b"),
+                          (acc.getField("i") + 1L).as("i")))
+    }
+    val z = struct(lit(0L).as("l"), lit(0L).as("b"), lit(0L).as("i"))
+    series
+      .withColumn("st", aggregate(col("s"), z, fld))
+      .select(col(groupCol),
+              size(col("s")).cast("long").as("n_buckets"),
+              col("st.l").as("level_fp"),
+              col("st.b").as("trend_fp"),
+              (col("st.l") + col("st.b")).as("forecast_fp"))
+  }
 }

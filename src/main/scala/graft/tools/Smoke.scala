@@ -316,6 +316,10 @@ object Smoke {
     Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text").show(3)
     TextAnalysis.calibratedQualityFilter(docs, "doc_id", "text", "lang")
       .where(!col("kept")).show(3)
+    graft.operators.Analytics.holtSmoothing(
+      evts.groupBy(col("event_type"), expr("ts_ms DIV 3600000").as("hour"))
+        .agg(count(lit(1)).as("y")),
+      "event_type", "hour", "y").show()
     lap("round-9")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -135,4 +135,46 @@ class AnalyticsSpec extends SparkSpec {
       k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
     assert(merged == full)
   }
+
+  test("holtSmoothing: hand-traced fixed-point recurrence; negative trend floors like the oracle") {
+    import spark.implicits._
+    // rising series for A, FALLING series for B (negative trend exercises
+    // the arithmetic-shift floor semantics that Spark DIV / DuckDB //
+    // would both get wrong by truncating toward zero)
+    val df = Seq(
+      ("A", 0L, 10L), ("A", 1L, 14L), ("A", 2L, 18L),
+      ("B", 0L, 100L), ("B", 1L, 60L), ("B", 2L, 20L)
+    ).toDF("g", "h", "y")
+    val got = graft.operators.Analytics
+      .holtSmoothing(df, "g", "h", "y", scaleBits = 20)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("level_fp"),
+         r.getAs[Long]("trend_fp"), r.getAs[Long]("forecast_fp"))).toMap
+    // driver-side reference with the same integer ops (>> 1 floors)
+    def ref(ys: Seq[Long]): (Long, Long) = {
+      val q = 1L << 20
+      var l = ys.head * q; var b = 0L
+      ys.tail.foreach { y =>
+        val lNew = (y * q + l + b) >> 1
+        b = (lNew - l + b) >> 1
+        l = lNew
+      }
+      (l, b)
+    }
+    val (la, ba) = ref(Seq(10L, 14L, 18L))
+    val (lb, bb) = ref(Seq(100L, 60L, 20L))
+    assert(bb < 0L, "test premise: B's trend must be negative")
+    assert(got("A") == ((3L, la, ba, la + ba)), s"A: ${got("A")} vs ($la, $ba)")
+    assert(got("B") == ((3L, lb, bb, lb + bb)), s"B: ${got("B")} vs ($lb, $bb)")
+  }
+
+  test("holtSmoothing: single-bucket series is the level itself, zero trend") {
+    import spark.implicits._
+    val df = Seq(("A", 5L, 42L)).toDF("g", "h", "y")
+    val r = graft.operators.Analytics
+      .holtSmoothing(df, "g", "h", "y").collect()(0)
+    assert(r.getAs[Long]("level_fp") == 42L << 20)
+    assert(r.getAs[Long]("trend_fp") == 0L)
+    assert(r.getAs[Long]("n_buckets") == 1L)
+  }
 }
