@@ -31,7 +31,11 @@ object BenchScale {
   val Queries = Seq(
     "dedup_exact", "dedup_minhash", "dedup_minhash_verified",
     "dedup_clusters", "dedup_fuzzy_pipeline", "dedup_spans_applied",
-    "dedup_lines", "dedup_boilerplate")
+    "dedup_lines", "dedup_boilerplate",
+    // round-9: SNM's O(n*window) candidate bound, the k-core peel loop,
+    // and the two narrow text reports should all be exactly linear
+    "dedup_sorted_neighborhood", "graph_kcore",
+    "text_lang_mixture", "text_quality_calibrated")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -40,7 +44,10 @@ object BenchScale {
   val EventQueries = Seq(
     "events_funnel", "events_retention", "events_sessions",
     "events_transitions", "events_dau_mau", "events_anomaly",
-    "events_windowed_topk")
+    "events_windowed_topk",
+    // round-9: the Holt fold is per-type sequential over a TIME-bounded
+    // series; user-population growth must not grow it superlinearly
+    "events_holt")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
@@ -147,6 +154,15 @@ object BenchScale {
       System.err.println(f"[scale] $q%-24s sf0.1=$small%6.2fs ${Factor}x=$big%6.2fs ratio=$ratio%5.2f")
       (q, small, big, ratio)
     }
+    // round-9: the int8 quantization report is a pure narrow projection
+    // over embeddings — the flattest line in the file, by construction
+    val embRows = Seq("sim_int8_quant").map { q =>
+      val small = steady(q, sf01)
+      val big = steady(q, ScaleDir)
+      val ratio = if (small > 0) big / small else Double.PositiveInfinity
+      System.err.println(f"[scale] $q%-24s sf0.1=$small%6.2fs ${Factor}x=$big%6.2fs ratio=$ratio%5.2f")
+      (q, small, big, ratio)
+    }
 
     // knn graph: the IVF contract at scale is cells ∝ corpus (constant
     // expected cell size) with a TRAINED quantizer — balanced cells are
@@ -175,7 +191,7 @@ object BenchScale {
     val knnRatio = if (knnSmall > 0) knnBig / knnSmall else Double.PositiveInfinity
     System.err.println(f"[scale] sim_knn_graph(cells 16->160) sf0.1=$knnSmall%6.2fs ${Factor}x=$knnBig%6.2fs ratio=$knnRatio%5.2f")
 
-    val allRows = rows ++ evRows ++
+    val allRows = rows ++ evRows ++ embRows ++
       Seq(("sim_knn_graph_scaled_cells", knnSmall, knnBig, knnRatio))
     val superlinear = allRows.collect {
       case (q, _, _, r) if r > SuperlinearSlack * Factor => q }
