@@ -2770,6 +2770,19 @@ object SparkEntry {
     "graph_triangles"     -> graphTriangles _,
     "graph_cc_sizes"      -> graphCcSizes _,
     "graph_kcore"         -> graphKcore _,
+    "dedup_snm_multipass" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodMultiPass(t(s, dir, "documents"), "doc_id",
+          "text", passes = 2, stride = 16)
+        .orderBy("id_a", "id_b")),
+    "events_winsorized" -> ((s, dir) =>
+      Analytics.winsorizedReport(
+          events(s, dir).select(col("event_type"),
+            cents(col("value")).as("value_cents")),
+          "event_type", "value_cents")
+        .orderBy("event_type")),
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "dedup_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")),
@@ -5115,6 +5128,75 @@ object SparkEntry {
       FROM fin f JOIN sm s
         ON s.event_type = f.event_type AND s.i = f.n_buckets
       ORDER BY f.event_type""",
+    // two-pass SNM: union of the rank chains keyed at char offsets 1 and
+    // 17, deduplicated on the pair
+    "dedup_snm_multipass" -> s"""
+      WITH nrm AS (SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+             FROM documents),
+      tk AS (SELECT doc_id, substr(t, 1, 24) AS k0, substr(t, 17, 24) AS k1,
+               string_split(t, ' ') AS tks FROM nrm),
+      sh AS (SELECT doc_id, k0, k1,
+               CASE WHEN len(tks) < 3 THEN [array_to_string(tks, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tks) - 1),
+                         i -> array_to_string(list_slice(tks, i, i + 2), ' '))) END AS hs
+             FROM tk),
+      r0 AS (SELECT doc_id, hs, len(hs)::BIGINT AS n,
+               row_number() OVER (ORDER BY k0, doc_id) - 1 AS rank FROM sh),
+      r1 AS (SELECT doc_id, hs, len(hs)::BIGINT AS n,
+               row_number() OVER (ORDER BY k1, doc_id) - 1 AS rank FROM sh),
+      cand AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+               a.n AS na, b.n AS nb
+        FROM r0 a JOIN r0 b ON b.rank > a.rank AND b.rank - a.rank <= 8
+        UNION ALL
+        SELECT a.doc_id, b.doc_id,
+               len(list_intersect(a.hs, b.hs))::BIGINT,
+               a.n, b.n
+        FROM r1 a JOIN r1 b ON b.rank > a.rank AND b.rank - a.rank <= 8)
+      SELECT DISTINCT least(da, db) AS id_a, greatest(da, db) AS id_b,
+             inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard
+      FROM cand
+      WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.3::DOUBLE
+      ORDER BY id_a, id_b""",
+    // discrete type-1 percentile bounds (a member value -> all-BIGINT
+    // clamp and sums); floor((n-1)*p) is one exact-rounded product
+    "events_winsorized" -> """
+      WITH v AS (SELECT event_type,
+               (value::DECIMAL(18,2) * 100)::BIGINT AS c FROM events),
+      r AS (SELECT event_type, c,
+              row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      b AS (SELECT event_type, min(c) AS lo_c, max(c) AS hi_c FROM r
+            WHERE rn - 1 = floor((n - 1) * 0.01::DOUBLE)::BIGINT
+               OR rn - 1 = floor((n - 1) * 0.99::DOUBLE)::BIGINT
+            GROUP BY 1)
+      SELECT v.event_type AS event_type, count(*)::BIGINT AS n,
+             min(lo_c) AS lo_c, min(hi_c) AS hi_c,
+             sum(CASE WHEN c < lo_c THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+             sum(CASE WHEN c > hi_c THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+             sum(c)::BIGINT AS sum_raw_c,
+             sum(least(greatest(c, lo_c), hi_c))::BIGINT AS sum_winsor_c
+      FROM v JOIN b ON v.event_type = b.event_type
+      GROUP BY 1 ORDER BY 1""",
+    // df over the shingle posting table; novelty = unique fraction ppm
+    "text_novelty" -> s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+             FROM toks),
+      posting AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+      dfreq AS (SELECT h, count(*)::BIGINT AS dfh FROM posting GROUP BY 1)
+      SELECT doc_id, count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN dfh = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+             ((sum(CASE WHEN dfh = 1 THEN 1 ELSE 0 END) * 1000000)
+               // count(*))::BIGINT AS novelty_ppm
+      FROM posting JOIN dfreq USING (h)
+      GROUP BY doc_id ORDER BY doc_id""",
     // SNM: global (normalized-prefix, id) rank, candidates within the
     // rank window, exact-Jaccard verify on shingle STRINGS (count-multiset
     // invariance vs the engine's 64-bit hashes, as everywhere)

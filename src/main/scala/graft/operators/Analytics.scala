@@ -252,6 +252,47 @@ object Analytics {
     p.join(b.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Winsorized (percentile-clamped) value report per group — the robust
+    * preprocessing cut applied before value aggregates that a few fat-tail
+    * rows would otherwise dominate. The clamp bounds are DISCRETE (type-1)
+    * percentiles: the member at sorted index floor((n−1)·p) — a value the
+    * group actually contains, so the bound, the clamp, and both sums stay
+    * exact BIGINT end-to-end (an interpolated percentile would drag the
+    * whole report into order-sensitive float summation). The single
+    * `(n−1)·p` product and floor are IEEE exact-rounded — bit-equal
+    * cross-engine.
+    *
+    * Scale shape: one hash exchange on the group key for the rank window
+    * (slim (group, value) rows), the two-row-per-group bounds table rides
+    * a broadcast back onto the same aggregation. Groups funnel one task
+    * each — fine for the coarse group keys this targets (event types,
+    * sources); salt first for a single-group corpus. */
+  def winsorizedReport(df: DataFrame, groupCol: String, valueCol: String,
+                       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val wn = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol).cast("long").as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("c"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+    val bounds = ranked
+      .where(col("rn") - 1L === floor((col("n") - 1L) * lit(pLo)) ||
+             col("rn") - 1L === floor((col("n") - 1L) * lit(pHi)))
+      .groupBy(col(groupCol))
+      .agg(min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+    df.select(col(groupCol), col(valueCol).cast("long").as("c"))
+      .join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+           count_if(col("c") < col("lo_c")).as("n_clipped_lo"),
+           count_if(col("c") > col("hi_c")).as("n_clipped_hi"),
+           sum(col("c")).as("sum_raw_c"),
+           sum(least(greatest(col("c"), col("lo_c")), col("hi_c")))
+             .as("sum_winsor_c"))
+  }
+
   /** Fixed-point Holt (double-exponential) smoothing over a per-group
     * time series — the level + trend state a volume-forecasting monitor
     * keeps per event type, and the third member of the anomaly family

@@ -549,13 +549,15 @@ object Dedup {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
                               window: Int = 8, keyLen: Int = 24,
                               shingleN: Int = 3, threshold: Double = 0.3,
+                              keyStart: Int = 1,
                               materialize: Boolean = true): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    require(keyStart >= 1, s"keyStart must be >= 1, got $keyStart")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val keyed = df.select(col(idCol).as("id"),
-        substring(TF.normText(col(textCol)), 1, keyLen).as("k"),
+        substring(TF.normText(col(textCol)), keyStart, keyLen).as("k"),
         TF.shingleHashes(col(textCol), shingleN).as("hs"))
       .withColumn("n", size(col("hs")))
       .repartitionByRange(col("k"), col("id"))
@@ -597,6 +599,31 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
               greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
     if (materialize) materializeAndRelease(out, keyed) else out
+  }
+
+  /** Multi-pass SNM: union of [[sortedNeighborhoodPairs]] over `passes`
+    * sort keys taken at different character offsets of the normalized
+    * text (pass p keys on chars `[1 + p·stride, …]`). Single-pass SNM's
+    * documented recall limit is pairs whose difference sits at the FRONT
+    * of the text (they sort apart); a later-offset key starts INSIDE the
+    * shared region, so those pairs sort adjacent in a later pass — the
+    * standard production configuration of the algorithm. Each pass is
+    * independently linear (O(n·window) candidates), so the union is too;
+    * the pair sets are deduplicated on (id_a, id_b). */
+  def sortedNeighborhoodMultiPass(df: DataFrame, idCol: String,
+                                  textCol: String, passes: Int = 2,
+                                  stride: Int = 16, window: Int = 8,
+                                  keyLen: Int = 24, shingleN: Int = 3,
+                                  threshold: Double = 0.3): DataFrame = {
+    require(passes >= 1 && passes <= 8, s"passes must be in [1, 8], got $passes")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val all = (0 until passes).map { p =>
+      sortedNeighborhoodPairs(df, idCol, textCol, window, keyLen, shingleN,
+        threshold, keyStart = 1 + p * stride)
+    }
+    // same pair found by two passes carries the same exact jaccard, so
+    // the distinct is a pure pair-set dedup
+    Materialize.cut(all.reduce(_ unionByName _).distinct())
   }
 
   /** The minimum shingle overlap a partner can have with a size-`n` set

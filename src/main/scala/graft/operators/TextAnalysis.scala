@@ -1347,6 +1347,32 @@ object TextAnalysis {
               (col("cms_est") - col("n_exact")).as("overcount"))
   }
 
+  /** Per-document n-gram novelty: the fraction (ppm) of a document's
+    * distinct shingles that appear in NO other document — the inverse of
+    * boilerplate, and the cheap "is this document adding anything new"
+    * signal a curation pass ranks by next to quality and dedup scores
+    * (high duplicate overlap ⇒ low novelty; a unique document scores
+    * 1 000 000). Integer ppm floor, bit-reproducible.
+    *
+    * Scale shape: the posting table is slim (doc, shingle-hash) rows;
+    * document frequency reduces it with one map-side-combinable
+    * aggregate, and the novelty rollup is a second aggregate over the
+    * joined slim rows — bodies never shuffle, no pair join anywhere
+    * (this is the operator to run when the corpus is too big for even
+    * blocked pair generation). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val posting = df.select(col(idCol).as("id"),
+        explode(TF.shingleHashes(col(textCol), shingleN)).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
+    posting.join(dfreq, "h")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           count_if(col("dfh") === 1L).as("n_unique"))
+      .withColumn("novelty_ppm",
+        expr("n_unique * 1000000 DIV n_shingles"))
+  }
+
   /** Per-group calibrated quality report: the heuristic quality score is
     * rank-normalized WITHIN each group (language, source) via
     * `percent_rank`, and the keep decision applies to the percentile, not

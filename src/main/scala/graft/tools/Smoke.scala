@@ -320,6 +320,12 @@ object Smoke {
       evts.groupBy(col("event_type"), expr("ts_ms DIV 3600000").as("hour"))
         .agg(count(lit(1)).as("y")),
       "event_type", "hour", "y").show()
+    graft.operators.Analytics.winsorizedReport(
+      evts.selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS c"),
+      "event_type", "c").show()
+    TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .orderBy(col("novelty_ppm")).show(3)
     lap("round-9")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -177,4 +177,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("trend_fp") == 0L)
     assert(r.getAs[Long]("n_buckets") == 1L)
   }
+
+  test("winsorizedReport: discrete percentile bounds, exact clamp accounting") {
+    import spark.implicits._
+    // group A: values 1..100 -> lo = member at floor(99*.01)=0 -> 1,
+    // hi = member at floor(99*.99)=98 -> 99; only 100 clips high
+    val a = (1L to 100L).map(v => ("A", v))
+    // group B: constant values -> nothing clips, sums unchanged
+    val b = Seq.fill(5)(("B", 7L))
+    val df = (a ++ b).toDF("g", "v")
+    val r = graft.operators.Analytics.winsorizedReport(df, "g", "v")
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    val ra = r("A")
+    assert(ra.getAs[Long]("lo_c") == 1L && ra.getAs[Long]("hi_c") == 99L)
+    assert(ra.getAs[Long]("n_clipped_lo") == 0L &&
+           ra.getAs[Long]("n_clipped_hi") == 1L)
+    assert(ra.getAs[Long]("sum_raw_c") == 5050L)
+    assert(ra.getAs[Long]("sum_winsor_c") == 5049L) // 100 clamped to 99
+    val rb = r("B")
+    assert(rb.getAs[Long]("lo_c") == 7L && rb.getAs[Long]("hi_c") == 7L)
+    assert(rb.getAs[Long]("sum_winsor_c") == 35L &&
+           rb.getAs[Long]("n_clipped_lo") == 0L &&
+           rb.getAs[Long]("n_clipped_hi") == 0L)
+  }
 }

@@ -1152,4 +1152,40 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == out.distinct.length, "duplicate candidate pairs emitted")
   }
+
+  test("sortedNeighborhoodMultiPass: a front-differing near-dup missed by pass 1 is found by pass 2") {
+    import spark.implicits._
+    // docs 1/2 share everything EXCEPT the first ~16 chars, so the
+    // pass-1 prefix keys sort them far apart (1 sorts near "aaa", 2 near
+    // "zzz", with spacers between); the pass-2 key starts at char 17 —
+    // inside the shared region — so they become rank-adjacent
+    val shared = "identical shared tail of considerable length here ok yes"
+    val docs = Seq(
+      (1L, s"aaa aaa aaa aaa $shared"),
+      (2L, s"zzz zzz zzz zzz $shared"),
+      (3L, "bbb unrelated filler document one two three four five six"),
+      (4L, "ccc another filler document seven eight nine ten eleven"),
+      (5L, "ddd more filler text twelve thirteen fourteen fifteen ok"),
+      (6L, "mmm yet more filler sixteen seventeen eighteen nineteen"),
+      (7L, "qqq filler again twenty twentyone twentytwo twentythree")
+    ).toDF("doc_id", "text")
+    val onePass = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 1, keyLen = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!onePass.contains((1L, 2L)),
+      s"test premise broken: pass 1 should miss the front-differing pair, got $onePass")
+    val multi = graft.operators.Dedup
+      .sortedNeighborhoodMultiPass(docs, "doc_id", "text",
+        passes = 2, stride = 16, window = 1, keyLen = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.contains((1L, 2L)),
+      s"pass-2 key (offset 17) must recover the pair: $multi")
+    // and the union carries no duplicate pairs
+    val all = graft.operators.Dedup
+      .sortedNeighborhoodMultiPass(docs, "doc_id", "text",
+        passes = 2, stride = 16, window = 2, keyLen = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length, "multi-pass union not deduplicated")
+  }
 }

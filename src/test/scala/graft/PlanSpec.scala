@@ -755,4 +755,20 @@ class PlanSpec extends SparkSpec {
     val ex = p.linesIterator.find(_.contains("Exchange hashpartitioning")).get
     assert(!ex.contains("text#"), s"document text crosses the shuffle:\n$ex")
   }
+
+  test("events_winsorized: bounds table broadcasts back; no body columns shuffle") {
+    val p = plan("events_winsorized")
+    assert(p.contains("BroadcastHashJoin"),
+      s"two-row-per-group bounds must broadcast onto the re-aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounds join fell back to sort-merge:\n$p")
+  }
+
+  test("text_novelty: both aggregates combine map-side; no pair join anywhere") {
+    val p = plan("text_novelty")
+    assert(p.contains("partial_count"), s"df/novelty aggregation lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must never generate pairs:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text#")), s"text crosses a shuffle:\n$p")
+  }
 }

@@ -796,4 +796,19 @@ class TextFunctionsSpec extends SparkSpec {
       assert(pr(id) == expect, s"doc $id pct_rank ${pr(id)} != $expect")
     }
   }
+
+  test("ngramNovelty: duplicated docs score 0, a unique doc scores 1e6, partial overlap in between") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),    // all shingles shared with 2
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "completely unique document text here") // no overlap
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.ngramNovelty(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_unique"), x.getAs[Long]("novelty_ppm"))).toMap
+    assert(r(1L) == ((0L, 0L)) && r(2L) == ((0L, 0L)),
+      s"exact dup pair must have zero novelty: $r")
+    assert(r(3L)._2 == 1000000L, s"unique doc must score 1e6 ppm: $r")
+  }
 }
