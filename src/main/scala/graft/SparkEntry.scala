@@ -1161,6 +1161,27 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** End-to-end retrieval: IVF ANN top-k over the embedding corpus,
+    * results joined back to the DOCUMENT table for the payload a serving
+    * layer actually returns (rank, language, snippet). The join shape is
+    * the 100 TB one: the candidate set (k rows per query) BROADCASTS onto
+    * the document table, so document bodies never shuffle — retrieval
+    * cost is the ANN stage plus one broadcast probe. */
+  private def simRetrievalE2e(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val topk = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, nCentroids = 16, nProbe = 4,
+        centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+    broadcast(topk).join(docs, topk("id") === docs("doc_id"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("lang"),
+              substring(col("text"), 1, 40).as("snippet"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN quality measurement as a first-class operator: recall@k of the
     * IVF retrieval against the brute-force ground truth, per query plus
     * the zero-overlap guard (a LEFT join from the query set keeps
@@ -2710,6 +2731,7 @@ object SparkEntry {
     "sim_ivf_verified"    -> simIvfVerified _,
     "sim_recall_report"   -> simRecallReport _,
     "sim_recall_matrix"   -> simRecallMatrix _,
+    "sim_retrieval_e2e"   -> simRetrievalE2e _,
     "sim_pq_topk"         -> simPqTopK _,
     "sim_rp_topk"         -> simRpTopK _,
     "text_topk"           -> textTopK _,
@@ -4551,6 +4573,20 @@ object SparkEntry {
       Similarity.fixedCentroids(16, 64), nProbe = 4, minCosine = 0.25),
     // every retriever replica nested as a subquery, each hoisted into a
     // MATERIALIZED CTE, hits counted against the one brute-force truth
+    // ANN replica + document join: the serving-layer projection
+    "sim_retrieval_e2e" -> s"""
+      WITH ${ivfReplicaCtes(Similarity.fixedCentroids(16, 64), nProbe = 4,
+                            dim = 64)},
+      ranked AS (
+        SELECT qid, id, cosine,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored),
+      tk AS (SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 10)
+      SELECT tk.qid, tk.rank::INT AS rank, d.doc_id, d.lang,
+             substr(d.text, 1, 40) AS snippet, tk.cosine
+      FROM tk JOIN documents d ON tk.id = d.doc_id
+      ORDER BY qid, rank""",
     "sim_recall_matrix" -> {
       val reps = Seq(
         "ivf" -> ivfReplicaOracle(Similarity.fixedCentroids(16, 64),

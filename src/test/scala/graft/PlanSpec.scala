@@ -771,4 +771,15 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(!exchanges.exists(_.contains("text#")), s"text crosses a shuffle:\n$p")
   }
+
+  test("sim_retrieval_e2e: candidate set broadcasts; document table never hash-shuffles") {
+    val p = plan("sim_retrieval_e2e")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-rows-per-query candidate set must broadcast onto documents:\n$p")
+    // the document payload probe must not repartition the corpus by id —
+    // at 100 TB that exchange would dwarf the ANN stage itself
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(doc_id")),
+      s"document table shuffles by doc_id for the payload join:\n$p")
+  }
 }
