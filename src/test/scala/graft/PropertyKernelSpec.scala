@@ -137,4 +137,70 @@ class PropertyKernelSpec extends SparkSpec {
       }
     }
   }
+
+  test("sortedNeighborhoodPairs: equals the driver-side reference on random corpora (3 seeds)") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "common", "tail", "words")
+    val docGen = Gen.chooseNum(3, 14).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    Seq(7L, 19L, 101L).foreach { seed =>
+      val texts = samples(docGen, 40, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = spark.createDataFrame(texts).toDF("doc_id", "text")
+      val w = 3
+      val got = graft.operators.Dedup
+        .sortedNeighborhoodPairs(df, "doc_id", "text",
+          window = w, keyLen = 24, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exactly-once candidates
+      assert(got.map(p => (p._1, p._2)).distinct.length == got.length,
+        s"seed $seed: duplicate pairs")
+      // reference: rank by (key, id), all pairs within w, exact jaccard
+      def shingles(t: String) = {
+        val tk = t.split(" ").toSeq
+        if (tk.length < 3) Set(tk.mkString(" "))
+        else tk.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val ranked = texts.sortBy { case (id, t) => (t.take(24), id) }.zipWithIndex
+      val expect = (for {
+        ((ida, ta), ra) <- ranked; ((idb, tb), rb) <- ranked
+        if rb > ra && rb - ra <= w
+        sa = shingles(ta); sb = shingles(tb)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.3
+      } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+      assert(got.map(p => (p._1, p._2)).toSet == expect,
+        s"seed $seed: engine ${got.length} pairs vs reference ${expect.size}")
+    }
+  }
+
+  test("ngramNovelty: per-doc accounting matches a driver-side df count (2 seeds)") {
+    val wordGen = Gen.oneOf("one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine", "ten")
+    val docGen = Gen.chooseNum(3, 10).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    Seq(11L, 23L).foreach { seed =>
+      val texts = samples(docGen, 30, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = spark.createDataFrame(texts).toDF("doc_id", "text")
+      def shingles(t: String) = {
+        val tk = t.split(" ").toSeq
+        if (tk.length < 3) Set(tk.mkString(" "))
+        else tk.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.map { case (id, t) => id -> shingles(t) }.toMap
+      val dfreq = sets.values.flatten.groupBy(identity).map { case (h, xs) => h -> xs.size }
+      val got = graft.operators.TextAnalysis.ngramNovelty(df, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+           r.getAs[Long]("novelty_ppm"))).toMap
+      sets.foreach { case (id, hs) =>
+        val uniq = hs.count(h => dfreq(h) == 1).toLong
+        val (gn, gu, gp) = got(id)
+        assert(gn == hs.size.toLong && gu == uniq, s"seed $seed doc $id")
+        assert(gp == uniq * 1000000L / hs.size, s"seed $seed doc $id ppm")
+      }
+    }
+  }
 }
