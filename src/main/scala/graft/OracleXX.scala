@@ -343,6 +343,66 @@ object OracleXX {
                  CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
              FROM prs)"""
 
+  /** Weighted-minhash replica: the [[minhashBandCtes]] chain with the
+    * integer-weight multiset expansion injected before the fold — each
+    * distinct shingle contributes `least(N // df, capW)` copies
+    * `xor(h_signed, salt_j)` (salts = the engine's precomputed
+    * j·constant table, embedded as literals so neither engine multiplies
+    * at runtime). DuckDB's BIGINT xor is two's-complement bitwise,
+    * verified bit-equal to Java's. Ends in `ag(id_a, id_b, agree)`. */
+  def weightedMinhashAgreeCtes(numHashes: Int, bands: Int,
+                               capW: Int): String = {
+    val rows = numHashes / bands
+    val (ca, cb) = graft.functions.TextFunctions.minhashCoefficients(numHashes)
+    val al = ca.mkString("[", ", ", "]")
+    val bl = cb.mkString("[", ", ", "]")
+    val salts = graft.operators.Dedup.WeightSalts.take(capW)
+      .map(v => s"$v::BIGINT").mkString("[", ", ", "]")
+    val xx = xxh64Str("s", padLen = 20)
+    s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh3 AS (SELECT doc_id,
+                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+              FROM toks),
+      shr AS (SELECT doc_id, unnest(hs) AS s FROM sh3),
+      dh AS MATERIALIZED (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM shr)),
+      hsig AS (SELECT doc_id, s,
+                 (CASE WHEN h >= 9223372036854775808::HUGEINT
+                       THEN (h - $M)::BIGINT ELSE h::BIGINT END) AS v0
+               FROM shr JOIN dh USING (s)),
+      dfq AS (SELECT s, count(*)::BIGINT AS dfh FROM shr GROUP BY 1),
+      ndw AS (SELECT count(*)::BIGINT AS n FROM documents),
+      wts AS (SELECT doc_id, v0,
+                least((SELECT n FROM ndw) // dfh, $capW)::BIGINT AS w
+              FROM hsig JOIN dfq USING (s)),
+      exp AS (SELECT doc_id,
+                xor(v0, ($salts)[unnest(range(w))::INT + 1]) AS v
+              FROM wts),
+      fr AS (SELECT doc_id,
+               ((v % 2147483647) + 2147483647) % 2147483647 AS f FROM exp),
+      perm AS (
+        SELECT doc_id, j, min((($al)[j+1]*f + ($bl)[j+1]) % 2305843009213693951) AS v
+        FROM fr CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS j)
+        GROUP BY doc_id, j),
+      sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM perm GROUP BY doc_id),
+      bnd AS (SELECT doc_id, sig, unnest(range(0, $bands)) AS bi FROM sig),
+      bs AS (SELECT doc_id, sig, bi,
+               array_to_string(list_slice(sig, bi*$rows+1, bi*$rows+$rows), ',') AS s2
+             FROM bnd),
+      bk AS MATERIALIZED (SELECT doc_id, sig, bi::VARCHAR || '|' || s2 AS band FROM bs),
+      guard AS (SELECT CASE WHEN (SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM bk GROUP BY band)) > 4096
+                THEN error('weighted-minhash oracle models the UNCAPPED band join; a bucket exceeds the engine skew cap (4096)')
+                ELSE 1 END AS ok),
+      prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS siga, b.sig AS sigb
+              FROM bk a CROSS JOIN guard JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ag AS (SELECT id_a, id_b,
+               list_aggregate(list_transform(range(0, $numHashes), j ->
+                 CASE WHEN siga[j+1] = sigb[j+1] THEN 1 ELSE 0 END), 'sum') AS agree
+             FROM prs)"""
+  }
+
   /** CTE chain (no leading WITH) computing per-doc banded LSH keys over
     * `documents`: 3-gram shingle strings (`sh3`: doc_id, hs) → XXH64 →
     * 31-bit fold → k-perm signature (`sig`) → per-band keys

@@ -2825,6 +2825,10 @@ object SparkEntry {
     "dedup_minhash_bbit"  -> ((s, dir) =>
       Dedup.minhashBBitPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    "dedup_weighted_minhash" -> ((s, dir) =>
+      Dedup.weightedMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 128, bands = 16, threshold = 0.4, capWeight = 8)
+        .orderBy("id_a", "id_b")),
     "dedup_weighted_jaccard" -> ((s, dir) =>
       Dedup.weightedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, threshold = 0.5)
@@ -5164,6 +5168,12 @@ object SparkEntry {
       FROM fin f JOIN sm s
         ON s.event_type = f.event_type AND s.i = f.n_buckets
       ORDER BY f.event_type""",
+    // weighted-minhash sketch: multiset expansion + the banded chain
+    "dedup_weighted_minhash" -> s"""
+      WITH ${OracleXX.weightedMinhashAgreeCtes(128, 16, capW = 8)}
+      SELECT id_a, id_b, agree::DOUBLE / 128 AS est_wjaccard
+      FROM ag WHERE agree::DOUBLE / 128 >= 0.4
+      ORDER BY id_a, id_b""",
     // two-pass SNM: union of the rank chains keyed at char offsets 1 and
     // 17, deduplicated on the pair
     "dedup_snm_multipass" -> s"""

@@ -235,6 +235,83 @@ object Dedup {
     if (materialize) materializeAndRelease(out, sets) else out
   }
 
+  /** Weighted MinHash near-dup pairs — the SKETCH counterpart of
+    * [[weightedJaccardPairs]], for the corpus scale where even the
+    * df-capped exact posting join is too big. Uses the integer-weight
+    * multiset-expansion construction: a shingle with IDF weight
+    * `w = min(N DIV df, capWeight)` contributes `w` salted copies
+    * `h XOR salt_j` to the document's hash multiset, and plain MinHash
+    * over the expanded multiset is then an unbiased estimator of the
+    * weighted Jaccard `Σ_shared w / (W_A + W_B − Σ_shared w)` — the
+    * SAME score [[weightedJaccardPairs]] computes exactly, because both
+    * documents see the same global weight for a shared shingle, so
+    * their expanded copies coincide element-for-element. (Integer
+    * weights make the classic expansion exact; no Ioffe-style
+    * continuous-weight machinery — or its float/log hazards — needed.)
+    *
+    * Scale shape: identical to [[minhashLshPairs]] after the expansion —
+    * slim `(id, band)` blocking, skew-capped buckets, signatures
+    * re-joined onto candidates only. The expansion multiplies posting
+    * rows by ≤ `capWeight`; per-doc signature input is bounded by
+    * n_shingles · capWeight values, collected unordered (the min-fold
+    * signature is order-invariant, so collect_list's nondeterministic
+    * order cannot reach the output). */
+  def weightedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 128, bands: Int = 16,
+                           threshold: Double = 0.4, shingleN: Int = 3,
+                           capWeight: Int = 8, maxBucketSize: Long = 4096L,
+                           materialize: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(capWeight >= 1 && capWeight <= 64,
+      s"capWeight must be in [1, 64], got $capWeight")
+    val rows = numHashes / bands
+    val salts = WeightSalts.take(capWeight)
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    val posting = df.select(col(idCol).as("id"),
+        explode(TF.shingleHashes(col(textCol), shingleN)).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val expanded = posting.join(dfreq, "h")
+      .crossJoin(broadcast(nd))
+      .select(col("id"), col("h"),
+        least(expr("n_docs DIV dfh"), lit(capWeight.toLong)).as("w"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), (col("w") - 1L).cast("int")),
+          j => col("h").bitwiseXOR(element_at(lit(salts), j + 1)))).as("v"))
+    // persist() load-bearing for the same CollapseProject reason as
+    // minhashLshPairs: one signature materialization feeds the band
+    // explode and both join sides
+    val sigs = expanded.groupBy("id")
+      .agg(collect_list(col("v")).as("vs"))
+      .select(col("id"), TF.minhashSignature(col("vs"), numHashes).as("sig"))
+      .persist()
+    val banded = sigs.select(col("id"),
+      explode(TF.lshBandKeys(col("sig"), bands, rows)).as("band"))
+    val (cand, sizedCache) = cappedCandidatePairs(banded, "band", maxBucketSize)
+    val out = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("agree", {
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        column(graft.functions.SigAgree(expression(col("sig_a")),
+                                        expression(col("sig_b"))))
+      })
+      .withColumn("est_wjaccard", col("agree").cast("double") / numHashes)
+      .where(col("est_wjaccard") >= threshold)
+      .select("id_a", "id_b", "est_wjaccard")
+    if (materialize) materializeAndRelease(out, sigs, sizedCache)
+    else out
+  }
+
+  /** Per-copy XOR salts for the weighted-minhash multiset expansion:
+    * j · (odd golden-ratio constant) with JVM wraparound, precomputed so
+    * neither engine multiplies at runtime (ANSI Spark would throw on the
+    * overflow; the DuckDB replica embeds the same literals). Salt 0 is 0
+    * — copy 0 is the unsalted hash, so capWeight = 1 degrades to plain
+    * MinHash exactly. */
+  private[graft] val WeightSalts: Array[Long] =
+    Array.tabulate(64)(j => j.toLong * -7046029254386353131L)
+
   /** 1-bit (b-bit) MinHash scoring — Li & König's storage-compressed
     * estimator: each of the 128 permutation minima keeps only its parity
     * bit, packing the whole signature into TWO 64-bit words (64× smaller

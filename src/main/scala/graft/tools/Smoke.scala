@@ -326,6 +326,7 @@ object Smoke {
       "event_type", "c").show()
     TextAnalysis.ngramNovelty(docs, "doc_id", "text")
       .orderBy(col("novelty_ppm")).show(3)
+    Dedup.weightedMinhashPairs(docs, "doc_id", "text", threshold = 0.3).show(3)
     lap("round-9")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -1188,4 +1188,41 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(all.length == all.distinct.length, "multi-pass union not deduplicated")
   }
+
+  test("weightedMinhashPairs: capWeight=1 degrades to plain MinHash exactly (salt 0 is 0)") {
+    val docs = spark.read.parquet(sf("documents"))
+    val plain = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val weighted = graft.operators.Dedup
+      .weightedMinhashPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.4, capWeight = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(weighted == plain,
+      s"capWeight=1 must equal plain minhash: ${weighted.size} vs ${plain.size}")
+  }
+
+  test("weightedMinhashPairs: estimates track the exact weighted jaccard on shared pairs") {
+    val docs = spark.read.parquet(sf("documents"))
+    val exact = graft.operators.Dedup
+      .weightedJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.1, maxDocFreq = Long.MaxValue)
+      .select("id_a", "id_b", "wjaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sketch = graft.operators.Dedup
+      .weightedMinhashPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.3, capWeight = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // capWeight=64 >= N/df for every shingle at sf0.001 (N < 64 needs no
+    // cap... N=50 docs, min df 1 -> max weight 50 <= 64), so the sketch
+    // estimates the UNCAPPED score the exact operator computes
+    val shared = sketch.filter { case (p, _) => exact.contains(p) }
+    assert(shared.nonEmpty, "no overlapping pairs to compare")
+    shared.foreach { case (p, est) =>
+      assert(math.abs(est - exact(p)) <= 0.30,
+        s"pair $p: sketch $est vs exact ${exact(p)}")
+    }
+  }
 }
