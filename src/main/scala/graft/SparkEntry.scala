@@ -2825,6 +2825,11 @@ object SparkEntry {
     "dedup_minhash_bbit"  -> ((s, dir) =>
       Dedup.minhashBBitPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    "dedup_weighted_minhash_verified" -> ((s, dir) =>
+      Dedup.weightedMinhashVerifiedPairs(t(s, dir, "documents"), "doc_id",
+          "text", numHashes = 128, bands = 16,
+          candidateThreshold = 0.3, threshold = 0.4, capWeight = 8)
+        .orderBy("id_a", "id_b")),
     "dedup_weighted_minhash" -> ((s, dir) =>
       Dedup.weightedMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
           numHashes = 128, bands = 16, threshold = 0.4, capWeight = 8)
@@ -5168,6 +5173,26 @@ object SparkEntry {
       FROM fin f JOIN sm s
         ON s.event_type = f.event_type AND s.i = f.n_buckets
       ORDER BY f.event_type""",
+    // sketch candidates + exact capped-weight verification
+    "dedup_weighted_minhash_verified" -> s"""
+      WITH ${OracleXX.weightedMinhashAgreeCtes(128, 16, capW = 8)},
+      cnd AS (SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.3),
+      wp2 AS MATERIALIZED (
+        SELECT doc_id, s, least((SELECT n FROM ndw) // dfh, 8)::BIGINT AS w
+        FROM shr JOIN dfq USING (s)),
+      dw AS (SELECT doc_id, sum(w)::BIGINT AS wt FROM wp2 GROUP BY 1),
+      shw AS (SELECT c.id_a, c.id_b, sum(a.w)::BIGINT AS shared_w
+              FROM cnd c
+              JOIN wp2 a ON a.doc_id = c.id_a
+              JOIN wp2 b ON b.doc_id = c.id_b AND b.s = a.s
+              GROUP BY 1, 2)
+      SELECT s1.id_a, s1.id_b, s1.shared_w,
+             s1.shared_w::DOUBLE / (wa.wt + wb.wt - s1.shared_w)::DOUBLE
+               AS wjaccard
+      FROM shw s1 JOIN dw wa ON s1.id_a = wa.doc_id
+                  JOIN dw wb ON s1.id_b = wb.doc_id
+      WHERE s1.shared_w::DOUBLE / (wa.wt + wb.wt - s1.shared_w)::DOUBLE >= 0.4
+      ORDER BY id_a, id_b""",
     // weighted-minhash sketch: multiset expansion + the banded chain
     "dedup_weighted_minhash" -> s"""
       WITH ${OracleXX.weightedMinhashAgreeCtes(128, 16, capW = 8)}

@@ -303,6 +303,51 @@ object Dedup {
     else out
   }
 
+  /** Weighted MinHash candidates VERIFIED by the exact capped-weight
+    * Jaccard — the production cut of the weighted family: LSH banding
+    * proposes (cheap, recall-tuned via `candidateThreshold`), then the
+    * exact score over the candidates' postings decides (`threshold`),
+    * discarding both estimator noise and the skew-cap star-pairing
+    * artifacts. The verify join touches ONLY candidate pairs (broadcast
+    * of the small pair set onto the slim weighted posting table), so its
+    * cost is O(candidates · doc shingles), never corpus-quadratic.
+    * Weights use the SAME `min(N DIV df, capWeight)` space the sketch
+    * estimates, keeping the two stages coherent. */
+  def weightedMinhashVerifiedPairs(df: DataFrame, idCol: String,
+                                   textCol: String, numHashes: Int = 128,
+                                   bands: Int = 16,
+                                   candidateThreshold: Double = 0.3,
+                                   threshold: Double = 0.4,
+                                   shingleN: Int = 3, capWeight: Int = 8,
+                                   maxBucketSize: Long = 4096L): DataFrame = {
+    val cand = weightedMinhashPairs(df, idCol, textCol, numHashes, bands,
+        candidateThreshold, shingleN, capWeight, maxBucketSize)
+      .select("id_a", "id_b")
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    val posting = df.select(col(idCol).as("id"),
+        explode(TF.shingleHashes(col(textCol), shingleN)).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val wpost = posting.join(dfreq, "h")
+      .crossJoin(broadcast(nd))
+      .select(col("id"), col("h"),
+        least(expr("n_docs DIV dfh"), lit(capWeight.toLong)).as("w"))
+      .persist() // consumed by the totals AND both verify probes
+    val docw = wpost.groupBy("id").agg(sum(col("w")).as("wt"))
+    val out = broadcast(cand)
+      .join(wpost.select(col("id").as("id_a"), col("h"), col("w")), "id_a")
+      .join(wpost.select(col("id").as("id_b"), col("h").as("hb")), "id_b")
+      .where(col("h") === col("hb"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("w")).as("shared_w"))
+      .join(docw.select(col("id").as("id_a"), col("wt").as("wa")), "id_a")
+      .join(docw.select(col("id").as("id_b"), col("wt").as("wb")), "id_b")
+      .withColumn("wjaccard", col("shared_w").cast("double") /
+        (col("wa") + col("wb") - col("shared_w")).cast("double"))
+      .where(col("wjaccard") >= threshold)
+      .select("id_a", "id_b", "shared_w", "wjaccard")
+    materializeAndRelease(out, wpost)
+  }
+
   /** Per-copy XOR salts for the weighted-minhash multiset expansion:
     * j · (odd golden-ratio constant) with JVM wraparound, precomputed so
     * neither engine multiplies at runtime (ANSI Spark would throw on the

@@ -1225,4 +1225,37 @@ class DedupSimilaritySpec extends SparkSpec {
         s"pair $p: sketch $est vs exact ${exact(p)}")
     }
   }
+
+  test("weightedMinhashVerifiedPairs: exact capped-weight scores, recomputed driver-side") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = graft.operators.Dedup
+      .weightedMinhashVerifiedPairs(docs, "doc_id", "text",
+        candidateThreshold = 0.2, threshold = 0.3, capWeight = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("shared_w"), r.getAs[Double]("wjaccard"))).toMap
+    assert(out.nonEmpty, "fixture should produce at least one verified pair")
+    // driver-side reference: capped global weights over shingle STRINGS
+    def shingles(t: String) = {
+      val norm = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ").trim
+      val tk = norm.split(" ").toSeq
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val n = rows.size.toLong
+    val dfreq = rows.values.flatten.groupBy(identity)
+      .map { case (h, xs) => h -> xs.size.toLong }
+    def w(h: String) = math.min(n / dfreq(h), 8L)
+    val wt = rows.map { case (id, hs) => id -> hs.toSeq.map(w).sum }
+    out.foreach { case ((a, b), (sharedW, wj)) =>
+      val shared = (rows(a) & rows(b)).toSeq.map(w).sum
+      assert(sharedW == shared, s"pair ($a,$b) shared_w")
+      val expect = shared.toDouble / (wt(a) + wt(b) - shared).toDouble
+      assert(wj == expect, s"pair ($a,$b) wjaccard $wj vs $expect")
+      assert(wj >= 0.3)
+    }
+  }
 }
