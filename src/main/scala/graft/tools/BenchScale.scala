@@ -35,7 +35,12 @@ object BenchScale {
     // round-9: SNM's O(n*window) candidate bound, the k-core peel loop,
     // and the two narrow text reports should all be exactly linear
     "dedup_sorted_neighborhood", "graph_kcore",
-    "text_lang_mixture", "text_quality_calibrated")
+    "text_lang_mixture", "text_quality_calibrated",
+    // round-9b: the weighted-sketch family (expansion multiplies postings
+    // by <= capWeight — a constant), multi-pass SNM (2x linear passes),
+    // and the posting-table novelty report
+    "dedup_weighted_minhash", "dedup_weighted_minhash_verified",
+    "dedup_snm_multipass", "text_novelty")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -47,7 +52,7 @@ object BenchScale {
     "events_windowed_topk",
     // round-9: the Holt fold is per-type sequential over a TIME-bounded
     // series; user-population growth must not grow it superlinearly
-    "events_holt")
+    "events_holt", "events_winsorized")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
