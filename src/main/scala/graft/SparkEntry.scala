@@ -2839,6 +2839,10 @@ object SparkEntry {
           shingleN = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
     "text_bpe_apply"      -> textBpeApply _,
+    "text_bpe_fertility"  -> ((s, dir) =>
+      TextAnalysis.bpeFertility(t(s, dir, "documents"), "doc_id", "text",
+          "lang", numMerges = 8)
+        .orderBy("lang")),
     "text_cooccurrence"   -> ((s, dir) =>
       TextAnalysis.cooccurrenceLift(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("tok_a", "tok_b")),
@@ -3030,6 +3034,44 @@ object SparkEntry {
                 md5(array_to_string(ew, ' | ')) AS enc_md5
               FROM enc)
       SELECT doc_id, n_words, n_tokens_bpe, enc_md5 FROM rep ORDER BY doc_id"""
+  }
+
+  /** Per-lang fertility rollup over the same BPE-apply replica chain. */
+  private def bpeFertilityOracle(numMerges: Int): String = {
+    val chain = (1 to numMerges).foldLeft(
+      "array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')") {
+      (acc, k) =>
+        s"replace($acc, coalesce(pats[$k], chr(1)), coalesce(reps[$k], ''))"
+    }
+    val unions = (1 to numMerges)
+      .map(k => s"SELECT $k AS rank, l, r FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH ${bpeCtes(numMerges)},
+      mg AS MATERIALIZED (
+        SELECT list(l || ' ' || r ORDER BY rank) AS pats,
+               list(l || r ORDER BY rank) AS reps
+        FROM ($unions)),
+      dtk AS (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
+      enc AS (SELECT doc_id, lang, len(tk)::BIGINT AS nw,
+                list_aggregate(list_transform(tk, w -> len(w)), 'sum')::BIGINT AS nc,
+                list_transform(tk, w -> $chain) AS ew
+              FROM dtk CROSS JOIN mg),
+      rep AS (SELECT lang, nw, nc,
+                list_aggregate(list_transform(ew, e ->
+                  CASE WHEN e = '' THEN 0 ELSE len(string_split(e, ' ')) END),
+                  'sum')::BIGINT AS nt
+              FROM enc),
+      agg AS (SELECT lang, sum(nw)::BIGINT AS sum_words,
+                sum(nc)::BIGINT AS sum_word_chars,
+                sum(nt)::BIGINT AS sum_bpe_tokens
+              FROM rep GROUP BY 1)
+      SELECT lang, sum_words, sum_word_chars, sum_bpe_tokens,
+             CASE WHEN sum_words = 0 THEN NULL
+                  ELSE (sum_bpe_tokens * 1000) // sum_words END AS tokens_per_word_pm,
+             CASE WHEN sum_bpe_tokens = 0 THEN NULL
+                  ELSE (sum_word_chars * 1000) // sum_bpe_tokens END AS chars_per_token_pm
+      FROM agg ORDER BY lang"""
   }
 
   /** Shared CTE chain producing `spans(doc_id, start_tok, end_tok,
@@ -5511,6 +5553,7 @@ object SparkEntry {
       SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
       FROM szs GROUP BY 1 ORDER BY 1""",
     "text_bpe_apply" -> bpeApplyOracle(numMerges = 8),
+    "text_bpe_fertility" -> bpeFertilityOracle(numMerges = 8),
     // lift = pair_n·n_docs/(df_a·df_b): int products + one IEEE divide, no
     // libm log — see TextAnalysis.cooccurrenceLift
     "text_cooccurrence" -> s"""

@@ -1168,6 +1168,50 @@ object TextAnalysis {
         md5(array_join(col("ew"), " | ")).as("enc_md5"))
   }
 
+  /** Tokenizer fertility report per group (language/source): after
+    * encoding with the learned BPE merges, how many subword tokens does a
+    * word cost, and how many characters does a token carry — THE
+    * cross-language tokenizer-quality numbers (a tokenizer trained on
+    * English typically shows 2-3x worse fertility on underrepresented
+    * languages, which silently inflates their training cost and shrinks
+    * their effective context window). Integer ‰ ratios of BIGINT sums —
+    * order-free, bit-reproducible. Same scale shape as [[bpeEncode]]
+    * (merge table is a plan literal; encoding is a narrow scan) plus one
+    * map-side-combinable rollup. */
+  def bpeFertility(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, numMerges: Int): DataFrame = {
+    val merges = bpeMerges(df, textCol, numMerges)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    def charJoin(w: Column): Column =
+      when(length(w) === 0, lit(""))
+        .otherwise(array_join(
+          transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+          " "))
+    def encWord(w: Column): Column = merges.foldLeft(charJoin(w)) {
+      case (acc, (l, r)) => replace(acc, lit(s"$l $r"), lit(l + r))
+    }
+    df.select(col(groupCol), TF.tokens(col(textCol)).as("tk"))
+      .select(col(groupCol),
+        size(col("tk")).cast("long").as("nw"),
+        aggregate(col("tk"), lit(0L),
+          (a, w) => a + length(w).cast("long")).as("nc"),
+        aggregate(transform(col("tk"), w => encWord(w)), lit(0L), (acc, e) =>
+          acc + when(length(e) === 0, lit(0))
+            .otherwise(size(split(e, " "))).cast("long")).as("nt"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("nw")).as("sum_words"),
+           sum(col("nc")).as("sum_word_chars"),
+           sum(col("nt")).as("sum_bpe_tokens"))
+      // ANSI integer DIV by zero throws; an empty group reports NULL
+      .withColumn("tokens_per_word_pm",
+        when(col("sum_words") === 0, lit(null).cast("long"))
+          .otherwise(expr("sum_bpe_tokens * 1000 DIV sum_words")))
+      .withColumn("chars_per_token_pm",
+        when(col("sum_bpe_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("sum_word_chars * 1000 DIV sum_bpe_tokens")))
+  }
+
   def vocabularyReport(df: DataFrame, textCol: String, rsd: Double,
                        byCols: String*): DataFrame =
     df.select((byCols.map(col) :+

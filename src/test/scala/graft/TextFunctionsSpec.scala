@@ -811,4 +811,30 @@ class TextFunctionsSpec extends SparkSpec {
       s"exact dup pair must have zero novelty: $r")
     assert(r(3L)._2 == 1000000L, s"unique doc must score 1e6 ppm: $r")
   }
+
+  test("bpeFertility: hand-computed ratios on a corpus where merges actually fire") {
+    import spark.implicits._
+    // "aa" dominates: the first learned merge is (a,a); words of repeated
+    // a's then encode to ceil(len/2) tokens
+    val df = Seq(
+      (1L, "g1", "aaaa aaaa aa"),
+      (2L, "g1", "aaaa aa aa"),
+      (3L, "g2", "bc bc bc")
+    ).toDF("doc_id", "grp", "text")
+    val r = graft.operators.TextAnalysis
+      .bpeFertility(df, "doc_id", "text", "grp", numMerges = 1)
+      .collect().map(x => x.getAs[String]("grp") -> x).toMap
+    val g1 = r("g1")
+    // g1 words: aaaa,aaaa,aa,aaaa,aa,aa -> chars 4+4+2+4+2+2 = 18; with the
+    // (a,a) merge each word encodes to len/2 tokens -> 2+2+1+2+1+1 = 9
+    assert(g1.getAs[Long]("sum_words") == 6L)
+    assert(g1.getAs[Long]("sum_word_chars") == 18L)
+    assert(g1.getAs[Long]("sum_bpe_tokens") == 9L)
+    assert(g1.getAs[Long]("tokens_per_word_pm") == 1500L) // 9*1000 DIV 6
+    assert(g1.getAs[Long]("chars_per_token_pm") == 2000L) // 18*1000 DIV 9
+    val g2 = r("g2")
+    // g2: "bc" has no (a,a) pairs -> stays 2 single-char tokens per word
+    assert(g2.getAs[Long]("sum_bpe_tokens") == 6L)
+    assert(g2.getAs[Long]("tokens_per_word_pm") == 2000L)
+  }
 }
