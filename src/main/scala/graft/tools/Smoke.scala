@@ -327,6 +327,8 @@ object Smoke {
     TextAnalysis.ngramNovelty(docs, "doc_id", "text")
       .orderBy(col("novelty_ppm")).show(3)
     Dedup.weightedMinhashPairs(docs, "doc_id", "text", threshold = 0.3).show(3)
+    TextAnalysis.bpeFertility(docs, "doc_id", "text", "lang", numMerges = 8)
+      .show()
     lap("round-9")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
