@@ -1517,6 +1517,33 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("core_deg"))
       .orderBy("doc_id")
 
+  /** Bounded pointer-doubling hierarchy flatten — Spark's answer to the
+    * `WITH RECURSIVE` ancestor walk it lacks: a synthetic decimal forest
+    * over `part` (parent = partkey DIV 10, roots 1..9) flattened to
+    * (root, depth) in O(log depth) self-joins, verified against DuckDB's
+    * native recursive CTE. */
+  private def qHierarchy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.hierarchyFlatten(
+        t(s, dir, "part").select(col("p_partkey").as("id"),
+          when(col("p_partkey") >= 10, expr("p_partkey DIV 10")).as("parent")),
+        "id", "parent", maxDoublings = 4)
+      .select(col("id").as("p_partkey"), col("root"), col("depth"))
+      .orderBy("p_partkey")
+
+  /** Synchronous 3-round mode-label propagation over the same minhash
+    * candidate graph: community labels at the density granularity (a
+    * bridge pair between two template families does NOT merge them the
+    * way connected components would). Integer-encoded argmax, bit-exact
+    * vs the unrolled DuckDB replay. */
+  private def graphLabelprop(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.labelPropagation(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 128, bands = 16, threshold = 0.4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", rounds = 3)
+      .select(col("id").as("doc_id"), col("community"))
+      .orderBy("doc_id")
+
   /** DuckDB replica of `Graph.pageRank` over the minhash candidate graph:
     * the shared banded-pairs CTEs → thresholded pairs → symmetric edge
     * list → 5 unrolled integer-arithmetic iterations. `//` and `DIV` are
@@ -2792,6 +2819,8 @@ object SparkEntry {
     "graph_triangles"     -> graphTriangles _,
     "graph_cc_sizes"      -> graphCcSizes _,
     "graph_kcore"         -> graphKcore _,
+    "graph_labelprop"     -> graphLabelprop _,
+    "q_hierarchy"         -> qHierarchy _,
     "dedup_snm_multipass" -> ((s, dir) =>
       Dedup.sortedNeighborhoodMultiPass(t(s, dir, "documents"), "doc_id",
           "text", passes = 2, stride = 16)
@@ -5364,6 +5393,43 @@ object SparkEntry {
       ${kcoreOracleStages(k = 2, peels = 4)}
       SELECT src AS doc_id, count(*)::BIGINT AS core_deg
       FROM e4 CROSS JOIN kguard GROUP BY src ORDER BY doc_id""",
+    // 3 unrolled synchronous LPA rounds over the same candidate graph:
+    // per-round neighbor-label counts, argmax via the identical integer
+    // encode cnt*10^9 + (10^9-1-label) — max picks highest count then
+    // smallest label, exactly the engine's aggregate
+    "graph_labelprop" -> s"""
+      WITH ${OracleXX.minhashAgreeCtes(128, 16)},
+      kp AS (SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      e0 AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM kp
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM kp),
+      l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e0),
+      ${(1 to 3).map(r => s"""
+      c$r AS (SELECT e.dst, l.lbl, count(*)::BIGINT AS cnt
+              FROM e0 e JOIN l${r - 1} l ON e.src = l.id GROUP BY e.dst, l.lbl),
+      l$r AS (SELECT dst AS id,
+                (999999999 - (max(cnt * 1000000000 + (999999999 - lbl))
+                              % 1000000000))::BIGINT AS lbl
+              FROM c$r GROUP BY dst)""").mkString(",")}
+      SELECT id AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""",
+    // native recursive-CTE ancestor walk vs the engine's pointer doubling:
+    // same decimal forest (parent = partkey // 10, both floor on
+    // non-negatives), root/depth read from the deepest walk row per id
+    "q_hierarchy" -> """
+      WITH RECURSIVE nodes AS (
+        SELECT p_partkey AS id,
+               CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent
+        FROM part),
+      walk AS (
+        SELECT id, id AS cur, 0::BIGINT AS depth FROM nodes
+        UNION ALL
+        SELECT w.id, n.parent, w.depth + 1
+        FROM walk w JOIN nodes n ON w.cur = n.id
+        WHERE n.parent IS NOT NULL),
+      fin AS (SELECT id, max(depth) AS md FROM walk GROUP BY id)
+      SELECT w.id AS p_partkey, w.cur AS root, w.depth AS depth
+      FROM walk w JOIN fin f ON w.id = f.id AND w.depth = f.md
+      ORDER BY p_partkey""",
     // operation-for-operation replica of Int8QuantUtil.stats: max-abs
     // scale, floor (not round) codes clamped to +/-127, reconstruct,
     // sequential-sum dot products (list_dot_product === the JVM loop)

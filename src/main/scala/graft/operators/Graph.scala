@@ -155,6 +155,68 @@ object Graph {
     m
   }
 
+  /** Synchronous mode-label propagation (community detection) over an
+    * undirected pair relation: each round, every node adopts the most
+    * frequent label among its neighbors, ties broken toward the SMALLEST
+    * label. Unlike connected components (which answers "is there any
+    * path"), LPA splits a bridged near-dup graph into densely-connected
+    * communities — two template families joined by one accidental pair
+    * keep distinct labels, which is the right granularity for picking
+    * per-community canonical documents.
+    *
+    * Determinism: a fixed number of SYNCHRONOUS rounds (classic async LPA
+    * is order-dependent; synchronous rounds + min-label tie-break make
+    * the result a pure function of the graph). The per-round argmax is a
+    * single integer aggregate via the encode `cnt * L + (L-1-label)` —
+    * `max(enc)` picks the highest count, then the smallest label, with
+    * no floats and no engine-specific arg_max tie rules. Preconditions
+    * (documented, caller-guaranteed): labels are node ids in
+    * `[0, L-1]`, and `cnt * L` fits a BIGINT — with the default
+    * L = 10^9 that allows degrees to 9·10^9, far beyond the skew caps
+    * upstream pair generation enforces.
+    *
+    * Scale shape: each round is one equi-join of the slim symmetric edge
+    * list against the one-row-per-node label table, a map-side-combinable
+    * `(dst, label)` count, and a second map-side-combinable `max(enc)`
+    * aggregate — no windows, no bodies, no driver data. Rounds are a
+    * fixed constant (default 3 — LPA converges in a handful of rounds on
+    * the flat graphs dedup blocking emits; it is not run to fixpoint
+    * because synchronous LPA can 2-cycle on bipartite shapes). Each round
+    * output is cut ([[Materialize]]) so lineage stays O(1). */
+  def labelPropagation(pairs: DataFrame, idACol: String, idBCol: String,
+                       rounds: Int = 3,
+                       labelEncode: Long = 1000000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds must be in [1, 10], got $rounds")
+    require(labelEncode >= 1000L, s"labelEncode must be >= 10^3, got $labelEncode")
+    val edges = Materialize.cut(
+      pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))))
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var prevCut: DataFrame = null
+    for (r <- 1 to rounds) {
+      val cnts = edges
+        .join(lab.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = Materialize.cut(cnts
+        .select(col("dst"),
+          (col("cnt") * labelEncode + (lit(labelEncode - 1) - col("lbl"))).as("enc"))
+        .groupBy("dst").agg(max(col("enc")).as("me"))
+        .select(col("dst").as("id"),
+          (lit(labelEncode - 1) - col("me") % labelEncode).as("lbl")))
+      if (prevCut != null) Materialize.releaseNow(prevCut)
+      prevCut = next
+      lab = next
+    }
+    val out = Materialize.cut(
+      lab.select(col("id"), col("lbl").as("community")))
+    Materialize.releaseNow(prevCut)
+    Materialize.releaseNow(edges)
+    out
+  }
+
   /** Component-size histogram over a (member → component) labeling: the
     * one-page answer to "how pathological is the duplicate graph" (many
     * pairs vs few giant crawl-template components decide whether

@@ -221,6 +221,66 @@ object Relational {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Flatten an id → parent hierarchy to (id, root, depth) in
+    * O(log depth) self-joins — Spark's scale answer to a `WITH RECURSIVE`
+    * ancestor walk (which Spark SQL lacks, and which a naive per-level
+    * loop would run in O(depth) shuffles; a 64-deep BOM chain costs 6
+    * doubling rounds here, not 64).
+    *
+    * Pointer doubling: the state table maps every node to an ancestor
+    * exactly `min(2^k, distance-to-root)` steps up plus the step count;
+    * each round composes the state with itself (`anc ← state[anc]`,
+    * `depth ← depth + state[anc].depth`). Roots map to themselves at
+    * depth 0, so composition is idempotent once the root is reached.
+    * All-integer state — deterministic under any scheduling.
+    *
+    * Scale shape: each round is ONE equi-join of the slim
+    * (id, anc, depth) state with itself re-keyed by `anc` — no windows,
+    * no bodies, no driver data; round outputs are cut so lineage stays
+    * O(1). `maxDoublings` rounds reach depth `2^maxDoublings`; the
+    * fixpoint is then VERIFIED (count of rows whose ancestor still has a
+    * parent) and the operator fails loudly rather than returning a
+    * half-flattened hierarchy if the tree is deeper.
+    *
+    * `nodes(idCol, parentCol)`: one row per node, `parentCol` NULL for
+    * roots. Cycles never converge and are reported by the same loud
+    * check. */
+  def hierarchyFlatten(nodes: DataFrame, idCol: String, parentCol: String,
+                       maxDoublings: Int = 6): DataFrame = {
+    import graft.util.Materialize
+    require(maxDoublings >= 1 && maxDoublings <= 20,
+      s"maxDoublings must be in [1, 20], got $maxDoublings")
+    val base = Materialize.cut(nodes.select(
+      col(idCol).as("id"),
+      coalesce(col(parentCol), col(idCol)).as("anc"),
+      when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("depth")))
+    var state = base
+    for (_ <- 1 to maxDoublings) {
+      val lookup = state.select(col("id").as("anc"),
+        col("anc").as("anc2"), col("depth").as("d2"))
+      val next = Materialize.cut(state.join(lookup, "anc")
+        .select(col("id"), col("anc2").as("anc"),
+          (col("depth") + col("d2")).as("depth")))
+      if (state ne base) Materialize.releaseNow(state)
+      state = next
+    }
+    // loud fixpoint check: every final ancestor must be a root (its base
+    // row has depth 0 — for roots anc = id with no step taken)
+    val unresolved = state.join(
+        base.where(col("depth") > 0).select(col("id").as("anc")),
+        Seq("anc"), "left_semi")
+      .count()
+    if (unresolved > 0L)
+      throw new IllegalStateException(
+        s"hierarchyFlatten: $unresolved nodes deeper than 2^$maxDoublings " +
+        "(or a parent cycle) — raise maxDoublings or break the cycle")
+    val out = Materialize.cut(
+      state.select(col("id"), col("anc").as("root"), col("depth")))
+    if (state ne base) Materialize.releaseNow(state)
+    Materialize.releaseNow(base)
+    out
+  }
+
   def bucketMaterialize(df: DataFrame, table: String, key: String,
                         buckets: Int, path: String): DataFrame = {
     val spark = df.sparkSession

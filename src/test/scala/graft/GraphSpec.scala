@@ -140,4 +140,38 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getAs[Long]("id") -> x.getAs[Long]("core_deg").toInt).toMap
     assert(got == expect, s"engine ${got.size} nodes vs reference ${expect.size}")
   }
+
+  test("labelPropagation: bridged cliques keep distinct communities (hand-traced)") {
+    // two triangles {1,2,3} and {4,5,6} bridged by edge 3-4. Hand trace
+    // (synchronous rounds, min-label tie-break):
+    //   l1: 1->2 2->1 3->1 4->3 5->4 6->4
+    //   l2: 1->1 2->1 3->1 4->4 5->3 6->3
+    //   l3: 1->1 2->1 3->1 4->3 5->3 6->3
+    // — the bridge does NOT merge the cliques (CC would label all six 1)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val r = Graph.labelPropagation(g, "id_a", "id_b", rounds = 3).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("community")).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $r")
+  }
+
+  test("labelPropagation: argmax prefers count over label; partitioning-invariant") {
+    // star 0-{1,2,3} plus edge 1-2: after round 1, node 0 sees labels
+    // {1,2,3} (tie -> 1); nodes 1,2 see {0, other} -> 0; node 3 sees {0}.
+    // Count beats label: in round 2, node 0 sees {0,0,0} -> 0.
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("id_a", "id_b")
+    val r = Graph.labelPropagation(g, "id_a", "id_b", rounds = 2).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("community")).toMap
+    assert(r(0L) == 0L, s"count must beat label in the argmax: $r")
+    val docs = spark.read.parquet(sf("documents"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+    val a = Graph.labelPropagation(pairs.repartition(7), "id_a", "id_b")
+      .orderBy("id").collect().toSeq
+    val b = Graph.labelPropagation(pairs.repartition(2), "id_a", "id_b")
+      .orderBy("id").collect().toSeq
+    assert(a == b, "labelPropagation depends on input partitioning")
+  }
 }

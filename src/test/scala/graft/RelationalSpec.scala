@@ -412,4 +412,29 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"))).sorted
     assert(again.toSeq == first.toSeq)
   }
+
+  test("hierarchyFlatten: chain + forest roots/depths; loud on too-shallow bound and cycles") {
+    import spark.implicits._
+    // forest: chain 1<-2<-3<-4<-5 (parent i-1), plus root 9 with child 10
+    val nodes = Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(3L)),
+      (5L, Some(4L)), (9L, None), (10L, Some(9L)))
+      .toDF("id", "parent")
+    val r = Relational.hierarchyFlatten(nodes, "id", "parent",
+        maxDoublings = 3).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Long]("root"), x.getAs[Long]("depth")))).toMap
+    assert(r == Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 2L)),
+      4L -> ((1L, 3L)), 5L -> ((1L, 4L)), 9L -> ((9L, 0L)),
+      10L -> ((9L, 1L))), s"got $r")
+    // depth 4 chain cannot resolve with 1 doubling (reach = 2): loud error
+    intercept[IllegalStateException] {
+      Relational.hierarchyFlatten(nodes, "id", "parent", maxDoublings = 1)
+    }
+    // a 2-cycle never reaches a root: loud error, not an infinite loop
+    val cyc = Seq((20L, Some(21L)), (21L, Some(20L))).toDF("id", "parent")
+    intercept[IllegalStateException] {
+      Relational.hierarchyFlatten(cyc, "id", "parent", maxDoublings = 4)
+    }
+  }
 }
