@@ -410,6 +410,16 @@ object SparkEntry {
         "event_type", "hour", "y")
       .orderBy("event_type")
 
+  /** First/last-touch attribution: purchases credited to the preceding
+    * click/view by the same user (total order: ts_ms, event_id), revenue
+    * rolled up per touch channel in exact cents. */
+  private def eventsAttribution(s: SparkSession, dir: String): DataFrame =
+    Analytics.attribution(
+        events(s, dir).withColumn("value_cents", cents(col("value"))),
+        "user_id", Seq("ts_ms", "event_id"), "event_type", "value_cents",
+        conversionType = "purchase", touchTypes = Seq("click", "view"))
+      .orderBy("touch_type")
+
   /** Fact-to-dim join under key skew via salt replication
     * ([[graft.operators.Analytics.saltedJoin]]): events scatter across 8
     * salt copies of the customer dim, pinned to a shuffled-hash join (the
@@ -1278,6 +1288,27 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4,
         centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
       .orderBy("src", "rank")
+  }
+
+  /** Graph-flavored semantic dedup (the SemDeDup alternative that needs
+    * no cluster-size cap): the k-NN graph thresholded at cosine >= 0.35
+    * becomes an undirected pair relation, connected components label the
+    * semantic-duplicate groups, and the min-id member survives. Composes
+    * three already-verified operators into one plan — blocking stays at
+    * the IVF-cell level, the CC rounds shuffle only (id, label). */
+  private def dedupSemanticGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val edges = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4,
+        centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
+      .where(col("cosine") >= 0.35)
+      .select(least(col("src"), col("dst")).as("id_a"),
+              greatest(col("src"), col("dst")).as("id_b"))
+      .distinct()
+    Dedup.connectedComponents(emb.select("vec_id"), edges, "vec_id")
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).cast("long").as("is_survivor"))
+      .orderBy("vec_id")
   }
 
   /** PQ ANN with FIXED deterministic codebooks: encode → ADC top-refine →
@@ -2687,6 +2718,7 @@ object SparkEntry {
     "events_retention"    -> eventsRetention _,
     "events_anomaly"      -> eventsAnomaly _,
     "events_holt"         -> eventsHolt _,
+    "events_attribution"  -> eventsAttribution _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
@@ -2808,6 +2840,7 @@ object SparkEntry {
     "sim_embed_qa"        -> simEmbedQa _,
     "sim_ivf_range"       -> simIvfRange _,
     "sim_knn_graph"       -> simKnnGraph _,
+    "dedup_semantic_graph" -> dedupSemanticGraph _,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
     "text_bpe_merges"     -> textBpeMerges _,
     "text_heavy_hitters"  -> textHeavyHitters _,
@@ -4708,6 +4741,30 @@ object SparkEntry {
         FROM scored)
       SELECT src, dst, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= 5 ORDER BY src, rank""",
+    // the sim_knn_graph replica thresholded into an undirected pair
+    // relation, then DuckDB's native recursive reachability + min-id
+    // labeling — the same composition the engine runs (IVF blocking →
+    // k-NN cut → connected components → min-id survivor)
+    "dedup_semantic_graph" -> s"""
+      WITH RECURSIVE ${ivfReplicaCtes(Similarity.fixedCentroids(16, 64),
+                                      nProbe = 4, dim = 64, queryPred = "TRUE")},
+      ranked AS (
+        SELECT qid AS src, id AS dst, cosine,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored),
+      kp AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+        FROM ranked WHERE rank <= 5 AND cosine >= 0.35::DOUBLE),
+      eg AS (SELECT id_a AS src, id_b AS dst FROM kp
+             UNION SELECT id_b, id_a FROM kp),
+      reach AS (
+        SELECT vec_id AS id, vec_id AS r FROM embeddings
+        UNION
+        SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id)
+      SELECT id AS vec_id, min(r) AS cluster_id,
+             (CASE WHEN id = min(r) THEN 1 ELSE 0 END)::BIGINT AS is_survivor
+      FROM reach GROUP BY id ORDER BY vec_id""",
     "sim_rp_topk" -> rpReplicaOracle(
       Similarity.fixedProjection(16, 64), k = 10, refine = 50),
     "sim_pq_topk" -> pqReplicaOracle(
@@ -5221,6 +5278,39 @@ object SparkEntry {
     // the engine's shiftright(x, 1) is floor division by 2 — identical to
     // DuckDB's BIGINT `>> 1` on negatives too (its `//` TRUNCATES), so the CTE replays the
     // integer Holt recurrence bit-exactly
+    // first/last preceding touch via IGNORE NULLS window scans over the
+    // same (ts, event_id) total order; credit in exact cents; full outer
+    // across the two rollups (a type can be first-touch yet never last)
+    "events_attribution" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+               (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+        FROM events),
+      w AS (
+        SELECT event_type, cents,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                 OVER pre AS lt,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS)
+                 OVER pre AS ft
+        FROM e
+        WINDOW pre AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      c AS (SELECT * FROM w WHERE event_type = 'purchase' AND lt IS NOT NULL),
+      bf AS (SELECT ft AS touch_type, count(*)::BIGINT AS n_first,
+                    sum(cents)::BIGINT AS cents_first
+             FROM c GROUP BY 1),
+      bl AS (SELECT lt AS touch_type, count(*)::BIGINT AS n_last,
+                    sum(cents)::BIGINT AS cents_last
+             FROM c GROUP BY 1)
+      SELECT coalesce(bf.touch_type, bl.touch_type) AS touch_type,
+             coalesce(n_first, 0)::BIGINT AS n_first,
+             coalesce(cents_first, 0)::BIGINT AS cents_first,
+             coalesce(n_last, 0)::BIGINT AS n_last,
+             coalesce(cents_last, 0)::BIGINT AS cents_last
+      FROM bf FULL OUTER JOIN bl ON bf.touch_type = bl.touch_type
+      ORDER BY touch_type""",
     "events_holt" -> """
       WITH RECURSIVE ev AS (
         SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),

@@ -346,4 +346,52 @@ object Analytics {
               col("st.b").as("trend_fp"),
               (col("st.l") + col("st.b")).as("forecast_fp"))
   }
+
+  /** First-touch and last-touch conversion attribution: every conversion
+    * event is credited to the first / most recent PRECEDING touch event
+    * (e.g. click/view before a purchase) by the same user, and credit is
+    * rolled up per touch type — the "which channel drives revenue" report.
+    * Conversions with no prior touch are unattributable and dropped (the
+    * report is about touches, and NULL rows would hash asymmetrically).
+    *
+    * The preceding-touch scan is `first/last(_, ignoreNulls)` over a
+    * per-user ROWS window ordered by `orderCols` — callers must make that
+    * ordering TOTAL within a user (e.g. timestamp + event id), because a
+    * RANGE frame's peer-row order is engine-defined, which would break
+    * determinism exactly on tied timestamps. `valueCentsCol` must be an
+    * exact integer (money as cents) so credit sums are order-independent.
+    *
+    * Scale shape: ONE shuffle by user for the window (per-user history
+    * sorts in parallel across partitions, the same hot-key caveat as any
+    * per-key ordered scan — see [[Relational.asofJoin]]), then two
+    * map-side-combinable aggregates whose key domain is the touch-type
+    * vocabulary (tiny), joined with a broadcast-sized full-outer (a type
+    * can be someone's first touch yet nobody's last). No bodies, no
+    * driver data. */
+  def attribution(events: DataFrame, userCol: String, orderCols: Seq[String],
+                  typeCol: String, valueCentsCol: String,
+                  conversionType: String, touchTypes: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "attribution needs a total per-user order")
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*), col(typeCol))
+    val conv = events
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .where(col(typeCol) === conversionType && col("__last").isNotNull)
+    val byLast = conv.groupBy(col("__last").as("touch_type"))
+      .agg(count(lit(1)).as("n_last"),
+           sum(col(valueCentsCol)).as("cents_last"))
+    val byFirst = conv.groupBy(col("__first").as("touch_type"))
+      .agg(count(lit(1)).as("n_first"),
+           sum(col(valueCentsCol)).as("cents_first"))
+    byFirst.join(byLast, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("cents_first"), lit(0L)).as("cents_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("cents_last"), lit(0L)).as("cents_last"))
+  }
 }

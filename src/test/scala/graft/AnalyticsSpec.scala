@@ -200,4 +200,26 @@ class AnalyticsSpec extends SparkSpec {
            rb.getAs[Long]("n_clipped_lo") == 0L &&
            rb.getAs[Long]("n_clipped_hi") == 0L)
   }
+
+  test("attribution: first/last preceding touch, unattributable dropped, cents exact") {
+    // u1: click, view, purchase(1000c)        -> first=click, last=view
+    // u2: purchase with no prior touch        -> dropped
+    // u3: view, purchase(500c), click, purchase(700c)
+    //     -> both first=view; lasts: view then click
+    val rows = Seq(
+      (1L, 10L, "click", 0L), (1L, 11L, "view", 0L), (1L, 12L, "purchase", 1000L),
+      (2L, 20L, "purchase", 999L),
+      (3L, 30L, "view", 0L), (3L, 31L, "purchase", 500L),
+      (3L, 32L, "click", 0L), (3L, 33L, "purchase", 700L))
+      .toDF("user_id", "event_id", "event_type", "value_cents")
+      .withColumn("ts_ms", col("event_id") * 1000L)
+    val r = Analytics.attribution(rows, "user_id", Seq("ts_ms", "event_id"),
+        "event_type", "value_cents", "purchase", Seq("click", "view"))
+      .collect().map(x => x.getAs[String]("touch_type") ->
+        ((x.getAs[Long]("n_first"), x.getAs[Long]("cents_first"),
+          x.getAs[Long]("n_last"), x.getAs[Long]("cents_last")))).toMap
+    assert(r == Map(
+      "click" -> ((1L, 1000L, 1L, 700L)),
+      "view"  -> ((2L, 1200L, 2L, 1500L))), s"got $r")
+  }
 }
