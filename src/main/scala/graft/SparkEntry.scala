@@ -420,6 +420,71 @@ object SparkEntry {
         conversionType = "purchase", touchTypes = Seq("click", "view"))
       .orderBy("touch_type")
 
+  /** Quality-first token-budget cut: the best-scoring documents admitted
+    * until the 12k-token training budget is spent — global rank-ordered
+    * prefix sum with no single-task window (the order is encoded into the
+    * range-partition key). */
+  private def curationTokenBudget(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBudgetCut(t(s, dir, "documents"), "doc_id",
+        TF.qualityScore(col("text")), TF.bpeishTokenCount(col("text")),
+        budget = 12000L)
+      .orderBy("doc_id")
+
+  /** LIVE streaming attribution — time-sliced ingestion (three
+    * micro-batches in event-time order), per-user first/last-touch state
+    * carried across batches via `flatMapGroupsWithState`
+    * ([[graft.streaming.Attribution]]), conversions credited as they
+    * arrive, the credit stream sunk to parquet and rolled up into the
+    * SAME report as `events_attribution` — gated against the identical
+    * oracle, proving batch/streaming parity for the stateful fold. */
+  private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-attr")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts_ms"), col("event_type"), cents(col("value")).as("value_cents"))
+    // fixed event-time slices (the data spans 2024-01): batch order =
+    // time order, the streaming fold's ordering contract
+    val cuts = Seq(Long.MinValue, 1704931200000L, 1705795200000L, Long.MaxValue)
+    (0 to 2).foreach { i =>
+      val part = work.resolve(s"b$i")
+      ev.where(col("ts_ms") >= cuts(i) && col("ts_ms") < cuts(i + 1))
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(s"b$i.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val credits = incoming.as[graft.streaming.Attribution.In]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        graft.streaming.Attribution.creditsPerGroup(
+          Set("click", "view"), "purchase"))
+    val out = work.resolve("out").toString
+    val q = credits.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val em = s.read.parquet(out)
+    val byFirst = em.groupBy(col("first_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_first"), sum(col("cents")).as("cents_first"))
+    val byLast = em.groupBy(col("last_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_last"), sum(col("cents")).as("cents_last"))
+    byFirst.join(byLast, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("cents_first"), lit(0L)).as("cents_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("cents_last"), lit(0L)).as("cents_last"))
+      .orderBy("touch_type")
+  }
+
   /** Fact-to-dim join under key skew via salt replication
     * ([[graft.operators.Analytics.saltedJoin]]): events scatter across 8
     * salt copies of the customer dim, pinned to a shuffled-hash join (the
@@ -2712,6 +2777,7 @@ object SparkEntry {
     "stream_static_join"  -> streamStaticJoin _,
     "stream_value_histogram" -> streamValueHistogram _,
     "stream_upsert"       -> streamUpsert _,
+    "stream_attribution"  -> streamAttribution _,
     "stream_late_data"    -> streamLateData _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
@@ -2825,6 +2891,7 @@ object SparkEntry {
         .select("doc_id", "source", "rank_in_source", "pos")
         .orderBy("pos")),
     "curation_source_cap" -> curationSourceCap _,
+    "curation_token_budget" -> curationTokenBudget _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -3533,6 +3600,40 @@ object SparkEntry {
   /** Funnel oracle (greedy first-touch, 7-day step window) — shared by the
     * batch funnel and its live streaming twin, which must land on the
     * identical summary. */
+  /** Shared by `events_attribution` (batch window scan) and
+    * `stream_attribution` (the live stateful fold): both must reproduce
+    * this report bit-exactly. */
+  private val attributionOracle: String = """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+               (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+        FROM events),
+      w AS (
+        SELECT event_type, cents,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                 OVER pre AS lt,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS)
+                 OVER pre AS ft
+        FROM e
+        WINDOW pre AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      c AS (SELECT * FROM w WHERE event_type = 'purchase' AND lt IS NOT NULL),
+      bf AS (SELECT ft AS touch_type, count(*)::BIGINT AS n_first,
+                    sum(cents)::BIGINT AS cents_first
+             FROM c GROUP BY 1),
+      bl AS (SELECT lt AS touch_type, count(*)::BIGINT AS n_last,
+                    sum(cents)::BIGINT AS cents_last
+             FROM c GROUP BY 1)
+      SELECT coalesce(bf.touch_type, bl.touch_type) AS touch_type,
+             coalesce(n_first, 0)::BIGINT AS n_first,
+             coalesce(cents_first, 0)::BIGINT AS cents_first,
+             coalesce(n_last, 0)::BIGINT AS n_last,
+             coalesce(cents_last, 0)::BIGINT AS cents_last
+      FROM bf FULL OUTER JOIN bl ON bf.touch_type = bl.touch_type
+      ORDER BY touch_type"""
+
   private val funnelOracle: String = """
       WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t
                   FROM events),
@@ -5275,42 +5376,15 @@ object SparkEntry {
              n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE AS share
       FROM c ORDER BY hour, event_type""",
     "graph_pagerank" -> pagerankOracle(iters = 5),
-    // the engine's shiftright(x, 1) is floor division by 2 — identical to
-    // DuckDB's BIGINT `>> 1` on negatives too (its `//` TRUNCATES), so the CTE replays the
-    // integer Holt recurrence bit-exactly
     // first/last preceding touch via IGNORE NULLS window scans over the
     // same (ts, event_id) total order; credit in exact cents; full outer
     // across the two rollups (a type can be first-touch yet never last)
-    "events_attribution" -> """
-      WITH e AS (
-        SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
-               (value::DECIMAL(18,2) * 100)::BIGINT AS cents
-        FROM events),
-      w AS (
-        SELECT event_type, cents,
-               last_value(CASE WHEN event_type IN ('click', 'view')
-                               THEN event_type END IGNORE NULLS)
-                 OVER pre AS lt,
-               first_value(CASE WHEN event_type IN ('click', 'view')
-                                THEN event_type END IGNORE NULLS)
-                 OVER pre AS ft
-        FROM e
-        WINDOW pre AS (PARTITION BY user_id ORDER BY t, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-      c AS (SELECT * FROM w WHERE event_type = 'purchase' AND lt IS NOT NULL),
-      bf AS (SELECT ft AS touch_type, count(*)::BIGINT AS n_first,
-                    sum(cents)::BIGINT AS cents_first
-             FROM c GROUP BY 1),
-      bl AS (SELECT lt AS touch_type, count(*)::BIGINT AS n_last,
-                    sum(cents)::BIGINT AS cents_last
-             FROM c GROUP BY 1)
-      SELECT coalesce(bf.touch_type, bl.touch_type) AS touch_type,
-             coalesce(n_first, 0)::BIGINT AS n_first,
-             coalesce(cents_first, 0)::BIGINT AS cents_first,
-             coalesce(n_last, 0)::BIGINT AS n_last,
-             coalesce(cents_last, 0)::BIGINT AS cents_last
-      FROM bf FULL OUTER JOIN bl ON bf.touch_type = bl.touch_type
-      ORDER BY touch_type""",
+    "events_attribution" -> attributionOracle,
+    // the LIVE stateful fold must reproduce the batch report bit-exactly
+    "stream_attribution" -> attributionOracle,
+    // the engine's shiftright(x, 1) is floor division by 2 — identical to
+    // DuckDB's BIGINT `>> 1` on negatives too (its `//` TRUNCATES), so the
+    // CTE replays the integer Holt recurrence bit-exactly
     "events_holt" -> """
       WITH RECURSIVE ev AS (
         SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
@@ -5847,6 +5921,22 @@ object SparkEntry {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""
     },
+    // global (quality DESC, doc_id) running token sum replayed as one
+    // ordered window; same admission rule offset < budget, straddling
+    // document included
+    "curation_token_budget" -> s"""
+      WITH $qualityKeptCtes,
+      tk AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT s.doc_id, s.quality::BIGINT AS quality, t.n_tokens,
+               coalesce(sum(t.n_tokens) OVER (ORDER BY s.quality DESC, s.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+        FROM scored s JOIN tk t USING (doc_id))
+      SELECT doc_id, quality, n_tokens, "offset" FROM o
+      WHERE "offset" < 12000 ORDER BY doc_id""",
     "curation_source_cap" -> """
       SELECT doc_id, source, n_chars, group_rank FROM (
         SELECT doc_id, source, n_chars,

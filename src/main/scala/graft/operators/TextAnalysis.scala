@@ -489,6 +489,44 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Quality-first token-budget cut — "take the best documents until the
+    * training budget is spent": documents ranked by (quality DESC, id ASC)
+    * are admitted while the running token total is still under `budget`;
+    * the straddling document is included (budget is a target, not a hard
+    * cap — documents are never split). The standard data-mixing primitive
+    * when a corpus holds more tokens than the training run will consume.
+    *
+    * Scale shape: the global rank-ordered running sum is the SAME two-pass
+    * distributed prefix sum as [[packingOffsets]] — the rank order is
+    * encoded into one sortable BIGINT key (`(maxQuality - q) * 10^12 +
+    * id`, so range-partitioning by the key IS the quality ordering) and
+    * no single-task global window ever exists. Preconditions: `quality`
+    * in [0, maxQuality], ids non-negative < 10^12.
+    *
+    * Output: one row per ADMITTED document with its quality, token count
+    * and `offset` (tokens admitted before it — `offset < budget` is the
+    * admission rule). */
+  def tokenBudgetCut(df: DataFrame, idCol: String,
+                     quality: org.apache.spark.sql.Column,
+                     tokens: org.apache.spark.sql.Column,
+                     budget: Long, maxQuality: Long = 1000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxQuality > 0, "maxQuality must be positive")
+    val idScale = 1000000000000L
+    val keyed = df.select(col(idCol),
+        quality.cast("long").as("__q"), tokens.cast("long").as("__n"))
+      .select(((lit(maxQuality) - col("__q")) * idScale + col(idCol)).as("__k"),
+        col("__n"))
+    val (offs, persisted) = withPrefixOffsets(keyed, "__k", col("__n"), "n_tokens")
+    try {
+      graft.util.Materialize.cut(
+        offs.where(col("offset") < budget)
+          .select((col("__k") % idScale).as(idCol),
+                  (lit(maxQuality) - expr(s"__k DIV $idScale")).as("quality"),
+                  col("n_tokens"), col("offset")))
+    } finally { persisted.unpersist(); () }
+  }
+
   /** Context-window packing manifest — the loader-facing output of GPT-style
     * pretraining packing: documents in `idCol` order are laid out
     * back-to-back in token space, each followed by ONE end-of-document

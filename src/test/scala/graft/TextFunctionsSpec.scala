@@ -141,6 +141,30 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, 10L, 20L, 0L), (4L, 30L, 30L, 1L), (5L, 1L, 60L, 2L)), out.toString)
   }
 
+  test("tokenBudgetCut: quality-first admission, straddler included, id tie-break") {
+    import graft.operators.TextAnalysis
+    // rank order (q DESC, id ASC): 2(q900,n4) 3(q900,n3) 4(q500,n10) 1(q100,n5)
+    // offsets 0, 4, 7, 17; budget 8 admits 2, 3 and the straddling 4
+    val df = spark.createDataFrame(Seq(
+      (1L, 100L, 5L), (2L, 900L, 4L), (3L, 900L, 3L), (4L, 500L, 10L)))
+      .toDF("doc_id", "q", "n")
+    val out = TextAnalysis.tokenBudgetCut(df, "doc_id", col("q"), col("n"),
+        budget = 8L).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("quality"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("offset")))).toMap
+    assert(out == Map(2L -> ((900L, 4L, 0L)), 3L -> ((900L, 3L, 4L)),
+      4L -> ((500L, 10L, 7L))), s"got $out")
+    // partitioning-invariant (the prefix sum is keyed, not task-ordered)
+    val again = TextAnalysis.tokenBudgetCut(df.repartition(7), "doc_id",
+        col("q"), col("n"), budget = 8L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val first = TextAnalysis.tokenBudgetCut(df.repartition(2), "doc_id",
+        col("q"), col("n"), budget = 8L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(again == first)
+  }
+
   test("gopherFilter drops repetitive docs independent of the quality gate") {
     import graft.operators.TextAnalysis
     val df = spark.createDataFrame(Seq(
