@@ -420,6 +420,38 @@ object SparkEntry {
         conversionType = "purchase", touchTypes = Seq("click", "view"))
       .orderBy("touch_type")
 
+  /** RFM segmentation over the event log: per-user recency (hours since
+    * corpus max), frequency, purchase cents, scored 1..5 against fixed
+    * cuts drawn from the corpus quintiles. */
+  private def eventsRfm(s: SparkSession, dir: String): DataFrame =
+    Analytics.rfmScores(
+        events(s, dir).withColumn("value_cents", cents(col("value"))),
+        "user_id", "ts_ms", "event_type", "value_cents", "purchase",
+        rHourCuts = Seq(2L, 5L, 8L, 16L),
+        fCuts = Seq(59L, 64L, 69L, 74L),
+        mCuts = Seq(46000L, 55000L, 64000L, 80000L))
+      .orderBy("user_id")
+
+  /** Exact media dedup by content digest — the first pass of every
+    * multimodal pipeline: decode once (digest extracted at the decode
+    * stage, bytes never shuffle), group by digest, min-id survivor. */
+  private def mmDedupExact(s: SparkSession, dir: String): DataFrame = {
+    // the corpus holds near-dups but no byte-exact ones — plant them (a
+    // re-keyed full copy), so every digest group is a genuine 2-way dup
+    // and the survivor cut actually cuts
+    val base = t(s, dir, "documents")
+    val docs = base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + 1000000L))
+      .withColumn("kind", lit("image"))
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", col("kind"))
+    Multimodal.decodeMeta(media).toDF()
+      .groupBy("payload_md5")
+      .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("dup_count"),
+           sum(col("byteLen")).as("total_bytes"))
+      .select("survivor_id", "dup_count", "total_bytes", "payload_md5")
+      .orderBy("survivor_id")
+  }
+
   /** Quality-first token-budget cut: the best-scoring documents admitted
     * until the 12k-token training budget is spent — global rank-ordered
     * prefix sum with no single-task window (the order is encoded into the
@@ -2785,6 +2817,7 @@ object SparkEntry {
     "events_anomaly"      -> eventsAnomaly _,
     "events_holt"         -> eventsHolt _,
     "events_attribution"  -> eventsAttribution _,
+    "events_rfm"          -> eventsRfm _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
@@ -3021,6 +3054,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
+    "mm_dedup_exact"      -> mmDedupExact _,
     "mm_image_headers"    -> mmImageHeaders _,
     "events_json"         -> eventsJson _,
     "events_json_malformed" -> eventsJsonMalformed _,
@@ -5380,6 +5414,39 @@ object SparkEntry {
     // same (ts, event_id) total order; credit in exact cents; full outer
     // across the two rollups (a type can be first-touch yet never last)
     "events_attribution" -> attributionOracle,
+    // per-user aggregate + fixed-cut scoring; recency scores DOWN, the
+    // corpus max rides a cross join exactly like the engine's broadcast
+    "events_rfm" -> """
+      WITH u AS (
+        SELECT user_id, max(epoch_ms(ts)) AS last_ms,
+               count(*)::BIGINT AS freq,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN (value::DECIMAL(18,2) * 100)::BIGINT
+                        ELSE 0 END)::BIGINT AS cents
+        FROM events GROUP BY user_id),
+      mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+      sc AS (
+        SELECT user_id, ((m - last_ms) // 3600000)::BIGINT AS r_hours,
+               freq, cents
+        FROM u CROSS JOIN mx),
+      s2 AS (
+        SELECT user_id, r_hours, freq, cents,
+               (5 - (CASE WHEN r_hours > 2 THEN 1 ELSE 0 END +
+                     CASE WHEN r_hours > 5 THEN 1 ELSE 0 END +
+                     CASE WHEN r_hours > 8 THEN 1 ELSE 0 END +
+                     CASE WHEN r_hours > 16 THEN 1 ELSE 0 END))::BIGINT AS r_score,
+               (1 + CASE WHEN freq >= 59 THEN 1 ELSE 0 END +
+                    CASE WHEN freq >= 64 THEN 1 ELSE 0 END +
+                    CASE WHEN freq >= 69 THEN 1 ELSE 0 END +
+                    CASE WHEN freq >= 74 THEN 1 ELSE 0 END)::BIGINT AS f_score,
+               (1 + CASE WHEN cents >= 46000 THEN 1 ELSE 0 END +
+                    CASE WHEN cents >= 55000 THEN 1 ELSE 0 END +
+                    CASE WHEN cents >= 64000 THEN 1 ELSE 0 END +
+                    CASE WHEN cents >= 80000 THEN 1 ELSE 0 END)::BIGINT AS m_score
+        FROM sc)
+      SELECT user_id, r_hours, freq, cents, r_score, f_score, m_score,
+             (r_score * 100 + f_score * 10 + m_score)::BIGINT AS segment
+      FROM s2 ORDER BY user_id""",
     // the LIVE stateful fold must reproduce the batch report bit-exactly
     "stream_attribution" -> attributionOracle,
     // the engine's shiftright(x, 1) is floor division by 2 — identical to
@@ -6330,6 +6397,19 @@ object SparkEntry {
         ('img4_gray.jpg', 'jpeg', 12, 34, 1, 8))
         AS t(name, format, width, height, channels, bit_depth)
       ORDER BY name""",
+    // digest replica: DuckDB md5(VARCHAR) hashes the UTF-8 bytes, exactly
+    // the payload the engine digests at its decode stage
+    "mm_dedup_exact" -> """
+      WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      m AS (
+        SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS b,
+               md5(text) AS h
+        FROM d)
+      SELECT min(id) AS survivor_id, count(*)::BIGINT AS dup_count,
+             sum(b)::BIGINT AS total_bytes, h AS payload_md5
+      FROM m GROUP BY h ORDER BY survivor_id""",
     "mm_frames" -> """
       WITH m AS (
         SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS len

@@ -347,6 +347,49 @@ object Analytics {
               (col("st.l") + col("st.b")).as("forecast_fp"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * user-value report: per user, hours since last activity, event count,
+    * and purchase revenue in exact cents, each scored 1..5 against FIXED
+    * configured thresholds. Fixed cuts (not quantiles) are deliberate:
+    * they make scores stable across runs and re-scorable incrementally at
+    * 100 TB (a global quantile would need a full re-rank of every user on
+    * every refresh, and its tie handling differs across engines).
+    *
+    * `rHourCuts`/`fCuts`/`mCuts` are 4 ascending thresholds each (the
+    * 2..5 score boundaries); recency scores DOWN (smaller = better).
+    *
+    * Scale shape: one map-side-combinable per-user aggregate; the corpus
+    * max timestamp rides a broadcast cross join (never a driver collect);
+    * scoring is pure row-local integer arithmetic. */
+  def rfmScores(events: DataFrame, userCol: String, tsMsCol: String,
+                typeCol: String, valueCentsCol: String, purchaseType: String,
+                rHourCuts: Seq[Long], fCuts: Seq[Long],
+                mCuts: Seq[Long]): DataFrame = {
+    def ascending(cuts: Seq[Long]) =
+      cuts.size == 4 && cuts.zip(cuts.tail).forall { case (a, b) => a < b }
+    require(ascending(rHourCuts) && ascending(fCuts) && ascending(mCuts),
+      "each cut list must be 4 strictly ascending thresholds")
+    def scoreUp(x: Column, cuts: Seq[Long]): Column =
+      cuts.map(c => when(x >= c, 1L).otherwise(0L)).reduce(_ + _) + 1L
+    def scoreDown(x: Column, cuts: Seq[Long]): Column =
+      lit(5L) - cuts.map(c => when(x > c, 1L).otherwise(0L)).reduce(_ + _)
+    val perUser = events.groupBy(col(userCol).as("user_id"))
+      .agg(max(col(tsMsCol)).as("last_ms"),
+           count(lit(1)).as("freq"),
+           sum(when(col(typeCol) === purchaseType, col(valueCentsCol))
+             .otherwise(lit(0L))).as("cents"))
+    val maxTs = events.agg(max(col(tsMsCol)).as("corpus_max_ms"))
+    perUser.crossJoin(broadcast(maxTs))
+      .withColumn("r_hours",
+        expr("(corpus_max_ms - last_ms) DIV 3600000"))
+      .select(col("user_id"), col("r_hours"), col("freq"), col("cents"),
+        scoreDown(col("r_hours"), rHourCuts).as("r_score"),
+        scoreUp(col("freq"), fCuts).as("f_score"),
+        scoreUp(col("cents"), mCuts).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
   /** First-touch and last-touch conversion attribution: every conversion
     * event is credited to the first / most recent PRECEDING touch event
     * (e.g. click/view before a purchase) by the same user, and credit is

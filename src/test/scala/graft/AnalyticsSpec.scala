@@ -201,6 +201,29 @@ class AnalyticsSpec extends SparkSpec {
            rb.getAs[Long]("n_clipped_hi") == 0L)
   }
 
+  test("rfmScores: fixed-cut scoring, recency scores down, purchase-only cents") {
+    val h = 3600000L
+    val rows = Seq(
+      (1L, 0L * h, "view", 0L), (1L, 100L * h, "purchase", 250L),
+      (2L, 60L * h, "purchase", 0L),
+      (3L, 90L * h, "view", 0L), (3L, 92L * h, "purchase", 450L),
+      (3L, 94L * h, "click", 999L)) // click cents must NOT count
+      .toDF("user_id", "ts_ms", "event_type", "value_cents")
+    val r = Analytics.rfmScores(rows, "user_id", "ts_ms", "event_type",
+        "value_cents", "purchase",
+        rHourCuts = Seq(2L, 5L, 8L, 16L), fCuts = Seq(2L, 3L, 4L, 5L),
+        mCuts = Seq(100L, 200L, 300L, 400L))
+      .collect().map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("r_hours"), x.getAs[Long]("freq"),
+          x.getAs[Long]("cents"), x.getAs[Long]("segment")))).toMap
+    // corpus max = 100h (user 1's purchase)
+    assert(r == Map(
+      1L -> ((0L, 2L, 250L, 523L)),   // r=5, f=2, m=3
+      2L -> ((40L, 1L, 0L, 111L)),    // r=1, f=1, m=1
+      3L -> ((6L, 3L, 450L, 335L))),  // r=3, f=3, m=5
+      s"got $r")
+  }
+
   test("attribution: first/last preceding touch, unattributable dropped, cents exact") {
     // u1: click, view, purchase(1000c)        -> first=click, last=view
     // u2: purchase with no prior touch        -> dropped
