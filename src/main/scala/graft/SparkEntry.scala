@@ -1268,6 +1268,24 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Reciprocal-rank fusion of the two fixed-constant retrievers (RP
+    * sketch + IVF probe): incomparable score scales combined by integer
+    * reciprocal rank, re-ranked per query. Both input rankings are
+    * themselves oracle-verified operators. */
+  private def simRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val rp = Similarity.rpTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 10, outDim = 16, refine = 50)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      k = 10, nCentroids = 16, nProbe = 4,
+      centroidsOverride = Some(Similarity.fixedCentroids(16, 64)))
+    Similarity.reciprocalRankFusion(Seq(rp, ivf), k = 10)
+      .select(col("qid"), col("id"), col("rrf_score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** End-to-end retrieval: IVF ANN top-k over the embedding corpus,
     * results joined back to the DOCUMENT table for the payload a serving
     * layer actually returns (rank, language, snippet). The join shape is
@@ -2889,6 +2907,7 @@ object SparkEntry {
     "sim_ivf_verified"    -> simIvfVerified _,
     "sim_recall_report"   -> simRecallReport _,
     "sim_recall_matrix"   -> simRecallMatrix _,
+    "sim_rrf_fusion"      -> simRrfFusion _,
     "sim_retrieval_e2e"   -> simRetrievalE2e _,
     "sim_pq_topk"         -> simPqTopK _,
     "sim_rp_topk"         -> simRpTopK _,
@@ -4795,6 +4814,25 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    // both replica rankings nested whole (DuckDB allows WITH inside a CTE
+    // body), fused by the identical integer reciprocal-rank arithmetic
+    "sim_rrf_fusion" -> s"""
+      WITH rpr AS (${rpReplicaOracle(
+                      Similarity.fixedProjection(16, 64), k = 10, refine = 50)}),
+      ivfr AS (${ivfReplicaOracle(
+                   Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10)}),
+      u AS (
+        SELECT qid, id, 1000000000 // (60 + rank) AS s FROM rpr
+        UNION ALL
+        SELECT qid, id, 1000000000 // (60 + rank) AS s FROM ivfr),
+      f AS (SELECT qid, id, sum(s)::BIGINT AS rrf_score
+            FROM u GROUP BY qid, id),
+      r AS (SELECT qid, id, rrf_score,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY rrf_score DESC, id ASC) AS rank
+            FROM f)
+      SELECT qid, id, rrf_score, rank::INT AS rank FROM r
+      WHERE rank <= 10 ORDER BY qid, rank""",
     // recall@10 of the IVF replica against the brute-force replica — the
     // `e` CTE from the IVF chain is reused for the exact pass
     "sim_recall_report" -> s"""

@@ -406,11 +406,11 @@ object Analytics {
     *
     * Scale shape: ONE shuffle by user for the window (per-user history
     * sorts in parallel across partitions, the same hot-key caveat as any
-    * per-key ordered scan — see [[Relational.asofJoin]]), then two
-    * map-side-combinable aggregates whose key domain is the touch-type
-    * vocabulary (tiny), joined with a broadcast-sized full-outer (a type
-    * can be someone's first touch yet nobody's last). No bodies, no
-    * driver data. */
+    * per-key ordered scan — see [[Relational.asofJoin]]), then ONE
+    * map-side-combinable aggregate whose key domain is the touch-type
+    * vocabulary (tiny): each conversion explodes into a first-role and a
+    * last-role row so both rollups come out of the same pass — no second
+    * scan, no join. No bodies, no driver data. */
   def attribution(events: DataFrame, userCol: String, orderCols: Seq[String],
                   typeCol: String, valueCentsCol: String,
                   conversionType: String, touchTypes: Seq[String]): DataFrame = {
@@ -424,17 +424,22 @@ object Analytics {
       .withColumn("__last", last(touch, ignoreNulls = true).over(w))
       .withColumn("__first", first(touch, ignoreNulls = true).over(w))
       .where(col(typeCol) === conversionType && col("__last").isNotNull)
-    val byLast = conv.groupBy(col("__last").as("touch_type"))
-      .agg(count(lit(1)).as("n_last"),
-           sum(col(valueCentsCol)).as("cents_last"))
-    val byFirst = conv.groupBy(col("__first").as("touch_type"))
-      .agg(count(lit(1)).as("n_first"),
-           sum(col(valueCentsCol)).as("cents_first"))
-    byFirst.join(byLast, Seq("touch_type"), "full_outer")
-      .select(col("touch_type"),
-        coalesce(col("n_first"), lit(0L)).as("n_first"),
-        coalesce(col("cents_first"), lit(0L)).as("cents_first"),
-        coalesce(col("n_last"), lit(0L)).as("n_last"),
-        coalesce(col("cents_last"), lit(0L)).as("cents_last"))
+    // ONE pass: exploding each conversion into a (first, role) and a
+    // (last, role) row lets a single map-side-combinable aggregate build
+    // both rollups — the naive two-groupBy + full-outer-join shape
+    // re-scans and re-windows the whole input twice (PlanSpec pins this)
+    val tall = conv.select(explode(array(
+        struct(col("__first").as("touch_type"), lit(1L).as("is_first"),
+               col(valueCentsCol).as("c")),
+        struct(col("__last").as("touch_type"), lit(0L).as("is_first"),
+               col(valueCentsCol).as("c")))).as("x"))
+      .select(col("x.touch_type"), col("x.is_first"), col("x.c"))
+    tall.groupBy("touch_type").agg(
+      sum(col("is_first")).as("n_first"),
+      sum(when(col("is_first") === 1L, col("c")).otherwise(lit(0L)))
+        .as("cents_first"),
+      sum(lit(1L) - col("is_first")).as("n_last"),
+      sum(when(col("is_first") === 0L, col("c")).otherwise(lit(0L)))
+        .as("cents_last"))
   }
 }

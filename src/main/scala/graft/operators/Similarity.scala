@@ -600,6 +600,35 @@ object Similarity {
     } else out // plan-inspection mode: caller owns cache release
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of retriever rankings:
+    * each list contributes `scale DIV (c + rank)` to a candidate's fused
+    * score, candidates are re-ranked by the sum — the standard way to
+    * combine retrievers with incomparable score scales (an RP pass and an
+    * IVF pass, sparse + dense, cheap-recall + precise) without tuning
+    * weights. All-integer: `scale` = 10^9 makes the reciprocal exact
+    * enough that distinct (c+rank) values stay distinct, and integer sums
+    * are order-independent — bit-stable cross-engine.
+    *
+    * Inputs are `(qid, id, rank)` frames (any extra columns ignored),
+    * exactly what the `*TopK` operators emit. Scale shape: a union of
+    * slim rank triples, one map-side-combinable sum keyed (qid, id), and
+    * a per-query top-k window over ≤ Σkᵢ candidates per query — the
+    * fusion never touches vectors or the corpus. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], k: Int = 10,
+                           c: Long = 60L,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(c >= 1 && scale >= 1000L, s"bad RRF params c=$c scale=$scale")
+    val u = rankings
+      .map(_.select(col("qid"), col("id"),
+        expr(s"$scale DIV ($c + rank)").as("s")))
+      .reduce(_.unionByName(_))
+    val fused = u.groupBy("qid", "id").agg(sum(col("s")).as("rrf_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-corpus QA report — the validation pass that gates any ANN
     * index build or semantic-dedup run: per group, counts of DEFECTIVE
     * vectors (NULL, wrong dimension, NaN/±Inf element, all-zero — the four

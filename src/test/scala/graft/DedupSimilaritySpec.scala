@@ -1258,4 +1258,19 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(wj >= 0.3)
     }
   }
+
+  test("reciprocalRankFusion: integer reciprocal sums, overlap wins, id tie-break") {
+    import spark.implicits._
+    val a = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("qid", "id", "rank")
+    val b = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("qid", "id", "rank")
+    val out = Similarity.reciprocalRankFusion(Seq(a, b), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_score"),
+        r.getAs[Int]("rank"))).toSeq
+    val s1 = 1000000000L / 61L // rank 1 contribution
+    val s2 = 1000000000L / 62L // rank 2 contribution
+    // 200 appears in both lists (ranks 2 and 1) and must win the fusion
+    assert(out == Seq((200L, s1 + s2, 1), (100L, s1, 2), (300L, s2, 3)),
+      s"got ${out.toList}")
+  }
 }

@@ -782,4 +782,40 @@ class PlanSpec extends SparkSpec {
         l.contains("Exchange hashpartitioning(doc_id")),
       s"document table shuffles by doc_id for the payload join:\n$p")
   }
+
+  test("events_attribution: ONE user shuffle feeds one shared window; rollups combine map-side") {
+    val p = plan("events_attribution")
+    // first/last touch scans share a single Window over a single user_id
+    // exchange — a second user shuffle (or per-function window) would
+    // double the dominant cost at scale
+    val userEx = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userEx == 1, s"expected exactly one user_id exchange, got $userEx:\n$p")
+    // first and last scans plan as two chained Window ops over that ONE
+    // exchange — more windows means the input is being re-scanned
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows <= 2, s"first/last must share one windowed pass:\n$p")
+    assert(p.contains("partial_sum"), s"touch rollup must combine map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"single-pass rollup needs no join at all:\n$p")
+  }
+
+  test("events_rfm: per-user agg combines map-side; corpus max broadcasts") {
+    val p = plan("events_rfm")
+    assert(p.contains("partial_max") && p.contains("partial_count"),
+      s"per-user aggregate must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row corpus max must ride a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge anywhere in RFM:\n$p")
+  }
+
+  test("sim_rrf_fusion: fused top-k prunes map-side; vectors stay out of the fusion") {
+    val p = plan("sim_rrf_fusion")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must prune before the final window exchange:\n$p")
+    // the fusion is over slim (qid, id, rank) triples — the embedding
+    // column must never appear in a fusion-side exchange key or agg
+    assert(!p.linesIterator.exists(l =>
+        l.contains("partial_sum") && l.contains("embedding")),
+      s"fusion aggregate touches vectors:\n$p")
+  }
 }
