@@ -40,7 +40,11 @@ object BenchScale {
     // by <= capWeight — a constant), multi-pass SNM (2x linear passes),
     // and the posting-table novelty report
     "dedup_weighted_minhash", "dedup_weighted_minhash_verified",
-    "dedup_snm_multipass", "text_novelty")
+    "dedup_snm_multipass", "text_novelty",
+    // round-9c: LPA is CC-shaped (slim per-round join + two combinable
+    // aggregates × fixed rounds); the token-budget cut is the two-pass
+    // prefix sum; media dedup is one digest aggregate over 2x the corpus
+    "graph_labelprop", "curation_token_budget", "mm_dedup_exact")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -52,7 +56,10 @@ object BenchScale {
     "events_windowed_topk",
     // round-9: the Holt fold is per-type sequential over a TIME-bounded
     // series; user-population growth must not grow it superlinearly
-    "events_holt", "events_winsorized")
+    "events_holt", "events_winsorized",
+    // round-9c: attribution is one user-keyed window + a vocabulary-keyed
+    // rollup; RFM is one combinable per-user aggregate + a broadcast max
+    "events_attribution", "events_rfm")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
@@ -161,7 +168,9 @@ object BenchScale {
     }
     // round-9: the int8 quantization report is a pure narrow projection
     // over embeddings — the flattest line in the file, by construction
-    val embRows = Seq("sim_int8_quant").map { q =>
+    // (rrf fuses two fixed-quantizer retrievers with 5 fixed queries:
+    // candidate scoring is queries × corpus-fraction — linear in corpus)
+    val embRows = Seq("sim_int8_quant", "sim_rrf_fusion").map { q =>
       val small = steady(q, sf01)
       val big = steady(q, ScaleDir)
       val ratio = if (small > 0) big / small else Double.PositiveInfinity
