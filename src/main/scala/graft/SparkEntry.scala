@@ -1286,6 +1286,18 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** MMR-diversified retrieval: 5 results per query that are relevant but
+    * mutually non-redundant, greedily selected from the exact top-20 pool
+    * — the "most relevant non-duplicate documents" shape. */
+  private def simMmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.mmrTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        poolK = 20, k = 5)
+      .orderBy("qid", "rank")
+  }
+
   /** End-to-end retrieval: IVF ANN top-k over the embedding corpus,
     * results joined back to the DOCUMENT table for the payload a serving
     * layer actually returns (rank, language, snippet). The join shape is
@@ -2908,6 +2920,7 @@ object SparkEntry {
     "sim_recall_report"   -> simRecallReport _,
     "sim_recall_matrix"   -> simRecallMatrix _,
     "sim_rrf_fusion"      -> simRrfFusion _,
+    "sim_mmr_topk"        -> simMmrTopK _,
     "sim_retrieval_e2e"   -> simRetrievalE2e _,
     "sim_pq_topk"         -> simPqTopK _,
     "sim_rp_topk"         -> simRpTopK _,
@@ -4814,6 +4827,59 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    // exact top-20 pool, pool-pairwise cosines, then 5 unrolled greedy MMR
+    // steps: each picks argmax(0.7·rel − 0.3·max-sim-to-selected) with the
+    // identical exact-rounded double ops and id tie-break
+    "sim_mmr_topk" -> {
+      val iters = (2 to 5).map { i =>
+        val selPrev = (1 until i).map(j => s"SELECT qid, id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""
+      sel$i AS ($selPrev),
+      ms$i AS (
+        SELECT p.qid, p.id, p.rel, max(pr.sim) AS maxsim
+        FROM pool p
+        JOIN pr ON pr.qid = p.qid AND pr.id_a = p.id
+        JOIN sel$i sl ON sl.qid = pr.qid AND sl.id = pr.id_b
+        WHERE NOT EXISTS (SELECT 1 FROM sel$i x
+                          WHERE x.qid = p.qid AND x.id = p.id)
+        GROUP BY p.qid, p.id, p.rel),
+      s$i AS (
+        SELECT qid, id, $i AS rank, score FROM (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id ASC) AS rnk
+          FROM (SELECT qid, id,
+                       0.7::DOUBLE * rel - 0.3::DOUBLE * maxsim AS score
+                FROM ms$i)) WHERE rnk = 1)"""
+      }.mkString(",")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      sc AS (SELECT qid, c.vec_id AS id, list_cosine_similarity(c.v, qv) AS rel
+             FROM e c CROSS JOIN q WHERE c.vec_id <> qid),
+      pool AS MATERIALIZED (
+        SELECT qid, id, rel FROM (
+          SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC, id ASC) AS rnk FROM sc)
+        WHERE rnk <= 20),
+      pv AS (SELECT p.qid, p.id, e.v FROM pool p JOIN e ON e.vec_id = p.id),
+      pr AS MATERIALIZED (
+        SELECT a.qid, a.id AS id_a, b.id AS id_b,
+               list_cosine_similarity(a.v, b.v) AS sim
+        FROM pv a JOIN pv b ON a.qid = b.qid AND a.id <> b.id),
+      s1 AS (
+        SELECT qid, id, 1 AS rank, rel AS score FROM (
+          SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC, id ASC) AS rnk FROM pool)
+        WHERE rnk = 1),
+      $iters
+      SELECT qid, id, rank, score AS mmr_score
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+            UNION ALL SELECT * FROM s5)
+      ORDER BY qid, rank"""
+    },
     // both replica rankings nested whole (DuckDB allows WITH inside a CTE
     // body), fused by the identical integer reciprocal-rank arithmetic
     "sim_rrf_fusion" -> s"""

@@ -600,6 +600,77 @@ object Similarity {
     } else out // plan-inspection mode: caller owns cache release
   }
 
+  /** MMR (maximal marginal relevance) diversified top-k: greedily pick
+    * `k` results that are relevant to the query but NOT redundant with
+    * each other — `score = lam·rel − lamCompl·max_sim_to_selected`. The
+    * training-data shape: "give me the 5 most relevant NON-duplicate
+    * documents" (a plain top-k returns five near-copies of the same page).
+    *
+    * Determinism: the candidate pool is the exact brute-force top-`poolK`
+    * (itself a verified operator); every greedy step is an argmax over
+    * IEEE doubles computed by the same exact-rounded op sequence in both
+    * engines (`lam`/`lamCompl` are passed SEPARATELY — deriving 1−lam in
+    * the driver would yield 0.30000000000000004 while an engine literal
+    * parses to 0.3), ties broken on id. The k-step greedy loop is
+    * inherent to MMR; each step is a bounded DataFrame op over
+    * queries×poolK rows, never the corpus.
+    *
+    * Scale shape: the ONLY corpus-scale stage is the pool build
+    * (brute-force scoring — swap in [[ivfTopK]] for an ANN pool at real
+    * scale; the greedy stage is identical). The pool and its pairwise
+    * similarity matrix (queries × poolK² slim rows) are cut once; the
+    * corpus is probed for pool vectors with the pool BROADCAST — the
+    * corpus never shuffles by id. */
+  def mmrTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              poolK: Int = 20, k: Int = 5,
+              lam: Double = 0.7, lamCompl: Double = 0.3): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got k=$k poolK=$poolK")
+    val pool = graft.util.Materialize.cut(
+      bruteForceTopK(corpus, corpusId, corpusVec,
+          queries, queryId, queryVec, poolK)
+        .select(col("qid"), col("id"), col("cosine").as("rel")))
+    val poolV = broadcast(pool)
+      .join(corpus.select(col(corpusId).as("id"), col(corpusVec).as("__v")), "id")
+      .select(col("qid"), col("id"), col("__v"))
+    // unique column names throughout the greedy stage — every frame below
+    // descends from the same pool cut, and name-unique conditions keep the
+    // self-joins unambiguous
+    val pairs = graft.util.Materialize.cut(
+      poolV.as("a").join(poolV.as("b"),
+          col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
+        .select(col("a.qid").as("pqid"), col("a.id").as("id_a"),
+                col("b.id").as("id_b"),
+                VF.cosineSim(col("a.__v"), col("b.__v")).as("sim")))
+    val wSel = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    var all = pool.select(col("qid"), col("id"), col("rel").as("score"))
+      .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
+      .select(col("qid"), col("id"), lit(1).as("rank"),
+              col("score").as("mmr_score"))
+    for (i <- 2 to k) {
+      val selIds = all.select(col("qid").as("sqid"), col("id").as("sid"))
+      val cand = pool.join(all.select(col("qid"), col("id")),
+        Seq("qid", "id"), "left_anti")
+      val ms = cand
+        .join(pairs, col("qid") === col("pqid") && col("id") === col("id_a"))
+        .join(selIds, col("pqid") === col("sqid") && col("id_b") === col("sid"))
+        .groupBy(col("qid"), col("id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+      val next = ms
+        .select(col("qid"), col("id"),
+          (lit(lam) * col("rel") - lit(lamCompl) * col("maxsim")).as("score"))
+        .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
+        .select(col("qid"), col("id"), lit(i).as("rank"),
+                col("score").as("mmr_score"))
+      all = all.unionByName(next)
+    }
+    val out = graft.util.Materialize.cut(all)
+    graft.util.Materialize.releaseNow(pool)
+    graft.util.Materialize.releaseNow(pairs)
+    out
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of retriever rankings:
     * each list contributes `scale DIV (c + rank)` to a candidate's fused
     * score, candidates are re-ranked by the sum — the standard way to

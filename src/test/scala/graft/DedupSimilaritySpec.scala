@@ -1259,6 +1259,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrTopK: diversity beats a duplicate; relevance argmax ties on id") {
+    import spark.implicits._
+    // query (1,0,0). 10 and 11 are exact duplicates (rel 0.9, tie -> 10);
+    // step 2: the duplicate 11 scores 0.7*0.9 - 0.3*1.0 = 0.33 while the
+    // diverse 12 scores 0.7*0.8 - 0.3*0.4585 = 0.4225 -> 12 wins even
+    // though its raw relevance is lower
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.43589f, 0f)),
+      (11L, Array(0.9f, 0.43589f, 0f)),
+      (12L, Array(0.8f, -0.6f, 0f)),
+      (13L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
+    val out = Similarity.mmrTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", poolK = 4, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Int]("rank"))).toSeq
+    assert(out == Seq((1L, 10L, 1), (1L, 12L, 2)), s"got ${out.toList}")
+  }
+
   test("reciprocalRankFusion: integer reciprocal sums, overlap wins, id tie-break") {
     import spark.implicits._
     val a = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("qid", "id", "rank")
