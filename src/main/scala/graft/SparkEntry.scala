@@ -420,6 +420,22 @@ object SparkEntry {
         conversionType = "purchase", touchTypes = Seq("click", "view"))
       .orderBy("touch_type")
 
+  /** Long-run session behavior: the stationary distribution of the
+    * within-session transition chain (same counts as
+    * `events_transitions`), 8 fixed-point power iterations. */
+  private def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_ms", "event_id")
+    val trans = sessionized(s, dir)
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    Analytics.markovStationary(trans, "from_type", "to_type", "n", iters = 8)
+      .select(col("st").as("event_type"), col("pi").as("pi_fp"))
+      .orderBy("event_type")
+  }
+
   /** RFM segmentation over the event log: per-user recency (hours since
     * corpus max), frequency, purchase cents, scored 1..5 against fixed
     * cuts drawn from the corpus quintiles. */
@@ -2848,6 +2864,7 @@ object SparkEntry {
     "events_holt"         -> eventsHolt _,
     "events_attribution"  -> eventsAttribution _,
     "events_rfm"          -> eventsRfm _,
+    "events_markov"       -> eventsMarkov _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
@@ -4240,6 +4257,44 @@ object SparkEntry {
       SELECT from_type, to_type, n,
              n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS p
       FROM cnt ORDER BY from_type, to_type""",
+    // same transition counts, then 8 unrolled integer power iterations:
+    // p at 10^6, pi at 10^12, per-step mass (pi*p)//10^6 — * and // share
+    // left-assoc precedence in both engines, so every intermediate matches
+    "events_markov" -> s"""
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      seq AS (
+        SELECT user_id, event_id, event_type, t,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM s),
+      tr AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id, session_seq
+                 ORDER BY t, event_id) AS from_type,
+               event_type AS to_type
+        FROM seq),
+      cnt AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM tr
+              WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n)::BIGINT AS t FROM cnt GROUP BY 1),
+      sts AS (SELECT DISTINCT from_type AS st FROM cnt),
+      p AS MATERIALIZED (
+        SELECT c.from_type AS f, c.to_type AS j,
+               (c.n * 1000000 // t.t)::BIGINT AS p
+        FROM cnt c JOIN tot t ON t.from_type = c.from_type
+        WHERE c.to_type IN (SELECT st FROM sts)),
+      nn AS (SELECT count(*)::BIGINT AS n FROM sts),
+      pi0 AS (SELECT st, (1000000000000 // n)::BIGINT AS pi
+              FROM sts CROSS JOIN nn),
+      ${(1 to 8).map(r => s"""
+      pi$r AS (SELECT j AS st, sum(pi * p // 1000000)::BIGINT AS pi
+               FROM p JOIN pi${r - 1} ON pi${r - 1}.st = p.f
+               GROUP BY j)""").mkString(",")}
+      SELECT st AS event_type, pi AS pi_fp FROM pi8 ORDER BY event_type""",
     // value-based RANGE frame: trailing 30-minute activity per user
     "q_window_range" -> """
       SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

@@ -347,6 +347,52 @@ object Analytics {
               (col("st.l") + col("st.b")).as("forecast_fp"))
   }
 
+  /** Stationary distribution of the first-order Markov chain defined by a
+    * (from, to, count) transition table — "where does a user session
+    * spend its time in the long run", the summary the raw transition
+    * matrix doesn't directly give. Fixed-point power iteration, all
+    * BIGINT: row-stochastic probabilities at `pScale`, the distribution
+    * at `piScale`, per-step mass `pi * p DIV pScale` (bounded by
+    * piScale·pScale = 10^18 < 2^63 — ANSI mode would fail loudly on an
+    * overflow, not wrap). Integer sums are order-independent, so the
+    * result is deterministic under any scheduling and replayable
+    * cross-engine; truncation bleeds < n_states ulp of mass per round at
+    * piScale 10^12 — invisible.
+    *
+    * The chain is closed over states WITH outgoing transitions (a
+    * to-only state would silently leak mass each round instead of
+    * redistributing it). Scale shape: the transition table is
+    * O(|types|²) regardless of corpus size — the heavy stage is the
+    * upstream transition COUNT (one sessionized window + combinable
+    * aggregate, gated separately as `events_transitions`); the iteration
+    * itself joins tiny tables a fixed `iters` times. */
+  def markovStationary(transitions: DataFrame, fromCol: String, toCol: String,
+                       cntCol: String, iters: Int = 8,
+                       pScale: Long = 1000000L,
+                       piScale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val tr = transitions.select(col(fromCol).as("f"), col(toCol).as("j"),
+      col(cntCol).cast("long").as("c"))
+    val tot = tr.groupBy("f").agg(sum(col("c")).as("t"))
+    val states = tr.select(col("f").as("st")).distinct()
+    val p = tr
+      .join(states.withColumnRenamed("st", "j"), Seq("j"), "left_semi")
+      .join(tot, "f")
+      .select(col("f"), col("j"), expr(s"c * $pScale DIV t").as("p"))
+      .persist()
+    val n = states.agg(count(lit(1)).as("n"))
+    var pi = states.crossJoin(broadcast(n))
+      .select(col("st"), expr(s"CAST($piScale AS BIGINT) DIV n").as("pi"))
+    for (_ <- 1 to iters) {
+      pi = p.join(pi.withColumnRenamed("st", "f"), "f")
+        .select(col("j"), expr(s"pi * p DIV $pScale").as("m"))
+        .groupBy(col("j").as("st")).agg(sum(col("m")).as("pi"))
+    }
+    val out = graft.util.Materialize.cut(pi.select(col("st"), col("pi")))
+    p.unpersist()
+    out
+  }
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * user-value report: per user, hours since last activity, event count,
     * and purchase revenue in exact cents, each scored 1..5 against FIXED

@@ -201,6 +201,22 @@ class AnalyticsSpec extends SparkSpec {
            rb.getAs[Long]("n_clipped_hi") == 0L)
   }
 
+  test("markovStationary: converges to the known distribution; exact on the symmetric chain") {
+    // A->B always, B->A / B->B evenly: stationary (1/3, 2/3)
+    val t1 = Seq(("A", "B", 10L), ("B", "A", 5L), ("B", "B", 5L))
+      .toDF("f", "j", "c")
+    val r1 = Analytics.markovStationary(t1, "f", "j", "c", iters = 20)
+      .collect().map(x => x.getAs[String]("st") -> x.getAs[Long]("pi")).toMap
+    assert(math.abs(r1("A") - 333333333333L) < 1000000L, s"got $r1")
+    assert(math.abs(r1("B") - 666666666667L) < 1000000L, s"got $r1")
+    // symmetric 2-cycle: uniform is the exact fixed point of the integer
+    // iteration (no truncation loss on this fixture)
+    val t2 = Seq(("A", "B", 7L), ("B", "A", 3L)).toDF("f", "j", "c")
+    val r2 = Analytics.markovStationary(t2, "f", "j", "c", iters = 8)
+      .collect().map(x => x.getAs[String]("st") -> x.getAs[Long]("pi")).toMap
+    assert(r2 == Map("A" -> 500000000000L, "B" -> 500000000000L), s"got $r2")
+  }
+
   test("rfmScores: fixed-cut scoring, recency scores down, purchase-only cents") {
     val h = 3600000L
     val rows = Seq(
