@@ -420,6 +420,18 @@ object SparkEntry {
         conversionType = "purchase", touchTypes = Seq("click", "view"))
       .orderBy("touch_type")
 
+  /** One-step-ahead Holt backtest vs the naive last-value forecast, over
+    * the same per-(type, hour) counts as `events_holt` — the error column
+    * that tells whether the trend model earns its keep. */
+  private def eventsForecastEval(s: SparkSession, dir: String): DataFrame =
+    Analytics.holtBacktest(
+        events(s, dir)
+          .groupBy(col("event_type"),
+                   expr("ts_ms DIV 3600000").as("hour"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "hour", "y")
+      .orderBy("event_type")
+
   /** Long-run session behavior: the stationary distribution of the
     * within-session transition chain (same counts as
     * `events_transitions`), 8 fixed-point power iterations. */
@@ -466,6 +478,19 @@ object SparkEntry {
            sum(col("byteLen")).as("total_bytes"))
       .select("survivor_id", "dup_count", "total_bytes", "payload_md5")
       .orderBy("survivor_id")
+  }
+
+  /** In-engine filter training: 4 batch-perceptron epochs separating
+    * lang='en' from the rest on integer quality features — order-free
+    * integer updates, weights bit-replayable in DuckDB. */
+  private def textPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val comps = TF.qualityComponents(col("text")).toMap
+    TextAnalysis.perceptronEpochs(
+        t(s, dir, "documents"),
+        when(col("lang") === "en", 1L).otherwise(-1L),
+        Seq(comps("n_tokens"), comps("punct_pm"), comps("stop_hits")),
+        epochs = 4)
+      .orderBy("epoch")
   }
 
   /** Quality-first token-budget cut: the best-scoring documents admitted
@@ -2865,6 +2890,7 @@ object SparkEntry {
     "events_attribution"  -> eventsAttribution _,
     "events_rfm"          -> eventsRfm _,
     "events_markov"       -> eventsMarkov _,
+    "events_forecast_eval" -> eventsForecastEval _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
@@ -2974,6 +3000,7 @@ object SparkEntry {
         .orderBy("pos")),
     "curation_source_cap" -> curationSourceCap _,
     "curation_token_budget" -> curationTokenBudget _,
+    "text_perceptron"     -> textPerceptron _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -5634,6 +5661,36 @@ object SparkEntry {
       FROM fin f JOIN sm s
         ON s.event_type = f.event_type AND s.i = f.n_buckets
       ORDER BY f.event_type""",
+    // same recurrence with error accumulators: one-step forecast l+b is
+    // read BEFORE folding the bucket in; naive error uses the carried
+    // previous value — both at the identical 2^20 fixed point
+    "events_forecast_eval" -> """
+      WITH RECURSIVE ev AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
+      cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
+              FROM ev GROUP BY 1, 2),
+      idx AS (SELECT event_type, h, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+              FROM cnt),
+      sm AS (
+        SELECT event_type, i, (y * 1048576)::BIGINT AS l, 0::BIGINT AS b,
+               0::BIGINT AS sae, 0::BIGINT AS nsae, y AS py
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT n.event_type, n.i,
+               ((n.y * 1048576 + s.l + s.b) >> 1)::BIGINT AS l,
+               ((((n.y * 1048576 + s.l + s.b) >> 1) - s.l + s.b) >> 1)::BIGINT AS b,
+               (s.sae + abs(n.y * 1048576 - (s.l + s.b)))::BIGINT AS sae,
+               (s.nsae + abs(n.y - s.py) * 1048576)::BIGINT AS nsae,
+               n.y AS py
+        FROM sm s JOIN idx n
+          ON n.event_type = s.event_type AND n.i = s.i + 1),
+      fin AS (SELECT event_type, max(i)::BIGINT AS n_buckets FROM sm GROUP BY 1)
+      SELECT f.event_type AS event_type, f.n_buckets,
+             s.sae AS holt_sae_fp, s.nsae AS naive_sae_fp
+      FROM fin f JOIN sm s
+        ON s.event_type = f.event_type AND s.i = f.n_buckets
+      ORDER BY f.event_type""",
     // sketch candidates + exact capped-weight verification
     "dedup_weighted_minhash_verified" -> s"""
       WITH ${OracleXX.weightedMinhashAgreeCtes(128, 16, capW = 8)},
@@ -6146,6 +6203,39 @@ object SparkEntry {
                   THEN 'keep' ELSE 'drop' END AS label
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""
+    },
+    // 4 unrolled batch-perceptron epochs over the quality-component
+    // replica: error set under the ENTERING weights (margin 0 counts),
+    // weight update = coalesce'd integer sums — exactly the engine loop
+    "text_perceptron" -> {
+      val nf = 4
+      val eps = (1 to 4).map { ep =>
+        val marg = (0 until nf).map(i => s"ww${ep - 1}.a$i * x$i")
+          .mkString(" + ")
+        val dsums = (0 until nf)
+          .map(i => s"coalesce(sum(y * x$i), 0)::BIGINT AS d$i").mkString(", ")
+        val wupd = (0 until nf)
+          .map(i => s"(ww${ep - 1}.a$i + ee$ep.d$i)::BIGINT AS a$i")
+          .mkString(", ")
+        s"""
+      ee$ep AS (SELECT count(*)::BIGINT AS n, $dsums
+                FROM d CROSS JOIN ww${ep - 1} WHERE y * ($marg) <= 0),
+      ww$ep AS (SELECT $wupd FROM ww${ep - 1} CROSS JOIN ee$ep)"""
+      }.mkString(",")
+      val outs = (1 to 4).map(ep =>
+        s"SELECT $ep::BIGINT AS epoch, ee$ep.n AS n_err, " +
+        (0 until nf).map(i => s"ww$ep.a$i AS w$i").mkString(", ") +
+        s" FROM ee$ep CROSS JOIN ww$ep").mkString(" UNION ALL ")
+      s"""
+      WITH $qualityKeptCtes,
+      d AS (SELECT (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y,
+                   1::BIGINT AS x0, n_tokens AS x1, punct_pm AS x2,
+                   stop_hits AS x3
+            FROM c),
+      ww0 AS (SELECT 0::BIGINT AS a0, 0::BIGINT AS a1, 0::BIGINT AS a2,
+                     0::BIGINT AS a3),
+      $eps
+      $outs ORDER BY epoch"""
     },
     // global (quality DESC, doc_id) running token sum replayed as one
     // ordered window; same admission rule offset < budget, straddling

@@ -347,6 +347,56 @@ object Analytics {
               (col("st.l") + col("st.b")).as("forecast_fp"))
   }
 
+  /** One-step-ahead backtest of [[holtSmoothing]] — "is the trend model
+    * actually better than naive?": replays the same integer Holt
+    * recurrence over each group's series, accumulating the absolute error
+    * of the model's one-step forecast (`l + b` BEFORE seeing the bucket)
+    * and of the naive last-value forecast, both at the same `2^scaleBits`
+    * fixed point. A model report without an error column is a trap —
+    * this is the column. Same determinism story as the smoother: pure
+    * integer fold, bit-replayable cross-engine.
+    *
+    * Output per group: `n_buckets`, `holt_sae_fp`, `naive_sae_fp`
+    * (sums of absolute one-step errors over buckets 2..n; divide by
+    * `n_buckets − 1` for MAE). Same scale shape as [[holtSmoothing]]:
+    * one combinable per-(group, bucket) count upstream, one per-group
+    * sorted fold over a TIME-BOUNDED series. */
+  def holtBacktest(df: DataFrame, groupCol: String, bucketCol: String,
+                   yCol: String, scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 40,
+      s"scaleBits must be in [0, 40], got $scaleBits")
+    val q = 1L << scaleBits
+    val series = df
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(
+        col(bucketCol).cast("long").as("h"),
+        col(yCol).cast("long").as("y")))).as("s"))
+    def fld(acc: Column, e: Column): Column = {
+      val first = acc.getField("i") === 0L
+      val y = e.getField("y")
+      val f = acc.getField("l") + acc.getField("b")
+      val err = abs(y * q - f)
+      val nerr = abs(y - acc.getField("py")) * q
+      val lNew = shiftright(y * q + acc.getField("l") + acc.getField("b"), 1)
+      val bNew = shiftright(lNew - acc.getField("l") + acc.getField("b"), 1)
+      when(first, struct((y * q).as("l"), lit(0L).as("b"), lit(1L).as("i"),
+                         lit(0L).as("sae"), lit(0L).as("nsae"), y.as("py")))
+        .otherwise(struct(lNew.as("l"), bNew.as("b"),
+                          (acc.getField("i") + 1L).as("i"),
+                          (acc.getField("sae") + err).as("sae"),
+                          (acc.getField("nsae") + nerr).as("nsae"),
+                          y.as("py")))
+    }
+    val z = struct(lit(0L).as("l"), lit(0L).as("b"), lit(0L).as("i"),
+                   lit(0L).as("sae"), lit(0L).as("nsae"), lit(0L).as("py"))
+    series
+      .withColumn("st", aggregate(col("s"), z, fld))
+      .select(col(groupCol),
+              size(col("s")).cast("long").as("n_buckets"),
+              col("st.sae").as("holt_sae_fp"),
+              col("st.nsae").as("naive_sae_fp"))
+  }
+
   /** Stationary distribution of the first-order Markov chain defined by a
     * (from, to, count) transition table — "where does a user session
     * spend its time in the long run", the summary the raw transition

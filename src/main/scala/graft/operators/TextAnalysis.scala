@@ -489,6 +489,60 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Batch-perceptron training IN the engine — the minimal "train a
+    * quality/language filter on the corpus itself" loop every curation
+    * stack eventually needs. Classic per-sample perceptron is
+    * order-dependent (useless distributed); the BATCH variant updates
+    * once per epoch with `w += Σ_misclassified y·x` — an integer SUM, so
+    * the trained weights are a pure function of the data under any
+    * partitioning and replayable cross-engine. Margin 0 counts as
+    * misclassified (the standard `y·(w·x) <= 0` rule, and it makes epoch
+    * 1 from zero weights well-defined: every row contributes).
+    *
+    * `feats` are INTEGER feature columns (ppm/counts — the quality
+    * component space); a bias feature 1 is prepended. Labels in {-1,+1}.
+    *
+    * Scale shape: one persisted slim projection of (y, x…); each epoch
+    * is ONE map-side-combinable aggregate (nFeats+1 sums) and the ONLY
+    * driver traffic is those nFeats+1 longs per epoch — the same
+    * bounded-driver-loop contract as BPE merge induction. Feature/count
+    * magnitudes must keep `Σ|x|` under 2^63 (ANSI mode fails loudly, not
+    * silently, if violated).
+    *
+    * Output: one row per epoch — `epoch`, `n_err` (misclassified under
+    * the ENTERING weights), and the weights AFTER that epoch's update. */
+  def perceptronEpochs(df: DataFrame, label: org.apache.spark.sql.Column,
+                       feats: Seq[org.apache.spark.sql.Column],
+                       epochs: Int = 4): DataFrame = {
+    require(epochs >= 1 && epochs <= 20, s"epochs must be in [1, 20], got $epochs")
+    require(feats.nonEmpty && feats.size <= 16, "need 1..16 feature columns")
+    val nf = feats.size + 1 // + bias
+    val xs = (lit(1L) +: feats.map(_.cast("long"))).zipWithIndex
+      .map { case (c, i) => c.as(s"x$i") }
+    val data = df.select((label.cast("long").as("y") +: xs): _*).persist()
+    try {
+      var w = Array.fill(nf)(0L)
+      val rows = (1 to epochs).map { ep =>
+        val margin = (0 until nf).map(i => lit(w(i)) * col(s"x$i"))
+          .reduce(_ + _)
+        val err = data.where(col("y") * margin <= 0L)
+        val aggs = count(lit(1)).as("n") +:
+          (0 until nf).map(i => sum(col("y") * col(s"x$i")).as(s"d$i"))
+        val r = err.agg(aggs.head, aggs.tail: _*).head()
+        val nErr = r.getAs[Long]("n")
+        for (i <- 0 until nf)
+          w(i) += (if (nErr == 0L) 0L else r.getAs[Long](s"d$i"))
+        (ep, nErr, w.toSeq)
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      rows.map { case (ep, n, ws) => (ep.toLong, n, ws) }
+        .toDF("epoch", "n_err", "w")
+        .select(col("epoch") +: col("n_err") +:
+          (0 until nf).map(i => element_at(col("w"), i + 1).as(s"w$i")): _*)
+    } finally { data.unpersist(); () }
+  }
+
   /** Quality-first token-budget cut — "take the best documents until the
     * training budget is spent": documents ranked by (quality DESC, id ASC)
     * are admitted while the running token total is still under `budget`;

@@ -201,6 +201,19 @@ class AnalyticsSpec extends SparkSpec {
            rb.getAs[Long]("n_clipped_hi") == 0L)
   }
 
+  test("holtBacktest: hand-traced one-step errors for model and naive baseline") {
+    // y = [4, 2, 6], Q = 2^20. Trace:
+    //  i2: forecast 4Q -> err 2Q; naive |2-4|Q = 2Q; l=3Q, b=-Q/2
+    //  i3: forecast 2.5Q -> err 3.5Q; naive |6-2|Q = 4Q
+    val q = 1L << 20
+    val df = Seq(("A", 1L, 4L), ("A", 2L, 2L), ("A", 3L, 6L))
+      .toDF("g", "h", "y")
+    val r = Analytics.holtBacktest(df, "g", "h", "y").collect().head
+    assert(r.getAs[Long]("n_buckets") == 3L)
+    assert(r.getAs[Long]("holt_sae_fp") == 2L * q + 7L * q / 2, s"got $r")
+    assert(r.getAs[Long]("naive_sae_fp") == 6L * q, s"got $r")
+  }
+
   test("markovStationary: converges to the known distribution; exact on the symmetric chain") {
     // A->B always, B->A / B->B evenly: stationary (1/3, 2/3)
     val t1 = Seq(("A", "B", 10L), ("B", "A", 5L), ("B", "B", 5L))

@@ -141,6 +141,19 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, 10L, 20L, 0L), (4L, 30L, 30L, 1L), (5L, 1L, 60L, 2L)), out.toString)
   }
 
+  test("perceptronEpochs: batch updates converge on a separable fixture; zero-error epochs freeze weights") {
+    import graft.operators.TextAnalysis
+    // 1-D separable: epoch 1 (zero weights, margin 0 = error) sums both
+    // rows: d_bias = 1-1 = 0, d_x = 1*2 + (-1)*(-3) = 5 -> w = (0, 5);
+    // epoch 2 classifies both correctly -> n_err 0, weights frozen
+    val df = spark.createDataFrame(Seq((1L, 2L), (-1L, -3L))).toDF("y", "x")
+    val out = TextAnalysis.perceptronEpochs(df, col("y"), Seq(col("x")),
+        epochs = 2).orderBy("epoch").collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("n_err"),
+        r.getAs[Long]("w0"), r.getAs[Long]("w1"))).toSeq
+    assert(out == Seq((1L, 2L, 0L, 5L), (2L, 0L, 0L, 5L)), s"got ${out.toList}")
+  }
+
   test("tokenBudgetCut: quality-first admission, straddler included, id tie-break") {
     import graft.operators.TextAnalysis
     // rank order (q DESC, id ASC): 2(q900,n4) 3(q900,n3) 4(q500,n10) 1(q100,n5)
