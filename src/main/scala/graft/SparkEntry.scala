@@ -1242,6 +1242,19 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Hamming-space ANN over 1-bit sign codes (32× compression) with
+    * exact-cosine rerank: the packed-code scan never reads float vectors;
+    * the rerank probes the corpus with a broadcast candidate set. Same
+    * query set as `sim_topk`. */
+  private def simHammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.hammingTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        dim = 64, k = 10, candK = 30)
+      .orderBy("qid", "rank")
+  }
+
   /** Leakage audit over a 90/10 train/val hash split at the MinHash-LSH
     * dedup threshold — the near-dup pairs straddling the split boundary. */
   private def dedupSplitLeakage(s: SparkSession, dir: String): DataFrame =
@@ -1715,6 +1728,20 @@ object SparkEntry {
         "id_a", "id_b", k = 2)
       .select(col("id").as("doc_id"), col("core_deg"))
       .orderBy("doc_id")
+
+  /** Triadic link prediction over the same minhash candidate graph: open
+    * triads (co-neighbors of a shared pivot that are not themselves an
+    * edge) scored with common-neighbor count, preferential attachment,
+    * and neighborhood-Jaccard ppm — the pairs the banding most likely
+    * missed, i.e. the exact-verify worklist. Integer scores, bit-exact
+    * vs the SQL replay. */
+  private def graphLinkPred(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.linkPrediction(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 128, bands = 16, threshold = 0.4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", maxPivotDegree = 1000L)
+      .orderBy("id_a", "id_b")
 
   /** Bounded pointer-doubling hierarchy flatten — Spark's answer to the
     * `WITH RECURSIVE` ancestor walk it lacks: a synthetic decimal forest
@@ -2954,6 +2981,7 @@ object SparkEntry {
     "dedup_embedding_exact" -> dedupEmbeddingExact _,
     "dedup_semantic"      -> dedupSemantic _,
     "sim_topk"            -> simTopK _,
+    "sim_hamming_topk"    -> simHammingTopK _,
     "sim_hard_negatives"  -> simHardNegatives _,
     "dedup_split_leakage" -> dedupSplitLeakage _,
     "dedup_lines_intra"   -> dedupLinesIntra _,
@@ -3029,6 +3057,7 @@ object SparkEntry {
     "graph_cc_sizes"      -> graphCcSizes _,
     "graph_kcore"         -> graphKcore _,
     "graph_labelprop"     -> graphLabelprop _,
+    "graph_link_pred"     -> graphLinkPred _,
     "q_hierarchy"         -> qHierarchy _,
     "dedup_snm_multipass" -> ((s, dir) =>
       Dedup.sortedNeighborhoodMultiPass(t(s, dir, "documents"), "doc_id",
@@ -4899,6 +4928,38 @@ object SparkEntry {
       SELECT qid, id, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= 10 ORDER BY qid, rank""",
     "sim_topk" -> simTopkOracleSql,
+    // sign-bit packing into 32-bit words (every word positive BIGINT),
+    // per-word XOR + popcount Hamming, candK cut, exact-cosine rerank —
+    // the approximate pipeline itself replayed, not a brute-force proxy
+    "sim_hamming_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cw AS (SELECT vec_id, v,
+               list_transform(range(0, 2), w ->
+                 list_aggregate(list_transform(range(1, 33), i ->
+                   CASE WHEN v[w * 32 + i] > 0
+                        THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
+                 'sum')::BIGINT) AS code
+             FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, code AS qc
+            FROM cw WHERE vec_id < 5),
+      h AS (SELECT qid, c.vec_id AS id,
+              (bit_count(xor(c.code[1], q.qc[1])) +
+               bit_count(xor(c.code[2], q.qc[2])))::BIGINT AS hamming
+            FROM cw c CROSS JOIN q WHERE c.vec_id <> q.qid),
+      cand AS (SELECT qid, id, hamming,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY hamming ASC, id ASC) AS hrank
+               FROM h),
+      rer AS (SELECT c.qid, c.id,
+                list_cosine_similarity(e.v, q.qv) AS cosine, c.hamming
+              FROM cand c JOIN e ON e.vec_id = c.id JOIN q ON q.qid = c.qid
+              WHERE c.hrank <= 30),
+      ranked AS (SELECT qid, id, cosine, hamming,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, id ASC) AS rank
+                 FROM rer)
+      SELECT qid, id, cosine, hamming, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank""",
     // full replica of the LSH ANN operator: the deterministic hyperplanes
     // are embedded as literals, DuckDB recomputes bucket assignment,
     // multi-probe, the candidate join, and the exact-cosine re-rank —
@@ -5859,6 +5920,29 @@ object SparkEntry {
                               % 1000000000))::BIGINT AS lbl
               FROM c$r GROUP BY dst)""").mkString(",")}
       SELECT id AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""",
+    // open triads via the capped-pivot self-join, existing edges removed
+    // with NOT EXISTS, full degrees in the integer scores — // and DIV
+    // both floor on the non-negative operands
+    "graph_link_pred" -> s"""
+      WITH ${OracleXX.minhashAgreeCtes(128, 16)},
+      kp AS MATERIALIZED (
+        SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      e0 AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM kp
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM kp),
+      dg AS (SELECT src, count(*)::BIGINT AS deg FROM e0 GROUP BY src),
+      pe AS (SELECT e.src, e.dst FROM e0 e JOIN dg d ON e.src = d.src
+             WHERE d.deg <= 1000),
+      cd AS (SELECT x.dst AS id_a, y.dst AS id_b, count(*)::BIGINT AS cn
+             FROM pe x JOIN pe y ON x.src = y.src AND x.dst < y.dst
+             GROUP BY 1, 2),
+      nc AS (SELECT * FROM cd c WHERE NOT EXISTS (
+               SELECT 1 FROM kp k
+               WHERE k.id_a = c.id_a AND k.id_b = c.id_b))
+      SELECT n.id_a, n.id_b, n.cn, (da.deg * db.deg)::BIGINT AS pa,
+             (n.cn * 1000000 // (da.deg + db.deg - n.cn))::BIGINT AS jaccard_ppm
+      FROM nc n JOIN dg da ON n.id_a = da.src JOIN dg db ON n.id_b = db.src
+      ORDER BY n.id_a, n.id_b""",
     // native recursive-CTE ancestor walk vs the engine's pointer doubling:
     // same decimal forest (parent = partkey // 10, both floor on
     // non-negatives), root/depth read from the deepest walk row per id

@@ -143,6 +143,73 @@ object Similarity {
     reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** 1-bit (sign) binary quantization: the vector's sign pattern packed
+    * into `dim/32` BIGINT words (bit i of word w set iff component
+    * `32w + i` is > 0). 32 bits per word — not 63 — keeps every word
+    * positive and well inside BIGINT in BOTH engines (a 1L << 63 sign
+    * bit is engine-dependent territory). Length-mismatched vectors fail
+    * loudly (same contract as [[hyperplaneBucket]]). */
+  def binarySignCode(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 32 == 0, s"dim must be a multiple of 32, got $dim")
+    val packed = transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+        acc + when(element_at(vec, (w * 32 + i + 1).cast("int")) > 0f,
+                   call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+    when(size(vec) === dim, packed).otherwise(raise_error(concat(
+      lit(s"binarySignCode: vector length "), size(vec).cast("string"),
+      lit(s" != dim $dim"))))
+  }
+
+  /** Hamming-space retrieval over 1-bit sign codes with exact-cosine
+    * rerank — the 32×-compression ANN path (a 64-dim float vector becomes
+    * 8 bytes): candidates are the `candK` nearest corpus codes by Hamming
+    * distance (XOR + popcount per word, ties to the smaller id), then
+    * reranked with full-precision cosine to the final `k`. Sign codes
+    * approximate angular distance (the SimHash bound: P[bit differs] =
+    * θ/π per *random* hyperplane; raw sign bits are the standard cheap
+    * variant), so Hamming ranking is a cosine-ranking sketch.
+    *
+    * Output: qid, id, cosine (exact), hamming, rank.
+    *
+    * Scale shape — the point of the operator: the Hamming scan reads ONLY
+    * the packed (id, code) projection (dim/32 longs per row, no float
+    * vectors), queries are broadcast, and the `row_number <= candK` cut
+    * plans as a map-side partial WindowGroupLimit so the rank shuffle
+    * carries candK-bounded slim rows per partition. Full vectors enter
+    * only in the rerank, via a broadcast of the (queries × candK)
+    * candidate-id set probing the corpus in place — the matryoshka rerank
+    * contract (no corpus-side Exchange; pinned in PlanSpec). */
+  def hammingTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  dim: Int, k: Int = 10, candK: Int = 30): DataFrame = {
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
+    val codes = c.select(col("id"), binarySignCode(col("cvec"), dim).as("code"))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+    val qCodes = q.select(col("qid"),
+      binarySignCode(col("qvec"), dim).as("qcode"))
+    val ham = codes
+      .join(broadcast(qCodes))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("code"), col("qcode"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), _ + _).as("hamming"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("id").asc)
+    val cands = ham.withColumn("hrank", row_number().over(wH))
+      .where(col("hrank") <= candK)
+      .drop("hrank")
+    val reranked = broadcast(cands)
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"),
+        VF.cosineSim(col("cvec"), col("qvec")).as("cosine"), col("hamming"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * highest-cosine corpus items that are NOT labeled positives (and not
     * the query itself) — the negatives that actually move an InfoNCE/

@@ -779,6 +779,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight.length == 10 && tight.forall(_.getInt(3) <= 5))
   }
 
+  test("binarySignCode: hand-computed word packing; hammingTopK equals brute force at full candK") {
+    import spark.implicits._
+    // 64-dim vector with positives exactly at dims 0, 5, 33:
+    // word 0 = 2^0 + 2^5 = 33, word 1 = 2^(33-32) = 2
+    val v = Array.tabulate(64)(i =>
+      if (i == 0 || i == 5 || i == 33) 1.0f else if (i == 7) 0.0f else -1.0f)
+    val code = Seq(Tuple1(v)).toDF("v")
+      .select(Similarity.binarySignCode(col("v"), 64).as("c"))
+      .collect().head.getSeq[Long](0)
+    assert(code == Seq(33L, 2L), s"got $code")
+    // hamming(v, v) = 0; hamming(v, -v) flips every nonzero-sign dim:
+    // v has 3 positive bits, -v has 60 (the zero at dim 7 stays 0) -> 63
+    val pair = Seq((1L, v), (2L, v.map(-_))).toDF("id", "vec")
+      .select(col("id"), Similarity.binarySignCode(col("vec"), 64).as("c"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    val hd = (pair(1L) zip pair(2L))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hd == 63, s"got $hd")
+
+    // candK covering the corpus makes the Hamming cut lossless: the
+    // exact-cosine rerank must equal brute force
+    val q = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val n = emb.count().toInt
+    val hk = Similarity.hammingTopK(emb, "vec_id", "embedding", q, "qid",
+      "qvec", dim = 64, k = 5, candK = n)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid",
+      "qvec", k = 5)
+    assert(key(hk) == key(bf),
+      "with a corpus-covering candK the Hamming cut cannot drop true neighbors")
+    // tight candK: still k rows per query, exact cosines reported
+    val tight = Similarity.hammingTopK(emb, "vec_id", "embedding", q, "qid",
+      "qvec", dim = 64, k = 5, candK = 20).collect()
+    assert(tight.length == 10 &&
+      tight.forall(_.getAs[Int]("rank") <= 5))
+    // wrong-length vectors fail loudly, same contract as hyperplaneBucket
+    val bad = Seq((1L, Array(1.0f, -1.0f))).toDF("id", "vec")
+    val ex = intercept[Exception] {
+      bad.select(Similarity.binarySignCode(col("vec"), 64)).collect()
+    }
+    assert(ex.getMessage.contains("binarySignCode"), ex.getMessage)
+  }
+
   test("winnowOverlapPairs: guaranteed detection of long shared passages, no false pairs") {
     // docs 1 and 2 share a 30-token passage (≥ window+n-1 = 11 tokens →
     // the winnowing guarantee promises at least one shared fingerprint);

@@ -174,4 +174,56 @@ class GraphSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b, "labelPropagation depends on input partitioning")
   }
+
+  test("linkPrediction: open triads scored, existing edges excluded, hub pivots capped") {
+    // path 1-2-3: one open triad (1,3) through pivot 2.
+    // cn=1, deg1=deg3=1 -> pa=1, jaccard = 1e6*1/(1+1-1) = 1e6
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = Graph.linkPrediction(path, "id_a", "id_b").collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 3L &&
+      r.getAs[Long]("cn") == 1L && r.getAs[Long]("pa") == 1L &&
+      r.getAs[Long]("jaccard_ppm") == 1000000L, s"got $r")
+
+    // square 1-2-3-4-1: (1,3) via pivots 2 and 4 -> cn=2, deg=2,2,
+    // pa=4, jaccard = 2e6 DIV (2+2-2) = 1e6; same for (2,4)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val sqr = Graph.linkPrediction(sq, "id_a", "id_b").collect()
+      .map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b")) ->
+        (x.getAs[Long]("cn"), x.getAs[Long]("pa"),
+         x.getAs[Long]("jaccard_ppm"))).toMap
+    assert(sqr == Map((1L, 3L) -> ((2L, 4L, 1000000L)),
+                      (2L, 4L) -> ((2L, 4L, 1000000L))), s"got $sqr")
+
+    // triangle: every co-neighbor pair is already an edge -> no output
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.linkPrediction(tri, "id_a", "id_b").count() == 0L)
+
+    // pivot cap: a star hub with deg 3 > cap 2 generates no candidates
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.linkPrediction(star, "id_a", "id_b",
+      maxPivotDegree = 2L).count() == 0L)
+    // ...but degrees in the SCORES stay full: path 1-2-3 plus hub edges
+    // 1-9, 3-9 under cap 2 — pivot 9 (deg 2) and pivot 2 (deg 2) both
+    // serve; (1,3) has cn=2 with full degrees 2,2
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 9L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val m = Graph.linkPrediction(mixed, "id_a", "id_b", maxPivotDegree = 2L)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b")) ->
+        (x.getAs[Long]("cn"), x.getAs[Long]("pa"))).toMap
+    assert(m((1L, 3L)) == ((2L, 4L)), s"got $m")
+  }
+
+  test("linkPrediction: partitioning-invariant on the minhash candidate graph") {
+    val docs = spark.read.parquet(sf("documents"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+    val a = Graph.linkPrediction(pairs.repartition(7), "id_a", "id_b")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = Graph.linkPrediction(pairs.repartition(2), "id_a", "id_b")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b, "linkPrediction depends on input partitioning")
+  }
 }

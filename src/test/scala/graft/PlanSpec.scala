@@ -45,6 +45,26 @@ class PlanSpec extends SparkSpec {
       "shuffle would carry the full corpus × queries product")
   }
 
+  test("sim_hamming_topk: code scan prunes map-side; no float vectors in the Hamming rank shuffle") {
+    val p = plan("sim_hamming_topk")
+    val lines = p.linesIterator.toVector
+    // the Hamming candidate rank must prune below its exchange (partial
+    // WindowGroupLimit), and that shuffle must carry only packed codes —
+    // never the float vectors (the 32x-compression point of the operator)
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstExchange >= 0 && partialWgl > firstExchange,
+      s"partial WindowGroupLimit below the exchange is missing:\n$p")
+    val rankExchange = lines.filter(_.contains("Exchange hashpartitioning(qid"))
+    assert(rankExchange.nonEmpty, s"candidate rank exchange not found:\n$p")
+    assert(!rankExchange.exists(_.contains("cvec")),
+      s"float corpus vector crosses the Hamming-rank shuffle:\n$p")
+    // rerank contract (same as matryoshka): candidates broadcast, corpus
+    // probed in place — no corpus-side Exchange by id
+    assert(!lines.exists(_.contains("Exchange hashpartitioning(id")),
+      s"corpus side of the rerank join shuffles by id:\n$p")
+  }
+
   test("sim_matryoshka_topk: prefix stage prunes map-side; no body columns in the rank shuffle") {
     val p = plan("sim_matryoshka_topk")
     // the prefix-cosine candidate rank must prune below its exchange like
