@@ -1255,6 +1255,23 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Nearest-class-mean probe over the labeled embedding table:
+    * fixed-point per-label centroids, squared-L2 assignment (ties to the
+    * smaller label), confusion-matrix rollup — the "do these embeddings
+    * separate the labels" diagnostic. Pure integer pipeline, bit-exact
+    * vs the SQL replay. */
+  private def simCentroidClassifier(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidClassifierConfusion(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+      .orderBy("label", "pred")
+
+  /** Deterministic 15% MLM masking plan with the 80/10/10
+    * mask/random/keep action split — hash-derived, so the plan is a pure
+    * function of (corpus, seed) and replays bit-exactly in the oracle. */
+  private def textMlmMasks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mlmMaskPlan(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "pos")
+
   /** Leakage audit over a 90/10 train/val hash split at the MinHash-LSH
     * dedup threshold — the near-dup pairs straddling the split boundary. */
   private def dedupSplitLeakage(s: SparkSession, dir: String): DataFrame =
@@ -2982,6 +2999,7 @@ object SparkEntry {
     "dedup_semantic"      -> dedupSemantic _,
     "sim_topk"            -> simTopK _,
     "sim_hamming_topk"    -> simHammingTopK _,
+    "sim_centroid_classifier" -> simCentroidClassifier _,
     "sim_hard_negatives"  -> simHardNegatives _,
     "dedup_split_leakage" -> dedupSplitLeakage _,
     "dedup_lines_intra"   -> dedupLinesIntra _,
@@ -3029,6 +3047,7 @@ object SparkEntry {
     "curation_source_cap" -> curationSourceCap _,
     "curation_token_budget" -> curationTokenBudget _,
     "text_perceptron"     -> textPerceptron _,
+    "text_mlm_masks"      -> textMlmMasks _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -4960,6 +4979,28 @@ object SparkEntry {
                  FROM rer)
       SELECT qid, id, cosine, hamming, rank::INT AS rank FROM ranked
       WHERE rank <= 10 ORDER BY qid, rank""",
+    // fixed-point centroids (sum // count truncates toward zero in both
+    // engines), squared-L2 argmin via the dist*16+label encode, confusion
+    // rollup — the integer pipeline replayed end to end
+    "sim_centroid_classifier" -> """
+      WITH e AS (SELECT vec_id, label::BIGINT AS lbl,
+               list_transform(embedding::DOUBLE[],
+                 x -> floor(x * 1048576)::BIGINT) AS xq
+             FROM embeddings),
+      comp AS (SELECT lbl, unnest(list_transform(range(1, len(xq) + 1),
+                 i -> {'d': i, 'x': xq[i]}), recursive := true)
+               FROM e),
+      cent AS (SELECT lbl AS cand, d, (sum(x) // count(*))::BIGINT AS c
+               FROM comp GROUP BY 1, 2),
+      ca AS (SELECT cand, list(c ORDER BY d) AS cv FROM cent GROUP BY cand),
+      sc AS (SELECT e.vec_id, e.lbl,
+               (list_aggregate(list_transform(range(1, len(xq) + 1),
+                  i -> (xq[i] - a.cv[i]) * (xq[i] - a.cv[i])),
+                'sum')::BIGINT * 16 + a.cand)::BIGINT AS enc
+             FROM e CROSS JOIN ca a),
+      pr AS (SELECT vec_id, lbl, min(enc) AS me FROM sc GROUP BY 1, 2)
+      SELECT lbl AS label, (me % 16)::BIGINT AS pred, count(*)::BIGINT AS n
+      FROM pr GROUP BY 1, 2 ORDER BY label, pred""",
     // full replica of the LSH ANN operator: the deterministic hyperplanes
     // are embedded as literals, DuckDB recomputes bucket assignment,
     // multi-probe, the candidate join, and the exact-cosine re-rank —
@@ -6415,6 +6456,32 @@ object SparkEntry {
       ORDER BY d.doc_id""",
     // vocab = top-1000 tokens by (count desc, token asc) — a deterministic
     // total order both engines can reproduce; OOV encodes as 1000 (<unk>)
+    // seeded-hash mask selection and 80/10/10 action split replayed with
+    // the XXH64 HUGEINT replica; chained seeds are Spark's multi-column
+    // xxhash64 (seed literal hashed first, position key second)
+    "text_mlm_masks" -> {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
+      val key = "(doc_id * 100000 + pos)"
+      s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      flat AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                 i -> {'pos': i - 1, 'tok': tk[i]}), recursive := true)
+        FROM toks),
+      f2 AS (SELECT doc_id, pos::BIGINT AS pos, tok FROM flat
+             WHERE tok <> ''),
+      h AS (SELECT doc_id, pos, tok,
+              ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(13L))} AS sel,
+              ${OracleXX.xxh64LongPmod(key, 10L, seed = s(17L))} AS act,
+              ${OracleXX.xxh64LongPmod(key, 1000L, seed = s(22L))} AS rnd
+            FROM f2)
+      SELECT doc_id, pos, tok AS token,
+             CASE WHEN act < 8 THEN 'mask' WHEN act = 8 THEN 'random'
+                  ELSE 'keep' END AS action,
+             (CASE WHEN act = 8 THEN rnd END)::BIGINT AS rand_bucket
+      FROM h WHERE sel < 150000 ORDER BY doc_id, pos"""
+    },
     "text_token_ids" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       tf AS (SELECT unnest(tk) AS tok FROM toks),

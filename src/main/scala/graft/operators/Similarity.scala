@@ -834,6 +834,65 @@ object Similarity {
               col("q.n_clamped").as("n_clamped"))
   }
 
+  /** Nearest-class-mean probe over labeled embeddings — the cheapest
+    * "do these embeddings separate my labels" diagnostic (the NCM
+    * classifier is the standard linear-probe-lite): per-label centroids
+    * of FIXED-POINT quantized vectors (floor(x·2^scaleBits), so the
+    * centroid is an order-free integer mean — float centroid sums would
+    * differ ulp-by-ulp with partitioning), every vector classified to the
+    * squared-L2-nearest centroid (ties to the smallest label via the
+    * integer encode dist·16 + label), and the result reported as a
+    * confusion matrix. Train-on-all/test-on-all is deliberate: this is a
+    * separability report, not an eval harness.
+    *
+    * Requires labels in [0, 16): the tie-break encode packs the label
+    * into the low 4 bits (checked loudly).
+    *
+    * Scale shape: centroid building posexplodes to slim (label, dim,
+    * component) rows — one map-side-combinable aggregate; per-label
+    * centroid arrays are rebuilt from dim-bounded groups and BROADCAST
+    * against the corpus scan (L×dim longs); scoring is one narrow fold
+    * per (row, label); the confusion rollup is one combinable count.
+    * The corpus never shuffles. */
+  def centroidClassifierConfusion(df: DataFrame, idCol: String,
+                                  vecCol: String, labelCol: String,
+                                  scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 24,
+      s"scaleBits must be in [0, 24], got $scaleBits")
+    val q = 1L << scaleBits
+    val quant = df.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("lbl"),
+      transform(col(vecCol), x => floor(x.cast("double") * q).cast("long"))
+        .as("xq"))
+    val guarded = quant.withColumn("lbl",
+      when(col("lbl") >= 0L && col("lbl") < 16L, col("lbl"))
+        .otherwise(raise_error(concat(
+          lit("centroidClassifierConfusion: label "),
+          col("lbl").cast("string"), lit(" outside [0, 16)")))))
+    val comp = guarded.select(col("lbl"),
+      posexplode(col("xq")).as(Seq("d", "x")))
+    val cent = comp.groupBy("lbl", "d")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("lbl"), col("d"), expr("s DIV n").as("c"))
+    val centArr = cent.groupBy(col("lbl").as("cand"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    // ALL centroids ride one broadcast row; the argmin is a per-row fold
+    // over that array — no cross-join fan-out, no (id, lbl) re-aggregate,
+    // zero corpus-side shuffle (pinned in PlanSpec)
+    val centOneRow = centArr
+      .agg(sort_array(collect_list(struct(col("cand"), col("cv"))))
+        .as("cents"))
+    guarded.crossJoin(broadcast(centOneRow))
+      .select(col("lbl").as("label"),
+        (aggregate(col("cents"), lit(Long.MaxValue), (acc, s) =>
+          least(acc,
+            aggregate(zip_with(col("xq"), s.getField("cv"),
+                (a, b) => (a - b) * (a - b)), lit(0L), _ + _) * 16L +
+              s.getField("cand"))) % 16L).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+  }
+
   /** Text top-k by n-gram Jaccard against a query string (inverted-index
     * candidate join, same shape as `Dedup.ngramJaccardPairs`). */
   def textTopK(corpus: DataFrame, idCol: String, textCol: String,

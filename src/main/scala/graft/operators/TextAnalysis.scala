@@ -489,6 +489,49 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Deterministic BERT-style MLM masking plan: every (document, token
+    * position) is selected for masking iff a seeded hash of the position
+    * key lands under `maskPpm` (default 15%), and selected positions get
+    * the classic 80/10/10 mask/random/keep action split from a second
+    * independent hash. Hash-based selection — not rand() — is the point:
+    * the plan is a pure function of (corpus, seed), so training is
+    * reproducible across reruns, engines, and partitionings, and a
+    * different `seed` gives an independent epoch re-mask. `rand_bucket`
+    * (third hash, only for 'random' rows) is the deterministic sampling
+    * index into whatever vocabulary the trainer pairs with the plan.
+    *
+    * Position keys are `doc_id * maxPositions + pos`; a document longer
+    * than `maxPositions` tokens fails loudly rather than aliasing another
+    * document's key space (and ANSI mode catches `doc_id * maxPositions`
+    * overflow the same loud way).
+    *
+    * Scale shape: tokenize → posexplode → three per-row hashes → filter.
+    * No shuffle anywhere, no state — scan-bound and embarrassingly
+    * parallel at any corpus size. */
+  def mlmMaskPlan(df: DataFrame, idCol: String, textCol: String,
+                  maskPpm: Long = 150000L, seed: Long = 13L,
+                  maxPositions: Long = 100000L): DataFrame = {
+    require(maskPpm >= 0L && maskPpm <= 1000000L,
+      s"maskPpm must be in [0, 1e6], got $maskPpm")
+    require(maxPositions >= 1L, s"maxPositions must be >= 1, got $maxPositions")
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val key = when(col("pos") < maxPositions,
+        col("doc_id") * maxPositions + col("pos").cast("long"))
+      .otherwise(raise_error(concat(lit("mlmMaskPlan: token position "),
+        col("pos").cast("string"), lit(s" >= maxPositions $maxPositions"))))
+    val sel = pmod(xxhash64(lit(seed), key), lit(1000000L))
+    val act = pmod(xxhash64(lit(seed + 4L), key), lit(10L))
+    val rnd = pmod(xxhash64(lit(seed + 9L), key), lit(1000L))
+    toks.where(sel < maskPpm)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
+        when(act < 8L, lit("mask")).when(act === 8L, lit("random"))
+          .otherwise(lit("keep")).as("action"),
+        when(act === 8L, rnd).otherwise(lit(null).cast("long"))
+          .as("rand_bucket"))
+  }
+
   /** Batch-perceptron training IN the engine — the minimal "train a
     * quality/language filter on the corpus itself" loop every curation
     * stack eventually needs. Classic per-sample perceptron is

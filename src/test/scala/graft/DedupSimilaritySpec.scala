@@ -825,6 +825,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("binarySignCode"), ex.getMessage)
   }
 
+  test("centroidClassifierConfusion: separable labels sit on the diagonal; ties break to the smaller label") {
+    import spark.implicits._
+    // two well-separated 1-D classes -> perfect diagonal confusion
+    val sep = Seq(
+      (1L, Array(-0.3f), 0), (2L, Array(-0.5f), 0),
+      (3L, Array(0.3f), 1), (4L, Array(0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.centroidClassifierConfusion(sep, "vec_id",
+        "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("pred")) ->
+        r.getAs[Long]("n")).toMap
+    assert(m == Map((0L, 0L) -> 2L, (1L, 1L) -> 2L), m.toString)
+    // exact equidistance: centroids at -0.25 and +0.25, probe vector at
+    // 0.0 (its own class 2 centroid also at 0.0 -> dist 0 wins; use a
+    // 3-class setup where class 2's member is pulled off-centroid)
+    // simpler: two classes with centroids +/-0.25, one class-1 member at
+    // exactly 0 -> equidistant to both centroids, encode picks label 0
+    val tie = Seq(
+      (1L, Array(-0.25f), 0),
+      (2L, Array(0.5f), 1), (3L, Array(0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val tm = Similarity.centroidClassifierConfusion(tie, "vec_id",
+        "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("pred")) ->
+        r.getAs[Long]("n")).toMap
+    // centroids: label 0 at -0.25q; label 1 at (0.5q + 0) DIV 2 = 0.25q.
+    // vec 3 (at 0) is equidistant -> tie goes to label 0
+    assert(tm == Map((0L, 0L) -> 1L, (1L, 1L) -> 1L, (1L, 0L) -> 1L),
+      tm.toString)
+    // labels outside [0, 16) are a loud error, not a silent mis-encode
+    val bad = Seq((1L, Array(0.1f), 99)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Similarity.centroidClassifierConfusion(bad, "vec_id", "embedding",
+        "label").collect()
+    }
+    assert(ex.getMessage.contains("outside [0, 16)"), ex.getMessage)
+  }
+
   test("winnowOverlapPairs: guaranteed detection of long shared passages, no false pairs") {
     // docs 1 and 2 share a 30-token passage (≥ window+n-1 = 11 tokens →
     // the winnowing guarantee promises at least one shared fingerprint);

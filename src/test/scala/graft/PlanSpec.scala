@@ -737,6 +737,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("int8_quant_stats"), s"native expression lost:\n$p")
   }
 
+  test("text_mlm_masks: scan-bound — only the presentation sort shuffles") {
+    val p = plan("text_mlm_masks")
+    // tokenize -> posexplode -> three hashes -> filter is a narrow
+    // pipeline; the single exchange is the gate's orderBy
+    val ex = p.linesIterator.count(_.contains("Exchange"))
+    assert(ex == 1, s"expected only the presentation-sort exchange, got $ex:\n$p")
+  }
+
+  test("sim_centroid_classifier: centroids broadcast; the corpus never hash-shuffles by id") {
+    val p = plan("sim_centroid_classifier")
+    val lines = p.linesIterator.toVector
+    // scoring joins the L-by-dim centroid table via broadcast; a
+    // SortMergeJoin here would repartition the whole corpus at 100 TB
+    assert(lines.exists(_.contains("Broadcast")),
+      s"centroid table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in the scoring stage:\n$p")
+    assert(!lines.exists(_.contains("Exchange hashpartitioning(id")),
+      s"corpus shuffles by id:\n$p")
+  }
+
   test("text_lang_mixture: two slim hash exchanges; histogram combines map-side") {
     val p = plan("text_lang_mixture")
     // exchange 1 carries the (id, seg_lang) histogram — map-side combined

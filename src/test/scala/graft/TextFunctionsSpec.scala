@@ -154,6 +154,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0L, 5L), (2L, 0L, 0L, 5L)), s"got ${out.toList}")
   }
 
+  test("mlmMaskPlan: deterministic hash plan — 80/10/10 actions, seed independence, loud position guard") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents"))
+    val plan1 = TextAnalysis.mlmMaskPlan(docs, "doc_id", "text")
+      .orderBy("doc_id", "pos").collect().toSeq
+    // pure function of (corpus, seed): bit-identical on rerun and under
+    // a different input partitioning
+    val plan2 = TextAnalysis.mlmMaskPlan(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(plan1 == plan2, "mask plan depends on partitioning")
+    assert(plan1.nonEmpty)
+    // selection rate tracks maskPpm (15% +/- generous hash slack)
+    val total = docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))
+      .as("t")).where(col("t") =!= "").count()
+    val frac = plan1.size.toDouble / total
+    assert(frac > 0.10 && frac < 0.20, s"selection fraction $frac")
+    // action split is ~80/10/10 and rand_bucket is populated exactly for
+    // 'random' rows, in [0, 1000)
+    val byAct = plan1.groupBy(_.getAs[String]("action")).view.mapValues(_.size).toMap
+    assert(byAct.keySet == Set("mask", "random", "keep"), byAct.toString)
+    assert(byAct("mask") > 5 * byAct("random") && byAct("mask") > 5 * byAct("keep"),
+      byAct.toString)
+    assert(plan1.forall { r =>
+      val rb = Option(r.getAs[java.lang.Long]("rand_bucket"))
+      if (r.getAs[String]("action") == "random")
+        rb.exists(b => b >= 0L && b < 1000L)
+      else rb.isEmpty
+    })
+    // an independent seed re-masks: plans must differ
+    val other = TextAnalysis.mlmMaskPlan(docs, "doc_id", "text", seed = 14L)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(other != plan1, "different seeds must give independent plans")
+    // a document longer than maxPositions fails loudly, never aliases
+    import spark.implicits._
+    val long = Seq((1L, (1 to 40).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.mlmMaskPlan(long, "doc_id", "text",
+        maxPositions = 10L).collect()
+    }
+    assert(ex.getMessage.contains("maxPositions"), ex.getMessage)
+  }
+
   test("tokenBudgetCut: quality-first admission, straddler included, id tie-break") {
     import graft.operators.TextAnalysis
     // rank order (q DESC, id ASC): 2(q900,n4) 3(q900,n3) 4(q500,n10) 1(q100,n5)
