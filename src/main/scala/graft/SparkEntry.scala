@@ -432,6 +432,23 @@ object SparkEntry {
         "event_type", "hour", "y")
       .orderBy("event_type")
 
+  /** Deterministic A/B report over hash-assigned arms: conversion and
+    * revenue per variant plus the doubled Mann-Whitney rank-sum `u2`
+    * (exact integer midranks) over per-user purchase revenue. */
+  private def eventsAbTest(s: SparkSession, dir: String): DataFrame =
+    Analytics.abTestReport(
+        events(s, dir).withColumn("value_cents", cents(col("value"))),
+        "user_id", "event_type", "value_cents", "purchase")
+      .orderBy("variant")
+
+  /** Weekly cohort LTV triangle: purchase revenue per (first-seen cohort,
+    * age) cell with running cumulative cents and LTV per cohort member. */
+  private def eventsCohortLtv(s: SparkSession, dir: String): DataFrame =
+    Analytics.cohortLtv(
+        events(s, dir).withColumn("value_cents", cents(col("value"))),
+        "user_id", "ts_ms", "event_type", "value_cents", "purchase")
+      .orderBy("cohort", "age")
+
   /** Long-run session behavior: the stationary distribution of the
     * within-session transition chain (same counts as
     * `events_transitions`), 8 fixed-point power iterations. */
@@ -2935,6 +2952,8 @@ object SparkEntry {
     "events_rfm"          -> eventsRfm _,
     "events_markov"       -> eventsMarkov _,
     "events_forecast_eval" -> eventsForecastEval _,
+    "events_ab_test"      -> eventsAbTest _,
+    "events_cohort_ltv"   -> eventsCohortLtv _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
@@ -5793,6 +5812,63 @@ object SparkEntry {
       FROM fin f JOIN sm s
         ON s.event_type = f.event_type AND s.i = f.n_buckets
       ORDER BY f.event_type""",
+    // first-seen weekly cohorts, sparse (cohort, age) revenue cells,
+    // per-cohort running sum; // and DIV truncate identically
+    "events_cohort_ltv" -> """
+      WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type,
+               (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+             FROM events),
+      fs AS (SELECT user_id, min(ms // 604800000)::BIGINT AS cohort
+             FROM e GROUP BY 1),
+      sz AS (SELECT cohort, count(*)::BIGINT AS cohort_size
+             FROM fs GROUP BY 1),
+      b AS (SELECT user_id, (ms // 604800000)::BIGINT AS bucket, cents
+            FROM e WHERE event_type = 'purchase'),
+      ba AS (SELECT f.cohort, (b.bucket - f.cohort)::BIGINT AS age,
+               count(DISTINCT b.user_id)::BIGINT AS n_buyers,
+               sum(cents)::BIGINT AS revenue_cents
+             FROM b JOIN fs f USING (user_id) GROUP BY 1, 2),
+      c AS (SELECT cohort, age, n_buyers, revenue_cents,
+              sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )::BIGINT AS cum_revenue_cents
+            FROM ba)
+      SELECT c.cohort, c.age, s.cohort_size, c.n_buyers, c.revenue_cents,
+             c.cum_revenue_cents,
+             (c.cum_revenue_cents // s.cohort_size)::BIGINT AS ltv_cents_per_user
+      FROM c JOIN sz s USING (cohort) ORDER BY cohort, age""",
+    // hash-assigned arms; doubled midrank = 2*(strictly-less count) +
+    // ties + 1 via one ordered window over DISTINCT revenue values;
+    // u2 = sum(r2) - n(n+1)
+    "events_ab_test" -> {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val s5 = java.lang.Long.toUnsignedString(XXH64.hashLong(5L, 42L))
+      s"""
+      WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN (value::DECIMAL(18,2) * 100)::BIGINT
+                        ELSE 0 END)::BIGINT AS rev
+        FROM events GROUP BY user_id),
+      v AS (SELECT user_id, conv, rev,
+              ${OracleXX.xxh64LongPmod("user_id", 2L, seed = s5)} AS var
+            FROM u),
+      g AS (SELECT rev, count(*)::BIGINT AS g FROM v GROUP BY rev),
+      rk AS (SELECT rev,
+               (2 * coalesce(sum(g) OVER (ORDER BY rev
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + g + 1)::BIGINT AS r2
+             FROM g),
+      j AS (SELECT v.var, v.conv, v.rev, rk.r2 FROM v JOIN rk USING (rev))
+      SELECT CASE WHEN var = 0 THEN 'A' ELSE 'B' END AS variant,
+             count(*)::BIGINT AS n_users, sum(conv)::BIGINT AS n_conv,
+             (sum(conv) * 1000000 // count(*))::BIGINT AS conv_ppm,
+             sum(rev)::BIGINT AS revenue_cents,
+             (sum(rev) // count(*))::BIGINT AS arpu_cents,
+             (sum(r2) - count(*) * (count(*) + 1))::BIGINT AS u2
+      FROM j GROUP BY 1 ORDER BY variant"""
+    },
     // sketch candidates + exact capped-weight verification
     "dedup_weighted_minhash_verified" -> s"""
       WITH ${OracleXX.weightedMinhashAgreeCtes(128, 16, capW = 8)},

@@ -397,6 +397,103 @@ object Analytics {
               col("st.nsae").as("naive_sae_fp"))
   }
 
+  /** Cohort lifetime-value matrix — the finance-facing companion to the
+    * retention triangle: users are cohorted by first-seen time bucket
+    * (default weekly), purchase revenue is rolled up per (cohort, age)
+    * cell, and each cell carries the running cumulative revenue and
+    * LTV-per-cohort-member in exact cents. Ages with no purchases are
+    * simply absent (a sparse triangle); the cumulative at any present age
+    * is still exact, because the missing cells contribute zero.
+    *
+    * All money stays BIGINT cents; `ltv_cents_per_user` is the truncating
+    * `cum DIV cohort_size` (identical truncation in both engines).
+    *
+    * Scale shape: one combinable first-seen aggregate, one slim
+    * user-keyed join of purchase rows against their cohort, one
+    * combinable (cohort, age) rollup (the distinct buyer count is the
+    * standard two-phase distinct aggregate), a per-cohort running-sum
+    * window over the TIME-BOUNDED age axis, and a broadcast of the tiny
+    * cohort-size table. */
+  def cohortLtv(df: DataFrame, userCol: String, tsMsCol: String,
+                typeCol: String, valueCentsCol: String, purchaseType: String,
+                bucketMs: Long = 604800000L): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val firstSeen = df.groupBy(col(userCol).as("u"))
+      .agg(min(expr(s"$tsMsCol DIV $bucketMs")).as("cohort"))
+    val sizes = firstSeen.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    val buys = df.where(col(typeCol) === purchaseType)
+      .select(col(userCol).as("u"),
+        expr(s"$tsMsCol DIV $bucketMs").as("bucket"),
+        col(valueCentsCol).as("cents"))
+    val byAge = buys.join(firstSeen, "u")
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("age"))
+      .agg(countDistinct(col("u")).as("n_buyers"),
+           sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(w).cast("long"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age"), col("cohort_size"), col("n_buyers"),
+        col("revenue_cents"), col("cum_revenue_cents"),
+        expr("cum_revenue_cents DIV cohort_size").as("ltv_cents_per_user"))
+  }
+
+  /** Deterministic A/B experiment report: users are assigned to variants
+    * by a seeded hash of the user id (the industry-standard deterministic
+    * bucketing — the same user always lands in the same arm, re-runs and
+    * engines agree, no assignment table to store), then each arm gets the
+    * conversion/revenue read-out plus a doubled Mann-Whitney rank-sum
+    * statistic `u2` over per-user revenue — the nonparametric "did the
+    * distribution shift" signal that a mean comparison misses under
+    * heavy-tailed spend.
+    *
+    * `u2 = 2·U` with EXACT midrank tie handling, kept integer by the
+    * doubling: a user's doubled midrank is `2·(#users with strictly
+    * smaller revenue) + (#ties) + 1` — no halves, no floats, so the
+    * statistic is bit-replayable cross-engine. Sanity invariant:
+    * `u2_A + u2_B = 2·n_A·n_B`. (Normalizing to a z-score needs a sqrt —
+    * left to the reader of the report, by the engine's no-libm rule.)
+    *
+    * Scale shape: one map-side-combinable per-user aggregate; midranks
+    * come from a combinable count over DISTINCT revenue values plus the
+    * standard two-pass distributed prefix sum (no single-task global
+    * window), joined back on the slim (revenue) key; the final per-arm
+    * rollup is one combinable aggregate. `Σ 2·midrank ≤ n(2n+1)` keeps
+    * BIGINT to ~10^9 users (ANSI fails loudly beyond). */
+  def abTestReport(df: DataFrame, userCol: String, typeCol: String,
+                   valueCentsCol: String, conversionType: String,
+                   seed: Long = 5L): DataFrame = {
+    val perUser = df.groupBy(col(userCol).as("u"))
+      .agg(max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+             .as("conv"),
+           sum(when(col(typeCol) === conversionType, col(valueCentsCol))
+             .otherwise(0L)).as("rev"))
+      .withColumn("var", pmod(xxhash64(lit(seed), col("u")), lit(2L)))
+    val grouped = perUser.groupBy(col("rev")).agg(count(lit(1)).as("g"))
+    val (offs, persisted) =
+      TextAnalysis.withPrefixOffsets(grouped, "rev", col("g"), "g")
+    try {
+      val ranks = graft.util.Materialize.cut(
+        offs.select(col("rev"),
+          (lit(2L) * col("offset") + col("g") + 1L).as("r2")))
+      val out = perUser.join(ranks, "rev")
+        .groupBy(when(col("var") === 0L, "A").otherwise("B").as("variant"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("conv")).as("n_conv"),
+             sum(col("rev")).as("revenue_cents"),
+             sum(col("r2")).as("r2"))
+        .select(col("variant"), col("n_users"), col("n_conv"),
+          expr("n_conv * 1000000 DIV n_users").as("conv_ppm"),
+          col("revenue_cents"),
+          expr("revenue_cents DIV n_users").as("arpu_cents"),
+          (col("r2") - col("n_users") * (col("n_users") + 1L)).as("u2"))
+      graft.util.Materialize.cut(out)
+    } finally { persisted.unpersist(); () }
+  }
+
   /** Stationary distribution of the first-order Markov chain defined by a
     * (from, to, count) transition table — "where does a user session
     * spend its time in the long run", the summary the raw transition

@@ -1146,7 +1146,7 @@ object TextAnalysis {
     * partitioning funnels the whole corpus through ONE task. Returns the
     * frame with `(idCol, sizeName, offset)` columns plus the persisted
     * intermediate the caller must unpersist after materializing. */
-  private def withPrefixOffsets(df: DataFrame, idCol: String,
+  private[operators] def withPrefixOffsets(df: DataFrame, idCol: String,
                                 size: org.apache.spark.sql.Column,
                                 sizeName: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window

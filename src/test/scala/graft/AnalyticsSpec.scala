@@ -214,6 +214,82 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("naive_sae_fp") == 6L * q, s"got $r")
   }
 
+  test("cohortLtv: hand-computed sparse triangle — cumulative cents and per-member LTV") {
+    val wk = 604800000L
+    val ev = Seq(
+      (1L, 100L, "purchase", 1000L),
+      (1L, 2L * wk + 5L, "purchase", 500L),
+      (2L, 200L, "view", 0L),
+      (3L, wk + 1L, "purchase", 700L),
+      (3L, 2L * wk + 2L, "purchase", 300L))
+      .toDF("user_id", "ts_ms", "event_type", "value_cents")
+    val out = graft.operators.Analytics.cohortLtv(
+        ev, "user_id", "ts_ms", "event_type", "value_cents", "purchase")
+      .orderBy("cohort", "age").collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("age")) ->
+        (r.getAs[Long]("cohort_size"), r.getAs[Long]("n_buyers"),
+         r.getAs[Long]("revenue_cents"), r.getAs[Long]("cum_revenue_cents"),
+         r.getAs[Long]("ltv_cents_per_user"))).toMap
+    // cohort 0 = {u1, u2} (size 2), cohort 1 = {u3} (size 1);
+    // age-1 cell absent for cohort 0 (sparse), cum still exact at age 2
+    assert(out == Map(
+      (0L, 0L) -> ((2L, 1L, 1000L, 1000L, 500L)),
+      (0L, 2L) -> ((2L, 1L, 500L, 1500L, 750L)),
+      (1L, 0L) -> ((1L, 1L, 700L, 700L, 700L)),
+      (1L, 1L) -> ((1L, 1L, 300L, 1000L, 1000L))), out.toString)
+  }
+
+  test("abTestReport: hand-checked midrank U2 against a driver-side reference; invariants hold") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // per-user fixture: two converters with revenue, two zero-revenue users
+    val ev = Seq(
+      (1L, "purchase", 10.00), (1L, "purchase", 5.00),
+      (2L, "view", 3.00),
+      (3L, "purchase", 10.00),
+      (4L, "view", 1.00), (4L, "click", 2.00))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("value_cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val out = graft.operators.Analytics.abTestReport(
+        ev, "user_id", "event_type", "value_cents", "purchase")
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+
+    // independent reference: recompute arms with Spark's XXH64 and U2
+    // with sort-based midranks (different code path than the prefix sum)
+    val seedC = XXH64.hashLong(5L, 42L)
+    def arm(u: Long) = (((XXH64.hashLong(u, seedC) % 2) + 2) % 2)
+    val rev = Map(1L -> 1500L, 2L -> 0L, 3L -> 1000L, 4L -> 0L)
+    val conv = Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L)
+    val all = rev.values.toSeq
+    def mid2(r: Long) = 2L * all.count(_ < r) + all.count(_ == r) + 1L
+    for (a <- Seq(0L, 1L)) {
+      val users = rev.keys.filter(arm(_) == a).toSeq
+      if (users.nonEmpty) {
+        val name = if (a == 0L) "A" else "B"
+        val row = out(name)
+        val n = users.size.toLong
+        assert(row.getAs[Long]("n_users") == n)
+        assert(row.getAs[Long]("n_conv") == users.map(conv).sum)
+        assert(row.getAs[Long]("revenue_cents") == users.map(rev).sum)
+        assert(row.getAs[Long]("conv_ppm") == users.map(conv).sum * 1000000L / n)
+        assert(row.getAs[Long]("arpu_cents") == users.map(rev).sum / n)
+        val u2Ref = users.map(u => mid2(rev(u))).sum - n * (n + 1L)
+        assert(row.getAs[Long]("u2") == u2Ref, s"u2 mismatch for arm $name")
+      }
+    }
+    // rank-sum identity on real data: u2_A + u2_B = 2 * n_A * n_B
+    val real = spark.read.parquet(sf("events"))
+      .withColumn("value_cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val rows = graft.operators.Analytics.abTestReport(
+        real, "user_id", "event_type", "value_cents", "purchase")
+      .collect().map(r => r.getAs[String]("variant") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("u2"))).toMap
+    val (na, ua) = rows("A"); val (nb, ub) = rows("B")
+    assert(ua + ub == 2L * na * nb, s"rank-sum identity broken: $rows")
+    assert(ua >= 0L && ub >= 0L)
+  }
+
   test("markovStationary: converges to the known distribution; exact on the symmetric chain") {
     // A->B always, B->A / B->B evenly: stationary (1/3, 2/3)
     val t1 = Seq(("A", "B", 10L), ("B", "A", 5L), ("B", "B", 5L))
