@@ -1282,6 +1282,13 @@ object SparkEntry {
         "vec_id", "embedding", "label")
       .orderBy("label", "pred")
 
+  /** Deterministic T5-style span-corruption plan: hash-selected span
+    * starts with hash-drawn lengths, merged into maximal sentinel-numbered
+    * spans — bit-replayable denoising schedule. */
+  private def textSpanCorruption(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorruptionPlan(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "span_start")
+
   /** Deterministic 15% MLM masking plan with the 80/10/10
     * mask/random/keep action split — hash-derived, so the plan is a pure
     * function of (corpus, seed) and replays bit-exactly in the oracle. */
@@ -3067,6 +3074,7 @@ object SparkEntry {
     "curation_token_budget" -> curationTokenBudget _,
     "text_perceptron"     -> textPerceptron _,
     "text_mlm_masks"      -> textMlmMasks _,
+    "text_span_corruption" -> textSpanCorruption _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -6557,6 +6565,48 @@ object SparkEntry {
                   ELSE 'keep' END AS action,
              (CASE WHEN act = 8 THEN rnd END)::BIGINT AS rand_bucket
       FROM h WHERE sel < 150000 ORDER BY doc_id, pos"""
+    },
+    // hash-selected starts + hash-drawn lengths clipped at doc end,
+    // running-max interval union per document, sentinel ordinals
+    "text_span_corruption" -> {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
+      val key = "(doc_id * 100000 + pos)"
+      s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      flat AS (
+        SELECT doc_id, len(tk)::BIGINT AS n_toks,
+               unnest(list_transform(range(1, len(tk) + 1),
+                 i -> {'pos': i - 1, 'tok': tk[i]}), recursive := true)
+        FROM toks),
+      f2 AS (SELECT doc_id, n_toks, pos::BIGINT AS pos FROM flat
+             WHERE tok <> ''),
+      st AS (SELECT doc_id, pos,
+               least(pos + 1 + ${OracleXX.xxh64LongPmod(key, 5L, seed = s(35L))},
+                     n_toks)::BIGINT AS e
+             FROM f2
+             WHERE ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(31L))} < 50000),
+      m AS (SELECT doc_id, pos, e,
+              max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM st),
+      b AS (SELECT doc_id, pos, e,
+              CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS brk
+            FROM m),
+      g AS (SELECT doc_id, pos, e,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )::BIGINT AS gid
+            FROM b),
+      sp AS (SELECT doc_id, gid, min(pos)::BIGINT AS span_start,
+               max(e)::BIGINT AS span_end, count(*)::BIGINT AS n_starts
+             FROM g GROUP BY 1, 2)
+      SELECT doc_id,
+             (row_number() OVER (PARTITION BY doc_id ORDER BY span_start)
+              - 1)::BIGINT AS sentinel,
+             span_start, span_end,
+             (span_end - span_start)::BIGINT AS span_len, n_starts
+      FROM sp ORDER BY doc_id, span_start"""
     },
     "text_token_ids" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),

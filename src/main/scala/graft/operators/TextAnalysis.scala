@@ -532,6 +532,69 @@ object TextAnalysis {
           .as("rand_bucket"))
   }
 
+  /** Deterministic T5-style span-corruption plan — [[mlmMaskPlan]]'s
+    * companion for encoder-decoder denoising: span STARTS are selected by
+    * a seeded hash (`startPpm`, default 5% of positions), each start
+    * draws a length in `[1, maxSpanLen]` from a second independent hash
+    * (mean 3 at the default 5 — the T5 noise profile), spans are clipped
+    * at the document end, and overlapping/adjacent spans merge into
+    * maximal corruption spans numbered by per-document sentinel ordinals
+    * (`<extra_id_0>`, `<extra_id_1>`, … in T5 terms). Hash-derived like
+    * the MLM plan, so the corruption is a pure function of (corpus,
+    * seed) — reproducible across runs, engines, and partitionings.
+    *
+    * Output per merged span: `sentinel` (0-based per-doc ordinal),
+    * `span_start`, `span_end` (token indices, end exclusive), `span_len`,
+    * `n_starts` (raw selections merged into the span).
+    *
+    * Scale shape: tokenize → posexplode → two per-row hashes → filter to
+    * the ~5% selected starts; the merge is the classic running-max
+    * interval union over ONE per-document window partitioning (documents
+    * bound the window size), and the sentinel numbering reuses the same
+    * partitioning. Only selected starts ever shuffle. */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, textCol: String,
+                         startPpm: Long = 50000L, maxSpanLen: Int = 5,
+                         seed: Long = 31L,
+                         maxPositions: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(startPpm >= 0L && startPpm <= 1000000L,
+      s"startPpm must be in [0, 1e6], got $startPpm")
+    require(maxSpanLen >= 1 && maxSpanLen <= 64,
+      s"maxSpanLen must be in [1, 64], got $maxSpanLen")
+    val toks = df.select(col(idCol).as("doc_id"),
+        size(TF.tokens(col(textCol))).cast("long").as("n_toks"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val key = when(col("pos") < maxPositions,
+        col("doc_id") * maxPositions + col("pos").cast("long"))
+      .otherwise(raise_error(concat(lit("spanCorruptionPlan: position "),
+        col("pos").cast("string"), lit(s" >= maxPositions $maxPositions"))))
+    val sel = pmod(xxhash64(lit(seed), key), lit(1000000L))
+    val len = lit(1L) + pmod(xxhash64(lit(seed + 4L), key),
+      lit(maxSpanLen.toLong))
+    val starts = toks.where(sel < startPpm)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        least(col("pos") + len, col("n_toks")).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = starts.withColumn("brk",
+      when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+    val spans = flagged
+      .withColumn("gid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"),
+           count(lit(1)).as("n_starts"))
+    val wS = Window.partitionBy("doc_id").orderBy("span_start")
+    spans
+      .select(col("doc_id"),
+        (row_number().over(wS) - 1).cast("long").as("sentinel"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("n_starts"))
+  }
+
   /** Batch-perceptron training IN the engine — the minimal "train a
     * quality/language filter on the corpus itself" loop every curation
     * stack eventually needs. Classic per-sample perceptron is

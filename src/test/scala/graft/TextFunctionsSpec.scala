@@ -197,6 +197,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxPositions"), ex.getMessage)
   }
 
+  test("spanCorruptionPlan: disjoint in-bounds spans, dense sentinels, ~5% starts, partition-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents"))
+    val plan = TextAnalysis.spanCorruptionPlan(docs, "doc_id", "text")
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(plan.nonEmpty)
+    val nToks = docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within-bounds, non-empty, and per-doc: strictly separated spans
+    // (merge guarantees a gap >= 1) with dense 0-based sentinel ordinals
+    plan.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("span_start"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("sentinel") == i.toLong, s"doc $id: $r")
+        assert(r.getAs[Long]("span_start") < r.getAs[Long]("span_end"))
+        assert(r.getAs[Long]("span_end") <= nToks(id), s"doc $id: $r")
+        assert(r.getAs[Long]("span_len") ==
+          r.getAs[Long]("span_end") - r.getAs[Long]("span_start"))
+        assert(r.getAs[Long]("n_starts") >= 1L)
+      }
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.getAs[Long]("span_start") > a.getAs[Long]("span_end"),
+            s"doc $id: spans touch or overlap: $a | $b")
+        case _ =>
+      }
+    }
+    // ~5% of token positions are selected starts
+    val startFrac = plan.map(_.getAs[Long]("n_starts")).sum.toDouble /
+      nToks.values.sum
+    assert(startFrac > 0.03 && startFrac < 0.07, s"start fraction $startFrac")
+    // pure function of (corpus, seed): partitioning cannot change the plan
+    val again = TextAnalysis.spanCorruptionPlan(docs.repartition(7),
+        "doc_id", "text")
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(again == plan, "span plan depends on partitioning")
+  }
+
   test("tokenBudgetCut: quality-first admission, straddler included, id tie-break") {
     import graft.operators.TextAnalysis
     // rank order (q DESC, id ASC): 2(q900,n4) 3(q900,n3) 4(q500,n10) 1(q100,n5)
