@@ -1448,6 +1448,7 @@ object SparkEntry {
     * (qid, id) equi-join + counts. */
   private def simRecallMatrix(s: SparkSession, dir: String): DataFrame = {
     val methods = Seq(
+      "hamming" -> "sim_hamming_topk",
       "ivf" -> "sim_ivf_verified", "lsh" -> "sim_lsh_topk",
       "matryoshka" -> "sim_matryoshka_topk", "pq" -> "sim_pq_topk",
       "rp" -> "sim_rp_topk")
@@ -3995,6 +3996,40 @@ object SparkEntry {
       SELECT qid, id, cosine, rank::INT AS rank FROM ranked
       WHERE rank <= 10 ORDER BY qid, rank"""
 
+  /** Hamming sign-code retrieval replica, shared with the recall matrix:
+    * sign-bit packing into 32-bit words (every word a positive BIGINT),
+    * per-word XOR + popcount distance, candK cut, exact-cosine rerank —
+    * the approximate pipeline itself, not a brute-force proxy. */
+  private lazy val hammingOracleSql = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cw AS (SELECT vec_id, v,
+               list_transform(range(0, 2), w ->
+                 list_aggregate(list_transform(range(1, 33), i ->
+                   CASE WHEN v[w * 32 + i] > 0
+                        THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
+                 'sum')::BIGINT) AS code
+             FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, code AS qc
+            FROM cw WHERE vec_id < 5),
+      h AS (SELECT qid, c.vec_id AS id,
+              (bit_count(xor(c.code[1], q.qc[1])) +
+               bit_count(xor(c.code[2], q.qc[2])))::BIGINT AS hamming
+            FROM cw c CROSS JOIN q WHERE c.vec_id <> q.qid),
+      cand AS (SELECT qid, id, hamming,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY hamming ASC, id ASC) AS hrank
+               FROM h),
+      rer AS (SELECT c.qid, c.id,
+                list_cosine_similarity(e.v, q.qv) AS cosine, c.hamming
+              FROM cand c JOIN e ON e.vec_id = c.id JOIN q ON q.qid = c.qid
+              WHERE c.hrank <= 30),
+      ranked AS (SELECT qid, id, cosine, hamming,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, id ASC) AS rank
+                 FROM rer)
+      SELECT qid, id, cosine, hamming, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank"""
+
   /** Matryoshka prefix-retrieval replica, shared with the recall matrix. */
   private lazy val matryoshkaOracleSql = """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4977,35 +5012,7 @@ object SparkEntry {
     // sign-bit packing into 32-bit words (every word positive BIGINT),
     // per-word XOR + popcount Hamming, candK cut, exact-cosine rerank —
     // the approximate pipeline itself replayed, not a brute-force proxy
-    "sim_hamming_topk" -> """
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cw AS (SELECT vec_id, v,
-               list_transform(range(0, 2), w ->
-                 list_aggregate(list_transform(range(1, 33), i ->
-                   CASE WHEN v[w * 32 + i] > 0
-                        THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
-                 'sum')::BIGINT) AS code
-             FROM e),
-      q AS (SELECT vec_id AS qid, v AS qv, code AS qc
-            FROM cw WHERE vec_id < 5),
-      h AS (SELECT qid, c.vec_id AS id,
-              (bit_count(xor(c.code[1], q.qc[1])) +
-               bit_count(xor(c.code[2], q.qc[2])))::BIGINT AS hamming
-            FROM cw c CROSS JOIN q WHERE c.vec_id <> q.qid),
-      cand AS (SELECT qid, id, hamming,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY hamming ASC, id ASC) AS hrank
-               FROM h),
-      rer AS (SELECT c.qid, c.id,
-                list_cosine_similarity(e.v, q.qv) AS cosine, c.hamming
-              FROM cand c JOIN e ON e.vec_id = c.id JOIN q ON q.qid = c.qid
-              WHERE c.hrank <= 30),
-      ranked AS (SELECT qid, id, cosine, hamming,
-                   row_number() OVER (PARTITION BY qid
-                     ORDER BY cosine DESC, id ASC) AS rank
-                 FROM rer)
-      SELECT qid, id, cosine, hamming, rank::INT AS rank FROM ranked
-      WHERE rank <= 10 ORDER BY qid, rank""",
+    "sim_hamming_topk" -> hammingOracleSql,
     // fixed-point centroids (sum // count truncates toward zero in both
     // engines), squared-L2 argmin via the dist*16+label encode, confusion
     // rollup — the integer pipeline replayed end to end
@@ -5152,6 +5159,7 @@ object SparkEntry {
       ORDER BY qid, rank""",
     "sim_recall_matrix" -> {
       val reps = Seq(
+        "hamming" -> hammingOracleSql,
         "ivf" -> ivfReplicaOracle(Similarity.fixedCentroids(16, 64),
           nProbe = 4, k = 10),
         "lsh" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
