@@ -2384,6 +2384,20 @@ object SparkEntry {
     * pipeline owner needs before trusting banding parameters at scale.
     * Both relations are slim id pairs; the intersection is one equi-join;
     * the corpus is scanned once per path. */
+  /** LSH S-curve calibration: recall of the banded MinHash candidates per
+    * exact-Jaccard decile — the tuning report that tells WHERE the 16-band
+    * sketch's recall cliff sits (theory: P[caught] = 1-(1-j^8)^16), so a
+    * threshold change is informed, not guessed. The exact side runs at a
+    * 0.1 floor to expose the below-threshold deciles the quality rollup
+    * (`dedup_lsh_quality`) never sees. Decile = least(floor(j·10), 9) —
+    * two identical IEEE ops on exact-integer inputs in both engines.
+    * Diagnostic operator: the exact pair side is the expensive truth (the
+    * same inverted-index join as `dedup_ngram`); run sampled at 100 TB. */
+  private def dedupLshRecallCurve(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallCurve(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 128, bands = 16, lshThreshold = 0.4, exactFloor = 0.1)
+      .orderBy("decile")
+
   private def dedupLshQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
@@ -3134,6 +3148,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "dedup_best_of_cluster" -> dedupBestOfCluster _,
     "dedup_lsh_quality"   -> dedupLshQuality _,
+    "dedup_lsh_recall_curve" -> dedupLshRecallCurve _,
     "dedup_impact_report" -> dedupImpactReport _,
     "dedup_span_coverage" -> dedupSpanCoverage _,
     "dedup_minhash_bbit"  -> ((s, dir) =>
@@ -6173,6 +6188,37 @@ object SparkEntry {
         FROM jp e1 JOIN jp e2 ON e2.id_a = e1.id_b
              JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) t
       GROUP BY 1 ORDER BY 1""",
+    // exact chain at the 0.1 floor keeps inter/na/nb so the decile is the
+    // same two IEEE ops on exact ints; LSH membership via LEFT JOIN
+    "dedup_lsh_recall_curve" -> s"""
+      WITH ${OracleXX.minhashAgreeCtes(128, 16)},
+      l AS MATERIALIZED (
+        SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      xsh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS hs
+        FROM toks),
+      xpost AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM xsh),
+      xpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM xpost a JOIN xpost b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      x AS MATERIALIZED (
+        SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
+        FROM xpairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.1::DOUBLE),
+      j AS (SELECT x.jaccard,
+              CASE WHEN l.id_a IS NULL THEN 0 ELSE 1 END AS hit
+            FROM x LEFT JOIN l ON x.id_a = l.id_a AND x.id_b = l.id_b),
+      d AS (SELECT least(floor(jaccard * 10)::BIGINT, 9) AS decile,
+              count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_caught
+            FROM j GROUP BY 1)
+      SELECT decile, n_exact, n_caught,
+             CASE WHEN n_exact = 0 THEN NULL
+                  ELSE n_caught::DOUBLE / n_exact::DOUBLE END AS recall
+      FROM d ORDER BY decile""",
     // the LSH estimate-pair chain and the exact-Jaccard chain share the
     // `toks` CTE (identical text in both helpers); the exact side is
     // inlined under x-prefixed names to avoid CTE collisions

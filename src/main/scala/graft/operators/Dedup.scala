@@ -523,6 +523,40 @@ object Dedup {
     materializeAndRelease(out, sets)
   }
 
+  /** LSH S-curve calibration: recall of the banded MinHash candidate set
+    * per exact-Jaccard decile — the report that shows WHERE the sketch's
+    * recall cliff sits (theory for r rows × b bands:
+    * P[caught] = 1-(1-j^r)^b), so threshold/band tuning is informed by
+    * measurement instead of guessed. The exact side runs down to
+    * `exactFloor` to expose the below-threshold deciles the aggregate
+    * precision/recall rollup never sees. `decile = least(floor(j·10), 9)`
+    * is two IEEE exact-rounded ops on exact-integer inputs — identical in
+    * both engines.
+    *
+    * Diagnostic operator: the exact side is the same inverted-index join
+    * as [[ngramJaccardPairs]] with an UNCAPPED doc frequency (it is the
+    * truth being measured against) — at 100 TB run it on a sampled
+    * partition, not the full corpus. */
+  def lshRecallCurve(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 128, bands: Int = 16,
+                     lshThreshold: Double = 0.4, exactFloor: Double = 0.1,
+                     shingleN: Int = 3): DataFrame = {
+    val lsh = minhashLshPairs(df, idCol, textCol, numHashes = numHashes,
+        bands = bands, threshold = lshThreshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    val exact = ngramJaccardPairs(df, idCol, textCol, shingleN = shingleN,
+        threshold = exactFloor, maxDocFreq = Long.MaxValue)
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+        .as("decile"))
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .select(col("decile"), col("n_exact"), col("n_caught"),
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double") /
+                     col("n_exact").cast("double")).as("recall"))
+  }
+
   /** Asymmetric containment pairs — near-SUBSET duplication, the case
     * symmetric Jaccard is blind to: a short document quoted wholesale
     * inside a much longer one has containment |A∩B|/|A| ≈ 1 while

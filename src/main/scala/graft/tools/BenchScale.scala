@@ -44,7 +44,13 @@ object BenchScale {
     // round-9c: LPA is CC-shaped (slim per-round join + two combinable
     // aggregates × fixed rounds); the token-budget cut is the two-pass
     // prefix sum; media dedup is one digest aggregate over 2x the corpus
-    "graph_labelprop", "curation_token_budget", "mm_dedup_exact")
+    "graph_labelprop", "curation_token_budget", "mm_dedup_exact",
+    // round-9d: the two masking plans are shuffle-free scans (only
+    // selected positions survive), link prediction is the capped-pivot
+    // self-join (fan-out <= cap per pivot), and the perceptron is a fixed
+    // number of combinable aggregates
+    "text_mlm_masks", "text_span_corruption", "graph_link_pred",
+    "text_perceptron")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -59,7 +65,12 @@ object BenchScale {
     "events_holt", "events_winsorized",
     // round-9c: attribution is one user-keyed window + a vocabulary-keyed
     // rollup; RFM is one combinable per-user aggregate + a broadcast max
-    "events_attribution", "events_rfm")
+    "events_attribution", "events_rfm",
+    // round-9d: the A/B report is two combinable aggregates plus the
+    // two-pass distinct-revenue ranking; the LTV triangle is combinable
+    // rollups plus a time-bounded per-cohort window; the forecast
+    // backtest is the Holt fold with error accumulators
+    "events_ab_test", "events_cohort_ltv", "events_forecast_eval")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
@@ -170,7 +181,11 @@ object BenchScale {
     // over embeddings — the flattest line in the file, by construction
     // (rrf fuses two fixed-quantizer retrievers with 5 fixed queries:
     // candidate scoring is queries × corpus-fraction — linear in corpus)
-    val embRows = Seq("sim_int8_quant", "sim_rrf_fusion").map { q =>
+    // round-9d: the Hamming scan reads only packed codes (corpus-linear);
+    // the NCM probe is one combinable centroid aggregate + a broadcast
+    // argmin fold per row
+    val embRows = Seq("sim_int8_quant", "sim_rrf_fusion",
+        "sim_hamming_topk", "sim_centroid_classifier").map { q =>
       val small = steady(q, sf01)
       val big = steady(q, ScaleDir)
       val ratio = if (small > 0) big / small else Double.PositiveInfinity

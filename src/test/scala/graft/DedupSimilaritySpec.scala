@@ -825,6 +825,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("binarySignCode"), ex.getMessage)
   }
 
+  test("lshRecallCurve: hand-built deciles, identical pair always caught, decile floor arithmetic") {
+    import spark.implicits._
+    def toks(pre: String, r: Range) = r.map(i => s"$pre$i").mkString(" ")
+    val share30 = toks("s", 1 to 30)
+    val share8 = toks("p", 1 to 8)
+    val docs = Seq(
+      // identical pair: j = 1.0 -> decile 9, always LSH-caught
+      (1L, share30), (2L, share30),
+      // 30 shared + 10-token distinct tails: inter 28, each 38 shingles,
+      // union 48 -> j = 0.5833 -> decile 5
+      (3L, s"$share30 ${toks("a", 1 to 10)}"),
+      (4L, s"$share30 ${toks("b", 1 to 10)}"),
+      // 8 shared + 12-token tails: inter 6, each 18 shingles, union 30
+      // -> j = 0.2 -> decile 2
+      (5L, s"$share8 ${toks("c", 1 to 12)}"),
+      (6L, s"$share8 ${toks("d", 1 to 12)}"),
+      (7L, toks("z", 1 to 25)))
+      .toDF("doc_id", "text")
+    val curve = Dedup.lshRecallCurve(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_caught"))).toMap
+    // cross pairs {1,2}x{3,4} share the 30-block inside the longer docs:
+    // inter 28, sizes 28/38, union 38 -> j = 0.7368 -> decile 7, 4 pairs
+    assert(curve.keySet == Set(2L, 5L, 7L, 9L), curve.toString)
+    assert(curve(9L) == ((1L, 1L)), // identical signatures always collide
+      curve.toString)
+    assert(curve(7L)._1 == 4L, curve.toString)
+    assert(curve(5L)._1 == 1L && curve(2L)._1 == 1L, curve.toString)
+    // caught-set membership must agree with the LSH pair set itself
+    val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(curve(5L)._2 == (if (lshPairs.contains((3L, 4L))) 1L else 0L))
+    assert(curve(2L)._2 == (if (lshPairs.contains((5L, 6L))) 1L else 0L))
+    val cross = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(curve(7L)._2 == cross.count(lshPairs.contains).toLong)
+    curve.values.foreach { case (ne, nc) => assert(nc <= ne) }
+  }
+
   test("centroidClassifierConfusion: separable labels sit on the diagonal; ties break to the smaller label") {
     import spark.implicits._
     // two well-separated 1-D classes -> perfect diagonal confusion
