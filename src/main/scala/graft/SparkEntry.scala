@@ -1282,6 +1282,12 @@ object SparkEntry {
         "vec_id", "embedding", "label")
       .orderBy("label", "pred")
 
+  /** Hashing-trick bag-of-words features: 64 signed buckets per document,
+    * vocabulary-free and bit-replayable. */
+  private def textFeatureHashing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.featureHashing(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "bucket")
+
   /** Deterministic T5-style span-corruption plan: hash-selected span
     * starts with hash-drawn lengths, merged into maximal sentinel-numbered
     * spans — bit-replayable denoising schedule. */
@@ -3090,6 +3096,7 @@ object SparkEntry {
     "text_perceptron"     -> textPerceptron _,
     "text_mlm_masks"      -> textMlmMasks _,
     "text_span_corruption" -> textSpanCorruption _,
+    "text_feature_hashing" -> textFeatureHashing _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -6619,6 +6626,22 @@ object SparkEntry {
                   ELSE 'keep' END AS action,
              (CASE WHEN act = 8 THEN rnd END)::BIGINT AS rand_bucket
       FROM h WHERE sel < 150000 ORDER BY doc_id, pos"""
+    },
+    // per-token bucket and ±1 sign hashes replayed with the XXH64 string
+    // replica; one (doc, bucket) rollup
+    "text_feature_hashing" -> {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val s19 = java.lang.Long.toUnsignedString(XXH64.hashLong(19L, 42L))
+      s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      f AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+      f2 AS (SELECT doc_id, tok FROM f WHERE tok <> ''),
+      h AS (SELECT doc_id,
+              ${OracleXX.xxh64StrPmod("tok", 64L)} AS bucket,
+              (1 - 2 * ${OracleXX.xxh64StrPmod("tok", 2L, seed = s19)}) AS sgn
+            FROM f2)
+      SELECT doc_id, bucket, count(*)::BIGINT AS tf, sum(sgn)::BIGINT AS weight
+      FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket"""
     },
     // hash-selected starts + hash-drawn lengths clipped at doc end,
     // running-max interval union per document, sentinel ordinals

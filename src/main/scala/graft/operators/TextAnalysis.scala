@@ -532,6 +532,36 @@ object TextAnalysis {
           .as("rand_bucket"))
   }
 
+  /** Hashing-trick featurizer (Weinberger 2009): tokens are projected
+    * into `numBuckets` dimensions by hash, with an independent ±1 sign
+    * hash so colliding tokens cancel in expectation instead of stacking —
+    * the standard way to get fixed-width, vocabulary-free bag-of-words
+    * features for linear models ([[perceptronEpochs]]' natural input) at
+    * any corpus size with ZERO global state: no vocabulary build, no id
+    * assignment, nothing to keep consistent across batches or engines.
+    *
+    * Output per (doc, bucket): `tf` (tokens hashed there) and `weight`
+    * (signed sum — the actual feature value). Both integers; the whole
+    * featurizer is a pure function of the text.
+    *
+    * Scale shape: tokenize → explode → two per-row hashes → ONE
+    * map-side-combinable (doc, bucket) aggregate. Nothing else shuffles;
+    * output is at most `min(tokens, numBuckets)` rows per document. */
+  def featureHashing(df: DataFrame, idCol: String, textCol: String,
+                     numBuckets: Int = 64, signSeed: Long = 19L): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [2, 2^20], got $numBuckets")
+    df.select(col(idCol).as("doc_id"),
+        explode(TF.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .select(col("doc_id"),
+        pmod(xxhash64(col("token")), lit(numBuckets.toLong)).as("bucket"),
+        (lit(1L) - lit(2L) * pmod(xxhash64(lit(signSeed), col("token")),
+          lit(2L))).as("sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"), sum(col("sgn")).as("weight"))
+  }
+
   /** Deterministic T5-style span-corruption plan — [[mlmMaskPlan]]'s
     * companion for encoder-decoder denoising: span STARTS are selected by
     * a seeded hash (`startPpm`, default 5% of positions), each start

@@ -197,6 +197,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxPositions"), ex.getMessage)
   }
 
+  test("featureHashing: signed buckets — duplicate docs identical, tf conservation, |weight| parity") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"), // byte-identical twin
+      (3L, "alpha alpha alpha"))      // one token tripled
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.featureHashing(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("weight"))).toMap
+    // identical text -> identical feature rows
+    val d1 = f.collect { case ((1L, b), v) => b -> v }
+    val d2 = f.collect { case ((2L, b), v) => b -> v }
+    assert(d1 == d2 && d1.nonEmpty)
+    // per-doc tf conserves the token count; weight parity matches tf and
+    // |weight| <= tf (signs are ±1 per token)
+    assert(d1.values.map(_._1).sum == 4L)
+    f.foreach { case (_, (tf, w)) =>
+      assert(math.abs(w) <= tf && ((tf - w) % 2 == 0), s"tf=$tf w=$w")
+    }
+    // a tripled token lands in one bucket with tf 3 and |weight| 3
+    val d3 = f.collect { case ((3L, b), v) => b -> v }
+    assert(d3.size == 1 && d3.values.head._1 == 3L &&
+      math.abs(d3.values.head._2) == 3L, d3.toString)
+  }
+
   test("spanCorruptionPlan: disjoint in-bounds spans, dense sentinels, ~5% starts, partition-invariant") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(sf("documents"))
