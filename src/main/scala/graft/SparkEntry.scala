@@ -1272,6 +1272,22 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Label-filtered exact top-k (pre-filter semantics): each query
+    * searches only corpus vectors sharing its label — the filtered
+    * vector-search contract, returning a full k within the filter group
+    * instead of post-filtering a global top-k down to fewer. */
+  private def simFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Similarity.filteredTopK(emb, "vec_id", "embedding", "label",
+        q, "qid", "qvec", "qlabel", k = 10)
+      .select(col("qid"), col("filter_value").cast("long").as("filter_value"),
+        col("id"), col("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Nearest-class-mean probe over the labeled embedding table:
     * fixed-point per-label centroids, squared-L2 assignment (ties to the
     * smaller label), confusion-matrix rollup — the "do these embeddings
@@ -2514,6 +2530,21 @@ object SparkEntry {
       .orderBy("id", "frame_idx")
   }
 
+  /** Window/hop framing manifest over the audio third of the corpus:
+    * 25 ms / 10 ms frame grid at 16 kHz from decoded metadata only. */
+  private def mmAudioFrames(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("kind",
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", col("kind"))
+    // gate corpus clips are short (stub n_samples 28..276): a 64/25 grid
+    // exercises multi-frame expansion AND the too-short-clip drop; real
+    // speech runs keep the 400/160 defaults (25 ms / 10 ms at 16 kHz)
+    Multimodal.audioFrames(Multimodal.decodeMeta(media),
+        windowSamples = 64, hopSamples = 25)
+      .orderBy("id", "frame_idx")
+  }
+
   private def eventsJson(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(
         col("event_id"),
@@ -3047,6 +3078,7 @@ object SparkEntry {
     "sim_topk"            -> simTopK _,
     "sim_hamming_topk"    -> simHammingTopK _,
     "sim_centroid_classifier" -> simCentroidClassifier _,
+    "sim_filtered_topk"   -> simFilteredTopK _,
     "sim_hard_negatives"  -> simHardNegatives _,
     "dedup_split_leakage" -> dedupSplitLeakage _,
     "dedup_lines_intra"   -> dedupLinesIntra _,
@@ -3228,6 +3260,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "mm_decode"           -> mmDecode _,
     "mm_frames"           -> mmFrames _,
+    "mm_audio_frames"     -> mmAudioFrames _,
     "mm_dedup_exact"      -> mmDedupExact _,
     "mm_image_headers"    -> mmImageHeaders _,
     "events_json"         -> eventsJson _,
@@ -5035,6 +5068,23 @@ object SparkEntry {
     // per-word XOR + popcount Hamming, candK cut, exact-cosine rerank —
     // the approximate pipeline itself replayed, not a brute-force proxy
     "sim_hamming_topk" -> hammingOracleSql,
+    // pre-filter semantics: the label equality restricts the candidate
+    // set BEFORE ranking, so every query gets a full k inside its group
+    "sim_filtered_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label::BIGINT AS l
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv, l AS ql FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, e.l AS filter_value, e.vec_id AS id,
+               list_cosine_similarity(e.v, q.qv) AS cosine
+        FROM e JOIN q ON e.l = q.ql WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, filter_value, id, cosine,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, id ASC) AS rank
+        FROM scored)
+      SELECT qid, filter_value, id, cosine, rank::INT AS rank FROM ranked
+      WHERE rank <= 10 ORDER BY qid, rank""",
     // fixed-point centroids (sum // count truncates toward zero in both
     // engines), squared-L2 argmin via the dist*16+label encode, confusion
     // rollup — the integer pipeline replayed end to end
@@ -7013,6 +7063,18 @@ object SparkEntry {
       SELECT min(id) AS survivor_id, count(*)::BIGINT AS dup_count,
              sum(b)::BIGINT AS total_bytes, h AS payload_md5
       FROM m GROUP BY h ORDER BY survivor_id""",
+    // stub PCM sample count (byteLen // 2), full windows only; frame grid
+    // = range over (n - win) // hop + 1
+    "mm_audio_frames" -> """
+      WITH m AS (
+        SELECT doc_id AS id,
+               octet_length(encode(text))::BIGINT // 2 AS n_samples
+        FROM documents WHERE doc_id % 3 = 1),
+      f AS (SELECT id, unnest(range(0, (n_samples - 64) // 25 + 1)) AS fi
+            FROM m WHERE n_samples >= 64)
+      SELECT id, fi::BIGINT AS frame_idx, (fi * 25)::BIGINT AS start_sample,
+             64::BIGINT AS win_samples, 16000::BIGINT AS sr
+      FROM f ORDER BY id, frame_idx""",
     "mm_frames" -> """
       WITH m AS (
         SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS len

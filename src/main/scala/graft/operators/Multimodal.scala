@@ -115,6 +115,34 @@ object Multimodal {
       }
   }
 
+  /** STFT-style audio framing manifest — the window/hop plan every speech
+    * feature extractor (fbank/MFCC/wav2vec) executes: each audio row
+    * expands into its frame grid (default 400-sample window, 160-sample
+    * hop = 25 ms / 10 ms at 16 kHz). Sample count derives from the
+    * decoded metadata (STUB: 16-bit mono PCM, `n_samples = byteLen DIV 2`
+    * — a real codec would report it; the manifest arithmetic is the real
+    * contract). The trailing partial window is dropped (standard framing;
+    * padding policy belongs to the feature extractor).
+    *
+    * Scale shape: metadata-only input (bytes never reach this operator),
+    * one narrow explode of `(n_samples − window) DIV hop + 1` rows per
+    * clip — no shuffle, no state. */
+  def audioFrames(meta: Dataset[MediaMeta], windowSamples: Int = 400,
+                  hopSamples: Int = 160): DataFrame = {
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    require(hopSamples >= 1, s"hopSamples must be >= 1, got $hopSamples")
+    meta.toDF().where(col("kind") === "audio")
+      .select(col("id"), col("sampleRateHz").cast("long").as("sr"),
+        expr("byteLen DIV 2").as("n_samples"))
+      .where(col("n_samples") >= windowSamples)
+      .select(col("id"), col("sr"),
+        explode(sequence(lit(0L),
+          expr(s"(n_samples - $windowSamples) DIV $hopSamples"))).as("frame_idx"))
+      .select(col("id"), col("frame_idx"),
+        (col("frame_idx") * hopSamples).as("start_sample"),
+        lit(windowSamples.toLong).as("win_samples"), col("sr"))
+  }
+
   /** Frame sampling plumbing: expand each video row into every `everyN`-th
     * frame index (no bytes attached in the stub; a real impl would emit one
     * decoded frame per row). Demonstrates the explode-then-process batch

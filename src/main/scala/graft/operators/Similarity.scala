@@ -210,6 +210,38 @@ object Similarity {
     reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Metadata-filtered top-k — the "filtered vector search" every serving
+    * stack needs (search only docs matching the query's tenant/language/
+    * label): exact cosine top-k restricted to corpus rows whose filter
+    * column equals the query's. Pre-filtering (filter, then rank) is the
+    * correct semantics — post-filtering a global top-k silently returns
+    * FEWER than k when the filter is selective, the classic vector-DB
+    * footgun this operator exists to avoid.
+    *
+    * Scale shape: same contract as [[bruteForceTopK]] — queries broadcast,
+    * the corpus streams through one narrow scoring stage with the filter
+    * applied BEFORE any ranking (the equality lands in the scan filter),
+    * and the per-query rank shuffles only k-bounded rows per partition
+    * via the map-side partial WindowGroupLimit. An IVF variant would
+    * bucket within filter groups; the exact path is the correctness
+    * baseline and the right choice when filters are selective. */
+  def filteredTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   filterCol: String,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   queryFilter: String, k: Int = 10): DataFrame = {
+    val scored = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"),
+        col(filterCol).as("fv"))
+      .join(broadcast(queries.select(col(queryId).as("qid"),
+        col(queryVec).as("qvec"), col(queryFilter).as("qf"))),
+        col("fv") === col("qf"))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("fv").as("filter_value"), col("id"),
+        VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * highest-cosine corpus items that are NOT labeled positives (and not
     * the query itself) — the negatives that actually move an InfoNCE/

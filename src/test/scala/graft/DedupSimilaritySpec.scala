@@ -865,6 +865,35 @@ class DedupSimilaritySpec extends SparkSpec {
     curve.values.foreach { case (ne, nc) => assert(nc <= ne) }
   }
 
+  test("filteredTopK: pre-filter semantics — per-label results equal brute force on the label slice") {
+    val q = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val out = Similarity.filteredTopK(emb, "vec_id", "embedding", "label",
+      q, "qid", "qvec", "qlabel", k = 5)
+    val rows = out.collect()
+    val qLabels = q.collect().map(r => r.getAs[Long]("qid") ->
+      r.getAs[Int]("qlabel")).toMap
+    // every hit carries the query's own label (the filter applied BEFORE
+    // ranking), and each query still gets its full k within the group
+    rows.foreach { r =>
+      assert(r.getAs[Int]("filter_value") == qLabels(r.getAs[Long]("qid")))
+    }
+    assert(rows.groupBy(_.getAs[Long]("qid")).values.forall(_.length == 5))
+    // per query: identical to brute force over only that label's slice
+    for ((qid, lbl) <- qLabels) {
+      val slice = emb.where(col("label") === lbl)
+      val bf = Similarity.bruteForceTopK(slice, "vec_id", "embedding",
+          q.where(col("qid") === qid), "qid", "qvec", k = 5)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = rows.filter(_.getAs[Long]("qid") == qid)
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+          r.getAs[Int]("rank"))).toSet
+      assert(got == bf, s"query $qid differs from label-slice brute force")
+    }
+  }
+
   test("centroidClassifierConfusion: separable labels sit on the diagonal; ties break to the smaller label") {
     import spark.implicits._
     // two well-separated 1-D classes -> perfect diagonal confusion

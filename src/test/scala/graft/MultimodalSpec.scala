@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Multimodal
+
+import org.apache.spark.sql.functions._
+
+/** Audio framing manifest: hand-computed frame grids from the stub PCM
+  * sample count (byteLen DIV 2); bytes never reach the operator. */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("audioFrames: hand-computed window/hop grid; short clips dropped; non-audio ignored") {
+    // ascii text -> byteLen == char count; n_samples = byteLen DIV 2
+    val docs = Seq(
+      (1L, "a" * 200, "audio"), // 100 samples -> frames at 0 and 25
+      (2L, "b" * 60, "audio"),  // 30 samples < 64 -> dropped
+      (3L, "c" * 400, "video")) // not audio -> ignored
+      .toDF("doc_id", "text", "kind")
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", col("kind"))
+    val out = Multimodal.audioFrames(Multimodal.decodeMeta(media),
+        windowSamples = 64, hopSamples = 25)
+      .orderBy("id", "frame_idx").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("start_sample"), r.getAs[Long]("win_samples"),
+        r.getAs[Long]("sr"))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 64L, 16000L),
+      (1L, 1L, 25L, 64L, 16000L)), out.toString)
+    // exact fit: n_samples == window -> exactly one frame
+    val fit = Seq((7L, "d" * 128, "audio")).toDF("doc_id", "text", "kind")
+    val m2 = Multimodal.withBinaryPayload(fit, "doc_id", "text", col("kind"))
+    val one = Multimodal.audioFrames(Multimodal.decodeMeta(m2),
+      windowSamples = 64, hopSamples = 25).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("frame_idx") == 0L)
+  }
+}
