@@ -575,6 +575,63 @@ object SparkEntry {
       .orderBy("touch_type")
   }
 
+  /** Live cohort-LTV twin: first-seen cohorts carried as per-user state
+    * across time-sliced micro-batches, purchases emitted against the
+    * carried cohort, then rolled into the SAME triangle as the batch
+    * operator — gated against the identical oracle (batch/stream parity). */
+  private def streamCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = 604800000L
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-ltv")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts_ms"), col("event_type"), cents(col("value")).as("value_cents"))
+    val cuts = Seq(Long.MinValue, 1704931200000L, 1705795200000L, Long.MaxValue)
+    (0 to 2).foreach { i =>
+      val part = work.resolve(s"b$i")
+      ev.where(col("ts_ms") >= cuts(i) && col("ts_ms") < cuts(i + 1))
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(s"b$i.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val emits = incoming.as[graft.streaming.CohortLtv.In]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        graft.streaming.CohortLtv.perGroup("purchase", wk))
+    val out = work.resolve("out").toString
+    val q = emits.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val em = s.read.parquet(out)
+    val sizes = em.where(col("kind") === "new")
+      .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val byAge = em.where(col("kind") === "buy")
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("age"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+           sum(col("cents")).as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byAge
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(w).cast("long"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age"), col("cohort_size"), col("n_buyers"),
+        col("revenue_cents"), col("cum_revenue_cents"),
+        expr("cum_revenue_cents DIV cohort_size").as("ltv_cents_per_user"))
+      .orderBy("cohort", "age")
+  }
+
   /** Fact-to-dim join under key skew via salt replication
     * ([[graft.operators.Analytics.saltedJoin]]): events scatter across 8
     * salt copies of the customer dim, pinned to a shuffled-hash join (the
@@ -3001,6 +3058,7 @@ object SparkEntry {
     "stream_value_histogram" -> streamValueHistogram _,
     "stream_upsert"       -> streamUpsert _,
     "stream_attribution"  -> streamAttribution _,
+    "stream_cohort_ltv"   -> streamCohortLtv _,
     "stream_late_data"    -> streamLateData _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
@@ -4084,6 +4142,32 @@ object SparkEntry {
                  FROM rer)
       SELECT qid, id, cosine, hamming, rank::INT AS rank FROM ranked
       WHERE rank <= 10 ORDER BY qid, rank"""
+
+  /** Cohort-LTV triangle replica, shared by the batch operator and its
+    * streaming twin (bit-exact batch/stream parity gate). */
+  private lazy val cohortLtvOracleSql = """
+      WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type,
+               (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+             FROM events),
+      fs AS (SELECT user_id, min(ms // 604800000)::BIGINT AS cohort
+             FROM e GROUP BY 1),
+      sz AS (SELECT cohort, count(*)::BIGINT AS cohort_size
+             FROM fs GROUP BY 1),
+      b AS (SELECT user_id, (ms // 604800000)::BIGINT AS bucket, cents
+            FROM e WHERE event_type = 'purchase'),
+      ba AS (SELECT f.cohort, (b.bucket - f.cohort)::BIGINT AS age,
+               count(DISTINCT b.user_id)::BIGINT AS n_buyers,
+               sum(cents)::BIGINT AS revenue_cents
+             FROM b JOIN fs f USING (user_id) GROUP BY 1, 2),
+      c AS (SELECT cohort, age, n_buyers, revenue_cents,
+              sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )::BIGINT AS cum_revenue_cents
+            FROM ba)
+      SELECT c.cohort, c.age, s.cohort_size, c.n_buyers, c.revenue_cents,
+             c.cum_revenue_cents,
+             (c.cum_revenue_cents // s.cohort_size)::BIGINT AS ltv_cents_per_user
+      FROM c JOIN sz s USING (cohort) ORDER BY cohort, age"""
 
   /** Matryoshka prefix-retrieval replica, shared with the recall matrix. */
   private lazy val matryoshkaOracleSql = """
@@ -5844,6 +5928,8 @@ object SparkEntry {
       FROM s2 ORDER BY user_id""",
     // the LIVE stateful fold must reproduce the batch report bit-exactly
     "stream_attribution" -> attributionOracle,
+    // live twin gated against the SAME triangle oracle as the batch op
+    "stream_cohort_ltv" -> cohortLtvOracleSql,
     // the engine's shiftright(x, 1) is floor division by 2 — identical to
     // DuckDB's BIGINT `>> 1` on negatives too (its `//` TRUNCATES), so the
     // CTE replays the integer Holt recurrence bit-exactly
@@ -5902,29 +5988,7 @@ object SparkEntry {
       ORDER BY f.event_type""",
     // first-seen weekly cohorts, sparse (cohort, age) revenue cells,
     // per-cohort running sum; // and DIV truncate identically
-    "events_cohort_ltv" -> """
-      WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type,
-               (value::DECIMAL(18,2) * 100)::BIGINT AS cents
-             FROM events),
-      fs AS (SELECT user_id, min(ms // 604800000)::BIGINT AS cohort
-             FROM e GROUP BY 1),
-      sz AS (SELECT cohort, count(*)::BIGINT AS cohort_size
-             FROM fs GROUP BY 1),
-      b AS (SELECT user_id, (ms // 604800000)::BIGINT AS bucket, cents
-            FROM e WHERE event_type = 'purchase'),
-      ba AS (SELECT f.cohort, (b.bucket - f.cohort)::BIGINT AS age,
-               count(DISTINCT b.user_id)::BIGINT AS n_buyers,
-               sum(cents)::BIGINT AS revenue_cents
-             FROM b JOIN fs f USING (user_id) GROUP BY 1, 2),
-      c AS (SELECT cohort, age, n_buyers, revenue_cents,
-              sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-              )::BIGINT AS cum_revenue_cents
-            FROM ba)
-      SELECT c.cohort, c.age, s.cohort_size, c.n_buyers, c.revenue_cents,
-             c.cum_revenue_cents,
-             (c.cum_revenue_cents // s.cohort_size)::BIGINT AS ltv_cents_per_user
-      FROM c JOIN sz s USING (cohort) ORDER BY cohort, age""",
+    "events_cohort_ltv" -> cohortLtvOracleSql,
     // hash-assigned arms; doubled midrank = 2*(strictly-less count) +
     // ties + 1 via one ordered window over DISTINCT revenue values;
     // u2 = sum(r2) - n(n+1)

@@ -34,4 +34,29 @@ class MultimodalSpec extends SparkSpec {
       windowSamples = 64, hopSamples = 25).collect()
     assert(one.length == 1 && one.head.getAs[Long]("frame_idx") == 0L)
   }
+
+  test("CohortLtv.perGroup: cohort assigned at first sight and carried; purchases emitted against it") {
+    import graft.streaming.CohortLtv
+    import org.apache.spark.sql.streaming.TestGroupState
+    val wk = 100L
+    // batch 1: first sight at ts 150 (cohort 1), one purchase in bucket 2
+    val st = TestGroupState.create[CohortLtv.CohortState](
+      org.apache.spark.api.java.Optional.empty[CohortLtv.CohortState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val b1 = Seq(
+      CohortLtv.In(7L, 2L, 250L, "purchase", 500L),
+      CohortLtv.In(7L, 1L, 150L, "view", 0L)) // out of order within batch
+    val out1 = CohortLtv.perGroup("purchase", wk)(7L, b1.iterator, st).toSeq
+    assert(out1 == Seq(
+      CohortLtv.Emit(7L, "new", 1L, 1L, 0L),
+      CohortLtv.Emit(7L, "buy", 1L, 2L, 500L)), out1.toString)
+    // batch 2: NO new emit (state carried), purchase still against cohort 1
+    val b2 = Seq(CohortLtv.In(7L, 3L, 420L, "purchase", 300L))
+    val out2 = CohortLtv.perGroup("purchase", wk)(7L, b2.iterator, st).toSeq
+    assert(out2 == Seq(CohortLtv.Emit(7L, "buy", 1L, 4L, 300L)), out2.toString)
+    assert(st.get == CohortLtv.CohortState(1L))
+  }
 }
