@@ -449,6 +449,18 @@ object SparkEntry {
         "user_id", "ts_ms", "event_type", "value_cents", "purchase")
       .orderBy("cohort", "age")
 
+  /** Two-sided CUSUM drift detection over the same per-(type, hour)
+    * counts as `events_holt`: sustained volume shifts accumulate to
+    * alarms; pure integer fold vs the recursive-CTE replay. */
+  private def eventsCusum(s: SparkSession, dir: String): DataFrame =
+    Analytics.cusumChangepoints(
+        events(s, dir)
+          .groupBy(col("event_type"),
+                   expr("ts_ms DIV 3600000").as("hour"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "hour", "y")
+      .orderBy("event_type")
+
   /** Long-run session behavior: the stationary distribution of the
     * within-session transition chain (same counts as
     * `events_transitions`), 8 fixed-point power iterations. */
@@ -3071,6 +3083,7 @@ object SparkEntry {
     "events_forecast_eval" -> eventsForecastEval _,
     "events_ab_test"      -> eventsAbTest _,
     "events_cohort_ltv"   -> eventsCohortLtv _,
+    "events_cusum"        -> eventsCusum _,
     "events_sessions"     -> eventsSessions _,
     "events_transitions"  -> eventsTransitions _,
     "events_paths"        -> eventsPaths _,
@@ -5986,6 +5999,50 @@ object SparkEntry {
       FROM fin f JOIN sm s
         ON s.event_type = f.event_type AND s.i = f.n_buckets
       ORDER BY f.event_type""",
+    // recursive replay of the two-sided integer CUSUM with restart-on-
+    // alarm; spr/snr inlined per reference (SQL has no local bindings)
+    "events_cusum" -> {
+      val q = 1048576L
+      val spr = s"greatest(0, s.sp + n.y * $q - t.t - t.t // 8)"
+      val snr = s"greatest(0, s.sn + t.t - t.t // 8 - n.y * $q)"
+      s"""
+      WITH RECURSIVE ev AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
+      cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
+              FROM ev GROUP BY 1, 2),
+      idx AS (SELECT event_type, h, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+              FROM cnt),
+      tg AS (SELECT event_type, (sum(y) * $q // count(*))::BIGINT AS t,
+               count(*)::BIGINT AS n
+             FROM idx GROUP BY 1),
+      sm AS (
+        SELECT event_type, 0::BIGINT AS i, 0::BIGINT AS sp, 0::BIGINT AS sn,
+               0::BIGINT AS nup, 0::BIGINT AS ndn, (-1)::BIGINT AS fst,
+               0::BIGINT AS msp, 0::BIGINT AS msn
+        FROM tg
+        UNION ALL
+        SELECT s.event_type, n.i,
+               (CASE WHEN $spr > t.t THEN 0 ELSE $spr END)::BIGINT AS sp,
+               (CASE WHEN $snr > t.t THEN 0 ELSE $snr END)::BIGINT AS sn,
+               (s.nup + CASE WHEN $spr > t.t THEN 1 ELSE 0 END)::BIGINT AS nup,
+               (s.ndn + CASE WHEN $snr > t.t THEN 1 ELSE 0 END)::BIGINT AS ndn,
+               (CASE WHEN s.fst = -1 AND ($spr > t.t OR $snr > t.t)
+                     THEN n.h ELSE s.fst END)::BIGINT AS fst,
+               greatest(s.msp, $spr)::BIGINT AS msp,
+               greatest(s.msn, $snr)::BIGINT AS msn
+        FROM sm s
+        JOIN idx n ON n.event_type = s.event_type AND n.i = s.i + 1
+        JOIN tg t ON t.event_type = s.event_type),
+      fin AS (SELECT s.* FROM sm s JOIN tg t
+                ON s.event_type = t.event_type AND s.i = t.n)
+      SELECT f.event_type AS event_type, t.n AS n_buckets, t.t AS target_fp,
+             f.nup AS n_up_alarms, f.ndn AS n_down_alarms,
+             (CASE WHEN f.fst = -1 THEN NULL ELSE f.fst END)::BIGINT
+               AS first_alarm_h,
+             f.msp AS max_sp_fp, f.msn AS max_sn_fp
+      FROM fin f JOIN tg t USING (event_type) ORDER BY event_type"""
+    },
     // first-seen weekly cohorts, sparse (cohort, age) revenue cells,
     // per-cohort running sum; // and DIV truncate identically
     "events_cohort_ltv" -> cohortLtvOracleSql,

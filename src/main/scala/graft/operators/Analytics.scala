@@ -494,6 +494,74 @@ object Analytics {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Two-sided CUSUM changepoint detection over per-(group, bucket)
+    * series — the drift detector [[madOutliers]] (point outliers) and
+    * [[holtSmoothing]] (trend following) both miss: a SUSTAINED small
+    * shift in volume accumulates in `S⁺ = max(0, S⁺ + y − target − slack)`
+    * (and the mirrored `S⁻`) until it crosses the decision threshold, at
+    * which point an alarm is counted and the accumulator resets (Page
+    * 1954, the restart form). The target is the group's own series mean,
+    * slack is `target DIV slackDiv`, and the threshold is one full target
+    * unit — all at the `2^scaleBits` fixed point, so the fold is pure
+    * integer and bit-replayable cross-engine.
+    *
+    * Output per group: `n_buckets`, `target_fp`, `n_up_alarms`,
+    * `n_down_alarms`, `first_alarm_h` (bucket of the earliest alarm in
+    * either direction; NULL when none), `max_sp_fp`, `max_sn_fp` (the
+    * accumulator peaks — how close a quiet series came to alarming).
+    *
+    * Scale shape: same as the Holt family — one combinable (group,
+    * bucket) count upstream, one combinable mean, one per-group sorted
+    * fold over a TIME-BOUNDED series. */
+  def cusumChangepoints(df: DataFrame, groupCol: String, bucketCol: String,
+                        yCol: String, slackDiv: Long = 8L,
+                        scaleBits: Int = 20): DataFrame = {
+    require(slackDiv >= 1L, s"slackDiv must be >= 1, got $slackDiv")
+    require(scaleBits >= 0 && scaleBits <= 40,
+      s"scaleBits must be in [0, 40], got $scaleBits")
+    val q = 1L << scaleBits
+    val series = df
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(
+             col(bucketCol).cast("long").as("h"),
+             col(yCol).cast("long").as("y")))).as("s"))
+      // integer mean at the fixed point: sum*q DIV n (exact truncation)
+      .withColumn("target_fp",
+        expr(s"aggregate(s, 0L, (a, e) -> a + e.y) * $q DIV size(s)"))
+    def fld(tgt: Column, slack: Column, h: Column)(acc: Column, e: Column): Column = {
+      val yfp = e.getField("y") * q
+      val spRaw = greatest(lit(0L),
+        acc.getField("sp") + yfp - tgt - slack)
+      val snRaw = greatest(lit(0L),
+        acc.getField("sn") + tgt - slack - yfp)
+      val upFire = spRaw > h
+      val dnFire = snRaw > h
+      val anyFire = upFire || dnFire
+      struct(
+        when(upFire, lit(0L)).otherwise(spRaw).as("sp"),
+        when(dnFire, lit(0L)).otherwise(snRaw).as("sn"),
+        (acc.getField("nup") + when(upFire, 1L).otherwise(0L)).as("nup"),
+        (acc.getField("ndn") + when(dnFire, 1L).otherwise(0L)).as("ndn"),
+        when(acc.getField("first") === -1L && anyFire, e.getField("h"))
+          .otherwise(acc.getField("first")).as("first"),
+        greatest(acc.getField("msp"), spRaw).as("msp"),
+        greatest(acc.getField("msn"), snRaw).as("msn"))
+    }
+    val z = struct(lit(0L).as("sp"), lit(0L).as("sn"), lit(0L).as("nup"),
+      lit(0L).as("ndn"), lit(-1L).as("first"), lit(0L).as("msp"),
+      lit(0L).as("msn"))
+    val slack = expr(s"target_fp DIV $slackDiv")
+    series
+      .withColumn("st", aggregate(col("s"), z,
+        fld(col("target_fp"), slack, col("target_fp"))))
+      .select(col(groupCol), size(col("s")).cast("long").as("n_buckets"),
+        col("target_fp"),
+        col("st.nup").as("n_up_alarms"), col("st.ndn").as("n_down_alarms"),
+        when(col("st.first") === -1L, lit(null).cast("long"))
+          .otherwise(col("st.first")).as("first_alarm_h"),
+        col("st.msp").as("max_sp_fp"), col("st.msn").as("max_sn_fp"))
+  }
+
   /** Stationary distribution of the first-order Markov chain defined by a
     * (from, to, count) transition table — "where does a user session
     * spend its time in the long run", the summary the raw transition

@@ -70,7 +70,8 @@ object BenchScale {
     // two-pass distinct-revenue ranking; the LTV triangle is combinable
     // rollups plus a time-bounded per-cohort window; the forecast
     // backtest is the Holt fold with error accumulators
-    "events_ab_test", "events_cohort_ltv", "events_forecast_eval")
+    "events_ab_test", "events_cohort_ltv", "events_forecast_eval",
+    "events_cusum")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))

@@ -214,6 +214,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("naive_sae_fp") == 6L * q, s"got $r")
   }
 
+  test("cusumChangepoints: hand-traced up-alarm with reset; constant series never alarms") {
+    val q = 1L << 20
+    // y = [4,4,4,12,12]: target = 36q DIV 5 = 7549747, slack = 943718,
+    // h = target. S- climbs to 7235175 (no alarm), the step to 12 builds
+    // S+ = 4089447 then 8178894 > h at bucket 5 -> one up alarm, reset
+    val df = Seq(("A", 1L, 4L), ("A", 2L, 4L), ("A", 3L, 4L),
+      ("A", 4L, 12L), ("A", 5L, 12L)).toDF("g", "h", "y")
+    val r = graft.operators.Analytics.cusumChangepoints(df, "g", "h", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_buckets") == 5L)
+    assert(r.getAs[Long]("target_fp") == 36L * q / 5L)
+    assert(r.getAs[Long]("n_up_alarms") == 1L &&
+      r.getAs[Long]("n_down_alarms") == 0L, r.toString)
+    assert(r.getAs[Long]("first_alarm_h") == 5L)
+    assert(r.getAs[Long]("max_sp_fp") == 8178894L, r.toString)
+    assert(r.getAs[Long]("max_sn_fp") == 7235175L, r.toString)
+    // a flat series: both accumulators pinned at zero, no alarm, NULL h
+    val flat = Seq(("B", 1L, 5L), ("B", 2L, 5L), ("B", 3L, 5L))
+      .toDF("g", "h", "y")
+    val fr = graft.operators.Analytics.cusumChangepoints(flat, "g", "h", "y")
+      .collect().head
+    assert(fr.getAs[Long]("n_up_alarms") == 0L &&
+      fr.getAs[Long]("n_down_alarms") == 0L &&
+      fr.isNullAt(fr.fieldIndex("first_alarm_h")) &&
+      fr.getAs[Long]("max_sp_fp") == 0L && fr.getAs[Long]("max_sn_fp") == 0L,
+      fr.toString)
+  }
+
   test("cohortLtv: hand-computed sparse triangle — cumulative cents and per-member LTV") {
     val wk = 604800000L
     val ev = Seq(
