@@ -331,6 +331,34 @@ object Smoke {
       .show()
     lap("round-9")
 
+    println("[smoke] round-9 third sweep: masking plans + A/B + filtered ANN + CUSUM:")
+    TextAnalysis.mlmMaskPlan(docs, "doc_id", "text").show(3)
+    TextAnalysis.spanCorruptionPlan(docs, "doc_id", "text").show(3)
+    TextAnalysis.featureHashing(docs, "doc_id", "text").show(3)
+    graft.operators.Graph.linkPrediction(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.4, maxDocFreq = Long.MaxValue)
+          .select("id_a", "id_b"),
+        "id_a", "id_b").show(3)
+    graft.operators.Analytics.abTestReport(
+      evts.selectExpr("user_id", "event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS c"),
+      "user_id", "event_type", "c", "purchase").show()
+    graft.operators.Analytics.cusumChangepoints(
+      evts.groupBy(col("event_type"), expr("ts_ms DIV 3600000").as("hour"))
+        .agg(count(lit(1)).as("y")),
+      "event_type", "hour", "y").show()
+    val fq = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Similarity.filteredTopK(emb, "vec_id", "embedding", "label",
+      fq, "qid", "qvec", "qlabel", k = 3).show(3)
+    Similarity.hammingTopK(emb, "vec_id", "embedding",
+      fq.drop("qlabel"), "qid", "qvec", dim = 64, k = 3).show(3)
+    Similarity.centroidClassifierConfusion(emb, "vec_id", "embedding",
+      "label").orderBy("label", "pred").show(3)
+    lap("round-9c")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")
