@@ -737,6 +737,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("int8_quant_stats"), s"native expression lost:\n$p")
   }
 
+  test("events_ab_test: no single-task global window — ranking is the two-pass prefix shape") {
+    val p = plan("events_ab_test")
+    val lines = p.linesIterator.toVector
+    // the midrank computation must NOT plan a Window with an empty
+    // partition spec (that funnels every user through one task); the
+    // two-pass prefix sum partitions by __pid
+    val globalWindows = lines.filter(l =>
+      l.trim.startsWith("Window ") && !l.contains("__pid"))
+    assert(globalWindows.isEmpty,
+      s"global single-task window in the rank stage:\n$globalWindows\n$p")
+  }
+
+  test("events_cohort_ltv: cohort sizes broadcast; age window partitioned by cohort") {
+    val p = plan("events_cohort_ltv")
+    val lines = p.linesIterator.toVector
+    assert(lines.exists(_.contains("BroadcastExchange")),
+      s"cohort-size table not broadcast:\n$p")
+    // the cumulative-revenue window must be per-cohort, never global
+    val globalWindows = lines.filter(l =>
+      l.trim.startsWith("Window ") && !l.contains("cohort"))
+    assert(globalWindows.isEmpty, s"non-cohort window:\n$globalWindows")
+  }
+
+  test("text_span_corruption: merge and numbering share one per-document window partitioning") {
+    val p = plan("text_span_corruption")
+    val lines = p.linesIterator.toVector
+    // every window is doc_id-partitioned (bounded by document length)...
+    val globalWindows = lines.filter(l =>
+      l.trim.startsWith("Window ") && !l.contains("doc_id"))
+    assert(globalWindows.isEmpty, s"non-per-doc window:\n$globalWindows")
+    // ...and only selected starts reach the window: the filter on the
+    // selection hash sits below the first exchange
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val selFilter = lines.indexWhere(_.contains("Filter"))
+    assert(selFilter >= 0 && firstExchange >= 0 && selFilter > firstExchange,
+      s"selection filter not below the shuffle (plan order is top-down):\n$p")
+  }
+
+  test("graph_link_pred: equi-joins only — no nested-loop pair scan, bodies never shuffle") {
+    val p = plan("graph_link_pred")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"nested-loop join in the triad self-join:\n$p")
+    val lines = p.linesIterator.toVector
+    assert(!lines.exists(l => l.contains("Exchange") && l.contains("text")),
+      s"document bodies cross a shuffle:\n$p")
+  }
+
   test("text_mlm_masks: scan-bound — only the presentation sort shuffles") {
     val p = plan("text_mlm_masks")
     // tokenize -> posexplode -> three hashes -> filter is a narrow
