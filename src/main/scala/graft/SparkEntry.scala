@@ -1367,6 +1367,13 @@ object SparkEntry {
         "vec_id", "embedding", "label")
       .orderBy("label", "pred")
 
+  /** Executable T5 denoising pairs from the span plan: encoder inputs
+    * with sentinel-replaced spans, decoder targets with the hidden
+    * tokens — the artifact itself oracle-checked, not just the plan. */
+  private def textSpanCorruptionApply(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorruptionApply(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Hashing-trick bag-of-words features: 64 signed buckets per document,
     * vocabulary-free and bit-replayable. */
   private def textFeatureHashing(s: SparkSession, dir: String): DataFrame =
@@ -3200,6 +3207,7 @@ object SparkEntry {
     "text_mlm_masks"      -> textMlmMasks _,
     "text_span_corruption" -> textSpanCorruption _,
     "text_feature_hashing" -> textFeatureHashing _,
+    "text_span_corruption_apply" -> textSpanCorruptionApply _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -4181,6 +4189,43 @@ object SparkEntry {
              c.cum_revenue_cents,
              (c.cum_revenue_cents // s.cohort_size)::BIGINT AS ltv_cents_per_user
       FROM c JOIN sz s USING (cohort) ORDER BY cohort, age"""
+
+  /** CTE chain ending in `sp(doc_id, gid, span_start, span_end, n_starts)`
+    * — the span-corruption plan replica shared by the plan gate and the
+    * apply gate. */
+  private lazy val spanCorruptionCtes: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
+    val key = "(doc_id * 100000 + pos)"
+    s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      flat AS (
+        SELECT doc_id, len(tk)::BIGINT AS n_toks,
+               unnest(list_transform(range(1, len(tk) + 1),
+                 i -> {'pos': i - 1, 'tok': tk[i]}), recursive := true)
+        FROM toks),
+      f2 AS (SELECT doc_id, n_toks, pos::BIGINT AS pos FROM flat
+             WHERE tok <> ''),
+      st AS (SELECT doc_id, pos,
+               least(pos + 1 + ${OracleXX.xxh64LongPmod(key, 5L, seed = s(35L))},
+                     n_toks)::BIGINT AS e
+             FROM f2
+             WHERE ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(31L))} < 50000),
+      m AS (SELECT doc_id, pos, e,
+              max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM st),
+      b AS (SELECT doc_id, pos, e,
+              CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS brk
+            FROM m),
+      g AS (SELECT doc_id, pos, e,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )::BIGINT AS gid
+            FROM b),
+      sp AS (SELECT doc_id, gid, min(pos)::BIGINT AS span_start,
+               max(e)::BIGINT AS span_end, count(*)::BIGINT AS n_starts
+             FROM g GROUP BY 1, 2)"""
+  }
 
   /** Matryoshka prefix-retrieval replica, shared with the recall matrix. */
   private lazy val matryoshkaOracleSql = """
@@ -6814,48 +6859,63 @@ object SparkEntry {
       SELECT doc_id, bucket, count(*)::BIGINT AS tf, sum(sgn)::BIGINT AS weight
       FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket"""
     },
+    // same span chain; segment rows via per-doc lag, ordered string_agg
+    // assembly — the identical relational construction as the engine
+    "text_span_corruption_apply" -> s"""
+      WITH $spanCorruptionCtes,
+      sp2 AS (SELECT doc_id, span_start, span_end,
+                (row_number() OVER (PARTITION BY doc_id
+                   ORDER BY span_start) - 1)::BIGINT AS k,
+                coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                   ORDER BY span_start), 0)::BIGINT AS seg_from
+              FROM sp),
+      raw AS (SELECT s2.doc_id, s2.span_start,
+                -- array_to_string of an empty slice is NULL in DuckDB
+                -- (Spark's array_join gives ''): coalesce keeps || alive
+                coalesce(array_to_string(list_slice(t.tk,
+                  (s2.seg_from + 1)::INT, s2.span_start::INT), ' '), '')
+                  AS seg,
+                '<extra_id_' || s2.k::VARCHAR || '>' AS mk,
+                array_to_string(list_slice(t.tk, (s2.span_start + 1)::INT,
+                  s2.span_end::INT), ' ') AS spx
+              FROM sp2 s2 JOIN toks t USING (doc_id)),
+      pieces AS (SELECT doc_id, span_start AS ord,
+                   CASE WHEN seg = '' THEN mk
+                        ELSE seg || ' ' || mk END AS piece,
+                   mk || ' ' || spx AS tpiece
+                 FROM raw),
+      asm AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord) AS body,
+                string_agg(tpiece, ' ' ORDER BY ord) AS tgt
+              FROM pieces GROUP BY doc_id),
+      se AS (SELECT doc_id, max(span_end)::BIGINT AS last_end,
+               (max(k) + 1)::BIGINT AS n_sp
+             FROM sp2 GROUP BY doc_id),
+      corr AS (SELECT a.doc_id,
+                 rtrim(a.body || ' ' ||
+                   coalesce(array_to_string(list_slice(t.tk,
+                     (s.last_end + 1)::INT, len(t.tk)::INT), ' '), ''))
+                   AS input_text,
+                 a.tgt || ' <extra_id_' || s.n_sp::VARCHAR || '>'
+                   AS target_text
+               FROM asm a JOIN se s USING (doc_id)
+               JOIN toks t USING (doc_id))
+      SELECT doc_id, input_text, target_text FROM corr
+      UNION ALL
+      SELECT t.doc_id, array_to_string(t.tk, ' ') AS input_text,
+             '' AS target_text
+      FROM toks t WHERE NOT EXISTS (
+        SELECT 1 FROM sp2 WHERE sp2.doc_id = t.doc_id)
+      ORDER BY doc_id""",
     // hash-selected starts + hash-drawn lengths clipped at doc end,
     // running-max interval union per document, sentinel ordinals
-    "text_span_corruption" -> {
-      import org.apache.spark.sql.catalyst.expressions.XXH64
-      def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
-      val key = "(doc_id * 100000 + pos)"
-      s"""
-      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-      flat AS (
-        SELECT doc_id, len(tk)::BIGINT AS n_toks,
-               unnest(list_transform(range(1, len(tk) + 1),
-                 i -> {'pos': i - 1, 'tok': tk[i]}), recursive := true)
-        FROM toks),
-      f2 AS (SELECT doc_id, n_toks, pos::BIGINT AS pos FROM flat
-             WHERE tok <> ''),
-      st AS (SELECT doc_id, pos,
-               least(pos + 1 + ${OracleXX.xxh64LongPmod(key, 5L, seed = s(35L))},
-                     n_toks)::BIGINT AS e
-             FROM f2
-             WHERE ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(31L))} < 50000),
-      m AS (SELECT doc_id, pos, e,
-              max(e) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-            FROM st),
-      b AS (SELECT doc_id, pos, e,
-              CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS brk
-            FROM m),
-      g AS (SELECT doc_id, pos, e,
-              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-              )::BIGINT AS gid
-            FROM b),
-      sp AS (SELECT doc_id, gid, min(pos)::BIGINT AS span_start,
-               max(e)::BIGINT AS span_end, count(*)::BIGINT AS n_starts
-             FROM g GROUP BY 1, 2)
+    "text_span_corruption" -> s"""
+      WITH $spanCorruptionCtes
       SELECT doc_id,
              (row_number() OVER (PARTITION BY doc_id ORDER BY span_start)
               - 1)::BIGINT AS sentinel,
              span_start, span_end,
              (span_end - span_start)::BIGINT AS span_len, n_starts
-      FROM sp ORDER BY doc_id, span_start"""
-    },
+      FROM sp ORDER BY doc_id, span_start""",
     "text_token_ids" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       tf AS (SELECT unnest(tk) AS tok FROM toks),

@@ -532,6 +532,71 @@ object TextAnalysis {
           .as("rand_bucket"))
   }
 
+  /** Apply [[spanCorruptionPlan]] — the executable half of T5 denoising
+    * (the plan/apply pairing `duplicateSpans`/`applySpanCuts` uses): each
+    * corrupted document becomes the encoder input (span tokens replaced
+    * by their `<extra_id_k>` sentinel) and the decoder target (each
+    * sentinel followed by the tokens it hides, closed by the final
+    * `<extra_id_n>` — the T5 target convention). Documents the plan left
+    * untouched pass through with an empty target. String assembly is the
+    * same relational construction on both engines (segment rows via a
+    * per-doc lag, ordered aggregation), so the artifact — not just the
+    * plan — is oracle-checked.
+    *
+    * Scale shape: the plan side is ~5% of positions; segments are built
+    * with ONE per-document window (lag over the span list) and assembled
+    * with per-document ordered collects bounded by spans-per-doc; the
+    * token arrays ride the existing doc-keyed join. */
+  def spanCorruptionApply(df: DataFrame, idCol: String, textCol: String,
+                          startPpm: Long = 50000L, maxSpanLen: Int = 5,
+                          seed: Long = 31L,
+                          maxPositions: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = spanCorruptionPlan(df, idCol, textCol, startPpm, maxSpanLen,
+      seed, maxPositions)
+    val toks = df.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("tk"))
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val withFrom = plan.withColumn("seg_from",
+      coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
+    val marker = concat(lit("<extra_id_"), col("sentinel").cast("string"),
+      lit(">"))
+    val pieces = withFrom.join(toks, "doc_id")
+      .select(col("doc_id"), col("span_start").as("ord"),
+        array_join(slice(col("tk"), (col("seg_from") + 1L).cast("int"),
+          (col("span_start") - col("seg_from")).cast("int")), " ").as("seg"),
+        marker.as("mk"),
+        array_join(slice(col("tk"), (col("span_start") + 1L).cast("int"),
+          (col("span_end") - col("span_start")).cast("int")), " ").as("sp"))
+      .select(col("doc_id"), col("ord"),
+        when(col("seg") === "", col("mk"))
+          .otherwise(concat(col("seg"), lit(" "), col("mk"))).as("piece"),
+        concat(col("mk"), lit(" "), col("sp")).as("tpiece"))
+    val assembled = pieces.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("ord"), col("piece")))),
+          s => s.getField("piece")), " ").as("body"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ord"), col("tpiece")))),
+          s => s.getField("tpiece")), " ").as("tgt"))
+    val spanEnds = plan.groupBy("doc_id")
+      .agg(max(col("span_end")).as("last_end"),
+           (max(col("sentinel")) + 1L).as("n_sp"))
+    val corrupted = assembled.join(spanEnds, "doc_id").join(toks, "doc_id")
+      .select(col("doc_id"),
+        rtrim(concat_ws(" ", col("body"),
+          array_join(slice(col("tk"), (col("last_end") + 1L).cast("int"),
+            (size(col("tk")) - col("last_end")).cast("int")), " ")))
+          .as("input_text"),
+        concat(col("tgt"), lit(" <extra_id_"), col("n_sp").cast("string"),
+          lit(">")).as("target_text"))
+    val untouched = toks
+      .join(plan.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), array_join(col("tk"), " ").as("input_text"),
+        lit("").as("target_text"))
+    corrupted.unionByName(untouched)
+  }
+
   /** Hashing-trick featurizer (Weinberger 2009): tokens are projected
     * into `numBuckets` dimensions by hash, with an independent ±1 sign
     * hash so colliding tokens cancel in expectation instead of stacking —

@@ -49,8 +49,8 @@ object BenchScale {
     // selected positions survive), link prediction is the capped-pivot
     // self-join (fan-out <= cap per pivot), and the perceptron is a fixed
     // number of combinable aggregates
-    "text_mlm_masks", "text_span_corruption", "graph_link_pred",
-    "text_perceptron")
+    "text_mlm_masks", "text_span_corruption", "text_span_corruption_apply",
+    "graph_link_pred", "text_perceptron")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user

@@ -263,6 +263,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(again == plan, "span plan depends on partitioning")
   }
 
+  test("spanCorruptionApply: splicing targets back into sentinel slots reconstructs every document") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents"))
+    val out = TextAnalysis.spanCorruptionApply(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("input_text"), r.getAs[String]("target_text"))).toMap
+    val norm = docs.select(col("doc_id"),
+        array_join(graft.functions.TextFunctions.tokens(col("text")), " ")
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == norm.keySet)
+    val sentinel = "<extra_id_(\\d+)>".r
+    def spans(target: String): Map[Int, Seq[String]] = {
+      var cur = -1
+      val m = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      target.split(" ").foreach {
+        case sentinel(k) => cur = k.toInt; m(cur) = Vector.empty
+        case tok if cur >= 0 => m(cur) = m(cur) :+ tok
+        case tok => fail(s"target starts without a sentinel: $tok")
+      }
+      m.toMap
+    }
+    var corrupted = 0
+    out.foreach { case (id, (input, target)) =>
+      val rebuilt =
+        if (target.isEmpty) input
+        else {
+          corrupted += 1
+          val sp = spans(target)
+          input.split(" ").toSeq.flatMap {
+            case sentinel(k) => sp(k.toInt)
+            case tok => Seq(tok)
+          }.mkString(" ")
+        }
+      assert(rebuilt == norm(id), s"doc $id does not round-trip")
+    }
+    // the plan corrupts a substantial share of documents at 5% starts
+    assert(corrupted > out.size / 2, s"only $corrupted corrupted docs")
+  }
+
   test("tokenBudgetCut: quality-first admission, straddler included, id tie-break") {
     import graft.operators.TextAnalysis
     // rank order (q DESC, id ASC): 2(q900,n4) 3(q900,n3) 4(q500,n10) 1(q100,n5)
