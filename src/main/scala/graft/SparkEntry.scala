@@ -1367,6 +1367,12 @@ object SparkEntry {
         "vec_id", "embedding", "label")
       .orderBy("label", "pred")
 
+  /** Executable masked corpus from the MLM plan: [MASK]/vocab-pick/keep
+    * applied per position, per-doc action counts beside the text. */
+  private def textMlmApply(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mlmMaskApply(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Executable T5 denoising pairs from the span plan: encoder inputs
     * with sentinel-replaced spans, decoder targets with the hidden
     * tokens — the artifact itself oracle-checked, not just the plan. */
@@ -3208,6 +3214,7 @@ object SparkEntry {
     "text_span_corruption" -> textSpanCorruption _,
     "text_feature_hashing" -> textFeatureHashing _,
     "text_span_corruption_apply" -> textSpanCorruptionApply _,
+    "text_mlm_apply"      -> textMlmApply _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -6858,6 +6865,50 @@ object SparkEntry {
             FROM f2)
       SELECT doc_id, bucket, count(*)::BIGINT AS tf, sum(sgn)::BIGINT AS weight
       FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+    },
+    // plan hashes + the token-ids vocabulary replica; [MASK]/vocab-pick/
+    // keep per position, ordered string_agg reassembly
+    "text_mlm_apply" -> {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
+      val key = "(doc_id * 100000 + pos)"
+      s"""
+      WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      flat AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                 i -> {'pos': i - 1, 'tok': tk[i]}), recursive := true)
+        FROM toks),
+      f2 AS (SELECT doc_id, pos::BIGINT AS pos, tok FROM flat
+             WHERE tok <> ''),
+      vocab AS MATERIALIZED (
+        SELECT tok AS vtok,
+               (row_number() OVER (ORDER BY c DESC, tok ASC) - 1)::BIGINT AS tid
+        FROM (SELECT tok, count(*) AS c FROM f2 GROUP BY tok)
+        ORDER BY c DESC, tok ASC LIMIT 1000),
+      vn AS (SELECT count(*)::BIGINT AS n FROM vocab),
+      h AS (SELECT doc_id, pos, tok,
+              ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(13L))} AS sel,
+              ${OracleXX.xxh64LongPmod(key, 10L, seed = s(17L))} AS act,
+              ${OracleXX.xxh64LongPmod(key, 1000L, seed = s(22L))} AS rnd
+            FROM f2),
+      rep AS (SELECT h.doc_id, h.pos,
+                CASE WHEN sel < 150000 AND act < 8 THEN '[MASK]'
+                     WHEN sel < 150000 AND act = 8 THEN v.vtok
+                     ELSE h.tok END AS outt,
+                CASE WHEN sel < 150000 THEN
+                  (CASE WHEN act < 8 THEN 'mask'
+                        WHEN act = 8 THEN 'random' ELSE 'keep' END) END
+                  AS action
+              FROM h CROSS JOIN vn
+              LEFT JOIN vocab v ON v.tid = h.rnd % vn.n)
+      SELECT doc_id, string_agg(outt, ' ' ORDER BY pos) AS mlm_text,
+             sum(CASE WHEN action = 'mask' THEN 1 ELSE 0 END)::BIGINT
+               AS n_masked,
+             sum(CASE WHEN action = 'random' THEN 1 ELSE 0 END)::BIGINT
+               AS n_random,
+             sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END)::BIGINT
+               AS n_kept
+      FROM rep GROUP BY doc_id ORDER BY doc_id"""
     },
     // same span chain; segment rows via per-doc lag, ordered string_agg
     // assembly — the identical relational construction as the engine

@@ -627,6 +627,60 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), sum(col("sgn")).as("weight"))
   }
 
+  /** Apply [[mlmMaskPlan]] — the executable masked corpus: selected
+    * positions become `[MASK]` (80%), a deterministic vocabulary pick
+    * (10% — the plan's `rand_bucket` modulo the corpus top-`vocabSize`
+    * vocabulary, so even the "random" replacement is a pure function of
+    * (corpus, seed)), or stay as-is (10%). Output per document: the
+    * masked text plus the action counts a trainer audits against the
+    * schedule.
+    *
+    * Scale shape: the plan join is per-(doc, pos) on ~15% of positions;
+    * the vocabulary is a top-k (TakeOrdered, driver-free) whose ≤
+    * `vocabSize` rows broadcast; reassembly is a per-document ordered
+    * collect bounded by document length. */
+  def mlmMaskApply(df: DataFrame, idCol: String, textCol: String,
+                   maskPpm: Long = 150000L, seed: Long = 13L,
+                   maxPositions: Long = 100000L,
+                   vocabSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val plan = mlmMaskPlan(df, idCol, textCol, maskPpm, seed, maxPositions)
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+    // corpus top-k vocabulary with dense 0-based ids; the post-limit
+    // window runs on <= vocabSize rows (single tiny task by design)
+    val vdf = df.select(explode(TF.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("c").desc, col("tok").asc)) - 1)
+      .select(col("tid").cast("long").as("tid"), col("tok").as("vtok"))
+    val n = vdf.agg(count(lit(1)).as("n_vocab"))
+    val joined = toks
+      .join(plan.select(col("doc_id"), col("pos"), col("action"),
+        col("rand_bucket")), Seq("doc_id", "pos"), "left")
+      .crossJoin(broadcast(n))
+      .join(broadcast(vdf), pmod(col("rand_bucket"), col("n_vocab")) === col("tid"),
+        "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("action") === "mask", lit("[MASK]"))
+          .when(col("action") === "random", col("vtok"))
+          .otherwise(col("token")).as("out"),
+        col("action"))
+    joined.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("out")))),
+          s => s.getField("out")), " ").as("mlm_text"),
+        sum(when(col("action") === "mask", 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("action") === "random", 1L).otherwise(0L)).as("n_random"),
+        sum(when(col("action") === "keep", 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Deterministic T5-style span-corruption plan — [[mlmMaskPlan]]'s
     * companion for encoder-decoder denoising: span STARTS are selected by
     * a seeded hash (`startPpm`, default 5% of positions), each start

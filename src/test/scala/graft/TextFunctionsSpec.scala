@@ -303,6 +303,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(corrupted > out.size / 2, s"only $corrupted corrupted docs")
   }
 
+  test("mlmMaskApply: positions mutate exactly per plan; random picks come from the vocabulary") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents"))
+    val plan = TextAnalysis.mlmMaskPlan(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        (r.getAs[String]("action"),
+         Option(r.getAs[java.lang.Long]("rand_bucket")).map(_.toLong)))
+      .toMap
+    val applied = TextAnalysis.mlmMaskApply(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("mlm_text"), r.getAs[Long]("n_masked"),
+         r.getAs[Long]("n_random"), r.getAs[Long]("n_kept"))).toMap
+    val norm = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty)).toMap
+    val vocab = TextAnalysis.buildVocab(docs, "text", 1000)
+    applied.foreach { case (id, (text, nm, nr, nk)) =>
+      val toks = norm(id)
+      val out = text.split(" ").toSeq
+      assert(out.length == toks.length, s"doc $id length drift")
+      var (cm, cr, ck) = (0L, 0L, 0L)
+      out.indices.foreach { i =>
+        plan.get((id, i.toLong)) match {
+          case Some(("mask", _)) =>
+            assert(out(i) == "[MASK]", s"doc $id pos $i"); cm += 1
+          case Some(("random", Some(rb))) =>
+            assert(out(i) == vocab((rb % vocab.length).toInt),
+              s"doc $id pos $i: wrong vocab pick"); cr += 1
+          case Some(("keep", _)) =>
+            assert(out(i) == toks(i), s"doc $id pos $i"); ck += 1
+          case None =>
+            assert(out(i) == toks(i), s"doc $id pos $i mutated off-plan")
+          case other => fail(s"unexpected plan row $other")
+        }
+      }
+      assert((cm, cr, ck) == ((nm, nr, nk)), s"doc $id counts")
+    }
+  }
+
   test("tokenBudgetCut: quality-first admission, straddler included, id tie-break") {
     import graft.operators.TextAnalysis
     // rank order (q DESC, id ASC): 2(q900,n4) 3(q900,n3) 4(q500,n10) 1(q100,n5)
