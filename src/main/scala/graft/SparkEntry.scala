@@ -2149,6 +2149,13 @@ object SparkEntry {
         seqLen = 512L)
       .orderBy("doc_id", "window_id")
 
+  /** Materialized training windows from the 512-token pack manifest:
+    * one row per (window, slot, token) incl. per-doc <eos> sentinels. */
+  private def textPackingApply(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packApply(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512L)
+      .orderBy("window_id", "win_pos")
+
   /** Retrieval-style sliding-window chunking: 16-token windows advancing
     * by 8 (50% overlap), every token covered, no suffix-subset tail. */
   private def textChunks(s: SparkSession, dir: String): DataFrame =
@@ -3215,6 +3222,7 @@ object SparkEntry {
     "text_feature_hashing" -> textFeatureHashing _,
     "text_span_corruption_apply" -> textSpanCorruptionApply _,
     "text_mlm_apply"      -> textMlmApply _,
+    "text_packing_apply"  -> textPackingApply _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
     "text_kn_score"       -> textKnScore _,
@@ -6640,6 +6648,41 @@ object SparkEntry {
     // concat-and-chunk manifest: EOS-terminated token counts, the same
     // prefix-sum layout as text_packing, one row per (doc, window) overlap
     // segment — pure BIGINT interval arithmetic
+    // manifest segments joined with the BPE-ish token stream (+ <eos>):
+    // every token lands at win_tok_start + (pos - doc_tok_start)
+    "text_packing_apply" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               (len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) + 1)::BIGINT AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        FROM t),
+      seg AS (
+        SELECT doc_id, n_tokens, off,
+               unnest(range(off // 512, (off + n_tokens - 1) // 512 + 1)) AS w
+        FROM c),
+      man AS (
+        SELECT doc_id, w::BIGINT AS window_id,
+               (greatest(off, w * 512) - w * 512)::BIGINT AS win_tok_start,
+               (greatest(off, w * 512) - off)::BIGINT AS doc_tok_start,
+               (least(off + n_tokens, (w + 1) * 512) - greatest(off, w * 512))::BIGINT AS seg_len
+        FROM seg),
+      tok AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(bt) + 1),
+                 i -> {'pos': i - 1, 'tok': bt[i]}), recursive := true)
+        FROM (SELECT doc_id,
+                list_append(regexp_extract_all(coalesce(text, ''),
+                  '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'), '<eos>') AS bt
+              FROM documents))
+      SELECT m.window_id,
+             (m.win_tok_start + t.pos - m.doc_tok_start)::BIGINT AS win_pos,
+             t.doc_id, t.tok AS token
+      FROM man m JOIN tok t ON t.doc_id = m.doc_id
+      WHERE t.pos >= m.doc_tok_start AND t.pos < m.doc_tok_start + m.seg_len
+      ORDER BY window_id, win_pos""",
     "text_pack_manifest" -> s"""
       WITH t AS (
         SELECT doc_id,

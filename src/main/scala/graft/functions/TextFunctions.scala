@@ -26,8 +26,12 @@ object TextFunctions {
   /** BPE-ish subword count: alnum runs + individual punctuation marks each
     * count as one token (an approximation of byte-pair tokenizer output used
     * for corpus token accounting — no tokenizer model needed). */
-  def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+
+  /** The BPE-ish token STRINGS themselves (same regex as the count) — the
+    * materialization half used when windows carry actual tokens. */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Word n-gram shingles (default n=3) over the normalized tokens. */
   def shingles(c: Column, n: Int = 3): Column = {

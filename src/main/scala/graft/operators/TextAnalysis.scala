@@ -888,6 +888,33 @@ object TextAnalysis {
     } finally { persisted.unpersist(); () }
   }
 
+  /** Apply [[packManifest]] — materialize the actual training windows:
+    * each document's BPE-ish tokens (plus its `<eos>` sentinel, exactly
+    * the count the manifest was built from) are placed at their window
+    * slots, emitting one row per (window, slot, token). Per window the
+    * slots tile `[0, seqLen)` exactly (the last window may be shorter) —
+    * the content a shard writer hands to the trainer, not just the plan.
+    *
+    * Scale shape: the manifest join is an equi-join on the document id
+    * (segments per document are few, so fan-out is ~1 match per token
+    * row); tokens ride ONE doc-keyed shuffle as slim (pos, token) rows;
+    * no windows, no state. */
+  def packApply(df: DataFrame, idCol: String, textCol: String,
+                seqLen: Long): DataFrame = {
+    val man = packManifest(df, idCol, textCol, seqLen)
+    val toks = df.select(col(idCol),
+        posexplode(concat(TF.bpeishTokens(coalesce(col(textCol), lit(""))),
+          array(lit("<eos>")))).as(Seq("pos", "token")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
+    man.join(toks, Seq(idCol))
+      .where(col("pos") >= col("doc_tok_start") &&
+             col("pos") < col("doc_tok_start") + col("seg_len"))
+      .select(col("window_id"),
+        (col("win_tok_start") + col("pos") - col("doc_tok_start"))
+          .as("win_pos"),
+        col(idCol), col("token"))
+  }
+
   /** Sliding-window chunk manifest (retrieval / context-window chunking):
     * each document's graft-normalized token sequence is cut into windows of
     * `chunkTokens` tokens whose starts advance by `strideTokens` (overlap =

@@ -343,6 +343,38 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("packApply: windows tile exactly; concatenation reproduces every doc's token+eos stream") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents"))
+    val seqLen = 16L
+    val rows = TextAnalysis.packApply(docs, "doc_id", "text", seqLen)
+      .orderBy("window_id", "win_pos").collect()
+      .map(r => (r.getAs[Long]("window_id"), r.getAs[Long]("win_pos"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("token")))
+    // per window: slots are exactly 0..len-1; all but the last are full
+    val byWin = rows.groupBy(_._1)
+    val lastWin = byWin.keys.max
+    byWin.foreach { case (w, rs) =>
+      val slots = rs.map(_._2).sorted.toSeq
+      assert(slots == (0L until rs.length.toLong), s"window $w slots: $slots")
+      if (w != lastWin)
+        assert(rs.length.toLong == seqLen, s"window $w not full: ${rs.length}")
+    }
+    // reading windows in (window, slot) order and grouping by doc gives
+    // each doc's BPE-ish tokens followed by its <eos>
+    val streams = rows.groupBy(_._3).view
+      .mapValues(_.sortBy(r => (r._1, r._2)).map(_._4).toSeq).toMap
+    val expected = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeishTokens(coalesce(col("text"),
+          lit(""))).as("bt"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1) :+ "<eos>"))
+      .toMap
+    assert(streams.keySet == expected.keySet)
+    streams.foreach { case (id, s) =>
+      assert(s == expected(id), s"doc $id stream mismatch")
+    }
+  }
+
   test("tokenBudgetCut: quality-first admission, straddler included, id tie-break") {
     import graft.operators.TextAnalysis
     // rank order (q DESC, id ASC): 2(q900,n4) 3(q900,n3) 4(q500,n10) 1(q100,n5)
