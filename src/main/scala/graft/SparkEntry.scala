@@ -644,6 +644,64 @@ object SparkEntry {
       .orderBy("cohort", "age")
   }
 
+  /** Live CUSUM monitor twin: accumulators carried as per-type state
+    * across time-sliced (hour-aligned) micro-batches against a fixed
+    * 3-events/hour baseline; gated against the recursive-CTE oracle with
+    * the same constant target (batch/stream parity, deployed form). */
+  private def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val targetFp = 3145728L // 3 events/hour at the 2^20 fixed point
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-cusum")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val evBase = events(s, dir)
+    val cuts = Seq(Long.MinValue, 1704931200000L, 1705795200000L, Long.MaxValue)
+    (0 to 2).foreach { i =>
+      val part = work.resolve(s"b$i")
+      evBase.where(col("ts_ms") >= cuts(i) && col("ts_ms") < cuts(i + 1))
+        .select(col("event_type").as("group"),
+          expr("ts_ms DIV 3600000").as("bucket"))
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(s"b$i.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("group",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    val incoming = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val snaps = incoming.as[graft.streaming.CusumMonitor.In]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        graft.streaming.CusumMonitor.perGroup(targetFp, 8L, 20))
+    val out = work.resolve("out").toString
+    val q = snaps.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    // latest snapshot per group = the one with the most buckets folded
+    s.read.parquet(out).groupBy(col("group"))
+      .agg(max(struct(col("n_buckets"), col("n_up_alarms"),
+        col("n_down_alarms"), col("first_alarm"), col("max_sp_fp"),
+        col("max_sn_fp"))).as("m"))
+      .select(col("group").as("event_type"),
+        col("m.n_buckets").as("n_buckets"), lit(targetFp).as("target_fp"),
+        col("m.n_up_alarms").as("n_up_alarms"),
+        col("m.n_down_alarms").as("n_down_alarms"),
+        when(col("m.first_alarm") === -1L, lit(null).cast("long"))
+          .otherwise(col("m.first_alarm")).as("first_alarm_h"),
+        col("m.max_sp_fp").as("max_sp_fp"),
+        col("m.max_sn_fp").as("max_sn_fp"))
+      .orderBy("event_type")
+  }
+
   /** Fact-to-dim join under key skew via salt replication
     * ([[graft.operators.Analytics.saltedJoin]]): events scatter across 8
     * salt copies of the customer dim, pinned to a shuffled-hash join (the
@@ -3091,6 +3149,7 @@ object SparkEntry {
     "stream_upsert"       -> streamUpsert _,
     "stream_attribution"  -> streamAttribution _,
     "stream_cohort_ltv"   -> streamCohortLtv _,
+    "stream_cusum"        -> streamCusum _,
     "stream_late_data"    -> streamLateData _,
     // behavioral analytics
     "events_funnel"       -> eventsFunnel _,
@@ -4240,6 +4299,53 @@ object SparkEntry {
       sp AS (SELECT doc_id, gid, min(pos)::BIGINT AS span_start,
                max(e)::BIGINT AS span_end, count(*)::BIGINT AS n_starts
              FROM g GROUP BY 1, 2)"""
+  }
+
+  /** Recursive replay of the two-sided integer CUSUM with restart-on-
+    * alarm; `tExpr` is the per-group target expression (the self-
+    * calibrating mean, or a fixed baseline for the streaming twin).
+    * spr/snr are inlined per reference (SQL has no local bindings). */
+  private def cusumOracleSql(tExpr: String): String = {
+    val q = 1048576L
+    val spr = s"greatest(0, s.sp + n.y * $q - t.t - t.t // 8)"
+    val snr = s"greatest(0, s.sn + t.t - t.t // 8 - n.y * $q)"
+    s"""
+      WITH RECURSIVE ev AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
+      cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
+              FROM ev GROUP BY 1, 2),
+      idx AS (SELECT event_type, h, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+              FROM cnt),
+      tg AS (SELECT event_type, ($tExpr)::BIGINT AS t,
+               count(*)::BIGINT AS n
+             FROM idx GROUP BY 1),
+      sm AS (
+        SELECT event_type, 0::BIGINT AS i, 0::BIGINT AS sp, 0::BIGINT AS sn,
+               0::BIGINT AS nup, 0::BIGINT AS ndn, (-1)::BIGINT AS fst,
+               0::BIGINT AS msp, 0::BIGINT AS msn
+        FROM tg
+        UNION ALL
+        SELECT s.event_type, n.i,
+               (CASE WHEN $spr > t.t THEN 0 ELSE $spr END)::BIGINT AS sp,
+               (CASE WHEN $snr > t.t THEN 0 ELSE $snr END)::BIGINT AS sn,
+               (s.nup + CASE WHEN $spr > t.t THEN 1 ELSE 0 END)::BIGINT AS nup,
+               (s.ndn + CASE WHEN $snr > t.t THEN 1 ELSE 0 END)::BIGINT AS ndn,
+               (CASE WHEN s.fst = -1 AND ($spr > t.t OR $snr > t.t)
+                     THEN n.h ELSE s.fst END)::BIGINT AS fst,
+               greatest(s.msp, $spr)::BIGINT AS msp,
+               greatest(s.msn, $snr)::BIGINT AS msn
+        FROM sm s
+        JOIN idx n ON n.event_type = s.event_type AND n.i = s.i + 1
+        JOIN tg t ON t.event_type = s.event_type),
+      fin AS (SELECT s.* FROM sm s JOIN tg t
+                ON s.event_type = t.event_type AND s.i = t.n)
+      SELECT f.event_type AS event_type, t.n AS n_buckets, t.t AS target_fp,
+             f.nup AS n_up_alarms, f.ndn AS n_down_alarms,
+             (CASE WHEN f.fst = -1 THEN NULL ELSE f.fst END)::BIGINT
+               AS first_alarm_h,
+             f.msp AS max_sp_fp, f.msn AS max_sn_fp
+      FROM fin f JOIN tg t USING (event_type) ORDER BY event_type"""
   }
 
   /** Matryoshka prefix-retrieval replica, shared with the recall matrix. */
@@ -6059,50 +6165,9 @@ object SparkEntry {
       FROM fin f JOIN sm s
         ON s.event_type = f.event_type AND s.i = f.n_buckets
       ORDER BY f.event_type""",
-    // recursive replay of the two-sided integer CUSUM with restart-on-
-    // alarm; spr/snr inlined per reference (SQL has no local bindings)
-    "events_cusum" -> {
-      val q = 1048576L
-      val spr = s"greatest(0, s.sp + n.y * $q - t.t - t.t // 8)"
-      val snr = s"greatest(0, s.sn + t.t - t.t // 8 - n.y * $q)"
-      s"""
-      WITH RECURSIVE ev AS (
-        SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
-      cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
-              FROM ev GROUP BY 1, 2),
-      idx AS (SELECT event_type, h, y,
-                row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
-              FROM cnt),
-      tg AS (SELECT event_type, (sum(y) * $q // count(*))::BIGINT AS t,
-               count(*)::BIGINT AS n
-             FROM idx GROUP BY 1),
-      sm AS (
-        SELECT event_type, 0::BIGINT AS i, 0::BIGINT AS sp, 0::BIGINT AS sn,
-               0::BIGINT AS nup, 0::BIGINT AS ndn, (-1)::BIGINT AS fst,
-               0::BIGINT AS msp, 0::BIGINT AS msn
-        FROM tg
-        UNION ALL
-        SELECT s.event_type, n.i,
-               (CASE WHEN $spr > t.t THEN 0 ELSE $spr END)::BIGINT AS sp,
-               (CASE WHEN $snr > t.t THEN 0 ELSE $snr END)::BIGINT AS sn,
-               (s.nup + CASE WHEN $spr > t.t THEN 1 ELSE 0 END)::BIGINT AS nup,
-               (s.ndn + CASE WHEN $snr > t.t THEN 1 ELSE 0 END)::BIGINT AS ndn,
-               (CASE WHEN s.fst = -1 AND ($spr > t.t OR $snr > t.t)
-                     THEN n.h ELSE s.fst END)::BIGINT AS fst,
-               greatest(s.msp, $spr)::BIGINT AS msp,
-               greatest(s.msn, $snr)::BIGINT AS msn
-        FROM sm s
-        JOIN idx n ON n.event_type = s.event_type AND n.i = s.i + 1
-        JOIN tg t ON t.event_type = s.event_type),
-      fin AS (SELECT s.* FROM sm s JOIN tg t
-                ON s.event_type = t.event_type AND s.i = t.n)
-      SELECT f.event_type AS event_type, t.n AS n_buckets, t.t AS target_fp,
-             f.nup AS n_up_alarms, f.ndn AS n_down_alarms,
-             (CASE WHEN f.fst = -1 THEN NULL ELSE f.fst END)::BIGINT
-               AS first_alarm_h,
-             f.msp AS max_sp_fp, f.msn AS max_sn_fp
-      FROM fin f JOIN tg t USING (event_type) ORDER BY event_type"""
-    },
+    "events_cusum" -> cusumOracleSql("sum(y) * 1048576 // count(*)"),
+    // live twin against the fixed 3-events/hour baseline (3 << 20)
+    "stream_cusum" -> cusumOracleSql("3145728"),
     // first-seen weekly cohorts, sparse (cohort, age) revenue cells,
     // per-cohort running sum; // and DIV truncate identically
     "events_cohort_ltv" -> cohortLtvOracleSql,

@@ -515,7 +515,8 @@ object Analytics {
     * fold over a TIME-BOUNDED series. */
   def cusumChangepoints(df: DataFrame, groupCol: String, bucketCol: String,
                         yCol: String, slackDiv: Long = 8L,
-                        scaleBits: Int = 20): DataFrame = {
+                        scaleBits: Int = 20,
+                        fixedTargetFp: Option[Long] = None): DataFrame = {
     require(slackDiv >= 1L, s"slackDiv must be >= 1, got $slackDiv")
     require(scaleBits >= 0 && scaleBits <= 40,
       s"scaleBits must be in [0, 40], got $scaleBits")
@@ -525,9 +526,13 @@ object Analytics {
       .agg(sort_array(collect_list(struct(
              col(bucketCol).cast("long").as("h"),
              col(yCol).cast("long").as("y")))).as("s"))
-      // integer mean at the fixed point: sum*q DIV n (exact truncation)
-      .withColumn("target_fp",
-        expr(s"aggregate(s, 0L, (a, e) -> a + e.y) * $q DIV size(s)"))
+      // self-calibrating mode: integer mean at the fixed point, sum*q
+      // DIV n (exact truncation). Deployed monitors pass fixedTargetFp —
+      // a baseline from history — which also makes the fold streamable.
+      .withColumn("target_fp", fixedTargetFp match {
+        case Some(t) => lit(t)
+        case None => expr(s"aggregate(s, 0L, (a, e) -> a + e.y) * $q DIV size(s)")
+      })
     def fld(tgt: Column, slack: Column, h: Column)(acc: Column, e: Column): Column = {
       val yfp = e.getField("y") * q
       val spRaw = greatest(lit(0L),

@@ -59,4 +59,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out2 == Seq(CohortLtv.Emit(7L, "buy", 1L, 4L, 300L)), out2.toString)
     assert(st.get == CohortLtv.CohortState(1L))
   }
+
+  test("CusumMonitor.perGroup: state carried across batches equals one-shot fold") {
+    import graft.streaming.CusumMonitor
+    import org.apache.spark.sql.streaming.TestGroupState
+    def newState = TestGroupState.create[CusumMonitor.St](
+      org.apache.spark.api.java.Optional.empty[CusumMonitor.St](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    // the hand-traced batch fixture: y = [4,4,4,12,12] at target 36q/5
+    // is self-calibrating; here use a FIXED target 4q, slackDiv 8:
+    // slack = q/2; buckets of 4 events hold both sides at 0; buckets of
+    // 12 build S+ = 7.5q (> h=4q -> alarm, reset) then again
+    def events(bucket: Long, n: Int) =
+      Seq.fill(n)(CusumMonitor.In("A", bucket))
+    val q = 1L << 20
+    val fold = CusumMonitor.perGroup(4L * q, 8L, 20) _
+    // one-shot: all five buckets in one batch
+    val oneSt = newState
+    val one = fold("A",
+      (events(1, 4) ++ events(2, 4) ++ events(3, 4) ++
+       events(4, 12) ++ events(5, 12)).iterator, oneSt).toSeq.last
+    // split: 3 buckets then 2 — the carried state must give the same end
+    val twoSt = newState
+    fold("A", (events(1, 4) ++ events(2, 4) ++ events(3, 4)).iterator, twoSt)
+    val two = fold("A", (events(4, 12) ++ events(5, 12)).iterator, twoSt)
+      .toSeq.last
+    assert(one == two, s"$one vs $two")
+    assert(one.n_buckets == 5L)
+    // y=12 at target 4q, slack q/2: spRaw = 7.5q > 4q -> alarm + reset,
+    // twice; never any down alarm
+    assert(one.n_up_alarms == 2L && one.n_down_alarms == 0L &&
+      one.first_alarm == 4L && one.max_sp_fp == 15L * q / 2, one.toString)
+  }
 }
