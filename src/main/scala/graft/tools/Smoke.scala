@@ -357,6 +357,10 @@ object Smoke {
       fq.drop("qlabel"), "qid", "qvec", dim = 64, k = 3).show(3)
     Similarity.centroidClassifierConfusion(emb, "vec_id", "embedding",
       "label").orderBy("label", "pred").show(3)
+    println("[smoke] plan/apply pairs: denoising inputs+targets, masked corpus, packed windows:")
+    TextAnalysis.spanCorruptionApply(docs, "doc_id", "text").show(2, truncate = 60)
+    TextAnalysis.mlmMaskApply(docs, "doc_id", "text").show(2, truncate = 60)
+    TextAnalysis.packApply(docs, "doc_id", "text", seqLen = 512L).show(3)
     lap("round-9c")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
