@@ -1974,6 +1974,38 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("community"))
       .orderBy("doc_id")
 
+  /** Fixed-point HITS over the DIRECTED (lo→hi) minhash candidate graph:
+    * hub scores flag template-source documents (their matches are
+    * themselves heavily matched), authority scores the heavily-pointed-at
+    * copies — the asymmetric signal the undirected PageRank on the same
+    * graph cannot see. 4 max-normalized integer rounds, bit-exact vs the
+    * unrolled DuckDB replay. */
+  private def graphHits(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.hits(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 128, bands = 16, threshold = 0.4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", rounds = 4)
+      .select(col("id").as("doc_id"), col("hub_fp"), col("auth_fp"))
+      .orderBy("doc_id")
+
+  /** Hop-bounded multi-source BFS over the minhash candidate graph:
+    * quarantine-neighborhood expansion from seed documents (here every
+    * 50th doc id) — every node within 4 hops of a seed, with its hop
+    * distance. Frontier-at-a-time walk; oracle is DuckDB's native
+    * recursive CTE with the same hop bound. */
+  private def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id",
+        "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val seeds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .where(col("id") % 50 === 0).distinct()
+    operators.Graph.bfsDistances(pairs, "id_a", "id_b", seeds, maxHops = 4)
+      .select(col("id").as("doc_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB replica of `Graph.pageRank` over the minhash candidate graph:
     * the shared banded-pairs CTEs → thresholded pairs → symmetric edge
     * list → 5 unrolled integer-arithmetic iterations. `//` and `DIV` are
@@ -2003,6 +2035,61 @@ object SparkEntry {
       SELECT i.id AS doc_id, i.rank AS rank_fp, d.deg
       FROM it$iters i JOIN dg d ON i.id = d.src ORDER BY doc_id"""
   }
+
+  /** DuckDB replica of `Graph.hits`: the shared banded-pairs CTEs → the
+    * DIRECTED lo→hi edge list → `rounds` unrolled auth/hub passes, each a
+    * BIGINT sum of the opposite score followed by `raw * 10^6 //
+    * max(raw)` max-normalization — `//` and `DIV` are both truncation on
+    * non-negative BIGINTs, so every intermediate matches the engine. */
+  private def hitsOracle(rounds: Int): String = {
+    def round(i: Int, prevHub: String) = s"""
+      a${i}_raw AS (SELECT e.dst AS id, sum(h.hub)::BIGINT AS raw
+                    FROM ed e JOIN $prevHub h ON e.src = h.id GROUP BY e.dst),
+      a$i AS (SELECT id,
+                (raw * 1000000 // (SELECT max(raw) FROM a${i}_raw))::BIGINT AS auth
+              FROM a${i}_raw),
+      h${i}_raw AS (SELECT e.src AS id, sum(a.auth)::BIGINT AS raw
+                    FROM ed e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+      h$i AS (SELECT id,
+                (raw * 1000000 // (SELECT max(raw) FROM h${i}_raw))::BIGINT AS hub
+              FROM h${i}_raw)"""
+    val chain = (1 to rounds)
+      .map(i => round(i, if (i == 1) "h0" else s"h${i - 1}"))
+      .mkString(",\n      ")
+    s"""
+      WITH ${OracleXX.minhashAgreeCtes(numHashes = 128, bands = 16)},
+      prs2 AS (SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs2),
+      nd AS MATERIALIZED (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+      h0 AS (SELECT id, 1000000::BIGINT AS hub FROM nd),
+      $chain
+      SELECT nd.id AS doc_id,
+             coalesce(h$rounds.hub, 0)::BIGINT AS hub_fp,
+             coalesce(a$rounds.auth, 0)::BIGINT AS auth_fp
+      FROM nd LEFT JOIN h$rounds ON nd.id = h$rounds.id
+              LEFT JOIN a$rounds ON nd.id = a$rounds.id
+      ORDER BY doc_id"""
+  }
+
+  /** DuckDB replica of `Graph.bfsDistances` over the minhash candidate
+    * graph: native recursive CTE with UNION (distinct) semantics — the
+    * working set is distinct (id, hop) rows, so cycles terminate under
+    * the hop bound and `min(d)` is the BFS distance. */
+  private def bfsOracle(maxHops: Int): String = s"""
+      WITH RECURSIVE ${OracleXX.minhashAgreeCtes(numHashes = 128, bands = 16)},
+      prs2 AS (SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      ed AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM prs2
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs2),
+      sd AS (SELECT DISTINCT src AS id FROM ed WHERE src % 50 = 0),
+      walk(id, d) AS (
+        SELECT id, 0 FROM sd
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN ed e ON e.src = w.id
+        WHERE w.d < $maxHops)
+      SELECT id AS doc_id, min(d)::BIGINT AS dist
+      FROM walk GROUP BY id ORDER BY doc_id"""
 
   /** HLL cardinality at p=8 (m=256): every gate lang has ≳3k distinct
     * shingles, ≫ 2.5m, so the raw estimator is in-regime and the ln-free
@@ -3311,6 +3398,8 @@ object SparkEntry {
     "graph_kcore"         -> graphKcore _,
     "graph_labelprop"     -> graphLabelprop _,
     "graph_link_pred"     -> graphLinkPred _,
+    "graph_hits"          -> graphHits _,
+    "graph_bfs"           -> graphBfs _,
     "q_hierarchy"         -> qHierarchy _,
     "dedup_snm_multipass" -> ((s, dir) =>
       Dedup.sortedNeighborhoodMultiPass(t(s, dir, "documents"), "doc_id",
@@ -6068,6 +6157,8 @@ object SparkEntry {
              n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE AS share
       FROM c ORDER BY hour, event_type""",
     "graph_pagerank" -> pagerankOracle(iters = 5),
+    "graph_hits" -> hitsOracle(rounds = 4),
+    "graph_bfs" -> bfsOracle(maxHops = 4),
     // first/last preceding touch via IGNORE NULLS window scans over the
     // same (ts, event_id) total order; credit in exact cents; full outer
     // across the two rollups (a type can be first-touch yet never last)

@@ -226,4 +226,84 @@ class GraphSpec extends SparkSpec {
       .orderBy("id_a", "id_b").collect().toSeq
     assert(a == b, "linkPrediction depends on input partitioning")
   }
+
+  private def hitsMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(x => x.getAs[Long]("id") ->
+      (x.getAs[Long]("hub_fp"), x.getAs[Long]("auth_fp"))).toMap
+
+  test("hits: directed star — center is the pure hub, leaves pure authorities") {
+    val star = (1L to 6L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val m = hitsMap(Graph.hits(star, "id_a", "id_b", rounds = 4))
+    assert(m(0L) == ((1000000L, 0L)), s"center: ${m(0L)}")
+    (1L to 6L).foreach(i =>
+      assert(m(i) == ((0L, 1000000L)), s"leaf $i: ${m(i)}"))
+  }
+
+  test("hits: hand-traced asymmetric graph matches the integer recurrence") {
+    // 1→3, 2→3, 3→4: after each round auth(4) and hub(3) halve
+    // (trace: a(3)=1e6, a(4)=1e6/2^r, h(1)=h(2)=1e6, h(3)=1e6/2^r)
+    val g = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val m = hitsMap(Graph.hits(g, "id_a", "id_b", rounds = 4))
+    assert(m(1L) == ((1000000L, 0L)), s"1: ${m(1L)}")
+    assert(m(2L) == ((1000000L, 0L)), s"2: ${m(2L)}")
+    assert(m(3L) == ((62500L, 1000000L)), s"3: ${m(3L)}")
+    assert(m(4L) == ((0L, 62500L)), s"4: ${m(4L)}")
+  }
+
+  test("hits: partitioning-invariant on the minhash candidate graph") {
+    val docs = spark.read.parquet(sf("documents"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+    val a = Graph.hits(pairs.repartition(7), "id_a", "id_b", rounds = 3)
+      .orderBy("id").collect().toSeq
+    val b = Graph.hits(pairs.repartition(2), "id_a", "id_b", rounds = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b, "hits depends on input partitioning")
+  }
+
+  private def bfsMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(x =>
+      x.getAs[Long]("id") -> x.getAs[Long]("dist")).toMap
+
+  test("bfsDistances: path graph respects the hop bound; beyond-bound nodes absent") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val m = bfsMap(Graph.bfsDistances(path, "id_a", "id_b", seeds, maxHops = 2))
+    assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got $m")
+  }
+
+  test("bfsDistances: multi-source takes the nearest seed; components walk independently") {
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val seeds = Seq(3L, 10L).toDF("id")
+    val m = bfsMap(Graph.bfsDistances(g, "id_a", "id_b", seeds, maxHops = 4))
+    assert(m == Map(3L -> 0L, 2L -> 1L, 1L -> 2L, 10L -> 0L, 11L -> 1L),
+      s"got $m")
+  }
+
+  test("bfsDistances: cycles terminate via early exit; off-graph seeds are ignored") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val m = bfsMap(Graph.bfsDistances(tri, "id_a", "id_b",
+      Seq(1L, 99L).toDF("id"), maxHops = 10))
+    assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $m")
+    // all seeds off-graph -> empty
+    assert(Graph.bfsDistances(tri, "id_a", "id_b",
+      Seq(99L).toDF("id"), maxHops = 3).count() == 0L)
+  }
+
+  test("bfsDistances: partitioning-invariant on the minhash candidate graph") {
+    val docs = spark.read.parquet(sf("documents"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+    val seeds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .where(col("id") % 50 === 0).distinct()
+    val a = Graph.bfsDistances(pairs.repartition(7), "id_a", "id_b", seeds,
+        maxHops = 3).orderBy("id").collect().toSeq
+    val b = Graph.bfsDistances(pairs.repartition(2), "id_a", "id_b", seeds,
+        maxHops = 3).orderBy("id").collect().toSeq
+    assert(a == b, "bfsDistances depends on input partitioning")
+  }
 }
