@@ -461,6 +461,15 @@ object SparkEntry {
         "event_type", "hour", "y")
       .orderBy("event_type")
 
+  /** A-priori frequent-pair mining over the order/part relation: which
+    * parts are co-ordered, with support / confidence / lift in exact
+    * integer ppm. The frequent-item semi-join before the per-order
+    * self-join is the plan (see [[Analytics.basketRules]]). */
+  private def qBasketRules(s: SparkSession, dir: String): DataFrame =
+    Analytics.basketRules(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minItemSupport = 20L, minPairSupport = 2L)
+      .orderBy(col("n_ab").desc, col("item_a").asc, col("item_b").asc)
+
   /** Long-run session behavior: the stationary distribution of the
     * within-session transition chain (same counts as
     * `events_transitions`), 8 fixed-point power iterations. */
@@ -3246,6 +3255,7 @@ object SparkEntry {
     "events_attribution"  -> eventsAttribution _,
     "events_rfm"          -> eventsRfm _,
     "events_markov"       -> eventsMarkov _,
+    "q_basket_rules"      -> qBasketRules _,
     "events_forecast_eval" -> eventsForecastEval _,
     "events_ab_test"      -> eventsAbTest _,
     "events_cohort_ltv"   -> eventsCohortLtv _,
@@ -4802,6 +4812,35 @@ object SparkEntry {
              n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS p
       FROM cnt ORDER BY from_type, to_type""",
     // same transition counts, then 8 unrolled integer power iterations:
+    // a-priori pair mining replica: same frequent-item semi-join, same
+    // mega-basket width cap, same truncating-ppm metrics (lift derived
+    // from the already-truncated confidence — see Analytics.basketRules)
+    "q_basket_rules" -> """
+      WITH bk AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                  FROM lineitem),
+      itn AS MATERIALIZED (SELECT it, count(*)::BIGINT AS n_item
+                           FROM bk GROUP BY 1),
+      fq AS (SELECT it, n_item FROM itn WHERE n_item >= 20),
+      nb AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM bk),
+      fb AS MATERIALIZED (
+        SELECT bk, it, n_item FROM (
+          SELECT b.bk, b.it, f.n_item,
+                 count(*) OVER (PARTITION BY b.bk) AS w
+          FROM bk b JOIN fq f ON b.it = f.it)
+        WHERE w <= 64),
+      pr AS (SELECT a.it AS item_a, b.it AS item_b,
+                    any_value(a.n_item)::BIGINT AS n_a,
+                    any_value(b.n_item)::BIGINT AS n_b,
+                    count(*)::BIGINT AS n_ab
+             FROM fb a JOIN fb b ON a.bk = b.bk AND a.it < b.it
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT item_a, item_b, n_a, n_b, n_ab,
+             (n_ab * 1000000 // n_baskets)::BIGINT AS support_ppm,
+             (n_ab * 1000000 // n_a)::BIGINT AS conf_ab_ppm,
+             (n_ab * 1000000 // n_b)::BIGINT AS conf_ba_ppm,
+             ((n_ab * 1000000 // n_a) * n_baskets // n_b)::BIGINT AS lift_ppm
+      FROM pr CROSS JOIN nb
+      ORDER BY n_ab DESC, item_a, item_b LIMIT 100""",
     // p at 10^6, pi at 10^12, per-step mass (pi*p)//10^6 — * and // share
     // left-assoc precedence in both engines, so every intermediate matches
     "events_markov" -> s"""

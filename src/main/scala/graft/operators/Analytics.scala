@@ -708,4 +708,67 @@ object Analytics {
       sum(when(col("is_first") === 0L, col("c")).otherwise(lit(0L)))
         .as("cents_last"))
   }
+
+  /** Market-basket association rules (Agrawal & Srikant 1994, the a-priori
+    * pair pass): frequent item PAIRS over a (basket, item) relation, with
+    * support / directional confidence / lift — the co-purchase signal a
+    * recommender or assortment analysis reads off transactional data.
+    *
+    * Scale shape — the a-priori property IS the plan: an item pair can
+    * only reach `minPairSupport` if both items alone do, so the basket
+    * table is first semi-joined to the frequent-item list (one slim
+    * (item, n) aggregate), and only then self-joined per basket. That
+    * prune is what keeps the quadratic per-basket pair explosion bounded
+    * by the frequent-item basket width, not the raw one. A second guard,
+    * `maxBasketItems`, excludes pathological mega-baskets (a crawl cart,
+    * a test account) from PAIR generation only — their unary counts still
+    * contribute — the same documented skew-cap contract as the LSH bucket
+    * caps in [[graft.operators.Dedup]]. Everything that shuffles is
+    * (basket, item) longs; counts are map-side-combinable.
+    *
+    * Determinism: counts are exact BIGINTs; ratios are truncating integer
+    * ppm. Lift is derived from the ALREADY-truncated confidence
+    * (`conf_ab_ppm * n_baskets DIV n_b`) — one more truncation than the
+    * textbook formula, but the naive `n_ab * n_baskets * 10^6` product
+    * overflows BIGINT past ~3·10^6 baskets, while this form holds to
+    * ~9·10^12 (documented bound: `n_baskets * 10^6 < 2^63`). Output is
+    * the `topN` pairs by (n_ab DESC, item_a ASC, item_b ASC) — a total
+    * order, so the cut is reproducible. */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+                  minItemSupport: Long, minPairSupport: Long,
+                  maxBasketItems: Int = 64, topN: Int = 100): DataFrame = {
+    require(minItemSupport >= 1 && minPairSupport >= 1,
+      "supports must be >= 1")
+    require(maxBasketItems >= 2, s"maxBasketItems >= 2, got $maxBasketItems")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val baskets = df
+      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val itemN = baskets.groupBy("it").agg(count(lit(1)).as("n_item"))
+    val freq = itemN.where(col("n_item") >= minItemSupport)
+    val nBaskets = baskets.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    // frequent-item view of each basket, mega-baskets capped OUT of pair
+    // generation (width counted over frequent items only)
+    val fb = baskets.join(freq, Seq("it"))
+      .withColumn("__w", count(lit(1)).over(
+        Window.partitionBy(col("bk"))))
+      .where(col("__w") <= maxBasketItems)
+      .select(col("bk"), col("it"), col("n_item"))
+    val pairs = fb.as("a")
+      .join(fb.as("b"), col("a.bk") === col("b.bk") &&
+        col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"),
+               col("a.n_item").as("n_a"), col("b.n_item").as("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairSupport)
+    pairs.crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        expr("n_ab * 1000000 DIV n_baskets").as("support_ppm"),
+        expr("n_ab * 1000000 DIV n_a").as("conf_ab_ppm"),
+        expr("n_ab * 1000000 DIV n_b").as("conf_ba_ppm"),
+        expr("(n_ab * 1000000 DIV n_a) * n_baskets DIV n_b").as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topN)
+  }
 }

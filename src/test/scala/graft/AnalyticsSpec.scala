@@ -378,4 +378,47 @@ class AnalyticsSpec extends SparkSpec {
       "click" -> ((1L, 1000L, 1L, 700L)),
       "view"  -> ((2L, 1200L, 2L, 1500L))), s"got $r")
   }
+
+  test("basketRules: a-priori prune, width cap, exact ppm metrics") {
+    // item supports: 10->4, 11->4, 12->3, 13->2, 99->2 (all frequent at
+    // minItemSupport=2). Frequent-item widths: basket 1 = 3 and basket 6
+    // = 4 exceed the cap (2) -> excluded from PAIR generation; their
+    // unary counts still feed n_a/n_b (the documented cap contract).
+    val rows = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L),
+      (4L, 12L), (4L, 13L),
+      (5L, 13L), (5L, 99L),
+      (6L, 10L), (6L, 11L), (6L, 12L), (6L, 99L))
+      .toDF("bk", "it")
+    val r = Analytics.basketRules(rows, "bk", "it",
+        minItemSupport = 2L, minPairSupport = 2L, maxBasketItems = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getAs[Long]("n_ab"), x.getAs[Long]("support_ppm"),
+          x.getAs[Long]("conf_ab_ppm"), x.getAs[Long]("lift_ppm")))).toMap
+    // surviving pair baskets: 2,3 -> (10,11) n_ab=2; 4 -> (12,13) and
+    // 5 -> (13,99) are single co-occurrences, below minPairSupport.
+    // (10,11): support 2*1e6//6=333333, conf_ab 2*1e6//4=500000,
+    // lift 500000*6//4=750000
+    assert(r == Map((10L, 11L) ->
+      ((2L, 333333L, 500000L, 750000L))), s"got $r")
+  }
+
+  test("basketRules: n_ab never exceeds min(n_a, n_b); order deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = Analytics.basketRules(docs, "l_orderkey", "l_partkey",
+      minItemSupport = 2L, minPairSupport = 1L, topN = 50).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_ab") <= math.min(
+        x.getAs[Long]("n_a"), x.getAs[Long]("n_b")))
+      assert(x.getAs[Long]("item_a") < x.getAs[Long]("item_b"))
+    }
+    val again = Analytics.basketRules(docs.repartition(7), "l_orderkey",
+      "l_partkey", minItemSupport = 2L, minPairSupport = 1L, topN = 50)
+      .collect()
+    assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "basketRules depends on input partitioning")
+  }
 }

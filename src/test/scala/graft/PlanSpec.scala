@@ -906,4 +906,23 @@ class PlanSpec extends SparkSpec {
         l.contains("partial_sum") && l.contains("embedding")),
       s"fusion aggregate touches vectors:\n$p")
   }
+
+  test("q_basket_rules: frequent-item prune precedes the pair self-join; counts combine map-side") {
+    val p = plan("q_basket_rules")
+    val lines = p.linesIterator.toVector
+    // the a-priori property is the plan: the per-basket self-join (the
+    // only quadratic stage) must consume the support-filtered item list,
+    // i.e. a Filter on n_item >= threshold sits below the bk-keyed join
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("Join") && l.contains("bk"))
+    assert(joinIdx >= 0, s"basket self-join not found:\n$p")
+    assert(lines.drop(joinIdx).exists(l =>
+        l.contains("Filter") && l.contains("n_item")),
+      s"frequent-item support filter must sit below the pair self-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must combine map-side:\n$p")
+    // the one-row basket count rides a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"n_baskets must broadcast:\n$p")
+  }
 }
