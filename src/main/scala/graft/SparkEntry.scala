@@ -1906,6 +1906,20 @@ object SparkEntry {
         numMerges = 8)
       .orderBy("doc_id")
 
+  /** Unigram-LM (SentencePiece-style) tokenizer induction — the second
+    * tokenizer family next to BPE: substring seed vocabulary, 2 integer
+    * EM rounds of Viterbi-segment + coverage-cut recount (see
+    * [[TextAnalysis.unigramTrain]]). */
+  private def textUnigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramVocab(t(s, dir, "documents"), "text",
+        vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2)
+      .orderBy("rank")
+
+  private def textUnigramApply(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramEncode(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2)
+      .orderBy("doc_id")
+
   /** Count-Min heavy hitters: width 32 is deliberately narrow for the gate
     * corpus (31-token synthetic vocabulary) so cell collisions actually
     * occur and the min-over-rows estimate + exact-verify correction are
@@ -3397,6 +3411,8 @@ object SparkEntry {
     "dedup_semantic_graph" -> dedupSemanticGraph _,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
     "text_bpe_merges"     -> textBpeMerges _,
+    "text_unigram_lm"     -> textUnigramLm _,
+    "text_unigram_apply"  -> textUnigramApply _,
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
@@ -3657,6 +3673,108 @@ object SparkEntry {
               FROM enc)
       SELECT doc_id, n_words, n_tokens_bpe, enc_md5 FROM rep ORDER BY doc_id"""
   }
+
+  /** DuckDB replica of the unigram-LM tokenizer
+    * (`TextAnalysis.unigramTrain` / `unigramEncode`): word-frequency table
+    * → substring seed vocabulary (coverage cut) → `emIters` rounds of
+    * {unrolled Viterbi DP, recount, coverage cut}. The DP is the engine's
+    * lexicographic integer objective replayed relationally: one CTE per
+    * word position holds the best (np ASC, mass DESC, seg ASC) state —
+    * candidates are the ≤ `maxPieceLen` predecessors' states extended by
+    * one piece (length-1 pieces always valid at coalesce-0 frequency,
+    * longer ones LEFT-JOIN-validated against the round's vocabulary) and
+    * a `row_number` argmin picks the survivor. `seg ASC` compares
+    * identically cross-engine on the `[a-z0-9 ]` alphabet. */
+  private def unigramCtes(vocabSize: Int, maxPieceLen: Int, maxWordLen: Int,
+                          emIters: Int, finalSeg: Boolean): String = {
+    def cut(src: String) = s"""
+      SELECT p AS piece, sum(cnt)::BIGINT AS freq FROM $src GROUP BY 1
+      ORDER BY sum(cnt) * len(p) DESC, p ASC LIMIT $vocabSize"""
+    def dpBlock(tag: String, vocab: String): String = {
+      val positions = (1 to maxWordLen).map { j =>
+        val arms = (math.max(0, j - maxPieceLen) until j).map { i =>
+          s"""SELECT w, cnt, np, mass, seg, substr(w, ${i + 1}, ${j - i}) AS p
+              FROM d${i}_$tag WHERE len(w) >= $j"""
+        }.mkString(" UNION ALL ")
+        s"""
+      c${j}_$tag AS (
+        SELECT q.w, q.cnt, q.np + 1 AS np,
+               q.mass + coalesce(v.freq, 0) AS mass,
+               CASE WHEN q.seg = '' THEN q.p
+                    ELSE q.seg || ' ' || q.p END AS seg
+        FROM ($arms) q LEFT JOIN $vocab v ON v.piece = q.p
+        WHERE len(q.p) = 1 OR v.piece IS NOT NULL),
+      d${j}_$tag AS MATERIALIZED (
+        SELECT w, cnt, np, mass, seg FROM (
+          SELECT *, row_number() OVER (PARTITION BY w
+            ORDER BY np ASC, mass DESC, seg ASC) AS rn
+          FROM c${j}_$tag) WHERE rn = 1)"""
+      }.mkString(",")
+      val finals = (1 to maxWordLen)
+        .map(j => s"SELECT w, cnt, seg FROM d${j}_$tag WHERE len(w) = $j")
+        .mkString(" UNION ALL ")
+      s"""
+      d0_$tag AS (SELECT w, cnt, 0 AS np, 0::BIGINT AS mass, '' AS seg
+                  FROM wd),
+      $positions,
+      sg_$tag AS MATERIALIZED ($finals)"""
+    }
+    val rounds = (1 to emIters).map { k =>
+      s"""${dpBlock(s"e$k", s"vc${k - 1}")},
+      vc$k AS MATERIALIZED (${cut(
+        s"(SELECT cnt, unnest(string_split(seg, ' ')) AS p FROM sg_e$k)")})"""
+    }.mkString(",")
+    val fin = if (!finalSeg) ""
+      else s",${dpBlock("fin", s"vc$emIters")}"
+    s"""wd AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest($sqlToks) AS w FROM documents)
+        WHERE len(w) > 0 AND len(w) <= $maxWordLen GROUP BY 1),
+      sc AS (
+        SELECT cnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+          st -> list_transform(
+            range(1, least($maxPieceLen, len(w) - st + 1) + 1),
+            pl -> substr(w, st, pl))))) AS p
+        FROM wd),
+      vc0 AS MATERIALIZED (${cut("sc")}),
+      $rounds
+      $fin"""
+  }
+
+  private def unigramLmOracle(vocabSize: Int, maxPieceLen: Int,
+                              maxWordLen: Int, emIters: Int): String = s"""
+      WITH ${unigramCtes(vocabSize, maxPieceLen, maxWordLen, emIters,
+                         finalSeg = false)}
+      SELECT row_number() OVER (
+               ORDER BY freq * len(piece) DESC, piece ASC)::BIGINT AS rank,
+             piece, freq, (freq * len(piece))::BIGINT AS coverage_chars
+      FROM vc$emIters ORDER BY rank"""
+
+  /** Per-document encode replica: the final-vocabulary DP block gives each
+    * word its segmentation; documents re-tokenize with ordinality so the
+    * md5 stream pin (`' | '`-joined) reproduces word order exactly. */
+  private def unigramApplyOracle(vocabSize: Int, maxPieceLen: Int,
+                                 maxWordLen: Int, emIters: Int): String = s"""
+      WITH ${unigramCtes(vocabSize, maxPieceLen, maxWordLen, emIters,
+                         finalSeg = true)},
+      dtk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      ex AS (SELECT doc_id, len(tk) AS nw,
+               unnest(range(1, len(tk) + 1)) AS i, tk
+             FROM dtk),
+      ewx AS (SELECT doc_id, nw, i, tk[i] AS w FROM ex),
+      sj AS (SELECT e.doc_id, e.nw, e.i,
+               CASE WHEN e.w = '' THEN ''
+                    WHEN len(e.w) > $maxWordLen THEN e.w
+                    ELSE s.seg END AS seg
+             FROM ewx e LEFT JOIN sg_fin s ON e.w = s.w),
+      enc AS (SELECT doc_id, any_value(nw)::BIGINT AS n_words,
+                sum(CASE WHEN seg = '' THEN 0
+                    ELSE len(string_split(seg, ' ')) END)::BIGINT
+                  AS n_tokens_uni,
+                md5(string_agg(seg, ' | ' ORDER BY i)) AS enc_md5
+              FROM sj GROUP BY doc_id)
+      SELECT doc_id, n_words, n_tokens_uni, enc_md5 FROM enc
+      ORDER BY doc_id"""
 
   /** Per-lang fertility rollup over the same BPE-apply replica chain. */
   private def bpeFertilityOracle(numMerges: Int): String = {
@@ -6181,6 +6299,10 @@ object SparkEntry {
     // must replicate XXH64 (unlike the grouping-invariant rows); unsigned
     // HUGEINT hashes convert back to signed BIGINT before comparing
     "text_bpe_merges" -> bpeOracle(numMerges = 8),
+    "text_unigram_lm" -> unigramLmOracle(vocabSize = 48, maxPieceLen = 6,
+      maxWordLen = 12, emIters = 2),
+    "text_unigram_apply" -> unigramApplyOracle(vocabSize = 48,
+      maxPieceLen = 6, maxWordLen = 12, emIters = 2),
     "text_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
                                                minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),

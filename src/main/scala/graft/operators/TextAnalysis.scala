@@ -1586,6 +1586,109 @@ object TextAnalysis {
           .otherwise(expr("sum_word_chars * 1000 DIV sum_bpe_tokens")))
   }
 
+  /** Unigram-LM tokenizer induction (SentencePiece-style, Kudo 2018) —
+    * the OTHER tokenizer-training family next to [[bpeMerges]]: instead of
+    * growing pieces bottom-up by merging, seed a large candidate-piece
+    * vocabulary and let EM re-estimate piece frequencies from each round's
+    * best segmentations, keeping the top `vocabSize`.
+    *
+    * Deterministic integer EM (the contract that lets DuckDB replay every
+    * round bit-exactly — same philosophy as the [[bpeMerges]] contract):
+    * the E-step segments each DISTINCT word with the lexicographic
+    * integer Viterbi of [[graft.functions.UnigramSegmentExpr]] (piece
+    * count ASC, frequency mass DESC, segmentation string ASC — the
+    * ln-free surrogate for float log-likelihood); the M-step recounts
+    * piece frequencies as exact BIGINT occurrence-weighted sums and keeps
+    * the top `vocabSize` by COVERAGE `(freq · piece length) DESC, piece
+    * ASC` — a total order, so the cut is reproducible. Coverage (corpus
+    * characters the piece accounts for) is the integer surrogate for
+    * SentencePiece's likelihood-loss pruning: a plain frequency cut would
+    * always prefer single characters (every substring outweighs the word
+    * containing it), never promoting whole words. Seed vocabulary: every
+    * substring of length ≤ `maxPieceLen` of every word, weighted by word
+    * count, same top-V cut.
+    *
+    * Scale shape: ONE corpus scan builds the word-frequency table (at
+    * 100 TB still O(language vocabulary) rows); every EM round runs over
+    * that table alone — a codegen'd per-row DP plus one map-side-
+    * combinable recount — and the only driver traffic is the ≤
+    * `vocabSize`-row vocabulary collected per round (the artifact a
+    * trainer ships, same bounded-collect story as the BPE merge table).
+    * Words longer than `maxWordLen` are excluded from training (and
+    * bypass as single OOV pieces at encode time — the documented
+    * contract in [[graft.functions.UnigramSegmentExpr]]). */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int, maxWordLen: Int,
+                   emIters: Int): Seq[(String, Long)] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(emIters >= 0 && emIters <= 8,
+      s"emIters must be in [0, 8], got $emIters")
+    val words = df
+      .select(explode(TF.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    def topV(cand: DataFrame): Seq[(String, Long)] =
+      cand.groupBy("p").agg(sum(col("cnt")).as("freq"))
+        .orderBy((col("freq") * length(col("p"))).desc, col("p").asc)
+        .limit(vocabSize) // bounded collect: the vocabulary artifact
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val substrings = flatten(transform(
+      sequence(lit(1), length(col("w"))), st =>
+        transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - st + 1)),
+          pl => col("w").substr(st, pl))))
+    var vocab = topV(words.select(col("cnt"), explode(substrings).as("p")))
+    for (_ <- 1 to emIters) {
+      val seg = column(graft.functions.UnigramSegmentExpr(
+        expression(col("w")), vocab.toMap, maxPieceLen, maxWordLen))
+      vocab = topV(words
+        .select(col("cnt"), explode(split(seg, " ")).as("p")))
+    }
+    words.unpersist()
+    vocab
+  }
+
+  /** The learned unigram vocabulary as a rank table `(rank, piece, freq,
+    * coverage_chars)` — ordered by the same (coverage DESC, piece ASC)
+    * total order the EM cut uses. See [[unigramTrain]]. */
+  def unigramVocab(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 6, maxWordLen: Int = 12,
+                   emIters: Int = 2): DataFrame = {
+    val v = unigramTrain(df, textCol, vocabSize, maxPieceLen, maxWordLen,
+      emIters)
+    df.sparkSession.createDataFrame(
+      v.zipWithIndex.map { case ((p, f), i) =>
+        (i + 1L, p, f, f * p.length) })
+      .toDF("rank", "piece", "freq", "coverage_chars")
+  }
+
+  /** Tokenizer APPLICATION for the unigram family — train with
+    * [[unigramTrain]], then encode every document: per-word Viterbi
+    * segmentation (vocabulary as a plan literal — a pure scan-bound
+    * projection, no shuffle), reporting word count, unigram token count,
+    * and an md5 of the full encoded stream (words joined by ' | ') — the
+    * same cross-engine pin [[bpeEncode]] ships, proving every piece
+    * boundary landed identically. */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int, maxPieceLen: Int = 6,
+                    maxWordLen: Int = 12, emIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val vocab = unigramTrain(df, textCol, vocabSize, maxPieceLen,
+      maxWordLen, emIters).toMap
+    def segW(w: Column): Column = column(graft.functions.UnigramSegmentExpr(
+      expression(w), vocab, maxPieceLen, maxWordLen))
+    df.select(col(idCol), TF.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("n_words"),
+              transform(col("tk"), w => segW(w)).as("ew"))
+      .select(col(idCol), col("n_words"),
+        aggregate(col("ew"), lit(0L), (acc, e) =>
+          acc + when(length(e) === 0, lit(0))
+            .otherwise(size(split(e, " "))).cast("long")).as("n_tokens_uni"),
+        md5(array_join(col("ew"), " | ")).as("enc_md5"))
+  }
+
   def vocabularyReport(df: DataFrame, textCol: String, rsd: Double,
                        byCols: String*): DataFrame =
     df.select((byCols.map(col) :+

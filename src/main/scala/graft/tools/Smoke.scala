@@ -363,6 +363,23 @@ object Smoke {
     TextAnalysis.packApply(docs, "doc_id", "text", seqLen = 512L).show(3)
     lap("round-9c")
 
+    println("[smoke] round-9 fourth sweep: unigram tokenizer + basket rules + graph walks:")
+    TextAnalysis.unigramVocab(docs, "text", vocabSize = 32).show(5)
+    TextAnalysis.unigramEncode(docs, "doc_id", "text", vocabSize = 32).show(3)
+    graft.operators.Analytics.basketRules(
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      "l_orderkey", "l_partkey", minItemSupport = 2L, minPairSupport = 1L,
+      topN = 5).show()
+    locally {
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 128, bands = 16, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Graph.hits(pairs, "id_a", "id_b", rounds = 2).show(3)
+      graft.operators.Graph.bfsDistances(pairs, "id_a", "id_b",
+        pairs.select(col("id_a").as("id")).limit(2), maxHops = 2).show(3)
+    }
+    lap("round-9d")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")

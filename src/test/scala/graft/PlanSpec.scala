@@ -907,6 +907,18 @@ class PlanSpec extends SparkSpec {
       s"fusion aggregate touches vectors:\n$p")
   }
 
+  test("text_unigram_apply: encode is a scan projection — vocab rides the plan, no join") {
+    val p = plan("text_unigram_apply")
+    // the learned vocabulary is a plan literal inside the native DP
+    // expression (same shipping story as the BPE merge chain): the encode
+    // pass must be join-free, and its only exchange is the gate orderBy
+    assert(!p.contains("Join"), s"encode pass must not join:\n$p")
+    assert(p.contains("unigram_segment"),
+      s"native DP expression missing from the plan:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"encode projection must not shuffle:\n$p")
+  }
+
   test("q_basket_rules: frequent-item prune precedes the pair self-join; counts combine map-side") {
     val p = plan("q_basket_rules")
     val lines = p.linesIterator.toVector

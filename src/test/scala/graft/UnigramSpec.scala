@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Unigram-LM tokenizer: the lexicographic integer Viterbi DP
+  * ([[graft.functions.UnigramSegment]]) and the EM induction / encode
+  * operators built on it. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seg(vocab: Map[String, Long], words: String*): Seq[String] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    words.toDF("w").select(column(graft.functions.UnigramSegmentExpr(
+        expression(col("w")), vocab, 6, 12)).as("s"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("segment: fewest pieces wins; length-2+ pieces must be in vocab") {
+    val v = Map("ab" -> 10L, "b" -> 5L, "abc" -> 3L)
+    // "abc" as one piece beats any 2-piece split; "abb" forced to ab+b;
+    // "ba" not in vocab -> single chars
+    assert(seg(v, "abc", "abb", "ba") == Seq("abc", "ab b", "b a"))
+  }
+
+  test("segment: frequency mass breaks piece-count ties") {
+    // "aab": a+ab (mass 0+10) beats aa+b were aa in vocab; with aa absent
+    // the only 2-piece split is a|ab
+    assert(seg(Map("ab" -> 10L), "aab") == Seq("a ab"))
+    // both 2-piece splits valid: ab+cd mass 12 beats a... (no others);
+    // raise "bc" so no 2-split uses it (a+bc+d is 3 pieces)
+    assert(seg(Map("ab" -> 5L, "cd" -> 7L, "bc" -> 99L), "abcd")
+      == Seq("ab cd"))
+  }
+
+  test("segment: lexicographic final tie-break; OOV and empty contracts") {
+    // "aba": a|ba and ab|a tie on (2 pieces, mass 5) -> "a ba" < "ab a"
+    assert(seg(Map("ab" -> 5L, "ba" -> 5L), "aba") == Seq("a ba"))
+    // longer than maxWordLen (12) bypasses as one opaque piece
+    val long = "abcdefghijklm"
+    assert(seg(Map.empty, long) == Seq(long))
+    assert(seg(Map.empty, "") == Seq(""))
+  }
+
+  test("segment: single chars always valid at frequency 0") {
+    assert(seg(Map.empty, "xyz") == Seq("x y z"))
+  }
+
+  test("unigramVocab: coverage cut promotes whole words through EM") {
+    val docs = Seq((1L, "foo bar foo"), (2L, "foo barbar"), (3L, "bar foo"))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.unigramVocab(docs, "text", vocabSize = 8,
+        maxPieceLen = 6, maxWordLen = 12, emIters = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getLong(3)))
+    // seed coverage favors foo (4*3=12), bar (4*3=12), barbar (1*6=6)
+    // over any single char (max 8); the E-step then segments every word
+    // with those pieces and the recount keeps exactly the used set
+    assert(v.map(x => (x._2, x._3, x._4)).toSeq == Seq(
+      ("foo", 4L, 12L), ("bar", 2L, 6L), ("barbar", 1L, 6L)),
+      s"got ${v.mkString(", ")}")
+    assert(v.head._1 == 1L)
+    // ranks strictly ordered by (coverage desc, piece asc)
+    val key = v.map(x => (-x._4, x._2))
+    assert(key.sameElements(key.sorted), s"rank order broken: ${v.mkString(", ")}")
+  }
+
+  test("unigramVocab/unigramEncode: partitioning-invariant on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramEncode(d, "doc_id", "text", vocabSize = 48,
+          maxPieceLen = 6, maxWordLen = 12, emIters = 2)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a == b, "unigram encode depends on input partitioning")
+    assert(a.nonEmpty)
+  }
+
+  test("unigramEncode: token count equals segmentation piece count") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramEncode(docs, "doc_id", "text",
+        vocabSize = 32, maxPieceLen = 6, maxWordLen = 12, emIters = 1)
+      .orderBy("doc_id").collect()
+    // doc 2 normalizes to "" -> one empty word, zero tokens
+    assert(r(1).getAs[Long]("n_words") == 1L)
+    assert(r(1).getAs[Long]("n_tokens_uni") == 0L)
+    assert(r(0).getAs[Long]("n_tokens_uni") >= 2L)
+  }
+}
