@@ -2029,6 +2029,52 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Landmark distance sketch + pair estimates over the minhash candidate
+    * graph: landmarks are every 13th node id; each LSH pair gets
+    * `min over shared lm of d(a,lm)+d(b,lm)` — the bounded-state
+    * approximate-distance path for graphs where all-pairs BFS is
+    * unpayable (see [[operators.Graph.landmarkDistances]]). */
+  private def graphLandmarkEst(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id",
+        "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val lms = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .where(col("id") % 13 === 0).distinct()
+    val dist = operators.Graph.landmarkDistances(pairs, "id_a", "id_b",
+      lms, maxHops = 3)
+    operators.Graph.landmarkEstimate(pairs, "id_a", "id_b", dist)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("d_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB replica of `Graph.landmarkDistances` + `landmarkEstimate`:
+    * recursive-CTE multi-source walk carrying the landmark id, min-d
+    * distances, then the shared-landmark min-sum per LSH pair. */
+  private def landmarkOracle(maxHops: Int): String = s"""
+      WITH RECURSIVE ${OracleXX.minhashAgreeCtes(numHashes = 128, bands = 16)},
+      prs2 AS MATERIALIZED (SELECT id_a, id_b FROM ag
+                            WHERE agree::DOUBLE / 128 >= 0.4),
+      ed AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM prs2
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs2),
+      sd AS (SELECT DISTINCT src AS id FROM ed WHERE src % 13 = 0),
+      walk(lm, id, d) AS (
+        SELECT id, id, 0 FROM sd
+        UNION
+        SELECT w.lm, e.dst, w.d + 1 FROM walk w JOIN ed e ON e.src = w.id
+        WHERE w.d < $maxHops),
+      dist AS MATERIALIZED (
+        SELECT lm, id, min(d)::BIGINT AS dist FROM walk GROUP BY 1, 2),
+      est AS (SELECT p.id_a, p.id_b, min(da.dist + db.dist)::BIGINT AS d_est
+              FROM prs2 p
+              JOIN dist da ON da.id = p.id_a
+              JOIN dist db ON db.id = p.id_b AND db.lm = da.lm
+              GROUP BY 1, 2)
+      SELECT id_a AS doc_a, id_b AS doc_b, d_est FROM est
+      ORDER BY doc_a, doc_b"""
+
   /** DuckDB replica of `Graph.pageRank` over the minhash candidate graph:
     * the shared banded-pairs CTEs → thresholded pairs → symmetric edge
     * list → 5 unrolled integer-arithmetic iterations. `//` and `DIV` are
@@ -3426,6 +3472,7 @@ object SparkEntry {
     "graph_link_pred"     -> graphLinkPred _,
     "graph_hits"          -> graphHits _,
     "graph_bfs"           -> graphBfs _,
+    "graph_landmark_est"  -> graphLandmarkEst _,
     "q_hierarchy"         -> qHierarchy _,
     "dedup_snm_multipass" -> ((s, dir) =>
       Dedup.sortedNeighborhoodMultiPass(t(s, dir, "documents"), "doc_id",
@@ -6320,6 +6367,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle(iters = 5),
     "graph_hits" -> hitsOracle(rounds = 4),
     "graph_bfs" -> bfsOracle(maxHops = 4),
+    "graph_landmark_est" -> landmarkOracle(maxHops = 3),
     // first/last preceding touch via IGNORE NULLS window scans over the
     // same (ts, event_id) total order; credit in exact cents; full outer
     // across the two rollups (a type can be first-touch yet never last)

@@ -406,6 +406,71 @@ object Graph {
     settled
   }
 
+  /** Landmark distance sketch (Potamias et al. 2009): per-landmark hop
+    * distances from a small landmark set — the classic graph embedding
+    * that answers "approximately how far apart are u and v" on graphs
+    * too large for all-pairs shortest paths: `d̂(u,v) = min over lm of
+    * d(u,lm) + d(lm,v)` is an upper bound that is exact whenever some
+    * landmark lies on a shortest path. Returns `(lm, id, dist)`.
+    *
+    * Same frontier-at-a-time walk as [[bfsDistances]], with the state
+    * keyed `(lm, id)` instead of `id` — all landmarks expand in the SAME
+    * rounds, so the round count stays `maxHops`, not
+    * `landmarks × maxHops`; total work is O(landmarks × edges-touched),
+    * the deliberate and bounded cost of the sketch (landmark sets are
+    * small by construction — tens, not thousands). BFS distance is
+    * unique, so the output is deterministic under any partitioning;
+    * nodes beyond `maxHops` of a landmark are absent, not NULL. */
+  def landmarkDistances(pairs: DataFrame, idACol: String, idBCol: String,
+                        landmarks: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops must be in [1, 50], got $maxHops")
+    require(landmarks.columns.sameElements(Array("id")),
+      s"landmarks must have exactly one column `id`, got ${landmarks.columns.mkString(",")}")
+    val edges = Materialize.cut(
+      pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var settled = Materialize.cut(
+      landmarks.join(nodes, Seq("id"), "left_semi").distinct()
+        .select(col("id").as("lm"), col("id"), lit(0L).as("dist")))
+    var frontier = settled
+    var hop = 0
+    var frontierN = frontier.count()
+    while (frontierN > 0L && hop < maxHops) {
+      hop += 1
+      val nxt = Materialize.cut(
+        edges.join(frontier.select(col("lm"), col("id").as("src")), "src")
+          .select(col("lm"), col("dst").as("id")).distinct()
+          .join(settled, Seq("lm", "id"), "left_anti")
+          .select(col("lm"), col("id"), lit(hop.toLong).as("dist")))
+      val grown = Materialize.cut(settled.union(nxt))
+      if (frontier ne settled) Materialize.releaseNow(frontier)
+      Materialize.releaseNow(settled)
+      settled = grown
+      frontier = nxt
+      frontierN = nxt.count()
+    }
+    if (frontier ne settled) Materialize.releaseNow(frontier)
+    Materialize.releaseNow(edges)
+    settled
+  }
+
+  /** Landmark-estimated pair distances over a [[landmarkDistances]]
+    * sketch: `d_est = min over shared lm of d(a,lm) + d(b,lm)`. Pairs
+    * with no landmark reaching both sides are absent (inner-join
+    * contract). The per-pair intermediate is bounded by the landmark
+    * count — the sketch's whole point at scale. */
+  def landmarkEstimate(pairs: DataFrame, idACol: String, idBCol: String,
+                       dists: DataFrame): DataFrame =
+    pairs.select(col(idACol).as("id_a"), col(idBCol).as("id_b"))
+      .join(dists.select(col("lm"), col("id").as("id_a"),
+        col("dist").as("da")), Seq("id_a"))
+      .join(dists.select(col("lm"), col("id").as("id_b"),
+        col("dist").as("db")), Seq("id_b", "lm"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("da") + col("db")).as("d_est"))
+
   /** Component-size histogram over a (member → component) labeling: the
     * one-page answer to "how pathological is the duplicate graph" (many
     * pairs vs few giant crawl-template components decide whether

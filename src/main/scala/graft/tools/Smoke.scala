@@ -377,6 +377,9 @@ object Smoke {
       graft.operators.Graph.hits(pairs, "id_a", "id_b", rounds = 2).show(3)
       graft.operators.Graph.bfsDistances(pairs, "id_a", "id_b",
         pairs.select(col("id_a").as("id")).limit(2), maxHops = 2).show(3)
+      graft.operators.Graph.landmarkEstimate(pairs, "id_a", "id_b",
+        graft.operators.Graph.landmarkDistances(pairs, "id_a", "id_b",
+          pairs.select(col("id_a").as("id")).limit(2), maxHops = 2)).show(3)
     }
     lap("round-9d")
 

@@ -306,4 +306,39 @@ class GraphSpec extends SparkSpec {
         maxHops = 3).orderBy("id").collect().toSeq
     assert(a == b, "bfsDistances depends on input partitioning")
   }
+
+  test("landmarkDistances: per-landmark walks expand together; estimate is min shared sum") {
+    // path 1-2-3-4-5 with landmarks 1 and 5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val d = Graph.landmarkDistances(path, "id_a", "id_b",
+        Seq(1L, 5L).toDF("id"), maxHops = 4)
+      .collect().map(x => (x.getAs[Long]("lm"), x.getAs[Long]("id")) ->
+        x.getAs[Long]("dist")).toMap
+    assert(d((1L, 3L)) == 2L && d((5L, 3L)) == 2L &&
+           d((1L, 5L)) == 4L && d((5L, 1L)) == 4L, s"got $d")
+    // estimate for (2,4): via lm1 = 1+3 = 4; via lm5 = 3+1 = 4 -> 4
+    // (true distance 2 — the sketch is an upper bound, exact only when
+    // a landmark sits on a shortest path)
+    val est = Graph.landmarkEstimate(
+        Seq((2L, 4L), (1L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b",
+        Graph.landmarkDistances(path, "id_a", "id_b",
+          Seq(1L, 5L).toDF("id"), maxHops = 4))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(est == Map((2L, 4L) -> 4L, (1L, 3L) -> 2L), s"got $est")
+  }
+
+  test("landmarkDistances: hop bound drops far nodes; estimate inner-join drops uncovered pairs") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val dist = Graph.landmarkDistances(path, "id_a", "id_b",
+      Seq(1L).toDF("id"), maxHops = 2)
+    assert(dist.count() == 3L) // 1, 2, 3 — node 4 beyond 2 hops
+    // (10,11) lives in a component no landmark reaches -> absent
+    val est = Graph.landmarkEstimate(
+      Seq((2L, 3L), (10L, 11L)).toDF("id_a", "id_b"), "id_a", "id_b", dist)
+    assert(est.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      == Seq((2L, 3L)))
+  }
 }
