@@ -300,6 +300,27 @@ object SparkEntry {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Frequent sequential patterns (clickstream trigrams with support) —
+    * the order-k extension of the bigram `events_transitions` family:
+    * which 3-step behavior paths recur across each user's full event
+    * sequence, support-filtered (the gate corpus's sessions cap at 3
+    * events, so session-scoped trigrams are vacuous there — user-scoped
+    * paths are the meaningful mining unit). One user-keyed window shuffle
+    * (the same key every events query partitions by) and a map-side-
+    * combinable count; the pattern key space is |event types|^3, tiny at
+    * any corpus scale. */
+  private def eventsSeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events(s, dir)
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 20L)
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+  }
+
   /** Within-session behavior-path transitions (the Markov matrix product
     * analytics builds "users go view → click → purchase" funnels from):
     * ordered lag inside each (user, session), transition counts, and each
@@ -3315,6 +3336,7 @@ object SparkEntry {
     "events_attribution"  -> eventsAttribution _,
     "events_rfm"          -> eventsRfm _,
     "events_markov"       -> eventsMarkov _,
+    "events_seq_patterns" -> eventsSeqPatterns _,
     "q_basket_rules"      -> qBasketRules _,
     "events_forecast_eval" -> eventsForecastEval _,
     "events_ab_test"      -> eventsAbTest _,
@@ -5006,6 +5028,19 @@ object SparkEntry {
              ((n_ab * 1000000 // n_a) * n_baskets // n_b)::BIGINT AS lift_ppm
       FROM pr CROSS JOIN nb
       ORDER BY n_ab DESC, item_a, item_b LIMIT 100""",
+    // trigrams via two leads over each user's (t, event_id) total
+    // order, exact counts, support >= 20
+    "events_seq_patterns" -> """
+      WITH tg AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+      SELECT e1, e2, e3, count(*)::BIGINT AS n
+      FROM tg WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1, 2, 3 HAVING count(*) >= 20
+      ORDER BY n DESC, e1, e2, e3""",
     // p at 10^6, pi at 10^12, per-step mass (pi*p)//10^6 — * and // share
     // left-assoc precedence in both engines, so every intermediate matches
     "events_markov" -> s"""
