@@ -50,7 +50,13 @@ object BenchScale {
     // self-join (fan-out <= cap per pivot), and the perceptron is a fixed
     // number of combinable aggregates
     "text_mlm_masks", "text_span_corruption", "text_span_corruption_apply",
-    "graph_link_pred", "text_perceptron")
+    "graph_link_pred", "text_perceptron",
+    // round-9e: HITS is fixed rounds of slim equi-joins over a linearly
+    // growing edge list; BFS/landmarks are frontier walks bounded by
+    // edges-touched (per-variant components are disjoint copies, so the
+    // state space grows linearly); the unigram encode is the EM over the
+    // O(vocabulary) word table plus one scan
+    "graph_hits", "graph_bfs", "graph_landmark_est", "text_unigram_apply")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -71,7 +77,9 @@ object BenchScale {
     // rollups plus a time-bounded per-cohort window; the forecast
     // backtest is the Holt fold with error accumulators
     "events_ab_test", "events_cohort_ltv", "events_forecast_eval",
-    "events_cusum")
+    "events_cusum",
+    // round-9e: trigram mining is the same one user-keyed window
+    "events_seq_patterns")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
