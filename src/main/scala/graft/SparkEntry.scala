@@ -1941,6 +1941,26 @@ object SparkEntry {
         vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2)
       .orderBy("doc_id")
 
+  /** BPE vs unigram side by side, per language: the tokenizer-selection
+    * report a corpus team reads before committing to a vocabulary —
+    * same word/char denominators, both token streams from the engine's
+    * own trainers. */
+  private def textTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val b = TextAnalysis.bpeFertility(docs, "doc_id", "text", "lang",
+        numMerges = 8)
+      .select(col("lang"), col("sum_words"), col("sum_bpe_tokens"),
+        col("tokens_per_word_pm").as("bpe_tpw_pm"))
+    val u = TextAnalysis.unigramFertility(docs, "text", "lang",
+        vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2)
+      .select(col("lang"), col("sum_uni_tokens"),
+        col("tokens_per_word_pm").as("uni_tpw_pm"))
+    b.join(u, Seq("lang"))
+      .select(col("lang"), col("sum_words"), col("sum_bpe_tokens"),
+        col("sum_uni_tokens"), col("bpe_tpw_pm"), col("uni_tpw_pm"))
+      .orderBy("lang")
+  }
+
   /** Count-Min heavy hitters: width 32 is deliberately narrow for the gate
     * corpus (31-token synthetic vocabulary) so cell collisions actually
     * occur and the min-over-rows estimate + exact-verify correction are
@@ -3481,6 +3501,7 @@ object SparkEntry {
     "text_bpe_merges"     -> textBpeMerges _,
     "text_unigram_lm"     -> textUnigramLm _,
     "text_unigram_apply"  -> textUnigramApply _,
+    "text_tokenizer_compare" -> textTokenizerCompare _,
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
@@ -3844,6 +3865,62 @@ object SparkEntry {
               FROM sj GROUP BY doc_id)
       SELECT doc_id, n_words, n_tokens_uni, enc_md5 FROM enc
       ORDER BY doc_id"""
+
+  /** BPE-vs-unigram comparison replica: both trainer chains (`bpeCtes` +
+    * `unigramCtes` — disjoint CTE namespaces) in one WITH, each encoding
+    * the corpus its own way, joined per language on identical word
+    * denominators. */
+  private def tokenizerCompareOracle(numMerges: Int, vocabSize: Int,
+                                     maxPieceLen: Int, maxWordLen: Int,
+                                     emIters: Int): String = {
+    val chain = (1 to numMerges).foldLeft(
+      "array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')") {
+      (acc, k) =>
+        s"replace($acc, coalesce(pats[$k], chr(1)), coalesce(reps[$k], ''))"
+    }
+    val unions = (1 to numMerges)
+      .map(k => s"SELECT $k AS rank, l, r FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH ${bpeCtes(numMerges)},
+      mg AS MATERIALIZED (
+        SELECT list(l || ' ' || r ORDER BY rank) AS pats,
+               list(l || r ORDER BY rank) AS reps
+        FROM ($unions)),
+      ${unigramCtes(vocabSize, maxPieceLen, maxWordLen, emIters,
+                    finalSeg = true)},
+      dtk2 AS MATERIALIZED (SELECT lang, $sqlToks AS tk FROM documents),
+      benc AS (SELECT lang, len(tk)::BIGINT AS nw,
+                 list_transform(tk, w -> $chain) AS ew
+               FROM dtk2 CROSS JOIN mg),
+      bagg AS (SELECT lang, sum(nw)::BIGINT AS sum_words,
+                 sum(list_aggregate(list_transform(ew, e ->
+                   CASE WHEN e = '' THEN 0
+                        ELSE len(string_split(e, ' ')) END),
+                   'sum'))::BIGINT AS sum_bpe_tokens
+               FROM benc GROUP BY 1),
+      uex AS (SELECT lang, unnest(range(1, len(tk) + 1)) AS i, tk
+              FROM dtk2),
+      uw AS (SELECT lang, tk[i] AS w FROM uex),
+      usj AS (SELECT u.lang,
+                CASE WHEN u.w = '' THEN ''
+                     WHEN len(u.w) > $maxWordLen THEN u.w
+                     ELSE s.seg END AS seg
+              FROM uw u LEFT JOIN sg_fin s ON u.w = s.w),
+      uagg AS (SELECT lang,
+                 sum(CASE WHEN seg = '' THEN 0
+                     ELSE len(string_split(seg, ' ')) END)::BIGINT
+                   AS sum_uni_tokens
+               FROM usj GROUP BY 1)
+      SELECT b.lang, b.sum_words, b.sum_bpe_tokens, u.sum_uni_tokens,
+             CASE WHEN b.sum_words = 0 THEN NULL
+                  ELSE (b.sum_bpe_tokens * 1000 // b.sum_words) END
+               ::BIGINT AS bpe_tpw_pm,
+             CASE WHEN b.sum_words = 0 THEN NULL
+                  ELSE (u.sum_uni_tokens * 1000 // b.sum_words) END
+               ::BIGINT AS uni_tpw_pm
+      FROM bagg b JOIN uagg u USING (lang) ORDER BY lang"""
+  }
 
   /** Per-lang fertility rollup over the same BPE-apply replica chain. */
   private def bpeFertilityOracle(numMerges: Int): String = {
@@ -6385,6 +6462,8 @@ object SparkEntry {
       maxWordLen = 12, emIters = 2),
     "text_unigram_apply" -> unigramApplyOracle(vocabSize = 48,
       maxPieceLen = 6, maxWordLen = 12, emIters = 2),
+    "text_tokenizer_compare" -> tokenizerCompareOracle(numMerges = 8,
+      vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2),
     "text_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
                                                minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),

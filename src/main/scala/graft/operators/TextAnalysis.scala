@@ -1689,6 +1689,39 @@ object TextAnalysis {
         md5(array_join(col("ew"), " | ")).as("enc_md5"))
   }
 
+  /** Per-group tokenizer fertility for the unigram family — the
+    * [[bpeFertility]] twin: after training with [[unigramTrain]], how
+    * many subword pieces a word costs and how many characters a piece
+    * carries, per language/source. Integer ‰ ratios of BIGINT sums;
+    * same scan shape as [[unigramEncode]] plus one combinable rollup. */
+  def unigramFertility(df: DataFrame, textCol: String, groupCol: String,
+                       vocabSize: Int, maxPieceLen: Int = 6,
+                       maxWordLen: Int = 12, emIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val vocab = unigramTrain(df, textCol, vocabSize, maxPieceLen,
+      maxWordLen, emIters).toMap
+    def segW(w: Column): Column = column(graft.functions.UnigramSegmentExpr(
+      expression(w), vocab, maxPieceLen, maxWordLen))
+    df.select(col(groupCol), TF.tokens(col(textCol)).as("tk"))
+      .select(col(groupCol),
+        size(col("tk")).cast("long").as("nw"),
+        aggregate(col("tk"), lit(0L),
+          (a, w) => a + length(w).cast("long")).as("nc"),
+        aggregate(transform(col("tk"), w => segW(w)), lit(0L), (acc, e) =>
+          acc + when(length(e) === 0, lit(0))
+            .otherwise(size(split(e, " "))).cast("long")).as("nt"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("nw")).as("sum_words"),
+           sum(col("nc")).as("sum_word_chars"),
+           sum(col("nt")).as("sum_uni_tokens"))
+      .withColumn("tokens_per_word_pm",
+        when(col("sum_words") === 0, lit(null).cast("long"))
+          .otherwise(expr("sum_uni_tokens * 1000 DIV sum_words")))
+      .withColumn("chars_per_token_pm",
+        when(col("sum_uni_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("sum_word_chars * 1000 DIV sum_uni_tokens")))
+  }
+
   def vocabularyReport(df: DataFrame, textCol: String, rsd: Double,
                        byCols: String*): DataFrame =
     df.select((byCols.map(col) :+

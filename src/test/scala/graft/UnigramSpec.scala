@@ -78,6 +78,22 @@ class UnigramSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("unigramFertility: exact per-group ‰ ratios; empty-group guard NULLs") {
+    // one lang, trivially learnable corpus: "foo bar" x2 docs -> vocab
+    // {foo, bar}; every word is one piece -> tokens_per_word = 1000‰,
+    // chars_per_token = 3000‰
+    val docs = Seq((1L, "foo bar", "en"), (2L, "bar foo", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.unigramFertility(docs, "text", "lang",
+        vocabSize = 8, maxPieceLen = 6, maxWordLen = 12, emIters = 1)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("sum_words") == 4L)
+    assert(r(0).getAs[Long]("sum_uni_tokens") == 4L)
+    assert(r(0).getAs[Long]("tokens_per_word_pm") == 1000L)
+    assert(r(0).getAs[Long]("chars_per_token_pm") == 3000L)
+  }
+
   test("unigramEncode: token count equals segmentation piece count") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val r = TextAnalysis.unigramEncode(docs, "doc_id", "text",
