@@ -2244,6 +2244,37 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Streaming twin of the Count-Min heavy-hitters report: the sketch is
+    * maintained as a STREAMING aggregation (cell counts are plain sums —
+    * the mergeability that makes CMS deployable on a firehose with
+    * `depth × width` longs of state, independent of vocabulary size),
+    * then the probe + exact-verify stages run over the streamed cells.
+    * Gated against the SAME oracle as the batch `text_heavy_hitters` —
+    * batch/streaming parity for the sketch family, like `stream_hll_*`
+    * for HLL and `stream_cusum` for the drift detector. */
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-cms")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      inDir.resolve("documents.parquet"))
+    val stream = s.readStream.schema(docs.schema).parquet(inDir.toString)
+    val cells = TextAnalysis.cmsSketch(
+      TextAnalysis.cmsTokens(stream, "text"), depth = 4, width = 32)
+    val sinkName = s"stream_cms_${layoutTag(dir)}"
+    val q = cells.writeStream.outputMode("complete")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(sinkName).start()
+    q.awaitTermination()
+    TextAnalysis.cmsProbeVerify(
+        TextAnalysis.cmsTokens(docs, "text"), s.table(sinkName),
+        depth = 4, width = 32, minCount = 100L)
+      .orderBy("token")
+  }
+
   /** Hour-of-day activity profile per event type — the time-profile
     * report; pure integer bucket arithmetic. */
   private def eventsHourlyProfile(s: SparkSession, dir: String): DataFrame =
@@ -3506,6 +3537,7 @@ object SparkEntry {
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
     "stream_hll_cardinality" -> streamHllCardinality _,
+    "stream_heavy_hitters" -> streamHeavyHitters _,
     "events_hourly_profile" -> eventsHourlyProfile _,
     "graph_pagerank"      -> graphPagerank _,
     "graph_triangles"     -> graphTriangles _,
@@ -6466,6 +6498,9 @@ object SparkEntry {
       vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2),
     "text_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
                                                minCount = 100L),
+    // the streaming sketch twin must land on the identical report
+    "stream_heavy_hitters" -> OracleXX.cmsOracle(depth = 4, width = 32,
+                                                 minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "text_hll_rollup" -> OracleXX.hllRollupOracle(p = 8),
     // live streaming sketch must land on the batch gate's exact bytes

@@ -1872,23 +1872,48 @@ object TextAnalysis {
     * bit-exact against the DuckDB oracle replica. */
   def heavyHitters(df: DataFrame, textCol: String, depth: Int, width: Int,
                    minCount: Long): DataFrame = {
+    val toks = cmsTokens(df, textCol)
+    cmsProbeVerify(toks, cmsSketch(toks, depth, width),
+      depth, width, minCount)
+  }
+
+  /** Non-empty token stream for the CMS stages. */
+  def cmsTokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TF.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+
+  /** The depth (row, cell) CMS coordinates of one token, as one array
+    * expression — `pmod(xxhash64(j, token), width)`, Spark's chained-seed
+    * multi-arg hash. */
+  def cmsCells(token: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+             pmod(xxhash64(lit(j.toLong), token), lit(width.toLong))
+               .as("cell"))
+    }: _*)
+
+  /** CMS SKETCH BUILD (stage 1 of [[heavyHitters]]) as a standalone
+    * aggregation so a STREAMING query can maintain it incrementally —
+    * counts are mergeable (plain sums per cell), which is the whole
+    * deployability story of the sketch on a firehose. */
+  def cmsSketch(toks: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val toks = df
-      .select(explode(TF.tokens(col(textCol))).as("token"))
-      .where(col("token") =!= "")
-    // the depth (row, cell) coordinates of one token, as one array expression
-    def cells(c: Column): Column = array((0 until depth).map { j =>
-      struct(lit(j).as("j"),
-             pmod(xxhash64(lit(j.toLong), c), lit(width.toLong)).as("cell"))
-    }: _*)
-    val sketch = toks
-      .select(explode(cells(col("token"))).as("jc"))
+    toks
+      .select(explode(cmsCells(col("token"), depth, width)).as("jc"))
       .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS PROBE + exact VERIFY (stages 2–3 of [[heavyHitters]]) against an
+    * already-built sketch — batch-built or streamed, the cells are the
+    * same table. */
+  def cmsProbeVerify(toks: DataFrame, sketch: DataFrame, depth: Int,
+                     width: Int, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val candidates = toks.distinct()
-      .select(col("token"), explode(cells(col("token"))).as("jc"))
+      .select(col("token"),
+        explode(cmsCells(col("token"), depth, width)).as("jc"))
       .select(col("token"), col("jc.j").as("j"), col("jc.cell").as("cell"))
       .join(broadcast(sketch), Seq("j", "cell"))
       .groupBy(col("token")).agg(min(col("cnt")).as("cms_est"))

@@ -73,4 +73,21 @@ class SketchSpec extends SparkSpec {
         s"unexpected collision at width 2^14 on ${r.getString(0)}")
     }
   }
+
+  test("cmsSketch: mergeable — half-corpus sketches sum cell-wise to the full sketch") {
+    // the property the streaming twin (stream_heavy_hitters) rests on:
+    // cell counts are plain sums, so any partition of the corpus merges
+    // to the same sketch
+    def cellsOf(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cmsSketch(TextAnalysis.cmsTokens(d, "text"),
+        depth = 4, width = 32)
+    val full = cellsOf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = cellsOf(docs.where(col("doc_id") % 2 === 0))
+      .union(cellsOf(docs.where(col("doc_id") % 2 === 1)))
+      .groupBy("j", "cell").agg(sum("cnt").as("cnt")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full == merged, "cell counts are not merge-additive")
+    assert(full.nonEmpty)
+  }
 }
