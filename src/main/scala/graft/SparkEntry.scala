@@ -2292,6 +2292,69 @@ object SparkEntry {
         fineCol = "source", coarseCol = "lang")
       .orderBy("lang")
 
+  /** Top principal component of the embedding corpus — Gram-matrix pass
+    * + fixed-point power iteration (see [[Similarity.pcaTopComponent]]):
+    * the representation-drift / variance-concentration QA direction. */
+  private def simPcaTop(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
+        dim = 64)
+      .orderBy("d")
+
+  /** DuckDB replica of `Similarity.pcaTopComponent`: quantized Gram +
+    * mean (BIGINT-cast sums before every truncating division — DuckDB's
+    * `//` on DECIMAL is NOT integer division), `iters` unrolled
+    * matvec/max-normalize rounds, sign canonicalization, and the
+    * `DIV 256` Rayleigh quotient. */
+  private def pcaOracle(dim: Int, scaleBits: Int, iters: Int,
+                        vScaleBits: Int): String = {
+    val q = 1L << scaleBits
+    val vs = 1L << vScaleBits
+    val rounds = (1 to iters).map { k => s"""
+      w$k AS (SELECT c.i, sum(c.c * v.v)::BIGINT AS w
+              FROM cm c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1),
+      s$k AS (SELECT max(abs(w))::BIGINT AS s FROM w$k),
+      v$k AS MATERIALIZED (
+        SELECT t.i,
+               (CASE WHEN (SELECT s FROM s$k) = 0
+                     THEN (SELECT v FROM v${k - 1} pv WHERE pv.i = t.i)
+                     ELSE t.w * $vs // (SELECT s FROM s$k)
+                END)::BIGINT AS v
+        FROM w$k t)"""
+    }.mkString(",")
+    s"""
+      WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                   x -> floor(x * $q)::BIGINT) AS xq FROM embeddings),
+      nn AS (SELECT count(*)::BIGINT AS n FROM e),
+      px AS (SELECT xq, unnest(range(1, len(xq) + 1)) AS i FROM e),
+      mu AS MATERIALIZED (
+        SELECT i, (sum(xq[i])::BIGINT // (SELECT n FROM nn))::BIGINT AS mu
+        FROM px GROUP BY 1),
+      pxy AS (SELECT xq, i, unnest(range(1, len(xq) + 1)) AS j FROM px),
+      gr AS (SELECT i, j, sum(xq[i] * xq[j])::BIGINT AS s
+             FROM pxy GROUP BY 1, 2),
+      cm AS MATERIALIZED (
+        SELECT g.i, g.j,
+               ((g.s // (SELECT n FROM nn)) - mi.mu * mj.mu)::BIGINT AS c
+        FROM gr g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+      v0 AS (SELECT i, $vs::BIGINT AS v FROM mu),
+      $rounds,
+      sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+             FROM v$iters ORDER BY abs(v) DESC, i ASC LIMIT 1),
+      vf AS MATERIALIZED (
+        SELECT i, (v * (SELECT sgn FROM sg))::BIGINT AS v FROM v$iters),
+      wf AS (SELECT c.i, sum(c.c * v.v)::BIGINT AS w
+             FROM cm c JOIN vf v ON v.i = c.j GROUP BY 1),
+      ray AS (SELECT (CASE WHEN sum((v.v // 256) * (v.v // 256))::BIGINT = 0
+                      THEN 0
+                      ELSE sum((v.v // 256) * (w.w // 256))::BIGINT //
+                           sum((v.v // 256) * (v.v // 256))::BIGINT
+                      END)::BIGINT AS lambda_fp
+              FROM vf v JOIN wf w ON v.i = w.i)
+      SELECT (v.i - 1)::BIGINT AS d, v.v AS loading_fp,
+             (SELECT lambda_fp FROM ray) AS lambda_fp
+      FROM vf v ORDER BY d"""
+  }
+
   private def simEmbedQa(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingQa(t(s, dir, "embeddings"), "embedding", dim = 64,
         "label")
@@ -3458,6 +3521,7 @@ object SparkEntry {
     "sim_topk"            -> simTopK _,
     "sim_hamming_topk"    -> simHammingTopK _,
     "sim_centroid_classifier" -> simCentroidClassifier _,
+    "sim_pca_top"         -> simPcaTop _,
     "sim_filtered_topk"   -> simFilteredTopK _,
     "sim_hard_negatives"  -> simHardNegatives _,
     "dedup_split_leakage" -> dedupSplitLeakage _,
@@ -5812,6 +5876,8 @@ object SparkEntry {
     // multi-probe, the candidate join, and the exact-cosine re-rank —
     // oracle-checking the APPROXIMATE output itself, not a brute-force proxy
     "sim_lsh_topk" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
+    "sim_pca_top" -> pcaOracle(dim = 64, scaleBits = 7, iters = 8,
+                               vScaleBits = 20),
     "sim_matryoshka_topk" -> matryoshkaOracleSql,
     // trained-k-means IVF, Lloyd iterations unrolled in SQL
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),

@@ -942,4 +942,93 @@ object Similarity {
       .select(col("id"), col("jaccard"))
     scored.orderBy(col("jaccard").desc, col("id").asc).limit(k)
   }
+
+  /** Top principal component of an embedding corpus via the Gram-matrix
+    * trick + fixed-point power iteration — the distributed-linear-algebra
+    * primitive behind embedding whitening, drift monitoring (the top
+    * direction rotating between crawls is an early incident signal), and
+    * "is one axis eating the variance" QA on learned representations.
+    *
+    * Scale shape (the textbook one): two scan-bound corpus passes (the
+    * dim×dim Gram pass and the slim per-dimension mean pass) — per-row
+    * (i, j, xᵢ·xⱼ) products into a map-side-combinable sum, so the
+    * shuffle carries at most dim² rows per task regardless of corpus
+    * size — and the dim²-entry
+    * matrix (a bounded driver artifact, same shipping story as the
+    * k-means centroids) is power-iterated on the driver: `iters`
+    * fixed rounds of matvec + max-normalization. O(dim²) driver work for
+    * dim = 64 is microseconds; the corpus never shuffles.
+    *
+    * Determinism contract (bit-exact vs the DuckDB replica): components
+    * quantize `floor(x · 2^scaleBits)` (IEEE-exact, the
+    * [[centroidClassifierConfusion]] formula); the Gram and mean divide
+    * by n with truncating division; each power round max-normalizes by
+    * `w · 2^vScaleBits DIV max|w|` (truncation toward zero — Scala `/`
+    * and DuckDB `//` agree); a zero matvec keeps the previous vector;
+    * the final sign is canonicalized so the largest-|loading| dimension
+    * (smallest index on ties) is non-negative; the eigenvalue estimate
+    * is the Rayleigh quotient over `DIV 256`-rescaled vectors. Overflow
+    * contract: |x| < 2 at the default scaleBits=7/vScaleBits=20/dim≤64
+    * keeps every intermediate (worst: matvec · 2^20 during
+    * normalization) under 2^62. Fixed `iters` (power iteration converges
+    * geometrically; the output is a pure function of the corpus either
+    * way).
+    *
+    * Output: one row per dimension `(d, loading_fp, lambda_fp)` —
+    * loading at 2^vScaleBits fixed point, the Rayleigh quotient
+    * replicated on every row. */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+                      scaleBits: Int = 7, iters: Int = 8,
+                      vScaleBits: Int = 20): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+    require(scaleBits >= 0 && scaleBits <= 12,
+      s"scaleBits must be in [0, 12], got $scaleBits")
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
+    require(vScaleBits >= 8 && vScaleBits <= 24,
+      s"vScaleBits must be in [8, 24], got $vScaleBits")
+    val q = 1L << scaleBits
+    val vScale = 1L << vScaleBits
+    val xq = df.select(transform(col(vecCol),
+      x => floor(x.cast("double") * q).cast("long")).as("xq"))
+    val ei = xq.select(posexplode(col("xq")).as(Seq("i", "xi")),
+      col("xq").as("x2"))
+    val gram = ei
+      .select(col("i"), col("xi"), posexplode(col("x2")).as(Seq("j", "xj")))
+      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val meanRows = xq.select(posexplode(col("xq")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum(col("xi")).as("ms"), count(lit(1)).as("n"))
+      .collect()
+    val n = meanRows.head.getAs[Long]("n")
+    val mu = Array.tabulate(dim) { i =>
+      meanRows.find(_.getInt(0) == i).map(r => r.getAs[Long]("ms") / n)
+        .getOrElse(0L)
+    }
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      gram.getOrElse((i, j), 0L) / n - mu(i) * mu(j)
+    }
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+    // all-ones start: a generic direction (a basis-vector start is stuck
+    // whenever its covariance row is all zero)
+    var v = Array.fill(dim)(vScale)
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val s = w.map(math.abs).max
+      if (s != 0L) v = w.map(_ * vScale / s)
+    }
+    // sign canonicalization: largest |loading| (smallest index on ties)
+    // must be non-negative
+    val lead = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
+    if (v(lead) < 0L) v = v.map(-_)
+    val w = matvec(v)
+    val den = (0 until dim).map(i => (v(i) / 256L) * (v(i) / 256L)).sum
+    val lambda =
+      if (den == 0L) 0L
+      else (0 until dim).map(i => (v(i) / 256L) * (w(i) / 256L)).sum / den
+    df.sparkSession.createDataFrame(
+      (0 until dim).map(i => (i.toLong, v(i), lambda)))
+      .toDF("d", "loading_fp", "lambda_fp")
+  }
 }

@@ -1447,4 +1447,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((200L, s1 + s2, 1), (100L, s1, 2), (300L, s2, 3)),
       s"got ${out.toList}")
   }
+
+  test("pcaTopComponent: axis-aligned variance recovers the axis exactly") {
+    import spark.implicits._
+    // ±1 along dim 2 only: xq = ±128, centered Gram = diag(0,0,16384,0),
+    // the all-ones start converges in one round, and lambda IS c_22
+    val rows = Seq.fill(2)(Array(0f, 0f, 1f, 0f)) ++
+               Seq.fill(2)(Array(0f, 0f, -1f, 0f))
+    val df = rows.toDF("embedding")
+    val out = Similarity.pcaTopComponent(df, "embedding", dim = 4)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 1048576L, 0L),
+      s"got ${out.mkString(", ")}")
+    assert(out.forall(_._3 == 16384L), s"lambda: ${out.head._3}")
+  }
+
+  test("pcaTopComponent: partitioning-invariant; canonical sign non-negative") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaTopComponent(d, "embedding", dim = 64)
+        .orderBy("d").collect().map(_.toSeq).toSeq
+    val a = run(emb.repartition(7))
+    val b = run(emb.repartition(2))
+    assert(a == b, "pcaTopComponent depends on input partitioning")
+    val loadings = a.map(_(1).asInstanceOf[Long])
+    val lead = loadings.zipWithIndex.maxBy(x => (math.abs(x._1), -x._2))
+    assert(lead._1 >= 0L, s"canonical sign broken: $lead")
+    assert(loadings.exists(_ != 0L))
+  }
 }
