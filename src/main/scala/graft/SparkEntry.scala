@@ -417,6 +417,29 @@ object SparkEntry {
       .select("event_id", "event_type", "value_cents", "dev", "mad")
       .orderBy("event_id")
 
+  /** Seasonally-adjusted volume anomalies: hourly counts are first
+    * de-seasonalized against the per-(type, hour-of-day) integer-mean
+    * profile, then MAD-flagged on the RESIDUALS — the detector that
+    * catches a quiet-hour spike a raw-volume MAD would call normal and
+    * skips the daily peak it would false-alarm on. Composition of two
+    * existing shapes (the `events_hourly_profile` rollup and
+    * [[Analytics.madOutliers]]); two combinable aggregates plus the
+    * type-keyed median windows, all on slim (type, hour, count) rows. */
+  private def eventsSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ms DIV 3600000").as("hour"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("hod", pmod(col("hour"), lit(24L)))
+    val expected = hourly.groupBy("event_type", "hod")
+      .agg(expr("sum(y) DIV count(*)").as("mu"))
+    val resid = hourly.join(expected, Seq("event_type", "hod"))
+      .select(col("event_type"), col("hour"), col("y"), col("mu"),
+        (col("y") - col("mu")).as("resid"))
+    Analytics.madOutliers(resid, "event_type", "resid", nMads = 3.0)
+      .select("event_type", "hour", "y", "mu", "resid", "dev", "mad")
+      .orderBy("event_type", "hour")
+  }
+
   /** Trend-aware volume smoothing per event type
     * ([[graft.operators.Analytics.holtSmoothing]]): hourly counts folded
     * through the fixed-point Holt recurrence; the final level/trend state
@@ -3450,6 +3473,7 @@ object SparkEntry {
     "events_attribution"  -> eventsAttribution _,
     "events_rfm"          -> eventsRfm _,
     "events_markov"       -> eventsMarkov _,
+    "events_seasonal_anomaly" -> eventsSeasonalAnomaly _,
     "events_seq_patterns" -> eventsSeqPatterns _,
     "q_basket_rules"      -> qBasketRules _,
     "events_forecast_eval" -> eventsForecastEval _,
@@ -5291,6 +5315,27 @@ object SparkEntry {
     // MAD outliers: medians over exact cents (quantile_cont ≡ Spark's
     // percentile: same 1+(n-1)p linear interpolation), so dev/mad doubles
     // derive from identical arithmetic on both engines
+    // de-seasonalized residual MAD: same profile rollup + MAD shapes
+    "events_seasonal_anomaly" -> """
+      WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+                        count(*)::BIGINT AS y
+                 FROM events GROUP BY 1, 2),
+      hp AS (SELECT *, hour % 24 AS hod FROM h),
+      ex AS (SELECT event_type, hod,
+                    (sum(y)::BIGINT // count(*))::BIGINT AS mu
+             FROM hp GROUP BY 1, 2),
+      rs AS (SELECT p.event_type, p.hour, p.y, x.mu,
+                    (p.y - x.mu)::BIGINT AS resid
+             FROM hp p JOIN ex x USING (event_type, hod)),
+      med AS (SELECT event_type, quantile_cont(resid, 0.5) AS med
+              FROM rs GROUP BY 1),
+      dv AS (SELECT r.*, abs(r.resid - m.med) AS dev
+             FROM rs r JOIN med m USING (event_type)),
+      md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             FROM dv GROUP BY 1)
+      SELECT d.event_type, d.hour, d.y, d.mu, d.resid, d.dev, m.mad
+      FROM dv d JOIN md m USING (event_type)
+      WHERE d.dev > 3.0 * m.mad ORDER BY event_type, hour""",
     "events_anomaly" -> """
       WITH e AS (SELECT event_id, event_type,
                         (value::DECIMAL(18,2) * 100)::BIGINT AS value_cents
