@@ -366,6 +366,12 @@ object Smoke {
     println("[smoke] round-9 fourth sweep: unigram tokenizer + basket rules + graph walks:")
     TextAnalysis.unigramVocab(docs, "text", vocabSize = 32).show(5)
     TextAnalysis.unigramEncode(docs, "doc_id", "text", vocabSize = 32).show(3)
+    TextAnalysis.unigramFertility(docs, "text", "lang", vocabSize = 32).show(3)
+    Similarity.pcaTopComponent(emb, "embedding", dim = 64).show(3)
+    TextAnalysis.cmsProbeVerify(TextAnalysis.cmsTokens(docs, "text"),
+      TextAnalysis.cmsSketch(TextAnalysis.cmsTokens(docs, "text"),
+        depth = 4, width = 32), depth = 4, width = 32, minCount = 20L)
+      .show(3)
     graft.operators.Analytics.basketRules(
       spark.read.parquet(s"$sf/lineitem.parquet"),
       "l_orderkey", "l_partkey", minItemSupport = 2L, minPairSupport = 1L,
