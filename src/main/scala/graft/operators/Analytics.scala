@@ -741,19 +741,24 @@ object Analytics {
       "supports must be >= 1")
     require(maxBasketItems >= 2, s"maxBasketItems >= 2, got $maxBasketItems")
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val baskets = df
-      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    // the distinct basket relation feeds three consumers (item counts,
+    // basket count, pair generation) and the frequent-item basket view
+    // feeds BOTH sides of the self-join — cut each once
+    // ([[graft.util.Materialize]]) or the dominant scan+distinct subtree
+    // replans per reference (measured: the uncut plan computes fb twice)
+    val baskets = graft.util.Materialize.cut(df
+      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct())
     val itemN = baskets.groupBy("it").agg(count(lit(1)).as("n_item"))
     val freq = itemN.where(col("n_item") >= minItemSupport)
     val nBaskets = baskets.select(col("bk")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     // frequent-item view of each basket, mega-baskets capped OUT of pair
     // generation (width counted over frequent items only)
-    val fb = baskets.join(freq, Seq("it"))
+    val fb = graft.util.Materialize.cut(baskets.join(freq, Seq("it"))
       .withColumn("__w", count(lit(1)).over(
         Window.partitionBy(col("bk"))))
       .where(col("__w") <= maxBasketItems)
-      .select(col("bk"), col("it"), col("n_item"))
+      .select(col("bk"), col("it"), col("n_item")))
     val pairs = fb.as("a")
       .join(fb.as("b"), col("a.bk") === col("b.bk") &&
         col("a.it") < col("b.it"))

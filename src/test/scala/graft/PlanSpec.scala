@@ -919,18 +919,20 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"encode projection must not shuffle:\n$p")
   }
 
-  test("q_basket_rules: frequent-item prune precedes the pair self-join; counts combine map-side") {
+  test("q_basket_rules: pair self-join reads the materialized pruned view; counts combine map-side") {
     val p = plan("q_basket_rules")
-    val lines = p.linesIterator.toVector
     // the a-priori property is the plan: the per-basket self-join (the
-    // only quadratic stage) must consume the support-filtered item list,
-    // i.e. a Filter on n_item >= threshold sits below the bk-keyed join
-    val joinIdx = lines.indexWhere(l =>
-      l.contains("Join") && l.contains("bk"))
-    assert(joinIdx >= 0, s"basket self-join not found:\n$p")
-    assert(lines.drop(joinIdx).exists(l =>
-        l.contains("Filter") && l.contains("n_item")),
-      s"frequent-item support filter must sit below the pair self-join:\n$p")
+    // only quadratic stage) consumes the ONCE-materialized frequent-item
+    // basket view (support-filtered + width-capped before the cut) on
+    // BOTH sides — the final plan must contain no lineitem FileScan at
+    // all (an uncut fb replans the scan+distinct+filter subtree per
+    // reference; measured double computation before the cut)
+    assert(!p.contains("FileScan"),
+      s"pair stage re-scans the raw table instead of the pruned cut:\n$p")
+    val existingScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(existingScans >= 3,
+      s"expected the cut basket views on both join sides + the basket " +
+      s"count, got $existingScans ExistingRDD scans:\n$p")
     assert(p.contains("partial_count"),
       s"pair counts must combine map-side:\n$p")
     // the one-row basket count rides a broadcast, never a shuffle
