@@ -2329,7 +2329,54 @@ object SparkEntry {
     * matvec/max-normalize rounds, sign canonicalization, and the
     * `DIV 256` Rayleigh quotient. */
   private def pcaOracle(dim: Int, scaleBits: Int, iters: Int,
-                        vScaleBits: Int): String = {
+                        vScaleBits: Int): String = s"""
+      WITH ${pcaCtes(dim, scaleBits, iters, vScaleBits)},
+      wf AS (SELECT c.i, sum(c.c * v.v)::BIGINT AS w
+             FROM cm c JOIN vf v ON v.i = c.j GROUP BY 1),
+      ray AS (SELECT (CASE WHEN sum((v.v // 256) * (v.v // 256))::BIGINT = 0
+                      THEN 0
+                      ELSE sum((v.v // 256) * (w.w // 256))::BIGINT //
+                           sum((v.v // 256) * (v.v // 256))::BIGINT
+                      END)::BIGINT AS lambda_fp
+              FROM vf v JOIN wf w ON v.i = w.i)
+      SELECT (v.i - 1)::BIGINT AS d, v.v AS loading_fp,
+             (SELECT lambda_fp FROM ray) AS lambda_fp
+      FROM vf v ORDER BY d"""
+
+  /** PCA-application replica: the shared power-iteration chain's final
+    * vector applied per embedding row — same DIV-64/DIV-4096 rescale and
+    * den=0 NULL guard as `Similarity.pcaProjectionReport`. */
+  private def pcaProjOracle(dim: Int, scaleBits: Int, iters: Int,
+                            vScaleBits: Int): String = {
+    val q = 1L << scaleBits
+    s"""
+      WITH ${pcaCtes(dim, scaleBits, iters, vScaleBits)},
+      vq AS (SELECT list(v // 256 ORDER BY i) AS vq,
+                    sum((v // 256) * (v // 256))::BIGINT AS ev
+             FROM vf),
+      src AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                x -> floor(x * $q)::BIGINT) AS xq
+              FROM embeddings),
+      pr AS (SELECT vec_id,
+               list_aggregate(list_transform(range(1, len(xq) + 1),
+                 i -> xq[i] * qq.vq[i]), 'sum')::BIGINT AS p,
+               list_aggregate(list_transform(xq, x -> x * x),
+                 'sum')::BIGINT AS ex,
+               qq.ev AS ev
+             FROM src CROSS JOIN vq qq),
+      fin AS (SELECT vec_id, p, ex, ((ex * ev) // 4096)::BIGINT AS den
+              FROM pr)
+      SELECT vec_id, p, ex AS energy_q,
+             (CASE WHEN den = 0 THEN NULL
+              ELSE ((p // 64) * (p // 64) * 1000000) // den
+              END)::BIGINT AS proj_frac_ppm
+      FROM fin ORDER BY vec_id"""
+  }
+
+  /** Shared CTE chain of the PCA replicas, ending in `vf(i, v)` — the
+    * sign-canonical fixed-point top component (1-based i). */
+  private def pcaCtes(dim: Int, scaleBits: Int, iters: Int,
+                      vScaleBits: Int): String = {
     val q = 1L << scaleBits
     val vs = 1L << vScaleBits
     val rounds = (1 to iters).map { k => s"""
@@ -2344,8 +2391,7 @@ object SparkEntry {
                 END)::BIGINT AS v
         FROM w$k t)"""
     }.mkString(",")
-    s"""
-      WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+    s"""e AS (SELECT list_transform(embedding::DOUBLE[],
                    x -> floor(x * $q)::BIGINT) AS xq FROM embeddings),
       nn AS (SELECT count(*)::BIGINT AS n FROM e),
       px AS (SELECT xq, unnest(range(1, len(xq) + 1)) AS i FROM e),
@@ -2364,18 +2410,7 @@ object SparkEntry {
       sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
              FROM v$iters ORDER BY abs(v) DESC, i ASC LIMIT 1),
       vf AS MATERIALIZED (
-        SELECT i, (v * (SELECT sgn FROM sg))::BIGINT AS v FROM v$iters),
-      wf AS (SELECT c.i, sum(c.c * v.v)::BIGINT AS w
-             FROM cm c JOIN vf v ON v.i = c.j GROUP BY 1),
-      ray AS (SELECT (CASE WHEN sum((v.v // 256) * (v.v // 256))::BIGINT = 0
-                      THEN 0
-                      ELSE sum((v.v // 256) * (w.w // 256))::BIGINT //
-                           sum((v.v // 256) * (v.v // 256))::BIGINT
-                      END)::BIGINT AS lambda_fp
-              FROM vf v JOIN wf w ON v.i = w.i)
-      SELECT (v.i - 1)::BIGINT AS d, v.v AS loading_fp,
-             (SELECT lambda_fp FROM ray) AS lambda_fp
-      FROM vf v ORDER BY d"""
+        SELECT i, (v * (SELECT sgn FROM sg))::BIGINT AS v FROM v$iters)"""
   }
 
   private def simEmbedQa(s: SparkSession, dir: String): DataFrame =
@@ -3546,6 +3581,10 @@ object SparkEntry {
     "sim_hamming_topk"    -> simHammingTopK _,
     "sim_centroid_classifier" -> simCentroidClassifier _,
     "sim_pca_top"         -> simPcaTop _,
+    "sim_pca_residual"    -> ((s, dir) =>
+      Similarity.pcaProjectionReport(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64)
+        .orderBy("vec_id")),
     "sim_filtered_topk"   -> simFilteredTopK _,
     "sim_hard_negatives"  -> simHardNegatives _,
     "dedup_split_leakage" -> dedupSplitLeakage _,
@@ -5923,6 +5962,8 @@ object SparkEntry {
     "sim_lsh_topk" -> lshReplicaOracle(bits = 8, probes = 2, k = 10),
     "sim_pca_top" -> pcaOracle(dim = 64, scaleBits = 7, iters = 8,
                                vScaleBits = 20),
+    "sim_pca_residual" -> pcaProjOracle(dim = 64, scaleBits = 7, iters = 8,
+                                        vScaleBits = 20),
     "sim_matryoshka_topk" -> matryoshkaOracleSql,
     // trained-k-means IVF, Lloyd iterations unrolled in SQL
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),

@@ -980,6 +980,20 @@ object Similarity {
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
                       scaleBits: Int = 7, iters: Int = 8,
                       vScaleBits: Int = 20): DataFrame = {
+    val (v, lambda) = pcaTopVector(df, vecCol, dim, scaleBits, iters,
+      vScaleBits)
+    df.sparkSession.createDataFrame(
+      (0 until dim).map(i => (i.toLong, v(i), lambda)))
+      .toDF("d", "loading_fp", "lambda_fp")
+  }
+
+  /** The learned component itself — `(loadings at 2^vScaleBits fixed
+    * point, Rayleigh quotient)` — for operators that APPLY it back to
+    * the corpus (see [[pcaProjectionReport]]). Contracts in
+    * [[pcaTopComponent]]. */
+  def pcaTopVector(df: DataFrame, vecCol: String, dim: Int,
+                   scaleBits: Int = 7, iters: Int = 8,
+                   vScaleBits: Int = 20): (Array[Long], Long) = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
     require(scaleBits >= 0 && scaleBits <= 12,
       s"scaleBits must be in [0, 12], got $scaleBits")
@@ -1027,8 +1041,51 @@ object Similarity {
     val lambda =
       if (den == 0L) 0L
       else (0 until dim).map(i => (v(i) / 256L) * (w(i) / 256L)).sum / den
-    df.sparkSession.createDataFrame(
-      (0 until dim).map(i => (i.toLong, v(i), lambda)))
-      .toDF("d", "loading_fp", "lambda_fp")
+    (v, lambda)
+  }
+
+  /** PCA APPLICATION — the plan/apply twin of [[pcaTopComponent]] (the
+    * same pairing as tokenizer train→encode and centroids→classify):
+    * per-vector fraction of energy captured by the learned top
+    * component, the "is this embedding dominated by the corpus's one big
+    * direction" QA column (near-10^6 ppm = the vector is essentially ON
+    * the axis — collapsed representation; near-0 = orthogonal outlier).
+    *
+    * Integer contract: with `vq = loading DIV 256` (≤ 2^12),
+    * `p = Σ xqᵢ·vqᵢ`, the fraction is
+    * `((p DIV 64)² · 10^6) DIV ((Σxq² · Σvq²) DIV 4096)` — the matched
+    * DIV-64/DIV-4096 rescale keeps the numerator under 2^60 at the
+    * |x| < 2 input bound. Cauchy-Schwarz bounds the true ratio by 1;
+    * truncation keeps the reported ppm within one part in ~2^13 of it.
+    * Zero vectors report NULL (guarded, not a throw). The component
+    * rides the plan as a literal array — one scan-bound projection, no
+    * shuffle, no join. */
+  def pcaProjectionReport(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, scaleBits: Int = 7, iters: Int = 8,
+                          vScaleBits: Int = 20): DataFrame = {
+    val (v, _) = pcaTopVector(df, vecCol, dim, scaleBits, iters, vScaleBits)
+    val q = 1L << scaleBits
+    val vq = v.map(_ / 256L)
+    val ev = vq.map(x => x * x).sum
+    val vqCol = array(vq.map(lit(_)): _*)
+    val xqCol = transform(col(vecCol),
+      x => floor(x.cast("double") * q).cast("long"))
+    df.select(col(idCol),
+        xqCol.as("xq"))
+      .select(col(idCol),
+        aggregate(zip_with(col("xq"), vqCol, (a, b) => a * b),
+          lit(0L), _ + _).as("p"),
+        aggregate(col("xq"), lit(0L), (acc, x) => acc + x * x).as("ex"))
+      .withColumn("den", expr(s"(ex * ${ev}L) DIV 4096"))
+      .select(col(idCol),
+        col("p"),
+        col("ex").as("energy_q"),
+        // den = 0 covers zero vectors, a degenerate all-zero component,
+        // and the tiny-energy corner where the rescaled product
+        // truncates to 0 — NULL on all of them, identically in the
+        // oracle (ANSI division by zero would otherwise throw)
+        when(col("den") === 0L, lit(null).cast("long"))
+          .otherwise(expr("((p DIV 64) * (p DIV 64) * 1000000) DIV den"))
+          .as("proj_frac_ppm"))
   }
 }

@@ -1463,6 +1463,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(_._3 == 16384L), s"lambda: ${out.head._3}")
   }
 
+  test("pcaProjectionReport: on-axis rows near 10^6 ppm, orthogonal near 0, zero vector NULL") {
+    import spark.implicits._
+    val rows = Seq.fill(2)(Array(0f, 0f, 1f, 0f)) ++
+               Seq.fill(2)(Array(0f, 0f, -1f, 0f)) ++
+               Seq(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 0f, 0f))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val r = Similarity.pcaProjectionReport(df, "vec_id", "embedding",
+        dim = 4)
+      .orderBy("vec_id").collect()
+    // dim-2 variance dominates -> the component is (nearly) the axis:
+    // the four on-axis rows capture almost all their energy, the
+    // orthogonal dim-0 row almost none, the zero row NULL-guards
+    (0 to 3).foreach { i =>
+      assert(r(i).getAs[Long]("proj_frac_ppm") >= 990000L,
+        s"row $i: ${r(i)}")
+    }
+    assert(r(4).getAs[Long]("proj_frac_ppm") <= 1000L, s"row 4: ${r(4)}")
+    assert(r(5).isNullAt(r(5).fieldIndex("proj_frac_ppm")), s"row 5: ${r(5)}")
+  }
+
   test("pcaTopComponent: partitioning-invariant; canonical sign non-negative") {
     val emb = spark.read.parquet(sf("embeddings"))
     def run(d: org.apache.spark.sql.DataFrame) =
