@@ -169,6 +169,33 @@ object OracleXX {
                    padLen: Int = 48): String =
     pmodWrap(xxh64Str(s, seed, padLen), m)
 
+  /** Bind `e` to lambda var `v` so `body` can reference it any number of
+    * times with linear (not exponential) SQL text and evaluation. */
+  private def bind1(e: String, v: String, body: String): String =
+    s"list_extract(list_transform([($e)], $v -> $body), 1)"
+
+  /** Unsigned-HUGEINT replica of [[graft.functions.Mix64]]:
+    * `mix(seed + key * GAMMA)` with splitmix64's 3-multiply avalanche.
+    * ~1 KB of direct arithmetic per call (each intermediate lambda-bound
+    * once) vs the ~60 KB `list_reduce` xxh64 replica it replaces in the
+    * per-position selection oracles — the round-9 gate-budget fix. */
+  def mix64(l: String, seed: Long): String = {
+    val gamma = s"${u(graft.functions.Mix64.Gamma)}::HUGEINT"
+    val c1 = s"${u(graft.functions.Mix64.C1)}::HUGEINT"
+    val c2 = s"${u(graft.functions.Mix64.C2)}::HUGEINT"
+    val seedU = s"${u(seed)}::HUGEINT"
+    val ku = s"(CASE WHEN ($l) < 0 THEN ($l)::HUGEINT + $M ELSE ($l)::HUGEINT END)"
+    bind1(ku, "ku",
+      bind1(mask(s"$seedU + ${mul64("ku", gamma)}"), "z0",
+        bind1(mul64(xor64("z0", shr("z0", 30)), c1), "z1",
+          bind1(mul64(xor64("z1", shr("z1", 27)), c2), "z2",
+            xor64("z2", shr("z2", 31))))))
+  }
+
+  /** Signed Spark-style `pmod(mix64(longCol, seed), m)` as SQL. */
+  def mix64Pmod(l: String, m: Long, seed: Long): String =
+    pmodWrap(mix64(l, seed), m)
+
   private val pow2 =
     (0 until 64).map(b => s"${BigInt(2).pow(b)}::HUGEINT").mkString("[", ", ", "]")
   private val sqlToks =

@@ -594,7 +594,7 @@ object SparkEntry {
     * oracle, proving batch/streaming parity for the stateful fold. */
   private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-attr")
+    val work = graft.util.TempDirs.create("graft-stream-attr")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val ev = events(s, dir).select(col("user_id"), col("event_id"),
@@ -647,7 +647,7 @@ object SparkEntry {
   private def streamCohortLtv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wk = 604800000L
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-ltv")
+    val work = graft.util.TempDirs.create("graft-stream-ltv")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val ev = events(s, dir).select(col("user_id"), col("event_id"),
@@ -704,7 +704,7 @@ object SparkEntry {
   private def streamCusum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val targetFp = 3145728L // 3 events/hour at the 2^20 fixed point
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-cusum")
+    val work = graft.util.TempDirs.create("graft-stream-cusum")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val evBase = events(s, dir)
@@ -2175,15 +2175,22 @@ object SparkEntry {
     * max(raw)` max-normalization — `//` and `DIV` are both truncation on
     * non-negative BIGINTs, so every intermediate matches the engine. */
   private def hitsOracle(rounds: Int): String = {
+    // Every CTE here is AS MATERIALIZED: a{i} references a{i}_raw TWICE
+    // (the FROM plus the scalar max() subquery); left to the optimizer's
+    // inlining heuristic that doubling compounds per round into an
+    // exponential replay of the shared minhash CTE chain (measured 342.8 s
+    // at sf0.01 for 4 rounds — the round-9 gate-budget bomb).
     def round(i: Int, prevHub: String) = s"""
-      a${i}_raw AS (SELECT e.dst AS id, sum(h.hub)::BIGINT AS raw
-                    FROM ed e JOIN $prevHub h ON e.src = h.id GROUP BY e.dst),
-      a$i AS (SELECT id,
+      a${i}_raw AS MATERIALIZED (
+        SELECT e.dst AS id, sum(h.hub)::BIGINT AS raw
+        FROM ed e JOIN $prevHub h ON e.src = h.id GROUP BY e.dst),
+      a$i AS MATERIALIZED (SELECT id,
                 (raw * 1000000 // (SELECT max(raw) FROM a${i}_raw))::BIGINT AS auth
               FROM a${i}_raw),
-      h${i}_raw AS (SELECT e.src AS id, sum(a.auth)::BIGINT AS raw
-                    FROM ed e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
-      h$i AS (SELECT id,
+      h${i}_raw AS MATERIALIZED (
+        SELECT e.src AS id, sum(a.auth)::BIGINT AS raw
+        FROM ed e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+      h$i AS MATERIALIZED (SELECT id,
                 (raw * 1000000 // (SELECT max(raw) FROM h${i}_raw))::BIGINT AS hub
               FROM h${i}_raw)"""
     val chain = (1 to rounds)
@@ -2195,7 +2202,7 @@ object SparkEntry {
       ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs2),
       nd AS MATERIALIZED (SELECT DISTINCT id FROM
         (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
-      h0 AS (SELECT id, 1000000::BIGINT AS hub FROM nd),
+      h0 AS MATERIALIZED (SELECT id, 1000000::BIGINT AS hub FROM nd),
       $chain
       SELECT nd.id AS doc_id,
              coalesce(h$rounds.hub, 0)::BIGINT AS hub_fp,
@@ -2243,7 +2250,7 @@ object SparkEntry {
     * custom TypedImperativeAggregate state. */
   private def streamHllCardinality(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-hll")
+    val work = graft.util.TempDirs.create("graft-stream-hll")
     // testdata tables are single parquet FILES; the file-stream source
     // wants a directory, so stage a copy
     val inDir = work.resolve("in")
@@ -2261,6 +2268,10 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName(sinkName).start()
     q.awaitTermination()
+    // the result plan reads only the in-memory sink table and the original
+    // corpus dir, so the staged copy + checkpoint can go NOW — repeated
+    // bench iterations otherwise accumulate corpus copies in /tmp
+    graft.util.TempDirs.deleteNow(work)
     val exact = TextAnalysis.shingleHashRows(docs, "text", Seq("lang"))
       .groupBy(col("lang")).agg(countDistinct(col("__h")).as("n_exact"))
     TextAnalysis.hllReport(s.table(sinkName), exact, p = 8, Seq("lang"))
@@ -2277,7 +2288,7 @@ object SparkEntry {
     * for HLL and `stream_cusum` for the drift detector. */
   private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-cms")
+    val work = graft.util.TempDirs.create("graft-stream-cms")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     java.nio.file.Files.copy(
@@ -2292,6 +2303,8 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName(sinkName).start()
     q.awaitTermination()
+    // see streamHllCardinality: nothing lazy reads the staged files
+    graft.util.TempDirs.deleteNow(work)
     TextAnalysis.cmsProbeVerify(
         TextAnalysis.cmsTokens(docs, "text"), s.table(sinkName),
         depth = 4, width = 32, minCount = 100L)
@@ -3120,7 +3133,7 @@ object SparkEntry {
     * the way `stream_pipeline_e2e` proves it for the event pipeline. */
   private def streamDedupIngest(s: SparkSession, dir: String): DataFrame = {
     val tag = layoutTag(dir)
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-ingest")
+    val work = graft.util.TempDirs.create("graft-stream-ingest")
     val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
     val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
     ingestBounds.zipWithIndex.foreach { case ((lo, hi), i) =>
@@ -3157,7 +3170,7 @@ object SparkEntry {
     * batch/streaming parity for order-sensitive stateful analytics. */
   private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
     val steps = Seq("signup", "view", "click", "purchase")
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
+    val work = graft.util.TempDirs.create("graft-stream-funnel")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val ev = events(s, dir).select(col("user_id"), col("event_type"),
@@ -3202,7 +3215,7 @@ object SparkEntry {
     * (segment, event_type) so the gate row set is compact; the oracle
     * is the equivalent batch join + aggregate. */
   private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-static")
+    val work = graft.util.TempDirs.create("graft-stream-static")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
@@ -3240,7 +3253,7 @@ object SparkEntry {
     * and the quantile read-out runs batch-side over the final state from
     * the memory sink. Same bin math, same oracle as the batch path. */
   private def streamValueHistogram(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-hist")
+    val work = graft.util.TempDirs.create("graft-stream-hist")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val ev = events(s, dir).select(col("event_id"), col("event_type"),
@@ -3278,7 +3291,7 @@ object SparkEntry {
     * against a bucketed state table with partition-level rewrites; the
     * versioned-directory swap here is the single-box stand-in. */
   private def streamUpsert(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    val work = graft.util.TempDirs.create("graft-stream-upsert")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val ev = events(s, dir).where(col("event_type") === "purchase")
@@ -3341,7 +3354,7 @@ object SparkEntry {
     * state, not emitted, at AvailableNow termination. The oracle
     * replays this state machine from the same pmod file split. */
   private def streamLateData(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    val work = graft.util.TempDirs.create("graft-stream-late")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val ev = events(s, dir).select(col("event_id"),
@@ -3388,7 +3401,7 @@ object SparkEntry {
   }
 
   private def streamPipelineE2e(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-e2e")
+    val work = graft.util.TempDirs.create("graft-stream-e2e")
     val out = work.resolve("out")
     val conf = graft.config.GraftConfig.parse(s"""
       graft {
@@ -3421,7 +3434,7 @@ object SparkEntry {
   private def httpPushE2e(s: SparkSession, dir: String): DataFrame = {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-    val work = java.nio.file.Files.createTempDirectory("graft-http-e2e")
+    val work = graft.util.TempDirs.create("graft-http-e2e")
     val out = work.resolve("out")
     val port = { val ss = new java.net.ServerSocket(0)
       try ss.getLocalPort finally ss.close() }
@@ -4790,8 +4803,6 @@ object SparkEntry {
     * — the span-corruption plan replica shared by the plan gate and the
     * apply gate. */
   private lazy val spanCorruptionCtes: String = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
     val key = "(doc_id * 100000 + pos)"
     s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       flat AS (
@@ -4802,10 +4813,10 @@ object SparkEntry {
       f2 AS (SELECT doc_id, n_toks, pos::BIGINT AS pos FROM flat
              WHERE tok <> ''),
       st AS (SELECT doc_id, pos,
-               least(pos + 1 + ${OracleXX.xxh64LongPmod(key, 5L, seed = s(35L))},
+               least(pos + 1 + ${OracleXX.mix64Pmod(key, 5L, seed = 35L)},
                      n_toks)::BIGINT AS e
              FROM f2
-             WHERE ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(31L))} < 50000),
+             WHERE ${OracleXX.mix64Pmod(key, 1000000L, seed = 31L)} < 50000),
       m AS (SELECT doc_id, pos, e,
               max(e) OVER (PARTITION BY doc_id ORDER BY pos
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
@@ -4836,10 +4847,10 @@ object SparkEntry {
         SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
       cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
               FROM ev GROUP BY 1, 2),
-      idx AS (SELECT event_type, h, y,
+      idx AS MATERIALIZED (SELECT event_type, h, y,
                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
               FROM cnt),
-      tg AS (SELECT event_type, ($tExpr)::BIGINT AS t,
+      tg AS MATERIALIZED (SELECT event_type, ($tExpr)::BIGINT AS t,
                count(*)::BIGINT AS n
              FROM idx GROUP BY 1),
       sm AS (
@@ -5359,7 +5370,7 @@ object SparkEntry {
       WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
                         count(*)::BIGINT AS y
                  FROM events GROUP BY 1, 2),
-      hp AS (SELECT *, hour % 24 AS hod FROM h),
+      hp AS (SELECT *, ((hour % 24) + 24) % 24 AS hod FROM h),
       ex AS (SELECT event_type, hod,
                     (sum(y)::BIGINT // count(*))::BIGINT AS mu
              FROM hp GROUP BY 1, 2),
@@ -6718,7 +6729,7 @@ object SparkEntry {
         SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
       cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
               FROM ev GROUP BY 1, 2),
-      idx AS (SELECT event_type, h, y,
+      idx AS MATERIALIZED (SELECT event_type, h, y,
                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
               FROM cnt),
       sm AS (
@@ -6744,7 +6755,7 @@ object SparkEntry {
         SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
       cnt AS (SELECT event_type, h, count(*)::BIGINT AS y
               FROM ev GROUP BY 1, 2),
-      idx AS (SELECT event_type, h, y,
+      idx AS MATERIALIZED (SELECT event_type, h, y,
                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
               FROM cnt),
       sm AS (
@@ -7537,8 +7548,6 @@ object SparkEntry {
     // the XXH64 HUGEINT replica; chained seeds are Spark's multi-column
     // xxhash64 (seed literal hashed first, position key second)
     "text_mlm_masks" -> {
-      import org.apache.spark.sql.catalyst.expressions.XXH64
-      def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
       val key = "(doc_id * 100000 + pos)"
       s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
@@ -7549,9 +7558,9 @@ object SparkEntry {
       f2 AS (SELECT doc_id, pos::BIGINT AS pos, tok FROM flat
              WHERE tok <> ''),
       h AS (SELECT doc_id, pos, tok,
-              ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(13L))} AS sel,
-              ${OracleXX.xxh64LongPmod(key, 10L, seed = s(17L))} AS act,
-              ${OracleXX.xxh64LongPmod(key, 1000L, seed = s(22L))} AS rnd
+              ${OracleXX.mix64Pmod(key, 1000000L, seed = 13L)} AS sel,
+              ${OracleXX.mix64Pmod(key, 10L, seed = 17L)} AS act,
+              ${OracleXX.mix64Pmod(key, 1000L, seed = 22L)} AS rnd
             FROM f2)
       SELECT doc_id, pos, tok AS token,
              CASE WHEN act < 8 THEN 'mask' WHEN act = 8 THEN 'random'
@@ -7560,7 +7569,9 @@ object SparkEntry {
       FROM h WHERE sel < 150000 ORDER BY doc_id, pos"""
     },
     // per-token bucket and ±1 sign hashes replayed with the XXH64 string
-    // replica; one (doc, bucket) rollup
+    // replica — over DISTINCT tokens only (the vocabulary is ~100x smaller
+    // than the instance stream; hashing per instance made this oracle a
+    // 47 s round-9 gate-budget offender), joined back for the rollup
     "text_feature_hashing" -> {
       import org.apache.spark.sql.catalyst.expressions.XXH64
       val s19 = java.lang.Long.toUnsignedString(XXH64.hashLong(19L, 42L))
@@ -7568,18 +7579,18 @@ object SparkEntry {
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       f AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
       f2 AS (SELECT doc_id, tok FROM f WHERE tok <> ''),
-      h AS (SELECT doc_id,
-              ${OracleXX.xxh64StrPmod("tok", 64L)} AS bucket,
-              (1 - 2 * ${OracleXX.xxh64StrPmod("tok", 2L, seed = s19)}) AS sgn
-            FROM f2)
+      th AS MATERIALIZED (
+        SELECT tok,
+               ${OracleXX.xxh64StrPmod("tok", 64L)} AS bucket,
+               (1 - 2 * ${OracleXX.xxh64StrPmod("tok", 2L, seed = s19)}) AS sgn
+        FROM (SELECT DISTINCT tok FROM f2)),
+      h AS (SELECT doc_id, bucket, sgn FROM f2 JOIN th USING (tok))
       SELECT doc_id, bucket, count(*)::BIGINT AS tf, sum(sgn)::BIGINT AS weight
       FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket"""
     },
     // plan hashes + the token-ids vocabulary replica; [MASK]/vocab-pick/
     // keep per position, ordered string_agg reassembly
     "text_mlm_apply" -> {
-      import org.apache.spark.sql.catalyst.expressions.XXH64
-      def s(x: Long) = java.lang.Long.toUnsignedString(XXH64.hashLong(x, 42L))
       val key = "(doc_id * 100000 + pos)"
       s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
@@ -7596,9 +7607,9 @@ object SparkEntry {
         ORDER BY c DESC, tok ASC LIMIT 1000),
       vn AS (SELECT count(*)::BIGINT AS n FROM vocab),
       h AS (SELECT doc_id, pos, tok,
-              ${OracleXX.xxh64LongPmod(key, 1000000L, seed = s(13L))} AS sel,
-              ${OracleXX.xxh64LongPmod(key, 10L, seed = s(17L))} AS act,
-              ${OracleXX.xxh64LongPmod(key, 1000L, seed = s(22L))} AS rnd
+              ${OracleXX.mix64Pmod(key, 1000000L, seed = 13L)} AS sel,
+              ${OracleXX.mix64Pmod(key, 10L, seed = 17L)} AS act,
+              ${OracleXX.mix64Pmod(key, 1000L, seed = 22L)} AS rnd
             FROM f2),
       rep AS (SELECT h.doc_id, h.pos,
                 CASE WHEN sel < 150000 AND act < 8 THEN '[MASK]'

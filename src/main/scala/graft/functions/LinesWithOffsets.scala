@@ -1,5 +1,8 @@
 package graft.functions
 
+import java.nio.ByteBuffer
+import java.nio.charset.{Charset, CodingErrorAction}
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -15,9 +18,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * One pass over the bytes: '\n' terminates a line ('\r\n' is normalized by
   * stripping the trailing '\r', like Spark's text source); a trailing
   * newline does NOT produce an empty final line. Offsets are byte positions
-  * (resume-seekable), not character counts. */
+  * (resume-seekable), not character counts.
+  *
+  * `charset` is the reference's `file-charset` option
+  * (`DirectoryWatchSourceSemantics.scala:40-41,335,372`): non-UTF-8 files
+  * are decoded per line with `CodingErrorAction.IGNORE`-style malformed
+  * handling (undecodable byte sequences are silently dropped, mirroring the
+  * reference's coding-error configuration). Only ASCII-compatible charsets
+  * are supported — the line scan is byte-level, so 0x0A must never occur
+  * inside a multi-byte character (true for latin-1, UTF-8, Shift_JIS,
+  * EUC-JP, GBK; NOT for UTF-16/32, rejected loudly at construction). */
 object LineOffsetUtil {
-  def linesWithOffsets(bytes: Array[Byte], maxLineBytes: Int): ArrayData = {
+  /** Validated, ASCII-compatible charset lookup (see scaladoc). */
+  def checkCharset(name: String): Charset = {
+    val cs = Charset.forName(name)
+    val nl = "\n".getBytes(cs)
+    require(nl.length == 1 && nl(0) == '\n',
+      s"lines_with_offsets: charset $name is not ASCII-compatible " +
+        "(newline must encode as the single byte 0x0A)")
+    cs
+  }
+
+  def linesWithOffsets(bytes: Array[Byte], maxLineBytes: Int,
+                       charsetName: String = "UTF-8"): ArrayData = {
+    val utf8 = charsetName.equalsIgnoreCase("UTF-8")
+    // one decoder per file call (not per line); IGNORE on both malformed
+    // input and unmappable characters = the reference's lenient mode
+    val decoder = if (utf8) null else {
+      val d = checkCharset(charsetName).newDecoder()
+      d.onMalformedInput(CodingErrorAction.IGNORE)
+      d.onUnmappableCharacter(CodingErrorAction.IGNORE)
+      d
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     val n = bytes.length
     var start = 0
@@ -28,16 +60,21 @@ object LineOffsetUtil {
           var end = i
           if (end > start && bytes(end - 1) == '\r') end -= 1
           // over-length guard in BYTES (the same unit as max-line-length
-          // config and the `off` header), never cutting a UTF-8 char in
-          // half: if the byte at the cut is a continuation byte, back up to
-          // the straddling char's lead byte and exclude the whole char
+          // config and the `off` header). UTF-8: never cut a char in half —
+          // if the byte at the cut is a continuation byte, back up to the
+          // straddling char's lead byte and exclude the whole char. Other
+          // charsets: cut at the byte bound and let the IGNORE decoder drop
+          // any partial trailing character.
           if (maxLineBytes > 0 && end - start > maxLineBytes) {
             var cut = start + maxLineBytes
-            while (cut > start && (bytes(cut) & 0xC0) == 0x80) cut -= 1
+            if (utf8) while (cut > start && (bytes(cut) & 0xC0) == 0x80) cut -= 1
             end = cut
           }
-          out += InternalRow(
-            UTF8String.fromBytes(bytes, start, end - start), start.toLong)
+          val line =
+            if (utf8) UTF8String.fromBytes(bytes, start, end - start)
+            else UTF8String.fromString(
+              decoder.decode(ByteBuffer.wrap(bytes, start, end - start)).toString)
+          out += InternalRow(line, start.toLong)
         }
         start = i + 1
       }
@@ -47,8 +84,11 @@ object LineOffsetUtil {
   }
 }
 
-case class LinesWithOffsets(child: Expression, maxLineBytes: Int = 0)
+case class LinesWithOffsets(child: Expression, maxLineBytes: Int = 0,
+                            charset: String = "UTF-8")
     extends UnaryExpression {
+  // fail at plan time, not per-task, on a bad or non-ASCII-compatible name
+  LineOffsetUtil.checkCharset(charset)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     GraftTypeCheck.expect(prettyName, child -> BinaryType)
   override def dataType: DataType = ArrayType(
@@ -56,10 +96,13 @@ case class LinesWithOffsets(child: Expression, maxLineBytes: Int = 0)
                    StructField("off", LongType, nullable = false))),
     containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    LineOffsetUtil.linesWithOffsets(v.asInstanceOf[Array[Byte]], maxLineBytes)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    LineOffsetUtil.linesWithOffsets(v.asInstanceOf[Array[Byte]], maxLineBytes,
+      charset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("charset", charset, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.LineOffsetUtil.linesWithOffsets($c, $maxLineBytes)")
+      s"graft.functions.LineOffsetUtil.linesWithOffsets($c, $maxLineBytes, $cs)")
+  }
   override protected def withNewChildInternal(c: Expression): LinesWithOffsets =
     copy(child = c)
   override def prettyName: String = "lines_with_offsets"

@@ -290,7 +290,11 @@ object Graph {
     * Overflow bound (documented contract): `raw ≤ max_deg · scale` and
     * the normalization multiplies by `scale` again, so
     * `max_deg · scale² < 2^63` — at the default scale 10^6 that allows
-    * degrees to ~9·10^6, far beyond upstream skew caps.
+    * degrees to ~9·10^6, far beyond upstream skew caps. The `scale`
+    * upper bound below (10^7) is this same inequality solved for the
+    * ceiling: 10^7 still admits max degree ~92k (above every blocking
+    * cap upstream), whereas the previous 10^9 bound silently shrank the
+    * degree ceiling to 9 — an overflow trap the require now encodes.
     *
     * Scale shape: the directed edge list is cut once; each round is two
     * slim equi-joins (edges × one-row-per-node scores) and two
@@ -306,8 +310,10 @@ object Graph {
            rounds: Int = 4, scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"rounds must be in [1, 20], got $rounds")
-    require(scale >= 1000L && scale <= 1000000000L,
-      s"scale must be in [10^3, 10^9], got $scale")
+    require(scale >= 1000L && scale <= 10000000L,
+      s"scale must be in [10^3, 10^7] (max_deg * scale^2 < 2^63 needs " +
+        s"degree <= ${Long.MaxValue / math.max(scale, 1L) / math.max(scale, 1L)} " +
+        s"at this scale), got $scale")
     val edges = Materialize.cut(
       pairs.select(col(idACol).as("src"), col(idBCol).as("dst")))
     val nodes = Materialize.cut(

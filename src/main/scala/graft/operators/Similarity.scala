@@ -1013,7 +1013,15 @@ object Similarity {
     val meanRows = xq.select(posexplode(col("xq")).as(Seq("i", "xi")))
       .groupBy("i").agg(sum(col("xi")).as("ms"), count(lit(1)).as("n"))
       .collect()
-    val n = meanRows.head.getAs[Long]("n")
+    require(meanRows.nonEmpty, "pcaTopVector: input has no vectors")
+    // per-dimension counts must agree or "n" would depend on which row we
+    // read it from — a null or short vector breaks that invariant loudly
+    // here instead of silently skewing the covariance
+    val counts = meanRows.map(_.getAs[Long]("n")).distinct
+    require(counts.length == 1,
+      s"pcaTopVector: ragged input — per-dimension counts ${counts.min}..${counts.max}; " +
+        "every vector must be non-null and full-dim")
+    val n = counts.head
     val mu = Array.tabulate(dim) { i =>
       meanRows.find(_.getInt(0) == i).map(r => r.getAs[Long]("ms") / n)
         .getOrElse(0L)

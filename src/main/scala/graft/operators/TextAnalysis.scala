@@ -521,9 +521,14 @@ object TextAnalysis {
         col("doc_id") * maxPositions + col("pos").cast("long"))
       .otherwise(raise_error(concat(lit("mlmMaskPlan: token position "),
         col("pos").cast("string"), lit(s" >= maxPositions $maxPositions"))))
-    val sel = pmod(xxhash64(lit(seed), key), lit(1000000L))
-    val act = pmod(xxhash64(lit(seed + 4L), key), lit(10L))
-    val rnd = pmod(xxhash64(lit(seed + 9L), key), lit(1000L))
+    // selection hash = splitmix64 (graft.functions.Mix64): same seeded-
+    // deterministic contract as the previous chained xxhash64, but its
+    // DuckDB replica is ~1 KB of direct arithmetic instead of a ~60 KB
+    // list_reduce — the round-9 gate-budget fix (text_mlm oracles were
+    // 64-77 s EACH at sf0.01; the gate budget is 10 s/oracle)
+    val sel = pmod(graft.functions.Mix64.mix64(key, seed), lit(1000000L))
+    val act = pmod(graft.functions.Mix64.mix64(key, seed + 4L), lit(10L))
+    val rnd = pmod(graft.functions.Mix64.mix64(key, seed + 9L), lit(1000L))
     toks.where(sel < maskPpm)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
         when(act < 8L, lit("mask")).when(act === 8L, lit("random"))
@@ -718,8 +723,9 @@ object TextAnalysis {
         col("doc_id") * maxPositions + col("pos").cast("long"))
       .otherwise(raise_error(concat(lit("spanCorruptionPlan: position "),
         col("pos").cast("string"), lit(s" >= maxPositions $maxPositions"))))
-    val sel = pmod(xxhash64(lit(seed), key), lit(1000000L))
-    val len = lit(1L) + pmod(xxhash64(lit(seed + 4L), key),
+    // splitmix64 selector — see mlmMaskPlan for the cross-engine rationale
+    val sel = pmod(graft.functions.Mix64.mix64(key, seed), lit(1000000L))
+    val len = lit(1L) + pmod(graft.functions.Mix64.mix64(key, seed + 4L),
       lit(maxSpanLen.toLong))
     val starts = toks.where(sel < startPpm)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

@@ -49,7 +49,29 @@ object Sources {
                      maxLineLength: Int = 512 * 1024,
                      truncateOverLength: Boolean = true,
                      fileHeaders: Boolean = false,
-                     archiveDir: Option[String] = None): Dataset[Event] = {
+                     archiveDir: Option[String] = None,
+                     charset: String = "UTF-8"): Dataset[Event] = {
+    // charset = the reference's `file-charset` option
+    // (DirectoryWatchSourceSemantics.scala:40-41,335,372). Spark's text
+    // source only decodes UTF-8, so any other charset routes through the
+    // binaryFile + LinesWithOffsets path (lenient IGNORE decoding there);
+    // in that mode the over-length guard is in BYTES — the same unit the
+    // reference configures — rather than the text path's characters.
+    if (!charset.equalsIgnoreCase("UTF-8")) {
+      graft.functions.LineOffsetUtil.checkCharset(charset) // fail fast
+      val lines = binaryLines(spark, dir, maxFilesPerTrigger,
+        if (truncateOverLength) maxLineLength else 0, charset, archiveDir)
+      val guarded =
+        if (truncateOverLength) lines
+        else lines.where(octet_length(col("l.line")) <= maxLineLength)
+      val projected =
+        if (fileHeaders)
+          guarded.select(col("l.line").as("body"),
+            map(lit(Event.Headers.FileName), col("path")).as("headers"))
+        else guarded.select(col("l.line").as("body"),
+          map().cast("map<string,string>").as("headers"))
+      return asEvents(projected)
+    }
     // archiveDir = the reference's doneFile hook (consumed files moved
     // aside, DirectoryWatchSourceSemantics.scala:297-319) via the file
     // source's native cleanSource/sourceArchiveDir options
@@ -84,25 +106,15 @@ object Sources {
   def directoryWatchWithOffsets(spark: SparkSession, dir: String,
                                 maxFilesPerTrigger: Int = 16,
                                 maxLineLength: Int = 512 * 1024,
-                                truncateOverLength: Boolean = true): Dataset[Event] = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    // the binaryFile source's fixed schema, required explicitly when streaming
-    val binSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
-    val raw = spark.readStream.format("binaryFile").schema(binSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
-      .load(dir)
+                                truncateOverLength: Boolean = true,
+                                charset: String = "UTF-8"): Dataset[Event] = {
     // truncation happens inside the byte-level line split so the bound is in
     // BYTES (same unit as the max-line-length config and the `off` header)
     // and never cuts a UTF-8 character in half — a substring() truncation
     // counts characters, so a multi-byte line could exceed the byte bound
     val maxBytes = if (truncateOverLength) maxLineLength else 0
-    val lines = raw.select(col("path"),
-        explode(column(graft.functions.LinesWithOffsets(
-          expression(col("content")), maxBytes))).as("l"))
+    val lines = binaryLines(spark, dir, maxFilesPerTrigger, maxBytes,
+        charset, archiveDir = None)
       .select(col("l.line").as("body"), col("path"), col("l.off").as("off"))
     val guarded =
       if (truncateOverLength) lines
@@ -110,6 +122,30 @@ object Sources {
     asEvents(guarded.select(col("body"),
       map(lit(Event.Headers.FileName), col("path"),
           lit(Event.Headers.FileOffset), col("off").cast("string")).as("headers")))
+  }
+
+  /** Shared binaryFile-stream reader + per-line split for the directory
+    * variants that need byte-level control (offsets, non-UTF-8 charsets).
+    * Returns rows of (path, l = struct(line, off)). */
+  private def binaryLines(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Int, maxBytes: Int,
+                          charset: String,
+                          archiveDir: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // the binaryFile source's fixed schema, required explicitly when streaming
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val reader = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
+    archiveDir.foreach { d =>
+      reader.option("cleanSource", "archive").option("sourceArchiveDir", d)
+    }
+    reader.load(dir).select(col("path"),
+      explode(column(graft.functions.LinesWithOffsets(
+        expression(col("content")), maxBytes, charset))).as("l"))
   }
 
   /** Batch twin of the directory source (Trigger.AvailableNow-style tests

@@ -80,12 +80,14 @@ object Pipeline {
         Sources.directoryWatchWithOffsets(spark, sc.getString("path"),
           sc.getInt("max-files-per-trigger", 16),
           sc.getBytes("max-line-length", 512L * 1024).toInt,
-          truncateOverLength = sc.getBoolean("truncate-over-length", default = true))
+          truncateOverLength = sc.getBoolean("truncate-over-length", default = true),
+          charset = sc.getString("file-charset", "UTF-8"))
       else Sources.directoryWatch(spark, sc.getString("path"),
         sc.getInt("max-files-per-trigger", 16),
         sc.getBytes("max-line-length", 512L * 1024).toInt,
         truncateOverLength = sc.getBoolean("truncate-over-length", default = true),
-        fileHeaders = sc.getBoolean("enable-file-headers", default = false))
+        fileHeaders = sc.getBoolean("enable-file-headers", default = false),
+        charset = sc.getString("file-charset", "UTF-8"))
     case "kafka"     =>
       val (fmt, opts) = Sources.kafkaSourceOptions(sc)
       Sources.kafkaRecordsAsEvents(

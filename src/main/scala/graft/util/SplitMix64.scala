@@ -3,20 +3,36 @@ package graft.util
 /** splitmix64 (Steele et al. 2014; public-domain mixing constants) — the
   * repo's single deterministic pseudo-random stream for derived constants:
   * minhash permutation coefficients, ANN hyperplanes/centroids/codebooks,
-  * classifier weights. One definition so a constant or mixing change can
-  * never skew one consumer's determinism contract away from the others'. */
+  * classifier weights, and (via [[graft.functions.Mix64]]) the columnar
+  * per-key selector in the MLM/span-corruption plans. One definition so a
+  * constant or mixing change can never skew one consumer's determinism
+  * contract away from the others'. */
 object SplitMix64 {
+
+  /** 2/φ in 64-bit fixed point — the stream increment ("golden gamma"). */
+  val Gamma: Long = 0x9E3779B97F4A7C15L
+  val C1: Long = 0xBF58476D1CE4E5B9L
+  val C2: Long = 0x94D049BB133111EBL
+
+  /** The avalanche finalizer (splitmix64.c, public domain). */
+  def mix(x: Long): Long = {
+    var z = x
+    z = (z ^ (z >>> 30)) * C1
+    z = (z ^ (z >>> 27)) * C2
+    z ^ (z >>> 31)
+  }
+
+  /** The `n`-th output of the stream seeded at `seed` — random access to
+    * the same sequence [[generator]] walks. */
+  def at(seed: Long, n: Long): Long = mix(seed + n * Gamma)
 
   /** A stateful generator closure seeded at `seed`; each call returns the
     * next value of the sequence. */
   def generator(seed: Long): () => Long = {
     var x = seed
     () => {
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+      x += Gamma
+      mix(x)
     }
   }
 }

@@ -3,16 +3,27 @@
 DuckDB against the parquet tables and compare (schema, row count, values)
 with the Spark results dumped by `graft.Verify`.
 
-Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir> [jobs]
+
+Round-10 hardening (VERDICT r9 "Next round" #1-2):
+  * each oracle runs in a process-pool worker (default jobs = min(8, cpus))
+  * per-oracle wall time is measured, printed, and BUDGETED: any oracle
+    over BUDGET_SEC (10 s) is a loud `OVER-BUDGET` failure even when the
+    values match — a new gate query can never silently re-blow the budget
+  * results stream to <out_dir>/compare_results.jsonl as each query
+    completes, so a wall-clock blowout leaves a partial record, never `{}`
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
+from concurrent.futures import ProcessPoolExecutor, as_completed
+
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
-import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+BUDGET_SEC = 10.0
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -24,6 +35,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
 
 def repr_mismatch(files, exp: pd.DataFrame):
     """Strict representation check emulating the driver's hash: the Spark dump
@@ -55,37 +67,37 @@ def repr_mismatch(files, exp: pd.DataFrame):
             bad.append(f"{c} (e.g. spark={g[c][i]!r} duck={e[c][i]!r})")
     return bad
 
-def main(out_dir: str, sf_dir: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    results = {}
-    n_pass = n_fail = n_rows_only = 0
-    # discover all dumped queries (dirs with parquet inside)
-    dumped = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
-    for name in sorted(dumped):
+
+def check_one(args):
+    """Worker: compare one query. Returns (name, status, secs, notes)."""
+    name, out_dir, sf_dir, sql = args
+    t0 = time.monotonic()
+    notes = []
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            results[name] = "EMPTY-DUMP"; n_fail += 1; continue
+            return name, "EMPTY-DUMP", time.monotonic() - t0, notes
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-        if name not in oracle:
-            results[name] = f"ROWS-ONLY ({len(got)} rows)"
-            n_rows_only += 1
-            continue
+        if sql is None:
+            return (name, f"ROWS-ONLY ({len(got)} rows)",
+                    time.monotonic() - t0, notes)
         try:
-            exp = con.sql(oracle[name]).df()
+            exp = con.sql(sql).df()
         except Exception as e:
-            results[name] = f"ORACLE-SQL-ERROR: {e}"; n_fail += 1; continue
+            return name, f"ORACLE-SQL-ERROR: {e}", time.monotonic() - t0, notes
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
-            results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
-            n_fail += 1; continue
+            return (name,
+                    f"SCHEMA-MISMATCH spark={list(g.columns)} duck={list(e.columns)}",
+                    time.monotonic() - t0, notes)
         if len(g) != len(e):
-            results[name] = f"ROWCOUNT-MISMATCH spark={len(g)} duck={len(e)}"
-            n_fail += 1; continue
+            return (name, f"ROWCOUNT-MISMATCH spark={len(g)} duck={len(e)}",
+                    time.monotonic() - t0, notes)
         diff_cols = []
         for c in g.columns:
             a, b = g[c], e[c]
@@ -97,31 +109,72 @@ def main(out_dir: str, sf_dir: str) -> int:
             if not ok:
                 diff_cols.append(c)
         if diff_cols:
-            results[name] = f"VALUE-MISMATCH cols={diff_cols}"
-            n_fail += 1
-            # show first differing rows for the first bad column
             c = diff_cols[0]
             mask = ~(((g[c].isna()) & (e[c].isna())) | (g[c] == e[c]))
-            idx = mask[mask].index[:3]
-            for i in idx:
-                print(f"    [{name}] row {i} col {c}: spark={g[c][i]!r} duck={e[c][i]!r}")
-        else:
-            strict = repr_mismatch(files, exp)
-            if strict:
-                results[name] = f"REPR-MISMATCH cols={strict}"
-                n_fail += 1
-            else:
-                results[name] = f"PASS ({len(g)} rows)"
-                n_pass += 1
+            for i in mask[mask].index[:3]:
+                notes.append(f"row {i} col {c}: spark={g[c][i]!r} duck={e[c][i]!r}")
+            return (name, f"VALUE-MISMATCH cols={diff_cols}",
+                    time.monotonic() - t0, notes)
+        strict = repr_mismatch(files, exp)
+        if strict:
+            return (name, f"REPR-MISMATCH cols={strict}",
+                    time.monotonic() - t0, notes)
+        return name, f"PASS ({len(g)} rows)", time.monotonic() - t0, notes
+    except Exception as e:  # never lose a worker silently
+        return name, f"WORKER-ERROR: {e}", time.monotonic() - t0, notes
+
+
+def main(out_dir: str, sf_dir: str, jobs: int) -> int:
+    t_start = time.monotonic()
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # discover all dumped queries (dirs with parquet inside)
+    dumped = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+              if os.path.isdir(d)}
+    tasks = [(name, out_dir, sf_dir, oracle.get(name))
+             for name in sorted(dumped)]
+    results, times = {}, {}
+    n_pass = n_fail = n_rows_only = n_over = 0
+    jsonl_path = f"{out_dir}/compare_results.jsonl"
+    with open(jsonl_path, "w") as jsonl, \
+         ProcessPoolExecutor(max_workers=jobs) as pool:
+        futs = [pool.submit(check_one, t) for t in tasks]
+        for fut in as_completed(futs):
+            name, status, secs, notes = fut.result()
+            over = secs > BUDGET_SEC and name in oracle
+            if over:
+                status += f" [OVER-BUDGET {secs:.1f}s > {BUDGET_SEC:.0f}s]"
+                n_over += 1
+            results[name], times[name] = status, secs
+            # incremental record: a blowout leaves a partial file, never {}
+            jsonl.write(json.dumps({"query": name, "status": status,
+                                    "secs": round(secs, 2)}) + "\n")
+            jsonl.flush()
+            for n in notes:
+                print(f"    [{name}] {n}")
     for k, v in sorted(results.items()):
-        flag = "  OK " if v.startswith("PASS") else ("  ~  " if v.startswith("ROWS-ONLY") else "  FAIL ")
-        print(f"{flag}{k}: {v}")
+        flag = ("  OK " if v.startswith("PASS") and "OVER-BUDGET" not in v
+                else ("  ~  " if v.startswith("ROWS-ONLY") else "  FAIL "))
+        print(f"{flag}{k}: {v} ({times[k]:.2f}s)")
+        if v.startswith("PASS") and "OVER-BUDGET" not in v:
+            n_pass += 1
+        elif v.startswith("ROWS-ONLY"):
+            n_rows_only += 1
+        else:
+            n_fail += 1
     missing = set(oracle) - dumped
     for m in sorted(missing):
         print(f"  FAIL {m}: DECLARED-BUT-NOT-DUMPED")
         n_fail += 1
-    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    slow = sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    print("\nslowest oracles: " +
+          ", ".join(f"{k}={v:.1f}s" for k, v in slow))
+    print(f"serial oracle sum: {sum(times.values()):.1f}s; "
+          f"wall: {time.monotonic() - t_start:.1f}s ({jobs} jobs)")
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"
+          + (f" ({n_over} over-budget)" if n_over else ""))
     return 1 if n_fail else 0
 
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jobs = int(sys.argv[3]) if len(sys.argv) > 3 else min(8, os.cpu_count() or 4)
+    sys.exit(main(sys.argv[1], sys.argv[2], jobs))
