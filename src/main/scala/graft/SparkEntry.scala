@@ -33,6 +33,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Cloned session for the LIVE streaming twins with state partitioning
+    * sized to the twin's actual stream volume (a handful of keys over 2-4
+    * micro-batches), not the session's batch-join width: every stateful
+    * operator checkpoints one state-store instance PER shuffle partition
+    * PER micro-batch, so at the inherited 32 partitions a twin pays ~100
+    * state commits of pure fixed overhead to shuffle a few hundred rows.
+    * A clone (shared SparkContext, private SQLConf) keeps the tuning away
+    * from the concurrently-running batch queries — Verify's thread-safety
+    * contract is "no session-conf mutation on any query path". At
+    * production stream volume this knob is config, not code: state
+    * partition count is sized to throughput there, exactly as here. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
+
   /** events with `ts` projected to exact epoch-millis as `ts_ms`,
     * layout-adaptive (int64-nanos vs timestamp[µs] testdata generations) —
     * see [[graft.functions.EventTime]] for the exactness argument. */
@@ -592,7 +609,8 @@ object SparkEntry {
     * arrive, the credit stream sunk to parquet and rolled up into the
     * SAME report as `events_attribution` — gated against the identical
     * oracle, proving batch/streaming parity for the stateful fold. */
-  private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+  private def streamAttribution(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     val work = graft.util.TempDirs.create("graft-stream-attr")
     val inDir = work.resolve("in")
@@ -644,7 +662,8 @@ object SparkEntry {
     * across time-sliced micro-batches, purchases emitted against the
     * carried cohort, then rolled into the SAME triangle as the batch
     * operator — gated against the identical oracle (batch/stream parity). */
-  private def streamCohortLtv(s: SparkSession, dir: String): DataFrame = {
+  private def streamCohortLtv(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     val wk = 604800000L
     val work = graft.util.TempDirs.create("graft-stream-ltv")
@@ -701,7 +720,8 @@ object SparkEntry {
     * across time-sliced (hour-aligned) micro-batches against a fixed
     * 3-events/hour baseline; gated against the recursive-CTE oracle with
     * the same constant target (batch/stream parity, deployed form). */
-  private def streamCusum(s: SparkSession, dir: String): DataFrame = {
+  private def streamCusum(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     val targetFp = 3145728L // 3 events/hour at the 2^20 fixed point
     val work = graft.util.TempDirs.create("graft-stream-cusum")
@@ -2248,7 +2268,8 @@ object SparkEntry {
     * streaming, and at scale the exact check is the harness's job anyway).
     * Same oracle as `text_hll_cardinality`: batch/stream parity for
     * custom TypedImperativeAggregate state. */
-  private def streamHllCardinality(s: SparkSession, dir: String): DataFrame = {
+  private def streamHllCardinality(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val docs = t(s, dir, "documents")
     val work = graft.util.TempDirs.create("graft-stream-hll")
     // testdata tables are single parquet FILES; the file-stream source
@@ -2286,7 +2307,8 @@ object SparkEntry {
     * Gated against the SAME oracle as the batch `text_heavy_hitters` —
     * batch/streaming parity for the sketch family, like `stream_hll_*`
     * for HLL and `stream_cusum` for the drift detector. */
-  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+  private def streamHeavyHitters(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val docs = t(s, dir, "documents")
     val work = graft.util.TempDirs.create("graft-stream-cms")
     val inDir = work.resolve("in")
@@ -3131,7 +3153,8 @@ object SparkEntry {
     * accepted-corpus index, and the survivors must match the batch twin's
     * oracle exactly — batch/streaming parity for the ingestion pipeline,
     * the way `stream_pipeline_e2e` proves it for the event pipeline. */
-  private def streamDedupIngest(s: SparkSession, dir: String): DataFrame = {
+  private def streamDedupIngest(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val tag = layoutTag(dir)
     val work = graft.util.TempDirs.create("graft-stream-ingest")
     val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
@@ -3168,7 +3191,8 @@ object SparkEntry {
     * through the SAME `Analytics.funnelSummary` as the batch funnel — gated
     * against the identical oracle as `events_funnel`, proving
     * batch/streaming parity for order-sensitive stateful analytics. */
-  private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+  private def streamFunnel(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val steps = Seq("signup", "view", "click", "purchase")
     val work = graft.util.TempDirs.create("graft-stream-funnel")
     val inDir = work.resolve("in")
@@ -3214,7 +3238,8 @@ object SparkEntry {
     * unbounded streams. The sink is read back and rolled up per
     * (segment, event_type) so the gate row set is compact; the oracle
     * is the equivalent batch join + aggregate. */
-  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamStaticJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val work = graft.util.TempDirs.create("graft-stream-static")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
@@ -3252,7 +3277,8 @@ object SparkEntry {
     * whose per-micro-batch merge is exactly the sketch's count addition —
     * and the quantile read-out runs batch-side over the final state from
     * the memory sink. Same bin math, same oracle as the batch path. */
-  private def streamValueHistogram(s: SparkSession, dir: String): DataFrame = {
+  private def streamValueHistogram(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val work = graft.util.TempDirs.create("graft-stream-hist")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
@@ -3290,7 +3316,8 @@ object SparkEntry {
     * cannot change the result. The 100 TB shape is the same merge
     * against a bucketed state table with partition-level rewrites; the
     * versioned-directory swap here is the single-box stand-in. */
-  private def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+  private def streamUpsert(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val work = graft.util.TempDirs.create("graft-stream-upsert")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
@@ -3353,7 +3380,8 @@ object SparkEntry {
     * the final watermark passed; (3) still-open windows are held as
     * state, not emitted, at AvailableNow termination. The oracle
     * replays this state machine from the same pmod file split. */
-  private def streamLateData(s: SparkSession, dir: String): DataFrame = {
+  private def streamLateData(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val work = graft.util.TempDirs.create("graft-stream-late")
     val inDir = work.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
@@ -3400,7 +3428,8 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private def streamPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+  private def streamPipelineE2e(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val work = graft.util.TempDirs.create("graft-stream-e2e")
     val out = work.resolve("out")
     val conf = graft.config.GraftConfig.parse(s"""
