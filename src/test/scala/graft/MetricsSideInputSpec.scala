@@ -66,6 +66,74 @@ class MetricsSideInputSpec extends SparkSpec {
     } finally CachedSideInput.remove("dims")
   }
 
+  test("cached side input: concurrent getOrCreate dedups to ONE blocking fill (the reference's promise-slot semantics)") {
+    // reference CachedProxy.validateCache (CachedProxy.scala:166-230): N
+    // concurrent readers hitting a cold cache must trigger exactly one
+    // fetch — the rest block on the same promise slot and share its
+    // result. Spark twin: getOrCreate's computeIfAbsent is the slot; a
+    // slow counting fetch + a 16-thread race proves single-fill.
+    val fills = new AtomicInteger(0)
+    val fetch = () => {
+      fills.incrementAndGet()
+      Thread.sleep(300) // hold the fill open so every racer arrives cold
+      Map("k" -> 1)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val ready = new java.util.concurrent.CountDownLatch(16)
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val got = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Map[String, Int]] {
+          def call(): Map[String, Int] = {
+            ready.countDown(); go.await()
+            CachedSideInput.getOrCreate[Map[String, Int]](
+              "race", spark, fetch, refreshEveryMillis = 3600000L)
+              .current().value
+          }
+        })
+      }
+      ready.await(); go.countDown()
+      val values = got.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(values.forall(_ == Map("k" -> 1)))
+      assert(fills.get() == 1,
+        s"concurrent cold readers caused ${fills.get()} fills; want 1")
+      // and they all share ONE instance (process-wide slot, not per-caller)
+      val a = CachedSideInput.getOrCreate[Map[String, Int]](
+        "race", spark, fetch, 3600000L)
+      val b = CachedSideInput.getOrCreate[Map[String, Int]](
+        "race", spark, fetch, 3600000L)
+      assert(a eq b)
+    } finally {
+      pool.shutdownNow()
+      CachedSideInput.remove("race")
+    }
+  }
+
+  test("cached side input: readers during a refresh never see null or a torn snapshot") {
+    val version = new AtomicInteger(0)
+    val side = CachedSideInput.getOrCreate[Map[String, Int]](
+      "torn", spark,
+      fetch = () => {
+        val v = version.incrementAndGet()
+        // a non-atomic writer would expose (version -> v, echo -> v-1)
+        Map("version" -> v, "echo" -> v)
+      },
+      refreshEveryMillis = 20)
+    try {
+      val deadline = System.nanoTime() + 3e9.toLong
+      var reads = 0
+      while (System.nanoTime() < deadline) {
+        val snap = side.current() // must never be null mid-publish
+        assert(snap != null, "current() returned null during refresh")
+        val m = snap.value
+        assert(m("version") == m("echo"), s"torn snapshot: $m")
+        reads += 1
+      }
+      assert(version.get() >= 2, "refresh never ran during the window")
+      assert(reads > 1000, s"reader starved: only $reads reads in 3s")
+    } finally CachedSideInput.remove("torn")
+  }
+
   test("streaming count-or-timeout batching flushes at the size boundary") {
     implicit val sq = spark.sqlContext
     implicit val enc = Encoders.product[(String, Event)]
