@@ -210,6 +210,100 @@ object OracleXX {
     * engine's expression tree operand-for-operand (every literal cast
     * ::DOUBLE — DuckDB parses bare decimals as DECIMAL), so even the
     * floating result is bit-identical. */
+  /** Shared shingle-hash CTE chain ending in `hl(lang, h)` — h UNSIGNED
+    * HUGEINT XXH64 of each DISTINCT (lang, 3-shingle). The unsigned value
+    * is the same mod-2^64 residue as Spark's signed hash, which is all the
+    * splitmix64 stream arithmetic sees. */
+  private def shingleHashCtes: String = {
+    val xx = xxh64Str("s", padLen = 20)
+    s"""t AS (SELECT lang, $sqlToks AS tk FROM documents),
+      sh3 AS (SELECT lang, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS hs
+              FROM t),
+      ds AS (SELECT DISTINCT lang, unnest(hs) AS s FROM sh3),
+      dh AS MATERIALIZED (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM ds)),
+      hl AS MATERIALIZED (SELECT lang, h FROM ds JOIN dh USING (s))"""
+  }
+
+  /** DuckDB replica of `TextAnalysis.bloomSketchWords` + `bloomReport`
+    * over `documents(lang, text)`: per-lang distinct shingle hashes → k
+    * splitmix64 bit positions each → 64-bit words (HUGEINT bit sums
+    * wrapped to signed) → md5 fingerprint over the FULL word array +
+    * set-bit count. Bit-exact: position math is the mix64Pmod stream the
+    * engine aggregate runs, and OR/distinct are order-independent. */
+  def bloomSketchOracle(numBits: Int, numHashes: Int): String = {
+    val nWords = numBits / 64
+    val pow2a = (0 to 63).map(k => s"${BigInt(2).pow(k)}::HUGEINT")
+      .mkString("[", ", ", "]")
+    val posSelects = (0 until numHashes).map { j =>
+      s"SELECT lang, ${mix64Pmod("h", numBits.toLong, seed = j.toLong)} AS pos FROM hl"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH $shingleHashCtes,
+      ps AS MATERIALIZED (SELECT DISTINCT lang, pos FROM (
+        $posSelects)),
+      nb AS (SELECT lang, count(*)::BIGINT AS n_set_bits FROM ps GROUP BY 1),
+      wd0 AS (SELECT lang, (pos // 64)::BIGINT AS w,
+                sum(($pow2a)[(pos % 64) + 1]) AS raw
+              FROM ps GROUP BY 1, 2),
+      wd AS (SELECT lang, w,
+               (CASE WHEN raw >= 9223372036854775808::HUGEINT
+                     THEN raw - $M ELSE raw END)::BIGINT AS word
+             FROM wd0),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      grid AS (SELECT unnest(range(0, $nWords))::BIGINT AS w),
+      fw AS (SELECT l.lang, g.w, coalesce(wd.word, 0)::BIGINT AS word
+             FROM langs l CROSS JOIN grid g
+             LEFT JOIN wd ON wd.lang = l.lang AND wd.w = g.w),
+      fp AS (SELECT lang, md5(string_agg(word::VARCHAR, ',' ORDER BY w))
+               AS words_md5
+             FROM fw GROUP BY 1)
+      SELECT f.lang, $numBits::BIGINT AS m_bits, $numHashes::BIGINT AS k_hashes,
+             f.words_md5, nb.n_set_bits
+      FROM fp f JOIN nb USING (lang) ORDER BY lang"""
+  }
+
+  /** DuckDB replica of `TextAnalysis.bloomDecontaminate` on the
+    * bench-below-20 fixture: benchmark bit-position set, corpus shingles
+    * "hit" iff ALL k of their positions are set (count of DISTINCT j
+    * matching = k — two streams of one hash may collide on a position,
+    * so the count is over j, not positions), exact overlay via plain
+    * membership. */
+  def bloomDecontaminateOracle(numBits: Int, numHashes: Int): String = {
+    val xx = xxh64Str("s", padLen = 20)
+    def posSelects(src: String, cols: String) = (0 until numHashes).map { j =>
+      s"SELECT $cols, $j AS j, ${mix64Pmod("h", numBits.toLong, seed = j.toLong)} AS pos FROM $src"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      sh3 AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS hs
+              FROM t),
+      ds AS (SELECT DISTINCT doc_id, unnest(hs) AS s FROM sh3),
+      dh AS MATERIALIZED (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM ds)),
+      benchh AS MATERIALIZED (
+        SELECT DISTINCT h FROM ds JOIN dh USING (s) WHERE doc_id < 20),
+      corph AS MATERIALIZED (
+        SELECT DISTINCT doc_id, h FROM ds JOIN dh USING (s) WHERE doc_id >= 20),
+      bps AS MATERIALIZED (SELECT DISTINCT pos FROM (
+        ${posSelects("benchh", "h")})),
+      cpos AS (${posSelects("corph", "doc_id, h")}),
+      hith AS (SELECT doc_id, h FROM cpos
+               WHERE pos IN (SELECT pos FROM bps)
+               GROUP BY doc_id, h HAVING count(DISTINCT j) = $numHashes),
+      bh AS (SELECT doc_id, count(*)::BIGINT AS bloom_hits FROM hith GROUP BY 1),
+      ns AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corph GROUP BY 1),
+      ex AS (SELECT doc_id, count(*)::BIGINT AS exact_hits FROM corph
+             WHERE h IN (SELECT h FROM benchh) GROUP BY 1)
+      SELECT ns.doc_id, ns.n_shingles,
+             coalesce(bh.bloom_hits, 0)::BIGINT AS bloom_hits,
+             coalesce(ex.exact_hits, 0)::BIGINT AS exact_hits
+      FROM ns LEFT JOIN bh USING (doc_id) LEFT JOIN ex USING (doc_id)
+      ORDER BY ns.doc_id"""
+  }
+
   def hllOracle(p: Int): String = {
     val m = 1 << p
     val pow2a = (0 to 64).map(k => s"${BigInt(2).pow(k)}::HUGEINT")

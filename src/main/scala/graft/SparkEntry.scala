@@ -2259,6 +2259,63 @@ object SparkEntry {
     TextAnalysis.hllCardinality(t(s, dir, "documents"), "text", p = 8, "lang")
       .orderBy("lang")
 
+  /** Per-lang Bloom membership sketch AS the gate artifact (md5 of the
+    * exact 4096-word bit array + set-bit count) — the third mergeable
+    * sketch beside HLL and Count-Min; see
+    * [[TextAnalysis.bloomSketchWords]]. Sizing: 2^18 bits / k=5 holds the
+    * per-lang shingle sets (~3-20k distinct) at a low load factor, so the
+    * array is information-bearing, not saturated. */
+  private def textBloomSketch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bloomReport(
+        TextAnalysis.bloomSketchWords(t(s, dir, "documents"), "text",
+          Seq("lang"), numBits = 262144, numHashes = 5),
+        numBits = 262144, numHashes = 5, Seq("lang"))
+      .orderBy("lang")
+
+  /** Bloom-probed decontamination with the bench sketch broadcast into a
+    * codegen'd per-shingle probe — `bloom_hits` beside the exact overlay,
+    * so the zero-false-negative contract is a visible row invariant
+    * (`bloom_hits >= exact_hits`). See [[TextAnalysis.bloomDecontaminate]]. */
+  private def textBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bloomDecontaminate(
+        docs.where(col("doc_id") >= 20), "doc_id", "text",
+        docs.where(col("doc_id") < 20), "text",
+        numBits = 65536, numHashes = 7)
+      .orderBy("doc_id")
+  }
+
+  /** The Bloom sketch maintained by a LIVE streaming aggregation —
+    * batch/stream parity for the word-wise-OR merge under the state
+    * store, exactly like `stream_hll_cardinality` pins the HLL max-merge.
+    * Same oracle as `text_bloom_sketch`. */
+  private def streamBloomSketch(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val docs = t(s, dir, "documents")
+    val work = graft.util.TempDirs.create("graft-stream-bloom")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      inDir.resolve("documents.parquet"))
+    val stream = s.readStream.schema(docs.schema).parquet(inDir.toString)
+    val words = TextAnalysis.shingleHashRows(stream, "text", Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.Sketches.bloomBits(col("__h"), 262144, 5)
+        .as("words"))
+    val sinkName = s"stream_bloom_${layoutTag(dir)}"
+    val q = words.writeStream.outputMode("complete")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(sinkName).start()
+    q.awaitTermination()
+    // result reads only the in-memory sink — the staged copy can go now
+    graft.util.TempDirs.deleteNow(work)
+    TextAnalysis.bloomReport(s.table(sinkName), numBits = 262144,
+        numHashes = 5, Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** The HLL sketch maintained by a LIVE streaming aggregation: the
     * documents table arrives as a file stream, the custom
     * [[graft.functions.HllRegisters]] buffer aggregates under the
@@ -3706,6 +3763,9 @@ object SparkEntry {
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
     "stream_hll_cardinality" -> streamHllCardinality _,
+    "text_bloom_sketch"   -> textBloomSketch _,
+    "text_bloom_decontaminate" -> textBloomDecontaminate _,
+    "stream_bloom_sketch" -> streamBloomSketch _,
     "stream_heavy_hitters" -> streamHeavyHitters _,
     "events_hourly_profile" -> eventsHourlyProfile _,
     "graph_pagerank"      -> graphPagerank _,
@@ -6695,6 +6755,9 @@ object SparkEntry {
                                                  minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "text_hll_rollup" -> OracleXX.hllRollupOracle(p = 8),
+    "text_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),
+    "stream_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),
+    "text_bloom_decontaminate" -> OracleXX.bloomDecontaminateOracle(numBits = 65536, numHashes = 7),
     // live streaming sketch must land on the batch gate's exact bytes
     "stream_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "events_hourly_profile" -> """

@@ -87,10 +87,135 @@ case class HllRegisters(
   override def prettyName: String = "graft_hll_regs"
 }
 
+/** Bloom-filter bit array as a native Catalyst aggregate — the mergeable
+  * MEMBERSHIP sketch completing the set the other two sketches started
+  * (HLL = cardinality, Count-Min = frequency): "was this shingle/url/id
+  * seen in corpus X" with zero false negatives and a tunable false-positive
+  * rate, in `numBits` of state per group regardless of corpus size.
+  *
+  * Why not Spark's internal `BloomFilterAggregate`: same reason as HLL —
+  * the buffer is an opaque blob tied to Spark's serialization, not
+  * exportable, not cross-engine verifiable. This aggregate RETURNS the bit
+  * array (`ARRAY<LONG>`, `numBits/64` words), so the sketch is the
+  * artifact: the DuckDB oracle replays the exact bit positions from the
+  * same hashes (`OracleXX.mix64Pmod` streams) and matches the words
+  * bit-for-bit, and two arrays from different corpus partitions union by
+  * element-wise OR — the merge that lets a 100 TB build keep one small
+  * buffer per task and broadcast the result to probe a stream.
+  *
+  * Input is a 64-bit hash column (`xxhash64(value)`); the `j`-th probe
+  * position is `floorMod(splitmix64_at(seed=j, n=h), numBits)` — k
+  * independent derived streams off one input hash (standard double-ish
+  * hashing via a full mixer), each replayable as ~1 KB of oracle SQL.
+  * Update O(k); merge = word-wise OR (associative, commutative —
+  * deterministic under any partitioning). Probing is DECLARATIVE
+  * ([[Sketches.bloomMightContain]] unrolls k codegen'd bit tests), so the
+  * hot probe path never leaves whole-stage codegen. */
+case class BloomBits(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 28),
+    s"graft_bloom_bits: numBits must be a positive multiple of 64 <= 2^28, got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"graft_bloom_bits: numHashes must be in [1, 16], got $numHashes")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits / 64)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < numHashes) {
+        val pos = java.lang.Math.floorMod(
+          graft.util.SplitMix64.at(j.toLong, h), numBits.toLong).toInt
+        buffer(pos >>> 6) |= (1L << (pos & 63))
+        j += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) {
+      buffer(i) |= other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+  override def deserialize(storage: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](storage.length / 8)
+    java.nio.ByteBuffer.wrap(storage).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBits =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBits =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomBits =
+    copy(child = newChild)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect("graft_bloom_bits", child -> LongType)
+  override def prettyName: String = "graft_bloom_bits"
+}
+
 object Sketches {
   /** Column wrapper: HLL registers of a 64-bit-hash column, 2^p buckets. */
   def hllRegisters(hash: Column, p: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(HllRegisters(expression(hash), p).toAggregateExpression())
+  }
+
+  /** Column wrapper: Bloom bit array (`ARRAY<LONG>`) of a 64-bit-hash
+    * column — `numBits` bits set through `numHashes` derived streams. */
+  def bloomBits(hash: Column, numBits: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(BloomBits(expression(hash), numBits, numHashes)
+      .toAggregateExpression())
+  }
+
+  /** Declarative Bloom probe: true iff every one of the `numHashes` bit
+    * positions of `hash` is set in `words` (an `ARRAY<LONG>` built by
+    * [[bloomBits]] with the same `numBits`/`numHashes`). Statically
+    * unrolled over j — k codegen'd bit tests, no lambda, no UDF — so a
+    * 100 TB probe scan stays inside whole-stage codegen with the sketch
+    * riding a broadcast. Zero false negatives by construction. */
+  def bloomMightContain(hashCol: Column, words: Column, numBits: Int,
+                        numHashes: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"bloomMightContain: numBits must be a positive multiple of 64, got $numBits")
+    // Spark's shiftleft/shiftright take a LITERAL shift count, so the
+    // dynamic bit test goes through a 64-entry power-of-two literal array
+    // (index 64 = 1L<<63 = Long.MinValue — the sign bit as a mask)
+    val pow2 = array((0 until 64).map(b => lit(1L << b)): _*)
+    (0 until numHashes).map { j =>
+      // pos >= 0 (pmod) and < 2^28, so the double-typed `/64` is exact
+      // (needs < 2^53) and &63 is the exact mod
+      val pos = pmod(Mix64.mix64(hashCol, j.toLong), lit(numBits.toLong))
+      val word = element_at(words,
+        floor(pos.cast("double") / 64.0).cast("int") + 1)
+      word.bitwiseAND(element_at(pow2,
+        pos.bitwiseAND(lit(63L)).cast("int") + 1)) =!= lit(0L)
+    }.reduce(_ && _)
   }
 }

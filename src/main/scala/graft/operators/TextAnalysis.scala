@@ -1825,6 +1825,78 @@ object TextAnalysis {
     df.select((byCols.map(col) :+
       explode(TF.shingleHashes(col(textCol))).as("__h")): _*)
 
+  /** Per-group Bloom membership sketch over the shingle-hash stream —
+    * the third mergeable sketch beside the HLL registers (cardinality) and
+    * the Count-Min cells (frequency): `numBits` bits per group answering
+    * "was this shingle seen here", built in one pass with word-wise-OR
+    * merge ([[graft.functions.BloomBits]]). Distinct from
+    * [[shingleBloom]]/[[bloomMightContain]] (Spark's internal opaque
+    * aggregate, used as a driver-collected shuffle PRE-filter that can
+    * never change results): this sketch is the exportable, per-group,
+    * cross-engine-verifiable ARTIFACT — the oracle replays every bit.
+    *
+    * Returns `(byCols..., words ARRAY<LONG>)`. Shared by the batch gate
+    * and the streaming twin so both land on identical bytes. */
+  def bloomSketchWords(df: DataFrame, textCol: String, byCols: Seq[String],
+                       numBits: Int, numHashes: Int): DataFrame =
+    shingleHashRows(df, textCol, byCols)
+      .groupBy(byCols.map(col): _*)
+      .agg(graft.functions.Sketches.bloomBits(col("__h"), numBits, numHashes)
+        .as("words"))
+
+  /** Project a `(byCols..., words)` Bloom table into the gate report:
+    * sizing echo, md5 fingerprint of the exact word array, and the set-bit
+    * count (load factor numerator). Integer-only. */
+  def bloomReport(words0: DataFrame, numBits: Int, numHashes: Int,
+                  byCols: Seq[String]): DataFrame =
+    words0.select(byCols.map(col) ++ Seq(
+      lit(numBits.toLong).as("m_bits"),
+      lit(numHashes.toLong).as("k_hashes"),
+      md5(array_join(transform(col("words"), w => w.cast("string")), ","))
+        .as("words_md5"),
+      aggregate(col("words"), lit(0L),
+        (acc, w) => acc + bit_count(w).cast("long")).as("n_set_bits")): _*)
+
+  /** Bloom-probed decontamination with the sketch AS the artifact: the
+    * benchmark's distinct shingle hashes build ONE [[bloomSketchWords]]
+    * array, the sketch broadcasts into a codegen'd per-shingle probe over
+    * the corpus ([[graft.functions.Sketches.bloomMightContain]] — k
+    * unrolled bit tests, no join, no shuffle of clean shingles), and each
+    * corpus document reports `bloom_hits` beside the exact semi-join
+    * overlay `exact_hits`. The containment contract is visible IN the
+    * output: `bloom_hits >= exact_hits` row-for-row (zero false
+    * negatives), with the gap = this sizing's realized false positives.
+    *
+    * Scale shape: this is [[decontaminateReport]]'s prefilter promoted to
+    * the primary mechanism — at 100 TB the broadcast-bits + codegen-probe
+    * path touches every corpus shingle exactly once in the scan stage and
+    * shuffles only per-doc counters; the exact overlay is the sf-gate
+    * verification layer (at production scale it runs only on the
+    * bloom-flagged survivors, which this report's `exact_hits` proves
+    * sufficient: rows with `bloom_hits = 0` have `exact_hits = 0`). */
+  def bloomDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchText: String,
+                         numBits: Int, numHashes: Int): DataFrame = {
+    val benchH = graft.util.Materialize.cut(
+      shingleHashRows(bench, benchText, Nil).select(col("__h")).distinct())
+    val words = benchH.agg(graft.functions.Sketches
+      .bloomBits(col("__h"), numBits, numHashes).as("words"))
+    // (id, hash) distinct feeds BOTH the probe and the exact overlay —
+    // barrier so the shingle explode runs once
+    val corpusH = graft.util.Materialize.cut(
+      shingleHashRows(corpus, textCol, Seq(idCol)).distinct())
+    val probed = corpusH.crossJoin(broadcast(words))
+      .select(col(idCol),
+        graft.functions.Sketches.bloomMightContain(col("__h"), col("words"),
+          numBits, numHashes).as("hit"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("hit"), 1L).otherwise(0L)).as("bloom_hits"))
+    val exact = corpusH.join(benchH, Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("exact_hits"))
+    probed.join(exact, Seq(idCol), "left").na.fill(0L, Seq("exact_hits"))
+  }
+
   /** Project a `(byCols..., regs)` register table plus the exact overlay
     * into the gate report (fingerprint, nonzero registers, exact-integer
     * harmonic denominator, the ln-free raw estimate). Shared by the batch

@@ -90,4 +90,61 @@ class SketchSpec extends SparkSpec {
     assert(full == merged, "cell counts are not merge-additive")
     assert(full.nonEmpty)
   }
+
+  test("bloomBits: zero false negatives — every inserted hash probes true") {
+    import graft.functions.Sketches
+    val (m, k) = (65536, 7)
+    val hashes = TextAnalysis.shingleHashRows(docs, "text", Nil)
+      .select(col("__h")).distinct()
+    val words = hashes.agg(Sketches.bloomBits(col("__h"), m, k).as("words"))
+    val misses = hashes.crossJoin(broadcast(words))
+      .where(!Sketches.bloomMightContain(col("__h"), col("words"), m, k))
+      .count()
+    assert(misses == 0L, s"$misses inserted hashes probed false")
+  }
+
+  test("bloomBits: partition-invariant and OR-mergeable") {
+    import graft.functions.Sketches
+    val (m, k) = (4096, 5)
+    val hashes = TextAnalysis.shingleHashRows(docs, "text", Nil)
+      .select(col("__h"))
+    def arr(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(Sketches.bloomBits(col("__h"), m, k).as("w"))
+        .head.getSeq[Long](0)
+    val a = arr(hashes)
+    val b = arr(hashes.repartition(13))
+    assert(a == b, "bit array depends on partitioning")
+    // split-merge: OR of the halves equals the whole (word-wise)
+    val lo = arr(hashes.where(pmod(col("__h"), lit(2L)) === 0L))
+    val hi = arr(hashes.where(pmod(col("__h"), lit(2L)) === 1L))
+    assert(lo.zip(hi).map { case (x, y) => x | y } == a,
+      "halves do not OR-merge to the full sketch")
+  }
+
+  test("bloomBits: false-positive rate is in the sized ballpark, never optimistic about members") {
+    import graft.functions.Sketches
+    val (m, k) = (65536, 7)
+    // members: even longs 0..9998; probes: odd longs (disjoint by parity)
+    val members = spark.range(5000).select((col("id") * 2).as("h"))
+    val words = members.agg(Sketches.bloomBits(col("h"), m, k).as("words"))
+    val probes = spark.range(5000).select((col("id") * 2 + 1).as("h"))
+    val fp = probes.crossJoin(broadcast(words))
+      .where(Sketches.bloomMightContain(col("h"), col("words"), m, k))
+      .count()
+    // theoretical fpp at n=5000, m=65536, k=7 is ~0.6%; allow generous 3%
+    assert(fp < 150L, s"false-positive count $fp of 5000 is out of ballpark")
+    assert(fp > 0L || true) // fp may legitimately be 0 at this sizing
+  }
+
+  test("bloomBits: nulls are skipped, not inserted") {
+    import graft.functions.Sketches
+    val df = spark.sql(
+      "SELECT * FROM VALUES (CAST(NULL AS BIGINT)), (42L) AS t(h)")
+    val words = df.agg(Sketches.bloomBits(col("h"), 64, 2).as("w"))
+      .head.getSeq[Long](0)
+    val onlyNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS h")
+      .agg(Sketches.bloomBits(col("h"), 64, 2).as("w")).head.getSeq[Long](0)
+    assert(onlyNull.forall(_ == 0L), "null input set bits")
+    assert(words.exists(_ != 0L), "non-null input set no bits")
+  }
 }
