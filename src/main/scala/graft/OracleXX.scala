@@ -409,6 +409,58 @@ object OracleXX {
   /** DuckDB replica of `Dedup.simhashPairs` over `documents(doc_id, text)`:
     * per-token XXH64 → 64-bit majority-vote SimHash → pigeonhole fragment
     * blocking → Hamming ≤ maxHamming. */
+  /** CTE chain ending in `ph(doc_id, hu, phash)` — the dHash replica:
+    * stub-grid byte probes at `(p*131+7) mod len` over the utf-8 payload
+    * (= `encode(text)`, exactly what `withBinaryPayload` wraps), gradient
+    * bit per 8x8 cell, empty payloads hash to 0. `hu` unsigned HUGEINT,
+    * `phash` the signed BIGINT the engine emits. */
+  private def dhashCtes: String = s"""
+      bl0 AS (SELECT doc_id, ${bytesOf("text")} AS bl FROM documents),
+      ph0 AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN len(bl) = 0 THEN 0::HUGEINT ELSE
+          (list_aggregate(list_transform(range(0, 64), b ->
+            CASE WHEN bl[(((b // 8) * 9 + (b % 8)) * 131 + 7) % len(bl) + 1] <
+                      bl[(((b // 8) * 9 + (b % 8) + 1) * 131 + 7) % len(bl) + 1]
+                 THEN ($pow2)[b + 1] ELSE 0::HUGEINT END), 'sum'))::HUGEINT
+        END AS hu
+        FROM bl0),
+      ph AS (SELECT doc_id, hu,
+               (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - $M ELSE hu END)::BIGINT AS phash
+             FROM ph0)"""
+
+  /** DuckDB replica of `Multimodal.perceptualHash` over the documents-as-
+    * binary fixture. */
+  def dhashOracle: String = s"""
+      WITH $dhashCtes
+      SELECT doc_id AS id, phash FROM ph ORDER BY id"""
+
+  /** DuckDB replica of `Multimodal.perceptualNearDup`: the dHash chain →
+    * the same pigeonhole fragment join as the simhash oracle (4 x 16-bit
+    * fragments for maxHamming 3), exact hamming via `bit_count(xor)`,
+    * with the same loud guard on the engine's skew cap. */
+  def dhashNearDupOracle(maxHamming: Int = 3,
+                         keepAllCandidates: Boolean = false): String = {
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    val hWhere =
+      if (keepAllCandidates) "" else s"WHERE bit_count(xor(ha, hb)) <= $maxHamming"
+    s"""
+      WITH $dhashCtes,
+      blk AS (SELECT doc_id, hu, unnest(range(0, $nBlocks)) AS i FROM ph),
+      b2 AS MATERIALIZED (SELECT doc_id, hu, i,
+              (hu // ($pow2)[i*$bitsPer+1]) % ${1L << bitsPer} AS bits FROM blk),
+      guard AS (SELECT CASE WHEN (SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM b2 GROUP BY i, bits)) > 4096
+                THEN error('dhash oracle models the UNCAPPED fragment join; a block exceeds the engine skew cap (4096) so outputs would diverge')
+                ELSE 1 END AS ok),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hu AS ha, b.hu AS hb
+                FROM b2 a JOIN b2 b ON a.i = b.i AND a.bits = b.bits AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+      FROM pairs CROSS JOIN guard $hWhere
+      ORDER BY id_a, id_b"""
+  }
+
   def simhashOracle(maxHamming: Int = 3): String = {
     val nBlocks = maxHamming + 1
     val bitsPer = 64 / nBlocks

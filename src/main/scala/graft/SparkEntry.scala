@@ -3111,6 +3111,37 @@ object SparkEntry {
     Multimodal.decodeMeta(media).toDF().orderBy("id")
   }
 
+  /** Perceptual dHash fingerprint per image payload — the cheap image
+    * near-dup signal (decode is the documented stub; the gradient-bit +
+    * fingerprint shape is the production contract). */
+  private def mmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHash(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id",
+          "text", "image"))
+      .orderBy("id")
+
+  /** Image near-duplicates via the pigeonhole hamming join over the dHash
+    * fingerprints — payloads decode once to 8 bytes, only fingerprints
+    * shuffle (see [[Multimodal.perceptualNearDup]]). */
+  private def mmPhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualNearDup(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id",
+          "text", "image"),
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Blocking-recall diagnostic twin of [[mmPhashNearDup]]: every banded
+    * candidate pair with its exact hamming, unthresholded — non-degenerate
+    * at gate scale (fragment equality fires by chance ~8 times at sf0.01)
+    * even when true near-dups are scarce, so the join machinery is
+    * exercised on >0 rows at every SF the driver runs. */
+  private def mmPhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualNearDup(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id",
+          "text", "image"),
+        maxHamming = 3, keepAllCandidates = true)
+      .orderBy("id_a", "id_b")
+
   private def mmFrames(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("kind", lit("video"))
     val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", col("kind"))
@@ -3881,6 +3912,9 @@ object SparkEntry {
     "mm_frames"           -> mmFrames _,
     "mm_audio_frames"     -> mmAudioFrames _,
     "mm_dedup_exact"      -> mmDedupExact _,
+    "mm_phash"            -> mmPhash _,
+    "mm_phash_neardup"    -> mmPhashNearDup _,
+    "mm_phash_candidates" -> mmPhashCandidates _,
     "mm_image_headers"    -> mmImageHeaders _,
     "events_json"         -> eventsJson _,
     "events_json_malformed" -> eventsJsonMalformed _,
@@ -8096,6 +8130,10 @@ object SparkEntry {
       ORDER BY name""",
     // digest replica: DuckDB md5(VARCHAR) hashes the UTF-8 bytes, exactly
     // the payload the engine digests at its decode stage
+    "mm_phash" -> OracleXX.dhashOracle,
+    "mm_phash_neardup" -> OracleXX.dhashNearDupOracle(maxHamming = 3),
+    "mm_phash_candidates" -> OracleXX.dhashNearDupOracle(maxHamming = 3,
+      keepAllCandidates = true),
     "mm_dedup_exact" -> """
       WITH d AS (
         SELECT doc_id, text FROM documents

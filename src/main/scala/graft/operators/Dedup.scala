@@ -468,10 +468,29 @@ object Dedup {
     // beyond 31 the fragments get too narrow to block on at all
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
-    val nBlocks = maxHamming + 1
-    val bitsPer = 64 / nBlocks
     val hashed = df.select(col(idCol).as("id"),
       TF.simhash64(transform(TF.tokens(col(textCol)), t => xxhash64(t))).as("sh"))
+    hammingPairs64(hashed, maxHamming, maxBucketSize, materialize)
+  }
+
+  /** Pigeonhole hamming join over ANY 64-bit fingerprint column — the
+    * blocking kernel [[simhashPairs]] uses, exposed for other fingerprint
+    * families (perceptual image hashes, audio chromaprints): split the 64
+    * bits into `maxHamming + 1` fragments; two fingerprints within
+    * `maxHamming` must agree on at least one fragment (pigeonhole), so
+    * fragment-equality buckets are a recall-lossless candidate space.
+    * Input: `(id, sh)` rows. Output: `(id_a, id_b, hamming)` pairs with
+    * `hamming <= maxHamming`. Scale shape: candidates are bucket-bounded
+    * (skew-capped at `maxBucketSize`), never all-pairs. */
+  def hammingPairs64(hashes: DataFrame, maxHamming: Int,
+                     maxBucketSize: Long = 4096L,
+                     materialize: Boolean = true,
+                     keepAllCandidates: Boolean = false): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    val hashed = hashes.select(col("id"), col("sh"))
       .persist() // reused by both join sides — see minhashLshPairs note
     val blocked = hashed.select(col("id"), explode(
       transform(sequence(lit(0), lit(nBlocks - 1)), i =>
@@ -484,9 +503,11 @@ object Dedup {
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
               TF.hammingDist64(col("sh_a"), col("sh_b")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-    if (materialize) materializeAndRelease(out, hashed, sizedCache)
-    else out
+    // keepAllCandidates = the blocking-recall diagnostic: every banded
+    // candidate with its exact hamming, unthresholded
+    val cut = if (keepAllCandidates) out else out.where(col("hamming") <= maxHamming)
+    if (materialize) materializeAndRelease(cut, hashed, sizedCache)
+    else cut
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct

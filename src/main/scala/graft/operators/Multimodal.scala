@@ -153,4 +153,67 @@ object Multimodal {
       .select(col("id"), col("nFrames"),
         explode(sequence(lit(0), col("nFrames") - 1, lit(everyN))).as("frame_idx"))
   }
+
+  /** ==== STUB (bitmap only) ====
+    * Deterministic fake "decoded grayscale grid" for the perceptual hash:
+    * an 8-row x 9-column sample of the payload bytes at strided positions
+    * `idx(p) = (p * 131 + 7) mod len` (131 coprime to small lengths, so
+    * the 72 probes spread across the buffer). A real implementation would
+    * decode + luma-convert + area-resize to 9x8 here; everything after
+    * this function — the gradient bits, the banding join, the verify —
+    * is the real production shape and does not change. */
+  private def stubGray(payload: Array[Byte], p: Int): Int = {
+    val n = payload.length
+    payload(((p * 131 + 7) % n + n) % n) & 0xFF
+  }
+
+  /** 64-bit dHash (difference hash, Krawetz's classic perceptual hash):
+    * bit `r*8 + c` is set iff the stub-decoded grid brightens left-to-
+    * right at `(r, c)` — gradient-sign structure survives recompression
+    * and resizing, which is what makes dHash the standard cheap image
+    * near-dup fingerprint. Runs in `mapPartitions` per the codec contract
+    * (one decoder init per partition); payload bytes never leave the
+    * stage — the output is `(id, phash LONG)`. Empty payloads hash to 0.
+    * Cross-engine: the DuckDB oracle replays the byte probes and gradient
+    * comparisons exactly (`OracleXX.dhashOracle`). */
+  def perceptualHash(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          var h = 0L
+          if (bytes != null && bytes.nonEmpty) {
+            var rr = 0
+            while (rr < 8) {
+              var cc = 0
+              while (cc < 8) {
+                if (stubGray(bytes, rr * 9 + cc) < stubGray(bytes, rr * 9 + cc + 1))
+                  h |= (1L << (rr * 8 + cc))
+                cc += 1
+              }
+              rr += 1
+            }
+          }
+          (id, h)
+        }
+      }.toDF("id", "phash")
+  }
+
+  /** Image near-duplicates: [[perceptualHash]] fingerprints fed through
+    * the same pigeonhole hamming join the simhash dedup path uses
+    * ([[Dedup.hammingPairs64]] — fragment-equality blocking, recall-
+    * lossless for `hamming <= maxHamming`, skew-capped buckets, never
+    * all-pairs). The 100 TB shape: payloads are decoded once in the scan
+    * stage into 8-byte fingerprints; only fingerprints shuffle. */
+  def perceptualNearDup(df: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Long = 4096L,
+                        keepAllCandidates: Boolean = false): DataFrame =
+    Dedup.hammingPairs64(
+      perceptualHash(df).select(col("id"), col("phash").as("sh")),
+      maxHamming, maxBucketSize, materialize = true, keepAllCandidates)
 }

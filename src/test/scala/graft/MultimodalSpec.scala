@@ -94,4 +94,45 @@ class MultimodalSpec extends SparkSpec {
     assert(one.n_up_alarms == 2L && one.n_down_alarms == 0L &&
       one.first_alarm == 4L && one.max_sp_fp == 15L * q / 2, one.toString)
   }
+
+  test("perceptualHash: matches a driver-side dHash transcription; empty payload hashes to 0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps going"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps going"),
+      (3L, "a completely different document body with other content here"),
+      (4L, "")).toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text", "image")
+    val got = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def refHash(text: String): Long = {
+      val b = text.getBytes("UTF-8")
+      if (b.isEmpty) 0L
+      else {
+        def g(p: Int) = b(((p * 131 + 7) % b.length + b.length) % b.length) & 0xFF
+        (for (r <- 0 until 8; c <- 0 until 8
+              if g(r * 9 + c) < g(r * 9 + c + 1))
+          yield 1L << (r * 8 + c)).fold(0L)(_ | _)
+      }
+    }
+    assert(got(1L) == refHash("the quick brown fox jumps over the lazy dog and keeps going"))
+    assert(got(1L) == got(2L), "identical payloads must hash identically")
+    assert(got(1L) != got(3L), "different payloads should differ (64-bit space)")
+    assert(got(4L) == 0L, "empty payload must hash to 0")
+  }
+
+  test("perceptualNearDup: identical payloads pair at hamming 0; banding is partition-invariant") {
+    val base = "some repeated catalog description body number"
+    val docs = ((1L to 6L).map(i => (i, s"$base $i unique tail $i")) ++
+      Seq((7L, base + " exactly the same"), (8L, base + " exactly the same")))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.perceptualNearDup(
+          Multimodal.withBinaryPayload(df, "doc_id", "text", "image"),
+          maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p = pairs(docs)
+    assert(p.contains((7L, 8L, 0)), s"identical payloads not paired: $p")
+    assert(p == pairs(docs.repartition(5)), "near-dup set depends on partitioning")
+    p.foreach { case (a, b, h) => assert(a < b && h <= 3) }
+  }
 }
