@@ -3279,6 +3279,63 @@ object SparkEntry {
     * through the SAME `Analytics.funnelSummary` as the batch funnel — gated
     * against the identical oracle as `events_funnel`, proving
     * batch/streaming parity for order-sensitive stateful analytics. */
+  /** Native `session_window` sessionization run LIVE: the event stream
+    * arrives as three micro-batches (data, then two far-future sentinel
+    * rows whose only job is to push the watermark past every real session
+    * so append mode flushes them — the sentinel's own open session never
+    * emits and is filtered besides), gap-merged session state under the
+    * streaming store, then a per-user rollup of the emitted sessions.
+    *
+    * Session semantics pinned by the oracle: Spark merges an event into a
+    * session iff it lands STRICTLY inside `last + gap` — a gap of exactly
+    * 30 min SPLITS (oracle replays `diff >= gap` breaks; note the batch
+    * `stream_sessionize` report splits on `diff > gap` — the two
+    * definitions genuinely differ at the boundary and each gate row pins
+    * its own). `active_ms` = last-first per session, summed per user
+    * (derived from window bounds: end - start - gap). */
+  private def streamSessionWindow(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val work = graft.util.TempDirs.create("graft-stream-sesswin")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("user_id"), col("ts_ms"))
+    val maxMs = ev.agg(max("ts_ms")).head().getLong(0)
+    import s.implicits._
+    Seq(("b0", ev),
+        ("b1", Seq((-1L, maxMs + 10000000L)).toDF(ev.columns: _*)),
+        ("b2", Seq((-2L, maxMs + 20000000L)).toDF(ev.columns: _*)))
+      .zipWithIndex.foreach { case ((name, df), i) =>
+        val part = work.resolve(name)
+        df.coalesce(1).write.parquet(part.toString)
+        val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $part"))
+        val dst = inDir.resolve(s"$name.parquet").toFile
+        require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+      }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val sessions = incoming
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val out = work.resolve("out").toString
+    val q = sessions
+      .select(col("user_id"), col("n_events"),
+        (unix_millis(col("session_window.end")) -
+         unix_millis(col("session_window.start")) - 1800000L).as("active"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    s.read.parquet(out).where(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+           sum("active").as("active_ms"))
+      .orderBy("user_id")
+  }
+
   private def streamFunnel(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val steps = Seq("signup", "view", "click", "purchase")
@@ -3617,6 +3674,7 @@ object SparkEntry {
     // streaming semantics (batch twins; live-stream path covered in tests)
     "stream_hour_window"  -> streamHourWindow _,
     "stream_sessionize"   -> streamSessionize _,
+    "stream_session_window" -> streamSessionWindow _,
     "stream_dedup_events" -> streamDedupEvents _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_left" -> streamIntervalJoinLeft _,
@@ -5238,6 +5296,28 @@ object SparkEntry {
       SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
              count(*)::BIGINT AS n_events
       FROM g GROUP BY user_id ORDER BY user_id""",
+    // session_window twin: break at diff >= gap (Spark merges only a
+    // STRICT overlap; exactly-gap splits), active = last-first per session
+    "stream_session_window" -> """
+      WITH o AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               lag(epoch_ms(ts)) OVER w AS prev
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (SELECT user_id, ms,
+              CASE WHEN prev IS NULL OR ms - prev >= 1800000
+                   THEN 1 ELSE 0 END AS brk
+            FROM o),
+      sid AS (SELECT user_id, ms,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g),
+      sess AS (SELECT user_id, sid, count(*)::BIGINT AS n_events,
+                 (max(ms) - min(ms))::BIGINT AS active
+               FROM sid GROUP BY 1, 2)
+      SELECT user_id, count(*)::BIGINT AS n_sessions,
+             sum(n_events)::BIGINT AS n_events,
+             sum(active)::BIGINT AS active_ms
+      FROM sess GROUP BY user_id ORDER BY user_id""",
     "stream_dedup_events" -> """
       SELECT user_id, event_type, min(event_id) AS first_event_id,
              count(*)::BIGINT AS n
