@@ -2096,6 +2096,25 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("hub_fp"), col("auth_fp"))
       .orderBy("doc_id")
 
+  /** Personalized PageRank from the BFS-family seed set (every 50th doc
+    * id) over the minhash candidate graph: rank = proximity to the seeds
+    * through near-dup structure — the related-documents expansion the
+    * uniform `graph_pagerank` cannot express. 5 integer rounds, bit-exact
+    * vs the unrolled seeded-teleport replay. */
+  private def graphPprJump(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id",
+        "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val seeds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .where(col("id") % 50 === 0).distinct()
+    operators.Graph.personalizedPageRank(pairs, "id_a", "id_b", seeds,
+        iters = 5)
+      .select(col("id").as("doc_id"), col("rank").as("rank_fp"),
+        col("is_seed"))
+      .orderBy("doc_id")
+  }
+
   /** Hop-bounded multi-source BFS over the minhash candidate graph:
     * quarantine-neighborhood expansion from seed documents (here every
     * 50th doc id) — every node within 4 hops of a seed, with its hop
@@ -2187,6 +2206,46 @@ object SparkEntry {
       $chain
       SELECT i.id AS doc_id, i.rank AS rank_fp, d.deg
       FROM it$iters i JOIN dg d ON i.id = d.src ORDER BY doc_id"""
+  }
+
+  /** DuckDB replica of `Graph.personalizedPageRank` over the minhash
+    * candidate graph with the BFS-family seed set: r0 concentrates the
+    * mass on the seeds, and each unrolled round adds the seeded teleport
+    * base only where a seed marker joins — all `//` truncation on
+    * non-negative BIGINTs, so every intermediate matches the engine. */
+  private def pprOracle(iters: Int): String = {
+    def it(prev: String, cur: String) =
+      s"""$cur AS MATERIALIZED (SELECT e.dst AS id,
+             ((CASE WHEN s2.id IS NOT NULL
+                    THEN 150000000000 // (SELECT ns FROM nsq) ELSE 0 END)
+              + 85 * sum(r.rank // d.deg) // 100)::BIGINT AS rank
+           FROM ed e JOIN $prev r ON e.src = r.id JOIN dg d ON e.src = d.src
+           LEFT JOIN sd s2 ON s2.id = e.dst
+           GROUP BY e.dst, s2.id)"""
+    val chain = (1 to iters)
+      .map(i => it(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n      ")
+    s"""
+      WITH ${OracleXX.minhashAgreeCtes(numHashes = 128, bands = 16)},
+      -- prs2 MATERIALIZED is load-bearing: left plain it inlines into ed,
+      -- and the per-round seed LEFT JOINs then replay the whole minhash
+      -- chain (~3x, measured 8.6s -> 2.8s at sf0.01)
+      prs2 AS MATERIALIZED (SELECT id_a, id_b FROM ag WHERE agree::DOUBLE / 128 >= 0.4),
+      ed AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM prs2
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs2),
+      dg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM ed GROUP BY src),
+      sd AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed WHERE src % 50 = 0),
+      nsq AS MATERIALIZED (SELECT count(*)::BIGINT AS ns FROM sd),
+      r0 AS MATERIALIZED (SELECT n.id,
+               (CASE WHEN s2.id IS NOT NULL
+                     THEN 1000000000000 // (SELECT ns FROM nsq)
+                     ELSE 0 END)::BIGINT AS rank
+             FROM (SELECT DISTINCT src AS id FROM ed) n
+             LEFT JOIN sd s2 ON s2.id = n.id),
+      $chain
+      SELECT i.id AS doc_id, i.rank AS rank_fp, (s2.id IS NOT NULL) AS is_seed
+      FROM it$iters i LEFT JOIN sd s2 ON s2.id = i.id ORDER BY doc_id"""
   }
 
   /** DuckDB replica of `Graph.hits`: the shared banded-pairs CTEs → the
@@ -3865,6 +3924,7 @@ object SparkEntry {
     "graph_link_pred"     -> graphLinkPred _,
     "graph_hits"          -> graphHits _,
     "graph_bfs"           -> graphBfs _,
+    "graph_ppr"           -> graphPprJump _,
     "graph_landmark_est"  -> graphLandmarkEst _,
     "q_hierarchy"         -> qHierarchy _,
     "dedup_snm_multipass" -> ((s, dir) =>
@@ -6885,6 +6945,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle(iters = 5),
     "graph_hits" -> hitsOracle(rounds = 4),
     "graph_bfs" -> bfsOracle(maxHops = 4),
+    "graph_ppr" -> pprOracle(iters = 5),
     "graph_landmark_est" -> landmarkOracle(maxHops = 3),
     // first/last preceding touch via IGNORE NULLS window scans over the
     // same (ts, event_id) total order; credit in exact cents; full outer

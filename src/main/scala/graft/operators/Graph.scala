@@ -75,6 +75,69 @@ object Graph {
     } else out // plan-inspection mode: caller owns the cached edges
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * restricted to a SEED set: the random surfer restarts at the seeds,
+    * so rank measures proximity TO the seeds through the graph (the
+    * retrieval-expansion / related-documents primitive: seed with a
+    * query's hits, walk the near-dup graph, harvest the neighborhood by
+    * rank). Same integer fixed-point arithmetic as the uniform kernel
+    * (order-independent sums → bit-exact vs the unrolled oracle), same
+    * scale shape: degree-annotated edges persisted once, per-round
+    * shuffle = one slim row per node, seeds ride a broadcast.
+    *
+    * Off-graph seeds are ignored (BFS-family convention). Every returned
+    * node carries `is_seed`; non-seed nodes unreachable from any seed
+    * decay to rank 0 — mass is conserved on the seed-reachable component
+    * minus truncation. */
+  def personalizedPageRank(pairs: DataFrame, idACol: String, idBCol: String,
+                           seeds: DataFrame, iters: Int = 5,
+                           scale: Long = 1000000000000L,
+                           materialize: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(scale >= 1000000L, s"scale must be >= 10^6, got $scale")
+    val teleport = scale * 15L / 100L
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    val nodes = edgesDeg.select(col("src").as("id")).distinct()
+    // seeds restricted to graph nodes; the seed table is tiny — broadcast
+    val seedIds = broadcast(
+      nodes.join(seeds.select(col(seeds.columns.head).as("id")).distinct(),
+        Seq("id"), "left_semi"))
+    val ns = seedIds.agg(count(lit(1)).as("ns"))
+    // symmetric edges -> every node has deg >= 1 inbound, so the per-round
+    // contribution sums cover ALL nodes and the seed base can ride a
+    // broadcast left-semi marker instead of a nodes-frame outer join
+    var ranks = nodes
+      .join(seedIds.select(col("id"), lit(true).as("sd")), Seq("id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("id"),
+        when(col("sd"), expr(s"CAST($scale AS BIGINT) DIV ns"))
+          .otherwise(0L).as("rank"))
+    for (_ <- 1 to iters) {
+      val sums = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = sums
+        .join(seedIds.select(col("id").as("dst"), lit(true).as("sd")),
+          Seq("dst"), "left")
+        .crossJoin(broadcast(ns))
+        .select(col("dst").as("id"),
+          (when(col("sd"), expr(s"CAST($teleport AS BIGINT) DIV ns"))
+            .otherwise(0L) + expr("85 * s DIV 100")).as("rank"))
+    }
+    val out = ranks
+      .join(seedIds.select(col("id"), lit(true).as("sd")), Seq("id"), "left")
+      .select(col("id"), col("rank"), coalesce(col("sd"), lit(false)).as("is_seed"))
+    if (materialize) {
+      val m = Materialize.track(out.localCheckpoint(true))
+      edgesDeg.unpersist()
+      m
+    } else out
+  }
+
   /** Per-node triangle counts over a distinct `a < b` pair relation (the
     * dedup-family edge convention) — the local-clustering signal that
     * separates tight template cliques (mirrors, boilerplate families)

@@ -37,6 +37,58 @@ class GraphSpec extends SparkSpec {
       s"hub not dominant: ${byId(0L)._1} vs leaf ${leafRanks.head}")
   }
 
+  test("personalizedPageRank: mass concentrates near the seed; far nodes decay toward 0") {
+    // path: 0-1-2-3-4-5, seed at 0. NOT strictly monotone per hop at
+    // finite iterations (endpoint 5 returns ALL its mass to 4, and power
+    // iteration on a path oscillates with parity), so the pinned
+    // proximity facts are the robust ones: the seed dominates everything,
+    // the near half of the path outweighs the far half, and the farthest
+    // node holds the least mass
+    val path = (0L to 4L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val seeds = Seq(0L).toDF("id")
+    val r = Graph.personalizedPageRank(path, "id_a", "id_b", seeds, iters = 8)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("rank"), x.getAs[Boolean]("is_seed"))).toMap
+    assert(r(0L)._2 && !r(1L)._2)
+    val ranks = (0L to 5L).map(r(_)._1)
+    assert(ranks.head == ranks.max, s"seed is not the max: $ranks")
+    assert(ranks.last == ranks.min, s"farthest node is not the min: $ranks")
+    assert(ranks.take(3).sum > ranks.drop(3).sum * 2,
+      s"mass not concentrated near the seed: $ranks")
+    assert(ranks.head > ranks.last * 10,
+      s"seed not dominant: ${ranks.head} vs ${ranks.last}")
+  }
+
+  test("personalizedPageRank: off-graph seeds ignored; uniform-seed-set equals classic pagerank") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    // seeding EVERY node (+ an off-graph 99) must reproduce the uniform
+    // teleport, i.e. the classic kernel's ranks, bit-for-bit
+    val all = Seq(1L, 2L, 3L, 99L).toDF("id")
+    val ppr = Graph.personalizedPageRank(tri, "id_a", "id_b", all, iters = 5)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    val pr = Graph.pageRank(tri, "id_a", "id_b", iters = 5)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    assert(ppr.keySet == Set(1L, 2L, 3L), "off-graph seed leaked into output")
+    assert((1L to 3L).forall(i => ppr(i) == pr(i)),
+      s"uniform-seed ppr diverges from classic: $ppr vs $pr")
+  }
+
+  test("personalizedPageRank: partitioning-invariant on the minhash candidate graph") {
+    val docs = spark.read.parquet(sf("documents"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 128, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+    val seeds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .where(col("id") % 50 === 0).distinct()
+    val a = Graph.personalizedPageRank(pairs.repartition(7), "id_a", "id_b",
+      seeds, iters = 3).orderBy("id").collect().toSeq
+    val b = Graph.personalizedPageRank(pairs.repartition(2), "id_a", "id_b",
+      seeds, iters = 3).orderBy("id").collect().toSeq
+    assert(a == b, "ppr depends on partitioning")
+    assert(a.nonEmpty)
+  }
+
   test("pageRank: result is partitioning-invariant (integer sums)") {
     val docs = spark.read.parquet(sf("documents"))
     val pairs = graft.operators.Dedup.minhashLshPairs(
