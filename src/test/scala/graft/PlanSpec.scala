@@ -919,6 +919,63 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"encode projection must not shuffle:\n$p")
   }
 
+  test("text_bloom_decontaminate: sketch broadcasts; the probe predicate stays in codegen; no per-shingle shuffle of clean rows") {
+    val p = plan("text_bloom_decontaminate")
+    // the 1-row bit array must arrive via broadcast (nested-loop on a
+    // single-row build side is the legal physical form of a cross join
+    // with a broadcast hint), never a shuffle of the corpus side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bloom words must broadcast onto the corpus probe:\n$p")
+    // codegen pin: the AQE initial plan's toString omits WholeStageCodegen
+    // spans, so the provable form is the negative — nothing codegen-hostile
+    // (UDFs, python eval) in the probe path; the bit tests are native
+    // expressions and the only blackbox rows are the aggregate buffers
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"bloom probe must be native expressions:\n$p")
+  }
+
+  test("mm_phash_neardup: only 8-byte fingerprints shuffle — payload bytes never cross an exchange") {
+    // the gate query materializes (localCheckpoint) — re-derive the
+    // un-materialized join plan to see the exchanges
+    import org.apache.spark.sql.functions.col
+    val media = graft.operators.Multimodal.withBinaryPayload(
+      spark.read.parquet(sf("documents")), "doc_id", "text", "image")
+    val raw = graft.operators.Dedup.hammingPairs64(
+      graft.operators.Multimodal.perceptualHash(media)
+        .select(col("id"), col("phash").as("sh")),
+      maxHamming = 3, materialize = false)
+    val p = raw.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"banding join lost its bucket exchange:\n$p")
+    assert(!exchanges.exists(_.contains("payload#")),
+      s"binary payloads cross a shuffle — at 100 TB that IS the job:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup must stay bucket-bounded, never all-pairs:\n$p")
+  }
+
+  test("graph_ppr: edges cached once (InMemoryTableScan per round); seeds broadcast; rank rows are the only per-round shuffle") {
+    val df = SparkEntry.queries("graph_ppr")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // the gate query materializes (localCheckpoint), which swallows the
+    // iteration plan — re-derive the un-materialized plan to pin the
+    // round shape, and keep the gate plan only for non-emptiness
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        spark.read.parquet(sf("documents")), "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.4)
+      .select(org.apache.spark.sql.functions.col("id_a"),
+              org.apache.spark.sql.functions.col("id_b"))
+    val seeds = pairs.select(org.apache.spark.sql.functions.col("id_a").as("id"))
+      .where(org.apache.spark.sql.functions.expr("id % 50 = 0")).distinct()
+    val raw = graft.operators.Graph.personalizedPageRank(
+      pairs, "id_a", "id_b", seeds, iters = 3, materialize = false)
+    val rp = raw.queryExecution.executedPlan.toString
+    assert(rp.contains("InMemoryTableScan"),
+      s"degree-annotated edges must be cached and rescanned per round:\n$rp")
+    assert(rp.contains("BroadcastExchange"),
+      s"seed markers and n must ride broadcasts:\n$rp")
+    assert(p.nonEmpty)
+  }
+
   test("q_basket_rules: pair self-join reads the materialized pruned view; counts combine map-side") {
     val p = plan("q_basket_rules")
     // the a-priori property is the plan: the per-basket self-join (the
