@@ -1813,6 +1813,15 @@ object SparkEntry {
 
   /** Per-language rebalancing — the curation move a multilingual corpus
     * actually needs (downsample the dominant language, keep the rest). */
+  /** Systematic PPS draw of exactly 100 slots over the token-weight line
+    * (see [[graft.operators.Sampling.systematicSample]]): heavy documents
+    * can win multiple slots — the defining PPS property. */
+  private def curationSystematic(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.systematicSample(
+        t(s, dir, "documents"), "doc_id",
+        graft.functions.TextFunctions.bpeishTokenCount(col("text")), k = 100)
+      .orderBy("doc_id")
+
   private def curationStratified(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(t(s, dir, "documents"),
         "doc_id", "lang", Map("en" -> 0.3, "fr" -> 0.5))
@@ -2373,6 +2382,20 @@ object SparkEntry {
     TextAnalysis.bloomReport(s.table(sinkName), numBits = 262144,
         numHashes = 5, Seq("lang"))
       .orderBy("lang")
+  }
+
+  /** HLL DAU — the sketch form of the exact `events_dau_mau` rollup: one
+    * 2^p-byte register buffer per day answers "distinct users that day"
+    * at any event volume, and buffers from different corpus partitions
+    * (or days, for MAU-style unions) merge by element-wise max. Exact
+    * overlay rides beside the estimate like every sketch gate row. */
+  private def eventsDauHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(expr("ts_ms DIV 86400000").as("day"),
+      xxhash64(col("user_id")).as("__h"))
+    val regs = ev.groupBy("day")
+      .agg(graft.functions.Sketches.hllRegisters(col("__h"), 8).as("regs"))
+    val exact = ev.groupBy("day").agg(countDistinct(col("__h")).as("n_exact"))
+    TextAnalysis.hllReport(regs, exact, p = 8, Seq("day")).orderBy("day")
   }
 
   /** The HLL sketch maintained by a LIVE streaming aggregation: the
@@ -3863,6 +3886,7 @@ object SparkEntry {
         .orderBy("lang")),
     "curation_split"      -> curationSplit _,
     "curation_stratified" -> curationStratified _,
+    "curation_systematic" -> curationSystematic _,
     "curation_weighted"   -> curationWeighted _,
     "curation_snapshot_diff" -> curationSnapshotDiff _,
     "dedup_lines"         -> dedupLines _,
@@ -3911,6 +3935,7 @@ object SparkEntry {
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
     "stream_hll_cardinality" -> streamHllCardinality _,
+    "events_dau_hll"      -> eventsDauHll _,
     "text_bloom_sketch"   -> textBloomSketch _,
     "text_bloom_decontaminate" -> textBloomDecontaminate _,
     "stream_bloom_sketch" -> streamBloomSketch _,
@@ -6625,6 +6650,24 @@ object SparkEntry {
              ($b7 < 100000) AS in_sample
       FROM documents ORDER BY doc_id"""
     },
+    // integer interval arithmetic over the naive window prefix sum (the
+    // oracle runs single-node; the ENGINE side is the two-pass shape)
+    "curation_systematic" -> """
+      WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS w
+        FROM documents),
+      c AS (SELECT doc_id, w,
+              coalesce(sum(w) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+            FROM t),
+      tot AS (SELECT sum(w)::BIGINT AS total FROM t),
+      sel AS (SELECT doc_id, w, "offset",
+                (("offset" * 100 + total - 1) // total)::BIGINT AS lo_j,
+                ((("offset" + w) * 100 - 1) // total)::BIGINT AS hi_j
+              FROM c CROSS JOIN tot WHERE w > 0 AND total > 0)
+      SELECT doc_id, w AS weight, "offset", (hi_j - lo_j + 1)::BIGINT AS n_slots
+      FROM sel WHERE hi_j >= lo_j ORDER BY doc_id""",
     "curation_stratified" -> {
       val b0 = OracleXX.xxh64LongPmod("doc_id", 1000000L)
       s"""
@@ -6934,6 +6977,7 @@ object SparkEntry {
     "text_bloom_decontaminate" -> OracleXX.bloomDecontaminateOracle(numBits = 65536, numHashes = 7),
     // live streaming sketch must land on the batch gate's exact bytes
     "stream_hll_cardinality" -> OracleXX.hllOracle(p = 8),
+    "events_dau_hll" -> OracleXX.hllDauOracle(p = 8),
     "events_hourly_profile" -> """
       WITH c AS (
         SELECT (epoch_ms(ts) // 3600000) % 24 AS hour, event_type,

@@ -104,6 +104,49 @@ object Sampling {
       greatest(lit(0L), least(coalesce(ratePpm.cast("long"), lit(0L)),
                               lit(Buckets))))
 
+  /** Systematic PPS (probability-proportional-to-size) sampling — the
+    * survey-statistics classic for "give me EXACTLY k documents with
+    * selection probability proportional to token weight": rows in `idCol`
+    * order are laid out back-to-back on the integer weight line
+    * `[1, total]`, and the k boundary units `b_j = (j·total) DIV k + 1`
+    * (j = 0..k-1) pick whichever row's interval contains them. Unlike the
+    * Bernoulli samplers ([[hashSample]]/[[weightedSample]]) the sample
+    * SIZE is exact (Σ n_slots = k by construction), and a row heavier
+    * than total/k can win multiple slots (`n_slots` > 1) — the defining
+    * PPS property a training-mixture builder uses for "sample k shards
+    * proportional to token mass".
+    *
+    * Deterministic and engine-replayable: pure integer interval
+    * arithmetic over the prefix sum, no RNG (the fixed boundary phase
+    * stands in for the classic random start — vary `idCol` ordering or
+    * pre-shuffle by [[bucket]] for fresh draws). Overflow contract:
+    * `total · k < 2^63` (100 B tokens × k=10^6 still fits).
+    *
+    * Scale shape: the global running offset is the SAME two-pass
+    * distributed prefix sum as `TextAnalysis.packingOffsets` (per-
+    * partition subtotals → broadcast bases → within-partition window) —
+    * never a single-task global window; the total rides a broadcast and
+    * the selection is a narrow per-row filter.
+    *
+    * Output: the selected rows as `(idCol, weight, offset, n_slots)`. */
+  def systematicSample(df: DataFrame, idCol: String, weight: Column,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (offs, persisted) = TextAnalysis.withPrefixOffsets(
+      df, idCol, weight, "w")
+    try {
+      val tot = offs.agg(sum(col("w")).as("total"))
+      graft.util.Materialize.cut(
+        offs.crossJoin(broadcast(tot))
+          .where(col("w") > 0 && col("total") > 0)
+          .withColumn("lo_j", expr(s"(offset * $k + total - 1) DIV total"))
+          .withColumn("hi_j", expr(s"((offset + w) * $k - 1) DIV total"))
+          .where(col("hi_j") >= col("lo_j"))
+          .select(col(idCol), col("w").as("weight"), col("offset"),
+            (col("hi_j") - col("lo_j") + 1).as("n_slots")))
+    } finally { persisted.unpersist(); () }
+  }
+
   /** Temperature-weighted mixture resampling (the `p_g ∝ count_g^alpha`
     * rebalancing used to flatten training mixtures — alpha = 1 keeps natural
     * proportions, alpha → 0 approaches uniform-over-domains). Per domain the

@@ -240,6 +240,29 @@ class RelationalSpec extends SparkSpec {
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
   }
 
+  test("systematicSample: exactly k slots, heavy rows win multiples, partition-invariant") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // weights 1..20 plus one whale of 500 (total 710; k=10 -> step 71, the
+    // whale must take ceil-ish 500/71 ~ 7 slots)
+    val rows = ((1L to 20L).map(i => (i, i)).toSeq :+ (99L, 500L))
+      .toDF("id", "w")
+    val out = Sampling.systematicSample(rows, "id", col("w"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.values.sum == 10L, s"slots must sum to k: $out")
+    assert(out(99L) >= 6L, s"the 500/710 whale must win most slots: $out")
+    // exact-k invariance under partitioning (two-pass prefix sum)
+    val again = Sampling.systematicSample(rows.repartition(7), "id",
+        col("w"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == out, "selection depends on partitioning")
+    // zero-weight rows can never be selected
+    val withZero = rows.union(Seq((50L, 0L)).toDF("id", "w"))
+    val z = Sampling.systematicSample(withZero, "id", col("w"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!z.contains(50L), "zero-weight row selected")
+  }
+
   test("weightedSample: per-row rates, monotone nesting, clamp, NULL drops") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions.{col, lit}
