@@ -330,7 +330,12 @@ object OracleXX {
     * XXH64 replica (= Spark `xxhash64(user_id)`), the same bucket/rho
     * register construction as the shingle oracle, per-day fingerprint +
     * exact overlay. */
-  def hllDauOracle(p: Int): String = {
+  def hllDauOracle(p: Int): String = hllUserBucketOracle(p, 86400000L, "day")
+
+  /** Generalized form of [[hllDauOracle]]: distinct users per
+    * `bucketMs`-wide epoch bucket (day = 86400000, hour = 3600000),
+    * bucket column named `alias`. */
+  def hllUserBucketOracle(p: Int, bucketMs: Long, alias: String): String = {
     val m = 1 << p
     val bits = 64 - p
     val pow2a = (0 to 64).map(k => s"${BigInt(2).pow(k)}::HUGEINT")
@@ -338,35 +343,39 @@ object OracleXX {
     val xx = xxh64Long("user_id", padLen = 16)
     s"""
       WITH ev AS MATERIALIZED (
-        SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
-      du AS MATERIALIZED (SELECT user_id, $xx AS h
-                          FROM (SELECT DISTINCT user_id FROM ev)),
-      hl AS (SELECT day, h FROM ev JOIN du USING (user_id)),
-      br AS (SELECT day,
+        SELECT DISTINCT epoch_ms(ts) // $bucketMs AS $alias, user_id FROM events),
+      -- bucket and rho are functions of the HASH alone, so they are
+      -- computed once per distinct user (|users| rows) and joined onto
+      -- the (bucket-window, user) stream — not recomputed per window row
+      -- (720 hourly windows made the naive form an 8 s oracle)
+      du AS MATERIALIZED (
+        SELECT user_id,
                (h // ($pow2a)[$bits + 1])::INT AS bucket,
                (1 + list_aggregate(list_transform(range(0, $bits), b ->
                   CASE WHEN h % ($pow2a)[$bits + 1] < ($pow2a)[b + 1]
                        THEN 1 ELSE 0 END), 'sum'))::INT AS rho
-             FROM hl),
-      rg AS (SELECT day, bucket, max(rho) AS reg FROM br GROUP BY day, bucket),
-      days AS (SELECT DISTINCT day FROM ev),
-      reg_full AS (SELECT d.day, gs.bucket, coalesce(rg.reg, 0) AS reg
+        FROM (SELECT user_id, $xx AS h
+              FROM (SELECT DISTINCT user_id FROM ev))),
+      br AS (SELECT $alias, bucket, rho FROM ev JOIN du USING (user_id)),
+      rg AS (SELECT $alias, bucket, max(rho) AS reg FROM br GROUP BY $alias, bucket),
+      days AS (SELECT DISTINCT $alias FROM ev),
+      reg_full AS (SELECT d.$alias, gs.bucket, coalesce(rg.reg, 0) AS reg
                    FROM days d
                    CROSS JOIN (SELECT unnest(range(0, $m))::INT AS bucket) gs
-                   LEFT JOIN rg ON rg.day = d.day AND rg.bucket = gs.bucket),
-      agg AS (SELECT day,
+                   LEFT JOIN rg ON rg.$alias = d.$alias AND rg.bucket = gs.bucket),
+      agg AS (SELECT $alias,
                 md5(string_agg(reg::VARCHAR, ',' ORDER BY bucket)) AS regs_md5,
                 sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::INT AS nonzero_regs,
                 sum(($pow2a)[65 - reg])::HUGEINT AS denom
-              FROM reg_full GROUP BY day),
-      ex AS (SELECT day, count(*)::BIGINT AS n_exact FROM ev GROUP BY day)
-      SELECT a.day, $m::INT AS m, a.regs_md5, a.nonzero_regs,
+              FROM reg_full GROUP BY $alias),
+      ex AS (SELECT $alias, count(*)::BIGINT AS n_exact FROM ev GROUP BY $alias)
+      SELECT a.$alias, $m::INT AS m, a.regs_md5, a.nonzero_regs,
              a.denom::VARCHAR AS denom_str,
              0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / ${m}.0::DOUBLE) *
                ${m.toLong * m}.0::DOUBLE * pow(2.0::DOUBLE, 64.0::DOUBLE) /
                a.denom::DOUBLE AS est_raw,
              e.n_exact
-      FROM agg a JOIN ex e USING (day) ORDER BY day"""
+      FROM agg a JOIN ex e USING ($alias) ORDER BY $alias"""
   }
 
   /** Register merge is exact sketch algebra (element-wise max is

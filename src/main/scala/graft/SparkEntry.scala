@@ -2398,6 +2398,58 @@ object SparkEntry {
     TextAnalysis.hllReport(regs, exact, p = 8, Seq("day")).orderBy("day")
   }
 
+  /** The per-hour DAU HLL maintained by a LIVE event-time-windowed
+    * streaming aggregation — sketch state INSIDE a watermark-governed
+    * window (the production streaming-analytics shape: fixed-size
+    * distinct-user state per hour at any event volume, flushed when the
+    * watermark passes the window). Events arrive as one data batch plus
+    * two far-future sentinels; emitted windows are cut at the data
+    * horizon so the sentinels' own (possibly unflushed) window never
+    * reaches the output. Same oracle family as `events_dau_hll`, hourly. */
+  private def streamHourlyHll(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val work = graft.util.TempDirs.create("graft-stream-hrhll")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("user_id"), col("ts_ms"))
+    val maxMs = ev.agg(max("ts_ms")).head().getLong(0)
+    import s.implicits._
+    Seq(("b0", ev),
+        ("b1", Seq((-1L, maxMs + 10000000L)).toDF(ev.columns: _*)),
+        ("b2", Seq((-2L, maxMs + 20000000L)).toDF(ev.columns: _*)))
+      .zipWithIndex.foreach { case ((name, df), i) =>
+        val part = work.resolve(name)
+        df.coalesce(1).write.parquet(part.toString)
+        val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $part"))
+        val dst = inDir.resolve(s"$name.parquet").toFile
+        require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+      }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val regs = incoming
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.Sketches.hllRegisters(xxhash64(col("user_id")), 8)
+        .as("regs"))
+      .select(expr("unix_millis(window.start) DIV 3600000").as("hour"),
+        col("regs"))
+    val out = work.resolve("out").toString
+    val q = regs.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val emitted = s.read.parquet(out)
+      .where(col("hour") <= maxMs / 3600000L) // cut the sentinel window
+    val exact = ev.select(expr("ts_ms DIV 3600000").as("hour"),
+        xxhash64(col("user_id")).as("__h"))
+      .groupBy("hour").agg(countDistinct(col("__h")).as("n_exact"))
+    TextAnalysis.hllReport(emitted, exact, p = 8, Seq("hour"))
+      .orderBy("hour")
+  }
+
   /** The HLL sketch maintained by a LIVE streaming aggregation: the
     * documents table arrives as a file stream, the custom
     * [[graft.functions.HllRegisters]] buffer aggregates under the
@@ -3936,6 +3988,7 @@ object SparkEntry {
     "text_hll_rollup"     -> textHllRollup _,
     "stream_hll_cardinality" -> streamHllCardinality _,
     "events_dau_hll"      -> eventsDauHll _,
+    "stream_hourly_hll"   -> streamHourlyHll _,
     "text_bloom_sketch"   -> textBloomSketch _,
     "text_bloom_decontaminate" -> textBloomDecontaminate _,
     "stream_bloom_sketch" -> streamBloomSketch _,
@@ -6978,6 +7031,8 @@ object SparkEntry {
     // live streaming sketch must land on the batch gate's exact bytes
     "stream_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "events_dau_hll" -> OracleXX.hllDauOracle(p = 8),
+    "stream_hourly_hll" -> OracleXX.hllUserBucketOracle(p = 8,
+      bucketMs = 3600000L, alias = "hour"),
     "events_hourly_profile" -> """
       WITH c AS (
         SELECT (epoch_ms(ts) // 3600000) % 24 AS hour, event_type,
