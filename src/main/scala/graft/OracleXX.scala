@@ -378,6 +378,44 @@ object OracleXX {
       FROM agg a JOIN ex e USING ($alias) ORDER BY $alias"""
   }
 
+  /** DuckDB replica of `TextAnalysis.hllIntersectReport`: the shared
+    * register chain, pairwise element-wise-max unions, the identical
+    * double expression tree per estimate, inclusion–exclusion, and the
+    * exact distinct-shingle intersection overlay. */
+  def hllIntersectOracle(p: Int): String = {
+    val m = 1 << p
+    val pow2a = (0 to 64).map(k => s"${BigInt(2).pow(k)}::HUGEINT")
+      .mkString("[", ", ", "]")
+    def est(x: String) =
+      s"""(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / ${m}.0::DOUBLE) *
+          ${m.toLong * m}.0::DOUBLE * pow(2.0::DOUBLE, 64.0::DOUBLE) /
+          ($x)::DOUBLE)"""
+    s"""
+      WITH ${hllRegisterCtes(p)},
+      pr AS (SELECT a.lang AS g_a, b.lang AS g_b
+             FROM langs a JOIN langs b ON a.lang < b.lang),
+      ru AS (SELECT p.g_a, p.g_b, fa.reg AS ra, fb.reg AS rb,
+               greatest(fa.reg, fb.reg) AS rgu
+             FROM pr p
+             JOIN reg_full fa ON fa.lang = p.g_a
+             JOIN reg_full fb ON fb.lang = p.g_b AND fb.bucket = fa.bucket),
+      dn AS (SELECT g_a, g_b,
+               sum(($pow2a)[65 - ra])::HUGEINT AS da,
+               sum(($pow2a)[65 - rb])::HUGEINT AS db,
+               sum(($pow2a)[65 - rgu])::HUGEINT AS du
+             FROM ru GROUP BY 1, 2),
+      ex AS (SELECT g_a, g_b, count(*)::BIGINT AS n_exact_intersect FROM (
+               SELECT DISTINCT a.lang AS g_a, b.lang AS g_b, a.s
+               FROM ds a JOIN ds b ON a.s = b.s AND a.lang < b.lang)
+             GROUP BY 1, 2)
+      SELECT d.g_a, d.g_b,
+             ${est("d.da")} AS est_a, ${est("d.db")} AS est_b,
+             ${est("d.du")} AS est_union,
+             ${est("d.da")} + ${est("d.db")} - ${est("d.du")} AS est_intersect,
+             coalesce(e.n_exact_intersect, 0)::BIGINT AS n_exact_intersect
+      FROM dn d LEFT JOIN ex e USING (g_a, g_b) ORDER BY g_a, g_b"""
+  }
+
   /** Register merge is exact sketch algebra (element-wise max is
     * associative/commutative), so the per-lang registers ARE the merged
     * per-(lang, source) registers — the oracle computes them once and the

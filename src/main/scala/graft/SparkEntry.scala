@@ -2534,6 +2534,13 @@ object SparkEntry {
         sum("n").over(Window.partitionBy("event_type")).cast("double"))
       .orderBy("hour", "event_type")
 
+  /** Pairwise shared-vocabulary estimates from sketch algebra alone —
+    * see [[TextAnalysis.hllIntersectReport]]. */
+  private def textHllIntersect(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hllIntersectReport(t(s, dir, "documents"), "text", "lang",
+        p = 8)
+      .orderBy("g_a", "g_b")
+
   /** Sketch-algebra gate: per-(lang, source) HLL registers merged up to
     * lang must fingerprint-match the directly-computed lang registers. */
   private def textHllRollup(s: SparkSession, dir: String): DataFrame =
@@ -3986,6 +3993,7 @@ object SparkEntry {
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
+    "text_hll_intersect"  -> textHllIntersect _,
     "stream_hll_cardinality" -> streamHllCardinality _,
     "events_dau_hll"      -> eventsDauHll _,
     "stream_hourly_hll"   -> streamHourlyHll _,
@@ -7025,6 +7033,7 @@ object SparkEntry {
                                                  minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "text_hll_rollup" -> OracleXX.hllRollupOracle(p = 8),
+    "text_hll_intersect" -> OracleXX.hllIntersectOracle(p = 8),
     "text_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),
     "stream_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),
     "text_bloom_decontaminate" -> OracleXX.bloomDecontaminateOracle(numBits = 65536, numHashes = 7),

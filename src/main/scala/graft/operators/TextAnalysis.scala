@@ -1925,6 +1925,63 @@ object TextAnalysis {
       .join(exact, byCols)
   }
 
+  /** Pairwise HLL INTERSECTION estimates via sketch algebra — the "how
+    * much vocabulary do these corpora share" report WITHOUT the distinct
+    * join: registers union by element-wise max (exact sketch algebra),
+    * and inclusion–exclusion turns three estimates into
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)`. At 100 TB this is the whole
+    * point of mergeable sketches: per-group register arrays (2^p bytes
+    * each) are built in ONE corpus pass, and every pairwise overlap
+    * question afterwards is driver-trivial array math — no re-scan, no
+    * (group_a, group_b, hash) shuffle. The exact overlay (one semi-join
+    * per pair at gate scale) rides beside the estimate, as in every
+    * sketch gate row.
+    *
+    * Float determinism: every estimate derives from an EXACT decimal
+    * denominator through the same literal-for-literal expression tree as
+    * [[hllReport]], and the inclusion–exclusion is two IEEE ops on those
+    * reproducible doubles — bit-identical cross-engine, asserted not
+    * assumed. */
+  def hllIntersectReport(df: DataFrame, textCol: String, groupCol: String,
+                         p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1 << p
+    val sh = graft.util.Materialize.cut(
+      shingleHashRows(df, textCol, Seq(groupCol)).distinct())
+    val regs = sh.groupBy(col(groupCol).as("g"))
+      .agg(graft.functions.Sketches.hllRegisters(col("__h"), p).as("regs"))
+    // groups are a mixture config, not data — the pair frame is tiny
+    val pairs = regs.select(col("g").as("g_a"), col("regs").as("regs_a"))
+      .crossJoin(broadcast(
+        regs.select(col("g").as("g_b"), col("regs").as("regs_b"))))
+      .where(col("g_a") < col("g_b"))
+      .withColumn("regs_u",
+        zip_with(col("regs_a"), col("regs_b"), (a, b) => greatest(a, b)))
+    val pow2Dec = array((0 to 64).map(k =>
+      lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64 - k)))
+        .cast("decimal(38,0)")): _*)
+    def est(regsCol: Column): Column = {
+      val denom = aggregate(regsCol,
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+        (acc, r) => (acc + element_at(pow2Dec, r + 1)).cast("decimal(38,0)"))
+      lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+        lit(m.toDouble * m.toDouble) * pow(lit(2.0), lit(64.0)) /
+        denom.cast("double")
+    }
+    val exact = sh.select(col(groupCol).as("g_a"), col("__h"))
+      .join(sh.select(col(groupCol).as("g_b"), col("__h")), Seq("__h"))
+      .where(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b")
+      .agg(countDistinct(col("__h")).as("n_exact_intersect"))
+    pairs.select(col("g_a"), col("g_b"),
+        est(col("regs_a")).as("est_a"), est(col("regs_b")).as("est_b"),
+        est(col("regs_u")).as("est_union"),
+        (est(col("regs_a")) + est(col("regs_b")) - est(col("regs_u")))
+          .as("est_intersect"))
+      .join(exact, Seq("g_a", "g_b"), "left")
+      .na.fill(0L, Seq("n_exact_intersect"))
+  }
+
   /** Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005) with an
     * exact verification pass — the "which tokens dominate the corpus"
     * report a mixture tuner reads before reweighting.
