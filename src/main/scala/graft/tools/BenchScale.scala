@@ -56,7 +56,21 @@ object BenchScale {
     // edges-touched (per-variant components are disjoint copies, so the
     // state space grows linearly); the unigram encode is the EM over the
     // O(vocabulary) word table plus one scan
-    "graph_hits", "graph_bfs", "graph_landmark_est", "text_unigram_apply")
+    "graph_hits", "graph_bfs", "graph_landmark_est", "text_unigram_apply",
+    // round-10: the Bloom build is a scan + fixed-size per-group state;
+    // the decontamination probe is scan-bound (bench side is variant 0
+    // only, so the sketch is constant and 10x corpus means 10x probes);
+    // the HLL-intersect registers are one linear scan + fixed pair math
+    // (the exact overlay joins per-variant-disjoint shingle postings);
+    // phash is a scan (the NEAR-DUP stage is deliberately absent: chance
+    // 16-bit band collisions grow quadratically-in-expectation once n
+    // approaches the band space — the standard LSH regime boundary;
+    // production sizing widens bands with corpus, and the skew cap
+    // bounds the worst bucket meanwhile); ppr is fixed rounds of slim
+    // equi-joins like pagerank/hits; systematic sampling is the two-pass
+    // prefix sum + a narrow filter
+    "text_bloom_sketch", "text_bloom_decontaminate", "text_hll_intersect",
+    "mm_phash", "graph_ppr", "curation_systematic")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -79,7 +93,10 @@ object BenchScale {
     "events_ab_test", "events_cohort_ltv", "events_forecast_eval",
     "events_cusum",
     // round-9e: trigram mining is the same one user-keyed window
-    "events_seq_patterns")
+    "events_seq_patterns",
+    // round-10: per-day HLL registers are fixed-size state over a 10x
+    // user population — a pure scan + combinable merge
+    "events_dau_hll")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
