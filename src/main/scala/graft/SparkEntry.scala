@@ -2534,6 +2534,20 @@ object SparkEntry {
         sum("n").over(Window.partitionBy("event_type")).cast("double"))
       .orderBy("hour", "event_type")
 
+  /** Span-level language ID: every 25-token window scored and argmaxed —
+    * see [[TextAnalysis.windowLangid]]. */
+  private def textWindowLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.windowLangid(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 50, hopTokens = 25)
+      .orderBy("doc_id", "win_start")
+
+  /** Per-document code-switching fractions over the window IDs — see
+    * [[TextAnalysis.codeSwitchReport]]. */
+  private def textCodeSwitch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.codeSwitchReport(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 50, hopTokens = 25)
+      .orderBy("doc_id")
+
   /** Pairwise shared-vocabulary estimates from sketch algebra alone —
     * see [[TextAnalysis.hllIntersectReport]]. */
   private def textHllIntersect(s: SparkSession, dir: String): DataFrame =
@@ -3931,6 +3945,8 @@ object SparkEntry {
     "text_topk"           -> textTopK _,
     "text_stats"          -> textStats _,
     "text_langid"         -> textLangId _,
+    "text_window_langid"  -> textWindowLangid _,
+    "text_code_switch"    -> textCodeSwitch _,
     "text_quality"        -> textQuality _,
     "text_fingerprint"    -> textFingerprint _,
     "text_rollhash"       -> textRollhash _,
@@ -6636,6 +6652,64 @@ object SparkEntry {
              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
              length(text)::BIGINT AS n_chars
       FROM documents ORDER BY doc_id""",
+    "text_window_langid" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      st AS (SELECT doc_id, tk,
+               unnest(range(0, (len(tk) - 1) // 25 + 1)) * 25 AS win_start
+             FROM t),
+      sc AS (SELECT doc_id, win_start::BIGINT AS win_start,
+               ${langScoreSql("de", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_de,
+               ${langScoreSql("en", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_en,
+               ${langScoreSql("es", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_es,
+               ${langScoreSql("fr", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_fr,
+               ${langScoreSql("zh", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_zh
+             FROM st)
+      SELECT doc_id, win_start, s_de, s_en, s_es, s_fr, s_zh,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS lang_win
+      FROM sc ORDER BY doc_id, win_start""",
+    "text_code_switch" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      ds0 AS (SELECT doc_id,
+               ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+               ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+               ${langScoreSql("zh")} AS s_zh
+             FROM documents),
+      dl AS (SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS doc_lang_pred FROM ds0),
+      st AS (SELECT doc_id, tk,
+               unnest(range(0, (len(tk) - 1) // 25 + 1)) * 25 AS win_start
+             FROM t),
+      sc AS (SELECT doc_id,
+               ${langScoreSql("de", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_de,
+               ${langScoreSql("en", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_en,
+               ${langScoreSql("es", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_es,
+               ${langScoreSql("fr", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_fr,
+               ${langScoreSql("zh", "list_slice(tk, win_start + 1, win_start + 50)")} AS s_zh
+             FROM st),
+      wl AS (SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS lang_win FROM sc)
+      SELECT w.doc_id, d.doc_lang_pred, count(*)::BIGINT AS n_windows,
+             sum(CASE WHEN w.lang_win <> d.doc_lang_pred
+                       AND w.lang_win <> 'und' THEN 1 ELSE 0 END)::BIGINT
+               AS n_minority,
+             (sum(CASE WHEN w.lang_win <> d.doc_lang_pred
+                        AND w.lang_win <> 'und' THEN 1 ELSE 0 END)
+              * 1000000 // count(*))::BIGINT AS minority_ppm
+      FROM wl w JOIN dl d USING (doc_id)
+      GROUP BY w.doc_id, d.doc_lang_pred ORDER BY w.doc_id""",
     "text_langid" -> s"""
       WITH s AS (
         SELECT doc_id,

@@ -1925,6 +1925,60 @@ object TextAnalysis {
       .join(exact, byCols)
   }
 
+  /** Sliding-window language ID — span-level language mixture inside a
+    * document (code-switching / boilerplate-in-another-language
+    * detection, the doc-level [[graft.functions.TextFunctions.langId]]
+    * signal at window granularity): token windows of `windowTokens`
+    * every `hopTokens`, each scored by distinct-stopword overlap per
+    * language with the same argmax/tie-break as the doc-level ID.
+    *
+    * Scale shape: tokenize once, explode window STARTS (ceil(n/hop) slim
+    * rows per doc), score each window with array intrinsics — scan-bound,
+    * no shuffle, no UDF. Output per window: start, per-language scores,
+    * `lang_win` (`und` when no stopword hits). */
+  def windowLangid(df: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int = 50, hopTokens: Int = 25): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(hopTokens >= 1, s"hopTokens must be >= 1, got $hopTokens")
+    val langs = TF.Stopwords.keys.toSeq.sorted
+    val toks = df.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("tk"))
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+    val wins = toks.select(col("doc_id"), col("tk"),
+      explode(sequence(lit(0L),
+        ((col("n_toks") - 1L) / hopTokens).cast("long") * hopTokens,
+        lit(hopTokens.toLong))).as("win_start"))
+    val win = slice(col("tk"), col("win_start").cast("int") + 1,
+      lit(windowTokens))
+    val scoreCols = langs.map { l =>
+      size(array_intersect(array_distinct(win),
+        array(TF.Stopwords(l).map(lit): _*))).cast("long").as(s"s_$l")
+    }
+    val scored = wins.select((col("doc_id") +: col("win_start") +: scoreCols): _*)
+    val best = array_max(array(langs.map(l =>
+      struct(col(s"s_$l").as("s"), lit(l).as("l"))): _*))
+    scored.withColumn("lang_win",
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+  }
+
+  /** Per-document code-switching report over [[windowLangid]]: the
+    * document's own predicted language, its window count, and how many
+    * windows predict a DIFFERENT (non-`und`) language — `minority_ppm`
+    * is the curation signal ("5% of this document is another language:
+    * embedded boilerplate, quotes, or a genuine bilingual doc"). */
+  def codeSwitchReport(df: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int = 50, hopTokens: Int = 25): DataFrame = {
+    val wl = windowLangid(df, idCol, textCol, windowTokens, hopTokens)
+    val docLang = df.select(col(idCol).as("doc_id"),
+      TF.langId(col(textCol)).as("doc_lang_pred"))
+    wl.join(docLang, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("doc_lang_pred"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("lang_win") =!= col("doc_lang_pred") &&
+                 col("lang_win") =!= "und", 1L).otherwise(0L)).as("n_minority"))
+      .withColumn("minority_ppm",
+        expr("n_minority * 1000000 DIV n_windows"))
+  }
+
   /** Pairwise HLL INTERSECTION estimates via sketch algebra — the "how
     * much vocabulary do these corpora share" report WITHOUT the distinct
     * join: registers union by element-wise max (exact sketch algebra),

@@ -154,6 +154,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0L, 5L), (2L, 0L, 0L, 5L)), s"got ${out.toList}")
   }
 
+  test("windowLangid + codeSwitchReport: a bilingual document flags its minority-language windows") {
+    import org.apache.spark.sql.Row
+    // 75 English tokens then 75 German tokens, stopword-dense: the first
+    // windows must read en, the last de, and the report must count the
+    // German windows as minority against the doc-level en prediction
+    val en = Seq.fill(15)("the cat and the dog sat on the mat at it").mkString(" ")
+    val de = Seq.fill(15)("der hund und die katze ist auf dem dach im").mkString(" ")
+    val bilingual = spark.createDataFrame(Seq((1L, s"$en $de"), (2L, en)))
+      .toDF("doc_id", "text")
+    val wl = TextAnalysis.windowLangid(bilingual, "doc_id", "text",
+      windowTokens = 50, hopTokens = 25).collect()
+    val doc1 = wl.filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Long]("win_start"))
+      .map(r => r.getAs[Long]("win_start") -> r.getAs[String]("lang_win"))
+    assert(doc1.head._2 == "en", s"opening window not en: ${doc1.toSeq}")
+    assert(doc1.last._2 == "de", s"closing window not de: ${doc1.toSeq}")
+    assert(doc1.exists(_._2 == "de") && doc1.exists(_._2 == "en"))
+    val rep = TextAnalysis.codeSwitchReport(bilingual, "doc_id", "text",
+        windowTokens = 50, hopTokens = 25)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("doc_lang_pred"), r.getAs[Long]("n_minority"),
+         r.getAs[Long]("minority_ppm"))).toMap
+    assert(rep(2L)._2 == 0L && rep(2L)._3 == 0L, s"monolingual doc flagged: $rep")
+    assert(rep(1L)._2 >= 2L, s"bilingual doc not flagged: $rep")
+    assert(rep(1L)._3 > 0L && rep(1L)._3 < 1000000L)
+    // window starts are the hop grid
+    assert(doc1.map(_._1).toSeq == doc1.indices.map(_ * 25L).toSeq)
+  }
+
   test("mlmMaskPlan: deterministic hash plan — 80/10/10 actions, seed independence, loud position guard") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(sf("documents"))
