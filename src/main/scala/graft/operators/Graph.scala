@@ -101,10 +101,15 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
     val nodes = edgesDeg.select(col("src").as("id")).distinct()
-    // seeds restricted to graph nodes; the seed table is tiny — broadcast
-    val seedIds = broadcast(
+    // seeds restricted to graph nodes; the seed table is tiny — broadcast.
+    // CUT once: the marker is referenced by the init, EVERY round, and the
+    // final projection, and the caller's seed frame often derives from the
+    // same expensive candidate graph as the edges (the gate query's seeds
+    // come off the minhash pipeline) — uncut, that subtree re-evaluates
+    // per round (measured 6.4 s vs pagerank's 4.2 s on the same graph)
+    val seedIds = broadcast(Materialize.cut(
       nodes.join(seeds.select(col(seeds.columns.head).as("id")).distinct(),
-        Seq("id"), "left_semi"))
+        Seq("id"), "left_semi")))
     val ns = seedIds.agg(count(lit(1)).as("ns"))
     // symmetric edges -> every node has deg >= 1 inbound, so the per-round
     // contribution sums cover ALL nodes and the seed base can ride a
