@@ -65,6 +65,13 @@ object LineOffsetUtil {
           // straddling char's lead byte and exclude the whole char. Other
           // charsets: cut at the byte bound and let the IGNORE decoder drop
           // any partial trailing character.
+          // raw_len = the line's UNTRUNCATED content bytes in the file's
+          // own encoding (post-\r-strip) — the unit the max-line-length
+          // drop mode is specified in. The decoded string's UTF-8
+          // re-encoding can be LONGER than the original (latin-1 'é' is
+          // 1 byte on disk, 2 re-encoded), so callers must never bound
+          // drop mode by octet_length of the output.
+          val rawLen = (end - start).toLong
           if (maxLineBytes > 0 && end - start > maxLineBytes) {
             var cut = start + maxLineBytes
             if (utf8) while (cut > start && (bytes(cut) & 0xC0) == 0x80) cut -= 1
@@ -74,7 +81,7 @@ object LineOffsetUtil {
             if (utf8) UTF8String.fromBytes(bytes, start, end - start)
             else UTF8String.fromString(
               decoder.decode(ByteBuffer.wrap(bytes, start, end - start)).toString)
-          out += InternalRow(line, start.toLong)
+          out += InternalRow(line, start.toLong, rawLen)
         }
         start = i + 1
       }
@@ -93,7 +100,8 @@ case class LinesWithOffsets(child: Expression, maxLineBytes: Int = 0,
     GraftTypeCheck.expect(prettyName, child -> BinaryType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("line", StringType, nullable = false),
-                   StructField("off", LongType, nullable = false))),
+                   StructField("off", LongType, nullable = false),
+                   StructField("raw_len", LongType, nullable = false))),
     containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     LineOffsetUtil.linesWithOffsets(v.asInstanceOf[Array[Byte]], maxLineBytes,

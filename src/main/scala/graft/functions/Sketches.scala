@@ -151,7 +151,11 @@ case class BloomBits(
     buffer
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  // snapshot: GenericArrayData wraps the array it is given, and the agg
+  // buffer is the framework's mutable scratch — alias it and a later
+  // update could corrupt an already-emitted row
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.clone())
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)

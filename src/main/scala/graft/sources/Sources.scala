@@ -61,9 +61,12 @@ object Sources {
       graft.functions.LineOffsetUtil.checkCharset(charset) // fail fast
       val lines = binaryLines(spark, dir, maxFilesPerTrigger,
         if (truncateOverLength) maxLineLength else 0, charset, archiveDir)
+      // drop mode bounds bytes in the file's OWN encoding (l.raw_len) —
+      // the decoded string's UTF-8 re-encoding can be longer than the
+      // original bytes, so octet_length would over-drop
       val guarded =
         if (truncateOverLength) lines
-        else lines.where(octet_length(col("l.line")) <= maxLineLength)
+        else lines.where(col("l.raw_len") <= maxLineLength)
       val projected =
         if (fileHeaders)
           guarded.select(col("l.line").as("body"),
@@ -115,10 +118,13 @@ object Sources {
     val maxBytes = if (truncateOverLength) maxLineLength else 0
     val lines = binaryLines(spark, dir, maxFilesPerTrigger, maxBytes,
         charset, archiveDir = None)
-      .select(col("l.line").as("body"), col("path"), col("l.off").as("off"))
+      .select(col("l.line").as("body"), col("path"), col("l.off").as("off"),
+        col("l.raw_len").as("raw_len"))
+    // drop mode bounds bytes in the file's OWN encoding (raw_len), not the
+    // decoded string's UTF-8 re-encoding
     val guarded =
       if (truncateOverLength) lines
-      else lines.where(octet_length(col("body")) <= maxLineLength)
+      else lines.where(col("raw_len") <= maxLineLength)
     asEvents(guarded.select(col("body"),
       map(lit(Event.Headers.FileName), col("path"),
           lit(Event.Headers.FileOffset), col("off").cast("string")).as("headers")))

@@ -69,8 +69,8 @@ class CharsetSourceSpec extends SparkSpec {
     val arr = graft.functions.LineOffsetUtil.linesWithOffsets(
       Array[Byte]('a', 0x81.toByte, 'b', '\n', 'c'), 0, "windows-1252")
     assert(arr.numElements() == 2)
-    assert(arr.getStruct(0, 2).getUTF8String(0).toString == "ab")
-    assert(arr.getStruct(1, 2).getUTF8String(0).toString == "c")
+    assert(arr.getStruct(0, 3).getUTF8String(0).toString == "ab")
+    assert(arr.getStruct(1, 3).getUTF8String(0).toString == "c")
   }
 
   test("non-ASCII-compatible charsets are rejected loudly at plan time") {
@@ -84,6 +84,23 @@ class CharsetSourceSpec extends SparkSpec {
     val arr = graft.functions.LineOffsetUtil.linesWithOffsets(
       "abcdef\n".getBytes("ISO-8859-1"), 4, "ISO-8859-1")
     assert(arr.numElements() == 1)
-    assert(arr.getStruct(0, 2).getUTF8String(0).toString == "abcd")
+    assert(arr.getStruct(0, 3).getUTF8String(0).toString == "abcd")
+    // raw_len reports the UNTRUNCATED original length
+    assert(arr.getStruct(0, 3).getLong(2) == 6L)
+  }
+
+  test("drop mode bounds ORIGINAL-encoding bytes, not the UTF-8 re-encoding") {
+    val work = Files.createTempDirectory("graft-charset")
+    val in = work.resolve("in"); Files.createDirectories(in)
+    // 6 accented chars = 6 latin-1 bytes on disk but 12 bytes re-encoded
+    // as UTF-8: with maxLineLength=8 and drop mode, an octet_length guard
+    // would wrongly drop the line; the raw_len guard keeps it
+    Files.write(in.resolve("a.log"), "éééééé\nlongerline\n".getBytes("ISO-8859-1"))
+    val rows = drain(
+      graft.sources.Sources.directoryWatch(spark, in.toString,
+        maxLineLength = 8, truncateOverLength = false,
+        charset = "ISO-8859-1"), work, "cs_drop")
+    val bodies = rows.map(_.getAs[String]("body")).toSet
+    assert(bodies == Set("éééééé"), s"drop-mode bodies: $bodies")
   }
 }

@@ -54,7 +54,7 @@ class PropertyKernelSpec extends SparkSpec {
       val bytes = doc.getBytes("UTF-8")
       val arr = graft.functions.LineOffsetUtil.linesWithOffsets(bytes, 0)
       (0 until arr.numElements()).foreach { i =>
-        val row = arr.getStruct(i, 2)
+        val row = arr.getStruct(i, 3)
         val line = row.getUTF8String(0).toString
         val off = row.getLong(1).toInt
         // the offset must point at the line's own bytes in the buffer
