@@ -44,11 +44,25 @@ object SparkEntry {
     * contract is "no session-conf mutation on any query path". At
     * production stream volume this knob is config, not code: state
     * partition count is sized to throughput there, exactly as here. */
-  private def streamSession(s: SparkSession): SparkSession = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss
-  }
+  private val streamSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def streamSession(s: SparkSession): SparkSession =
+    streamSessions.synchronized {
+      // ONE cached clone per parent session, not one per invocation: the
+      // first stream started on a session registers its
+      // StreamingQueryManager's listener bus on the shared LiveListenerBus
+      // and nothing ever unregisters it, so a fresh clone per twin run
+      // accumulates listener buses across a long session (4-pass soak =
+      // ~50 clones). The twins share no session state beyond uniquely
+      // named sinks/checkpoints, so one clone serves them all.
+      var ss = streamSessions.get(s)
+      if (ss == null) {
+        ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        streamSessions.put(s, ss)
+      }
+      ss
+    }
 
   /** events with `ts` projected to exact epoch-millis as `ts_ms`,
     * layout-adaptive (int64-nanos vs timestamp[µs] testdata generations) —
