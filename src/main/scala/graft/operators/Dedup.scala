@@ -439,6 +439,16 @@ object Dedup {
   private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
                                  threshold: Double): DataFrame =
     cand
+      // belt-and-braces re-dedup at the verify boundary: candidates are
+      // distinct by cappedCandidatePairs' contract, but one full-sweep run
+      // (2026-08-15, 4-thread Verify) emitted the verified output with the
+      // PRE-dedup band-collision multiset (each true pair ~63x under 64
+      // bands, identical jaccard per copy, 1.3s runtime = concurrent
+      // queries' plan-equal sigs/sets caches reused) — a cross-query
+      // cache/unpersist race upstream of the aggregate. Deduping here on
+      // the tiny candidate set costs one micro-shuffle and makes the
+      // output correct even when that race recurs.
+      .dropDuplicates("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"),
                         col("n").as("na")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"),
