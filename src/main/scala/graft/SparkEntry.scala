@@ -1,5 +1,6 @@
 package graft
 
+import graft.util.CacheSalt.SaltedPersistOps
 import graft.event.Event
 import graft.functions.{Backoff, Base64Functions => B64, DumpCodec,
   GzipFunctions => GZ, TextFunctions => TF}
@@ -1701,7 +1702,7 @@ object SparkEntry {
       "ivf" -> "sim_ivf_verified", "lsh" -> "sim_lsh_topk",
       "matryoshka" -> "sim_matryoshka_topk", "pq" -> "sim_pq_topk",
       "rp" -> "sim_rp_topk")
-    val brute = queries("sim_topk")(s, dir).select("qid", "id").persist()
+    val brute = queries("sim_topk")(s, dir).select("qid", "id").saltedPersist()
     val truthN = brute.agg(count(lit(1)).as("n_truth"))
     val rows = methods.map { case (label, qname) =>
       val got = queries(qname)(s, dir).select("qid", "id")
@@ -5476,15 +5477,15 @@ object SparkEntry {
     // STRICT overlap; exactly-gap splits), active = last-first per session
     "stream_session_window" -> """
       WITH o AS (
-        SELECT user_id, epoch_ms(ts) AS ms,
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
                lag(epoch_ms(ts)) OVER w AS prev
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      g AS (SELECT user_id, ms,
+      g AS (SELECT user_id, event_id, ms,
               CASE WHEN prev IS NULL OR ms - prev >= 1800000
                    THEN 1 ELSE 0 END AS brk
             FROM o),
       sid AS (SELECT user_id, ms,
-                sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               FROM g),
       sess AS (SELECT user_id, sid, count(*)::BIGINT AS n_events,

@@ -42,8 +42,13 @@ object LineOffsetUtil {
   def linesWithOffsets(bytes: Array[Byte], maxLineBytes: Int,
                        charsetName: String = "UTF-8"): ArrayData = {
     val utf8 = charsetName.equalsIgnoreCase("UTF-8")
-    // one decoder per file call (not per line); IGNORE on both malformed
-    // input and unmappable characters = the reference's lenient mode
+    // One decoder per file call (not per line). DELIBERATE DIVERGENCE from
+    // the reference's Codec, which sets only onMalformedInput(IGNORE) and
+    // leaves unmappable at REPORT (raising mid-stream): this pipeline also
+    // IGNOREs decode-unmappable sequences, because at ingest scale one
+    // exotic byte sequence in one file must degrade to a dropped character,
+    // never kill the task. Decode-unmappable is vanishingly rare anyway
+    // (it needs a well-formed source sequence with no Unicode mapping).
     val decoder = if (utf8) null else {
       val d = checkCharset(charsetName).newDecoder()
       d.onMalformedInput(CodingErrorAction.IGNORE)

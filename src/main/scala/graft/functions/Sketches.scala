@@ -202,24 +202,40 @@ object Sketches {
     * [[bloomBits]] with the same `numBits`/`numHashes`). Statically
     * unrolled over j — k codegen'd bit tests, no lambda, no UDF — so a
     * 100 TB probe scan stays inside whole-stage codegen with the sketch
-    * riding a broadcast. Zero false negatives by construction. */
+    * riding a broadcast. Zero false negatives by construction.
+    *
+    * Defensive semantics (advisor round 10): a NULL hash or NULL sketch
+    * probes to FALSE (not NULL — a NULL would silently vanish from
+    * `sum(when(hit,...))` rollups), and a non-null `words` array whose
+    * length does not match `numBits/64` raises at runtime instead of
+    * yielding NULL hits via out-of-range `element_at` — a sketch/probe
+    * sizing mismatch is a caller bug that must surface loudly. */
   def bloomMightContain(hashCol: Column, words: Column, numBits: Int,
                         numHashes: Int): Column = {
     import org.apache.spark.sql.functions._
     require(numBits >= 64 && numBits % 64 == 0,
       s"bloomMightContain: numBits must be a positive multiple of 64, got $numBits")
+    val numWords = numBits / 64
+    // loud sizing guard: every word lookup goes through `sized`, which is
+    // `words` iff the length matches and a raised error otherwise. The
+    // size() comparison is a cheap codegen'd branch per row.
+    val sized = when(words.isNull || size(words) === lit(numWords), words)
+      .otherwise(raise_error(concat(
+        lit(s"bloomMightContain: words length != $numWords (numBits=$numBits), got "),
+        size(words).cast("string"))))
     // Spark's shiftleft/shiftright take a LITERAL shift count, so the
     // dynamic bit test goes through a 64-entry power-of-two literal array
     // (index 64 = 1L<<63 = Long.MinValue — the sign bit as a mask)
     val pow2 = array((0 until 64).map(b => lit(1L << b)): _*)
-    (0 until numHashes).map { j =>
+    val hit = (0 until numHashes).map { j =>
       // pos >= 0 (pmod) and < 2^28, so the double-typed `/64` is exact
       // (needs < 2^53) and &63 is the exact mod
       val pos = pmod(Mix64.mix64(hashCol, j.toLong), lit(numBits.toLong))
-      val word = element_at(words,
+      val word = element_at(sized,
         floor(pos.cast("double") / 64.0).cast("int") + 1)
       word.bitwiseAND(element_at(pow2,
         pos.bitwiseAND(lit(63L)).cast("int") + 1)) =!= lit(0L)
     }.reduce(_ && _)
+    coalesce(hit, lit(false))
   }
 }

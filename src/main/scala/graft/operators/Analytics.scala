@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.CacheSalt.SaltedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -599,7 +600,7 @@ object Analytics {
       .join(states.withColumnRenamed("st", "j"), Seq("j"), "left_semi")
       .join(tot, "f")
       .select(col("f"), col("j"), expr(s"c * $pScale DIV t").as("p"))
-      .persist()
+      .saltedPersist()
     val n = states.agg(count(lit(1)).as("n"))
     var pi = states.crossJoin(broadcast(n))
       .select(col("st"), expr(s"CAST($piScale AS BIGINT) DIV n").as("pi"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.CacheSalt.SaltedPersistOps
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.util.Materialize
 
@@ -115,7 +116,7 @@ object Dedup {
     val sized = blocked.select(col("id"), col(key))
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__bmin", min(col("id")).over(w))
-      .persist()
+      .saltedPersist()
     // each side packed into one struct column so the small/star unions have
     // a clean 2-column schema; `col("a.id")` etc. resolve as struct fields
     val a = sized.select(struct(col("*")).as("a"))
@@ -154,7 +155,7 @@ object Dedup {
     val sigs = df.select(
         col(idCol).as("id"),
         TF.minhashSignature(TF.shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
-      .persist()
+      .saltedPersist()
     // blocking runs over (id, band) ONLY — signatures re-join onto the small
     // candidate set below, so the 128-long arrays never transit the sizing
     // window shuffle or its persist (the round-2 dedup_minhash regression)
@@ -214,7 +215,7 @@ object Dedup {
     val nd = df.agg(count(lit(1)).as("n_docs"))
     val sets = df.select(col(idCol).as("id"),
         TF.shingleHashes(col(textCol), shingleN).as("hs"))
-      .persist() // posting table consumed by df-reduction AND both join sides
+      .saltedPersist() // posting table consumed by df-reduction AND both join sides
     val posting = sets.select(col("id"), explode(col("hs")).as("h"))
     val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
     val wpost = posting.join(dfreq, "h")
@@ -284,7 +285,7 @@ object Dedup {
     val sigs = expanded.groupBy("id")
       .agg(collect_list(col("v")).as("vs"))
       .select(col("id"), TF.minhashSignature(col("vs"), numHashes).as("sig"))
-      .persist()
+      .saltedPersist()
     val banded = sigs.select(col("id"),
       explode(TF.lshBandKeys(col("sig"), bands, rows)).as("band"))
     val (cand, sizedCache) = cappedCandidatePairs(banded, "band", maxBucketSize)
@@ -331,7 +332,7 @@ object Dedup {
       .crossJoin(broadcast(nd))
       .select(col("id"), col("h"),
         least(expr("n_docs DIV dfh"), lit(capWeight.toLong)).as("w"))
-      .persist() // consumed by the totals AND both verify probes
+      .saltedPersist() // consumed by the totals AND both verify probes
     val docw = wpost.groupBy("id").agg(sum(col("w")).as("wt"))
     val out = broadcast(cand)
       .join(wpost.select(col("id").as("id_a"), col("h"), col("w")), "id_a")
@@ -378,7 +379,7 @@ object Dedup {
     val sigs = df.select(
         col(idCol).as("id"),
         TF.minhashSignature(TF.shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
-      .persist()
+      .saltedPersist()
     // pack parity bits: word 0 = perms 0..63, word 1 = perms 64..127
     def word(off: Int): Column = expr(
       s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
@@ -417,10 +418,10 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
                          TF.shingleHashes(col(textCol), shingleN).as("hs"))
       .withColumn("n", size(col("hs")))
-      .persist() // barrier + reused by signature build and both verify joins
+      .saltedPersist() // barrier + reused by signature build and both verify joins
     val sigs = sets.select(col("id"),
         TF.minhashSignature(col("hs"), numHashes).as("sig"))
-      .persist()
+      .saltedPersist()
     val banded = sigs.select(col("id"),
       explode(TF.lshBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
     val (cand, sizedCache) = cappedCandidatePairs(banded, "band", maxBucketSize)
@@ -439,15 +440,16 @@ object Dedup {
   private def verifyExactJaccard(cand: DataFrame, sets: DataFrame,
                                  threshold: Double): DataFrame =
     cand
-      // belt-and-braces re-dedup at the verify boundary: candidates are
-      // distinct by cappedCandidatePairs' contract, but one full-sweep run
+      // REDUNDANT defense in depth, not the fix: one full-sweep run
       // (2026-08-15, 4-thread Verify) emitted the verified output with the
       // PRE-dedup band-collision multiset (each true pair ~63x under 64
       // bands, identical jaccard per copy, 1.3s runtime = concurrent
-      // queries' plan-equal sigs/sets caches reused) — a cross-query
-      // cache/unpersist race upstream of the aggregate. Deduping here on
-      // the tiny candidate set costs one micro-shuffle and makes the
-      // output correct even when that race recurs.
+      // queries' plan-equal sigs/sets caches reused) — the cross-query
+      // CacheManager share + mid-flight-unpersist race. The CLASS is now
+      // fixed at the source: every operator-internal persist is salted
+      // per-invocation ([[graft.util.CacheSalt]]), so plan-equal sharing
+      // can no longer happen. This boundary re-dedup on the tiny candidate
+      // set (one micro-shuffle) stays as a belt-and-braces invariant.
       .dropDuplicates("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"),
                         col("n").as("na")), "id_a")
@@ -501,7 +503,7 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val bitsPer = 64 / nBlocks
     val hashed = hashes.select(col("id"), col("sh"))
-      .persist() // reused by both join sides — see minhashLshPairs note
+      .saltedPersist() // reused by both join sides — see minhashLshPairs note
     val blocked = hashed.select(col("id"), explode(
       transform(sequence(lit(0), lit(nBlocks - 1)), i =>
         struct(i.as("i"),
@@ -532,7 +534,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
                          TF.shingleHashes(col(textCol), shingleN).as("hs"))
       .withColumn("n", size(col("hs")))
-      .persist() // shingle sets reused by both join sides
+      .saltedPersist() // shingle sets reused by both join sides
     val posting = sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
     // prune pathological shingles (stopword-only n-grams at corpus scale);
     // skipped entirely when unbounded so the exact/oracle config pays no
@@ -566,16 +568,27 @@ object Dedup {
     *
     * Diagnostic operator: the exact side is the same inverted-index join
     * as [[ngramJaccardPairs]] with an UNCAPPED doc frequency (it is the
-    * truth being measured against) — at 100 TB run it on a sampled
-    * partition, not the full corpus. */
+    * truth being measured against) — that arm is quadratic in hot-shingle
+    * document frequency, so at 100 TB it MUST run on a corpus sample:
+    * set `sampleFraction` < 1 (seeded, deterministic for a fixed input
+    * partitioning) so both arms run over the same sampled docs. Recall per
+    * decile is a ratio, so its expectation is unchanged by uniform
+    * sampling; only the per-decile counts shrink. The gate runs
+    * `sampleFraction = 1.0` (exact, oracle-matched). */
   def lshRecallCurve(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 128, bands: Int = 16,
                      lshThreshold: Double = 0.4, exactFloor: Double = 0.1,
-                     shingleN: Int = 3): DataFrame = {
-    val lsh = minhashLshPairs(df, idCol, textCol, numHashes = numHashes,
+                     shingleN: Int = 3, sampleFraction: Double = 1.0,
+                     sampleSeed: Long = 42L): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base =
+      if (sampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, sampleFraction, sampleSeed)
+    val lsh = minhashLshPairs(base, idCol, textCol, numHashes = numHashes,
         bands = bands, threshold = lshThreshold)
       .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
-    val exact = ngramJaccardPairs(df, idCol, textCol, shingleN = shingleN,
+    val exact = ngramJaccardPairs(base, idCol, textCol, shingleN = shingleN,
         threshold = exactFloor, maxDocFreq = Long.MaxValue)
     exact.join(lsh, Seq("id_a", "id_b"), "left")
       .groupBy(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
@@ -611,7 +624,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
                          TF.shingleHashes(col(textCol), shingleN).as("hs"))
       .withColumn("n", size(col("hs")))
-      .persist()
+      .saltedPersist()
     val posting = sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
     val rare =
       if (maxDocFreq == Long.MaxValue) posting
@@ -686,7 +699,7 @@ object Dedup {
         (Seq(col("id"), col("t"), col("l"), col("band"),
              explode(array(col("band"), col("band") + 1)).as("blk")) ++
          histCols): _*)
-      .persist() // barrier: group counts computed once per doc, not per pair
+      .saltedPersist() // barrier: group counts computed once per doc, not per pair
     val l1 = (0 until nGroups).map(g =>
       abs(col(s"a.h$g") - col(s"b.h$g"))).reduce(_ + _)
     // Everything rides the JOIN CONDITION in explicit cheap-first order —
@@ -750,7 +763,7 @@ object Dedup {
       .repartitionByRange(col("k"), col("id"))
       .sortWithinPartitions(col("k"), col("id"))
       .withColumn("__pid", spark_partition_id())
-      .persist() // two passes: partition counts, then the ranked join
+      .saltedPersist() // two passes: partition counts, then the ranked join
     // pass 1: per-partition row counts -> cumulative rank bases (one tiny
     // row per partition, driver-bounded)
     val counts = keyed.groupBy("__pid").agg(count(lit(1)).as("c"))
@@ -883,7 +896,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
                          TF.shingleHashes(col(textCol), shingleN).as("hs"))
       .withColumn("n", size(col("hs")))
-      .persist() // reused by the prefix build, the probe side and verification
+      .saltedPersist() // reused by the prefix build, the probe side and verification
     val pref = ngramPrefixPostings(sets, threshold)
     val full = sets.select(col("id"), explode(col("hs")).as("h"))
     // the guaranteed shared shingle is in ONE side's prefix, so the join is
@@ -958,7 +971,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
         array_distinct(transform(fpArr, fp => fp.getField("hash"))).as("hs"))
       .withColumn("nf", size(col("hs")).cast("long"))
-      .persist() // feeds both join sides
+      .saltedPersist() // feeds both join sides
     val posting = sets.select(col("id"), col("nf"), explode(col("hs")).as("h"))
     val rare =
       if (maxDocFreq == Long.MaxValue) posting
@@ -996,7 +1009,7 @@ object Dedup {
         .where(col("cosine") >= threshold)
     } else {
       val bucketed = v.withColumn("bucket",
-        Similarity.hyperplaneBucket(col("vec"), lshBits, dim)).persist()
+        Similarity.hyperplaneBucket(col("vec"), lshBits, dim)).saltedPersist()
       val (cand, sizedCache) = cappedCandidatePairs(
         bucketed.select(col("id"), col("bucket")), "bucket", maxBucketSize)
       val out = cand
@@ -1038,7 +1051,7 @@ object Dedup {
           Similarity.hyperplaneBucket(col("vec"), lshBits, dim))
     val all = bucketed(incoming, isInc = true)
       .unionByName(bucketed(existing, isInc = false))
-      .persist() // reused by both sides of the bucket join
+      .saltedPersist() // reused by both sides of the bucket join
     val dropped = all.where(col("is_inc")).as("a")
       .join(all.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -1072,7 +1085,7 @@ object Dedup {
       .withColumn("cluster", element_at(
         column(graft.functions.NearestCentroids(expression(col("vec")), centroids, 1)),
         1).cast("long"))
-      .persist()
+      .saltedPersist()
     val (cand, sized) = cappedCandidatePairs(
       assigned.select(col("id"), col("cluster")), "cluster", maxClusterSize)
     val dupIds = cand
@@ -1356,7 +1369,7 @@ object Dedup {
         posexplode(column(graft.functions.PositionalShingleHashes(
           expression(TF.normText(col(textCol))), n))))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    val grams = if (materialize) gramsBase.persist() else gramsBase
+    val grams = if (materialize) gramsBase.saltedPersist() else gramsBase
     // global min-(id,pos) + count per hash: partial agg before the shuffle,
     // so hot (boilerplate) hashes combine map-side instead of funneling
     // into one reducer's sort buffer
@@ -1449,7 +1462,7 @@ object Dedup {
     val sets = shingled(incoming, isInc = true)
       .unionByName(shingled(existing, isInc = false))
       .withColumn("n", size(col("hs")))
-      .persist() // shingle sets reused by both posting sides
+      .saltedPersist() // shingle sets reused by both posting sides
     val posting = sets.select(col("id"), col("is_inc"), col("n"),
                               explode(col("hs")).as("h"))
     val rare =
@@ -1509,7 +1522,7 @@ object Dedup {
     // window (a shuffle over the batch) is skipped entirely.
     val inc = (if (maxDocFreq == Long.MaxValue) incBase.withColumn("dfi", lit(0L))
                else incBase.withColumn("dfi",
-                 count(lit(1)).over(Window.partitionBy("h")))).persist()
+                 count(lit(1)).over(Window.partitionBy("h")))).saltedPersist()
     // cross-batch candidates: batch postings probe the bucketed index
     val crossRaw = inc.as("a").join(index.as("b"), col("a.h") === col("b.h"))
       .select(col("a.id").as("id_a"), col("a.n").as("na"),
@@ -1520,7 +1533,7 @@ object Dedup {
     // pruning) — persist so the index scan runs once (no ReuseExchange
     // across the two different subtrees; see memory: recurring plan trap)
     val crossSrc = if (maxDocFreq == Long.MaxValue) crossRaw
-                   else crossRaw.persist()
+                   else crossRaw.saltedPersist()
     val crossPairs = (if (maxDocFreq == Long.MaxValue) crossSrc
                       else crossSrc.where(col("dfi") + col("dfc") <= maxDocFreq))
       .groupBy("id_a", "id_b")
@@ -1587,7 +1600,7 @@ object Dedup {
               TF.normText(col("col")).as("norm"))
       .where(length(col("norm")) > 0)
       .select(col("id"), col("pos"), xxhash64(col("norm")).as("h"))
-    val lines = if (materialize) exploded.persist() else exploded
+    val lines = if (materialize) exploded.saltedPersist() else exploded
     val firsts = lines.groupBy("h")
       .agg(min(struct(col("id"), col("pos"))).as("first"),
            count(lit(1)).as("cnt"))
@@ -1651,7 +1664,7 @@ object Dedup {
               TF.normText(col("col")).as("norm"))
       .where(length(col("norm")) > 0)
       .select(col("id"), col("grp"), col("pos"), xxhash64(col("norm")).as("h"))
-    val lines = if (materialize) exploded.persist() else exploded
+    val lines = if (materialize) exploded.saltedPersist() else exploded
     // distinct docs per (group, line): the inner distinct is the map-side
     // collapse (a line repeated 50× inside one doc contributes one row)
     val boiler = lines.select("grp", "h", "id").distinct()

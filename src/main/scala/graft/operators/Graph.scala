@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.CacheSalt.SaltedPersistOps
 import graft.util.Materialize
 
 import org.apache.spark.sql.DataFrame
@@ -50,7 +51,7 @@ object Graph {
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).saltedPersist()
     val nodes = edgesDeg.select(col("src").as("id")).distinct()
     val n = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(n))
@@ -99,7 +100,7 @@ object Graph {
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).saltedPersist()
     val nodes = edgesDeg.select(col("src").as("id")).distinct()
     // seeds restricted to graph nodes; the seed table is tiny — broadcast.
     // CUT once: the marker is referenced by the init, EVERY round, and the

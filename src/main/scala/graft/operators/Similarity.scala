@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.CacheSalt.SaltedPersistOps
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -472,7 +473,7 @@ object Similarity {
       .otherwise(transform(col(vecCol), x =>
         floor(x.cast("double") * QuantScale).cast("long")))
     val qBase = corpus.select(col(idCol), quant.as("qv"))
-    val q = if (materialize) qBase.persist() else qBase
+    val q = if (materialize) qBase.saltedPersist() else qBase
     def distsCol(cents: Array[Array[Long]]): Column = {
       val cLit = array(cents.map(cv => array(cv.map(lit): _*)): _*)
       transform(cLit, cv => aggregate(
@@ -570,7 +571,7 @@ object Similarity {
     // the normal path unpersists after the cut below
     val coded = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
       .withColumn("codes", array((0 until m).map(mi => code(col("cvec"), mi)): _*))
-      .persist()
+      .saltedPersist()
     // query → ADC lookup table: lut[mi][ki] = <q_sub, codeword> in DOUBLE
     val cbLit = array(cbs.map(cb => array(cb.map(cw =>
       array(cw.map(x => lit(x.toDouble)): _*)): _*)): _*)
@@ -670,7 +671,7 @@ object Similarity {
         zip_with(row, quant(vec), (s, v) => s * v), lit(0L), _ + _))
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cvec"))
       .select(col("id"), col("cvec"), project(col("cvec")).as("pvec"))
-      .persist()
+      .saltedPersist()
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
       .select(col("qid"), col("qvec"), project(col("qvec")).as("pq"))
     val approx = c.select(col("id"), col("pvec"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.CacheSalt.SaltedPersistOps
 import graft.functions.{TextFunctions => TF}
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -92,7 +93,7 @@ object TextAnalysis {
                        materialize: Boolean = true): DataFrame = {
     val keptBase = gopherFilter(df, idCol, textCol, minScore, langs,
       maxDupPpm, maxTopPpm, ns)
-    val kept = if (materialize) keptBase.persist() else keptBase
+    val kept = if (materialize) keptBase.saltedPersist() else keptBase
     val surv = Dedup.normalizedSurvivors(kept, idCol, textCol)
       .select(col(idCol), col("n_copies"))
     val out = Sampling.capPerGroup(kept.join(surv, Seq(idCol)), groupCol,
@@ -116,7 +117,7 @@ object TextAnalysis {
     val counts = df.select(explode(TF.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .persist() // reused by the total and every N's top-k cut
+      .saltedPersist() // reused by the total and every N's top-k cut
     val total = counts.agg(sum("c").as("total_occ"))
     val rows = ns.map { n =>
       counts.orderBy(col("c").desc, col("tok").asc).limit(n)
@@ -147,7 +148,7 @@ object TextAnalysis {
                      maxDupPpm: Long, maxTopPpm: Long,
                      maxPerGroup: Int, ns: Seq[Int] = Seq(2)): DataFrame = {
     val kept = gopherFilter(df, idCol, textCol, minScore, langs,
-      maxDupPpm, maxTopPpm, ns).persist()
+      maxDupPpm, maxTopPpm, ns).saltedPersist()
     val surv = Dedup.normalizedSurvivors(kept, idCol, textCol)
       .select(col(idCol))
     val deduped = kept.join(surv, Seq(idCol), "left_semi")
@@ -191,7 +192,7 @@ object TextAnalysis {
                        ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram sizes must be >= 1")
     val toks = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
-      .persist() // barrier: keep tokens() out of the n-gram lambdas
+      .saltedPersist() // barrier: keep tokens() out of the n-gram lambdas
     val perN = ns.map { n =>
       val grams = toks.select(col("id"), explode(
         when(size(col("tk")) >= n,
@@ -366,10 +367,10 @@ object TextAnalysis {
     val benchShBase = benchmark
       .select(explode(TF.shingleHashes(col(benchText), shingleN)).as("h"))
       .distinct()
-    val benchSh = if (materialize) benchShBase.persist() else benchShBase
+    val benchSh = if (materialize) benchShBase.saltedPersist() else benchShBase
     val shBase = corpus.select(col(idCol),
       TF.shingleHashes(col(textCol), shingleN).as("hs"))
-    val sh = if (materialize) shBase.persist() else shBase
+    val sh = if (materialize) shBase.saltedPersist() else shBase
     val totals = sh.select(col(idCol), size(col("hs")).cast("long").as("n_shingles"))
     val out = shingleBloom(benchSh, "h", estimatedBenchShingles, numBits) match {
       case None => // empty bench set: nothing can be contaminated
@@ -780,7 +781,7 @@ object TextAnalysis {
     val nf = feats.size + 1 // + bias
     val xs = (lit(1L) +: feats.map(_.cast("long"))).zipWithIndex
       .map { case (c, i) => c.as(s"x$i") }
-    val data = df.select((label.cast("long").as("y") +: xs): _*).persist()
+    val data = df.select((label.cast("long").as("y") +: xs): _*).saltedPersist()
     try {
       var w = Array.fill(nf)(0L)
       val rows = (1 to epochs).map { ep =>
@@ -991,7 +992,7 @@ object TextAnalysis {
     val tfBase = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val tf = if (materialize) tfBase.persist() else tfBase
+    val tf = if (materialize) tfBase.saltedPersist() else tfBase
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val scored = tf.join(dfr, "term")
       .withColumn("score",
@@ -1026,7 +1027,7 @@ object TextAnalysis {
     // feeds the term-count reduction AND the scoring join — persist so the
     // corpus scans once
     val toksBase = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
-    val toks = if (materialize) toksBase.persist() else toksBase
+    val toks = if (materialize) toksBase.saltedPersist() else toksBase
     val termCounts = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("term_freq"))
     val out = toks.join(termCounts, "term")
@@ -1073,7 +1074,7 @@ object TextAnalysis {
     val toksBase = df.select(col(idCol).as("id"),
         explode(array_distinct(TF.tokens(col(textCol)))).as("tok"))
       .where(length(col("tok")) >= minTokenLen)
-    val toks = if (materialize) toksBase.persist() else toksBase
+    val toks = if (materialize) toksBase.saltedPersist() else toksBase
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .where(col("df") >= minDf &&
@@ -1142,7 +1143,7 @@ object TextAnalysis {
                      materialize: Boolean = true): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val toksBase = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
-    val toks = if (materialize) toksBase.persist() else toksBase
+    val toks = if (materialize) toksBase.saltedPersist() else toksBase
     val bgBase = toks.select(col("id"), explode(
         when(size(col("tk")) >= 2,
             transform(sequence(lit(0), size(col("tk")) - 2), i => struct(
@@ -1154,7 +1155,7 @@ object TextAnalysis {
         .as("bgs"))
       .select(col("id"), col("bgs.h1").as("h1"), col("bgs.h2").as("h2"),
               col("bgs.h12").as("h12"))
-    val bg = if (materialize) bgBase.persist() else bgBase
+    val bg = if (materialize) bgBase.saltedPersist() else bgBase
     val c2t = bg.groupBy(col("h1"), col("h2"), col("h12"))
       .agg(count(lit(1)).as("c2"))
     val nb = c2t.agg(count(lit(1)).as("nbi"))
@@ -1191,7 +1192,7 @@ object TextAnalysis {
   def lmScore(df: DataFrame, idCol: String, textCol: String,
               materialize: Boolean = true): DataFrame = {
     val toksBase = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
-    val toks = if (materialize) toksBase.persist() else toksBase
+    val toks = if (materialize) toksBase.saltedPersist() else toksBase
     // one row per bigram OCCURRENCE: h1 = hash of the context token,
     // h12 = chained hash of the pair (Spark's multi-arg xxhash64)
     val bgBase = toks.select(col("id"), explode(
@@ -1203,7 +1204,7 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<h1:bigint,h12:bigint>>")))
         .as("bgs"))
       .select(col("id"), col("bgs.h1").as("h1"), col("bgs.h12").as("h12"))
-    val bg = if (materialize) bgBase.persist() else bgBase
+    val bg = if (materialize) bgBase.saltedPersist() else bgBase
     val c2t = bg.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c2"))
     // context counts c(w1·) as a whole-partition window over the DISTINCT
     // bigram table — one shuffle on h1, no self-join, and c2t feeds exactly
@@ -1400,7 +1401,7 @@ object TextAnalysis {
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
-    val persisted = sorted.persist()
+    val persisted = sorted.saltedPersist()
     // pass 1: per-partition totals — numPartitions rows, driver-bounded
     val totals = persisted.groupBy("__pid").agg(sum(sizeName).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -1465,7 +1466,7 @@ object TextAnalysis {
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), charSplit.as("syms"))
-      .persist()
+      .saltedPersist()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var prev: DataFrame = null
     var exhausted = false
@@ -1498,7 +1499,7 @@ object TextAnalysis {
             .otherwise(concat(acc, array(s))))
         if (prev != null) prev.unpersist()
         prev = words
-        words = words.select(col("cnt"), fold.as("syms")).persist()
+        words = words.select(col("cnt"), fold.as("syms")).saltedPersist()
         words.count() // materialize this stage so the next argmax does one fold, not rank folds
       }
     }
@@ -1634,7 +1635,7 @@ object TextAnalysis {
       .select(explode(TF.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .persist()
+      .saltedPersist()
     def topV(cand: DataFrame): Seq[(String, Long)] =
       cand.groupBy("p").agg(sum(col("cnt")).as("freq"))
         .orderBy((col("freq") * length(col("p"))).desc, col("p").asc)

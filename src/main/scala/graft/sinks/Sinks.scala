@@ -1,5 +1,6 @@
 package graft.sinks
 
+import graft.util.CacheSalt.SaltedPersistOps
 import graft.config.GraftConfig
 import graft.event.Event
 import graft.functions.{Backoff, DumpCodec}
@@ -45,9 +46,11 @@ object Sinks {
   def fanout(batch: DataFrame, routes: Seq[Route],
              writers: Map[String, DataFrame => Unit],
              skipAcceptCheckOnSingle: Boolean = true): Unit = {
-    val assigned = assign(batch, routes, skipAcceptCheckOnSingle)
+    val routed = assign(batch, routes, skipAcceptCheckOnSingle)
     val multi = routes.sizeIs > 1
-    if (multi) assigned.persist()
+    // saltedPersist returns the persisted frame (the salt changes the plan),
+    // so the sink filters below must run on ITS return value, not `routed`
+    val assigned = if (multi) routed.saltedPersist() else routed
     try routes.foreach { r =>
       writers.get(r.name).foreach { w =>
         w(assigned.where(col("__sink") === r.name).drop("__sink"))

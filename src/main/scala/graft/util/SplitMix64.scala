@@ -22,8 +22,12 @@ object SplitMix64 {
     z ^ (z >>> 31)
   }
 
-  /** The `n`-th output of the stream seeded at `seed` — random access to
-    * the same sequence [[generator]] walks. */
+  /** Random access into the stream seeded at `seed`. Alignment is 1-BASED
+    * against [[generator]]: `at(seed, n)` is the n-th generated output for
+    * n >= 1 (the generator's first draw is `mix(seed + Gamma)` =
+    * `at(seed, 1)`); `at(seed, 0)` = `mix(seed)` is NEVER produced by the
+    * generator. Consumers aligning indexed access with a walked sequence
+    * must start at n = 1 or the whole stream shifts by one draw. */
   def at(seed: Long, n: Long): Long = mix(seed + n * Gamma)
 
   /** A stateful generator closure seeded at `seed`; each call returns the
