@@ -13,11 +13,16 @@ import java.nio.file.{Files, Paths}
   * BENCH_LOCAL.json instead.
   *
   * Each query is materialized with a noop-format write (a bare count()
-  * would let Catalyst prune most of the computation) and executed TWICE:
-  * the first pass pays JIT/codegen/IO warm-up, the reported number is the
-  * second, steady-state pass — per-round numbers would otherwise book
-  * first-call compilation against whichever queries run early
-  * (round-1 bench: q1_agg 18.3s cold vs 1.3s warm).
+  * would let Catalyst prune most of the computation) and executed at least
+  * TWICE: the first pass pays JIT/codegen/IO warm-up, and the reported
+  * steady number is the per-query MINIMUM across ALL passes (cold
+  * included) — per-round numbers would otherwise book first-call
+  * compilation against whichever queries run early (round-1 bench: q1_agg
+  * 18.3s cold vs 1.3s warm), and a warm-pass-only number is hostage to
+  * whatever else the host ran during that one pass (round 10: builder
+  * 379.5 s vs driver 488.3 s with 30 degraded flags for IDENTICAL code —
+  * the min is robust to one-sided contention because a burst has to cover
+  * every pass of a query to move its reported time).
   *
   * Run self-diagnosis: both records carry a `degraded` list (queries whose
   * warm pass ran slower than their cold pass beyond a noise margin —
@@ -112,9 +117,9 @@ object Bench {
     // run's MEDIAN probe is flagged into `degraded` alongside the
     // warm>cold detector.
     val probeSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
-    val lastTick = scala.collection.mutable.HashMap.empty[String, Int]
+    val lastTick = scala.collection.mutable.HashMap.empty[(String, Int), Int]
     def probePoint(): Unit = probeSeries += ((ticks, calibrationProbe(), loadAvg()))
-    def runOnce(name: String): (Double, Boolean) = {
+    def runOnce(name: String, pass_ : Int): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -129,7 +134,7 @@ object Bench {
       // post-query hygiene, outside the timer (see scaladoc)
       val released = graft.util.Materialize.release()
       ticks += 1
-      lastTick(name) = ticks
+      lastTick((name, pass_)) = ticks
       if (ticks % 16 == 0) { System.gc(); probePoint() } // drain weak refs + contention sample
       if (debug) {
         val (nRdd, mem, disk) = graft.util.Materialize.storageSummary(spark)
@@ -157,13 +162,31 @@ object Bench {
     val loadBefore = loadAvg()
     probeSeries += ((0, probeBefore, loadBefore))
     val wall0 = System.nanoTime()
-    val allPasses = (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
+    val allPasses = (1 to passes).map(p => names.map(n => n -> runOnce(n, p)))
     val wall = (System.nanoTime() - wall0) / 1e9
     val probeAfter = calibrationProbe()
     val loadAfter = loadAvg()
     probeSeries += ((ticks, probeAfter, loadAfter))
     val cold = allPasses.head      // warm-up pass: JIT, codegen, page cache
-    val results = allPasses.last   // steady-state pass (reported)
+    val passMaps = allPasses.map(_.toMap)
+    // reported steady number = per-query MIN across ALL passes that
+    // succeeded (cold included): robust to one-sided host contention — a
+    // burst must cover EVERY pass of a query to move its reported time
+    // (round-10 item 3: builder 379.5 s vs driver 488.3 s on identical
+    // code). A query is marked ok only if every pass succeeded.
+    val results: Seq[(String, (Double, Boolean))] = names.map { n =>
+      val runs = passMaps.map(_(n))
+      val okRuns = runs.filter(_._2)
+      val v = (if (okRuns.nonEmpty) okRuns else runs).map(_._1).min
+      n -> ((v, runs.forall(_._2)))
+    }
+    // the 1-based pass index whose time is the reported min — the probe
+    // localization below brackets THAT pass's run, not the last pass's
+    def minPassIdx(n: String): Int = {
+      val runs = passMaps.map(_(n)).zipWithIndex
+      val ok = runs.filter(_._1._2)
+      (if (ok.nonEmpty) ok else runs).minBy(_._1._1)._2 + 1
+    }
 
     def qmap(rs: Seq[(String, (Double, Boolean))], fmt: Double => String): String =
       rs.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
@@ -204,14 +227,19 @@ object Bench {
       probeSeries.minBy(p => math.abs(p._1 - tick))._2
     val probeFlagged = results.collect {
       case (k, (_, true))
-        if lastTick.contains(k) &&
-           nearestProbeMs(lastTick(k)) > probeBaseline * 1.3 => k
+        if lastTick.contains((k, minPassIdx(k))) &&
+           nearestProbeMs(lastTick((k, minPassIdx(k)))) > probeBaseline * 1.3 => k
     }
     // a query whose COLD pass failed fast has no meaningful baseline — its
     // successful warm pass is not contention evidence, so require cold ok
+    // degraded = even the best WARM pass ran slower than cold beyond the
+    // noise margin (impossible in steady state → contention covered every
+    // warm pass; the reported min falls back to the cold number, so the
+    // record stays usable — the flag marks residual doubt, not the value)
     val degradedNames = (results.collect {
-      case (k, (warm, true))
-        if coldMap(k)._2 && warm > coldMap(k)._1 * 1.25 + 0.1 => k
+      case (k, (_, true))
+        if coldMap(k)._2 &&
+           passMaps.tail.map(_(k)._1).min > coldMap(k)._1 * 1.25 + 0.1 => k
     } ++ probeFlagged).distinct ++
       // load that is CONSTANT across the run never trips warm > cold (both
       // passes slow down together) but it does stretch the fixed-workload
