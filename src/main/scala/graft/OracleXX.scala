@@ -196,6 +196,14 @@ object OracleXX {
   def mix64Pmod(l: String, m: Long, seed: Long): String =
     pmodWrap(mix64(l, seed), m)
 
+  /** Spark's SIGNED `mix64(longCol, seed)` value itself as BIGINT (raw
+    * hash, no mod) — the sample-ranking key the bottom-k quantile sketch
+    * oracle sorts by (Spark's heap compares signed longs). */
+  def mix64Signed(l: String, seed: Long): String =
+    s"""list_extract(list_transform([(${mix64(l, seed)})], hu ->
+          (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                THEN hu - $M ELSE hu END)::BIGINT), 1)"""
+
   private val pow2 =
     (0 until 64).map(b => s"${BigInt(2).pow(b)}::HUGEINT").mkString("[", ", ", "]")
   private val sqlToks =

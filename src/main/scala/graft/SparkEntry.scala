@@ -2601,6 +2601,106 @@ object SparkEntry {
         fineCol = "source", coarseCol = "lang")
       .orderBy("lang")
 
+  /** Mergeable bottom-k quantile sketch of document lengths per lang —
+    * sketch p50/p90/p99 probes beside the exact same-rule overlay
+    * ([[TextAnalysis.lengthSketch]]); the fourth native sketch family
+    * member (HLL/CMS/Bloom/quantile). */
+  private def textLengthSketch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthSketch(t(s, dir, "documents"), "doc_id", "text",
+        k = 256, "lang")
+      .orderBy("lang")
+
+  /** Quantile-sketch algebra gate ([[TextAnalysis.lengthSketchRollup]]):
+    * per-(lang, source) sketches merged declaratively (union-truncate)
+    * must equal the per-lang sketch computed directly — the storable-
+    * column property. */
+  private def textLengthSketchRollup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthSketchRollup(t(s, dir, "documents"), "doc_id", "text",
+        k = 256, fineCol = "source", coarseCol = "lang")
+      .orderBy("lang")
+
+  /** LIVE streaming twin of `text_length_sketch` (the
+    * [[streamHllCardinality]] pattern): the bottom-k buffer aggregates
+    * under the streaming state store in complete mode, the exact overlay
+    * is batch-side, and the result is gated against the SAME oracle —
+    * batch/stream parity for the quantile sketch. */
+  private def streamLengthSketch(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val docs = t(s, dir, "documents")
+    val work = graft.util.TempDirs.create("graft-stream-bk")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      inDir.resolve("documents.parquet"))
+    val stream = s.readStream.schema(docs.schema).parquet(inDir.toString)
+    val sk = TextAnalysis.lengthSketchRows(stream, "doc_id", "text", Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           graft.functions.Sketches.bottomKSketch(col("__rh"), col("__v"), 256)
+             .as("__sk"))
+    val sinkName = s"stream_bk_${layoutTag(dir)}"
+    val q = sk.writeStream.outputMode("complete")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(sinkName).start()
+    q.awaitTermination()
+    // see streamHllCardinality: nothing lazy reads the staged files
+    graft.util.TempDirs.deleteNow(work)
+    val exact = TextAnalysis.lengthSketchExact(
+      TextAnalysis.lengthSketchRows(docs, "doc_id", "text", Seq("lang")),
+      Seq("lang"))
+    TextAnalysis.lengthSketchReport(s.table(sinkName), exact, Seq("lang"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB replica of the bottom-k quantile sketch gate — see the oracle
+    * map entry for the determinism argument. */
+  private def lengthSketchOracle(k: Int): String = {
+    val h = OracleXX.mix64Signed("doc_id", seed = 0L)
+    s"""
+      WITH d AS MATERIALIZED (
+        SELECT lang, length(text)::BIGINT AS v, $h AS hh FROM documents),
+      r AS (SELECT lang, v,
+                   row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS rn
+            FROM d),
+      sq AS (SELECT lang, list_sort(list(v)) AS sv, count(*)::BIGINT AS m
+             FROM r WHERE rn <= $k GROUP BY lang),
+      eq AS (SELECT lang, list_sort(list(v)) AS ev, count(*)::BIGINT AS n
+             FROM d GROUP BY lang)
+      SELECT eq.lang, n AS n_docs, m AS sample_n,
+             list_extract(sv, floor(0.5::DOUBLE  * (m - 1)::DOUBLE)::BIGINT + 1) AS p50_est,
+             list_extract(sv, floor(0.9::DOUBLE  * (m - 1)::DOUBLE)::BIGINT + 1) AS p90_est,
+             list_extract(sv, floor(0.99::DOUBLE * (m - 1)::DOUBLE)::BIGINT + 1) AS p99_est,
+             list_extract(ev, floor(0.5::DOUBLE  * (n - 1)::DOUBLE)::BIGINT + 1) AS p50_exact,
+             list_extract(ev, floor(0.9::DOUBLE  * (n - 1)::DOUBLE)::BIGINT + 1) AS p90_exact,
+             list_extract(ev, floor(0.99::DOUBLE * (n - 1)::DOUBLE)::BIGINT + 1) AS p99_exact
+      FROM sq JOIN eq USING (lang) ORDER BY lang"""
+  }
+
+  /** Rollup replica: one per-lang bottom-k sample pins BOTH fingerprints
+    * (merged = direct by the union-truncate identity). */
+  private def lengthSketchRollupOracle(k: Int): String = {
+    val h = OracleXX.mix64Signed("doc_id", seed = 0L)
+    s"""
+      WITH d AS MATERIALIZED (
+        SELECT lang, length(text)::BIGINT AS v, $h AS hh FROM documents),
+      r AS (SELECT lang, v, hh,
+                   row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS rn
+            FROM d),
+      f AS (SELECT lang,
+                   md5(string_agg(hh::VARCHAR || ':' || v::VARCHAR, ','
+                     ORDER BY hh, v)) AS fp,
+                   count(*)::BIGINT AS m,
+                   list_sort(list(v)) AS sv
+            FROM r WHERE rn <= $k GROUP BY lang)
+      SELECT lang, m AS sample_n, fp AS merged_md5, fp AS direct_md5,
+             TRUE AS merged_eq_direct,
+             list_extract(sv, floor(0.5::DOUBLE  * (m - 1)::DOUBLE)::BIGINT + 1) AS p50_est,
+             list_extract(sv, floor(0.99::DOUBLE * (m - 1)::DOUBLE)::BIGINT + 1) AS p99_est
+      FROM f ORDER BY lang"""
+  }
+
   /** Top principal component of the embedding corpus — Gram-matrix pass
     * + fixed-point power iteration (see [[Similarity.pcaTopComponent]]):
     * the representation-drift / variance-concentration QA direction. */
@@ -4048,6 +4148,9 @@ object SparkEntry {
     "text_heavy_hitters"  -> textHeavyHitters _,
     "text_hll_cardinality" -> textHllCardinality _,
     "text_hll_rollup"     -> textHllRollup _,
+    "text_length_sketch"  -> textLengthSketch _,
+    "text_length_sketch_rollup" -> textLengthSketchRollup _,
+    "stream_length_sketch" -> streamLengthSketch _,
     "text_hll_intersect"  -> textHllIntersect _,
     "stream_hll_cardinality" -> streamHllCardinality _,
     "events_dau_hll"      -> eventsDauHll _,
@@ -7146,6 +7249,18 @@ object SparkEntry {
                                                  minCount = 100L),
     "text_hll_cardinality" -> OracleXX.hllOracle(p = 8),
     "text_hll_rollup" -> OracleXX.hllRollupOracle(p = 8),
+    // bottom-k quantile sketch: the k smallest signed-mix64(doc_id) rows
+    // per lang are the sample; both arms pick the value at 1-based rank
+    // floor(q·(n−1))+1 (one IEEE multiply on exact integer operands).
+    // The streaming twin aggregates the SAME buffer under the state store
+    // → same oracle (batch/stream parity, like stream_bloom_sketch).
+    "text_length_sketch" -> lengthSketchOracle(k = 256),
+    "stream_length_sketch" -> lengthSketchOracle(k = 256),
+    // union-truncate of per-(lang, source) bottom-k sketches equals the
+    // per-lang bottom-k directly (any pair among the k smallest of its
+    // lang is among the k smallest of its own source subset), so the
+    // oracle computes ONE sample and pins both fingerprints to it
+    "text_length_sketch_rollup" -> lengthSketchRollupOracle(k = 256),
     "text_hll_intersect" -> OracleXX.hllIntersectOracle(p = 8),
     "text_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),
     "stream_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),

@@ -119,6 +119,13 @@ object GraftFunctionRegistry {
     d("graft_hll_regs", classOf[HllRegisters]) { (n, a) =>
       arity(n, a, 2); HllRegisters(nn(a(0), LongType), intLit(n, "p (log2 buckets)", a(1)))
     },
+    // aggregate: bottom-k quantile sketch of (row-hash, value) —
+    // `graft_bottomk(mix64_hash, value, 1024)`
+    d("graft_bottomk", classOf[BottomKSketch]) { (n, a) =>
+      arity(n, a, 3)
+      BottomKSketch(nn(a(0), LongType), nn(a(1), LongType),
+        intLit(n, "k (sample size)", a(2)))
+    },
     d("graft_text_profile", classOf[TextProfile]) { (n, a) =>
       arity(n, a, 1); TextProfile(nn(a.head, StringType))
     },

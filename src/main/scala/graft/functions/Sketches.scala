@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** HyperLogLog register aggregation (Flajolet et al. 2007) as a native
   * Catalyst aggregate — the one-pass, fixed-memory cardinality sketch for
@@ -182,6 +182,157 @@ case class BloomBits(
   override def prettyName: String = "graft_bloom_bits"
 }
 
+/** Mutable bounded max-heap on lexicographic (h, v) — the aggregation
+  * buffer of [[BottomKSketch]]. Keeps the k SMALLEST pairs seen: while
+  * under capacity new pairs sift up; at capacity a pair smaller than the
+  * root (the current maximum) replaces it and sifts down. All operations
+  * are O(log k); the state is exactly 16k bytes + a counter. */
+final class BottomKHeap(val k: Int) {
+  var n: Int = 0
+  val hs = new Array[Long](k)
+  val vs = new Array[Long](k)
+
+  @inline private def less(h1: Long, v1: Long, h2: Long, v2: Long): Boolean =
+    h1 < h2 || (h1 == h2 && v1 < v2)
+
+  private def swap(i: Int, j: Int): Unit = {
+    val th = hs(i); hs(i) = hs(j); hs(j) = th
+    val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+  }
+
+  def insert(h: Long, v: Long): Unit =
+    if (n < k) {
+      var i = n
+      hs(i) = h; vs(i) = v; n += 1
+      while (i > 0 && less(hs((i - 1) / 2), vs((i - 1) / 2), hs(i), vs(i))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (less(h, v, hs(0), vs(0))) {
+      hs(0) = h; vs(0) = v
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && less(hs(m), vs(m), hs(l), vs(l))) m = l
+        if (r < n && less(hs(m), vs(m), hs(r), vs(r))) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+
+  def mergeFrom(other: BottomKHeap): Unit = {
+    var i = 0
+    while (i < other.n) { insert(other.hs(i), other.vs(i)); i += 1 }
+  }
+
+  /** The kept pairs sorted ascending by (h, v) — the canonical emitted
+    * form (a pure function of the input row SET, whatever the heap's
+    * internal layout ended up as). */
+  def sortedPairs(): Array[(Long, Long)] = {
+    val out = Array.tabulate(n)(i => (hs(i), vs(i)))
+    scala.util.Sorting.quickSort(out)
+    out
+  }
+}
+
+/** Bottom-k quantile sketch — the mergeable QUANTILE member of the native
+  * sketch family (HLL = cardinality, CMS = frequency, Bloom = membership):
+  * keeps the k pairs `(h, v)` with lexicographically smallest `(h, v)`,
+  * where `h` is a ROW-UNIQUE 64-bit hash (e.g. `mix64(id)`) and `v` the
+  * LONG value whose distribution is sketched. A uniform hash ranks rows in
+  * a fixed pseudo-random order, so the kept pairs are a uniform
+  * without-replacement sample of the rows; sample quantiles estimate
+  * population quantiles with rank error O(sqrt(q(1-q)/k)) (bottom-k / KMV
+  * sampling, Cohen & Kaplan 2007). At 100 TB this replaces the exact
+  * sort-based `percentile` in the length/latency distribution reports:
+  * one scan, 16k bytes of state per group, only sketches cross the merge
+  * shuffle.
+  *
+  * Why bottom-k and not KLL or t-digest (the textbook mergeable quantile
+  * sketches): their compactions depend on insertion AND merge order
+  * (KLL's coin flips, t-digest's centroid formation), and Spark's task
+  * scheduling makes those orders nondeterministic run-to-run — a bit-exact
+  * gate, and any diffable/storable 100 TB sketch artifact, needs the
+  * sketch to be a pure FUNCTION OF THE ROW SET. The k smallest hashes are
+  * exactly that: order-independent, deterministic, mergeable by
+  * union-then-truncate (associative, commutative, idempotent), and
+  * cross-engine replicable as an ORDER BY + LIMIT. The price is accuracy
+  * per byte — KLL converges O(1/k) vs bottom-k O(1/sqrt(k)); at k = 1024
+  * that is ~3% rank error, adequate for distribution QA reports, and the
+  * knob is k, not the algorithm.
+  *
+  * Emits the sketch itself: `ARRAY<STRUCT<h: LONG, v: LONG>>` sorted
+  * ascending by (h, v). Merge two emitted sketches DECLARATIVELY with
+  * `slice(array_sort(concat(a, b)), 1, k)` — struct array_sort is
+  * lexicographic on field order, which is the buffer's own (h, v) order;
+  * probe quantiles with [[Sketches.sketchQuantile]]. Ties on h (a hash
+  * collision across rows) break on v, so truncation at k stays
+  * deterministic. */
+case class BottomKSketch(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKHeap] with BinaryLike[Expression] {
+
+  require(k >= 16 && k <= (1 << 20),
+    s"graft_bottomk: k must be in [16, 2^20], got $k")
+
+  override def createAggregationBuffer(): BottomKHeap = new BottomKHeap(k)
+
+  override def update(buffer: BottomKHeap, input: InternalRow): BottomKHeap = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      buffer.insert(h.asInstanceOf[Long], v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: BottomKHeap, other: BottomKHeap): BottomKHeap = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: BottomKHeap): Any =
+    new GenericArrayData(buffer.sortedPairs()
+      .map { case (h, v) => InternalRow(h, v) }.toArray[Any])
+
+  override def serialize(buffer: BottomKHeap): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buffer.n * 16)
+    bb.putInt(buffer.n)
+    var i = 0
+    while (i < buffer.n) { bb.putLong(buffer.hs(i)); bb.putLong(buffer.vs(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(storage: Array[Byte]): BottomKHeap = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    val m = bb.getInt()
+    val out = new BottomKHeap(k)
+    var i = 0
+    while (i < m) { out.insert(bb.getLong(), bb.getLong()); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BottomKSketch =
+    copy(left = newLeft, right = newRight)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+                   StructField("v", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect("graft_bottomk", left -> LongType, right -> LongType)
+  override def prettyName: String = "graft_bottomk"
+}
+
 object Sketches {
   /** Column wrapper: HLL registers of a 64-bit-hash column, 2^p buckets. */
   def hllRegisters(hash: Column, p: Int): Column = {
@@ -195,6 +346,38 @@ object Sketches {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(BloomBits(expression(hash), numBits, numHashes)
       .toAggregateExpression())
+  }
+
+  /** Column wrapper: bottom-k quantile sketch (`ARRAY<STRUCT<h,v>>` sorted
+    * by (h, v)) of LONG `value`, sampled by the row-unique 64-bit `hash`. */
+  def bottomKSketch(hash: Column, value: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(BottomKSketch(expression(hash), expression(value), k)
+      .toAggregateExpression())
+  }
+
+  /** Quantile-q estimate from a [[bottomKSketch]] column: the sample value
+    * at 1-based rank `floor(q·(m−1)) + 1` of the value-sorted sample (the
+    * deterministic lower-interpolation rule — one IEEE multiply on exact
+    * integer operands, bit-identical in any engine). NULL on an empty
+    * sketch. Declarative (sort + element_at), so probing N quantiles of a
+    * stored sketch table never leaves codegen. */
+  def sketchQuantile(sketch: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    require(q >= 0.0 && q <= 1.0, s"sketchQuantile: q must be in [0,1], got $q")
+    val vals = array_sort(transform(sketch, x => x.getField("v")))
+    val m = size(vals)
+    when(m === 0, lit(null).cast("long")).otherwise(
+      element_at(vals,
+        floor(lit(q) * (m - lit(1)).cast("double")).cast("int") + 1))
+  }
+
+  /** Declarative merge of two emitted [[bottomKSketch]] columns — the
+    * union-then-truncate algebra (struct array_sort is lexicographic on
+    * (h, v), the sketches' own order). */
+  def sketchMerge(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(concat(a, b)), 1, k)
   }
 
   /** Declarative Bloom probe: true iff every one of the `numHashes` bit

@@ -279,6 +279,101 @@ object TextAnalysis {
       .drop("__lt", "__le")
   }
 
+  /** The SKETCH path of the length report at 100 TB: a mergeable bottom-k
+    * quantile sketch ([[graft.functions.BottomKSketch]] — k smallest
+    * row-hashes, i.e. a deterministic uniform row sample) per group, probed
+    * for p50/p90/p99 beside the EXACT same-rule quantiles as the
+    * validation overlay. The exact arm sorts each group's values
+    * (collect_list — bounded by the gate's group sizes); at production
+    * scale it is dropped exactly like `hllCardinality`'s countDistinct
+    * overlay — the sketch columns are the product, the exact columns are
+    * the harness's check. Both arms use the same deterministic rank rule
+    * (value at 1-based rank `floor(q·(n−1))+1`), so every emitted number
+    * is bit-replicable cross-engine — unlike interpolated `percentile`,
+    * whose float blend is not. `idCol` must be row-unique (it seeds the
+    * sample ranking via `mix64`). */
+  def lengthSketch(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   byCols: String*): DataFrame = {
+    import graft.functions.Sketches
+    require(byCols.nonEmpty, "at least one grouping column required")
+    val rows = lengthSketchRows(df, idCol, textCol, byCols)
+    val sk = rows.groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+           Sketches.bottomKSketch(col("__rh"), col("__v"), k).as("__sk"))
+    lengthSketchReport(sk, lengthSketchExact(rows, byCols), byCols)
+  }
+
+  /** `(byCols..., __rh, __v)` — the sample-ranking hash + value rows both
+    * the batch gate and its streaming twin feed to the sketch aggregate. */
+  def lengthSketchRows(df: DataFrame, idCol: String, textCol: String,
+                       byCols: Seq[String]): DataFrame =
+    df.select((byCols.map(col) :+
+      graft.functions.Mix64.mix64(col(idCol), seed = 0L).as("__rh") :+
+      length(col(textCol)).cast("long").as("__v")): _*)
+
+  /** Exact same-rule quantile overlay per group (sort-based — validation
+    * only, dropped at production scale like hllCardinality's exact arm). */
+  def lengthSketchExact(rows: DataFrame, byCols: Seq[String]): DataFrame = {
+    def exactQ(q: Double): Column = {
+      val vals = array_sort(collect_list(col("__v")))
+      element_at(vals,
+        floor(lit(q) * (size(vals) - lit(1)).cast("double")).cast("int") + 1)
+    }
+    rows.groupBy(byCols.map(col): _*)
+      .agg(exactQ(0.5).as("p50_exact"),
+           exactQ(0.9).as("p90_exact"),
+           exactQ(0.99).as("p99_exact"))
+  }
+
+  /** The report tail shared by the batch gate and its streaming twin:
+    * probe the per-group sketch table `(byCols..., n_docs, __sk)` and join
+    * the exact overlay. */
+  def lengthSketchReport(sk: DataFrame, exact: DataFrame,
+                         byCols: Seq[String]): DataFrame = {
+    import graft.functions.Sketches
+    sk.join(exact, byCols)
+      .select((byCols.map(col) :+ col("n_docs") :+
+        size(col("__sk")).cast("long").as("sample_n") :+
+        Sketches.sketchQuantile(col("__sk"), 0.5).as("p50_est") :+
+        Sketches.sketchQuantile(col("__sk"), 0.9).as("p90_est") :+
+        Sketches.sketchQuantile(col("__sk"), 0.99).as("p99_est") :+
+        col("p50_exact") :+ col("p90_exact") :+ col("p99_exact")): _*)
+  }
+
+  /** Sketch-algebra gate for the quantile sketch, the [[hllMergeRollup]]
+    * pattern: per-(coarse, fine) sketches merged DECLARATIVELY
+    * (flatten → struct-sort → truncate to k — the bottom-k union algebra)
+    * must equal the sketch computed directly per coarse group. This is
+    * what makes the sketch a storable column: a 100 TB pipeline maintains
+    * per-partition sketch tables and answers any-granularity quantiles
+    * without rescanning rows. Emits both fingerprints, their equality,
+    * and the merged sketch's quantile probes. */
+  def lengthSketchRollup(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, fineCol: String, coarseCol: String): DataFrame = {
+    import graft.functions.{Mix64, Sketches}
+    val rows = df.select(col(coarseCol), col(fineCol),
+      Mix64.mix64(col(idCol), seed = 0L).as("__rh"),
+      length(col(textCol)).cast("long").as("__v"))
+    val fine = rows.groupBy(col(coarseCol), col(fineCol))
+      .agg(Sketches.bottomKSketch(col("__rh"), col("__v"), k).as("sk"))
+    val merged = fine.groupBy(col(coarseCol))
+      .agg(slice(array_sort(flatten(collect_list(col("sk")))), 1, k)
+        .as("sk_merged"))
+    val direct = rows.groupBy(col(coarseCol))
+      .agg(Sketches.bottomKSketch(col("__rh"), col("__v"), k).as("sk_direct"))
+    def fp(c: Column): Column = md5(array_join(
+      transform(c, x => concat_ws(":",
+        x.getField("h").cast("string"), x.getField("v").cast("string"))), ","))
+    merged.join(direct, coarseCol)
+      .select(col(coarseCol),
+        size(col("sk_merged")).cast("long").as("sample_n"),
+        fp(col("sk_merged")).as("merged_md5"),
+        fp(col("sk_direct")).as("direct_md5"),
+        (col("sk_merged") === col("sk_direct")).as("merged_eq_direct"),
+        Sketches.sketchQuantile(col("sk_merged"), 0.5).as("p50_est"),
+        Sketches.sketchQuantile(col("sk_merged"), 0.99).as("p99_est"))
+  }
+
   /** Eval-set contamination check: for each benchmark document, the
     * fraction of its distinct n-gram shingles that appear anywhere in the
     * training corpus. Scale shape: the corpus side reduces to its DISTINCT

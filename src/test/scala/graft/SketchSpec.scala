@@ -91,6 +91,57 @@ class SketchSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("bottomKSketch: rank-error bounded, partition-invariant, union-truncate mergeable") {
+    import graft.functions.{Mix64, Sketches}
+    // one global group over all docs: n ~ corpus size, k = 1024
+    val k = 1024
+    val rows = docs.select(Mix64.mix64(col("doc_id"), 0L).as("h"),
+      length(col("text")).cast("long").as("v"))
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+      d.agg(Sketches.bottomKSketch(col("h"), col("v"), k).as("sk"))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+    val sk = sketchOf(rows)
+    assert(sk == sketchOf(rows.repartition(13)), "sketch depends on partitioning")
+    // sorted ascending by (h, v) — the canonical emitted order
+    assert(sk == sk.sortBy(r => (r.getLong(0), r.getLong(1))))
+    // union-truncate of disjoint halves == full sketch (the rollup algebra)
+    val lo = sketchOf(rows.where(pmod(col("h"), lit(2L)) === 0L))
+    val hi = sketchOf(rows.where(pmod(col("h"), lit(2L)) === 1L))
+    val merged = (lo ++ hi).sortBy(r => (r.getLong(0), r.getLong(1))).take(k)
+    assert(merged == sk, "halves do not union-truncate to the full sketch")
+    // rank-error bound: the q-quantile estimate's true rank interval must
+    // sit within q ± 4/sqrt(k) (4 sigma of the sampling error — the bound
+    // the 100 TB report consumes). Deterministic given the fixture.
+    val n = rows.count()
+    val eps = 4.0 / math.sqrt(k)
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val svals = sk.map(_.getLong(1)).sorted
+      val est = svals(math.floor(q * (svals.size - 1)).toInt)
+      val lt = rows.where(col("v") < est).count().toDouble / n
+      val le = rows.where(col("v") <= est).count().toDouble / n
+      assert(lt <= q + eps && le >= q - eps,
+        s"q=$q estimate $est rank interval [$lt, $le] misses ${q}±$eps")
+    }
+  }
+
+  test("bottomKSketch: k >= n keeps every row — sketch quantiles are exact") {
+    import graft.functions.{Mix64, Sketches}
+    import spark.implicits._
+    val vals = Seq(5L, 1L, 9L, 3L, 3L, 7L, 2L, 8L, 4L, 6L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .select(Mix64.mix64(col("id"), 0L).as("h"), col("v"))
+    val out = df.agg(
+        Sketches.sketchQuantile(Sketches.bottomKSketch(col("h"), col("v"), 16), 0.5).as("p50"),
+        Sketches.sketchQuantile(Sketches.bottomKSketch(col("h"), col("v"), 16), 0.0).as("p0"),
+        Sketches.sketchQuantile(Sketches.bottomKSketch(col("h"), col("v"), 16), 1.0).as("p100"))
+      .head
+    // lower-rank rule on the full sorted multiset [1,2,3,3,4,5,6,7,8,9]:
+    // p50 -> rank floor(0.5*9)+1 = 5 -> 4; p0 -> 1; p100 -> 9
+    assert(out.getLong(0) == 4L, s"p50 ${out.getLong(0)}")
+    assert(out.getLong(1) == 1L)
+    assert(out.getLong(2) == 9L)
+  }
+
   test("bloomBits: zero false negatives — every inserted hash probes true") {
     import graft.functions.Sketches
     val (m, k) = (65536, 7)
