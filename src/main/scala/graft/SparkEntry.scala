@@ -1637,6 +1637,26 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** IVF retrieval against the PERSISTED bucketed cell index — the
+    * steady-state query-serving shape, the similarity analog of
+    * `dedup_incremental_indexed`: assignments are computed once per corpus
+    * refresh ([[Similarity.buildIvfIndex]] → `bucketMaterialize` on the
+    * cell id) and every batch probes the table with no assignment pass
+    * over the corpus and no index-side exchange (PlanSpec pins the shape).
+    * Fixed quantizer → same output and oracle as `sim_ivf_verified`. */
+  private def simIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tag = layoutTag(dir)
+    val cents = Similarity.fixedCentroids(16, 64)
+    val idx = graft.operators.Relational.bucketMaterialize(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents),
+      s"graft_b_ivf_$tag", "cluster", 8, s"/tmp/graft_bucketed_$tag/ivf")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopKIndexed(idx, q, "qid", "qvec", cents, k = 10, nProbe = 4)
+      .orderBy("qid", "rank")
+  }
+
   /** Reciprocal-rank fusion of the two fixed-constant retrievers (RP
     * sketch + IVF probe): incomparable score scales combined by integer
     * reciprocal rank, re-ranked per query. Both input rankings are
@@ -4074,6 +4094,7 @@ object SparkEntry {
     "sim_lsh_topk"        -> simLshTopK _,
     "sim_ivf_topk"        -> simIvfTopK _,
     "sim_ivf_verified"    -> simIvfVerified _,
+    "sim_ivf_indexed"     -> simIvfIndexed _,
     "sim_recall_report"   -> simRecallReport _,
     "sim_recall_matrix"   -> simRecallMatrix _,
     "sim_rrf_fusion"      -> simRrfFusion _,
@@ -6486,6 +6507,10 @@ object SparkEntry {
     // trained-k-means IVF, Lloyd iterations unrolled in SQL
     "sim_ivf_topk" -> ivfTrainedOracle(nCentroids = 16, nProbe = 4, k = 10),
     "sim_ivf_verified" -> ivfReplicaOracle(
+      Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    // the indexed path changes WHERE assignments come from (the persisted
+    // bucketed table), not what they are — same replica oracle
+    "sim_ivf_indexed" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
     // exact top-20 pool, pool-pairwise cosines, then 5 unrolled greedy MMR
     // steps: each picks argmax(0.7·rel − 0.3·max-sim-to-selected) with the

@@ -359,6 +359,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** The PERSISTED IVF corpus index consumed by [[ivfTopKIndexed]] — the
+    * similarity analog of `Dedup.buildPostingIndex`: one row per corpus
+    * vector `(id, cvec, cluster)` with its nearest-centroid cell id baked
+    * in. Built ONCE per corpus refresh and persisted bucketed on `cluster`
+    * (`Relational.bucketMaterialize(idx, table, "cluster", buckets,
+    * path)`), so every subsequent query batch probes it WITHOUT re-running
+    * the O(n·k·dim) assignment pass over the corpus — at 100 TB the
+    * assignment is by far the dominant per-batch cost of the non-indexed
+    * path, and it is pure recomputation of a corpus-refresh-constant. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Float]]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      .withColumn("cluster", element_at(
+        column(graft.functions.NearestCentroids(expression(col("cvec")), cents, 1)), 1))
+  }
+
+  /** [[ivfTopK]] against the persisted index — the steady-state
+    * query-serving shape: the per-batch plan reads cluster ids from the
+    * bucketed table (NO NearestCentroids over the corpus, no exchange on
+    * the index side — the queries broadcast), computes exact cosine on the
+    * probed cells, and ranks per query. Only slim `(qid, id, cosine)`
+    * candidate rows cross the rank shuffle; corpus vectors never leave
+    * their scan. No candidate-dedup shuffle is needed: each corpus id
+    * lives in exactly one cell and a query's probe list is distinct cells,
+    * so a `(qid, id)` pair meets at most once. `cents` must be the SAME
+    * centroid set the index was built with (the probe side's cell ids must
+    * mean the same thing — pass the corpus-refresh artifact, not a
+    * retrained set). */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame,
+                     queryId: String, queryVec: String,
+                     cents: Array[Array[Float]],
+                     k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+      .withColumn("cluster", explode(
+        column(graft.functions.NearestCentroids(expression(col("qvec")), cents, nProbe))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    index.join(broadcast(q), Seq("cluster"))
+      .select(col("qid"), col("id"),
+        VF.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .where(col("qid") =!= col("id"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** All-nodes approximate k-NN GRAPH over the corpus itself — the input
     * to SemDeDup-style clustering, graph-based dedup, kNN-LM retrieval and
     * embedding-space QA. Unlike the query-based retrieval paths, BOTH

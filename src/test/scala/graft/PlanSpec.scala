@@ -28,6 +28,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_indexed: probes the persisted index — no corpus assignment pass, no index-side exchange") {
+    val p = plan("sim_ivf_indexed")
+    val lines = p.linesIterator.toVector
+    // the corpus side is the bucketed index table (cluster ids from parquet)
+    assert(lines.exists(l => l.contains("FileScan parquet") && l.contains("graft_b_ivf")),
+      s"bucketed index table scan not found:\n$p")
+    // the per-batch plan must not re-run the assignment over the corpus:
+    // nearest_centroids may appear only on the (broadcast) query side —
+    // i.e. exactly one Generate/explode over the 5-query relation, never a
+    // second occurrence feeding the index scan
+    assert(p.sliding("nearest_centroids".length).count(_ == "nearest_centroids") <= 2,
+      s"assignment pass leaked into the per-batch plan:\n$p")
+    // queries broadcast; the only hash exchange is the slim qid rank
+    // shuffle, which must not carry corpus vectors; the index side never
+    // exchanges (not by cluster, not by id)
+    assert(p.contains("BroadcastHashJoin"), s"query broadcast lost:\n$p")
+    val hashEx = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("hashpartitioning(qid")),
+      s"unexpected non-rank exchange (index side must probe in place):\n$p")
+    assert(!hashEx.exists(_.contains("cvec")),
+      s"corpus vectors cross the rank shuffle:\n$p")
+  }
+
   test("q3_topk: top-k via TakeOrderedAndProject, not a global sort") {
     assert(plan("q3_topk").contains("TakeOrderedAndProject"))
   }
