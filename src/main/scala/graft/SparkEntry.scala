@@ -3425,9 +3425,35 @@ object SparkEntry {
     Multimodal.decodeMeta(media).toDF().orderBy("id")
   }
 
-  /** Perceptual dHash fingerprint per image payload — the cheap image
-    * near-dup signal (decode is the documented stub; the gradient-bit +
-    * fingerprint shape is the production contract). */
+  /** dHash over GENUINELY DECODED pixels of the committed real-image
+    * fixtures (ImageIO decode → raster luma → 9×8 box resample →
+    * gradient bits). Only the two fixtures whose stored samples are
+    * derivable from the render spec WITHOUT any codec are gated — lossless
+    * PNGs of exact RGB/RGBA pixels, so the VALUES oracle's expected hashes
+    * come from a pure-integer replica of render + luma + resample with no
+    * ImageIO anywhere (MultimodalSpec additionally pins engine == replica
+    * in-process). The gray PNG (its stored samples embed the JDK's
+    * sRGB→gray conversion applied at fixture-encode time) and the lossy
+    * JPEGs have no codec-free expected value; their decode behavior is
+    * spec'd instead (recompression lands within hamming ≤ 3). */
+  private def mmPhashImages(s: SparkSession, dir: String): DataFrame = {
+    val files = s.read.format("binaryFile")
+      .load(new java.io.File("fixtures/images").getAbsolutePath)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+              col("content").as("payload"))
+      .where(col("name").isin("img0_rgb.png", "img1_rgba.png"))
+      .withColumn("id", when(col("name") === "img0_rgb.png", 0L).otherwise(1L))
+    Multimodal.perceptualHash(files)
+      .select(when(col("id") === 0L, lit("img0_rgb.png"))
+        .otherwise(lit("img1_rgba.png")).as("name"), col("phash"))
+      .orderBy("name")
+  }
+
+  /** Perceptual dHash fingerprint per payload — the cheap image near-dup
+    * signal. These corpus payloads are text bytes (not images), so they
+    * exercise the documented stub grid, which keeps the full gradient-bit
+    * mechanics DuckDB-replicable; decoded-pixel hashing is gated by
+    * `mm_phash_images` above. */
   private def mmPhash(s: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualHash(
         Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id",
@@ -4296,6 +4322,7 @@ object SparkEntry {
     "mm_audio_frames"     -> mmAudioFrames _,
     "mm_dedup_exact"      -> mmDedupExact _,
     "mm_phash"            -> mmPhash _,
+    "mm_phash_images"     -> mmPhashImages _,
     "mm_phash_neardup"    -> mmPhashNearDup _,
     "mm_phash_candidates" -> mmPhashCandidates _,
     "mm_image_headers"    -> mmImageHeaders _,
@@ -8633,6 +8660,16 @@ object SparkEntry {
     // digest replica: DuckDB md5(VARCHAR) hashes the UTF-8 bytes, exactly
     // the payload the engine digests at its decode stage
     "mm_phash" -> OracleXX.dhashOracle,
+    // expected hashes derived OUTSIDE the engine by a pure-integer replica
+    // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
+    // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB
+    // cannot decode PNG, so the independent derivation IS the oracle
+    "mm_phash_images" -> """
+      SELECT * FROM (VALUES
+        ('img0_rgb.png',  7879695356602505833::BIGINT),
+        ('img1_rgba.png', -1232109759397829069::BIGINT))
+        AS t(name, phash)
+      ORDER BY name""",
     "mm_phash_neardup" -> OracleXX.dhashNearDupOracle(maxHamming = 3),
     "mm_phash_candidates" -> OracleXX.dhashNearDupOracle(maxHamming = 3,
       keepAllCandidates = true),

@@ -154,28 +154,95 @@ object Multimodal {
         explode(sequence(lit(0), col("nFrames") - 1, lit(everyN))).as("frame_idx"))
   }
 
-  /** ==== STUB (bitmap only) ====
-    * Deterministic fake "decoded grayscale grid" for the perceptual hash:
-    * an 8-row x 9-column sample of the payload bytes at strided positions
-    * `idx(p) = (p * 131 + 7) mod len` (131 coprime to small lengths, so
-    * the 72 probes spread across the buffer). A real implementation would
-    * decode + luma-convert + area-resize to 9x8 here; everything after
-    * this function — the gradient bits, the banding join, the verify —
-    * is the real production shape and does not change. */
+  /** ==== STUB (non-image payloads only) ====
+    * Deterministic fake "decoded grayscale grid" for the perceptual hash
+    * of payloads that are NOT decodable images (audio/video stand-ins,
+    * text-byte plumbing fixtures): an 8-row x 9-column sample of the
+    * payload bytes at strided positions `idx(p) = (p * 131 + 7) mod len`
+    * (131 coprime to small lengths, so the 72 probes spread across the
+    * buffer). Real image payloads do NOT come through here — they take the
+    * genuine ImageIO decode → luma → area-resample path below. */
   private def stubGray(payload: Array[Byte], p: Int): Int = {
     val n = payload.length
     payload(((p * 131 + 7) % n + n) % n) & 0xFF
   }
 
+  /** 64-bit dHash over an arbitrary W×H grayscale grid accessor: 9×8
+    * integer box-average area-resample (floor cell bounds, truncating
+    * mean — every step exact integer math, so the hash is a pure function
+    * of the pixel grid), then bit `r*8 + c` set iff the resampled grid
+    * brightens left-to-right at `(r, c)`. Shared by the real decode path
+    * and the render-spec replica in the spec/oracle (which derives the
+    * expected fixture hashes WITHOUT ImageIO — the independence that keeps
+    * the `mm_phash_images` VALUES oracle honest). */
+  def dhashFromGray(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
+    require(w >= 1 && h >= 1, s"dhashFromGray: empty grid ${w}x$h")
+    val cell = Array.ofDim[Long](8, 9)
+    var ry = 0
+    while (ry < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.min(math.max((cx + 1) * w / 9, x0 + 1), w)
+        val y0 = ry * h / 8
+        val y1 = math.min(math.max((ry + 1) * h / 8, y0 + 1), h)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(x, y); x += 1 }
+          y += 1
+        }
+        cell(ry)(cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        cx += 1
+      }
+      ry += 1
+    }
+    var hh = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cell(r)(c) < cell(r)(c + 1)) hh |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    hh
+  }
+
+  /** Integer ITU-R BT.601 luma of a decoded image via RASTER samples —
+    * never `getRGB`, whose colorspace conversion (gray→sRGB) would make
+    * the pixel values JDK-version-dependent and underivable from the
+    * source pixels. Band layouts: 1 = gray, 2 = gray+alpha, >= 3 = R,G,B
+    * (+ignored alpha). */
+  private def rasterLuma(img: java.awt.image.BufferedImage): (Int, Int) => Int = {
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    if (bands <= 2) (x, y) => raster.getSample(x, y, 0)
+    else (x, y) => (299 * raster.getSample(x, y, 0) +
+                    587 * raster.getSample(x, y, 1) +
+                    114 * raster.getSample(x, y, 2)) / 1000
+  }
+
   /** 64-bit dHash (difference hash, Krawetz's classic perceptual hash):
-    * bit `r*8 + c` is set iff the stub-decoded grid brightens left-to-
-    * right at `(r, c)` — gradient-sign structure survives recompression
-    * and resizing, which is what makes dHash the standard cheap image
-    * near-dup fingerprint. Runs in `mapPartitions` per the codec contract
-    * (one decoder init per partition); payload bytes never leave the
-    * stage — the output is `(id, phash LONG)`. Empty payloads hash to 0.
-    * Cross-engine: the DuckDB oracle replays the byte probes and gradient
-    * comparisons exactly (`OracleXX.dhashOracle`). */
+    * gradient-sign structure survives recompression and resizing, which is
+    * what makes dHash the standard cheap image near-dup fingerprint.
+    *
+    * Payloads with a real image header (PNG/JPEG magic) take the GENUINE
+    * pixel path: ImageIO decode → integer luma over raster samples →
+    * 9×8 box-average resample → gradient bits ([[dhashFromGray]]). A
+    * payload whose header parses but whose body is corrupt falls back to
+    * the stub grid rather than failing the task — at 100 TB one truncated
+    * image must never kill a scan. Non-image payloads use the documented
+    * stub grid (byte probes), which the DuckDB oracle replays exactly
+    * (`OracleXX.dhashOracle`); decoded-pixel hashes are gated against the
+    * render-spec VALUES oracle (`mm_phash_images`) instead, since DuckDB
+    * cannot decode images.
+    *
+    * Runs in `mapPartitions` per the codec contract (decoder state
+    * initializable once per partition); payload bytes never leave the
+    * stage — the output is `(id, phash LONG)`. Empty payloads hash to 0. */
   def perceptualHash(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -183,25 +250,44 @@ object Multimodal {
       .as(Encoders.row(StructType(Seq(
         StructField("id", LongType), StructField("payload", BinaryType)))))
       .mapPartitions { rows =>
+        // ImageIO scans for plugin readers per call; disabling the on-disk
+        // cache here keeps the per-partition decode loop allocation-only
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          var h = 0L
-          if (bytes != null && bytes.nonEmpty) {
-            var rr = 0
-            while (rr < 8) {
-              var cc = 0
-              while (cc < 8) {
-                if (stubGray(bytes, rr * 9 + cc) < stubGray(bytes, rr * 9 + cc + 1))
-                  h |= (1L << (rr * 8 + cc))
-                cc += 1
-              }
-              rr += 1
+          val h =
+            if (bytes == null || bytes.isEmpty) 0L
+            else ImageHeader.parse(bytes) match {
+              case Some(_) =>
+                val img = try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes))
+                  catch { case _: java.io.IOException => null }
+                if (img == null || img.getWidth < 1 || img.getHeight < 1)
+                  stubDhash(bytes) // corrupt body behind a valid magic
+                else dhashFromGray(img.getWidth, img.getHeight, rasterLuma(img))
+              case None => stubDhash(bytes)
             }
-          }
           (id, h)
         }
       }.toDF("id", "phash")
+  }
+
+  /** The stub-grid dHash (see [[stubGray]]) — byte-probe grid through the
+    * same gradient-bit rule. */
+  private def stubDhash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var rr = 0
+    while (rr < 8) {
+      var cc = 0
+      while (cc < 8) {
+        if (stubGray(bytes, rr * 9 + cc) < stubGray(bytes, rr * 9 + cc + 1))
+          h |= (1L << (rr * 8 + cc))
+        cc += 1
+      }
+      rr += 1
+    }
+    h
   }
 
   /** Image near-duplicates: [[perceptualHash]] fingerprints fed through
