@@ -1230,7 +1230,7 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_id"), col("user_id"),
         cents(col("value")).as("value_c"), col("event_type")),
       s"graft_dpp_events_$tag", "event_type",
-      s"/tmp/graft_partitioned_$tag/events_dpp")
+      s"${graft.util.Scratch.base}/graft_partitioned_$tag/events_dpp")
     // tiny dim DERIVED FROM A SCAN (a local Seq would constant-fold its
     // filter into the LocalRelation and DPP sees no selective predicate):
     // distinct event types with a derived billing flag, filtered by a
@@ -1372,11 +1372,11 @@ object SparkEntry {
       t(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_quantity").cast("long").as("qty")),
       s"graft_b_lineitem_$tag", "l_orderkey", 8,
-      s"/tmp/graft_bucketed_$tag/lineitem")
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/lineitem")
     val o = bucketMaterialize(
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
       s"graft_b_orders_$tag", "o_orderkey", 8,
-      s"/tmp/graft_bucketed_$tag/orders")
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/orders")
     l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_items"))
@@ -1394,7 +1394,7 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_id"), col("user_id"),
         col("value"), col("event_type")),
       s"graft_p_events_$tag", "event_type",
-      s"/tmp/graft_partitioned_$tag/events")
+      s"${graft.util.Scratch.base}/graft_partitioned_$tag/events")
     ev.where(col("event_type") === "purchase")
       .groupBy(expr("user_id DIV 100").as("user_bucket"))
       .agg(count(lit(1)).as("n"),
@@ -1650,7 +1650,7 @@ object SparkEntry {
     val cents = Similarity.fixedCentroids(16, 64)
     val idx = graft.operators.Relational.bucketMaterialize(
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents),
-      s"graft_b_ivf_$tag", "cluster", 8, s"/tmp/graft_bucketed_$tag/ivf")
+      s"graft_b_ivf_$tag", "cluster", 8, s"${graft.util.Scratch.base}/graft_bucketed_$tag/ivf")
     val q = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.ivfTopKIndexed(idx, q, "qid", "qvec", cents, k = 10, nProbe = 4)
@@ -3019,7 +3019,7 @@ object SparkEntry {
       pmod(col("user_id"), lit(4096L)).as("zx"),
       pmod(floor(col("value") * 100).cast("long"), lit(4096L)).as("zy"))
     val laid = graft.operators.Relational.zorderMaterialize(ev, "zx", "zy",
-      s"/tmp/graft_zorder_$tag/events", files = 8)
+      s"${graft.util.Scratch.base}/graft_zorder_$tag/events", files = 8)
     laid.where(col("zx").between(0L, 1023L) && col("zy").between(0L, 1023L))
       .select("event_id", "zx", "zy", "zval")
       .orderBy("event_id")
@@ -3196,7 +3196,7 @@ object SparkEntry {
       graft.operators.Dedup.buildPostingIndex(
         docs.where(col("doc_id") < 250), "doc_id", "text", shingleN = 3),
       s"graft_b_postings_$tag", "h", 8,
-      s"/tmp/graft_bucketed_$tag/postings")
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/postings")
     graft.operators.Dedup.incrementalSurvivorsIndexed(
         incoming = docs.where(col("doc_id") >= 250), index = idx,
         idCol = "doc_id", textCol = "text",
@@ -3220,7 +3220,7 @@ object SparkEntry {
     val batches = ingestBounds.map { case (lo, hi) =>
       docs.where(col("doc_id") >= lo && col("doc_id") < hi) }
     Dedup.dedupIngest(batches, "doc_id", "text",
-        s"graft_b_ingest_$tag", s"/tmp/graft_bucketed_$tag/ingest",
+        s"graft_b_ingest_$tag", s"${graft.util.Scratch.base}/graft_bucketed_$tag/ingest",
         buckets = 8, shingleN = 3, threshold = 0.5)
       .select("doc_id", "lang")
       .orderBy("doc_id")
@@ -3597,7 +3597,7 @@ object SparkEntry {
       require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
     }
     Dedup.initPostingIndex(docs.where(lit(false)), "doc_id", "text",
-      s"graft_b_stream_ingest_$tag", s"/tmp/graft_bucketed_$tag/stream_ingest",
+      s"graft_b_stream_ingest_$tag", s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_ingest",
       buckets = 8, shingleN = 3)
     val incoming = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
@@ -3907,7 +3907,7 @@ object SparkEntry {
     val batches = ingestBounds.map { case (lo, hi) =>
       docs.where(col("doc_id") >= lo && col("doc_id") < hi) }
     Dedup.dedupIngestCompacted(batches, "doc_id", "text",
-        s"graft_b_ingestc_$tag", s"/tmp/graft_bucketed_$tag/ingestc",
+        s"graft_b_ingestc_$tag", s"${graft.util.Scratch.base}/graft_bucketed_$tag/ingestc",
         buckets = 8, shingleN = 3, threshold = 0.5, maxDocFreq = 3L)
       .select("doc_id", "lang")
       .orderBy("doc_id")

@@ -20,7 +20,7 @@ object TempDirs {
       hooked = true
       Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
     }
-    val p = Files.createTempDirectory(tag)
+    val p = Files.createTempDirectory(Scratch.base, tag)
     tracked += p
     p
   }
