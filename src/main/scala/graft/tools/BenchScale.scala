@@ -25,7 +25,7 @@ object BenchScale {
 
   val Factor = 10
   val SuperlinearSlack = 1.5 // log-factors + constant offsets allowance
-  val ScaleDir = "/tmp/graft_scale_sf1"
+  val ScaleDir: String = s"${graft.util.Scratch.base}/graft_scale_sf1"
 
   // heaviest gate queries that read ONLY the documents table
   val Queries = Seq(
@@ -70,7 +70,12 @@ object BenchScale {
     // equi-joins like pagerank/hits; systematic sampling is the two-pass
     // prefix sum + a narrow filter
     "text_bloom_sketch", "text_bloom_decontaminate", "text_hll_intersect",
-    "mm_phash", "graph_ppr", "curation_systematic")
+    "mm_phash", "graph_ppr", "curation_systematic",
+    // round-11: the bottom-k quantile sketch is one scan with 16k bytes of
+    // per-group state (the exact overlay's per-group sort is the linear
+    // validation arm a production run drops); the rollup adds one slim
+    // per-(lang, source) sketch shuffle
+    "text_length_sketch", "text_length_sketch_rollup")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -210,8 +215,11 @@ object BenchScale {
     // round-9d: the Hamming scan reads only packed codes (corpus-linear);
     // the NCM probe is one combinable centroid aggregate + a broadcast
     // argmin fold per row
+    // round-11: the indexed IVF probe is one bucketed-table write (linear)
+    // + a 5-query broadcast probe over constant cell fractions — linear
     val embRows = Seq("sim_int8_quant", "sim_rrf_fusion",
-        "sim_hamming_topk", "sim_centroid_classifier").map { q =>
+        "sim_hamming_topk", "sim_centroid_classifier",
+        "sim_ivf_indexed").map { q =>
       val small = steady(q, sf01)
       val big = steady(q, ScaleDir)
       val ratio = if (small > 0) big / small else Double.PositiveInfinity
