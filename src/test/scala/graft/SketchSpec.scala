@@ -187,6 +187,37 @@ class SketchSpec extends SparkSpec {
     assert(fp > 0L || true) // fp may legitimately be 0 at this sizing
   }
 
+  test("bloomMightContain: null hash/sketch probe false, sizing mismatch raises") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    val (m, k) = (4096, 5)
+    val words = spark.range(100).select((col("id") * 3).as("h"))
+      .agg(Sketches.bloomBits(col("h"), m, k).as("words"))
+    // Option encodes a nullable hash column; a NULL hash (and a NULL
+    // sketch) must probe FALSE, never NULL — a NULL would silently vanish
+    // from sum(when(hit,...)) rollups (advisor round 10)
+    val probes = Seq((1L, Some(3L)), (2L, Option.empty[Long])).toDF("id", "h")
+    val hits = probes.crossJoin(broadcast(words))
+      .select(Sketches.bloomMightContain(col("h"), col("words"), m, k).as("hit"))
+      .collect()
+    assert(hits.forall(!_.isNullAt(0)), "probe must never be NULL")
+    val nullSketch = probes
+      .select(Sketches.bloomMightContain(col("h"),
+        lit(null).cast("array<bigint>"), m, k).as("hit"))
+      .collect()
+    assert(nullSketch.forall(r => !r.isNullAt(0) && !r.getBoolean(0)),
+      "NULL sketch must probe false")
+    // a non-null sketch of the WRONG word count is a caller bug — loud
+    val bad = probes.where(col("h").isNotNull)
+      .crossJoin(broadcast(words.select(slice(col("words"), 1, 10).as("words"))))
+      .select(Sketches.bloomMightContain(col("h"), col("words"), m, k).as("hit"))
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bloomMightContain")),
+      s"expected the sizing raise, got: ${e.getMessage}")
+  }
+
   test("bloomBits: nulls are skipped, not inserted") {
     import graft.functions.Sketches
     val df = spark.sql(

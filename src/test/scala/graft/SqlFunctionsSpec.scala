@@ -63,6 +63,17 @@ class SqlFunctionsSpec extends SparkSpec {
     assertSameRows("hll registers", sqlRes, apiRes)
   }
 
+  test("bottom-k quantile sketch aggregate via SQL matches the DataFrame API") {
+    docs
+    val sqlRes = spark.sql("""
+      SELECT lang, graft_bottomk(xxhash64(doc_id), cast(length(text) AS BIGINT), 64) AS sk
+      FROM sqlfn_docs GROUP BY lang""")
+    val apiRes = docs.groupBy(col("lang"))
+      .agg(graft.functions.Sketches.bottomKSketch(
+        xxhash64(col("doc_id")), length(col("text")).cast("long"), 64).as("sk"))
+    assertSameRows("bottomk sketch", sqlRes, apiRes)
+  }
+
   test("quality/profile/codec functions via SQL match the DataFrame API") {
     docs
     val sqlRes = spark.sql("""
