@@ -389,6 +389,33 @@ object Smoke {
     }
     lap("round-9d")
 
+    println("[smoke] round-11: quantile sketch + indexed IVF + decoded-pixel dHash:")
+    TextAnalysis.lengthSketch(docs, "doc_id", "text", k = 64, "lang").show(3)
+    TextAnalysis.lengthSketchRollup(docs, "doc_id", "text", k = 64,
+      fineCol = "source", coarseCol = "lang").show(3)
+    locally {
+      val cents = Similarity.fixedCentroids(16, 64)
+      val idx = graft.operators.Relational.bucketMaterialize(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents),
+        "graft_b_ivf_smoke", "cluster", 4,
+        s"${graft.util.Scratch.base}/graft_bucketed_smoke/ivf")
+      Similarity.ivfTopKIndexed(idx,
+        emb.where(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", cents, k = 3, nProbe = 4).show(3)
+    }
+    locally {
+      import spark.implicits._
+      val imgs = new java.io.File("fixtures/images").listFiles()
+        .filter(_.getName.endsWith(".png")).sortBy(_.getName).take(2)
+        .zipWithIndex
+        .map { case (f, i) =>
+          (i.toLong, java.nio.file.Files.readAllBytes(f.toPath)) }
+        .toSeq.toDF("id", "payload")
+      Multimodal.perceptualHash(imgs).show()
+    }
+    lap("round-11")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")
