@@ -28,6 +28,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_length_sketch: partial sketch aggregation below the exchange; fixed-size state per group") {
+    val p = plan("text_length_sketch")
+    // the TypedImperativeAggregate must combine map-side: a partial
+    // graft_bottomk below the group exchange is what bounds the shuffle to
+    // one 16k-byte buffer per (task, group) at 100 TB, never raw rows
+    assert(p.contains("partial_graft_bottomk"),
+      s"map-side sketch combine missing:\n$p")
+    val lines = p.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val partialAgg = lines.lastIndexWhere(_.contains("partial_graft_bottomk"))
+    assert(firstExchange >= 0 && partialAgg > firstExchange,
+      s"partial sketch aggregate is not below the exchange:\n$p")
+  }
+
   test("sim_ivf_indexed: probes the persisted index — no corpus assignment pass, no index-side exchange") {
     val p = plan("sim_ivf_indexed")
     val lines = p.linesIterator.toVector
