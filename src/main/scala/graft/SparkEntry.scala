@@ -4170,6 +4170,10 @@ object SparkEntry {
     "text_feature_hashing" -> textFeatureHashing _,
     "text_span_corruption_apply" -> textSpanCorruptionApply _,
     "text_mlm_apply"      -> textMlmApply _,
+    "text_fim_apply"      -> ((s, dir) =>
+      TextAnalysis.fimTransform(t(s, dir, "documents"), "doc_id", "text",
+          fimPpm = 500000L, seed = 47L)
+        .orderBy("doc_id")),
     "text_packing_apply"  -> textPackingApply _,
     "text_classifier"     -> textClassifier _,
     "text_lm_score"       -> textLmScore _,
@@ -8270,6 +8274,36 @@ object SparkEntry {
     },
     // plan hashes + the token-ids vocabulary replica; [MASK]/vocab-pick/
     // keep per position, ordered string_agg reassembly
+    // FIM PSM rewrite: selection + both cuts are mix64 draws replayed by
+    // the signed replica; cut pmod by the per-doc (n+1) uses the explicit
+    // ((h % m) + m) % m form (DuckDB % follows the dividend's sign exactly
+    // like Java's, so the wrap is identical); slices/concat are plain list
+    // ops; ties and empty parts are format-legal (see fimTransform doc)
+    "text_fim_apply" -> s"""
+      WITH t AS (SELECT doc_id, list_filter($sqlToks, x -> x != '') AS tk
+                 FROM documents),
+      s AS (SELECT doc_id, tk, len(tk)::BIGINT AS n,
+                   ${OracleXX.mix64Pmod("doc_id", 1000000L, seed = 47L)} AS sel,
+                   ${OracleXX.mix64Signed("doc_id", seed = 48L)} AS h1,
+                   ${OracleXX.mix64Signed("doc_id", seed = 49L)} AS h2
+            FROM t),
+      c AS (SELECT doc_id, tk, n, (sel < 500000 AND n >= 2) AS fim,
+                   ((h1 % (n + 1)) + (n + 1)) % (n + 1) AS c1,
+                   ((h2 % (n + 1)) + (n + 1)) % (n + 1) AS c2
+            FROM s),
+      ab AS (SELECT doc_id, tk, n, fim,
+                    least(c1, c2) AS a, greatest(c1, c2) AS b
+             FROM c)
+      SELECT doc_id, fim, n AS n_tokens,
+             (CASE WHEN fim THEN a END)::BIGINT AS pre_len,
+             (CASE WHEN fim THEN b - a END)::BIGINT AS mid_len,
+             (CASE WHEN fim THEN n - b END)::BIGINT AS suf_len,
+             CASE WHEN fim THEN array_to_string(
+                    ['<fim_pre>'] || list_slice(tk, 1, a) ||
+                    ['<fim_suf>'] || list_slice(tk, b + 1, n) ||
+                    ['<fim_mid>'] || list_slice(tk, a + 1, b), ' ')
+                  ELSE array_to_string(tk, ' ') END AS text_fim
+      FROM ab ORDER BY doc_id""",
     "text_mlm_apply" -> {
       val key = "(doc_id * 100000 + pos)"
       s"""

@@ -633,6 +633,65 @@ object TextAnalysis {
           .as("rand_bucket"))
   }
 
+  /** Fill-in-the-middle (FIM) transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a deterministic
+    * `fimPpm` fraction of documents is rewritten PSM-style — the token
+    * sequence is split at two seeded pseudo-random cut points into
+    * prefix/middle/suffix and reassembled as
+    * `<fim_pre> prefix <fim_suf> suffix <fim_mid> middle` — so a plain
+    * left-to-right LM learns infilling. The third member of the
+    * self-supervision-objective family beside [[mlmMaskApply]] (BERT) and
+    * [[spanCorruptionApply]] (T5). Non-selected documents (and documents
+    * with fewer than 2 tokens) pass through with `fim = false` and the
+    * normalized original text.
+    *
+    * Determinism (the gate's bit-exact rules): selection and both cuts are
+    * splitmix64 draws off the doc id — pure integer ops the DuckDB oracle
+    * replays via the mix64 replica. Cuts are uniform over token boundaries
+    * 0..n (`a = pmod(h1, n+1)`, `b = pmod(h2, n+1)`, split at (min, max)),
+    * so any of the three parts may legitimately be empty — the paper's
+    * uniform-split choice; empty middles still teach the format.
+    *
+    * Scale shape: one narrow scan projection — tokenize, two hash draws,
+    * three slices, one join-free string assembly per row; no shuffle, no
+    * state, no UDF (slice/array_join/concat are codegen'd builtins). */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   fimPpm: Long = 500000L, seed: Long = 47L): DataFrame = {
+    require(fimPpm >= 0L && fimPpm <= 1000000L,
+      s"fimPpm must be in [0, 1e6], got $fimPpm")
+    val mx = graft.functions.Mix64
+    val base = df.select(col(idCol).as("doc_id"),
+        filter(TF.tokens(col(textCol)), t => t =!= "").as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n"),
+        pmod(mx.mix64(col("doc_id"), seed), lit(1000000L)).as("sel"),
+        mx.mix64(col("doc_id"), seed + 1L).as("h1"),
+        mx.mix64(col("doc_id"), seed + 2L).as("h2"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        (col("sel") < fimPpm && col("n") >= 2L).as("fim"),
+        pmod(col("h1"), col("n") + 1L).as("c1"),
+        pmod(col("h2"), col("n") + 1L).as("c2"))
+      .select(col("doc_id"), col("tk"), col("n"), col("fim"),
+        least(col("c1"), col("c2")).as("a"),
+        greatest(col("c1"), col("c2")).as("b"))
+    val pre = slice(col("tk"), lit(1), col("a").cast("int"))
+    val mid = slice(col("tk"), (col("a") + 1L).cast("int"),
+      (col("b") - col("a")).cast("int"))
+    val suf = slice(col("tk"), (col("b") + 1L).cast("int"),
+      (col("n") - col("b")).cast("int"))
+    val psm = array_join(concat(
+      array(lit("<fim_pre>")), pre,
+      array(lit("<fim_suf>")), suf,
+      array(lit("<fim_mid>")), mid), " ")
+    base.select(col("doc_id"), col("fim"), col("n").as("n_tokens"),
+      when(col("fim"), col("a")).otherwise(lit(null).cast("long")).as("pre_len"),
+      when(col("fim"), col("b") - col("a")).otherwise(lit(null).cast("long"))
+        .as("mid_len"),
+      when(col("fim"), col("n") - col("b")).otherwise(lit(null).cast("long"))
+        .as("suf_len"),
+      when(col("fim"), psm).otherwise(array_join(col("tk"), " "))
+        .as("text_fim"))
+  }
+
   /** Apply [[spanCorruptionPlan]] — the executable half of T5 denoising
     * (the plan/apply pairing `duplicateSpans`/`applySpanCuts` uses): each
     * corrupted document becomes the encoder input (span tokens replaced

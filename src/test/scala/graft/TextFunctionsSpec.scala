@@ -332,6 +332,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(corrupted > out.size / 2, s"only $corrupted corrupted docs")
   }
 
+  test("fimTransform: PSM reassembles to the original tokens; lengths partition n; rate and format hold") {
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    val out = TextAnalysis.fimTransform(docs, "doc_id", "text",
+      fimPpm = 500000L, seed = 47L).collect()
+    assert(out.nonEmpty)
+    val norm = docs.select(col("doc_id"), array_join(
+        filter(graft.functions.TextFunctions.tokens(col("text")), t => t =!= ""),
+        " ").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var nFim = 0
+    out.foreach { r =>
+      val (id, fim, n) = (r.getLong(0), r.getBoolean(1), r.getLong(2))
+      val txt = r.getString(6)
+      if (fim) {
+        nFim += 1
+        val (pre, mid, suf) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(pre + mid + suf == n, s"doc $id: lengths do not partition n")
+        // format: exactly the three sentinels, in PSM order
+        val m = "^<fim_pre>( .*)? <fim_suf>( .*)? <fim_mid>( .*)?$".r
+        assert(m.findFirstIn(txt).isDefined, s"doc $id: bad PSM format: $txt")
+        // reconstruct: prefix ++ middle ++ suffix == normalized original
+        val body = txt.split(" ").toSeq
+        val iSuf = body.indexOf("<fim_suf>")
+        val iMid = body.indexOf("<fim_mid>")
+        val preT = body.slice(1, iSuf)
+        val sufT = body.slice(iSuf + 1, iMid)
+        val midT = body.drop(iMid + 1)
+        assert(preT.size == pre && midT.size == mid && sufT.size == suf,
+          s"doc $id: segment sizes diverge from the emitted lengths")
+        assert((preT ++ midT ++ sufT).mkString(" ") == norm(id),
+          s"doc $id: PSM does not reassemble to the original")
+      } else {
+        assert(txt == norm(id), s"doc $id: pass-through text diverged")
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+      }
+    }
+    // selection is ~half the corpus at 500k ppm (binomial 3-sigma slack)
+    val frac = nFim.toDouble / out.length
+    assert(frac > 0.35 && frac < 0.65, s"fim fraction $frac out of band")
+    // determinism: a repartitioned rerun emits the identical artifact
+    val again = TextAnalysis.fimTransform(docs.repartition(7), "doc_id",
+      "text", fimPpm = 500000L, seed = 47L).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("mlmMaskApply: positions mutate exactly per plan; random picks come from the vocabulary") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(sf("documents"))
