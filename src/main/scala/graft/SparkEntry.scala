@@ -2674,6 +2674,63 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Event-time WINDOWED quantile sketch under the streaming state store —
+    * the hourly value/latency-distribution report at stream scale
+    * ([[streamHourlyHll]]'s watermarked append-mode pattern with the
+    * bottom-k buffer instead of HLL registers): per event hour, the sketch
+    * of value cents (sample-ranked by `mix64(event_id)`), probed for
+    * p50/p90/p99 beside the exact same-rule overlay computed batch-side.
+    * Sentinel batches advance the watermark so every real window is
+    * emitted and its state evicted — the bounded-state contract a 100 TB
+    * firehose needs from a quantile report. */
+  private def streamHourlyValueSketch(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val work = graft.util.TempDirs.create("graft-stream-hrbk")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = events(s, dir).select(col("event_id"), col("ts_ms"),
+      cents(col("value")).as("v"))
+    val maxMs = ev.agg(max("ts_ms")).head().getLong(0)
+    import s.implicits._
+    Seq(("b0", ev),
+        ("b1", Seq((-1L, maxMs + 10000000L, 0L)).toDF(ev.columns: _*)),
+        ("b2", Seq((-2L, maxMs + 20000000L, 0L)).toDF(ev.columns: _*)))
+      .zipWithIndex.foreach { case ((name, df), i) =>
+        val part = work.resolve(name)
+        df.coalesce(1).write.parquet(part.toString)
+        val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $part"))
+        val dst = inDir.resolve(s"$name.parquet").toFile
+        require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+      }
+    val incoming = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val sk = incoming
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+           graft.functions.Sketches.bottomKSketch(
+             graft.functions.Mix64.mix64(col("event_id"), 0L), col("v"), 256)
+             .as("__sk"))
+      .select(expr("unix_millis(window.start) DIV 3600000").as("hour"),
+        col("n_docs"), col("__sk"))
+    val out = work.resolve("out").toString
+    val q = sk.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    val emitted = s.read.parquet(out)
+      .where(col("hour") <= maxMs / 3600000L) // cut the sentinel windows
+    val exact = TextAnalysis.lengthSketchExact(
+      ev.select(expr("ts_ms DIV 3600000").as("hour"), col("v").as("__v")),
+      Seq("hour"))
+    TextAnalysis.lengthSketchReport(emitted, exact, Seq("hour"))
+      .withColumnRenamed("n_docs", "n_events")
+      .orderBy("hour")
+  }
+
   /** DuckDB replica of the bottom-k quantile sketch gate — see the oracle
     * map entry for the determinism argument. */
   private def lengthSketchOracle(k: Int): String = {
@@ -4202,6 +4259,7 @@ object SparkEntry {
     "text_length_sketch"  -> textLengthSketch _,
     "text_length_sketch_rollup" -> textLengthSketchRollup _,
     "stream_length_sketch" -> streamLengthSketch _,
+    "stream_hourly_value_sketch" -> streamHourlyValueSketch _,
     "text_hll_intersect"  -> textHllIntersect _,
     "stream_hll_cardinality" -> streamHllCardinality _,
     "events_dau_hll"      -> eventsDauHll _,
@@ -7342,6 +7400,31 @@ object SparkEntry {
     // lang is among the k smallest of its own source subset), so the
     // oracle computes ONE sample and pins both fingerprints to it
     "text_length_sketch_rollup" -> lengthSketchRollupOracle(k = 256),
+    // the windowed streaming twin: per event hour, the k smallest
+    // signed-mix64(event_id) rows sample value cents; both arms use the
+    // shared lower-interpolation rank rule
+    "stream_hourly_value_sketch" -> s"""
+      WITH e AS (SELECT event_id, epoch_ms(ts) AS ms,
+                        (value::DECIMAL(18,2) * 100)::BIGINT AS v
+                 FROM events),
+      d AS MATERIALIZED (SELECT (ms // 3600000)::BIGINT AS hour, v,
+                   ${OracleXX.mix64Signed("event_id", seed = 0L)} AS hh
+            FROM e),
+      r AS (SELECT hour, v,
+                   row_number() OVER (PARTITION BY hour ORDER BY hh, v) AS rn
+            FROM d),
+      sq AS (SELECT hour, list_sort(list(v)) AS sv, count(*)::BIGINT AS m
+             FROM r WHERE rn <= 256 GROUP BY hour),
+      eq AS (SELECT hour, list_sort(list(v)) AS ev, count(*)::BIGINT AS n
+             FROM d GROUP BY hour)
+      SELECT eq.hour, n AS n_events, m AS sample_n,
+             list_extract(sv, floor(0.5::DOUBLE  * (m - 1)::DOUBLE)::BIGINT + 1) AS p50_est,
+             list_extract(sv, floor(0.9::DOUBLE  * (m - 1)::DOUBLE)::BIGINT + 1) AS p90_est,
+             list_extract(sv, floor(0.99::DOUBLE * (m - 1)::DOUBLE)::BIGINT + 1) AS p99_est,
+             list_extract(ev, floor(0.5::DOUBLE  * (n - 1)::DOUBLE)::BIGINT + 1) AS p50_exact,
+             list_extract(ev, floor(0.9::DOUBLE  * (n - 1)::DOUBLE)::BIGINT + 1) AS p90_exact,
+             list_extract(ev, floor(0.99::DOUBLE * (n - 1)::DOUBLE)::BIGINT + 1) AS p99_exact
+      FROM sq JOIN eq USING (hour) ORDER BY hour""",
     "text_hll_intersect" -> OracleXX.hllIntersectOracle(p = 8),
     "text_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),
     "stream_bloom_sketch" -> OracleXX.bloomSketchOracle(numBits = 262144, numHashes = 5),
