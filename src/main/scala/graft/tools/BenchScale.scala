@@ -75,7 +75,9 @@ object BenchScale {
     // per-group state (the exact overlay's per-group sort is the linear
     // validation arm a production run drops); the rollup adds one slim
     // per-(lang, source) sketch shuffle
-    "text_length_sketch", "text_length_sketch_rollup")
+    "text_length_sketch", "text_length_sketch_rollup",
+    // round-11b: FIM is a pure narrow scan projection
+    "text_fim_apply")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -101,7 +103,13 @@ object BenchScale {
     "events_seq_patterns",
     // round-10: per-day HLL registers are fixed-size state over a 10x
     // user population — a pure scan + combinable merge
-    "events_dau_hll")
+    "events_dau_hll",
+    // round-11: LIVE streaming twins under the scale record for the first
+    // time — per-window state is FIXED-SIZE (HLL registers / bottom-k
+    // buffer / plain sums), so 10x events through the same micro-batch
+    // plan must scale linearly with no state blow-up; these run the full
+    // watermarked append-mode machinery (staging, state store, eviction)
+    "stream_hour_window", "stream_hourly_hll", "stream_hourly_value_sketch")
 
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
