@@ -3474,6 +3474,18 @@ object SparkEntry {
          .load(new java.io.File("fixtures/images").getAbsolutePath))
       .toDF().orderBy("name")
 
+  /** Real audio decode over committed WAV fixtures (encoded once by the
+    * JDK's own javax.sound writer — tools/MakeAudioFixtures): fmt/data
+    * chunks parsed by the pure [[graft.functions.WavHeader]], frame grid
+    * derived from GENUINELY decoded sample counts. The oracle is the
+    * fixture spec itself as a VALUES literal — independent knowledge of
+    * what the bytes must parse to, the `mm_image_headers` pattern. */
+  private def mmWavFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFrames(
+        s.read.format("binaryFile")
+         .load(new java.io.File("fixtures/audio").getAbsolutePath))
+      .toDF().orderBy("name")
+
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("kind",
       when(col("doc_id") % 3 === 0, "image")
@@ -4388,6 +4400,7 @@ object SparkEntry {
     "mm_phash_neardup"    -> mmPhashNearDup _,
     "mm_phash_candidates" -> mmPhashCandidates _,
     "mm_image_headers"    -> mmImageHeaders _,
+    "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
     "events_json_malformed" -> eventsJsonMalformed _,
     "q_window_suite"      -> qWindowSuite _,
@@ -8798,6 +8811,18 @@ object SparkEntry {
         ('img3_rgb.jpg',  'jpeg', 40, 25, 3, 8),
         ('img4_gray.jpg', 'jpeg', 12, 34, 1, 8))
         AS t(name, format, width, height, channels, bit_depth)
+      ORDER BY name""",
+    // fixture-spec VALUES: channels/rate/bits/frames from MakeAudioFixtures'
+    // declaration; duration = frames*1000 DIV rate; STFT grid =
+    // (frames - 400) DIV 160 + 1 — independent knowledge of what the
+    // committed WAV bytes must decode to
+    "mm_wav_frames" -> """
+      SELECT * FROM (VALUES
+        ('aud0_mono16k.wav',  1, 16000, 16, 2000::BIGINT, 125::BIGINT, 11::BIGINT),
+        ('aud1_stereo8k.wav', 2,  8000, 16, 1200::BIGINT, 150::BIGINT,  6::BIGINT),
+        ('aud2_mono44k.wav',  1, 44100, 16,  441::BIGINT,  10::BIGINT,  1::BIGINT))
+        AS t(name, channels, sample_rate_hz, bit_depth, n_samples,
+             duration_ms, n_frames)
       ORDER BY name""",
     // digest replica: DuckDB md5(VARCHAR) hashes the UTF-8 bytes, exactly
     // the payload the engine digests at its decode stage

@@ -78,16 +78,26 @@ object Multimodal {
     df.select("id", "kind", "payload").as(Encoders.row(StructType(mediaSchema.take(3))))
       .mapPartitions { rows =>
         // real codecs would init native state here, once per partition
+        def md5Of(bytes: Array[Byte]): String =
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
         rows.map { r =>
           val (id, kind, bytes) = (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
           ImageHeader.parse(bytes) match {
             case Some(info) =>
-              val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-                .map("%02x".format(_)).mkString
               MediaMeta(id, info.format, bytes.length.toLong, info.width,
                         info.height, sampleRateHz = 0, nFrames = 1,
-                        payload_md5 = md5)
-            case None => StubCodec.decode(id, kind, bytes)
+                        payload_md5 = md5Of(bytes))
+            case None => graft.functions.WavHeader.parse(bytes) match {
+              case Some(w) =>
+                // real decoded audio metadata: rate from the fmt chunk,
+                // nFrames = PCM sample frames actually present
+                MediaMeta(id, "wav", bytes.length.toLong, width = 0,
+                          height = 0, sampleRateHz = w.sampleRateHz,
+                          nFrames = math.min(w.nFrames, Int.MaxValue).toInt,
+                          payload_md5 = md5Of(bytes))
+              case None => StubCodec.decode(id, kind, bytes)
+            }
           }
         }
       }
@@ -111,6 +121,41 @@ object Multimodal {
           ImageHeader.parse(r.getAs[Array[Byte]](1)).map(i =>
             ImageHeaderRow(r.getString(0), i.format, i.width, i.height,
                            i.channels, i.bitDepth))
+        }
+      }
+  }
+
+  /** Parsed PCM-WAV row for real audio files; see `mm_wav_frames`. */
+  final case class WavRow(name: String, channels: Int, sample_rate_hz: Int,
+                          bit_depth: Int, n_samples: Long, duration_ms: Long,
+                          n_frames: Long)
+
+  /** Real audio-decode plumbing over a `binaryFile`-sourced DataFrame —
+    * the audio twin of [[imageHeaders]]: parse each WAV's fmt/data chunks
+    * ([[graft.functions.WavHeader]] — pure bytes, PCM only, truncation
+    * clamped) and derive the STFT frame-grid size the feature extractor
+    * would execute (`(n_samples − window) DIV hop + 1`, trailing partial
+    * window dropped — the same arithmetic as [[audioFrames]], here over
+    * GENUINELY decoded sample counts instead of the stub's byteLen DIV 2).
+    * Non-WAV files are dropped; bytes never leave the scan stage. */
+  def wavFrames(binaryFiles: DataFrame, windowSamples: Int = 400,
+                hopSamples: Int = 160): Dataset[WavRow] = {
+    require(windowSamples >= 1 && hopSamples >= 1,
+      s"window/hop must be >= 1, got $windowSamples/$hopSamples")
+    implicit val enc = Encoders.product[WavRow]
+    binaryFiles.select(
+        element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as(Encoders.row(StructType(Seq(
+        StructField("name", StringType), StructField("content", BinaryType)))))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          graft.functions.WavHeader.parse(r.getAs[Array[Byte]](1)).map { w =>
+            val frames =
+              if (w.nFrames < windowSamples) 0L
+              else (w.nFrames - windowSamples) / hopSamples + 1L
+            WavRow(r.getString(0), w.channels, w.sampleRateHz,
+                   w.bitsPerSample, w.nFrames, w.durationMs, frames)
+          }
         }
       }
   }

@@ -414,6 +414,10 @@ object Smoke {
         .toSeq.toDF("id", "payload")
       Multimodal.perceptualHash(imgs).show()
     }
+    Multimodal.wavFrames(
+      spark.read.format("binaryFile")
+        .load(new java.io.File("fixtures/audio").getAbsolutePath)).show()
+    TextAnalysis.fimTransform(docs, "doc_id", "text").show(3, truncate = 50)
     lap("round-11")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
