@@ -131,8 +131,10 @@ object Bench {
           false
         }
       val t = (System.nanoTime() - t0) / 1e9
-      // post-query hygiene, outside the timer (see scaladoc)
+      // post-query hygiene, outside the timer (see scaladoc); leaked
+      // salted cache entries only exist after a FAILED query
       val released = graft.util.Materialize.release()
+      graft.util.CacheSalt.releaseLeaked()
       ticks += 1
       lastTick((name, pass_)) = ticks
       if (ticks % 16 == 0) { System.gc(); probePoint() } // drain weak refs + contention sample

@@ -89,6 +89,9 @@ object Verify {
       // query — the long-session shape that otherwise accumulates dead
       // checkpoint blocks (round-3 bench pollution)
       graft.util.Materialize.release()
+      // failure-leaked salted cache entries (normal paths already freed
+      // theirs) — thread-scoped, so concurrent queries are untouched
+      graft.util.CacheSalt.releaseLeaked()
       System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     val threads = (1 to par).map { _ =>

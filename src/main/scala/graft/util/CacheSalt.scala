@@ -49,9 +49,50 @@ object CacheSalt {
     * one driver process is all the CacheManager keys on). */
   def next(): String = "__graft_cache_salt_" + counter.incrementAndGet()
 
+  // One cost of per-invocation salting: pre-salt, an invocation that DIED
+  // between persist and unpersist left an entry the next plan-equal
+  // invocation would reuse and then free (accidental self-healing);
+  // post-salt every failure would leak its own entry for the session.
+  // So each salted persist is also registered here, thread-tagged and
+  // weakly held, and the harness calls [[releaseLeaked]] after each query
+  // — a no-op on the normal path (operators unpersist their own frames),
+  // a deterministic sweep after an exception. Same ownership discipline
+  // as [[Materialize.release]]: a thread only ever frees its own frames,
+  // never a concurrent query's in-flight cache.
+  private final case class Entry(owner: Long,
+                                 ref: java.lang.ref.WeakReference[DataFrame])
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+
+  /** Unpersist any still-cached salted frames created BY THE CALLING
+    * THREAD — call after a query completes (normal completions already
+    * unpersisted; whatever remains is a failure leak). Returns the number
+    * of frames actually unpersisted. */
+  def releaseLeaked(): Int = {
+    val self = Thread.currentThread().getId
+    var n = 0
+    val it = live.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val df = e.ref.get
+      if (df == null) it.remove()
+      else if (e.owner == self) {
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+          df.unpersist(blocking = false)
+          n += 1
+        }
+        it.remove()
+      }
+    }
+    n
+  }
+
   implicit final class SaltedPersistOps(private val df: DataFrame) extends AnyVal {
     /** `persist()` behind a per-invocation plan salt — see [[CacheSalt]]. */
-    def saltedPersist(): DataFrame =
-      df.where(lit(CacheSalt.next()).isNotNull).persist()
+    def saltedPersist(): DataFrame = {
+      val p = df.where(lit(CacheSalt.next()).isNotNull).persist()
+      live.add(Entry(Thread.currentThread().getId,
+        new java.lang.ref.WeakReference(p)))
+      p
+    }
   }
 }

@@ -59,6 +59,30 @@ class CacheSaltSpec extends SparkSpec {
     } finally { a.unpersist(); b.unpersist(); () }
   }
 
+  test("releaseLeaked frees only the calling thread's failure-leaked entries") {
+    import graft.util.CacheSalt
+    val base = docs.select(col("doc_id"))
+    // simulate a failed invocation: persist without unpersist
+    val leaked = base.saltedPersist()
+    leaked.count()
+    assert(leaked.storageLevel != StorageLevel.NONE)
+    // another thread's live cache must survive this thread's sweep
+    val other = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    val t = new Thread(() => {
+      val d = base.select(col("doc_id") + 1).saltedPersist()
+      d.count(); other.set(d)
+    })
+    t.start(); t.join()
+    val freed = CacheSalt.releaseLeaked()
+    assert(freed >= 1, "the leaked entry was not swept")
+    assert(leaked.storageLevel == StorageLevel.NONE, "leak survived the sweep")
+    assert(other.get.storageLevel != StorageLevel.NONE,
+      "swept a concurrent thread's live cache — ownership broken")
+    other.get.unpersist()
+    // idempotent: nothing left for this thread
+    assert(CacheSalt.releaseLeaked() == 0)
+  }
+
   test("plan-equal dedup kernels are output-stable under concurrent racing invocations") {
     // the corrupted-sweep shape: N threads run the SAME verified-dedup
     // invocation (plan-equal persisted sigs/sets subtrees) concurrently;
