@@ -185,6 +185,23 @@ class MultimodalSpec extends SparkSpec {
     img
   }
 
+  test("dhashFromGray: invariant to uniform brightness shift — the gradient-sign property") {
+    // (sum + c*count)/count = sum/count + c exactly in integer division,
+    // so every resampled cell shifts by c and every gradient comparison
+    // is unchanged: dHash is brightness-shift invariant BY CONSTRUCTION.
+    // This is the actual reason it survives exposure/levels tweaks.
+    val rnd = graft.util.SplitMix64.generator(11L)
+    for (_ <- 1 to 20) {
+      val w = 9 + (rnd().abs % 60).toInt
+      val h = 8 + (rnd().abs % 60).toInt
+      val base = Array.tabulate(h, w)((y, x) => (rnd().abs % 150).toInt)
+      val c = 1 + (rnd().abs % 100).toInt
+      val h0 = Multimodal.dhashFromGray(w, h, (x, y) => base(y)(x))
+      val h1 = Multimodal.dhashFromGray(w, h, (x, y) => base(y)(x) + c)
+      assert(h0 == h1, s"brightness shift +$c changed the hash (${w}x$h)")
+    }
+  }
+
   test("perceptualHash: recompressed JPEG lands within hamming 3 — the dHash promise") {
     // the core promise, on the content class it is specified for: encode a
     // smooth image at q=0.9, decode, re-encode at q=0.6 (a much harsher

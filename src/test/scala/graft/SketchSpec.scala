@@ -124,6 +124,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("BottomKHeap: fuzz vs a sort-based reference; merge is order-independent") {
+    import graft.functions.BottomKHeap
+    val rnd = graft.util.SplitMix64.generator(2026L)
+    for (trial <- 1 to 50) {
+      val k = 16 + (rnd().abs % 48).toInt
+      val n = (rnd().abs % 400).toInt
+      val pairs = Seq.fill(n)((rnd(), rnd() % 1000))
+      val heap = new BottomKHeap(k)
+      pairs.foreach { case (h, v) => heap.insert(h, v) }
+      val expected = pairs.sorted.take(k)
+      assert(heap.sortedPairs().toSeq == expected,
+        s"trial $trial: heap diverged from the sort reference (k=$k, n=$n)")
+      // merge: any split of the input merges to the same sketch
+      val cut = if (n == 0) 0 else (rnd().abs % n).toInt
+      val (l, r) = pairs.splitAt(cut)
+      val hl = new BottomKHeap(k); l.foreach { case (h, v) => hl.insert(h, v) }
+      val hr = new BottomKHeap(k); r.foreach { case (h, v) => hr.insert(h, v) }
+      hl.mergeFrom(hr)
+      assert(hl.sortedPairs().toSeq == expected, s"trial $trial: merge diverged")
+      val hr2 = new BottomKHeap(k); r.foreach { case (h, v) => hr2.insert(h, v) }
+      val hl2 = new BottomKHeap(k); l.foreach { case (h, v) => hl2.insert(h, v) }
+      hr2.mergeFrom(hl2)
+      assert(hr2.sortedPairs().toSeq == expected, s"trial $trial: merge not commutative")
+    }
+  }
+
   test("bottomKSketch: k >= n keeps every row — sketch quantiles are exact") {
     import graft.functions.{Mix64, Sketches}
     import spark.implicits._

@@ -60,6 +60,22 @@ class WavHeaderSpec extends AnyFunSuite {
     assert(WavHeader.parse(nonPcm).isEmpty, "non-PCM must reject")
   }
 
+  test("fuzz: random single-byte corruptions never throw — parse is total") {
+    val base = fixture("aud1_stereo8k.wav")
+    val rnd = graft.util.SplitMix64.generator(7L)
+    for (_ <- 1 to 500) {
+      val mutated = base.clone()
+      val i = (rnd().abs % mutated.length).toInt
+      mutated(i) = rnd().toByte
+      WavHeader.parse(mutated) // Option out, never an exception
+    }
+    for (len <- Seq(0, 1, 11, 12, 43, 44, 45, 100)) {
+      WavHeader.parse(base.take(len))
+      WavHeader.parse(Array.fill[Byte](len)(0x52))
+    }
+    succeed
+  }
+
   test("wavFrames operator: per-fixture frame grid matches the hand-computed manifest") {
     // spin the shared spec session lazily via SparkSpec would recreate a
     // suite; reuse a lightweight local session here
