@@ -164,20 +164,24 @@ object Bench {
     val loadBefore = loadAvg()
     probeSeries += ((0, probeBefore, loadBefore))
     val wall0 = System.nanoTime()
-    val allPasses = (1 to passes).map(p => names.map(n => n -> runOnce(n, p)))
-    val wall = (System.nanoTime() - wall0) / 1e9
-    val probeAfter = calibrationProbe()
-    val loadAfter = loadAvg()
-    probeSeries += ((ticks, probeAfter, loadAfter))
-    val cold = allPasses.head      // warm-up pass: JIT, codegen, page cache
-    val passMaps = allPasses.map(_.toMap)
+    // per-name run ledger: (1-based pass index, (seconds, ok)). The base
+    // passes fill it for every name; the targeted retry pass (below)
+    // appends ONLY for flagged names, so all downstream math reads the
+    // ledger instead of assuming rectangular pass maps.
+    val passRuns = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Int, (Double, Boolean))]]
+    def record(n: String, p: Int): Unit =
+      passRuns(n) = passRuns.getOrElse(n, Vector.empty) :+ ((p, runOnce(n, p)))
+    for (p <- 1 to passes; n <- names) record(n, p)
+    val cold = names.map(n => n -> passRuns(n).head._2) // pass 1: JIT, codegen, page cache
+    val coldMap = cold.toMap
     // reported steady number = per-query MIN across ALL passes that
     // succeeded (cold included): robust to one-sided host contention — a
     // burst must cover EVERY pass of a query to move its reported time
     // (round-10 item 3: builder 379.5 s vs driver 488.3 s on identical
     // code). A query is marked ok only if every pass succeeded.
-    val results: Seq[(String, (Double, Boolean))] = names.map { n =>
-      val runs = passMaps.map(_(n))
+    def steadyResults: Seq[(String, (Double, Boolean))] = names.map { n =>
+      val runs = passRuns(n).map(_._2)
       val okRuns = runs.filter(_._2)
       val v = (if (okRuns.nonEmpty) okRuns else runs).map(_._1).min
       n -> ((v, runs.forall(_._2)))
@@ -185,20 +189,63 @@ object Bench {
     // the 1-based pass index whose time is the reported min — the probe
     // localization below brackets THAT pass's run, not the last pass's
     def minPassIdx(n: String): Int = {
-      val runs = passMaps.map(_(n)).zipWithIndex
-      val ok = runs.filter(_._1._2)
-      (if (ok.nonEmpty) ok else runs).minBy(_._1._1)._2 + 1
+      val runs = passRuns(n)
+      val ok = runs.filter(_._2._2)
+      (if (ok.nonEmpty) ok else runs).minBy(_._2._1)._1
     }
+    // degraded detection, used twice: over the base passes to pick retry
+    // targets, then over base+retry for the shipped record. Returns
+    // (warm-or-probe flagged, probe-flagged) — see the detector scaladoc
+    // below for what each arm catches.
+    def degradedOf(results: Seq[(String, (Double, Boolean))]): (Seq[String], Seq[String]) = {
+      val probeBaseline = {
+        val sorted = probeSeries.map(_._2).sorted
+        sorted(sorted.size / 2)
+      }
+      def nearestProbeMs(tick: Int): Double =
+        probeSeries.minBy(p => math.abs(p._1 - tick))._2
+      val probeFlagged = results.collect {
+        case (k, (_, true))
+          if lastTick.contains((k, minPassIdx(k))) &&
+             nearestProbeMs(lastTick((k, minPassIdx(k)))) > probeBaseline * 1.3 => k
+      }
+      val warmFlagged = results.collect {
+        case (k, (_, true))
+          if coldMap(k)._2 &&
+             passRuns(k).filter(_._1 > 1).map(_._2._1).min > coldMap(k)._1 * 1.25 + 0.1 => k
+      }
+      ((warmFlagged ++ probeFlagged).distinct, probeFlagged)
+    }
+    // Targeted retry pass (round-11 item 3): a flag means every WARM pass
+    // of that query was covered by contention — one more sample on the
+    // (usually now-quiet) box either beats the threshold and clears the
+    // flag or confirms the doubt. Bounded by the flagged set (capped), so
+    // a clean run pays nothing and a noisy run pays only the flagged tail.
+    probePoint()
+    val retryTargets = degradedOf(steadyResults)._1.filter(passRuns.contains).take(64)
+    if (retryTargets.nonEmpty) {
+      System.err.println(s"[bench] retrying ${retryTargets.size} flagged: ${retryTargets.mkString(",")}")
+      retryTargets.foreach(n => record(n, passes + 1))
+      probePoint()
+    }
+    val wall = (System.nanoTime() - wall0) / 1e9
+    val probeAfter = calibrationProbe()
+    val loadAfter = loadAvg()
+    probeSeries += ((ticks, probeAfter, loadAfter))
+    val results: Seq[(String, (Double, Boolean))] = steadyResults
 
     def qmap(rs: Seq[(String, (Double, Boolean))], fmt: Double => String): String =
       rs.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val coldTotal = cold.map(_._2._1).sum
-    val passTotals = allPasses.map(_.map(_._2._1).sum)
+    val passTotals = (1 to passes).map { p =>
+      names.map(n => passRuns(n).collectFirst { case (`p`, (t, _)) => t }.getOrElse(0.0)).sum
+    }
     // a failed query records a near-zero time — without an explicit failure
     // list a broken run would read as a speedup
-    val failedNames = allPasses.flatten.collect { case (k, (_, false)) => k }.distinct
+    val failedNames =
+      names.filter(n => passRuns(n).exists(!_._2._2))
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // inline-capped twin for the compact line (same budget logic as degraded)
     val failedCompact =
@@ -212,37 +259,27 @@ object Bench {
     // quiet box) means something else was eating the machine during the
     // warm pass; the calibration probe ratio catches load present across
     // the whole run, which warm/cold comparison is blind to.
-    val coldMap = cold.toMap
     val probeRatio = if (probeBefore > 0) probeAfter / probeBefore else 1.0
-    // mid-run localization: baseline = the MEDIAN probe of the run. The
-    // first cut used min, and one anomalously-fast probe (a 124 ms point
-    // in a run whose probes otherwise sat at ~160 ± 10 ms) dragged the
-    // 1.3× threshold under normal jitter and flagged 60 queries of a
-    // demonstrably flat series. The median is robust in both directions:
-    // a run that STARTS contended doesn't inflate it (the quiet majority
-    // wins), and a single fast outlier can't deflate it.
+    // mid-run localization (inside degradedOf): baseline = the MEDIAN probe
+    // of the run. The first cut used min, and one anomalously-fast probe
+    // (a 124 ms point in a run whose probes otherwise sat at ~160 ± 10 ms)
+    // dragged the 1.3× threshold under normal jitter and flagged 60 queries
+    // of a demonstrably flat series. The median is robust in both
+    // directions: a run that STARTS contended doesn't inflate it (the quiet
+    // majority wins), and a single fast outlier can't deflate it.
     val probeBaseline = {
       val sorted = probeSeries.map(_._2).sorted
       sorted(sorted.size / 2)
     }
-    def nearestProbeMs(tick: Int): Double =
-      probeSeries.minBy(p => math.abs(p._1 - tick))._2
-    val probeFlagged = results.collect {
-      case (k, (_, true))
-        if lastTick.contains((k, minPassIdx(k))) &&
-           nearestProbeMs(lastTick((k, minPassIdx(k)))) > probeBaseline * 1.3 => k
-    }
     // a query whose COLD pass failed fast has no meaningful baseline — its
     // successful warm pass is not contention evidence, so require cold ok
-    // degraded = even the best WARM pass ran slower than cold beyond the
-    // noise margin (impossible in steady state → contention covered every
-    // warm pass; the reported min falls back to the cold number, so the
-    // record stays usable — the flag marks residual doubt, not the value)
-    val degradedNames = (results.collect {
-      case (k, (_, true))
-        if coldMap(k)._2 &&
-           passMaps.tail.map(_(k)._1).min > coldMap(k)._1 * 1.25 + 0.1 => k
-    } ++ probeFlagged).distinct ++
+    // degraded = even the best WARM pass (incl. the targeted retry) ran
+    // slower than cold beyond the noise margin (impossible in steady state
+    // → contention covered every warm pass; the reported min falls back to
+    // the cold number, so the record stays usable — the flag marks
+    // residual doubt, not the value)
+    val (warmOrProbeFlagged, probeFlagged) = degradedOf(results)
+    val degradedNames = warmOrProbeFlagged ++
       // load that is CONSTANT across the run never trips warm > cold (both
       // passes slow down together) but it does stretch the fixed-workload
       // probe — surface it in the same list so a polluted record is
@@ -261,9 +298,9 @@ object Bench {
       s"""{"tick":$t,"ms":${num(ms, 1)},"load":${num(ld, 2)}}"""
     }.mkString("[", ",", "]")
     val compactDiag =
-      s""""degraded":${degradedJson(degradedNames.take(8))},"degraded_n":${degradedNames.size},"probe_flagged_n":${probeFlagged.size},$probeDiag"""
+      s""""degraded":${degradedJson(degradedNames.take(8))},"degraded_n":${degradedNames.size},"retried_n":${retryTargets.size},"probe_flagged_n":${probeFlagged.size},$probeDiag"""
     val fullDiag =
-      s""""degraded":${degradedJson(degradedNames)},"degraded_n":${degradedNames.size},"probe_flagged":${degradedJson(probeFlagged)},"probe_series":$probeSeriesJson,"probe_baseline_ms":${num(probeBaseline, 1)},$probeDiag"""
+      s""""degraded":${degradedJson(degradedNames)},"degraded_n":${degradedNames.size},"retried":${degradedJson(retryTargets)},"probe_flagged":${degradedJson(probeFlagged)},"probe_series":$probeSeriesJson,"probe_baseline_ms":${num(probeBaseline, 1)},$probeDiag"""
     val passTotalsJson =
       passTotals.map(num(_, 3)).mkString("[", ",", "]")
     // the driver-parsed line must fit the driver's 2000-char stdout tail
@@ -294,6 +331,9 @@ object Bench {
                        passes, degradedNames.size)
       catch { case e: Throwable =>
         System.err.println(s"[bench] README update skipped: ${e.getMessage}") }
+    // owner-agnostic end sweep (no query in flight): frees entries leaked
+    // by a failed query even if this thread isn't their owner
+    graft.util.CacheSalt.releaseAll()
     println(compact) // LAST stdout line — the one the driver parses
     spark.stop()
   }

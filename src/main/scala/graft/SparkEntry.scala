@@ -39,23 +39,38 @@ object SparkEntry {
     * plan: thread-safe under Verify's pool, and reusing it never shares
     * executed state between queries (no persist — see
     * [[graft.util.CacheSalt]] for why that matters). Keyed weakly by
-    * session so a stopped session's handles are collectable. The harness
-    * contract is that testdata paths are immutable for a session's
-    * lifetime; a production driver reading mutable paths would skip this
-    * cache (it is private to the gate surface, not library API). */
+    * session; the VALUE holds the DataFrame only SOFTLY — a Dataset
+    * strongly references its session, so a strong (or even weak-map-value)
+    * DataFrame would pin its own key and the weak keying would be a lie
+    * (advisor round 11). Soft refs break that cycle the way a cache
+    * should: a stopped session's handles become collectable under memory
+    * pressure, while surviving the explicit `System.gc()` Bench issues
+    * every 16 queries (a WeakReference value would be cleared by each of
+    * those and forfeit the measured ~0.2-0.5 s/query footer-read saving).
+    * The harness contract is that testdata paths are immutable for a
+    * session's lifetime; a production driver reading mutable paths would
+    * skip this cache (it is private to the gate surface, not library
+    * API). */
   private val tableHandles =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = tableHandles.synchronized {
       var m = tableHandles.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]()
         tableHandles.put(s, m)
       }
       m
     }
-    perSession.computeIfAbsent(s"$dir/$name.parquet", p => s.read.parquet(p))
+    val key = s"$dir/$name.parquet"
+    val cached = { val r = perSession.get(key); if (r == null) null else r.get }
+    if (cached != null) cached
+    else {
+      val df = s.read.parquet(key)
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** Cloned session for the LIVE streaming twins with state partitioning

@@ -105,6 +105,12 @@ object Verify {
       th.setDaemon(true); th.start(); th
     }
     threads.foreach(_.join())
+    // owner-agnostic end sweep: a pool thread that died after a failure
+    // never ran its own releaseLeaked; with no query in flight the
+    // per-thread ownership discipline is vacuous, so free everything
+    val endSwept = graft.util.CacheSalt.releaseAll()
+    if (endSwept > 0)
+      System.err.println(s"[verify] end sweep freed $endSwept leaked cache entries")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

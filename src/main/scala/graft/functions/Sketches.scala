@@ -256,7 +256,9 @@ final class BottomKHeap(val k: Int) {
   * gate, and any diffable/storable 100 TB sketch artifact, needs the
   * sketch to be a pure FUNCTION OF THE ROW SET. The k smallest hashes are
   * exactly that: order-independent, deterministic, mergeable by
-  * union-then-truncate (associative, commutative, idempotent), and
+  * union-then-truncate (associative and commutative; idempotent only at
+  * the SET level — see the disjoint-input precondition on
+  * [[Sketches.sketchMerge]]), and
   * cross-engine replicable as an ORDER BY + LIMIT. The price is accuracy
   * per byte — KLL converges O(1/k) vs bottom-k O(1/sqrt(k)); at k = 1024
   * that is ~3% rank error, adequate for distribution QA reports, and the
@@ -374,7 +376,18 @@ object Sketches {
 
   /** Declarative merge of two emitted [[bottomKSketch]] columns — the
     * union-then-truncate algebra (struct array_sort is lexicographic on
-    * (h, v), the sketches' own order). */
+    * (h, v), the sketches' own order).
+    *
+    * PRECONDITION: the two sketches must cover DISJOINT row sets (e.g.
+    * per-partition or per-group sketches being rolled up — every current
+    * caller). `concat` is a bag union, so merging sketches over
+    * overlapping rows keeps the shared (h, v) pairs twice and the
+    * truncate then over-weights the overlap (merging a sketch with
+    * itself yields doubled pairs, not the same sketch). For stored
+    * sketches that may overlap, dedup first:
+    * `slice(array_sort(array_distinct(concat(a, b))), 1, k)` — kept out
+    * of this helper because every in-repo rollup is disjoint by
+    * construction and the extra pass would be pure cost there. */
   def sketchMerge(a: Column, b: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
     slice(array_sort(concat(a, b)), 1, k)

@@ -35,28 +35,36 @@ object WavHeader {
       i + 4 <= bytes.length && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
     if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
 
-    var pos = 12
+    // pos is a Long: a crafted 32-bit chunk size near 0x7FFFFFxx would wrap
+    // an Int accumulator negative and re-enter the guard with a negative
+    // index (AIOOBE — a task kill, violating parse totality). In Long
+    // arithmetic pos is strictly increasing (size >= 0, step >= 8), so any
+    // bogus size — including 0xFFFFFFFF truncation artifacts — just walks
+    // past the end and the loop guard decides from what was already parsed.
+    var pos = 12L
     var channels = 0
     var rate = 0
     var bits = 0
     var haveFmt = false
     var dataBytes = -1L
     while (pos + 8 <= bytes.length && !(haveFmt && dataBytes >= 0)) {
-      val size = le32(pos + 4)
-      if (tag(pos, "fmt ")) {
-        if (pos + 8 + 16 > bytes.length) return None // truncated fmt
-        if (le16(pos + 8) != 1) return None          // PCM only
-        channels = le16(pos + 10)
-        rate = le32(pos + 12).toInt
-        bits = le16(pos + 22)
+      val p = pos.toInt // pos + 8 <= bytes.length ⇒ fits an Int
+      val size = le32(p + 4) // unsigned: 0 .. 0xFFFFFFFF, never negative
+      if (tag(p, "fmt ")) {
+        if (p + 8 + 16 > bytes.length) return None // truncated fmt
+        if (le16(p + 8) != 1) return None          // PCM only
+        channels = le16(p + 10)
+        rate = le32(p + 12).toInt
+        bits = le16(p + 22)
         haveFmt = true
-      } else if (tag(pos, "data")) {
-        // clamp to the bytes actually present (truncated-upload policy)
-        dataBytes = math.min(size, (bytes.length - (pos + 8)).toLong)
+      } else if (tag(p, "data")) {
+        // clamp to the bytes actually present (truncated-upload policy);
+        // an oversized declared size (e.g. corrupt 0xFFFFFFFF) still
+        // clamps — the info present is reported, per the policy above
+        dataBytes = math.min(size, (bytes.length - (p + 8)).toLong)
       }
       // chunks are word-aligned; a bogus size ends the walk via the guard
-      pos += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || size > Int.MaxValue - 16) return None
+      pos += 8L + size + (size & 1L)
     }
     if (!haveFmt || dataBytes < 0 || channels <= 0 || rate <= 0 ||
         bits <= 0 || bits % 8 != 0) None

@@ -54,34 +54,63 @@ object CacheSalt {
   // invocation would reuse and then free (accidental self-healing);
   // post-salt every failure would leak its own entry for the session.
   // So each salted persist is also registered here, thread-tagged and
-  // weakly held, and the harness calls [[releaseLeaked]] after each query
-  // — a no-op on the normal path (operators unpersist their own frames),
-  // a deterministic sweep after an exception. Same ownership discipline
-  // as [[Materialize.release]]: a thread only ever frees its own frames,
-  // never a concurrent query's in-flight cache.
-  private final case class Entry(owner: Long,
-                                 ref: java.lang.ref.WeakReference[DataFrame])
+  // STRONGLY held (a WeakReference would let a GC between the failure and
+  // the sweep clear the ref and strand the cache entry untracked — Bench
+  // forces a gc every 16 queries, so that window is real), and the harness
+  // calls [[releaseLeaked]] after each query — a no-op on the normal path
+  // (operators unpersist their own frames; the sweep then just drops the
+  // already-unpersisted registry rows), a deterministic free after an
+  // exception. Entry lifetime is therefore one query: registered at
+  // persist, removed at the owner's post-query sweep (or by ANY thread's
+  // sweep once the frame is no longer cached — an unpersisted entry is
+  // dead weight whoever owns it, which also bounds the registry when an
+  // owner thread never sweeps). Ownership discipline as in
+  // [[Materialize.release]]: only the owner — or the explicitly
+  // no-query-in-flight [[releaseAll]] — frees a still-cached frame.
+  private final case class Entry(owner: Long, df: DataFrame)
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+
+  private def isCached(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 
   /** Unpersist any still-cached salted frames created BY THE CALLING
     * THREAD — call after a query completes (normal completions already
-    * unpersisted; whatever remains is a failure leak). Returns the number
-    * of frames actually unpersisted. */
+    * unpersisted; whatever remains is a failure leak). Also drops
+    * registry rows whose frame is no longer cached, regardless of owner.
+    * Returns the number of frames actually unpersisted. */
   def releaseLeaked(): Int = {
     val self = Thread.currentThread().getId
     var n = 0
     val it = live.iterator()
     while (it.hasNext) {
       val e = it.next()
-      val df = e.ref.get
-      if (df == null) it.remove()
+      if (!isCached(e.df)) it.remove()
       else if (e.owner == self) {
-        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-          df.unpersist(blocking = false)
-          n += 1
-        }
+        e.df.unpersist(blocking = false)
+        n += 1
         it.remove()
       }
+    }
+    n
+  }
+
+  /** Owner-agnostic sweep: unpersist EVERY registered salted frame still
+    * cached, whatever thread created it. Only call when no query is in
+    * flight (end of a sweep / before session stop) — at that point the
+    * per-thread ownership discipline is vacuous, and this closes the
+    * dead-thread corner: a pool thread that failed a query and was then
+    * replaced never runs its own [[releaseLeaked]], so its entries wait
+    * here. Returns the number of frames actually unpersisted. */
+  def releaseAll(): Int = {
+    var n = 0
+    val it = live.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (isCached(e.df)) {
+        e.df.unpersist(blocking = false)
+        n += 1
+      }
+      it.remove()
     }
     n
   }
@@ -90,8 +119,7 @@ object CacheSalt {
     /** `persist()` behind a per-invocation plan salt — see [[CacheSalt]]. */
     def saltedPersist(): DataFrame = {
       val p = df.where(lit(CacheSalt.next()).isNotNull).persist()
-      live.add(Entry(Thread.currentThread().getId,
-        new java.lang.ref.WeakReference(p)))
+      live.add(Entry(Thread.currentThread().getId, p))
       p
     }
   }

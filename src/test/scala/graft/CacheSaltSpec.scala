@@ -83,6 +83,38 @@ class CacheSaltSpec extends SparkSpec {
     assert(CacheSalt.releaseLeaked() == 0)
   }
 
+  test("releaseAll sweeps a dead thread's failure leak that releaseLeaked cannot") {
+    import graft.util.CacheSalt
+    // drain anything a prior test left so the counts below are this test's
+    CacheSalt.releaseAll()
+    val base = docs.select(col("doc_id") + 100)
+    // the dead-thread corner (advisor round 11): a pool thread fails a
+    // query between persist and unpersist, then dies / is replaced — its
+    // own post-query releaseLeaked never runs, and no other thread owns
+    // the entry, so the per-thread sweep can never free it
+    val leaked = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    val t = new Thread(() => {
+      val d = base.saltedPersist()
+      d.count(); leaked.set(d)
+      // thread exits WITHOUT sweeping — the simulated failure + death
+    })
+    t.start(); t.join()
+    assert(leaked.get.storageLevel != StorageLevel.NONE)
+    // a GC between the failure and the sweep must not strand the entry —
+    // the registry holds the frame strongly until swept (advisor round 11:
+    // Bench forces a gc every 16 queries, so this window is real)
+    System.gc()
+    // the per-thread sweep is correctly powerless here (not the owner)
+    assert(CacheSalt.releaseLeaked() == 0)
+    assert(leaked.get.storageLevel != StorageLevel.NONE,
+      "per-thread sweep freed another thread's entry — ownership broken")
+    // the owner-agnostic end sweep (no query in flight) frees it
+    val freed = CacheSalt.releaseAll()
+    assert(freed >= 1, "end sweep did not free the dead thread's leak")
+    assert(leaked.get.storageLevel == StorageLevel.NONE)
+    assert(CacheSalt.releaseAll() == 0)
+  }
+
   test("plan-equal dedup kernels are output-stable under concurrent racing invocations") {
     // the corrupted-sweep shape: N threads run the SAME verified-dedup
     // invocation (plan-equal persisted sigs/sets subtrees) concurrently;

@@ -76,6 +76,49 @@ class WavHeaderSpec extends AnyFunSuite {
     succeed
   }
 
+  test("fuzz: crafted chunk sizes near Int.MaxValue never wrap the walk negative") {
+    val base = fixture("aud0_mono16k.wav")
+    def withSizeAt(off: Int, size: Long): Array[Byte] = {
+      val b = base.clone()
+      var v = size
+      for (k <- 0 until 4) { b(off + k) = (v & 0xFF).toByte; v >>= 8 }
+      b
+    }
+    // the first chunk header after RIFF/WAVE sits at pos=12; its size field
+    // is at 16. Sizes in [MaxValue-pos-9, MaxValue-16] used to wrap an Int
+    // pos negative and index the array at a negative offset (AIOOBE).
+    val crafted = Seq(0x7FFFFFF0L, 0x7FFFFFE0L, 0x7FFFFFFFL,
+                      Int.MaxValue - 12L - 9L, Int.MaxValue - 16L,
+                      0x80000000L, 0xFFFFFFFFL, 0xFFFFFFF7L)
+    for (s <- crafted; off <- Seq(16, 20)) {
+      val out = WavHeader.parse(withSizeAt(off, s)) // must not throw
+      // a bogus size on the fmt chunk walks past the end → None
+      if (off == 16) assert(out.isEmpty)
+    }
+    succeed
+  }
+
+  test("oversized declared data size clamps to bytes present when fmt already parsed") {
+    val base = fixture("aud0_mono16k.wav")
+    val info = WavHeader.parse(base).get
+    // locate the data chunk: RIFF walk, find "data" tag
+    var pos = 12
+    def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    while (!(base(pos) == 'd' && base(pos + 1) == 'a' &&
+             base(pos + 2) == 't' && base(pos + 3) == 'a'))
+      pos += 8 + le32(base, pos + 4).toInt + (le32(base, pos + 4).toInt & 1)
+    // corrupt the data size to 0xFFFFFFFF (common truncation artifact):
+    // fmt parsed earlier in the walk, so the parser must CLAMP to the
+    // bytes actually present, not reject
+    val corrupt = base.clone()
+    for (k <- 0 until 4) corrupt(pos + 4 + k) = 0xFF.toByte
+    val got = WavHeader.parse(corrupt).get
+    assert(got.nFrames == info.nFrames,
+      s"clamp-to-present: expected ${info.nFrames} frames, got ${got.nFrames}")
+  }
+
   test("wavFrames operator: per-fixture frame grid matches the hand-computed manifest") {
     // spin the shared spec session lazily via SparkSpec would recreate a
     // suite; reuse a lightweight local session here
