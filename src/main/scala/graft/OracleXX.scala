@@ -534,18 +534,79 @@ object OracleXX {
       WITH $dhashCtes
       SELECT doc_id AS id, phash FROM ph ORDER BY id"""
 
+  /** CTE chain ending in `ph(doc_id, hu, phash)` — replica of the RENDERED
+    * real-image corpus dHash ([[graft.operators.Multimodal.RenderSpec]]):
+    * the render spec makes every resample cell a constant 4×4 block whose
+    * gray value is `mix64(grp*72 + cell) mod Mod + Lo` (plus the member
+    * perturbations), so the engine's ImageIO decode → luma → box-resample
+    * → gradient pipeline must land on exactly these cell values — a full
+    * codec-free replica of what the real decode must produce. Cell values
+    * are computed once per GROUP (not per doc) and joined back. */
+  private def renderDhashCtes: String = {
+    val RS = graft.operators.Multimodal.RenderSpec
+    require(RS.GroupSize == 5L && RS.W == 36 && RS.H == 32,
+      "render oracle transcribes the RenderSpec constants; re-derive it")
+    val v0 = s"(${mix64Pmod("grp * 72 + b", RS.Mod, RS.Seed)}) + ${RS.Lo}"
+    val v4 = s"(${mix64Pmod(s"grp * 72 + b + ${RS.AltOffset}", RS.Mod, RS.Seed)}) + ${RS.Lo}"
+    s"""
+      d AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member FROM documents),
+      g AS (SELECT DISTINCT grp FROM d),
+      bs AS (SELECT unnest(range(0, 72)) AS b),
+      c0 AS MATERIALIZED (SELECT grp, b, $v0 AS v0 FROM g CROSS JOIN bs),
+      c4 AS MATERIALIZED (SELECT grp, b, $v4 AS v4 FROM g CROSS JOIN bs),
+      cells AS MATERIALIZED (
+        SELECT d.doc_id, c0.b,
+          CASE WHEN d.member = 4 THEN c4.v4
+               WHEN d.member = 3 THEN c0.v0 + 1
+               WHEN d.member = 1 AND c0.b = 21 THEN c0.v0 + 24
+               WHEN d.member = 2 AND (c0.b = 46 OR c0.b = 61) THEN c0.v0 + 30
+               ELSE c0.v0 END AS v
+        FROM d JOIN c0 ON c0.grp = d.grp
+               JOIN c4 ON c4.grp = d.grp AND c4.b = c0.b),
+      ph0 AS (
+        SELECT a.doc_id,
+               sum(CASE WHEN a.v < n.v
+                        THEN ($pow2)[(a.b // 9) * 8 + (a.b % 9) + 1]
+                        ELSE 0::HUGEINT END)::HUGEINT AS hu
+        FROM cells a JOIN cells n ON n.doc_id = a.doc_id AND n.b = a.b + 1
+        WHERE a.b % 9 < 8
+        GROUP BY a.doc_id),
+      ph AS (SELECT doc_id, hu,
+               (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - $M ELSE hu END)::BIGINT AS phash
+             FROM ph0)"""
+  }
+
+  /** DuckDB replica of `Multimodal.perceptualHash` over the rendered
+    * real-image corpus — see [[renderDhashCtes]]. */
+  def renderDhashOracle: String = s"""
+      WITH $renderDhashCtes
+      SELECT doc_id AS id, phash FROM ph ORDER BY id"""
+
+  /** Replica of `Multimodal.perceptualNearDup` over the RENDERED corpus:
+    * render-spec hashes through the same pigeonhole fragment join. */
+  def renderDhashNearDupOracle(maxHamming: Int = 3,
+                               keepAllCandidates: Boolean = false): String =
+    hammingJoinOver(renderDhashCtes, maxHamming, keepAllCandidates)
+
   /** DuckDB replica of `Multimodal.perceptualNearDup`: the dHash chain →
     * the same pigeonhole fragment join as the simhash oracle (4 x 16-bit
     * fragments for maxHamming 3), exact hamming via `bit_count(xor)`,
     * with the same loud guard on the engine's skew cap. */
   def dhashNearDupOracle(maxHamming: Int = 3,
-                         keepAllCandidates: Boolean = false): String = {
+                         keepAllCandidates: Boolean = false): String =
+    hammingJoinOver(dhashCtes, maxHamming, keepAllCandidates)
+
+  /** The pigeonhole hamming join over any CTE chain ending in
+    * `ph(doc_id, hu, ...)`. */
+  private def hammingJoinOver(ctes: String, maxHamming: Int,
+                              keepAllCandidates: Boolean): String = {
     val nBlocks = maxHamming + 1
     val bitsPer = 64 / nBlocks
     val hWhere =
       if (keepAllCandidates) "" else s"WHERE bit_count(xor(ha, hb)) <= $maxHamming"
     s"""
-      WITH $dhashCtes,
+      WITH $ctes,
       blk AS (SELECT doc_id, hu, unnest(range(0, $nBlocks)) AS i FROM ph),
       b2 AS MATERIALIZED (SELECT doc_id, hu, i,
               (hu // ($pow2)[i*$bitsPer+1]) % ${1L << bitsPer} AS bits FROM blk),

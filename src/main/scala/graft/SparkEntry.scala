@@ -3533,38 +3533,69 @@ object SparkEntry {
       .orderBy("name")
   }
 
-  /** Perceptual dHash fingerprint per payload — the cheap image near-dup
-    * signal. These corpus payloads are text bytes (not images), so they
-    * exercise the documented stub grid, which keeps the full gradient-bit
-    * mechanics DuckDB-replicable; decoded-pixel hashing is gated by
-    * `mm_phash_images` above. */
+  /** Perceptual dHash over REAL PIXELS at corpus scale: every doc_id maps
+    * to a real PNG ([[Multimodal.RenderSpec]] — rendered and encoded by
+    * the JDK's actual ImageIO encoder inside the query, the stand-in for
+    * payloads off object storage), and [[Multimodal.perceptualHash]]
+    * ImageIO-decodes each one back to pixels. The oracle is a full
+    * codec-free replica of the render arithmetic
+    * (`OracleXX.renderDhashOracle`): the spec makes every resample cell a
+    * constant 4×4 block, so the expected hash is pure integer math —
+    * agreement proves 500 (sf0.01) / 5000 (sf0.1) genuine decodes. */
   private def mmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHash(
+        Multimodal.renderedImagePayloads(t(s, dir, "documents"), "doc_id"))
+      .orderBy("id")
+
+  /** The stub-grid dHash path (non-image payloads — these corpus payloads
+    * are text bytes): keeps the documented byte-probe fallback oracled by
+    * the exact DuckDB replay (`OracleXX.dhashOracle`) now that the main
+    * `mm_phash` rows run real pixels. */
+  private def mmPhashStub(s: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualHash(
         Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id",
           "text", "image"))
       .orderBy("id")
 
-  /** Image near-duplicates via the pigeonhole hamming join over the dHash
-    * fingerprints — payloads decode once to 8 bytes, only fingerprints
-    * shuffle (see [[Multimodal.perceptualNearDup]]). */
+  /** Image near-duplicates via the pigeonhole hamming join over REAL
+    * decoded-pixel dHash fingerprints — payloads decode once to 8 bytes,
+    * only fingerprints shuffle (see [[Multimodal.perceptualNearDup]]).
+    * The render spec guarantees work at every SF: each 5-doc group holds
+    * a hamming-0 pair (uniform +1 brightness shift — dHash's designed
+    * invariance) and small-hamming bumped variants. */
   private def mmPhashNearDup(s: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualNearDup(
-        Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id",
-          "text", "image"),
+        Multimodal.renderedImagePayloads(t(s, dir, "documents"), "doc_id"),
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   /** Blocking-recall diagnostic twin of [[mmPhashNearDup]]: every banded
-    * candidate pair with its exact hamming, unthresholded — non-degenerate
-    * at gate scale (fragment equality fires by chance ~8 times at sf0.01)
-    * even when true near-dups are scarce, so the join machinery is
-    * exercised on >0 rows at every SF the driver runs. */
+    * candidate pair with its exact hamming, unthresholded — the join
+    * machinery exercised on >0 rows at every SF the driver runs. */
   private def mmPhashCandidates(s: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualNearDup(
-        Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id",
-          "text", "image"),
+        Multimodal.renderedImagePayloads(t(s, dir, "documents"), "doc_id"),
         maxHamming = 3, keepAllCandidates = true)
       .orderBy("id_a", "id_b")
+
+  /** Codec fault handling at gate scale: a mixed real-codec corpus (PNG /
+    * JPEG / PNG-truncated-after-IHDR per [[Multimodal.renderedMixedPayloads]])
+    * through the real decode path. A corrupt body behind a valid magic
+    * must yield a NULL hash — a row-level degradation, never a task kill
+    * (the 100 TB contract) — and JPEG rows prove the second codec's full
+    * encode/decode runs at scale (their lossy hash values are spec'd in
+    * MultimodalSpec, not oracled; here the gate pins decodability). */
+  private def mmPhashDecodeFaults(s: SparkSession, dir: String): DataFrame =
+    // kind re-derived from the id arithmetic rather than joined back from
+    // the render stage — the payloads render+decode exactly once
+    Multimodal.perceptualHash(
+        Multimodal.renderedMixedPayloads(t(s, dir, "documents"), "doc_id"))
+      .select(col("id"),
+              when(col("id") % 17 === 5, lit("corrupt_png"))
+                .when(col("id") % 5 === 4, lit("jpeg"))
+                .otherwise(lit("png")).as("kind"),
+              when(col("phash").isNotNull, lit(1)).otherwise(lit(0)).as("decoded"))
+      .orderBy("id")
 
   private def mmFrames(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("kind", lit("video"))
@@ -4411,9 +4442,11 @@ object SparkEntry {
     "mm_audio_frames"     -> mmAudioFrames _,
     "mm_dedup_exact"      -> mmDedupExact _,
     "mm_phash"            -> mmPhash _,
+    "mm_phash_stub"       -> mmPhashStub _,
     "mm_phash_images"     -> mmPhashImages _,
     "mm_phash_neardup"    -> mmPhashNearDup _,
     "mm_phash_candidates" -> mmPhashCandidates _,
+    "mm_phash_decode_faults" -> mmPhashDecodeFaults _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -8841,7 +8874,8 @@ object SparkEntry {
       ORDER BY name""",
     // digest replica: DuckDB md5(VARCHAR) hashes the UTF-8 bytes, exactly
     // the payload the engine digests at its decode stage
-    "mm_phash" -> OracleXX.dhashOracle,
+    "mm_phash" -> OracleXX.renderDhashOracle,
+    "mm_phash_stub" -> OracleXX.dhashOracle,
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB
@@ -8852,9 +8886,16 @@ object SparkEntry {
         ('img1_rgba.png', -1232109759397829069::BIGINT))
         AS t(name, phash)
       ORDER BY name""",
-    "mm_phash_neardup" -> OracleXX.dhashNearDupOracle(maxHamming = 3),
-    "mm_phash_candidates" -> OracleXX.dhashNearDupOracle(maxHamming = 3,
+    "mm_phash_neardup" -> OracleXX.renderDhashNearDupOracle(maxHamming = 3),
+    "mm_phash_candidates" -> OracleXX.renderDhashNearDupOracle(maxHamming = 3,
       keepAllCandidates = true),
+    "mm_phash_decode_faults" -> """
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 17 = 5 THEN 'corrupt_png'
+                  WHEN doc_id % 5 = 4 THEN 'jpeg'
+                  ELSE 'png' END AS kind,
+             CASE WHEN doc_id % 17 = 5 THEN 0 ELSE 1 END AS decoded
+      FROM documents ORDER BY id""",
     "mm_dedup_exact" -> """
       WITH d AS (
         SELECT doc_id, text FROM documents

@@ -256,6 +256,153 @@ object Multimodal {
     hh
   }
 
+  /** Render spec for the DETERMINISTIC REAL-IMAGE corpus that backs the
+    * at-scale perceptual-hash gates (`mm_phash`, `mm_phash_neardup`,
+    * `mm_phash_candidates`): every corpus doc_id maps to a real PNG,
+    * encoded by the JDK's own ImageIO encoder at render time and decoded
+    * back through the genuine pixel path in [[perceptualHash]] — so the
+    * 500/5000-row gate pipelines exercise real codec throughput, not the
+    * stub grid.
+    *
+    * The pattern is designed so the EXPECTED dHash is derivable without
+    * any codec, purely from integer arithmetic the DuckDB oracle replays
+    * (`OracleXX.renderDhashOracle`):
+    *  - 36×32 px, so each of the 9×8 dHash resample cells is exactly a
+    *    4×4 pixel block (no floor irregularity in the box bounds);
+    *  - gray value CONSTANT within each cell — the box mean of a constant
+    *    block is that constant, exactly;
+    *  - pixels are (v, v, v) in TYPE_INT_RGB (stored samples = rendered
+    *    values; BT.601 luma of (v,v,v) = 1000v/1000 = v exactly) and the
+    *    container is PNG (lossless), so ImageIO must hand back the very
+    *    cell values the formula names — agreement proves a genuine
+    *    decode, cell by cell.
+    *
+    * Near-dup structure: docs come in groups of [[GroupSize]] sharing a
+    * base pattern `v0 = mix64(grp*72 + cell) mod Mod + Lo`, with members
+    *  0: the base; 1: one cell bumped (+24 at r2c3 — flips ≤2 gradient
+    *  bits); 2: two cells bumped (+30 at r5c1, r6c7 — flips ≤4 bits);
+    *  3: +1 everywhere (a uniform brightness shift — hamming 0 vs member
+    *  0 BY CONSTRUCTION, dHash's core invariance); 4: an independent
+    *  pattern (negative control, ~32 expected hamming). So every group
+    *  contributes hamming-0 and small-hamming pairs, and the pigeonhole
+    *  join always has real work at every SF. */
+  object RenderSpec {
+    val W = 36
+    val H = 32
+    val GroupSize = 5L
+    val Mod = 200L
+    val Lo = 26      // base in [26, 225]; largest bump +30 → 255, no clipping,
+                     // so the stored byte samples equal the formula exactly
+    val Seed = 0x6d6d5f7068617368L // "mm_phash"
+    val AltOffset = 1000000007L
+
+    /** Gray value of dHash cell (r, c) for doc `docId` — the single source
+      * of truth shared by the renderer, the in-process spec replica, and
+      * (transcribed to SQL) the DuckDB oracle. */
+    def cellValue(docId: Long, r: Int, c: Int): Int = {
+      val grp = docId / GroupSize
+      val member = docId % GroupSize
+      val b = r * 9 + c
+      def v0(off: Long): Int =
+        (Math.floorMod(graft.util.SplitMix64.at(Seed, grp * 72L + b + off), Mod) + Lo).toInt
+      member match {
+        case 1L => v0(0L) + (if (r == 2 && c == 3) 24 else 0)
+        case 2L => v0(0L) + (if ((r == 5 && c == 1) || (r == 6 && c == 7)) 30 else 0)
+        case 3L => v0(0L) + 1
+        case 4L => v0(AltOffset)
+        case _  => v0(0L)
+      }
+    }
+
+    /** Expected dHash from the formula alone — written out directly (not
+      * via [[dhashFromGray]]) so the spec's engine==replica assertion
+      * exercises the real resample kernel against independent arithmetic. */
+    def expectedDhash(docId: Long): Long = {
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (cellValue(docId, r, c) < cellValue(docId, r, c + 1))
+            h |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+  }
+
+  private def renderSpecImage(docId: Long): java.awt.image.BufferedImage = {
+    import RenderSpec._
+    val img = new java.awt.image.BufferedImage(
+      W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val v = cellValue(docId, y / 4, x / 4)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v | 0xff000000)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** The deterministic real-image corpus: one REAL PNG per input id,
+    * rendered from [[RenderSpec]] and encoded by ImageIO inside
+    * `mapPartitions` (one encoder context per partition — the codec
+    * contract). Output is `(id, payload BINARY)`; at 100 TB the payloads
+    * would come off object storage instead, and everything downstream of
+    * this stage is identical. */
+  def renderedImagePayloads(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long").as("id"))
+      .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(renderSpecImage(id), "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** Mixed-codec corpus for the decode-fault gate (`mm_phash_decode_faults`):
+    * per id, `kind` and payload are
+    *  - `corrupt_png` (id % 17 == 5): a real PNG TRUNCATED to 26 bytes —
+    *    valid magic + full IHDR (so header parse succeeds and the real
+    *    decode path is entered) but no pixel data; the decode MUST yield a
+    *    null hash, never a task kill;
+    *  - `jpeg` (id % 5 == 4): the render-spec image through the real JPEG
+    *    encoder — exercises the second codec's full encode/decode at gate
+    *    scale (its lossy hash value is spec'd, not oracled);
+    *  - `png` otherwise: as [[renderedImagePayloads]]. */
+  def renderedMixedPayloads(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
+    df.select(col(idCol).cast("long").as("id"))
+      .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = renderSpecImage(id)
+          def encode(fmt: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, bos)
+            bos.toByteArray
+          }
+          if (id % 17L == 5L) (id, "corrupt_png", encode("png").take(26))
+          else if (id % 5L == 4L) (id, "jpeg", encode("jpg"))
+          else (id, "png", encode("png"))
+        }
+      }.toDF("id", "kind", "payload")
+  }
+
   /** Integer ITU-R BT.601 luma of a decoded image via RASTER samples —
     * never `getRGB`, whose colorspace conversion (gray→sRGB) would make
     * the pixel values JDK-version-dependent and underivable from the
@@ -277,20 +424,25 @@ object Multimodal {
     * Payloads with a real image header (PNG/JPEG magic) take the GENUINE
     * pixel path: ImageIO decode → integer luma over raster samples →
     * 9×8 box-average resample → gradient bits ([[dhashFromGray]]). A
-    * payload whose header parses but whose body is corrupt falls back to
-    * the stub grid rather than failing the task — at 100 TB one truncated
-    * image must never kill a scan. Non-image payloads use the documented
+    * payload whose header parses but whose body is corrupt yields a NULL
+    * hash rather than failing the task — at 100 TB one truncated image
+    * must never kill a scan, and a null is honest where a fallback
+    * fingerprint would be dangerous: byte-probe hashes of two unrelated
+    * corrupt images are byte-similar, so feeding them to the near-dup
+    * join would fabricate false pairs ([[perceptualNearDup]] therefore
+    * drops nulls before blocking). Non-image payloads use the documented
     * stub grid (byte probes), which the DuckDB oracle replays exactly
     * (`OracleXX.dhashOracle`); decoded-pixel hashes are gated against the
-    * render-spec VALUES oracle (`mm_phash_images`) instead, since DuckDB
-    * cannot decode images.
+    * render-spec replica oracles (`mm_phash_images`, `mm_phash`) instead,
+    * since DuckDB cannot decode images.
     *
     * Runs in `mapPartitions` per the codec contract (decoder state
     * initializable once per partition); payload bytes never leave the
-    * stage — the output is `(id, phash LONG)`. Empty payloads hash to 0. */
+    * stage — the output is `(id, phash LONG nullable)`. Empty payloads
+    * hash to 0. */
   def perceptualHash(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
-    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.LONG)
     df.select("id", "payload")
       .as(Encoders.row(StructType(Seq(
         StructField("id", LongType), StructField("payload", BinaryType)))))
@@ -301,15 +453,18 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val h =
+          val h: java.lang.Long =
             if (bytes == null || bytes.isEmpty) 0L
             else ImageHeader.parse(bytes) match {
               case Some(_) =>
+                // any decode failure — IO, EOF on a truncated body, or a
+                // reader-internal error on adversarial bytes — is a null,
+                // never a thrown task failure
                 val img = try javax.imageio.ImageIO.read(
                     new java.io.ByteArrayInputStream(bytes))
-                  catch { case _: java.io.IOException => null }
+                  catch { case scala.util.control.NonFatal(_) => null }
                 if (img == null || img.getWidth < 1 || img.getHeight < 1)
-                  stubDhash(bytes) // corrupt body behind a valid magic
+                  null // corrupt body behind a valid magic
                 else dhashFromGray(img.getWidth, img.getHeight, rasterLuma(img))
               case None => stubDhash(bytes)
             }
@@ -339,12 +494,15 @@ object Multimodal {
     * the same pigeonhole hamming join the simhash dedup path uses
     * ([[Dedup.hammingPairs64]] — fragment-equality blocking, recall-
     * lossless for `hamming <= maxHamming`, skew-capped buckets, never
-    * all-pairs). The 100 TB shape: payloads are decoded once in the scan
-    * stage into 8-byte fingerprints; only fingerprints shuffle. */
+    * all-pairs). Undecodable payloads (null hash) are dropped before
+    * blocking — a decode failure must not fabricate pairs. The 100 TB
+    * shape: payloads are decoded once in the scan stage into 8-byte
+    * fingerprints; only fingerprints shuffle. */
   def perceptualNearDup(df: DataFrame, maxHamming: Int = 3,
                         maxBucketSize: Long = 4096L,
                         keepAllCandidates: Boolean = false): DataFrame =
     Dedup.hammingPairs64(
-      perceptualHash(df).select(col("id"), col("phash").as("sh")),
+      perceptualHash(df).where(col("phash").isNotNull)
+        .select(col("id"), col("phash").as("sh")),
       maxHamming, maxBucketSize, materialize = true, keepAllCandidates)
 }

@@ -234,6 +234,62 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("rendered corpus: ImageIO decode matches the formula replica for every member; faults yield null") {
+    // the at-scale real-pixel gate's property, pinned in-process: render →
+    // real PNG encode → real ImageIO decode → luma → resample → gradient
+    // must equal RenderSpec.expectedDhash (pure integer formula, no codec,
+    // no dhashFromGray — independent arithmetic end to end)
+    val ids = (0L until 25L) ++ Seq(1000L, 4999L) // 5 full groups + spot ids
+    val df = ids.toDF("doc_id")
+    val got = Multimodal.perceptualHash(
+        Multimodal.renderedImagePayloads(df, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == Multimodal.RenderSpec.expectedDhash(id),
+        s"doc $id: decoded hash diverged from the render-spec formula")
+    }
+    // member relations inside a group: +1 brightness (member 3) is
+    // hamming 0 vs the base; the single-cell bump (member 1) flips <= 2
+    // bits; the two-cell bump (member 2) flips <= 4; the independent
+    // pattern (member 4) sits far outside the near-dup radius
+    for (grp <- 0L until 5L) {
+      val base = got(grp * 5L)
+      def ham(m: Long) = java.lang.Long.bitCount(base ^ got(grp * 5L + m))
+      assert(ham(3L) == 0, s"grp $grp: brightness shift changed the hash")
+      assert(ham(1L) <= 2, s"grp $grp: member 1 drifted to hamming ${ham(1L)}")
+      assert(ham(2L) <= 4, s"grp $grp: member 2 drifted to hamming ${ham(2L)}")
+      assert(ham(4L) >= 10, s"grp $grp: negative control too close (${ham(4L)})")
+    }
+    // decode-fault path: valid PNG magic + truncated body → NULL hash
+    // (row-level degradation, never a task kill), and the mixed corpus
+    // marks exactly the id%17==5 rows as faults
+    val mixed = Multimodal.renderedMixedPayloads(
+      (0L until 40L).toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.perceptualHash(mixed)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    (0L until 40L).foreach { id =>
+      if (id % 17L == 5L)
+        assert(hashes(id).isEmpty, s"fault row $id decoded to ${hashes(id)}")
+      else
+        assert(hashes(id).nonEmpty, s"row $id failed to decode")
+    }
+    // jpeg rows of the mixed corpus really went through the lossy codec:
+    // close to the PNG twin's hash but through a different encoder
+    val jpegIds = (0L until 40L).filter(i => i % 5L == 4L && i % 17L != 5L)
+    jpegIds.foreach { id =>
+      val d = java.lang.Long.bitCount(
+        hashes(id).get ^ Multimodal.RenderSpec.expectedDhash(id))
+      assert(d <= 12, s"jpeg row $id drifted to hamming $d from its PNG twin")
+    }
+    // and near-dup never sees the nulls
+    val pairs = Multimodal.perceptualNearDup(mixed, maxHamming = 3).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) % 17L != 5L && r.getLong(1) % 17L != 5L,
+        "an undecodable payload leaked into the near-dup join")
+    }
+  }
+
   test("perceptualNearDup: identical payloads pair at hamming 0; banding is partition-invariant") {
     val base = "some repeated catalog description body number"
     val docs = ((1L to 6L).map(i => (i, s"$base $i unique tail $i")) ++
