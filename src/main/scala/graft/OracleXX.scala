@@ -597,6 +597,91 @@ object OracleXX {
                          keepAllCandidates: Boolean = false): String =
     hammingJoinOver(dhashCtes, maxHamming, keepAllCandidates)
 
+  /** CTE chain ending in `ph(doc_id, hu, phash)` — replica of the RENDERED
+    * real-audio corpus fingerprint
+    * ([[graft.operators.Multimodal.AudioRenderSpec]]): decoded samples are
+    * a pure integer sawtooth of (doc group, member), so the whole
+    * `javax.sound` encode → byte-level PCM decode → lag-energy filterbank
+    * → gradient-bit pipeline must land on the energies this SQL computes
+    * from the formula alone. Segment/band energies are exact BIGINT sums
+    * of squared lag differences over the per-(doc, i, band) grid; missing
+    * (segment, band) cells (a lag longer than the samples available to
+    * that segment) are zero-energy, matching the engine's zero-initialized
+    * accumulators. */
+  private def audioFpCtes: String = {
+    val RS = graft.operators.Multimodal.AudioRenderSpec
+    require(RS.GroupSize == 5L && RS.N == 1024 && RS.SegLen == 128,
+      "audio oracle transcribes the AudioRenderSpec constants; re-derive it")
+    // decoded sample of doc (member, qq) at index expression j, whose
+    // segment's base/alt periods are bound as (pb, pa) — the exact member
+    // arithmetic of AudioRenderSpec.sample (floor-halving written as
+    // (x - floorMod(x,2)) // 2: DuckDB // truncates toward zero, but the
+    // numerator is exactly even so truncation = floor)
+    def xf(j: String, pb: String, pa: String) = {
+      def saw(p: String) = s"((($j) * ($p) + qq) % 65536 - 32768)"
+      val s0 = saw(pb)
+      s"""(CASE member
+            WHEN 1 THEN ($s0 - (($s0 % 2 + 2) % 2)) // 2
+            WHEN 2 THEN (CASE WHEN ($j) // 128 = 6 THEN ${saw(pa)} ELSE $s0 END)
+            WHEN 3 THEN -greatest($s0, -32767)
+            WHEN 4 THEN ${saw(pa)}
+            ELSE $s0 END)"""
+    }
+    s"""
+      dd AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member FROM documents),
+      par AS MATERIALIZED (SELECT doc_id, grp, member,
+              (grp * 997) % 65536 AS qq FROM dd),
+      pt AS MATERIALIZED (
+        SELECT grp, t,
+               2001 + 2 * (${mix64Pmod("grp * 16 + t", 1000L, RS.Seed)}) AS pb,
+               4001 + 2 * (${mix64Pmod("grp * 16 + 8 + t", 1000L, RS.Seed)}) AS pa
+        FROM (SELECT DISTINCT grp FROM dd)
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS t)),
+      lags AS (SELECT unnest(range(0, 9)) AS b,
+                      unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS lag),
+      idx AS (SELECT unnest(range(0, ${RS.N})) AS i),
+      en0 AS MATERIALIZED (
+        SELECT doc_id, t, b, sum(df * df)::BIGINT AS en FROM (
+          SELECT par.doc_id, i // 128 AS t, b,
+                 (${xf("i", "sa.pb", "sa.pa")} -
+                  ${xf("i - lag", "sb.pb", "sb.pa")})::BIGINT AS df
+          FROM par CROSS JOIN idx CROSS JOIN lags
+          JOIN pt sa ON sa.grp = par.grp AND sa.t = i // 128
+          JOIN pt sb ON sb.grp = par.grp AND sb.t = (i - lag) // 128
+          WHERE i >= lag)
+        GROUP BY doc_id, t, b),
+      grid AS (SELECT doc_id, tt.t, bb.b
+               FROM (SELECT DISTINCT doc_id FROM par)
+               CROSS JOIN (SELECT unnest(range(0, 8)) AS t) tt
+               CROSS JOIN (SELECT unnest(range(0, 9)) AS b) bb),
+      en AS (SELECT g.doc_id, g.t, g.b, coalesce(e.en, 0::BIGINT) AS en
+             FROM grid g LEFT JOIN en0 e
+               ON e.doc_id = g.doc_id AND e.t = g.t AND e.b = g.b),
+      ph0 AS (
+        SELECT a.doc_id,
+               sum(CASE WHEN a.en < n.en THEN ($pow2)[a.t * 8 + a.b + 1]
+                        ELSE 0::HUGEINT END)::HUGEINT AS hu
+        FROM en a JOIN en n ON n.doc_id = a.doc_id AND n.t = a.t AND n.b = a.b + 1
+        WHERE a.b < 8
+        GROUP BY a.doc_id),
+      ph AS (SELECT doc_id, hu,
+               (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - $M ELSE hu END)::BIGINT AS phash
+             FROM ph0)"""
+  }
+
+  /** DuckDB replica of `Multimodal.audioFingerprint` over the rendered
+    * real-audio corpus — see [[audioFpCtes]]. */
+  def audioFpOracle: String = s"""
+      WITH $audioFpCtes
+      SELECT doc_id AS id, phash AS afp FROM ph ORDER BY id"""
+
+  /** Replica of `Multimodal.audioNearDup` over the RENDERED audio corpus:
+    * formula fingerprints through the same pigeonhole hamming join. */
+  def audioFpNearDupOracle(maxHamming: Int = 3,
+                           keepAllCandidates: Boolean = false): String =
+    hammingJoinOver(audioFpCtes, maxHamming, keepAllCandidates)
+
   /** The pigeonhole hamming join over any CTE chain ending in
     * `ph(doc_id, hu, ...)`. */
   private def hammingJoinOver(ctes: String, maxHamming: Int,

@@ -3585,6 +3585,30 @@ object SparkEntry {
     * (the 100 TB contract) — and JPEG rows prove the second codec's full
     * encode/decode runs at scale (their lossy hash values are spec'd in
     * MultimodalSpec, not oracled; here the gate pins decodability). */
+  /** 64-bit audio fingerprint over REAL decoded PCM at corpus scale: every
+    * doc_id maps to a real WAV ([[Multimodal.AudioRenderSpec]] — synth
+    * sawtooth through the actual `javax.sound` WAVE encoder inside the
+    * query), decoded back byte-level and fingerprinted by the lag-energy
+    * filterbank ([[Multimodal.audioFingerprint64]]). The oracle replays
+    * decode + fingerprint from the formula alone
+    * (`OracleXX.audioFpOracle`) — agreement pins the whole encode →
+    * parse → mono-mix → energy → gradient-bit pipeline per row. */
+  private def mmAudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(
+        Multimodal.renderedAudioPayloads(t(s, dir, "documents"), "doc_id"))
+      .orderBy("id")
+
+  /** Audio near-duplicates via the pigeonhole hamming join over the
+    * fingerprints — the same kernel reuse as the image path
+    * ([[Multimodal.audioNearDup]]). Each 5-doc group guarantees pairs:
+    * polarity inversion is hamming 0 BY CONSTRUCTION, amplitude halving
+    * and a 160-sample shift land within a few bits. */
+  private def mmAudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDup(
+        Multimodal.renderedAudioPayloads(t(s, dir, "documents"), "doc_id"),
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
   private def mmPhashDecodeFaults(s: SparkSession, dir: String): DataFrame =
     // kind re-derived from the id arithmetic rather than joined back from
     // the render stage — the payloads render+decode exactly once
@@ -4447,6 +4471,8 @@ object SparkEntry {
     "mm_phash_neardup"    -> mmPhashNearDup _,
     "mm_phash_candidates" -> mmPhashCandidates _,
     "mm_phash_decode_faults" -> mmPhashDecodeFaults _,
+    "mm_audio_fingerprint" -> mmAudioFingerprint _,
+    "mm_audio_neardup"    -> mmAudioNearDup _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -8876,6 +8902,8 @@ object SparkEntry {
     // the payload the engine digests at its decode stage
     "mm_phash" -> OracleXX.renderDhashOracle,
     "mm_phash_stub" -> OracleXX.dhashOracle,
+    "mm_audio_fingerprint" -> OracleXX.audioFpOracle,
+    "mm_audio_neardup" -> OracleXX.audioFpNearDupOracle(maxHamming = 3),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB

@@ -73,4 +73,45 @@ object WavHeader {
       Some(WavInfo(channels, rate, bits, dataBytes / bytesPerFrame))
     }
   }
+
+  /** Decode the PCM payload to MONO samples: per frame, the floor-mean of
+    * the channels (exact integer, so cross-engine replicable). 16-bit LE
+    * only — the committed fixture/corpus format; anything else parses to
+    * None like the header walk. Same truncation clamp as [[parse]]: only
+    * frames whose bytes are fully present are returned. */
+  def pcmMono16(bytes: Array[Byte]): Option[Array[Int]] = parse(bytes).flatMap { w =>
+    if (w.bitsPerSample != 16) return None
+    // locate the data chunk again (parse validated the walk already)
+    var pos = 12L
+    var dataAt = -1
+    var nFrames = 0L
+    while (dataAt < 0 && pos + 8 <= bytes.length) {
+      val p = pos.toInt
+      val size = (bytes(p + 4) & 0xFFL) | ((bytes(p + 5) & 0xFFL) << 8) |
+                 ((bytes(p + 6) & 0xFFL) << 16) | ((bytes(p + 7) & 0xFFL) << 24)
+      if (bytes(p) == 'd' && bytes(p + 1) == 'a' &&
+          bytes(p + 2) == 't' && bytes(p + 3) == 'a') {
+        dataAt = p + 8
+        nFrames = math.min(size, (bytes.length - dataAt).toLong) /
+                  (w.channels.toLong * 2L)
+      } else pos += 8L + size + (size & 1L)
+    }
+    if (dataAt < 0) None
+    else {
+      val out = new Array[Int](nFrames.toInt)
+      var i = 0
+      while (i < out.length) {
+        var sum = 0L
+        var c = 0
+        while (c < w.channels) {
+          val off = dataAt + (i * w.channels + c) * 2
+          sum += ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toInt
+          c += 1
+        }
+        out(i) = Math.floorDiv(sum, w.channels.toLong).toInt
+        i += 1
+      }
+      Some(out)
+    }
+  }
 }

@@ -490,6 +490,178 @@ object Multimodal {
     h
   }
 
+  // ==== audio fingerprint (spectral-structure near-dup, the dHash twin) ==
+
+  /** 64-bit audio fingerprint over decoded PCM samples — the audio analog
+    * of dHash: the clip is cut into 8 equal time segments; per segment,
+    * 9 "band" energies are the lag-difference energies
+    * `E(t, b) = Σ (x[i] − x[i − 2^b])²` (an integer filterbank: lag-L
+    * differencing is a comb filter attenuating content with period L, so
+    * the 9 dyadic lags span the spectrum coarse-to-fine without any
+    * floating-point FFT); bit `t*8 + b` is set iff `E(t, b) < E(t, b+1)`
+    * — the same gradient-sign rule as [[dhashFromGray]], which is what
+    * buys the invariances that matter for near-dup:
+    *  - amplitude scaling multiplies every E by the same factor —
+    *    gradient signs unchanged (exactly, for exact integer scaling);
+    *  - polarity inversion leaves every (x[i] − x[i−L])² unchanged —
+    *    hamming 0 by construction;
+    *  - re-encoding PCM (same samples, new container) is bit-identical.
+    * All arithmetic is exact Long integer (max |diff| 65535, squared
+    * ~2^32, × segment ≤ 2^15 samples → < 2^47), so the code is a pure
+    * function of the sample array and cross-engine replicable. Returns
+    * None when fewer than 8 samples exist (no segment grid). */
+  def audioFingerprint64(x: Array[Int]): Option[Long] = {
+    val segLen = x.length / 8
+    if (segLen < 1) return None
+    val e = Array.ofDim[Long](8, 9)
+    var b = 0
+    while (b < 9) {
+      val lag = 1 << b
+      var i = lag
+      val n = segLen * 8
+      while (i < n) {
+        val d = (x(i) - x(i - lag)).toLong
+        e(i / segLen)(b) += d * d
+        i += 1
+      }
+      b += 1
+    }
+    var h = 0L
+    var t = 0
+    while (t < 8) {
+      var c = 0
+      while (c < 8) {
+        if (e(t)(c) < e(t)(c + 1)) h |= (1L << (t * 8 + c))
+        c += 1
+      }
+      t += 1
+    }
+    Some(h)
+  }
+
+  /** Render spec for the deterministic real-audio corpus — the audio twin
+    * of [[RenderSpec]]: every doc_id maps to a real WAV (synth PCM encoded
+    * by the JDK's own `javax.sound` WAVE writer at render time, decoded
+    * back byte-level by [[graft.functions.WavHeader.pcmMono16]]). The
+    * waveform is a sawtooth `((i·P + Q) mod 65536) − 32768` whose
+    * lag-difference energies are pure integer functions of (P, Q) — so
+    * the DuckDB oracle replays decode + fingerprint end to end from the
+    * formula, no audio stack anywhere (`OracleXX.audioFpOracle`).
+    *
+    * The sawtooth period changes PER SEGMENT (`mix64(grp*16 + t)`-drawn),
+    * so each of the 8 segments carries an independent band-energy sign
+    * pattern and unrelated docs land ~32 bits apart — a single global
+    * period would repeat one ~8-bit pattern across all segments and
+    * collapse the corpus into a few fingerprint classes (observed: 81k
+    * spurious near-dup pairs over 500 docs at the first cut).
+    *
+    * Near-dup structure per 5-doc group: member 0 the base; 1 amplitude
+    * floor-halved (scaling invariance, small hamming); 2 one segment
+    * replaced with the alt pattern (a re-edited clip — localized drift,
+    * moderate hamming, a non-pair at the ≤3 radius); 3 polarity-inverted
+    * (hamming 0 BY CONSTRUCTION); 4 independent periods everywhere
+    * (negative control). */
+  object AudioRenderSpec {
+    val SampleRate = 16000
+    val N = 1024
+    val SegLen = 128   // N / 8 segments
+    val GroupSize = 5L
+    val Seed = 0x6d6d5f617564696fL // "mm_audio"
+    def baseP(grp: Long, t: Int): Long =
+      2001L + 2L * Math.floorMod(graft.util.SplitMix64.at(Seed, grp * 16L + t), 1000L)
+    def altP(grp: Long, t: Int): Long =
+      4001L + 2L * Math.floorMod(graft.util.SplitMix64.at(Seed, grp * 16L + 8L + t), 1000L)
+    def q(grp: Long): Long = (grp * 997L) % 65536L
+    private def saw(p: Long, qq: Long, i: Long): Int =
+      (Math.floorMod(i * p + qq, 65536L) - 32768L).toInt
+    def sample(docId: Long, i: Int): Int = {
+      val grp = docId / GroupSize
+      val member = docId % GroupSize
+      val t = i / SegLen
+      val p = member match {
+        case 4L => altP(grp, t)
+        case 2L => if (t == 6) altP(grp, t) else baseP(grp, t)
+        case _  => baseP(grp, t)
+      }
+      val s = saw(p, q(grp), i.toLong)
+      member match {
+        case 1L => Math.floorDiv(s, 2)
+        case 3L => -math.max(s, -32767)
+        case _  => s
+      }
+    }
+    /** Expected fingerprint from the formula alone (the spec/oracle
+      * replica path, independent of the encode→decode roundtrip). */
+    def expectedFingerprint(docId: Long): Long =
+      audioFingerprint64(Array.tabulate(N)(i => sample(docId, i))).get
+  }
+
+  /** The deterministic real-audio corpus: one REAL WAV per input id
+    * (mono 16-bit PCM through the actual `javax.sound` WAVE encoder,
+    * once per row inside `mapPartitions`). Output `(id, payload BINARY)`. */
+  def renderedAudioPayloads(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long").as("id"))
+      .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
+      .mapPartitions { rows =>
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+        val fmt = new AudioFormat(AudioRenderSpec.SampleRate.toFloat, 16, 1,
+          /*signed*/ true, /*bigEndian*/ false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pcm = new Array[Byte](AudioRenderSpec.N * 2)
+          var i = 0
+          while (i < AudioRenderSpec.N) {
+            val v = AudioRenderSpec.sample(id, i)
+            pcm(i * 2) = (v & 0xFF).toByte
+            pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+              AudioRenderSpec.N.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** Fingerprint a binary-payload frame: byte-level WAV decode
+    * ([[graft.functions.WavHeader.pcmMono16]] — PCM 16-bit, channels
+    * floor-averaged to mono) → [[audioFingerprint64]]. Non-WAV, non-PCM,
+    * or too-short payloads yield a NULL fingerprint — row-level
+    * degradation, same contract as [[perceptualHash]]. Output
+    * `(id, afp LONG nullable)`; bytes never leave the stage. */
+  def audioFingerprint(df: DataFrame): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.LONG)
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val fp: java.lang.Long =
+            graft.functions.WavHeader.pcmMono16(r.getAs[Array[Byte]](1))
+              .flatMap(audioFingerprint64) match {
+                case Some(h) => h
+                case None    => null
+              }
+          (r.getLong(0), fp)
+        }
+      }.toDF("id", "afp")
+  }
+
+  /** Audio near-duplicates: [[audioFingerprint]] codes through the same
+    * pigeonhole hamming join as the image path — decode once to 8 bytes
+    * in the scan stage, only fingerprints shuffle, nulls dropped. */
+  def audioNearDup(df: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Long = 4096L,
+                   keepAllCandidates: Boolean = false): DataFrame =
+    Dedup.hammingPairs64(
+      audioFingerprint(df).where(col("afp").isNotNull)
+        .select(col("id"), col("afp").as("sh")),
+      maxHamming, maxBucketSize, materialize = true, keepAllCandidates)
+
   /** Image near-duplicates: [[perceptualHash]] fingerprints fed through
     * the same pigeonhole hamming join the simhash dedup path uses
     * ([[Dedup.hammingPairs64]] — fragment-equality blocking, recall-

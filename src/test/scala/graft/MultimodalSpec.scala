@@ -290,6 +290,87 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint64: amplitude/polarity invariances and the re-encode identity") {
+    import graft.operators.Multimodal.{audioFingerprint64, AudioRenderSpec}
+    def fp(x: Array[Int]) = audioFingerprint64(x).get
+    // on the committed real fixtures' genuinely decoded samples AND the
+    // render-spec synth — both content classes
+    val clips: Seq[Array[Int]] =
+      graft.tools.MakeAudioFixtures.spec.map { case (name, _, _, _) =>
+        graft.functions.WavHeader.pcmMono16(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("fixtures/audio", name))).get
+      } ++ Seq(0L, 7L, 123L).map(id =>
+        Array.tabulate(AudioRenderSpec.N)(i => AudioRenderSpec.sample(id, i)))
+    clips.foreach { x =>
+      val h = fp(x)
+      // exact integer amplitude scaling: every energy scales by c^2,
+      // every gradient sign unchanged — hamming 0, not just small
+      assert(fp(x.map(_ * 2)) == h, "2x amplitude changed the fingerprint")
+      assert(fp(x.map(_ * 7)) == h, "7x amplitude changed the fingerprint")
+      // polarity inversion: (x[i]-x[j])^2 is sign-blind — hamming 0
+      assert(fp(x.map(v => -v)) == h, "polarity inversion changed the fingerprint")
+      // floor-halving (lossy rounding): small drift, inside the near-dup radius
+      val hHalf = fp(x.map(v => Math.floorDiv(v, 2)))
+      assert(java.lang.Long.bitCount(h ^ hHalf) <= 3,
+        s"halved amplitude drifted to hamming ${java.lang.Long.bitCount(h ^ hHalf)}")
+    }
+    // too-short clip: no segment grid -> None, never a throw
+    assert(audioFingerprint64(Array(1, 2, 3)).isEmpty)
+  }
+
+  test("rendered audio corpus: decode matches the formula replica; re-encode and negation pair at hamming 0") {
+    import graft.operators.Multimodal.AudioRenderSpec
+    val ids = (0L until 25L) ++ Seq(777L)
+    val payloads = Multimodal.renderedAudioPayloads(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioFingerprint(payloads)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == AudioRenderSpec.expectedFingerprint(id),
+        s"doc $id: decoded fingerprint diverged from the formula replica")
+    }
+    for (grp <- 0L until 5L) {
+      val base = got(grp * 5L)
+      def ham(m: Long) = java.lang.Long.bitCount(base ^ got(grp * 5L + m))
+      assert(ham(3L) == 0, s"grp $grp: polarity inversion drifted (${ham(3L)})")
+      assert(ham(1L) <= 3, s"grp $grp: halved member drifted (${ham(1L)})")
+      // member 2 replaces one segment: drift is localized to the bits of
+      // segments 6 and 7 (lag windows reach back into the edit)
+      assert((ham(2L) <= 16) && ((base ^ got(grp * 5L + 2L)) & 0xFFFFFFFFFFFFL) == 0L,
+        s"grp $grp: re-edited member drifted outside segments 6-7 (${ham(2L)})")
+    }
+    // a re-encoded twin (same PCM through the javax.sound encoder again)
+    // fingerprints identically — WAV re-encode is lossless
+    val once = payloads.where(col("id") === 0L).collect().head.getAs[Array[Byte]]("payload")
+    val pcm = graft.functions.WavHeader.pcmMono16(once).get
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val raw = new Array[Byte](pcm.length * 2)
+    pcm.indices.foreach { i =>
+      raw(i * 2) = (pcm(i) & 0xFF).toByte
+      raw(i * 2 + 1) = ((pcm(i) >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+        new AudioFormat(16000f, 16, 1, true, false), pcm.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val twinFp = Multimodal.audioFingerprint(
+        Seq((0L, bos.toByteArray)).toDF("id", "payload"))
+      .collect().head.getLong(1)
+    assert(twinFp == got(0L), "re-encoded twin fingerprint diverged")
+    // non-audio payloads yield null, and near-dup never sees them
+    val mixed = payloads.unionAll(
+      Seq((9999L, "not audio at all".getBytes)).toDF("id", "payload"))
+    val nullRow = Multimodal.audioFingerprint(mixed)
+      .where(col("id") === 9999L).collect().head
+    assert(nullRow.isNullAt(1), "non-audio payload did not yield a null fingerprint")
+    val pairs = Multimodal.audioNearDup(mixed, maxHamming = 3).collect()
+    assert(pairs.nonEmpty, "no audio near-dup pairs found")
+    pairs.foreach { r =>
+      assert(r.getLong(0) != 9999L && r.getLong(1) != 9999L)
+      assert(r.getInt(2) <= 3)
+    }
+  }
+
   test("perceptualNearDup: identical payloads pair at hamming 0; banding is partition-invariant") {
     val base = "some repeated catalog description body number"
     val docs = ((1L to 6L).map(i => (i, s"$base $i unique tail $i")) ++

@@ -119,6 +119,35 @@ class WavHeaderSpec extends AnyFunSuite {
       s"clamp-to-present: expected ${info.nFrames} frames, got ${got.nFrames}")
   }
 
+  test("pcmMono16 agrees with javax.sound's decoded samples on every fixture") {
+    MakeAudioFixtures.spec.foreach { case (name, ch, _, frames) =>
+      val bytes = fixture(name)
+      val got = WavHeader.pcmMono16(bytes)
+        .getOrElse(fail(s"$name did not decode"))
+      assert(got.length == frames, s"$name: ${got.length} frames != $frames")
+      // independent decode: javax.sound streams the PCM payload
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes()
+      (0 until frames).foreach { i =>
+        var sum = 0L
+        (0 until ch).foreach { c =>
+          val off = (i * ch + c) * 2
+          sum += (((raw(off) & 0xFF) | (raw(off + 1) << 8)).toShort).toInt
+        }
+        val want = Math.floorDiv(sum, ch.toLong).toInt
+        assert(got(i) == want, s"$name sample $i: ${got(i)} != $want")
+      }
+      // and the generator formula itself (mono fixtures: direct equality)
+      if (ch == 1) (0 until frames).foreach { i =>
+        assert(got(i) == ((i * 2731) % 65536) - 32768)
+      }
+    }
+    // non-16-bit and junk inputs decode to None, never throw
+    assert(WavHeader.pcmMono16("plain text".getBytes).isEmpty)
+    assert(WavHeader.pcmMono16(Array.empty[Byte]).isEmpty)
+  }
+
   test("wavFrames operator: per-fixture frame grid matches the hand-computed manifest") {
     // spin the shared spec session lazily via SparkSpec would recreate a
     // suite; reuse a lightweight local session here
