@@ -1672,6 +1672,49 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** LIVE streaming twin of [[simIvfIndexed]] — the query-serving shape
+    * under the actual streaming machinery: query vectors arrive as two
+    * micro-batches through a checkpointed file stream, each batch probes
+    * the persisted bucketed IVF index `foreachBatch`-side
+    * ([[graft.streaming.IvfProbe]] — broadcast batch queries, scan only
+    * the probed cells, zero index-side exchange; PlanSpec pins the
+    * per-batch plan), results append to the sink and are gated against
+    * the SAME replica oracle as the batch row, extended to the 10-query
+    * union of both batches. */
+  private def streamIvfProbe(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val tag = layoutTag(dir)
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.fixedCentroids(16, 64)
+    graft.operators.Relational.bucketMaterialize(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents),
+      s"graft_b_ivf_probe_$tag", "cluster", 8,
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/ivf_probe")
+    val work = graft.util.TempDirs.create("graft-stream-ivf")
+    val inDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Seq((0L, 5L), (5L, 10L)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = work.resolve(s"b$i")
+      q.where(col("qid") >= lo && col("qid") < hi)
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(f"b$i%02d.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val incoming = s.readStream.schema(q.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val out = work.resolve("out").toString
+    val sq = graft.streaming.IvfProbe.start(incoming, "qid", "qvec",
+      s"graft_b_ivf_probe_$tag", cents, out,
+      checkpoint = work.resolve("ck").toString,
+      k = 10, nProbe = 4, availableNow = true)
+    sq.awaitTermination()
+    s.read.parquet(out).orderBy("qid", "rank")
+  }
+
   /** Reciprocal-rank fusion of the two fixed-constant retrievers (RP
     * sketch + IVF probe): incomparable score scales combined by integer
     * reciprocal rank, re-ranked per query. Both input rankings are
@@ -4483,6 +4526,7 @@ object SparkEntry {
     // live engine paths (readStream → foreachBatch → sink, read back)
     "stream_pipeline_e2e" -> streamPipelineE2e _,
     "stream_dedup_ingest" -> streamDedupIngest _,
+    "stream_ivf_probe"    -> streamIvfProbe _,
     "dedup_ingest_compacted" -> dedupIngestCompacted _,
     "http_push_e2e"       -> httpPushE2e _)
 
@@ -5082,8 +5126,9 @@ object SparkEntry {
   }
 
   private def ivfReplicaOracle(cents: Array[Array[Float]], nProbe: Int,
-                               k: Int, dim: Int = 64): String = s"""
-      WITH ${ivfReplicaCtes(cents, nProbe, dim)},
+                               k: Int, dim: Int = 64,
+                               queryPred: String = "vec_id < 5"): String = s"""
+      WITH ${ivfReplicaCtes(cents, nProbe, dim, queryPred)},
       ranked AS (
         SELECT qid, id, cosine,
                row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
@@ -6713,6 +6758,13 @@ object SparkEntry {
     // bucketed table), not what they are — same replica oracle
     "sim_ivf_indexed" -> ivfReplicaOracle(
       Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10),
+    // the live twin changes HOW queries arrive (two checkpointed
+    // micro-batches) and where assignments come from (the persisted
+    // bucketed table), not what the retrieval computes — same replica,
+    // query set extended to both batches
+    "stream_ivf_probe" -> ivfReplicaOracle(
+      Similarity.fixedCentroids(16, 64), nProbe = 4, k = 10,
+      queryPred = "vec_id < 10"),
     // exact top-20 pool, pool-pairwise cosines, then 5 unrolled greedy MMR
     // steps: each picks argmax(0.7·rel − 0.3·max-sim-to-selected) with the
     // identical exact-rounded double ops and id tie-break

@@ -65,6 +65,30 @@ class PlanSpec extends SparkSpec {
       s"corpus vectors cross the rank shuffle:\n$p")
   }
 
+  test("stream_ivf_probe: the per-batch probe plan has zero index-side exchange") {
+    // the exact function foreachBatch executes per micro-batch
+    // (IvfProbe.probeBatch), planned against the persisted bucketed index
+    // with a batch-shaped query frame
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.operators.Similarity.fixedCentroids(16, 64)
+    val idx = graft.operators.Relational.bucketMaterialize(
+      graft.operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents),
+      "graft_b_ivf_planspec", "cluster", 8,
+      s"${graft.util.Scratch.base}/graft_bucketed_planspec/ivf")
+    val batch = emb.where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = graft.streaming.IvfProbe.probeBatch(idx, batch, "qid", "qvec",
+      cents, k = 10, nProbe = 4).queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    assert(lines.exists(l => l.contains("FileScan parquet") && l.contains("graft_b_ivf_planspec")),
+      s"bucketed index table scan not found:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"batch-query broadcast lost:\n$p")
+    val hashEx = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.forall(_.contains("hashpartitioning(qid")),
+      s"index-side exchange leaked into the per-batch plan:\n$p")
+  }
+
   test("q3_topk: top-k via TakeOrderedAndProject, not a global sort") {
     assert(plan("q3_topk").contains("TakeOrderedAndProject"))
   }
