@@ -114,30 +114,50 @@ object BenchScale {
   private def num(v: Double, d: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
 
-  /** Build the factor× corpus under [[ScaleDir]] (idempotent overwrite). */
-  def synthesize(spark: SparkSession, srcDir: String): Unit = {
+  /** Variant k's letter bijection: the AFFINE map `x → a·x + b (mod 26)`
+    * with `gcd(a, 26) = 1` — 312 distinct bijections, enumerated as
+    * `a = units[k / 26], b = k % 26`. For k < 26 this is the plain
+    * rotation the 10× record has always used (a = 1); factors beyond 26
+    * NEED the affine family: rotations repeat mod 26, so variants k and
+    * k+26 would carry IDENTICAL text under different ids — cross-variant
+    * exact duplicates that inflate every dup group ~(factor/26)× and make
+    * the dedup workload quadratic in the overlap instead of linear by
+    * construction. Distinct affine maps share (essentially) no shingles,
+    * preserving the linear-by-construction property at any factor ≤ 312. */
+  private val AffineUnits = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private def affineAlphabet(k: Int): String = {
+    require(k < AffineUnits.size * 26, s"affine variant family exhausted at $k")
+    val a = AffineUnits(k / 26)
+    val b = k % 26
+    (0 until 26).map(x => ('a' + (a * x + b) % 26).toChar).mkString
+  }
+
+  /** Build the factor× corpus under `outDir` (idempotent overwrite). */
+  def synthesize(spark: SparkSession, srcDir: String,
+                 factor: Int = Factor, outDir: String = ScaleDir): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val variants = (0 until Factor).map { k =>
-      val rot = alpha.drop(k) + alpha.take(k)
+    val variants = (0 until factor).map { k =>
+      val m = affineAlphabet(k)
       docs.select(
         (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
         translate(col("text"), alpha + alpha.toUpperCase,
-                  rot + rot.toUpperCase).as("text"),
+                  m + m.toUpperCase).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     variants.reduce(_ unionByName _)
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$ScaleDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
   /** factor× events: disjoint user/event-id ranges per variant (user
     * population grows, per-user history depth stays constant — the shape
     * an event firehose actually scales in), timestamps untouched so the
     * day/cohort dimensions don't grow. */
-  def synthesizeEvents(spark: SparkSession, srcDir: String): Unit = {
+  def synthesizeEvents(spark: SparkSession, srcDir: String,
+                       factor: Int = Factor, outDir: String = ScaleDir): Unit = {
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
-    val variants = (0 until Factor).map { k =>
+    val variants = (0 until factor).map { k =>
       ev.select(
         (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
         col("ts"),
@@ -146,21 +166,22 @@ object BenchScale {
     }
     variants.reduce(_ unionByName _)
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$ScaleDir/events.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** factor× embeddings: id-remapped copies (identical vectors — fine for
     * timing; the knn scale point scales the CELL COUNT with the corpus,
     * which is the actual IVF contract at 100 TB). */
-  def synthesizeEmbeddings(spark: SparkSession, srcDir: String): Unit = {
+  def synthesizeEmbeddings(spark: SparkSession, srcDir: String,
+                           factor: Int = Factor, outDir: String = ScaleDir): Unit = {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val variants = (0 until Factor).map { k =>
+    val variants = (0 until factor).map { k =>
       emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
         col("embedding"), col("label"))
     }
     variants.reduce(_ unionByName _)
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$ScaleDir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   private def runOnce(spark: SparkSession, name: String, dir: String): Double = {
@@ -277,6 +298,114 @@ object BenchScale {
     println(json)
     if (superlinear.nonEmpty)
       System.err.println(s"[scale] SUPERLINEAR: ${superlinear.mkString(", ")}")
+    spark.stop()
+  }
+}
+
+/** Two-orders scale record (round-11 verdict item 1): the ~flagship kernels
+  * whose 100 TB shape IS the product claim, run at 100× sf0.1 — 500k docs
+  * / 10M events / 50k vectors, synthesized with the same
+  * linear-by-construction variant scheme as [[BenchScale]] (the affine
+  * letter-bijection family keeps cross-variant shingles disjoint at
+  * factors beyond the 26 rotations). Writes `BENCH_SCALE_100X.json` with
+  * per-query sf0.1→100× ratios and the superlinear flag line.
+  *
+  * What is DELIBERATELY absent: the fixed-16-bit-fragment hamming
+  * NEAR-DUP joins (dedup_simhash / mm_phash_neardup pairs stages). Chance
+  * fragment collisions grow ~n²/2^16 in expectation, and 500k hashes sit
+  * far past that regime boundary — production sizing widens fragments
+  * with corpus (maxHamming 1 → 32-bit fragments holds to ~10^8 rows) and
+  * the skew cap bounds the damage meanwhile; the LINEAR stage of that
+  * family (the fingerprint scan, `mm_phash` — now real ImageIO decodes —
+  * and the packed-code hamming retrieval `sim_hamming_topk`) is measured
+  * here instead. This is the documented LSH regime note from the 10×
+  * record, applied two orders up.
+  *
+  * Run: `sbt "runMain graft.tools.BenchScale100"` (quiet box). */
+object BenchScale100 {
+
+  val Factor = 100
+  val SuperlinearSlack = 1.5
+  val ScaleDir: String = s"${graft.util.Scratch.base}/graft_scale_100x"
+
+  // the flagship inventory the verdict names, keyed by which table grows
+  val DocQueries = Seq(
+    "dedup_exact",               // hash-groupBy floor: the trivial-linear control
+    "dedup_minhash",             // MinHash+LSH banded candidate join
+    "dedup_clusters",            // + pointer-jumping connected components
+    "dedup_fuzzy_pipeline",      // the full composed dedup pipeline
+    "dedup_incremental_indexed", // bucketed posting-index probe (index fixed, batch grows)
+    "text_packing_apply",        // two-pass distributed prefix-sum packing
+    "text_winnow",               // rolling-hash winnowing fingerprints
+    "text_length_sketch",        // bottom-k quantile sketch, one scan
+    "text_length_sketch_rollup", // + slim per-(lang, source) sketch shuffle
+    "mm_phash")                  // 500k REAL ImageIO encode+decode roundtrips
+  val EventQueries = Seq(
+    "events_dau_hll",            // per-day HLL registers over 10M events
+    "stream_hourly_hll")         // the same, LIVE through watermarked append mode
+  val EmbQueries = Seq(
+    "sim_ivf_indexed",           // persisted bucketed IVF probe
+    "sim_hamming_topk")          // packed-code hamming retrieval scan
+
+  private def num(v: Double, d: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${d}f", java.lang.Double.valueOf(v))
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-scale-100x")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    BenchScale.synthesize(spark, sf01, Factor, ScaleDir)
+    BenchScale.synthesizeEvents(spark, sf01, Factor, ScaleDir)
+    BenchScale.synthesizeEmbeddings(spark, sf01, Factor, ScaleDir)
+    val nSmall = spark.read.parquet(s"$sf01/documents.parquet").count()
+    val nBig = spark.read.parquet(s"$ScaleDir/documents.parquet").count()
+    val evSmall = spark.read.parquet(s"$sf01/events.parquet").count()
+    val evBig = spark.read.parquet(s"$ScaleDir/events.parquet").count()
+    System.err.println(s"[scale100] docs $nSmall -> $nBig, events $evSmall -> $evBig")
+
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.util.Materialize.release()
+      graft.util.CacheSalt.releaseLeaked()
+      t
+    }
+    def steady(name: String, dir: String): Double = {
+      runOnce(name, dir); runOnce(name, dir)
+    }
+    val rows = (DocQueries ++ EventQueries ++ EmbQueries).map { q =>
+      val small = steady(q, sf01)
+      val big = steady(q, ScaleDir)
+      val ratio = if (small > 0) big / small else Double.PositiveInfinity
+      System.err.println(f"[scale100] $q%-28s sf0.1=$small%7.2fs ${Factor}x=$big%8.2fs ratio=$ratio%6.2f")
+      (q, small, big, ratio)
+    }
+    val superlinear = rows.collect {
+      case (q, _, _, r) if r > SuperlinearSlack * Factor => q }
+    val json =
+      s"""{"factor":$Factor,"docs_small":$nSmall,"docs_big":$nBig,""" +
+      s""""events_small":$evSmall,"events_big":$evBig,"slack":${num(SuperlinearSlack, 2)},""" +
+      s""""queries":{${rows.map { case (q, s, b, r) =>
+            s""""$q":{"sf01_sec":${num(s, 3)},"scaled_sec":${num(b, 3)},"ratio":${num(r, 2)}}"""
+          }.mkString(",")}},""" +
+      s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}]}"""
+    Files.writeString(Paths.get("BENCH_SCALE_100X.json"), json + "\n")
+    println(json)
+    if (superlinear.nonEmpty)
+      System.err.println(s"[scale100] SUPERLINEAR: ${superlinear.mkString(", ")}")
     spark.stop()
   }
 }
