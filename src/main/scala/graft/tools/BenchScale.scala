@@ -77,7 +77,15 @@ object BenchScale {
     // per-(lang, source) sketch shuffle
     "text_length_sketch", "text_length_sketch_rollup",
     // round-11b: FIM is a pure narrow scan projection
-    "text_fim_apply")
+    "text_fim_apply",
+    // round-12: mm_phash is now 10x REAL ImageIO encode+decode roundtrips
+    // (it was already in the list; the real-codec path keeps its slot);
+    // the audio fingerprint is the same scan shape over javax.sound
+    // encodes + byte-level PCM decodes; the mixed-codec fault corpus adds
+    // the JPEG encoder and the per-row failure path at scale. Their
+    // NEAR-DUP stages stay excluded like phash's (the fixed-16-bit
+    // fragment regime note above).
+    "mm_audio_fingerprint", "mm_phash_decode_faults")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user
@@ -246,9 +254,11 @@ object BenchScale {
     // argmin fold per row
     // round-11: the indexed IVF probe is one bucketed-table write (linear)
     // + a 5-query broadcast probe over constant cell fractions — linear
+    // round-12: the LIVE twin adds the streaming machinery (checkpointed
+    // file source, two micro-batches) around the same per-batch plan
     val embRows = Seq("sim_int8_quant", "sim_rrf_fusion",
         "sim_hamming_topk", "sim_centroid_classifier",
-        "sim_ivf_indexed").map { q =>
+        "sim_ivf_indexed", "stream_ivf_probe").map { q =>
       val small = steady(q, sf01)
       val big = steady(q, ScaleDir)
       val ratio = if (small > 0) big / small else Double.PositiveInfinity
