@@ -349,7 +349,14 @@ object BenchScale100 {
     "text_winnow",               // rolling-hash winnowing fingerprints
     "text_length_sketch",        // bottom-k quantile sketch, one scan
     "text_length_sketch_rollup", // + slim per-(lang, source) sketch shuffle
-    "mm_phash")                  // 500k REAL ImageIO encode+decode roundtrips
+    "mm_phash",                  // 500k REAL ImageIO encode+decode roundtrips
+    "mm_audio_fingerprint")      // 500k javax.sound encodes + PCM decodes
+                                 // (the 10x record flagged this one: the
+                                 // per-call provider-registry lock in
+                                 // AudioSystem.write serialized all
+                                 // threads; fixed by the once-per-
+                                 // partition SPI hoist — this 100x point
+                                 // is the proof the fix holds two orders up)
   val EventQueries = Seq(
     "events_dau_hll",            // per-day HLL registers over 10M events
     "stream_hourly_hll")         // the same, LIVE through watermarked append mode
