@@ -420,6 +420,24 @@ object Smoke {
     TextAnalysis.fimTransform(docs, "doc_id", "text").show(3, truncate = 50)
     lap("round-11")
 
+    println("[smoke] round-12: rendered real-pixel corpus + audio fingerprint + live IVF probe:")
+    locally {
+      import spark.implicits._
+      val ids = (0L until 10L).toDF("doc_id")
+      // real PNG render -> real ImageIO decode, hashes vs the formula
+      Multimodal.perceptualHash(Multimodal.renderedImagePayloads(ids, "doc_id"))
+        .show(5)
+      // mixed-codec corpus: the corrupt row must be a NULL hash, not a kill
+      Multimodal.perceptualHash(Multimodal.renderedMixedPayloads(
+        (0L until 20L).toDF("doc_id"), "doc_id")).where(col("phash").isNull).show()
+      // real javax.sound WAVs -> byte-level PCM decode -> lag-energy code
+      Multimodal.audioFingerprint(Multimodal.renderedAudioPayloads(ids, "doc_id"))
+        .show(5)
+      Multimodal.audioNearDup(
+        Multimodal.renderedAudioPayloads(ids, "doc_id"), maxHamming = 3).show(5)
+    }
+    lap("round-12")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")
