@@ -682,6 +682,116 @@ object OracleXX {
                            keepAllCandidates: Boolean = false): String =
     hammingJoinOver(audioFpCtes, maxHamming, keepAllCandidates)
 
+  /** CTE chain ending in `fh(doc_id, f, hu, fhash)` — replica of the
+    * RENDERED real-video corpus per-frame dHash
+    * ([[graft.operators.Multimodal.VideoRenderSpec]]): each AVI frame is
+    * 36×32 px of constant 4×4 cells with (v,v,v) samples, so the engine's
+    * container walk → bottom-up BGR decode → luma → box-resample →
+    * gradient pipeline must land on exactly the cell values this SQL
+    * computes from the formula alone. Also exposes `d(doc_id, grp,
+    * member)`, `gnf(grp, nf)` and `cells(doc_id, f, b, v)` for the
+    * fingerprint/meta oracles stacked on top. */
+  private def videoFrameDhashCtes: String = {
+    val RS = graft.operators.Multimodal.VideoRenderSpec
+    require(RS.GroupSize == 5L && RS.W == 36 && RS.H == 32 &&
+            RS.Mod == 200L && RS.Lo == 26,
+      "video oracle transcribes the VideoRenderSpec constants; re-derive it")
+    val v0 = s"(${mix64Pmod("grp * 8192 + f * 128 + b", RS.Mod, RS.Seed)}) + ${RS.Lo}"
+    val v4 = s"(${mix64Pmod(s"grp * 8192 + f * 128 + b + ${RS.AltOffset}", RS.Mod, RS.Seed)}) + ${RS.Lo}"
+    s"""
+      d AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member FROM documents),
+      gnf AS MATERIALIZED (
+        SELECT grp, 6 + (${mix64Pmod("grp * 8192 + 4096", 3L, RS.Seed)}) AS nf
+        FROM (SELECT DISTINCT grp FROM d)),
+      gfb AS (SELECT grp, unnest(range(0, nf)) AS f FROM gnf),
+      bs AS (SELECT unnest(range(0, 72)) AS b),
+      c0 AS MATERIALIZED (SELECT grp, f, b, $v0 AS v0 FROM gfb CROSS JOIN bs),
+      c4 AS MATERIALIZED (SELECT grp, f, b, $v4 AS v4 FROM gfb CROSS JOIN bs),
+      cells AS MATERIALIZED (
+        SELECT d.doc_id, c0.f, c0.b,
+          CASE WHEN d.member = 4 THEN c4.v4
+               WHEN d.member = 3 THEN c0.v0 + 1
+               WHEN d.member = 1 AND c0.f = 2 AND c0.b = 21 THEN c0.v0 + 24
+               WHEN d.member = 2 AND (c0.f = 1 OR c0.f = 4)
+                                AND (c0.b = 46 OR c0.b = 61) THEN c0.v0 + 30
+               ELSE c0.v0 END AS v
+        FROM d JOIN c0 ON c0.grp = d.grp
+               JOIN c4 ON c4.grp = d.grp AND c4.f = c0.f AND c4.b = c0.b),
+      fh0 AS (
+        SELECT a.doc_id, a.f,
+               sum(CASE WHEN a.v < n.v
+                        THEN ($pow2)[(a.b // 9) * 8 + (a.b % 9) + 1]
+                        ELSE 0::HUGEINT END)::HUGEINT AS hu
+        FROM cells a JOIN cells n ON n.doc_id = a.doc_id AND n.f = a.f
+                                 AND n.b = a.b + 1
+        WHERE a.b % 9 < 8
+        GROUP BY a.doc_id, a.f),
+      fh AS (SELECT doc_id, f, hu,
+               (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - $M ELSE hu END)::BIGINT AS fhash
+             FROM fh0)"""
+  }
+
+  /** DuckDB replica of `Multimodal.videoFrameHashes` over the rendered
+    * real-video corpus — see [[videoFrameDhashCtes]]. */
+  def videoFrameDhashOracle: String = s"""
+      WITH $videoFrameDhashCtes
+      SELECT doc_id AS id, f::INT AS frame_idx, fhash FROM fh
+      ORDER BY id, frame_idx"""
+
+  /** CTE chain ending in `ph(doc_id, hu, phash)` — the majority-vote video
+    * fingerprint over the per-frame replica hashes: bit b set iff at least
+    * half the doc's frames set it (ties → set, matching the engine's
+    * `2*count >= n` rule exactly in integer arithmetic). */
+  private def videoFpCtes: String = s"""$videoFrameDhashCtes,
+      vbits AS (SELECT a.doc_id, a.f, (a.b // 9) * 8 + (a.b % 9) AS bit
+                FROM cells a JOIN cells n ON n.doc_id = a.doc_id
+                                         AND n.f = a.f AND n.b = a.b + 1
+                WHERE a.b % 9 < 8 AND a.v < n.v),
+      vcnt AS (SELECT doc_id, bit, count(*) AS c FROM vbits GROUP BY doc_id, bit),
+      dnf AS (SELECT d.doc_id, gnf.nf FROM d JOIN gnf USING (grp)),
+      ph0 AS (SELECT dnf.doc_id,
+                coalesce(sum(CASE WHEN 2 * c.c >= dnf.nf
+                                  THEN ($pow2)[c.bit + 1]
+                                  ELSE 0::HUGEINT END), 0::HUGEINT)::HUGEINT AS hu
+              FROM dnf LEFT JOIN vcnt c ON c.doc_id = dnf.doc_id
+              GROUP BY dnf.doc_id),
+      ph AS (SELECT doc_id, hu,
+               (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - $M ELSE hu END)::BIGINT AS phash
+             FROM ph0)"""
+
+  /** DuckDB replica of `Multimodal.videoFingerprint` over the rendered
+    * real-video corpus — see [[videoFpCtes]]. */
+  def videoFpOracle: String = s"""
+      WITH $videoFpCtes
+      SELECT doc_id AS id, phash AS vfp FROM ph ORDER BY id"""
+
+  /** Replica of `Multimodal.videoNearDup`: majority fingerprints through
+    * the same pigeonhole hamming join. */
+  def videoFpNearDupOracle(maxHamming: Int = 3,
+                           keepAllCandidates: Boolean = false): String =
+    hammingJoinOver(videoFpCtes, maxHamming, keepAllCandidates)
+
+  /** Replica of `Multimodal.videoMeta` over the rendered corpus with
+    * `truncateMod`-doctored rows: the frame-count draw replayed from the
+    * mix64 stream; a truncated id (cut mid-way into its LAST frame chunk)
+    * must report exactly one frame fewer than declared — the
+    * clamp-to-present contract, as id arithmetic. */
+  def videoMetaOracle(truncateMod: Long): String = {
+    val RS = graft.operators.Multimodal.VideoRenderSpec
+    s"""
+      WITH d AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+      gnf AS (SELECT grp, 6 + (${mix64Pmod("grp * 8192 + 4096", 3L, RS.Seed)}) AS nf
+              FROM (SELECT DISTINCT grp FROM d))
+      SELECT doc_id AS id, ${RS.W} AS width, ${RS.H} AS height,
+             ${RS.UsPerFrame}::BIGINT AS us_per_frame,
+             nf::BIGINT AS n_frames_declared,
+             (CASE WHEN doc_id % $truncateMod = 3 THEN nf - 1 ELSE nf END)::INT
+               AS n_frames_present
+      FROM d JOIN gnf USING (grp) ORDER BY id"""
+  }
+
   /** The pigeonhole hamming join over any CTE chain ending in
     * `ph(doc_id, hu, ...)`. */
   private def hammingJoinOver(ctes: String, maxHamming: Int,

@@ -3216,6 +3216,52 @@ object SparkEntry {
         col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** UAX #15 canonicalization ([[graft.functions.UnicodeFunctions]]) —
+    * the corpus is doctored with decomposed combining marks ('e' →
+    * 'e' + U+0301) so NFC has real composition work on every row, and the
+    * codepoint-length drop (one per composed pair) plus the normalized
+    * text itself are hash-compared against DuckDB's `nfc_normalize` — two
+    * independent implementations of the frozen Unicode algorithm agreeing
+    * byte-for-byte. NFKC additionally folds compatibility forms; doctored
+    * here with U+FB01 ('ﬁ' ligature ← 'fi') so it differs from NFC on
+    * every row containing one. */
+  private def textNormalizeUnicode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeFunctions
+    val decomposed = regexp_replace(col("text"), "e", "e\u0301")
+    val compat = regexp_replace(decomposed, "fi", "\ufb01")
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        UnicodeFunctions.nfc(decomposed).as("nfc_text"),
+        length(decomposed).as("raw_len"),
+        length(UnicodeFunctions.nfc(decomposed)).as("nfc_len"),
+        UnicodeFunctions.nfkc(compat).as("nfkc_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Markup-to-text extraction ([[graft.functions.MarkupFunctions
+    * .htmlText]]): each doc's text wrapped in a deterministic HTML shell
+    * (head/title/style, attributes with quoted '>'-free values, a script
+    * whose body contains both a '<' comparison and an entity string, an
+    * `&amp;` entity spliced into the prose) and recovered back out —
+    * script/style content dropped, tags become word-separating spaces,
+    * entities decoded single-pass (amp last), whitespace collapsed. The
+    * oracle replays the identical regex/replacement chain in DuckDB. */
+  private def textHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>doc </title><style>p{color:red}</style>" +
+          "</head><body onload=\"x()\"><h1>"),
+      col("lang"),
+      lit("</h1>\n<p>"),
+      replace(col("text"), lit(" and "), lit(" &amp; ")),
+      lit("</p><script type=\"text/javascript\">if (1 < 2) { " +
+          "emit(\"&amp;\"); }</script></body></html>"))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.MarkupFunctions.htmlText(html).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")))
+      .orderBy("doc_id")
+  }
+
   /** The SQL-registration path: the same computations as `text_rollhash` /
     * `pipe_b64` / `text_quality_filter` / the shingle sizing, but issued
     * through `spark.sql` against the `graft_*` functions installed by
@@ -3651,6 +3697,66 @@ object SparkEntry {
         Multimodal.renderedAudioPayloads(t(s, dir, "documents"), "doc_id"),
         maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  /** Real VIDEO container decode at corpus scale — the third modality's
+    * genuine-decode gate beside `mm_phash` (ImageIO) and
+    * `mm_audio_fingerprint` (javax.sound): every doc_id maps to a real
+    * single-stream uncompressed AVI ([[Multimodal.VideoRenderSpec]]), and
+    * [[Multimodal.videoMeta]] walks the RIFF list tree back out
+    * ([[graft.functions.AviHeader]]). Ids with `id % 11 == 3` are
+    * truncated mid-way into their LAST frame chunk — the parser must
+    * report one frame fewer than declared (clamp-to-present), never
+    * throw. The oracle replays the frame-count draw and the truncation
+    * rule as pure id arithmetic. */
+  private def mmVideoMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoMeta(
+        Multimodal.renderedVideoPayloads(t(s, dir, "documents"), "doc_id",
+          truncateMod = 11L))
+      .toDF().orderBy("id")
+
+  /** Per-frame dHash over GENUINELY decoded DIB pixels: AVI walk →
+    * bottom-up BGR decode → integer luma → the shared [[Multimodal
+    * .dhashFromGray]] resample kernel, one row per (video, frame). The
+    * oracle is the codec-free render-formula replica
+    * (`OracleXX.videoFrameDhashOracle`) — agreement pins ~7 real frame
+    * decodes per corpus doc. */
+  private def mmVideoFrameHashes(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameHashes(
+        Multimodal.renderedVideoPayloads(t(s, dir, "documents"), "doc_id"))
+      .orderBy("id", "frame_idx")
+
+  /** Majority-vote 64-bit video fingerprint ([[Multimodal
+    * .videoFingerprint64]]) per payload — parse + per-frame hash +
+    * combine in one scan stage; the frame-count spread (6–8 per group)
+    * exercises both tie parities of the vote. */
+  private def mmVideoFingerprint(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFingerprint(
+        Multimodal.renderedVideoPayloads(t(s, dir, "documents"), "doc_id"))
+      .orderBy("id")
+
+  /** Video near-duplicates via the same pigeonhole hamming kernel as the
+    * image/audio paths: each 5-doc group guarantees a hamming-0 pair
+    * (uniform +1 brightness on every frame — dHash invariance composed
+    * with the tie-stable majority vote) and a one-frame-edit variant
+    * within a couple of bits. */
+  private def mmVideoNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDup(
+        Multimodal.renderedVideoPayloads(t(s, dir, "documents"), "doc_id"),
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Format sniffing at corpus scale — the ingest router's decision over
+    * a mixed corpus where every class goes through its REAL encoder
+    * ([[Multimodal.renderedSniffPayloads]]: ImageIO PNG + JPEG,
+    * javax.sound WAV, the AVI writer, GZIPOutputStream, UTF-8 text, and
+    * a deliberate non-UTF-8 byte string). [[Multimodal.sniffKind]] must
+    * classify all seven — each parser accepting its own format and
+    * rejecting the other six is exactly what the magic/chunk-walk
+    * strictness claims. Oracle is pure id arithmetic. */
+  private def mmSniff(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sniff(
+        Multimodal.renderedSniffPayloads(t(s, dir, "documents"), "doc_id"))
+      .orderBy("id")
 
   private def mmPhashDecodeFaults(s: SparkSession, dir: String): DataFrame =
     // kind re-derived from the id arithmetic rather than joined back from
@@ -4317,6 +4423,8 @@ object SparkEntry {
     "text_code_switch"    -> textCodeSwitch _,
     "text_quality"        -> textQuality _,
     "text_fingerprint"    -> textFingerprint _,
+    "text_normalize_unicode" -> textNormalizeUnicode _,
+    "text_html_extract"   -> textHtmlExtract _,
     "text_rollhash"       -> textRollhash _,
     "text_token_report"   -> textTokenReport _,
     "text_vocabulary"     -> textVocabulary _,
@@ -4516,6 +4624,11 @@ object SparkEntry {
     "mm_phash_decode_faults" -> mmPhashDecodeFaults _,
     "mm_audio_fingerprint" -> mmAudioFingerprint _,
     "mm_audio_neardup"    -> mmAudioNearDup _,
+    "mm_sniff"            -> mmSniff _,
+    "mm_video_meta"       -> mmVideoMeta _,
+    "mm_video_frame_hashes" -> mmVideoFrameHashes _,
+    "mm_video_fingerprint" -> mmVideoFingerprint _,
+    "mm_video_neardup"    -> mmVideoNearDup _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -7186,6 +7299,38 @@ object SparkEntry {
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents ORDER BY doc_id""",
+    // two independent UAX #15 implementations (java.text.Normalizer vs
+    // DuckDB's utf8proc) hash-compared on doctored combining marks; the
+    // engine's NFKC is checked against the identity NFKC(ligatured) ==
+    // NFC(unligatured) — the only compatibility chars present are the
+    // spliced U+FB01s, whose fold the replace() un-does exactly
+    "text_normalize_unicode" -> """
+      WITH d AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+                 FROM documents)
+      SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+             length(raw)::INT AS raw_len,
+             length(nfc_normalize(raw))::INT AS nfc_len,
+             nfc_normalize(raw) AS nfkc_text
+      FROM d ORDER BY doc_id""",
+    "text_html_extract" -> """
+      WITH h AS (SELECT doc_id,
+        '<html><head><title>doc </title><style>p{color:red}</style></head><body onload="x()"><h1>' ||
+        lang || '</h1>' || chr(10) || '<p>' ||
+        replace(text, ' and ', ' &amp; ') ||
+        '</p><script type="text/javascript">if (1 < 2) { emit("&amp;"); }</script></body></html>' AS html
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(html,
+               '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS x FROM h),
+      s2 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', ' ', 'g') AS x FROM s1),
+      s3 AS (SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(x,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&nbsp;', ' '), '&amp;', '&') AS x FROM s2),
+      res AS (SELECT doc_id,
+                trim(regexp_replace(x, '[ \t\n\r]+', ' ', 'g')) AS clean_text
+              FROM s3)
+      SELECT doc_id, clean_text, length(clean_text)::INT AS clean_len
+      FROM res ORDER BY doc_id""",
     "text_token_report" -> s"""
       SELECT lang, count(*)::BIGINT AS n_docs,
              sum(len($sqlToks))::BIGINT AS total_words,
@@ -8956,6 +9101,17 @@ object SparkEntry {
     "mm_phash_stub" -> OracleXX.dhashOracle,
     "mm_audio_fingerprint" -> OracleXX.audioFpOracle,
     "mm_audio_neardup" -> OracleXX.audioFpNearDupOracle(maxHamming = 3),
+    "mm_sniff" -> """
+      SELECT doc_id AS id,
+             CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             WHEN 2 THEN 'wav' WHEN 3 THEN 'avi'
+                             WHEN 4 THEN 'gzip' WHEN 5 THEN 'text'
+                             ELSE 'binary' END AS kind
+      FROM documents ORDER BY id""",
+    "mm_video_meta" -> OracleXX.videoMetaOracle(truncateMod = 11L),
+    "mm_video_frame_hashes" -> OracleXX.videoFrameDhashOracle,
+    "mm_video_fingerprint" -> OracleXX.videoFpOracle,
+    "mm_video_neardup" -> OracleXX.videoFpNearDupOracle(maxHamming = 3),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB

@@ -1,0 +1,221 @@
+package graft.functions
+
+/** Pure byte-level AVI (RIFF/'AVI ') container parser — the video member
+  * of the real-decode family beside [[ImageHeader]] (PNG/JPEG) and
+  * [[WavHeader]] (RIFF/WAVE): walks the RIFF list tree, reads the `avih`
+  * main header (frame period, declared frame count, dimensions), the
+  * first video stream's `strf` BITMAPINFOHEADER (bit depth, compression),
+  * and the `movi` list's frame chunks. Uncompressed 24-bpp BI_RGB frames
+  * (`00db` device-independent bitmaps: bottom-up rows, BGR samples, rows
+  * padded to 4 bytes) can then be pixel-decoded with zero codec state —
+  * a plain function of the bytes, callable per record in `mapPartitions`.
+  *
+  * Strictness mirrors WavHeader: BI_RGB 24-bpp single-video-stream files
+  * only; malformed structure parses to None. Truncated uploads follow the
+  * clamp-to-present policy: a frame chunk whose declared bytes are not
+  * fully present is DROPPED (unlike audio samples, a partial frame is not
+  * a prefix of anything renderable) and the walk ends there — the frames
+  * that ARE fully present are reported, never invented trailing ones.
+  *
+  * Totality: positions are Longs (a crafted 32-bit chunk size near
+  * 0x7FFFFFxx must not wrap an Int accumulator negative and index out of
+  * bounds — the WavHeader lesson), every read is bounds-guarded, and the
+  * chunk step is strictly positive, so any adversarial byte string
+  * terminates in None or a clamped parse, never a thrown task failure.
+  *
+  * Reference behavior modeled: the reference treats media payloads as
+  * opaque bytes end-to-end (core/.../Event.scala body: Array[Byte]); the
+  * container formats here are the public AVI/DIB specs (msdn AVIMAINHEADER
+  * / BITMAPINFOHEADER layouts). */
+object AviHeader {
+
+  /** One fully-present frame chunk: absolute payload offset + size. */
+  final case class FrameRef(offset: Int, size: Int)
+
+  /** usPerFrame/width/height/declaredFrames from `avih`; bitCount from the
+    * video stream's `strf`; `frames` = the movi frame chunks actually
+    * present in full (clamp policy above). */
+  final case class AviInfo(usPerFrame: Long, declaredFrames: Long,
+                           width: Int, height: Int, bitCount: Int,
+                           frames: Vector[FrameRef]) {
+    def framesPresent: Int = frames.length
+    /** DIB row stride: 24-bpp rows padded to 4-byte boundaries. */
+    def stride: Int = ((width * 3 + 3) / 4) * 4
+  }
+
+  def parse(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= bytes.length && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+    if (!tag(0, "RIFF") || !tag(8, "AVI ")) return None
+
+    var usPerFrame = -1L
+    var declaredFrames = -1L
+    var width = 0
+    var height = 0
+    var bitCount = -1
+    val frames = Vector.newBuilder[FrameRef]
+    var haveMovi = false
+
+    // one nested-walk helper: visits each (tagPos, dataPos, size) triple of
+    // a chunk list in [from, until) of the buffer; Long arithmetic per the
+    // totality note above, declared sizes never trusted past buffer end
+    def walk(from: Long, until: Long)(visit: (Int, Int, Long) => Unit): Unit = {
+      var pos = from
+      val lim = math.min(until, bytes.length.toLong)
+      while (pos + 8 <= lim) {
+        val p = pos.toInt
+        val size = le32(p + 4)
+        visit(p, p + 8, size)
+        pos += 8L + size + (size & 1L)
+      }
+    }
+
+    // is this movi chunk a video frame of stream 0? ('00db' raw DIB /
+    // '00dc' compressed — we index both, pixel decode requires BI_RGB)
+    def isFrameTag(p: Int): Boolean =
+      u8(p) == '0' && u8(p + 1) == '0' &&
+      u8(p + 2) == 'd' && (u8(p + 3) == 'b' || u8(p + 3) == 'c')
+
+    walk(12L, bytes.length.toLong) { (p, dp, size) =>
+      if (tag(p, "LIST") && dp + 4 <= bytes.length) {
+        val listEnd = dp + size // may exceed buffer; walk() clamps
+        if (tag(dp, "hdrl")) {
+          walk(dp + 4L, listEnd) { (hp, hdp, hsize) =>
+            if (tag(hp, "avih") && hsize >= 40 && hdp + 40 <= bytes.length) {
+              usPerFrame = le32(hdp)
+              declaredFrames = le32(hdp + 16)
+              width = le32(hdp + 32).toInt
+              height = le32(hdp + 36).toInt
+            } else if (tag(hp, "LIST") && tag(hdp, "strl")) {
+              walk(hdp + 4L, hdp + hsize) { (sp, sdp, ssize) =>
+                // first video stream's format block: BITMAPINFOHEADER
+                if (tag(sp, "strf") && bitCount < 0 && ssize >= 40 &&
+                    sdp + 40 <= bytes.length) {
+                  val compression = le32(sdp + 16)
+                  if (compression == 0L) bitCount = le16(sdp + 14)
+                }
+              }
+            }
+          }
+        } else if (tag(dp, "movi")) {
+          haveMovi = true
+          walk(dp + 4L, listEnd) { (mp, mdp, msize) =>
+            // clamp policy: only frames whose declared bytes are FULLY
+            // present count (a truncated trailing frame is dropped)
+            if (isFrameTag(mp) && msize <= bytes.length - mdp)
+              frames += FrameRef(mdp, msize.toInt)
+          }
+        }
+      }
+    }
+
+    if (usPerFrame < 0 || declaredFrames < 0 || !haveMovi ||
+        width <= 0 || height <= 0 || bitCount != 24) None
+    else Some(AviInfo(usPerFrame, declaredFrames, width, height, bitCount,
+                      frames.result()))
+  }
+
+  /** Integer BT.601 luma accessor over frame `idx`'s decoded DIB pixels
+    * (top-down (x, y) coordinates; the DIB stores rows bottom-up, BGR).
+    * None when the frame's pixel block is smaller than stride*height —
+    * cannot happen for frames [[parse]] admitted from a well-formed file,
+    * but guarded anyway (a lying biSizeImage must degrade, not throw). */
+  def frameGray(bytes: Array[Byte], info: AviInfo, idx: Int): Option[(Int, Int) => Int] = {
+    if (idx < 0 || idx >= info.frames.length) return None
+    val f = info.frames(idx)
+    val stride = info.stride
+    if (f.size < stride * info.height) return None
+    Some { (x, y) =>
+      val base = f.offset + (info.height - 1 - y) * stride + x * 3
+      val b = bytes(base) & 0xFF
+      val g = bytes(base + 1) & 0xFF
+      val r = bytes(base + 2) & 0xFF
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+  }
+
+  /** Assemble a real single-stream uncompressed AVI: `frames` are gray
+    * grids (row-major, top-down, length w*h) stored as (v,v,v) BGR
+    * samples — BT.601 luma of (v,v,v) is exactly v, so a decode through
+    * [[frameGray]] must reproduce the grid value-for-value. Every chunk
+    * size is exact per the public AVI layout (RIFF/hdrl/avih/strl/strh/
+    * strf/movi/00db); used by the rendered-corpus generators and the spec
+    * fixtures (the JDK ships no AVI encoder, so unlike PNG/WAV the writer
+    * is ours — the spec therefore leans on adversarial/truncation cases
+    * and the formula-replica oracle rather than encoder independence). */
+  def write(usPerFrame: Long, w: Int, h: Int,
+            frames: Array[Array[Int]]): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"empty frame dims ${w}x$h")
+    require(frames.forall(_.length == w * h), "frame grid length != w*h")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    // sizes, inside out (all our chunk payloads are even — no pad bytes)
+    val strhSize = 56
+    val strfSize = 40
+    val strlSize = 4 + 8 + strhSize + 8 + strfSize
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize + 8 + strlSize
+    val moviSize = 4 + frames.length * (8 + frameBytes)
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val out = new Array[Byte](8 + riffSize)
+    var pos = 0
+    def putTag(s: String): Unit = { (0 until 4).foreach(i => out(pos + i) = s.charAt(i).toByte); pos += 4 }
+    def putLe32(v: Long): Unit = {
+      out(pos) = (v & 0xFF).toByte; out(pos + 1) = ((v >> 8) & 0xFF).toByte
+      out(pos + 2) = ((v >> 16) & 0xFF).toByte; out(pos + 3) = ((v >> 24) & 0xFF).toByte
+      pos += 4
+    }
+    def putLe16(v: Int): Unit = {
+      out(pos) = (v & 0xFF).toByte; out(pos + 1) = ((v >> 8) & 0xFF).toByte; pos += 2
+    }
+    putTag("RIFF"); putLe32(riffSize); putTag("AVI ")
+    putTag("LIST"); putLe32(hdrlSize); putTag("hdrl")
+    putTag("avih"); putLe32(avihSize)
+    putLe32(usPerFrame)                    // dwMicroSecPerFrame
+    putLe32(0); putLe32(0); putLe32(0)     // maxBytesPerSec, padding, flags
+    putLe32(frames.length)                 // dwTotalFrames
+    putLe32(0); putLe32(1)                 // initialFrames, dwStreams
+    putLe32(frameBytes)                    // suggestedBufferSize
+    putLe32(w); putLe32(h)                 // dwWidth, dwHeight
+    putLe32(0); putLe32(0); putLe32(0); putLe32(0) // dwReserved[4]
+    putTag("LIST"); putLe32(strlSize); putTag("strl")
+    putTag("strh"); putLe32(strhSize)
+    putTag("vids"); putTag("DIB ")         // fccType, fccHandler
+    putLe32(0); putLe16(0); putLe16(0)     // flags, priority, language
+    putLe32(0)                             // initialFrames
+    putLe32(usPerFrame); putLe32(1000000L) // dwScale / dwRate = frame period
+    putLe32(0); putLe32(frames.length)     // start, length
+    putLe32(frameBytes); putLe32(0); putLe32(0) // bufSize, quality, sampleSize
+    putLe16(0); putLe16(0); putLe16(w); putLe16(h) // rcFrame
+    putTag("strf"); putLe32(strfSize)
+    putLe32(40); putLe32(w); putLe32(h)    // biSize, biWidth, biHeight (bottom-up)
+    putLe16(1); putLe16(24)                // biPlanes, biBitCount
+    putLe32(0); putLe32(frameBytes)        // biCompression = BI_RGB, biSizeImage
+    putLe32(0); putLe32(0); putLe32(0); putLe32(0) // ppm dims, clr used/important
+    putTag("LIST"); putLe32(moviSize); putTag("movi")
+    frames.foreach { grid =>
+      putTag("00db"); putLe32(frameBytes)
+      var y = 0
+      while (y < h) {
+        val srcRow = h - 1 - y // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val v = grid(srcRow * w + x).toByte
+          val base = pos + x * 3
+          out(base) = v; out(base + 1) = v; out(base + 2) = v
+          x += 1
+        }
+        pos += stride // padding bytes stay zero
+        y += 1
+      }
+    }
+    require(pos == out.length, s"writer layout bug: $pos != ${out.length}")
+    out
+  }
+}

@@ -86,6 +86,12 @@ object GraftFunctionRegistry {
     d("graft_b64_decode", classOf[B64Decode]) { (n, a) =>
       arity(n, a, 1); B64Decode(nn(a.head, StringType))
     },
+    d("graft_nfc", classOf[NfcNormalize]) { (n, a) =>
+      arity(n, a, 1); NfcNormalize(nn(a.head, StringType))
+    },
+    d("graft_nfkc", classOf[NfkcNormalize]) { (n, a) =>
+      arity(n, a, 1); NfkcNormalize(nn(a.head, StringType))
+    },
     d("graft_gzip", classOf[GzipCompress]) { (n, a) =>
       arity(n, a, 1); GzipCompress(nn(a.head, BinaryType))
     },

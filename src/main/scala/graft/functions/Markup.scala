@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Markup-to-text extraction — the step between a raw HTML crawl and
+  * every text operator in the pipeline (CCNet/RefinedWeb run exactly this
+  * shape before language ID, quality scoring, and dedup). Deliberately
+  * composed from CODEGEN'D BUILT-INS (regexp_replace / replace / trim):
+  * the whole extraction inlines into the scan's whole-stage codegen, and
+  * the identical regex/replacement chain is replayable in the DuckDB
+  * oracle — a tag-soup DOM parser would be neither.
+  *
+  * Policy (the boilerplate-stripping subset that is deterministic and
+  * cross-engine stable):
+  *  1. `<script>`/`<style>` elements are dropped WITH their content
+  *     (code and CSS are not prose — leaving them in poisons quality
+  *     scores and shingle tables);
+  *  2. every remaining tag becomes one space (block boundaries must
+  *     separate words: `<p>a</p><p>b</p>` reads "a b", never "ab");
+  *  3. the five ubiquitous named entities + the numeric apostrophe are
+  *     decoded, `&amp;` LAST so double-escaped text stays literal
+  *     (`&amp;lt;` → `&lt;` the four-char string, exactly like a
+  *     single-pass spec-compliant decoder);
+  *  4. whitespace collapses to single spaces and is trimmed. The char
+  *     class is explicit `[ \t\n\r]` — Java's `\s` includes U+000B,
+  *     RE2's does not, and the oracle runs on RE2.
+  *
+  * Not attempted (documented non-goals): full entity tables, comments
+  * `<!-- -->` with embedded tags, CDATA, conditional comments — the
+  * corpus-doctored gate exercises the contract above, and a production
+  * crawl would front a real HTML5 parser only for the DOM-dependent
+  * parts (main-content extraction), which are out of scope here. */
+object MarkupFunctions {
+
+  /** amp LAST — see policy note 3. */
+  private val Entities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Visible text of an HTML STRING column, per the policy above. */
+  def htmlText(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Entities.foldLeft(noTags) { case (acc, (k, v)) =>
+      replace(acc, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+}

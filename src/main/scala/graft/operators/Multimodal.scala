@@ -96,7 +96,15 @@ object Multimodal {
                           height = 0, sampleRateHz = w.sampleRateHz,
                           nFrames = math.min(w.nFrames, Int.MaxValue).toInt,
                           payload_md5 = md5Of(bytes))
-              case None => StubCodec.decode(id, kind, bytes)
+              case None => graft.functions.AviHeader.parse(bytes) match {
+                case Some(a) =>
+                  // real parsed video metadata: dims from avih, nFrames =
+                  // frame chunks actually present (clamp-to-present)
+                  MediaMeta(id, "avi", bytes.length.toLong, width = a.width,
+                            height = a.height, sampleRateHz = 0,
+                            nFrames = a.framesPresent, payload_md5 = md5Of(bytes))
+                case None => StubCodec.decode(id, kind, bytes)
+              }
             }
           }
         }
@@ -680,6 +688,354 @@ object Multimodal {
       audioFingerprint(df).where(col("afp").isNotNull)
         .select(col("id"), col("afp").as("sh")),
       maxHamming, maxBucketSize, materialize = true, keepAllCandidates)
+
+  // ==== video: real container parse, per-frame dHash, majority fingerprint
+
+  /** 64-bit video fingerprint from per-frame dHashes: bit b is set iff at
+    * least half the frames set it (ties → set; pure integer, so the code
+    * is a deterministic function of the frame-hash multiset). Majority
+    * voting is the locality-preserving combiner: editing one frame of n
+    * shifts each bit's count by at most 1, so the video code moves only on
+    * bits whose cross-frame vote sat exactly at the threshold — a
+    * localized re-edit lands a few bits away while dHash's own invariances
+    * (uniform brightness shift) carry over to hamming 0 exactly. (XOR or
+    * concatenation would scatter one frame's change across the code.)
+    * None for an empty frame list. */
+  def videoFingerprint64(frameHashes: Array[Long]): Option[Long] = {
+    val n = frameHashes.length
+    if (n == 0) return None
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      var cnt = 0
+      var i = 0
+      while (i < n) { cnt += ((frameHashes(i) >>> b) & 1L).toInt; i += 1 }
+      if (2 * cnt >= n) h |= (1L << b)
+      b += 1
+    }
+    Some(h)
+  }
+
+  /** Render spec for the deterministic real-video corpus — the video twin
+    * of [[RenderSpec]]/[[AudioRenderSpec]]: every doc_id maps to a real
+    * single-stream uncompressed AVI ([[graft.functions.AviHeader.write]] —
+    * the JDK ships no AVI encoder, so the container writer is ours; the
+    * spec compensates with adversarial truncation/fuzz cases and the
+    * parser's structural strictness). Frames reuse the image spec's
+    * cell geometry: 36×32 px of constant 4×4 blocks with (v,v,v) samples,
+    * so each frame's dHash is derivable from pure integer arithmetic the
+    * DuckDB oracle replays (`OracleXX.videoFrameDhashOracle`).
+    *
+    * Frame count varies PER GROUP (6–8 via the mix64 stream) so the meta
+    * gate has non-constant content and the majority combiner exercises
+    * both parities (even n = tie threshold hit, odd n = strict majority).
+    *
+    * Near-dup structure per 5-doc group: member 0 the base; 1 one cell
+    * bumped in ONE frame (a single-frame edit — the majority vote moves
+    * ≤ 2 bits); 2 two cells bumped in TWO frames (a heavier re-edit,
+    * moderate drift); 3 uniform +1 brightness on EVERY frame (hamming 0
+    * BY CONSTRUCTION — dHash invariance composed with an exact-tie-stable
+    * vote); 4 independent patterns (negative control, ~32 bits). */
+  object VideoRenderSpec {
+    val W = 36
+    val H = 32
+    val GroupSize = 5L
+    val Mod = 200L
+    val Lo = 26
+    val UsPerFrame = 33333L
+    val Seed = 0x6d6d5f766964656fL // "mm_video"
+    /** Key space: grp*8192 + f*128 + b with f < 16, b < 72 keeps cell keys
+      * collision-free per group; +4096 is the group's frame-count draw
+      * (disjoint from every cell key); AltOffset = 2^40 pushes member-4
+      * keys past any corpus group id (100× scale = 1e5 groups ≪ 2^40/8192). */
+    val AltOffset = 1L << 40
+
+    def nFrames(grp: Long): Int =
+      6 + Math.floorMod(graft.util.SplitMix64.at(Seed, grp * 8192L + 4096L), 3L).toInt
+
+    /** Gray value of dHash cell (r, c) in frame `f` of `docId` — the
+      * single source of truth for renderer, spec replica, and (transcribed
+      * to SQL) the DuckDB oracle. */
+    def cellValue(docId: Long, f: Int, r: Int, c: Int): Int = {
+      val grp = docId / GroupSize
+      val member = docId % GroupSize
+      val b = r * 9 + c
+      def v0(off: Long): Int =
+        (Math.floorMod(graft.util.SplitMix64.at(Seed, grp * 8192L + f * 128L + b + off), Mod) + Lo).toInt
+      member match {
+        case 1L => v0(0L) + (if (f == 2 && r == 2 && c == 3) 24 else 0)
+        case 2L => v0(0L) + (if ((f == 1 || f == 4) &&
+                                 ((r == 5 && c == 1) || (r == 6 && c == 7))) 30 else 0)
+        case 3L => v0(0L) + 1
+        case 4L => v0(AltOffset)
+        case _  => v0(0L)
+      }
+    }
+
+    /** Expected per-frame dHash from the formula alone (independent of the
+      * write → parse → DIB-decode → resample pipeline). */
+    def expectedFrameDhash(docId: Long, f: Int): Long = {
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (cellValue(docId, f, r, c) < cellValue(docId, f, r, c + 1))
+            h |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+    def expectedVideoFp(docId: Long): Long = {
+      val n = nFrames(docId / GroupSize)
+      videoFingerprint64(Array.tabulate(n)(f => expectedFrameDhash(docId, f))).get
+    }
+
+    /** The rendered frame grids (row-major top-down, one per frame). */
+    def frames(docId: Long): Array[Array[Int]] = {
+      val n = nFrames(docId / GroupSize)
+      Array.tabulate(n) { f =>
+        val g = new Array[Int](W * H)
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) { g(y * W + x) = cellValue(docId, f, y / 4, x / 4); x += 1 }
+          y += 1
+        }
+        g
+      }
+    }
+  }
+
+  /** The deterministic real-video corpus: one REAL AVI per input id
+    * ([[VideoRenderSpec]] frames through [[graft.functions.AviHeader.write]]).
+    * `truncateMod > 0` additionally truncates ids with
+    * `id % truncateMod == 3` mid-way into their LAST frame chunk — the
+    * corrupt-upload rows for the clamp-to-present meta gate (the parser
+    * must report one frame fewer, never throw). Output `(id, payload)`. */
+  def renderedVideoPayloads(df: DataFrame, idCol: String,
+                            truncateMod: Long = 0L): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long").as("id"))
+      .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
+      .mapPartitions { rows =>
+        import VideoRenderSpec._
+        val frameBytes = (((W * 3 + 3) / 4) * 4) * H
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = graft.functions.AviHeader.write(UsPerFrame, W, H, frames(id))
+          val out =
+            if (truncateMod > 0L && id % truncateMod == 3L)
+              java.util.Arrays.copyOf(bytes, bytes.length - frameBytes / 2)
+            else bytes
+          (id, out)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** Parsed AVI container row; see `mm_video_meta`. */
+  final case class VideoMetaRow(id: Long, width: Int, height: Int,
+                                us_per_frame: Long, n_frames_declared: Long,
+                                n_frames_present: Int)
+
+  /** Container-metadata decode over video payloads: the avih header's
+    * frame period / declared count / dimensions plus the frame chunks
+    * ACTUALLY fully present — `n_frames_present < n_frames_declared` is
+    * the truncated-upload signature (clamp-to-present policy, the video
+    * analog of WavHeader's data clamp). Unparseable payloads contribute
+    * no rows; bytes never leave the scan stage. */
+  def videoMeta(df: DataFrame): Dataset[VideoMetaRow] = {
+    implicit val enc = Encoders.product[VideoMetaRow]
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          graft.functions.AviHeader.parse(r.getAs[Array[Byte]](1)).map(a =>
+            VideoMetaRow(r.getLong(0), a.width, a.height, a.usPerFrame,
+                         a.declaredFrames, a.framesPresent))
+        }
+      }
+  }
+
+  /** Per-frame perceptual hashes over GENUINELY parsed + DIB-decoded video
+    * payloads: AVI container walk ([[graft.functions.AviHeader]]) → per
+    * present frame, bottom-up BGR pixel decode → integer BT.601 luma →
+    * the shared [[dhashFromGray]] resample kernel. Output
+    * `(id, frame_idx, fhash)`; unparseable payloads contribute no rows
+    * (row-level degradation — the decode-fault contract), bytes never
+    * leave the scan stage. */
+  def videoFrameHashes(df: DataFrame): DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong)
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          graft.functions.AviHeader.parse(bytes).toSeq.flatMap { info =>
+            (0 until info.framesPresent).flatMap { f =>
+              graft.functions.AviHeader.frameGray(bytes, info, f).map(g =>
+                (id, f, dhashFromGray(info.width, info.height, g)))
+            }
+          }
+        }
+      }.toDF("id", "frame_idx", "fhash")
+  }
+
+  /** 64-bit video fingerprint per payload: parse → per-frame dHash →
+    * [[videoFingerprint64]] majority combine, all inside one scan stage.
+    * NULL when the container fails to parse or holds no full frame —
+    * same contract as [[perceptualHash]]/[[audioFingerprint]]. */
+  def videoFingerprint(df: DataFrame): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.LONG)
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val fp: java.lang.Long = graft.functions.AviHeader.parse(bytes)
+            .flatMap { info =>
+              val hs = (0 until info.framesPresent).flatMap(f =>
+                graft.functions.AviHeader.frameGray(bytes, info, f).map(g =>
+                  dhashFromGray(info.width, info.height, g)))
+              videoFingerprint64(hs.toArray)
+            } match {
+              case Some(h) => h
+              case None    => null
+            }
+          (r.getLong(0), fp)
+        }
+      }.toDF("id", "vfp")
+  }
+
+  /** Video near-duplicates: majority fingerprints through the same
+    * pigeonhole hamming join as the image/audio paths — one container
+    * parse + frame decode per payload in the scan stage, only 8-byte
+    * codes shuffle, nulls dropped. */
+  def videoNearDup(df: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Long = 4096L,
+                   keepAllCandidates: Boolean = false): DataFrame =
+    Dedup.hammingPairs64(
+      videoFingerprint(df).where(col("vfp").isNotNull)
+        .select(col("id"), col("vfp").as("sh")),
+      maxHamming, maxBucketSize, materialize = true, keepAllCandidates)
+
+  // ==== format sniffing (the ingest router) ==============================
+
+  /** Magic-byte format classification of an opaque payload — the decision
+    * every multimodal ingest makes before routing bytes to a decoder.
+    * Header-level by design: a truncated PNG sniffs as `png` (the decode
+    * stage owns the corrupt-body NULL contract, see [[perceptualHash]]).
+    * Containers use the real parsers (so `wav`/`avi` mean "the chunk walk
+    * accepts it", not just 4 magic bytes); `gzip` is the RFC 1952 magic;
+    * `text` means strictly valid UTF-8; anything else is `binary`.
+    * A pure function of the bytes — classification is reproducible across
+    * engines and runs. */
+  def sniffKind(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return "empty"
+    ImageHeader.parse(bytes) match {
+      case Some(info) => info.format // "png" / "jpeg"
+      case None =>
+        if (graft.functions.WavHeader.parse(bytes).isDefined) "wav"
+        else if (graft.functions.AviHeader.parse(bytes).isDefined) "avi"
+        else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f &&
+                 (bytes(1) & 0xFF) == 0x8b) "gzip"
+        else {
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); "text" }
+          catch { case _: java.nio.charset.CharacterCodingException => "binary" }
+        }
+    }
+  }
+
+  /** Classify every payload: `(id, payload)` → `(id, kind)`; one scan,
+    * bytes never leave the stage. */
+  def sniff(df: DataFrame): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions(rows => rows.map(r =>
+        (r.getLong(0), sniffKind(r.getAs[Array[Byte]](1)))))
+      .toDF("id", "kind")
+  }
+
+  /** Mixed-format corpus for the sniff gate: per id (mod 7) a real PNG,
+    * real JPEG, real WAV (javax.sound), real AVI, RFC 1952 gzip stream,
+    * plain UTF-8 text bytes, or a deliberately non-UTF-8 byte string —
+    * every class through its REAL encoder, so the gate proves each parser
+    * accepts its own format and rejects the others' at corpus scale. */
+  def renderedSniffPayloads(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long").as("id"))
+      .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+        // once-per-partition WAVE writer via the public SPI — never
+        // AudioSystem.write, whose static synchronized registry re-scan
+        // serializes all executor threads (the measured superlinear flag
+        // renderedAudioPayloads documents)
+        lazy val wavWriter = {
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+          var w: javax.sound.sampled.spi.AudioFileWriter = null
+          while (w == null && it.hasNext) {
+            val c = it.next()
+            if (c.isFileTypeSupported(AudioFileFormat.Type.WAVE)) w = c
+          }
+          require(w != null, "no WAVE AudioFileWriter provider")
+          w
+        }
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload: Array[Byte] = (id % 7L) match {
+            case 0L | 1L =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(renderSpecImage(id),
+                if (id % 7L == 0L) "png" else "jpg", bos)
+              bos.toByteArray
+            case 2L =>
+              // a small real WAV: 64 samples of the audio render spec
+              // through the hoisted javax.sound writer
+              val fmt = new AudioFormat(16000f, 16, 1, true, false)
+              val pcm = new Array[Byte](128)
+              var i = 0
+              while (i < 64) {
+                val v = AudioRenderSpec.sample(id, i)
+                pcm(i * 2) = (v & 0xFF).toByte
+                pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+                i += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              wavWriter.write(
+                new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+                  fmt, 64L), AudioFileFormat.Type.WAVE, bos)
+              bos.toByteArray
+            case 3L =>
+              graft.functions.AviHeader.write(VideoRenderSpec.UsPerFrame,
+                VideoRenderSpec.W, VideoRenderSpec.H,
+                VideoRenderSpec.frames(id).take(1))
+            case 4L =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(s"doc $id".getBytes("UTF-8")); gz.close()
+              bos.toByteArray
+            case 5L => s"plain text doc $id".getBytes("UTF-8")
+            case _  => Array[Byte](0x7f, -1 /*0xFF: never valid UTF-8*/ ,
+                                   0x41, (id % 251L).toByte)
+          }
+          (id, payload)
+        }
+      }.toDF("id", "payload")
+  }
 
   /** Image near-duplicates: [[perceptualHash]] fingerprints fed through
     * the same pigeonhole hamming join the simhash dedup path uses

@@ -85,7 +85,17 @@ object BenchScale {
     // the JPEG encoder and the per-row failure path at scale. Their
     // NEAR-DUP stages stay excluded like phash's (the fixed-16-bit
     // fragment regime note above).
-    "mm_audio_fingerprint", "mm_phash_decode_faults")
+    "mm_audio_fingerprint", "mm_phash_decode_faults",
+    // round-12b: the video family is the same scan shape again — one AVI
+    // container write + walk + ~7 DIB frame decodes per row, fingerprints
+    // 8 bytes out; frame hashes add a ~7x narrow explode, the meta walk
+    // parses headers only. NEAR-DUP stays excluded per the fragment
+    // regime note above.
+    "mm_video_meta", "mm_video_frame_hashes", "mm_video_fingerprint",
+    // format sniffing and the unicode/markup text transforms are pure
+    // narrow scans (one classification / normalization / regex chain per
+    // row, nothing shuffles)
+    "mm_sniff", "text_normalize_unicode", "text_html_extract")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user

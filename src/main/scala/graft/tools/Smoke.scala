@@ -436,6 +436,28 @@ object Smoke {
       Multimodal.audioNearDup(
         Multimodal.renderedAudioPayloads(ids, "doc_id"), maxHamming = 3).show(5)
     }
+    println("[smoke] round-12b: real AVI container walk + per-frame dHash + majority code:")
+    locally {
+      import spark.implicits._
+      val ids = (0L until 10L).toDF("doc_id")
+      val vids = Multimodal.renderedVideoPayloads(ids, "doc_id", truncateMod = 11L)
+      Multimodal.videoMeta(vids).show(5)
+      Multimodal.videoFrameHashes(vids).show(5)
+      Multimodal.videoFingerprint(vids).show(5)
+      Multimodal.videoNearDup(vids, maxHamming = 3).show(5)
+      // ingest router over the all-formats mixed corpus
+      Multimodal.sniff(Multimodal.renderedSniffPayloads(
+        (0L until 14L).toDF("doc_id"), "doc_id")).show(14)
+      // unicode canonicalization + markup extraction over doctored docs
+      graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
+      docs.limit(3).select(
+          graft.functions.UnicodeFunctions.nfc(
+            regexp_replace(col("text"), "e", "é")).as("nfc"),
+          graft.functions.MarkupFunctions.htmlText(
+            concat(lit("<p>"), col("text"), lit("</p><script>x()</script>")))
+            .as("clean"))
+        .show(3, truncate = 40)
+    }
     lap("round-12")
 
     println("[smoke] SQL surface (graft_* functions via spark.sql):")

@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.AviHeader
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure AVI container parser against its writer and against adversarial
+  * bytes. Unlike PNG (ImageIO) and WAV (javax.sound) the JDK ships no AVI
+  * codec to cross-check, so this spec leans on (a) exact round-trips across
+  * layout shapes — including the stride-padding case a 4-byte-aligned width
+  * never exercises, (b) the clamp-to-present truncation contract, and
+  * (c) parse totality under prefix truncation and crafted chunk sizes (the
+  * WavHeader overflow lesson, applied from day one). */
+class AviHeaderSpec extends AnyFunSuite {
+
+  private def grid(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h)(i => Math.floorMod(i * 31 + seed * 17, 256))
+
+  test("write → parse round-trip: header fields, frame count, exact pixel decode") {
+    for ((w, h, nf) <- Seq((36, 32, 1), (36, 32, 8), (33, 5, 2), (1, 1, 3))) {
+      val frames = Array.tabulate(nf)(f => grid(w, h, f))
+      val bytes = AviHeader.write(40000L, w, h, frames)
+      val info = AviHeader.parse(bytes).getOrElse(fail(s"${w}x$h x$nf did not parse"))
+      assert(info.usPerFrame == 40000L && info.declaredFrames == nf.toLong)
+      assert(info.width == w && info.height == h && info.bitCount == 24)
+      assert(info.framesPresent == nf)
+      // (v,v,v) BGR samples: BT.601 luma is exactly v — the decode must
+      // reproduce every grid value through the bottom-up padded-row layout
+      for (f <- 0 until nf) {
+        val g = AviHeader.frameGray(bytes, info, f)
+          .getOrElse(fail(s"frame $f not decodable"))
+        for (y <- 0 until h; x <- 0 until w)
+          assert(g(x, y) == frames(f)(y * w + x),
+            s"(${w}x$h) frame $f pixel ($x,$y)")
+      }
+      assert(AviHeader.frameGray(bytes, info, nf).isEmpty, "index past end")
+      assert(AviHeader.frameGray(bytes, info, -1).isEmpty)
+    }
+  }
+
+  test("stride padding: width 33 rows occupy 100 bytes, pad bytes ignored by decode") {
+    val info = AviHeader.parse(AviHeader.write(1L, 33, 2, Array(grid(33, 2, 0))))
+      .getOrElse(fail("pad-width file did not parse"))
+    assert(info.stride == 100) // 33*3 = 99 → padded to 100
+    assert(info.frames.head.size == 200)
+  }
+
+  test("truncation clamps to fully-present frames; every byte prefix parses totally") {
+    val full = AviHeader.write(33333L, 12, 4, Array.tabulate(5)(f => grid(12, 4, f)))
+    val frameBytes = ((12 * 3 + 3) / 4 * 4) * 4 // stride 36 × h 4 = 144
+    // cut mid-way into the LAST frame: present = 4, declared stays 5
+    val cut = AviHeader.parse(java.util.Arrays.copyOf(full, full.length - frameBytes / 2))
+      .getOrElse(fail("truncated file did not parse"))
+    assert(cut.declaredFrames == 5L && cut.framesPresent == 4)
+    // cut exactly the last frame chunk (data + 8-byte header): present = 4
+    val cut2 = AviHeader.parse(java.util.Arrays.copyOf(full, full.length - frameBytes - 8))
+      .getOrElse(fail("chunk-aligned truncation did not parse"))
+    assert(cut2.framesPresent == 4)
+    // parse TOTALITY: every prefix either parses or returns None — never throws
+    (0 until full.length).foreach { n =>
+      AviHeader.parse(java.util.Arrays.copyOf(full, n)) // must not throw
+    }
+    // and single-byte corruption anywhere must not throw either
+    (0 until full.length).foreach { i =>
+      val b = full.clone()
+      b(i) = (b(i) ^ 0x55).toByte
+      AviHeader.parse(b)
+    }
+  }
+
+  test("crafted 32-bit chunk sizes near Int.MaxValue terminate the walk, no wrap") {
+    val full = AviHeader.write(1L, 8, 8, Array(grid(8, 8, 0), grid(8, 8, 1)))
+    // find the first movi frame chunk's size field and forge sizes that
+    // would wrap an Int position accumulator negative
+    val moviAt = full.indexOfSlice("movi".getBytes("US-ASCII").toSeq)
+    val sizeAt = moviAt + 4 + 4 // first '00db' tag, then its size field
+    for (forged <- Seq(0x7FFFFFF0L, 0x7FFFFFFFL, 0xFFFFFFFFL, 0x80000000L)) {
+      val b = full.clone()
+      b(sizeAt) = (forged & 0xFF).toByte
+      b(sizeAt + 1) = ((forged >> 8) & 0xFF).toByte
+      b(sizeAt + 2) = ((forged >> 16) & 0xFF).toByte
+      b(sizeAt + 3) = ((forged >> 24) & 0xFF).toByte
+      val r = AviHeader.parse(b) // must not throw
+      // the forged frame overruns the buffer → clamp drops it and ends the walk
+      assert(r.forall(_.framesPresent == 0), s"forged size $forged kept a frame")
+    }
+  }
+
+  test("strictness: junk, WAV, PNG fixture, compressed or non-24bpp files reject") {
+    assert(AviHeader.parse(null).isEmpty)
+    assert(AviHeader.parse(Array.emptyByteArray).isEmpty)
+    assert(AviHeader.parse("RIFFxxxxWAVEfmt ".getBytes("US-ASCII")).isEmpty)
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/audio",
+        graft.tools.MakeAudioFixtures.spec.head._1))
+    assert(AviHeader.parse(wav).isEmpty, "a WAV is RIFF but not 'AVI '")
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/images/img0_rgb.png"))
+    assert(AviHeader.parse(png).isEmpty)
+    val full = AviHeader.write(1L, 8, 8, Array(grid(8, 8, 0)))
+    // patch biCompression (strf data offset +16) to non-BI_RGB
+    val strfAt = full.indexOfSlice("strf".getBytes("US-ASCII").toSeq)
+    val comp = full.clone(); comp(strfAt + 8 + 16) = 1
+    assert(AviHeader.parse(comp).isEmpty, "compressed stream must reject")
+    val bpp = full.clone(); bpp(strfAt + 8 + 14) = 8
+    assert(AviHeader.parse(bpp).isEmpty, "non-24bpp must reject")
+  }
+}

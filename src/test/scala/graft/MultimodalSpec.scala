@@ -290,6 +290,91 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("rendered video corpus: container decode matches the formula replica; member relations hold") {
+    import graft.operators.Multimodal.VideoRenderSpec
+    // 5 full groups + spot ids across the frame-count parities (nf 6..8)
+    val ids = (0L until 25L) ++ Seq(1000L, 4999L)
+    val payloads = Multimodal.renderedVideoPayloads(ids.toDF("doc_id"), "doc_id")
+    // per-frame hashes: the real write → RIFF walk → bottom-up BGR decode →
+    // luma → resample pipeline must land on the formula's cell arithmetic
+    val fh = Multimodal.videoFrameHashes(payloads)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    ids.foreach { id =>
+      val nf = VideoRenderSpec.nFrames(id / VideoRenderSpec.GroupSize)
+      assert((0 until nf).forall(f => fh.contains((id, f))) &&
+             !fh.contains((id, nf)), s"doc $id: wrong frame set")
+      (0 until nf).foreach { f =>
+        assert(fh((id, f)) == VideoRenderSpec.expectedFrameDhash(id, f),
+          s"doc $id frame $f: decoded hash diverged from the render formula")
+      }
+    }
+    // majority fingerprint: engine == independent replica, and the
+    // designed member relations
+    val vfp = Multimodal.videoFingerprint(payloads)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(vfp(id) == VideoRenderSpec.expectedVideoFp(id),
+        s"doc $id: fingerprint diverged from the replica")
+    }
+    for (grp <- 0L until 5L) {
+      val base = vfp(grp * 5L)
+      def ham(m: Long) = java.lang.Long.bitCount(base ^ vfp(grp * 5L + m))
+      // +1 brightness on every frame: per-frame hamming 0 composes with
+      // the tie-stable vote to an identical video code
+      assert(ham(3L) == 0, s"grp $grp: brightness shift changed the code")
+      // a single-frame 1-cell edit moves the vote on <= 2 bits
+      assert(ham(1L) <= 2, s"grp $grp: member 1 drifted to ${ham(1L)}")
+      // two frames x two cells: <= 4 threshold-crossing bits
+      assert(ham(2L) <= 4, s"grp $grp: member 2 drifted to ${ham(2L)}")
+      assert(ham(4L) >= 10, s"grp $grp: negative control too close (${ham(4L)})")
+    }
+    // near-dup never fabricates cross-group pairs at the gate radius on
+    // this window, and every group's (0,3) hamming-0 pair is found
+    val pairs = Multimodal.videoNearDup(payloads, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (grp <- 0L until 5L)
+      assert(pairs.get((grp * 5L, grp * 5L + 3L)).contains(0),
+        s"grp $grp: the designed hamming-0 pair is missing")
+    pairs.keys.foreach { case (a, b) =>
+      assert(a / 5L == b / 5L, s"cross-group pair ($a,$b) at radius 3")
+    }
+    // truncation: the doctored corpus loses exactly the last frame of the
+    // id%11==3 rows, and videoMeta reports declared vs present honestly
+    val meta = Multimodal.videoMeta(
+        Multimodal.renderedVideoPayloads(ids.toDF("doc_id"), "doc_id",
+          truncateMod = 11L))
+      .collect().map(m => m.id -> m).toMap
+    ids.foreach { id =>
+      val m = meta(id)
+      val nf = VideoRenderSpec.nFrames(id / VideoRenderSpec.GroupSize)
+      assert(m.n_frames_declared == nf.toLong)
+      assert(m.n_frames_present ==
+        (if (id % 11L == 3L) nf - 1 else nf), s"doc $id clamp")
+      assert(m.width == 36 && m.height == 32 && m.us_per_frame == 33333L)
+    }
+  }
+
+  test("sniffKind: every real encoder's output classified; header-level by design") {
+    import graft.operators.Multimodal.sniffKind
+    val ids = (0L until 21L) // 3 full mod-7 cycles
+    val got = Multimodal.sniff(
+        Multimodal.renderedSniffPayloads(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Seq("png", "jpeg", "wav", "avi", "gzip", "text", "binary")
+    ids.foreach { id =>
+      assert(got(id) == want((id % 7L).toInt), s"doc $id: ${got(id)}")
+    }
+    // hand cases: empty, truncated png still sniffs png (header-level —
+    // the decode stage owns the corrupt-body contract), plain ascii
+    assert(sniffKind(null) == "empty" && sniffKind(Array.emptyByteArray) == "empty")
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/images/img0_rgb.png"))
+    assert(sniffKind(java.util.Arrays.copyOf(png, 26)) == "png")
+    assert(sniffKind("hello".getBytes("UTF-8")) == "text")
+    assert(sniffKind(Array[Byte](0x1f, 0x8b.toByte)) == "gzip")
+    assert(sniffKind(Array[Byte](-1, -2)) == "binary")
+  }
+
   test("audioFingerprint64: amplitude/polarity invariances and the re-encode identity") {
     import graft.operators.Multimodal.{audioFingerprint64, AudioRenderSpec}
     def fp(x: Array[Int]) = audioFingerprint64(x).get

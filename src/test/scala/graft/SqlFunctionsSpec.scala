@@ -95,6 +95,36 @@ class SqlFunctionsSpec extends SparkSpec {
     assertSameRows("quality/codec", sqlRes, apiRes)
   }
 
+  test("unicode normalization via SQL matches the DataFrame API and the UAX #15 cases") {
+    docs
+    // NB Spark SQL's chr() is mod-256 ASCII (not a codepoint constructor
+    // like DuckDB's) — the non-ASCII literals are interpolated in directly
+    val sqlRes = spark.sql(s"""
+      SELECT doc_id,
+             graft_nfc(text || '${"é"}') AS nfc,
+             graft_nfkc(text || '${"ﬁ"}') AS nfkc
+      FROM sqlfn_docs""")
+    val apiRes = docs.select(
+      col("doc_id"),
+      graft.functions.UnicodeFunctions.nfc(
+        concat(col("text"), lit("é"))).as("nfc"),
+      graft.functions.UnicodeFunctions.nfkc(
+        concat(col("text"), lit("ﬁ"))).as("nfkc"))
+    assertSameRows("unicode normalization", sqlRes, apiRes)
+    // the canonical/compatibility cases themselves, against hand-known
+    // UAX #15 results: composition, ligature + fullwidth + superscript
+    // folds, NFC leaving compatibility chars alone
+    val one = spark.sql(s"""
+      SELECT graft_nfc('${"é"}') AS c1,
+             graft_nfc('${"ﬁ"}') AS c2,
+             graft_nfkc('${"ﬁ１²"}') AS k1,
+             graft_nfkc('${"ä"}') AS k2""").head()
+    assert(one.getString(0) == "é")         // e + U+0301 -> é
+    assert(one.getString(1) == "ﬁ")         // NFC keeps the ligature
+    assert(one.getString(2) == "fi12")           // ﬁ, fullwidth 1, ² fold
+    assert(one.getString(3) == "ä")         // NFKC also composes
+  }
+
   test("vector kernels via SQL match the DataFrame API") {
     GraftFunctionRegistry.register(spark)
     val emb = spark.read.parquet(sf("embeddings"))

@@ -18,6 +18,35 @@ class TextFunctionsSpec extends SparkSpec {
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  test("htmlText: scripts/styles dropped with content, tags separate words, entities single-pass") {
+    import graft.functions.MarkupFunctions.htmlText
+    import spark.implicits._
+    val cases = Seq(
+      // block boundaries must separate words
+      ("<p>a</p><p>b</p>", "a b"),
+      // script content (including '<' comparisons and entity strings) is
+      // dropped whole; style likewise
+      ("x<script type=\"t\">if (1 < 2) { emit(\"&amp;\"); }</script>y", "x y"),
+      ("x<style>p { color: red }</style>y", "x y"),
+      ("x<SCRIPT>a</SCRIPT>y", "x y"), // case-insensitive element match
+      // attributes with quoted values strip with the tag
+      ("<body onload=\"go()\"><b>hi</b></body>", "hi"),
+      // entity decode, amp LAST: double-escaped text stays literal
+      ("&lt;tag&gt; &quot;q&quot; &#39;a&#39; x&nbsp;y &amp; z", "<tag> \"q\" 'a' x y & z"),
+      ("&amp;lt;", "&lt;"),
+      // whitespace (tabs, newlines, CRs) collapses and trims
+      ("  a\t\tb\n\nc\r\nd  ", "a b c d"),
+      // multiline content inside a dropped block
+      ("x<script>\nline1\nline2\n</script>y", "x y"),
+      ("", ""),
+      ("plain text, no markup", "plain text, no markup"))
+    val got = cases.map(_._1).toDF("html")
+      .select(htmlText(col("html")).as("t")).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), t) =>
+      assert(t == want, s"htmlText($in) = '$t', wanted '$want'")
+    }
+  }
+
   test("shingleHashes: native expression count matches reference set builder") {
     val got = docs.select(col("doc_id"), col("text"),
         size(TF.shingleHashes(col("text"), 3)).as("n")).collect()
