@@ -3238,6 +3238,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sentence segmentation manifest ([[TextAnalysis.sentenceManifest]]):
+    * regex-boundary sentences with per-sentence char/word counts —
+    * boundary rule chosen for cross-engine replayability (RE2 has no
+    * lookbehind, ICU BreakIterator has no oracle at all; the sentinel
+    * trick + documented non-goals are the contract). */
+  private def textSentences(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has no punctuation — doctor terminators in
+    // (period, doubled bang, question mark after three frequent words) so
+    // every doc is genuinely multi-sentence and the [.!?]+ run rule fires
+    val doctored = t(s, dir, "documents").select(col("doc_id"),
+      replace(replace(replace(col("text"),
+        lit(" agg "), lit(" agg. ")),
+        lit(" table "), lit(" table!! ")),
+        lit(" query "), lit(" query? ")).as("text"))
+    TextAnalysis.sentenceManifest(doctored, "doc_id", "text")
+      .orderBy("doc_id", "sent_idx")
+  }
+
+  /** Per-column ingest-QA profile over lineitem
+    * ([[Relational.profileTable]]): row/null/distinct counts + typed
+    * min/max per column in one aggregate pass (multi-distinct Expand).
+    * Projections normalized per the cross-engine rendering rules (cents
+    * BIGINT, ISO date strings); `rf_sparse` plants deterministic NULLs so
+    * the null accounting has real work. */
+  private def qTableProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.profileTable(t(s, dir, "lineitem"), Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_quantity_cents" -> (col("l_quantity") * 100).cast("long"),
+        "l_shipdate_s" -> date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        "l_returnflag" -> col("l_returnflag"),
+        "rf_sparse" -> when(col("l_linenumber") > 4,
+            lit(null).cast("string")).otherwise(col("l_returnflag"))))
+      .orderBy("column")
+
   /** Markup-to-text extraction ([[graft.functions.MarkupFunctions
     * .htmlText]]): each doc's text wrapped in a deterministic HTML shell
     * (head/title/style, attributes with quoted '>'-free values, a script
@@ -4425,6 +4459,8 @@ object SparkEntry {
     "text_fingerprint"    -> textFingerprint _,
     "text_normalize_unicode" -> textNormalizeUnicode _,
     "text_html_extract"   -> textHtmlExtract _,
+    "text_sentences"      -> textSentences _,
+    "q_table_profile"     -> qTableProfile _,
     "text_rollhash"       -> textRollhash _,
     "text_token_report"   -> textTokenReport _,
     "text_vocabulary"     -> textVocabulary _,
@@ -7312,6 +7348,63 @@ object SparkEntry {
              length(nfc_normalize(raw))::INT AS nfc_len,
              nfc_normalize(raw) AS nfkc_text
       FROM d ORDER BY doc_id""",
+    "text_sentences" -> """
+      WITH d AS (SELECT doc_id,
+             replace(replace(replace(text,
+               ' agg ', ' agg. '), ' table ', ' table!! '),
+               ' query ', ' query? ') AS text
+           FROM documents),
+      s AS (SELECT doc_id,
+             regexp_replace(text, '([.!?]+) +', '\1' || chr(1), 'g') AS m
+           FROM d),
+      l AS (SELECT doc_id,
+              list_filter(list_transform(string_split(m, chr(1)),
+                x -> trim(x)), x -> x <> '') AS ss
+            FROM s),
+      ix AS (SELECT doc_id, ss, unnest(range(0, len(ss))) AS i FROM l)
+      SELECT doc_id, i AS sent_idx, ss[i+1] AS sentence,
+             length(ss[i+1])::INT AS n_chars,
+             len(string_split_regex(ss[i+1], ' +'))::INT AS n_words
+      FROM ix ORDER BY doc_id, sent_idx""",
+    "q_table_profile" -> """
+      WITH base AS MATERIALIZED (SELECT l_orderkey,
+             (l_quantity * 100)::BIGINT AS l_quantity_cents,
+             strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s,
+             l_returnflag,
+             CASE WHEN l_linenumber > 4 THEN NULL
+                  ELSE l_returnflag END AS rf_sparse
+           FROM lineitem)
+      SELECT 'l_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+             count(CASE WHEN l_orderkey IS NULL THEN 1 END)::BIGINT AS n_nulls,
+             count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+             min(l_orderkey)::VARCHAR AS min_str,
+             max(l_orderkey)::VARCHAR AS max_str
+      FROM base
+      UNION ALL
+      SELECT 'l_quantity_cents', count(*)::BIGINT,
+             count(CASE WHEN l_quantity_cents IS NULL THEN 1 END)::BIGINT,
+             count(DISTINCT l_quantity_cents)::BIGINT,
+             min(l_quantity_cents)::VARCHAR, max(l_quantity_cents)::VARCHAR
+      FROM base
+      UNION ALL
+      SELECT 'l_shipdate_s', count(*)::BIGINT,
+             count(CASE WHEN l_shipdate_s IS NULL THEN 1 END)::BIGINT,
+             count(DISTINCT l_shipdate_s)::BIGINT,
+             min(l_shipdate_s), max(l_shipdate_s)
+      FROM base
+      UNION ALL
+      SELECT 'l_returnflag', count(*)::BIGINT,
+             count(CASE WHEN l_returnflag IS NULL THEN 1 END)::BIGINT,
+             count(DISTINCT l_returnflag)::BIGINT,
+             min(l_returnflag), max(l_returnflag)
+      FROM base
+      UNION ALL
+      SELECT 'rf_sparse', count(*)::BIGINT,
+             count(CASE WHEN rf_sparse IS NULL THEN 1 END)::BIGINT,
+             count(DISTINCT rf_sparse)::BIGINT,
+             min(rf_sparse), max(rf_sparse)
+      FROM base
+      ORDER BY "column"""",
     "text_html_extract" -> """
       WITH h AS (SELECT doc_id,
         '<html><head><title>doc </title><style>p{color:red}</style></head><body onload="x()"><h1>' ||

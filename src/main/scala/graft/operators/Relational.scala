@@ -294,4 +294,39 @@ object Relational {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** Per-column ingest-QA profile — the first report a pipeline runs on a
+    * newly-landed table (the relational sibling of `Similarity.embeddingQa`):
+    * one output row per profiled column with row/null/distinct counts and
+    * min/max. Callers pass NORMALIZED projections (money as BIGINT cents,
+    * dates as ISO strings) — min/max compute on the typed value and only
+    * the RESULT is string-rendered, so numeric columns get numeric
+    * extrema (a lexicographic min of stringified numbers would rank "10"
+    * under "9") while the rendering stays cross-engine stable.
+    *
+    * One aggregate pass over the table: the multi-column distinct counts
+    * plan as a single Expand + partial/final aggregate (each input row
+    * fans to #cols+1 slim rows map-side — the standard multi-distinct
+    * shape), never one scan per column; the single-row result unpivots
+    * driver-free via explode. */
+  def profileTable(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "profileTable: no columns given")
+    val base = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    val metrics = cols.flatMap { case (n, _) => Seq(
+      sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nn_$n"),
+      countDistinct(col(n)).as(s"__nd_$n"),
+      min(col(n)).cast("string").as(s"__mn_$n"),
+      max(col(n)).cast("string").as(s"__mx_$n")) }
+    val one = base.agg(count(lit(1L)).as("n_rows"),
+                       metrics: _*)
+    val structs = cols.map { case (n, _) =>
+      struct(lit(n).as("column"), col(s"__nn_$n").as("n_nulls"),
+             col(s"__nd_$n").as("n_distinct"), col(s"__mn_$n").as("min_str"),
+             col(s"__mx_$n").as("max_str")) }
+    one.select(col("n_rows"), explode(array(structs: _*)).as("m"))
+      .select(col("m.column").as("column"), col("n_rows"),
+              col("m.n_nulls").as("n_nulls"),
+              col("m.n_distinct").as("n_distinct"),
+              col("m.min_str").as("min_str"), col("m.max_str").as("max_str"))
+  }
 }

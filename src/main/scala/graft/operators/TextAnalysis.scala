@@ -1099,6 +1099,36 @@ object TextAnalysis {
     * start-filter lambda), the generate multiplies rows by ~n/stride, and
     * nothing shuffles; at 100 TB this is a scan-bound map stage whose scan
     * prunes to (id, text). */
+  /** Sentence segmentation manifest — the boundary layer under
+    * sentence-aligned chunking, per-sentence quality filters, and
+    * citation/contamination spot checks: one row per sentence with its
+    * index, text, and char/word counts. The boundary rule is a REGEX
+    * (a run of terminal punctuation `[.!?]+` followed by spaces ends a
+    * sentence), deliberately not a locale BreakIterator (Spark's
+    * `sentences()` builtin): the regex is a pure function of the text
+    * that the DuckDB oracle replays exactly, while ICU segmentation is
+    * JVM-version-bound and unreplicable cross-engine. Implementation
+    * splits on an injected sentinel because RE2 — the oracle's regex
+    * engine — has no lookbehind; abbreviation handling ("Dr. X") is a
+    * documented non-goal of the regex rule (both engines agree on what
+    * it does, which is what a gate can pin).
+    *
+    * Entirely narrow: one regexp pass + one explode per row, no shuffle;
+    * empty/whitespace-only segments are dropped, `sent_idx` numbers the
+    * KEPT sentences. */
+  def sentenceManifest(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val marked = regexp_replace(coalesce(col(textCol), lit("")),
+      "([.!?]+) +", "$1\u0001")
+    df.select(col(idCol),
+        posexplode(filter(transform(split(marked, "\u0001"), s => trim(s)),
+                          s => s =!= "")))
+      .select(col(idCol),
+        col("pos").cast("long").as("sent_idx"),
+        col("col").as("sentence"),
+        length(col("col")).as("n_chars"),
+        size(split(col("col"), " +")).as("n_words"))
+  }
+
   def chunkManifest(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")

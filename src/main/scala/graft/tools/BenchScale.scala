@@ -95,7 +95,9 @@ object BenchScale {
     // format sniffing and the unicode/markup text transforms are pure
     // narrow scans (one classification / normalization / regex chain per
     // row, nothing shuffles)
-    "mm_sniff", "text_normalize_unicode", "text_html_extract")
+    "mm_sniff", "text_normalize_unicode", "text_html_extract",
+    // sentence manifest: one regexp pass + a per-row explode, no shuffle
+    "text_sentences")
 
   // behavioral-analytics gate queries that read ONLY the events table;
   // the synthesized corpus multiplies the USER population (not per-user

@@ -448,6 +448,13 @@ object Smoke {
       // ingest router over the all-formats mixed corpus
       Multimodal.sniff(Multimodal.renderedSniffPayloads(
         (0L until 14L).toDF("doc_id"), "doc_id")).show(14)
+      // sentence manifest + ingest-QA profile
+      graft.operators.TextAnalysis.sentenceManifest(
+        docs.limit(3).select(col("doc_id"),
+          concat(col("text"), lit(". tail! end")).as("text")),
+        "doc_id", "text").show(5, truncate = 40)
+      graft.operators.Relational.profileTable(docs.limit(100), Seq(
+        "doc_id" -> col("doc_id"), "lang" -> col("lang"))).show()
       // unicode canonicalization + markup extraction over doctored docs
       graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
       docs.limit(3).select(

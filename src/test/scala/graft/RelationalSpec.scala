@@ -5,6 +5,35 @@ import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
+  test("profileTable: nulls/distincts/typed extrema per column, one aggregate pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some(10L), "b"),
+      (2L, Some(2L), "a"),
+      (3L, None, "a"),
+      (4L, Some(10L), "c")).toDF("id", "v", "s")
+    val got = graft.operators.Relational.profileTable(df, Seq(
+        "id" -> col("id"), "v" -> col("v"), "s" -> col("s")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // typed extrema: numeric min of v is "2", not the lexicographic "10"
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("v") == ((4L, 1L, 2L, "2", "10")))
+    assert(got("s") == ((4L, 0L, 3L, "a", "c")))
+    // one aggregate pass: a single Expand feeds the multi-distinct plan,
+    // and the source scans once
+    val plan = graft.operators.Relational.profileTable(df, Seq(
+        "id" -> col("id"), "v" -> col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected multi-distinct Expand:\n$plan")
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2,
+      s"profile should scan the table once:\n$plan")
+    intercept[IllegalArgumentException] {
+      graft.operators.Relational.profileTable(df, Seq.empty)
+    }
+  }
+
   test("asofJoin: latest at-or-before state; equal ts included; no prior state = null") {
     val changelog = spark.createDataFrame(Seq(
       (1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x")))

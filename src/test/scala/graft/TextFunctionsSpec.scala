@@ -47,6 +47,36 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sentenceManifest: hand-traced boundaries, punct runs, empty-segment drop, counts") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "First one. Second two!! Third three? tail"),
+      (2L, "no terminators at all"),
+      (3L, "Trailing period."),          // no trailing space: one sentence
+      (4L, "Multi  spaces. ok"),
+      (5L, ""),                           // empty doc: zero rows
+      (6L, "a. . b")                      // middle "." segment survives trim
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .sentenceManifest(rows, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    val want = Map(
+      (1L, 0L) -> ("First one.", 10, 2),
+      (1L, 1L) -> ("Second two!!", 12, 2),
+      (1L, 2L) -> ("Third three?", 12, 2),
+      (1L, 3L) -> ("tail", 4, 1),
+      (2L, 0L) -> ("no terminators at all", 21, 4),
+      (3L, 0L) -> ("Trailing period.", 16, 2),
+      (4L, 0L) -> ("Multi  spaces.", 14, 2),
+      (4L, 1L) -> ("ok", 2, 1),
+      (6L, 0L) -> ("a.", 2, 1),
+      (6L, 1L) -> (".", 1, 1),
+      (6L, 2L) -> ("b", 1, 1))
+    assert(got == want, s"got $got")
+  }
+
   test("shingleHashes: native expression count matches reference set builder") {
     val got = docs.select(col("doc_id"), col("text"),
         size(TF.shingleHashes(col("text"), 3)).as("n")).collect()
