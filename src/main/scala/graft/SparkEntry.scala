@@ -1198,6 +1198,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Tolerance as-of: the most recent purchase at or before each event,
+    * but only when fresher than 1 hour (pandas merge_asof(tolerance=)
+    * semantics — stale state is no state for feature joins). Same single
+    * key shuffle as `q_asof_join`; the tolerance is a row-local
+    * projection over the carried match timestamp
+    * ([[graft.operators.Relational.asofJoinTolerance]]). */
+  private def qAsofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val probe = ev.select("event_id", "user_id", "ts_ms")
+    val changelog = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms")
+      .agg(max(cents(col("value"))).as("last_purchase_value_c"))
+    graft.operators.Relational.asofJoinTolerance(probe, changelog,
+        "user_id", "ts_ms", Seq("last_purchase_value_c"),
+        tolerance = 3600L * 1000L)
+      .orderBy("event_id")
+  }
+
   /** Nearest as-of: the closest purchase in EITHER direction (ties →
     * backward, the standard preference) — composed from the backward and
     * forward single-shuffle as-of passes with the matched timestamps
@@ -4385,6 +4403,7 @@ object SparkEntry {
     "q_asof_join"         -> qAsofJoin _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _,
     "q_asof_join_nearest" -> qAsofJoinNearest _,
+    "q_asof_join_tolerance" -> qAsofJoinTolerance _,
     "q_range_join"        -> qRangeJoin _,
     "q_bucketed_join"     -> qBucketedJoin _,
     "q_rollup"            -> qRollup _,
@@ -6593,6 +6612,21 @@ object SparkEntry {
                   ELSE least(b.ts_ms - ts_b, ts_f - b.ts_ms) END AS dist_ms
       FROM b JOIN f USING (event_id)
       ORDER BY event_id""",
+    "q_asof_join_tolerance" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+      c AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+                   max((value::DECIMAL(18,2) * 100)::BIGINT) AS pv
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      b AS (SELECT p.event_id, p.user_id, p.ts_ms,
+                   c.pv, c.ts_ms AS mts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms)
+      SELECT event_id, user_id, ts_ms,
+             CASE WHEN mts IS NOT NULL AND ts_ms - mts <= 3600000
+                  THEN pv END AS last_purchase_value_c,
+             CASE WHEN mts IS NOT NULL AND ts_ms - mts <= 3600000
+                  THEN mts END AS match_ts
+      FROM b ORDER BY event_id""",
     "q_range_join" -> """
       WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
       iv AS (SELECT event_id AS iv_id, user_id, epoch_ms(ts) AS start_ms,

@@ -103,6 +103,34 @@ object Relational {
               valueCols.map(v => col("__vf").getField(v).as(v)): _*)
   }
 
+  /** As-of join with a match-gap TOLERANCE (pandas `merge_asof(tolerance=)`
+    * semantics): the nearest prior (or following) state counts only when
+    * it is within `tolerance` time units of the probe — stale state is as
+    * good as no state for feature joins ("the sensor reading at or before
+    * the event, but only if fresher than 5 min"). Composed over the
+    * single-shuffle [[asofJoin]] carry: the changelog timestamp rides
+    * along as a carried value, and the tolerance check is a row-local
+    * projection afterwards — same one shuffle, same per-key one-row
+    * state; out-of-tolerance probes keep NULL values (left semantics).
+    * Output = probe columns + `valueCols` + `match_ts` (the matched
+    * changelog timestamp, NULL when no match or out of tolerance). */
+  def asofJoinTolerance(probe: DataFrame, changelog: DataFrame,
+                        keyCol: String, tsCol: String, valueCols: Seq[String],
+                        tolerance: Long, saltBuckets: Int = 1,
+                        direction: String = "backward"): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val mts = "__match_ts"
+    val joined = asofJoin(probe, changelog.withColumn(mts, col(tsCol)),
+      keyCol, tsCol, valueCols :+ mts, saltBuckets, direction)
+    val gap = if (direction == "backward") col(tsCol) - col(mts)
+              else col(mts) - col(tsCol)
+    val inTol = col(mts).isNotNull && gap <= tolerance
+    joined.select(
+      probe.columns.toSeq.map(col) ++
+      valueCols.map(v => when(inTol, col(v)).otherwise(lit(null)).as(v)) :+
+      when(inTol, col(mts)).otherwise(lit(null)).as("match_ts"): _*)
+  }
+
   /** Range (interval) join: probe rows matched to every interval
     * `[startCol, endCol)` of the same key that contains `ts`. Spark plans a
     * raw non-equi condition as a broadcast-nested-loop or per-key cross

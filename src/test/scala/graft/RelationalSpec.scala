@@ -34,6 +34,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinTolerance: fresh matches kept, stale matches nulled, forward mirror, salted identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val probe = Seq(("u1", 100L, "a"), ("u1", 250L, "b"), ("u2", 50L, "c"),
+                    ("u1", 105L, "d")).toDF("k", "ts", "tag")
+    val cl = Seq(("u1", 90L, 1L), ("u1", 200L, 2L)).toDF("k", "ts", "v")
+    val got = graft.operators.Relational
+      .asofJoinTolerance(probe, cl, "k", "ts", Seq("v"), tolerance = 20L)
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got("a") == ((Some(1L), Some(90L))))   // gap 10 <= 20
+    assert(got("d") == ((Some(1L), Some(90L))))   // gap 15 <= 20
+    assert(got("b") == ((None, None)))            // nearest prior 200, gap 50: stale
+    assert(got("c") == ((None, None)))            // no prior state at all
+    // forward: the NEXT state within tolerance
+    val fwd = graft.operators.Relational
+      .asofJoinTolerance(probe, cl, "k", "ts", Seq("v"), tolerance = 100L,
+        direction = "forward")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(fwd("a") == Some(2L))  // next at 200, gap 100 <= 100 (inclusive)
+    assert(fwd("b") == None)      // nothing at or after 250
+    // salting must not change the output
+    val salted = graft.operators.Relational
+      .asofJoinTolerance(probe, cl, "k", "ts", Seq("v"), tolerance = 20L,
+        saltBuckets = 4)
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(salted == got)
+    intercept[IllegalArgumentException] {
+      graft.operators.Relational
+        .asofJoinTolerance(probe, cl, "k", "ts", Seq("v"), tolerance = -1L)
+    }
+  }
+
   test("asofJoin: latest at-or-before state; equal ts included; no prior state = null") {
     val changelog = spark.createDataFrame(Seq(
       (1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x")))
