@@ -332,21 +332,28 @@ object Relational {
     * extrema (a lexicographic min of stringified numbers would rank "10"
     * under "9") while the rendering stays cross-engine stable.
     *
-    * One aggregate pass over the table: the multi-column distinct counts
-    * plan as a single Expand + partial/final aggregate (each input row
-    * fans to #cols+1 slim rows map-side — the standard multi-distinct
-    * shape), never one scan per column; the single-row result unpivots
-    * driver-free via explode. */
+    * TWO aggregate passes, deliberately: the scalar metrics (count/nulls/
+    * extrema — a plain codegen'd hash aggregate) and the multi-column
+    * distinct counts (one Expand + partial/final aggregate, each row
+    * fanning to #cols slim rows map-side) run as SEPARATE single-row
+    * aggregates cross-joined at the end. Mixing them into one `agg` makes
+    * Spark thread every scalar aggregate through the distinct rewrite's
+    * Expand — measured 10.8 s vs 0.98 + 1.89 s split at sf0.1 — so the
+    * split IS the fast plan, not a compromise. Both results are one row;
+    * the crossJoin is a broadcast of a scalar. Unpivot via explode — no
+    * driver loop. */
   def profileTable(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "profileTable: no columns given")
     val base = df.select(cols.map { case (n, c) => c.as(n) }: _*)
-    val metrics = cols.flatMap { case (n, _) => Seq(
+    val scalarMetrics = cols.flatMap { case (n, _) => Seq(
       sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nn_$n"),
-      countDistinct(col(n)).as(s"__nd_$n"),
       min(col(n)).cast("string").as(s"__mn_$n"),
       max(col(n)).cast("string").as(s"__mx_$n")) }
-    val one = base.agg(count(lit(1L)).as("n_rows"),
-                       metrics: _*)
+    val distinctMetrics = cols.map { case (n, _) =>
+      countDistinct(col(n)).as(s"__nd_$n") }
+    val scalars = base.agg(count(lit(1L)).as("n_rows"), scalarMetrics: _*)
+    val distincts = base.agg(distinctMetrics.head, distinctMetrics.tail: _*)
+    val one = scalars.crossJoin(broadcast(distincts))
     val structs = cols.map { case (n, _) =>
       struct(lit(n).as("column"), col(s"__nn_$n").as("n_nulls"),
              col(s"__nd_$n").as("n_distinct"), col(s"__mn_$n").as("min_str"),

@@ -20,6 +20,32 @@ class PlanSpec extends SparkSpec {
     assert(scanRe.findFirstIn(p).isDefined, "scan reads more than the 5 needed columns")
   }
 
+  test("text transforms: html/unicode/sentence chains stay scan-bound — pruned scan, no exchange") {
+    // these are the "first pass over the crawl" operators: at 100 TB they
+    // must be pure narrow scans (the whole regex/normalize chain inside
+    // the scan's projection), with no shuffle anywhere before the
+    // gate-ordering sort
+    Seq("text_html_extract", "text_normalize_unicode", "text_sentences")
+      .foreach { q =>
+        val p = plan(q)
+        // the only exchange allowed is the single rangepartitioning the
+        // gate's output ORDER BY plans — no hash shuffle anywhere
+        val exchanges = "Exchange \\w+partitioning".r.findAllIn(p).toList
+        assert(exchanges.size <= 1 &&
+               exchanges.forall(_.contains("rangepartitioning")),
+          s"$q shuffles beyond the gate sort ($exchanges):\n$p")
+        assert(p.contains("FileScan parquet"), s"$q lost its parquet scan")
+        // column pruning: none of these transforms touch source/n_chars
+        assert(!"""FileScan parquet \[[^\]]*(source|n_chars)""".r
+          .findFirstIn(p).isDefined,
+          s"$q scan reads columns the transform never touches:\n$p")
+      }
+    // the profiler's multi-distinct: one Expand, partial aggregation
+    val prof = plan("q_table_profile")
+    assert(prof.contains("Expand"), "q_table_profile lost the multi-distinct Expand")
+    assert(prof.contains("partial"), "q_table_profile lost map-side combine")
+  }
+
   test("q3/q5: dimension joins broadcast; no sort-merge join at this shape") {
     Seq("q3_topk", "q5_join").foreach { q =>
       val p = plan(q)
