@@ -773,6 +773,27 @@ object OracleXX {
                            keepAllCandidates: Boolean = false): String =
     hammingJoinOver(videoFpCtes, maxHamming, keepAllCandidates)
 
+  /** Replica of `Multimodal.videoSharedFrames`: formula frame hashes →
+    * distinct postings → doc-frequency prune → exact-equality pair join
+    * with shared counts and integer-ppm containment. */
+  def videoSharedFramesOracle(minShared: Int, maxFrameFreq: Long): String = s"""
+      WITH $videoFrameDhashCtes,
+      dfh AS (SELECT DISTINCT doc_id, fhash FROM fh),
+      cnts AS (SELECT doc_id, count(*)::BIGINT AS n FROM dfh GROUP BY doc_id),
+      post AS (SELECT doc_id, fhash FROM (
+            SELECT doc_id, fhash, count(*) OVER (PARTITION BY fhash) AS dfq
+            FROM dfh) WHERE dfq <= $maxFrameFreq),
+      prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS shared_frames
+              FROM post a JOIN post b
+                ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= $minShared)
+      SELECT id_a, id_b, shared_frames, ca.n AS n_a, cb.n AS n_b,
+             shared_frames * 1000000 // least(ca.n, cb.n) AS containment_ppm
+      FROM prs JOIN cnts ca ON ca.doc_id = id_a
+               JOIN cnts cb ON cb.doc_id = id_b
+      ORDER BY id_a, id_b"""
+
   /** Replica of `Multimodal.videoMeta` over the rendered corpus with
     * `truncateMod`-doctored rows: the frame-count draw replayed from the
     * mix64 stream; a truncated id (cut mid-way into its LAST frame chunk)

@@ -3810,6 +3810,18 @@ object SparkEntry {
         Multimodal.renderedSniffPayloads(t(s, dir, "documents"), "doc_id"))
       .orderBy("id")
 
+  /** Clip/scene-reuse report ([[Multimodal.videoSharedFrames]]): video
+    * pairs sharing exact per-frame dHashes, frame-position independent —
+    * each 5-doc render group pairs members 0–3 richly (the +1-brightness
+    * twin shares EVERY frame hash; single/two-frame edits share all but
+    * the edited ones) while the independent member 4 pairs with nothing.
+    * The inverted-index join shape of `dedup_ngram`, over frames. */
+  private def mmVideoSharedFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoSharedFrames(
+        Multimodal.renderedVideoPayloads(t(s, dir, "documents"), "doc_id"),
+        minShared = 2)
+      .orderBy("id_a", "id_b")
+
   private def mmPhashDecodeFaults(s: SparkSession, dir: String): DataFrame =
     // kind re-derived from the id arithmetic rather than joined back from
     // the render stage — the payloads render+decode exactly once
@@ -4684,6 +4696,7 @@ object SparkEntry {
     "mm_video_frame_hashes" -> mmVideoFrameHashes _,
     "mm_video_fingerprint" -> mmVideoFingerprint _,
     "mm_video_neardup"    -> mmVideoNearDup _,
+    "mm_video_shared_frames" -> mmVideoSharedFrames _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -9239,6 +9252,8 @@ object SparkEntry {
     "mm_video_frame_hashes" -> OracleXX.videoFrameDhashOracle,
     "mm_video_fingerprint" -> OracleXX.videoFpOracle,
     "mm_video_neardup" -> OracleXX.videoFpNearDupOracle(maxHamming = 3),
+    "mm_video_shared_frames" ->
+      OracleXX.videoSharedFramesOracle(minShared = 2, maxFrameFreq = 4096L),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB

@@ -89,6 +89,14 @@ object GraftFunctionRegistry {
     d("graft_nfc", classOf[NfcNormalize]) { (n, a) =>
       arity(n, a, 1); NfcNormalize(nn(a.head, StringType))
     },
+    // a COMPOSED builtin tree, not a single expression: the SQL surface
+    // gets the markup extractor by expanding the same catalyst chain the
+    // Column API wraps (MarkupFunctions.htmlTextExpr is the single
+    // source of truth)
+    d("graft_html_text", classOf[MarkupFunctions.type]) { (n, a) =>
+      arity(n, a, 1)
+      MarkupFunctions.htmlTextExpr(nn(a.head, StringType))
+    },
     d("graft_nfkc", classOf[NfkcNormalize]) { (n, a) =>
       arity(n, a, 1); NfkcNormalize(nn(a.head, StringType))
     },

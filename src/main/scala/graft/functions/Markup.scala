@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, RegExpReplace, StringReplace, StringTrim}
 
 /** Markup-to-text extraction — the step between a raw HTML crawl and
   * every text operator in the pipeline (CCNet/RefinedWeb run exactly this
@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * the whole extraction inlines into the scan's whole-stage codegen, and
   * the identical regex/replacement chain is replayable in the DuckDB
   * oracle — a tag-soup DOM parser would be neither.
+  *
+  * Built as a catalyst Expression tree (not `functions._` Columns) so ONE
+  * definition serves both surfaces: the Column API wraps it via the
+  * bridge, and the `graft_html_text` SQL builder embeds it directly — a
+  * Column-node tree returned from a FunctionBuilder is Unevaluable
+  * (ColumnNodeExpression never resolves on that path; measured, not
+  * theorized).
   *
   * Policy (the boilerplate-stripping subset that is deterministic and
   * cross-engine stable):
@@ -38,14 +45,21 @@ object MarkupFunctions {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** The extraction chain as a catalyst tree over `child` — shared by the
+    * Column API and the `graft_html_text` SQL registration. */
+  private[graft] def htmlTextExpr(child: Expression): Expression = {
+    val noBlocks = RegExpReplace(child,
+      Literal("(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>"), Literal(" "))
+    val noTags = RegExpReplace(noBlocks, Literal("(?s)<[^>]*>"), Literal(" "))
+    val decoded = Entities.foldLeft(noTags: Expression) { case (acc, (k, v)) =>
+      StringReplace(acc, Literal(k), Literal(v))
+    }
+    StringTrim(RegExpReplace(decoded, Literal("[ \\t\\n\\r]+"), Literal(" ")))
+  }
+
   /** Visible text of an HTML STRING column, per the policy above. */
   def htmlText(c: Column): Column = {
-    val noBlocks = regexp_replace(c,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
-    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
-    val decoded = Entities.foldLeft(noTags) { case (acc, (k, v)) =>
-      replace(acc, lit(k), lit(v))
-    }
-    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(htmlTextExpr(expression(c)))
   }
 }

@@ -915,6 +915,51 @@ object Multimodal {
       }.toDF("id", "vfp")
   }
 
+  /** Shared-frame (clip/scene reuse) detection — the video analog of the
+    * winnow-overlap report: pairs of videos sharing at least `minShared`
+    * EXACT per-frame dHashes, frame-position independent (a re-cut that
+    * reorders or trims scenes still pairs), with per-pair shared counts
+    * and containment (`shared / min(nA, nB)` as integer ppm — exact,
+    * cross-engine). Where [[videoNearDup]] asks "is the WHOLE video a
+    * near-duplicate", this asks "do these videos REUSE material".
+    *
+    * Scale shape = the inverted-index join family (`ngramJaccardPairs`):
+    * payloads decode once to slim `(id, fhash)` postings in the scan
+    * stage, a doc-frequency window prunes pathological frames (test
+    * cards, black frames — the stopword-shingle analog, `maxFrameFreq`),
+    * the equi-join is bounded by shared-frame pairs (never n²), and the
+    * frame-count table re-joins onto the small pair set. */
+  def videoSharedFrames(df: DataFrame, minShared: Int = 2,
+                        maxFrameFreq: Long = 4096L): DataFrame = {
+    import graft.util.CacheSalt.SaltedPersistOps
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fh = videoFrameHashes(df).select(col("id"), col("fhash"))
+      .distinct()
+      .saltedPersist() // reused by the posting join (twice) and the counts
+    val counts = fh.groupBy("id").agg(count(lit(1)).as("n"))
+    val posting = fh
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fhash"))))
+      .where(col("__df") <= maxFrameFreq).drop("__df")
+    val pairs = posting.as("a").join(posting.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+    val out = pairs
+      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_frames"),
+        col("n_a"), col("n_b"),
+        // integer DIV: Spark's `/` on longs is a double divide; ppm must
+        // stay exact-integer for the cross-engine hash
+        expr("shared_frames * 1000000L DIV least(n_a, n_b)")
+          .as("containment_ppm"))
+    val m = graft.util.Materialize.track(out.localCheckpoint(true))
+    fh.unpersist()
+    m
+  }
+
   /** Video near-duplicates: majority fingerprints through the same
     * pigeonhole hamming join as the image/audio paths — one container
     * parse + frame decode per payload in the scan stage, only 8-byte

@@ -362,13 +362,20 @@ object BenchScale100 {
     "text_length_sketch",        // bottom-k quantile sketch, one scan
     "text_length_sketch_rollup", // + slim per-(lang, source) sketch shuffle
     "mm_phash",                  // 500k REAL ImageIO encode+decode roundtrips
-    "mm_audio_fingerprint")      // 500k javax.sound encodes + PCM decodes
+    "mm_audio_fingerprint",      // 500k javax.sound encodes + PCM decodes
                                  // (the 10x record flagged this one: the
                                  // per-call provider-registry lock in
                                  // AudioSystem.write serialized all
                                  // threads; fixed by the once-per-
                                  // partition SPI hoist — this 100x point
                                  // is the proof the fix holds two orders up)
+    "mm_video_fingerprint",      // 500k real AVI container writes + walks
+                                 // + ~3.5M DIB frame decodes + majority
+                                 // votes — the third modality's genuine-
+                                 // decode claim, two orders up
+    "mm_sniff")                  // 500k mixed-format classifications: every
+                                 // parser accepts its own class / rejects
+                                 // the rest at the full corpus scale
   val EventQueries = Seq(
     "events_dau_hll",            // per-day HLL registers over 10M events
     "stream_hourly_hll")         // the same, LIVE through watermarked append mode

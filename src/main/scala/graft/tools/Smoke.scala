@@ -445,6 +445,9 @@ object Smoke {
       Multimodal.videoFrameHashes(vids).show(5)
       Multimodal.videoFingerprint(vids).show(5)
       Multimodal.videoNearDup(vids, maxHamming = 3).show(5)
+      Multimodal.videoSharedFrames(
+        Multimodal.renderedVideoPayloads((0L until 10L).toDF("doc_id"),
+          "doc_id"), minShared = 2).show(5)
       // ingest router over the all-formats mixed corpus
       Multimodal.sniff(Multimodal.renderedSniffPayloads(
         (0L until 14L).toDF("doc_id"), "doc_id")).show(14)

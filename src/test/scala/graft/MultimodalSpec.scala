@@ -354,6 +354,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoSharedFrames: reuse pairs by exact frame hash, containment arithmetic, df prune") {
+    import graft.operators.Multimodal.VideoRenderSpec
+    val ids = (0L until 15L) // 3 render groups
+    val payloads = Multimodal.renderedVideoPayloads(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.videoSharedFrames(payloads, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (grp <- 0L until 3L) {
+      val nf = VideoRenderSpec.nFrames(grp).toLong
+      val base = grp * 5L
+      // the +1-brightness twin (member 3) shares EVERY frame hash
+      val (s03, na, nb, ppm) = got((base, base + 3L))
+      assert(s03 == nf && na == nf && nb == nf && ppm == 1000000L,
+        s"grp $grp: brightness twin should share all $nf frames, got $s03/$ppm")
+      // the single-frame edit (member 1) shares at least nf - 1
+      assert(got((base, base + 1L))._1 >= nf - 1, s"grp $grp member 1")
+    }
+    // no cross-group pairs (hashes are mix64-driven, disjoint by key
+    // space) and the independent member 4 pairs with nothing
+    got.keys.foreach { case (a, b) =>
+      assert(a / 5L == b / 5L, s"cross-group reuse pair ($a,$b)")
+      assert(a % 5L != 4L && b % 5L != 4L, s"negative control paired ($a,$b)")
+    }
+    // df prune: with maxFrameFreq 1 every posting is pruned -> no pairs
+    assert(Multimodal.videoSharedFrames(payloads, minShared = 1,
+      maxFrameFreq = 1L).count() == 0L)
+  }
+
   test("sniffKind: every real encoder's output classified; header-level by design") {
     import graft.operators.Multimodal.sniffKind
     val ids = (0L until 21L) // 3 full mod-7 cycles

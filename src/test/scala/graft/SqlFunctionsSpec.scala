@@ -111,6 +111,16 @@ class SqlFunctionsSpec extends SparkSpec {
       graft.functions.UnicodeFunctions.nfkc(
         concat(col("text"), lit("ﬁ"))).as("nfkc"))
     assertSameRows("unicode normalization", sqlRes, apiRes)
+    // the composed-builtin registration: graft_html_text must expand to
+    // the exact chain the Column API builds
+    val htmlSql = spark.sql("""
+      SELECT doc_id, graft_html_text('<p>' || text || '</p><script>x("&amp;")</script>') AS t
+      FROM sqlfn_docs""")
+    val htmlApi = docs.select(col("doc_id"),
+      graft.functions.MarkupFunctions.htmlText(
+        concat(lit("<p>"), col("text"),
+               lit("</p><script>x(\"&amp;\")</script>"))).as("t"))
+    assertSameRows("graft_html_text", htmlSql, htmlApi)
     // the canonical/compatibility cases themselves, against hand-known
     // UAX #15 results: composition, ligature + fullwidth + superscript
     // folds, NFC leaving compatibility chars alone
