@@ -95,6 +95,10 @@ object BenchScale {
     // format sniffing and the unicode/markup text transforms are pure
     // narrow scans (one classification / normalization / regex chain per
     // row, nothing shuffles)
+    // clip-reuse: exact 64-bit frame-hash postings (no fragment-collision
+    // regime — unlike the 16-bit pigeonhole near-dup stages), inverted-
+    // index bound, df-pruned
+    "mm_video_shared_frames",
     "mm_sniff", "text_normalize_unicode", "text_html_extract",
     // sentence manifest: one regexp pass + a per-row explode, no shuffle
     "text_sentences")
