@@ -955,9 +955,14 @@ object Multimodal {
         // stay exact-integer for the cross-engine hash
         expr("shared_frames * 1000000L DIV least(n_a, n_b)")
           .as("containment_ppm"))
-    val m = graft.util.Materialize.track(out.localCheckpoint(true))
-    fh.unpersist()
-    m
+    // honors the shared materialize switch (plan inspection sets "none")
+    df.sparkSession.conf.get("spark.graft.dedup.materialize", "local") match {
+      case "none" => out
+      case _ =>
+        val m = graft.util.Materialize.track(out.localCheckpoint(true))
+        fh.unpersist()
+        m
+    }
   }
 
   /** Video near-duplicates: majority fingerprints through the same

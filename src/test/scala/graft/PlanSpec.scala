@@ -191,6 +191,22 @@ class PlanSpec extends SparkSpec {
       s"positives anti-join is not a broadcast join:\n$p")
   }
 
+  test("mm_video_shared_frames: posting join shuffles slim frame hashes, never payloads") {
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val p = plan("mm_video_shared_frames")
+      // payload bytes are consumed inside the scan-stage decode; every
+      // exchange below must carry only (id, fhash)-shaped rows
+      assert(!p.linesIterator.exists(l =>
+          l.contains("Exchange") && l.contains("payload")),
+        s"video payloads crossed a shuffle:\n$p")
+      assert(p.contains("Window"), s"df-prune window missing:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"pair join degenerated to a product:\n$p")
+    } finally spark.conf.unset("spark.graft.dedup.materialize")
+  }
+
   test("split leakage: pair table broadcasts onto the split projection") {
     val p = plan("dedup_split_leakage")
     // both endpoint attachments join the (small) near-dup pair table to the
