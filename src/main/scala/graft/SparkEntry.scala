@@ -3283,7 +3283,10 @@ object SparkEntry {
   private def qTableProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Relational.profileTable(t(s, dir, "lineitem"), Seq(
         "l_orderkey" -> col("l_orderkey"),
-        "l_quantity_cents" -> (col("l_quantity") * 100).cast("long"),
+        // cents(): the established decimal route — a raw double*100→long
+        // cast truncates where the oracle's ::BIGINT rounds, a latent
+        // mismatch if l_quantity were ever non-integral
+        "l_quantity_cents" -> cents(col("l_quantity")),
         "l_shipdate_s" -> date_format(col("l_shipdate"), "yyyy-MM-dd"),
         "l_returnflag" -> col("l_returnflag"),
         "rf_sparse" -> when(col("l_linenumber") > 4,
@@ -7415,7 +7418,7 @@ object SparkEntry {
       FROM ix ORDER BY doc_id, sent_idx""",
     "q_table_profile" -> """
       WITH base AS MATERIALIZED (SELECT l_orderkey,
-             (l_quantity * 100)::BIGINT AS l_quantity_cents,
+             (l_quantity::DECIMAL(18,2) * 100)::BIGINT AS l_quantity_cents,
              strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s,
              l_returnflag,
              CASE WHEN l_linenumber > 4 THEN NULL
@@ -7460,7 +7463,7 @@ object SparkEntry {
         '</p><script type="text/javascript">if (1 < 2) { emit("&amp;"); }</script></body></html>' AS html
         FROM documents),
       s1 AS (SELECT doc_id, regexp_replace(html,
-               '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS x FROM h),
+               '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r]*>', ' ', 'g') AS x FROM h),
       s2 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', ' ', 'g') AS x FROM s1),
       s3 AS (SELECT doc_id,
                replace(replace(replace(replace(replace(replace(x,

@@ -29,6 +29,9 @@ package graft.functions
   * / BITMAPINFOHEADER layouts). */
 object AviHeader {
 
+  /** Dimension cap enforced by [[parse]] — see the totality note there. */
+  val MaxDim: Int = 1 << 20
+
   /** One fully-present frame chunk: absolute payload offset + size. */
   final case class FrameRef(offset: Int, size: Int)
 
@@ -115,8 +118,16 @@ object AviHeader {
       }
     }
 
+    // dimension cap (totality, not policy): a crafted avih with dwWidth
+    // ~715M is a positive Int that passes width > 0, but width * 3 then
+    // overflows stride negative — the frameGray guard would compare
+    // against a negative product and admit out-of-bounds pixel math. Any
+    // dim past 2^20 (far beyond real video) parses to None, which keeps
+    // stride, stride.toLong * height, and every downstream Int pixel
+    // index (cx * w in dhashFromGray) overflow-free.
     if (usPerFrame < 0 || declaredFrames < 0 || !haveMovi ||
-        width <= 0 || height <= 0 || bitCount != 24) None
+        width <= 0 || height <= 0 || width > MaxDim || height > MaxDim ||
+        bitCount != 24) None
     else Some(AviInfo(usPerFrame, declaredFrames, width, height, bitCount,
                       frames.result()))
   }
@@ -129,8 +140,16 @@ object AviHeader {
   def frameGray(bytes: Array[Byte], info: AviInfo, idx: Int): Option[(Int, Int) => Int] = {
     if (idx < 0 || idx >= info.frames.length) return None
     val f = info.frames(idx)
-    val stride = info.stride
-    if (f.size < stride * info.height) return None
+    // Long arithmetic throughout the guard: parse's MaxDim cap already
+    // bounds dims, but the guard must hold on its own terms even for a
+    // hand-built AviInfo — an Int stride wraps negative at dwWidth ~715M
+    // and a negative product would wave through a too-small frame, putting
+    // the accessor's Int pixel math out of bounds
+    val strideL = (info.width.toLong * 3 + 3) / 4 * 4
+    if (f.size.toLong < strideL * info.height) return None
+    // strideL * height <= f.size <= Int.MaxValue, so the Int narrowing
+    // and every per-pixel index below are exact
+    val stride = strideL.toInt
     Some { (x, y) =>
       val base = f.offset + (info.height - 1 - y) * stride + x * 3
       val b = bytes(base) & 0xFF

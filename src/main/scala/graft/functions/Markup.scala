@@ -48,8 +48,11 @@ object MarkupFunctions {
   /** The extraction chain as a catalyst tree over `child` — shared by the
     * Column API and the `graft_html_text` SQL registration. */
   private[graft] def htmlTextExpr(child: Expression): Expression = {
+    // explicit whitespace class in the closing tag too (policy note 4):
+    // Java's \s includes U+000B, RE2's does not — a vertical tab inside a
+    // closing tag must not diverge engine vs oracle
     val noBlocks = RegExpReplace(child,
-      Literal("(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>"), Literal(" "))
+      Literal("(?is)<(script|style)[^>]*>.*?</(script|style)[ \\t\\n\\r]*>"), Literal(" "))
     val noTags = RegExpReplace(noBlocks, Literal("(?s)<[^>]*>"), Literal(" "))
     val decoded = Entities.foldLeft(noTags: Expression) { case (acc, (k, v)) =>
       StringReplace(acc, Literal(k), Literal(v))

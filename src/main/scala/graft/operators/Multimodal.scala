@@ -955,9 +955,13 @@ object Multimodal {
         // stay exact-integer for the cross-engine hash
         expr("shared_frames * 1000000L DIV least(n_a, n_b)")
           .as("containment_ppm"))
-    // honors the shared materialize switch (plan inspection sets "none")
+    // honors the shared materialize switch (plan inspection sets "none").
+    // The "none" arm must release fh too: it returns an unmaterialized
+    // plan (recomputes the postings if actually executed — acceptable for
+    // its plan-inspection purpose), but a still-cached fh would accumulate
+    // across calls and only the CacheSalt failure sweep would ever free it
     df.sparkSession.conf.get("spark.graft.dedup.materialize", "local") match {
-      case "none" => out
+      case "none" => fh.unpersist(); out
       case _ =>
         val m = graft.util.Materialize.track(out.localCheckpoint(true))
         fh.unpersist()

@@ -115,6 +115,17 @@ object CacheSalt {
     n
   }
 
+  /** Registered salted frames still actually cached — the leak detector
+    * specs assert this returns to zero after every normal operator path
+    * (including plan-inspection `materialize=none` calls), i.e. the
+    * sweeps above are a no-op unless a query genuinely failed. */
+  def liveCachedCount(): Int = {
+    var n = 0
+    val it = live.iterator()
+    while (it.hasNext) if (isCached(it.next().df)) n += 1
+    n
+  }
+
   implicit final class SaltedPersistOps(private val df: DataFrame) extends AnyVal {
     /** `persist()` behind a per-invocation plan salt — see [[CacheSalt]]. */
     def saltedPersist(): DataFrame = {

@@ -86,6 +86,30 @@ class AviHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial dims: dwWidth ~715M rejects at parse; frameGray guard holds in Long") {
+    // a positive-Int width whose stride computation overflows Int negative
+    // (715M * 3 > 2^31): parse must reject via the MaxDim cap, never admit
+    // an info whose downstream pixel math would wrap
+    val full = AviHeader.write(1L, 8, 8, Array(grid(8, 8, 0)))
+    val avihAt = full.indexOfSlice("avih".getBytes("US-ASCII").toSeq)
+    def patched(width: Long, height: Long): Array[Byte] = {
+      val b = full.clone()
+      for ((v, off) <- Seq((width, 32), (height, 36)); k <- 0 until 4)
+        b(avihAt + 8 + off + k) = ((v >> (8 * k)) & 0xFF).toByte
+      b
+    }
+    assert(AviHeader.parse(patched(715000000L, 8L)).isEmpty, "overflow width")
+    assert(AviHeader.parse(patched(8L, 715000000L)).isEmpty, "overflow height")
+    assert(AviHeader.parse(patched(AviHeader.MaxDim + 1L, 8L)).isEmpty, "cap + 1")
+    // the guard must ALSO hold for a hand-built info that bypasses parse:
+    // Int stride math would be negative here, Long math sees the frame is
+    // far too small and degrades to None instead of indexing out of bounds
+    val crafted = AviHeader.AviInfo(1L, 1L, width = 715000000, height = 480,
+      bitCount = 24, frames = Vector(AviHeader.FrameRef(0, full.length)))
+    assert(AviHeader.frameGray(full, crafted, 0).isEmpty,
+      "lying dims must degrade, not throw")
+  }
+
   test("strictness: junk, WAV, PNG fixture, compressed or non-24bpp files reject") {
     assert(AviHeader.parse(null).isEmpty)
     assert(AviHeader.parse(Array.emptyByteArray).isEmpty)

@@ -382,6 +382,22 @@ class MultimodalSpec extends SparkSpec {
       maxFrameFreq = 1L).count() == 0L)
   }
 
+  test("videoSharedFrames: materialize=none releases its postings cache too") {
+    // the plan-inspection arm must not accumulate salted cache entries —
+    // the CacheSalt failure sweep stays a no-op on every normal path
+    val payloads = Multimodal.renderedVideoPayloads(
+      (0L until 10L).toDF("doc_id"), "doc_id")
+    graft.util.CacheSalt.releaseAll() // isolate from other suites' state
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val out = Multimodal.videoSharedFrames(payloads, minShared = 2)
+      assert(graft.util.CacheSalt.liveCachedCount() == 0,
+        "none-mode call left a live salted cache entry")
+      // the returned plan stays executable (recomputes the postings)
+      assert(out.count() > 0L)
+    } finally spark.conf.unset("spark.graft.dedup.materialize")
+  }
+
   test("sniffKind: every real encoder's output classified; header-level by design") {
     import graft.operators.Multimodal.sniffKind
     val ids = (0L until 21L) // 3 full mod-7 cycles
