@@ -813,6 +813,28 @@ object OracleXX {
       FROM d JOIN gnf USING (grp) ORDER BY id"""
   }
 
+  /** Replica of `Multimodal.videoDecodeReport` over the rendered MJPEG
+    * corpus (`mm_video_mjpeg`): the frame-count draw replayed from the
+    * mix64 stream; an id with `id % corruptMod == 3` carries one
+    * truncated JPEG stream inside a valid container, so exactly one frame
+    * drops from the decoded count while the container count is full; the
+    * fingerprint is always present (≥ 5 frames survive every id). The
+    * lossy per-frame hash VALUES are spec'd in MultimodalSpec, not
+    * oracled — this pins decode survival, the exact contract the gate
+    * claims. */
+  def videoMjpegDecodeOracle(corruptMod: Long): String = {
+    val RS = graft.operators.Multimodal.VideoRenderSpec
+    s"""
+      WITH d AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+      gnf AS (SELECT grp, 6 + (${mix64Pmod("grp * 8192 + 4096", 3L, RS.Seed)}) AS nf
+              FROM (SELECT DISTINCT grp FROM d))
+      SELECT doc_id AS id, 'mjpg' AS codec, nf::INT AS n_frames_present,
+             (CASE WHEN doc_id % $corruptMod = 3 THEN nf - 1 ELSE nf END)::INT
+               AS n_frames_decoded,
+             1 AS fp_nonnull
+      FROM d JOIN gnf USING (grp) ORDER BY id"""
+  }
+
   /** The pigeonhole hamming join over any CTE chain ending in
     * `ph(doc_id, hu, ...)`. */
   private def hammingJoinOver(ctes: String, maxHamming: Int,

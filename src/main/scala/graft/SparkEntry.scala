@@ -3825,6 +3825,28 @@ object SparkEntry {
         minShared = 2)
       .orderBy("id_a", "id_b")
 
+  /** COMPRESSED-codec video decode at corpus scale: the same render-spec
+    * frames, each through the REAL ImageIO JPEG encoder into a 'MJPG' AVI
+    * ([[Multimodal.renderedMjpegPayloads]]), decoded back frame-by-frame
+    * by the real ImageIO JPEG reader inside the one-scan
+    * [[Multimodal.videoDecodeReport]]. JPEG is lossy, so the hash VALUES
+    * are spec'd by hamming tolerance in MultimodalSpec (the
+    * `mm_phash_images` pattern); the gate oracles what is exact — codec
+    * id, frame counts, decode survival, fingerprint presence. Ids with
+    * `id % 9 == 3` carry one truncated JPEG stream inside a valid
+    * container: exactly that frame must drop (n_decoded = n_present − 1),
+    * never a task kill. */
+  private def mmVideoMjpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoDecodeReport(
+        Multimodal.renderedMjpegPayloads(t(s, dir, "documents"), "doc_id",
+          corruptMod = 9L))
+      .toDF()
+      .select(col("id"), col("codec"), col("n_frames_present"),
+              col("n_frames_decoded"),
+              when(col("vfp").isNotNull, lit(1)).otherwise(lit(0))
+                .as("fp_nonnull"))
+      .orderBy("id")
+
   private def mmPhashDecodeFaults(s: SparkSession, dir: String): DataFrame =
     // kind re-derived from the id arithmetic rather than joined back from
     // the render stage — the payloads render+decode exactly once
@@ -4700,6 +4722,7 @@ object SparkEntry {
     "mm_video_fingerprint" -> mmVideoFingerprint _,
     "mm_video_neardup"    -> mmVideoNearDup _,
     "mm_video_shared_frames" -> mmVideoSharedFrames _,
+    "mm_video_mjpeg"      -> mmVideoMjpeg _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -9257,6 +9280,7 @@ object SparkEntry {
     "mm_video_neardup" -> OracleXX.videoFpNearDupOracle(maxHamming = 3),
     "mm_video_shared_frames" ->
       OracleXX.videoSharedFramesOracle(minShared = 2, maxFrameFreq = 4096L),
+    "mm_video_mjpeg" -> OracleXX.videoMjpegDecodeOracle(corruptMod = 9L),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB

@@ -10,8 +10,11 @@ package graft.functions
   * padded to 4 bytes) can then be pixel-decoded with zero codec state —
   * a plain function of the bytes, callable per record in `mapPartitions`.
   *
-  * Strictness mirrors WavHeader: BI_RGB 24-bpp single-video-stream files
-  * only; malformed structure parses to None. Truncated uploads follow the
+  * Strictness mirrors WavHeader: single-video-stream files whose first
+  * `strf` declares BI_RGB 24-bpp (codec "rgb24", pixel-decodable here) or
+  * 'MJPG' (codec "mjpg" — each frame chunk is a standalone JPEG stream
+  * for the caller's JPEG decoder); anything else parses to None.
+  * Truncated uploads follow the
   * clamp-to-present policy: a frame chunk whose declared bytes are not
   * fully present is DROPPED (unlike audio samples, a partial frame is not
   * a prefix of anything renderable) and the walk ends there — the frames
@@ -37,14 +40,22 @@ object AviHeader {
 
   /** usPerFrame/width/height/declaredFrames from `avih`; bitCount from the
     * video stream's `strf`; `frames` = the movi frame chunks actually
-    * present in full (clamp policy above). */
+    * present in full (clamp policy above); `codec` = "rgb24" (BI_RGB
+    * 24-bpp DIB frames, pixel-decodable by [[frameGray]]) or "mjpg"
+    * (motion-JPEG: each frame chunk is a standalone JPEG stream the
+    * caller hands to a JPEG decoder — [[frameGray]] returns None). */
   final case class AviInfo(usPerFrame: Long, declaredFrames: Long,
                            width: Int, height: Int, bitCount: Int,
-                           frames: Vector[FrameRef]) {
+                           frames: Vector[FrameRef],
+                           codec: String = "rgb24") {
     def framesPresent: Int = frames.length
     /** DIB row stride: 24-bpp rows padded to 4-byte boundaries. */
     def stride: Int = ((width * 3 + 3) / 4) * 4
   }
+
+  /** 'MJPG' biCompression fourcc as the little-endian u32 `strf` stores. */
+  private val MjpgFourcc: Long =
+    'M'.toLong | ('J'.toLong << 8) | ('P'.toLong << 16) | ('G'.toLong << 24)
 
   def parse(bytes: Array[Byte]): Option[AviInfo] = {
     if (bytes == null || bytes.length < 12) return None
@@ -62,6 +73,8 @@ object AviHeader {
     var width = 0
     var height = 0
     var bitCount = -1
+    var codec: String = null
+    var seenStrf = false
     val frames = Vector.newBuilder[FrameRef]
     var haveMovi = false
 
@@ -98,10 +111,19 @@ object AviHeader {
             } else if (tag(hp, "LIST") && tag(hdp, "strl")) {
               walk(hdp + 4L, hdp + hsize) { (sp, sdp, ssize) =>
                 // first video stream's format block: BITMAPINFOHEADER
-                if (tag(sp, "strf") && bitCount < 0 && ssize >= 40 &&
+                if (tag(sp, "strf") && !seenStrf && ssize >= 40 &&
                     sdp + 40 <= bytes.length) {
+                  seenStrf = true
                   val compression = le32(sdp + 16)
-                  if (compression == 0L) bitCount = le16(sdp + 14)
+                  if (compression == 0L) {
+                    bitCount = le16(sdp + 14)
+                    if (bitCount == 24) codec = "rgb24"
+                  } else if (compression == MjpgFourcc) {
+                    // motion-JPEG: bit depth belongs to the per-frame JPEG
+                    // streams, not the DIB header — record it as stated
+                    bitCount = le16(sdp + 14)
+                    codec = "mjpg"
+                  }
                 }
               }
             }
@@ -127,9 +149,9 @@ object AviHeader {
     // index (cx * w in dhashFromGray) overflow-free.
     if (usPerFrame < 0 || declaredFrames < 0 || !haveMovi ||
         width <= 0 || height <= 0 || width > MaxDim || height > MaxDim ||
-        bitCount != 24) None
+        codec == null) None
     else Some(AviInfo(usPerFrame, declaredFrames, width, height, bitCount,
-                      frames.result()))
+                      frames.result(), codec))
   }
 
   /** Integer BT.601 luma accessor over frame `idx`'s decoded DIB pixels
@@ -138,6 +160,7 @@ object AviHeader {
     * cannot happen for frames [[parse]] admitted from a well-formed file,
     * but guarded anyway (a lying biSizeImage must degrade, not throw). */
   def frameGray(bytes: Array[Byte], info: AviInfo, idx: Int): Option[(Int, Int) => Int] = {
+    if (info.codec != "rgb24") return None // mjpg frames are JPEG streams
     if (idx < 0 || idx >= info.frames.length) return None
     val f = info.frames(idx)
     // Long arithmetic throughout the guard: parse's MaxDim cap already
@@ -235,6 +258,71 @@ object AviHeader {
       }
     }
     require(pos == out.length, s"writer layout bug: $pos != ${out.length}")
+    out
+  }
+
+  /** Assemble a real single-stream MOTION-JPEG AVI: `frames` are complete
+    * JPEG streams (one per frame, e.g. from an ImageIO JPEG encoder)
+    * stored verbatim in `00dc` chunks with `strf.biCompression = 'MJPG'`.
+    * Odd-length frames get the RIFF pad byte ([[parse]]'s walk already
+    * steps `size & 1`). Unlike [[write]] the frame PIXELS here come from a
+    * real third-party codec, so the decode spec is lossy-tolerance
+    * (hamming bounds) rather than value-exact. */
+  def writeMjpeg(usPerFrame: Long, w: Int, h: Int,
+                 frames: Array[Array[Byte]]): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"empty frame dims ${w}x$h")
+    require(frames.forall(_.nonEmpty), "empty JPEG frame")
+    val strhSize = 56
+    val strfSize = 40
+    val strlSize = 4 + 8 + strhSize + 8 + strfSize
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize + 8 + strlSize
+    val chunk = frames.map(f => 8 + f.length + (f.length & 1))
+    val moviSize = 4 + chunk.sum
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val out = new Array[Byte](8 + riffSize)
+    var pos = 0
+    def putTag(s: String): Unit = { (0 until 4).foreach(i => out(pos + i) = s.charAt(i).toByte); pos += 4 }
+    def putLe32(v: Long): Unit = {
+      out(pos) = (v & 0xFF).toByte; out(pos + 1) = ((v >> 8) & 0xFF).toByte
+      out(pos + 2) = ((v >> 16) & 0xFF).toByte; out(pos + 3) = ((v >> 24) & 0xFF).toByte
+      pos += 4
+    }
+    def putLe16(v: Int): Unit = {
+      out(pos) = (v & 0xFF).toByte; out(pos + 1) = ((v >> 8) & 0xFF).toByte; pos += 2
+    }
+    putTag("RIFF"); putLe32(riffSize); putTag("AVI ")
+    putTag("LIST"); putLe32(hdrlSize); putTag("hdrl")
+    putTag("avih"); putLe32(avihSize)
+    putLe32(usPerFrame)
+    putLe32(0); putLe32(0); putLe32(0)
+    putLe32(frames.length)
+    putLe32(0); putLe32(1)
+    putLe32(maxFrame)
+    putLe32(w); putLe32(h)
+    putLe32(0); putLe32(0); putLe32(0); putLe32(0)
+    putTag("LIST"); putLe32(strlSize); putTag("strl")
+    putTag("strh"); putLe32(strhSize)
+    putTag("vids"); putTag("MJPG")
+    putLe32(0); putLe16(0); putLe16(0)
+    putLe32(0)
+    putLe32(usPerFrame); putLe32(1000000L)
+    putLe32(0); putLe32(frames.length)
+    putLe32(maxFrame); putLe32(0); putLe32(0)
+    putLe16(0); putLe16(0); putLe16(w); putLe16(h)
+    putTag("strf"); putLe32(strfSize)
+    putLe32(40); putLe32(w); putLe32(h)
+    putLe16(1); putLe16(24)
+    putLe32(MjpgFourcc); putLe32(maxFrame) // biCompression = 'MJPG'
+    putLe32(0); putLe32(0); putLe32(0); putLe32(0)
+    putTag("LIST"); putLe32(moviSize); putTag("movi")
+    frames.foreach { f =>
+      putTag("00dc"); putLe32(f.length)
+      System.arraycopy(f, 0, out, pos, f.length)
+      pos += f.length + (f.length & 1) // pad byte stays zero
+    }
+    require(pos == out.length, s"mjpeg writer layout bug: $pos != ${out.length}")
     out
   }
 }

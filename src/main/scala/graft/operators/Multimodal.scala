@@ -836,6 +836,55 @@ object Multimodal {
       }.toDF("id", "payload")
   }
 
+  /** The rendered MOTION-JPEG corpus — the compressed-codec twin of
+    * [[renderedVideoPayloads]]: the same [[VideoRenderSpec]] frame grids,
+    * each frame encoded by the REAL ImageIO JPEG encoder and wrapped in a
+    * 'MJPG' AVI container ([[graft.functions.AviHeader.writeMjpeg]]).
+    * Because JPEG is lossy, the decoded frame hashes are spec'd by
+    * hamming tolerance (MultimodalSpec), not value-oracled; the gate
+    * (`mm_video_mjpeg`) oracles what IS exact — frame counts, decode
+    * survival, fingerprint presence.
+    *
+    * `corruptMod > 0` truncates frame index 2's JPEG stream to an 8-byte
+    * SOI-only prefix for ids with `id % corruptMod == 3` (every render
+    * group has ≥ 6 frames, so index 2 always exists): a VALID container
+    * indexing a broken stream — the decode must drop that one frame and
+    * fingerprint the rest, never throw. */
+  def renderedMjpegPayloads(df: DataFrame, idCol: String,
+                            corruptMod: Long = 0L): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long").as("id"))
+      .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
+      .mapPartitions { rows =>
+        import VideoRenderSpec._
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val jpegs = frames(id).zipWithIndex.map { case (g, f) =>
+            val img = new java.awt.image.BufferedImage(
+              W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < H) {
+              var x = 0
+              while (x < W) {
+                val v = g(y * W + x)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v | 0xff000000)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            val full = bos.toByteArray
+            if (corruptMod > 0L && id % corruptMod == 3L && f == 2)
+              java.util.Arrays.copyOf(full, math.min(8, full.length))
+            else full
+          }
+          (id, graft.functions.AviHeader.writeMjpeg(UsPerFrame, W, H, jpegs))
+        }
+      }.toDF("id", "payload")
+  }
+
   /** Parsed AVI container row; see `mm_video_meta`. */
   final case class VideoMetaRow(id: Long, width: Int, height: Int,
                                 us_per_frame: Long, n_frames_declared: Long,
@@ -861,11 +910,42 @@ object Multimodal {
       }
   }
 
-  /** Per-frame perceptual hashes over GENUINELY parsed + DIB-decoded video
+  /** Per-frame dHashes of one parsed video, codec-dispatched: "rgb24"
+    * frames through the pure bottom-up BGR DIB decode ([[graft.functions
+    * .AviHeader.frameGray]]); "mjpg" frames through the REAL ImageIO JPEG
+    * decoder (each `00dc` chunk is a standalone JPEG stream). A frame
+    * that fails to decode — a truncated or corrupt JPEG mid-container —
+    * is DROPPED, never a thrown task failure (the row-level decode-fault
+    * contract, here at frame granularity); surviving hashes keep their
+    * original frame indices. Callers are inside `mapPartitions` with
+    * `ImageIO.setUseCache(false)` already applied. */
+  private def decodedFrameHashes(
+      bytes: Array[Byte],
+      info: graft.functions.AviHeader.AviInfo): IndexedSeq[(Int, Long)] =
+    info.codec match {
+      case "rgb24" =>
+        (0 until info.framesPresent).flatMap(f =>
+          graft.functions.AviHeader.frameGray(bytes, info, f).map(g =>
+            (f, dhashFromGray(info.width, info.height, g))))
+      case "mjpg" =>
+        (0 until info.framesPresent).flatMap { f =>
+          val fr = info.frames(f)
+          val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, fr.offset, fr.size))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+          else Some((f, dhashFromGray(img.getWidth, img.getHeight,
+                                      rasterLuma(img))))
+        }
+      case _ => IndexedSeq.empty
+    }
+
+  /** Per-frame perceptual hashes over GENUINELY parsed + decoded video
     * payloads: AVI container walk ([[graft.functions.AviHeader]]) → per
-    * present frame, bottom-up BGR pixel decode → integer BT.601 luma →
-    * the shared [[dhashFromGray]] resample kernel. Output
-    * `(id, frame_idx, fhash)`; unparseable payloads contribute no rows
+    * present frame, codec-dispatched pixel decode (pure DIB for rgb24,
+    * real ImageIO for mjpg) → integer BT.601 luma → the shared
+    * [[dhashFromGray]] resample kernel. Output `(id, frame_idx, fhash)`;
+    * unparseable payloads and undecodable frames contribute no rows
     * (row-level degradation — the decode-fault contract), bytes never
     * leave the scan stage. */
   def videoFrameHashes(df: DataFrame): DataFrame = {
@@ -875,17 +955,49 @@ object Multimodal {
       .as(Encoders.row(StructType(Seq(
         StructField("id", LongType), StructField("payload", BinaryType)))))
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          graft.functions.AviHeader.parse(bytes).toSeq.flatMap { info =>
-            (0 until info.framesPresent).flatMap { f =>
-              graft.functions.AviHeader.frameGray(bytes, info, f).map(g =>
-                (id, f, dhashFromGray(info.width, info.height, g)))
-            }
-          }
+          graft.functions.AviHeader.parse(bytes).toSeq.flatMap(info =>
+            decodedFrameHashes(bytes, info).map { case (f, h) => (id, f, h) })
         }
       }.toDF("id", "frame_idx", "fhash")
+  }
+
+  /** Typed decode-QA row; see [[videoDecodeReport]]. */
+  final case class VideoDecodeRow(id: Long, codec: String,
+                                  n_frames_present: Int,
+                                  n_frames_decoded: Int,
+                                  vfp: Option[Long])
+
+  /** One-scan video decode report — container parse, per-frame decode
+    * count, and the majority fingerprint, all from a SINGLE pass over the
+    * payload (the ingest-QA shape: at 100 TB you never decode twice to
+    * learn "how many frames survived" and "what is the fingerprint").
+    * Unparseable payloads report codec "unparsed" with zero counts and a
+    * null fingerprint — a report row, never a dropped row or a task
+    * kill. */
+  def videoDecodeReport(df: DataFrame): Dataset[VideoDecodeRow] = {
+    implicit val enc = Encoders.product[VideoDecodeRow]
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          graft.functions.AviHeader.parse(bytes) match {
+            case None =>
+              VideoDecodeRow(id, "unparsed", 0, 0, None)
+            case Some(info) =>
+              val hs = decodedFrameHashes(bytes, info)
+              VideoDecodeRow(id, info.codec, info.framesPresent, hs.length,
+                             videoFingerprint64(hs.map(_._2).toArray))
+          }
+        }
+      }
   }
 
   /** 64-bit video fingerprint per payload: parse → per-frame dHash →
@@ -898,15 +1010,13 @@ object Multimodal {
       .as(Encoders.row(StructType(Seq(
         StructField("id", LongType), StructField("payload", BinaryType)))))
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val fp: java.lang.Long = graft.functions.AviHeader.parse(bytes)
-            .flatMap { info =>
-              val hs = (0 until info.framesPresent).flatMap(f =>
-                graft.functions.AviHeader.frameGray(bytes, info, f).map(g =>
-                  dhashFromGray(info.width, info.height, g)))
-              videoFingerprint64(hs.toArray)
-            } match {
+            .flatMap(info =>
+              videoFingerprint64(decodedFrameHashes(bytes, info)
+                .map(_._2).toArray)) match {
               case Some(h) => h
               case None    => null
             }

@@ -86,6 +86,28 @@ class AviHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG container: write → parse round-trip, frame bytes verbatim, odd sizes padded") {
+    // odd/even/odd payload lengths exercise the RIFF pad byte both ways
+    val frames = Array(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](8))
+    val bytes = AviHeader.writeMjpeg(40000L, 36, 32, frames)
+    val info = AviHeader.parse(bytes).getOrElse(fail("mjpeg file did not parse"))
+    assert(info.codec == "mjpg" && info.framesPresent == 3)
+    assert(info.width == 36 && info.height == 32 && info.usPerFrame == 40000L)
+    assert(info.declaredFrames == 3L)
+    for ((f, i) <- frames.zipWithIndex) {
+      val fr = info.frames(i)
+      assert(fr.size == f.length, s"frame $i size")
+      assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bytes, fr.offset, fr.offset + fr.size), f),
+        s"frame $i bytes not verbatim")
+    }
+    // mjpg frames are JPEG streams — the DIB pixel accessor must refuse
+    assert(AviHeader.frameGray(bytes, info, 0).isEmpty, "mjpg has no DIB decode")
+    // totality under prefix truncation holds for this layout too
+    for (cut <- 0 until bytes.length)
+      AviHeader.parse(java.util.Arrays.copyOf(bytes, cut)) // must not throw
+  }
+
   test("adversarial dims: dwWidth ~715M rejects at parse; frameGray guard holds in Long") {
     // a positive-Int width whose stride computation overflows Int negative
     // (715M * 3 > 2^31): parse must reject via the MaxDim cap, never admit

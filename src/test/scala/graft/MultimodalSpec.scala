@@ -382,6 +382,46 @@ class MultimodalSpec extends SparkSpec {
       maxFrameFreq = 1L).count() == 0L)
   }
 
+  test("rendered MJPEG corpus: real JPEG frame decode within hamming 3; corrupt frame drops, never throws") {
+    import graft.operators.Multimodal.VideoRenderSpec
+    val ids = (0L until 20L).toDF("doc_id")
+    // per-frame proximity: every ImageIO-decoded JPEG frame must land
+    // within hamming 3 of the codec-free formula hash, and the MAJORITY
+    // must be bit-exact (measured at 50 docs: 75% exact, max ham 3) —
+    // lossy-tolerance where PNG is value-exact, same as mm_phash_images
+    val fh = Multimodal.videoFrameHashes(
+        Multimodal.renderedMjpegPayloads(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expectedN = (0L until 20L).map(id =>
+      VideoRenderSpec.nFrames(id / 5L)).sum
+    assert(fh.size == expectedN, s"expected $expectedN decoded frames, got ${fh.size}")
+    val hams = fh.toSeq.map { case ((id, f), h) =>
+      java.lang.Long.bitCount(h ^ VideoRenderSpec.expectedFrameDhash(id, f)) }
+    assert(hams.max <= 3, s"JPEG decode drifted to hamming ${hams.max}")
+    assert(hams.count(_ == 0) * 2 >= hams.size,
+      "fewer than half the JPEG frames decoded bit-exact")
+    // corrupt-stream handling: a valid container indexing one truncated
+    // JPEG — exactly that frame drops from the decoded count, the
+    // fingerprint still forms over the rest, and nothing throws
+    val rep = Multimodal.videoDecodeReport(
+        Multimodal.renderedMjpegPayloads(ids, "doc_id", corruptMod = 9L))
+      .collect()
+    assert(rep.length == 20 && rep.forall(_.codec == "mjpg"))
+    rep.foreach { r =>
+      val nf = VideoRenderSpec.nFrames(r.id / 5L)
+      val want = if (r.id % 9L == 3L) nf - 1 else nf
+      assert(r.n_frames_present == nf, s"id ${r.id} present")
+      assert(r.n_frames_decoded == want, s"id ${r.id} decoded")
+      assert(r.vfp.nonEmpty, s"id ${r.id} fingerprint")
+    }
+    // unparseable payloads REPORT (codec 'unparsed'), never vanish
+    val junk = Multimodal.videoDecodeReport(
+        Seq((99L, "not an avi".getBytes("UTF-8")))
+          .toDF("id", "payload")).collect()
+    assert(junk.length == 1 && junk.head.codec == "unparsed" &&
+           junk.head.vfp.isEmpty && junk.head.n_frames_decoded == 0)
+  }
+
   test("videoSharedFrames: materialize=none releases its postings cache too") {
     // the plan-inspection arm must not accumulate salted cache entries —
     // the CacheSalt failure sweep stays a no-op on every normal path
