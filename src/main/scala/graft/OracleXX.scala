@@ -542,14 +542,16 @@ object OracleXX {
     * → gradient pipeline must land on exactly these cell values — a full
     * codec-free replica of what the real decode must produce. Cell values
     * are computed once per GROUP (not per doc) and joined back. */
-  private def renderDhashCtes: String = {
+  private def renderDhashCtes: String = renderDhashCtes("TRUE")
+  private def renderDhashCtes(docWhere: String): String = {
     val RS = graft.operators.Multimodal.RenderSpec
     require(RS.GroupSize == 5L && RS.W == 36 && RS.H == 32,
       "render oracle transcribes the RenderSpec constants; re-derive it")
     val v0 = s"(${mix64Pmod("grp * 72 + b", RS.Mod, RS.Seed)}) + ${RS.Lo}"
     val v4 = s"(${mix64Pmod(s"grp * 72 + b + ${RS.AltOffset}", RS.Mod, RS.Seed)}) + ${RS.Lo}"
     s"""
-      d AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member FROM documents),
+      d AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member
+            FROM documents WHERE $docWhere),
       g AS (SELECT DISTINCT grp FROM d),
       bs AS (SELECT unnest(range(0, 72)) AS b),
       c0 AS MATERIALIZED (SELECT grp, b, $v0 AS v0 FROM g CROSS JOIN bs),
@@ -608,7 +610,8 @@ object OracleXX {
     * (segment, band) cells (a lag longer than the samples available to
     * that segment) are zero-energy, matching the engine's zero-initialized
     * accumulators. */
-  private def audioFpCtes: String = {
+  private def audioFpCtes: String = audioFpCtes("TRUE")
+  private def audioFpCtes(docWhere: String): String = {
     val RS = graft.operators.Multimodal.AudioRenderSpec
     require(RS.GroupSize == 5L && RS.N == 1024 && RS.SegLen == 128,
       "audio oracle transcribes the AudioRenderSpec constants; re-derive it")
@@ -628,7 +631,8 @@ object OracleXX {
             ELSE $s0 END)"""
     }
     s"""
-      dd AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member FROM documents),
+      dd AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member
+             FROM documents WHERE $docWhere),
       par AS MATERIALIZED (SELECT doc_id, grp, member,
               (grp * 997) % 65536 AS qq FROM dd),
       pt AS MATERIALIZED (
@@ -691,7 +695,8 @@ object OracleXX {
     * computes from the formula alone. Also exposes `d(doc_id, grp,
     * member)`, `gnf(grp, nf)` and `cells(doc_id, f, b, v)` for the
     * fingerprint/meta oracles stacked on top. */
-  private def videoFrameDhashCtes: String = {
+  private def videoFrameDhashCtes: String = videoFrameDhashCtes("TRUE")
+  private def videoFrameDhashCtes(docWhere: String): String = {
     val RS = graft.operators.Multimodal.VideoRenderSpec
     require(RS.GroupSize == 5L && RS.W == 36 && RS.H == 32 &&
             RS.Mod == 200L && RS.Lo == 26,
@@ -699,7 +704,8 @@ object OracleXX {
     val v0 = s"(${mix64Pmod("grp * 8192 + f * 128 + b", RS.Mod, RS.Seed)}) + ${RS.Lo}"
     val v4 = s"(${mix64Pmod(s"grp * 8192 + f * 128 + b + ${RS.AltOffset}", RS.Mod, RS.Seed)}) + ${RS.Lo}"
     s"""
-      d AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member FROM documents),
+      d AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS member
+            FROM documents WHERE $docWhere),
       gnf AS MATERIALIZED (
         SELECT grp, 6 + (${mix64Pmod("grp * 8192 + 4096", 3L, RS.Seed)}) AS nf
         FROM (SELECT DISTINCT grp FROM d)),
@@ -743,7 +749,8 @@ object OracleXX {
     * fingerprint over the per-frame replica hashes: bit b set iff at least
     * half the doc's frames set it (ties → set, matching the engine's
     * `2*count >= n` rule exactly in integer arithmetic). */
-  private def videoFpCtes: String = s"""$videoFrameDhashCtes,
+  private def videoFpCtes: String = videoFpCtes("TRUE")
+  private def videoFpCtes(docWhere: String): String = s"""${videoFrameDhashCtes(docWhere)},
       vbits AS (SELECT a.doc_id, a.f, (a.b // 9) * 8 + (a.b % 9) AS bit
                 FROM cells a JOIN cells n ON n.doc_id = a.doc_id
                                          AND n.f = a.f AND n.b = a.b + 1
@@ -834,6 +841,82 @@ object OracleXX {
              1 AS fp_nonnull
       FROM d JOIN gnf USING (grp) ORDER BY id"""
   }
+
+  /** CTE `fps(doc_id, family, hu)` — the COMPOSED ingest replica: each
+    * modality's full formula chain (render dHash / audio lag-energy /
+    * video majority vote) evaluated over ITS id subset of the mixed
+    * corpus (`(doc_id DIV 5) % 4` routes: image, audio, video, text),
+    * with the corrupt-PNG rule (`id % 17 == 5` → NULL fingerprint) and
+    * text rows carrying no fingerprint at all. Each chain runs inside its
+    * own derived-table WITH, so their CTE namespaces never collide. */
+  private def ingestFpsCte: String = {
+    val img = s"""SELECT doc_id, 'image' AS family,
+           CASE WHEN doc_id % 17 = 5 THEN NULL ELSE hu END AS hu
+         FROM (WITH ${renderDhashCtes("(doc_id // 5) % 4 = 0")}
+               SELECT doc_id, hu FROM ph)"""
+    val aud = s"""SELECT doc_id, 'audio', hu
+         FROM (WITH ${audioFpCtes("(doc_id // 5) % 4 = 1")}
+               SELECT doc_id, hu FROM ph)"""
+    val vid = s"""SELECT doc_id, 'video', hu
+         FROM (WITH ${videoFpCtes("(doc_id // 5) % 4 = 2")}
+               SELECT doc_id, hu FROM ph)"""
+    val txt = s"""SELECT doc_id, 'other', NULL::HUGEINT
+         FROM documents WHERE (doc_id // 5) % 4 = 3"""
+    s"""fps AS MATERIALIZED (
+        $img UNION ALL $aud UNION ALL $vid UNION ALL $txt)"""
+  }
+
+  /** `fps` + the FAMILY-KEYED pigeonhole join (the family rides in the
+    * bucket identity, exactly like the engine's grouped blocking key) →
+    * CTE `pairs(family, id_a, id_b, hamming)`. */
+  private def ingestPairsCtes(maxHamming: Int): String = {
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    s"""$ingestFpsCte,
+      blk AS (SELECT doc_id, family, hu, unnest(range(0, $nBlocks)) AS i
+              FROM fps WHERE hu IS NOT NULL),
+      b2 AS MATERIALIZED (SELECT doc_id, family, hu, i,
+              (hu // ($pow2)[i*$bitsPer+1]) % ${1L << bitsPer} AS bits FROM blk),
+      guard AS (SELECT CASE WHEN (SELECT max(c) FROM
+                  (SELECT count(*) AS c FROM b2 GROUP BY family, i, bits)) > 4096
+                THEN error('ingest oracle models the UNCAPPED keyed fragment join; a block exceeds the engine skew cap (4096) so outputs would diverge')
+                ELSE 1 END AS ok),
+      prs AS (SELECT DISTINCT a.family, a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.hu AS ha, b.hu AS hb
+              FROM b2 a JOIN b2 b ON a.family = b.family AND a.i = b.i
+                                 AND a.bits = b.bits AND a.doc_id < b.doc_id),
+      pairs AS (SELECT family, id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+                FROM prs CROSS JOIN guard
+                WHERE bit_count(xor(ha, hb)) <= $maxHamming)"""
+  }
+
+  /** Replica of the composed `Multimodal.ingestPipeline` PAIR table. */
+  def ingestPairsOracle(maxHamming: Int = 3): String = s"""
+      WITH ${ingestPairsCtes(maxHamming)}
+      SELECT family, id_a, id_b, hamming FROM pairs
+      ORDER BY family, id_a, id_b"""
+
+  /** Replica of the composed `Multimodal.ingestPipeline` DATA-CARD: per
+    * family, corpus size, decode survival, and near-dup reach — every
+    * number a pure composition of the modality formula oracles above. */
+  def ingestCardOracle(maxHamming: Int = 3): String = s"""
+      WITH ${ingestPairsCtes(maxHamming)},
+      base AS (SELECT family, count(*)::BIGINT AS n_docs,
+                      count(hu)::BIGINT AS n_decoded,
+                      (count(*) - count(hu))::BIGINT AS n_null
+               FROM fps GROUP BY family),
+      pc AS (SELECT family, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY family),
+      pd AS (SELECT family, count(*)::BIGINT AS n_docs_paired FROM (
+               SELECT DISTINCT family, id FROM (
+                 SELECT family, id_a AS id FROM pairs
+                 UNION ALL SELECT family, id_b AS id FROM pairs))
+             GROUP BY family)
+      SELECT base.family, n_docs, n_decoded, n_null,
+             coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+             coalesce(n_docs_paired, 0)::BIGINT AS n_docs_paired
+      FROM base LEFT JOIN pc ON pc.family = base.family
+                LEFT JOIN pd ON pd.family = base.family
+      ORDER BY base.family"""
 
   /** The pigeonhole hamming join over any CTE chain ending in
     * `ph(doc_id, hu, ...)`. */

@@ -3825,6 +3825,32 @@ object SparkEntry {
         minShared = 2)
       .orderBy("id_a", "id_b")
 
+  /** The COMPOSED multimodal ingest DAG run end to end as ONE dataflow —
+    * mixed real-codec corpus ([[Multimodal.renderedIngestPayloads]]: PNG /
+    * WAV / AVI / text, plus truncated-PNG corrupt rows) → magic-byte sniff
+    * routes each payload → the matching decoder runs ONCE in the same scan
+    * → per-modality fingerprints → ONE family-keyed pigeonhole near-dup
+    * join → per-family curation data-card. Where every other mm_* gate
+    * proves one operator, this proves they compose into the pipeline shape
+    * the reference actually is (source → interceptors → sinks as one
+    * graph). The oracle is a pure composition of the three modality
+    * formula replicas plus the keyed fragment join
+    * ([[OracleXX.ingestCardOracle]]). */
+  private def pipelineMmIngest(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ingestPipeline(
+        Multimodal.renderedIngestPayloads(t(s, dir, "documents"), "doc_id"))
+      ._1.orderBy("family")
+
+  /** The composed DAG's unified near-dup PAIR table — image, audio, and
+    * video pairs out of one grouped blocked join (the family rides in the
+    * bucket key; [[Dedup.hammingPairs64Keyed]]), hash-gated row by row. */
+  private def pipelineMmIngestPairs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ingestPipeline(
+        Multimodal.renderedIngestPayloads(t(s, dir, "documents"), "doc_id"))
+      ._2.select(col("grp").as("family"), col("id_a"), col("id_b"),
+                 col("hamming"))
+      .orderBy("family", "id_a", "id_b")
+
   /** COMPRESSED-codec video decode at corpus scale: the same render-spec
     * frames, each through the REAL ImageIO JPEG encoder into a 'MJPG' AVI
     * ([[Multimodal.renderedMjpegPayloads]]), decoded back frame-by-frame
@@ -4723,6 +4749,8 @@ object SparkEntry {
     "mm_video_neardup"    -> mmVideoNearDup _,
     "mm_video_shared_frames" -> mmVideoSharedFrames _,
     "mm_video_mjpeg"      -> mmVideoMjpeg _,
+    "pipeline_mm_ingest"  -> pipelineMmIngest _,
+    "pipeline_mm_ingest_pairs" -> pipelineMmIngestPairs _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -9281,6 +9309,8 @@ object SparkEntry {
     "mm_video_shared_frames" ->
       OracleXX.videoSharedFramesOracle(minShared = 2, maxFrameFreq = 4096L),
     "mm_video_mjpeg" -> OracleXX.videoMjpegDecodeOracle(corruptMod = 9L),
+    "pipeline_mm_ingest" -> OracleXX.ingestCardOracle(maxHamming = 3),
+    "pipeline_mm_ingest_pairs" -> OracleXX.ingestPairsOracle(maxHamming = 3),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB

@@ -497,24 +497,55 @@ object Dedup {
   def hammingPairs64(hashes: DataFrame, maxHamming: Int,
                      maxBucketSize: Long = 4096L,
                      materialize: Boolean = true,
-                     keepAllCandidates: Boolean = false): DataFrame = {
+                     keepAllCandidates: Boolean = false): DataFrame =
+    hammingPairs64Impl(hashes, grpCol = None, maxHamming, maxBucketSize,
+      materialize, keepAllCandidates)
+
+  /** [[hammingPairs64]] with a GROUP key: fingerprints only pair within
+    * the same group (modality family, tenant, shard...) because the group
+    * rides inside the blocking key — ONE blocked equi-join + ONE shuffle
+    * for the whole corpus, instead of one join per group over filtered
+    * slices (the composed multimodal ingest runs image/audio/video
+    * near-dup as a single pass this way). Input: `(id, sh, grp)` rows;
+    * ids must be unique across groups. Output:
+    * `(grp, id_a, id_b, hamming)`. */
+  def hammingPairs64Keyed(hashes: DataFrame, maxHamming: Int,
+                          maxBucketSize: Long = 4096L,
+                          materialize: Boolean = true,
+                          keepAllCandidates: Boolean = false): DataFrame =
+    hammingPairs64Impl(hashes, grpCol = Some("grp"), maxHamming,
+      maxBucketSize, materialize, keepAllCandidates)
+
+  private def hammingPairs64Impl(hashes: DataFrame, grpCol: Option[String],
+                                 maxHamming: Int, maxBucketSize: Long,
+                                 materialize: Boolean,
+                                 keepAllCandidates: Boolean): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
     val nBlocks = maxHamming + 1
     val bitsPer = 64 / nBlocks
-    val hashed = hashes.select(col("id"), col("sh"))
+    val hashed = hashes
+      .select(col("id") +: col("sh") +: grpCol.map(col).toSeq: _*)
       .saltedPersist() // reused by both join sides — see minhashLshPairs note
     val blocked = hashed.select(col("id"), explode(
-      transform(sequence(lit(0), lit(nBlocks - 1)), i =>
-        struct(i.as("i"),
-               call_function("shiftrightunsigned", col("sh"), i * bitsPer)
-                 .bitwiseAND(lit((1L << bitsPer) - 1)).as("bits")))).as("blk"))
+      transform(sequence(lit(0), lit(nBlocks - 1)), i => {
+        val bits = call_function("shiftrightunsigned", col("sh"), i * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("bits")
+        // the group is part of the bucket identity: cross-group rows can
+        // never meet in the equi-join, and the skew cap sizes per-group
+        grpCol match {
+          case Some(g) => struct(col(g).as("g"), i.as("i"), bits)
+          case None    => struct(i.as("i"), bits)
+        }
+      })).as("blk"))
     val (cand, sizedCache) = cappedCandidatePairs(blocked, "blk", maxBucketSize)
+    val aSide = hashed.select(
+      col("id").as("id_a") +: col("sh").as("sh_a") +: grpCol.map(col).toSeq: _*)
     val out = cand
-      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(aSide, "id_a")
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-              TF.hammingDist64(col("sh_a"), col("sh_b")).as("hamming"))
+      .select(grpCol.map(col).toSeq ++ Seq(col("id_a"), col("id_b"),
+              TF.hammingDist64(col("sh_a"), col("sh_b")).as("hamming")): _*)
     // keepAllCandidates = the blocking-recall diagnostic: every banded
     // candidate with its exact hamming, unthresholded
     val cut = if (keepAllCandidates) out else out.where(col("hamming") <= maxHamming)

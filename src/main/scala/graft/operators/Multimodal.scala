@@ -448,6 +448,20 @@ object Multimodal {
     * initializable once per partition); payload bytes never leave the
     * stage — the output is `(id, phash LONG nullable)`. Empty payloads
     * hash to 0. */
+  /** The genuine image decode step behind [[perceptualHash]]: ImageIO
+    * decode → raster luma → [[dhashFromGray]]. Any decode failure — IO,
+    * EOF on a truncated body, or a reader-internal error on adversarial
+    * bytes — is a NULL, never a thrown task failure. Callers are inside
+    * `mapPartitions` with `ImageIO.setUseCache(false)` applied. */
+  private def imageDhashOrNull(bytes: Array[Byte]): java.lang.Long = {
+    val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1)
+      null // corrupt body behind a valid magic
+    else dhashFromGray(img.getWidth, img.getHeight, rasterLuma(img))
+  }
+
   def perceptualHash(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.LONG)
@@ -464,17 +478,8 @@ object Multimodal {
           val h: java.lang.Long =
             if (bytes == null || bytes.isEmpty) 0L
             else ImageHeader.parse(bytes) match {
-              case Some(_) =>
-                // any decode failure — IO, EOF on a truncated body, or a
-                // reader-internal error on adversarial bytes — is a null,
-                // never a thrown task failure
-                val img = try javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes))
-                  catch { case scala.util.control.NonFatal(_) => null }
-                if (img == null || img.getWidth < 1 || img.getHeight < 1)
-                  null // corrupt body behind a valid magic
-                else dhashFromGray(img.getWidth, img.getHeight, rasterLuma(img))
-              case None => stubDhash(bytes)
+              case Some(_) => imageDhashOrNull(bytes)
+              case None    => stubDhash(bytes)
             }
           (id, h)
         }
@@ -1199,6 +1204,189 @@ object Multimodal {
           (id, payload)
         }
       }.toDF("id", "payload")
+  }
+
+  // ==== the composed multimodal ingest DAG ================================
+
+  /** Mixed-modality corpus for the composed ingest gates: modality by
+    * `(id DIV 5) % 4` so every 5-doc render group is single-modality and
+    * the per-modality near-dup structure (hamming-0 twins, small-hamming
+    * edits, negative controls) survives the mix —
+    *   0 → a real PNG ([[RenderSpec]], ImageIO-encoded; ids with
+    *       `id % 17 == 5` truncated to 26 bytes: valid magic + IHDR,
+    *       corrupt body — must decode to a NULL fingerprint);
+    *   1 → a real WAV ([[AudioRenderSpec]], the `javax.sound` encoder);
+    *   2 → a real uncompressed AVI ([[VideoRenderSpec]]);
+    *   3 → plain UTF-8 text bytes (no media decode — the pass-through
+    *       class every real ingest carries).
+    * Every class through its REAL encoder; each modality's fingerprint
+    * formula oracle applies verbatim to its id subset. */
+  def renderedIngestPayloads(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long").as("id"))
+      .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+        // once-per-partition WAVE writer via the public SPI (the measured
+        // AudioSystem.write provider-lock superlinearity — see
+        // renderedAudioPayloads)
+        lazy val wavWriter = {
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+          var w: javax.sound.sampled.spi.AudioFileWriter = null
+          while (w == null && it.hasNext) {
+            val c = it.next()
+            if (c.isFileTypeSupported(AudioFileFormat.Type.WAVE)) w = c
+          }
+          require(w != null, "no WAVE AudioFileWriter provider")
+          w
+        }
+        lazy val wavFmt = new AudioFormat(
+          AudioRenderSpec.SampleRate.toFloat, 16, 1, true, false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload: Array[Byte] = ((id / 5L) % 4L) match {
+            case 0L =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(renderSpecImage(id), "png", bos)
+              val full = bos.toByteArray
+              if (id % 17L == 5L) java.util.Arrays.copyOf(full, 26) else full
+            case 1L =>
+              val pcm = new Array[Byte](AudioRenderSpec.N * 2)
+              var i = 0
+              while (i < AudioRenderSpec.N) {
+                val v = AudioRenderSpec.sample(id, i)
+                pcm(i * 2) = (v & 0xFF).toByte
+                pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+                i += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              wavWriter.write(
+                new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+                  wavFmt, AudioRenderSpec.N.toLong),
+                AudioFileFormat.Type.WAVE, bos)
+              bos.toByteArray
+            case 2L =>
+              graft.functions.AviHeader.write(VideoRenderSpec.UsPerFrame,
+                VideoRenderSpec.W, VideoRenderSpec.H,
+                VideoRenderSpec.frames(id))
+            case _ =>
+              s"plain text document $id payload".getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** Routed per-payload fingerprint row; see [[ingestFingerprints]]. */
+  final case class IngestFp(id: Long, kind: String, family: String,
+                            fp: Option[Long])
+
+  /** The single-scan heart of the composed ingest DAG: per payload, ONE
+    * pass that sniffs the format ([[sniffKind]] — the real router, not id
+    * arithmetic), dispatches to the matching decoder, and emits the
+    * modality fingerprint — `(id, kind, family, fp)`, with the payload
+    * bytes never leaving the stage:
+    *   png/jpeg → ImageIO decode → dHash          (family "image")
+    *   wav      → byte-level PCM → lag-energy fp  (family "audio")
+    *   avi      → container walk → frame dHashes → majority fp ("video")
+    *   text/gzip/binary/empty → no decode, NULL fp (family "other")
+    * A payload that ROUTES but fails to DECODE (corrupt body behind a
+    * valid magic) is a NULL fingerprint in its family — row-level
+    * degradation, the contract every per-modality operator keeps.
+    *
+    * `decodeCounter`, when supplied, increments once per payload VISITED —
+    * the decode-once proof: the composed pipeline's specs assert it lands
+    * exactly on the corpus row count, i.e. no branch of the DAG re-reads
+    * payload bytes. */
+  def ingestFingerprints(df: DataFrame,
+                         decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[IngestFp] = {
+    implicit val enc = Encoders.product[IngestFp]
+    df.select("id", "payload")
+      .as(Encoders.row(StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeCounter.foreach(_.add(1L))
+          val kind = sniffKind(bytes)
+          val (family, fp) = kind match {
+            case "png" | "jpeg" =>
+              ("image", Option(imageDhashOrNull(bytes)).map(_.longValue))
+            case "wav" =>
+              ("audio", graft.functions.WavHeader.pcmMono16(bytes)
+                .flatMap(audioFingerprint64))
+            case "avi" =>
+              ("video", graft.functions.AviHeader.parse(bytes).flatMap(info =>
+                videoFingerprint64(decodedFrameHashes(bytes, info)
+                  .map(_._2).toArray)))
+            case _ => ("other", None)
+          }
+          IngestFp(id, kind, family, fp)
+        }
+      }
+  }
+
+  /** The COMPOSED multimodal ingest pipeline, assembled as one dataflow —
+    * source → router → per-modality decode → unified near-dup → curation
+    * data-card (the shape the reference wires at
+    * core/src/main/scala/atiesh/server/AtieshServer.scala:116-164, where
+    * sources, interceptor chains, and sinks become ONE running graph):
+    *
+    *   (id, payload) ── ingestFingerprints ──► slim (id, kind, family, fp)
+    *        │ one scan, decode ONCE                 │ persisted — feeds
+    *        ▼                                       ▼ every branch below
+    *   [family-keyed pigeonhole near-dup]   [per-family decode counts]
+    *        └──────────────┬────────────────────────┘
+    *                       ▼
+    *        data-card: family, n_docs, n_decoded, n_null,
+    *                   n_pairs, n_docs_paired
+    *
+    * Returns (card, pairs). The payload scan runs ONCE: everything past
+    * [[ingestFingerprints]] reads the persisted 25-byte projection, the
+    * near-dup is a single grouped join ([[Dedup.hammingPairs64Keyed]] —
+    * one shuffle for all three modalities, group inside the bucket key),
+    * and the card aggregates the materialized pair table. At 100 TB the
+    * payload scan is the only stage that touches bytes; its output is
+    * ~10⁻⁶ of the input and everything downstream is exchange-light. */
+  def ingestPipeline(df: DataFrame, maxHamming: Int = 3,
+                     maxBucketSize: Long = 4096L,
+                     decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None): (DataFrame, DataFrame) = {
+    import graft.util.CacheSalt.SaltedPersistOps
+    val doMaterialize = df.sparkSession.conf
+      .get("spark.graft.dedup.materialize", "local") != "none"
+    val fp = ingestFingerprints(df, decodeCounter).toDF().saltedPersist()
+    val pairs = Dedup.hammingPairs64Keyed(
+      fp.where(col("fp").isNotNull)
+        .select(col("id"), col("fp").as("sh"), col("family").as("grp")),
+      maxHamming, maxBucketSize, materialize = doMaterialize)
+    val base = fp.groupBy("family").agg(
+      count(lit(1)).as("n_docs"),
+      count(col("fp")).as("n_decoded"),
+      (count(lit(1)) - count(col("fp"))).as("n_null"))
+    val pc = pairs.groupBy(col("grp").as("family"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val pd = pairs.select(col("grp").as("family"), col("id_a").as("id"))
+      .unionByName(pairs.select(col("grp").as("family"), col("id_b").as("id")))
+      .distinct()
+      .groupBy("family").agg(count(lit(1)).as("n_docs_paired"))
+    val card = base
+      .join(pc, Seq("family"), "left")
+      .join(pd, Seq("family"), "left")
+      .select(col("family"), col("n_docs"), col("n_decoded"), col("n_null"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_paired"), lit(0L)).as("n_docs_paired"))
+    if (!doMaterialize) { fp.unpersist(); (card, pairs) }
+    else {
+      // pairs is already checkpointed by the keyed join; cut the card too,
+      // then the fingerprint projection can go
+      val cardM = graft.util.Materialize.track(card.localCheckpoint(true))
+      fp.unpersist()
+      (cardM, pairs)
+    }
   }
 
   /** Image near-duplicates: [[perceptualHash]] fingerprints fed through

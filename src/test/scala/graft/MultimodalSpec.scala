@@ -382,6 +382,37 @@ class MultimodalSpec extends SparkSpec {
       maxFrameFreq = 1L).count() == 0L)
   }
 
+  test("ingestPipeline: ONE payload scan feeds every branch — the decode-once accumulator proof") {
+    val ids = (0L until 60L).toDF("doc_id") // 12 groups: 3 per modality
+    val pay = Multimodal.renderedIngestPayloads(ids, "doc_id")
+    val acc = spark.sparkContext.longAccumulator("ingest decodes")
+    val (card, pairs) = Multimodal.ingestPipeline(pay, decodeCounter = Some(acc))
+    val cardRows = card.collect()
+    val pairRows = pairs.collect()
+    // the composed DAG's core claim: sniff + decode + fingerprint visit
+    // each payload EXACTLY once even though three near-dup branches, the
+    // pair table, and the card all consume the result
+    assert(acc.value == 60L,
+      s"payloads visited ${acc.value} times for 60 docs — a branch re-decoded")
+    val byFam = cardRows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // routing: 3 groups of 5 per modality
+    Seq("image", "audio", "video", "other").foreach(f =>
+      assert(byFam(f)._1 == 15L, s"$f n_docs ${byFam(f)._1}"))
+    // the one corrupt PNG in [0, 60) — image ids are 0-4/20-24/40-44 and
+    // id % 17 == 5 hits only 22 — must be the image family's only null
+    assert(byFam("image")._3 == 1L && byFam("image")._2 == 14L, "corrupt PNG accounting")
+    // text never decodes; media families all pair (render twins)
+    assert(byFam("other")._2 == 0L && byFam("other")._4 == 0L)
+    assert(pairRows.map(_.getString(0)).toSet == Set("image", "audio", "video"),
+      "every media family must contribute near-dup pairs")
+    // unified pairs stay within family AND within render group
+    pairRows.foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      assert(a / 5L == b / 5L, s"cross-group pair ($a,$b)")
+    }
+  }
+
   test("rendered MJPEG corpus: real JPEG frame decode within hamming 3; corrupt frame drops, never throws") {
     import graft.operators.Multimodal.VideoRenderSpec
     val ids = (0L until 20L).toDF("doc_id")

@@ -207,6 +207,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.materialize")
   }
 
+  test("pipeline_mm_ingest: payloads never cross an exchange; one grouped join, no product") {
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      Seq("pipeline_mm_ingest", "pipeline_mm_ingest_pairs").foreach { q =>
+        val p = plan(q)
+        // the composed DAG's contract: payload bytes are consumed inside
+        // the one decode scan; every exchange downstream carries only the
+        // slim (id, kind, family, fp) projection or smaller
+        assert(!p.linesIterator.exists(l =>
+            l.contains("Exchange") && l.contains("payload")),
+          s"$q: payload bytes crossed a shuffle:\n$p")
+        // the unified near-dup must stay a keyed equi-join — never a
+        // cross-family or all-pairs degeneration
+        assert(!p.contains("CartesianProduct") &&
+               !p.contains("BroadcastNestedLoopJoin"),
+          s"$q: pair join degenerated to a product:\n$p")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.dedup.materialize")
+      // plan-mode persists stay by convention (see dedupPlan note)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("split leakage: pair table broadcasts onto the split projection") {
     val p = plan("dedup_split_leakage")
     // both endpoint attachments join the (small) near-dup pair table to the
