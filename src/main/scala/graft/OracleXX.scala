@@ -918,6 +918,77 @@ object OracleXX {
                 LEFT JOIN pd ON pd.family = base.family
       ORDER BY base.family"""
 
+  /** Fragment CTE `b2(doc_id, hu, i, bits)` over the render-dHash chain —
+    * the replica of the engine's packed fragment key (the fragment index
+    * and its bit content identify a bucket). */
+  private def renderFragCtes(maxHamming: Int): String = {
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    s"""$renderDhashCtes,
+      frag AS (SELECT doc_id, hu, unnest(range(0, $nBlocks)) AS i FROM ph),
+      b2 AS MATERIALIZED (SELECT doc_id, hu, i,
+              (hu // ($pow2)[i*$bitsPer+1]) % ${1L << bitsPer} AS bits FROM frag)"""
+  }
+
+  /** Replica of `Dedup.hammingSurvivorsIndexed` over the rendered image
+    * corpus split members 0–1 (corpus index) / members 2–4 (incoming):
+    * per incoming id, distinct corpus ids within `maxHamming`, distinct
+    * smaller-id incoming ids within `maxHamming`, and the greedy
+    * keep-first survival decision. */
+  def hammingIncrementalOracle(maxHamming: Int): String = s"""
+      WITH ${renderFragCtes(maxHamming)},
+      crossd AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS cid
+                 FROM b2 a JOIN b2 b ON a.i = b.i AND a.bits = b.bits
+                 WHERE a.doc_id % 5 >= 2 AND b.doc_id % 5 < 2
+                   AND bit_count(xor(a.hu, b.hu)) <= $maxHamming),
+      nc AS (SELECT id, count(*)::BIGINT AS n_dup_corpus FROM crossd GROUP BY id),
+      intra AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS bid
+                FROM b2 a JOIN b2 b ON a.i = b.i AND a.bits = b.bits
+                WHERE a.doc_id % 5 >= 2 AND b.doc_id % 5 >= 2
+                  AND b.doc_id < a.doc_id
+                  AND bit_count(xor(a.hu, b.hu)) <= $maxHamming),
+      nb AS (SELECT id, count(*)::BIGINT AS n_dup_batch FROM intra GROUP BY id)
+      SELECT p.doc_id AS id,
+             coalesce(nc.n_dup_corpus, 0)::BIGINT AS n_dup_corpus,
+             coalesce(nb.n_dup_batch, 0)::BIGINT AS n_dup_batch,
+             (coalesce(nc.n_dup_corpus, 0) = 0 AND
+              coalesce(nb.n_dup_batch, 0) = 0) AS survives
+      FROM ph p LEFT JOIN nc ON nc.id = p.doc_id
+                LEFT JOIN nb ON nb.id = p.doc_id
+      WHERE p.doc_id % 5 >= 2
+      ORDER BY id"""
+
+  /** Replica of `Dedup.hammingIngest` (and its live twin) over the
+    * rendered image corpus: the sequential accepted-so-far loop — per
+    * batch, drop ids within `maxHamming` of an ACCEPTED fingerprint or a
+    * smaller-id batch mate, then extend the accepted set — replayed as a
+    * chained CTE per batch, the `ingestOracle` pattern over fragments. */
+  def hammingIngestOracle(bounds: Seq[(Long, Long)], maxHamming: Int): String = {
+    val steps = bounds.zipWithIndex.map { case ((lo, hi), i0) =>
+      val i = i0 + 1
+      s"""drop$i AS (
+        SELECT DISTINCT a.doc_id
+        FROM b2 a JOIN b2 b ON a.i = b.i AND a.bits = b.bits
+        WHERE a.doc_id >= $lo AND a.doc_id < $hi
+          AND (b.doc_id IN (SELECT doc_id FROM acc${i - 1})
+               OR (b.doc_id >= $lo AND b.doc_id < $hi AND b.doc_id < a.doc_id))
+          AND bit_count(xor(a.hu, b.hu)) <= $maxHamming),
+      acc$i AS MATERIALIZED (
+        SELECT doc_id FROM acc${i - 1}
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id >= $lo AND doc_id < $hi
+          AND doc_id NOT IN (SELECT doc_id FROM drop$i))"""
+    }
+    s"""
+      WITH ${renderFragCtes(maxHamming)},
+      acc0 AS (SELECT doc_id FROM documents WHERE FALSE),
+      ${steps.mkString(",\n      ")}
+      SELECT p.doc_id AS id, p.phash
+      FROM ph p JOIN acc${bounds.size} a ON a.doc_id = p.doc_id
+      ORDER BY id"""
+  }
+
   /** The pigeonhole hamming join over any CTE chain ending in
     * `ph(doc_id, hu, ...)`. */
   private def hammingJoinOver(ctes: String, maxHamming: Int,

@@ -3825,6 +3825,101 @@ object SparkEntry {
         minShared = 2)
       .orderBy("id_a", "id_b")
 
+  /** Incremental fingerprint near-dup against the PERSISTED fragment
+    * index ([[Dedup.hammingSurvivorsIndexed]]) — the modality twin of
+    * `dedup_incremental_indexed`: the corpus split members 0–1 of every
+    * render group are fingerprinted ONCE into the bucketed fragment index;
+    * the incoming members 2–4 probe it with zero index-side exchange
+    * (PlanSpec-pinned). Every render group guarantees cross-boundary work:
+    * member 3 (the +1-brightness twin) sits at hamming 0 from corpus
+    * member 0, member 4 (independent) survives. The oracle replays the
+    * render formula + fragment join + the greedy keep-first rule. */
+  private def mmNearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tag = layoutTag(dir)
+    def fp(d: DataFrame) = Multimodal.perceptualHash(
+        Multimodal.renderedImagePayloads(d, "doc_id"))
+      .where(col("phash").isNotNull)
+      .select(col("id"), col("phash").as("sh"))
+    val idx = graft.operators.Relational.bucketMaterialize(
+      Dedup.buildHammingPostings(fp(docs.where(col("doc_id") % 5 < 2)),
+        maxHamming = 3),
+      s"graft_b_mmidx_$tag", "bk", 8,
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/mmidx")
+    Dedup.hammingSurvivorsIndexed(fp(docs.where(col("doc_id") % 5 >= 2)),
+        idx, maxHamming = 3)
+      .select("id", "n_dup_corpus", "n_dup_batch", "survives")
+      .orderBy("id")
+  }
+
+  /** Ingest-loop batch bounds for the fingerprint ingest gates — NOT
+    * multiples of the 5-doc render group, so groups straddle batch
+    * boundaries and the accepted-so-far index genuinely matters (a
+    * group-aligned split would make every batch independent). Shared by
+    * the gate queries AND the oracle. */
+  private val mmIngestBounds = Seq((0L, 148L), (148L, 352L), (352L, Long.MaxValue))
+
+  /** Fingerprint ingest loop over the bucketed fragment index
+    * ([[Dedup.hammingIngest]]) — ordered batches of real rendered PNGs,
+    * each decoded once, probed against the fingerprints ACCEPTED so far,
+    * survivors extending the index before the next batch probes it. */
+  private def mmIngestLoop(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tag = layoutTag(dir)
+    val batches = mmIngestBounds.map { case (lo, hi) =>
+      Multimodal.perceptualHash(
+          Multimodal.renderedImagePayloads(
+            docs.where(col("doc_id") >= lo && col("doc_id") < hi), "doc_id"))
+        .where(col("phash").isNotNull)
+        .select(col("id"), col("phash").as("sh")) }
+    Dedup.hammingIngest(batches, s"graft_b_mmingest_$tag",
+        s"${graft.util.Scratch.base}/graft_bucketed_$tag/mmingest",
+        buckets = 8, maxHamming = 3)
+      .select(col("id"), col("sh").as("phash"))
+      .orderBy("id")
+  }
+
+  /** The fingerprint ingest loop run LIVE ([[graft.streaming.MmIngest]]):
+    * the same three payload batches arrive as parquet files through a
+    * file stream (`maxFilesPerTrigger = 1`, mod-times force order), each
+    * micro-batch decodes its payloads ONCE, probes the bucketed fragment
+    * index, and extends it with the survivors — gated against the
+    * identical sequential-loop oracle as `mm_ingest_loop`, batch/live
+    * parity for the modality ingestion path. */
+  private def streamMmIngest(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val tag = layoutTag(dir)
+    val work = graft.util.TempDirs.create("graft-stream-mm-ingest")
+    val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val docs = t(s, dir, "documents")
+    mmIngestBounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = work.resolve(s"b$i")
+      Multimodal.renderedImagePayloads(
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi), "doc_id")
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(f"b$i%02d.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val empty = s.range(0).select(col("id"), lit(0L).as("sh"))
+    Dedup.initHammingIndex(empty, s"graft_b_stream_mmingest_$tag",
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_mmingest",
+      buckets = 8, maxHamming = 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val incoming = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val out = work.resolve("out").toString
+    val q = graft.streaming.MmIngest.start(incoming,
+      indexTable = s"graft_b_stream_mmingest_$tag", outPath = out,
+      checkpoint = work.resolve("ck").toString,
+      buckets = 8, maxHamming = 3, availableNow = true)
+    q.awaitTermination()
+    s.read.parquet(out).select("id", "phash").orderBy("id")
+  }
+
   /** The COMPOSED multimodal ingest DAG run end to end as ONE dataflow —
     * mixed real-codec corpus ([[Multimodal.renderedIngestPayloads]]: PNG /
     * WAV / AVI / text, plus truncated-PNG corrupt rows) → magic-byte sniff
@@ -4751,6 +4846,9 @@ object SparkEntry {
     "mm_video_mjpeg"      -> mmVideoMjpeg _,
     "pipeline_mm_ingest"  -> pipelineMmIngest _,
     "pipeline_mm_ingest_pairs" -> pipelineMmIngestPairs _,
+    "mm_neardup_incremental" -> mmNearDupIncremental _,
+    "mm_ingest_loop"      -> mmIngestLoop _,
+    "stream_mm_ingest"    -> streamMmIngest _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -9311,6 +9409,9 @@ object SparkEntry {
     "mm_video_mjpeg" -> OracleXX.videoMjpegDecodeOracle(corruptMod = 9L),
     "pipeline_mm_ingest" -> OracleXX.ingestCardOracle(maxHamming = 3),
     "pipeline_mm_ingest_pairs" -> OracleXX.ingestPairsOracle(maxHamming = 3),
+    "mm_neardup_incremental" -> OracleXX.hammingIncrementalOracle(maxHamming = 3),
+    "mm_ingest_loop" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
+    "stream_mm_ingest" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB

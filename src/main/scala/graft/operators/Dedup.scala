@@ -553,6 +553,117 @@ object Dedup {
     else cut
   }
 
+  // ==== persisted fragment-bucketed hamming index (fingerprint ingest) ====
+
+  /** The packed pigeonhole fragment key of a 64-bit fingerprint: for
+    * fragment `i`, `bk = i * 2^bitsPer + bits(i)` — one Long that carries
+    * both the fragment index and its bit content, so a bucketed layout on
+    * ONE column is the full blocking identity. */
+  private def fragmentKeys(sh: Column, maxHamming: Int): Column = {
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    transform(sequence(lit(0), lit(nBlocks - 1)), i =>
+      i.cast("long") * (1L << bitsPer) +
+      call_function("shiftrightunsigned", sh, i * bitsPer)
+        .bitwiseAND(lit((1L << bitsPer) - 1)))
+  }
+
+  /** Fragment postings of a fingerprint corpus — `(id, sh, bk)`, one row
+    * per pigeonhole fragment ([[hammingPairs64]]'s blocking scheme as a
+    * TABLE): persist with `Relational.bucketMaterialize(_, table, "bk",
+    * buckets, path)` and every later ingest batch probes it with zero
+    * index-side exchange. The modality twin of [[buildPostingIndex]]
+    * (shingles → 64-bit fragments). */
+  def buildHammingPostings(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    hashes.select(col("id"), col("sh"),
+      explode(fragmentKeys(col("sh"), maxHamming)).as("bk"))
+  }
+
+  /** Empty fragment-index table with the bucket layout the ingest loop
+    * appends into. */
+  def initHammingIndex(like: DataFrame, table: String, path: String,
+                       buckets: Int = 8, maxHamming: Int = 3): DataFrame =
+    Relational.bucketMaterialize(
+      buildHammingPostings(like.where(lit(false))
+        .select(col("id"), col("sh")), maxHamming),
+      table, "bk", buckets, path)
+
+  /** Append a batch's accepted fingerprints to the bucketed fragment
+    * index (bucket spec must match [[initHammingIndex]]). */
+  def appendHammingIndex(hashes: DataFrame, table: String,
+                         buckets: Int = 8, maxHamming: Int = 3): Unit =
+    buildHammingPostings(hashes, maxHamming)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(table)
+
+  /** Incremental fingerprint near-dup against a PERSISTED fragment index —
+    * the modality twin of [[incrementalSurvivorsIndexed]]: per incoming
+    * fingerprint, how many ACCEPTED corpus fingerprints and how many
+    * smaller-id batch fingerprints sit within `maxHamming`, and whether
+    * the row survives (both zero; greedy keep-first within the batch,
+    * the [[incrementalSurvivors]] convention). Input `(id, sh)`; ids
+    * unique across corpus and batch. Output
+    * `(id, sh, n_dup_corpus, n_dup_batch, survives)` — a per-row ingest
+    * DECISION record, not just the survivor cut.
+    *
+    * Scale shape: the corpus side is the bucketed table, scanned in
+    * bucket order with NO exchange (PlanSpec-pinned); only the batch's
+    * `(id, sh, bk)` postings shuffle — O(batch) per ingest step, never
+    * O(corpus). Pathological fragments (all-black images, digital
+    * silence) make hot buckets exactly like stopword shingles; this exact
+    * operator carries them (the decision record must be exact) —
+    * production bounds them UPSTREAM by dropping degenerate payloads at
+    * decode (the quality-filter stage), not by pruning the index. */
+  def hammingSurvivorsIndexed(incoming: DataFrame, index: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    val inc = incoming.select(col("id"), col("sh")).saltedPersist()
+    val incPost = buildHammingPostings(inc, maxHamming)
+    val cross = incPost.as("a").join(index.as("b"), col("a.bk") === col("b.bk"))
+      .where(TF.hammingDist64(col("a.sh"), col("b.sh")) <= maxHamming)
+      .select(col("a.id").as("id"), col("b.id").as("cid")).distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_corpus"))
+    val intra = incPost.as("a").join(incPost.as("b"),
+        col("a.bk") === col("b.bk") && col("b.id") < col("a.id"))
+      .where(TF.hammingDist64(col("a.sh"), col("b.sh")) <= maxHamming)
+      .select(col("a.id").as("id"), col("b.id").as("bid")).distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_batch"))
+    val out = inc
+      .join(cross, Seq("id"), "left")
+      .join(intra, Seq("id"), "left")
+      .select(col("id"), col("sh"),
+        coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
+        coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
+        (coalesce(col("n_dup_corpus"), lit(0L)) === 0L &&
+         coalesce(col("n_dup_batch"), lit(0L)) === 0L).as("survives"))
+    materializeAndRelease(out, inc)
+  }
+
+  /** Fingerprint ingest loop — the modality twin of [[dedupIngest]]:
+    * ordered batches of `(id, sh)` fingerprints, each probed against the
+    * fingerprints ACCEPTED so far via the bucketed fragment index, each
+    * batch's survivors extending the index before the next batch probes
+    * it. Returns the accepted rows. */
+  def hammingIngest(batches: Seq[DataFrame], table: String, path: String,
+                    buckets: Int = 8, maxHamming: Int = 3): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    val spark = batches.head.sparkSession
+    initHammingIndex(batches.head, table, path, buckets, maxHamming)
+    batches.map { b =>
+      // the decision record is localCheckpoint'd by hammingSurvivorsIndexed,
+      // so the index append and the accumulated result read materialized
+      // blocks, not a recompute racing the append
+      val surv = hammingSurvivorsIndexed(b, spark.table(table), maxHamming)
+        .where(col("survives")).select(col("id"), col("sh"))
+      appendHammingIndex(surv, table, buckets, maxHamming)
+      surv
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
     * shingle hashes, equi-join on shingle, count shared shingles per pair,
     * Jaccard = |∩| / (|A|+|B|−|∩|). Exact (not estimated) — the candidate

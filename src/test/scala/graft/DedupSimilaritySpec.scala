@@ -104,6 +104,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hamming ingest: sequential accepted-set semantics; a replayed batch drops itself") {
+    import spark.implicits._
+    // hand-built fingerprints: ids 0/1 hamming 0 (dup pair), 2 one bit off
+    // (dup of 0 at hamming 1), 3 far away; batch 2 re-sees 0's code (id 10)
+    // and brings a fresh one (id 11)
+    val b1 = Seq((0L, 100L), (1L, 100L), (2L, 101L), (3L, Long.MinValue + 7))
+      .toDF("id", "sh")
+    val b2 = Seq((10L, 100L), (11L, 0x0F0F0F0F0F0F0F0FL)).toDF("id", "sh")
+    val table = "graft_b_hamming_spec"
+    val path = "/tmp/graft_bucketed_spec_hamming"
+    val acc = Dedup.hammingIngest(Seq(b1, b2), table, path, maxHamming = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // batch 1: 0 survives, 1 (ham 0 of 0) and 2 (ham 1) drop greedy,
+    // 3 survives; batch 2: 10 hits accepted 0's code, 11 is fresh
+    assert(acc == Set(0L, 3L, 11L), s"accepted $acc")
+    // replay idempotence (the at-least-once contract): the surviving
+    // fingerprints are in the index now, so re-probing the same batch
+    // finds every row at hamming 0 — nothing survives a replay
+    val replay = Dedup.hammingSurvivorsIndexed(b2, spark.table(table),
+      maxHamming = 3)
+    assert(replay.where(col("survives")).count() == 0L, "replay not idempotent")
+    // the decision record is exact: 10 and 11 each match >= 1 accepted code
+    val rec = replay.collect().map(r =>
+      r.getLong(0) -> r.getLong(2)).toMap
+    assert(rec(10L) >= 1L && rec(11L) >= 1L)
+  }
+
   test("intra-doc line dedup: first occurrence survives, empties kept, zero shuffles") {
     import spark.implicits._
     val pages = Seq(

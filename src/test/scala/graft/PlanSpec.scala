@@ -392,6 +392,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint fragment index: probed in place — no index-side exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // the plan shape is independent of how fingerprints were decoded —
+    // a slim synthetic (id, sh) frame keeps the pin fast
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id").as("id"), xxhash64(col("text")).as("sh"))
+    val idx = graft.operators.Relational.bucketMaterialize(
+      graft.operators.Dedup.buildHammingPostings(
+        docs.where(col("id") % 5 < 2), maxHamming = 3),
+      "graft_b_mmidx_plan", "bk", 8, "/tmp/graft_bucketed_plan/mmidx")
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val out = graft.operators.Dedup.hammingSurvivorsIndexed(
+        docs.where(col("id") % 5 >= 2), idx, maxHamming = 3)
+      val sp = out.queryExecution.sparkPlan
+      val bucketScans = sp.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketScans.nonEmpty, s"index scan lost its bucket layout:\n$sp")
+      // the bucket layout IS the join partitioning for the index side —
+      // no Exchange may sit anywhere above the bucketed scan
+      val reshuffled = sp.collect { case e: Exchange
+        if e.collectFirst {
+          case f: FileSourceScanExec if f.bucketedScan => f }.isDefined => e }
+      assert(reshuffled.isEmpty,
+        s"fragment index re-shuffled above its bucketed scan:\n$sp")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.conf.unset("spark.graft.dedup.materialize")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("partition-pruned scan: the filter lands in PartitionFilters, not post-scan") {
     val p = plan("q_partition_pruned")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
