@@ -92,6 +92,10 @@ object BenchScale {
     // parses headers only. NEAR-DUP stays excluded per the fragment
     // regime note above.
     "mm_video_meta", "mm_video_frame_hashes", "mm_video_fingerprint",
+    // round-13: motion-JPEG — the same one-scan shape with the real
+    // ImageIO JPEG encoder AND decoder inside (~7 of each per row); the
+    // one-scan decode report replaces a meta + fingerprint double pass
+    "mm_video_mjpeg",
     // format sniffing and the unicode/markup text transforms are pure
     // narrow scans (one classification / normalization / regex chain per
     // row, nothing shuffles)
@@ -377,9 +381,20 @@ object BenchScale100 {
                                  // + ~3.5M DIB frame decodes + majority
                                  // votes — the third modality's genuine-
                                  // decode claim, two orders up
-    "mm_sniff")                  // 500k mixed-format classifications: every
+    "mm_sniff",                  // 500k mixed-format classifications: every
                                  // parser accepts its own class / rejects
                                  // the rest at the full corpus scale
+    "mm_video_shared_frames",    // round-13 (verdict item 4): clip-reuse at
+                                 // two orders — exact 64-bit frame-hash
+                                 // postings (no 16-bit fragment-collision
+                                 // regime), ~3.5M decoded frames through
+                                 // the df-pruned inverted-index join whose
+                                 // hot keys (test cards, black frames) are
+                                 // exactly what the prune bounds
+    "mm_video_mjpeg")            // round-13: the compressed codec two
+                                 // orders up — 500k MJPG containers,
+                                 // ~3.5M real ImageIO JPEG encodes AND
+                                 // decodes, scan shape like mm_phash
   val EventQueries = Seq(
     "events_dau_hll",            // per-day HLL registers over 10M events
     "stream_hourly_hll")         // the same, LIVE through watermarked append mode
