@@ -56,6 +56,25 @@ object Multimodal {
     }
   }
 
+  /** Slim id projection hash-spread across the cluster BEFORE an encode
+    * stage: the gate corpus tables are single parquet files (one input
+    * split), which would serialize the per-row codec loop onto one core —
+    * measured on `mm_video_mjpeg`: 8.8–14.5 s per gate pass vs ~0.6 s for
+    * the identical ~70k ImageIO ops across 32. At 100 TB payloads arrive
+    * pre-partitioned off object storage; this models that shape and costs
+    * one shuffle of 8-byte ids.
+    *
+    * The partition count is EXPLICIT, which is load-bearing: a bare
+    * `repartition(col)` is fair game for AQE partition coalescing, which
+    * sizes by SHUFFLE BYTES — 5000 ids are ~40 KB, so AQE merged them
+    * back into ONE partition and re-serialized the codec stage (measured:
+    * encode-only 0.55 s → 2.9 s). Explicit-N repartition is exempt from
+    * coalescing; the general rule: a slim-row shuffle feeding CPU-heavy
+    * per-row work must pin its partition count. */
+  private def spreadIds(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+
   /** Attach a binary payload column to any table (here: utf-8 bytes of a
     * text column — the plumbing stand-in for real image/audio bytes). */
   def withBinaryPayload(df: DataFrame, idCol: String, textCol: String,
@@ -366,7 +385,7 @@ object Multimodal {
     * this stage is identical. */
   def renderedImagePayloads(df: DataFrame, idCol: String): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    df.select(col(idCol).cast("long").as("id"))
+    spreadIds(df, idCol)
       .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -392,7 +411,7 @@ object Multimodal {
   def renderedMixedPayloads(df: DataFrame, idCol: String): DataFrame = {
     implicit val enc =
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
-    df.select(col(idCol).cast("long").as("id"))
+    spreadIds(df, idCol)
       .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -614,7 +633,7 @@ object Multimodal {
     * once per row inside `mapPartitions`). Output `(id, payload BINARY)`. */
   def renderedAudioPayloads(df: DataFrame, idCol: String): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    df.select(col(idCol).cast("long").as("id"))
+    spreadIds(df, idCol)
       .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
       .mapPartitions { rows =>
         import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
@@ -824,7 +843,7 @@ object Multimodal {
   def renderedVideoPayloads(df: DataFrame, idCol: String,
                             truncateMod: Long = 0L): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    df.select(col(idCol).cast("long").as("id"))
+    spreadIds(df, idCol)
       .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
       .mapPartitions { rows =>
         import VideoRenderSpec._
@@ -858,7 +877,7 @@ object Multimodal {
   def renderedMjpegPayloads(df: DataFrame, idCol: String,
                             corruptMod: Long = 0L): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    df.select(col(idCol).cast("long").as("id"))
+    spreadIds(df, idCol)
       .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
       .mapPartitions { rows =>
         import VideoRenderSpec._
@@ -1143,7 +1162,7 @@ object Multimodal {
     * accepts its own format and rejects the others' at corpus scale. */
   def renderedSniffPayloads(df: DataFrame, idCol: String): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    df.select(col(idCol).cast("long").as("id"))
+    spreadIds(df, idCol)
       .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -1223,7 +1242,7 @@ object Multimodal {
     * formula oracle applies verbatim to its id subset. */
   def renderedIngestPayloads(df: DataFrame, idCol: String): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    df.select(col(idCol).cast("long").as("id"))
+    spreadIds(df, idCol)
       .as(Encoders.row(StructType(Seq(StructField("id", LongType)))))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
