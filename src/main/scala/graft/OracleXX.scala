@@ -989,6 +989,49 @@ object OracleXX {
       ORDER BY id"""
   }
 
+  /** Replica of the composed LIVE ingest (`stream_pipeline_mm_ingest`):
+    * the three modality formula chains united as `fps(doc_id, family,
+    * hu)` ([[ingestFpsCte]] — text and corrupt rows carry NULL and never
+    * enter), then the sequential accepted-so-far loop over FAMILY-KEYED
+    * fragment joins — per batch, drop ids within `maxHamming` of an
+    * accepted same-family fingerprint or a smaller-id same-family batch
+    * mate. Output `(id, family, phash)`. */
+  def composedIngestLoopOracle(bounds: Seq[(Long, Long)],
+                               maxHamming: Int): String = {
+    val nBlocks = maxHamming + 1
+    val bitsPer = 64 / nBlocks
+    val steps = bounds.zipWithIndex.map { case ((lo, hi), i0) =>
+      val i = i0 + 1
+      s"""drop$i AS (
+        SELECT DISTINCT a.doc_id
+        FROM b2 a JOIN b2 b ON a.i = b.i AND a.bits = b.bits
+                           AND a.family = b.family
+        WHERE a.doc_id >= $lo AND a.doc_id < $hi
+          AND (b.doc_id IN (SELECT doc_id FROM acc${i - 1})
+               OR (b.doc_id >= $lo AND b.doc_id < $hi AND b.doc_id < a.doc_id))
+          AND bit_count(xor(a.hu, b.hu)) <= $maxHamming),
+      acc$i AS MATERIALIZED (
+        SELECT doc_id FROM acc${i - 1}
+        UNION ALL
+        SELECT doc_id FROM fps
+        WHERE hu IS NOT NULL AND doc_id >= $lo AND doc_id < $hi
+          AND doc_id NOT IN (SELECT doc_id FROM drop$i))"""
+    }
+    s"""
+      WITH $ingestFpsCte,
+      frag AS (SELECT doc_id, family, hu, unnest(range(0, $nBlocks)) AS i
+               FROM fps WHERE hu IS NOT NULL),
+      b2 AS MATERIALIZED (SELECT doc_id, family, hu, i,
+              (hu // ($pow2)[i*$bitsPer+1]) % ${1L << bitsPer} AS bits FROM frag),
+      acc0 AS (SELECT doc_id FROM documents WHERE FALSE),
+      ${steps.mkString(",\n      ")}
+      SELECT f.doc_id AS id, f.family,
+             (CASE WHEN f.hu >= 9223372036854775808::HUGEINT
+                   THEN f.hu - $M ELSE f.hu END)::BIGINT AS phash
+      FROM fps f JOIN acc${bounds.size} a ON a.doc_id = f.doc_id
+      ORDER BY id"""
+  }
+
   /** The pigeonhole hamming join over any CTE chain ending in
     * `ph(doc_id, hu, ...)`. */
   private def hammingJoinOver(ctes: String, maxHamming: Int,

@@ -3920,6 +3920,50 @@ object SparkEntry {
     s.read.parquet(out).select("id", "phash").orderBy("id")
   }
 
+  /** The COMPOSED ingest DAG run LIVE ([[graft.streaming.MmIngest
+    * .startComposed]]) — the streaming twin of `pipeline_mm_ingest`'s
+    * front half: the same mixed-modality corpus arrives as three ordered
+    * payload batches through a file stream; each micro-batch is decoded
+    * ONCE (sniff-route + per-modality fingerprint in one pass), probed
+    * against the single family-keyed fragment index of everything
+    * ACCEPTED so far, and the survivors extend output and index before
+    * the epoch commits. Gated against a sequential-loop oracle composed
+    * from the three modality formula replicas — batch/live symmetry for
+    * the composed pipeline itself, not just its operators. */
+  private def streamPipelineMmIngest(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val tag = layoutTag(dir)
+    val work = graft.util.TempDirs.create("graft-stream-pipeline-mm")
+    val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val docs = t(s, dir, "documents")
+    mmIngestBounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = work.resolve(s"b$i")
+      Multimodal.renderedIngestPayloads(
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi), "doc_id")
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(f"b$i%02d.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val empty = s.range(0).select(col("id"), lit(0L).as("sh"), lit("").as("grp"))
+    Dedup.initHammingIndexKeyed(empty, s"graft_b_stream_pipemm_$tag",
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_pipemm",
+      buckets = 8, maxHamming = 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val incoming = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val out = work.resolve("out").toString
+    val q = graft.streaming.MmIngest.startComposed(incoming,
+      indexTable = s"graft_b_stream_pipemm_$tag", outPath = out,
+      checkpoint = work.resolve("ck").toString,
+      buckets = 8, maxHamming = 3, availableNow = true)
+    q.awaitTermination()
+    s.read.parquet(out).select("id", "family", "phash").orderBy("id")
+  }
+
   /** The COMPOSED multimodal ingest DAG run end to end as ONE dataflow —
     * mixed real-codec corpus ([[Multimodal.renderedIngestPayloads]]: PNG /
     * WAV / AVI / text, plus truncated-PNG corrupt rows) → magic-byte sniff
@@ -4849,6 +4893,7 @@ object SparkEntry {
     "mm_neardup_incremental" -> mmNearDupIncremental _,
     "mm_ingest_loop"      -> mmIngestLoop _,
     "stream_mm_ingest"    -> streamMmIngest _,
+    "stream_pipeline_mm_ingest" -> streamPipelineMmIngest _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
     "events_json"         -> eventsJson _,
@@ -9412,6 +9457,8 @@ object SparkEntry {
     "mm_neardup_incremental" -> OracleXX.hammingIncrementalOracle(maxHamming = 3),
     "mm_ingest_loop" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
     "stream_mm_ingest" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
+    "stream_pipeline_mm_ingest" ->
+      OracleXX.composedIngestLoopOracle(mmIngestBounds, maxHamming = 3),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica
     // of render-spec + BT.601 luma + 9×8 floor-bound box resample + dHash
     // (no ImageIO in the derivation — see mmPhashImages scaladoc); DuckDB

@@ -643,6 +643,68 @@ object Dedup {
     materializeAndRelease(out, inc)
   }
 
+  /** [[buildHammingPostings]] with a GROUP key carried beside the packed
+    * fragment key — the composed-ingest index layout: one bucketed table
+    * serves every modality family, the bucket stays `bk`, and group
+    * equality rides as a cheap residual join predicate (families collide
+    * on `bk` only by chance, so the residual filters a sliver). */
+  def buildHammingPostingsKeyed(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    hashes.select(col("id"), col("sh"), col("grp"),
+      explode(fragmentKeys(col("sh"), maxHamming)).as("bk"))
+  }
+
+  /** Empty family-keyed fragment-index table ([[buildHammingPostingsKeyed]]
+    * layout, bucketed on `bk`). */
+  def initHammingIndexKeyed(like: DataFrame, table: String, path: String,
+                            buckets: Int = 8, maxHamming: Int = 3): DataFrame =
+    Relational.bucketMaterialize(
+      buildHammingPostingsKeyed(like.where(lit(false))
+        .select(col("id"), col("sh"), col("grp")), maxHamming),
+      table, "bk", buckets, path)
+
+  /** Append accepted `(id, sh, grp)` fingerprints to the keyed index. */
+  def appendHammingIndexKeyed(hashes: DataFrame, table: String,
+                              buckets: Int = 8, maxHamming: Int = 3): Unit =
+    buildHammingPostingsKeyed(hashes, maxHamming)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(table)
+
+  /** [[hammingSurvivorsIndexed]] with a GROUP key: incoming fingerprints
+    * only dedup against corpus/batch fingerprints of the SAME group
+    * (modality family) — the per-batch probe step of the composed live
+    * ingest. Input `(id, sh, grp)`; index from
+    * [[buildHammingPostingsKeyed]] bucketed on `bk`. Output adds `grp`. */
+  def hammingSurvivorsIndexedKeyed(incoming: DataFrame, index: DataFrame,
+                                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    val inc = incoming.select(col("id"), col("sh"), col("grp")).saltedPersist()
+    val incPost = buildHammingPostingsKeyed(inc, maxHamming)
+    val cross = incPost.as("a").join(index.as("b"),
+        col("a.bk") === col("b.bk") && col("a.grp") === col("b.grp"))
+      .where(TF.hammingDist64(col("a.sh"), col("b.sh")) <= maxHamming)
+      .select(col("a.id").as("id"), col("b.id").as("cid")).distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_corpus"))
+    val intra = incPost.as("a").join(incPost.as("b"),
+        col("a.bk") === col("b.bk") && col("a.grp") === col("b.grp") &&
+        col("b.id") < col("a.id"))
+      .where(TF.hammingDist64(col("a.sh"), col("b.sh")) <= maxHamming)
+      .select(col("a.id").as("id"), col("b.id").as("bid")).distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_batch"))
+    val out = inc
+      .join(cross, Seq("id"), "left")
+      .join(intra, Seq("id"), "left")
+      .select(col("id"), col("sh"), col("grp"),
+        coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
+        coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
+        (coalesce(col("n_dup_corpus"), lit(0L)) === 0L &&
+         coalesce(col("n_dup_batch"), lit(0L)) === 0L).as("survives"))
+    materializeAndRelease(out, inc)
+  }
+
   /** Fingerprint ingest loop — the modality twin of [[dedupIngest]]:
     * ordered batches of `(id, sh)` fingerprints, each probed against the
     * fingerprints ACCEPTED so far via the bucketed fragment index, each

@@ -42,6 +42,47 @@ object MmIngest {
         .select(col("id"), col("phash").as("sh")),
       index, maxHamming)
 
+  /** One COMPOSED micro-batch step — the live form of
+    * [[graft.operators.Multimodal.ingestPipeline]]'s front half: ONE
+    * decode pass sniff-routes every payload and fingerprints it in place
+    * (all modalities), then the family-keyed fragment index is probed.
+    * Payloads that route but fail to decode (null fingerprint) drop
+    * before blocking; 'other' rows never carry a fingerprint. */
+  def probeBatchComposed(index: DataFrame, batch: DataFrame,
+                         maxHamming: Int): DataFrame =
+    Dedup.hammingSurvivorsIndexedKeyed(
+      Multimodal.ingestFingerprints(batch).toDF()
+        .where(col("fp").isNotNull)
+        .select(col("id"), col("fp").as("sh"), col("family").as("grp")),
+      index, maxHamming)
+
+  /** The composed ingest DAG run LIVE: mixed-modality micro-batches →
+    * decode once → family-keyed index probe → survivors extend output
+    * and index before the epoch commits. One bucketed index serves every
+    * family (the family is a residual predicate on the `bk` bucket join).
+    * Same at-least-once sink caveat as [[start]]. */
+  def startComposed(incoming: DataFrame, indexTable: String, outPath: String,
+                    checkpoint: String, buckets: Int = 8, maxHamming: Int = 3,
+                    availableNow: Boolean = false): StreamingQuery = {
+    val writer = incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val surv = probeBatchComposed(spark.table(indexTable), batch, maxHamming)
+          .where(col("survives"))
+          .select(col("id"), col("grp").as("family"), col("sh").as("phash"))
+        surv.write.mode("append").parquet(outPath)
+        Dedup.appendHammingIndexKeyed(
+          surv.select(col("id"), col("phash").as("sh"),
+                      col("family").as("grp")),
+          indexTable, buckets, maxHamming)
+        ()
+      }
+      .start()
+  }
+
   def start(incoming: DataFrame, indexTable: String, outPath: String,
             checkpoint: String, buckets: Int = 8, maxHamming: Int = 3,
             availableNow: Boolean = false): StreamingQuery = {

@@ -421,6 +421,28 @@ class PlanSpec extends SparkSpec {
           case f: FileSourceScanExec if f.bucketedScan => f }.isDefined => e }
       assert(reshuffled.isEmpty,
         s"fragment index re-shuffled above its bucketed scan:\n$sp")
+      // the FAMILY-KEYED variant (composed live ingest) must keep the
+      // same shape: the family is a residual predicate on the bk bucket
+      // join, never a reason to re-partition the index
+      val keyedDocs = docs.withColumn("grp",
+        org.apache.spark.sql.functions.when(col("id") % 2 === 0, "image")
+          .otherwise("audio"))
+      val kidx = graft.operators.Relational.bucketMaterialize(
+        graft.operators.Dedup.buildHammingPostingsKeyed(
+          keyedDocs.where(col("id") % 5 < 2), maxHamming = 3),
+        "graft_b_mmidx_keyed_plan", "bk", 8,
+        "/tmp/graft_bucketed_plan/mmidx_keyed")
+      val kout = graft.operators.Dedup.hammingSurvivorsIndexedKeyed(
+        keyedDocs.where(col("id") % 5 >= 2), kidx, maxHamming = 3)
+      val ksp = kout.queryExecution.sparkPlan
+      assert(ksp.collect {
+          case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty,
+        s"keyed index scan lost its bucket layout:\n$ksp")
+      assert(ksp.collect { case e: Exchange
+        if e.collectFirst {
+          case f: FileSourceScanExec if f.bucketedScan => f }.isDefined => e }
+        .isEmpty,
+        s"keyed fragment index re-shuffled above its bucketed scan:\n$ksp")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
       spark.conf.unset("spark.graft.dedup.materialize")
