@@ -457,16 +457,21 @@ object OracleXX {
                         i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS hs
               FROM t),
       ds AS (SELECT DISTINCT lang, unnest(hs) AS s FROM sh3),
-      dh AS MATERIALIZED (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM ds)),
-      hl AS (SELECT lang, h FROM ds JOIN dh USING (s)),
       -- bucket = top p bits; rho = 1 + leading zeros of the $bits-bit suffix,
-      -- counted as |{b in [0, $bits) : suffix < 2^b}| (suffix bitlen complement)
-      br AS (SELECT lang,
+      -- counted as |{b in [0, $bits) : suffix < 2^b}| (suffix bitlen
+      -- complement). bucket and rho are functions of the HASH alone, so
+      -- they are computed ONCE per distinct shingle here and joined onto
+      -- the (lang, shingle) stream — the 56-element rho fold per (lang,
+      -- shingle) row made the naive form a 10+ s oracle at sf0.01, past
+      -- the compare budget (the hllUserBucketOracle lesson, applied to
+      -- the shingle chain)
+      dh AS MATERIALIZED (SELECT s,
                (h // ($pow2a)[$bits + 1])::INT AS bucket,
                (1 + list_aggregate(list_transform(range(0, $bits), b ->
                   CASE WHEN h % ($pow2a)[$bits + 1] < ($pow2a)[b + 1]
                        THEN 1 ELSE 0 END), 'sum'))::INT AS rho
-             FROM hl),
+             FROM (SELECT s, $xx AS h FROM (SELECT DISTINCT s FROM ds))),
+      br AS (SELECT lang, bucket, rho FROM ds JOIN dh USING (s)),
       rg AS (SELECT lang, bucket, max(rho) AS reg FROM br GROUP BY lang, bucket),
       langs AS (SELECT DISTINCT lang FROM documents),
       reg_full AS (SELECT l.lang, gs.bucket, coalesce(rg.reg, 0) AS reg
