@@ -470,6 +470,33 @@ object Smoke {
     }
     lap("round-12")
 
+    println("[smoke] round-13: MJPEG decode + composed ingest DAG + fingerprint index:")
+    locally {
+      import spark.implicits._
+      val ids = (0L until 20L).toDF("doc_id")
+      // 'MJPG' containers: real ImageIO JPEG decode per frame, one-scan
+      // decode report (corrupt frame -> dropped, never a task kill)
+      Multimodal.videoDecodeReport(
+        Multimodal.renderedMjpegPayloads(ids, "doc_id", corruptMod = 9L))
+        .show(5)
+      // the composed DAG: mixed corpus -> sniff-route -> decode once ->
+      // family-keyed unified near-dup -> curation data card
+      val (card, pairs) = Multimodal.ingestPipeline(
+        Multimodal.renderedIngestPayloads((0L until 40L).toDF("doc_id"), "doc_id"))
+      card.orderBy("family").show()
+      pairs.show(5)
+      // fingerprint ingest loop over the persisted fragment-bucketed index
+      val fp = Multimodal.perceptualHash(
+          Multimodal.renderedImagePayloads(ids, "doc_id"))
+        .select(col("id"), col("phash").as("sh"))
+      graft.operators.Dedup.hammingIngest(
+        Seq(fp.where(col("id") < 8), fp.where(col("id") >= 8)),
+        "graft_b_smoke_mmingest",
+        s"${graft.util.Scratch.base}/graft_bucketed_smoke/mmingest",
+        maxHamming = 3).show(5)
+    }
+    lap("round-13")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")
