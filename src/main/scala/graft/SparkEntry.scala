@@ -3982,7 +3982,15 @@ object SparkEntry {
 
   /** The composed DAG's unified near-dup PAIR table — image, audio, and
     * video pairs out of one grouped blocked join (the family rides in the
-    * bucket key; [[Dedup.hammingPairs64Keyed]]), hash-gated row by row. */
+    * bucket key; [[Dedup.hammingPairs64Keyed]]), hash-gated row by row.
+    *
+    * Deliberately re-runs the pipeline rather than sharing state with the
+    * card gate: cross-query result sharing is exactly the CacheManager
+    * coupling this repo abolished (util.CacheSalt — a shared entry freed
+    * by whichever query finishes first corrupted results at 1-in-7 sweep
+    * odds), and within ONE gate the extra cost is a 4-row data-card
+    * checkpoint over the already-persisted slim fingerprint projection
+    * (~0.3 s) — the payload decode runs once per gate either way. */
   private def pipelineMmIngestPairs(s: SparkSession, dir: String): DataFrame =
     Multimodal.ingestPipeline(
         Multimodal.renderedIngestPayloads(t(s, dir, "documents"), "doc_id"))
@@ -7657,7 +7665,7 @@ object SparkEntry {
         '</p><script type="text/javascript">if (1 < 2) { emit("&amp;"); }</script></body></html>' AS html
         FROM documents),
       s1 AS (SELECT doc_id, regexp_replace(html,
-               '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r]*>', ' ', 'g') AS x FROM h),
+               '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\f\r]*>', ' ', 'g') AS x FROM h),
       s2 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', ' ', 'g') AS x FROM s1),
       s3 AS (SELECT doc_id,
                replace(replace(replace(replace(replace(replace(x,

@@ -74,7 +74,6 @@ object AviHeader {
     var height = 0
     var bitCount = -1
     var codec: String = null
-    var seenStrf = false
     val frames = Vector.newBuilder[FrameRef]
     var haveMovi = false
 
@@ -109,11 +108,17 @@ object AviHeader {
               width = le32(hdp + 32).toInt
               height = le32(hdp + 36).toInt
             } else if (tag(hp, "LIST") && tag(hdp, "strl")) {
+              // only the FIRST VIDEO stream's strf may claim the codec:
+              // an audio strl ahead of the video one (common interleaved
+              // layout) has its own >= 40-byte format block whose fields
+              // would otherwise be misread as a BITMAPINFOHEADER — the
+              // strh fccType gates which strl's strf counts
+              var isVideoStrl = false
               walk(hdp + 4L, hdp + hsize) { (sp, sdp, ssize) =>
-                // first video stream's format block: BITMAPINFOHEADER
-                if (tag(sp, "strf") && !seenStrf && ssize >= 40 &&
-                    sdp + 40 <= bytes.length) {
-                  seenStrf = true
+                if (tag(sp, "strh") && ssize >= 4 && tag(sdp, "vids"))
+                  isVideoStrl = true
+                else if (tag(sp, "strf") && isVideoStrl && codec == null &&
+                         ssize >= 40 && sdp + 40 <= bytes.length) {
                   val compression = le32(sdp + 16)
                   if (compression == 0L) {
                     bitCount = le16(sdp + 14)

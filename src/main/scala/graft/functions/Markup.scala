@@ -50,9 +50,12 @@ object MarkupFunctions {
   private[graft] def htmlTextExpr(child: Expression): Expression = {
     // explicit whitespace class in the closing tag too (policy note 4):
     // Java's \s includes U+000B, RE2's does not — a vertical tab inside a
-    // closing tag must not diverge engine vs oracle
+    // closing tag must not diverge engine vs oracle. \f stays IN the
+    // class: both engines' \s match it, so dropping it would narrow the
+    // block-strip beyond the \x0B parity fix (a form feed inside
+    // </script > would leak the script body into the extracted text)
     val noBlocks = RegExpReplace(child,
-      Literal("(?is)<(script|style)[^>]*>.*?</(script|style)[ \\t\\n\\r]*>"), Literal(" "))
+      Literal("(?is)<(script|style)[^>]*>.*?</(script|style)[ \\t\\n\\f\\r]*>"), Literal(" "))
     val noTags = RegExpReplace(noBlocks, Literal("(?s)<[^>]*>"), Literal(" "))
     val decoded = Entities.foldLeft(noTags: Expression) { case (acc, (k, v)) =>
       StringReplace(acc, Literal(k), Literal(v))

@@ -76,6 +76,22 @@ object Dedup {
     * (`Materialize.release()`) instead of waiting on GC + ContextCleaner —
     * accumulated dead checkpoint blocks measurably throttle queries ~60
     * jobs into a session (round-3 bench pollution). */
+  /** The ingest LOOPS are incompatible with the plan-inspection
+    * materialize mode by design: each step's survivor set must be CUT
+    * before its postings extend the index, or a later consumption of the
+    * returned (lazy) plan re-probes the index AFTER the appends — every
+    * accepted row then meets its own postings and silently flips to
+    * dropped. Loud failure beats a silently empty result. */
+  private[graft] def requireMaterializing(spark: org.apache.spark.sql.SparkSession,
+                                   op: String): Unit = {
+    val mode = spark.conf.get("spark.graft.dedup.materialize", "local")
+    require(mode != "none",
+      s"$op mutates the index between steps and needs its per-step results " +
+      "cut: spark.graft.dedup.materialize=none (plan-inspection mode) would " +
+      "re-execute each step's plan against the grown index and return an " +
+      "empty survivor set — unset it, or inspect the one-step operators")
+  }
+
   private def materializeAndRelease(out: DataFrame, cached: DataFrame*): DataFrame =
     out.sparkSession.conf.get("spark.graft.dedup.materialize", "local") match {
       case "local"    => val m = Materialize.track(out.localCheckpoint(true)); cached.foreach(_.unpersist()); m
@@ -714,6 +730,7 @@ object Dedup {
                     buckets: Int = 8, maxHamming: Int = 3): DataFrame = {
     require(batches.nonEmpty, "need at least one batch")
     val spark = batches.head.sparkSession
+    requireMaterializing(spark, "hammingIngest")
     initHammingIndex(batches.head, table, path, buckets, maxHamming)
     batches.map { b =>
       // the decision record is localCheckpoint'd by hammingSurvivorsIndexed,
@@ -1436,6 +1453,7 @@ object Dedup {
     require(maxDocFreq != Long.MaxValue,
       "pruning off — use dedupIngest, which skips the df machinery entirely")
     val spark = batches.head.sparkSession
+    requireMaterializing(spark, "dedupIngestCompacted")
     initPostingIndex(batches.head, idCol, textCol, indexTable, indexPath,
       buckets, shingleN)
     batches.map { b =>
@@ -1467,6 +1485,7 @@ object Dedup {
                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(batches.nonEmpty, "need at least one batch")
     val spark = batches.head.sparkSession
+    requireMaterializing(spark, "dedupIngest")
     initPostingIndex(batches.head, idCol, textCol, indexTable, indexPath,
       buckets, shingleN)
     batches.map { b =>

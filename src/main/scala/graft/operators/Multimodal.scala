@@ -444,6 +444,20 @@ object Multimodal {
                     114 * raster.getSample(x, y, 2)) / 1000
   }
 
+  /** The genuine image decode step behind [[perceptualHash]]: ImageIO
+    * decode → raster luma → [[dhashFromGray]]. Any decode failure — IO,
+    * EOF on a truncated body, or a reader-internal error on adversarial
+    * bytes — is a NULL, never a thrown task failure. Callers are inside
+    * `mapPartitions` with `ImageIO.setUseCache(false)` applied. */
+  private def imageDhashOrNull(bytes: Array[Byte]): java.lang.Long = {
+    val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1)
+      null // corrupt body behind a valid magic
+    else dhashFromGray(img.getWidth, img.getHeight, rasterLuma(img))
+  }
+
   /** 64-bit dHash (difference hash, Krawetz's classic perceptual hash):
     * gradient-sign structure survives recompression and resizing, which is
     * what makes dHash the standard cheap image near-dup fingerprint.
@@ -467,20 +481,6 @@ object Multimodal {
     * initializable once per partition); payload bytes never leave the
     * stage — the output is `(id, phash LONG nullable)`. Empty payloads
     * hash to 0. */
-  /** The genuine image decode step behind [[perceptualHash]]: ImageIO
-    * decode → raster luma → [[dhashFromGray]]. Any decode failure — IO,
-    * EOF on a truncated body, or a reader-internal error on adversarial
-    * bytes — is a NULL, never a thrown task failure. Callers are inside
-    * `mapPartitions` with `ImageIO.setUseCache(false)` applied. */
-  private def imageDhashOrNull(bytes: Array[Byte]): java.lang.Long = {
-    val img = try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null || img.getWidth < 1 || img.getHeight < 1)
-      null // corrupt body behind a valid magic
-    else dhashFromGray(img.getWidth, img.getHeight, rasterLuma(img))
-  }
-
   def perceptualHash(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.LONG)

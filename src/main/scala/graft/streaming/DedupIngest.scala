@@ -35,6 +35,7 @@ object DedupIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        Dedup.requireMaterializing(spark, "DedupIngest.start")
         val surv = Dedup.incrementalSurvivorsIndexed(
           batch, spark.table(indexTable), idCol, textCol,
           shingleN, threshold, Long.MaxValue)

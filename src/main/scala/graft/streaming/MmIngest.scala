@@ -70,6 +70,7 @@ object MmIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        Dedup.requireMaterializing(spark, "MmIngest.startComposed")
         val surv = probeBatchComposed(spark.table(indexTable), batch, maxHamming)
           .where(col("survives"))
           .select(col("id"), col("grp").as("family"), col("sh").as("phash"))
@@ -92,6 +93,7 @@ object MmIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        Dedup.requireMaterializing(spark, "MmIngest.start")
         val surv = probeBatch(spark.table(indexTable), batch, maxHamming)
           .where(col("survives")).select(col("id"), col("sh").as("phash"))
         surv.write.mode("append").parquet(outPath)

@@ -108,6 +108,58 @@ class AviHeaderSpec extends AnyFunSuite {
       AviHeader.parse(java.util.Arrays.copyOf(bytes, cut)) // must not throw
   }
 
+  test("codec comes from the VIDEO strl: audio strl ahead is skipped; auds-only rejects") {
+    val orig = AviHeader.write(1L, 8, 8, Array(grid(8, 8, 0)))
+    // an interleaved-layout file: splice a complete audio strl (strh
+    // 'auds' + a 40-byte format block whose fields would misread as a
+    // BITMAPINFOHEADER) BEFORE the video strl inside hdrl
+    val audioStrl = {
+      def chunk(t: String, b: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(t.getBytes("US-ASCII"))
+        o.write(Array[Byte]((b.length & 0xFF).toByte,
+          ((b.length >> 8) & 0xFF).toByte, ((b.length >> 16) & 0xFF).toByte,
+          ((b.length >> 24) & 0xFF).toByte))
+        o.write(b); o.toByteArray
+      }
+      val strh = new Array[Byte](56)
+      "auds".getBytes("US-ASCII").copyToArray(strh, 0)
+      val strf = new Array[Byte](40) // WAVEFORMATEX-ish — junk is fine
+      strf(16) = 1 // the would-be "compression" field: must not claim codec
+      val chunks = new java.io.ByteArrayOutputStream()
+      chunks.write("strl".getBytes("US-ASCII"))
+      chunks.write(chunk("strh", strh)); chunks.write(chunk("strf", strf))
+      chunk("LIST", chunks.toByteArray)
+    }
+    val strlAt = orig.indexOfSlice("strl".getBytes("US-ASCII").toSeq) - 8
+    val spliced = new Array[Byte](orig.length + audioStrl.length)
+    System.arraycopy(orig, 0, spliced, 0, strlAt)
+    System.arraycopy(audioStrl, 0, spliced, strlAt, audioStrl.length)
+    System.arraycopy(orig, strlAt, spliced, strlAt + audioStrl.length,
+      orig.length - strlAt)
+    def bumpLe32(b: Array[Byte], at: Int, by: Int): Unit = {
+      val v = (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
+              ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+      val n = v + by
+      b(at) = (n & 0xFF).toByte; b(at + 1) = ((n >> 8) & 0xFF).toByte
+      b(at + 2) = ((n >> 16) & 0xFF).toByte; b(at + 3) = ((n >> 24) & 0xFF).toByte
+    }
+    bumpLe32(spliced, 4, audioStrl.length) // RIFF size
+    bumpLe32(spliced, // hdrl LIST size field sits 4 bytes before "hdrl"
+      spliced.indexOfSlice("hdrl".getBytes("US-ASCII").toSeq) - 4,
+      audioStrl.length)
+    val info = AviHeader.parse(spliced)
+      .getOrElse(fail("audio-strl-first file must still parse"))
+    assert(info.codec == "rgb24" && info.framesPresent == 1)
+    assert(AviHeader.frameGray(spliced, info, 0).nonEmpty, "video decode intact")
+    // and a file whose ONLY stream is audio must reject: patch the video
+    // strh fccType to 'auds' in the original
+    val strhAt = orig.indexOfSlice("strh".getBytes("US-ASCII").toSeq)
+    val audsOnly = orig.clone()
+    "auds".getBytes("US-ASCII").copyToArray(audsOnly, strhAt + 8)
+    assert(AviHeader.parse(audsOnly).isEmpty, "auds-only file must reject")
+  }
+
   test("adversarial dims: dwWidth ~715M rejects at parse; frameGray guard holds in Long") {
     // a positive-Int width whose stride computation overflows Int negative
     // (715M * 3 > 2^31): parse must reject via the MaxDim cap, never admit
