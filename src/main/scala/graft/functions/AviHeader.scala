@@ -10,10 +10,15 @@ package graft.functions
   * padded to 4 bytes) can then be pixel-decoded with zero codec state —
   * a plain function of the bytes, callable per record in `mapPartitions`.
   *
-  * Strictness mirrors WavHeader: single-video-stream files whose first
-  * `strf` declares BI_RGB 24-bpp (codec "rgb24", pixel-decodable here) or
-  * 'MJPG' (codec "mjpg" — each frame chunk is a standalone JPEG stream
-  * for the caller's JPEG decoder); anything else parses to None.
+  * Strictness mirrors WavHeader: the FIRST video `strl`'s FIRST `strf`
+  * decides the whole file — BI_RGB 24-bpp (codec "rgb24", pixel-decodable
+  * here) or 'MJPG' (codec "mjpg" — each frame chunk is a standalone JPEG
+  * stream for the caller's JPEG decoder); anything else parses to None
+  * (the decision latches, so a later video stream can never re-claim).
+  * Frame chunks are matched to the claiming stream's strl ORDINAL
+  * ('NNdb'/'NNdc' — an interleaved file with audio as stream 0 carries
+  * its video frames as '01..' chunks), so another stream's bytes are
+  * never handed to the pixel decoder.
   * Truncated uploads follow the
   * clamp-to-present policy: a frame chunk whose declared bytes are not
   * fully present is DROPPED (unlike audio samples, a partial frame is not
@@ -74,7 +79,20 @@ object AviHeader {
     var height = 0
     var bitCount = -1
     var codec: String = null
-    val frames = Vector.newBuilder[FrameRef]
+    // AVI stream chunk ids are numbered by strl ORDINAL ('01db' = stream 1's
+    // DIB frame — a real muxer with audio ahead of video numbers the video
+    // chunks '01..'), so the parse must remember WHICH strl claimed the
+    // codec and only collect that stream's chunks; collecting '00d?'
+    // unconditionally would hand stream 0's (possibly audio) bytes to the
+    // frame decoder. movi chunks are collected stream-tagged and filtered
+    // once the claiming ordinal is known (robust to any LIST order).
+    var strlOrdinal = -1     // ordinal of the strl currently being walked
+    var videoStreamIdx = -1  // ordinal of the strl whose strf decided codec
+    // the FIRST video strl's FIRST strf decides the file, recognized or
+    // not — a BI_RGB 16-bpp first video stream must poison the parse, not
+    // defer to a later stream's format (single-video-stream strictness)
+    var strfDecided = false
+    val taggedFrames = Vector.newBuilder[(Int, FrameRef)]
     var haveMovi = false
 
     // one nested-walk helper: visits each (tagPos, dataPos, size) triple of
@@ -91,11 +109,17 @@ object AviHeader {
       }
     }
 
-    // is this movi chunk a video frame of stream 0? ('00db' raw DIB /
-    // '00dc' compressed — we index both, pixel decode requires BI_RGB)
-    def isFrameTag(p: Int): Boolean =
-      u8(p) == '0' && u8(p + 1) == '0' &&
-      u8(p + 2) == 'd' && (u8(p + 3) == 'b' || u8(p + 3) == 'c')
+    // is this movi chunk a frame chunk of SOME stream? ('NNdb' raw DIB /
+    // 'NNdc' compressed, NN = two decimal digits of the strl ordinal —
+    // we index both, pixel decode requires BI_RGB). Returns the stream
+    // ordinal, or -1 for non-frame chunks.
+    def frameStreamIdx(p: Int): Int = {
+      val d1 = u8(p) - '0'; val d2 = u8(p + 1) - '0'
+      if (d1 >= 0 && d1 <= 9 && d2 >= 0 && d2 <= 9 &&
+          u8(p + 2) == 'd' && (u8(p + 3) == 'b' || u8(p + 3) == 'c'))
+        d1 * 10 + d2
+      else -1
+    }
 
     walk(12L, bytes.length.toLong) { (p, dp, size) =>
       if (tag(p, "LIST") && dp + 4 <= bytes.length) {
@@ -108,17 +132,23 @@ object AviHeader {
               width = le32(hdp + 32).toInt
               height = le32(hdp + 36).toInt
             } else if (tag(hp, "LIST") && tag(hdp, "strl")) {
-              // only the FIRST VIDEO stream's strf may claim the codec:
-              // an audio strl ahead of the video one (common interleaved
-              // layout) has its own >= 40-byte format block whose fields
-              // would otherwise be misread as a BITMAPINFOHEADER — the
-              // strh fccType gates which strl's strf counts
+              // only the FIRST VIDEO stream's FIRST strf may decide the
+              // codec: an audio strl ahead of the video one (common
+              // interleaved layout) has its own >= 40-byte format block
+              // whose fields would otherwise be misread as a
+              // BITMAPINFOHEADER — the strh fccType gates which strl's
+              // strf counts, and the decision LATCHES (strfDecided) so a
+              // first video stream with an unrecognized format poisons the
+              // parse instead of deferring to a second video stream
+              strlOrdinal += 1
+              val thisStrl = strlOrdinal
               var isVideoStrl = false
               walk(hdp + 4L, hdp + hsize) { (sp, sdp, ssize) =>
                 if (tag(sp, "strh") && ssize >= 4 && tag(sdp, "vids"))
                   isVideoStrl = true
-                else if (tag(sp, "strf") && isVideoStrl && codec == null &&
+                else if (tag(sp, "strf") && isVideoStrl && !strfDecided &&
                          ssize >= 40 && sdp + 40 <= bytes.length) {
+                  strfDecided = true
                   val compression = le32(sdp + 16)
                   if (compression == 0L) {
                     bitCount = le16(sdp + 14)
@@ -129,6 +159,7 @@ object AviHeader {
                     bitCount = le16(sdp + 14)
                     codec = "mjpg"
                   }
+                  if (codec != null) videoStreamIdx = thisStrl
                 }
               }
             }
@@ -138,8 +169,9 @@ object AviHeader {
           walk(dp + 4L, listEnd) { (mp, mdp, msize) =>
             // clamp policy: only frames whose declared bytes are FULLY
             // present count (a truncated trailing frame is dropped)
-            if (isFrameTag(mp) && msize <= bytes.length - mdp)
-              frames += FrameRef(mdp, msize.toInt)
+            val si = frameStreamIdx(mp)
+            if (si >= 0 && msize <= bytes.length - mdp)
+              taggedFrames += ((si, FrameRef(mdp, msize.toInt)))
           }
         }
       }
@@ -156,7 +188,9 @@ object AviHeader {
         width <= 0 || height <= 0 || width > MaxDim || height > MaxDim ||
         codec == null) None
     else Some(AviInfo(usPerFrame, declaredFrames, width, height, bitCount,
-                      frames.result(), codec))
+                      taggedFrames.result().collect {
+                        case (si, fr) if si == videoStreamIdx => fr
+                      }, codec))
   }
 
   /** Integer BT.601 luma accessor over frame `idx`'s decoded DIB pixels

@@ -116,9 +116,17 @@ object CacheSalt {
   }
 
   /** Registered salted frames still actually cached — the leak detector
-    * specs assert this returns to zero after every normal operator path
-    * (including plan-inspection `materialize=none` calls), i.e. the
-    * sweeps above are a no-op unless a query genuinely failed. */
+    * specs assert this returns to zero after every normal MATERIALIZING
+    * operator path (the default), i.e. the sweeps above are a no-op unless
+    * a query genuinely failed. Plan-inspection paths are the deliberate
+    * exception: `materialize = false` arms (and most conf
+    * `spark.graft.dedup.materialize=none` arms) return with their persists
+    * LIVE, because the printed plan must still show the InMemoryTableScan
+    * substitution the pin asserts — there the CALLER owns the release
+    * (PlanSpec's clearCache()/unpersist), with the failure sweep as
+    * backstop. `videoSharedFrames` is the one none-arm that releases
+    * eagerly (its cache would otherwise accumulate across composed-
+    * pipeline calls — see its note). */
   def liveCachedCount(): Int = {
     var n = 0
     val it = live.iterator()

@@ -148,16 +148,81 @@ class AviHeaderSpec extends AnyFunSuite {
     bumpLe32(spliced, // hdrl LIST size field sits 4 bytes before "hdrl"
       spliced.indexOfSlice("hdrl".getBytes("US-ASCII").toSeq) - 4,
       audioStrl.length)
-    val info = AviHeader.parse(spliced)
+    // a real muxer numbers movi chunks by strl ordinal: with the audio
+    // strl spliced ahead, the video stream is ordinal 1 and its frame
+    // chunks are '01db' — renumber like the muxer would
+    val renumbered = spliced.clone()
+    var at = renumbered.indexOfSlice("00db".getBytes("US-ASCII").toSeq)
+    while (at >= 0) {
+      renumbered(at + 1) = '1'.toByte
+      at = renumbered.indexOfSlice("00db".getBytes("US-ASCII").toSeq, at + 1)
+    }
+    val info = AviHeader.parse(renumbered)
       .getOrElse(fail("audio-strl-first file must still parse"))
     assert(info.codec == "rgb24" && info.framesPresent == 1)
-    assert(AviHeader.frameGray(spliced, info, 0).nonEmpty, "video decode intact")
+    assert(AviHeader.frameGray(renumbered, info, 0).nonEmpty, "video decode intact")
+    // a NON-renumbered spliced file is malformed (its '00db' chunks claim
+    // to belong to the audio stream): the codec parses but stream 0's
+    // bytes must never reach the frame decoder — zero frames, not garbage
+    val misNumbered = AviHeader.parse(spliced)
+      .getOrElse(fail("mis-numbered file still parses (degraded)"))
+    assert(misNumbered.codec == "rgb24" && misNumbered.framesPresent == 0,
+      "audio-stream-numbered chunks must not be decoded as video frames")
     // and a file whose ONLY stream is audio must reject: patch the video
     // strh fccType to 'auds' in the original
     val strhAt = orig.indexOfSlice("strh".getBytes("US-ASCII").toSeq)
     val audsOnly = orig.clone()
     "auds".getBytes("US-ASCII").copyToArray(audsOnly, strhAt + 8)
     assert(AviHeader.parse(audsOnly).isEmpty, "auds-only file must reject")
+  }
+
+  test("first video strl's strf LATCHES: unrecognized first video stream poisons") {
+    // two video strls: stream 0 declares BI_RGB 16-bpp (unrecognized),
+    // stream 1 is a valid MJPG strl — the documented single-video-stream
+    // strictness means the file must parse to None, never adopt stream 1's
+    // codec and then decode stream 0's chunks with it
+    val base = AviHeader.writeMjpeg(1L, 8, 8,
+      Array(Array.fill(64)(0x41.toByte)))
+    // build a 16-bpp BI_RGB video strl and splice it BEFORE the MJPG strl
+    val badVideoStrl = {
+      def chunk(t: String, b: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(t.getBytes("US-ASCII"))
+        o.write(Array[Byte]((b.length & 0xFF).toByte,
+          ((b.length >> 8) & 0xFF).toByte, ((b.length >> 16) & 0xFF).toByte,
+          ((b.length >> 24) & 0xFF).toByte))
+        o.write(b); o.toByteArray
+      }
+      val strh = new Array[Byte](56)
+      "vids".getBytes("US-ASCII").copyToArray(strh, 0)
+      val strf = new Array[Byte](40)
+      strf(0) = 40                      // biSize
+      strf(14) = 16                     // biBitCount = 16 (unrecognized)
+      // biCompression stays 0 = BI_RGB
+      val chunks = new java.io.ByteArrayOutputStream()
+      chunks.write("strl".getBytes("US-ASCII"))
+      chunks.write(chunk("strh", strh)); chunks.write(chunk("strf", strf))
+      chunk("LIST", chunks.toByteArray)
+    }
+    val strlAt = base.indexOfSlice("strl".getBytes("US-ASCII").toSeq) - 8
+    val spliced = new Array[Byte](base.length + badVideoStrl.length)
+    System.arraycopy(base, 0, spliced, 0, strlAt)
+    System.arraycopy(badVideoStrl, 0, spliced, strlAt, badVideoStrl.length)
+    System.arraycopy(base, strlAt, spliced, strlAt + badVideoStrl.length,
+      base.length - strlAt)
+    def bumpLe32(b: Array[Byte], at: Int, by: Int): Unit = {
+      val v = (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
+              ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+      val n = v + by
+      b(at) = (n & 0xFF).toByte; b(at + 1) = ((n >> 8) & 0xFF).toByte
+      b(at + 2) = ((n >> 16) & 0xFF).toByte; b(at + 3) = ((n >> 24) & 0xFF).toByte
+    }
+    bumpLe32(spliced, 4, badVideoStrl.length)
+    bumpLe32(spliced,
+      spliced.indexOfSlice("hdrl".getBytes("US-ASCII").toSeq) - 4,
+      badVideoStrl.length)
+    assert(AviHeader.parse(spliced).isEmpty,
+      "unrecognized FIRST video stream must poison the parse (latched strf)")
   }
 
   test("adversarial dims: dwWidth ~715M rejects at parse; frameGray guard holds in Long") {
