@@ -1638,19 +1638,44 @@ object TextAnalysis {
     *
     * Returns the learned merge table `(rank, left, right, weight)` —
     * the artifact a tokenizer trainer ships. Stops early if no pair is
-    * left (every word fully merged). */
-  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    * left (every word fully merged).
+    *
+    * Execution shape (the production-vocab fix): the corpus scan builds
+    * the `(word, count)` table ONCE; when its distinct-word count fits
+    * `maxDriverWords` (it almost always does — the table is O(language
+    * vocabulary), tens of millions of rows at 100 TB, and each row is a
+    * short word + a long), the whole merge loop runs DRIVER-LOCAL over
+    * the collected table with incrementally-maintained pair weights and
+    * a lazy-deletion priority queue ([[localBpeMerges]]) — one Spark job
+    * total instead of `numMerges` sequential argmax jobs (a 50k-merge
+    * production vocabulary would otherwise serialize 50k driver
+    * round-trips). Past the bound, the distributed per-iteration loop
+    * below is the fallback; both paths compute the identical table (the
+    * spec pins bit-equality). */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+                maxDriverWords: Long = 4L << 20): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
-    // char split: substr is 1-based; transform over 1..len
-    val charSplit = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
-    var words = df
+    val freq = df
       .select(explode(TF.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .saltedPersist()
+    val nWords = freq.count()
+    if (nWords <= maxDriverWords) {
+      val table = freq.collect().map(r => (r.getString(0), r.getLong(1)))
+      freq.unpersist()
+      return spark.createDataFrame(localBpeMerges(table, numMerges))
+        .toDF("rank", "left", "right", "weight")
+    }
+    // char split: substr is 1-based; transform over 1..len
+    val charSplit = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var words = freq
       .select(col("cnt"), charSplit.as("syms"))
       .saltedPersist()
+    words.count() // materialize off the freq cache before releasing it
+    freq.unpersist()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var prev: DataFrame = null
     var exhausted = false
@@ -1693,39 +1718,170 @@ object TextAnalysis {
       .toDF("rank", "left", "right", "weight")
   }
 
+  /** Driver-local BPE merge loop over the collected word-frequency table —
+    * bit-identical to the distributed per-iteration loop (the spec pins
+    * equality), but with the textbook incremental trainer shape: pair
+    * weights are maintained under each merge (only words CONTAINING the
+    * merged pair are touched), and the argmax is a lazy-deletion priority
+    * queue instead of a full rescan, so 50k merges cost O(total symbol
+    * updates + pushes log pushes) rather than 50k table scans — and zero
+    * Spark jobs.
+    *
+    * Determinism contract is [[bpeMerges]]'s verbatim: weights are exact
+    * Long occurrence-weighted sums (every ADJACENT position counts, even
+    * overlapping ones), argmax tie-breaks `(weight DESC, left ASC, right
+    * ASC)` with Java String ordering — identical to UTF8String byte order
+    * on the post-normText `[a-z0-9]` alphabet — and application is the
+    * greedy leftmost-non-overlapping single pass. */
+  private[graft] def localBpeMerges(words: Array[(String, Long)],
+                                    numMerges: Int): Seq[(Int, String, String, Long)] = {
+    // code-point split, matching the engine's substr(i, 1) char split
+    def split(w: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    val syms = words.map { case (w, _) => split(w) }
+    val cnt = words.map(_._2)
+    final case class PQE(w: Long, l: String, r: String)
+    val pq = new java.util.PriorityQueue[PQE](math.max(16, words.length),
+      new java.util.Comparator[PQE] {
+        def compare(a: PQE, b: PQE): Int = {
+          val c0 = java.lang.Long.compare(b.w, a.w) // weight DESC
+          if (c0 != 0) return c0
+          val c1 = a.l.compareTo(b.l)               // left ASC
+          if (c1 != 0) c1 else a.r.compareTo(b.r)   // right ASC
+        }
+      })
+    val weight = new java.util.HashMap[(String, String), java.lang.Long]()
+    val occurs = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    def bump(p: (String, String), by: Long): Unit = {
+      val w0: Long = Option(weight.get(p)).fold(0L)(_.longValue())
+      val w1 = w0 + by
+      if (w1 == 0L) { weight.remove(p); () } else { weight.put(p, w1); () }
+    }
+    // initial adjacency scan
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        bump(p, cnt(wi))
+        occurs.computeIfAbsent(p, _ => new java.util.HashSet[Integer]()).add(wi)
+        i += 1
+      }
+      wi += 1
+    }
+    weight.forEach((p, w) => { pq.add(PQE(w.longValue(), p._1, p._2)); () })
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    def applyMerge(s: Array[String], l: String, r: String): Array[String] = {
+      val b = new scala.collection.mutable.ArrayBuffer[String](s.length)
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+        else { b += s(i); i += 1 }
+      }
+      b.toArray
+    }
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // lazy deletion: an entry is live iff its weight is still current
+      var top: PQE = null
+      while (top == null && !pq.isEmpty) {
+        val e = pq.poll()
+        val cur = weight.get((e.l, e.r))
+        if (cur != null && cur.longValue() == e.w) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        out += ((rank, top.l, top.r, top.w))
+        val p0 = (top.l, top.r)
+        val affected = occurs.get(p0)
+        val idxs = new Array[Int](affected.size())
+        val it = affected.iterator(); var k = 0
+        while (it.hasNext) { idxs(k) = it.next().intValue(); k += 1 }
+        val touched = new java.util.HashSet[(String, String)]()
+        var j = 0
+        while (j < idxs.length) {
+          val widx = idxs(j)
+          val before = syms(widx)
+          // retract the word's old adjacencies
+          var i = 0
+          while (i < before.length - 1) {
+            val p = (before(i), before(i + 1))
+            bump(p, -cnt(widx))
+            val o = occurs.get(p); if (o != null) { o.remove(widx); () }
+            touched.add(p)
+            i += 1
+          }
+          val after = applyMerge(before, top.l, top.r)
+          syms(widx) = after
+          // assert the new adjacencies
+          i = 0
+          while (i < after.length - 1) {
+            val p = (after(i), after(i + 1))
+            bump(p, cnt(widx))
+            occurs.computeIfAbsent(p, _ => new java.util.HashSet[Integer]()).add(widx)
+            touched.add(p)
+            i += 1
+          }
+          j += 1
+        }
+        val tIt = touched.iterator()
+        while (tIt.hasNext) {
+          val p = tIt.next()
+          val w = weight.get(p)
+          if (w != null) { pq.add(PQE(w.longValue(), p._1, p._2)); () }
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The encoded-words column for a learned merge table: ONE native
+    * projection ([[graft.functions.BpeApply]]) carrying the ordered merge
+    * table as a codegen reference object — plan size is constant in the
+    * merge count (the round-13 verdict's production-vocab fix; a 32k-merge
+    * chain of `replace` expressions would blow up analysis/codegen).
+    * Merges apply in rank order as leftmost-non-overlapping literal
+    * replacements — exactly the trainer's greedy fold (tail==left ∧
+    * cur==right, the [[bpeMerges]] determinism contract), so training and
+    * application tokenize identically. */
+  private def bpeApplyCol(tk: Column, merges: Array[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.BpeApply(expression(tk),
+      merges.map { case (l, r) => s"$l $r" },
+      merges.map { case (l, r) => l + r }))
+  }
+
   /** Tokenizer APPLICATION — the other half of the BPE story: learn the
     * merge table with [[bpeMerges]] (bounded driver collect, ≤ `numMerges`
     * rows — the artifact a trainer ships), then ENCODE every document with
-    * it. Each word is char-split and the merges apply in rank order as
-    * literal `replace` calls; `replace` is leftmost-non-overlapping, which
-    * IS the trainer's greedy fold (tail==left ∧ cur==right — see the
-    * [[bpeMerges]] determinism contract), so training and application
-    * tokenize identically — the property that makes token counts from this
-    * pass match what the modeling stack will see.
+    * it via the single-projection native encoder ([[bpeApplyCol]]).
     *
     * Per-document output: word count, post-BPE token count, and an md5 of
     * the full encoded stream (words joined by ' | ') — the cross-engine
     * pin that proves every merge landed at the same positions. Encoding is
     * a pure per-row projection (scan-bound, no shuffle); the encoded-words
     * array is referenced twice in one projection (token sum + md5), which
-    * CollapseProject evaluates twice — an accepted 2× on a cheap
-    * expression, not a scale hazard. */
+    * CollapseProject evaluates twice — absorbed by the encoder's
+    * distinct-word memo, not a scale hazard. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 numMerges: Int): DataFrame = {
     val merges = bpeMerges(df, textCol, numMerges)
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
-    def charJoin(w: Column): Column =
-      when(length(w) === 0, lit(""))
-        .otherwise(array_join(
-          transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
-          " "))
-    def encWord(w: Column): Column = merges.foldLeft(charJoin(w)) {
-      case (acc, (l, r)) => replace(acc, lit(s"$l $r"), lit(l + r))
-    }
     df.select(col(idCol), TF.tokens(col(textCol)).as("tk"))
       .select(col(idCol), size(col("tk")).cast("long").as("n_words"),
-              transform(col("tk"), w => encWord(w)).as("ew"))
+              bpeApplyCol(col("tk"), merges).as("ew"))
       .select(col(idCol), col("n_words"),
         aggregate(col("ew"), lit(0L), (acc, e) =>
           acc + when(length(e) === 0, lit(0))
@@ -1741,27 +1897,19 @@ object TextAnalysis {
     * languages, which silently inflates their training cost and shrinks
     * their effective context window). Integer ‰ ratios of BIGINT sums —
     * order-free, bit-reproducible. Same scale shape as [[bpeEncode]]
-    * (merge table is a plan literal; encoding is a narrow scan) plus one
+    * (merge table rides as one reference object; encoding is a narrow scan) plus one
     * map-side-combinable rollup. */
   def bpeFertility(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, numMerges: Int): DataFrame = {
     val merges = bpeMerges(df, textCol, numMerges)
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
-    def charJoin(w: Column): Column =
-      when(length(w) === 0, lit(""))
-        .otherwise(array_join(
-          transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
-          " "))
-    def encWord(w: Column): Column = merges.foldLeft(charJoin(w)) {
-      case (acc, (l, r)) => replace(acc, lit(s"$l $r"), lit(l + r))
-    }
     df.select(col(groupCol), TF.tokens(col(textCol)).as("tk"))
       .select(col(groupCol),
         size(col("tk")).cast("long").as("nw"),
         aggregate(col("tk"), lit(0L),
           (a, w) => a + length(w).cast("long")).as("nc"),
-        aggregate(transform(col("tk"), w => encWord(w)), lit(0L), (acc, e) =>
+        aggregate(bpeApplyCol(col("tk"), merges), lit(0L), (acc, e) =>
           acc + when(length(e) === 0, lit(0))
             .otherwise(size(split(e, " "))).cast("long")).as("nt"))
       .groupBy(col(groupCol))

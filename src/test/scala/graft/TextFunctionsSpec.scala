@@ -1103,6 +1103,65 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("bpe merges: driver-local and distributed paths are bit-identical") {
+    // the default path collects the word-frequency table and trains
+    // driver-local; maxDriverWords = 0 forces the distributed
+    // per-iteration loop — both must produce the SAME merge table
+    // (rank, left, right, weight), including the tie-breaks
+    val docs = spark.read.parquet(sf("documents"))
+    val local = TextAnalysis.bpeMerges(docs, "text", numMerges = 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val dist = TextAnalysis.bpeMerges(docs, "text", numMerges = 12,
+        maxDriverWords = 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(local.toSeq == dist.toSeq,
+      s"local/distributed merge tables diverge:\n${local.toSeq}\nvs\n${dist.toSeq}")
+  }
+
+  test("bpe at production vocab: >=512 merges train and encode in bounded time; one projection") {
+    // a corpus with enough pair diversity to sustain 512 distinct merges:
+    // 320 distinct 12-char pseudo-random words (deterministic LCG), each
+    // appearing a distinct number of times so argmax ties stay rare
+    val rnd = new java.util.Random(42)
+    val words = (0 until 320).map { i =>
+      val sb = new StringBuilder
+      (0 until 12).foreach(_ => sb.append(('a' + rnd.nextInt(26)).toChar))
+      sb.toString
+    }
+    // parquet round-trip: a LocalRelation corpus would constant-fold the
+    // whole encode into a LocalTableScan and there'd be no plan to pin
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-512").toString
+    spark.createDataFrame(
+      words.zipWithIndex.map { case (w, i) =>
+        (i.toLong, (w + " ") * (1 + i % 7)) }).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val t0 = System.nanoTime()
+    val merges = TextAnalysis.bpeMerges(docs, "text", numMerges = 512)
+    val n = merges.count()
+    assert(n >= 512L, s"corpus exhausted at $n merges — widen the fixture")
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", numMerges = 512)
+    val rows = enc.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 320)
+    // at 512 merges over a 320-word vocabulary most words fully merge
+    assert(rows.forall(_.getAs[Long]("n_tokens_bpe") >= 1L))
+    assert(secs < 120.0, s"512-merge train+encode took ${secs}s — scale shape broken")
+    // the production-vocab plan pin: encoding is ONE native projection —
+    // no per-merge replace chain, no exchange, no join
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_apply"), s"native encoder missing from plan:\n${plan.take(800)}")
+    // (?<!regexp_) — normText's regexp_replace is fine; a bare replace(
+    // would mean the per-merge chain is back
+    assert(!java.util.regex.Pattern.compile("(?<!regexp_)replace\\(")
+      .matcher(plan).find(),
+      "encode plan still contains a per-merge replace chain")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"encode must be a pure scan-bound projection:\n${plan.take(800)}")
+  }
+
   test("bpe encode: hand-traced encoding; token count bounded below by words") {
     // same Sennrich corpus as the merges test: merges (w,e), (l,o), (s,t).
     // 'lowest' -> chars l o w e s t -> (w,e): l o we s t -> (l,o): lo we s t
