@@ -3903,7 +3903,7 @@ object SparkEntry {
       require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
     }
     val empty = s.range(0).select(col("id"), lit(0L).as("sh"))
-    Dedup.initHammingIndex(empty, s"graft_b_stream_mmingest_$tag",
+    Dedup.initHammingIndexEpoch(empty, s"graft_b_stream_mmingest_$tag",
       s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_mmingest",
       buckets = 8, maxHamming = 3)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3947,7 +3947,7 @@ object SparkEntry {
       require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
     }
     val empty = s.range(0).select(col("id"), lit(0L).as("sh"), lit("").as("grp"))
-    Dedup.initHammingIndexKeyed(empty, s"graft_b_stream_pipemm_$tag",
+    Dedup.initHammingIndexKeyedEpoch(empty, s"graft_b_stream_pipemm_$tag",
       s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_pipemm",
       buckets = 8, maxHamming = 3)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -4146,7 +4146,7 @@ object SparkEntry {
       val dst = inDir.resolve(f"b$i%02d.parquet").toFile
       require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
     }
-    Dedup.initPostingIndex(docs.where(lit(false)), "doc_id", "text",
+    Dedup.initPostingIndexEpoch(docs.where(lit(false)), "doc_id", "text",
       s"graft_b_stream_ingest_$tag", s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_ingest",
       buckets = 8, shingleN = 3)
     val incoming = s.readStream.schema(docs.schema)

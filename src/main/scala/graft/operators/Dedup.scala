@@ -688,6 +688,113 @@ object Dedup {
       .bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(table)
 
+  // ==== epoch-stamped index layout (exactly-once streaming ingest) ====
+  //
+  // The streaming ingest sinks (MmIngest / DedupIngest) are foreachBatch
+  // writers — at-least-once by contract: a crash between the epoch's side
+  // effects and the checkpoint commit REPLAYS the whole batch. The epoch
+  // column turns that into effective exactly-once:
+  //   1. every index append is stamped with the writing batchId;
+  //   2. the probe filters the index to `epoch < batchId`, so a replayed
+  //      batch never sees its own crashed attempt's postings and computes
+  //      the IDENTICAL survivor decision the first attempt did (prior
+  //      epochs are committed-by-construction — the query only advances
+  //      past an epoch once its writes finished);
+  //   3. the survivor output goes to `outPath/epoch=<batchId>` with
+  //      overwrite — a replay rewrites the same rows in place, zero
+  //      duplicates (partition-discovery readers see one `epoch` column,
+  //      which gate/consumer projections simply drop);
+  //   4. the index append itself is replay-GUARDED: if rows stamped with
+  //      this batchId already exist, the append is skipped — so postings
+  //      are never duplicated either (which the Jaccard probe's
+  //      intersection COUNTS require; the hamming probe's distinct()
+  //      would absorb duplicates, but a clean index costs one pushed-down
+  //      point-filter scan per batch).
+  // Batch-loop tables (hammingIngest / dedupIngest) keep the slimmer
+  // unstamped layout — their loops are driver-sequential, no replay.
+
+  /** Empty epoch-stamped fragment-index table ([[buildHammingPostings]]
+    * + `epoch`), bucketed on `bk`. */
+  def initHammingIndexEpoch(like: DataFrame, table: String, path: String,
+                            buckets: Int = 8, maxHamming: Int = 3): DataFrame =
+    Relational.bucketMaterialize(
+      buildHammingPostings(like.where(lit(false))
+        .select(col("id"), col("sh")), maxHamming)
+        .withColumn("epoch", lit(-1L)),
+      table, "bk", buckets, path)
+
+  /** Empty epoch-stamped family-keyed fragment-index table. */
+  def initHammingIndexKeyedEpoch(like: DataFrame, table: String, path: String,
+                                 buckets: Int = 8, maxHamming: Int = 3): DataFrame =
+    Relational.bucketMaterialize(
+      buildHammingPostingsKeyed(like.where(lit(false))
+        .select(col("id"), col("sh"), col("grp")), maxHamming)
+        .withColumn("epoch", lit(-1L)),
+      table, "bk", buckets, path)
+
+  /** True iff the table already holds rows stamped with `epoch` — the
+    * replay guard. One scan with the equality pushed to parquet row-group
+    * stats (each append writes one epoch, so non-matching file sets skip
+    * on metadata). */
+  def epochAppended(spark: org.apache.spark.sql.SparkSession,
+                    table: String, epoch: Long): Boolean =
+    !spark.table(table).where(col("epoch") === epoch).isEmpty
+
+  /** Replay-guarded epoch-stamped append to the fragment index. */
+  def appendHammingIndexEpoch(hashes: DataFrame, table: String,
+                              buckets: Int, maxHamming: Int,
+                              epoch: Long): Unit = {
+    val spark = hashes.sparkSession
+    if (!epochAppended(spark, table, epoch))
+      buildHammingPostings(hashes, maxHamming)
+        .withColumn("epoch", lit(epoch))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "bk").sortBy("bk")
+        .saveAsTable(table)
+  }
+
+  /** Replay-guarded epoch-stamped append to the keyed fragment index. */
+  def appendHammingIndexKeyedEpoch(hashes: DataFrame, table: String,
+                                   buckets: Int, maxHamming: Int,
+                                   epoch: Long): Unit = {
+    val spark = hashes.sparkSession
+    if (!epochAppended(spark, table, epoch))
+      buildHammingPostingsKeyed(hashes, maxHamming)
+        .withColumn("epoch", lit(epoch))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "bk").sortBy("bk")
+        .saveAsTable(table)
+  }
+
+  /** Rewrite the bucketed hamming fragment index into one compact file
+    * set per bucket — the modality twin of [[compactPostingIndex]], and
+    * the small-files maintenance [[appendHammingIndex]] needs: every
+    * micro-batch append lays down a fresh file set per bucket, so a
+    * long-running ingest stream accumulates O(batches) files that the
+    * probe's bucket-ordered scan must all open. The rewrite is O(index)
+    * (schema-preserving `select *`, lineage-cut so overwriting the
+    * table's own path is safe), so production runs it every N batches
+    * (`compactEvery` on the ingest entry points), not per batch. Probe
+    * results are byte-identical before and after (spec-pinned). */
+  def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, path: String,
+                          buckets: Int = 8): Unit = {
+    // group rows by their BUCKET ID before the write, so the rewrite
+    // lands one file per non-empty bucket instead of tasks × buckets.
+    // The partition key must be the DERIVED pmod(hash(bk), buckets)
+    // expression, not bk itself: a plain repartition(buckets, bk) over a
+    // bucketed scan is optimizer-removed as redundant (the scan claims
+    // HashPartitioning(bk)) and the planner then drops the bucketed read
+    // too, leaving bin-packed file splits that mix every bucket per task
+    // (measured: 16 files instead of 4). Rows sharing a bucket share the
+    // derived key, so each write task holds exactly one bucket.
+    val fresh = graft.util.Materialize.cut(
+      spark.table(table).repartition(buckets,
+        pmod(hash(col("bk")), lit(buckets))))
+    Relational.bucketMaterialize(fresh, table, "bk", buckets, path)
+    ()
+  }
+
   /** [[hammingSurvivorsIndexed]] with a GROUP key: incoming fingerprints
     * only dedup against corpus/batch fingerprints of the SAME group
     * (modality family) — the per-batch probe step of the composed live
@@ -1350,6 +1457,50 @@ object Dedup {
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(table)
+
+  /** Empty epoch-stamped posting-index table ([[buildPostingIndex]] +
+    * `epoch`) — the streaming-ingest layout; see the epoch-layout note
+    * above [[initHammingIndexEpoch]]. Duplicate-free appends matter MORE
+    * here than for the hamming index: the Jaccard probe COUNTS matching
+    * postings per pair, so a replayed un-guarded append would double
+    * every intersection. */
+  def initPostingIndexEpoch(df: DataFrame, idCol: String, textCol: String,
+                            table: String, path: String, buckets: Int = 8,
+                            shingleN: Int = 3): DataFrame =
+    Relational.bucketMaterialize(
+      buildPostingIndex(df.where(lit(false)), idCol, textCol, shingleN)
+        .withColumn("epoch", lit(-1L)),
+      table, "h", buckets, path)
+
+  /** Replay-guarded epoch-stamped append to the posting index. */
+  def appendPostingIndexEpoch(surv: DataFrame, idCol: String, textCol: String,
+                              table: String, buckets: Int, shingleN: Int,
+                              epoch: Long): Unit = {
+    val spark = surv.sparkSession
+    if (!epochAppended(spark, table, epoch))
+      buildPostingIndex(surv, idCol, textCol, shingleN)
+        .withColumn("epoch", lit(epoch))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "h").sortBy("h")
+        .saveAsTable(table)
+  }
+
+  /** [[compactHammingIndex]] for the posting index WITHOUT refreshing df —
+    * the pure small-files rewrite (the epoch-stamped streaming layout
+    * appends batch-local df like [[appendPostingIndex]]; a global-df
+    * refresh over an epoch-stamped index is [[compactPostingIndex]]'s job
+    * and orthogonal to file-count maintenance). */
+  def compactPostingIndexFiles(spark: org.apache.spark.sql.SparkSession,
+                               table: String, path: String,
+                               buckets: Int = 8): Unit = {
+    // one file per non-empty bucket via the derived bucket-id key — see
+    // the compactHammingIndex note on why plain repartition(h) is removed
+    val fresh = graft.util.Materialize.cut(
+      spark.table(table).repartition(buckets,
+        pmod(hash(col("h")), lit(buckets))))
+    Relational.bucketMaterialize(fresh, table, "h", buckets, path)
+    ()
+  }
 
   /** Intra-document repeated-line removal — the within-ONE-document pass
     * (corpus-wide is [[lineSurvivors]]): every line whose graft-NORMALIZED

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.Dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming crawl ingestion with on-the-fly corpus dedup: each micro-batch
@@ -13,15 +14,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `foreachBatch` twin of [[graft.operators.Dedup.dedupIngest]] — the spec
   * drives both over identical batch splits and asserts equal survivor sets.
   *
-  * Delivery contract: `foreachBatch` is at-least-once — on recovery a batch
-  * can REPLAY after its side effects committed. The index append makes the
-  * dedup step itself idempotent (a replayed document near-duplicates its own
-  * postings at jaccard 1.0 and is dropped), but the `outPath` append of the
-  * replayed batch's interleaved non-survivors is not — production sinks
-  * should write per-epoch directories or an idempotent overwrite keyed by
-  * `batchId` (Spark's own recommendation for file sinks under foreachBatch).
-  * The gate verifies the BATCH twin; this wrapper is spec-verified live. */
+  * Delivery contract — effective EXACTLY-ONCE over the at-least-once
+  * `foreachBatch`, via the epoch-stamped posting-index layout
+  * ([[graft.operators.Dedup.initPostingIndexEpoch]]): the probe reads only
+  * `epoch < batchId` (a replayed batch recomputes the identical survivor
+  * decision instead of near-duplicating its own crashed attempt), survivors
+  * overwrite `outPath/epoch=<batchId>` (replay rewrites the same rows), and
+  * the index append is replay-guarded — duplicate postings would DOUBLE the
+  * Jaccard intersection counts, so the guard is correctness here, not just
+  * hygiene. The kill-and-restart spec replays a real checkpointed failure
+  * through each crash window. */
 object DedupIngest {
+
+  /** The full per-epoch step [[start]]'s `foreachBatch` runs (public for
+    * the kill-and-restart spec): probe strictly-earlier epochs → epoch-
+    * keyed output overwrite → guarded posting append. */
+  def ingestEpoch(idCol: String, textCol: String, indexTable: String,
+                  outPath: String, buckets: Int, shingleN: Int,
+                  threshold: Double)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Dedup.requireMaterializing(spark, "DedupIngest.ingestEpoch")
+    val surv = Dedup.incrementalSurvivorsIndexed(
+      batch, spark.table(indexTable).where(col("epoch") < lit(batchId)),
+      idCol, textCol, shingleN, threshold, Long.MaxValue)
+    MmIngest.writeEpoch(surv, outPath, batchId)
+    Dedup.appendPostingIndexEpoch(surv, idCol, textCol, indexTable,
+      buckets, shingleN, batchId)
+  }
 
   def start(incoming: DataFrame, idCol: String, textCol: String,
             indexTable: String, outPath: String, checkpoint: String,
@@ -33,17 +52,8 @@ object DedupIngest {
     // drain-and-stop mode for gate/backfill runs; the default trigger keeps
     // the query live for continuous ingestion
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        Dedup.requireMaterializing(spark, "DedupIngest.start")
-        val surv = Dedup.incrementalSurvivorsIndexed(
-          batch, spark.table(indexTable), idCol, textCol,
-          shingleN, threshold, Long.MaxValue)
-        surv.write.mode("append").parquet(outPath)
-        Dedup.appendPostingIndex(surv, idCol, textCol, indexTable,
-          buckets, shingleN)
-        ()
-      }
+      .foreachBatch(ingestEpoch(idCol, textCol, indexTable, outPath,
+        buckets, shingleN, threshold) _)
       .start()
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.{Dedup, Multimodal}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming multimodal ingestion with on-the-fly fingerprint dedup — the
@@ -15,19 +15,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * fragment index of every fingerprint ACCEPTED so far (zero exchange on
   * the index side — the PlanSpec-pinned shape), and the surviving rows
   * extend both the output and the index before the epoch commits.
-  * `probeBatch` is byte-for-byte the function `foreachBatch` runs, so the
+  * `ingestEpoch` is byte-for-byte the function `foreachBatch` runs, so the
   * batch gate and the live query execute the identical plan per step.
   *
-  * Delivery contract: `foreachBatch` is at-least-once — a replayed batch
-  * re-probes its own appended fingerprints at hamming 0 and drops itself
-  * (the dedup step is idempotent), but the `outPath` append is not;
-  * production sinks write per-epoch directories or idempotent overwrites
-  * keyed by `batchId` (the [[DedupIngest]] note, verbatim — same sink
-  * caveat, same fix).
+  * Delivery contract — effective EXACTLY-ONCE over the at-least-once
+  * `foreachBatch` (the epoch-stamped layout of
+  * [[graft.operators.Dedup.initHammingIndexEpoch]]):
+  *   - the probe reads only `epoch < batchId`, so a replayed batch never
+  *     sees its own crashed attempt's postings and recomputes the
+  *     IDENTICAL survivor decision;
+  *   - survivors land in `outPath/epoch=<batchId>` with OVERWRITE — a
+  *     replay rewrites the same rows in place (readers discover `epoch`
+  *     as a partition column and project it away);
+  *   - the index append is replay-guarded by
+  *     [[graft.operators.Dedup.epochAppended]] — postings are never
+  *     duplicated.
+  * Any crash point (after output, after index, mid-write) therefore
+  * replays to the same end state; the kill-and-restart spec drives a real
+  * checkpointed failure through every window.
   *
   * 100 TB shape: payload bytes live only inside the per-batch decode
   * stage; the index is the big side and never moves (bucket-ordered scan,
-  * no exchange); per-batch shuffle is O(batch) fragment postings. */
+  * no exchange); per-batch shuffle is O(batch) fragment postings. Index
+  * file count is bounded by `compactEvery` (every N epochs the bucketed
+  * table rewrites into one file set per bucket —
+  * [[graft.operators.Dedup.compactHammingIndex]]); production points the
+  * rewrite at a fresh path + atomic swap so a crash mid-compaction cannot
+  * window the index, which the single-path gate layout accepts. */
 object MmIngest {
 
   /** One micro-batch step: decode → fingerprint → probe the index —
@@ -56,52 +70,84 @@ object MmIngest {
         .select(col("id"), col("fp").as("sh"), col("family").as("grp")),
       index, maxHamming)
 
+  /** Idempotent per-epoch survivor write: `outPath/epoch=<batchId>`,
+    * overwrite — replaying the epoch rewrites the same rows in place. */
+  def writeEpoch(surv: DataFrame, outPath: String, batchId: Long): Unit =
+    surv.write.mode("overwrite").parquet(s"$outPath/epoch=$batchId")
+
+  /** The full per-epoch step [[start]]'s `foreachBatch` runs (public so
+    * the kill-and-restart spec can replay it from any crash window):
+    * probe (strictly-earlier epochs only) → epoch-keyed output overwrite
+    * → guarded index append → optional periodic compaction. */
+  def ingestEpoch(indexTable: String, outPath: String, buckets: Int,
+                  maxHamming: Int, indexPath: String = null,
+                  compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Dedup.requireMaterializing(spark, "MmIngest.ingestEpoch")
+    val surv = probeBatch(
+        spark.table(indexTable).where(col("epoch") < lit(batchId)),
+        batch, maxHamming)
+      .where(col("survives")).select(col("id"), col("sh").as("phash"))
+    writeEpoch(surv, outPath, batchId)
+    Dedup.appendHammingIndexEpoch(
+      surv.select(col("id"), col("phash").as("sh")), indexTable,
+      buckets, maxHamming, batchId)
+    if (compactEvery > 0 && indexPath != null &&
+        (batchId + 1) % compactEvery == 0)
+      Dedup.compactHammingIndex(spark, indexTable, indexPath, buckets)
+  }
+
+  /** [[ingestEpoch]] for the composed DAG: one sniff-routed decode pass,
+    * family-keyed probe, `(id, family, phash)` survivors. */
+  def ingestEpochComposed(indexTable: String, outPath: String, buckets: Int,
+                          maxHamming: Int, indexPath: String = null,
+                          compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Dedup.requireMaterializing(spark, "MmIngest.ingestEpochComposed")
+    val surv = probeBatchComposed(
+        spark.table(indexTable).where(col("epoch") < lit(batchId)),
+        batch, maxHamming)
+      .where(col("survives"))
+      .select(col("id"), col("grp").as("family"), col("sh").as("phash"))
+    writeEpoch(surv, outPath, batchId)
+    Dedup.appendHammingIndexKeyedEpoch(
+      surv.select(col("id"), col("phash").as("sh"),
+                  col("family").as("grp")),
+      indexTable, buckets, maxHamming, batchId)
+    if (compactEvery > 0 && indexPath != null &&
+        (batchId + 1) % compactEvery == 0)
+      Dedup.compactHammingIndex(spark, indexTable, indexPath, buckets)
+  }
+
   /** The composed ingest DAG run LIVE: mixed-modality micro-batches →
     * decode once → family-keyed index probe → survivors extend output
     * and index before the epoch commits. One bucketed index serves every
     * family (the family is a residual predicate on the `bk` bucket join).
-    * Same at-least-once sink caveat as [[start]]. */
+    * Index table must be the epoch-stamped layout
+    * ([[graft.operators.Dedup.initHammingIndexKeyedEpoch]]). */
   def startComposed(incoming: DataFrame, indexTable: String, outPath: String,
                     checkpoint: String, buckets: Int = 8, maxHamming: Int = 3,
-                    availableNow: Boolean = false): StreamingQuery = {
+                    availableNow: Boolean = false, indexPath: String = null,
+                    compactEvery: Int = 0): StreamingQuery = {
     val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        Dedup.requireMaterializing(spark, "MmIngest.startComposed")
-        val surv = probeBatchComposed(spark.table(indexTable), batch, maxHamming)
-          .where(col("survives"))
-          .select(col("id"), col("grp").as("family"), col("sh").as("phash"))
-        surv.write.mode("append").parquet(outPath)
-        Dedup.appendHammingIndexKeyed(
-          surv.select(col("id"), col("phash").as("sh"),
-                      col("family").as("grp")),
-          indexTable, buckets, maxHamming)
-        ()
-      }
+      .foreachBatch(ingestEpochComposed(indexTable, outPath, buckets,
+        maxHamming, indexPath, compactEvery) _)
       .start()
   }
 
   def start(incoming: DataFrame, indexTable: String, outPath: String,
             checkpoint: String, buckets: Int = 8, maxHamming: Int = 3,
-            availableNow: Boolean = false): StreamingQuery = {
+            availableNow: Boolean = false, indexPath: String = null,
+            compactEvery: Int = 0): StreamingQuery = {
     val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        Dedup.requireMaterializing(spark, "MmIngest.start")
-        val surv = probeBatch(spark.table(indexTable), batch, maxHamming)
-          .where(col("survives")).select(col("id"), col("sh").as("phash"))
-        surv.write.mode("append").parquet(outPath)
-        Dedup.appendHammingIndex(
-          surv.select(col("id"), col("phash").as("sh")), indexTable,
-          buckets, maxHamming)
-        ()
-      }
+      .foreachBatch(ingestEpoch(indexTable, outPath, buckets, maxHamming,
+        indexPath, compactEvery) _)
       .start()
   }
 }

@@ -561,7 +561,7 @@ class PipelineStreamingSpec extends SparkSpec {
     val ms = MemoryStream[(Long, String)]
     // the index must exist (empty) before the first micro-batch probes it —
     // init from a STATIC empty frame (a streaming frame cannot batch-write)
-    graft.operators.Dedup.initPostingIndex(
+    graft.operators.Dedup.initPostingIndexEpoch(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
       "graft_spec_ingest_live", s"$tmp/idx_live")
     val q = graft.streaming.DedupIngest.start(
@@ -583,6 +583,201 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(twin == live, s"twin $twin != live $live")
   }
 
+
+  test("dedup ingest kill-and-restart: replayed epoch rewrites in place, zero dup rows/postings") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val third = (1 to 40).map(i => s"new$i").mkString(" ")
+    val fourth = (1 to 40).map(i => s"fin$i").mkString(" ")
+    val batches = Seq(
+      Seq(1L -> base, 2L -> other),
+      Seq(10L -> (base + " tail1 tail2"), 11L -> third),
+      Seq(20L -> (other + " x1"), 21L -> fourth, 22L -> (fourth + " y1")))
+    val tmp = Files.createTempDirectory("graft-ingest-kill").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = s"$tmp/b$i"
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+      assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_ingest_kill", s"$tmp/idx")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val step = graft.streaming.DedupIngest.ingestEpoch(
+      "doc_id", "text", "graft_spec_ingest_kill", s"$tmp/out",
+      buckets = 8, shingleN = 3, threshold = 0.5) _
+    // attempt 1: epoch 1 CRASHES mid-epoch — after the output overwrite,
+    // BEFORE the index append (the narrowest replay window: the crashed
+    // attempt's rows are on disk but its postings are not)
+    var crashed = false
+    val q1 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1 && !crashed) {
+          val surv = graft.operators.Dedup.incrementalSurvivorsIndexed(
+            b, spark.table("graft_spec_ingest_kill")
+              .where(col("epoch") < lit(id)),
+            "doc_id", "text", 3, 0.5, Long.MaxValue)
+          graft.streaming.MmIngest.writeEpoch(surv, s"$tmp/out", id)
+          crashed = true
+          throw new RuntimeException("injected crash between output and index append")
+        } else step(b, id)
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed, "the injected crash never fired")
+    // restart from the same checkpoint: epoch 1 REPLAYS through the
+    // normal step (probe excludes its own crashed attempt), then epoch 2
+    val q2 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => step(b, id) }
+      .start()
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.sorted == Seq(1L, 2L, 11L, 21L),
+      s"survivors after kill-and-restart: ${ids.sorted.toSeq}")
+    assert(ids.length == ids.distinct.length,
+      s"duplicate output rows after replay: ${ids.sorted.toSeq}")
+    // the replayed epoch's directory is non-empty (the self-drop hazard:
+    // a replay that saw its own postings would overwrite epoch=1 empty)
+    assert(out.where(col("epoch") === 1).count() == 1L,
+      "replayed epoch lost its survivors")
+    // and the index carries no duplicate postings
+    val dupPostings = spark.table("graft_spec_ingest_kill")
+      .groupBy("id", "h").count().where(col("count") > 1).count()
+    assert(dupPostings == 0L, s"$dupPostings duplicated postings after replay")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_ingest_kill")
+  }
+
+  test("mm ingest kill-and-restart: crash after full epoch side effects, replay is a no-op") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-mm-kill").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    // batches of real rendered PNGs: ids 0-3, then 4-7 (ids 4,5 render
+    // near-dup twins of 0,1 per the renderer's id spreading — we don't
+    // assume which collide, only that replay changes NOTHING)
+    Seq(0L until 4L, 4L until 8L).zipWithIndex.foreach { case (r, i) =>
+      val part = s"$tmp/b$i"
+      graft.operators.Multimodal.renderedImagePayloads(
+        spark.range(r.start, r.end).toDF("doc_id"), "doc_id")
+        .coalesce(1).write.parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+      assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    import spark.implicits._
+    graft.operators.Dedup.initHammingIndexEpoch(
+      Seq.empty[(Long, Long)].toDF("id", "sh"),
+      "graft_spec_mm_kill", s"$tmp/idx")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    def incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val step = graft.streaming.MmIngest.ingestEpoch(
+      "graft_spec_mm_kill", s"$tmp/out", buckets = 8, maxHamming = 3) _
+    // crash AFTER epoch 1's full side effects (output + index) but before
+    // the checkpoint commit — exactly the window where the old append-mode
+    // sink duplicated rows and a naive re-probe dropped the whole batch
+    var crashed = false
+    val q1 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        step(b, id)
+        if (id == 1 && !crashed) {
+          crashed = true
+          throw new RuntimeException("injected crash after epoch side effects")
+        }
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed, "the injected crash never fired")
+    val afterCrash = spark.read.parquet(s"$tmp/out")
+      .select("id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q2 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => step(b, id) }
+      .start()
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    val rows = out.select("id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet == afterCrash,
+      s"replay changed the survivor set: ${rows.toSet} vs $afterCrash")
+    assert(rows.length == rows.toSet.size,
+      s"duplicate output rows after replay: ${rows.sorted.toSeq}")
+    assert(out.where(col("epoch") === 1).count() > 0L,
+      "replayed epoch lost its survivors (self-drop hazard)")
+    val dupFrags = spark.table("graft_spec_mm_kill")
+      .groupBy("id", "bk").count().where(col("count") > 1).count()
+    assert(dupFrags == 0L, s"$dupFrags duplicated fragment postings after replay")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_mm_kill")
+  }
+
+  test("compactHammingIndex: file count collapses to <= buckets; probe results byte-identical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    graft.operators.Dedup.initHammingIndexEpoch(
+      Seq.empty[(Long, Long)].toDF("id", "sh"),
+      "graft_spec_compact", s"$tmp/idx", buckets = 4)
+    // 6 micro-batch appends → 6 file sets per touched bucket
+    val rnd = new java.util.Random(7)
+    (0 until 6).foreach { e =>
+      val hs = (0 until 8).map(i => (e * 100L + i, rnd.nextLong()))
+      graft.operators.Dedup.appendHammingIndexEpoch(
+        hs.toDF("id", "sh"), "graft_spec_compact",
+        buckets = 4, maxHamming = 3, epoch = e.toLong)
+    }
+    def parts() = new java.io.File(s"$tmp/idx").listFiles()
+      .count(_.getName.startsWith("part-"))
+    val filesBefore = parts()
+    assert(filesBefore > 4, s"fixture too small to show accumulation: $filesBefore files")
+    val probe = (0 until 6).map(i => (1000L + i, rnd.nextLong())) ++
+      Seq((2000L, 0L)) // plus a row colliding with nothing
+    def probeResult() = graft.operators.Dedup.hammingSurvivorsIndexed(
+        probe.toDF("id", "sh"), spark.table("graft_spec_compact"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val before = probeResult()
+    graft.operators.Dedup.compactHammingIndex(
+      spark, "graft_spec_compact", s"$tmp/idx", buckets = 4)
+    val filesAfter = parts()
+    assert(filesAfter <= 4,
+      s"compaction must leave one file per non-empty bucket: $filesAfter")
+    assert(probeResult() == before, "compaction changed probe results")
+    // epoch stamps survive the rewrite (the replay guard depends on them)
+    assert(spark.table("graft_spec_compact")
+      .select("epoch").distinct().count() == 6L)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_compact")
+  }
 
   test("streaming funnel: out-of-order buffering, cross-batch chaining, watermark flush") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
