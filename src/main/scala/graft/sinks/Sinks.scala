@@ -45,7 +45,18 @@ object Sinks {
     * persisted once so N sink filters don't recompute the source scan. */
   def fanout(batch: DataFrame, routes: Seq[Route],
              writers: Map[String, DataFrame => Unit],
-             skipAcceptCheckOnSingle: Boolean = true): Unit = {
+             skipAcceptCheckOnSingle: Boolean = true): Unit =
+    fanoutEpoch(batch, routes,
+      writers.view.mapValues(w => (df: DataFrame, _: Long) => w(df)).toMap,
+      epoch = -1L, skipAcceptCheckOnSingle)
+
+  /** [[fanout]] with the micro-batch EPOCH (foreachBatch batchId) passed
+    * through to the writers — what exactly-once sinks
+    * ([[graft.streaming.EpochSinkPlugin]]) key their idempotent writes on. */
+  def fanoutEpoch(batch: DataFrame, routes: Seq[Route],
+                  writers: Map[String, (DataFrame, Long) => Unit],
+                  epoch: Long,
+                  skipAcceptCheckOnSingle: Boolean = true): Unit = {
     val routed = assign(batch, routes, skipAcceptCheckOnSingle)
     val multi = routes.sizeIs > 1
     // saltedPersist returns the persisted frame (the salt changes the plan),
@@ -53,7 +64,7 @@ object Sinks {
     val assigned = if (multi) routed.saltedPersist() else routed
     try routes.foreach { r =>
       writers.get(r.name).foreach { w =>
-        w(assigned.where(col("__sink") === r.name).drop("__sink"))
+        w(assigned.where(col("__sink") === r.name).drop("__sink"), epoch)
       }
     } finally if (multi) { assigned.unpersist(); () }
   }

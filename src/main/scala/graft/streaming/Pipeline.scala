@@ -109,33 +109,42 @@ object Pipeline {
     }
   }
 
-  /** `fqcn =` with no `type` loads a user [[SinkPlugin]] by class name
-    * (reference `Sink.scala:57-77`). */
-  private[streaming] def buildSink(sc: GraftConfig): DataFrame => Unit =
+  /** `fqcn =` with no `type` loads a user [[SinkPlugin]] or
+    * [[EpochSinkPlugin]] by class name (reference `Sink.scala:57-77`);
+    * epoch-aware plugins receive the foreachBatch batchId, everything
+    * else ignores it. */
+  private[streaming] def buildSink(sc: GraftConfig): (DataFrame, Long) => Unit = {
+    def plain(w: DataFrame => Unit): (DataFrame, Long) => Unit = (df, _) => w(df)
     (sc.getStringOpt("type"), sc.getStringOpt("fqcn")) match {
       case (None, Some(fqcn)) =>
-        graft.interceptor.ComponentLoader.createPlugin[SinkPlugin](fqcn, sc)
-          .build(sc)
+        graft.interceptor.ComponentLoader.createPlugin[AnyRef](fqcn, sc) match {
+          case p: EpochSinkPlugin => p.build(sc)
+          case p: SinkPlugin      => plain(p.build(sc))
+          case other => throw new IllegalArgumentException(
+            s"$fqcn is neither a SinkPlugin nor an EpochSinkPlugin: ${other.getClass}")
+        }
       case (Some(t), Some(fqcn)) =>
         throw new IllegalArgumentException(
           s"sink section declares both type=<$t> and fqcn=<$fqcn>; use exactly one (MIGRATION.md)")
       case (t, _) => t.getOrElse("devnull") match {
-      case "devnull" | "noop" => Sinks.noopWriter
-      case "file"   => Sinks.fileWriter(sc.getString("path"),
-                                        sc.getString("format", "parquet"))
-      case "http"   => Sinks.httpWriter(Sinks.HttpSinkConfig.fromConfig(sc),
-                                        sc.getInt("batch-size", 128))
+      case "devnull" | "noop" => plain(Sinks.noopWriter)
+      case "file"   => plain(Sinks.fileWriter(sc.getString("path"),
+                                        sc.getString("format", "parquet")))
+      case "http"   => plain(Sinks.httpWriter(Sinks.HttpSinkConfig.fromConfig(sc),
+                                        sc.getInt("batch-size", 128)))
+      case "mm-ingest" => // the composed multimodal ingest DAG as a sink
+        MmIngestSink.writer(sc)
       case "syslog" =>
         val transport = sc.getString("transport", "tcp") match {
           case "udp" => Sinks.SyslogUdp
           case "tls" => Sinks.SyslogTls(sc.getStringOpt("ssl-ca-file"))
           case _     => Sinks.SyslogTcp
         }
-        Sinks.syslogWriter(sc.getString("remote-host"),
+        plain(Sinks.syslogWriter(sc.getString("remote-host"),
           sc.getInt("remote-port", 514),
           sc.getInt("facility", 1), sc.getInt("severity", 6),
           sc.getString("app", "graft"),
-          transport = Some(transport))
+          transport = Some(transport)))
       case "kafka"  =>
         val topic = sc.getStringOpt("topic")
         val header = sc.getStringOpt("topic-header")
@@ -144,11 +153,12 @@ object Pipeline {
         require(topic.nonEmpty || header.nonEmpty,
           "kafka sink needs <topic> or <topic-header>")
         val opts = Sinks.kafkaSinkOptions(sc)
-        batch => { Sinks.kafkaRecords(batch, topic, header)
-          .write.format("kafka").options(opts).save(); () }
+        plain(batch => { Sinks.kafkaRecords(batch, topic, header)
+          .write.format("kafka").options(opts).save(); () })
       case other => throw new IllegalArgumentException(s"unknown sink type <$other>")
       }
     }
+  }
 
   private def startOne(spark: SparkSession, root: GraftConfig, name: String,
                        sc: GraftConfig, checkpoint: String): StreamingQuery = {
@@ -179,8 +189,8 @@ object Pipeline {
       .queryName(s"graft-$name")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sinks.fanout(batch, routes, writers,
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sinks.fanoutEpoch(batch, routes, writers, epoch = batchId,
           skipAcceptCheckOnSingle =
             sc.getString("sink-select-strategy", "skip-accept-check-on-single") ==
               "skip-accept-check-on-single")

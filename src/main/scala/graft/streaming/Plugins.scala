@@ -21,3 +21,13 @@ trait SinkPlugin {
   /** Build the per-micro-batch writer for this sink. */
   def build(cfg: GraftConfig): DataFrame => Unit
 }
+
+/** A sink plugin whose writer needs the EPOCH (the foreachBatch batchId) —
+  * the SPI for exactly-once stages like [[MmIngestSink]], whose per-epoch
+  * output overwrite and replay-guarded index append are keyed by it. The
+  * pipeline assembler passes the batchId of the enclosing micro-batch
+  * through; a plain [[SinkPlugin]] keeps ignoring it. */
+trait EpochSinkPlugin {
+  /** Build the per-micro-batch writer; the Long is the epoch/batchId. */
+  def build(cfg: GraftConfig): (DataFrame, Long) => Unit
+}

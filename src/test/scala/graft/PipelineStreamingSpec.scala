@@ -21,6 +21,27 @@ class TestSourcePlugin(cfg: GraftConfig) extends SourcePlugin {
   }
 }
 
+/** FQCN-loadable media source for the config-declared ingest DAG: streams a
+  * `(id, payload)` parquet directory as Events — payload bytes ride base64
+  * in the body (the reference's opaque-bytes event contract), the id in a
+  * header. One file per micro-batch so epochs match the fixture batches. */
+class MmPayloadSourcePlugin(cfg: GraftConfig) extends SourcePlugin {
+  override def build(spark: org.apache.spark.sql.SparkSession,
+                     sc: GraftConfig): org.apache.spark.sql.Dataset[Event] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType),
+                             StructField("payload", BinaryType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sc.getString("path"))
+      .select(base64(col("payload")).as("body"),
+              map(lit("id"), col("id").cast("string")).as("headers"))
+      .as[Event]
+  }
+}
+
 /** FQCN-loadable sink: collects bodies into a static buffer. */
 class TestSinkPlugin extends SinkPlugin {
   override def build(cfg: GraftConfig): org.apache.spark.sql.DataFrame => Unit =
@@ -739,6 +760,65 @@ class PipelineStreamingSpec extends SparkSpec {
       .groupBy("id", "bk").count().where(col("count") > 1).count()
     assert(dupFrags == 0L, s"$dupFrags duplicated fragment postings after replay")
     spark.sql("DROP TABLE IF EXISTS graft_spec_mm_kill")
+  }
+
+  test("config-declared composed ingest DAG: HOCON boots the flagship through Pipeline.start") {
+    import org.apache.spark.sql.functions._
+    // the same mixed-modality rendered corpus the gate uses, as two
+    // ordered payload batches on disk
+    val tmp = Files.createTempDirectory("graft-cfg-mm").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    Seq(0L until 6L, 6L until 12L).zipWithIndex.foreach { case (r, i) =>
+      val part = s"$tmp/b$i"
+      graft.operators.Multimodal.renderedIngestPayloads(
+        spark.range(r.start, r.end).toDF("doc_id"), "doc_id")
+        .coalesce(1).write.parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+      assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    // config-ONLY assembly: fqcn source → (implicit Transparent chain) →
+    // the mm-ingest sink; the index auto-initializes on the first batch
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { media { fqcn = "graft.MmPayloadSourcePlugin",
+                         path = "$inDir", available-now = true,
+                         sinks = [ingest] } }
+        sink { ingest { type = mm-ingest,
+                        index-table = graft_spec_cfg_mm,
+                        index-path = "$tmp/idx",
+                        out-path = "$tmp/out" } }
+      }""")
+    val ps = Pipeline.start(spark, conf, s"$tmp/ck")
+    try ps.foreach(_.query.awaitTermination())
+    finally ps.foreach(p => if (p.query.isActive) p.query.stop())
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("id", "family", "phash").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // code-assembled twin over the identical batches from a fresh index
+    import spark.implicits._
+    graft.operators.Dedup.initHammingIndexKeyedEpoch(
+      Seq.empty[(Long, Long, String)].toDF("id", "sh", "grp"),
+      "graft_spec_cfg_mm_twin", s"$tmp/idx_twin")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = graft.streaming.MmIngest.startComposed(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString),
+      "graft_spec_cfg_mm_twin", s"$tmp/out_twin", s"$tmp/ck_twin",
+      availableNow = true)
+    q.awaitTermination()
+    val twin = spark.read.parquet(s"$tmp/out_twin")
+      .select("id", "family", "phash").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "config-declared DAG produced no survivors")
+    assert(got == twin, s"config-declared DAG diverged from the code twin:\n$got\nvs\n$twin")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_mm")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_mm_twin")
   }
 
   test("compactHammingIndex: file count collapses to <= buckets; probe results byte-identical") {
