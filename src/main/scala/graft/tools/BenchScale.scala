@@ -391,10 +391,21 @@ object BenchScale100 {
                                  // the df-pruned inverted-index join whose
                                  // hot keys (test cards, black frames) are
                                  // exactly what the prune bounds
-    "mm_video_mjpeg")            // round-13: the compressed codec two
+    "mm_video_mjpeg",            // round-13: the compressed codec two
                                  // orders up — 500k MJPG containers,
                                  // ~3.5M real ImageIO JPEG encodes AND
                                  // decodes, scan shape like mm_phash
+    "mm_ingest_loop",            // round-14 (verdict item 6): the
+                                 // fingerprint ingest loop two orders up —
+                                 // per-batch cost claim is O(batch)
+                                 // postings against a zero-exchange index
+                                 // scan; the fixed id-range bounds put
+                                 // ~all growth in the last batch, so the
+                                 // point measures exactly that claim
+    "dedup_ingest_compacted")    // round-14: the other most-expensive gate
+                                 // — posting-index ingest with per-batch
+                                 // O(index) df compaction; linear because
+                                 // index size tracks corpus size
   val EventQueries = Seq(
     "events_dau_hll",            // per-day HLL registers over 10M events
     "stream_hourly_hll")         // the same, LIVE through watermarked append mode

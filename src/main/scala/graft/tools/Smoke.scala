@@ -497,6 +497,47 @@ object Smoke {
     }
     lap("round-13")
 
+    println("[smoke] round-14: config-declared ingest DAG + native BPE + index compaction:")
+    locally {
+      import spark.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft-smoke-r14")
+      // two payload batches on disk, then the flagship DAG booted from
+      // HOCON ONLY: fqcn payload source -> mm-ingest sink (exactly-once
+      // epoch layout, auto-initialized index)
+      Seq(0L until 10L, 10L until 20L).zipWithIndex.foreach { case (r, i) =>
+        val part = work.resolve(s"b$i")
+        Multimodal.renderedIngestPayloads(
+          spark.range(r.start, r.end).toDF("doc_id"), "doc_id")
+          .coalesce(1).write.parquet(part.toString)
+        val src = part.toFile.listFiles().find(_.getName.startsWith("part-")).get
+        val dst = work.resolve("in").toFile
+        dst.mkdirs()
+        val f = new java.io.File(dst, f"b$i%02d.parquet")
+        require(src.renameTo(f) && f.setLastModified(1700000000000L + i * 60000L))
+      }
+      val conf = graft.config.GraftConfig.parse(s"""
+        graft {
+          source { media { fqcn = "graft.tools.SmokePayloadSource",
+                           path = "${work.resolve("in")}",
+                           available-now = true, sinks = [ingest] } }
+          sink { ingest { type = mm-ingest,
+                          index-table = graft_smoke_cfg_mm,
+                          index-path = "${work.resolve("idx")}",
+                          out-path = "${work.resolve("out")}",
+                          compact-every = 1 } }
+        }""")
+      val ps = graft.streaming.Pipeline.start(spark, conf,
+        work.resolve("ck").toString)
+      ps.foreach(_.query.awaitTermination())
+      spark.read.parquet(work.resolve("out").toString)
+        .orderBy("id").show(5)
+      spark.sql("DROP TABLE IF EXISTS graft_smoke_cfg_mm")
+      // native BPE at a beyond-gate merge count: one projection node
+      graft.operators.TextAnalysis.bpeEncode(
+        docs.limit(200), "doc_id", "text", numMerges = 64).show(3)
+    }
+    lap("round-14")
+
     println("[smoke] SQL surface (graft_* functions via spark.sql):")
     graft.functions.GraftFunctionRegistry.ensureRegistered(spark)
     docs.limit(3).createOrReplaceTempView("smoke_docs")
@@ -513,5 +554,27 @@ object Smoke {
 
     spark.stop()
     println("[smoke] DONE")
+  }
+}
+
+/** FQCN payload source for the round-14 smoke: a `(id, payload)` parquet
+  * stream as Events — payload base64 in the body, id in a header (the
+  * [[graft.streaming.MmIngestSink]] default projection). */
+class SmokePayloadSource(cfg: graft.config.GraftConfig)
+    extends graft.streaming.SourcePlugin {
+  override def build(spark: org.apache.spark.sql.SparkSession,
+                     sc: graft.config.GraftConfig)
+      : org.apache.spark.sql.Dataset[graft.event.Event] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    implicit val enc = org.apache.spark.sql.Encoders.product[graft.event.Event]
+    spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType),
+                             StructField("payload", BinaryType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sc.getString("path"))
+      .select(base64(col("payload")).as("body"),
+              map(lit("id"), col("id").cast("string")).as("headers"))
+      .as[graft.event.Event]
   }
 }
