@@ -3886,9 +3886,23 @@ object SparkEntry {
     * index, and extends it with the survivors — gated against the
     * identical sequential-loop oracle as `mm_ingest_loop`, batch/live
     * parity for the modality ingestion path. */
-  private def streamMmIngest(s0: SparkSession, dir: String): DataFrame = {
+  private def streamMmIngest(s0: SparkSession, dir: String): DataFrame =
+    streamMmIngestImpl(s0, dir, gen = false)
+
+  /** `stream_mm_ingest` on the crash-safe GENERATIONAL index layout
+    * ([[graft.operators.GenIndex]]) with a swap compaction after EVERY
+    * epoch — the production maintenance path exercised end-to-end: each
+    * micro-batch probes an index that was rewritten into a fresh
+    * marker-committed generation since the last epoch. Same oracle as
+    * `stream_mm_ingest`: the layout and its compactions must be invisible
+    * to the survivor decision. */
+  private def streamMmIngestGen(s0: SparkSession, dir: String): DataFrame =
+    streamMmIngestImpl(s0, dir, gen = true)
+
+  private def streamMmIngestImpl(s0: SparkSession, dir: String,
+                                 gen: Boolean): DataFrame = {
     val s = streamSession(s0)
-    val tag = layoutTag(dir)
+    val tag = layoutTag(dir) + (if (gen) "_gen" else "")
     val work = graft.util.TempDirs.create("graft-stream-mm-ingest")
     val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
     val docs = t(s, dir, "documents")
@@ -3903,9 +3917,11 @@ object SparkEntry {
       require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
     }
     val empty = s.range(0).select(col("id"), lit(0L).as("sh"))
-    Dedup.initHammingIndexEpoch(empty, s"graft_b_stream_mmingest_$tag",
-      s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_mmingest",
-      buckets = 8, maxHamming = 3)
+    val idxPath = s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_mmingest"
+    if (gen) Dedup.initHammingIndexEpochGen(empty,
+      s"graft_b_stream_mmingest_$tag", idxPath, buckets = 8, maxHamming = 3)
+    else Dedup.initHammingIndexEpoch(empty, s"graft_b_stream_mmingest_$tag",
+      idxPath, buckets = 8, maxHamming = 3)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
@@ -3915,7 +3931,9 @@ object SparkEntry {
     val q = graft.streaming.MmIngest.start(incoming,
       indexTable = s"graft_b_stream_mmingest_$tag", outPath = out,
       checkpoint = work.resolve("ck").toString,
-      buckets = 8, maxHamming = 3, availableNow = true)
+      buckets = 8, maxHamming = 3, availableNow = true,
+      indexPath = if (gen) idxPath else null,
+      compactEvery = if (gen) 1 else 0)
     q.awaitTermination()
     s.read.parquet(out).select("id", "phash").orderBy("id")
   }
@@ -4901,6 +4919,7 @@ object SparkEntry {
     "mm_neardup_incremental" -> mmNearDupIncremental _,
     "mm_ingest_loop"      -> mmIngestLoop _,
     "stream_mm_ingest"    -> streamMmIngest _,
+    "stream_mm_ingest_gen" -> streamMmIngestGen _,
     "stream_pipeline_mm_ingest" -> streamPipelineMmIngest _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
@@ -9465,6 +9484,7 @@ object SparkEntry {
     "mm_neardup_incremental" -> OracleXX.hammingIncrementalOracle(maxHamming = 3),
     "mm_ingest_loop" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
     "stream_mm_ingest" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
+    "stream_mm_ingest_gen" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
     "stream_pipeline_mm_ingest" ->
       OracleXX.composedIngestLoopOracle(mmIngestBounds, maxHamming = 3),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica

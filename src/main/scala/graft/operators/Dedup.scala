@@ -732,6 +732,26 @@ object Dedup {
         .withColumn("epoch", lit(-1L)),
       table, "bk", buckets, path)
 
+  /** [[initHammingIndexEpoch]] on the crash-safe GENERATIONAL layout
+    * ([[GenIndex]]): `root/gen-0` + committed marker. Ingest loops detect
+    * the layout and route `compactEvery` to [[GenIndex.compactSwap]]. */
+  def initHammingIndexEpochGen(like: DataFrame, table: String, root: String,
+                               buckets: Int = 8, maxHamming: Int = 3): DataFrame =
+    GenIndex.init(
+      buildHammingPostings(like.where(lit(false))
+        .select(col("id"), col("sh")), maxHamming)
+        .withColumn("epoch", lit(-1L)),
+      table, root, "bk", buckets)
+
+  /** [[initHammingIndexKeyedEpoch]] on the generational layout. */
+  def initHammingIndexKeyedEpochGen(like: DataFrame, table: String, root: String,
+                                    buckets: Int = 8, maxHamming: Int = 3): DataFrame =
+    GenIndex.init(
+      buildHammingPostingsKeyed(like.where(lit(false))
+        .select(col("id"), col("sh"), col("grp")), maxHamming)
+        .withColumn("epoch", lit(-1L)),
+      table, root, "bk", buckets)
+
   /** True iff the table already holds rows stamped with `epoch` — the
     * replay guard. One scan with the equality pushed to parquet row-group
     * stats (each append writes one epoch, so non-matching file sets skip
@@ -1471,6 +1491,16 @@ object Dedup {
       buildPostingIndex(df.where(lit(false)), idCol, textCol, shingleN)
         .withColumn("epoch", lit(-1L)),
       table, "h", buckets, path)
+
+  /** [[initPostingIndexEpoch]] on the crash-safe generational layout
+    * ([[GenIndex]]) — see [[initHammingIndexEpochGen]]. */
+  def initPostingIndexEpochGen(df: DataFrame, idCol: String, textCol: String,
+                               table: String, root: String, buckets: Int = 8,
+                               shingleN: Int = 3): DataFrame =
+    GenIndex.init(
+      buildPostingIndex(df.where(lit(false)), idCol, textCol, shingleN)
+        .withColumn("epoch", lit(-1L)),
+      table, root, "h", buckets)
 
   /** Replay-guarded epoch-stamped append to the posting index. */
   def appendPostingIndexEpoch(surv: DataFrame, idCol: String, textCol: String,

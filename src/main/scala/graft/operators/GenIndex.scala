@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+
+/** Crash-safe GENERATIONAL layout for the persisted dedup indexes — the
+  * production answer to the one crash window the single-path layout
+  * accepts: [[Dedup.compactHammingIndex]] lineage-cuts the live table into
+  * executor memory and overwrites its own path, so a JVM loss mid-rewrite
+  * destroys the only durable copy of the index. Here compaction never
+  * touches the live files:
+  *
+  *   - `root/gen-<k>/` holds one immutable-once-committed generation of
+  *     the bucketed index; the LIVE generation is the highest `k` whose
+  *     directory contains a `_COMMITTED` marker.
+  *   - the marker is created with a single atomic create-exclusive call
+  *     AFTER the generation's data write completes — file creation is
+  *     atomic on both POSIX and HDFS, so there is no partially-committed
+  *     state to observe and no atomic-overwrite primitive to depend on.
+  *   - a crash before the marker leaves an uncommitted `gen-<k+1>` that
+  *     every reader ignores and the next compaction deletes and rewrites;
+  *     a crash after the marker is a completed compaction (superseded
+  *     generations are swept best-effort and re-swept next time).
+  *
+  * Micro-batch APPENDS keep writing through the session catalog table,
+  * which always points at the live generation — a generation is immutable
+  * once SUPERSEDED, not while live. The session-catalog repoint after the
+  * marker flip (drop + rename of the scratch entry) is a convenience, not
+  * the commit: the catalog does not survive the JVM, and [[open]] rebuilds
+  * it from the marker — a metastore deployment replaces both DDLs with one
+  * atomic `ALTER TABLE .. SET LOCATION`.
+  *
+  * Opt-in by init choice: ingest loops probe `isGenerational(root)` and
+  * route `compactEvery` to [[compactSwap]] when the index was created via
+  * [[init]], keeping the slimmer single-path layout the gate queries use
+  * otherwise. */
+object GenIndex {
+
+  private val GenPrefix = "gen-"
+  private val Marker = "_COMMITTED"
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def genPath(root: String, k: Long): String = s"$root/$GenPrefix$k"
+
+  /** Highest committed generation under `root`, if any. */
+  def liveGen(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, root)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .flatMap(s => s.getPath.getName.stripPrefix(GenPrefix).toLongOption
+        .filter(_ => fs.exists(new Path(s.getPath, Marker))))
+      .sorted.lastOption
+  }
+
+  /** True iff `root` carries the generational layout (any committed gen). */
+  def isGenerational(spark: SparkSession, root: String): Boolean =
+    liveGen(spark, root).isDefined
+
+  /** Path of the live generation's data directory. */
+  def livePath(spark: SparkSession, root: String): String =
+    genPath(root, liveGen(spark, root).getOrElse(sys.error(
+      s"GenIndex.livePath: no committed generation under $root — init first")))
+
+  /** Create generation 0 from `df` (typically an empty epoch-stamped
+    * index frame), register it as bucketed `table`, and commit it.
+    * Destructive like `bucketMaterialize`'s overwrite: any prior
+    * generations under `root` are discarded — this INITIALIZES an index;
+    * resuming an existing one is [[open]]. */
+  def init(df: DataFrame, table: String, root: String, key: String,
+           buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    fs.delete(rootPath, true)
+    val p0 = genPath(root, 0L)
+    val out = Relational.bucketMaterialize(df, table, key, buckets, p0)
+    commit(spark, p0)
+    out
+  }
+
+  /** Recovery / fresh-session entry: register the live generation as
+    * bucketed `table` (external CLUSTERED BY DDL over the committed files
+    * — bucket ids come from the writer's file naming, so the probe's
+    * zero-exchange bucket join survives re-registration). */
+  def open(spark: SparkSession, table: String, root: String, key: String,
+           buckets: Int): DataFrame =
+    register(spark, table, livePath(spark, root), key, buckets)
+
+  /** Register an external bucketed parquet table over existing files —
+    * [[open]] without the generation resolution, for recovering a
+    * SINGLE-PATH index after a session restart (the in-memory catalog
+    * does not survive the JVM; the files do). Schema is read from the
+    * parquet footers; bucket ids come from the writer's file naming. */
+  def register(spark: SparkSession, table: String, path: String,
+               key: String, buckets: Int): DataFrame = {
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"CREATE TABLE `$table` ($schema) USING PARQUET " +
+      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+      s"LOCATION '$path'")
+    spark.table(table)
+  }
+
+  /** True iff `path` already holds index data files — the restart-
+    * detection probe for single-path layouts. */
+  def hasData(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(spark, path)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
+  /** Crash-safe compaction: rewrite the live generation's rows into one
+    * file set per bucket at `gen-<k+1>`, commit the marker (the single
+    * atomic durable step), repoint the session table, sweep superseded
+    * generations. The live files are only read, never modified — a crash
+    * at ANY point leaves either the old or the new generation fully
+    * committed, never a windowed index. */
+  def compactSwap(spark: SparkSession, table: String, root: String,
+                  key: String, buckets: Int): Unit = {
+    val k = liveGen(spark, root).getOrElse(sys.error(
+      s"GenIndex.compactSwap: no committed generation under $root"))
+    val (fs, _) = fsOf(spark, root)
+    val freshPath = genPath(root, k + 1)
+    // a crashed prior attempt may have left uncommitted files here — its
+    // marker was never created, so dropping it discards nothing durable
+    fs.delete(new Path(freshPath), true)
+    val scratch = s"${table}__compacting"
+    // group rows by their BUCKET ID before the write (one file per
+    // non-empty bucket); the partition key must be the DERIVED
+    // pmod(hash(key), buckets) expression — see compactHammingIndex on
+    // why a plain repartition(key) is optimizer-removed against the
+    // bucketed scan and lands tasks × buckets files. No lineage cut
+    // needed here: the write target is a fresh path, so the rewrite
+    // streams straight from the live files it never touches.
+    Relational.bucketMaterialize(
+      spark.table(table).repartition(buckets, pmod(hash(col(key)), lit(buckets))),
+      scratch, key, buckets, freshPath)
+    commit(spark, freshPath) // <- the commit point
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
+    sweep(fs, root, keep = k + 1)
+  }
+
+  private def commit(spark: SparkSession, path: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    fs.createNewFile(new Path(path, Marker))
+    ()
+  }
+
+  /** Best-effort removal of every generation below `keep` — superseded
+    * committed gens and abandoned uncommitted attempts alike. Failures
+    * are ignored; the next compaction re-sweeps. */
+  private def sweep(fs: FileSystem, root: String, keep: Long): Unit =
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .flatMap(s => s.getPath.getName.stripPrefix(GenPrefix).toLongOption
+        .filter(_ < keep).map(_ => s.getPath))
+      .foreach(p => try fs.delete(p, true) catch { case _: java.io.IOException => () })
+}

@@ -23,15 +23,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the index append is replay-guarded — duplicate postings would DOUBLE the
   * Jaccard intersection counts, so the guard is correctness here, not just
   * hygiene. The kill-and-restart spec replays a real checkpointed failure
-  * through each crash window. */
+  * through each crash window.
+  *
+  * RESTARTS: `initPostingIndexEpoch`/`...Gen` are destructive — a resumed
+  * stream must re-register the existing index from its files
+  * ([[graft.operators.GenIndex.open]] / `register`, key `h`) instead of
+  * re-initializing, or every accepted document's postings are forgotten. */
 object DedupIngest {
 
   /** The full per-epoch step [[start]]'s `foreachBatch` runs (public for
     * the kill-and-restart spec): probe strictly-earlier epochs → epoch-
-    * keyed output overwrite → guarded posting append. */
+    * keyed output overwrite → guarded posting append → optional periodic
+    * compaction (every `compactEvery` epochs; bounds the per-micro-batch
+    * small files exactly like MmIngest's hook — routed to the crash-safe
+    * [[graft.operators.GenIndex.compactSwap]] when the index root is
+    * generational, else the in-place
+    * [[graft.operators.Dedup.compactPostingIndexFiles]]). */
   def ingestEpoch(idCol: String, textCol: String, indexTable: String,
                   outPath: String, buckets: Int, shingleN: Int,
-                  threshold: Double)(batch: DataFrame, batchId: Long): Unit = {
+                  threshold: Double, indexPath: String = null,
+                  compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     Dedup.requireMaterializing(spark, "DedupIngest.ingestEpoch")
     val surv = Dedup.incrementalSurvivorsIndexed(
@@ -40,12 +51,20 @@ object DedupIngest {
     MmIngest.writeEpoch(surv, outPath, batchId)
     Dedup.appendPostingIndexEpoch(surv, idCol, textCol, indexTable,
       buckets, shingleN, batchId)
+    if (compactEvery > 0 && indexPath != null &&
+        (batchId + 1) % compactEvery == 0) {
+      if (graft.operators.GenIndex.isGenerational(spark, indexPath))
+        graft.operators.GenIndex.compactSwap(spark, indexTable, indexPath,
+          "h", buckets)
+      else Dedup.compactPostingIndexFiles(spark, indexTable, indexPath, buckets)
+    }
   }
 
   def start(incoming: DataFrame, idCol: String, textCol: String,
             indexTable: String, outPath: String, checkpoint: String,
             buckets: Int = 8, shingleN: Int = 3,
-            threshold: Double = 0.5, availableNow: Boolean = false): StreamingQuery = {
+            threshold: Double = 0.5, availableNow: Boolean = false,
+            indexPath: String = null, compactEvery: Int = 0): StreamingQuery = {
     val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -53,7 +72,7 @@ object DedupIngest {
     // the query live for continuous ingestion
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpoch(idCol, textCol, indexTable, outPath,
-        buckets, shingleN, threshold) _)
+        buckets, shingleN, threshold, indexPath, compactEvery) _)
       .start()
   }
 }

@@ -23,7 +23,11 @@ import graft.operators.Similarity
   * 100 TB shape: the index is the big side and never moves; a micro-batch
   * of queries is small by definition (it broadcasts). Probe cost per batch
   * is O(batch × corpus-fraction-probed), independent of corpus row count
-  * beyond the probed cells' size. */
+  * beyond the probed cells' size.
+  *
+  * RESTARTS: the session catalog does not survive the JVM; a resumed
+  * serving stream re-registers the index files as a bucketed table via
+  * [[graft.operators.GenIndex.register]] (key `cluster`) — NOT a rebuild. */
 object IvfProbe {
 
   /** One micro-batch probe — exactly what the stream executes per batch. */

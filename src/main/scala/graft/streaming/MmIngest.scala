@@ -38,10 +38,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stage; the index is the big side and never moves (bucket-ordered scan,
   * no exchange); per-batch shuffle is O(batch) fragment postings. Index
   * file count is bounded by `compactEvery` (every N epochs the bucketed
-  * table rewrites into one file set per bucket —
-  * [[graft.operators.Dedup.compactHammingIndex]]); production points the
-  * rewrite at a fresh path + atomic swap so a crash mid-compaction cannot
-  * window the index, which the single-path gate layout accepts. */
+  * table rewrites into one file set per bucket). The rewrite is routed by
+  * layout: an index initialized via [[graft.operators.GenIndex.init]]
+  * compacts crash-safely — fresh generation directory + atomic
+  * `_COMMITTED` marker flip, the live files never modified, so a JVM loss
+  * mid-compaction cannot window the index — while the single-path gate
+  * layout keeps the in-place [[graft.operators.Dedup.compactHammingIndex]]
+  * it accepts. */
 object MmIngest {
 
   /** One micro-batch step: decode → fingerprint → probe the index —
@@ -94,8 +97,19 @@ object MmIngest {
       buckets, maxHamming, batchId)
     if (compactEvery > 0 && indexPath != null &&
         (batchId + 1) % compactEvery == 0)
-      Dedup.compactHammingIndex(spark, indexTable, indexPath, buckets)
+      compactIndex(spark, indexTable, indexPath, buckets)
   }
+
+  /** Route periodic compaction by layout: a [[graft.operators.GenIndex]]
+    * root gets the crash-safe fresh-generation swap; the single-path gate
+    * layout keeps the in-place rewrite it accepts. */
+  private def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexTable: String, indexPath: String,
+                           buckets: Int): Unit =
+    if (graft.operators.GenIndex.isGenerational(spark, indexPath))
+      graft.operators.GenIndex.compactSwap(spark, indexTable, indexPath,
+        "bk", buckets)
+    else Dedup.compactHammingIndex(spark, indexTable, indexPath, buckets)
 
   /** [[ingestEpoch]] for the composed DAG: one sniff-routed decode pass,
     * family-keyed probe, `(id, family, phash)` survivors. */
@@ -116,7 +130,7 @@ object MmIngest {
       indexTable, buckets, maxHamming, batchId)
     if (compactEvery > 0 && indexPath != null &&
         (batchId + 1) % compactEvery == 0)
-      Dedup.compactHammingIndex(spark, indexTable, indexPath, buckets)
+      compactIndex(spark, indexTable, indexPath, buckets)
   }
 
   /** The composed ingest DAG run LIVE: mixed-modality micro-batches →
@@ -124,7 +138,12 @@ object MmIngest {
     * and index before the epoch commits. One bucketed index serves every
     * family (the family is a residual predicate on the `bk` bucket join).
     * Index table must be the epoch-stamped layout
-    * ([[graft.operators.Dedup.initHammingIndexKeyedEpoch]]). */
+    * ([[graft.operators.Dedup.initHammingIndexKeyedEpoch]], or the
+    * `...Gen` variant for crash-safe compaction). RESTARTS: init is
+    * destructive — a resumed stream must re-register the existing index
+    * ([[graft.operators.GenIndex.open]] / `register`) instead of
+    * re-initializing, or every accepted fingerprint is forgotten (the
+    * config sink [[MmIngestSink]] does this automatically). */
   def startComposed(incoming: DataFrame, indexTable: String, outPath: String,
                     checkpoint: String, buckets: Int = 8, maxHamming: Int = 3,
                     availableNow: Boolean = false, indexPath: String = null,

@@ -36,9 +36,17 @@ import org.apache.spark.sql.functions.expr
   * family-keyed fragment-index probe → survivors extend
   * `out-path/epoch=<batchId>` and the replay-guarded index. Exactly-once
   * per the epoch-layout contract ([[MmIngest]]); `compact-every = N`
-  * bounds index small files. The epoch-stamped keyed index is
-  * AUTO-INITIALIZED at `index-path` on the first batch if the table does
-  * not exist (idempotent; a restart reuses the existing one). */
+  * bounds index small files; `layout = gen` selects the crash-safe
+  * generational layout ([[graft.operators.GenIndex]] — compactions then
+  * swap marker-committed generations instead of rewriting in place).
+  *
+  * The epoch-stamped keyed index is AUTO-INITIALIZED at `index-path` on
+  * the first batch — but only when NO index exists there yet. A restart
+  * loses the session catalog, not the files: if `index-path` already
+  * holds data (a committed generation, or part-files on the single-path
+  * layout), the sink RE-REGISTERS the bucketed table over the existing
+  * files instead of re-initializing — an init here would overwrite the
+  * accumulated index and silently forget every accepted fingerprint. */
 class MmIngestSink extends EpochSinkPlugin {
   override def build(cfg: GraftConfig): (DataFrame, Long) => Unit =
     MmIngestSink.writer(cfg)
@@ -52,15 +60,26 @@ object MmIngestSink {
     val buckets = cfg.getInt("buckets", 8)
     val maxHamming = cfg.getInt("max-hamming", 3)
     val compactEvery = cfg.getInt("compact-every", 0)
+    val gen = cfg.getString("layout", "flat") == "gen"
     val idExpr = cfg.getString("id-expr", "cast(headers['id'] as bigint)")
     val payloadExpr = cfg.getString("payload-expr", "unbase64(body)")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (!spark.catalog.tableExists(table))
-        Dedup.initHammingIndexKeyedEpoch(
-          spark.range(0).selectExpr("id", "cast(0 as long) as sh",
-            "cast('' as string) as grp"),
-          table, indexPath, buckets, maxHamming)
+      if (!spark.catalog.tableExists(table)) {
+        import graft.operators.GenIndex
+        val empty = spark.range(0).selectExpr("id", "cast(0 as long) as sh",
+          "cast('' as string) as grp")
+        if (GenIndex.isGenerational(spark, indexPath))
+          GenIndex.open(spark, table, indexPath, "bk", buckets)
+        else if (GenIndex.hasData(spark, indexPath))
+          GenIndex.register(spark, table, indexPath, "bk", buckets)
+        else if (gen)
+          Dedup.initHammingIndexKeyedEpochGen(empty, table, indexPath,
+            buckets, maxHamming)
+        else
+          Dedup.initHammingIndexKeyedEpoch(empty, table, indexPath,
+            buckets, maxHamming)
+      }
       MmIngest.ingestEpochComposed(table, outPath, buckets, maxHamming,
         indexPath, compactEvery)(
         batch.select(expr(idExpr).as("id"), expr(payloadExpr).as("payload")),

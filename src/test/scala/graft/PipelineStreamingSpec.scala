@@ -821,6 +821,47 @@ class PipelineStreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_mm_twin")
   }
 
+  test("mm-ingest sink restart: catalog loss re-registers the index — never re-inits over accumulated fingerprints") {
+    import org.apache.spark.sql.functions._
+    // drive the CONFIG sink's writer directly, batch by batch, with a
+    // simulated JVM restart (catalog wiped, files intact) between epochs:
+    // the sink must recover the index from disk, so a payload already
+    // accepted before the restart is DROPPED after it, not re-accepted —
+    // on both layouts (flat re-register; gen open-from-marker).
+    for (layout <- Seq("flat", "gen")) {
+      val tmp = Files.createTempDirectory(s"graft-cfg-restart-$layout").toString
+      val t = s"graft_spec_cfg_restart_$layout"
+      val cfg = GraftConfig.parse(s"""
+        sink-stage { type = mm-ingest, index-table = $t,
+                     index-path = "$tmp/idx", out-path = "$tmp/out",
+                     layout = $layout, compact-every = 1 }""")
+        .getSection("sink-stage").get
+      val writer = graft.streaming.MmIngestSink.writer(cfg)
+      def payloads(r: Range) = graft.operators.Multimodal
+        .renderedIngestPayloads(
+          spark.range(r.start, r.end).toDF("doc_id"), "doc_id")
+        .select(col("id").cast("string").as("hid"),
+                base64(col("payload")).as("body"))
+        .selectExpr("body", "map('id', hid) as headers")
+      writer(payloads(0 until 6), 0L)
+      val before = spark.read.parquet(s"$tmp/out")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(before.nonEmpty, "epoch 0 accepted nothing")
+      // "restart": the session catalog does not survive the JVM
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      // epoch 1 re-sends payload id=0 (rendered identically) plus new
+      // far-away ids (a fresh render group — no twins of 0-5)
+      writer(payloads(0 until 1).unionByName(payloads(100 until 106)), 1L)
+      val after = spark.read.parquet(s"$tmp/out")
+        .where(col("epoch") === 1).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!after.contains(0L),
+        s"[$layout] restart forgot the index: re-sent payload re-accepted ($after)")
+      assert(after.nonEmpty, s"[$layout] epoch 1 accepted nothing at all")
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    }
+  }
+
   test("compactHammingIndex: file count collapses to <= buckets; probe results byte-identical") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -857,6 +898,175 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(spark.table("graft_spec_compact")
       .select("epoch").distinct().count() == 6L)
     spark.sql("DROP TABLE IF EXISTS graft_spec_compact")
+  }
+
+  test("GenIndex compactSwap: marker-committed generations — crash windows, byte-identical probe, bucketed recovery") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{Dedup, GenIndex}
+    val tmp = Files.createTempDirectory("graft-genidx").toString
+    val root = s"$tmp/idx"
+    val t = "graft_spec_genidx"
+    Dedup.initHammingIndexEpochGen(
+      Seq.empty[(Long, Long)].toDF("id", "sh"), t, root, buckets = 4)
+    assert(GenIndex.liveGen(spark, root).contains(0L))
+    val rnd = new java.util.Random(11)
+    (0 until 5).foreach { e =>
+      val hs = (0 until 8).map(i => (e * 100L + i, rnd.nextLong()))
+      Dedup.appendHammingIndexEpoch(hs.toDF("id", "sh"), t,
+        buckets = 4, maxHamming = 3, epoch = e.toLong)
+    }
+    val probe = (0 until 6).map(i => (1000L + i, rnd.nextLong()))
+    def probeResult() = Dedup.hammingSurvivorsIndexed(
+        probe.toDF("id", "sh"), spark.table(t), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val before = probeResult()
+    // CRASH WINDOW 1: a prior compaction died mid-write — gen-1 exists
+    // with data files but NO marker. Readers must ignore it; the live
+    // generation (and the probe) are untouched.
+    val abandoned = new java.io.File(s"$root/gen-1"); abandoned.mkdirs()
+    java.nio.file.Files.write(abandoned.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(GenIndex.liveGen(spark, root).contains(0L),
+      "uncommitted generation must not be observable")
+    assert(probeResult() == before)
+    // the next compaction discards the abandoned attempt and succeeds
+    GenIndex.compactSwap(spark, t, root, "bk", buckets = 4)
+    assert(GenIndex.liveGen(spark, root).contains(1L))
+    assert(!new java.io.File(s"$root/gen-0").exists(),
+      "superseded generation not swept")
+    val liveFiles = new java.io.File(s"$root/gen-1").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(liveFiles <= 4,
+      s"compaction must leave one file per non-empty bucket: $liveFiles")
+    assert(probeResult() == before, "swap compaction changed probe results")
+    // epoch stamps survive the rewrite (the init's -1 stamp rides an
+    // empty frame, so only the 5 appended epochs hold rows)
+    assert(spark.table(t).select("epoch").distinct().count() == 5L)
+    // RECOVERY: a fresh session has no catalog — open() re-registers the
+    // live generation from the marker alone, keeping the bucket layout
+    // (zero index-side exchange) so the probe plan survives restarts.
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    GenIndex.open(spark, t, root, "bk", buckets = 4)
+    assert(probeResult() == before, "recovery changed probe results")
+    locally {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.Exchange
+      val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.dedup.materialize", "none")
+      try {
+        val sp = Dedup.hammingSurvivorsIndexed(
+            probe.toDF("id", "sh"), spark.table(t), 3)
+          .queryExecution.sparkPlan
+        assert(sp.collect {
+            case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty,
+          s"re-registered index lost its bucket layout:\n$sp")
+        assert(sp.collect { case e: Exchange if e.collectFirst {
+            case f: FileSourceScanExec if f.bucketedScan => f }.isDefined => e }
+          .isEmpty, s"re-registered index re-shuffled above its scan:\n$sp")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+        spark.conf.unset("spark.graft.dedup.materialize")
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    // appends keep flowing through the re-registered table (the live
+    // generation is immutable once SUPERSEDED, not while live)
+    Dedup.appendHammingIndexEpoch(
+      Seq((900L, rnd.nextLong())).toDF("id", "sh"), t,
+      buckets = 4, maxHamming = 3, epoch = 5L)
+    assert(spark.table(t).select("epoch").distinct().count() == 6L)
+    // a second swap compacts the post-recovery appends too
+    GenIndex.compactSwap(spark, t, root, "bk", buckets = 4)
+    assert(GenIndex.liveGen(spark, root).contains(2L))
+    assert(probeResult() == before)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
+  test("mm ingest on the generational layout: compactEvery routes to compactSwap, survivors match the single-path twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{Dedup, GenIndex}
+    val tmp = Files.createTempDirectory("graft-mm-gen").toString
+    val batches = Seq(0L until 4L, 4L until 8L).map { r =>
+      graft.operators.Multimodal.renderedImagePayloads(
+        spark.range(r.start, r.end).toDF("doc_id"), "doc_id")
+    }
+    // single-path twin (the gate layout)
+    Dedup.initHammingIndexEpoch(Seq.empty[(Long, Long)].toDF("id", "sh"),
+      "graft_spec_mmgen_flat", s"$tmp/flat")
+    val flatStep = graft.streaming.MmIngest.ingestEpoch(
+      "graft_spec_mmgen_flat", s"$tmp/flat_out", buckets = 8,
+      maxHamming = 3, indexPath = s"$tmp/flat", compactEvery = 1) _
+    batches.zipWithIndex.foreach { case (b, i) => flatStep(b, i.toLong) }
+    // generational layout through the SAME entry point
+    Dedup.initHammingIndexEpochGen(Seq.empty[(Long, Long)].toDF("id", "sh"),
+      "graft_spec_mmgen", s"$tmp/gen")
+    val genStep = graft.streaming.MmIngest.ingestEpoch(
+      "graft_spec_mmgen", s"$tmp/gen_out", buckets = 8,
+      maxHamming = 3, indexPath = s"$tmp/gen", compactEvery = 1) _
+    batches.zipWithIndex.foreach { case (b, i) => genStep(b, i.toLong) }
+    def surv(p: String) = spark.read.parquet(p).select("id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(surv(s"$tmp/gen_out") == surv(s"$tmp/flat_out"),
+      "generational ingest diverged from the single-path twin")
+    // two epochs × compactEvery=1 → two swaps landed
+    assert(GenIndex.liveGen(spark, s"$tmp/gen").contains(2L))
+    val files = new java.io.File(GenIndex.livePath(spark, s"$tmp/gen"))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(files <= 8, s"live generation not compacted: $files files")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_mmgen_flat")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_mmgen")
+  }
+
+  test("dedup ingest compactEvery: posting-index files bounded, survivors unchanged (gen + flat layouts)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{Dedup, GenIndex}
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val batches = Seq(
+      Seq(1L -> base, 2L -> other),
+      Seq(10L -> (base + " tail1"), 11L -> (1 to 40).map(i => s"new$i").mkString(" ")),
+      Seq(20L -> (other + " x1"), 21L -> (1 to 40).map(i => s"fin$i").mkString(" ")))
+      .map(_.toDF("doc_id", "text"))
+    val tmp = Files.createTempDirectory("graft-ingest-compact").toString
+    // twin WITHOUT compaction — the survivor truth
+    Dedup.initPostingIndexEpoch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", "graft_spec_ic_plain", s"$tmp/plain")
+    val plain = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
+      "graft_spec_ic_plain", s"$tmp/plain_out", 8, 3, 0.5) _
+    batches.zipWithIndex.foreach { case (b, i) => plain(b, i.toLong) }
+    def ids(p: String) = spark.read.parquet(p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val truth = ids(s"$tmp/plain_out")
+    // flat layout + in-place compaction every epoch
+    Dedup.initPostingIndexEpoch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", "graft_spec_ic_flat", s"$tmp/flat", buckets = 4)
+    val flat = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
+      "graft_spec_ic_flat", s"$tmp/flat_out", 4, 3, 0.5,
+      indexPath = s"$tmp/flat", compactEvery = 1) _
+    batches.zipWithIndex.foreach { case (b, i) => flat(b, i.toLong) }
+    assert(ids(s"$tmp/flat_out") == truth, "flat compaction changed survivors")
+    val flatFiles = new java.io.File(s"$tmp/flat").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(flatFiles <= 4, s"flat posting index not compacted: $flatFiles files")
+    // generational layout through the SAME entry point
+    Dedup.initPostingIndexEpochGen(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", "graft_spec_ic_gen", s"$tmp/gen", buckets = 4)
+    val gen = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
+      "graft_spec_ic_gen", s"$tmp/gen_out", 4, 3, 0.5,
+      indexPath = s"$tmp/gen", compactEvery = 1) _
+    batches.zipWithIndex.foreach { case (b, i) => gen(b, i.toLong) }
+    assert(ids(s"$tmp/gen_out") == truth, "gen compaction changed survivors")
+    assert(GenIndex.liveGen(spark, s"$tmp/gen").contains(3L))
+    val genFiles = new java.io.File(GenIndex.livePath(spark, s"$tmp/gen"))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(genFiles <= 4, s"gen posting index not compacted: $genFiles files")
+    Seq("graft_spec_ic_plain", "graft_spec_ic_flat", "graft_spec_ic_gen")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   test("streaming funnel: out-of-order buffering, cross-batch chaining, watermark flush") {
