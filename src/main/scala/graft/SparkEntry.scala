@@ -3886,6 +3886,78 @@ object SparkEntry {
     * index, and extends it with the survivors — gated against the
     * identical sequential-loop oracle as `mm_ingest_loop`, batch/live
     * parity for the modality ingestion path. */
+  /** Embedding ingest-loop batch bounds — absolute vec_id cuts, the
+    * [[mmIngestBounds]] convention (shared by gates and oracle). The
+    * corpus has 500 vectors at sf0.01 and 2000 at sf0.1, so every batch
+    * is non-trivial at both scales. */
+  private val embedIngestBounds = Seq((0L, 150L), (150L, 400L), (400L, Long.MaxValue))
+
+  /** Embedding ingest loop over the persisted bucketed LSH index
+    * ([[Dedup.embedIngest]]) — ordered batches of vectors, each probed
+    * against the vectors ACCEPTED so far (bucket equi-join, zero
+    * index-side exchange), survivors extending the index before the next
+    * batch probes it. Completes the persisted-index ingest triad:
+    * text postings / modality fingerprints / embeddings. */
+  private def dedupEmbedIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tag = layoutTag(dir)
+    val batches = embedIngestBounds.map { case (lo, hi) =>
+      emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")) }
+    Dedup.embedIngest(batches, s"graft_b_embingest_$tag",
+        s"${graft.util.Scratch.base}/graft_bucketed_$tag/embingest",
+        buckets = 8, threshold = 0.25)
+      .select(col("id").as("vec_id"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** The embedding ingest loop run LIVE ([[graft.streaming.EmbedIngest]]):
+    * the same three vector batches arrive through a file stream
+    * (`maxFilesPerTrigger = 1`, mod-times force order), each micro-batch
+    * probes the bucketed LSH index of everything ACCEPTED so far and
+    * extends it with its survivors — gated against the identical
+    * sequential-loop oracle as `dedup_embed_ingest`. */
+  private def streamEmbedIngest(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val tag = layoutTag(dir)
+    val work = graft.util.TempDirs.create("graft-stream-embed-ingest")
+    val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val emb = t(s, dir, "embeddings")
+    embedIngestBounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = work.resolve(s"b$i")
+      emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(f"b$i%02d.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val empty = s.range(0).select(col("id"),
+      lit(null).cast("array<float>").as("vec"))
+    val idxPath = s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_embingest"
+    Dedup.initEmbedIndexEpoch(empty, s"graft_b_stream_embingest_$tag",
+      idxPath, buckets = 8)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val incoming = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val out = work.resolve("out").toString
+    val q = graft.streaming.EmbedIngest.start(incoming,
+      indexTable = s"graft_b_stream_embingest_$tag", outPath = out,
+      checkpoint = work.resolve("ck").toString,
+      buckets = 8, threshold = 0.25, availableNow = true)
+    q.awaitTermination()
+    s.read.parquet(out).select(col("id").as("vec_id"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
   private def streamMmIngest(s0: SparkSession, dir: String): DataFrame =
     streamMmIngestImpl(s0, dir, gen = false)
 
@@ -4920,6 +4992,8 @@ object SparkEntry {
     "mm_ingest_loop"      -> mmIngestLoop _,
     "stream_mm_ingest"    -> streamMmIngest _,
     "stream_mm_ingest_gen" -> streamMmIngestGen _,
+    "dedup_embed_ingest"  -> dedupEmbedIngest _,
+    "stream_embed_ingest" -> streamEmbedIngest _,
     "stream_pipeline_mm_ingest" -> streamPipelineMmIngest _,
     "mm_image_headers"    -> mmImageHeaders _,
     "mm_wav_frames"       -> mmWavFrames _,
@@ -5305,6 +5379,41 @@ object SparkEntry {
                     + strpos('123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)))::HUGEINT)),
           (h, b) -> (h * 257 + b) % 2305843009213693951::HUGEINT
         )::BIGINT"""
+
+  /** Sequential-loop replica of the embedding ingest gates
+    * (`dedup_embed_ingest` / `stream_embed_ingest`): bucket every vector
+    * with the hyperplane replica, then per batch drop ids whose cosine to
+    * an ACCEPTED bucket-mate or a smaller-id batch bucket-mate meets the
+    * threshold — the [[OracleXX.hammingIngestOracle]] unrolling with the
+    * LSH-bucket join swapped in for the fragment join. */
+  private def embedIngestOracle(bounds: Seq[(Long, Long)],
+                                threshold: Double): String = {
+    val steps = bounds.zipWithIndex.map { case ((lo, hi), i0) =>
+      val i = i0 + 1
+      s"""drop$i AS (
+        SELECT DISTINCT a.vec_id
+        FROM cb a JOIN cb b ON a.bucket = b.bucket
+        WHERE a.vec_id >= $lo AND a.vec_id < $hi
+          AND (b.vec_id IN (SELECT vec_id FROM acc${i - 1})
+               OR (b.vec_id >= $lo AND b.vec_id < $hi AND b.vec_id < a.vec_id))
+          AND list_cosine_similarity(a.v, b.v) >= $threshold),
+      acc$i AS MATERIALIZED (
+        SELECT vec_id FROM acc${i - 1}
+        UNION ALL
+        SELECT vec_id FROM cb
+        WHERE vec_id >= $lo AND vec_id < $hi
+          AND vec_id NOT IN (SELECT vec_id FROM drop$i))"""
+    }
+    s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS MATERIALIZED (
+        SELECT vec_id, label, v, ${hyperplaneBucketSql(8, 64)} AS bucket FROM e),
+      acc0 AS (SELECT vec_id FROM embeddings WHERE FALSE),
+      ${steps.mkString(",\n      ")}
+      SELECT cb.vec_id, cb.label
+      FROM cb JOIN acc${bounds.size} a ON a.vec_id = cb.vec_id
+      ORDER BY cb.vec_id"""
+  }
 
   /** DuckDB replica of `Similarity.lshTopK`: same deterministic hyperplanes
     * (literal-embedded), same sign-bit bucket formula (double arithmetic,
@@ -9485,6 +9594,8 @@ object SparkEntry {
     "mm_ingest_loop" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
     "stream_mm_ingest" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
     "stream_mm_ingest_gen" -> OracleXX.hammingIngestOracle(mmIngestBounds, maxHamming = 3),
+    "dedup_embed_ingest" -> embedIngestOracle(embedIngestBounds, threshold = 0.25),
+    "stream_embed_ingest" -> embedIngestOracle(embedIngestBounds, threshold = 0.25),
     "stream_pipeline_mm_ingest" ->
       OracleXX.composedIngestLoopOracle(mmIngestBounds, maxHamming = 3),
     // expected hashes derived OUTSIDE the engine by a pure-integer replica

@@ -1410,6 +1410,134 @@ object Dedup {
     materializeAndRelease(out, all)
   }
 
+  // ==== persisted embedding LSH index (embedding ingest loop) ====
+  //
+  // The build-once artifact [[incrementalEmbedSurvivors]]'s scaladoc
+  // promises, completing the persisted-index ingest triad: text (Jaccard
+  // posting index on `h`), modality fingerprints (hamming fragment index
+  // on `bk`), and now embeddings (hyperplane-LSH index on `bucket`).
+  // Corpus and batch bucket with the SAME fixed hyperplanes, the accepted
+  // side persists bucketed on `bucket`, and the per-batch probe is an
+  // equi-join that reads the index in place — zero index-side exchange
+  // (PlanSpec-pinned), per-batch shuffle O(batch). Same epoch-stamped /
+  // generational layout options as the other two indexes.
+
+  /** Slim LSH rows `(id, vec, bucket)` for the persisted embedding index.
+    * Input `(id, vec)`; one bucket per vector (the hyperplane sign
+    * signature), so unlike the hamming FRAGMENT index a candidate pair
+    * meets on at most one posting row and needs no dedup. */
+  def buildEmbedPostings(vecs: DataFrame, lshBits: Int = 8,
+                         dim: Int = 64): DataFrame =
+    vecs.select(col("id"), col("vec"),
+      Similarity.hyperplaneBucket(col("vec"), lshBits, dim).as("bucket"))
+
+  /** Empty bucketed embedding-index table (batch-loop layout). */
+  def initEmbedIndex(like: DataFrame, table: String, path: String,
+                     buckets: Int = 8, lshBits: Int = 8,
+                     dim: Int = 64): DataFrame =
+    Relational.bucketMaterialize(
+      buildEmbedPostings(like.where(lit(false)).select(col("id"), col("vec")),
+        lshBits, dim),
+      table, "bucket", buckets, path)
+
+  /** Append a batch's accepted `(id, vec)` vectors to the bucketed index. */
+  def appendEmbedIndex(vecs: DataFrame, table: String, buckets: Int = 8,
+                       lshBits: Int = 8, dim: Int = 64): Unit =
+    buildEmbedPostings(vecs, lshBits, dim)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .saveAsTable(table)
+
+  /** Empty epoch-stamped embedding-index table (streaming-ingest layout;
+    * see the epoch-layout note above [[initHammingIndexEpoch]]). */
+  def initEmbedIndexEpoch(like: DataFrame, table: String, path: String,
+                          buckets: Int = 8, lshBits: Int = 8,
+                          dim: Int = 64): DataFrame =
+    Relational.bucketMaterialize(
+      buildEmbedPostings(like.where(lit(false)).select(col("id"), col("vec")),
+        lshBits, dim).withColumn("epoch", lit(-1L)),
+      table, "bucket", buckets, path)
+
+  /** [[initEmbedIndexEpoch]] on the crash-safe generational layout. */
+  def initEmbedIndexEpochGen(like: DataFrame, table: String, root: String,
+                             buckets: Int = 8, lshBits: Int = 8,
+                             dim: Int = 64): DataFrame =
+    GenIndex.init(
+      buildEmbedPostings(like.where(lit(false)).select(col("id"), col("vec")),
+        lshBits, dim).withColumn("epoch", lit(-1L)),
+      table, root, "bucket", buckets)
+
+  /** Replay-guarded epoch-stamped append to the embedding index. */
+  def appendEmbedIndexEpoch(vecs: DataFrame, table: String, buckets: Int,
+                            lshBits: Int, dim: Int, epoch: Long): Unit = {
+    val spark = vecs.sparkSession
+    if (!epochAppended(spark, table, epoch))
+      buildEmbedPostings(vecs, lshBits, dim)
+        .withColumn("epoch", lit(epoch))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "bucket").sortBy("bucket")
+        .saveAsTable(table)
+  }
+
+  /** Incremental embedding dedup against the PERSISTED LSH index — the
+    * embedding twin of [[hammingSurvivorsIndexed]]: per incoming vector,
+    * how many ACCEPTED corpus vectors and how many smaller-id batch
+    * vectors share its bucket with cosine ≥ `threshold`, and whether the
+    * row survives (both zero; greedy keep-first within the batch). Input
+    * `(id, vec)`; ids unique across corpus and batch. Output
+    * `(id, vec, n_dup_corpus, n_dup_batch, survives)`.
+    *
+    * Recall is the LSH contract ([[incrementalEmbedSurvivors]]): a
+    * cross-bucket near-dup is missed; fewer `lshBits` trades cost for
+    * recall. No `distinct` before the counts — one bucket per vector
+    * means a candidate pair can only meet once. */
+  def embedSurvivorsIndexed(incoming: DataFrame, index: DataFrame,
+                            threshold: Double = 0.95, lshBits: Int = 8,
+                            dim: Int = 64): DataFrame = {
+    val inc = incoming.select(col("id"), col("vec")).saltedPersist()
+    val incPost = buildEmbedPostings(inc, lshBits, dim)
+    val cross = incPost.as("a").join(index.as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .where(VF.cosineSim(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("a.id").as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_dup_corpus"))
+    val intra = incPost.as("a").join(incPost.as("b"),
+        col("a.bucket") === col("b.bucket") && col("b.id") < col("a.id"))
+      .where(VF.cosineSim(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("a.id").as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_dup_batch"))
+    val out = inc
+      .join(cross, Seq("id"), "left")
+      .join(intra, Seq("id"), "left")
+      .select(col("id"), col("vec"),
+        coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
+        coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
+        (coalesce(col("n_dup_corpus"), lit(0L)) === 0L &&
+         coalesce(col("n_dup_batch"), lit(0L)) === 0L).as("survives"))
+    materializeAndRelease(out, inc)
+  }
+
+  /** Embedding ingest loop — the semantic twin of [[hammingIngest]]:
+    * ordered batches of `(id, vec)` vectors, each probed against the
+    * vectors ACCEPTED so far via the bucketed LSH index, each batch's
+    * survivors extending the index before the next batch probes it.
+    * Returns the accepted rows. */
+  def embedIngest(batches: Seq[DataFrame], table: String, path: String,
+                  buckets: Int = 8, threshold: Double = 0.95,
+                  lshBits: Int = 8, dim: Int = 64): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    val spark = batches.head.sparkSession
+    requireMaterializing(spark, "embedIngest")
+    initEmbedIndex(batches.head, table, path, buckets, lshBits, dim)
+    batches.map { b =>
+      val surv = embedSurvivorsIndexed(b, spark.table(table),
+          threshold, lshBits, dim)
+        .where(col("survives")).select(col("id"), col("vec"))
+      appendEmbedIndex(surv, table, buckets, lshBits, dim)
+      surv
+    }.reduce(_ unionByName _)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster embeddings by nearest k-means centroid, then drop every doc
     * whose cosine to a SMALLER-id doc in the same cluster meets
@@ -1522,13 +1650,13 @@ object Dedup {
     * and orthogonal to file-count maintenance). */
   def compactPostingIndexFiles(spark: org.apache.spark.sql.SparkSession,
                                table: String, path: String,
-                               buckets: Int = 8): Unit = {
+                               buckets: Int = 8, key: String = "h"): Unit = {
     // one file per non-empty bucket via the derived bucket-id key — see
-    // the compactHammingIndex note on why plain repartition(h) is removed
+    // the compactHammingIndex note on why plain repartition(key) is removed
     val fresh = graft.util.Materialize.cut(
       spark.table(table).repartition(buckets,
-        pmod(hash(col("h")), lit(buckets))))
-    Relational.bucketMaterialize(fresh, table, "h", buckets, path)
+        pmod(hash(col(key)), lit(buckets))))
+    Relational.bucketMaterialize(fresh, table, key, buckets, path)
     ()
   }
 

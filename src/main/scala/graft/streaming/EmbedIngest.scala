@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.operators.Dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming embedding ingestion with on-the-fly semantic dedup — the
+  * embedding member of the live ingest triad ([[DedupIngest]] text,
+  * [[MmIngest]] modality fingerprints): each micro-batch of `(id, vec)`
+  * vectors keeps only those whose cosine to every ACCEPTED vector sharing
+  * their LSH bucket (probed via the persisted bucketed index — zero
+  * exchange on the corpus side) and to every smaller-id bucket-mate of the
+  * same batch stays below `threshold`, appends the survivors to the output
+  * and their postings to the index, then commits the epoch.
+  *
+  * Delivery contract — effective EXACTLY-ONCE over the at-least-once
+  * `foreachBatch`, identical machinery to the other two ingest sinks: the
+  * probe reads only `epoch < batchId`, survivors overwrite
+  * `outPath/epoch=<batchId>`, the index append is replay-guarded
+  * ([[graft.operators.Dedup.epochAppended]]).
+  *
+  * RESTARTS: `initEmbedIndexEpoch`/`...Gen` are destructive — a resumed
+  * stream must re-register the existing index from its files
+  * ([[graft.operators.GenIndex.open]] / `register`, key `bucket`) instead
+  * of re-initializing.
+  *
+  * 100 TB shape: the index is the big side and never moves (bucket-ordered
+  * scan); per-batch shuffle is O(batch) single-bucket postings; index file
+  * count is bounded by `compactEvery`, routed crash-safe on the
+  * generational layout. */
+object EmbedIngest {
+
+  /** The full per-epoch step [[start]]'s `foreachBatch` runs (public for
+    * specs): probe strictly-earlier epochs → epoch-keyed output overwrite
+    * → guarded index append → optional periodic compaction. */
+  def ingestEpoch(indexTable: String, outPath: String, buckets: Int,
+                  threshold: Double, lshBits: Int, dim: Int,
+                  indexPath: String = null,
+                  compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Dedup.requireMaterializing(spark, "EmbedIngest.ingestEpoch")
+    val surv = Dedup.embedSurvivorsIndexed(
+        batch, spark.table(indexTable).where(col("epoch") < lit(batchId)),
+        threshold, lshBits, dim)
+      .where(col("survives")).select(col("id"), col("vec"))
+    MmIngest.writeEpoch(surv, outPath, batchId)
+    Dedup.appendEmbedIndexEpoch(surv, indexTable, buckets, lshBits, dim,
+      batchId)
+    if (compactEvery > 0 && indexPath != null &&
+        (batchId + 1) % compactEvery == 0) {
+      if (graft.operators.GenIndex.isGenerational(spark, indexPath))
+        graft.operators.GenIndex.compactSwap(spark, indexTable, indexPath,
+          "bucket", buckets)
+      else Dedup.compactPostingIndexFiles(spark, indexTable, indexPath,
+        buckets, key = "bucket")
+    }
+  }
+
+  def start(incoming: DataFrame, indexTable: String, outPath: String,
+            checkpoint: String, buckets: Int = 8, threshold: Double = 0.95,
+            lshBits: Int = 8, dim: Int = 64, availableNow: Boolean = false,
+            indexPath: String = null, compactEvery: Int = 0): StreamingQuery = {
+    val writer = incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .foreachBatch(ingestEpoch(indexTable, outPath, buckets, threshold,
+        lshBits, dim, indexPath, compactEvery) _)
+      .start()
+  }
+}

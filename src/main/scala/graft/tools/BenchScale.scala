@@ -200,12 +200,31 @@ object BenchScale {
   /** factor× embeddings: id-remapped copies (identical vectors — fine for
     * timing; the knn scale point scales the CELL COUNT with the corpus,
     * which is the actual IVF contract at 100 TB). */
+  /** Variant k's vectors pass through an EXACT isometry — coordinate
+    * rotation by `k % 64`, plus a first-half sign flip for `k >= 64` —
+    * the embedding analogue of the documents' letter-rotation bijection:
+    * permutation and negation are exact in IEEE, so every intra-variant
+    * dot product, norm, cosine, and duplicate pair is preserved BIT-FOR-
+    * BIT, while cross-variant cosines decorrelate to noise. A verbatim
+    * copy instead gives every vector `factor` exact clones: dedup/ingest
+    * pair counts and IVF cell sizes then grow quadratically BY
+    * CONSTRUCTION and any scale point on them measures the synthetic
+    * blow-up, not the operator. (Corpus dim is 64, the testdata schema
+    * every embedding gate assumes.) */
   def synthesizeEmbeddings(spark: SparkSession, srcDir: String,
                            factor: Int = Factor, outDir: String = ScaleDir): Unit = {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val variants = (0 until factor).map { k =>
+      val r = k % 64
+      val vec =
+        if (k == 0) col("embedding")
+        else transform(sequence(lit(0), lit(63)), i => {
+          val rot = element_at(col("embedding"), ((i + lit(r)) % 64) + 1)
+          if (k >= 64) rot * when(i < 32, lit(-1.0f)).otherwise(lit(1.0f))
+          else rot
+        })
       emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
-        col("embedding"), col("label"))
+        vec.as("embedding"), col("label"))
     }
     variants.reduce(_ unionByName _)
       .repartition(32)
@@ -313,8 +332,19 @@ object BenchScale {
     val knnRatio = if (knnSmall > 0) knnBig / knnSmall else Double.PositiveInfinity
     System.err.println(f"[scale] sim_knn_graph(cells 16->160) sf0.1=$knnSmall%6.2fs ${Factor}x=$knnBig%6.2fs ratio=$knnRatio%5.2f")
 
+    // embedding ingest loop: the LSH contract at scale is bits ∝
+    // log2(corpus) — constant expected bucket size keeps the per-batch
+    // candidate join linear, exactly the knnGraph cells-∝-corpus rule.
+    // Fixed bits at 10x the vectors would put 10x the rows in every
+    // bucket and grow candidate pairs 100x by construction.
+    val eiSmall = BenchScaleKernels.embedIngestSteady(spark, sf01, bits = 8)
+    val eiBig = BenchScaleKernels.embedIngestSteady(spark, ScaleDir, bits = 12)
+    val eiRatio = if (eiSmall > 0) eiBig / eiSmall else Double.PositiveInfinity
+    System.err.println(f"[scale] dedup_embed_ingest(bits 8->12) sf0.1=$eiSmall%6.2fs ${Factor}x=$eiBig%6.2fs ratio=$eiRatio%5.2f")
+
     val allRows = rows ++ evRows ++ embRows ++
-      Seq(("sim_knn_graph_scaled_cells", knnSmall, knnBig, knnRatio))
+      Seq(("sim_knn_graph_scaled_cells", knnSmall, knnBig, knnRatio),
+          ("dedup_embed_ingest_scaled_bits", eiSmall, eiBig, eiRatio))
     val superlinear = allRows.collect {
       case (q, _, _, r) if r > SuperlinearSlack * Factor => q }
     val json =
@@ -352,6 +382,35 @@ object BenchScale {
   * record, applied two orders up.
   *
   * Run: `sbt "runMain graft.tools.BenchScale100"` (quiet box). */
+/** Kernels shared by the 10x and 100x suites that need a scale-dependent
+  * parameter (the production contract under test, not a fudge). */
+object BenchScaleKernels {
+
+  /** One embedding-ingest run: the three fixed vec_id batch cuts the gate
+    * uses (growth lands ~entirely in the last batch), persisted LSH index,
+    * `bits` hyperplanes — callers scale bits with log2(corpus). */
+  def embedIngestOnce(spark: SparkSession, dir: String, bits: Int): Double = {
+    val t0 = System.nanoTime()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val batches = Seq((0L, 150L), (150L, 400L), (400L, Long.MaxValue)).map {
+      case (lo, hi) =>
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")) }
+    spark.sql("DROP TABLE IF EXISTS graft_scale_embingest")
+    graft.operators.Dedup.embedIngest(batches, "graft_scale_embingest",
+        s"${graft.util.Scratch.base}/graft_scale_embingest_idx",
+        buckets = 8, threshold = 0.25, lshBits = bits)
+      .write.format("noop").mode("overwrite").save()
+    val t = (System.nanoTime() - t0) / 1e9
+    graft.util.Materialize.release()
+    t
+  }
+
+  def embedIngestSteady(spark: SparkSession, dir: String, bits: Int): Double = {
+    embedIngestOnce(spark, dir, bits); embedIngestOnce(spark, dir, bits)
+  }
+}
+
 object BenchScale100 {
 
   val Factor = 100
@@ -452,13 +511,22 @@ object BenchScale100 {
     def steady(name: String, dir: String): Double = {
       runOnce(name, dir); runOnce(name, dir)
     }
-    val rows = (DocQueries ++ EventQueries ++ EmbQueries).map { q =>
+    val gateRows = (DocQueries ++ EventQueries ++ EmbQueries).map { q =>
       val small = steady(q, sf01)
       val big = steady(q, ScaleDir)
       val ratio = if (small > 0) big / small else Double.PositiveInfinity
       System.err.println(f"[scale100] $q%-28s sf0.1=$small%7.2fs ${Factor}x=$big%8.2fs ratio=$ratio%6.2f")
       (q, small, big, ratio)
     }
+    // embedding ingest two orders up, bits ∝ log2(corpus) (8 -> 15):
+    // constant expected bucket size is the production LSH contract —
+    // see the 10x suite's dedup_embed_ingest_scaled_bits note
+    val eiSmall = BenchScaleKernels.embedIngestSteady(spark, sf01, bits = 8)
+    val eiBig = BenchScaleKernels.embedIngestSteady(spark, ScaleDir, bits = 15)
+    val eiRatio = if (eiSmall > 0) eiBig / eiSmall else Double.PositiveInfinity
+    System.err.println(f"[scale100] dedup_embed_ingest(bits 8->15) sf0.1=$eiSmall%7.2fs ${Factor}x=$eiBig%8.2fs ratio=$eiRatio%6.2f")
+    val rows = gateRows :+
+      (("dedup_embed_ingest_scaled_bits", eiSmall, eiBig, eiRatio))
     val superlinear = rows.collect {
       case (q, _, _, r) if r > SuperlinearSlack * Factor => q }
     val json =

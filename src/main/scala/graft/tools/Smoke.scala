@@ -535,6 +535,15 @@ object Smoke {
       // native BPE at a beyond-gate merge count: one projection node
       graft.operators.TextAnalysis.bpeEncode(
         docs.limit(200), "doc_id", "text", numMerges = 64).show(3)
+      // embedding ingest loop: persisted LSH index, accepted-so-far probes
+      println("[smoke] embedding ingest loop (persisted LSH index):")
+      val embBatches = Seq((0L, 150L), (150L, 400L), (400L, Long.MaxValue))
+        .map { case (lo, hi) =>
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")) }
+      Dedup.embedIngest(embBatches, "graft_smoke_embingest",
+        work.resolve("embidx").toString, buckets = 8, threshold = 0.25).show(5)
+      spark.sql("DROP TABLE IF EXISTS graft_smoke_embingest")
     }
     lap("round-14")
 

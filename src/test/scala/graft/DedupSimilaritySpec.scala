@@ -458,6 +458,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains(100L))
   }
 
+  test("embedSurvivorsIndexed: persisted-index probe agrees with the recompute twin; ingest loop is sequential-greedy") {
+    import java.nio.file.Files
+    // 1) one batch probed against a persisted index of the existing
+    //    corpus must accept exactly what incrementalEmbedSurvivors
+    //    (which recomputes the corpus buckets every call) accepts
+    val existing = emb.where(col("vec_id") >= 350)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val incoming = emb.where(col("vec_id") < 350)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tmp = Files.createTempDirectory("graft-embidx").toString
+    Dedup.initEmbedIndex(existing, "graft_spec_embidx", s"$tmp/idx", 8)
+    Dedup.appendEmbedIndex(existing, "graft_spec_embidx", 8)
+    val indexed = Dedup.embedSurvivorsIndexed(incoming,
+        spark.table("graft_spec_embidx"), threshold = 0.25)
+      .where(col("survives")).collect().map(_.getLong(0)).toSet
+    val twin = Dedup.incrementalEmbedSurvivors(
+        emb.where(col("vec_id") < 350), emb.where(col("vec_id") >= 350),
+        "vec_id", "embedding", threshold = 0.25)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(indexed == twin,
+      s"indexed probe diverged from recompute twin: ${indexed.diff(twin)} / ${twin.diff(indexed)}")
+    // 2) the loop is genuinely sequential: batch 2's survivors depend on
+    //    batch 1's accepted set, so swapping batch order changes nothing
+    //    ONLY if batches are independent — assert a batch-2 vector near a
+    //    batch-1 survivor is dropped (the accepted-so-far index mattered)
+    val b1 = emb.where(col("vec_id") < 150)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val b2 = emb.where(col("vec_id") >= 150 && col("vec_id") < 400)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    spark.sql("DROP TABLE IF EXISTS graft_spec_embloop")
+    val loop = Dedup.embedIngest(Seq(b1, b2), "graft_spec_embloop",
+        s"$tmp/loop", 8, threshold = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val b2Alone = Dedup.embedSurvivorsIndexed(b2,
+        Dedup.buildEmbedPostings(b1.where(lit(false))),
+        threshold = 0.25)
+      .where(col("survives")).collect().map(_.getLong(0)).toSet
+    val b2InLoop = loop.filter(_ >= 150L)
+    assert(b2InLoop.subsetOf(b2Alone),
+      "the index can only DROP more than an empty corpus")
+    assert(b2InLoop != b2Alone,
+      "batch 2 unaffected by batch 1's survivors — the fixture has no " +
+      "cross-batch near-dups at this threshold; lower it")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_embidx")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_embloop")
+  }
+
   test("embedding QA report counts each defect class exactly once") {
     val rows: Seq[(Int, Seq[Float])] = Seq(
       (0, Seq.fill(4)(0.5f)),                        // healthy

@@ -450,6 +450,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH index: probed in place — no index-side exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = graft.operators.Relational.bucketMaterialize(
+      graft.operators.Dedup.buildEmbedPostings(emb.where(col("id") % 5 < 2)),
+      "graft_b_embidx_plan", "bucket", 8, "/tmp/graft_bucketed_plan/embidx")
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val out = graft.operators.Dedup.embedSurvivorsIndexed(
+        emb.where(col("id") % 5 >= 2), idx, threshold = 0.25)
+      val sp = out.queryExecution.sparkPlan
+      assert(sp.collect {
+          case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty,
+        s"embedding index scan lost its bucket layout:\n$sp")
+      // the bucket layout IS the join partitioning for the index side —
+      // no Exchange may sit anywhere above the bucketed scan
+      assert(sp.collect { case e: Exchange if e.collectFirst {
+          case f: FileSourceScanExec if f.bucketedScan => f }.isDefined => e }
+        .isEmpty,
+        s"embedding index re-shuffled above its bucketed scan:\n$sp")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.conf.unset("spark.graft.dedup.materialize")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("partition-pruned scan: the filter lands in PartitionFilters, not post-scan") {
     val p = plan("q_partition_pruned")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
