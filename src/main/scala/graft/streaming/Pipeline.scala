@@ -134,6 +134,8 @@ object Pipeline {
                                         sc.getInt("batch-size", 128)))
       case "mm-ingest" => // the composed multimodal ingest DAG as a sink
         MmIngestSink.writer(sc)
+      case "embed-ingest" => // the embedding semantic-dedup ingest loop
+        EmbedIngestSink.writer(sc)
       case "syslog" =>
         val transport = sc.getString("transport", "tcp") match {
           case "udp" => Sinks.SyslogUdp

@@ -42,6 +42,26 @@ class MmPayloadSourcePlugin(cfg: GraftConfig) extends SourcePlugin {
   }
 }
 
+/** FQCN-loadable vector source for the embed-ingest config test: `(vec_id,
+  * embedding)` parquet files arrive as Events with the vector as a JSON
+  * float array in the body — the EmbedIngestSink default wire format. */
+class VecPayloadSourcePlugin(cfg: GraftConfig) extends SourcePlugin {
+  override def build(spark: org.apache.spark.sql.SparkSession,
+                     sc: GraftConfig): org.apache.spark.sql.Dataset[Event] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType),
+                             StructField("vec", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sc.getString("path"))
+      .select(to_json(col("vec")).as("body"),
+              map(lit("id"), col("id").cast("string")).as("headers"))
+      .as[Event]
+  }
+}
+
 /** FQCN-loadable sink: collects bodies into a static buffer. */
 class TestSinkPlugin extends SinkPlugin {
   override def build(cfg: GraftConfig): org.apache.spark.sql.DataFrame => Unit =
@@ -819,6 +839,59 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(got == twin, s"config-declared DAG diverged from the code twin:\n$got\nvs\n$twin")
     spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_mm")
     spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_mm_twin")
+  }
+
+  test("config-declared embedding ingest: HOCON boots the semantic-dedup loop through Pipeline.start") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val tmp = Files.createTempDirectory("graft-cfg-emb").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    Seq((0L, 150L), (150L, 400L), (400L, Long.MaxValue)).zipWithIndex
+      .foreach { case ((lo, hi), i) =>
+        val part = s"$tmp/b$i"
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .coalesce(1).write.parquet(part)
+        val src = new java.io.File(part).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+        assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+      }
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { vectors { fqcn = "graft.VecPayloadSourcePlugin",
+                           path = "$inDir", available-now = true,
+                           sinks = [ingest] } }
+        sink { ingest { type = embed-ingest,
+                        index-table = graft_spec_cfg_emb,
+                        index-path = "$tmp/idx",
+                        out-path = "$tmp/out",
+                        threshold = 0.25, layout = gen,
+                        compact-every = 1 } }
+      }""")
+    val ps = Pipeline.start(spark, conf, s"$tmp/ck")
+    try ps.foreach(_.query.awaitTermination())
+    finally ps.foreach(p => if (p.query.isActive) p.query.stop())
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // code-assembled batch-loop twin over the identical batches — the
+    // JSON wire format (float -> decimal string -> float) must round-trip
+    // and the config path must not change a single survivor decision
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_emb_twin")
+    val twin = graft.operators.Dedup.embedIngest(
+        Seq((0L, 150L), (150L, 400L), (400L, Long.MaxValue)).map { case (lo, hi) =>
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")) },
+        "graft_spec_cfg_emb_twin", s"$tmp/idx_twin", 8, threshold = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "config-declared embedding ingest accepted nothing")
+    assert(got == twin,
+      s"config DAG diverged from the code twin: ${got.diff(twin)} / ${twin.diff(got)}")
+    // the generational layout compacted each epoch: 3 epochs -> gen-3 live
+    assert(graft.operators.GenIndex.liveGen(spark, s"$tmp/idx").contains(3L))
+    spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_emb")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_emb_twin")
   }
 
   test("mm-ingest sink restart: catalog loss re-registers the index — never re-inits over accumulated fingerprints") {
