@@ -755,7 +755,11 @@ object Dedup {
   /** True iff the table already holds rows stamped with `epoch` — the
     * replay guard. One scan with the equality pushed to parquet row-group
     * stats (each append writes one epoch, so non-matching file sets skip
-    * on metadata). */
+    * on metadata). After a compaction the rewritten files span every
+    * epoch and the stat-skip washes out, so the guard degrades to one
+    * epoch-COLUMN scan of the index — still strictly cheaper than the
+    * probe's bucket join over the same files that runs every batch, so
+    * compaction never makes the guard the bottleneck. */
   def epochAppended(spark: org.apache.spark.sql.SparkSession,
                     table: String, epoch: Long): Boolean =
     !spark.table(table).where(col("epoch") === epoch).isEmpty

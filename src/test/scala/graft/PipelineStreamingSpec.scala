@@ -708,6 +708,92 @@ class PipelineStreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_spec_ingest_kill")
   }
 
+  test("embed ingest kill-and-restart: crash between output and index append, replay converges") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // the third member of the kill-restart family (text: DedupIngest,
+    // fingerprints: MmIngest) — same epoch machinery, semantic dedup
+    val emb = spark.read.parquet(sf("embeddings"))
+    val tmp = Files.createTempDirectory("graft-embed-kill").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    Seq((0L, 150L), (150L, 400L), (400L, Long.MaxValue)).zipWithIndex
+      .foreach { case ((lo, hi), i) =>
+        val part = s"$tmp/b$i"
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .coalesce(1).write.parquet(part)
+        val src = new java.io.File(part).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+        assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+      }
+    import spark.implicits._
+    graft.operators.Dedup.initEmbedIndexEpoch(
+      spark.range(0).select(col("id"), lit(null).cast("array<float>").as("vec")),
+      "graft_spec_embed_kill", s"$tmp/idx")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val step = graft.streaming.EmbedIngest.ingestEpoch(
+      "graft_spec_embed_kill", s"$tmp/out", 8, 0.25, 8, 64) _
+    // crash epoch 1 AFTER the output overwrite, BEFORE the index append —
+    // the narrowest window: the crashed attempt's rows are on disk but
+    // its postings are not
+    var crashed = false
+    val q1 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1 && !crashed) {
+          val surv = graft.operators.Dedup.embedSurvivorsIndexed(
+            b, spark.table("graft_spec_embed_kill")
+              .where(col("epoch") < lit(id)), 0.25)
+            .where(col("survives")).select(col("id"), col("vec"))
+          graft.streaming.MmIngest.writeEpoch(surv, s"$tmp/out", id)
+          crashed = true
+          throw new RuntimeException("injected crash between output and index append")
+        } else step(b, id)
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed, "the injected crash never fired")
+    val q2 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => step(b, id) }
+      .start()
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    val ids = out.select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == ids.distinct.length,
+      s"duplicate output rows after replay: ${ids.sorted}")
+    assert(out.where(col("epoch") === 1).count() > 0L,
+      "replayed epoch lost its survivors (self-drop hazard)")
+    // the stream's survivors equal the sequential batch-loop truth
+    spark.sql("DROP TABLE IF EXISTS graft_spec_embed_kill_twin")
+    val twin = graft.operators.Dedup.embedIngest(
+        Seq((0L, 150L), (150L, 400L), (400L, Long.MaxValue)).map { case (lo, hi) =>
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")) },
+        "graft_spec_embed_kill_twin", s"$tmp/idx_twin", 8, threshold = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.toSet == twin,
+      s"kill-restart run diverged from the batch loop: ${ids.toSet.diff(twin)} / ${twin.diff(ids.toSet)}")
+    // and the index carries no duplicate postings
+    val dup = spark.table("graft_spec_embed_kill")
+      .groupBy("id", "bucket").count().where(col("count") > 1).count()
+    assert(dup == 0L, s"$dup duplicated postings after replay")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_embed_kill")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_embed_kill_twin")
+  }
+
   test("mm ingest kill-and-restart: crash after full epoch side effects, replay is a no-op") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
