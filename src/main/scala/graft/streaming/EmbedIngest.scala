@@ -34,15 +34,24 @@ object EmbedIngest {
 
   /** The full per-epoch step [[start]]'s `foreachBatch` runs (public for
     * specs): probe strictly-earlier epochs → epoch-keyed output overwrite
-    * → guarded index append → optional periodic compaction. */
+    * → guarded index append → optional periodic compaction.
+    *
+    * Malformed payloads — a null vector (e.g. an unparseable JSON body
+    * upstream) or a wrong-dimension one — DROP row-level before blocking,
+    * the same contract as MmIngest's undecodable payloads:
+    * `hyperplaneBucket`'s fail-loud dimension guard is right for batch
+    * analytics over a landed corpus, but one bad wire record must not
+    * kill a live ingest epoch. */
   def ingestEpoch(indexTable: String, outPath: String, buckets: Int,
                   threshold: Double, lshBits: Int, dim: Int,
                   indexPath: String = null,
                   compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     Dedup.requireMaterializing(spark, "EmbedIngest.ingestEpoch")
+    val clean = batch.where(col("vec").isNotNull &&
+      org.apache.spark.sql.functions.size(col("vec")) === lit(dim))
     val surv = Dedup.embedSurvivorsIndexed(
-        batch, spark.table(indexTable).where(col("epoch") < lit(batchId)),
+        clean, spark.table(indexTable).where(col("epoch") < lit(batchId)),
         threshold, lshBits, dim)
       .where(col("survives")).select(col("id"), col("vec"))
     MmIngest.writeEpoch(surv, outPath, batchId)

@@ -708,6 +708,29 @@ class PipelineStreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_spec_ingest_kill")
   }
 
+  test("embed ingest degrades row-level on malformed vectors: null and wrong-dim drop, epoch completes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-embed-malformed").toString
+    graft.operators.Dedup.initEmbedIndexEpoch(
+      spark.range(0).select(col("id"), lit(null).cast("array<float>").as("vec")),
+      "graft_spec_embed_mal", s"$tmp/idx", buckets = 4)
+    val good = Array.tabulate(64)(i => i / 64.0f)
+    val batch = Seq(
+      (1L, good),
+      (2L, null.asInstanceOf[Array[Float]]),   // unparseable body upstream
+      (3L, Array(1.0f, 2.0f)))                 // wrong dimension
+      .toDF("id", "vec")
+    // would raise_error inside hyperplaneBucket without the row-level
+    // guard — the epoch must complete and keep the good row
+    graft.streaming.EmbedIngest.ingestEpoch(
+      "graft_spec_embed_mal", s"$tmp/out", 4, 0.95, 8, 64)(batch, 0L)
+    val ids = spark.read.parquet(s"$tmp/out")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"malformed rows must drop, good row survive: $ids")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_embed_mal")
+  }
+
   test("embed ingest kill-and-restart: crash between output and index append, replay converges") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
