@@ -146,20 +146,25 @@ object AviHeader {
               walk(hdp + 4L, hdp + hsize) { (sp, sdp, ssize) =>
                 if (tag(sp, "strh") && ssize >= 4 && tag(sdp, "vids"))
                   isVideoStrl = true
-                else if (tag(sp, "strf") && isVideoStrl && !strfDecided &&
-                         ssize >= 40 && sdp + 40 <= bytes.length) {
+                else if (tag(sp, "strf") && isVideoStrl && !strfDecided) {
+                  // the latch engages on ANY strf of the first video strl
+                  // — a short/truncated format block must poison the parse
+                  // (codec stays null), not defer the decision to a later
+                  // video stream's well-formed strf
                   strfDecided = true
-                  val compression = le32(sdp + 16)
-                  if (compression == 0L) {
-                    bitCount = le16(sdp + 14)
-                    if (bitCount == 24) codec = "rgb24"
-                  } else if (compression == MjpgFourcc) {
-                    // motion-JPEG: bit depth belongs to the per-frame JPEG
-                    // streams, not the DIB header — record it as stated
-                    bitCount = le16(sdp + 14)
-                    codec = "mjpg"
+                  if (ssize >= 40 && sdp + 40 <= bytes.length) {
+                    val compression = le32(sdp + 16)
+                    if (compression == 0L) {
+                      bitCount = le16(sdp + 14)
+                      if (bitCount == 24) codec = "rgb24"
+                    } else if (compression == MjpgFourcc) {
+                      // motion-JPEG: bit depth belongs to the per-frame JPEG
+                      // streams, not the DIB header — record it as stated
+                      bitCount = le16(sdp + 14)
+                      codec = "mjpg"
+                    }
+                    if (codec != null) videoStreamIdx = thisStrl
                   }
-                  if (codec != null) videoStreamIdx = thisStrl
                 }
               }
             }

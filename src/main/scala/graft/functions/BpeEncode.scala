@@ -115,4 +115,21 @@ case class BpeApply(child: Expression, pats: Array[String],
   override protected def withNewChildInternal(c: Expression): BpeApply =
     copy(child = c)
   override def prettyName: String = "bpe_apply"
+  // case-class equality on Array fields is REFERENCE equality, under which
+  // two structurally-identical bpe_apply nodes (e.g. encode + fertility
+  // columns built from the same collected merge table) never compare
+  // equal — semanticEquals, subexpression elimination, and plan reuse all
+  // evaluate the encoder twice. Compare the tables by content.
+  override def equals(other: Any): Boolean = other match {
+    case BpeApply(c, p, r) => c == child &&
+      java.util.Arrays.equals(pats.asInstanceOf[Array[AnyRef]],
+                              p.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.equals(reps.asInstanceOf[Array[AnyRef]],
+                              r.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(pats.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(reps.asInstanceOf[Array[AnyRef]])))
 }

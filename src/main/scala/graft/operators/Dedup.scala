@@ -802,22 +802,10 @@ object Dedup {
     * results are byte-identical before and after (spec-pinned). */
   def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
                           table: String, path: String,
-                          buckets: Int = 8): Unit = {
-    // group rows by their BUCKET ID before the write, so the rewrite
-    // lands one file per non-empty bucket instead of tasks × buckets.
-    // The partition key must be the DERIVED pmod(hash(bk), buckets)
-    // expression, not bk itself: a plain repartition(buckets, bk) over a
-    // bucketed scan is optimizer-removed as redundant (the scan claims
-    // HashPartitioning(bk)) and the planner then drops the bucketed read
-    // too, leaving bin-packed file splits that mix every bucket per task
-    // (measured: 16 files instead of 4). Rows sharing a bucket share the
-    // derived key, so each write task holds exactly one bucket.
-    val fresh = graft.util.Materialize.cut(
-      spark.table(table).repartition(buckets,
-        pmod(hash(col("bk")), lit(buckets))))
-    Relational.bucketMaterialize(fresh, table, "bk", buckets, path)
-    ()
-  }
+                          buckets: Int = 8): Unit =
+    // same rewrite as the posting index, key `bk` — the derived-key
+    // rationale lives on compactPostingIndexFiles
+    compactPostingIndexFiles(spark, table, path, buckets, key = "bk")
 
   /** [[hammingSurvivorsIndexed]] with a GROUP key: incoming fingerprints
     * only dedup against corpus/batch fingerprints of the SAME group
@@ -1655,8 +1643,15 @@ object Dedup {
   def compactPostingIndexFiles(spark: org.apache.spark.sql.SparkSession,
                                table: String, path: String,
                                buckets: Int = 8, key: String = "h"): Unit = {
-    // one file per non-empty bucket via the derived bucket-id key — see
-    // the compactHammingIndex note on why plain repartition(key) is removed
+    // group rows by their BUCKET ID before the write, so the rewrite
+    // lands one file per non-empty bucket instead of tasks × buckets.
+    // The partition key must be the DERIVED pmod(hash(key), buckets)
+    // expression, not the key itself: a plain repartition(buckets, key)
+    // over a bucketed scan is optimizer-removed as redundant (the scan
+    // claims HashPartitioning(key)) and the planner then drops the
+    // bucketed read too, leaving bin-packed file splits that mix every
+    // bucket per task (measured: 16 files instead of 4). Rows sharing a
+    // bucket share the derived key, so each write task holds one bucket.
     val fresh = graft.util.Materialize.cut(
       spark.table(table).repartition(buckets,
         pmod(hash(col(key)), lit(buckets))))

@@ -154,11 +154,64 @@ object GenIndex {
 
   /** Best-effort removal of every generation below `keep` — superseded
     * committed gens and abandoned uncommitted attempts alike. Failures
-    * are ignored; the next compaction re-sweeps. */
+    * are ignored (ANY non-fatal one — the compaction already committed;
+    * a cleanup hiccup must not fail the ingest epoch); the next
+    * compaction re-sweeps. */
   private def sweep(fs: FileSystem, root: String, keep: Long): Unit =
-    fs.listStatus(new Path(root)).toSeq
+    try fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
       .flatMap(s => s.getPath.getName.stripPrefix(GenPrefix).toLongOption
         .filter(_ < keep).map(_ => s.getPath))
-      .foreach(p => try fs.delete(p, true) catch { case _: java.io.IOException => () })
+      .foreach(p => try fs.delete(p, true)
+        catch { case scala.util.control.NonFatal(_) => () })
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Layout-routed periodic compaction — the single implementation the
+    * three ingest loops share: a generational root gets the crash-safe
+    * fresh-generation swap; the single-path layout keeps the in-place
+    * rewrite its (driver-sequential / expert) callers accept. */
+  def compactAuto(spark: SparkSession, table: String, path: String,
+                  key: String, buckets: Int): Unit =
+    if (isGenerational(spark, path)) compactSwap(spark, table, path, key, buckets)
+    else Dedup.compactPostingIndexFiles(spark, table, path, buckets, key)
+
+  /** First-batch table resolution for the config ingest sinks — ONE
+    * decision ladder so the sinks cannot diverge: an existing index at
+    * `path` RE-REGISTERS from its files (generation marker, else bucketed
+    * part-files — the session catalog does not survive a JVM restart and
+    * an init here would overwrite the accumulated index); only a truly
+    * empty `path` initializes, via `initGen`/`initFlat` per the
+    * configured layout. */
+  def openOrInit(spark: SparkSession, table: String, path: String,
+                 key: String, buckets: Int, gen: Boolean)
+                (initFlat: => Unit)(initGen: => Unit): Unit =
+    if (isGenerational(spark, path)) { open(spark, table, path, key, buckets); () }
+    else if (hasData(spark, path)) { register(spark, table, path, key, buckets); () }
+    else if (gen) initGen
+    else initFlat
+
+  /** Resume guard for the exactly-once ingest sinks: a resuming stream's
+    * `batchId` may never sit BEHIND the index's newest epoch — that means
+    * the checkpoint does not belong to this index (wiped/fresh checkpoint
+    * over an accumulated index). Letting it run corrupts silently twice
+    * over: the probe's `epoch < batchId` filter hides the accepted corpus
+    * (duplicates re-accepted), and [[Dedup.epochAppended]] sees the OLD
+    * run's rows for the same small batchIds and skips the new appends
+    * (survivor fingerprints permanently missing). Legal restarts satisfy
+    * `batchId >= max(epoch)`: a replay of the crashed batch equals it, a
+    * fresh batch exceeds it. One epoch-column scan, so callers check once
+    * per writer lifetime, not per epoch. */
+  def requireEpochAhead(spark: SparkSession, table: String,
+                        batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    val maxEpoch = spark.table(table).agg(max(col("epoch"))).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r                  => r.getLong(0)
+    }
+    require(batchId >= maxEpoch,
+      s"resuming batchId $batchId is behind index '$table' max epoch " +
+      s"$maxEpoch — this checkpoint does not belong to this index. " +
+      "Resume with the original checkpoint, or re-initialize index AND " +
+      "output together with the new checkpoint.")
+  }
 }

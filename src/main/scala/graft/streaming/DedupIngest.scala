@@ -42,21 +42,25 @@ object DedupIngest {
   def ingestEpoch(idCol: String, textCol: String, indexTable: String,
                   outPath: String, buckets: Int, shingleN: Int,
                   threshold: Double, indexPath: String = null,
-                  compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    Dedup.requireMaterializing(spark, "DedupIngest.ingestEpoch")
-    val surv = Dedup.incrementalSurvivorsIndexed(
-      batch, spark.table(indexTable).where(col("epoch") < lit(batchId)),
-      idCol, textCol, shingleN, threshold, Long.MaxValue)
-    MmIngest.writeEpoch(surv, outPath, batchId)
-    Dedup.appendPostingIndexEpoch(surv, idCol, textCol, indexTable,
-      buckets, shingleN, batchId)
-    if (compactEvery > 0 && indexPath != null &&
-        (batchId + 1) % compactEvery == 0) {
-      if (graft.operators.GenIndex.isGenerational(spark, indexPath))
-        graft.operators.GenIndex.compactSwap(spark, indexTable, indexPath,
+                  compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+    var validated = false
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      Dedup.requireMaterializing(spark, "DedupIngest.ingestEpoch")
+      if (!validated) {
+        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        validated = true
+      }
+      val surv = Dedup.incrementalSurvivorsIndexed(
+        batch, spark.table(indexTable).where(col("epoch") < lit(batchId)),
+        idCol, textCol, shingleN, threshold, Long.MaxValue)
+      MmIngest.writeEpoch(surv, outPath, batchId)
+      Dedup.appendPostingIndexEpoch(surv, idCol, textCol, indexTable,
+        buckets, shingleN, batchId)
+      if (compactEvery > 0 && indexPath != null &&
+          (batchId + 1) % compactEvery == 0)
+        graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
           "h", buckets)
-      else Dedup.compactPostingIndexFiles(spark, indexTable, indexPath, buckets)
     }
   }
 
@@ -72,7 +76,7 @@ object DedupIngest {
     // the query live for continuous ingestion
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpoch(idCol, textCol, indexTable, outPath,
-        buckets, shingleN, threshold, indexPath, compactEvery) _)
+        buckets, shingleN, threshold, indexPath, compactEvery))
       .start()
   }
 }

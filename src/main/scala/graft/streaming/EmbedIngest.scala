@@ -45,25 +45,28 @@ object EmbedIngest {
   def ingestEpoch(indexTable: String, outPath: String, buckets: Int,
                   threshold: Double, lshBits: Int, dim: Int,
                   indexPath: String = null,
-                  compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    Dedup.requireMaterializing(spark, "EmbedIngest.ingestEpoch")
-    val clean = batch.where(col("vec").isNotNull &&
-      org.apache.spark.sql.functions.size(col("vec")) === lit(dim))
-    val surv = Dedup.embedSurvivorsIndexed(
-        clean, spark.table(indexTable).where(col("epoch") < lit(batchId)),
-        threshold, lshBits, dim)
-      .where(col("survives")).select(col("id"), col("vec"))
-    MmIngest.writeEpoch(surv, outPath, batchId)
-    Dedup.appendEmbedIndexEpoch(surv, indexTable, buckets, lshBits, dim,
-      batchId)
-    if (compactEvery > 0 && indexPath != null &&
-        (batchId + 1) % compactEvery == 0) {
-      if (graft.operators.GenIndex.isGenerational(spark, indexPath))
-        graft.operators.GenIndex.compactSwap(spark, indexTable, indexPath,
+                  compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+    var validated = false
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      Dedup.requireMaterializing(spark, "EmbedIngest.ingestEpoch")
+      if (!validated) {
+        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        validated = true
+      }
+      val clean = batch.where(col("vec").isNotNull &&
+        org.apache.spark.sql.functions.size(col("vec")) === lit(dim))
+      val surv = Dedup.embedSurvivorsIndexed(
+          clean, spark.table(indexTable).where(col("epoch") < lit(batchId)),
+          threshold, lshBits, dim)
+        .where(col("survives")).select(col("id"), col("vec"))
+      MmIngest.writeEpoch(surv, outPath, batchId)
+      Dedup.appendEmbedIndexEpoch(surv, indexTable, buckets, lshBits, dim,
+        batchId)
+      if (compactEvery > 0 && indexPath != null &&
+          (batchId + 1) % compactEvery == 0)
+        graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
           "bucket", buckets)
-      else Dedup.compactPostingIndexFiles(spark, indexTable, indexPath,
-        buckets, key = "bucket")
     }
   }
 
@@ -76,7 +79,7 @@ object EmbedIngest {
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpoch(indexTable, outPath, buckets, threshold,
-        lshBits, dim, indexPath, compactEvery) _)
+        lshBits, dim, indexPath, compactEvery))
       .start()
   }
 }

@@ -52,29 +52,34 @@ object EmbedIngestSink {
     val dim = cfg.getInt("dim", 64)
     val compactEvery = cfg.getInt("compact-every", 0)
     val gen = cfg.getString("layout", "flat") == "gen"
+    // see MmIngestSink: a configured long-running stream that compacts
+    // must use the crash-safe generational layout
+    require(compactEvery <= 0 || gen,
+      s"sink '$table': compact-every = $compactEvery needs layout = gen — " +
+      "in-place compaction can window the index under a mid-rewrite crash")
     val idExpr = cfg.getString("id-expr", "cast(headers['id'] as bigint)")
     val vecExpr = cfg.getString("vec-expr",
       "cast(from_json(body, 'array<float>') as array<float>)")
+    // ONE step closure across batches (resume guard once per writer)
+    var step: (DataFrame, Long) => Unit = null
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (!spark.catalog.tableExists(table)) {
-        import graft.operators.GenIndex
-        val empty = spark.range(0).selectExpr("id",
-          "cast(null as array<float>) as vec")
-        if (GenIndex.isGenerational(spark, indexPath))
-          GenIndex.open(spark, table, indexPath, "bucket", buckets)
-        else if (GenIndex.hasData(spark, indexPath))
-          GenIndex.register(spark, table, indexPath, "bucket", buckets)
-        else if (gen)
-          Dedup.initEmbedIndexEpochGen(empty, table, indexPath, buckets,
-            lshBits, dim)
-        else
-          Dedup.initEmbedIndexEpoch(empty, table, indexPath, buckets,
-            lshBits, dim)
+      if (step == null) {
+        if (!spark.catalog.tableExists(table))
+          graft.operators.GenIndex.openOrInit(spark, table, indexPath,
+              "bucket", buckets, gen) {
+            Dedup.initEmbedIndexEpoch(
+              spark.range(0).selectExpr("id", "cast(null as array<float>) as vec"),
+              table, indexPath, buckets, lshBits, dim); ()
+          } {
+            Dedup.initEmbedIndexEpochGen(
+              spark.range(0).selectExpr("id", "cast(null as array<float>) as vec"),
+              table, indexPath, buckets, lshBits, dim); ()
+          }
+        step = EmbedIngest.ingestEpoch(table, outPath, buckets, threshold,
+          lshBits, dim, indexPath, compactEvery)
       }
-      EmbedIngest.ingestEpoch(table, outPath, buckets, threshold, lshBits,
-        dim, indexPath, compactEvery)(
-        batch.select(expr(idExpr).as("id"), expr(vecExpr).as("vec")),
+      step(batch.select(expr(idExpr).as("id"), expr(vecExpr).as("vec")),
         batchId)
     }
   }

@@ -80,57 +80,65 @@ object MmIngest {
 
   /** The full per-epoch step [[start]]'s `foreachBatch` runs (public so
     * the kill-and-restart spec can replay it from any crash window):
-    * probe (strictly-earlier epochs only) → epoch-keyed output overwrite
-    * → guarded index append → optional periodic compaction. */
+    * resume-guard (first batch of this writer only — a batchId behind the
+    * index's max epoch means the checkpoint does not belong to this
+    * index, [[graft.operators.GenIndex.requireEpochAhead]]) → probe
+    * (strictly-earlier epochs only) → epoch-keyed output overwrite →
+    * guarded index append → optional periodic compaction. */
   def ingestEpoch(indexTable: String, outPath: String, buckets: Int,
                   maxHamming: Int, indexPath: String = null,
-                  compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    Dedup.requireMaterializing(spark, "MmIngest.ingestEpoch")
-    val surv = probeBatch(
-        spark.table(indexTable).where(col("epoch") < lit(batchId)),
-        batch, maxHamming)
-      .where(col("survives")).select(col("id"), col("sh").as("phash"))
-    writeEpoch(surv, outPath, batchId)
-    Dedup.appendHammingIndexEpoch(
-      surv.select(col("id"), col("phash").as("sh")), indexTable,
-      buckets, maxHamming, batchId)
-    if (compactEvery > 0 && indexPath != null &&
-        (batchId + 1) % compactEvery == 0)
-      compactIndex(spark, indexTable, indexPath, buckets)
+                  compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+    var validated = false
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      Dedup.requireMaterializing(spark, "MmIngest.ingestEpoch")
+      if (!validated) {
+        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        validated = true
+      }
+      val surv = probeBatch(
+          spark.table(indexTable).where(col("epoch") < lit(batchId)),
+          batch, maxHamming)
+        .where(col("survives")).select(col("id"), col("sh").as("phash"))
+      writeEpoch(surv, outPath, batchId)
+      Dedup.appendHammingIndexEpoch(
+        surv.select(col("id"), col("phash").as("sh")), indexTable,
+        buckets, maxHamming, batchId)
+      if (compactEvery > 0 && indexPath != null &&
+          (batchId + 1) % compactEvery == 0)
+        graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
+          "bk", buckets)
+    }
   }
-
-  /** Route periodic compaction by layout: a [[graft.operators.GenIndex]]
-    * root gets the crash-safe fresh-generation swap; the single-path gate
-    * layout keeps the in-place rewrite it accepts. */
-  private def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                           indexTable: String, indexPath: String,
-                           buckets: Int): Unit =
-    if (graft.operators.GenIndex.isGenerational(spark, indexPath))
-      graft.operators.GenIndex.compactSwap(spark, indexTable, indexPath,
-        "bk", buckets)
-    else Dedup.compactHammingIndex(spark, indexTable, indexPath, buckets)
 
   /** [[ingestEpoch]] for the composed DAG: one sniff-routed decode pass,
     * family-keyed probe, `(id, family, phash)` survivors. */
   def ingestEpochComposed(indexTable: String, outPath: String, buckets: Int,
                           maxHamming: Int, indexPath: String = null,
-                          compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    Dedup.requireMaterializing(spark, "MmIngest.ingestEpochComposed")
-    val surv = probeBatchComposed(
-        spark.table(indexTable).where(col("epoch") < lit(batchId)),
-        batch, maxHamming)
-      .where(col("survives"))
-      .select(col("id"), col("grp").as("family"), col("sh").as("phash"))
-    writeEpoch(surv, outPath, batchId)
-    Dedup.appendHammingIndexKeyedEpoch(
-      surv.select(col("id"), col("phash").as("sh"),
-                  col("family").as("grp")),
-      indexTable, buckets, maxHamming, batchId)
-    if (compactEvery > 0 && indexPath != null &&
-        (batchId + 1) % compactEvery == 0)
-      compactIndex(spark, indexTable, indexPath, buckets)
+                          compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+    var validated = false
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      Dedup.requireMaterializing(spark, "MmIngest.ingestEpochComposed")
+      if (!validated) {
+        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        validated = true
+      }
+      val surv = probeBatchComposed(
+          spark.table(indexTable).where(col("epoch") < lit(batchId)),
+          batch, maxHamming)
+        .where(col("survives"))
+        .select(col("id"), col("grp").as("family"), col("sh").as("phash"))
+      writeEpoch(surv, outPath, batchId)
+      Dedup.appendHammingIndexKeyedEpoch(
+        surv.select(col("id"), col("phash").as("sh"),
+                    col("family").as("grp")),
+        indexTable, buckets, maxHamming, batchId)
+      if (compactEvery > 0 && indexPath != null &&
+          (batchId + 1) % compactEvery == 0)
+        graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
+          "bk", buckets)
+    }
   }
 
   /** The composed ingest DAG run LIVE: mixed-modality micro-batches →
@@ -153,7 +161,7 @@ object MmIngest {
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpochComposed(indexTable, outPath, buckets,
-        maxHamming, indexPath, compactEvery) _)
+        maxHamming, indexPath, compactEvery))
       .start()
   }
 
@@ -166,7 +174,7 @@ object MmIngest {
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpoch(indexTable, outPath, buckets, maxHamming,
-        indexPath, compactEvery) _)
+        indexPath, compactEvery))
       .start()
   }
 }

@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions.expr
   * family-keyed fragment-index probe → survivors extend
   * `out-path/epoch=<batchId>` and the replay-guarded index. Exactly-once
   * per the epoch-layout contract ([[MmIngest]]); `compact-every = N`
-  * bounds index small files; `layout = gen` selects the crash-safe
-  * generational layout ([[graft.operators.GenIndex]] — compactions then
-  * swap marker-committed generations instead of rewriting in place).
+  * bounds index small files and REQUIRES `layout = gen` — the crash-safe
+  * generational layout ([[graft.operators.GenIndex]], compactions swap
+  * marker-committed generations instead of rewriting in place; a
+  * configured long-running stream never gets the in-place rewrite's
+  * mid-crash window).
   *
   * The epoch-stamped keyed index is AUTO-INITIALIZED at `index-path` on
   * the first batch — but only when NO index exists there yet. A restart
@@ -61,29 +63,40 @@ object MmIngestSink {
     val maxHamming = cfg.getInt("max-hamming", 3)
     val compactEvery = cfg.getInt("compact-every", 0)
     val gen = cfg.getString("layout", "flat") == "gen"
+    // the in-place rewrite's crash window (old files deleted before new
+    // ones commit) is acceptable only for driver-sequential batch loops;
+    // a LONG-RUNNING configured stream that compacts must use the
+    // generational layout or a crash mid-compaction destroys the index
+    // and the restart auto-init silently rebuilds it empty
+    require(compactEvery <= 0 || gen,
+      s"sink '$table': compact-every = $compactEvery needs layout = gen — " +
+      "in-place compaction can window the index under a mid-rewrite crash")
     val idExpr = cfg.getString("id-expr", "cast(headers['id'] as bigint)")
     val payloadExpr = cfg.getString("payload-expr", "unbase64(body)")
+    // ONE step closure across batches: the resume guard inside
+    // ingestEpochComposed runs once per writer lifetime, not per epoch
+    var step: (DataFrame, Long) => Unit = null
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (!spark.catalog.tableExists(table)) {
-        import graft.operators.GenIndex
-        val empty = spark.range(0).selectExpr("id", "cast(0 as long) as sh",
-          "cast('' as string) as grp")
-        if (GenIndex.isGenerational(spark, indexPath))
-          GenIndex.open(spark, table, indexPath, "bk", buckets)
-        else if (GenIndex.hasData(spark, indexPath))
-          GenIndex.register(spark, table, indexPath, "bk", buckets)
-        else if (gen)
-          Dedup.initHammingIndexKeyedEpochGen(empty, table, indexPath,
-            buckets, maxHamming)
-        else
-          Dedup.initHammingIndexKeyedEpoch(empty, table, indexPath,
-            buckets, maxHamming)
+      if (step == null) {
+        if (!spark.catalog.tableExists(table))
+          graft.operators.GenIndex.openOrInit(spark, table, indexPath,
+              "bk", buckets, gen) {
+            Dedup.initHammingIndexKeyedEpoch(
+              spark.range(0).selectExpr("id", "cast(0 as long) as sh",
+                "cast('' as string) as grp"),
+              table, indexPath, buckets, maxHamming); ()
+          } {
+            Dedup.initHammingIndexKeyedEpochGen(
+              spark.range(0).selectExpr("id", "cast(0 as long) as sh",
+                "cast('' as string) as grp"),
+              table, indexPath, buckets, maxHamming); ()
+          }
+        step = MmIngest.ingestEpochComposed(table, outPath, buckets,
+          maxHamming, indexPath, compactEvery)
       }
-      MmIngest.ingestEpochComposed(table, outPath, buckets, maxHamming,
-        indexPath, compactEvery)(
-        batch.select(expr(idExpr).as("id"), expr(payloadExpr).as("payload")),
-        batchId)
+      step(batch.select(expr(idExpr).as("id"),
+                        expr(payloadExpr).as("payload")), batchId)
     }
   }
 }

@@ -213,6 +213,11 @@ object BenchScale {
     * every embedding gate assumes.) */
   def synthesizeEmbeddings(spark: SparkSession, srcDir: String,
                            factor: Int = Factor, outDir: String = ScaleDir): Unit = {
+    // 64 rotations × 2 sign patterns = 128 distinct transforms; a larger
+    // factor would silently reuse one and reintroduce the exact
+    // cross-variant clones this synthesis exists to avoid
+    require(factor <= 128,
+      s"synthesizeEmbeddings: isometry family has 128 members, factor=$factor")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val variants = (0 until factor).map { k =>
       val r = k % 64

@@ -524,7 +524,7 @@ object Smoke {
                           index-table = graft_smoke_cfg_mm,
                           index-path = "${work.resolve("idx")}",
                           out-path = "${work.resolve("out")}",
-                          compact-every = 1 } }
+                          layout = gen, compact-every = 1 } }
         }""")
       val ps = graft.streaming.Pipeline.start(spark, conf,
         work.resolve("ck").toString)

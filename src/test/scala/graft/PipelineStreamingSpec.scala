@@ -659,7 +659,7 @@ class PipelineStreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
     val step = graft.streaming.DedupIngest.ingestEpoch(
       "doc_id", "text", "graft_spec_ingest_kill", s"$tmp/out",
-      buckets = 8, shingleN = 3, threshold = 0.5) _
+      buckets = 8, shingleN = 3, threshold = 0.5)
     // attempt 1: epoch 1 CRASHES mid-epoch — after the output overwrite,
     // BEFORE the index append (the narrowest replay window: the crashed
     // attempt's rows are on disk but its postings are not)
@@ -706,6 +706,52 @@ class PipelineStreamingSpec extends SparkSpec {
       .groupBy("id", "h").count().where(col("count") > 1).count()
     assert(dupPostings == 0L, s"$dupPostings duplicated postings after replay")
     spark.sql("DROP TABLE IF EXISTS graft_spec_ingest_kill")
+  }
+
+  test("ingest resume guard: fresh checkpoint over an accumulated index fails loudly; flat compaction rejected in config") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1) a configured stream may not pair compact-every with the flat
+    //    layout — the in-place rewrite's crash window would let a JVM
+    //    loss destroy the index a long-running sink depends on
+    intercept[IllegalArgumentException] {
+      graft.streaming.MmIngestSink.writer(GraftConfig.parse("""
+        s { index-table = t, index-path = "/tmp/x", out-path = "/tmp/y",
+            compact-every = 1 }""").getSection("s").get)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EmbedIngestSink.writer(GraftConfig.parse("""
+        s { index-table = t, index-path = "/tmp/x", out-path = "/tmp/y",
+            compact-every = 2, layout = flat }""").getSection("s").get)
+    }
+    // 2) epoch-behind guard: run two epochs, then a NEW writer resuming
+    //    at batchId 0 (a wiped/fresh checkpoint over the accumulated
+    //    index) must fail instead of silently re-accepting duplicates
+    //    and skipping appends through the replay guard
+    val tmp = Files.createTempDirectory("graft-resume-guard").toString
+    graft.operators.Dedup.initHammingIndexEpoch(
+      Seq.empty[(Long, Long)].toDF("id", "sh"),
+      "graft_spec_resume_guard", s"$tmp/idx")
+    def payloads(r: Range) = graft.operators.Multimodal
+      .renderedImagePayloads(spark.range(r.start, r.end).toDF("doc_id"), "doc_id")
+    val run1 = graft.streaming.MmIngest.ingestEpoch(
+      "graft_spec_resume_guard", s"$tmp/out", 8, 3)
+    run1(payloads(0 until 4), 0L)
+    run1(payloads(100 until 104), 1L)
+    assert(spark.table("graft_spec_resume_guard")
+      .agg(max(col("epoch"))).head().getLong(0) == 1L, "fixture built no epochs")
+    // legal resume: replay of the newest epoch passes the guard
+    val run2 = graft.streaming.MmIngest.ingestEpoch(
+      "graft_spec_resume_guard", s"$tmp/out", 8, 3)
+    run2(payloads(100 until 104), 1L)
+    // illegal resume: batchId 0 is BEHIND max epoch 1
+    val run3 = graft.streaming.MmIngest.ingestEpoch(
+      "graft_spec_resume_guard", s"$tmp/out", 8, 3)
+    val e = intercept[IllegalArgumentException] {
+      run3(payloads(0 until 4), 0L)
+    }
+    assert(e.getMessage.contains("does not belong"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_resume_guard")
   }
 
   test("embed ingest degrades row-level on malformed vectors: null and wrong-dim drop, epoch completes") {
@@ -763,7 +809,7 @@ class PipelineStreamingSpec extends SparkSpec {
     def incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
     val step = graft.streaming.EmbedIngest.ingestEpoch(
-      "graft_spec_embed_kill", s"$tmp/out", 8, 0.25, 8, 64) _
+      "graft_spec_embed_kill", s"$tmp/out", 8, 0.25, 8, 64)
     // crash epoch 1 AFTER the output overwrite, BEFORE the index append —
     // the narrowest window: the crashed attempt's rows are on disk but
     // its postings are not
@@ -847,7 +893,7 @@ class PipelineStreamingSpec extends SparkSpec {
     def incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
     val step = graft.streaming.MmIngest.ingestEpoch(
-      "graft_spec_mm_kill", s"$tmp/out", buckets = 8, maxHamming = 3) _
+      "graft_spec_mm_kill", s"$tmp/out", buckets = 8, maxHamming = 3)
     // crash AFTER epoch 1's full side effects (output + index) but before
     // the checkpoint commit — exactly the window where the old append-mode
     // sink duplicated rows and a naive re-probe dropped the whole batch
@@ -1013,10 +1059,12 @@ class PipelineStreamingSpec extends SparkSpec {
     for (layout <- Seq("flat", "gen")) {
       val tmp = Files.createTempDirectory(s"graft-cfg-restart-$layout").toString
       val t = s"graft_spec_cfg_restart_$layout"
+      // compact-every through the CONFIG surface requires the gen layout
+      val ce = if (layout == "gen") 1 else 0
       val cfg = GraftConfig.parse(s"""
         sink-stage { type = mm-ingest, index-table = $t,
                      index-path = "$tmp/idx", out-path = "$tmp/out",
-                     layout = $layout, compact-every = 1 }""")
+                     layout = $layout, compact-every = $ce }""")
         .getSection("sink-stage").get
       val writer = graft.streaming.MmIngestSink.writer(cfg)
       def payloads(r: Range) = graft.operators.Multimodal
@@ -1029,11 +1077,13 @@ class PipelineStreamingSpec extends SparkSpec {
       val before = spark.read.parquet(s"$tmp/out")
         .select("id").collect().map(_.getLong(0)).toSet
       assert(before.nonEmpty, "epoch 0 accepted nothing")
-      // "restart": the session catalog does not survive the JVM
+      // "restart": the session catalog does not survive the JVM, and the
+      // sink's build() runs afresh — a NEW writer closure
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val writer2 = graft.streaming.MmIngestSink.writer(cfg)
       // epoch 1 re-sends payload id=0 (rendered identically) plus new
       // far-away ids (a fresh render group — no twins of 0-5)
-      writer(payloads(0 until 1).unionByName(payloads(100 until 106)), 1L)
+      writer2(payloads(0 until 1).unionByName(payloads(100 until 106)), 1L)
       val after = spark.read.parquet(s"$tmp/out")
         .where(col("epoch") === 1).select("id")
         .collect().map(_.getLong(0)).toSet
@@ -1181,14 +1231,14 @@ class PipelineStreamingSpec extends SparkSpec {
       "graft_spec_mmgen_flat", s"$tmp/flat")
     val flatStep = graft.streaming.MmIngest.ingestEpoch(
       "graft_spec_mmgen_flat", s"$tmp/flat_out", buckets = 8,
-      maxHamming = 3, indexPath = s"$tmp/flat", compactEvery = 1) _
+      maxHamming = 3, indexPath = s"$tmp/flat", compactEvery = 1)
     batches.zipWithIndex.foreach { case (b, i) => flatStep(b, i.toLong) }
     // generational layout through the SAME entry point
     Dedup.initHammingIndexEpochGen(Seq.empty[(Long, Long)].toDF("id", "sh"),
       "graft_spec_mmgen", s"$tmp/gen")
     val genStep = graft.streaming.MmIngest.ingestEpoch(
       "graft_spec_mmgen", s"$tmp/gen_out", buckets = 8,
-      maxHamming = 3, indexPath = s"$tmp/gen", compactEvery = 1) _
+      maxHamming = 3, indexPath = s"$tmp/gen", compactEvery = 1)
     batches.zipWithIndex.foreach { case (b, i) => genStep(b, i.toLong) }
     def surv(p: String) = spark.read.parquet(p).select("id", "phash")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1219,7 +1269,7 @@ class PipelineStreamingSpec extends SparkSpec {
     Dedup.initPostingIndexEpoch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
       "doc_id", "text", "graft_spec_ic_plain", s"$tmp/plain")
     val plain = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
-      "graft_spec_ic_plain", s"$tmp/plain_out", 8, 3, 0.5) _
+      "graft_spec_ic_plain", s"$tmp/plain_out", 8, 3, 0.5)
     batches.zipWithIndex.foreach { case (b, i) => plain(b, i.toLong) }
     def ids(p: String) = spark.read.parquet(p)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -1229,7 +1279,7 @@ class PipelineStreamingSpec extends SparkSpec {
       "doc_id", "text", "graft_spec_ic_flat", s"$tmp/flat", buckets = 4)
     val flat = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
       "graft_spec_ic_flat", s"$tmp/flat_out", 4, 3, 0.5,
-      indexPath = s"$tmp/flat", compactEvery = 1) _
+      indexPath = s"$tmp/flat", compactEvery = 1)
     batches.zipWithIndex.foreach { case (b, i) => flat(b, i.toLong) }
     assert(ids(s"$tmp/flat_out") == truth, "flat compaction changed survivors")
     val flatFiles = new java.io.File(s"$tmp/flat").listFiles()
@@ -1240,7 +1290,7 @@ class PipelineStreamingSpec extends SparkSpec {
       "doc_id", "text", "graft_spec_ic_gen", s"$tmp/gen", buckets = 4)
     val gen = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
       "graft_spec_ic_gen", s"$tmp/gen_out", 4, 3, 0.5,
-      indexPath = s"$tmp/gen", compactEvery = 1) _
+      indexPath = s"$tmp/gen", compactEvery = 1)
     batches.zipWithIndex.foreach { case (b, i) => gen(b, i.toLong) }
     assert(ids(s"$tmp/gen_out") == truth, "gen compaction changed survivors")
     assert(GenIndex.liveGen(spark, s"$tmp/gen").contains(3L))
