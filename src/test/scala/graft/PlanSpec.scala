@@ -115,6 +115,39 @@ class PlanSpec extends SparkSpec {
       s"index-side exchange leaked into the per-batch plan:\n$p")
   }
 
+  test("ivf index re-registration: GenIndex.register recovers the bucketed serving layout after catalog loss") {
+    // pins IvfProbe's restart contract: the session catalog does not
+    // survive the JVM; register() over the index FILES must restore the
+    // same zero-exchange probe plan (bucket ids come from file naming)
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.operators.Similarity.fixedCentroids(16, 64)
+    val path = s"${graft.util.Scratch.base}/graft_bucketed_planspec/ivf_reg"
+    graft.operators.Relational.bucketMaterialize(
+      graft.operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents),
+      "graft_b_ivf_reg", "cluster", 8, path)
+    val batch = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def probe() = graft.streaming.IvfProbe.probeBatch(
+      spark.table("graft_b_ivf_reg"), batch, "qid", "qvec", cents,
+      k = 10, nProbe = 4)
+    val before = probe().collect().map(_.toString).sorted.toSeq
+    // "restart": catalog gone, files remain
+    spark.sql("DROP TABLE IF EXISTS graft_b_ivf_reg")
+    graft.operators.GenIndex.register(spark, "graft_b_ivf_reg", path,
+      "cluster", 8)
+    val p = probe().queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("graft_b_ivf_reg")),
+      s"re-registered IVF table scan not found:\n$p")
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+        .forall(_.contains("hashpartitioning(qid")),
+      s"index-side exchange leaked after re-registration:\n$p")
+    assert(probe().collect().map(_.toString).sorted.toSeq == before,
+      "re-registration changed probe results")
+    spark.sql("DROP TABLE IF EXISTS graft_b_ivf_reg")
+  }
+
   test("q3_topk: top-k via TakeOrderedAndProject, not a global sort") {
     assert(plan("q3_topk").contains("TakeOrderedAndProject"))
   }
