@@ -704,33 +704,46 @@ object Dedup {
   //      overwrite — a replay rewrites the same rows in place, zero
   //      duplicates (partition-discovery readers see one `epoch` column,
   //      which gate/consumer projections simply drop);
-  //   4. the index append itself is replay-GUARDED: if rows stamped with
-  //      this batchId already exist, the append is skipped — so postings
-  //      are never duplicated either (which the Jaccard probe's
-  //      intersection COUNTS require; the hamming probe's distinct()
-  //      would absorb duplicates, but a clean index costs one pushed-down
-  //      point-filter scan per batch).
+  //   4. the index append itself is replay-GUARDED by a per-epoch COMMIT
+  //      MARKER ([[EpochMarkers]], the GenIndex._COMMITTED pattern per
+  //      epoch): the marker is created only after the append job returns,
+  //      so a marked epoch is complete (skip — postings are never
+  //      duplicated, which the Jaccard probe's intersection COUNTS
+  //      require) and rows WITHOUT a marker are a crashed mid-commit
+  //      append — deleted and re-appended ([[repairPartialEpoch]]) before
+  //      the epoch finally commits. Row existence alone would trust the
+  //      multi-file parquet append to commit atomically, which it does
+  //      not: a JVM loss mid-job-commit leaves a partial posting set that
+  //      a row-existence guard would accept forever.
   // Batch-loop tables (hammingIngest / dedupIngest) keep the slimmer
   // unstamped layout — their loops are driver-sequential, no replay.
 
   /** Empty epoch-stamped fragment-index table ([[buildHammingPostings]]
-    * + `epoch`), bucketed on `bk`. */
+    * + `epoch`), bucketed on `bk`. Also clears any stale epoch/run
+    * markers at `path` — init means a FRESH index, and a leftover marker
+    * would make the replay guard skip the new run's appends. */
   def initHammingIndexEpoch(like: DataFrame, table: String, path: String,
-                            buckets: Int = 8, maxHamming: Int = 3): DataFrame =
-    Relational.bucketMaterialize(
+                            buckets: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val out = Relational.bucketMaterialize(
       buildHammingPostings(like.where(lit(false))
         .select(col("id"), col("sh")), maxHamming)
         .withColumn("epoch", lit(-1L)),
       table, "bk", buckets, path)
+    EpochMarkers.reset(like.sparkSession, path)
+    out
+  }
 
   /** Empty epoch-stamped family-keyed fragment-index table. */
   def initHammingIndexKeyedEpoch(like: DataFrame, table: String, path: String,
-                                 buckets: Int = 8, maxHamming: Int = 3): DataFrame =
-    Relational.bucketMaterialize(
+                                 buckets: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val out = Relational.bucketMaterialize(
       buildHammingPostingsKeyed(like.where(lit(false))
         .select(col("id"), col("sh"), col("grp")), maxHamming)
         .withColumn("epoch", lit(-1L)),
       table, "bk", buckets, path)
+    EpochMarkers.reset(like.sparkSession, path)
+    out
+  }
 
   /** [[initHammingIndexEpoch]] on the crash-safe GENERATIONAL layout
     * ([[GenIndex]]): `root/gen-0` + committed marker. Ingest loops detect
@@ -752,43 +765,82 @@ object Dedup {
         .withColumn("epoch", lit(-1L)),
       table, root, "bk", buckets)
 
-  /** True iff the table already holds rows stamped with `epoch` — the
-    * replay guard. One scan with the equality pushed to parquet row-group
-    * stats (each append writes one epoch, so non-matching file sets skip
-    * on metadata). After a compaction the rewritten files span every
-    * epoch and the stat-skip washes out, so the guard degrades to one
-    * epoch-COLUMN scan of the index — still strictly cheaper than the
-    * probe's bucket join over the same files that runs every batch, so
-    * compaction never makes the guard the bottleneck. */
+  /** True iff `epoch`'s append COMMITTED — the replay guard, now a
+    * per-epoch marker stat ([[EpochMarkers.epochMarked]]): one filesystem
+    * exists() call, no scan, and — unlike the row-existence guard this
+    * replaces — immune to a crash inside the append job's own multi-file
+    * commit (a marked epoch is complete by construction; unmarked rows
+    * are a partial append that [[repairPartialEpoch]] removes). The old
+    * row-stat-skip cost argument is moot: a marker stat is O(1)
+    * regardless of how compaction has folded epochs across files. */
   def epochAppended(spark: org.apache.spark.sql.SparkSession,
                     table: String, epoch: Long): Boolean =
-    !spark.table(table).where(col("epoch") === epoch).isEmpty
+    EpochMarkers.epochMarked(spark, table, epoch)
+
+  /** Remove a crashed mid-commit append's PARTIAL epoch from the index:
+    * every data file holding rows stamped `epoch` is deleted. Sound
+    * because a file can only hold this epoch's rows exclusively — each
+    * append job stamps exactly one epoch, and compaction (which folds
+    * epochs across files) only ever runs after the epoch's marker exists
+    * (ingest steps append-then-compact, and replays repair BEFORE the
+    * batch's own compaction hook) — verified loudly before any delete.
+    * Only runs on the replay-of-unmarked-rows path, never per batch. */
+  def repairPartialEpoch(spark: org.apache.spark.sql.SparkSession,
+                         table: String, epoch: Long): Unit = {
+    val files = spark.table(table).where(col("epoch") === epoch)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0))
+    if (files.nonEmpty) {
+      require(spark.read.parquet(files.toIndexedSeq: _*)
+          .where(col("epoch") =!= epoch).isEmpty,
+        s"index '$table': files holding uncommitted epoch $epoch also hold " +
+        "other epochs — the epoch-per-append-file invariant is broken " +
+        "(was the index compacted outside the ingest loop?); refusing to " +
+        "repair by deletion")
+      val conf = spark.sessionState.newHadoopConf()
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).delete(p, false)
+      }
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** The guarded-append skeleton all four epoch-stamped indexes share:
+    * committed epoch → skip; uncommitted rows → repair; then append and
+    * commit the marker (the single atomic durable step). */
+  private def guardedEpochAppend(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, epoch: Long)
+                                (append: => Unit): Unit =
+    if (!epochAppended(spark, table, epoch)) {
+      repairPartialEpoch(spark, table, epoch)
+      append
+      EpochMarkers.markEpoch(spark, table, epoch)
+    }
 
   /** Replay-guarded epoch-stamped append to the fragment index. */
   def appendHammingIndexEpoch(hashes: DataFrame, table: String,
                               buckets: Int, maxHamming: Int,
-                              epoch: Long): Unit = {
-    val spark = hashes.sparkSession
-    if (!epochAppended(spark, table, epoch))
+                              epoch: Long): Unit =
+    guardedEpochAppend(hashes.sparkSession, table, epoch) {
       buildHammingPostings(hashes, maxHamming)
         .withColumn("epoch", lit(epoch))
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "bk").sortBy("bk")
         .saveAsTable(table)
-  }
+    }
 
   /** Replay-guarded epoch-stamped append to the keyed fragment index. */
   def appendHammingIndexKeyedEpoch(hashes: DataFrame, table: String,
                                    buckets: Int, maxHamming: Int,
-                                   epoch: Long): Unit = {
-    val spark = hashes.sparkSession
-    if (!epochAppended(spark, table, epoch))
+                                   epoch: Long): Unit =
+    guardedEpochAppend(hashes.sparkSession, table, epoch) {
       buildHammingPostingsKeyed(hashes, maxHamming)
         .withColumn("epoch", lit(epoch))
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "bk").sortBy("bk")
         .saveAsTable(table)
-  }
+    }
 
   /** Rewrite the bucketed hamming fragment index into one compact file
     * set per bucket — the modality twin of [[compactPostingIndex]], and
@@ -1444,11 +1496,14 @@ object Dedup {
     * see the epoch-layout note above [[initHammingIndexEpoch]]). */
   def initEmbedIndexEpoch(like: DataFrame, table: String, path: String,
                           buckets: Int = 8, lshBits: Int = 8,
-                          dim: Int = 64): DataFrame =
-    Relational.bucketMaterialize(
+                          dim: Int = 64): DataFrame = {
+    val out = Relational.bucketMaterialize(
       buildEmbedPostings(like.where(lit(false)).select(col("id"), col("vec")),
         lshBits, dim).withColumn("epoch", lit(-1L)),
       table, "bucket", buckets, path)
+    EpochMarkers.reset(like.sparkSession, path)
+    out
+  }
 
   /** [[initEmbedIndexEpoch]] on the crash-safe generational layout. */
   def initEmbedIndexEpochGen(like: DataFrame, table: String, root: String,
@@ -1461,15 +1516,14 @@ object Dedup {
 
   /** Replay-guarded epoch-stamped append to the embedding index. */
   def appendEmbedIndexEpoch(vecs: DataFrame, table: String, buckets: Int,
-                            lshBits: Int, dim: Int, epoch: Long): Unit = {
-    val spark = vecs.sparkSession
-    if (!epochAppended(spark, table, epoch))
+                            lshBits: Int, dim: Int, epoch: Long): Unit =
+    guardedEpochAppend(vecs.sparkSession, table, epoch) {
       buildEmbedPostings(vecs, lshBits, dim)
         .withColumn("epoch", lit(epoch))
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "bucket").sortBy("bucket")
         .saveAsTable(table)
-  }
+    }
 
   /** Incremental embedding dedup against the PERSISTED LSH index — the
     * embedding twin of [[hammingSurvivorsIndexed]]: per incoming vector,
@@ -1482,7 +1536,20 @@ object Dedup {
     * Recall is the LSH contract ([[incrementalEmbedSurvivors]]): a
     * cross-bucket near-dup is missed; fewer `lshBits` trades cost for
     * recall. No `distinct` before the counts — one bucket per vector
-    * means a candidate pair can only meet once. */
+    * means a candidate pair can only meet once.
+    *
+    * Hot-bucket cost shape (spec-pinned on an adversarial >= 50%
+    * single-bucket corpus): a semantic-dedup stream is near-identical
+    * embeddings by construction, so one hyperplane bucket capturing a
+    * large fraction of the corpus is the EXPECTED regime, not an edge
+    * case. The candidate join then degrades to |hot-batch| × |hot-corpus|
+    * cosine evaluations — this exact operator carries it (the decision
+    * record must be exact), the same contract as the hamming probe's
+    * degenerate fragments: production bounds the hot bucket UPSTREAM
+    * (more `lshBits` as the corpus grows — constant expected bucket
+    * size, the scale record's bits ∝ log2(corpus) rule — plus quality
+    * filters dropping degenerate all-same embeddings at encode), never
+    * by pruning the index. */
   def embedSurvivorsIndexed(incoming: DataFrame, index: DataFrame,
                             threshold: Double = 0.95, lshBits: Int = 8,
                             dim: Int = 64): DataFrame = {
@@ -1606,11 +1673,14 @@ object Dedup {
     * every intersection. */
   def initPostingIndexEpoch(df: DataFrame, idCol: String, textCol: String,
                             table: String, path: String, buckets: Int = 8,
-                            shingleN: Int = 3): DataFrame =
-    Relational.bucketMaterialize(
+                            shingleN: Int = 3): DataFrame = {
+    val out = Relational.bucketMaterialize(
       buildPostingIndex(df.where(lit(false)), idCol, textCol, shingleN)
         .withColumn("epoch", lit(-1L)),
       table, "h", buckets, path)
+    EpochMarkers.reset(df.sparkSession, path)
+    out
+  }
 
   /** [[initPostingIndexEpoch]] on the crash-safe generational layout
     * ([[GenIndex]]) — see [[initHammingIndexEpochGen]]. */
@@ -1625,15 +1695,14 @@ object Dedup {
   /** Replay-guarded epoch-stamped append to the posting index. */
   def appendPostingIndexEpoch(surv: DataFrame, idCol: String, textCol: String,
                               table: String, buckets: Int, shingleN: Int,
-                              epoch: Long): Unit = {
-    val spark = surv.sparkSession
-    if (!epochAppended(spark, table, epoch))
+                              epoch: Long): Unit =
+    guardedEpochAppend(surv.sparkSession, table, epoch) {
       buildPostingIndex(surv, idCol, textCol, shingleN)
         .withColumn("epoch", lit(epoch))
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "h").sortBy("h")
         .saveAsTable(table)
-  }
+    }
 
   /** [[compactHammingIndex]] for the posting index WITHOUT refreshing df —
     * the pure small-files rewrite (the epoch-stamped streaming layout

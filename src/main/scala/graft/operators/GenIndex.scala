@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 object GenIndex {
 
   private val GenPrefix = "gen-"
-  private val Marker = "_COMMITTED"
+  /** Generation commit-marker file name (shared with [[EpochMarkers]]'
+    * layout detection). */
+  val CommitMarker = "_COMMITTED"
+  private val Marker = CommitMarker
 
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -196,11 +199,21 @@ object GenIndex {
     * over an accumulated index). Letting it run corrupts silently twice
     * over: the probe's `epoch < batchId` filter hides the accepted corpus
     * (duplicates re-accepted), and [[Dedup.epochAppended]] sees the OLD
-    * run's rows for the same small batchIds and skips the new appends
-    * (survivor fingerprints permanently missing). Legal restarts satisfy
-    * `batchId >= max(epoch)`: a replay of the crashed batch equals it, a
-    * fresh batch exceeds it. One epoch-column scan, so callers check once
-    * per writer lifetime, not per epoch. */
+    * run's commits for the same small batchIds and skips the new appends
+    * (survivor fingerprints permanently missing).
+    *
+    * `batchId > maxEpoch` is safe unconditionally (the probe sees every
+    * existing epoch; the appends stamp fresh ones) — the caller becomes
+    * the index's recorded owner. `batchId == maxEpoch` is the REPLAY
+    * case, and arithmetic alone cannot tell a legal replay from a wiped
+    * checkpoint over an index whose newest (and only) epoch is that same
+    * batchId — so it additionally requires RUN AFFINITY: the stable
+    * streaming query id (persisted in the checkpoint metadata, so it
+    * survives restarts but not a wipe) must match the `run-` marker the
+    * owning stream stored ([[EpochMarkers]]). Direct API callers (no
+    * streaming query on the thread — spec replays, driver-sequential
+    * loops) keep the arithmetic-only contract. One epoch-column scan plus
+    * one marker listing, checked once per writer lifetime, not per epoch. */
   def requireEpochAhead(spark: SparkSession, table: String,
                         batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, max}
@@ -213,5 +226,17 @@ object GenIndex {
       s"$maxEpoch — this checkpoint does not belong to this index. " +
       "Resume with the original checkpoint, or re-initialize index AND " +
       "output together with the new checkpoint.")
+    EpochMarkers.currentQueryId(spark).foreach { qid =>
+      val stored = EpochMarkers.storedRuns(spark, table)
+      if (batchId == maxEpoch && maxEpoch >= 0)
+        require(stored.isEmpty || stored.contains(qid),
+          s"resuming batchId $batchId equals index '$table' newest epoch, " +
+          s"but this stream (query $qid) is not the one that wrote it " +
+          s"(${stored.mkString(", ")}) — a wiped or foreign checkpoint " +
+          "over an accumulated index would silently re-accept duplicates " +
+          "and skip its appends. Resume with the original checkpoint, or " +
+          "re-initialize index AND output together with the new checkpoint.")
+      if (!stored.contains(qid)) EpochMarkers.storeRun(spark, table, qid)
+    }
   }
 }

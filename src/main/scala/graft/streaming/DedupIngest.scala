@@ -35,20 +35,24 @@ object DedupIngest {
     * the kill-and-restart spec): probe strictly-earlier epochs → epoch-
     * keyed output overwrite → guarded posting append → optional periodic
     * compaction (every `compactEvery` epochs; bounds the per-micro-batch
-    * small files exactly like MmIngest's hook — routed to the crash-safe
-    * [[graft.operators.GenIndex.compactSwap]] when the index root is
-    * generational, else the in-place
-    * [[graft.operators.Dedup.compactPostingIndexFiles]]). */
+    * small files exactly like MmIngest's hook — `compactEvery > 0`
+    * REQUIRES the generational layout, enforced on the first batch for
+    * config and programmatic callers alike: the in-place rewrite can
+    * destroy the only index copy mid-crash and discards the epoch commit
+    * markers) → optional periodic output folding
+    * ([[IngestOutput.fold]]). */
   def ingestEpoch(idCol: String, textCol: String, indexTable: String,
                   outPath: String, buckets: Int, shingleN: Int,
                   threshold: Double, indexPath: String = null,
-                  compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+                  compactEvery: Int = 0,
+                  foldOutputEvery: Int = 0): (DataFrame, Long) => Unit = {
     var validated = false
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "DedupIngest.ingestEpoch")
       if (!validated) {
-        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        MmIngest.validateFirstBatch(spark, indexTable, batchId, indexPath,
+          compactEvery)
         validated = true
       }
       val surv = Dedup.incrementalSurvivorsIndexed(
@@ -61,6 +65,8 @@ object DedupIngest {
           (batchId + 1) % compactEvery == 0)
         graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
           "h", buckets)
+      if (foldOutputEvery > 0 && (batchId + 1) % foldOutputEvery == 0)
+        IngestOutput.fold(spark, outPath, batchId - 1)
     }
   }
 
@@ -68,7 +74,8 @@ object DedupIngest {
             indexTable: String, outPath: String, checkpoint: String,
             buckets: Int = 8, shingleN: Int = 3,
             threshold: Double = 0.5, availableNow: Boolean = false,
-            indexPath: String = null, compactEvery: Int = 0): StreamingQuery = {
+            indexPath: String = null, compactEvery: Int = 0,
+            foldOutputEvery: Int = 0): StreamingQuery = {
     val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -76,7 +83,8 @@ object DedupIngest {
     // the query live for continuous ingestion
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpoch(idCol, textCol, indexTable, outPath,
-        buckets, shingleN, threshold, indexPath, compactEvery))
+        buckets, shingleN, threshold, indexPath, compactEvery,
+        foldOutputEvery))
       .start()
   }
 }

@@ -45,13 +45,15 @@ object EmbedIngest {
   def ingestEpoch(indexTable: String, outPath: String, buckets: Int,
                   threshold: Double, lshBits: Int, dim: Int,
                   indexPath: String = null,
-                  compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+                  compactEvery: Int = 0,
+                  foldOutputEvery: Int = 0): (DataFrame, Long) => Unit = {
     var validated = false
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "EmbedIngest.ingestEpoch")
       if (!validated) {
-        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        MmIngest.validateFirstBatch(spark, indexTable, batchId, indexPath,
+          compactEvery)
         validated = true
       }
       val clean = batch.where(col("vec").isNotNull &&
@@ -67,19 +69,22 @@ object EmbedIngest {
           (batchId + 1) % compactEvery == 0)
         graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
           "bucket", buckets)
+      if (foldOutputEvery > 0 && (batchId + 1) % foldOutputEvery == 0)
+        IngestOutput.fold(spark, outPath, batchId - 1)
     }
   }
 
   def start(incoming: DataFrame, indexTable: String, outPath: String,
             checkpoint: String, buckets: Int = 8, threshold: Double = 0.95,
             lshBits: Int = 8, dim: Int = 64, availableNow: Boolean = false,
-            indexPath: String = null, compactEvery: Int = 0): StreamingQuery = {
+            indexPath: String = null, compactEvery: Int = 0,
+            foldOutputEvery: Int = 0): StreamingQuery = {
     val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpoch(indexTable, outPath, buckets, threshold,
-        lshBits, dim, indexPath, compactEvery))
+        lshBits, dim, indexPath, compactEvery, foldOutputEvery))
       .start()
   }
 }

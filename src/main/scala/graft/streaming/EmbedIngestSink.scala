@@ -51,6 +51,7 @@ object EmbedIngestSink {
     val lshBits = cfg.getInt("lsh-bits", 8)
     val dim = cfg.getInt("dim", 64)
     val compactEvery = cfg.getInt("compact-every", 0)
+    val foldOutputEvery = cfg.getInt("fold-output-every", 0)
     val gen = cfg.getString("layout", "flat") == "gen"
     // see MmIngestSink: a configured long-running stream that compacts
     // must use the crash-safe generational layout
@@ -77,7 +78,7 @@ object EmbedIngestSink {
               table, indexPath, buckets, lshBits, dim); ()
           }
         step = EmbedIngest.ingestEpoch(table, outPath, buckets, threshold,
-          lshBits, dim, indexPath, compactEvery)
+          lshBits, dim, indexPath, compactEvery, foldOutputEvery)
       }
       step(batch.select(expr(idExpr).as("id"), expr(vecExpr).as("vec")),
         batchId)

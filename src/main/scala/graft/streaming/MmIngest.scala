@@ -38,13 +38,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stage; the index is the big side and never moves (bucket-ordered scan,
   * no exchange); per-batch shuffle is O(batch) fragment postings. Index
   * file count is bounded by `compactEvery` (every N epochs the bucketed
-  * table rewrites into one file set per bucket). The rewrite is routed by
-  * layout: an index initialized via [[graft.operators.GenIndex.init]]
+  * table rewrites into one file set per bucket), which REQUIRES the
+  * generational layout ([[graft.operators.GenIndex.init]]): the swap
   * compacts crash-safely — fresh generation directory + atomic
   * `_COMMITTED` marker flip, the live files never modified, so a JVM loss
-  * mid-compaction cannot window the index — while the single-path gate
-  * layout keeps the in-place [[graft.operators.Dedup.compactHammingIndex]]
-  * it accepts. */
+  * mid-compaction cannot window the index. The in-place rewrite the
+  * driver-sequential batch loops accept is rejected here on the first
+  * batch — it can destroy a long-running stream's only index copy and
+  * discards the per-epoch commit markers. Output directory count is
+  * bounded by `foldOutputEvery` ([[IngestOutput]]). */
 object MmIngest {
 
   /** One micro-batch step: decode → fingerprint → probe the index —
@@ -78,22 +80,46 @@ object MmIngest {
   def writeEpoch(surv: DataFrame, outPath: String, batchId: Long): Unit =
     surv.write.mode("overwrite").parquet(s"$outPath/epoch=$batchId")
 
+  /** First-batch validation every ingest step shares: the resume guard
+    * (batchId vs max epoch + run affinity,
+    * [[graft.operators.GenIndex.requireEpochAhead]]) and the compaction
+    * layout rule — periodic compaction REQUIRES the generational layout
+    * regardless of how the loop was assembled (config sink or direct
+    * API): the in-place rewrite's mid-crash window can destroy a
+    * long-running stream's only index copy, and it discards the per-epoch
+    * commit markers the replay guard depends on. */
+  private[streaming] def validateFirstBatch(
+      spark: org.apache.spark.sql.SparkSession, indexTable: String,
+      batchId: Long, indexPath: String, compactEvery: Int): Unit = {
+    graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+    if (compactEvery > 0 && indexPath != null)
+      require(graft.operators.GenIndex.isGenerational(spark, indexPath),
+        s"index '$indexTable': compactEvery = $compactEvery needs the " +
+        s"generational layout at $indexPath (init via the ...Gen variant) — " +
+        "in-place compaction can window the index under a mid-rewrite " +
+        "crash and discards the epoch commit markers the replay guard " +
+        "depends on")
+  }
+
   /** The full per-epoch step [[start]]'s `foreachBatch` runs (public so
     * the kill-and-restart spec can replay it from any crash window):
     * resume-guard (first batch of this writer only — a batchId behind the
     * index's max epoch means the checkpoint does not belong to this
     * index, [[graft.operators.GenIndex.requireEpochAhead]]) → probe
     * (strictly-earlier epochs only) → epoch-keyed output overwrite →
-    * guarded index append → optional periodic compaction. */
+    * guarded index append → optional periodic index compaction →
+    * optional periodic output folding ([[IngestOutput.fold]], epochs
+    * strictly before this batch). */
   def ingestEpoch(indexTable: String, outPath: String, buckets: Int,
                   maxHamming: Int, indexPath: String = null,
-                  compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+                  compactEvery: Int = 0,
+                  foldOutputEvery: Int = 0): (DataFrame, Long) => Unit = {
     var validated = false
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "MmIngest.ingestEpoch")
       if (!validated) {
-        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
         validated = true
       }
       val surv = probeBatch(
@@ -108,6 +134,8 @@ object MmIngest {
           (batchId + 1) % compactEvery == 0)
         graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
           "bk", buckets)
+      if (foldOutputEvery > 0 && (batchId + 1) % foldOutputEvery == 0)
+        IngestOutput.fold(spark, outPath, batchId - 1)
     }
   }
 
@@ -115,13 +143,14 @@ object MmIngest {
     * family-keyed probe, `(id, family, phash)` survivors. */
   def ingestEpochComposed(indexTable: String, outPath: String, buckets: Int,
                           maxHamming: Int, indexPath: String = null,
-                          compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+                          compactEvery: Int = 0,
+                          foldOutputEvery: Int = 0): (DataFrame, Long) => Unit = {
     var validated = false
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "MmIngest.ingestEpochComposed")
       if (!validated) {
-        graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
+        validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
         validated = true
       }
       val surv = probeBatchComposed(
@@ -138,6 +167,8 @@ object MmIngest {
           (batchId + 1) % compactEvery == 0)
         graft.operators.GenIndex.compactAuto(spark, indexTable, indexPath,
           "bk", buckets)
+      if (foldOutputEvery > 0 && (batchId + 1) % foldOutputEvery == 0)
+        IngestOutput.fold(spark, outPath, batchId - 1)
     }
   }
 
@@ -155,26 +186,28 @@ object MmIngest {
   def startComposed(incoming: DataFrame, indexTable: String, outPath: String,
                     checkpoint: String, buckets: Int = 8, maxHamming: Int = 3,
                     availableNow: Boolean = false, indexPath: String = null,
-                    compactEvery: Int = 0): StreamingQuery = {
+                    compactEvery: Int = 0,
+                    foldOutputEvery: Int = 0): StreamingQuery = {
     val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpochComposed(indexTable, outPath, buckets,
-        maxHamming, indexPath, compactEvery))
+        maxHamming, indexPath, compactEvery, foldOutputEvery))
       .start()
   }
 
   def start(incoming: DataFrame, indexTable: String, outPath: String,
             checkpoint: String, buckets: Int = 8, maxHamming: Int = 3,
             availableNow: Boolean = false, indexPath: String = null,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = 0,
+            foldOutputEvery: Int = 0): StreamingQuery = {
     val writer = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .foreachBatch(ingestEpoch(indexTable, outPath, buckets, maxHamming,
-        indexPath, compactEvery))
+        indexPath, compactEvery, foldOutputEvery))
       .start()
   }
 }

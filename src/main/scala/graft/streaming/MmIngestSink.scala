@@ -62,6 +62,7 @@ object MmIngestSink {
     val buckets = cfg.getInt("buckets", 8)
     val maxHamming = cfg.getInt("max-hamming", 3)
     val compactEvery = cfg.getInt("compact-every", 0)
+    val foldOutputEvery = cfg.getInt("fold-output-every", 0)
     val gen = cfg.getString("layout", "flat") == "gen"
     // the in-place rewrite's crash window (old files deleted before new
     // ones commit) is acceptable only for driver-sequential batch loops;
@@ -93,7 +94,7 @@ object MmIngestSink {
               table, indexPath, buckets, maxHamming); ()
           }
         step = MmIngest.ingestEpochComposed(table, outPath, buckets,
-          maxHamming, indexPath, compactEvery)
+          maxHamming, indexPath, compactEvery, foldOutputEvery)
       }
       step(batch.select(expr(idExpr).as("id"),
                         expr(payloadExpr).as("payload")), batchId)

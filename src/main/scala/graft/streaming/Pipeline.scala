@@ -136,6 +136,8 @@ object Pipeline {
         MmIngestSink.writer(sc)
       case "embed-ingest" => // the embedding semantic-dedup ingest loop
         EmbedIngestSink.writer(sc)
+      case "dedup-ingest" => // the text posting-index ingest loop
+        DedupIngestSink.writer(sc)
       case "syslog" =>
         val transport = sc.getString("transport", "tcp") match {
           case "udp" => Sinks.SyslogUdp

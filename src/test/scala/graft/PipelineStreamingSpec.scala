@@ -1226,13 +1226,27 @@ class PipelineStreamingSpec extends SparkSpec {
       graft.operators.Multimodal.renderedImagePayloads(
         spark.range(r.start, r.end).toDF("doc_id"), "doc_id")
     }
-    // single-path twin (the gate layout)
+    // single-path twin (the gate layout, no compaction — flat + periodic
+    // compaction is REJECTED below: the in-place rewrite's crash window
+    // plus marker loss)
     Dedup.initHammingIndexEpoch(Seq.empty[(Long, Long)].toDF("id", "sh"),
       "graft_spec_mmgen_flat", s"$tmp/flat")
     val flatStep = graft.streaming.MmIngest.ingestEpoch(
       "graft_spec_mmgen_flat", s"$tmp/flat_out", buckets = 8,
-      maxHamming = 3, indexPath = s"$tmp/flat", compactEvery = 1)
+      maxHamming = 3)
     batches.zipWithIndex.foreach { case (b, i) => flatStep(b, i.toLong) }
+    // compactEvery over the flat layout fails on the FIRST batch, for
+    // programmatic callers exactly like the config sinks (the ADVICE
+    // hole: a direct API caller could route a long-running stream
+    // through the in-place rewrite whose mid-crash window destroys the
+    // only durable index copy)
+    val rejected = graft.streaming.MmIngest.ingestEpoch(
+      "graft_spec_mmgen_flat", s"$tmp/flat_out2", buckets = 8,
+      maxHamming = 3, indexPath = s"$tmp/flat", compactEvery = 1)
+    val eFlat = intercept[IllegalArgumentException] {
+      rejected(batches.head, 2L)
+    }
+    assert(eFlat.getMessage.contains("generational layout"), eFlat.getMessage)
     // generational layout through the SAME entry point
     Dedup.initHammingIndexEpochGen(Seq.empty[(Long, Long)].toDF("id", "sh"),
       "graft_spec_mmgen", s"$tmp/gen")
@@ -1274,17 +1288,16 @@ class PipelineStreamingSpec extends SparkSpec {
     def ids(p: String) = spark.read.parquet(p)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val truth = ids(s"$tmp/plain_out")
-    // flat layout + in-place compaction every epoch
+    // flat layout + in-place compaction is REJECTED on the first batch
+    // (the in-place rewrite's crash window + epoch-marker loss) — for
+    // programmatic callers exactly like the config sinks
     Dedup.initPostingIndexEpoch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
       "doc_id", "text", "graft_spec_ic_flat", s"$tmp/flat", buckets = 4)
     val flat = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
       "graft_spec_ic_flat", s"$tmp/flat_out", 4, 3, 0.5,
       indexPath = s"$tmp/flat", compactEvery = 1)
-    batches.zipWithIndex.foreach { case (b, i) => flat(b, i.toLong) }
-    assert(ids(s"$tmp/flat_out") == truth, "flat compaction changed survivors")
-    val flatFiles = new java.io.File(s"$tmp/flat").listFiles()
-      .count(_.getName.startsWith("part-"))
-    assert(flatFiles <= 4, s"flat posting index not compacted: $flatFiles files")
+    val eFlat = intercept[IllegalArgumentException] { flat(batches.head, 0L) }
+    assert(eFlat.getMessage.contains("generational layout"), eFlat.getMessage)
     // generational layout through the SAME entry point
     Dedup.initPostingIndexEpochGen(Seq.empty[(Long, String)].toDF("doc_id", "text"),
       "doc_id", "text", "graft_spec_ic_gen", s"$tmp/gen", buckets = 4)
@@ -1299,6 +1312,366 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(genFiles <= 4, s"gen posting index not compacted: $genFiles files")
     Seq("graft_spec_ic_plain", "graft_spec_ic_flat", "graft_spec_ic_gen")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("dedup ingest kill MID-APPEND: a partial uncommitted epoch is deleted and re-appended on replay") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the one crash the row-existence guard lost: the JVM dies INSIDE the
+    // index append job's multi-file commit, leaving a subset of epoch k's
+    // posting files visible. A guard keyed on row existence then skips the
+    // re-append forever (missing postings admit later duplicates and skew
+    // the Jaccard intersection counts); the marker guard must instead
+    // detect rows-without-marker, delete the partial files, and re-append.
+    val mk = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val batches = Seq(
+      Seq(1L -> mk("tok", 40), 2L -> mk("alt", 40)),
+      Seq(10L -> mk("new", 40), 11L -> mk("fou", 40)), // BOTH survive ep 1
+      Seq(20L -> (mk("tok", 40) + " x1"), 21L -> mk("fin", 40)))
+    val tmp = Files.createTempDirectory("graft-midappend").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = s"$tmp/b$i"
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+      assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_midapp", s"$tmp/idx")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val step = graft.streaming.DedupIngest.ingestEpoch(
+      "doc_id", "text", "graft_spec_midapp", s"$tmp/out",
+      buckets = 8, shingleN = 3, threshold = 0.5)
+    var crashed = false
+    val q1 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1 && !crashed) {
+          val surv = graft.operators.Dedup.incrementalSurvivorsIndexed(
+            b, spark.table("graft_spec_midapp")
+              .where(col("epoch") < lit(id)),
+            "doc_id", "text", 3, 0.5, Long.MaxValue)
+          graft.streaming.MmIngest.writeEpoch(surv, s"$tmp/out", id)
+          // the injected mid-commit state: ONE of the two survivors'
+          // postings land, stamped epoch=1, with NO commit marker
+          graft.operators.Dedup.buildPostingIndex(
+              surv.where(col("doc_id") === 10L), "doc_id", "text", 3)
+            .withColumn("epoch", lit(1L))
+            .write.mode("append").format("parquet")
+            .bucketBy(8, "h").sortBy("h").saveAsTable("graft_spec_midapp")
+          crashed = true
+          throw new RuntimeException("injected crash mid index-append commit")
+        } else step(b, id)
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed, "the injected crash never fired")
+    // partial epoch is visible as rows but NOT committed (refresh: the
+    // stream's appends ran in its cloned session — the spec session's
+    // relation cache is stale, a test-JVM artifact)
+    spark.catalog.refreshTable("graft_spec_midapp")
+    assert(spark.table("graft_spec_midapp").where(col("epoch") === 1)
+      .count() > 0, "fixture failed to land a partial epoch")
+    assert(!graft.operators.Dedup.epochAppended(spark, "graft_spec_midapp", 1L),
+      "a partial append must not count as committed")
+    val q2 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => step(b, id) }
+      .start()
+    q2.awaitTermination()
+    // never-crashed twin over the identical batch splits
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_midapp_twin", s"$tmp/idx_twin")
+    val twinStep = graft.streaming.DedupIngest.ingestEpoch(
+      "doc_id", "text", "graft_spec_midapp_twin", s"$tmp/out_twin",
+      buckets = 8, shingleN = 3, threshold = 0.5)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      twinStep(b.toDF("doc_id", "text"), i.toLong) }
+    // the replayed epoch's posting set is COMPLETE and duplicate-free —
+    // compared as a multiset against the never-crashed run
+    spark.catalog.refreshTable("graft_spec_midapp")
+    def postings(t: String) = spark.table(t)
+      .select("id", "h", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(postings("graft_spec_midapp") == postings("graft_spec_midapp_twin"),
+      "replayed index diverged from the never-crashed run")
+    val ids = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.sorted == Seq(1L, 2L, 10L, 11L, 21L),
+      s"survivors after mid-append kill-and-restart: ${ids.sorted}")
+    assert(ids.length == ids.distinct.length, "duplicate output rows")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_midapp")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_midapp_twin")
+  }
+
+  test("run-affinity guard: a wiped checkpoint over an index whose newest epoch is 0 fails loudly; the true writer's replay passes") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-runaff").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    Seq(1L -> (1 to 40).map(i => s"tok$i").mkString(" "),
+        2L -> (1 to 40).map(i => s"alt$i").mkString(" "))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/b0")
+    val src = new java.io.File(s"$tmp/b0").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(src.renameTo(new java.io.File(inDir, "b00.parquet")))
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_runaff", s"$tmp/idx")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    def startQ() = graft.streaming.DedupIngest.start(incoming,
+      "doc_id", "text", "graft_spec_runaff", s"$tmp/out",
+      checkpoint = s"$tmp/ck", availableNow = true)
+    startQ().awaitTermination()
+    spark.catalog.refreshTable("graft_spec_runaff")
+    assert(spark.table("graft_spec_runaff")
+      .agg(max(col("epoch"))).head().getLong(0) == 0L, "fixture built no epoch")
+    // the ADVICE hole: wipe the checkpoint — the fresh stream's batch 0
+    // EQUALS the index's newest epoch, so arithmetic alone admits it; its
+    // probe would see an empty corpus and its append would be skipped by
+    // the old run's epoch-0 commit. The run-affinity marker must reject it.
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf); f.delete(); () }
+    rmRf(new java.io.File(s"$tmp/ck"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startQ().awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("not the one that wrote it"), msgs(e))
+    // positive control — the TRUE writer's replay: fresh index+checkpoint,
+    // crash AFTER epoch 0's full side effects (checkpoint uncommitted),
+    // restart with a FRESH writer closure. batchId 0 == max epoch 0, but
+    // the stable query id persisted in the checkpoint matches the run
+    // marker, so the replay passes and converges.
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_runaff2", s"$tmp/idx2")
+    val step1 = graft.streaming.DedupIngest.ingestEpoch(
+      "doc_id", "text", "graft_spec_runaff2", s"$tmp/out2", 8, 3, 0.5)
+    var crashed = false
+    val q = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        step1(b, id)
+        if (!crashed) { crashed = true
+          throw new RuntimeException("injected crash after epoch side effects") }
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val step2 = graft.streaming.DedupIngest.ingestEpoch(
+      "doc_id", "text", "graft_spec_runaff2", s"$tmp/out2", 8, 3, 0.5)
+    val q2 = incoming.writeStream
+      .option("checkpointLocation", s"$tmp/ck2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => step2(b, id) }
+      .start()
+    q2.awaitTermination()
+    val ids = spark.read.parquet(s"$tmp/out2")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L), s"true replay diverged: $ids")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_runaff")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_runaff2")
+  }
+
+  test("ingest output folding: committed base generation, byte-identical reads, bounded directories, idempotent crash windows") {
+    import graft.streaming.IngestOutput
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = (p: String) => (1 to 40).map(i => s"$p$i").mkString(" ")
+    // four batches, all distinct texts — every doc survives, epochs 0..3
+    val batches = Seq(Seq(1L -> mk("aa")), Seq(2L -> mk("bb")),
+                      Seq(3L -> mk("cc")), Seq(4L -> mk("dd")))
+      .map(_.toDF("doc_id", "text"))
+    val tmp = Files.createTempDirectory("graft-outfold").toString
+    def runLoop(table: String, idx: String, out: String, fold: Int): Unit = {
+      graft.operators.Dedup.initPostingIndexEpoch(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+        table, idx)
+      val step = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
+        table, out, 8, 3, 0.5, foldOutputEvery = fold)
+      batches.zipWithIndex.foreach { case (b, i) => step(b, i.toLong) }
+    }
+    runLoop("graft_spec_of_plain", s"$tmp/idx_p", s"$tmp/out_plain", 0)
+    runLoop("graft_spec_of_fold", s"$tmp/idx_f", s"$tmp/out_fold", 2)
+    def rows(p: String) = IngestOutput.read(spark, p)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val truth = rows(s"$tmp/out_plain")
+    assert(truth.map(_._1) == Seq(1L, 2L, 3L, 4L), s"fixture broke: $truth")
+    assert(rows(s"$tmp/out_fold") == truth,
+      "folded reader diverged from the unfolded twin")
+    // directory shape: folds ran at epochs 1 (upto 0) and 3 (upto 2) —
+    // one committed generation left, only epoch=3 unfolded
+    def epochDirs() = new java.io.File(s"$tmp/out_fold").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=")).map(_.getName)
+    assert(epochDirs().toSeq == Seq("epoch=3"), epochDirs().mkString(","))
+    assert(IngestOutput.liveFold(spark, s"$tmp/out_fold").map(_._2).contains(2L))
+    val genDirs = new java.io.File(s"$tmp/out_fold/_graft_folded").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(genDirs == Seq("gen-1"), s"superseded generations not swept: $genDirs")
+    // idempotence: a replayed fold with the same upto changes nothing
+    IngestOutput.fold(spark, s"$tmp/out_fold", 2L)
+    assert(rows(s"$tmp/out_fold") == truth, "replayed fold changed the rows")
+    // crash-after-commit-before-sweep: a straggler epoch dir <= upto must
+    // be invisible to the reader and swept by the next fold
+    Seq(999L -> mk("zz")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/out_fold/epoch=1")
+    assert(rows(s"$tmp/out_fold") == truth,
+      "reader must ignore straggler epoch dirs at or below the folded upto")
+    IngestOutput.fold(spark, s"$tmp/out_fold", 2L)
+    assert(!new java.io.File(s"$tmp/out_fold/epoch=1").exists(),
+      "the next fold must sweep stragglers")
+    assert(rows(s"$tmp/out_fold") == truth)
+    // fold the tail: zero unfolded directories, reads still identical
+    IngestOutput.fold(spark, s"$tmp/out_fold", 3L)
+    assert(epochDirs().isEmpty, epochDirs().mkString(","))
+    assert(rows(s"$tmp/out_fold") == truth, "tail fold changed the rows")
+    Seq("graft_spec_of_plain", "graft_spec_of_fold")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("ingest output folding LIVE: streaming dedup ingest with per-epoch folds matches the unfolded twin") {
+    import graft.streaming.IngestOutput
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = (p: String) => (1 to 40).map(i => s"$p$i").mkString(" ")
+    val batches = Seq(
+      Seq(1L -> mk("tok"), 2L -> mk("alt")),
+      Seq(10L -> (mk("tok") + " t1"), 11L -> mk("new")),
+      Seq(20L -> mk("fin")))
+    val tmp = Files.createTempDirectory("graft-outfold-live").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = s"$tmp/b$i"
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+      assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_of_live", s"$tmp/idx")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = graft.streaming.DedupIngest.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString),
+      "doc_id", "text", "graft_spec_of_live", s"$tmp/out",
+      checkpoint = s"$tmp/ck", availableNow = true, foldOutputEvery = 1)
+    q.awaitTermination()
+    val got = IngestOutput.read(spark, s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 near-dups 1 (same tok prefix + tail) -> dropped
+    assert(got == Set(1L, 2L, 11L, 20L), s"live folded survivors: $got")
+    // epochs 0 and 1 folded (fold upto batchId-1 each epoch); epoch 2 live
+    assert(IngestOutput.liveFold(spark, s"$tmp/out").map(_._2).contains(1L))
+    spark.sql("DROP TABLE IF EXISTS graft_spec_of_live")
+  }
+
+  test("embed ingest adversarial corpus: one LSH bucket captures most vectors — survivors stay exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a semantic-dedup corpus is exactly this shape: near-identical
+    // embeddings concentrating in one hyperplane bucket. The decision
+    // record must stay EXACT under the hot bucket — the documented
+    // contract is that cost is bounded UPSTREAM (quality filters), never
+    // by pruning the index — so this spec pins correctness at >= 50%
+    // single-bucket concentration against a local greedy recompute.
+    val dim = 16
+    val base = Array.tabulate(dim)(i => (i + 1).toFloat)
+    def perturbed(k: Int): Array[Float] = {
+      val v = base.clone()
+      // absolute bump: every distinct pair differs by >= 1.5 on some
+      // coordinate, so no pair's cosine creeps into the copy band
+      v(k % dim) += 1.5f * ((k / dim) + 1)
+      v
+    }
+    // 10 corpus vectors; 30-vector batch = 20 fresh perturbations + 5
+    // exact copies of corpus vectors + 5 exact copies of smaller-id batch
+    // vectors (dup sources are ALL batch members, not just survivors)
+    val corpus = (0 until 10).map(k => (k.toLong, perturbed(k)))
+    val fresh = (0 until 20).map(k => (100L + k, perturbed(10 + k)))
+    val copiesOfCorpus = (0 until 5).map(k => (200L + k, perturbed(k)))
+    val copiesOfBatch = (0 until 5).map(k => (300L + k, perturbed(10 + k)))
+    val batch = fresh ++ copiesOfCorpus ++ copiesOfBatch
+    val corpusDf = corpus.toDF("id", "vec")
+    val batchDf = batch.toDF("id", "vec")
+    val lshBits = 4
+    // actual buckets from the operator's own hashing — the expectation
+    // below blocks on them exactly like the operator does
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("id"), graft.operators.Similarity
+          .hyperplaneBucket(col("vec"), lshBits, dim).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cb = buckets(corpusDf); val bb = buckets(batchDf)
+    val all = cb.values ++ bb.values
+    val hottest = all.groupBy(identity).map(_._2.size).max
+    assert(hottest * 2 >= all.size,
+      s"fixture lost its skew: hottest bucket $hottest of ${all.size}")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until dim).foreach { i => d += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    // threshold halfway between the closest DISTINCT pair and the exact
+    // copies (cosine 1.0) — self-derived so the margin provably dwarfs
+    // any FP noise between the local and the operator's cosine
+    val pool = corpus ++ batch
+    val distinctMax = (for { (i, vi) <- pool; (j, vj) <- pool
+      if i < j && !vi.sameElements(vj) } yield cos(vi, vj)).max
+    assert(1.0 - distinctMax > 1e-5,
+      s"fixture margin too thin: closest distinct pair at $distinctMax")
+    val threshold = (distinctMax + 1.0) / 2
+    val vecOf = (corpus ++ batch).toMap
+    val expected = batch.map { case (id, v) =>
+      val dupCorpus = corpus.exists { case (cid, cv) =>
+        cb(cid) == bb(id) && cos(v, cv) >= threshold }
+      val dupBatch = batch.exists { case (bid, bv) =>
+        bid < id && bb(bid) == bb(id) && cos(v, bv) >= threshold }
+      (id, !dupCorpus && !dupBatch)
+    }.filter(_._2).map(_._1).toSet
+    assert(expected.nonEmpty && expected.size < batch.size,
+      s"fixture degenerate: ${expected.size} of ${batch.size} expected")
+    val got = graft.operators.Dedup.embedSurvivorsIndexed(
+        batchDf, graft.operators.Dedup.buildEmbedPostings(corpusDf, lshBits, dim),
+        threshold, lshBits, dim)
+      .where(col("survives")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"hot-bucket survivors diverged: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+    assert(vecOf.size == corpus.size + batch.size) // ids unique, fixture sane
   }
 
   test("streaming funnel: out-of-order buffering, cross-batch chaining, watermark flush") {
