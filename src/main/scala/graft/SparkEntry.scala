@@ -4250,6 +4250,44 @@ object SparkEntry {
     s.read.parquet(out).select("doc_id", "lang").orderBy("doc_id")
   }
 
+  /** [[streamDedupIngest]] with per-epoch OUTPUT FOLDING
+    * ([[graft.streaming.IngestOutput]]): every committed epoch directory
+    * rewrites into the marker-committed base generation as the stream
+    * runs, and the official reader must land on the identical survivor
+    * set — the fold layout and its crash contract must be invisible to
+    * consumers (same oracle as `stream_dedup_ingest`). */
+  private def streamDedupIngestFolded(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val tag = layoutTag(dir)
+    val work = graft.util.TempDirs.create("graft-stream-ingest-fold")
+    val inDir = work.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    ingestBounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = work.resolve(s"b$i")
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.parquet(part.toString)
+      val src = part.toFile.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $part"))
+      val dst = inDir.resolve(f"b$i%02d.parquet").toFile
+      require(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    Dedup.initPostingIndexEpoch(docs.where(lit(false)), "doc_id", "text",
+      s"graft_b_stream_ingfold_$tag",
+      s"${graft.util.Scratch.base}/graft_bucketed_$tag/stream_ingfold",
+      buckets = 8, shingleN = 3)
+    val incoming = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val out = work.resolve("out").toString
+    val q = graft.streaming.DedupIngest.start(incoming, "doc_id", "text",
+      indexTable = s"graft_b_stream_ingfold_$tag", outPath = out,
+      checkpoint = work.resolve("ck").toString,
+      buckets = 8, shingleN = 3, threshold = 0.5, availableNow = true,
+      foldOutputEvery = 1)
+    q.awaitTermination()
+    graft.streaming.IngestOutput.read(s, out)
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   /** The streaming funnel driven LIVE under the gate: the event projection
     * arrives as a file stream (one data batch, then two far-future sentinel
     * events whose only job is to push the watermark past every user's
@@ -5005,6 +5043,7 @@ object SparkEntry {
     // live engine paths (readStream → foreachBatch → sink, read back)
     "stream_pipeline_e2e" -> streamPipelineE2e _,
     "stream_dedup_ingest" -> streamDedupIngest _,
+    "stream_dedup_ingest_folded" -> streamDedupIngestFolded _,
     "stream_ivf_probe"    -> streamIvfProbe _,
     "dedup_ingest_compacted" -> dedupIngestCompacted _,
     "http_push_e2e"       -> httpPushE2e _)
@@ -9435,6 +9474,9 @@ object SparkEntry {
     // batch/streaming parity: the live AvailableNow ingest must land on the
     // batch twin's exact survivor set
     "stream_dedup_ingest" -> ingestOracle(ingestBounds),
+    // output folding must be invisible to consumers: the folded stream
+    // reads through IngestOutput.read onto the SAME survivor set
+    "stream_dedup_ingest_folded" -> ingestOracle(ingestBounds),
     "dedup_ingest_compacted" -> ingestPrunedOracle(ingestBounds, maxDF = 3L),
     "dedup_incremental_indexed" -> s"""
       WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),

@@ -62,6 +62,26 @@ class VecPayloadSourcePlugin(cfg: GraftConfig) extends SourcePlugin {
   }
 }
 
+/** FQCN-loadable document source for the dedup-ingest config test:
+  * `(doc_id, text)` parquet files arrive as Events with the text in the
+  * body — the DedupIngestSink default wire format. */
+class DocPayloadSourcePlugin(cfg: GraftConfig) extends SourcePlugin {
+  override def build(spark: org.apache.spark.sql.SparkSession,
+                     sc: GraftConfig): org.apache.spark.sql.Dataset[Event] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+                             StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sc.getString("path"))
+      .select(col("text").as("body"),
+              map(lit("id"), col("doc_id").cast("string")).as("headers"))
+      .as[Event]
+  }
+}
+
 /** FQCN-loadable sink: collects bodies into a static buffer. */
 class TestSinkPlugin extends SinkPlugin {
   override def build(cfg: GraftConfig): org.apache.spark.sql.DataFrame => Unit =
@@ -1672,6 +1692,102 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(got == expected,
       s"hot-bucket survivors diverged: extra=${got.diff(expected)} missing=${expected.diff(got)}")
     assert(vecOf.size == corpus.size + batch.size) // ids unique, fixture sane
+  }
+
+  test("config-declared dedup ingest: HOCON boots the text posting-index loop through Pipeline.start") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the HOCON ingest triad's third member: the same three ordered doc
+    // batches the code twin sees, declared config-only
+    val mk = (p: String) => (1 to 40).map(i => s"$p$i").mkString(" ")
+    val batches = Seq(
+      Seq(1L -> mk("tok"), 2L -> mk("alt")),
+      Seq(10L -> (mk("tok") + " t1 t2"), 11L -> mk("new")),
+      Seq(20L -> (mk("alt") + " x1"), 21L -> mk("fin")))
+    val tmp = Files.createTempDirectory("graft-cfg-dedup").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = s"$tmp/b$i"
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+      assert(src.renameTo(dst) && dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val conf = GraftConfig.parse(s"""
+      graft {
+        source { crawl { fqcn = "graft.DocPayloadSourcePlugin",
+                         path = "$inDir", available-now = true,
+                         sinks = [ingest] } }
+        sink { ingest { type = dedup-ingest,
+                        index-table = graft_spec_cfg_dedup,
+                        index-path = "$tmp/idx",
+                        out-path = "$tmp/out",
+                        threshold = 0.5, layout = gen,
+                        compact-every = 1, fold-output-every = 1 } }
+      }""")
+    val ps = Pipeline.start(spark, conf, s"$tmp/ck")
+    try ps.foreach(_.query.awaitTermination())
+    finally ps.foreach(p => if (p.query.isActive) p.query.stop())
+    val got = graft.streaming.IngestOutput.read(spark, s"$tmp/out")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // code-assembled twin over the identical batches from a fresh index
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_cfg_dedup_twin", s"$tmp/idx_twin")
+    val twinStep = graft.streaming.DedupIngest.ingestEpoch(
+      "doc_id", "text", "graft_spec_cfg_dedup_twin", s"$tmp/out_twin",
+      8, 3, 0.5)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      twinStep(b.toDF("doc_id", "text"), i.toLong) }
+    val twin = spark.read.parquet(s"$tmp/out_twin")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "config-declared dedup ingest accepted nothing")
+    assert(got == twin,
+      s"config DAG diverged from the code twin: ${got.diff(twin)} / ${twin.diff(got)}")
+    // the generational layout compacted each epoch and the output folded
+    assert(graft.operators.GenIndex.liveGen(spark, s"$tmp/idx").contains(3L))
+    assert(graft.streaming.IngestOutput.liveFold(spark, s"$tmp/out")
+      .map(_._2).contains(1L))
+    spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_dedup")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_cfg_dedup_twin")
+  }
+
+  test("dedup-ingest sink restart: catalog loss re-registers the posting index — never re-inits over the accepted corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = (p: String) => (1 to 40).map(i => s"$p$i").mkString(" ")
+    for (layout <- Seq("flat", "gen")) {
+      val tmp = Files.createTempDirectory(s"graft-cfg-dedup-restart-$layout").toString
+      val t = s"graft_spec_cfg_dre_$layout"
+      val ce = if (layout == "gen") 1 else 0
+      val cfg = GraftConfig.parse(s"""
+        sink-stage { type = dedup-ingest, index-table = $t,
+                     index-path = "$tmp/idx", out-path = "$tmp/out",
+                     layout = $layout, compact-every = $ce }""")
+        .getSection("sink-stage").get
+      def payload(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+        .select(col("text").as("body"),
+          map(lit("id"), col("doc_id").cast("string")).as("headers"))
+      val writer = graft.streaming.DedupIngestSink.writer(cfg)
+      writer(payload(Seq(1L -> mk("tok"), 2L -> mk("alt"))), 0L)
+      val before = spark.read.parquet(s"$tmp/out")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(before == Set(1L, 2L), s"[$layout] epoch 0 accepted $before")
+      // "restart": the session catalog does not survive the JVM; the
+      // sink's writer runs afresh and must recover the index from disk
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val writer2 = graft.streaming.DedupIngestSink.writer(cfg)
+      // epoch 1 re-sends doc 1's text verbatim (new id) plus a fresh doc
+      writer2(payload(Seq(10L -> mk("tok"), 11L -> mk("new"))), 1L)
+      val after = spark.read.parquet(s"$tmp/out")
+        .where(col("epoch") === 1).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!after.contains(10L),
+        s"[$layout] restart forgot the index: duplicate text re-accepted ($after)")
+      assert(after == Set(11L), s"[$layout] epoch 1 accepted $after")
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    }
   }
 
   test("streaming funnel: out-of-order buffering, cross-batch chaining, watermark flush") {
