@@ -1643,17 +1643,24 @@ object TextAnalysis {
     * Execution shape (the production-vocab fix): the corpus scan builds
     * the `(word, count)` table ONCE; when its distinct-word count fits
     * `maxDriverWords` (it almost always does — the table is O(language
-    * vocabulary), tens of millions of rows at 100 TB, and each row is a
-    * short word + a long), the whole merge loop runs DRIVER-LOCAL over
-    * the collected table with incrementally-maintained pair weights and
+    * vocabulary)), the whole merge loop runs DRIVER-LOCAL over the
+    * collected table with incrementally-maintained pair weights and
     * a lazy-deletion priority queue ([[localBpeMerges]]) — one Spark job
     * total instead of `numMerges` sequential argmax jobs (a 50k-merge
     * production vocabulary would otherwise serialize 50k driver
     * round-trips). Past the bound, the distributed per-iteration loop
     * below is the fallback; both paths compute the identical table (the
-    * spec pins bit-equality). */
+    * spec pins bit-equality).
+    *
+    * Default bound: 1M distinct words. The local structures are BOXED
+    * (`(String, String)` pair keys, `HashSet[Integer]` occurrence sets
+    * over ~10+ adjacencies per word), so heap is roughly hundreds of
+    * bytes per word-adjacency — ~1M words fits comfortably in a few GB
+    * of driver headroom, while the old 4M default sat close to driver
+    * OOM exactly where the distributed fallback would have been the
+    * safer path. Raise it only against a driver sized for it. */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
-                maxDriverWords: Long = 4L << 20): DataFrame = {
+                maxDriverWords: Long = 1L << 20): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
     val freq = df

@@ -203,14 +203,19 @@ object BenchScale {
   /** Variant k's vectors pass through an EXACT isometry — coordinate
     * rotation by `k % 64`, plus a first-half sign flip for `k >= 64` —
     * the embedding analogue of the documents' letter-rotation bijection:
-    * permutation and negation are exact in IEEE, so every intra-variant
-    * dot product, norm, cosine, and duplicate pair is preserved BIT-FOR-
-    * BIT, while cross-variant cosines decorrelate to noise. A verbatim
-    * copy instead gives every vector `factor` exact clones: dedup/ingest
-    * pair counts and IVF cell sizes then grow quadratically BY
-    * CONSTRUCTION and any scale point on them measures the synthetic
-    * blow-up, not the operator. (Corpus dim is 64, the testdata schema
-    * every embedding gate assumes.) */
+    * permutation and negation are exact per COORDINATE in IEEE, so every
+    * intra-variant dot product, norm, cosine, and duplicate pair is
+    * preserved exactly UP TO FP SUMMATION ORDER (a rotation reorders the
+    * dot product's accumulation, so intra-variant cosines can move in
+    * the last ulp and a knife-edge near-threshold pair could in
+    * principle flip — timing-only noise; the sign flip alone preserves
+    * per-coordinate products in original order). Cross-variant cosines
+    * decorrelate to noise either way. A verbatim copy instead gives
+    * every vector `factor` exact
+    * clones: dedup/ingest pair counts and IVF cell sizes then grow
+    * quadratically BY CONSTRUCTION and any scale point on them measures
+    * the synthetic blow-up, not the operator. (Corpus dim is 64, the
+    * testdata schema every embedding gate assumes.) */
   def synthesizeEmbeddings(spark: SparkSession, srcDir: String,
                            factor: Int = Factor, outDir: String = ScaleDir): Unit = {
     // 64 rotations × 2 sign patterns = 128 distinct transforms; a larger
@@ -414,6 +419,39 @@ object BenchScaleKernels {
   def embedIngestSteady(spark: SparkSession, dir: String, bits: Int): Double = {
     embedIngestOnce(spark, dir, bits); embedIngestOnce(spark, dir, bits)
   }
+
+  /** One [[graft.operators.GenIndex.compactSwap]] over a multi-epoch
+    * accumulated POSTING index (the heaviest of the three ingest indexes:
+    * O(shingles) rows, not O(docs)): init the generational layout, append
+    * four epoch-stamped posting sets (disjoint doc_id quarters — the
+    * state a stream reaches after four micro-batches), then time ONLY the
+    * swap. The swap is O(index) by design and lands MID-STREAM, so this
+    * kernel pins that it stays linear in index size — a superlinear swap
+    * would stall a live ingest at the worst possible moment. Timed
+    * portion excludes the fixture build. */
+  def compactSwapOnce(spark: SparkSession, dir: String, tag: String): Double = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val table = s"graft_scale_genswap_$tag"
+    val root = s"${graft.util.Scratch.base}/graft_scale_genswap_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    graft.operators.Dedup.initPostingIndexEpochGen(
+      docs.where(lit(false)), "doc_id", "text", table, root, buckets = 8)
+    (0 until 4).foreach { e =>
+      graft.operators.Dedup.appendPostingIndexEpoch(
+        docs.where(pmod(col("doc_id"), lit(4)) === e), "doc_id", "text",
+        table, 8, 3, e.toLong)
+    }
+    val t0 = System.nanoTime()
+    graft.operators.GenIndex.compactSwap(spark, table, root, "h", 8)
+    val t = (System.nanoTime() - t0) / 1e9
+    graft.util.Materialize.release()
+    t
+  }
+
+  def compactSwapSteady(spark: SparkSession, dir: String, tag: String): Double = {
+    compactSwapOnce(spark, dir, tag); compactSwapOnce(spark, dir, tag)
+  }
 }
 
 object BenchScale100 {
@@ -530,8 +568,16 @@ object BenchScale100 {
     val eiBig = BenchScaleKernels.embedIngestSteady(spark, ScaleDir, bits = 15)
     val eiRatio = if (eiSmall > 0) eiBig / eiSmall else Double.PositiveInfinity
     System.err.println(f"[scale100] dedup_embed_ingest(bits 8->15) sf0.1=$eiSmall%7.2fs ${Factor}x=$eiBig%8.2fs ratio=$eiRatio%6.2f")
+    // the generational swap itself, two orders up: O(index) rewrite of a
+    // four-epoch accumulated posting index — the maintenance cost a live
+    // stream pays mid-run, so it must stay linear in index size
+    val csSmall = BenchScaleKernels.compactSwapSteady(spark, sf01, "s")
+    val csBig = BenchScaleKernels.compactSwapSteady(spark, ScaleDir, "b")
+    val csRatio = if (csSmall > 0) csBig / csSmall else Double.PositiveInfinity
+    System.err.println(f"[scale100] gen_compact_swap sf0.1=$csSmall%7.2fs ${Factor}x=$csBig%8.2fs ratio=$csRatio%6.2f")
     val rows = gateRows :+
-      (("dedup_embed_ingest_scaled_bits", eiSmall, eiBig, eiRatio))
+      (("dedup_embed_ingest_scaled_bits", eiSmall, eiBig, eiRatio)) :+
+      (("gen_compact_swap", csSmall, csBig, csRatio))
     val superlinear = rows.collect {
       case (q, _, _, r) if r > SuperlinearSlack * Factor => q }
     val json =
