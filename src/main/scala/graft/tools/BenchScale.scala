@@ -452,6 +452,32 @@ object BenchScaleKernels {
   def compactSwapSteady(spark: SparkSession, dir: String, tag: String): Double = {
     compactSwapOnce(spark, dir, tag); compactSwapOnce(spark, dir, tag)
   }
+
+  /** One [[graft.streaming.IngestOutput.fold]] over a four-epoch survivor
+    * output — the output-side twin of [[compactSwapOnce]]: O(accepted
+    * corpus) rewrite of the per-epoch directories into one committed base
+    * generation, paid at production cadence. Timed portion excludes the
+    * fixture build (the four epoch writes). */
+  def outputFoldOnce(spark: SparkSession, dir: String, tag: String): Double = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = s"${graft.util.Scratch.base}/graft_scale_outfold_$tag"
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    (0 until 4).foreach { e =>
+      graft.streaming.MmIngest.writeEpoch(
+        docs.where(pmod(col("doc_id"), lit(4)) === e), out, e.toLong)
+    }
+    val t0 = System.nanoTime()
+    graft.streaming.IngestOutput.fold(spark, out, 3L)
+    val t = (System.nanoTime() - t0) / 1e9
+    graft.util.Materialize.release()
+    t
+  }
+
+  def outputFoldSteady(spark: SparkSession, dir: String, tag: String): Double = {
+    outputFoldOnce(spark, dir, tag); outputFoldOnce(spark, dir, tag)
+  }
 }
 
 object BenchScale100 {
@@ -575,9 +601,15 @@ object BenchScale100 {
     val csBig = BenchScaleKernels.compactSwapSteady(spark, ScaleDir, "b")
     val csRatio = if (csSmall > 0) csBig / csSmall else Double.PositiveInfinity
     System.err.println(f"[scale100] gen_compact_swap sf0.1=$csSmall%7.2fs ${Factor}x=$csBig%8.2fs ratio=$csRatio%6.2f")
+    // the output-side fold, two orders up: same O(corpus) rewrite shape
+    val ofSmall = BenchScaleKernels.outputFoldSteady(spark, sf01, "s")
+    val ofBig = BenchScaleKernels.outputFoldSteady(spark, ScaleDir, "b")
+    val ofRatio = if (ofSmall > 0) ofBig / ofSmall else Double.PositiveInfinity
+    System.err.println(f"[scale100] ingest_output_fold sf0.1=$ofSmall%7.2fs ${Factor}x=$ofBig%8.2fs ratio=$ofRatio%6.2f")
     val rows = gateRows :+
       (("dedup_embed_ingest_scaled_bits", eiSmall, eiBig, eiRatio)) :+
-      (("gen_compact_swap", csSmall, csBig, csRatio))
+      (("gen_compact_swap", csSmall, csBig, csRatio)) :+
+      (("ingest_output_fold", ofSmall, ofBig, ofRatio))
     val superlinear = rows.collect {
       case (q, _, _, r) if r > SuperlinearSlack * Factor => q }
     val json =
