@@ -1439,6 +1439,62 @@ class PipelineStreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_spec_midapp_twin")
   }
 
+  test("partial-epoch repair: embed index deletes unmarked rows and re-appends; mixed-epoch files refuse loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-repair").toString
+    // --- embed index: the repair path is shared (guardedEpochAppend),
+    // exercised here per-family through the direct API
+    graft.operators.Dedup.initEmbedIndexEpoch(
+      spark.range(0).select(col("id"), lit(null).cast("array<float>").as("vec")),
+      "graft_spec_repair_emb", s"$tmp/emb", buckets = 4)
+    def vec(seed: Int) = Array.tabulate(64)(i => (i + seed).toFloat)
+    val batch = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("id", "vec")
+    // simulate the crashed mid-commit append: ONE of the three vectors'
+    // postings land stamped epoch=0, no marker
+    graft.operators.Dedup.buildEmbedPostings(
+        batch.where(col("id") === 2L), 8, 64)
+      .withColumn("epoch", lit(0L))
+      .write.mode("append").format("parquet")
+      .bucketBy(4, "bucket").sortBy("bucket")
+      .saveAsTable("graft_spec_repair_emb")
+    assert(!graft.operators.Dedup.epochAppended(spark, "graft_spec_repair_emb", 0L))
+    // the guarded append must repair: delete the partial file, append all
+    graft.operators.Dedup.appendEmbedIndexEpoch(batch,
+      "graft_spec_repair_emb", 4, 8, 64, 0L)
+    val rows = spark.table("graft_spec_repair_emb")
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.sorted == Seq((1L, 0L), (2L, 0L), (3L, 0L)),
+      s"repair left a wrong posting multiset: ${rows.sorted}")
+    assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_repair_emb", 0L))
+    // a second replay is now a clean skip
+    graft.operators.Dedup.appendEmbedIndexEpoch(batch,
+      "graft_spec_repair_emb", 4, 8, 64, 0L)
+    assert(spark.table("graft_spec_repair_emb").count() == 3L)
+    // --- mixed-epoch files: a file holding TWO epochs (possible only if
+    // the index was rewritten outside the ingest loop) must REFUSE the
+    // delete-repair instead of destroying another epoch's postings
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_repair_mix", s"$tmp/mix", buckets = 2)
+    val mk = (p: String) => (1 to 30).map(i => s"$p$i").mkString(" ")
+    val two = graft.operators.Dedup.buildPostingIndex(
+        Seq(1L -> mk("aa")).toDF("doc_id", "text"), "doc_id", "text", 3)
+        .withColumn("epoch", lit(0L))
+      .unionByName(graft.operators.Dedup.buildPostingIndex(
+        Seq(2L -> mk("bb")).toDF("doc_id", "text"), "doc_id", "text", 3)
+        .withColumn("epoch", lit(1L)))
+      .coalesce(1)
+    two.write.mode("append").format("parquet")
+      .bucketBy(2, "h").sortBy("h").saveAsTable("graft_spec_repair_mix")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.repairPartialEpoch(spark, "graft_spec_repair_mix", 1L)
+    }
+    assert(e.getMessage.contains("epoch-per-append-file invariant"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_repair_emb")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_repair_mix")
+  }
+
   test("run-affinity guard: a wiped checkpoint over an index whose newest epoch is 0 fails loudly; the true writer's replay passes") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
