@@ -171,8 +171,12 @@ object GenIndex {
 
   /** Layout-routed periodic compaction — the single implementation the
     * three ingest loops share: a generational root gets the crash-safe
-    * fresh-generation swap; the single-path layout keeps the in-place
-    * rewrite its (driver-sequential / expert) callers accept. */
+    * fresh-generation swap. The single-path branch keeps the in-place
+    * rewrite for EXPERT direct callers only — the streaming ingest steps
+    * enforce the generational layout before ever reaching here
+    * (`MmIngest.validateFirstBatch`): the in-place rewrite can destroy a
+    * stream's only index copy mid-crash and discards the per-epoch
+    * commit markers ([[EpochMarkers]]) the replay guard depends on. */
   def compactAuto(spark: SparkSession, table: String, path: String,
                   key: String, buckets: Int): Unit =
     if (isGenerational(spark, path)) compactSwap(spark, table, path, key, buckets)
