@@ -807,13 +807,20 @@ object Dedup {
   }
 
   /** The guarded-append skeleton all four epoch-stamped indexes share:
-    * committed epoch → skip; uncommitted rows → repair; then append and
-    * commit the marker (the single atomic durable step). */
+    * committed epoch → skip; attempted-but-uncommitted → repair the
+    * possible partial; then write-ahead the attempt, append, and commit
+    * the marker (the single atomic durable step). The attempt marker is
+    * what keeps the repair probe — a Spark job over the index — OFF the
+    * per-batch hot path: a brand-new epoch has no attempt marker and
+    * pays two filesystem stats plus one create, never a scan; only a
+    * true replay over a crashed attempt scans. */
   private def guardedEpochAppend(spark: org.apache.spark.sql.SparkSession,
                                  table: String, epoch: Long)
                                 (append: => Unit): Unit =
     if (!epochAppended(spark, table, epoch)) {
-      repairPartialEpoch(spark, table, epoch)
+      if (EpochMarkers.epochAttempted(spark, table, epoch))
+        repairPartialEpoch(spark, table, epoch)
+      EpochMarkers.markAttempt(spark, table, epoch)
       append
       EpochMarkers.markEpoch(spark, table, epoch)
     }

@@ -56,6 +56,7 @@ object EpochMarkers {
 
   private val Dir = "_graft_epochs"
   private val EpochPrefix = "epoch-"
+  private val AttemptPrefix = "attempt-"
   private val RunPrefix = "run-"
 
   /** The stable streaming query id of the batch's owning stream, from the
@@ -90,13 +91,91 @@ object EpochMarkers {
     fsOf(spark, d).exists(new Path(d, s"$EpochPrefix$epoch"))
   }
 
-  /** Commit `epoch`: called strictly AFTER the append job returned. */
+  /** Commit `epoch`: called strictly AFTER the append job returned. Also
+    * clears the epoch's attempt marker — a committed epoch needs no
+    * repair probe, and the dir then carries ONE tiny file per epoch. */
   def markEpoch(spark: SparkSession, table: String, epoch: Long): Unit = {
     val d = markerDir(spark, table)
     val fs = fsOf(spark, d)
     fs.mkdirs(d)
     fs.createNewFile(new Path(d, s"$EpochPrefix$epoch"))
+    try fs.delete(new Path(d, s"$AttemptPrefix$epoch"), false)
+    catch { case scala.util.control.NonFatal(_) => () }
     ()
+  }
+
+  /** True iff an append for `epoch` was ever STARTED (write-ahead intent).
+    * The repair probe — a Spark job over the index — runs only when an
+    * attempt exists without a commit: the common first-attempt path of
+    * every micro-batch costs two filesystem stats and one create, never
+    * a scan. */
+  def epochAttempted(spark: SparkSession, table: String, epoch: Long): Boolean = {
+    val d = markerDir(spark, table)
+    fsOf(spark, d).exists(new Path(d, s"$AttemptPrefix$epoch"))
+  }
+
+  /** Record the write-ahead intent for `epoch`: called strictly BEFORE
+    * the append job starts (and after any repair of a prior attempt). */
+  def markAttempt(spark: SparkSession, table: String, epoch: Long): Unit = {
+    val d = markerDir(spark, table)
+    val fs = fsOf(spark, d)
+    fs.mkdirs(d)
+    fs.createNewFile(new Path(d, s"$AttemptPrefix$epoch"))
+    ()
+  }
+
+  /** Highest epoch with a commit OR attempt marker (-1 if none) — the
+    * marker-side input to [[GenIndex.requireEpochAhead]]'s max-epoch:
+    * rows alone under-count (an epoch whose survivors were all
+    * duplicates commits a marker but lands zero postings, and a crashed
+    * attempt may have landed nothing), and an under-counted max would
+    * let a wiped checkpoint adopt the index while stale markers silently
+    * skip its appends. One directory listing, once per writer lifetime. */
+  def maxMarkedEpoch(spark: SparkSession, table: String): Long = {
+    val d = markerDir(spark, table)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) -1L
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.startsWith(EpochPrefix)) n.stripPrefix(EpochPrefix).toLongOption
+        else if (n.startsWith(AttemptPrefix)) n.stripPrefix(AttemptPrefix).toLongOption
+        else None
+      }.maxOption.getOrElse(-1L)
+  }
+
+  /** Drop every epoch/attempt marker strictly below `keepFrom` — the
+    * marker-count bound a long-running stream needs (one tiny file per
+    * epoch otherwise accumulates forever in one directory). Safe because
+    * only the CURRENT batch's markers are ever probed and the resume
+    * guard needs only the max: [[GenIndex.compactSwap]] calls this with
+    * the max marked epoch after each swap. Best-effort. */
+  def pruneBelow(spark: SparkSession, table: String, keepFrom: Long): Unit = {
+    val d = markerDir(spark, table)
+    val fs = fsOf(spark, d)
+    if (fs.exists(d))
+      fs.listStatus(d).toSeq.map(_.getPath).foreach { p =>
+        val n = p.getName
+        val e =
+          if (n.startsWith(EpochPrefix)) n.stripPrefix(EpochPrefix).toLongOption
+          else if (n.startsWith(AttemptPrefix)) n.stripPrefix(AttemptPrefix).toLongOption
+          else None
+        if (e.exists(_ < keepFrom))
+          try { fs.delete(p, false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+  }
+
+  /** One-time UPGRADE helper for an epoch-stamped index built before the
+    * marker era (row-existence guard): create commit markers for every
+    * epoch present in the rows, so the marker-based guard neither
+    * re-appends a committed epoch nor trips the mixed-file repair
+    * invariant on a previously compacted index. Run once per index
+    * before resuming its stream (MIGRATION.md). */
+  def backfill(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    spark.table(table).select(col("epoch")).where(col("epoch") >= 0)
+      .distinct().collect().map(_.getLong(0))
+      .foreach(e => markEpoch(spark, table, e))
   }
 
   /** Run-affinity markers present on the index (normally zero or one; two

@@ -147,6 +147,33 @@ object GenIndex {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
     sweep(fs, root, keep = k + 1)
+    // bound the epoch-marker count alongside the file count: markers
+    // below the max are never probed again (only the CURRENT batch's
+    // markers and the max matter), so each swap prunes them — a no-op
+    // for marker-less indexes (the IVF serving index)
+    val keepFrom = EpochMarkers.maxMarkedEpoch(spark, table)
+    if (keepFrom >= 0) EpochMarkers.pruneBelow(spark, table, keepFrom)
+  }
+
+  /** First-batch validation every streaming ingest step shares: the
+    * resume guard ([[requireEpochAhead]] — batchId vs max epoch + run
+    * affinity) and the compaction layout rule — periodic compaction
+    * REQUIRES the generational layout regardless of how the loop was
+    * assembled (config sink or direct API): the in-place rewrite's
+    * mid-crash window can destroy a long-running stream's only index
+    * copy, and it discards the per-epoch commit markers the replay
+    * guard depends on. */
+  def validateFirstBatch(spark: SparkSession, indexTable: String,
+                         batchId: Long, indexPath: String,
+                         compactEvery: Int): Unit = {
+    requireEpochAhead(spark, indexTable, batchId)
+    if (compactEvery > 0 && indexPath != null)
+      require(isGenerational(spark, indexPath),
+        s"index '$indexTable': compactEvery = $compactEvery needs the " +
+        s"generational layout at $indexPath (init via the ...Gen variant) — " +
+        "in-place compaction can window the index under a mid-rewrite " +
+        "crash and discards the epoch commit markers the replay guard " +
+        "depends on")
   }
 
   private def commit(spark: SparkSession, path: String): Unit = {
@@ -221,10 +248,16 @@ object GenIndex {
   def requireEpochAhead(spark: SparkSession, table: String,
                         batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, max}
-    val maxEpoch = spark.table(table).agg(max(col("epoch"))).head() match {
+    val rowMax = spark.table(table).agg(max(col("epoch"))).head() match {
       case r if r.isNullAt(0) => -1L
       case r                  => r.getLong(0)
     }
+    // rows alone UNDER-count: an epoch whose survivors were all
+    // duplicates (or a crashed attempt) commits/attempts a marker but
+    // lands zero postings — a row-only max would let a wiped checkpoint
+    // slip past as "ahead" while the stale markers silently skip its
+    // appends. The guard takes the max over both sources.
+    val maxEpoch = math.max(rowMax, EpochMarkers.maxMarkedEpoch(spark, table))
     require(batchId >= maxEpoch,
       s"resuming batchId $batchId is behind index '$table' max epoch " +
       s"$maxEpoch — this checkpoint does not belong to this index. " +

@@ -51,7 +51,7 @@ object DedupIngest {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "DedupIngest.ingestEpoch")
       if (!validated) {
-        MmIngest.validateFirstBatch(spark, indexTable, batchId, indexPath,
+        graft.operators.GenIndex.validateFirstBatch(spark, indexTable, batchId, indexPath,
           compactEvery)
         validated = true
       }

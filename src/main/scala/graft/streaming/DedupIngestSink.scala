@@ -63,7 +63,7 @@ object DedupIngestSink {
     val gen = cfg.getString("layout", "flat") == "gen"
     // see MmIngestSink: a configured long-running stream that compacts
     // must use the crash-safe generational layout (also enforced on the
-    // first batch by MmIngest.validateFirstBatch — this duplicate check
+    // first batch by GenIndex.validateFirstBatch — this duplicate check
     // fails at ASSEMBLY, before a stream ever starts)
     require(compactEvery <= 0 || gen,
       s"sink '$table': compact-every = $compactEvery needs layout = gen — " +

@@ -52,7 +52,7 @@ object EmbedIngest {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "EmbedIngest.ingestEpoch")
       if (!validated) {
-        MmIngest.validateFirstBatch(spark, indexTable, batchId, indexPath,
+        graft.operators.GenIndex.validateFirstBatch(spark, indexTable, batchId, indexPath,
           compactEvery)
         validated = true
       }

@@ -138,8 +138,17 @@ object IngestOutput {
     // filters and the next fold re-sweeps
     toFold.foreach(d => try fs.delete(d._2, true)
       catch { case scala.util.control.NonFatal(_) => () })
-    live.foreach { case (g, _) => try fs.delete(genDir(outPath, g), true)
-      catch { case scala.util.control.NonFatal(_) => () } }
+    // sweep EVERY generation below the new live one — not just the
+    // immediately superseded one: a crash mid-sweep can orphan a
+    // committed generation (a full corpus copy) that a later fold would
+    // otherwise never reclaim (the GenIndex.sweep(keep) rule)
+    try fs.listStatus(new Path(outPath, FoldDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .flatMap(s => s.getPath.getName.stripPrefix(GenPrefix).toLongOption
+        .filter(_ < g1).map(_ => s.getPath))
+      .foreach(p => try fs.delete(p, true)
+        catch { case scala.util.control.NonFatal(_) => () })
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** The official reader for ingest output, folded or not: all surviving

@@ -80,27 +80,6 @@ object MmIngest {
   def writeEpoch(surv: DataFrame, outPath: String, batchId: Long): Unit =
     surv.write.mode("overwrite").parquet(s"$outPath/epoch=$batchId")
 
-  /** First-batch validation every ingest step shares: the resume guard
-    * (batchId vs max epoch + run affinity,
-    * [[graft.operators.GenIndex.requireEpochAhead]]) and the compaction
-    * layout rule — periodic compaction REQUIRES the generational layout
-    * regardless of how the loop was assembled (config sink or direct
-    * API): the in-place rewrite's mid-crash window can destroy a
-    * long-running stream's only index copy, and it discards the per-epoch
-    * commit markers the replay guard depends on. */
-  private[streaming] def validateFirstBatch(
-      spark: org.apache.spark.sql.SparkSession, indexTable: String,
-      batchId: Long, indexPath: String, compactEvery: Int): Unit = {
-    graft.operators.GenIndex.requireEpochAhead(spark, indexTable, batchId)
-    if (compactEvery > 0 && indexPath != null)
-      require(graft.operators.GenIndex.isGenerational(spark, indexPath),
-        s"index '$indexTable': compactEvery = $compactEvery needs the " +
-        s"generational layout at $indexPath (init via the ...Gen variant) — " +
-        "in-place compaction can window the index under a mid-rewrite " +
-        "crash and discards the epoch commit markers the replay guard " +
-        "depends on")
-  }
-
   /** The full per-epoch step [[start]]'s `foreachBatch` runs (public so
     * the kill-and-restart spec can replay it from any crash window):
     * resume-guard (first batch of this writer only — a batchId behind the
@@ -119,7 +98,7 @@ object MmIngest {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "MmIngest.ingestEpoch")
       if (!validated) {
-        validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
+        graft.operators.GenIndex.validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
         validated = true
       }
       val surv = probeBatch(
@@ -150,7 +129,7 @@ object MmIngest {
       val spark = batch.sparkSession
       Dedup.requireMaterializing(spark, "MmIngest.ingestEpochComposed")
       if (!validated) {
-        validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
+        graft.operators.GenIndex.validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
         validated = true
       }
       val surv = probeBatchComposed(

@@ -1383,8 +1383,10 @@ class PipelineStreamingSpec extends SparkSpec {
               .where(col("epoch") < lit(id)),
             "doc_id", "text", 3, 0.5, Long.MaxValue)
           graft.streaming.MmIngest.writeEpoch(surv, s"$tmp/out", id)
-          // the injected mid-commit state: ONE of the two survivors'
-          // postings land, stamped epoch=1, with NO commit marker
+          // the injected mid-commit state: the attempt marker is down
+          // (the real append writes it first), then ONE of the two
+          // survivors' postings land, stamped epoch=1, NO commit marker
+          graft.operators.EpochMarkers.markAttempt(spark, "graft_spec_midapp", 1L)
           graft.operators.Dedup.buildPostingIndex(
               surv.where(col("doc_id") === 10L), "doc_id", "text", 3)
             .withColumn("epoch", lit(1L))
@@ -1450,8 +1452,10 @@ class PipelineStreamingSpec extends SparkSpec {
       "graft_spec_repair_emb", s"$tmp/emb", buckets = 4)
     def vec(seed: Int) = Array.tabulate(64)(i => (i + seed).toFloat)
     val batch = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("id", "vec")
-    // simulate the crashed mid-commit append: ONE of the three vectors'
-    // postings land stamped epoch=0, no marker
+    // simulate the crashed mid-commit append: attempt marker down (the
+    // real append writes it first), ONE of the three vectors' postings
+    // land stamped epoch=0, no commit marker
+    graft.operators.EpochMarkers.markAttempt(spark, "graft_spec_repair_emb", 0L)
     graft.operators.Dedup.buildEmbedPostings(
         batch.where(col("id") === 2L), 8, 64)
       .withColumn("epoch", lit(0L))
@@ -1493,6 +1497,91 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("epoch-per-append-file invariant"), e.getMessage)
     spark.sql("DROP TABLE IF EXISTS graft_spec_repair_emb")
     spark.sql("DROP TABLE IF EXISTS graft_spec_repair_mix")
+  }
+
+  test("epoch markers count toward the resume guard: zero-posting epochs still advance max epoch") {
+    import spark.implicits._
+    // an epoch whose survivors were ALL duplicates lands zero postings
+    // but still commits its marker — a row-derived max would let a wiped
+    // checkpoint slip past as "ahead" while the stale markers silently
+    // skip its appends (review finding)
+    val tmp = Files.createTempDirectory("graft-marker-max").toString
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_mmax", s"$tmp/idx")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.operators.Dedup.appendPostingIndexEpoch(empty, "doc_id", "text",
+      "graft_spec_mmax", 8, 3, 0L)
+    graft.operators.Dedup.appendPostingIndexEpoch(empty, "doc_id", "text",
+      "graft_spec_mmax", 8, 3, 1L)
+    assert(spark.table("graft_spec_mmax").count() == 0L, "fixture landed rows")
+    assert(graft.operators.EpochMarkers.maxMarkedEpoch(spark, "graft_spec_mmax") == 1L)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GenIndex.requireEpochAhead(spark, "graft_spec_mmax", 0L)
+    }
+    assert(e.getMessage.contains("does not belong"), e.getMessage)
+    // the true continuation is still ahead
+    graft.operators.GenIndex.requireEpochAhead(spark, "graft_spec_mmax", 2L)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_mmax")
+  }
+
+  test("EpochMarkers.backfill upgrades a pre-marker index: committed epochs recognized, replay append skips") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-backfill").toString
+    val mk = (p: String) => (1 to 30).map(i => s"$p$i").mkString(" ")
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_bf", s"$tmp/idx")
+    // a legacy (row-existence era) index: epochs present as ROWS only
+    for (e <- 0 to 1) {
+      graft.operators.Dedup.buildPostingIndex(
+          Seq((10L * e + 1) -> mk(s"e$e")).toDF("doc_id", "text"),
+          "doc_id", "text", 3)
+        .withColumn("epoch", lit(e.toLong))
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "h").sortBy("h").saveAsTable("graft_spec_bf")
+    }
+    assert(!graft.operators.Dedup.epochAppended(spark, "graft_spec_bf", 1L))
+    graft.operators.EpochMarkers.backfill(spark, "graft_spec_bf")
+    assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_bf", 0L))
+    assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_bf", 1L))
+    // a replayed append over the backfilled epoch is a clean skip
+    val before = spark.table("graft_spec_bf").count()
+    graft.operators.Dedup.appendPostingIndexEpoch(
+      Seq(11L -> mk("e1")).toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_bf", 8, 3, 1L)
+    assert(spark.table("graft_spec_bf").count() == before,
+      "backfilled epoch was re-appended")
+    assert(graft.operators.EpochMarkers.maxMarkedEpoch(spark, "graft_spec_bf") == 1L)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_bf")
+  }
+
+  test("compactSwap prunes epoch markers below the max: marker count stays bounded over a stream's life") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-prune").toString
+    graft.operators.Dedup.initHammingIndexEpochGen(
+      Seq.empty[(Long, Long)].toDF("id", "sh"),
+      "graft_spec_prune", s"$tmp/idx", buckets = 4)
+    val rnd = new java.util.Random(11)
+    (0 until 3).foreach { e =>
+      graft.operators.Dedup.appendHammingIndexEpoch(
+        Seq((e * 10L, rnd.nextLong())).toDF("id", "sh"),
+        "graft_spec_prune", 4, 3, e.toLong)
+    }
+    graft.operators.GenIndex.compactSwap(spark, "graft_spec_prune",
+      s"$tmp/idx", "bk", 4)
+    // markers below the max are pruned; the max survives for the resume
+    // guard, and the replay guard still answers for the newest epoch
+    assert(graft.operators.EpochMarkers.maxMarkedEpoch(spark, "graft_spec_prune") == 2L)
+    assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_prune", 2L))
+    assert(!graft.operators.Dedup.epochAppended(spark, "graft_spec_prune", 0L))
+    val markerFiles = new java.io.File(s"$tmp/idx/_graft_epochs").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch-")).toSeq
+    assert(markerFiles == Seq("epoch-2"), markerFiles.mkString(","))
+    // rows survived the swap untouched
+    assert(spark.table("graft_spec_prune").count() > 0)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_prune")
   }
 
   test("run-affinity guard: a wiped checkpoint over an index whose newest epoch is 0 fails loudly; the true writer's replay passes") {
@@ -1629,6 +1718,26 @@ class PipelineStreamingSpec extends SparkSpec {
     IngestOutput.fold(spark, s"$tmp/out_fold", 3L)
     assert(epochDirs().isEmpty, epochDirs().mkString(","))
     assert(rows(s"$tmp/out_fold") == truth, "tail fold changed the rows")
+    // crash-mid-sweep orphan: a COMMITTED generation below the live one
+    // (full corpus copy) must be reclaimed by the next fold, not leak
+    // forever (review finding — the GenIndex.sweep(keep) rule)
+    val orphan = new java.io.File(s"$tmp/out_fold/_graft_folded/gen-0")
+    orphan.mkdirs()
+    Seq(888L -> mk("yy")).toDF("doc_id", "text")
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite").parquet(orphan.toString)
+    assert(new java.io.File(orphan, "_UPTO-0").createNewFile())
+    assert(new java.io.File(orphan, "_COMMITTED").createNewFile())
+    assert(rows(s"$tmp/out_fold") == truth,
+      "reader must ignore superseded committed generations")
+    Seq(5L -> mk("ee")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$tmp/out_fold/epoch=4")
+    IngestOutput.fold(spark, s"$tmp/out_fold", 4L)
+    val gensAfter = new java.io.File(s"$tmp/out_fold/_graft_folded")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(gensAfter.size == 1, s"orphaned generations not swept: $gensAfter")
+    assert(rows(s"$tmp/out_fold").map(_._1) == (truth.map(_._1) :+ 5L).sorted,
+      "post-sweep rows diverged")
     Seq("graft_spec_of_plain", "graft_spec_of_fold")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
