@@ -1499,6 +1499,98 @@ class PipelineStreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_spec_repair_mix")
   }
 
+  test("replay-guard hot path is scan-free: a committed epoch's guard launches zero Spark jobs") {
+    import spark.implicits._
+    // the review fix's measurable claim: epochAppended + epochAttempted
+    // are filesystem stats — the per-batch guard must never run a Spark
+    // job over the index (the row-existence guard did, per batch)
+    val tmp = Files.createTempDirectory("graft-guard-jobs").toString
+    graft.operators.Dedup.initHammingIndexEpoch(
+      Seq.empty[(Long, Long)].toDF("id", "sh"),
+      "graft_spec_guardjobs", s"$tmp/idx", buckets = 4)
+    graft.operators.Dedup.appendHammingIndexEpoch(
+      Seq((1L, 42L)).toDF("id", "sh"), "graft_spec_guardjobs", 4, 3, 0L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // replayed committed epoch: guard short-circuits, zero jobs
+      graft.operators.Dedup.appendHammingIndexEpoch(
+        Seq((1L, 42L)).toDF("id", "sh"), "graft_spec_guardjobs", 4, 3, 0L)
+      assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_guardjobs", 0L))
+      assert(!graft.operators.EpochMarkers.epochAttempted(
+        spark, "graft_spec_guardjobs", 0L))
+      Thread.sleep(500) // listener bus is async; jobs submit synchronously
+      assert(jobs.get() == 0,
+        s"the committed-epoch guard path ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_guardjobs")
+  }
+
+  test("maintenance endurance: 12 epochs with periodic swap compaction and output folding stay bounded and exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.IngestOutput
+    // the full maintenance stack composed the way a month-long stream
+    // runs it: generational index compaction every 4 epochs, output
+    // folding every 5 — survivors must equal the maintenance-free twin,
+    // and every growth axis (index files, output dirs, generations,
+    // markers) must end bounded
+    val mk = (p: String) => (1 to 30).map(i => s"$p$i").mkString(" ")
+    val batches = (0 until 12).map { i =>
+      if (i == 0) Seq(1L -> mk("t0"), 2L -> mk("u0"))
+      else Seq(i * 10L -> mk(s"t$i"),              // fresh -> survives
+               i * 10L + 1 -> mk(s"t${i - 1}"))    // dup of prior batch -> drops
+    }.map(_.toDF("doc_id", "text"))
+    val tmp = Files.createTempDirectory("graft-endurance").toString
+    // maintenance-free twin (flat layout, no compaction, no folding)
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_end_plain", s"$tmp/plain", buckets = 4)
+    val plain = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
+      "graft_spec_end_plain", s"$tmp/plain_out", 4, 3, 0.5)
+    batches.zipWithIndex.foreach { case (b, i) => plain(b, i.toLong) }
+    // the maintained run
+    graft.operators.Dedup.initPostingIndexEpochGen(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_end", s"$tmp/gen", buckets = 4)
+    val step = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
+      "graft_spec_end", s"$tmp/out", 4, 3, 0.5,
+      indexPath = s"$tmp/gen", compactEvery = 4, foldOutputEvery = 5)
+    batches.zipWithIndex.foreach { case (b, i) => step(b, i.toLong) }
+    def ids(p: String) = IngestOutput.read(spark, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val truth = ids(s"$tmp/plain_out")
+    assert(truth.size < 24 && truth.size >= 13, s"fixture degenerate: $truth")
+    assert(ids(s"$tmp/out") == truth,
+      "maintained run diverged from the maintenance-free twin")
+    // growth axes, all bounded:
+    val liveGen = graft.operators.GenIndex.liveGen(spark, s"$tmp/gen")
+    assert(liveGen.contains(3L), s"swap compactions did not run: $liveGen")
+    val idxFiles = new java.io.File(
+        graft.operators.GenIndex.livePath(spark, s"$tmp/gen"))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(idxFiles <= 4 + 4 * 4, // one compacted set + <= 4 epoch appends since
+      s"index files unbounded: $idxFiles")
+    val outEpochDirs = new java.io.File(s"$tmp/out").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(outEpochDirs <= 5, s"output dirs unbounded: $outEpochDirs")
+    val outGens = new java.io.File(s"$tmp/out/_graft_folded").listFiles()
+      .count(_.isDirectory)
+    assert(outGens == 1, s"superseded fold generations not swept: $outGens")
+    val markers = new java.io.File(s"$tmp/gen/_graft_epochs").listFiles()
+      .map(_.getName).filter(n => n.startsWith("epoch-") || n.startsWith("attempt-"))
+    assert(markers.length <= 2, // pruned to the newest at the last swap
+      s"markers unbounded: ${markers.mkString(",")}")
+    Seq("graft_spec_end_plain", "graft_spec_end")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("epoch markers count toward the resume guard: zero-posting epochs still advance max epoch") {
     import spark.implicits._
     // an epoch whose survivors were ALL duplicates lands zero postings
