@@ -709,12 +709,18 @@ object Dedup {
   //      epoch): the marker is created only after the append job returns,
   //      so a marked epoch is complete (skip — postings are never
   //      duplicated, which the Jaccard probe's intersection COUNTS
-  //      require) and rows WITHOUT a marker are a crashed mid-commit
+  //      require). An ATTEMPT marker is written before each append
+  //      starts; attempted-but-uncommitted rows are a crashed mid-commit
   //      append — deleted and re-appended ([[repairPartialEpoch]]) before
-  //      the epoch finally commits. Row existence alone would trust the
-  //      multi-file parquet append to commit atomically, which it does
-  //      not: a JVM loss mid-job-commit leaves a partial posting set that
-  //      a row-existence guard would accept forever.
+  //      the epoch finally commits, while a brand-new epoch (no attempt)
+  //      pays only filesystem stats, never a scan. The one state the
+  //      attempt gate cannot see — rows with NEITHER marker, i.e. a
+  //      pre-marker-era index — is settled once per writer lifetime by
+  //      the first-batch repair probe in GenIndex.validateFirstBatch.
+  //      Row existence alone would trust the multi-file parquet append
+  //      to commit atomically, which it does not: a JVM loss
+  //      mid-job-commit leaves a partial posting set that a
+  //      row-existence guard would accept forever.
   // Batch-loop tables (hammingIngest / dedupIngest) keep the slimmer
   // unstamped layout — their loops are driver-sequential, no replay.
 
@@ -794,9 +800,13 @@ object Dedup {
       require(spark.read.parquet(files.toIndexedSeq: _*)
           .where(col("epoch") =!= epoch).isEmpty,
         s"index '$table': files holding uncommitted epoch $epoch also hold " +
-        "other epochs — the epoch-per-append-file invariant is broken " +
-        "(was the index compacted outside the ingest loop?); refusing to " +
-        "repair by deletion")
+        "other epochs — the epoch-per-append-file invariant is broken; " +
+        "refusing to repair by deletion. If this index predates the " +
+        "marker era and was compacted after this epoch's append, the " +
+        "epoch necessarily completed — mark it committed with " +
+        "EpochMarkers.backfill(spark, table, includeNewest = true) and " +
+        "resume; otherwise the index was rewritten outside the ingest " +
+        "loop and must be rebuilt.")
       val conf = spark.sessionState.newHadoopConf()
       files.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)

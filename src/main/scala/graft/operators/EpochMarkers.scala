@@ -27,11 +27,17 @@ import org.apache.spark.sql.SparkSession
   *     filesystem stat, cheaper than any scan (and unlike the old
   *     row-stat-skip argument, its cost does not degrade after
   *     compaction folds epochs across files);
-  *   - a replayed batch that finds rows WITHOUT the marker has caught a
-  *     crashed mid-commit append: the partial files are deleted and the
-  *     epoch re-appended ([[Dedup.repairPartialEpoch]]) before the marker
-  *     is finally created. Every crash point replays to the same end
-  *     state.
+  *   - an ATTEMPT marker is created before each append starts; a
+  *     replayed batch that finds an attempt WITHOUT the commit marker
+  *     has caught a crashed mid-commit append: the partial files are
+  *     deleted and the epoch re-appended ([[Dedup.repairPartialEpoch]])
+  *     before the marker is finally created. A brand-new epoch (no
+  *     attempt) skips the repair probe entirely — the per-batch hot path
+  *     is filesystem stats only, never a Spark scan. Rows carrying
+  *     NEITHER marker (a pre-marker-era index) are settled once per
+  *     writer lifetime by the first-batch probe in
+  *     [[GenIndex.validateFirstBatch]]. Every crash point replays to
+  *     the same end state.
   *
   * Marker placement: inside the table location for the single-path (flat)
   * layout (the `_` prefix hides the directory from Spark's file listing);
@@ -143,39 +149,62 @@ object EpochMarkers {
       }.maxOption.getOrElse(-1L)
   }
 
-  /** Drop every epoch/attempt marker strictly below `keepFrom` — the
+  /** Drop every epoch/attempt marker strictly below the newest one — the
     * marker-count bound a long-running stream needs (one tiny file per
     * epoch otherwise accumulates forever in one directory). Safe because
     * only the CURRENT batch's markers are ever probed and the resume
-    * guard needs only the max: [[GenIndex.compactSwap]] calls this with
-    * the max marked epoch after each swap. Best-effort. */
-  def pruneBelow(spark: SparkSession, table: String, keepFrom: Long): Unit = {
+    * guard needs only the max. ONE directory listing computes the max
+    * and the delete set ([[GenIndex.compactSwap]] runs this per swap,
+    * when the directory is at its largest). Best-effort. */
+  def pruneToMax(spark: SparkSession, table: String): Unit = {
     val d = markerDir(spark, table)
     val fs = fsOf(spark, d)
-    if (fs.exists(d))
-      fs.listStatus(d).toSeq.map(_.getPath).foreach { p =>
+    if (fs.exists(d)) {
+      val parsed = fs.listStatus(d).toSeq.map(_.getPath).flatMap { p =>
         val n = p.getName
         val e =
           if (n.startsWith(EpochPrefix)) n.stripPrefix(EpochPrefix).toLongOption
           else if (n.startsWith(AttemptPrefix)) n.stripPrefix(AttemptPrefix).toLongOption
           else None
-        if (e.exists(_ < keepFrom))
+        e.map((p, _))
+      }
+      if (parsed.nonEmpty) {
+        val keepFrom = parsed.map(_._2).max
+        parsed.filter(_._2 < keepFrom).foreach { case (p, _) =>
           try { fs.delete(p, false); () }
           catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
+    }
   }
 
-  /** One-time UPGRADE helper for an epoch-stamped index built before the
-    * marker era (row-existence guard): create commit markers for every
-    * epoch present in the rows, so the marker-based guard neither
-    * re-appends a committed epoch nor trips the mixed-file repair
-    * invariant on a previously compacted index. Run once per index
-    * before resuming its stream (MIGRATION.md). */
-  def backfill(spark: SparkSession, table: String): Unit = {
+  /** OPTIONAL upgrade helper for an epoch-stamped index built before the
+    * marker era (row-existence guard): create commit markers for the
+    * epochs present in the rows. A legacy index resumes correctly
+    * WITHOUT this — the resume guard reads row epochs, and the writer's
+    * first batch repairs-and-re-appends its replayed epoch
+    * ([[GenIndex.validateFirstBatch]]) — so backfill only saves that
+    * one-time repair.
+    *
+    * The NEWEST row epoch is excluded by default: it is the only epoch a
+    * resuming checkpoint can replay, and if the legacy run crashed
+    * inside its append (the very crash class this machinery exists for)
+    * a blanket marker would freeze the partial posting set as committed
+    * forever. Pass `includeNewest = true` only when that epoch provably
+    * completed — e.g. the legacy index was COMPACTED after it (legacy
+    * loops compacted strictly after a successful append, so folded rows
+    * imply completion; this is also the one legacy state whose replay
+    * the first-batch repair refuses, because the epoch's rows sit in
+    * mixed files it will not delete). */
+  def backfill(spark: SparkSession, table: String,
+               includeNewest: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
-    spark.table(table).select(col("epoch")).where(col("epoch") >= 0)
-      .distinct().collect().map(_.getLong(0))
-      .foreach(e => markEpoch(spark, table, e))
+    val epochs = spark.table(table).select(col("epoch"))
+      .where(col("epoch") >= 0).distinct().collect().map(_.getLong(0))
+    val chosen =
+      if (includeNewest || epochs.isEmpty) epochs
+      else epochs.filterNot(_ == epochs.max)
+    chosen.foreach(e => markEpoch(spark, table, e))
   }
 
   /** Run-affinity markers present on the index (normally zero or one; two

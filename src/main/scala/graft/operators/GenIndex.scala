@@ -150,23 +150,33 @@ object GenIndex {
     // bound the epoch-marker count alongside the file count: markers
     // below the max are never probed again (only the CURRENT batch's
     // markers and the max matter), so each swap prunes them — a no-op
-    // for marker-less indexes (the IVF serving index)
-    val keepFrom = EpochMarkers.maxMarkedEpoch(spark, table)
-    if (keepFrom >= 0) EpochMarkers.pruneBelow(spark, table, keepFrom)
+    // for marker-less indexes (the IVF serving index); one listing
+    EpochMarkers.pruneToMax(spark, table)
   }
 
   /** First-batch validation every streaming ingest step shares: the
     * resume guard ([[requireEpochAhead]] — batchId vs max epoch + run
-    * affinity) and the compaction layout rule — periodic compaction
-    * REQUIRES the generational layout regardless of how the loop was
-    * assembled (config sink or direct API): the in-place rewrite's
-    * mid-crash window can destroy a long-running stream's only index
-    * copy, and it discards the per-epoch commit markers the replay
-    * guard depends on. */
+    * affinity), a ONE-TIME repair probe for the resumed epoch, and the
+    * compaction layout rule — periodic compaction REQUIRES the
+    * generational layout regardless of how the loop was assembled
+    * (config sink or direct API): the in-place rewrite's mid-crash
+    * window can destroy a long-running stream's only index copy, and it
+    * discards the per-epoch commit markers the replay guard depends on.
+    *
+    * The repair probe closes the one gap the attempt-gated append leaves
+    * open: rows for THIS batchId without a commit marker AND without an
+    * attempt marker — an index written before the marker era (the
+    * attempt gate would skip the repair and the append would then DOUBLE
+    * the replayed epoch's postings). Replays only ever happen on a
+    * writer's first batch (a failure kills the query; the restart builds
+    * a fresh closure), so probing here is sound and costs one scan per
+    * writer LIFETIME, keeping the per-batch guard scan-free. */
   def validateFirstBatch(spark: SparkSession, indexTable: String,
                          batchId: Long, indexPath: String,
                          compactEvery: Int): Unit = {
     requireEpochAhead(spark, indexTable, batchId)
+    if (!Dedup.epochAppended(spark, indexTable, batchId))
+      Dedup.repairPartialEpoch(spark, indexTable, batchId)
     if (compactEvery > 0 && indexPath != null)
       require(isGenerational(spark, indexPath),
         s"index '$indexTable': compactEvery = $compactEvery needs the " +
@@ -186,8 +196,9 @@ object GenIndex {
     * committed gens and abandoned uncommitted attempts alike. Failures
     * are ignored (ANY non-fatal one — the compaction already committed;
     * a cleanup hiccup must not fail the ingest epoch); the next
-    * compaction re-sweeps. */
-  private def sweep(fs: FileSystem, root: String, keep: Long): Unit =
+    * compaction re-sweeps. Shared with [[graft.streaming.IngestOutput]],
+    * whose fold generations use the identical `gen-<k>` layout. */
+  private[graft] def sweep(fs: FileSystem, root: String, keep: Long): Unit =
     try fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
       .flatMap(s => s.getPath.getName.stripPrefix(GenPrefix).toLongOption
@@ -201,7 +212,7 @@ object GenIndex {
     * fresh-generation swap. The single-path branch keeps the in-place
     * rewrite for EXPERT direct callers only — the streaming ingest steps
     * enforce the generational layout before ever reaching here
-    * (`MmIngest.validateFirstBatch`): the in-place rewrite can destroy a
+    * ([[validateFirstBatch]]): the in-place rewrite can destroy a
     * stream's only index copy mid-crash and discards the per-epoch
     * commit markers ([[EpochMarkers]]) the replay guard depends on. */
   def compactAuto(spark: SparkSession, table: String, path: String,

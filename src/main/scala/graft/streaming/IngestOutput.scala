@@ -104,6 +104,12 @@ object IngestOutput {
     if (upto < 0) return
     val fs = fsOf(spark, new Path(outPath))
     val live = liveFold(spark, outPath)
+    // reclaim generations orphaned by a crash mid-sweep FIRST, so the
+    // cleanup happens on EVERY fold call — including ones that early-out
+    // below because the window holds no (data-bearing) epochs; a leaked
+    // committed generation is a full corpus copy
+    live.foreach { case (g, _) =>
+      graft.operators.GenIndex.sweep(fs, s"$outPath/$FoldDir", keep = g) }
     val uptoOld = live.map(_._2).getOrElse(-1L)
     val dirs = epochDirs(fs, outPath)
     // stragglers from a crashed post-commit sweep: their rows are already
@@ -135,20 +141,12 @@ object IngestOutput {
     fs.createNewFile(new Path(fresh, s"$UptoPrefix$upto"))
     fs.createNewFile(new Path(fresh, Marker)) // <- the commit point
     // best-effort sweeps; a crash here leaves stragglers the reader
-    // filters and the next fold re-sweeps
+    // filters and the entry-time sweep of the NEXT fold reclaims — every
+    // generation below the new live one goes, not just the immediately
+    // superseded one (GenIndex.sweep, shared — same gen-<k> layout)
     toFold.foreach(d => try fs.delete(d._2, true)
       catch { case scala.util.control.NonFatal(_) => () })
-    // sweep EVERY generation below the new live one — not just the
-    // immediately superseded one: a crash mid-sweep can orphan a
-    // committed generation (a full corpus copy) that a later fold would
-    // otherwise never reclaim (the GenIndex.sweep(keep) rule)
-    try fs.listStatus(new Path(outPath, FoldDir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
-      .flatMap(s => s.getPath.getName.stripPrefix(GenPrefix).toLongOption
-        .filter(_ < g1).map(_ => s.getPath))
-      .foreach(p => try fs.delete(p, true)
-        catch { case scala.util.control.NonFatal(_) => () })
-    catch { case scala.util.control.NonFatal(_) => () }
+    graft.operators.GenIndex.sweep(fs, s"$outPath/$FoldDir", keep = g1)
   }
 
   /** The official reader for ingest output, folded or not: all surviving

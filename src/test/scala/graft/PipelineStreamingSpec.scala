@@ -1510,24 +1510,40 @@ class PipelineStreamingSpec extends SparkSpec {
       "graft_spec_guardjobs", s"$tmp/idx", buckets = 4)
     graft.operators.Dedup.appendHammingIndexEpoch(
       Seq((1L, 42L)).toDF("id", "sh"), "graft_spec_guardjobs", 4, 3, 0L)
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probeJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val otherJobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        val group = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (group == "graft-guard-probe") probeJobs.incrementAndGet()
+        else otherJobs.incrementAndGet()
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // replayed committed epoch: guard short-circuits, zero jobs
+      // replayed committed epoch: guard short-circuits, zero jobs. Every
+      // job submitted from this thread inside the group carries its id,
+      // so the count is immune to however many jobs the sentinel needs.
+      spark.sparkContext.setJobGroup("graft-guard-probe", "guard hot path")
       graft.operators.Dedup.appendHammingIndexEpoch(
         Seq((1L, 42L)).toDF("id", "sh"), "graft_spec_guardjobs", 4, 3, 0L)
       assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_guardjobs", 0L))
       assert(!graft.operators.EpochMarkers.epochAttempted(
         spark, "graft_spec_guardjobs", 0L))
-      Thread.sleep(500) // listener bus is async; jobs submit synchronously
-      assert(jobs.get() == 0,
-        s"the committed-epoch guard path ran ${jobs.get()} Spark job(s)")
+      spark.sparkContext.clearJobGroup()
+      // the listener bus is async with no latency bound — a fixed sleep
+      // could let a late guard-path job event slip past a zero assert.
+      // The bus is FIFO, so run a sentinel OUTSIDE the group and wait
+      // for its first event: any guard-path job would precede it.
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (otherJobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(otherJobs.get() >= 1, "sentinel job event never arrived")
+      assert(probeJobs.get() == 0,
+        s"the committed-epoch guard path ran ${probeJobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
     spark.sql("DROP TABLE IF EXISTS graft_spec_guardjobs")
   }
@@ -1637,6 +1653,14 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(!graft.operators.Dedup.epochAppended(spark, "graft_spec_bf", 1L))
     graft.operators.EpochMarkers.backfill(spark, "graft_spec_bf")
     assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_bf", 0L))
+    // the NEWEST epoch is excluded by default: it is the one a resuming
+    // checkpoint can replay, and a blanket marker would freeze a crashed
+    // legacy partial append as committed forever (review finding) — the
+    // resume's first-batch repair settles it instead
+    assert(!graft.operators.Dedup.epochAppended(spark, "graft_spec_bf", 1L))
+    // opting in (provably-complete newest, e.g. post-compaction) marks it
+    graft.operators.EpochMarkers.backfill(spark, "graft_spec_bf",
+      includeNewest = true)
     assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_bf", 1L))
     // a replayed append over the backfilled epoch is a clean skip
     val before = spark.table("graft_spec_bf").count()
@@ -1647,6 +1671,48 @@ class PipelineStreamingSpec extends SparkSpec {
       "backfilled epoch was re-appended")
     assert(graft.operators.EpochMarkers.maxMarkedEpoch(spark, "graft_spec_bf") == 1L)
     spark.sql("DROP TABLE IF EXISTS graft_spec_bf")
+  }
+
+  test("pre-marker index resume self-heals: the first-batch repair stops a legacy replay from doubling postings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the review regression this guards: a legacy (row-existence era)
+    // index has rows but NEITHER marker; the attempt gate alone would
+    // skip the repair and the replayed append would DOUBLE the epoch's
+    // postings — validateFirstBatch's one-time probe must repair first
+    val tmp = Files.createTempDirectory("graft-legacy-replay").toString
+    val mk = (p: String) => (1 to 30).map(i => s"$p$i").mkString(" ")
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_legacy", s"$tmp/idx")
+    graft.operators.EpochMarkers.reset(spark, s"$tmp/idx") // init markers away
+    val b0 = Seq(1L -> mk("aa")).toDF("doc_id", "text")
+    val b1 = Seq(2L -> mk("bb")).toDF("doc_id", "text")
+    // legacy history: epochs 0 and 1 as ROWS only (raw appends, no markers)
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, e) =>
+      graft.operators.Dedup.buildPostingIndex(b, "doc_id", "text", 3)
+        .withColumn("epoch", lit(e))
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "h").sortBy("h").saveAsTable("graft_spec_legacy")
+    }
+    def postings() = spark.table("graft_spec_legacy")
+      .select("id", "h", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val before = postings()
+    // the resumed writer replays batch 1 through the REAL step (fresh
+    // closure — validateFirstBatch runs)
+    val step = graft.streaming.DedupIngest.ingestEpoch("doc_id", "text",
+      "graft_spec_legacy", s"$tmp/out", 8, 3, 0.5)
+    step(b1, 1L)
+    assert(postings() == before,
+      "legacy replay changed the posting multiset (doubling or loss)")
+    assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_legacy", 1L),
+      "the replayed epoch must end committed under the marker era")
+    // and the stream continues cleanly into the marker era
+    step(Seq(3L -> mk("cc")).toDF("doc_id", "text"), 2L)
+    assert(spark.table("graft_spec_legacy")
+      .where(col("epoch") === 2).count() > 0)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_legacy")
   }
 
   test("compactSwap prunes epoch markers below the max: marker count stays bounded over a stream's life") {
