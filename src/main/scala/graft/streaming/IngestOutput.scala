@@ -113,8 +113,11 @@ object IngestOutput {
     val uptoOld = live.map(_._2).getOrElse(-1L)
     val dirs = epochDirs(fs, outPath)
     // stragglers from a crashed post-commit sweep: their rows are already
-    // in the committed base — readers never saw them (the k > upto filter)
-    dirs.filter(_._1 <= uptoOld).foreach(d => fs.delete(d._2, true))
+    // in the committed base — readers never saw them (the k > upto
+    // filter), so this is pure cleanup and must never fail the epoch
+    dirs.filter(_._1 <= uptoOld).foreach(d =>
+      try fs.delete(d._2, true)
+      catch { case scala.util.control.NonFatal(_) => () })
     val toFold = dirs.filter { case (k, _) => k > uptoOld && k <= upto }
     if (toFold.isEmpty) return
     val withData = toFold.filter(d => hasDataFiles(fs, d._2))
@@ -123,7 +126,10 @@ object IngestOutput {
       // (marker creation is atomic; rewriting identical data buys nothing)
       live.foreach { case (g, _) =>
         fs.createNewFile(new Path(genDir(outPath, g), s"$UptoPrefix$upto")) }
-      toFold.foreach(d => if (live.isDefined) fs.delete(d._2, true))
+      // post-marker cleanup, best-effort like every other sweep here
+      toFold.foreach(d => if (live.isDefined)
+        try fs.delete(d._2, true)
+        catch { case scala.util.control.NonFatal(_) => () })
       return
     }
     val g1 = live.map(_._1 + 1).getOrElse(0L)

@@ -1896,6 +1896,20 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(gensAfter.size == 1, s"orphaned generations not swept: $gensAfter")
     assert(rows(s"$tmp/out_fold").map(_._1) == (truth.map(_._1) :+ 5L).sorted,
       "post-sweep rows diverged")
+    // and a fold whose window holds NO new epochs must STILL reclaim an
+    // orphan (the entry-time sweep — the early-return branches used to
+    // skip it): manufacture another orphan below the live generation,
+    // re-fold the same upto, orphan gone, rows untouched
+    val orphan2 = new java.io.File(s"$tmp/out_fold/_graft_folded/gen-1")
+    orphan2.mkdirs()
+    Seq(777L -> mk("xx")).toDF("doc_id", "text")
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite").parquet(orphan2.toString)
+    assert(new java.io.File(orphan2, "_UPTO-0").createNewFile())
+    assert(new java.io.File(orphan2, "_COMMITTED").createNewFile())
+    IngestOutput.fold(spark, s"$tmp/out_fold", 4L) // empty window
+    assert(!orphan2.exists(), "empty-window fold left the orphan in place")
+    assert(rows(s"$tmp/out_fold").map(_._1) == (truth.map(_._1) :+ 5L).sorted)
     Seq("graft_spec_of_plain", "graft_spec_of_fold")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
