@@ -592,8 +592,14 @@ object Analytics {
                        pScale: Long = 1000000L,
                        piScale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val tr = transitions.select(col(fromCol).as("f"), col(toCol).as("j"),
-      col(cntCol).cast("long").as("c"))
+    // cut the (#states²-row) transition counts ONCE: `tr` feeds three
+    // independent subtrees (row totals, the state universe, the
+    // probability table) and the caller's `transitions` is typically an
+    // expensive aggregation (a session window over the event log) that
+    // would otherwise re-run per subtree
+    val tr = graft.util.Materialize.cut(
+      transitions.select(col(fromCol).as("f"), col(toCol).as("j"),
+        col(cntCol).cast("long").as("c")))
     val tot = tr.groupBy("f").agg(sum(col("c")).as("t"))
     val states = tr.select(col("f").as("st")).distinct()
     val p = tr
@@ -611,6 +617,7 @@ object Analytics {
     }
     val out = graft.util.Materialize.cut(pi.select(col("st"), col("pi")))
     p.unpersist()
+    graft.util.Materialize.releaseNow(tr)
     out
   }
 

@@ -833,6 +833,13 @@ object Dedup {
       EpochMarkers.markAttempt(spark, table, epoch)
       append
       EpochMarkers.markEpoch(spark, table, epoch)
+      // bound the marker-file count on streams that never compact
+      // (compactEvery = 0, or a flat layout that cannot): only the max
+      // marker and the current batch's are ever probed again, so pruning
+      // below the max is always safe; a 16-epoch cadence keeps the
+      // directory O(16) for one extra listing every 16 appends
+      // (compactSwap additionally prunes per swap, unchanged)
+      if (epoch % 16L == 15L) EpochMarkers.pruneToMax(spark, table)
     }
 
   /** Replay-guarded epoch-stamped append to the fragment index. */

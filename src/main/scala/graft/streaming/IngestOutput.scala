@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 
 /** Crash-safe FOLDING for the ingest sinks' epoch-keyed output — the
   * output-side twin of the index's generational compaction
@@ -135,9 +135,17 @@ object IngestOutput {
     val g1 = live.map(_._1 + 1).getOrElse(0L)
     val fresh = genDir(outPath, g1)
     fs.delete(fresh, true) // abandoned uncommitted attempt, never durable
-    val unfolded = withData.map { case (k, p) =>
-      spark.read.parquet(p.toString).withColumn("epoch", lit(k)) }
-      .reduce(_ unionByName _)
+    // ONE multi-directory scan with partition-discovered `epoch` (the
+    // [[read]] pattern), NOT a per-epoch `reduce(_ unionByName _)`: the
+    // first fold after enabling folding on a long-lived output covers
+    // every epoch since stream birth, and a union plan that wide is a
+    // driver-side analyzer blowup before a single task runs (round-15
+    // verdict #1). Partition discovery infers `epoch` as int and appends
+    // it last — cast to long matches the previous `lit(k: Long)` column
+    // bit-exactly, and the fold spec pins read-equality across layouts.
+    val unfolded = spark.read.option("basePath", outPath)
+      .parquet(withData.map(_._2.toString): _*)
+      .withColumn("epoch", col("epoch").cast("long"))
     val all = live match {
       case Some((g, _)) =>
         spark.read.parquet(genDir(outPath, g).toString).unionByName(unfolded)

@@ -2202,4 +2202,125 @@ class PipelineStreamingSpec extends SparkSpec {
       s"expected only the late hour-1 window emitted (admitted under the " +
       s"lagged filter, evicted by the current watermark); got $got")
   }
+
+  test("first fold over 1000 never-folded epochs: one multi-dir scan, not an O(epochs) union plan") {
+    import graft.streaming.IngestOutput
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-widefold").toString
+    val out = s"$tmp/out"
+    // one real epoch directory written by Spark, then filesystem-level
+    // copies — 1000 epoch dirs at file-copy cost, not 1000 write jobs
+    Seq(0L -> "seed").toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$out/epoch=0")
+    val part = new java.io.File(s"$out/epoch=0").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    (1 until 1000).foreach { k =>
+      val d = new java.io.File(s"$out/epoch=$k"); d.mkdirs()
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(d, part.getName).toPath)
+    }
+    // count relation leaves in every query analyzed during the fold: the
+    // unfolded window must arrive as ONE multi-dir relation (+ at most a
+    // base generation), never one relation per epoch directory — the
+    // round-15 verdict #1 driver-side analyzer blowup
+    val leafCounts = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        leafCounts.add(qe.analyzed.collectLeaves().count(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      IngestOutput.fold(spark, out, 999L)
+      // the execution-listener bus is async — wait for the fold write's
+      // entry (the only tracked query with >= 1 relation leaf) to land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!leafCounts.toArray.exists(_.asInstanceOf[Integer] >= 1) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val counts = leafCounts.asScala.map(_.toInt).toSeq
+    assert(counts.exists(_ >= 1), "fold ran no tracked write query")
+    assert(counts.max <= 2,
+      s"fold read the epoch window through ${counts.max} relations — " +
+      "the O(epochs) per-dir union is back")
+    // the official reader sees all 1000 rows with partition-derived epochs
+    val got = IngestOutput.read(spark, out)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1000 &&
+           got.map(_._2).sorted.toSeq == (0L until 1000L),
+      s"read after the wide fold broke: n=${got.length}")
+    assert(new java.io.File(out).listFiles().count(f =>
+        f.isDirectory && f.getName.startsWith("epoch=")) == 0,
+      "folded epoch dirs not swept")
+  }
+
+  test("marker pruning without compaction: 20 guarded appends keep the marker directory bounded") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-markerprune20").toString
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_prune20", s"$tmp/idx")
+    (0 until 20).foreach { e =>
+      graft.operators.Dedup.appendPostingIndexEpoch(
+        Seq((e.toLong, s"alpha beta gamma delta epsilon zeta eta doc$e"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", "graft_spec_prune20", 8, 3, e.toLong)
+    }
+    val markers = new java.io.File(s"$tmp/idx/_graft_epochs").listFiles()
+      .map(_.getName)
+      .filter(n => n.startsWith("epoch-") || n.startsWith("attempt-")).toSeq
+    // the epoch-15 append pruned 0..14; 15..19 remain — the bound is the
+    // prune cadence (16), not the stream age (previously one file per
+    // epoch forever when compactEvery = 0 / flat layout)
+    assert(markers.sorted == (15 to 19).map(e => s"epoch-$e"),
+      s"marker cadence bound broken: ${markers.sorted.mkString(",")}")
+    assert(graft.operators.EpochMarkers.maxMarkedEpoch(
+      spark, "graft_spec_prune20") == 19L)
+    // pruning never weakens the guard: the newest epoch still reads as
+    // appended, so its replay is still skipped
+    assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_prune20", 19L))
+    spark.sql("DROP TABLE IF EXISTS `graft_spec_prune20`")
+  }
+
+  test("marker-less legacy adoption is loud and one-shot (round-15 verdict #2)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-legacyadopt").toString
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_legacy", s"$tmp/idx")
+    graft.operators.Dedup.appendPostingIndexEpoch(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", "graft_spec_legacy", 8, 3, 0L)
+    // strip every marker: the pre-marker-era index state
+    graft.operators.EpochMarkers.reset(spark, s"$tmp/idx")
+    val before = graft.operators.GenIndex.legacyAdoptions.get()
+    try {
+      // a stream at the replayed epoch adopts the marker-less index, but
+      // LOUDLY (warning + counter), and records itself as owner
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "spec-legacy-q1")
+      graft.operators.GenIndex.requireEpochAhead(spark, "graft_spec_legacy", 0L)
+      assert(graft.operators.GenIndex.legacyAdoptions.get() == before + 1,
+        "marker-less adoption must be counted (loud-adoption contract)")
+      // one-shot: a SECOND wiped/foreign checkpoint now fails hard
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "spec-legacy-q2")
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.GenIndex.requireEpochAhead(spark, "graft_spec_legacy", 0L)
+      }
+      assert(e.getMessage.contains("not the one that wrote it"), e.getMessage)
+      // the recorded owner resumes silently — no new adoption counted
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "spec-legacy-q1")
+      graft.operators.GenIndex.requireEpochAhead(spark, "graft_spec_legacy", 0L)
+      assert(graft.operators.GenIndex.legacyAdoptions.get() == before + 1,
+        "owner resume must not re-count as adoption")
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    spark.sql("DROP TABLE IF EXISTS `graft_spec_legacy`")
+  }
 }
