@@ -503,10 +503,17 @@ object SparkEntry {
       .withColumn("hod", pmod(col("hour"), lit(24L)))
     val expected = hourly.groupBy("event_type", "hod")
       .agg(expr("sum(y) DIV count(*)").as("mu"))
-    val resid = hourly.join(expected, Seq("event_type", "hod"))
-      .select(col("event_type"), col("hour"), col("y"), col("mu"),
-        (col("y") - col("mu")).as("resid"))
-    Analytics.madOutliers(resid, "event_type", "resid", nMads = 3.0)
+    // cut the residual table ONCE: madOutliers consumes its input via
+    // several subtrees (median, deviation join), and the uncut residual
+    // pipeline (scan + two aggregates + join) re-ran per subtree — the
+    // 23-exchange plan the round-16 audit flagged
+    val resid = graft.util.Materialize.cut(
+      hourly.join(expected, Seq("event_type", "hod"))
+        .select(col("event_type"), col("hour"), col("y"), col("mu"),
+          (col("y") - col("mu")).as("resid")))
+    val flagged = Analytics.madOutliers(resid, "event_type", "resid", nMads = 3.0)
+    graft.util.Materialize.releaseNow(resid) // madOutliers is eager — resid is dead
+    flagged
       .select("event_type", "hour", "y", "mu", "resid", "dev", "mad")
       .orderBy("event_type", "hour")
   }

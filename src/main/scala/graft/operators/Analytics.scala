@@ -110,15 +110,27 @@ object Analytics {
     * outliers only. */
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
                   nMads: Double = 5.0): DataFrame = {
+    import graft.util.CacheSalt.SaltedPersistOps
     val med = df.groupBy(col(keyCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    // `dev` feeds TWO consumers (the MAD aggregate and the final flag
+    // join); unpersisted, the input pipeline and the median join re-run
+    // per consumer — and `df` itself is often an aggregation the caller
+    // built (events_seasonal_anomaly's residual table re-ran its whole
+    // two-shuffle pipeline SIX times through this operator's subtrees:
+    // 23 exchanges in one plan). The two median passes over `df` stay —
+    // MAD needs the group median before deviations exist.
     val dev = df.join(med, Seq(keyCol))
       .withColumn("dev", abs(col(valueCol) - col("__med")))
+      .saltedPersist()
     val mad = dev.groupBy(col(keyCol))
       .agg(expr("percentile(dev, 0.5)").as("mad"))
-    dev.join(mad, Seq(keyCol))
-      .where(col("dev") > lit(nMads) * col("mad"))
-      .drop("__med")
+    val out = graft.util.Materialize.cut(
+      dev.join(mad, Seq(keyCol))
+        .where(col("dev") > lit(nMads) * col("mad"))
+        .drop("__med"))
+    dev.unpersist()
+    out
   }
 
   /** Per-user activity bitmaps + bit-trick retention — the roaring-bitmap

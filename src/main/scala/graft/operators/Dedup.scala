@@ -277,21 +277,44 @@ object Dedup {
                            numHashes: Int = 128, bands: Int = 16,
                            threshold: Double = 0.4, shingleN: Int = 3,
                            capWeight: Int = 8, maxBucketSize: Long = 4096L,
-                           materialize: Boolean = true): DataFrame = {
+                           materialize: Boolean = true): DataFrame =
+    weightedMinhashPairsFrom(
+      weightedPostings(df, idCol, textCol, shingleN, capWeight),
+      numHashes, bands, threshold, capWeight, maxBucketSize, materialize)
+
+  /** Capped-IDF weighted postings `(id, h, w)` with
+    * `w = min(n_docs DIV df(h), capWeight)` — the ONE shingle pass + ONE
+    * document-frequency aggregate the weighted family shares: the sketch
+    * expansion and the exact verification both start here, so the
+    * verified operator scans the corpus once, not once per stage. */
+  private def weightedPostings(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int, capWeight: Int): DataFrame = {
+    require(capWeight >= 1 && capWeight <= 64,
+      s"capWeight must be in [1, 64], got $capWeight")
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    val posting = df.select(col(idCol).as("id"),
+        explode(TF.shingleHashes(col(textCol), shingleN)).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
+    posting.join(dfreq, "h")
+      .crossJoin(broadcast(nd))
+      .select(col("id"), col("h"),
+        least(expr("n_docs DIV dfh"), lit(capWeight.toLong)).as("w"))
+  }
+
+  /** [[weightedMinhashPairs]] from a prebuilt `(id, h, w)` weighted
+    * posting table (shared with the verify stage; never unpersisted
+    * here — the caller owns `wpost`). */
+  private def weightedMinhashPairsFrom(wpost: DataFrame, numHashes: Int,
+                                       bands: Int, threshold: Double,
+                                       capWeight: Int, maxBucketSize: Long,
+                                       materialize: Boolean): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     require(capWeight >= 1 && capWeight <= 64,
       s"capWeight must be in [1, 64], got $capWeight")
     val rows = numHashes / bands
     val salts = WeightSalts.take(capWeight)
-    val nd = df.agg(count(lit(1)).as("n_docs"))
-    val posting = df.select(col(idCol).as("id"),
-        explode(TF.shingleHashes(col(textCol), shingleN)).as("h"))
-    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
-    val expanded = posting.join(dfreq, "h")
-      .crossJoin(broadcast(nd))
-      .select(col("id"), col("h"),
-        least(expr("n_docs DIV dfh"), lit(capWeight.toLong)).as("w"))
+    val expanded = wpost
       .select(col("id"),
         explode(transform(sequence(lit(0), (col("w") - 1L).cast("int")),
           j => col("h").bitwiseXOR(element_at(lit(salts), j + 1)))).as("v"))
@@ -337,18 +360,15 @@ object Dedup {
                                    threshold: Double = 0.4,
                                    shingleN: Int = 3, capWeight: Int = 8,
                                    maxBucketSize: Long = 4096L): DataFrame = {
-    val cand = weightedMinhashPairs(df, idCol, textCol, numHashes, bands,
-        candidateThreshold, shingleN, capWeight, maxBucketSize)
+    // ONE weighted posting table serves both stages — the sketch's
+    // multiset expansion and the exact verification used to each run
+    // their own shingle pass + document-frequency aggregate over the
+    // corpus (two full scans; guide §1.2 step 1: don't compute twice)
+    val wpost = weightedPostings(df, idCol, textCol, shingleN, capWeight)
+      .saltedPersist() // consumed by the expansion, the totals AND both verify probes
+    val cand = weightedMinhashPairsFrom(wpost, numHashes, bands,
+        candidateThreshold, capWeight, maxBucketSize, materialize = true)
       .select("id_a", "id_b")
-    val nd = df.agg(count(lit(1)).as("n_docs"))
-    val posting = df.select(col(idCol).as("id"),
-        explode(TF.shingleHashes(col(textCol), shingleN)).as("h"))
-    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
-    val wpost = posting.join(dfreq, "h")
-      .crossJoin(broadcast(nd))
-      .select(col("id"), col("h"),
-        least(expr("n_docs DIV dfh"), lit(capWeight.toLong)).as("w"))
-      .saltedPersist() // consumed by the totals AND both verify probes
     val docw = wpost.groupBy("id").agg(sum(col("w")).as("wt"))
     val out = broadcast(cand)
       .join(wpost.select(col("id").as("id_a"), col("h"), col("w")), "id_a")

@@ -712,9 +712,15 @@ object TextAnalysis {
                           seed: Long = 31L,
                           maxPositions: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val plan = spanCorruptionPlan(df, idCol, textCol, startPpm, maxSpanLen,
-      seed, maxPositions)
+    // the span plan feeds THREE consumers (segment assembly, per-doc span
+    // ends, the untouched-docs anti-join) and is itself an explode + two
+    // windows + aggregate — cut it once; likewise persist the tokenized
+    // corpus, consumed by three subtrees (tokenization is the per-row CPU)
+    val plan = graft.util.Materialize.cut(
+      spanCorruptionPlan(df, idCol, textCol, startPpm, maxSpanLen,
+        seed, maxPositions))
     val toks = df.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("tk"))
+      .saltedPersist()
     val w = Window.partitionBy("doc_id").orderBy("span_start")
     val withFrom = plan.withColumn("seg_from",
       coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
@@ -754,7 +760,10 @@ object TextAnalysis {
       .join(plan.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), array_join(col("tk"), " ").as("input_text"),
         lit("").as("target_text"))
-    corrupted.unionByName(untouched)
+    val out = graft.util.Materialize.cut(corrupted.unionByName(untouched))
+    toks.unpersist()
+    graft.util.Materialize.releaseNow(plan)
+    out
   }
 
   /** Hashing-trick featurizer (Weinberger 2009): tokens are projected
