@@ -1091,10 +1091,12 @@ object OracleXX {
   }
 
   /** DuckDB replica of `Dedup.minhashLshPairs` over `documents`: 3-gram
-    * shingles → XXH64 → 31-bit fold → k-permutation MinHash signature (the
-    * engine's exact coefficients) → banded LSH keys (XXH64 of band idx +
-    * joined slice, like Spark's multi-arg `xxhash64`) → signature-agreement
-    * estimate ≥ threshold. */
+    * shingles → XXH64 → per-permutation XOR salt + 31-bit fold →
+    * k-permutation MinHash signature (the engine's exact coefficients and
+    * salts — see `TextFunctions.minhashSalts` for why the salt precedes
+    * the fold) → banded LSH keys (XXH64 of band idx + joined slice, like
+    * Spark's multi-arg `xxhash64`) → signature-agreement estimate ≥
+    * threshold. */
   def minhashOracle(numHashes: Int = 128, bands: Int = 16,
                     threshold: Double = 0.4): String = s"""
       WITH ${minhashAgreeCtes(numHashes, bands)}
@@ -1131,6 +1133,8 @@ object OracleXX {
     val bl = cb.mkString("[", ", ", "]")
     val salts = graft.operators.Dedup.WeightSalts.take(capW)
       .map(v => s"$v::BIGINT").mkString("[", ", ", "]")
+    val rl = graft.functions.TextFunctions.minhashSalts(numHashes)
+      .map(v => s"$v::BIGINT").mkString("[", ", ", "]")
     val xx = xxh64Str("s", padLen = 20)
     s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
       sh3 AS (SELECT doc_id,
@@ -1152,11 +1156,12 @@ object OracleXX {
       exp AS (SELECT doc_id,
                 xor(v0, ($salts)[unnest(range(w))::INT + 1]) AS v
               FROM wts),
-      fr AS (SELECT doc_id,
-               ((v % 2147483647) + 2147483647) % 2147483647 AS f FROM exp),
       perm AS (
-        SELECT doc_id, j, min((($al)[j+1]*f + ($bl)[j+1]) % 2305843009213693951) AS v
-        FROM fr CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS j)
+        SELECT doc_id, j,
+          min((($al)[j+1] *
+                 ((xor(v, ($rl)[j+1]) % 2147483647 + 2147483647) % 2147483647)
+               + ($bl)[j+1]) % 2305843009213693951) AS v
+        FROM exp CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS j)
         GROUP BY doc_id, j),
       sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM perm GROUP BY doc_id),
       bnd AS (SELECT doc_id, sig, unnest(range(0, $bands)) AS bi FROM sig),
@@ -1190,6 +1195,8 @@ object OracleXX {
     val (ca, cb) = graft.functions.TextFunctions.minhashCoefficients(numHashes)
     val al = ca.mkString("[", ", ", "]")
     val bl = cb.mkString("[", ", ", "]")
+    val rl = graft.functions.TextFunctions.minhashSalts(numHashes)
+      .map(v => s"$v::BIGINT").mkString("[", ", ", "]")
     val xx = xxh64Str("s", padLen = 20)
     // The engine's physical band key is xxhash64(band_idx, joined_slice);
     // the oracle joins on the RAW (band_idx, slice) string instead. The
@@ -1213,10 +1220,12 @@ object OracleXX {
       hr AS (SELECT doc_id, h FROM shr JOIN dh USING (s)),
       fr AS (SELECT doc_id,
                (CASE WHEN h >= 9223372036854775808::HUGEINT
-                     THEN ((h - $M) % 2147483647 + 2147483647) % 2147483647
-                     ELSE h % 2147483647 END)::BIGINT AS f FROM hr),
+                     THEN (h - $M)::BIGINT ELSE h::BIGINT END) AS v0 FROM hr),
       perm AS (
-        SELECT doc_id, j, min((($al)[j+1]*f + ($bl)[j+1]) % 2305843009213693951) AS v
+        SELECT doc_id, j,
+          min((($al)[j+1] *
+                 ((xor(v0, ($rl)[j+1]) % 2147483647 + 2147483647) % 2147483647)
+               + ($bl)[j+1]) % 2305843009213693951) AS v
         FROM fr CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS j)
         GROUP BY doc_id, j),
       sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM perm GROUP BY doc_id),

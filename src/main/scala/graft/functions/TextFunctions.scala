@@ -63,6 +63,25 @@ object TextFunctions {
     (a, b)
   }
 
+  /** Per-permutation 64-bit XOR salts for [[MinHashSig]] — the piece that
+    * makes the k permutations actually independent. The original scheme
+    * folded each element ONCE to 31 bits and applied k affine maps
+    * `(a_j·f + b_j) mod P` on the SAME fold: with a_j, b_j, f < 2^31 and
+    * P = 2^61−1 the product never wraps the modulus, so every map is
+    * MONOTONE in f and all k "permutations" share one element ordering —
+    * the document's globally-smallest folded shingle wins almost every
+    * slot, agreement collapses to [shared min] instead of E = jaccard
+    * (round-16 finding: a true j = 13/14 subset pair measured 11/128
+    * agreement and was missed by all 64 bands; theory says P ≈ 10⁻⁵⁵).
+    * Folding AFTER a per-j XOR of the full 64-bit element hash gives each
+    * permutation its own element ordering; the affine layer on top is
+    * kept (harmless, preserves the coefficient machinery). Drawn from a
+    * distinct SplitMix64 stream so a/b stay byte-identical to r15. */
+  def minhashSalts(k: Int, seed: Long = 42L): Array[Long] = {
+    val next = graft.util.SplitMix64.generator(seed ^ 0x9E3779B97F4A7C15L)
+    Array.fill(k)(next())
+  }
+
   /** k-element MinHash signature of an ARRAY<BIGINT> of element hashes.
     * Pure column composition: `transform(0..k-1, i -> min(map(hashes)))` —
     * stays in codegen, no UDF, no shuffle. */
@@ -181,16 +200,23 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val P = TextFunctions.MinhashPrime
   @transient private lazy val coeffs = TextFunctions.minhashCoefficients(k, seed)
+  @transient private lazy val salts = TextFunctions.minhashSalts(k, seed)
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val (a, b) = coeffs
+    val r = salts
     val acc = Array.fill(k)(P)
     var i = 0
     while (i < arr.numElements()) {
-      val hh = java.lang.Math.floorMod(arr.getLong(i), 2147483647L)
+      val h = arr.getLong(i)
       var j = 0
       while (j < k) {
+        // per-j XOR salt BEFORE the 31-bit fold: each permutation gets its
+        // own element ordering (see minhashSalts — the unsalted fold made
+        // all k affine maps monotone in one shared fold, collapsing the
+        // estimator to [shared min element])
+        val hh = java.lang.Math.floorMod(h ^ r(j), 2147483647L)
         val v2 = (a(j) * hh + b(j)) % P
         if (v2 < acc(j)) acc(j) = v2
         j += 1
@@ -203,16 +229,18 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("mhA", coeffs._1, "long[]")
     val bRef = ctx.addReferenceObj("mhB", coeffs._2, "long[]")
+    val rRef = ctx.addReferenceObj("mhR", salts, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val hh = ctx.freshName("hh")
-      val v2 = ctx.freshName("v2")
+      val h = ctx.freshName("h"); val v2 = ctx.freshName("v2")
       s"""
          |long[] $acc = new long[$k];
          |java.util.Arrays.fill($acc, ${P}L);
          |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  long $hh = java.lang.Math.floorMod($c.getLong($i), 2147483647L);
+         |  long $h = $c.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
+         |    long $hh = java.lang.Math.floorMod($h ^ $rRef[$j], 2147483647L);
          |    long $v2 = ($aRef[$j] * $hh + $bRef[$j]) % ${P}L;
          |    if ($v2 < $acc[$j]) $acc[$j] = $v2;
          |  }
