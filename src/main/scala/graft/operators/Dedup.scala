@@ -1907,15 +1907,27 @@ object Dedup {
     require(batches.nonEmpty, "need at least one batch")
     val spark = batches.head.sparkSession
     requireMaterializing(spark, "dedupIngest")
-    initPostingIndex(batches.head, idCol, textCol, indexTable, indexPath,
-      buckets, shingleN)
-    batches.map { b =>
+    // phase labels (thread-local) keep the UI/job-profile readable — a
+    // 3-batch loop runs ~40 small jobs and is opaque without them
+    def labeled[T](desc: String)(body: => T): T = {
+      spark.sparkContext.setJobDescription(desc)
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
+    labeled(s"dedupIngest: init index $indexTable") {
+      initPostingIndex(batches.head, idCol, textCol, indexTable, indexPath,
+        buckets, shingleN)
+    }
+    batches.zipWithIndex.map { case (b, i) =>
       // survivors are materialized (localCheckpoint) by the incremental
       // step, so appending their postings AND accumulating them reads the
       // checkpointed blocks, not a recompute racing the index append
-      val surv = incrementalSurvivorsIndexed(b, spark.table(indexTable),
-        idCol, textCol, shingleN, threshold, maxDocFreq)
-      appendPostingIndex(surv, idCol, textCol, indexTable, buckets, shingleN)
+      val surv = labeled(s"dedupIngest: probe batch $i") {
+        incrementalSurvivorsIndexed(b, spark.table(indexTable),
+          idCol, textCol, shingleN, threshold, maxDocFreq)
+      }
+      labeled(s"dedupIngest: append postings $i") {
+        appendPostingIndex(surv, idCol, textCol, indexTable, buckets, shingleN)
+      }
       surv
     }.reduce(_ unionByName _)
   }
