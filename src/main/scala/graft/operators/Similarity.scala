@@ -794,7 +794,8 @@ object Similarity {
     // ~3^k plan nodes and round i recomputes every earlier round's window
     // — cut the (≤ queries × k)-row selection per round to keep lineage
     // O(1) and each round's work O(pool) (guide §3.3: very wide plans;
-    // measured 4.1 s → ~1.3 s at sf0.1 for k = 5)
+    // measured at sf0.1, k = 5: 6.2 s → 1.9 s in the full bench,
+    // 7.3 s → 4.3 s solo cold-JVM)
     var all = graft.util.Materialize.cut(
       pool.select(col("qid"), col("id"), col("rel").as("score"))
         .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
