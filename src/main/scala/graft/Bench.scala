@@ -73,6 +73,36 @@ object Bench {
     dt / 1e3 // milliseconds
   }
 
+  /** Fixed N-THREAD CPU-bound microbenchmark — the same multiply/rotate
+    * kernel as [[calibrationProbe]] at 1/4 the per-thread iterations, all
+    * threads released together: wall-time of a constant PARALLEL workload.
+    * The single-threaded probe is structurally blind to multi-core steal
+    * (round-16: a co-tenant holding many of the 32 cores left the 1-thread
+    * probe at ratio 0.91 while inflating the sweep ~20% and the driver's
+    * PERF read 36 phantom regressions); this probe stretches whenever
+    * fewer than N cores are actually schedulable, whatever the single-core
+    * speed. Run before and after the sweep; the ratio self-flags drift the
+    * same way the serial probe's does, and the absolute milliseconds are
+    * comparable across records on the same box. */
+  private def parallelProbe(threads: Int): Double = {
+    val n = math.max(1, threads)
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L ^ t
+        var i = 0
+        while (i < 25000000) {
+          x = java.lang.Long.rotateLeft(x * 0xff51afd7ed558ccdL, 31) ^ i
+          i += 1
+        }
+        if (x == 42L) System.err.print("")
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6 // milliseconds
+  }
+
   /** 1-minute system load average (or -1 where unsupported) — recorded in
     * the local record so a contended run is diagnosable after the fact. */
   private def loadAvg(): Double =
@@ -160,7 +190,9 @@ object Bench {
     // go in both records for pass-over-pass comparison
     val passes = math.max(2,
       sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2))
+    val nProbeThreads = cpus.toIntOption.getOrElse(32)
     val probeBefore = calibrationProbe()
+    val pprobeBefore = parallelProbe(nProbeThreads)
     val loadBefore = loadAvg()
     probeSeries += ((0, probeBefore, loadBefore))
     val wall0 = System.nanoTime()
@@ -243,6 +275,7 @@ object Bench {
     }
     val wall = (System.nanoTime() - wall0) / 1e9
     val probeAfter = calibrationProbe()
+    val pprobeAfter = parallelProbe(nProbeThreads)
     val loadAfter = loadAvg()
     probeSeries += ((ticks, probeAfter, loadAfter))
     val results: Seq[(String, (Double, Boolean))] = steadyResults
@@ -291,6 +324,12 @@ object Bench {
     // → contention covered every warm pass; the reported min falls back to
     // the cold number, so the record stays usable — the flag marks
     // residual doubt, not the value)
+    // parallel-probe drift: same 1.3× discipline as the serial probe. A
+    // co-tenant that appears (or leaves) mid-run moves the N-thread wall
+    // time even when per-core speed is stable; steal CONSTANT across the
+    // run is cross-record evidence instead (pprobe_ms vs other records on
+    // this box — recorded for exactly that comparison).
+    val pprobeRatio = if (pprobeBefore > 0) pprobeAfter / pprobeBefore else 1.0
     val (warmOrProbeFlagged, probeFlagged) = degradedOf(results)
     val degradedNames = warmOrProbeFlagged ++
       // load that is CONSTANT across the run never trips warm > cold (both
@@ -298,11 +337,13 @@ object Bench {
       // probe — surface it in the same list so a polluted record is
       // non-empty-degraded either way
       (if (probeRatio > 1.3 || probeRatio < 1.0 / 1.3)
-         Seq("__calibration_probe") else Nil)
+         Seq("__calibration_probe") else Nil) ++
+      (if (pprobeRatio > 1.3 || pprobeRatio < 1.0 / 1.3)
+         Seq("__parallel_probe") else Nil)
     def degradedJson(ns: Seq[String]) =
       ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probeDiag =
-      s""""probe_before_ms":${num(probeBefore, 1)},"probe_after_ms":${num(probeAfter, 1)},"probe_ratio":${num(probeRatio, 2)}"""
+      s""""probe_before_ms":${num(probeBefore, 1)},"probe_after_ms":${num(probeAfter, 1)},"probe_ratio":${num(probeRatio, 2)},"pprobe_threads":$nProbeThreads,"pprobe_before_ms":${num(pprobeBefore, 1)},"pprobe_after_ms":${num(pprobeAfter, 1)},"pprobe_ratio":${num(pprobeRatio, 2)}"""
     // the driver-parsed compact line must stay inside the bounded stdout
     // tail window even on a heavily-contended run where MOST queries flag —
     // cap the inline list and carry the count; the full list is in

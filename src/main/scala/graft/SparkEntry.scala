@@ -2148,21 +2148,17 @@ object SparkEntry {
     * report a corpus team reads before committing to a vocabulary —
     * same word/char denominators, both token streams from the engine's
     * own trainers. */
-  private def textTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val b = TextAnalysis.bpeFertility(docs, "doc_id", "text", "lang",
-        numMerges = 8)
-      .select(col("lang"), col("sum_words"), col("sum_bpe_tokens"),
-        col("tokens_per_word_pm").as("bpe_tpw_pm"))
-    val u = TextAnalysis.unigramFertility(docs, "text", "lang",
-        vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2)
-      .select(col("lang"), col("sum_uni_tokens"),
-        col("tokens_per_word_pm").as("uni_tpw_pm"))
-    b.join(u, Seq("lang"))
+  private def textTokenizerCompare(s: SparkSession, dir: String): DataFrame =
+    // fused form (round-16 verdict #4): one shared word-count base feeds
+    // both trainers, one corpus scan encodes with both tokenizers —
+    // value-identical to the old bpeFertility ⋈ unigramFertility
+    // composition (spec-pinned; oracle hash unchanged)
+    TextAnalysis.tokenizerCompareFertility(t(s, dir, "documents"), "text",
+        "lang", numMerges = 8, vocabSize = 48, maxPieceLen = 6,
+        maxWordLen = 12, emIters = 2)
       .select(col("lang"), col("sum_words"), col("sum_bpe_tokens"),
         col("sum_uni_tokens"), col("bpe_tpw_pm"), col("uni_tpw_pm"))
       .orderBy("lang")
-  }
 
   /** Count-Min heavy hitters: width 32 is deliberately narrow for the gate
     * corpus (31-token synthetic vocabulary) so cell collisions actually

@@ -184,6 +184,42 @@ object TextFunctions {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(RollingHash64(expression(c)))
   }
+
+  // ---- division-free Mersenne reductions (the MinHash hot loop) --------
+  //
+  // Both MinHash moduli are Mersenne primes (2^31−1 for the per-permutation
+  // fold, 2^61−1 for the affine map), so `x mod M` reduces with shift-add
+  // folds (2^p ≡ 1 mod 2^p−1) instead of a 64-bit division. The signature
+  // loop runs k=128 of each per array element — two hardware divisions per
+  // (element, permutation) — and the weighted variants multiply the element
+  // count by the IDF weight expansion, so the division latency is the
+  // dominant per-task cost of every minhash-family query (guide §1.2 step
+  // 2: per-task work). These fold identities are EXACT: results are
+  // bit-identical to floorMod / %, verified by spec over the full edge
+  // space, so no query output changes.
+
+  /** `floorMod(x, 2^31−1)` without division. The unsigned 64-bit fold uses
+    * 2^31 ≡ 1 (two rounds bring the value under 2^31+8, one conditional
+    * subtract lands in [0, M31)); a negative SIGNED x is the unsigned
+    * value minus 2^64, and 2^64 ≡ 4 (mod 2^31−1), so the signed result
+    * subtracts 4 with one wrap-around correction. */
+  @inline final def mersenneMod31(x: Long): Long = {
+    val M = 2147483647L
+    var t = (x >>> 31) + (x & M)   // < 2^33 + 2^31
+    t = (t >>> 31) + (t & M)       // < 2^31 + 8
+    if (t >= M) t -= M
+    if (x < 0) { t -= 4L; if (t < 0) t += M }
+    t
+  }
+
+  /** `x % (2^61−1)` without division, for 0 ≤ x < 2^62: one fold via
+    * 2^61 ≡ 1 plus one conditional subtract. */
+  @inline final def mersenneMod61(x: Long): Long = {
+    val P = MinhashPrime
+    var t = (x >>> 61) + (x & P)
+    if (t >= P) t -= P
+    t
+  }
 }
 
 /** k-permutation MinHash signature of an ARRAY<BIGINT> of element hashes:
@@ -215,9 +251,12 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
         // per-j XOR salt BEFORE the 31-bit fold: each permutation gets its
         // own element ordering (see minhashSalts — the unsalted fold made
         // all k affine maps monotone in one shared fold, collapsing the
-        // estimator to [shared min element])
-        val hh = java.lang.Math.floorMod(h ^ r(j), 2147483647L)
-        val v2 = (a(j) * hh + b(j)) % P
+        // estimator to [shared min element]). Both reductions are
+        // division-free Mersenne folds, bit-identical to floorMod / % P
+        // (see TextFunctions.mersenneMod31/61) — the loop runs k per
+        // element, so the two divisions they replace dominated the pass.
+        val hh = TextFunctions.mersenneMod31(h ^ r(j))
+        val v2 = TextFunctions.mersenneMod61(a(j) * hh + b(j))
         if (v2 < acc(j)) acc(j) = v2
         j += 1
       }
@@ -234,14 +273,24 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
       val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val hh = ctx.freshName("hh")
       val h = ctx.freshName("h"); val v2 = ctx.freshName("v2")
+      val s = ctx.freshName("s")
+      // division-free Mersenne reductions, inlined — bit-identical to the
+      // floorMod / % P they replace (TextFunctions.mersenneMod31/61; the
+      // interpreted eval above uses the shared helpers, spec-pinned equal)
       s"""
          |long[] $acc = new long[$k];
          |java.util.Arrays.fill($acc, ${P}L);
          |for (int $i = 0; $i < $c.numElements(); $i++) {
          |  long $h = $c.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
-         |    long $hh = java.lang.Math.floorMod($h ^ $rRef[$j], 2147483647L);
-         |    long $v2 = ($aRef[$j] * $hh + $bRef[$j]) % ${P}L;
+         |    long $s = $h ^ $rRef[$j];
+         |    long $hh = ($s >>> 31) + ($s & 2147483647L);
+         |    $hh = ($hh >>> 31) + ($hh & 2147483647L);
+         |    if ($hh >= 2147483647L) $hh -= 2147483647L;
+         |    if ($s < 0) { $hh -= 4L; if ($hh < 0) $hh += 2147483647L; }
+         |    long $v2 = $aRef[$j] * $hh + $bRef[$j];
+         |    $v2 = ($v2 >>> 61) + ($v2 & ${P}L);
+         |    if ($v2 >= ${P}L) $v2 -= ${P}L;
          |    if ($v2 < $acc[$j]) $acc[$j] = $v2;
          |  }
          |}

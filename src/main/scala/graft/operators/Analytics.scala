@@ -107,7 +107,16 @@ object Analytics {
     * `keyCol`. At 100 TB swap the exact `percentile` for
     * `approx_percentile` at the same shape — the exact form here is what
     * the oracle can replay. Output: input columns + `dev` + `mad`,
-    * outliers only. */
+    * outliers only.
+    *
+    * EAGER/MATERIALIZING (round-16 ADVICE): this operator runs Spark jobs
+    * at CALL time (`Materialize.cut` — under `materialize = none` it still
+    * cuts locally, like `dedupIngest` and unlike the lazy-passthrough
+    * dedup pair operators). The `dev` table feeds two consumers, so a lazy
+    * return would re-run the caller's whole upstream per consumer — the
+    * 23-exchange plan this fixed. Same contract holds for the per-round
+    * cuts inside `markovStationary`, `Similarity.mmrTopK` and
+    * `TextAnalysis.applySpanCorruption`. */
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
                   nMads: Double = 5.0): DataFrame = {
     import graft.util.CacheSalt.SaltedPersistOps

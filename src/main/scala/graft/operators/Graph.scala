@@ -195,20 +195,22 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1 && maxIters <= 100,
       s"maxIters must be in [1, 100], got $maxIters")
-    var edges = Materialize.cut(
+    // per-round edge counts ride the cut job's observed metric (the
+    // cutCounted pattern) — one job per peel round instead of cut + count
+    var (edges, nEdges) = cutCounted(
       pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))))
-    var nEdges = edges.count()
+        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))),
+      "graft_kcore_0")
     var converged = nEdges == 0L
     var round = 0
     while (!converged && round < maxIters) {
       round += 1
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select("src")
-      val pruned = Materialize.cut(
+      val (pruned, n) = cutCounted(
         edges.join(keep, Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
-      val n = pruned.count()
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"),
+        s"graft_kcore_$round")
       Materialize.releaseNow(edges)
       edges = pruned
       converged = n == nEdges
@@ -439,8 +441,16 @@ object Graph {
     * when the frontier empties. The hop bound is part of the operator
     * contract (unreached nodes are absent, not NULL) — BFS distance is
     * unique, so the output is deterministic under any partitioning.
-    * Settled sets are cut per round ([[Materialize]]) so lineage stays
-    * O(1). */
+    *
+    * Driver-job shape (round-17, guide §1.2 driver overhead): each hop is
+    * ONE Spark job — the frontier cut carries the frontier count as an
+    * observed metric (no separate count job), and the settled set is the
+    * LAZY union of the per-hop cuts (anti-joining against k small cut
+    * frames re-scans materialized blocks; the old per-hop
+    * `cut(settled ∪ nxt)` re-copied the whole settled set every round —
+    * 3 jobs per hop down to 1). The returned frame is that lazy union —
+    * every part is an eager cut, so repeated consumption re-reads blocks,
+    * never recomputes. */
   def bfsDistances(pairs: DataFrame, idACol: String, idBCol: String,
                    seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
@@ -453,32 +463,41 @@ object Graph {
     // seed set restricted to nodes that exist in the graph — a seed with
     // no edges is its own component and reports dist 0
     val nodes = edges.select(col("src").as("id")).distinct()
-    var settled = Materialize.cut(
+    var (frontier, frontierN) = cutCounted(
       seeds.join(nodes, Seq("id"), "left_semi")
-        .distinct().select(col("id"), lit(0L).as("dist")))
-    // frontier aliases settled at hop 0; release it only once it is a
-    // distinct frame (localCheckpoint blocks are unrecoverable — freeing
-    // a frame that is still referenced would kill the walk)
-    var frontier = settled
+        .distinct().select(col("id"), lit(0L).as("dist")), "graft_bfs_0")
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     var hop = 0
-    var frontierN = frontier.count()
     while (frontierN > 0L && hop < maxHops) {
       hop += 1
-      val nxt = Materialize.cut(
+      val settledView = parts.reduce(_ unionByName _)
+      val (nxt, n) = cutCounted(
         edges.join(frontier.select(col("id").as("src")), "src")
           .select(col("dst").as("id")).distinct()
-          .join(settled, Seq("id"), "left_anti")
-          .select(col("id"), lit(hop.toLong).as("dist")))
-      val grown = Materialize.cut(settled.union(nxt))
-      if (frontier ne settled) Materialize.releaseNow(frontier)
-      Materialize.releaseNow(settled)
-      settled = grown
+          .join(settledView, Seq("id"), "left_anti")
+          .select(col("id"), lit(hop.toLong).as("dist")), s"graft_bfs_$hop")
+      parts += nxt
       frontier = nxt
-      frontierN = nxt.count()
+      frontierN = n
     }
-    if (frontier ne settled) Materialize.releaseNow(frontier)
     Materialize.releaseNow(edges)
-    settled
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Eager-cut `df` and read its row count off the cut job's own observed
+    * metric — the convergence/early-exit count of the iterative walks with
+    * zero extra driver jobs (the `connectedComponents` observe pattern).
+    * Fails loudly if the metric is absent: a missing key (a cut strategy
+    * that stops materializing CollectMetrics) must never read as "empty
+    * frontier" and silently truncate a walk. */
+  private def cutCounted(df: DataFrame, obsName: String): (DataFrame, Long) = {
+    val toCut = df.observe(obsName, count(lit(1)).as("n"))
+    val cut = Materialize.cut(toCut)
+    val row = toCut.queryExecution.observedMetrics.getOrElse(obsName,
+      sys.error(s"cutCounted: observed metric $obsName missing from the " +
+        "cut job — the materialize strategy no longer executes " +
+        "CollectMetrics"))
+    (cut, row.getLong(0))
   }
 
   /** Landmark distance sketch (Potamias et al. 2009): per-landmark hop
@@ -506,29 +525,29 @@ object Graph {
       pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
         .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))))
     val nodes = edges.select(col("src").as("id")).distinct()
-    var settled = Materialize.cut(
+    // same one-job-per-hop shape as bfsDistances: observed frontier count,
+    // settled = lazy union of the per-hop cuts
+    var (frontier, frontierN) = cutCounted(
       landmarks.join(nodes, Seq("id"), "left_semi").distinct()
-        .select(col("id").as("lm"), col("id"), lit(0L).as("dist")))
-    var frontier = settled
+        .select(col("id").as("lm"), col("id"), lit(0L).as("dist")),
+      "graft_lmd_0")
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     var hop = 0
-    var frontierN = frontier.count()
     while (frontierN > 0L && hop < maxHops) {
       hop += 1
-      val nxt = Materialize.cut(
+      val settledView = parts.reduce(_ unionByName _)
+      val (nxt, n) = cutCounted(
         edges.join(frontier.select(col("lm"), col("id").as("src")), "src")
           .select(col("lm"), col("dst").as("id")).distinct()
-          .join(settled, Seq("lm", "id"), "left_anti")
-          .select(col("lm"), col("id"), lit(hop.toLong).as("dist")))
-      val grown = Materialize.cut(settled.union(nxt))
-      if (frontier ne settled) Materialize.releaseNow(frontier)
-      Materialize.releaseNow(settled)
-      settled = grown
+          .join(settledView, Seq("lm", "id"), "left_anti")
+          .select(col("lm"), col("id"), lit(hop.toLong).as("dist")),
+        s"graft_lmd_$hop")
+      parts += nxt
       frontier = nxt
-      frontierN = nxt.count()
+      frontierN = n
     }
-    if (frontier ne settled) Materialize.releaseNow(frontier)
     Materialize.releaseNow(edges)
-    settled
+    parts.reduce(_ unionByName _)
   }
 
   /** Landmark-estimated pair distances over a [[landmarkDistances]]

@@ -1670,17 +1670,32 @@ object TextAnalysis {
     * safer path. Raise it only against a driver sized for it. */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                 maxDriverWords: Long = 1L << 20): DataFrame = {
-    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val spark = df.sparkSession
-    val freq = df
-      .select(explode(TF.tokens(col(textCol))).as("w"))
+    val freq = wordCounts(df, textCol).saltedPersist()
+    bpeMergesFromCounts(freq, numMerges, maxDriverWords, ownsCache = true)
+  }
+
+  /** The `(w, cnt)` word-frequency table both tokenizer trainers start
+    * from — ONE corpus scan, O(language vocabulary) rows. Shared by
+    * [[tokenizerCompareFertility]] so the BPE and unigram arms don't each
+    * rebuild it (guide §1.2 step 1). */
+  private[graft] def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TF.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .saltedPersist()
+
+  /** [[bpeMerges]] over a PREBUILT (persisted) word-frequency table.
+    * `ownsCache = false` leaves the caller's persist untouched (the
+    * shared-base path); `true` releases it exactly where the single-use
+    * path used to. */
+  private[graft] def bpeMergesFromCounts(freq: DataFrame, numMerges: Int,
+                                         maxDriverWords: Long,
+                                         ownsCache: Boolean): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = freq.sparkSession
     val nWords = freq.count()
     if (nWords <= maxDriverWords) {
       val table = freq.collect().map(r => (r.getString(0), r.getLong(1)))
-      freq.unpersist()
+      if (ownsCache) freq.unpersist()
       return spark.createDataFrame(localBpeMerges(table, numMerges))
         .toDF("rank", "left", "right", "weight")
     }
@@ -1691,7 +1706,7 @@ object TextAnalysis {
       .select(col("cnt"), charSplit.as("syms"))
       .saltedPersist()
     words.count() // materialize off the freq cache before releasing it
-    freq.unpersist()
+    if (ownsCache) freq.unpersist()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var prev: DataFrame = null
     var exhausted = false
@@ -1983,15 +1998,27 @@ object TextAnalysis {
   def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
                    maxPieceLen: Int, maxWordLen: Int,
                    emIters: Int): Seq[(String, Long)] = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
-    require(emIters >= 0 && emIters <= 8,
-      s"emIters must be in [0, 8], got $emIters")
     val words = df
       .select(explode(TF.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .saltedPersist()
+    val vocab = unigramTrainFromCounts(words, vocabSize, maxPieceLen,
+      maxWordLen, emIters)
+    words.unpersist()
+    vocab
+  }
+
+  /** [[unigramTrain]]'s EM loop over a PREBUILT (persisted) `(w, cnt)`
+    * word-frequency table, already length-capped to `maxWordLen`. The
+    * caller owns the persist. */
+  private[graft] def unigramTrainFromCounts(words: DataFrame, vocabSize: Int,
+                                            maxPieceLen: Int, maxWordLen: Int,
+                                            emIters: Int): Seq[(String, Long)] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(emIters >= 0 && emIters <= 8,
+      s"emIters must be in [0, 8], got $emIters")
     def topV(cand: DataFrame): Seq[(String, Long)] =
       cand.groupBy("p").agg(sum(col("cnt")).as("freq"))
         .orderBy((col("freq") * length(col("p"))).desc, col("p").asc)
@@ -2009,7 +2036,6 @@ object TextAnalysis {
       vocab = topV(words
         .select(col("cnt"), explode(split(seg, " ")).as("p")))
     }
-    words.unpersist()
     vocab
   }
 
@@ -2083,6 +2109,58 @@ object TextAnalysis {
       .withColumn("chars_per_token_pm",
         when(col("sum_uni_tokens") === 0, lit(null).cast("long"))
           .otherwise(expr("sum_word_chars * 1000 DIV sum_uni_tokens")))
+  }
+
+  /** BPE vs unigram fertility in ONE pipeline — the fused form of
+    * `bpeFertility ⋈ unigramFertility` (round-16 verdict #4): both
+    * trainers start from the SAME persisted word-frequency table (one
+    * corpus scan + one aggregate instead of two of each — the BPE arm
+    * reads it whole, the unigram arm under its `maxWordLen` cap, a
+    * post-aggregation filter that cannot change any count), and both
+    * tokenizers then encode in ONE corpus scan (one `tokens()` pass
+    * feeding the BPE fold and the unigram Viterbi side by side) instead
+    * of one scan per arm plus a join. Outputs are value-identical to the
+    * composed form — same training inputs, same encoders, same integer
+    * ‰ arithmetic over the same per-group sums (spec-pinned equal, and
+    * the gate's oracle hash pins it cross-engine). Columns:
+    * `(groupCol, sum_words, sum_bpe_tokens, sum_uni_tokens, bpe_tpw_pm,
+    * uni_tpw_pm)`. */
+  def tokenizerCompareFertility(df: DataFrame, textCol: String,
+                                groupCol: String, numMerges: Int,
+                                vocabSize: Int, maxPieceLen: Int = 6,
+                                maxWordLen: Int = 12,
+                                emIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val wc = wordCounts(df, textCol).saltedPersist()
+    val merges = bpeMergesFromCounts(wc, numMerges,
+        maxDriverWords = 1L << 20, ownsCache = false)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val vocab = unigramTrainFromCounts(
+      wc.where(length(col("w")) <= maxWordLen),
+      vocabSize, maxPieceLen, maxWordLen, emIters).toMap
+    wc.unpersist()
+    def segW(w: Column): Column = column(graft.functions.UnigramSegmentExpr(
+      expression(w), vocab, maxPieceLen, maxWordLen))
+    def tokSum(ew: Column): Column =
+      aggregate(ew, lit(0L), (acc, e) =>
+        acc + when(length(e) === 0, lit(0))
+          .otherwise(size(split(e, " "))).cast("long"))
+    df.select(col(groupCol), TF.tokens(col(textCol)).as("tk"))
+      .select(col(groupCol),
+        size(col("tk")).cast("long").as("nw"),
+        tokSum(bpeApplyCol(col("tk"), merges)).as("ntb"),
+        tokSum(transform(col("tk"), w => segW(w))).as("ntu"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("nw")).as("sum_words"),
+           sum(col("ntb")).as("sum_bpe_tokens"),
+           sum(col("ntu")).as("sum_uni_tokens"))
+      .withColumn("bpe_tpw_pm",
+        when(col("sum_words") === 0, lit(null).cast("long"))
+          .otherwise(expr("sum_bpe_tokens * 1000 DIV sum_words")))
+      .withColumn("uni_tpw_pm",
+        when(col("sum_words") === 0, lit(null).cast("long"))
+          .otherwise(expr("sum_uni_tokens * 1000 DIV sum_words")))
   }
 
   def vocabularyReport(df: DataFrame, textCol: String, rsd: Double,

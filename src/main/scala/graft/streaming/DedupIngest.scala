@@ -55,10 +55,14 @@ object DedupIngest {
           compactEvery)
         validated = true
       }
-      val surv = Dedup.incrementalSurvivorsIndexed(
+      // the epoch parquet write is the materialization barrier: the write
+      // job computes the survivor decision, the index append reads the
+      // files back — one fewer job per epoch than cut-then-write
+      // (MmIngest.writeEpochBarrier)
+      val (survLazy, caches) = Dedup.incrementalSurvivorsIndexedLazy(
         batch, spark.table(indexTable).where(col("epoch") < lit(batchId)),
         idCol, textCol, shingleN, threshold, Long.MaxValue)
-      MmIngest.writeEpoch(surv, outPath, batchId)
+      val surv = MmIngest.writeEpochBarrier(survLazy, caches, outPath, batchId)
       Dedup.appendPostingIndexEpoch(surv, idCol, textCol, indexTable,
         buckets, shingleN, batchId)
       if (compactEvery > 0 && indexPath != null &&

@@ -58,11 +58,14 @@ object EmbedIngest {
       }
       val clean = batch.where(col("vec").isNotNull &&
         org.apache.spark.sql.functions.size(col("vec")) === lit(dim))
-      val surv = Dedup.embedSurvivorsIndexed(
+      // epoch parquet write as the materialization barrier — one fewer job
+      // per epoch than cut-then-write (MmIngest.writeEpochBarrier)
+      val (decision, caches) = Dedup.embedSurvivorsIndexedLazy(
           clean, spark.table(indexTable).where(col("epoch") < lit(batchId)),
           threshold, lshBits, dim)
-        .where(col("survives")).select(col("id"), col("vec"))
-      MmIngest.writeEpoch(surv, outPath, batchId)
+      val surv = MmIngest.writeEpochBarrier(
+        decision.where(col("survives")).select(col("id"), col("vec")),
+        caches, outPath, batchId)
       Dedup.appendEmbedIndexEpoch(surv, indexTable, buckets, lshBits, dim,
         batchId)
       if (compactEvery > 0 && indexPath != null &&

@@ -61,6 +61,17 @@ object MmIngest {
         .select(col("id"), col("phash").as("sh")),
       index, maxHamming)
 
+  /** [[probeBatch]] without the eager cut (lazy decision plan + the caches
+    * the caller releases after ITS barrier — the per-epoch parquet write).
+    * See [[graft.operators.Dedup.hammingSurvivorsIndexedLazy]]. */
+  private def probeBatchLazy(index: DataFrame, batch: DataFrame,
+                             maxHamming: Int): (DataFrame, Seq[DataFrame]) =
+    Dedup.hammingSurvivorsIndexedLazy(
+      Multimodal.perceptualHash(batch)
+        .where(col("phash").isNotNull)
+        .select(col("id"), col("phash").as("sh")),
+      index, maxHamming)
+
   /** One COMPOSED micro-batch step — the live form of
     * [[graft.operators.Multimodal.ingestPipeline]]'s front half: ONE
     * decode pass sniff-routes every payload and fingerprints it in place
@@ -75,10 +86,41 @@ object MmIngest {
         .select(col("id"), col("fp").as("sh"), col("family").as("grp")),
       index, maxHamming)
 
+  /** Lazy twin of [[probeBatchComposed]] — see [[probeBatchLazy]]. */
+  private def probeBatchComposedLazy(index: DataFrame, batch: DataFrame,
+                                     maxHamming: Int): (DataFrame, Seq[DataFrame]) =
+    Dedup.hammingSurvivorsIndexedKeyedLazy(
+      Multimodal.ingestFingerprints(batch).toDF()
+        .where(col("fp").isNotNull)
+        .select(col("id"), col("fp").as("sh"), col("family").as("grp")),
+      index, maxHamming)
+
   /** Idempotent per-epoch survivor write: `outPath/epoch=<batchId>`,
     * overwrite — replaying the epoch rewrites the same rows in place. */
   def writeEpoch(surv: DataFrame, outPath: String, batchId: Long): Unit =
     surv.write.mode("overwrite").parquet(s"$outPath/epoch=$batchId")
+
+  /** [[writeEpoch]] as the epoch's MATERIALIZATION BARRIER: computes the
+    * lazy survivor plan directly into the epoch directory (ONE job —
+    * previously a localCheckpoint job computed the decision record and the
+    * write job merely copied blocks), releases the probe's persisted
+    * intermediates, and returns the survivors re-read from the files just
+    * written, so the index append that follows consumes durable storage
+    * instead of re-running the probe. Crash contract unchanged: the write
+    * is still the epoch's first side effect, still an idempotent overwrite,
+    * and a replay recomputes the identical decision (the probe reads only
+    * `epoch < batchId`). The read-back carries an explicit schema — an
+    * all-duplicate epoch writes zero data files, which schema inference
+    * would reject. */
+  private[streaming] def writeEpochBarrier(survLazy: DataFrame,
+                                           caches: Seq[DataFrame],
+                                           outPath: String,
+                                           batchId: Long): DataFrame = {
+    writeEpoch(survLazy, outPath, batchId)
+    caches.foreach(_.unpersist())
+    survLazy.sparkSession.read.schema(survLazy.schema)
+      .parquet(s"$outPath/epoch=$batchId")
+  }
 
   /** The full per-epoch step [[start]]'s `foreachBatch` runs (public so
     * the kill-and-restart spec can replay it from any crash window):
@@ -101,11 +143,12 @@ object MmIngest {
         graft.operators.GenIndex.validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
         validated = true
       }
-      val surv = probeBatch(
+      val (decision, caches) = probeBatchLazy(
           spark.table(indexTable).where(col("epoch") < lit(batchId)),
           batch, maxHamming)
-        .where(col("survives")).select(col("id"), col("sh").as("phash"))
-      writeEpoch(surv, outPath, batchId)
+      val surv = writeEpochBarrier(
+        decision.where(col("survives")).select(col("id"), col("sh").as("phash")),
+        caches, outPath, batchId)
       Dedup.appendHammingIndexEpoch(
         surv.select(col("id"), col("phash").as("sh")), indexTable,
         buckets, maxHamming, batchId)
@@ -132,12 +175,13 @@ object MmIngest {
         graft.operators.GenIndex.validateFirstBatch(spark, indexTable, batchId, indexPath, compactEvery)
         validated = true
       }
-      val surv = probeBatchComposed(
+      val (decision, caches) = probeBatchComposedLazy(
           spark.table(indexTable).where(col("epoch") < lit(batchId)),
           batch, maxHamming)
-        .where(col("survives"))
-        .select(col("id"), col("grp").as("family"), col("sh").as("phash"))
-      writeEpoch(surv, outPath, batchId)
+      val surv = writeEpochBarrier(
+        decision.where(col("survives"))
+          .select(col("id"), col("grp").as("family"), col("sh").as("phash")),
+        caches, outPath, batchId)
       Dedup.appendHammingIndexKeyedEpoch(
         surv.select(col("id"), col("phash").as("sh"),
                     col("family").as("grp")),

@@ -1416,6 +1416,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(all.length == all.distinct.length, "multi-pass union not deduplicated")
   }
 
+  test("sortedNeighborhoodMultiPass: shared-base passes equal independent public passes exactly") {
+    // round-17: multi-pass shares ONE normalization+shingle base across
+    // passes; each pass must stay byte-identical to the public single-pass
+    // operator at the same key offset (same substring of the same
+    // normalized text, same shingle sets)
+    val docs = spark.read.parquet(sf("documents"))
+    val multi = graft.operators.Dedup
+      .sortedNeighborhoodMultiPass(docs, "doc_id", "text",
+        passes = 2, stride = 16, window = 8, keyLen = 24, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = (0 until 2).map { p =>
+      graft.operators.Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+          window = 8, keyLen = 24, threshold = 0.3, keyStart = 1 + p * 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }.reduce(_ union _)
+    assert(multi == composed,
+      s"shared-base multipass diverged: ${multi.size} vs ${composed.size} pairs")
+  }
+
   test("weightedMinhashPairs: capWeight=1 degrades to plain MinHash exactly (salt 0 is 0)") {
     val docs = spark.read.parquet(sf("documents"))
     val plain = graft.operators.Dedup

@@ -2263,16 +2263,22 @@ class PipelineStreamingSpec extends SparkSpec {
 
   test("marker pruning without compaction: 20 guarded appends keep the marker directory bounded") {
     import spark.implicits._
+    // STREAMING context (thread-local query id, as inside foreachBatch):
+    // only then may guardedEpochAppend prune — a streaming writer can
+    // never legally revisit an epoch below the max (requireEpochAhead)
     val tmp = Files.createTempDirectory("graft-markerprune20").toString
     graft.operators.Dedup.initPostingIndexEpoch(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
       "graft_spec_prune20", s"$tmp/idx")
-    (0 until 20).foreach { e =>
-      graft.operators.Dedup.appendPostingIndexEpoch(
-        Seq((e.toLong, s"alpha beta gamma delta epsilon zeta eta doc$e"))
-          .toDF("doc_id", "text"),
-        "doc_id", "text", "graft_spec_prune20", 8, 3, e.toLong)
-    }
+    try {
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "spec-prune-q")
+      (0 until 20).foreach { e =>
+        graft.operators.Dedup.appendPostingIndexEpoch(
+          Seq((e.toLong, s"alpha beta gamma delta epsilon zeta eta doc$e"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", "graft_spec_prune20", 8, 3, e.toLong)
+      }
+    } finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
     val markers = new java.io.File(s"$tmp/idx/_graft_epochs").listFiles()
       .map(_.getName)
       .filter(n => n.startsWith("epoch-") || n.startsWith("attempt-")).toSeq
@@ -2287,6 +2293,34 @@ class PipelineStreamingSpec extends SparkSpec {
     // appended, so its replay is still skipped
     assert(graft.operators.Dedup.epochAppended(spark, "graft_spec_prune20", 19L))
     spark.sql("DROP TABLE IF EXISTS `graft_spec_prune20`")
+  }
+
+  test("direct (non-streaming) guarded appends never prune: every epoch's replay stays idempotent") {
+    import spark.implicits._
+    // round-16 ADVICE: a DIRECT caller replaying a driver-sequential loop
+    // from epoch 0 relies on every epoch's marker for replay-skip; pruning
+    // under it would re-append pruned epochs as duplicates
+    val tmp = Files.createTempDirectory("graft-markernoprune").toString
+    graft.operators.Dedup.initPostingIndexEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      "graft_spec_noprune", s"$tmp/idx")
+    def appendAll(): Unit = (0 until 20).foreach { e =>
+      graft.operators.Dedup.appendPostingIndexEpoch(
+        Seq((e.toLong, s"alpha beta gamma delta epsilon zeta eta doc$e"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", "graft_spec_noprune", 8, 3, e.toLong)
+    }
+    appendAll()
+    val markers = new java.io.File(s"$tmp/idx/_graft_epochs").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch-")).toSeq
+    assert(markers.sorted == (0 to 19).map(e => s"epoch-$e").sorted,
+      s"direct appends must keep every marker: ${markers.sorted.mkString(",")}")
+    // replaying the whole loop appends NOTHING (every epoch skips)
+    val n = spark.table("graft_spec_noprune").count()
+    appendAll()
+    assert(spark.table("graft_spec_noprune").count() == n,
+      "a replayed direct loop must skip every committed epoch, not duplicate it")
+    spark.sql("DROP TABLE IF EXISTS `graft_spec_noprune`")
   }
 
   test("marker-less legacy adoption is loud and one-shot (round-15 verdict #2)") {

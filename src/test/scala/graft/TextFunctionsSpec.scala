@@ -108,6 +108,55 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sig == sig2)
   }
 
+  test("mersenne folds: bit-identical to floorMod / % over the edge space") {
+    // the division-free folds must agree with the reference reductions on
+    // every sign/magnitude corner, or signatures silently change values
+    val edges = Seq(0L, 1L, 3L, 4L, 5L, 2147483646L, 2147483647L,
+      2147483648L, -1L, -2L, -4L, -5L, Long.MaxValue, Long.MinValue,
+      Long.MinValue + 4L, TF.MinhashPrime, TF.MinhashPrime - 1,
+      TF.MinhashPrime + 1)
+    val rnd = new java.util.Random(7)
+    val xs = edges ++ Seq.fill(200000)(rnd.nextLong())
+    xs.foreach { x =>
+      assert(TF.mersenneMod31(x) == java.lang.Math.floorMod(x, 2147483647L),
+        s"mod31 mismatch at $x")
+    }
+    // mod61 domain is [0, 2^62): a*hh+b with a,b < 2^31, hh < 2^31
+    val ys = Seq(0L, 1L, TF.MinhashPrime - 1, TF.MinhashPrime,
+      TF.MinhashPrime + 1, (1L << 62) - 1) ++
+      Seq.fill(200000)(rnd.nextLong() & ((1L << 62) - 1))
+    ys.foreach { y =>
+      assert(TF.mersenneMod61(y) == y % TF.MinhashPrime,
+        s"mod61 mismatch at $y")
+    }
+  }
+
+  test("minhash signature: codegen path matches the reference fold formula") {
+    // reference = the pre-fold formula (floorMod + % P) over the same
+    // coefficients and salts; the optimized expression must be bit-equal
+    val k = 128
+    val (a, b) = TF.minhashCoefficients(k)
+    val salts = TF.minhashSalts(k)
+    def refSig(hs: Seq[Long]): Seq[Long] =
+      (0 until k).map { j =>
+        val vals = hs.map { h =>
+          val hh = java.lang.Math.floorMod(h ^ salts(j), 2147483647L)
+          (a(j) * hh + b(j)) % TF.MinhashPrime
+        }
+        if (vals.isEmpty) TF.MinhashPrime else vals.min
+      }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b c d e f g", "one two three", "x")
+    texts.foreach { t =>
+      val hs = spark.range(1).select(TF.shingleHashes(lit(t), 3))
+        .collect()(0).getSeq[Long](0)
+      val got = spark.range(1)
+        .select(TF.minhashSignature(TF.shingleHashes(lit(t), 3), k))
+        .collect()(0).getSeq[Long](0)
+      assert(got == refSig(hs), s"signature mismatch for '$t'")
+    }
+  }
+
   test("minhash estimates correlate with true jaccard") {
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 xx yy"  // high overlap

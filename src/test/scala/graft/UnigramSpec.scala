@@ -134,4 +134,32 @@ class UnigramSpec extends SparkSpec {
     assert(r(1).getAs[Long]("n_tokens_uni") == 0L)
     assert(r(0).getAs[Long]("n_tokens_uni") >= 2L)
   }
+
+  test("tokenizerCompareFertility: fused pipeline equals the composed bpe ⋈ unigram form") {
+    // the round-17 fusion must be VALUE-identical to the two-operator
+    // composition it replaces (same trainers over the same word counts,
+    // same encoders, same ‰ arithmetic) — the gate query's oracle hash
+    // depends on it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = TextAnalysis.tokenizerCompareFertility(docs, "text", "lang",
+        numMerges = 8, vocabSize = 48, maxPieceLen = 6, maxWordLen = 12,
+        emIters = 2)
+      .select(col("lang"), col("sum_words"), col("sum_bpe_tokens"),
+        col("sum_uni_tokens"), col("bpe_tpw_pm"), col("uni_tpw_pm"))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.bpeFertility(docs, "doc_id", "text", "lang",
+        numMerges = 8)
+      .select(col("lang"), col("sum_words"), col("sum_bpe_tokens"),
+        col("tokens_per_word_pm").as("bpe_tpw_pm"))
+    val u = TextAnalysis.unigramFertility(docs, "text", "lang",
+        vocabSize = 48, maxPieceLen = 6, maxWordLen = 12, emIters = 2)
+      .select(col("lang"), col("sum_uni_tokens"),
+        col("tokens_per_word_pm").as("uni_tpw_pm"))
+    val composed = b.join(u, Seq("lang"))
+      .select(col("lang"), col("sum_words"), col("sum_bpe_tokens"),
+        col("sum_uni_tokens"), col("bpe_tpw_pm"), col("uni_tpw_pm"))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(fused.nonEmpty && fused == composed,
+      s"fused tokenizer compare diverged from the composed form")
+  }
 }
