@@ -84,14 +84,22 @@ object Bench {
     * speed. Run before and after the sweep; the ratio self-flags drift the
     * same way the serial probe's does, and the absolute milliseconds are
     * comparable across records on the same box. */
-  private def parallelProbe(threads: Int): Double = {
+  private[graft] def parallelProbe(threads: Int): Double = {
     val n = math.max(1, threads)
+    // throwaway warm-up round (1/50 the work): the kernel's FIRST run in a
+    // fresh JVM pays interpretation + JIT compilation (~2x measured), which
+    // would make pprobe_before systematically incomparable to pprobe_after
+    runParallelKernel(n, 500000)
+    runParallelKernel(n, 25000000)
+  }
+
+  private def runParallelKernel(n: Int, iters: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until n).map { t =>
       val th = new Thread(() => {
         var x = 0x9E3779B97F4A7C15L ^ t
         var i = 0
-        while (i < 25000000) {
+        while (i < iters) {
           x = java.lang.Long.rotateLeft(x * 0xff51afd7ed558ccdL, 31) ^ i
           i += 1
         }
